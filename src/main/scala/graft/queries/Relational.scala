@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Batch analogs of the reference's operator inventory (SURVEY.md §2).
+  *
+  * Naming maps 1:1 onto the §2 ids: tN_* = transform operators T1-T7,
+  * s3_* = upsert/changelog source semantics S3, k1_* = keyed-JSON sink wire
+  * format K1/E3, j/w/o/set/f/cd/a = the operator categories §2.2 lists as
+  * absent-in-reference but required of our engine (joins, windows, sorts,
+  * set ops, scalar functions, distinct aggregation).
+  *
+  * Scale notes are inline per query; the common rules: dimension tables are
+  * broadcast, aggregations rely on partial (map-side) aggregation, every
+  * scan carries a projection so parquet column pruning applies.
+  */
+object Relational {
+
+  private def dec2(c: String) = col(c).cast("decimal(18,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // T1 union — merge two same-schema streams (reference: StreamingJob.java:78-79).
+    QueryDef.views("t1_union",
+      """SELECT event_id, user_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type FROM events WHERE event_type = 'view'
+        |ORDER BY event_id""".stripMargin) { spark =>
+      val ev = spark.table("events").select("event_id", "user_id", "event_type")
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      clicks.unionByName(views).orderBy("event_id")
+    },
+
+    // T2 keyBy + per-key aggregation (reference keyBy: CustomJob.java:83).
+    // Scale: partial agg before the shuffle on user_id; exact DECIMAL sums.
+    QueryDef.views("t2_keyby_agg",
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2("value")).cast("double").as("sum_value"))
+        .orderBy("user_id")
+    },
+
+    // T3 demux/side-outputs — route one stream into typed substreams by tag
+    // (reference: MyProcessFunction side outputs, CustomJob.java:204-218).
+    // Spark has no side outputs; the idiomatic mapping is filtered derivative
+    // streams of one scan — here materialized as a tagged union.
+    QueryDef.views("t3_demux_routes",
+      """SELECT event_type AS route, event_id, user_id,
+        |       event_type || '|' || CAST(user_id AS VARCHAR) AS key
+        |FROM events WHERE event_type IN ('purchase','signup')
+        |ORDER BY route, event_id""".stripMargin) { spark =>
+      spark.table("events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type").as("route"), col("event_id"), col("user_id"),
+          concat_ws("|", col("event_type"), col("user_id")).as("key"))
+        .orderBy("route", "event_id")
+    },
+
+    // T4 typed projection — selective field extraction from a JSON payload +
+    // synthetic key (reference deserializer: CustomJob.java:221-272, key :284).
+    QueryDef.views("t4_typed_projection",
+      """SELECT event_id, user_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |       event_type || '|' || CAST(user_id AS VARCHAR) AS key
+        |FROM events ORDER BY event_id""".stripMargin) { spark =>
+      spark.table("events")
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k_val"),
+          concat_ws("|", col("event_type"), col("user_id")).as("key"))
+        .orderBy("event_id")
+    },
+
+    // S3 changelog/upsert view — latest record per key (the core custom piece
+    // of the reference's upsert-pulsar source, CustomJob.java:156-174).
+    // Batch form = window row_number; streaming form lives in graft.cdc.
+    QueryDef.views("s3_changelog_latest",
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+        |       value AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin) { spark =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      spark.table("events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    },
+
+    // T5 flagship — continuous COUNT over the compacted changelog
+    // (reference: CustomJob.java:194 `SELECT schema, COUNT(1) GROUP BY schema`).
+    QueryDef.views("t5_changelog_count",
+      """SELECT event_type, count(*) AS live_users
+        |FROM (SELECT user_id, event_type, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin) { spark =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      spark.table("events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type").agg(count(lit(1)).as("live_users"))
+        .orderBy("event_type")
+    },
+
+    // T6 flatMap word count (reference Splitter: StreamingJob.java:105-112).
+    QueryDef.views("t6_flatmap_wordcount",
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE len(word) > 0 GROUP BY word ORDER BY word""".stripMargin) { spark =>
+      spark.table("documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+
+    // T7 tumbling window aggregation (reference: StreamingJob.java:94-100).
+    // Event-time 5-minute windows; start emitted as string (NTZ-safe).
+    QueryDef.views("t7_window_tumbling",
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2("value")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // K1/E3 keyed JSON wire format (reference Pulsar sink serialization:
+    // CustomJob.java:93-104, key extractor :95).
+    QueryDef.views("k1_keyed_json",
+      """SELECT event_id, event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                           user_id := user_id)) AS value_json
+        |FROM events ORDER BY event_id""".stripMargin) { spark =>
+      spark.table("events")
+        .select(col("event_id"),
+          concat_ws("|", col("event_type"), col("user_id")).as("key"),
+          to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+            .as("value_json"))
+        .orderBy("event_id")
+    },
+
+    // Joins (absent in reference, §2.2 — required of our engine).
+    // 3-way fact-dim join; customer is broadcast (dim ≪ fact at any SF).
+    QueryDef.views("j1_join_agg",
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { spark =>
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), dec2("l_extendedprice").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+      val o = spark.table("orders").select("o_orderkey", "o_custkey")
+      val c = spark.table("customer").select("c_custkey", "c_mktsegment")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    QueryDef.views("j2_semi_anti",
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin) { spark =>
+      val c = spark.table("customer").select("c_custkey")
+      val o = spark.table("orders").select("o_custkey")
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")
+    },
+
+    // 4-way join: fully-broadcast dim chain onto the fact scan — the plan
+    // shape that survives 100×: no shuffle until the final small group-by.
+    QueryDef.views("j3_join_4way",
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { spark =>
+      val li = spark.table("lineitem")
+        .select(col("l_suppkey"), dec2("l_extendedprice").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+      val s = spark.table("supplier").select("s_suppkey", "s_nationkey")
+      val n = spark.table("nation").select("n_nationkey", "n_regionkey", "n_name")
+      val r = spark.table("region").select("r_regionkey", "r_name")
+      li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // Ranking window function: top-3 suppliers by balance per nation.
+    QueryDef.views("w1_topk_per_group",
+      """SELECT n_name, CAST(rk AS BIGINT) AS rnk, s_suppkey, s_name,
+        |       CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM (SELECT n_name, s_suppkey, s_name, s_acctbal,
+        |             row_number() OVER (PARTITION BY n_name
+        |                                ORDER BY s_acctbal DESC, s_suppkey) AS rk
+        |      FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |WHERE rk <= 3 ORDER BY n_name, rnk""".stripMargin) { spark =>
+      val s = spark.table("supplier")
+      val n = spark.table("nation").select("n_nationkey", "n_name")
+      val w = Window.partitionBy("n_name")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("n_name"), col("rk").cast("bigint").as("rnk"),
+          col("s_suppkey"), col("s_name"), col("s_acctbal").as("acctbal"))
+        .orderBy("n_name", "rnk")
+    },
+
+    // Global sort + limit (TakeOrderedAndProject — no full sort at scale).
+    QueryDef.views("o1_sort_limit",
+      """SELECT o_orderkey, o_totalprice AS total,
+        |       CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { spark =>
+      spark.table("orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice").as("total"),
+          col("o_orderdate").cast("date").as("order_date"))
+    },
+
+    // Set operations: INTERSECT / EXCEPT / DISTINCT.
+    QueryDef.views("set1_setops",
+      """SELECT 'both' AS tag, nationkey FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT 'customer_only' AS tag, nationkey FROM (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  EXCEPT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT 'supplier_only' AS tag, nationkey FROM (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        |  EXCEPT SELECT DISTINCT CAST(c_nationkey AS BIGINT) FROM customer)
+        |ORDER BY tag, nationkey""".stripMargin) { spark =>
+      val cn = spark.table("customer")
+        .select(col("c_nationkey").cast("bigint").as("nationkey")).distinct()
+      val sn = spark.table("supplier")
+        .select(col("s_nationkey").cast("bigint").as("nationkey")).distinct()
+      cn.intersect(sn).select(lit("both").as("tag"), col("nationkey"))
+        .unionByName(cn.except(sn)
+          .select(lit("customer_only").as("tag"), col("nationkey")))
+        .unionByName(sn.except(cn)
+          .select(lit("supplier_only").as("tag"), col("nationkey")))
+        .orderBy("tag", "nationkey")
+    },
+
+    // Scalar function library: date/string/math (absent in reference §2.2).
+    QueryDef.views("f1_scalar_funcs",
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |       upper(o_orderpriority) AS prio_upper,
+        |       substring(o_orderpriority, 3, 6) AS prio_word,
+        |       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+        |       o_orderkey % 7 AS key_mod,
+        |       CAST(round(o_totalprice) AS BIGINT) AS total_round,
+        |       o_orderstatus || '-' || o_orderpriority AS combo
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { spark =>
+      spark.table("orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("order_year"),
+        month(col("o_orderdate")).cast("bigint").as("order_month"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 3, 6).as("prio_word"),
+        length(col("o_orderpriority")).cast("bigint").as("prio_len"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        round(col("o_totalprice")).cast("bigint").as("total_round"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("combo"))
+        .orderBy("o_orderkey")
+    },
+
+    // Exact distinct aggregation per group.
+    QueryDef.views("cd1_count_distinct",
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { spark =>
+      spark.table("orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    },
+
+    // TPC-H Q1-shaped pricing summary — partial-agg-dominated scan; the
+    // canonical "does map-side combine happen" probe at 100 TB.
+    QueryDef.views("a1_lineitem_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { spark =>
+      spark.table("lineitem")
+        .filter(col("l_shipdate") <=
+          lit("1998-09-02 00:00:00").cast(TimestampNTZType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_base"),
+          sum(dec2("l_extendedprice") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc"),
+          sum(dec2("l_extendedprice") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")) *
+            (lit(1) + col("l_tax").cast("decimal(4,2)")))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+}
