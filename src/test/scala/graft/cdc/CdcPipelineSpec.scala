@@ -1,0 +1,104 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Golden end-to-end test reproducing the reference's manual scenario
+  * (README.md:54-114, FIXTURES.md §5) plus the delete case the reference
+  * left untested (CustomJob.java:198-199). */
+class CdcPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def users(lsn: Long, op: String, schema: String, id: Long,
+      name: String, beforeName: String = null): CdcEnvelope = {
+    val row = Map("id" -> id.toString, "full_name" -> name)
+    val before =
+      if (op == "c" || op == "r") Map.empty[String, String]
+      else Map("id" -> id.toString,
+        "full_name" -> Option(beforeName).getOrElse(name))
+    CdcEnvelope(lsn, txId = lsn, tsMs = 1600000000000L + lsn, op,
+      db = "experiment", schema = schema, table = "users",
+      before = before,
+      after = if (op == "d") Map.empty else row)
+  }
+
+  // README.md:54-58 insert/update sequence.
+  private val golden = Seq(
+    users(1, "c", "schema1", 1, "susan smith"),
+    users(2, "c", "schema1", 2, "anne smith"),
+    users(3, "c", "schema2", 1, "bob smith"),
+    users(4, "u", "schema1", 1, "sue smith", beforeName = "susan smith"),
+    users(5, "u", "schema2", 1, "bobby smith", beforeName = "bob smith"))
+
+  test("pipeline B: golden sequence yields schema1->2, schema2->1 (README.md:107-114)") {
+    val input = MemoryStream[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-golden"))
+    input.addData(golden)
+    q.processAllAvailable()
+    q.stop()
+    val counts = sink.snapshot.view.mapValues(_("user_count")).toMap
+    assert(counts == Map("schema1" -> 2L, "schema2" -> 1L))
+  }
+
+  test("pipeline B: updates don't double-count; deletes decrement") {
+    val input = MemoryStream[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-del"))
+    input.addData(golden)
+    q.processAllAvailable()
+    // More updates to existing keys: counts must not change.
+    input.addData(Seq(users(6, "u", "schema1", 1, "susan v2", "sue smith")))
+    q.processAllAvailable()
+    assert(sink.snapshot("schema1")("user_count") == 2L)
+    // Delete (null after, before image carries the key) — the case the
+    // reference's deserializer would NPE on.
+    input.addData(Seq(users(7, "d", "schema1", 2, null, "anne smith")))
+    q.processAllAvailable()
+    q.stop()
+    assert(sink.snapshot("schema1")("user_count") == 1L)
+    assert(sink.snapshot("schema2")("user_count") == 1L)
+  }
+
+  test("pipeline B: LSN-stale replays are ignored (at-least-once idempotency)") {
+    val input = MemoryStream[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-replay"))
+    input.addData(golden)
+    q.processAllAvailable()
+    input.addData(golden) // full redelivery
+    q.processAllAvailable()
+    q.stop()
+    val counts = sink.snapshot.view.mapValues(_("user_count")).toMap
+    assert(counts == Map("schema1" -> 2L, "schema2" -> 1L))
+  }
+
+  test("pipeline A: typed demux produces the reference's event stream (README.md:63-69)") {
+    val ds = spark.createDataset(golden)
+    val events = Demux.users(ds).collect().sortBy(_.key)
+    assert(events.length == 5)
+    assert(events.map(_.op).toSet == Set("c", "u"))
+    val susan = events.find(e => e.key == "schema1|1" && e.op == "c").get
+    assert(susan.fullName == "susan smith" && susan.id == 1L)
+    // unknown tables are dropped silently (CustomJob.java:247-264)
+    val other = golden.head.copy(table = "unknown_table")
+    assert(Demux.users(spark.createDataset(Seq(other))).count() == 0)
+  }
+
+  test("pipeline A: keyed JSON wire format matches golden payloads (README.md:78-86)") {
+    val ds = spark.createDataset(Seq(golden.head))
+    val rows = CdcPipeline.usersTopicFrame(ds).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "schema1|1")
+    assert(rows.head.getString(1) ==
+      """{"key":"schema1|1","op":"c","schema":"schema1","table":"users","fullName":"susan smith","id":1}""")
+  }
+
+  test("K2 upsert SQL renders Postgres ON CONFLICT form (setup_sink_db1.sql)") {
+    val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
+      Seq("pgschema", "user_count"))
+    assert(w.upsertSql ==
+      "INSERT INTO user_count_by_pgschema (pgschema, user_count) VALUES (?, ?) " +
+        "ON CONFLICT (pgschema) DO UPDATE SET user_count = EXCLUDED.user_count")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming forms of T6 (flatMap word split) and T7 (tumbling window +
+  * sum) — the reference's commented-out intended capability
+  * (StreamingJob.java:89-100), with event-time + watermark (closing the
+  * reference's `eventTime` TODO, CustomJob.java:201). */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("T6/T7: tumbling 5s window word count over a stream") {
+    val input = MemoryStream[(Timestamp, String)]
+    val words = input.toDF().toDF("ts", "line")
+      .withWatermark("ts", "10 seconds")
+      .select(col("ts"), explode(split(col("line"), " ")).as("word"))
+      .groupBy(window(col("ts"), "5 seconds"), col("word"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = words.writeStream
+      .outputMode("update")
+      .format("memory").queryName("wordcounts")
+      .option("checkpointLocation", tmpDir("t7"))
+      .start()
+
+    def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+    input.addData(Seq(
+      (t(0), "to be or not"), (t(1), "to be"),
+      (t(7), "be be")))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("wordcounts")
+      .select(col("window.start").cast("long").as("start"),
+        col("word"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val w0 = 1600000000L
+    val w1 = 1600000005L
+    assert(out.contains((w0, "to", 2L)))
+    assert(out.contains((w0, "be", 2L)))
+    assert(out.contains((w0, "or", 1L)))
+    assert(out.contains((w0, "not", 1L)))
+    assert(out.contains((w1, "be", 2L)))
+  }
+
+  test("T1 streaming: union of two streams into one sink") {
+    val a = MemoryStream[String]
+    val b = MemoryStream[String]
+    val q = a.toDS().union(b.toDS()).writeStream
+      .format("memory").queryName("unioned")
+      .option("checkpointLocation", tmpDir("t1"))
+      .start()
+    a.addData("x", "y")
+    b.addData("z")
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("unioned").as[String].collect().toSet == Set("x", "y", "z"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Smoke + plan-shape checks for the batch query inventory. Value-level
+  * correctness is graded by the DuckDB oracle (Verify + driver gate);
+  * these specs pin the things the oracle can't see: non-emptiness of the
+  * rows-only queries, and the physical plan properties that matter at
+  * 100 TB (broadcast joins, pushed filters, partial aggregation). */
+class QueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL exists for every SQL-expressible query") {
+    val rowsOnly = Set("d2_dedup_minhash", "d3_dedup_simhash", "s2_ann_lsh",
+      "hll1_approx_distinct")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  }
+
+  test("j1/j3 broadcast their dimension tables") {
+    val p1 = SparkEntry.queries("j1_join_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"j1 plan:\n$p1")
+    val p3 = SparkEntry.queries("j3_join_4way")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"))
+    // the fact table must not be exchanged before the joins
+    assert(!p3.contains("SortMergeJoin"))
+  }
+
+  test("a1 pushes the shipdate filter into the parquet scan") {
+    val plan = SparkEntry.queries("a1_lineitem_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"plan:\n$plan")
+  }
+
+  test("a1 uses partial (map-side) hash aggregation") {
+    val plan = SparkEntry.queries("a1_lineitem_pricing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("o1 compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = SparkEntry.queries("o1_sort_limit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("t4 prunes columns at the scan (no full-width read)") {
+    val plan = SparkEntry.queries("t4_typed_projection")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("value"), s"scan reads dropped column: $scanSchema")
+  }
+}
