@@ -1,7 +1,6 @@
 package graft.cdc
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Runnable end-to-end demo of both CDC pipelines over the reference's
   * golden scenario (README.md:54-114) extended with a delete. Usage:
@@ -17,7 +16,6 @@ object CdcDemo {
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     def ev(lsn: Long, op: String, schema: String, id: Long, name: String): CdcEnvelope = {
       val row = Map("id" -> id.toString, "full_name" -> name)
@@ -33,10 +31,22 @@ object CdcDemo {
       ev(4, "u", "schema1", 1, "sue smith"),
       ev(5, "u", "schema2", 1, "bobby smith"))
 
-    val input = MemoryStream[CdcEnvelope]
+    // WAL stand-in consumed through the DSv2 source (format "graft-cdc").
+    def jsonLine(e: CdcEnvelope): String = {
+      def m(mm: Map[String, String]) =
+        if (mm.isEmpty) "null"
+        else mm.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+      s"""{"lsn": ${e.lsn}, "txId": ${e.txId}, "tsMs": ${e.tsMs}, "op": "${e.op}", "db": "${e.db}", "schema": "${e.schema}", "table": "${e.table}", "before": ${m(e.before)}, "after": ${m(e.after)}}"""
+    }
+    val demoDir = java.nio.file.Files.createTempDirectory("cdc-demo")
+    val wal = demoDir.resolve("wal.jsonl")
+    java.nio.file.Files.write(wal, golden.map(jsonLine).mkString("\n").getBytes)
+
     val sink = new Sinks.MemoryUpsertTable
-    val ckpt = java.nio.file.Files.createTempDirectory("cdc-demo").toString
-    val query = CdcPipeline.liveCountPerSchema(input.toDS(), sink, ckpt)
+    val ckpt = demoDir.resolve("ckpt").toString
+    val sourced = spark.readStream.format("graft-cdc").load(wal.toString)
+      .as[CdcEnvelope]
+    val query = CdcPipeline.liveCountPerSchema(sourced, sink, ckpt)
 
     println("== typed users events (pipeline A demux) ==")
     Demux.users(spark.createDataset(golden)).collect().foreach(println)
@@ -45,13 +55,16 @@ object CdcDemo {
     CdcPipeline.usersTopicFrame(spark.createDataset(golden))
       .collect().foreach(r => println(s"key=${r.getString(0)} value=${r.getString(1)}"))
 
-    input.addData(golden)
     query.processAllAvailable()
     println("== user_count_by_pgschema after golden sequence (expect schema1->2, schema2->1) ==")
     sink.snapshot.toSeq.sortBy(_._1).foreach { case (k, v) =>
       println(s"$k -> ${v("user_count")}") }
 
-    input.addData(Seq(ev(6, "d", "schema1", 2, "anne smith")))
+    // Replication continues: append a delete to the WAL; the next
+    // micro-batch reads only lsn > 5.
+    java.nio.file.Files.write(wal,
+      ("\n" + jsonLine(ev(6, "d", "schema1", 2, "anne smith"))).getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
     query.processAllAvailable()
     println("== after DELETE schema1 id=2 (expect schema1->1) ==")
     sink.snapshot.toSeq.sortBy(_._1).foreach { case (k, v) =>

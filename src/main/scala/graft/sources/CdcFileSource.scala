@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 CDC source, `format("graft-cdc")` — the Spark-native
+  * restatement of the reference's Postgres CDC source (SURVEY §2 S1/S2,
+  * StreamingJob.java:44-62): a replication-log reader with LSN offsets,
+  * exposed as both a micro-batch stream and a batch table.
+  *
+  * The log here is a JSONL file (one CDC envelope per line, monotone
+  * `lsn`) standing in for the pgoutput replication slot — the container
+  * has no Postgres. Everything above the wire protocol is the real
+  * production shape: `Offset` = LSN watermark, `planInputPartitions
+  * (start, end]` replays the log range, commit is a no-op (the slot
+  * analog of confirmed_flush_lsn would ack here). Swapping the line
+  * reader for a pgoutput decoder changes only [[CdcFileMicroBatchStream
+  * .readRange]].
+  *
+  * Schema matches [[graft.cdc.CdcEnvelope]] so `.as[CdcEnvelope]` is a
+  * no-copy bind.
+  */
+class CdcFileSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cdc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcFileSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcFileTable(properties.get("path"))
+}
+
+object CdcFileSource {
+  val schema: StructType = StructType(Seq(
+    StructField("lsn", LongType, nullable = false),
+    StructField("txId", LongType, nullable = false),
+    StructField("tsMs", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("db", StringType, nullable = true),
+    StructField("schema", StringType, nullable = true),
+    StructField("table", StringType, nullable = true),
+    StructField("before", MapType(StringType, StringType), nullable = true),
+    StructField("after", MapType(StringType, StringType), nullable = true)))
+}
+
+final class CdcFileTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-cdc:$path"
+  override def schema(): StructType = CdcFileSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new CdcFileScan(path)
+}
+
+final class CdcFileScan(path: String) extends Scan {
+  override def readSchema(): StructType = CdcFileSource.schema
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory
+  }
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcFileMicroBatchStream(path)
+}
+
+/** LSN watermark offset (reference: Debezium `sourceOffset={lsn=…}`,
+  * CustomJob.java:237-240). */
+final case class CdcOffset(lsn: Long) extends Offset {
+  override def json(): String = lsn.toString
+}
+
+final class CdcFileMicroBatchStream(path: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = CdcOffset(0L)
+
+  override def latestOffset(): Offset = {
+    val lines = CdcFileMicroBatchStream.readLines(path)
+    CdcOffset(if (lines.isEmpty) 0L else lines.map(_._1).max)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffset].lsn
+    val e = end.asInstanceOf[CdcOffset].lsn
+    if (e <= s) Array.empty
+    else Array(CdcRangePartition(path, s, e))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+  override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // slot-ack analog
+  override def stop(): Unit = ()
+}
+
+object CdcFileMicroBatchStream {
+  private val mapper = new ObjectMapper()
+
+  /** (lsn, line) pairs for the whole log. */
+  def readLines(path: String): Seq[(Long, String)] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Seq.empty
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      mapper.readTree(l).get("lsn").asLong() -> l
+    }.toVector
+    finally src.close()
+  }
+
+  def parse(line: String): InternalRow = {
+    val n = mapper.readTree(line)
+    def str(field: String) =
+      Option(n.get(field)).filterNot(_.isNull)
+        .map(v => UTF8String.fromString(v.asText())).orNull
+    def mapOf(field: String) = {
+      val obj = Option(n.get(field)).filterNot(_.isNull)
+      val fields = obj.map(_.properties().asScala.toSeq).getOrElse(Seq.empty)
+      new ArrayBasedMapData(
+        new GenericArrayData(fields.map(e => UTF8String.fromString(e.getKey)).toArray[Any]),
+        new GenericArrayData(fields.map(e => UTF8String.fromString(e.getValue.asText())).toArray[Any]))
+    }
+    new GenericInternalRow(Array[Any](
+      n.get("lsn").asLong(), n.get("txId").asLong(), n.get("tsMs").asLong(),
+      str("op"), str("db"), str("schema"), str("table"),
+      mapOf("before"), mapOf("after")))
+  }
+}
+
+final case class CdcRangePartition(path: String, startExclusive: Long,
+    endInclusive: Long) extends InputPartition
+
+final class CdcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcRangePartition]
+    val rows = CdcFileMicroBatchStream.readLines(p.path)
+      .filter { case (lsn, _) => lsn > p.startExclusive && lsn <= p.endInclusive }
+      .map { case (_, line) => CdcFileMicroBatchStream.parse(line) }
+      .iterator
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

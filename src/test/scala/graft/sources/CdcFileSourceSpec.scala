@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import graft.SparkSpec
+import graft.cdc.{CdcEnvelope, CdcPipeline, Sinks}
+
+/** DSv2 source spec: LSN offsets, incremental micro-batches, batch read,
+  * and the full pipeline stack running on top of format("graft-cdc"). */
+class CdcFileSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def line(lsn: Long, op: String, schema: String, id: Long,
+      name: String): String = {
+    val row = s"""{"id": "$id", "full_name": "$name"}"""
+    val before = if (op == "c" || op == "r") "null" else row
+    val after = if (op == "d") "null" else row
+    s"""{"lsn": $lsn, "txId": $lsn, "tsMs": ${1600000000000L + lsn}, "op": "$op", "db": "experiment", "schema": "$schema", "table": "users", "before": $before, "after": $after}"""
+  }
+
+  private val golden = Seq(
+    line(1, "c", "schema1", 1, "susan smith"),
+    line(2, "c", "schema1", 2, "anne smith"),
+    line(3, "c", "schema2", 1, "bob smith"),
+    line(4, "u", "schema1", 1, "sue smith"),
+    line(5, "u", "schema2", 1, "bobby smith"))
+
+  test("batch read: full log with envelope schema") {
+    val log = Paths.get(tmpDir("cdclog"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+    val df = spark.read.format("graft-cdc").load(log.toString)
+    assert(df.count() == 5)
+    val envs = df.as[CdcEnvelope].collect().sortBy(_.lsn)
+    assert(envs.head.after("full_name") == "susan smith")
+    assert(envs.last.op == "u" && envs.last.schema == "schema2")
+  }
+
+  test("micro-batch stream: incremental LSN offsets drive the CDC pipeline") {
+    val log = Paths.get(tmpDir("cdclog2"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+
+    val events = spark.readStream.format("graft-cdc").load(log.toString)
+      .as[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(events, sink, tmpDir("cdc-src-ckpt"))
+    q.processAllAvailable()
+    assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema1" -> 2L, "schema2" -> 1L))
+
+    // Append to the log (replication continues) → next micro-batch reads
+    // only lsn > 5.
+    Files.write(log, ("\n" + line(6, "d", "schema1", 2, "anne smith")).getBytes,
+      StandardOpenOption.APPEND)
+    q.processAllAvailable()
+    q.stop()
+    assert(sink.snapshot("schema1")("user_count") == 1L)
+  }
+
+  test("restart resumes from checkpointed LSN (no reprocessing)") {
+    val dir = tmpDir("cdclog3")
+    val log = Paths.get(dir, "wal.jsonl")
+    val ckpt = s"$dir/ckpt"
+    Files.write(log, golden.mkString("\n").getBytes)
+
+    val sink = new Sinks.MemoryUpsertTable
+    val q1 = CdcPipeline.liveCountPerSchema(
+      spark.readStream.format("graft-cdc").load(log.toString).as[CdcEnvelope],
+      sink, ckpt)
+    q1.processAllAvailable(); q1.stop()
+
+    // Restart against the same checkpoint; nothing new → no state change,
+    // then an appended delete is picked up exactly once.
+    val q2 = CdcPipeline.liveCountPerSchema(
+      spark.readStream.format("graft-cdc").load(log.toString).as[CdcEnvelope],
+      sink, ckpt)
+    q2.processAllAvailable()
+    assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema1" -> 2L, "schema2" -> 1L))
+    Files.write(log, ("\n" + line(6, "d", "schema2", 1, "bobby smith")).getBytes,
+      StandardOpenOption.APPEND)
+    q2.processAllAvailable(); q2.stop()
+    assert(sink.snapshot("schema2")("user_count") == 0L)
+  }
+}
