@@ -8,8 +8,18 @@ import org.apache.spark.sql.SparkSessionExtensions
 /** Registration of graft's native Catalyst expressions as SQL functions. */
 object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1)))
+    "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
+    "mask_intersect" -> ((es: Seq[Expression]) => MaskIntersect(es(0), es(1))),
+    "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
+    "minhash_sig" -> ((es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1)))),
+    "minhash_shingle" -> ((es: Seq[Expression]) =>
+      MinHashShingle(es(0), litInt(es(1)), litInt(es(2))))
   )
+
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Number].intValue()
+  }
 
   /** Per-session registration (temp functions). Idempotent. */
   def register(spark: SparkSession): Unit =
@@ -29,5 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (es: Seq[Expression]) => VecDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("mask_intersect"),
+      new ExpressionInfo(classOf[MaskIntersect].getName, "mask_intersect"),
+      (es: Seq[Expression]) => MaskIntersect(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
   }
 }

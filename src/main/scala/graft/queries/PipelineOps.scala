@@ -39,15 +39,20 @@ object PipelineOps {
         .orderBy("kept_doc_id")
     },
 
-    // MinHash + LSH near-dedup: 32 permutations, 8 bands × 4 rows; candidate
-    // pairs from band-bucket equi-join, verified by true Jaccard >= 0.9;
-    // a doc is dropped when a verified duplicate with smaller id exists.
+    // MinHash + LSH near-dedup over word-bigram shingles: 32 permutations,
+    // 8 bands × 4 rows; candidate pairs from band-bucket equi-join,
+    // verified by true shingle Jaccard >= 0.9; a doc is dropped when a
+    // verified duplicate with smaller id exists.
     // No DuckDB oracle (xxhash64 not available there) → rows-only check.
     QueryDef("d2_dedup_minhash", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
-      val docs = docsWithWords(spark)
-        .withColumn("sig", expr(
-          "transform(sequence(0, 31), i -> array_min(transform(w, s -> xxhash64(concat(s, '#', cast(i as string))))))"))
+      // Signature: fused shingle->hash->minhash codegen expression - one
+      // pass over the token array, no shingle strings materialized.
+      val base = spark.table("documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+        .select("doc_id", "toks")
+      val docs = base.withColumn("sig", expr("minhash_shingle(toks, 2, 32)"))
+        .select("doc_id", "sig")
       val bands = docs.select(col("doc_id"), explode(expr(
         """transform(sequence(0, 7), b -> struct(b as band,
           |  xxhash64(element_at(sig, b*4+1), element_at(sig, b*4+2),
@@ -59,10 +64,22 @@ object PipelineOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-      val payload = docs.select(col("doc_id"), col("w"), col("nw"))
+      // Verification payload (materialized bigram sets) only for docs that
+      // appear in candidate pairs - the expensive shingle arrays are never
+      // built for the non-candidate bulk of the corpus.
+      val candIds = cand.select(col("id_a").as("doc_id"))
+        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
+      val payload = base.join(candIds, Seq("doc_id"), "left_semi")
+        .withColumn("w", expr(
+          """case when size(toks) >= 2
+            |  then array_distinct(transform(sequence(1, size(toks) - 1),
+            |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+            |  else array(concat_ws(' ', toks)) end""".stripMargin))
+        .withColumn("nw", size(col("w")).cast("bigint"))
+        .select("doc_id", "w", "nw")
       val verified = cand
-        .join(payload.as("pa"), col("id_a") === col("pa.doc_id"))
-        .join(payload.as("pb"), col("id_b") === col("pb.doc_id"))
+        .join(broadcast(payload).as("pa"), col("id_a") === col("pa.doc_id"))
+        .join(broadcast(payload).as("pb"), col("id_b") === col("pb.doc_id"))
         .withColumn("inter", size(array_intersect(col("pa.w"), col("pb.w"))).cast("bigint"))
         .withColumn("uni", col("pa.nw") + col("pb.nw") - col("inter"))
         .filter(col("inter") * 10 >= col("uni") * 9)
@@ -72,17 +89,14 @@ object PipelineOps {
         .orderBy("doc_id")
     }, None),
 
-    // SimHash near-dedup: 64-bit signature from token hashes, 4×16-bit band
-    // buckets for candidates, Hamming distance <= 3 confirms. Rows-only.
+    // SimHash near-dedup: 64-bit signature from token hashes (native
+    // codegen'd simhash64 expression), 4×16-bit band buckets for
+    // candidates, Hamming distance <= 3 confirms. Rows-only.
     QueryDef("d3_dedup_simhash", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
       val docs = docsWithWords(spark)
         .withColumn("hs", expr("transform(w, t -> xxhash64(t))"))
-        .withColumn("simhash", expr(
-          """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
-            |  acc + if(aggregate(hs, 0, (a, h) ->
-            |             a + if((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-            |           shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin))
+        .withColumn("simhash", expr("simhash64(hs)"))
         .select("doc_id", "simhash")
       val bands = docs.select(col("doc_id"), col("simhash"), explode(expr(
           "transform(sequence(0, 3), k -> struct(k as band, shiftright(simhash, k*16) & 65535 as bucket))"))
@@ -119,10 +133,31 @@ object PipelineOps {
       val t = docsWithWords(spark)
         .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
         .select("doc_id", "lang", "w", "nw", "bucket")
-      t.as("a").join(t.as("b"),
+      // Vocabulary-coded set masks: each distinct token gets a dense bit;
+      // a doc's token set becomes ceil(|vocab|/64) longs, and per-pair
+      // intersection is codegen'd popcount (mask_intersect) instead of an
+      // array_intersect hash-set build. The pair join is the 100 TB hot
+      // path; the vocab build is a one-pass dimension (broadcast).
+      val tokens = t.select(col("doc_id"), explode(col("w")).as("word"))
+      val vocab = tokens.select("word").distinct()
+        .withColumn("bit",
+          row_number().over(Window.orderBy("word")).cast("bigint") - 1)
+      // Driver-side dimension statistic (tiny): number of 64-bit chunks.
+      val nChunks = ((vocab.count() + 63) / 64).toInt
+      val chunks = tokens.join(broadcast(vocab), "word")
+        .withColumn("chunk", (col("bit") / 64).cast("int"))
+        .groupBy("doc_id", "chunk")
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit % 64 as int)))").as("m"))
+      val masks = chunks.groupBy("doc_id")
+        .agg(map_from_arrays(collect_list(col("chunk")), collect_list(col("m"))).as("cm"))
+        .withColumn("mask", expr(
+          s"transform(sequence(0, ${nChunks - 1}), c -> coalesce(element_at(cm, c), cast(0 as bigint)))"))
+        .select("doc_id", "mask")
+      val tm = t.drop("w").join(masks, "doc_id")
+      tm.as("a").join(tm.as("b"),
           col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .withColumn("inter", size(array_intersect(col("a.w"), col("b.w"))).cast("bigint"))
+        .withColumn("inter", expr("mask_intersect(a.mask, b.mask)"))
         .withColumn("uni", col("a.nw") + col("b.nw") - col("inter"))
         .filter(col("inter") * 10 >= col("uni") * 9)
         .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
@@ -148,15 +183,22 @@ object PipelineOps {
       val en = spark.table("embeddings")
         .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
         .select("vec_id", "embedding", "nrm")
-      val pairs = en.as("a").join(en.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      // Stream side repartitioned so the nested-loop pair evaluation runs
+      // on every core (the parquet scan is one partition at this size);
+      // argmax via map-side max_by instead of a window sort over all pairs
+      // — no shuffle of the N² pair rows, only of N per-group maxima.
+      val streamed = en.repartition(spark.sparkContext.defaultParallelism)
+      val pairs = streamed.as("a")
+        .join(broadcast(en).as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .withColumn("cs",
           expr("vec_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
         .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"), col("cs"))
-      val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("nn"))
-      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("nn").as("nn_id"),
-          round(col("cs") * 10000).cast("bigint").as("sim_bp"),
-          (col("cs") >= 0.4).as("near_dup"))
+      pairs.groupBy("vec_id")
+        .agg(max_by(struct(col("nn"), col("cs")),
+          struct(col("cs"), (-col("nn")).as("negnn"))).as("best"))
+        .select(col("vec_id"), col("best.nn").as("nn_id"),
+          round(col("best.cs") * 10000).cast("bigint").as("sim_bp"),
+          (col("best.cs") >= 0.4).as("near_dup"))
         .orderBy("vec_id")
     },
 
@@ -219,14 +261,19 @@ object PipelineOps {
     }, None),
 
     // Language-ID by marker-word scoring (n-gram heuristic), deterministic
-    // argmax tie-break. The heuristic itself mirrors into the oracle.
+    // argmax tie-break. Token-membership counting (single tokenize pass +
+    // set probes) rather than N regex scans per document — the heuristic
+    // mirrors into the oracle.
     QueryDef.views("x1_lang_id",
-      """WITH s AS (SELECT doc_id, lang,
-        |    CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS BIGINT) AS s_en,
-        |    CAST(len(regexp_extract_all(text, '\b(el|la|los|de|que)\b')) AS BIGINT) AS s_es,
-        |    CAST(len(regexp_extract_all(text, '\b(der|die|und|das|ein)\b')) AS BIGINT) AS s_de,
-        |    CAST(len(regexp_extract_all(text, '\b(le|les|et|des|une)\b')) AS BIGINT) AS s_fr
-        |  FROM documents)
+      """WITH tk AS (SELECT doc_id, lang,
+        |              list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |            FROM documents),
+        |     s AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','la','los','de','que'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','les','et','des','une'))) AS BIGINT) AS s_fr
+        |  FROM tk)
         |SELECT doc_id, s_en, s_es, s_de, s_fr,
         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -235,13 +282,21 @@ object PipelineOps {
         |        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         |        WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
         |FROM s ORDER BY doc_id""".stripMargin) { spark =>
-      def score(pat: String) =
-        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("bigint")
-      val s = spark.table("documents").select(col("doc_id"), col("lang"),
-        score("\\b(the|and|of|to|in)\\b").as("s_en"),
-        score("\\b(el|la|los|de|que)\\b").as("s_es"),
-        score("\\b(der|die|und|das|ein)\\b").as("s_de"),
-        score("\\b(le|les|et|des|une)\\b").as("s_fr"))
+      def score(words: Seq[String]) = {
+        val inList = words.map(w => s"'$w'").mkString(", ")
+        expr(s"cast(size(filter(toks, x -> x in ($inList))) as bigint)")
+      }
+      val s = spark.table("documents")
+        .withColumn("toks", expr("filter(split(text, ' '), x -> length(x) > 0)"))
+        .select(col("doc_id"), col("lang"),
+          score(Seq("the", "and", "of", "to", "in")).as("s_en"),
+          score(Seq("el", "la", "los", "de", "que")).as("s_es"),
+          score(Seq("der", "die", "und", "das", "ein")).as("s_de"),
+          score(Seq("le", "les", "et", "des", "une")).as("s_fr"))
+        // plan barrier: without it CollapseProject inlines every score
+        // expression into each CASE branch below (~10 copies of each
+        // tokenize+filter lambda → pathological codegen size)
+        .repartition(spark.sparkContext.defaultParallelism)
       val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
           col("s_en") >= col("s_fr"), "en")
         .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")

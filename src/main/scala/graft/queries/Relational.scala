@@ -192,7 +192,8 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY tag, c_custkey""".stripMargin) { spark =>
       val c = spark.table("customer").select("c_custkey")
-      val o = spark.table("orders").select("o_custkey")
+      // the join side is only the distinct key column — broadcast it
+      val o = broadcast(spark.table("orders").select("o_custkey"))
       val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .select(lit("has_orders").as("tag"), col("c_custkey"))
       val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
