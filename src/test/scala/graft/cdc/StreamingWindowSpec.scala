@@ -46,6 +46,34 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out.contains((w1, "be", 2L)))
   }
 
+  test("session window: gap-based sessionization per key") {
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val sessions = input.toDF().toDF("ts", "user", "v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "5 seconds"), col("user"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+    val q = sessions.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sessions")
+      .option("checkpointLocation", tmpDir("sess"))
+      .start()
+
+    def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+    // u1: events at 0,3,6 (one session: gaps < 5s), then 20 (new session)
+    input.addData(Seq(
+      (t(0), "u1", 1.0), (t(3), "u1", 1.0), (t(6), "u1", 1.0),
+      (t(20), "u1", 5.0),
+      (t(0), "u2", 2.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions")
+      .select(col("user"), col("n"), col("sv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("u1", 3L, 3.0), ("u1", 1L, 5.0), ("u2", 1L, 2.0)))
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]
