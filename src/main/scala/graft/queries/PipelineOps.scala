@@ -64,6 +64,10 @@ object PipelineOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
+        // candidate pairs feed three consumers (two id projections + the
+        // verification join); materialize once — they are tiny by
+        // construction (band-bucket collisions only)
+        .localCheckpoint()
       // Verification payload (materialized bigram sets) only for docs that
       // appear in candidate pairs - the expensive shingle arrays are never
       // built for the non-candidate bulk of the corpus.
