@@ -412,6 +412,28 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Per-label embedding centroid sums (cluster centroids for training-
+    // data curation). Integer-exact cross-engine: each float is scaled by
+    // 2^20 in double (exact — power-of-two scaling) and floored, so the
+    // per-dimension sums are BIGINT on both sides. The typed-API twin is
+    // graft.functions.VectorMeanAggregator (Aggregator[IN,BUF,OUT]).
+    QueryDef.views("v1_label_centroid",
+      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+        |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS sum_scaled,
+        |       count(*) AS n
+        |FROM embeddings, generate_series(1, 64) AS t(i)
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin) { spark =>
+      spark.table("embeddings")
+        .select(col("label").cast("bigint").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(floor(col("x").cast("double") * 1048576).cast("bigint"))
+          .as("sum_scaled"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("bigint").as("dim"),
+          col("sum_scaled"), col("n"))
+        .orderBy("label", "dim")
+    },
+
     // Sketch aggregation: HLL approximate distinct (engine-specific sketch →
     // rows-only check; exact twin cd1 is the oracle-backed counterpart).
     QueryDef("hll1_approx_distinct", (spark, dir) => {

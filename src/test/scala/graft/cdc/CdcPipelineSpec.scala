@@ -94,6 +94,40 @@ class CdcPipelineSpec extends SparkSpec {
       """{"key":"schema1|1","op":"c","schema":"schema1","table":"users","fullName":"susan smith","id":1}""")
   }
 
+  test("pipeline A: favorite-colors route (second side output, CustomJob.java:310-344)") {
+    val colors = Seq(
+      CdcEnvelope(10, 10, 0L, "c", "experiment", "schema1", "user_favorite_colors",
+        Map.empty, Map("user_id" -> "1", "favorite_color" -> "blue")),
+      CdcEnvelope(11, 11, 0L, "d", "experiment", "schema1", "user_favorite_colors",
+        Map("user_id" -> "1", "favorite_color" -> "blue"), Map.empty))
+    val ds = spark.createDataset(colors)
+    val events = Demux.favoriteColors(ds).collect().sortBy(_.op)
+    assert(events.map(e => (e.key, e.op, e.favoriteColor)).toSeq ==
+      Seq(("schema1|1", "c", "blue"), ("schema1|1", "d", "blue")))
+    val wire = CdcPipeline.colorsTopicFrame(ds).collect()
+    assert(wire.head.getString(1) ==
+      """{"key":"schema1|1","op":"c","schema":"schema1","table":"user_favorite_colors","favoriteColor":"blue","userId":1}""")
+    // users route ignores the colors table
+    assert(Demux.users(ds).count() == 0)
+  }
+
+  test("K2 upsert writer: batch write + idempotent rewrite into PK table") {
+    val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
+      Seq("pgschema", "user_count"))
+    val target = new Sinks.MemoryUpsertTable
+    val batch = spark.createDataFrame(Seq(("schema1", 2L), ("schema2", 1L)))
+      .toDF("pgschema", "user_count")
+    w.writeBatch(batch, target)
+    w.writeBatch(batch, target) // at-least-once replay: same final state
+    assert(target.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema1" -> 2L, "schema2" -> 1L))
+    val update = spark.createDataFrame(Seq(("schema1", 5L)))
+      .toDF("pgschema", "user_count")
+    w.writeBatch(update, target)
+    assert(target.snapshot("schema1")("user_count") == 5L)
+    assert(target.snapshot("schema2")("user_count") == 1L)
+  }
+
   test("K2 upsert SQL renders Postgres ON CONFLICT form (setup_sink_db1.sql)") {
     val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
       Seq("pgschema", "user_count"))

@@ -74,6 +74,28 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out == Set(("u1", 3L, 3.0), ("u1", 1L, 5.0), ("u2", 1L, 2.0)))
   }
 
+  test("T7 processing-time emulation: ingestion-time column + tumbling window") {
+    // Spark windows are event-time; the reference's processing-time window
+    // (StreamingJob.java:94-100) is emulated by stamping an ingestion-time
+    // column at the source and windowing on it (SURVEY §7.5 #4).
+    val input = MemoryStream[String]
+    val counted = input.toDF().toDF("word")
+      .withColumn("ingest_ts", current_timestamp())
+      .groupBy(window(col("ingest_ts"), "5 seconds"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val q = counted.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("proctime")
+      .option("checkpointLocation", tmpDir("proctime"))
+      .start()
+    input.addData("a", "b", "a")
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("proctime").select("word", "n")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]

