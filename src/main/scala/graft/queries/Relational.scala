@@ -88,14 +88,19 @@ object Relational {
         |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin) { spark =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // latest-per-key as max_by aggregation (not a window sort): partial
+      // aggregation reduces each map partition to one row per key before
+      // the shuffle — the formulation that survives 100 TB of events.
+      // Identical result to the oracle's row_number()=1 (argmax by
+      // (ts, event_id) desc).
       spark.table("events")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"),
-          col("value").as("last_value"))
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"))
         .orderBy("user_id")
     },
 
@@ -107,12 +112,12 @@ object Relational {
         |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin) { spark =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // two-stage hash aggregation (compact per key, then count) — no
+      // window sort; both stages get map-side partial aggregation.
       spark.table("events")
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy("user_id")
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("event_type"))
         .groupBy("event_type").agg(count(lit(1)).as("live_users"))
         .orderBy("event_type")
     },

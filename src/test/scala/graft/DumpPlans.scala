@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool (Test/runMain graft.DumpPlans): regenerates docs/PLANS.md with
+  * the formatted physical plans of the headline queries, for plan-shape
+  * review (pushdown, broadcast, partial aggregation, exchange count). */
+object DumpPlans {
+  val headline = Seq("a1_lineitem_pricing", "j1_join_agg", "j3_join_4way",
+    "t5_changelog_count", "s3_changelog_latest", "t7_window_tumbling",
+    "d4_ngram_jaccard", "e1_embed_nn", "o1_sort_limit")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val sb = new StringBuilder
+    sb ++= "# PLANS — physical plan audit of headline queries\n\n"
+    sb ++= "Regenerate with `sbt \"Test/runMain graft.DumpPlans\"`. Commentary\n"
+    sb ++= "in COVERAGE.md / query scaladocs; the properties to check here:\n"
+    sb ++= "filters/projections reach the parquet scan (PushedFilters,\n"
+    sb ++= "ReadSchema), dimension joins are BroadcastHashJoin, aggregations\n"
+    sb ++= "are partial+final HashAggregate pairs, and no plan contains an\n"
+    sb ++= "unexpected SortMergeJoin or CartesianProduct.\n"
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      sb ++= s"\n## $name\n\n```\n$plan```\n"
+    }
+    Files.writeString(Paths.get("docs/PLANS.md"), sb.toString)
+    println(s"wrote docs/PLANS.md (${headline.size} plans)")
+    spark.stop()
+  }
+}
