@@ -13,7 +13,8 @@ object GraftFunctions {
     "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
     "minhash_sig" -> ((es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1)))),
     "minhash_shingle" -> ((es: Seq[Expression]) =>
-      MinHashShingle(es(0), litInt(es(1)), litInt(es(2))))
+      MinHashShingle(es(0), litInt(es(1)), litInt(es(2)))),
+    "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1))))
   )
 
   private def litInt(e: Expression): Int = e match {

@@ -64,21 +64,11 @@ object PipelineOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
         .distinct()
-        // candidate pairs feed three consumers (two id projections + the
-        // verification join); materialize once — they are tiny by
-        // construction (band-bucket collisions only)
-        .localCheckpoint()
-      // Verification payload (materialized bigram sets) only for docs that
-      // appear in candidate pairs - the expensive shingle arrays are never
-      // built for the non-candidate bulk of the corpus.
-      val candIds = cand.select(col("id_a").as("doc_id"))
-        .unionByName(cand.select(col("id_b").as("doc_id"))).distinct()
-      val payload = base.join(candIds, Seq("doc_id"), "left_semi")
-        .withColumn("w", expr(
-          """case when size(toks) >= 2
-            |  then array_distinct(transform(sequence(1, size(toks) - 1),
-            |         i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
-            |  else array(concat_ws(' ', toks)) end""".stripMargin))
+      // Verification: true bigram-set Jaccard. word_ngrams is codegen'd,
+      // so building shingle sets for every doc is a cheap scan column;
+      // candidate pairs fetch them via two broadcast id-joins.
+      val payload = base
+        .withColumn("w", expr("array_distinct(word_ngrams(toks, 2))"))
         .withColumn("nw", size(col("w")).cast("bigint"))
         .select("doc_id", "w", "nw")
       val verified = cand

@@ -328,6 +328,48 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // ROLLUP hierarchy totals (multi-level aggregation in one pass).
+    // NULLS FIRST pinned in the oracle (DuckDB defaults NULLS LAST;
+    // Spark ascending default is NULLS FIRST).
+    QueryDef.views("r1_rollup",
+      """SELECT order_year, o_orderstatus,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       count(*) AS n
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |             o_orderstatus, o_totalprice FROM orders)
+        |GROUP BY ROLLUP(order_year, o_orderstatus)
+        |ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { spark =>
+      spark.table("orders")
+        .select(year(col("o_orderdate")).cast("bigint").as("order_year"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(sum(dec2("o_totalprice")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("order_year").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
+    // Conditional aggregation (pivot shape): one scan, per-status revenue
+    // columns — the CASE-based pivot both engines express identically.
+    QueryDef.views("ca1_conditional_pivot",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS f_total,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS o_total,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin) { spark =>
+      def statusTotal(s: String) =
+        coalesce(sum(when(col("o_orderstatus") === s, dec2("o_totalprice"))),
+          lit(0)).cast("double")
+      spark.table("orders")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("order_year"))
+        .agg(statusTotal("F").as("f_total"), statusTotal("O").as("o_total"),
+          statusTotal("P").as("p_total"))
+        .orderBy("order_year")
+    },
+
     // TPC-H Q1-shaped pricing summary — partial-agg-dominated scan; the
     // canonical "does map-side combine happen" probe at 100 TB.
     QueryDef.views("a1_lineitem_pricing",
