@@ -328,6 +328,52 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // Left outer join preserving unmatched rows (zero-order customers).
+    // count(o_orderkey) counts non-null only → 0 for customers without
+    // orders, identically on both engines.
+    QueryDef.views("j4_left_outer",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { spark =>
+      val c = spark.table("customer").select("c_custkey")
+      val o = spark.table("orders").select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
+
+    // Ordered string aggregation (collect_set + sort — deterministic form
+    // of the nondeterministic list aggregation).
+    QueryDef.views("f2_string_agg",
+      """SELECT user_id,
+        |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy("user_id")
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type"))))
+          .as("types"))
+        .orderBy("user_id")
+    },
+
+    // Date arithmetic library: datediff / trunc / extraction.
+    QueryDef.views("f3_date_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(datediff('day', DATE '1995-01-01', l_shipdate) AS BIGINT) AS days_since_epoch_start,
+        |       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |       CAST(dayofmonth(l_shipdate) AS BIGINT) AS ship_dom,
+        |       CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { spark =>
+      spark.table("lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+            .cast("bigint").as("days_since_epoch_start"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"),
+          dayofmonth(col("l_shipdate")).cast("bigint").as("ship_dom"),
+          quarter(col("l_shipdate")).cast("bigint").as("ship_quarter"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ROLLUP hierarchy totals (multi-level aggregation in one pass).
     // NULLS FIRST pinned in the oracle (DuckDB defaults NULLS LAST;
     // Spark ascending default is NULLS FIRST).
