@@ -328,6 +328,51 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // As-of join composed from built-ins (preference order (a) of the
+    // brief): for each purchase, the most recent prior click by the same
+    // user — one window pass over the unioned event stream, no self-join.
+    // At scale this is a single shuffle on user_id + per-partition sort,
+    // vs. the O(pairs) range self-join formulation.
+    QueryDef.views("ao1_asof_join",
+      """SELECT event_id, user_id, prior_click_event_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |                    IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prior_click_event_id
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin) { spark =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spark.table("events")
+        .withColumn("prior_click_event_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "prior_click_event_id")
+        .orderBy("event_id")
+    },
+
+    // Exact percentile statistics (median / p90 via linear interpolation —
+    // identical definition in both engines) + exact extrema.
+    QueryDef.views("p1_percentiles",
+      """SELECT l_returnflag,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+        |       quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { spark =>
+      spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // Left outer join preserving unmatched rows (zero-order customers).
     // count(o_orderkey) counts non-null only → 0 for customers without
     // orders, identically on both engines.

@@ -96,6 +96,25 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("streaming exact dedup: dropDuplicates keeps first occurrence across batches") {
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("key", "payload")
+      .dropDuplicates("key")
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("deduped")
+      .option("checkpointLocation", tmpDir("dedup"))
+      .start()
+    input.addData(("k1", "a"), ("k2", "b"), ("k1", "c"))
+    q.processAllAvailable()
+    input.addData(("k1", "d"), ("k3", "e")) // k1 already seen (state)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("deduped").as[(String, String)].collect().toMap
+    assert(out.keySet == Set("k1", "k2", "k3"))
+    assert(out("k1") == "a") // first occurrence wins
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]
