@@ -254,6 +254,66 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     }, None),
 
+    // IVF ANN (the second scale path besides LSH): coarse quantizer from
+    // 2 relational Lloyd iterations (deterministic seeds = first K
+    // vectors), queries probe the nprobe nearest cells, exact rerank
+    // inside probed cells. Centroid table is broadcast-sized (K×dims);
+    // each iteration is one pass over the corpus + a tiny regroup —
+    // the standard IVF build shape at 100 TB. Rows-only check.
+    QueryDef("ivf1_ann", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val k = 16
+      val nprobe = 4
+      val vecs = spark.table("embeddings")
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+        .select("vec_id", "v", "nrm")
+
+      def assign(cents: org.apache.spark.sql.DataFrame) =
+        vecs.crossJoin(broadcast(cents))
+          .withColumn("score", expr("vec_dot(v, cvec)") / col("nrm"))
+          .groupBy("vec_id")
+          .agg(max_by(col("cluster"), struct(col("score"), -col("cluster")))
+            .as("cluster"),
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+      def recenter(assigned: org.apache.spark.sql.DataFrame) =
+        assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cluster", "dim").agg(avg("x").as("m"))
+          .groupBy("cluster")
+          .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+            .as("cvec"))
+
+      val seed = vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cluster"), col("v").as("cvec"))
+      val cents = recenter(assign(recenter(assign(seed))))
+      val assigned = assign(cents).select("vec_id", "cluster", "v", "nrm")
+
+      val queries = assigned.filter(col("vec_id") < 20)
+      val probes = broadcast(queries.select(col("vec_id").as("q_vec_id"),
+          col("v").as("qv"), col("nrm").as("qnrm")))
+        .crossJoin(broadcast(cents))
+        .withColumn("score", expr("vec_dot(qv, cvec)") / col("qnrm"))
+      val probeW = Window.partitionBy("q_vec_id")
+        .orderBy(col("score").desc, col("cluster"))
+      val probed = probes.withColumn("rn", row_number().over(probeW))
+        .filter(col("rn") <= nprobe)
+        .select("q_vec_id", "qv", "qnrm", "cluster")
+
+      val rerankW = Window.partitionBy("q_vec_id")
+        .orderBy(col("cs").desc, col("nn"))
+      probed.join(assigned, Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_vec_id"))
+        .withColumn("cs",
+          expr("vec_dot(qv, v)") / (col("qnrm") * col("nrm")))
+        .select(col("q_vec_id"), col("vec_id").as("nn"), col("cs"))
+        .withColumn("rn", row_number().over(rerankW))
+        .filter(col("rn") <= 5)
+        .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+          col("nn").as("nn_id"))
+        .orderBy("q_vec_id", "rnk")
+    }, None),
+
     // Language-ID by marker-word scoring (n-gram heuristic), deterministic
     // argmax tie-break. Token-membership counting (single tokenize pass +
     // set probes) rather than N regex scans per document — the heuristic
