@@ -328,6 +328,23 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // E1 SQL entry surface made concrete: the flagship expressed as SQL
+    // text over the registered temp views (same Catalyst plan as the
+    // DataFrame form — parse → analyze → optimize → HashAggregate).
+    QueryDef.views("sql1_flagship_sql",
+      """SELECT event_type, count(*) AS live_users
+        |FROM (SELECT user_id, event_type, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT event_type, count(*) AS live_users
+          |FROM (SELECT user_id, event_type, row_number() OVER
+          |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events)
+          |WHERE rn = 1 GROUP BY event_type ORDER BY event_type""".stripMargin)
+    },
+
     // As-of join composed from built-ins (preference order (a) of the
     // brief): for each purchase, the most recent prior click by the same
     // user — one window pass over the unioned event stream, no self-join.
