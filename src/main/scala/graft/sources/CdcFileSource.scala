@@ -39,7 +39,9 @@ class CdcFileSource extends TableProvider with DataSourceRegister {
     CdcFileSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new CdcFileTable(properties.get("path"))
+    new CdcFileTable(properties.get("path"),
+      Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1),
+      Option(properties.get("maxEventsPerBatch")).map(_.toLong))
 }
 
 object CdcFileSource {
@@ -55,16 +57,18 @@ object CdcFileSource {
     StructField("after", MapType(StringType, StringType), nullable = true)))
 }
 
-final class CdcFileTable(path: String) extends Table with SupportsRead {
+final class CdcFileTable(path: String, numPartitions: Int,
+    maxEventsPerBatch: Option[Long]) extends Table with SupportsRead {
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcFileScan(path)
+    () => new CdcFileScan(path, numPartitions, maxEventsPerBatch)
 }
 
-final class CdcFileScan(path: String) extends Scan {
+final class CdcFileScan(path: String, numPartitions: Int,
+    maxEventsPerBatch: Option[Long]) extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -73,7 +77,7 @@ final class CdcFileScan(path: String) extends Scan {
       new CdcReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcFileMicroBatchStream(path)
+    new CdcFileMicroBatchStream(path, numPartitions, maxEventsPerBatch)
 }
 
 /** LSN watermark offset (reference: Debezium `sourceOffset={lsn=…}`,
@@ -82,7 +86,12 @@ final case class CdcOffset(lsn: Long) extends Offset {
   override def json(): String = lsn.toString
 }
 
-final class CdcFileMicroBatchStream(path: String) extends MicroBatchStream {
+final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
+    maxEventsPerBatch: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
+
   override def initialOffset(): Offset = CdcOffset(0L)
 
   override def latestOffset(): Offset = {
@@ -90,11 +99,38 @@ final class CdcFileMicroBatchStream(path: String) extends MicroBatchStream {
     CdcOffset(if (lines.isEmpty) 0L else lines.map(_._1).max)
   }
 
+  /** Admission control: cap each micro-batch at maxEventsPerBatch change
+    * events (backpressure against replication-lag catch-up storms —
+    * without it the first batch after downtime replays the whole backlog
+    * in one trigger). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxEventsPerBatch.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdcOffset].lsn
+    val lsns = CdcFileMicroBatchStream.readLines(path).map(_._1)
+      .filter(_ > s).sorted
+    if (lsns.isEmpty) return CdcOffset(s)
+    limit match {
+      case mr: ReadMaxRows =>
+        CdcOffset(lsns.take(mr.maxRows().toInt).last)
+      case _ => CdcOffset(lsns.last)
+    }
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffset].lsn
     val e = end.asInstanceOf[CdcOffset].lsn
-    if (e <= s) Array.empty
-    else Array(CdcRangePartition(path, s, e))
+    if (e <= s) return Array.empty
+    // Contiguous LSN subranges → parallel replay readers (the real
+    // source's analog: one reader per slot range / table shard).
+    val n = math.max(1, math.min(numPartitions, (e - s).toInt))
+    val width = math.max(1L, (e - s + n - 1) / n)
+    (0 until n).iterator
+      .map(i => CdcRangePartition(path, s + i * width,
+        math.min(e, s + (i + 1) * width)))
+      .filter(p => p.endInclusive > p.startExclusive)
+      .toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory

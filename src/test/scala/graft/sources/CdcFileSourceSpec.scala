@@ -56,6 +56,41 @@ class CdcFileSourceSpec extends SparkSpec {
     assert(sink.snapshot("schema1")("user_count") == 1L)
   }
 
+  test("admission control: maxEventsPerBatch splits the backlog into micro-batches") {
+    val log = Paths.get(tmpDir("cdclog4"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+    val events = spark.readStream.format("graft-cdc")
+      .option("maxEventsPerBatch", "2")
+      .load(log.toString).as[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(events, sink, tmpDir("cdc-adm-ckpt"))
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    // 5 events at <=2 per batch -> at least 3 non-empty micro-batches,
+    // with the same final state as unthrottled processing
+    assert(batches >= 3, s"expected >=3 batches, got $batches")
+    assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema1" -> 2L, "schema2" -> 1L))
+  }
+
+  test("numPartitions splits the LSN range into parallel readers") {
+    val log = Paths.get(tmpDir("cdclog5"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+    val df = spark.read.format("graft-cdc").load(log.toString)
+    assert(df.count() == 5)
+    val stream = new CdcFileMicroBatchStream(log.toString, numPartitions = 3)
+    val parts = stream.planInputPartitions(CdcOffset(0), CdcOffset(5))
+    assert(parts.length == 3)
+    val ranges = parts.map(_.asInstanceOf[CdcRangePartition])
+    assert(ranges.map(r => r.endInclusive - r.startExclusive).sum == 5)
+    // ranges are contiguous and disjoint
+    assert(ranges.sortBy(_.startExclusive).sliding(2).forall {
+      case Array(a, b) => a.endInclusive == b.startExclusive
+      case _ => true
+    })
+  }
+
   test("restart resumes from checkpointed LSN (no reprocessing)") {
     val dir = tmpDir("cdclog3")
     val log = Paths.get(dir, "wal.jsonl")
