@@ -253,6 +253,46 @@ object Relational {
         .orderBy("n_name", "rnk")
     },
 
+    // Analytic window functions: lag / lead / ntile / rank over ordered
+    // partitions (deterministic ordering with unique tiebreak).
+    QueryDef.views("w2_analytic",
+      """SELECT o_orderkey, o_orderstatus,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, rnk""".stripMargin) { spark =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      spark.table("orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          rank().over(w).cast("bigint").as("rnk"))
+        .orderBy("o_orderstatus", "rnk")
+    },
+
+    // Text normalization pipeline step: lowercase, strip punctuation,
+    // collapse whitespace — then a portable digest of the result.
+    QueryDef.views("x5_normalize",
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                ' +', ' ', 'g'))) AS norm_hash,
+        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      spark.table("documents").select(
+          col("doc_id"), md5(norm).as("norm_hash"),
+          length(norm).cast("bigint").as("norm_len"))
+        .orderBy("doc_id")
+    },
+
     // Global sort + limit (TakeOrderedAndProject — no full sort at scale).
     QueryDef.views("o1_sort_limit",
       """SELECT o_orderkey, o_totalprice AS total,
