@@ -254,6 +254,52 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     }, None),
 
+    // Word-set dedup groups: docs with IDENTICAL distinct-token sets
+    // (Jaccard = 1.0 clusters) grouped by a canonical set digest — the
+    // exact tier between d1 (byte-identical) and d2/d4 (near-dup).
+    QueryDef.views("d5_wordset_dedup",
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(text, ' '), x -> len(x) > 0))), ' ')) AS set_hash,
+        |       min(doc_id) AS kept_doc_id, count(*) AS n_members
+        |FROM documents GROUP BY 1 ORDER BY kept_doc_id""".stripMargin) { spark =>
+      spark.table("documents")
+        .withColumn("w", expr(
+          "array_sort(array_distinct(filter(split(text, ' '), x -> length(x) > 0)))"))
+        .groupBy(md5(concat_ws(" ", col("w"))).as("set_hash"))
+        .agg(min("doc_id").as("kept_doc_id"), count(lit(1)).as("n_members"))
+        .orderBy("kept_doc_id")
+    },
+
+    // Deterministic content-hash sampling (reproducible train/eval splits
+    // at any scale — no RNG state, membership derivable from the row).
+    QueryDef.views("sm1_det_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE ascii(substring(md5(text), 1, 1)) % 4 = 0
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      spark.table("documents")
+        .filter(ascii(substring(md5(col("text")), 1, 1)) % 4 === 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Stratified quota sampling: top-N docs per language stratum by a
+    // quality signal (length), deterministic tiebreak — the class-balance
+    // curation step of a training-data pipeline.
+    QueryDef.views("sm2_quota_per_lang",
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars, row_number() OVER
+        |    (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin) { spark =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      spark.table("documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    },
+
     // IVF ANN (the second scale path besides LSH): coarse quantizer from
     // 2 relational Lloyd iterations (deterministic seeds = first K
     // vectors), queries probe the nprobe nearest cells, exact rerank
