@@ -368,6 +368,35 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // Gap-based sessionization (batch form of the streaming
+    // session_window spec): Spark's native session_window vs the
+    // gaps-and-islands SQL formulation — identical semantics (a gap of
+    // >= 5 minutes starts a new session). Integer-only output.
+    QueryDef.views("ses1_sessionize",
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |     islands AS (
+        |  SELECT user_id, event_id,
+        |         sum(new_session) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(event_id) AS BIGINT) AS first_event_id,
+        |       count(*) AS n_events
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, first_event_id""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(min("event_id").cast("bigint").as("first_event_id"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "first_event_id", "n_events")
+        .orderBy("user_id", "first_event_id")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).
