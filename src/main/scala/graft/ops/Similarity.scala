@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over an embedding column (array<float>).
+  * Cosine kernel is the codegen'd `vec_dot`; register
+  * [[graft.functions.GraftFunctions]] on the session first. */
+object Similarity {
+
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
+
+  /** Nearest neighbor for every vector (all-pairs, map-side argmax) plus
+    * a near-duplicate threshold flag (`simBp` in basis points). */
+  def nearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      nearDupCos: Double = 0.4): DataFrame = {
+    val en = withNorm(df, idCol, vecCol)
+    val streamed = en.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    streamed.as("a")
+      .join(broadcast(en).as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("cs",
+        expr("vec_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"), col("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("nn"), col("cs")),
+        struct(col("cs"), (-col("nn")).as("negnn"))).as("best"))
+      .select(col("vec_id"), col("best.nn").as("nn_id"),
+        round(col("best.cs") * 10000).cast("bigint").as("sim_bp"),
+        (col("best.cs") >= nearDupCos).as("near_dup"))
+  }
+
+  /** Brute-force cosine top-k: `queries` (small, broadcast) against the
+    * corpus. Output (q_vec_id, rnk, nn_id). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10): DataFrame = {
+    val en = withNorm(corpus, idCol, vecCol)
+    val q = withNorm(queries, idCol, vecCol)
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
+    broadcast(q.as("q")).join(en.as("b"), col("q.vec_id") =!= col("b.vec_id"))
+      .withColumn("cs",
+        expr("vec_dot(q.embedding, b.embedding)") / (col("q.nrm") * col("b.nrm")))
+      .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"), col("cs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+        col("nn").as("nn_id"))
+  }
+
+  /** LSH-bucketed ANN: `planeBits` sign-random-projection bits bucket the
+    * corpus; candidates share the query's bucket; exact in-bucket top-k. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      planeBits: Int = 8): DataFrame = {
+    val en = withNorm(corpus, idCol, vecCol)
+      .withColumn("lsh", expr(
+        s"""aggregate(sequence(0, ${planeBits - 1}), cast(0 as bigint), (acc, p) ->
+           |  acc + if(aggregate(sequence(0, size(embedding) - 1), cast(0 as double), (s, d) ->
+           |             s + cast(element_at(embedding, d + 1) as double) *
+           |                 if(pmod(xxhash64(p * 64 + d), 2) = 0, 1.0d, -1.0d)) > 0d,
+           |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin))
+    val q = en.filter(queryPred)
+    val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
+    broadcast(q.as("q")).join(en.as("b"),
+        col("q.lsh") === col("b.lsh") && col("q.vec_id") =!= col("b.vec_id"))
+      .withColumn("cs",
+        expr("vec_dot(q.embedding, b.embedding)") / (col("q.nrm") * col("b.nrm")))
+      .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"), col("cs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+        col("nn").as("nn_id"))
+  }
+
+  /** IVF ANN: coarse quantizer from `iters` relational Lloyd iterations
+    * (deterministic seeds = first k vectors), nprobe cell probing, exact
+    * in-cell rerank. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val vecs = corpus
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .select("vec_id", "v", "nrm")
+
+    def assign(cents: DataFrame) =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("score", expr("vec_dot(v, cvec)") / col("nrm"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cluster"), struct(col("score"), -col("cluster")))
+          .as("cluster"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+    def recenter(assigned: DataFrame) =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(avg("x").as("m"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+          .as("cvec"))
+
+    val seed = vecs.filter(col("vec_id") < clusters)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cvec"))
+    val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
+    val assigned = assign(cents).select("vec_id", "cluster", "v", "nrm")
+
+    val queries = assigned.filter(queryPred)
+    val probeW = Window.partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("cluster"))
+    val probed = broadcast(queries.select(col("vec_id").as("q_vec_id"),
+        col("v").as("qv"), col("nrm").as("qnrm")))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", expr("vec_dot(qv, cvec)") / col("qnrm"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select("q_vec_id", "qv", "qnrm", "cluster")
+    val rerankW = Window.partitionBy("q_vec_id")
+      .orderBy(col("cs").desc, col("nn"))
+    probed.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_vec_id"))
+      .withColumn("cs", expr("vec_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .select(col("q_vec_id"), col("vec_id").as("nn"), col("cs"))
+      .withColumn("rn", row_number().over(rerankW))
+      .filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+        col("nn").as("nn_id"))
+  }
+}

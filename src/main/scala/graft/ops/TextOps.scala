@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation. All single-pass,
+  * scan-local (no shuffle besides final ordering by the caller). */
+object TextOps {
+
+  private def toks(textCol: String) =
+    expr(s"filter(split($textCol, ' '), x -> length(x) > 0)")
+
+  /** Marker-token language-ID scores + deterministic argmax prediction.
+    * `markers` maps language code → marker words, in priority order for
+    * ties (first wins). */
+  def langId(df: DataFrame, idCol: String, textCol: String, langCol: String,
+      markers: Seq[(String, Seq[String])]): DataFrame = {
+    def score(words: Seq[String]): Column = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      expr(s"cast(size(filter(__toks, x -> x in ($inList))) as bigint)")
+    }
+    val scored = df
+      .withColumn("__toks", toks(textCol))
+      .select(Seq(col(idCol), col(langCol)) ++
+        markers.map { case (code, ws) => score(ws).as(s"s_$code") }: _*)
+      // plan barrier: stops CollapseProject inlining every score into
+      // each CASE branch below (pathological codegen otherwise)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val pred = markers.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((code, _), i)) =>
+        val later = markers.drop(i + 1).map(m => col(s"s_$code") >= col(s"s_${m._1}"))
+        acc.when(later.reduce(_ && _), code)
+    }.otherwise(markers.last._1)
+    scored.select(Seq(col(idCol)) ++
+      markers.map { case (code, _) => col(s"s_$code") } ++
+      Seq(pred.as("pred_lang"), (pred === col(langCol)).as("is_match")): _*)
+  }
+
+  /** Quality signals: token/punct/stopword counts, stopword percentage,
+    * and a simple accept flag. */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+      nCharsCol: String, stopwords: Seq[String],
+      minChars: Int = 100, minTokens: Int = 20): DataFrame = {
+    val nTokens = size(toks(textCol)).cast("bigint")
+    val nStop = size(regexp_extract_all(col(textCol),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0))).cast("bigint")
+    df.select(col(idCol), col(nCharsCol),
+      nTokens.as("n_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[.,!?;:]"), lit(0)))
+        .cast("bigint").as("n_punct"),
+      nStop.as("n_stop"),
+      floor((nStop * 100) / nTokens).cast("bigint").as("stop_pct"),
+      (col(nCharsCol) >= minChars && nTokens >= minTokens).as("quality_ok"))
+  }
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String,
+      nCharsCol: String): DataFrame = {
+    val ws = size(filter(split(col(textCol), "\\s+"), x => length(x) > 0))
+      .cast("bigint")
+    val bpe = size(regexp_extract_all(col(textCol),
+      lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0))).cast("bigint")
+    df.select(col(idCol), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+      floor(col(nCharsCol) / ws).cast("bigint").as("chars_per_token"))
+  }
+
+  /** Content fingerprints: normalized digest + distinct-bigram stats +
+    * minimum bigram digest (rolling-hash-style sketch). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__w", toks(textCol))
+      .withColumn("__bgs", expr(
+        """case when size(__w) >= 2
+          |  then transform(sequence(1, size(__w) - 1),
+          |                 i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
+          |  else null end""".stripMargin))
+      .select(col(idCol),
+        substring(md5(lower(col(textCol))), 1, 16).as("fp16"),
+        expr("case when __bgs is null then cast(0 as bigint) else cast(size(array_distinct(__bgs)) as bigint) end")
+          .as("n_bigrams"),
+        expr("case when __bgs is null then cast(null as string) else array_min(transform(__bgs, b -> md5(b))) end")
+          .as("min_bigram_md5"))
+
+  /** Normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace; returns digest + normalized length. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    df.select(col(idCol), md5(norm).as("norm_hash"),
+      length(norm).cast("bigint").as("norm_len"))
+  }
+
+  /** Deterministic content-hash sampling: keeps rows whose digest falls
+    * in the residue class — reproducible splits with no RNG state. */
+  def sampleDeterministic(df: DataFrame, textCol: String, modulus: Int,
+      residue: Int): DataFrame =
+    df.filter(ascii(substring(md5(col(textCol)), 1, 1)) % modulus === residue)
+
+  /** Stratified quota: top `n` rows per stratum by `orderCol` desc with a
+    * deterministic id tiebreak. */
+  def quotaPerStratum(df: DataFrame, strataCol: String, orderCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col(orderCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}
