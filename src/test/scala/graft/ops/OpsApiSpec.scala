@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exercises the public ops API at NON-default parameters — the library
+  * contract is the parameterization, not just the oracle-graded defaults. */
+class OpsApiSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = {
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.load(spark, sf, "documents")
+  }
+
+  test("minhashKept: unigram shingles find more near-dups than bigrams") {
+    val bigram = Dedup.minhashKept(docs, "doc_id", "text", shingleN = 2).count()
+    val unigram = Dedup.minhashKept(docs, "doc_id", "text", shingleN = 1,
+      threshold = 9).count()
+    // this corpus shares vocabulary heavily: unigram sets are much more
+    // similar than bigram sequences, so unigram dedup drops more docs
+    assert(unigram < bigram, s"unigram kept $unigram !< bigram kept $bigram")
+    // lowering the verification threshold can only drop more docs
+    val lax = Dedup.minhashKept(docs, "doc_id", "text", shingleN = 2,
+      threshold = 7).count()
+    assert(lax <= bigram)
+  }
+
+  test("jaccardPairs: lower threshold yields a superset of pairs") {
+    val strict = Dedup.jaccardPairs(docs, "doc_id", "lang", "text",
+      threshold = 9)
+    val lax = Dedup.jaccardPairs(docs, "doc_id", "lang", "text",
+      threshold = 8)
+    assert(lax.count() >= strict.count())
+    assert(strict.exceptAll(lax).count() == 0) // strict ⊆ lax
+  }
+
+  test("bruteTopK honors k and excludes the query vector") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val out = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3)
+    assert(out.count() == 15) // 5 queries × 3
+    assert(out.filter(col("q_vec_id") === col("nn_id")).count() == 0)
+    assert(out.groupBy("q_vec_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+  }
+
+  test("langId with a custom marker set and priority order") {
+    val out = TextOps.langId(docs, "doc_id", "text", "lang",
+      Seq("aa" -> Seq("zzzneverpresent"), "bb" -> Seq("alsonotpresent")))
+    // all scores 0 → ties → first marker wins everywhere
+    assert(out.filter(col("pred_lang") =!= "aa").count() == 0)
+  }
+
+  test("quotaPerStratum returns at most n per stratum") {
+    val out = TextOps.quotaPerStratum(docs, "lang", "n_chars", "doc_id", 10)
+    val over = out.groupBy("lang").count().filter(col("count") > 10).count()
+    assert(over == 0)
+    assert(out.count() == 50) // 5 langs × 10 (each stratum has >= 10 docs)
+  }
+
+  test("sampleDeterministic residue classes partition the corpus") {
+    val parts = (0 until 4)
+      .map(r => TextOps.sampleDeterministic(docs, "text", 4, r).count())
+    assert(parts.sum == docs.count())
+    assert(parts.forall(_ > 0))
+  }
+}
