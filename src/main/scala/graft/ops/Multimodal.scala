@@ -87,4 +87,15 @@ object Multimodal {
     * queries must never drag binary blobs through a shuffle). */
   def metadataTable(spark: SparkSession, dir: String): DataFrame =
     decode(assetsFromDocuments(spark, dir)).toDF()
+
+  /** Frame sampling: one row per sampled frame index (stride `stride`)
+    * per multi-frame asset, plus thumbnail resize targets preserving
+    * aspect ratio. Runs on metadata only — frame extraction itself would
+    * consume (asset_id, frame_idx) work units against the binary store,
+    * so the expensive decode fan-out is planned relationally first. */
+  def frameSample(meta: DataFrame, stride: Int, thumbWidth: Int): DataFrame =
+    meta.select(col("asset_id"), col("modality"), col("width"), col("height"),
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"))
+      .withColumn("thumb_w", lit(thumbWidth))
+      .withColumn("thumb_h", expr(s"(height * $thumbWidth) div width"))
 }

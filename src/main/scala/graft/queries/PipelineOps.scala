@@ -222,6 +222,43 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Multimodal frame sampling + resize targets (brief: "decode /
+    // feature-extract / resize / frame-sample"): every 10th frame of
+    // multi-frame assets with aspect-preserving thumbnail dims. Fake
+    // metadata is pure arithmetic (oracle-exact); the hash-derived
+    // variant lives in graft.ops.Multimodal.frameSample + its spec.
+    QueryDef.views("m2_frame_sample",
+      """WITH meta AS (
+        |  SELECT doc_id AS asset_id,
+        |         CASE WHEN n_chars % 3 = 0 THEN 'image'
+        |              WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |         64 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 512 AS width,
+        |         64 + n_chars % 512 AS height,
+        |         CASE WHEN n_chars % 3 = 2 THEN 1 + n_chars % 240 ELSE 1 END AS n_frames
+        |  FROM documents)
+        |SELECT asset_id, modality,
+        |       CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx,
+        |       CAST(64 AS BIGINT) AS thumb_w,
+        |       (height * 64) // width AS thumb_h
+        |FROM meta
+        |ORDER BY asset_id, frame_idx""".stripMargin) { spark =>
+      val meta = spark.table("documents").select(
+        col("doc_id").as("asset_id"),
+        when(col("n_chars") % 3 === 0, "image")
+          .when(col("n_chars") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        (lit(64) + octet_length(col("text")).cast("bigint") % 512).as("width"),
+        (lit(64) + col("n_chars") % 512).as("height"),
+        when(col("n_chars") % 3 === 2, lit(1) + col("n_chars") % 240)
+          .otherwise(lit(1)).as("n_frames"))
+      graft.ops.Multimodal.frameSample(meta, stride = 10, thumbWidth = 64)
+        .select(col("asset_id"), col("modality"),
+          col("frame_idx").cast("bigint").as("frame_idx"),
+          col("thumb_w").cast("bigint").as("thumb_w"),
+          col("thumb_h").cast("bigint").as("thumb_h"))
+        .orderBy("asset_id", "frame_idx")
+    },
+
     // Text normalization digest.
     QueryDef.views("x5_normalize",
       """SELECT doc_id,
