@@ -102,9 +102,14 @@ object Dedup {
       .withColumn("nw", size(col("w")).cast("bigint"))
       .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
     val tokens = t.select(col("doc_id"), explode(col("w")).as("word"))
-    val vocab = tokens.select("word").distinct()
-      .withColumn("bit", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("word")).cast("bigint") - 1)
+    // Dense bit ids via zipWithIndex (scales to any vocab — no global
+    // single-partition window). The assignment is an arbitrary bijection:
+    // popcount of mask intersections is invariant under bit permutation,
+    // so results don't depend on it.
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val vocab = tokens.select("word").distinct().as[String].rdd
+      .zipWithIndex().toDF("word", "bit")
     val nChunks = ((vocab.count() + 63) / 64).toInt
     val chunks = tokens.join(broadcast(vocab), "word")
       .withColumn("chunk", (col("bit") / 64).cast("int"))

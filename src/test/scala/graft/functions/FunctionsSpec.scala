@@ -57,6 +57,27 @@ class FunctionsSpec extends SparkSpec {
     assert(sigs(0).length == 32)
   }
 
+  test("expressions handle nulls and empty arrays safely") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(cast(null as array<double>), array(1.0D)) AS a,
+        |       vec_dot(array(), array(1.0D)) AS b,
+        |       mask_intersect(array(), array(5L)) AS c,
+        |       simhash64(array()) AS d,
+        |       size(minhash_sig(array(), 4)) AS e,
+        |       size(minhash_shingle(array(), 2, 4)) AS f,
+        |       size(word_ngrams(array(), 2)) AS g,
+        |       word_ngrams(array('solo'), 2) AS h""".stripMargin).head()
+    assert(r.isNullAt(0))           // null propagates
+    assert(r.getDouble(1) == 0.0)   // empty dot = 0
+    assert(r.getLong(2) == 0L)      // empty mask intersect = 0
+    assert(r.getLong(3) == 0L)      // empty simhash = all bits negative
+    assert(r.getInt(4) == 4)        // signature length fixed (Long.MaxValue mins)
+    assert(r.getInt(5) == 4)
+    assert(r.getInt(6) == 0)        // no tokens -> no shingles
+    assert(r.getSeq[String](7) == Seq("solo")) // short-doc fallback
+  }
+
   test("VectorMeanAggregator centroid matches posexplode+avg") {
     val data = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val typed = data.select(col("label"), col("embedding"))
