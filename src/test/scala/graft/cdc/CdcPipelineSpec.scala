@@ -94,6 +94,26 @@ class CdcPipelineSpec extends SparkSpec {
       """{"key":"schema1|1","op":"c","schema":"schema1","table":"users","fullName":"susan smith","id":1}""")
   }
 
+  test("pipeline B on the RocksDB state store (cluster-grade backend)") {
+    // HDFSBackedStateStore holds state on-heap; RocksDB is the provider
+    // that survives 100 TB key cardinalities. Same semantics expected.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[CdcEnvelope]
+      val sink = new Sinks.MemoryUpsertTable
+      val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-rocks"))
+      input.addData(golden)
+      q.processAllAvailable()
+      input.addData(Seq(users(6, "d", "schema1", 2, null, "anne smith")))
+      q.processAllAvailable()
+      q.stop()
+      assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
+        Map("schema1" -> 1L, "schema2" -> 1L))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("pipeline A: favorite-colors route (second side output, CustomJob.java:310-344)") {
     val colors = Seq(
       CdcEnvelope(10, 10, 0L, "c", "experiment", "schema1", "user_favorite_colors",
