@@ -101,7 +101,11 @@ object Similarity {
 
     val seed = vecs.filter(col("vec_id") < clusters)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cvec"))
-    val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
+    // materialize the k-row centroid table after each Lloyd iteration:
+    // without it the final assignment's lineage re-runs every iteration's
+    // corpus pass (and k-means on a cluster checkpoints centroids anyway)
+    val cents = (1 to iters).foldLeft(seed)((c, _) =>
+      recenter(assign(c)).localCheckpoint())
     val assigned = assign(cents).select("vec_id", "cluster", "v", "nrm")
 
     val queries = assigned.filter(queryPred)
