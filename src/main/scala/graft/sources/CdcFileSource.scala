@@ -41,7 +41,8 @@ class CdcFileSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table =
     new CdcFileTable(properties.get("path"),
       Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1),
-      Option(properties.get("maxEventsPerBatch")).map(_.toLong))
+      Option(properties.get("maxEventsPerBatch")).map(_.toLong),
+      Option(properties.get("walFormat")).getOrElse("jsonl"))
 }
 
 object CdcFileSource {
@@ -58,26 +59,27 @@ object CdcFileSource {
 }
 
 final class CdcFileTable(path: String, numPartitions: Int,
-    maxEventsPerBatch: Option[Long]) extends Table with SupportsRead {
+    maxEventsPerBatch: Option[Long], walFormat: String)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcFileScan(path, numPartitions, maxEventsPerBatch)
+    () => new CdcFileScan(path, numPartitions, maxEventsPerBatch, walFormat)
 }
 
 final class CdcFileScan(path: String, numPartitions: Int,
-    maxEventsPerBatch: Option[Long]) extends Scan {
+    maxEventsPerBatch: Option[Long], walFormat: String) extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue))
+      Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcFileMicroBatchStream(path, numPartitions, maxEventsPerBatch)
+    new CdcFileMicroBatchStream(path, numPartitions, maxEventsPerBatch, walFormat)
 }
 
 /** LSN watermark offset (reference: Debezium `sourceOffset={lsn=…}`,
@@ -87,7 +89,7 @@ final case class CdcOffset(lsn: Long) extends Offset {
 }
 
 final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
-    maxEventsPerBatch: Option[Long] = None)
+    maxEventsPerBatch: Option[Long] = None, walFormat: String = "jsonl")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
@@ -95,8 +97,8 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
   override def initialOffset(): Offset = CdcOffset(0L)
 
   override def latestOffset(): Offset = {
-    val lines = CdcFileMicroBatchStream.readLines(path)
-    CdcOffset(if (lines.isEmpty) 0L else lines.map(_._1).max)
+    val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
+    CdcOffset(if (lsns.isEmpty) 0L else lsns.max)
   }
 
   /** Admission control: cap each micro-batch at maxEventsPerBatch change
@@ -108,7 +110,7 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].lsn
-    val lsns = CdcFileMicroBatchStream.readLines(path).map(_._1)
+    val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
       .filter(_ > s).sorted
     if (lsns.isEmpty) return CdcOffset(s)
     limit match {
@@ -128,7 +130,7 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
     val width = math.max(1L, (e - s + n - 1) / n)
     (0 until n).iterator
       .map(i => CdcRangePartition(path, s + i * width,
-        math.min(e, s + (i + 1) * width)))
+        math.min(e, s + (i + 1) * width), walFormat))
       .filter(p => p.endInclusive > p.startExclusive)
       .toArray[InputPartition]
   }
@@ -153,6 +155,37 @@ object CdcFileMicroBatchStream {
     finally src.close()
   }
 
+  /** LSNs present in the log, for either format. */
+  def readLsns(path: String, walFormat: String): Seq[Long] =
+    if (walFormat == "pgoutput") readBinaryFrames(path).map(_._1)
+    else readLines(path).map(_._1)
+
+  /** Binary WAL: one frame per line as "<lsn> <base64(pgoutput frame)>". */
+  def readBinaryFrames(path: String): Seq[(Long, Array[Byte])] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Seq.empty
+    val src = scala.io.Source.fromFile(f, "UTF-8")
+    try src.getLines().filter(_.nonEmpty).map { l =>
+      val sp = l.indexOf(' ')
+      l.substring(0, sp).toLong ->
+        java.util.Base64.getDecoder.decode(l.substring(sp + 1))
+    }.toVector
+    finally src.close()
+  }
+
+  def envelopeToRow(e: graft.cdc.CdcEnvelope): InternalRow = {
+    def mapOf(m: Map[String, String]) = {
+      val entries = m.toSeq
+      new ArrayBasedMapData(
+        new GenericArrayData(entries.map(kv => UTF8String.fromString(kv._1)).toArray[Any]),
+        new GenericArrayData(entries.map(kv => UTF8String.fromString(kv._2)).toArray[Any]))
+    }
+    new GenericInternalRow(Array[Any](
+      e.lsn, e.txId, e.tsMs, UTF8String.fromString(e.op),
+      UTF8String.fromString(e.db), UTF8String.fromString(e.schema),
+      UTF8String.fromString(e.table), mapOf(e.before), mapOf(e.after)))
+  }
+
   def parse(line: String): InternalRow = {
     val n = mapper.readTree(line)
     def str(field: String) =
@@ -173,15 +206,29 @@ object CdcFileMicroBatchStream {
 }
 
 final case class CdcRangePartition(path: String, startExclusive: Long,
-    endInclusive: Long) extends InputPartition
+    endInclusive: Long, walFormat: String = "jsonl") extends InputPartition
 
 final class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcRangePartition]
-    val rows = CdcFileMicroBatchStream.readLines(p.path)
-      .filter { case (lsn, _) => lsn > p.startExclusive && lsn <= p.endInclusive }
-      .map { case (_, line) => CdcFileMicroBatchStream.parse(line) }
-      .iterator
+    val rows: Iterator[InternalRow] =
+      if (p.walFormat == "pgoutput") {
+        // Binary pgoutput frames: decode the log in LSN order through one
+        // stateful session (Relation/Begin frames carry metadata needed by
+        // later DML), then emit only the requested range.
+        val session = new PgOutputSession()
+        CdcFileMicroBatchStream.readBinaryFrames(p.path)
+          .sortBy(_._1)
+          .iterator
+          .flatMap { case (lsn, frame) => session.decode(frame, lsn) }
+          .filter(e => e.lsn > p.startExclusive && e.lsn <= p.endInclusive)
+          .map(CdcFileMicroBatchStream.envelopeToRow)
+      } else {
+        CdcFileMicroBatchStream.readLines(p.path)
+          .filter { case (lsn, _) => lsn > p.startExclusive && lsn <= p.endInclusive }
+          .map { case (_, line) => CdcFileMicroBatchStream.parse(line) }
+          .iterator
+      }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
