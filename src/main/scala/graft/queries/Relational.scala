@@ -368,6 +368,36 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // Correlated scalar subquery (per-row dependent aggregate).
+    QueryDef.views("sq1_scalar_subquery",
+      """SELECT c_custkey,
+        |       (SELECT max(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT c_custkey,
+          |       (SELECT max(o_totalprice) FROM orders
+          |        WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer ORDER BY c_custkey""".stripMargin)
+    },
+
+    // UNPIVOT / melt: wide measure columns to long (measure, value) rows.
+    QueryDef.views("up1_unpivot",
+      """SELECT o_orderkey, measure, value FROM (
+        |  UNPIVOT (SELECT o_orderkey, o_totalprice,
+        |                  CAST(o_custkey AS DOUBLE) AS custkey_d FROM orders)
+        |  ON o_totalprice, custkey_d
+        |  INTO NAME measure VALUE value)
+        |ORDER BY o_orderkey, measure""".stripMargin) { spark =>
+      spark.table("orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_custkey").cast("double").as("custkey_d"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_totalprice"), col("custkey_d")),
+          "measure", "value")
+        .orderBy("o_orderkey", "measure")
+    },
+
     // Gap-based sessionization (batch form of the streaming
     // session_window spec): Spark's native session_window vs the
     // gaps-and-islands SQL formulation — identical semantics (a gap of

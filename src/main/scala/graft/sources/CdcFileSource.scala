@@ -21,14 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * StreamingJob.java:44-62): a replication-log reader with LSN offsets,
   * exposed as both a micro-batch stream and a batch table.
   *
-  * The log here is a JSONL file (one CDC envelope per line, monotone
-  * `lsn`) standing in for the pgoutput replication slot — the container
-  * has no Postgres. Everything above the wire protocol is the real
-  * production shape: `Offset` = LSN watermark, `planInputPartitions
-  * (start, end]` replays the log range, commit is a no-op (the slot
-  * analog of confirmed_flush_lsn would ack here). Swapping the line
-  * reader for a pgoutput decoder changes only [[CdcFileMicroBatchStream
-  * .readRange]].
+  * Two WAL modes (`walFormat` option): "jsonl" (one CDC envelope per
+  * line) and "pgoutput" (binary PostgreSQL logical-replication frames,
+  * base64 per line, decoded by [[PgOutputSession]]). The file stands in
+  * for the replication socket — the container has no Postgres — but
+  * everything above the transport is the real production shape:
+  * `Offset` = LSN watermark, `planInputPartitions(start, end]` replays
+  * the log range in parallel LSN subranges, admission control caps
+  * catch-up batches, commit is the confirmed_flush_lsn ack point, and
+  * the wire format itself is decoded by the real pgoutput parser.
   *
   * Schema matches [[graft.cdc.CdcEnvelope]] so `.as[CdcEnvelope]` is a
   * no-copy bind.
