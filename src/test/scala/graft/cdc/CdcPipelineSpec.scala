@@ -148,6 +148,29 @@ class CdcPipelineSpec extends SparkSpec {
     assert(target.snapshot("schema2")("user_count") == 1L)
   }
 
+  test("schema evolution: extra source columns flow through untouched (reference TODO, CustomJob.java:200)") {
+    // The reference explicitly left schema changes untested. Our envelope
+    // carries row images as string maps, so new source columns appear in
+    // the image without any schema migration; typed demux projects only
+    // the fields it knows.
+    val evolved = users(1, "c", "schema1", 1, "susan smith").copy(
+      after = Map("id" -> "1", "full_name" -> "susan smith",
+        "email" -> "susan@example.com")) // column added upstream
+    val ds = spark.createDataset(Seq(evolved))
+    val typed = Demux.users(ds).collect()
+    assert(typed.head.fullName == "susan smith" && typed.head.id == 1L)
+
+    // and the full pipeline keeps counting correctly
+    val input = MemoryStream[CdcEnvelope]
+    val sink = new Sinks.MemoryUpsertTable
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-evo"))
+    input.addData(Seq(evolved,
+      users(2, "c", "schema1", 2, "anne smith")))
+    q.processAllAvailable()
+    q.stop()
+    assert(sink.snapshot("schema1")("user_count") == 2L)
+  }
+
   test("K2 upsert SQL renders Postgres ON CONFLICT form (setup_sink_db1.sql)") {
     val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
       Seq("pgschema", "user_count"))

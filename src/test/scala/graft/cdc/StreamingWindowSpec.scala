@@ -96,6 +96,32 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("watermark drops data later than the threshold") {
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream
+      .outputMode("update")
+      .format("memory").queryName("latecheck")
+      .option("checkpointLocation", tmpDir("late"))
+      .start()
+    def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+    input.addData(Seq((t(0), "a")))
+    q.processAllAvailable()
+    input.addData(Seq((t(200), "a"))) // advances watermark to ~190s
+    q.processAllAvailable()
+    input.addData(Seq((t(0), "a")))   // far later than watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("latecheck")
+      .filter(col("window.start").cast("long") === 1600000000L)
+      .select("n").as[Long].collect()
+    // the t=0 window still counts exactly 1 — the late replay was dropped
+    assert(w0.toSeq == Seq(1L))
+  }
+
   test("streaming exact dedup: dropDuplicates keeps first occurrence across batches") {
     val input = MemoryStream[(String, String)]
     val q = input.toDF().toDF("key", "payload")
