@@ -22,6 +22,14 @@ object GraftFunctions {
     case other => other.eval().asInstanceOf[Number].intValue()
   }
 
+  /** Inject every function into a SparkSessionExtensions (cluster path:
+    * `--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
+  private[functions] def injectAll(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftFunctions.getClass.getName, name), b))
+    }
+
   /** Per-session registration (temp functions). Idempotent. */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
@@ -35,18 +43,6 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (es: Seq[Expression]) => VecDot(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("mask_intersect"),
-      new ExpressionInfo(classOf[MaskIntersect].getName, "mask_intersect"),
-      (es: Seq[Expression]) => MaskIntersect(es(0), es(1))))
-    e.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(e)
 }
