@@ -14,7 +14,8 @@ object GraftFunctions {
     "minhash_sig" -> ((es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1)))),
     "minhash_shingle" -> ((es: Seq[Expression]) =>
       MinHashShingle(es(0), litInt(es(1)), litInt(es(2)))),
-    "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1))))
+    "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1)))),
+    "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1))))
   )
 
   private def litInt(e: Expression): Int = e match {

@@ -313,12 +313,15 @@ object PipelineOps {
         .orderBy("label", "dim")
     },
 
-    // Sketch aggregation: HLL approximate distinct. Rows-only.
+    // Sketch aggregation: built-in HLL + graft's native KMV sketch
+    // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
+    // side with the exact count. Rows-only (engine-specific sketches).
     QueryDef("hll1_approx_distinct", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
       spark.table("events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          expr("kmv_distinct(user_id, 256)").as("kmv_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
     }, None)

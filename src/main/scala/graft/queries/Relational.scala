@@ -368,6 +368,80 @@ object Relational {
         .orderBy("o_orderstatus")
     },
 
+    // TPC-H Q3-shaped shipping-priority query: date-filtered 3-way join,
+    // grouped revenue, top-10 — the classic scan-prune + broadcast probe.
+    QueryDef.views("q3_shipping_priority",
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       CAST(o_orderdate AS DATE) AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { spark =>
+      val c = spark.table("customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = spark.table("orders")
+        .filter(col("o_orderdate") <
+          lit("1998-03-15 00:00:00").cast(TimestampNTZType))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = spark.table("lineitem")
+        .filter(col("l_shipdate") >
+          lit("1998-03-15 00:00:00").cast(TimestampNTZType))
+        .select(col("l_orderkey"), dec2("l_extendedprice").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5-shaped local-supplier revenue: 5-way join where supplier
+    // and customer must share a nation, date-range filter on orders.
+    QueryDef.views("q5_local_supplier",
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { spark =>
+      val c = spark.table("customer").select("c_custkey", "c_nationkey")
+      val o = spark.table("orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("o_orderdate") <
+            lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+        .select("o_orderkey", "o_custkey")
+      val li = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          dec2("l_extendedprice").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+      val s = spark.table("supplier").select("s_suppkey", "s_nationkey")
+      val n = spark.table("nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
     // Correlated scalar subquery (per-row dependent aggregate).
     QueryDef.views("sq1_scalar_subquery",
       """SELECT c_custkey,

@@ -78,6 +78,31 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](7) == Seq("solo")) // short-doc fallback
   }
 
+  test("kmv_distinct: exact below k, bounded error above k") {
+    GraftFunctions.register(spark)
+    graft.Tables.registerAll(spark, "/root/testdata/sf0.01")
+    // 5 distinct event types with k=64 → exact
+    val exactSmall = spark.sql(
+      "SELECT kmv_distinct(event_type, 64) FROM events").head().getLong(0)
+    assert(exactSmall == 5L)
+    // ~200 distinct users estimated with k=64 → within ~3 standard errors
+    val r = spark.sql(
+      """SELECT kmv_distinct(user_id, 64) AS est,
+        |       count(DISTINCT user_id) AS exact FROM events""".stripMargin).head()
+    val (est, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    val relErr = math.abs(est - exact) / exact
+    assert(relErr < 3.0 / math.sqrt(64 - 2), s"est=$est exact=$exact err=$relErr")
+    // works under GROUP BY (partial aggregation path)
+    val grouped = spark.sql(
+      """SELECT event_type, kmv_distinct(user_id, 1024) AS est,
+        |       count(DISTINCT user_id) AS exact
+        |FROM events GROUP BY event_type""".stripMargin).collect()
+    grouped.foreach { row =>
+      // k=1024 > distinct users per type → exact per group
+      assert(row.getLong(1) == row.getLong(2), row.toString)
+    }
+  }
+
   test("VectorMeanAggregator centroid matches posexplode+avg") {
     val data = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val typed = data.select(col("label"), col("embedding"))
