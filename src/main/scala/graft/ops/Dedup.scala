@@ -36,6 +36,8 @@ object Dedup {
   def minhashKept(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, perms: Int = 32, bands: Int = 8,
       threshold: Int = 9): DataFrame = {
+    require(perms % bands == 0, s"perms ($perms) must divide into bands ($bands)")
+    require(threshold >= 1 && threshold <= 10, "threshold is in tenths (1..10)")
     val rows = perms / bands
     val base = df.select(col(idCol).as("doc_id"),
       expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("toks"))
