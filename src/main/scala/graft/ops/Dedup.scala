@@ -59,9 +59,14 @@ object Dedup {
       .withColumn("w", expr(s"array_distinct(word_ngrams(toks, $shingleN))"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .select("doc_id", "w", "nw")
+    // Verification fetches payloads by id through SHUFFLE equi-joins: at
+    // corpus scale the payload relation IS the corpus (every doc's shingle
+    // set), so broadcasting it would OOM the driver at broadcast build.
+    // Candidates are the small side after banding — shuffle-hash keeps the
+    // big side streamed and unsorted.
     val verified = cand
-      .join(broadcast(payload).as("pa"), col("id_a") === col("pa.doc_id"))
-      .join(broadcast(payload).as("pb"), col("id_b") === col("pb.doc_id"))
+      .join(payload.as("pa").hint("shuffle_hash"), col("id_a") === col("pa.doc_id"))
+      .join(payload.as("pb").hint("shuffle_hash"), col("id_b") === col("pb.doc_id"))
       .withColumn("inter", size(array_intersect(col("pa.w"), col("pb.w"))).cast("bigint"))
       .withColumn("uni", col("pa.nw") + col("pb.nw") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * threshold)

@@ -78,42 +78,59 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5,
       clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
     val vecs = corpus
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .select("vec_id", "v", "nrm")
 
-    def assign(cents: DataFrame) =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("score", expr("vec_dot(v, cvec)") / col("nrm"))
-        .groupBy("vec_id")
-        .agg(max_by(col("cluster"), struct(col("score"), -col("cluster")))
-          .as("cluster"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    // Centroids are k small rows — they live on the driver as literals, so
+    // assigning a row to its nearest centroid is ONE projection over the
+    // corpus (k codegen'd vec_dot calls + an array argmax): no crossJoin
+    // row blow-up, no groupBy(vec_id) re-shuffle of the vectors per Lloyd
+    // iteration. Ties break toward the smaller cluster id (max of
+    // (score, -cluster)), matching the relational max_by formulation.
+    def argmaxCluster(cents: Seq[(Int, Seq[Double])]) = {
+      val scored = cents.sortBy(_._1).map { case (cid, cv) =>
+        // 'D' suffix: SQL decimal literals would otherwise parse as
+        // DECIMAL; Double.toString round-trips exactly
+        val arr = cv.map(d => java.lang.Double.toString(d) + "D").mkString(",")
+        struct((expr(s"vec_dot(v, array($arr))") / col("nrm")).as("score"),
+          lit(-cid).as("negc"))
+      }
+      (-array_max(array(scored: _*)).getField("negc")).cast("int")
+    }
+    def assign(cents: Seq[(Int, Seq[Double])]) =
+      vecs.withColumn("cluster", argmaxCluster(cents))
 
-    def recenter(assigned: DataFrame) =
+    // Recentering is the one genuine aggregation per iteration (partial
+    // agg on (cluster, dim)); its k×dims result is collected (k-means on
+    // a cluster materializes centroids each round regardless).
+    def recenter(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cluster", "dim").agg(avg("x").as("m"))
         .groupBy("cluster")
         .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
           .as("cvec"))
+        .select(col("cluster"), col("cvec"))
+        .as[(Int, Seq[Double])].collect().toSeq
 
-    val seed = vecs.filter(col("vec_id") < clusters)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cvec"))
-    // materialize the k-row centroid table after each Lloyd iteration:
-    // without it the final assignment's lineage re-runs every iteration's
-    // corpus pass (and k-means on a cluster checkpoints centroids anyway)
-    val cents = (1 to iters).foldLeft(seed)((c, _) =>
-      recenter(assign(c)).localCheckpoint())
+    val seed: Seq[(Int, Seq[Double])] = vecs
+      .filter(col("vec_id") < clusters)
+      .select(col("vec_id").cast("int"), col("v"))
+      .as[(Int, Seq[Double])].collect().toSeq
+    val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
     val assigned = assign(cents).select("vec_id", "cluster", "v", "nrm")
+    val centsDf = cents.toDF("cluster", "cvec")
 
     val queries = assigned.filter(queryPred)
     val probeW = Window.partitionBy("q_vec_id")
       .orderBy(col("score").desc, col("cluster"))
     val probed = broadcast(queries.select(col("vec_id").as("q_vec_id"),
         col("v").as("qv"), col("nrm").as("qnrm")))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centsDf))
       .withColumn("score", expr("vec_dot(qv, cvec)") / col("qnrm"))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
