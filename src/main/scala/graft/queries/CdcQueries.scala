@@ -1,0 +1,197 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.PgOutputFrames
+
+/** CORRECTNESS-graded batch entries for the custom engine pieces:
+  *
+  *  - cdc1_source_batch — S1, the `format("graft-cdc")` DataSource V2
+  *    source itself (reference StreamingJob.java:44-62). A deterministic
+  *    WAL fixture is derived from the `events` table, written in BOTH wal
+  *    formats (jsonl envelopes and binary pgoutput frames), batch-read
+  *    through the source with parallel LSN-range readers, and projected
+  *    to plain columns. The DuckDB oracle computes the same envelope
+  *    projection directly from `events` — so a green row proves the file
+  *    writer→wire format→decoder→DSv2 reader path end to end, byte-level
+  *    pgoutput decoding included.
+  *
+  *  - cdc2_upsert_replay — the upsert/changelog compaction semantics the
+  *    K2 sink applies (reference CustomJob.java:156-194): latest record
+  *    per key by LSN wins, a trailing delete removes the key. Expressed
+  *    as the partial-agg-friendly max_by formulation (not a window sort)
+  *    over the envelopes read through the source; the oracle is the
+  *    row_number()-window SQL over the same synthesized changelog.
+  *
+  * Envelope derivation from `events` (expressible in both engines):
+  * lsn = event_id, tx_id = event_id // 100, ts_ms = event_id * 1000,
+  * op = 'd' when event_id % 7 = 0, 'c' for signups, else 'u';
+  * deletes carry only the key in `before`, other ops carry
+  * {id, event_type} in `after`.
+  */
+object CdcQueries {
+
+  /** Writes the WAL fixture pair (wal.jsonl + wal.pgoutput) for an sf dir
+    * once, atomically, under java.io.tmpdir; returns the fixture dir.
+    * Derivation is deterministic, so concurrent/repeat calls are safe. */
+  def ensureFixture(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-fixture-$key")
+    val jsonl = dir.resolve("wal.jsonl")
+    val pgout = dir.resolve("wal.pgoutput")
+    if (Files.exists(jsonl) && Files.exists(pgout)) return dir.toString
+
+    graft.Tables.registerAll(spark, sfDir)
+    // Only the three narrow columns leave the executors; at a real 100 TB
+    // deployment the WAL is the upstream database's, not derived — this
+    // driver-side write exists purely to fabricate a deterministic log.
+    val rows = spark.table("events")
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("event_type"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+    def op(eventId: Long, eventType: String): String =
+      if (eventId % 7 == 0) "d" else if (eventType == "signup") "c" else "u"
+
+    Files.createDirectories(dir)
+    val enc = java.util.Base64.getEncoder
+
+    val tmpJ = Files.createTempFile(dir, "wal", ".jsonl.tmp")
+    val wj = Files.newBufferedWriter(tmpJ)
+    try rows.foreach { case (id, uid, et) =>
+      val o = op(id, et)
+      val before = if (o == "d") s"""{"id":"$uid"}""" else "{}"
+      val after =
+        if (o == "d") "{}" else s"""{"id":"$uid","event_type":"$et"}"""
+      wj.write(s"""{"lsn":$id,"txId":${id / 100},"tsMs":${id * 1000},""" +
+        s""""op":"$o","db":"experiment","schema":"public","table":"users",""" +
+        s""""before":$before,"after":$after}""")
+      wj.newLine()
+    } finally wj.close()
+
+    val tmpP = Files.createTempFile(dir, "wal", ".pgoutput.tmp")
+    val wp = Files.newBufferedWriter(tmpP)
+    try {
+      val oid = 101
+      // Relation metadata precedes all DML, as on a real replication
+      // socket; Begin/Commit share the DML frame's LSN (they emit no
+      // envelope — stable sort keeps file order within an LSN).
+      wp.write("0 " + enc.encodeToString(
+        PgOutputFrames.relation(oid, "public", "users",
+          Seq("id", "event_type"))))
+      wp.newLine()
+      def frame(lsn: Long, bytes: Array[Byte]): Unit = {
+        wp.write(s"$lsn " + enc.encodeToString(bytes)); wp.newLine()
+      }
+      rows.foreach { case (id, uid, et) =>
+        frame(id, PgOutputFrames.begin((id / 100).toInt, id * 1000))
+        op(id, et) match {
+          case "c" => frame(id, PgOutputFrames.insert(oid,
+            Seq(Some(uid.toString), Some(et))))
+          case "u" => frame(id, PgOutputFrames.update(oid, None,
+            Seq(Some(uid.toString), Some(et))))
+          case _ => frame(id, PgOutputFrames.delete(oid,
+            Seq(Some(uid.toString), None)))
+        }
+        frame(id, PgOutputFrames.commit())
+      }
+    } finally wp.close()
+
+    try {
+      Files.move(tmpJ, jsonl, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpP, pgout, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
+      Files.deleteIfExists(tmpJ); Files.deleteIfExists(tmpP)
+    }
+    dir.toString
+  }
+
+  private def readWal(spark: SparkSession, fixtureDir: String, mode: String) = {
+    val file = if (mode == "pgoutput") "wal.pgoutput" else "wal.jsonl"
+    spark.read.format("graft-cdc")
+      .option("path", s"$fixtureDir/$file")
+      .option("walFormat", mode)
+      .option("numPartitions", "8")
+      .load()
+      .withColumn("mode", lit(mode))
+  }
+
+  /** Oracle CTE: the same envelope derivation in DuckDB SQL. */
+  private val envCte =
+    """WITH env AS (
+      |  SELECT event_id AS lsn, event_id // 100 AS tx_id,
+      |         event_id * 1000 AS ts_ms,
+      |         CASE WHEN event_id % 7 = 0 THEN 'd'
+      |              WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL
+      |              ELSE CAST(user_id AS VARCHAR) END AS after_id,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL
+      |              ELSE event_type END AS after_event_type,
+      |         CASE WHEN event_id % 7 = 0 THEN CAST(user_id AS VARCHAR)
+      |              END AS before_id,
+      |         user_id
+      |  FROM events)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("cdc1_source_batch",
+      (spark, dir) => {
+        val fix = ensureFixture(spark, dir)
+        readWal(spark, fix, "jsonl")
+          .unionByName(readWal(spark, fix, "pgoutput"))
+          .select(col("mode"), col("lsn"), col("txId").as("tx_id"),
+            col("tsMs").as("ts_ms"), col("op"), col("db"),
+            col("schema").as("pg_schema"), col("table").as("tbl"),
+            element_at(col("after"), "id").as("after_id"),
+            element_at(col("after"), "event_type").as("after_event_type"),
+            element_at(col("before"), "id").as("before_id"))
+          .orderBy("mode", "lsn")
+      },
+      Some(envCte +
+        """
+          |, proj AS (
+          |  SELECT lsn, tx_id, ts_ms, op, 'experiment' AS db,
+          |         'public' AS pg_schema, 'users' AS tbl,
+          |         after_id, after_event_type, before_id
+          |  FROM env)
+          |SELECT 'jsonl' AS mode, * FROM proj
+          |UNION ALL
+          |SELECT 'pgoutput' AS mode, * FROM proj
+          |ORDER BY mode, lsn""".stripMargin)),
+
+    QueryDef("cdc2_upsert_replay",
+      (spark, dir) => {
+        val fix = ensureFixture(spark, dir)
+        // Compaction as aggregation: latest envelope per key by LSN (map-
+        // side partial agg → one row per key crosses the shuffle), then
+        // deletes drop the key — the batch twin of graft.cdc.Changelog.
+        readWal(spark, fix, "jsonl")
+          .withColumn("id", coalesce(element_at(col("after"), "id"),
+            element_at(col("before"), "id")).cast("long"))
+          .groupBy("id")
+          .agg(max_by(struct(col("lsn"), col("op"),
+            element_at(col("after"), "event_type").as("et")),
+            col("lsn")).as("last"))
+          .filter(col("last.op") =!= "d")
+          .select(col("id"), col("last.lsn").as("last_lsn"),
+            col("last.op").as("last_op"), col("last.et").as("last_event_type"))
+          .orderBy("id")
+      },
+      Some(envCte +
+        """
+          |, r AS (
+          |  SELECT user_id AS id, lsn, op, after_event_type,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY lsn DESC) AS rn
+          |  FROM env)
+          |SELECT id, lsn AS last_lsn, op AS last_op,
+          |       after_event_type AS last_event_type
+          |FROM r WHERE rn = 1 AND op != 'd'
+          |ORDER BY id""".stripMargin))
+  )
+}

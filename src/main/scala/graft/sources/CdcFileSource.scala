@@ -74,8 +74,26 @@ final class CdcFileScan(path: String, numPartitions: Int,
     maxEventsPerBatch: Option[Long], walFormat: String) extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
+    // Batch replay parallelizes the same way the stream does: contiguous
+    // LSN subranges, one reader per range (`numPartitions` option). The
+    // LSN span is read from the log head/tail at plan time — the analog
+    // of asking the source for its low/high watermark before a snapshot.
+    override def planInputPartitions(): Array[InputPartition] = {
+      val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
+      if (lsns.isEmpty || numPartitions <= 1)
+        Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
+      else {
+        val lo = lsns.min - 1 // exclusive start
+        val hi = lsns.max
+        val n = math.max(1L, math.min(numPartitions.toLong, hi - lo)).toInt
+        val width = math.max(1L, (hi - lo + n - 1) / n)
+        (0 until n).iterator
+          .map(i => CdcRangePartition(path, lo + i * width,
+            math.min(hi, lo + (i + 1) * width), walFormat))
+          .filter(p => p.endInclusive > p.startExclusive)
+          .toArray[InputPartition]
+      }
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory
   }
@@ -145,14 +163,32 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 object CdcFileMicroBatchStream {
   private val mapper = new ObjectMapper()
 
+  /** Cheap LSN extraction from a jsonl envelope line — the LSN index is
+    * scanned far more often than full envelopes are materialized (offset
+    * planning, range pruning), so it must not pay a full JSON parse.
+    * Falls back to the parser for lines where "lsn" is not textually
+    * first-positioned. */
+  private def lsnOf(l: String): Long = {
+    val k = l.indexOf("\"lsn\":")
+    if (k < 0) return mapper.readTree(l).get("lsn").asLong()
+    var i = k + 6
+    while (i < l.length && l.charAt(i) == ' ') i += 1
+    var v = 0L; var neg = false
+    if (i < l.length && l.charAt(i) == '-') { neg = true; i += 1 }
+    var digits = 0
+    while (i < l.length && l.charAt(i) >= '0' && l.charAt(i) <= '9') {
+      v = v * 10 + (l.charAt(i) - '0'); i += 1; digits += 1
+    }
+    if (digits == 0) mapper.readTree(l).get("lsn").asLong()
+    else if (neg) -v else v
+  }
+
   /** (lsn, line) pairs for the whole log. */
   def readLines(path: String): Seq[(Long, String)] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Seq.empty
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { l =>
-      mapper.readTree(l).get("lsn").asLong() -> l
-    }.toVector
+    try src.getLines().filter(_.nonEmpty).map(l => lsnOf(l) -> l).toVector
     finally src.close()
   }
 
