@@ -42,11 +42,13 @@ object CdcDemo {
     val wal = demoDir.resolve("wal.jsonl")
     java.nio.file.Files.write(wal, golden.map(jsonLine).mkString("\n").getBytes)
 
-    val sink = new Sinks.MemoryUpsertTable
+    val ns = "cdc-demo"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
     val ckpt = demoDir.resolve("ckpt").toString
     val sourced = spark.readStream.format("graft-cdc").load(wal.toString)
       .as[CdcEnvelope]
-    val query = CdcPipeline.liveCountPerSchema(sourced, sink, ckpt)
+    val query = CdcPipeline.liveCountPerSchema(sourced,
+      Sinks.MemoryDb.factory(ns), ckpt)
 
     println("== typed users events (pipeline A demux) ==")
     Demux.users(spark.createDataset(golden)).collect().foreach(println)

@@ -24,27 +24,32 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object CdcPipeline {
 
-  /** Pipeline B: compaction → per-schema live count → upsert sink. */
+  /** The reference's sink table (setup_sink_db1.sql:1-4). */
+  val countTable = "user_count_by_pgschema"
+
+  /** Pipeline B: compaction → per-schema live count → JDBC upsert sink.
+    *
+    * Each micro-batch's delta sums (one row per distinct schema — tiny by
+    * construction, regardless of batch width) are merged into the PK table
+    * additively (`user_count = user_count + EXCLUDED.user_count`) through
+    * the writer's `foreachPartition` + `executeBatch` path, so no data
+    * rides through the driver. Compaction emits a delta at most once per
+    * (key, lsn) — replays are LSN-filtered — which makes the additive
+    * merge idempotent under at-least-once redelivery. */
   def liveCountPerSchema(
       events: Dataset[CdcEnvelope],
-      sink: Sinks.MemoryUpsertTable,
+      factory: Sinks.ConnectionFactory,
       checkpoint: String)(implicit spark: SparkSession): StreamingQuery = {
+    val writer = new Sinks.UpsertWriter(countTable, "pgschema",
+      Seq("pgschema", "user_count"), additive = Set("user_count"))
     val deltas = Changelog.compact(events)
     deltas.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[CompactionDelta], _: Long) =>
-        val sums = batch.groupBy("schema")
-          .agg(sum("delta").as("d"))
-          .collect() // rows = distinct schemas only — tiny by construction
-        sums.foreach { r =>
-          val schema = r.getString(0)
-          val d = r.getLong(1)
-          val cur = sink.snapshot.get(schema)
-            .flatMap(_.get("user_count")).map(_.asInstanceOf[Long]).getOrElse(0L)
-          sink.upsert(schema,
-            Map("pgschema" -> schema, "user_count" -> (cur + d)))
-        }
+        val sums = batch.groupBy(col("schema").as("pgschema"))
+          .agg(sum("delta").as("user_count"))
+        writer.writeBatch(sums, factory)
       }
       .start()
   }

@@ -1,5 +1,7 @@
 package graft.cdc
 
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement, Statement}
 import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
@@ -19,35 +21,70 @@ object Sinks {
       col("key").cast("string").as("key"),
       to_json(struct(fields.map(col): _*)).as("value"))
 
+  /** Opens a JDBC connection on an executor. Implementations must be
+    * serializable (the factory ships inside the `foreachPartition`
+    * closure); a production impl wraps `DriverManager.getConnection(url)`,
+    * [[MemoryDb.factory]] is the in-process test impl. */
+  trait ConnectionFactory extends Serializable {
+    def connect(): Connection
+  }
+
   /** K2: JDBC upsert writer (reference CustomJob.java:183-193 +
-    * setup_sink_db1.sql). Spark's jdbc writer has no upsert, so this is a
-    * `foreachBatch` writer: each micro-batch becomes one `INSERT ... ON
-    * CONFLICT (pk) DO UPDATE` statement batch — idempotent by PK, so
-    * at-least-once replay is safe (reference's effective semantics).
-    *
-    * No Postgres exists in this container: `apply` renders the SQL that a
-    * JDBC connection would execute, and [[MemoryUpsertTable]] gives specs a
-    * real observable sink with the same PK-upsert contract.
+    * setup_sink_db1.sql). Spark's jdbc writer has no upsert, so this
+    * renders `INSERT ... ON CONFLICT (pk) DO UPDATE` and executes it as a
+    * per-partition prepared-statement batch: rows never funnel through the
+    * driver, each partition writes in one transaction, and statement
+    * batching amortizes round-trips. Replace-merge is idempotent by PK, so
+    * at-least-once replay is safe (the reference's effective semantics);
+    * columns in `additive` merge as `col = table.col + EXCLUDED.col`
+    * (delta accumulation — see [[CdcPipeline.liveCountPerSchema]]).
     */
-  final class UpsertWriter(table: String, pk: String, columns: Seq[String]) {
+  final class UpsertWriter(table: String, pk: String, columns: Seq[String],
+      additive: Set[String] = Set.empty, batchSize: Int = 500)
+      extends Serializable {
+    require(columns.contains(pk), s"pk $pk must be among columns")
+
     def upsertSql: String = {
       val collist = columns.mkString(", ")
       val placeholders = columns.map(_ => "?").mkString(", ")
-      val sets = columns.filterNot(_ == pk)
-        .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+      val sets = columns.filterNot(_ == pk).map { c =>
+        if (additive(c)) s"$c = $table.$c + EXCLUDED.$c"
+        else s"$c = EXCLUDED.$c"
+      }.mkString(", ")
       s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
         s"ON CONFLICT ($pk) DO UPDATE SET $sets"
     }
 
-    /** foreachBatch body against an in-memory PK table. */
-    def writeBatch(batch: DataFrame, target: MemoryUpsertTable): Unit = {
+    /** Distributed upsert of `batch`: one connection + transaction per
+      * partition, `executeBatch` every `batchSize` rows. */
+    def writeBatch(batch: DataFrame, factory: ConnectionFactory): Unit = {
       val cols = columns
-      val k = pk
-      // One upsert per row of the micro-batch output. In the JDBC
-      // deployment this is executeBatch of `upsertSql`; semantics match.
-      batch.select(cols.map(col): _*).collect().foreach { row =>
-        val m = cols.zipWithIndex.map { case (c, i) => c -> row.get(i) }.toMap
-        target.upsert(m(k).toString, m)
+      val sql = upsertSql
+      val bs = batchSize
+      batch.select(cols.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+        if (rows.hasNext) {
+          val conn = factory.connect()
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement(sql)
+            try {
+              var n = 0
+              rows.foreach { r =>
+                var i = 0
+                while (i < cols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+                st.addBatch()
+                n += 1
+                if (n % bs == 0) st.executeBatch()
+              }
+              st.executeBatch()
+              conn.commit()
+            } finally st.close()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally conn.close()
+        }
       }
     }
   }
@@ -59,5 +96,117 @@ object Sinks {
     def upsert(key: String, row: Map[String, Any]): Unit = rows.put(key, row)
     def delete(key: String): Unit = rows.remove(key)
     def snapshot: Map[String, Map[String, Any]] = rows.asScala.toMap
+  }
+
+  /** In-process "database" that serves [[MemoryUpsertTable]]s through the
+    * real `java.sql` API (dynamic proxies), so the K2 writer's production
+    * path — `Connection.prepareStatement(upsertSql)` + `executeBatch` — is
+    * what specs exercise, not a parallel test-only code path. Namespaced so
+    * concurrent suites don't share tables. Single-JVM by design (matches
+    * local[n]); a cluster deployment swaps the factory for a DriverManager
+    * one and nothing else changes. */
+  object MemoryDb {
+    private val registry = new ConcurrentHashMap[String, MemoryUpsertTable]()
+
+    def table(ns: String, name: String): MemoryUpsertTable =
+      registry.computeIfAbsent(s"$ns/$name", _ => new MemoryUpsertTable)
+
+    def factory(ns: String): ConnectionFactory = new MemoryConnectionFactory(ns)
+
+    private final class MemoryConnectionFactory(ns: String)
+        extends ConnectionFactory {
+      override def connect(): Connection = newConnection(ns)
+    }
+
+    private def newConnection(ns: String): Connection = {
+      val handler = new InvocationHandler {
+        override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "prepareStatement" =>
+              newStatement(ns, args(0).asInstanceOf[String])
+            case "isClosed" => java.lang.Boolean.FALSE
+            case "getAutoCommit" => java.lang.Boolean.FALSE
+            case "toString" => s"MemoryDb($ns)"
+            case "hashCode" => Int.box(System.identityHashCode(proxy))
+            case "equals" => Boolean.box(proxy eq args(0))
+            case _ => null // close/commit/rollback/setAutoCommit: no-ops
+          }
+      }
+      Proxy.newProxyInstance(classOf[Connection].getClassLoader,
+        Array[Class[_]](classOf[Connection]), handler).asInstanceOf[Connection]
+    }
+
+    // The statement interprets the exact SQL shape UpsertWriter renders.
+    private val UpsertRe =
+      """INSERT INTO (\S+) \(([^)]+)\) VALUES \([?, ]+\) ON CONFLICT \((\w+)\) DO UPDATE SET (.+)""".r
+
+    private def newStatement(ns: String, sql: String): PreparedStatement = {
+      val (tableName, cols, pk, additiveCols) = sql match {
+        case UpsertRe(t, collist, pkCol, sets) =>
+          val cs = collist.split(",").map(_.trim).toSeq
+          val adds = sets.split(", (?=\\w+ =)").flatMap { s =>
+            val c = s.takeWhile(_ != ' ')
+            if (s.contains(s"$t.$c + EXCLUDED.$c")) Some(c) else None
+          }.toSet
+          (t, cs, pkCol, adds)
+        case _ =>
+          throw new java.sql.SQLSyntaxErrorException(s"unsupported SQL: $sql")
+      }
+      val target = table(ns, tableName)
+      val params = new java.util.HashMap[Int, Any]()
+      val batch = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+
+      def addNum(a: Any, b: Any): Any = (a, b) match {
+        case (x: java.lang.Number, y: java.lang.Number)
+            if x.isInstanceOf[java.lang.Double] || x.isInstanceOf[java.lang.Float] ||
+              y.isInstanceOf[java.lang.Double] || y.isInstanceOf[java.lang.Float] =>
+          x.doubleValue() + y.doubleValue()
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          x.longValue() + y.longValue()
+        case _ => b
+      }
+
+      def applyRow(values: Seq[Any]): Unit = {
+        val incoming = cols.zip(values).toMap
+        val key = String.valueOf(incoming(pk))
+        val merged = target.snapshot.get(key) match {
+          case Some(existing) =>
+            incoming.map { case (c, v) =>
+              c -> (if (additiveCols(c)) addNum(existing.getOrElse(c, 0L), v)
+              else v)
+            }
+          case None => incoming
+        }
+        target.upsert(key, merged)
+      }
+
+      val handler = new InvocationHandler {
+        override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case n if n.startsWith("set") && args != null && args.length >= 2 &&
+                args(0).isInstanceOf[java.lang.Integer] =>
+              params.put(args(0).asInstanceOf[java.lang.Integer].intValue(),
+                args(1)); null
+            case "addBatch" =>
+              batch += (1 to cols.length).map(params.get(_)); null
+            case "executeBatch" =>
+              val n = batch.length
+              batch.foreach(applyRow); batch.clear()
+              Array.fill(n)(Statement.SUCCESS_NO_INFO)
+            case "executeUpdate" =>
+              applyRow((1 to cols.length).map(params.get(_))); Int.box(1)
+            case "clearParameters" => params.clear(); null
+            case "clearBatch" => batch.clear(); null
+            case "isClosed" => java.lang.Boolean.FALSE
+            case "toString" => s"MemoryDb($ns).prepare($sql)"
+            case "hashCode" => Int.box(System.identityHashCode(proxy))
+            case "equals" => Boolean.box(proxy eq args(0))
+            case _ => null
+          }
+      }
+      Proxy.newProxyInstance(classOf[PreparedStatement].getClassLoader,
+        Array[Class[_]](classOf[PreparedStatement]), handler)
+        .asInstanceOf[PreparedStatement]
+    }
   }
 }

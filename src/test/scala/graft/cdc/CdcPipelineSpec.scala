@@ -30,10 +30,17 @@ class CdcPipelineSpec extends SparkSpec {
     users(4, "u", "schema1", 1, "sue smith", beforeName = "susan smith"),
     users(5, "u", "schema2", 1, "bobby smith", beforeName = "bob smith"))
 
+  /** Fresh namespaced MemoryDb sink; counts flow through the K2 writer's
+    * real JDBC path (prepareStatement + executeBatch on executors). */
+  private def newSink(tag: String): (Sinks.ConnectionFactory, Sinks.MemoryUpsertTable) = {
+    val ns = s"$tag-${java.util.UUID.randomUUID()}"
+    (Sinks.MemoryDb.factory(ns), Sinks.MemoryDb.table(ns, CdcPipeline.countTable))
+  }
+
   test("pipeline B: golden sequence yields schema1->2, schema2->1 (README.md:107-114)") {
     val input = MemoryStream[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-golden"))
+    val (factory, sink) = newSink("cdc-golden")
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), factory, tmpDir("cdc-golden"))
     input.addData(golden)
     q.processAllAvailable()
     q.stop()
@@ -43,8 +50,8 @@ class CdcPipelineSpec extends SparkSpec {
 
   test("pipeline B: updates don't double-count; deletes decrement") {
     val input = MemoryStream[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-del"))
+    val (factory, sink) = newSink("cdc-del")
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), factory, tmpDir("cdc-del"))
     input.addData(golden)
     q.processAllAvailable()
     // More updates to existing keys: counts must not change.
@@ -62,8 +69,8 @@ class CdcPipelineSpec extends SparkSpec {
 
   test("pipeline B: LSN-stale replays are ignored (at-least-once idempotency)") {
     val input = MemoryStream[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-replay"))
+    val (factory, sink) = newSink("cdc-replay")
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), factory, tmpDir("cdc-replay"))
     input.addData(golden)
     q.processAllAvailable()
     input.addData(golden) // full redelivery
@@ -101,8 +108,8 @@ class CdcPipelineSpec extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val input = MemoryStream[CdcEnvelope]
-      val sink = new Sinks.MemoryUpsertTable
-      val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-rocks"))
+      val (factory, sink) = newSink("cdc-rocks")
+      val q = CdcPipeline.liveCountPerSchema(input.toDS(), factory, tmpDir("cdc-rocks"))
       input.addData(golden)
       q.processAllAvailable()
       input.addData(Seq(users(6, "d", "schema1", 2, null, "anne smith")))
@@ -131,21 +138,40 @@ class CdcPipelineSpec extends SparkSpec {
     assert(Demux.users(ds).count() == 0)
   }
 
-  test("K2 upsert writer: batch write + idempotent rewrite into PK table") {
+  test("K2 upsert writer: batched executeBatch write + idempotent rewrite") {
+    val ns = s"k2-${java.util.UUID.randomUUID()}"
     val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
-      Seq("pgschema", "user_count"))
-    val target = new Sinks.MemoryUpsertTable
+      Seq("pgschema", "user_count"), batchSize = 1) // force multiple executeBatch
+    val factory = Sinks.MemoryDb.factory(ns)
+    val target = Sinks.MemoryDb.table(ns, "user_count_by_pgschema")
     val batch = spark.createDataFrame(Seq(("schema1", 2L), ("schema2", 1L)))
       .toDF("pgschema", "user_count")
-    w.writeBatch(batch, target)
-    w.writeBatch(batch, target) // at-least-once replay: same final state
+    w.writeBatch(batch, factory)
+    w.writeBatch(batch, factory) // at-least-once replay: same final state
     assert(target.snapshot.view.mapValues(_("user_count")).toMap ==
       Map("schema1" -> 2L, "schema2" -> 1L))
     val update = spark.createDataFrame(Seq(("schema1", 5L)))
       .toDF("pgschema", "user_count")
-    w.writeBatch(update, target)
+    w.writeBatch(update, factory)
     assert(target.snapshot("schema1")("user_count") == 5L)
     assert(target.snapshot("schema2")("user_count") == 1L)
+  }
+
+  test("K2 additive merge accumulates deltas through the JDBC path") {
+    val ns = s"k2add-${java.util.UUID.randomUUID()}"
+    val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
+      Seq("pgschema", "user_count"), additive = Set("user_count"))
+    assert(w.upsertSql.contains(
+      "user_count = user_count_by_pgschema.user_count + EXCLUDED.user_count"))
+    val factory = Sinks.MemoryDb.factory(ns)
+    val target = Sinks.MemoryDb.table(ns, "user_count_by_pgschema")
+    def deltas(d: Long*) = spark.createDataFrame(
+      d.zipWithIndex.map { case (v, i) => (s"schema$i", v) })
+      .toDF("pgschema", "user_count")
+    w.writeBatch(deltas(2L, 1L), factory)
+    w.writeBatch(deltas(1L, -1L), factory)
+    assert(target.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema0" -> 3L, "schema1" -> 0L))
   }
 
   test("schema evolution: extra source columns flow through untouched (reference TODO, CustomJob.java:200)") {
@@ -162,8 +188,8 @@ class CdcPipelineSpec extends SparkSpec {
 
     // and the full pipeline keeps counting correctly
     val input = MemoryStream[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(input.toDS(), sink, tmpDir("cdc-evo"))
+    val (factory, sink) = newSink("cdc-evo")
+    val q = CdcPipeline.liveCountPerSchema(input.toDS(), factory, tmpDir("cdc-evo"))
     input.addData(Seq(evolved,
       users(2, "c", "schema1", 2, "anne smith")))
     q.processAllAvailable()

@@ -41,8 +41,10 @@ class CdcFileSourceSpec extends SparkSpec {
 
     val events = spark.readStream.format("graft-cdc").load(log.toString)
       .as[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(events, sink, tmpDir("cdc-src-ckpt"))
+    val ns = s"cdc-src-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
+    val q = CdcPipeline.liveCountPerSchema(events, Sinks.MemoryDb.factory(ns),
+      tmpDir("cdc-src-ckpt"))
     q.processAllAvailable()
     assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
       Map("schema1" -> 2L, "schema2" -> 1L))
@@ -62,8 +64,10 @@ class CdcFileSourceSpec extends SparkSpec {
     val events = spark.readStream.format("graft-cdc")
       .option("maxEventsPerBatch", "2")
       .load(log.toString).as[CdcEnvelope]
-    val sink = new Sinks.MemoryUpsertTable
-    val q = CdcPipeline.liveCountPerSchema(events, sink, tmpDir("cdc-adm-ckpt"))
+    val ns = s"cdc-adm-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
+    val q = CdcPipeline.liveCountPerSchema(events, Sinks.MemoryDb.factory(ns),
+      tmpDir("cdc-adm-ckpt"))
     q.processAllAvailable()
     val batches = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
@@ -97,17 +101,18 @@ class CdcFileSourceSpec extends SparkSpec {
     val ckpt = s"$dir/ckpt"
     Files.write(log, golden.mkString("\n").getBytes)
 
-    val sink = new Sinks.MemoryUpsertTable
+    val ns = s"cdc-restart-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
     val q1 = CdcPipeline.liveCountPerSchema(
       spark.readStream.format("graft-cdc").load(log.toString).as[CdcEnvelope],
-      sink, ckpt)
+      Sinks.MemoryDb.factory(ns), ckpt)
     q1.processAllAvailable(); q1.stop()
 
     // Restart against the same checkpoint; nothing new → no state change,
     // then an appended delete is picked up exactly once.
     val q2 = CdcPipeline.liveCountPerSchema(
       spark.readStream.format("graft-cdc").load(log.toString).as[CdcEnvelope],
-      sink, ckpt)
+      Sinks.MemoryDb.factory(ns), ckpt)
     q2.processAllAvailable()
     assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
       Map("schema1" -> 2L, "schema2" -> 1L))

@@ -75,11 +75,12 @@ class PgOutputSpec extends SparkSpec {
     assert(envs.head.txId == 731L && envs.last.schema == "schema1")
 
     // streaming: compaction counts deletes correctly off the binary WAL
-    val sink = new Sinks.MemoryUpsertTable
+    val ns = s"pgout-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
     val q = CdcPipeline.liveCountPerSchema(
       spark.readStream.format("graft-cdc")
         .option("walFormat", "pgoutput").load(log.toString).as[CdcEnvelope],
-      sink, tmpDir("pgout-ckpt"))
+      Sinks.MemoryDb.factory(ns), tmpDir("pgout-ckpt"))
     q.processAllAvailable(); q.stop()
     assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
       Map("schema1" -> 1L, "schema2" -> 1L))
