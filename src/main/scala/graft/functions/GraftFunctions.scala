@@ -15,7 +15,8 @@ object GraftFunctions {
     "minhash_shingle" -> ((es: Seq[Expression]) =>
       MinHashShingle(es(0), litInt(es(1)), litInt(es(2)))),
     "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1)))),
-    "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1))))
+    "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1)))),
+    "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2)))
   )
 
   private def litInt(e: Expression): Int = e match {

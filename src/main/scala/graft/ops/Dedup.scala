@@ -99,42 +99,62 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
-  /** Exact token-set Jaccard candidate pairs above `threshold` tenths,
-    * blocked by (strata, token-count bucket); integer-exact output
-    * (inter/uni sizes) via vocabulary-coded bitmask popcount. */
+  /** Exact token-set Jaccard pairs above `threshold` tenths, blocked by
+    * (strata, token-count bucket), candidates by PREFIX FILTERING:
+    *
+    * A pair with J ≥ t must share a token among each doc's first
+    * `nw - ceil(t·nw) + 1` tokens under any common total order (the
+    * prefix-filtering principle of the AllPairs/PPJoin family — with
+    * uni ≥ nw, J ≥ t forces inter ≥ ceil(t·nw), and a prefix that long
+    * cannot miss every shared token). Ordering tokens by ascending
+    * global document frequency puts the RAREST tokens in the prefix, so
+    * the inverted-index self-join fans out on low-df words only — hot
+    * stopwords never generate candidates. Verification then fetches the
+    * full token sets by id (shuffle equi-joins, never broadcast) and
+    * computes exact inter/uni.
+    *
+    * Memory is bounded: per-row state is O(document tokens); nothing
+    * scales with corpus-wide vocabulary (the previous formulation carried
+    * a |vocab|/64-long bitmask per doc, unbounded on open-web text). */
   def jaccardPairs(df: DataFrame, idCol: String, strataCol: String,
       textCol: String, threshold: Int = 9): DataFrame = {
     val t = df.select(col(idCol).as("doc_id"), col(strataCol).as("lang"),
         expr(s"array_distinct(filter(split($textCol, ' '), x -> length(x) > 0))").as("w"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
-    val tokens = t.select(col("doc_id"), explode(col("w")).as("word"))
-    // Dense bit ids via zipWithIndex (scales to any vocab — no global
-    // single-partition window). The assignment is an arbitrary bijection:
-    // popcount of mask intersections is invariant under bit permutation,
-    // so results don't depend on it.
-    val spark0 = df.sparkSession
-    import spark0.implicits._
-    val vocab = tokens.select("word").distinct().as[String].rdd
-      .zipWithIndex().toDF("word", "bit")
-    val nChunks = ((vocab.count() + 63) / 64).toInt
-    val chunks = tokens.join(broadcast(vocab), "word")
-      .withColumn("chunk", (col("bit") / 64).cast("int"))
-      .groupBy("doc_id", "chunk")
-      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(bit % 64 as int)))").as("m"))
-    val masks = chunks.groupBy("doc_id")
-      .agg(map_from_arrays(collect_list(col("chunk")), collect_list(col("m"))).as("cm"))
-      .withColumn("mask", expr(
-        s"transform(sequence(0, ${nChunks - 1}), c -> coalesce(element_at(cm, c), cast(0 as bigint)))"))
-      .select("doc_id", "mask")
-    val tm = t.drop("w").join(masks, "doc_id")
-    tm.as("a").join(tm.as("b"),
+    val tokens = t.select(col("doc_id"), col("lang"), col("bucket"),
+      col("nw"), explode(col("w")).as("word"))
+    val freq = tokens.groupBy("word").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("word"))
+    val prefixes = tokens.join(freq, "word")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("nw") - ceil(col("nw") * threshold / lit(10.0)) + 1)
+      .select("doc_id", "lang", "bucket", "word")
+    val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", expr("mask_intersect(a.mask, b.mask)"))
-      .withColumn("uni", col("a.nw") + col("b.nw") - col("inter"))
+          col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    val payload = t.select(col("doc_id"), col("w"), col("nw"))
+    val pairs = cand
+      .join(payload.as("pa").hint("shuffle_hash"),
+        col("doc_id_a") === col("pa.doc_id"))
+      .join(payload.as("pb").hint("shuffle_hash"),
+        col("doc_id_b") === col("pb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("pa.w"), col("pb.w"))).cast("bigint"))
+      .withColumn("uni", col("pa.nw") + col("pb.nw") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("inter"), col("uni"))
+    // Zero-token docs never enter the index; a pair of them is an exact
+    // duplicate (inter = uni = 0 satisfies any threshold), kept for parity
+    // with the all-pairs-in-block semantics.
+    val empties = t.filter(col("nw") === 0).select("doc_id", "lang")
+    val emptyPairs = empties.as("a").join(empties.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
-        col("inter"), col("uni"))
+        lit(0L).as("inter"), lit(0L).as("uni"))
+    pairs.unionByName(emptyPairs)
   }
 }

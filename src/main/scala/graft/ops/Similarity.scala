@@ -13,23 +13,65 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
 
-  /** Nearest neighbor for every vector (all-pairs, map-side argmax) plus
-    * a near-duplicate threshold flag (`simBp` in basis points). */
-  def nearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+  private def bestPerVec(pairs: DataFrame, nearDupCos: Double) = pairs
+    .groupBy("vec_id")
+    .agg(max_by(struct(col("nn"), col("cs")),
+      struct(col("cs"), (-col("nn")).as("negnn"))).as("best"))
+    .select(col("vec_id"), col("best.nn").as("nn_id"),
+      round(col("best.cs") * 10000).cast("bigint").as("sim_bp"),
+      (col("best.cs") >= nearDupCos).as("near_dup"))
+
+  /** Exact all-pairs nearest neighbor — O(n²) broadcast nested loop. A
+    * diagnostic baseline for fixture-sized corpora ONLY; the library
+    * default for "find near neighbors" is the blocked
+    * [[nearestNeighbors]] path, which survives corpus scale. */
+  def bruteNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
       nearDupCos: Double = 0.4): DataFrame = {
     val en = withNorm(df, idCol, vecCol)
     val streamed = en.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    streamed.as("a")
+    val pairs = streamed.as("a")
       .join(broadcast(en).as("b"), col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("cs",
         expr("vec_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"), col("cs"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("nn"), col("cs")),
-        struct(col("cs"), (-col("nn")).as("negnn"))).as("best"))
-      .select(col("vec_id"), col("best.nn").as("nn_id"),
-        round(col("best.cs") * 10000).cast("bigint").as("sim_bp"),
-        (col("best.cs") >= nearDupCos).as("near_dup"))
+    bestPerVec(pairs, nearDupCos)
+  }
+
+  /** Nearest neighbor per vector with a near-duplicate flag (`sim_bp` in
+    * basis points). Default mode is BLOCKED: multi-table sign-random-
+    * projection buckets generate candidate pairs (equi-join on
+    * (table, bucket)), exact cosine reranks them — the formulation whose
+    * shuffle volume is O(candidates), not O(n²). Vectors sharing no
+    * bucket with any other vector emit no row (they have no near
+    * neighbor at the chosen sensitivity). `blocked = false` falls back
+    * to the exact all-pairs baseline. */
+  def nearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+      nearDupCos: Double = 0.4, blocked: Boolean = true,
+      planeBits: Int = 6, tables: Int = 4): DataFrame = {
+    if (!blocked) return bruteNearestNeighbors(df, idCol, vecCol, nearDupCos)
+    val en = withNorm(df, idCol, vecCol)
+    // One bucket row per (table, vector): tables decorrelate the planes so
+    // a true neighbor missed by one projection is caught by another.
+    val bucketed = en.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${tables - 1}),
+           |  t -> struct(t as tbl, srp_bits(embedding, $planeBits, t) as bucket))"""
+        .stripMargin)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nn"))
+      .distinct()
+    // Payload fetch by id via shuffle equi-joins (embeddings are the
+    // corpus — never broadcast, never carried through candidate gen).
+    val pairs = cand
+      .join(en.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na")).hint("shuffle_hash"), Seq("vec_id"))
+      .join(en.select(col("vec_id").as("nn"), col("embedding").as("eb"),
+        col("nrm").as("nb")).hint("shuffle_hash"), Seq("nn"))
+      .withColumn("cs", expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
+      .select(col("vec_id"), col("nn"), col("cs"))
+    bestPerVec(pairs, nearDupCos)
   }
 
   /** Brute-force cosine top-k: `queries` (small, broadcast) against the
@@ -48,18 +90,14 @@ object Similarity {
         col("nn").as("nn_id"))
   }
 
-  /** LSH-bucketed ANN: `planeBits` sign-random-projection bits bucket the
-    * corpus; candidates share the query's bucket; exact in-bucket top-k. */
+  /** LSH-bucketed ANN: `planeBits` sign-random-projection bits (codegen'd
+    * [[graft.functions.SrpBits]]) bucket the corpus; candidates share the
+    * query's bucket; exact in-bucket top-k. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5,
       planeBits: Int = 8): DataFrame = {
     val en = withNorm(corpus, idCol, vecCol)
-      .withColumn("lsh", expr(
-        s"""aggregate(sequence(0, ${planeBits - 1}), cast(0 as bigint), (acc, p) ->
-           |  acc + if(aggregate(sequence(0, size(embedding) - 1), cast(0 as double), (s, d) ->
-           |             s + cast(element_at(embedding, d + 1) as double) *
-           |                 if(pmod(xxhash64(p * 64 + d), 2) = 0, 1.0d, -1.0d)) > 0d,
-           |           shiftleft(cast(1 as bigint), p), cast(0 as bigint)))""".stripMargin))
+      .withColumn("lsh", expr(s"srp_bits(embedding, $planeBits, 0)"))
     val q = en.filter(queryPred)
     val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
     broadcast(q.as("q")).join(en.as("b"),

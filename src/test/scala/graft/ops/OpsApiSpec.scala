@@ -35,6 +35,25 @@ class OpsApiSpec extends SparkSpec {
     assert(strict.exceptAll(lax).count() == 0) // strict ⊆ lax
   }
 
+  test("blocked nearestNeighbors recall >= 0.9 against the exact baseline") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteNearestNeighbors(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("nn_id").as("exact_nn"))
+    // Recall is tuned per corpus geometry: this fixture's nearest
+    // neighbors sit at cos ≈ 0.4 (per-plane agreement ~0.63), so high
+    // recall needs shorter bucket keys and more tables — the standard
+    // LSH recall/candidate-volume knob. A production corpus targeting
+    // near-dups (cos ≥ 0.9) reaches the same recall at the defaults.
+    val blocked = Similarity.nearestNeighbors(emb, "vec_id", "embedding",
+        planeBits = 3, tables = 12)
+      .select(col("vec_id"), col("nn_id").as("blocked_nn"))
+    val n = emb.count().toDouble
+    val agree = exact.join(blocked, "vec_id")
+      .filter(col("exact_nn") === col("blocked_nn")).count().toDouble
+    assert(agree / n >= 0.9, s"recall ${agree / n} < 0.9 (agree=$agree of $n)")
+  }
+
   test("bruteTopK honors k and excludes the query vector") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val out = Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 5),
