@@ -16,7 +16,9 @@ object GraftFunctions {
       MinHashShingle(es(0), litInt(es(1)), litInt(es(2)))),
     "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1)))),
     "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1)))),
-    "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2)))
+    "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
+    "sorted_intersect_count" -> ((es: Seq[Expression]) =>
+      SortedIntersectCount(es(0), es(1)))
   )
 
   private def litInt(e: Expression): Int = e match {

@@ -56,18 +56,21 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
     val payload = base
-      .withColumn("w", expr(s"array_distinct(word_ngrams(toks, $shingleN))"))
+      .withColumn("w", expr(
+        s"array_sort(array_distinct(transform(word_ngrams(toks, $shingleN), " +
+          "x -> xxhash64(x))))"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .select("doc_id", "w", "nw")
     // Verification fetches payloads by id through SHUFFLE equi-joins: at
     // corpus scale the payload relation IS the corpus (every doc's shingle
     // set), so broadcasting it would OOM the driver at broadcast build.
     // Candidates are the small side after banding — shuffle-hash keeps the
-    // big side streamed and unsorted.
+    // big side streamed and unsorted. Shingles travel as sorted 64-bit
+    // hashes; the exact-Jaccard check is a codegen sorted-merge count.
     val verified = cand
       .join(payload.as("pa").hint("shuffle_hash"), col("id_a") === col("pa.doc_id"))
       .join(payload.as("pb").hint("shuffle_hash"), col("id_b") === col("pb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("pa.w"), col("pb.w"))).cast("bigint"))
+      .withColumn("inter", expr("sorted_intersect_count(pa.w, pb.w)"))
       .withColumn("uni", col("pa.nw") + col("pb.nw") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * threshold)
       .select(col("id_b")).distinct()
@@ -118,8 +121,14 @@ object Dedup {
     * a |vocab|/64-long bitmask per doc, unbounded on open-web text). */
   def jaccardPairs(df: DataFrame, idCol: String, strataCol: String,
       textCol: String, threshold: Int = 9): DataFrame = {
+    // Tokens travel as 64-bit hashes from here on: the index, the window,
+    // the joins, and the verification intersect all run on fixed-width
+    // longs instead of strings (distinct-token hashing keeps inter/uni
+    // exact — the token sets are what is intersected, and xxhash64 is
+    // injective for any realistic vocabulary).
     val t = df.select(col(idCol).as("doc_id"), col(strataCol).as("lang"),
-        expr(s"array_distinct(filter(split($textCol, ' '), x -> length(x) > 0))").as("w"))
+        expr(s"array_sort(array_distinct(transform(filter(split($textCol, ' '), " +
+          "x -> length(x) > 0), x -> xxhash64(x))))").as("w"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
     val tokens = t.select(col("doc_id"), col("lang"), col("bucket"),
@@ -143,7 +152,9 @@ object Dedup {
         col("doc_id_a") === col("pa.doc_id"))
       .join(payload.as("pb").hint("shuffle_hash"),
         col("doc_id_b") === col("pb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("pa.w"), col("pb.w"))).cast("bigint"))
+      // sorted-merge intersect (codegen, allocation-free): the verify
+      // kernel runs once per candidate pair — the hot loop of the op
+      .withColumn("inter", expr("sorted_intersect_count(pa.w, pb.w)"))
       .withColumn("uni", col("pa.nw") + col("pb.nw") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * threshold)
       .select(col("doc_id_a"), col("doc_id_b"), col("inter"), col("uni"))

@@ -90,21 +90,38 @@ object Similarity {
         col("nn").as("nn_id"))
   }
 
-  /** LSH-bucketed ANN: `planeBits` sign-random-projection bits (codegen'd
-    * [[graft.functions.SrpBits]]) bucket the corpus; candidates share the
-    * query's bucket; exact in-bucket top-k. */
+  /** LSH-bucketed ANN: `tables` independent sign-random-projection
+    * bucketings of `planeBits` bits each (codegen'd
+    * [[graft.functions.SrpBits]], one seed per table); candidates share
+    * the query's bucket in at least one table; exact top-k over the
+    * candidate union. Multi-table is the standard LSH recall lever —
+    * a true neighbor missed by one projection is caught by another —
+    * at the cost of `tables`× index volume. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5,
-      planeBits: Int = 8): DataFrame = {
+      planeBits: Int = 8, tables: Int = 4): DataFrame = {
     val en = withNorm(corpus, idCol, vecCol)
-      .withColumn("lsh", expr(s"srp_bits(embedding, $planeBits, 0)"))
-    val q = en.filter(queryPred)
+    // Bucket index carries ids only — vectors never ride through
+    // candidate generation or the cross-table dedup.
+    val bucketed = en.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${tables - 1}),
+           |  t -> struct(t as tbl, srp_bits(embedding, $planeBits, t) as bucket))"""
+        .stripMargin)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val qb = bucketed.filter(queryPred)
+    val cand = broadcast(qb.as("q")).join(bucketed.as("b"),
+        col("q.tbl") === col("b.tbl") && col("q.bucket") === col("b.bucket") &&
+          col("q.vec_id") =!= col("b.vec_id"))
+      .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"))
+      .distinct() // candidate union across tables
     val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
-    broadcast(q.as("q")).join(en.as("b"),
-        col("q.lsh") === col("b.lsh") && col("q.vec_id") =!= col("b.vec_id"))
-      .withColumn("cs",
-        expr("vec_dot(q.embedding, b.embedding)") / (col("q.nrm") * col("b.nrm")))
-      .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"), col("cs"))
+    cand
+      .join(broadcast(en.filter(queryPred).select(col("vec_id").as("q_vec_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"))), Seq("q_vec_id"))
+      .join(en.select(col("vec_id").as("nn"), col("embedding").as("be"),
+        col("nrm").as("bn")).hint("shuffle_hash"), Seq("nn"))
+      .withColumn("cs", expr("vec_dot(qe, be)") / (col("qn") * col("bn")))
+      .select(col("q_vec_id"), col("nn"), col("cs"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
         col("nn").as("nn_id"))

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity}
+
+/** Oracle-encoded invariants for the hash-signature operators DuckDB
+  * cannot reproduce directly (minhash / simhash / LSH / IVF / sketches —
+  * their xxhash64-seeded internals have no DuckDB twin, so d2/d3/s2/ivf1/
+  * hll1 are rows-only entries). Each check here is a normal
+  * CORRECTNESS-graded query whose OUTPUT is a property the operator must
+  * satisfy, phrased so DuckDB can compute the expected value exactly:
+  *
+  *  - d2x/d3x — an exact-duplicate group must never retain a non-minimal
+  *    member after near-dedup: identical docs get identical signatures,
+  *    land in the same bands/buckets, and verification accepts them, so
+  *    every non-min member has a smaller verified twin. DuckDB counts
+  *    the dup groups (real ground truth) and pins the violation count at
+  *    zero. The group notion matches each operator's signature input:
+  *    d2x groups by identical TEXT (minhash shingles the token
+  *    sequence — set-equal-but-reordered docs are legitimately
+  *    different), d3x by identical token SET (simhash hashes the
+  *    distinct-token set).
+  *  - s2x/ivf1x — approximate neighbors must come from the true head of
+  *    the similarity ranking: every (query, neighbor) the ANN paths
+  *    return must appear in the exact top-2k for that query (the exact
+  *    list is the s1 oracle shape). Violations pinned at zero.
+  *  - hll1x — sketch estimates must sit within their design error around
+  *    the exact distinct count (HLL at rsd 0.01 given ±5%; KMV with
+  *    k=256 has σ ≈ 6.3%, given ±20% ≈ 3σ). Violations pinned at zero,
+  *    group count is real DuckDB ground truth.
+  */
+object PropertyChecks {
+
+  private val setHashSpark = md5(concat_ws(" ",
+    expr("array_sort(array_distinct(filter(split(text, ' '), x -> length(x) > 0)))")))
+
+  private val setHashDuck =
+    """md5(array_to_string(list_sort(list_distinct(
+      |  list_filter(string_split(text, ' '), x -> len(x) > 0))), ' '))""".stripMargin
+
+  private def dedupCheck(name: String, sparkHash: org.apache.spark.sql.Column,
+      duckHash: String,
+      kept: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
+    QueryDef.views(name,
+      s"""WITH m AS (SELECT doc_id, $duckHash AS set_hash FROM documents),
+         |     d AS (SELECT set_hash, min(doc_id) AS gmin FROM m
+         |           GROUP BY set_hash HAVING count(*) > 1)
+         |SELECT (SELECT count(*) FROM d) AS n_dup_groups,
+         |       CAST(0 AS BIGINT) AS n_nonmin_kept""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val m = docs.select(col("doc_id"), sparkHash.as("set_hash"))
+      val dup = m.groupBy("set_hash")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("gmin"))
+        .filter(col("n") > 1)
+      val keptIds = kept(spark).select(col("doc_id").as("kept_id"))
+      val nonMinKept = m.join(dup.select("set_hash", "gmin"), "set_hash")
+        .join(keptIds, col("doc_id") === col("kept_id"), "left_semi")
+        .filter(col("doc_id") =!= col("gmin"))
+      dup.agg(count(lit(1)).as("n_dup_groups"))
+        .crossJoin(nonMinKept.agg(count(lit(1)).as("n_nonmin_kept")))
+    }
+
+  private def annContainment(name: String,
+      ann: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
+    QueryDef.views(name,
+      "SELECT CAST(0 AS BIGINT) AS n_outside_top2k") { spark =>
+      val emb = spark.table("embeddings")
+      val approx = ann(spark).select("q_vec_id", "nn_id")
+      val exact2k = Similarity.bruteTopK(emb,
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .select("q_vec_id", "nn_id")
+      approx.join(exact2k, Seq("q_vec_id", "nn_id"), "left_anti")
+        .agg(count(lit(1)).as("n_outside_top2k"))
+    }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    dedupCheck("d2x_minhash_exactdup", md5(col("text")), "md5(text)", spark =>
+      Dedup.minhashKept(spark.table("documents"), "doc_id", "text")),
+
+    dedupCheck("d3x_simhash_exactdup", setHashSpark, setHashDuck, spark =>
+      Dedup.simhashKept(spark.table("documents"), "doc_id", "text")),
+
+    // Graded at recall-oriented parameters for this fixture's geometry
+    // (true neighbors at cos ≈ 0.4 — the hard case for SRP-LSH): more
+    // tables / shorter keys push the candidate union deep enough that
+    // the returned top-k provably sits in the exact head.
+    annContainment("s2x_lsh_in_exact_head", spark =>
+      Similarity.lshTopK(spark.table("embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") < 20, k = 5, planeBits = 3, tables = 12)),
+
+    annContainment("ivf1x_ivf_in_exact_head", spark =>
+      Similarity.ivfTopK(spark.table("embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") < 20, k = 5, nprobe = 8)),
+
+    QueryDef.views("hll1x_sketch_error",
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        |       CAST(0 AS BIGINT) AS n_hll_violations,
+        |       CAST(0 AS BIGINT) AS n_kmv_violations
+        |FROM events""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          expr("kmv_distinct(user_id, 256)").as("kmv"),
+          countDistinct(col("user_id")).as("exact"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(abs(col("approx") - col("exact")) / col("exact") > 0.05,
+            1L).otherwise(0L)).as("n_hll_violations"),
+          sum(when(abs(col("kmv") - col("exact")) / col("exact") > 0.2,
+            1L).otherwise(0L)).as("n_kmv_violations"))
+    }
+  )
+}

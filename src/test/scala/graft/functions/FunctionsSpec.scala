@@ -42,6 +42,17 @@ class FunctionsSpec extends SparkSpec {
     assert(viaEval == r.getLong(0))
   }
 
+  test("sorted_intersect_count merges sorted long arrays exactly") {
+    val df = registered.createDataset(Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(7L), Array(7L))))
+      .toDF("a", "b")
+    val got = df.select(expr("sorted_intersect_count(a, b)"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 0L, 1L))
+  }
+
   test("mask_intersect counts common bits across chunks") {
     val df = registered.createDataset(Seq(
       (Array(0x5L, 1L << 63), Array(0x4L, (1L << 63) | 1L)))).toDF("a", "b")
