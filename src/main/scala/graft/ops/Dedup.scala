@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   * codegen'd signature expressions). */
 object Dedup {
 
+  /** Streaming exact dedup with BOUNDED state: a duplicate is suppressed
+    * only while its first occurrence is younger than the watermark delay;
+    * older keys are evicted from the state store, so state size tracks
+    * the event-time window instead of growing with all keys ever seen —
+    * the unbounded-state concern the reference configures idle-state
+    * retention for (sql-client-conf.yaml:16-17). Pair with the RocksDB
+    * state store provider for large key cardinalities (see
+    * StreamingWindowSpec). */
+  def streamingDedupWithinWatermark(df: DataFrame, tsCol: String,
+      delay: String, keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Exact dedup groups: one row per distinct content digest with the
     * smallest surviving id and the copy count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -113,12 +113,13 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
+  // The replication-connection seam: offset probes and slot acks go
+  // through the transport; a socket implementation drops in here.
+  private val transport: WalTransport = WalTransport.open(path, walFormat)
+
   override def initialOffset(): Offset = CdcOffset(0L)
 
-  override def latestOffset(): Offset = {
-    val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
-    CdcOffset(if (lsns.isEmpty) 0L else lsns.max)
-  }
+  override def latestOffset(): Offset = CdcOffset(transport.headLsn())
 
   /** Admission control: cap each micro-batch at maxEventsPerBatch change
     * events (backpressure against replication-lag catch-up storms —
@@ -129,8 +130,7 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].lsn
-    val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
-      .filter(_ > s).sorted
+    val lsns = transport.frames(s).map(_._1).toSeq
     if (lsns.isEmpty) return CdcOffset(s)
     limit match {
       case mr: ReadMaxRows =>
@@ -156,8 +156,9 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
   override def deserializeOffset(json: String): Offset = CdcOffset(json.toLong)
-  override def commit(end: Offset): Unit = () // slot-ack analog
-  override def stop(): Unit = ()
+  override def commit(end: Offset): Unit =
+    transport.ack(end.asInstanceOf[CdcOffset].lsn) // confirmed_flush_lsn
+  override def stop(): Unit = transport.close()
 }
 
 object CdcFileMicroBatchStream {
@@ -248,30 +249,30 @@ final case class CdcRangePartition(path: String, startExclusive: Long,
 final class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcRangePartition]
+    val transport = WalTransport.open(p.path, p.walFormat)
     val rows: Iterator[InternalRow] =
       if (p.walFormat == "pgoutput") {
         // Binary pgoutput frames: decode the log in LSN order through one
         // stateful session (Relation/Begin frames carry metadata needed by
         // later DML), then emit only the requested range.
         val session = new PgOutputSession()
-        CdcFileMicroBatchStream.readBinaryFrames(p.path)
-          .sortBy(_._1)
-          .iterator
+        transport.frames(Long.MinValue)
           .flatMap { case (lsn, frame) => session.decode(frame, lsn) }
           .filter(e => e.lsn > p.startExclusive && e.lsn <= p.endInclusive)
           .map(CdcFileMicroBatchStream.envelopeToRow)
       } else {
-        CdcFileMicroBatchStream.readLines(p.path)
-          .filter { case (lsn, _) => lsn > p.startExclusive && lsn <= p.endInclusive }
-          .map { case (_, line) => CdcFileMicroBatchStream.parse(line) }
-          .iterator
+        // jsonl is stateless — range-prune at the transport.
+        transport.frames(p.startExclusive)
+          .filter(_._1 <= p.endInclusive)
+          .map { case (_, bytes) => CdcFileMicroBatchStream.parse(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) }
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = transport.close()
     }
   }
 }

@@ -141,6 +141,43 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out("k1") == "a") // first occurrence wins
   }
 
+  test("dedup within watermark on RocksDB: bounded state, eviction re-admits") {
+    // dropDuplicates holds every key forever; WithinWatermark bounds the
+    // state to the delay window — the scale-correct streaming dedup. Run
+    // on the RocksDB provider (the backend for 100 TB key cardinalities).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, String, String)]
+      val deduped = graft.ops.Dedup.streamingDedupWithinWatermark(
+        input.toDF().toDF("ts", "key", "payload"), "ts", "10 seconds",
+        Seq("key"))
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory").queryName("wmdedup")
+        .option("checkpointLocation", tmpDir("wmdedup"))
+        .start()
+      def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+      input.addData((t(0), "k1", "a"), (t(1), "k1", "b"), (t(2), "k2", "c"))
+      q.processAllAvailable()
+      // duplicate within the window: suppressed
+      input.addData(Seq((t(3), "k1", "d")))
+      q.processAllAvailable()
+      // advance event time far past the delay → k1 state evicted
+      input.addData(Seq((t(300), "k3", "e")))
+      q.processAllAvailable()
+      // same key re-arrives AFTER eviction → admitted again (bounded
+      // state trades exactly-once-ever for exactly-once-per-window)
+      input.addData(Seq((t(301), "k1", "f")))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("wmdedup").as[(Timestamp, String, String)]
+        .collect().map(r => (r._2, r._3)).toSeq.sorted
+      assert(out == Seq(("k1", "a"), ("k1", "f"), ("k2", "c"), ("k3", "e")))
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]

@@ -95,6 +95,47 @@ class CdcFileSourceSpec extends SparkSpec {
     })
   }
 
+  test("WalTransport seam: an in-memory transport drives the same decode path") {
+    // The decoders only see the trait — proving a socket implementation
+    // (walsender XLogData frames) drops in without touching the source.
+    val oid = 7
+    val framed = Seq[(Long, Array[Byte])](
+      0L -> PgOutputFrames.relation(oid, "s1", "users", Seq("id", "full_name")),
+      1L -> PgOutputFrames.begin(100, 1600000000000L),
+      1L -> PgOutputFrames.insert(oid, Seq(Some("1"), Some("susan"))),
+      1L -> PgOutputFrames.commit(),
+      2L -> PgOutputFrames.begin(101, 1600000001000L),
+      2L -> PgOutputFrames.delete(oid, Seq(Some("1"), None)),
+      2L -> PgOutputFrames.commit())
+    val mem = new WalTransport {
+      override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
+        framed.filter(_._1 > afterLsn).iterator
+      override def headLsn(): Long = framed.map(_._1).max
+      private var acked = Long.MinValue
+      override def ack(lsn: Long): Unit = acked = lsn
+    }
+    val session = new PgOutputSession()
+    val envs = mem.frames(Long.MinValue)
+      .flatMap { case (lsn, f) => session.decode(f, lsn) }.toSeq
+    assert(envs.map(e => (e.lsn, e.op)) == Seq((1L, "c"), (2L, "d")))
+    assert(envs.head.after("full_name") == "susan")
+    assert(mem.headLsn() == 2L)
+  }
+
+  test("file transport acks the committed LSN (confirmed_flush_lsn analog)") {
+    val log = Paths.get(tmpDir("cdclog6"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+    val t = new FileWalTransport(log.toString, "jsonl")
+    assert(t.headLsn() == 5L)
+    assert(t.frames(3L).map(_._1).toSeq == Seq(4L, 5L))
+    t.ack(5L)
+    assert(t.ackedLsn == 5L)
+    // the stream commits offsets through the same seam
+    val stream = new CdcFileMicroBatchStream(log.toString)
+    stream.commit(CdcOffset(4L))
+    stream.stop()
+  }
+
   test("restart resumes from checkpointed LSN (no reprocessing)") {
     val dir = tmpDir("cdclog3")
     val log = Paths.get(dir, "wal.jsonl")
