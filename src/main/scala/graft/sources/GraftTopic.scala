@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Keyed-topic sink/source, `format("graft-topic")` — the Kafka/Pulsar-
+  * shaped boundary the reference's K1 sink writes through (FlinkPulsarSink,
+  * CustomJob.java:93-118) and its S3 upsert source reads back
+  * (CustomJob.java:156-174). The broker is in-memory (no Kafka/Pulsar in
+  * the container), but the Spark-facing surface is the production shape:
+  *
+  *  - STREAMING write of a `(key, value)` frame with the real DSv2
+  *    commit protocol — executors buffer and return rows in commit
+  *    messages, the driver appends atomically per epoch, and replayed
+  *    epochs are skipped (commit is idempotent per (queryId, epochId),
+  *    which is exactly Spark's at-least-once → effectively-once sink
+  *    contract).
+  *  - Sequence ids are assigned at commit, monotone per topic — the
+  *    `sequenceId METADATA` analog of the reference's Pulsar table
+  *    (CustomJob.java:162-165) — and batch reads expose
+  *    `(key, value, topic, sequenceId)`, so the changelog-compaction
+  *    path can consume a topic exactly like the reference's
+  *    `upsert-pulsar` source (latest sequenceId per key wins).
+  */
+class GraftTopicProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-topic"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TopicStore.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftTopicTable(properties.get("topic"))
+}
+
+object TopicStore {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("value", StringType),
+    StructField("topic", StringType),
+    StructField("sequenceId", LongType)))
+
+  final case class Msg(key: String, value: String, topic: String,
+      sequenceId: Long)
+
+  private val topics = new ConcurrentHashMap[String, ArrayBuffer[Msg]]()
+  private val epochs = new ConcurrentHashMap[String, Long]()
+
+  private def buf(topic: String): ArrayBuffer[Msg] =
+    topics.computeIfAbsent(topic, _ => ArrayBuffer.empty)
+
+  /** Atomic per-epoch append; replayed (queryId, epochId) pairs are
+    * dropped — the sink-commit idempotency that upgrades micro-batch
+    * at-least-once to effectively-once. */
+  def commit(topic: String, queryId: String, epochId: Long,
+      rows: Seq[(String, String)]): Unit = synchronized {
+    val k = s"$queryId/$topic"
+    if (epochs.getOrDefault(k, Long.MinValue) >= epochId) return
+    val b = buf(topic)
+    rows.foreach { case (key, value) =>
+      b += Msg(key, value, topic, b.length.toLong)
+    }
+    epochs.put(k, epochId)
+  }
+
+  def read(topic: String): Seq[Msg] = synchronized { buf(topic).toVector }
+  def clear(topic: String): Unit = synchronized {
+    topics.remove(topic)
+    epochs.keySet.asScala.filter(_.endsWith(s"/$topic"))
+      .toVector.foreach(epochs.remove)
+  }
+}
+
+final class GraftTopicTable(topic: String) extends Table
+    with SupportsWrite with SupportsRead {
+  require(topic != null, "graft-topic requires .option(\"topic\", ...)")
+  override def name(): String = s"graft-topic:$topic"
+  override def schema(): StructType = TopicStore.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // input frame: (key, value) — position of each in the incoming schema
+    val in = info.schema()
+    val ki = in.fieldIndex("key"); val vi = in.fieldIndex("value")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new TopicStreamingWrite(topic, info.queryId(), ki, vi)
+      }
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = TopicStore.schema
+      override def toBatch: Batch = new Batch {
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(TopicPartition(topic))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new TopicReaderFactory
+      }
+    }
+}
+
+final case class TopicPartition(topic: String) extends InputPartition
+
+final class TopicReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = TopicStore.read(p.asInstanceOf[TopicPartition].topic).iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val m = it.next()
+          cur = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(m.key), UTF8String.fromString(m.value),
+            UTF8String.fromString(m.topic), m.sequenceId))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final class TopicStreamingWrite(topic: String, queryId: String,
+    ki: Int, vi: Int) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new TopicWriterFactory(ki, vi)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // deterministic append order across retries: partition id, then the
+    // writer's buffered order
+    val rows = messages.collect { case m: TopicCommitMessage => m }
+      .sortBy(_.partitionId).toSeq.flatMap(_.rows)
+    TopicStore.commit(topic, queryId, epochId, rows)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class TopicCommitMessage(partitionId: Int,
+    rows: Seq[(String, String)]) extends WriterCommitMessage
+
+final class TopicWriterFactory(ki: Int, vi: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val rows = ArrayBuffer.empty[(String, String)]
+      override def write(r: InternalRow): Unit =
+        rows += ((if (r.isNullAt(ki)) null else r.getUTF8String(ki).toString,
+          if (r.isNullAt(vi)) null else r.getUTF8String(vi).toString))
+      override def commit(): WriterCommitMessage =
+        TopicCommitMessage(partitionId, rows.toVector)
+      override def abort(): Unit = rows.clear()
+      override def close(): Unit = ()
+    }
+}
