@@ -9,7 +9,8 @@ import java.nio.file.{Files, Paths}
 object DumpPlans {
   val headline = Seq("a1_lineitem_pricing", "j1_join_agg", "j3_join_4way",
     "t5_changelog_count", "s3_changelog_latest", "t7_window_tumbling",
-    "d4_ngram_jaccard", "e1_embed_nn", "o1_sort_limit")
+    "d4_ngram_jaccard", "d2_dedup_minhash", "e1_embed_nn", "o1_sort_limit",
+    "cdc1_source_batch")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
