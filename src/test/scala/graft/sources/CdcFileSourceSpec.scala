@@ -95,6 +95,18 @@ class CdcFileSourceSpec extends SparkSpec {
     })
   }
 
+  test("batch read splits the LSN span into parallel range readers") {
+    val log = Paths.get(tmpDir("cdclog7"), "wal.jsonl")
+    Files.write(log, golden.mkString("\n").getBytes)
+    val df = spark.read.format("graft-cdc")
+      .option("numPartitions", "3").load(log.toString)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 5) // ranges are disjoint and complete
+    import org.apache.spark.sql.functions.col
+    assert(df.select(col("lsn")).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("WalTransport seam: an in-memory transport drives the same decode path") {
     // The decoders only see the trait — proving a socket implementation
     // (walsender XLogData frames) drops in without touching the source.
