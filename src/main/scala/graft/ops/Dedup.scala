@@ -1,7 +1,15 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One per-band dedup verdict for a streaming document (4 rows per doc,
+  * one per simhash band); `isDup` = this band's bucket held a signature
+  * within the Hamming radius. A doc is a near-dup iff ANY band votes dup
+  * — all four votes for a doc land in the same micro-batch (they are
+  * exploded from one input row), so per-batch aggregation is complete. */
+final case class SimVote(docId: Long, simhash: Long, isDup: Boolean)
 
 /** Deduplication operators — the public library surface. Each takes a
   * DataFrame plus column names and returns a DataFrame; the SparkEntry
@@ -23,6 +31,56 @@ object Dedup {
       delay: String, keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming NEAR-duplicate dedup: continuous simhash dedup of a
+    * document stream. Signatures are banded exactly like the batch
+    * operator ([[simhashKept]]: 4×16-bit buckets); each bucket keeps its
+    * recent signatures as keyed state (`flatMapGroupsWithState`, ring-
+    * bounded at `bucketCap` — state is O(buckets × cap), never O(docs)),
+    * and votes dup when an incoming signature is within `maxHamming`.
+    * Aggregate votes per micro-batch with [[keptFromVotes]] inside
+    * `foreachBatch` (Spark disallows streaming aggregation after
+    * flatMapGroupsWithState; the votes of one doc never split across
+    * batches, so the batch aggregation is exact).
+    *
+    * Scale: state is partitioned by (band, bucket) across executors; a
+    * doc shuffles as 4 narrow (key, id, sig) rows. Dropped docs' sigs
+    * still enter non-matching buckets, so later arrivals dedup against
+    * them — matching the batch operator's candidate-graph semantics. */
+  def streamingSimhashVotes(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 256)(
+      implicit spark: SparkSession): Dataset[SimVote] = {
+    import spark.implicits._
+    val banded = df.select(col(idCol).cast("long").as("doc_id"),
+        expr(s"simhash64(transform(array_distinct(filter(split($textCol, ' '), " +
+          "x -> length(x) > 0)), t -> xxhash64(t)))").as("sim"))
+      .select(col("doc_id"), col("sim"), explode(expr(
+        "transform(sequence(0, 3), k -> struct(k as band, shiftright(sim, k*16) & 65535 as bucket))"))
+        .as("bb"))
+      .select(col("doc_id"), col("sim"),
+        concat_ws(":", col("bb.band"), col("bb.bucket")).as("bkey"))
+      .as[(Long, Long, String)]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[(Long, Long, String)],
+            state: GroupState[Seq[Long]]) => {
+          var seen = state.getOption.getOrElse(Vector.empty)
+          val out = it.map { case (docId, sim, _) =>
+            val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sim) <= maxHamming)
+            if (!dup) seen = (seen :+ sim).takeRight(bucketCap)
+            SimVote(docId, sim, dup)
+          }.toVector
+          state.update(seen)
+          out.iterator
+        })
+  }
+
+  /** Kept (non-near-dup) docs of one micro-batch of [[SimVote]]s. */
+  def keptFromVotes(votes: DataFrame): DataFrame =
+    votes.groupBy("docId", "simhash")
+      .agg(max(col("isDup").cast("int")).as("anyDup"))
+      .filter(col("anyDup") === 0)
+      .select(col("docId").as("doc_id"), col("simhash"))
 
   /** Exact dedup groups: one row per distinct content digest with the
     * smallest surviving id and the copy count. */

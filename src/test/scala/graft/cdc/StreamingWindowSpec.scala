@@ -178,6 +178,32 @@ class StreamingWindowSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming simhash near-dedup: cross-batch state drops repeats, keeps novel docs") {
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val votes = graft.ops.Dedup.streamingSimhashVotes(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = votes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("simdedup"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.ops.SimVote], id: Long) =>
+        val ids = graft.ops.Dedup.keptFromVotes(batch.toDF())
+          .select("doc_id").as[Long].collect()
+        kept.synchronized { kept ++= ids }
+        ()
+      }
+      .start()
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "completely different words about spark catalyst codegen and shuffles"
+    input.addData((1L, a), (2L, a), (3L, b)) // 2 is an exact near-dup of 1
+    q.processAllAvailable()
+    input.addData((4L, a), (5L, "yet another entirely novel document body here"))
+    q.processAllAvailable() // 4 dups against batch-1 STATE, 5 is novel
+    q.stop()
+    assert(kept.sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]
