@@ -38,7 +38,16 @@ object CdcQueries {
     * once, atomically, under java.io.tmpdir; returns the fixture dir.
     * Derivation is deterministic, so concurrent/repeat calls are safe. */
   def ensureFixture(spark: SparkSession, sfDir: String): String = {
-    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // Cache key includes a fingerprint of the source parquet (size+mtime,
+    // recursive for multi-file tables): regenerated test data must never
+    // hit a stale fixture — the oracle reads the live table.
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-" + java.lang.Long.toHexString(fp(src))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-fixture-$key")
     val jsonl = dir.resolve("wal.jsonl")
     val pgout = dir.resolve("wal.pgoutput")
