@@ -127,12 +127,20 @@ object Similarity {
         col("nn").as("nn_id"))
   }
 
-  /** IVF ANN: coarse quantizer from `iters` relational Lloyd iterations
-    * (deterministic seeds = first k vectors), nprobe cell probing, exact
-    * in-cell rerank. */
-  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queryPred: org.apache.spark.sql.Column, k: Int = 5,
-      clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+  /** A built IVF index: driver-side coarse-quantizer centroids plus the
+    * clustered corpus `(vec_id, cluster, v, nrm)`. Build once with
+    * [[ivfIndex]], search many times with [[ivfSearch]] — callers should
+    * `.persist()` or write out `assigned` for reuse; at corpus scale the
+    * natural layout is `assigned` partitioned (or bucketed) by cluster,
+    * so a probe touches only its nprobe cells' files. */
+  final case class IvfIndex(
+      centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
+
+  /** Builds the IVF coarse quantizer: `iters` Lloyd iterations
+    * (deterministic seeds = first `clusters` vectors) and the final
+    * cluster assignment. */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: Int = 16, iters: Int = 2): IvfIndex = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
     val vecs = corpus
@@ -177,8 +185,18 @@ object Similarity {
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Seq[Double])].collect().toSeq
     val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
-    val assigned = assign(cents).select("vec_id", "cluster", "v", "nrm")
-    val centsDf = cents.toDF("cluster", "cvec")
+    IvfIndex(cents, assign(cents).select("vec_id", "cluster", "v", "nrm"))
+  }
+
+  /** Probes the `nprobe` nearest cells per query and reranks exactly
+    * inside them. `queryPred` selects query rows from the indexed corpus
+    * (columns `vec_id`, `v`, `nrm`, `cluster`). */
+  def ivfSearch(index: IvfIndex, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, nprobe: Int = 4): DataFrame = {
+    val spark0 = index.assigned.sparkSession
+    import spark0.implicits._
+    val assigned = index.assigned
+    val centsDf = index.centroids.toDF("cluster", "cvec")
 
     val queries = assigned.filter(queryPred)
     val probeW = Window.partitionBy("q_vec_id")
@@ -201,4 +219,12 @@ object Similarity {
       .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
         col("nn").as("nn_id"))
   }
+
+  /** IVF ANN in one call: build the quantizer, then probe + rerank.
+    * Repeated query workloads should build [[ivfIndex]] once instead. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfSearch(ivfIndex(corpus, idCol, vecCol, clusters, iters),
+      queryPred, k, nprobe)
 }

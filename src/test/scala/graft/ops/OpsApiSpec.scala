@@ -64,6 +64,26 @@ class OpsApiSpec extends SparkSpec {
       .filter(col("count") =!= 3).count() == 0)
   }
 
+  test("ivfIndex builds once and serves multiple searches") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    idx.assigned.persist()
+    try {
+      assert(idx.centroids.nonEmpty && idx.centroids.forall(_._2.nonEmpty))
+      // two different query workloads against ONE index
+      val a = Similarity.ivfSearch(idx, col("vec_id") < 20, k = 5)
+      val b = Similarity.ivfSearch(idx, col("vec_id").between(20, 29), k = 3)
+      assert(a.groupBy("q_vec_id").count().filter(col("count") > 5).count() == 0)
+      assert(b.select("q_vec_id").distinct().count() == 10)
+      // and the one-shot form is the same computation
+      val oneShot = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queryPred = col("vec_id") < 20, k = 5)
+      assert(a.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(a).count() == 0)
+    } finally idx.assigned.unpersist()
+  }
+
   test("langId with a custom marker set and priority order") {
     val out = TextOps.langId(docs, "doc_id", "text", "lang",
       Seq("aa" -> Seq("zzzneverpresent"), "bb" -> Seq("alsonotpresent")))
