@@ -46,10 +46,13 @@ object CdcPipeline {
     deltas.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[CompactionDelta], _: Long) =>
+      .foreachBatch { (batch: Dataset[CompactionDelta], batchId: Long) =>
         val sums = batch.groupBy(col("schema").as("pgschema"))
           .agg(sum("delta").as("user_count"))
-        writer.writeBatch(sums, factory)
+        // batchId → per-partition ledger claim: a retried micro-batch
+        // whose writes already committed is skipped, keeping the
+        // additive merge exactly-once.
+        writer.writeBatch(sums, factory, batchId)
       }
       .start()
   }

@@ -55,30 +55,56 @@ object Sinks {
         s"ON CONFLICT ($pk) DO UPDATE SET $sets"
     }
 
+    /** Ledger insert claiming (batchId, partitionId); applied inside the
+      * data transaction, so "claimed" and "written" are atomic. */
+    def ledgerSql: String =
+      s"INSERT INTO ${table}__batches (batch_key) VALUES (?) " +
+        "ON CONFLICT (batch_key) DO NOTHING"
+
     /** Distributed upsert of `batch`: one connection + transaction per
-      * partition, `executeBatch` every `batchSize` rows. */
-    def writeBatch(batch: DataFrame, factory: ConnectionFactory): Unit = {
+      * partition, `executeBatch` every `batchSize` rows.
+      *
+      * Pass the `foreachBatch` micro-batch id as `batchId` to make the
+      * write EXACTLY-ONCE under retries: each partition first claims
+      * (batchId, partitionId) in a ledger table inside the same
+      * transaction; a replayed partition whose claim already exists
+      * (data committed, checkpoint didn't advance before the crash)
+      * skips — the standard idempotent-foreachBatch recipe. Required for
+      * additive merge, where blind re-application would double-count;
+      * replace merge is idempotent by PK and may omit it. */
+    def writeBatch(batch: DataFrame, factory: ConnectionFactory,
+        batchId: Long = -1L): Unit = {
       val cols = columns
       val sql = upsertSql
+      val ledger = ledgerSql
       val bs = batchSize
       batch.select(cols.map(col): _*).foreachPartition { rows: Iterator[Row] =>
         if (rows.hasNext) {
           val conn = factory.connect()
           try {
             conn.setAutoCommit(false)
-            val st = conn.prepareStatement(sql)
-            try {
-              var n = 0
-              rows.foreach { r =>
-                var i = 0
-                while (i < cols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
-                st.addBatch()
-                n += 1
-                if (n % bs == 0) st.executeBatch()
-              }
-              st.executeBatch()
-              conn.commit()
-            } finally st.close()
+            val claimed = batchId < 0 || {
+              val ls = conn.prepareStatement(ledger)
+              try {
+                ls.setObject(1, s"$batchId/${org.apache.spark.TaskContext.getPartitionId()}")
+                ls.executeUpdate() == 1 // 0 = already applied → skip
+              } finally ls.close()
+            }
+            if (claimed) {
+              val st = conn.prepareStatement(sql)
+              try {
+                var n = 0
+                rows.foreach { r =>
+                  var i = 0
+                  while (i < cols.length) { st.setObject(i + 1, r.get(i)); i += 1 }
+                  st.addBatch()
+                  n += 1
+                  if (n % bs == 0) st.executeBatch()
+                }
+                st.executeBatch()
+              } finally st.close()
+            }
+            conn.commit()
           } catch {
             case e: Throwable =>
               try conn.rollback() catch { case _: Throwable => () }
@@ -136,11 +162,50 @@ object Sinks {
         Array[Class[_]](classOf[Connection]), handler).asInstanceOf[Connection]
     }
 
-    // The statement interprets the exact SQL shape UpsertWriter renders.
+    // The statements interpret the exact SQL shapes UpsertWriter renders.
     private val UpsertRe =
       """INSERT INTO (\S+) \(([^)]+)\) VALUES \([?, ]+\) ON CONFLICT \((\w+)\) DO UPDATE SET (.+)""".r
+    private val InsertIgnoreRe =
+      """INSERT INTO (\S+) \((\w+)\) VALUES \(\?\) ON CONFLICT \(\w+\) DO NOTHING""".r
 
-    private def newStatement(ns: String, sql: String): PreparedStatement = {
+    private def newStatement(ns: String, sql: String): PreparedStatement =
+      sql match {
+        case InsertIgnoreRe(t, c) => newInsertIgnore(ns, t, c, sql)
+        case _ => newUpsert(ns, sql)
+      }
+
+    /** Ledger claim: executeUpdate returns 1 on first insert, 0 when the
+      * key already exists (the DO NOTHING contract the writer tests). */
+    private def newInsertIgnore(ns: String, tableName: String, colName: String,
+        sql: String): PreparedStatement = {
+      val target = table(ns, tableName)
+      val params = new java.util.HashMap[Int, Any]()
+      val handler = new InvocationHandler {
+        override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case n if n.startsWith("set") && args != null && args.length >= 2 &&
+                args(0).isInstanceOf[java.lang.Integer] =>
+              params.put(args(0).asInstanceOf[java.lang.Integer].intValue(),
+                args(1)); null
+            case "executeUpdate" =>
+              val key = String.valueOf(params.get(1))
+              target.synchronized {
+                if (target.snapshot.contains(key)) Int.box(0)
+                else { target.upsert(key, Map(colName -> key)); Int.box(1) }
+              }
+            case "isClosed" => java.lang.Boolean.FALSE
+            case "toString" => s"MemoryDb($ns).prepare($sql)"
+            case "hashCode" => Int.box(System.identityHashCode(proxy))
+            case "equals" => Boolean.box(proxy eq args(0))
+            case _ => null
+          }
+      }
+      Proxy.newProxyInstance(classOf[PreparedStatement].getClassLoader,
+        Array[Class[_]](classOf[PreparedStatement]), handler)
+        .asInstanceOf[PreparedStatement]
+    }
+
+    private def newUpsert(ns: String, sql: String): PreparedStatement = {
       val (tableName, cols, pk, additiveCols) = sql match {
         case UpsertRe(t, collist, pkCol, sets) =>
           val cs = collist.split(",").map(_.trim).toSeq

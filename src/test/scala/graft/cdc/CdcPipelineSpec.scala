@@ -174,6 +174,24 @@ class CdcPipelineSpec extends SparkSpec {
       Map("schema0" -> 3L, "schema1" -> 0L))
   }
 
+  test("K2 batch ledger: a retried micro-batch is not double-added") {
+    val ns = s"k2led-${java.util.UUID.randomUUID()}"
+    val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
+      Seq("pgschema", "user_count"), additive = Set("user_count"))
+    assert(w.ledgerSql ==
+      "INSERT INTO user_count_by_pgschema__batches (batch_key) VALUES (?) " +
+        "ON CONFLICT (batch_key) DO NOTHING")
+    val factory = Sinks.MemoryDb.factory(ns)
+    val target = Sinks.MemoryDb.table(ns, "user_count_by_pgschema")
+    val d = spark.createDataFrame(Seq(("schema1", 2L))).coalesce(1)
+      .toDF("pgschema", "user_count")
+    w.writeBatch(d, factory, batchId = 7L)
+    w.writeBatch(d, factory, batchId = 7L) // foreachBatch retry → claimed → skip
+    assert(target.snapshot("schema1")("user_count") == 2L)
+    w.writeBatch(d, factory, batchId = 8L) // genuinely new batch → applies
+    assert(target.snapshot("schema1")("user_count") == 4L)
+  }
+
   test("schema evolution: extra source columns flow through untouched (reference TODO, CustomJob.java:200)") {
     // The reference explicitly left schema changes untested. Our envelope
     // carries row images as string maps, so new source columns appear in
