@@ -18,7 +18,8 @@ object GraftFunctions {
     "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1)))),
     "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
-      SortedIntersectCount(es(0), es(1)))
+      SortedIntersectCount(es(0), es(1))),
+    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1))))
   )
 
   private def litInt(e: Expression): Int = e match {

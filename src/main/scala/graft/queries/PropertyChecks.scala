@@ -93,6 +93,32 @@ object PropertyChecks {
       Similarity.ivfTopK(spark.table("embeddings"), "vec_id", "embedding",
         queryPred = col("vec_id") < 20, k = 5, nprobe = 8)),
 
+    // Misra–Gries guarantee: every token with true frequency > n/(k+1)
+    // must appear in the k-counter summary (mergeable-summaries bound,
+    // which holds under Spark's partial-aggregation merge tree). DuckDB
+    // computes the true heavy-hitter set exactly; missing = 0.
+    QueryDef.views("hh1_heavy_hitters",
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |                            x -> len(x) > 0)) AS word FROM documents),
+        |     t AS (SELECT count(*) AS total FROM tok),
+        |     h AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+        |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
+        |       CAST(0 AS BIGINT) AS n_missing""".stripMargin) { spark =>
+      val tok = spark.table("documents")
+        .select(explode(expr(
+          "filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val sketch = tok.agg(expr("mg_topk(word, 16)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("word"))
+      val trueHh = tok.groupBy("word").agg(count(lit(1)).as("c"))
+        .crossJoin(tok.agg(count(lit(1)).as("total")))
+        .filter(col("c") * 17 > col("total"))
+        .select("word")
+      trueHh.agg(count(lit(1)).as("n_true_hh"))
+        .crossJoin(trueHh.join(sketch, Seq("word"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+    },
+
     QueryDef.views("hll1x_sketch_error",
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       CAST(0 AS BIGINT) AS n_hll_violations,

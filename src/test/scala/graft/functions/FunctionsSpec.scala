@@ -112,6 +112,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[String](7) == Seq("solo")) // short-doc fallback
   }
 
+  test("mg_topk: exact below k; heavy hitters survive above k") {
+    // below k counters: exact item counts, ordered by weight desc
+    val small = registered.createDataset(
+      Seq("a", "a", "a", "b", "b", "c")).toDF("v")
+    val got = small.selectExpr("mg_topk(v, 8) AS s")
+      .selectExpr("explode(s) AS e").selectExpr("e.item", "e.weight")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+
+    // above k: an item with freq > n/(k+1) is guaranteed present even
+    // though the summary holds only k=4 counters for 100 distinct tails
+    val skewed = registered.createDataset(
+      (1 to 300).map(_ => "hot") ++ (1 to 100).map(i => s"cold$i"))
+      .toDF("v").repartition(8) // force partial buffers + merges
+    val items = skewed.selectExpr("mg_topk(v, 4) AS s")
+      .selectExpr("explode(s) AS e").selectExpr("e.item")
+      .as[String].collect().toSet
+    assert(items.contains("hot"))
+    assert(items.size <= 4)
+  }
+
   test("kmv_distinct: exact below k, bounded error above k") {
     GraftFunctions.register(spark)
     graft.Tables.registerAll(spark, "/root/testdata/sf0.01")
