@@ -220,6 +220,22 @@ object Similarity {
         col("nn").as("nn_id"))
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * scale = max|v| / 127, q_d = round(v_d / scale) ∈ [-127, 127] — the
+    * 4× storage/bandwidth reduction step before writing an embedding
+    * corpus out (reconstruction v̂ = q·scale, |v̂-v| ≤ scale/2). Pure
+    * projection (scan-local, codegen'd); emits (vec_id, scale, q). An
+    * all-zero vector quantizes to zeros with scale 0. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("scale",
+        expr("array_max(transform(v, x -> abs(x)))") / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> CASE WHEN scale = 0.0D THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(round(x / scale) AS BIGINT) END)"))
+      .select("vec_id", "scale", "q")
+
   /** IVF ANN in one call: build the quantizer, then probe + rerank.
     * Repeated query workloads should build [[ivfIndex]] once instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -11,6 +11,34 @@ object TextOps {
   private def toks(textCol: String) =
     expr(s"filter(split($textCol, ' '), x -> length(x) > 0)")
 
+  /** Context-window chunking: split each document into fixed-size
+    * character chunks with `overlap` chars shared between neighbors —
+    * the pre-tokenization packing step of a training pipeline. Emits
+    * (doc_id, chunk_idx, chunk_start [1-based], chunk_len, chunk_text);
+    * a doc shorter than `size` yields exactly one chunk. Scan-local
+    * (generate + substring, no shuffle); at corpus scale the explode
+    * multiplies rows before any exchange, so downstream ops see chunk
+    * granularity without a second pass over the text. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 512, overlap: Int = 64): DataFrame = {
+    require(size > overlap && overlap >= 0,
+      s"chunk: need size > overlap >= 0, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).cast("bigint").as("__n"))
+      .withColumn("__nc", expr(
+        s"CASE WHEN __n <= $size THEN CAST(1 AS BIGINT) " +
+          s"ELSE 1 + (__n - $size + $stride - 1) div $stride END"))
+      .select(col("doc_id"), col("__t"), col("__n"),
+        explode(expr("sequence(CAST(0 AS BIGINT), __nc - 1)")).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * stride + 1)
+      .withColumn("chunk_len",
+        least(lit(size.toLong), col("__n") - col("chunk_idx") * stride))
+      .withColumn("chunk_text",
+        expr(s"substring(__t, chunk_start, $size)"))
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
+  }
+
   /** Marker-token language-ID scores + deterministic argmax prediction.
     * `markers` maps language code → marker words, in priority order for
     * ties (first wins). */

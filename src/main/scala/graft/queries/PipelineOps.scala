@@ -316,6 +316,55 @@ object PipelineOps {
         .orderBy("label", "dim")
     },
 
+    // Context-window chunking (size=256 chars, overlap=32): the packing
+    // step before tokenization. Integer chunk geometry + chunk md5 are
+    // exact on both engines.
+    QueryDef.views("ch1_chunk_docs",
+      """WITH d AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n
+        |           FROM documents),
+        |     c AS (SELECT doc_id, text, n,
+        |             CASE WHEN n <= 256 THEN CAST(1 AS BIGINT)
+        |                  ELSE 1 + (n - 256 + 223) // 224 END AS nc
+        |           FROM d),
+        |     e AS (SELECT doc_id, text, n,
+        |             unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, i AS chunk_idx, i * 224 + 1 AS chunk_start,
+        |       least(CAST(256 AS BIGINT), n - i * 224) AS chunk_len,
+        |       md5(substring(text, i * 224 + 1, 256)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin) { spark =>
+      TextOps.chunk(spark.table("documents"), "doc_id", "text",
+          size = 256, overlap = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Int8 embedding quantization: per-vector symmetric scale, integer
+    // codes exact cross-engine (identical IEEE division + half-away
+    // rounding); scale emitted as the 2^20-scaled integer per the
+    // determinism contract.
+    QueryDef.views("qz1_quantize_int8",
+      """WITH v AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     s AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |           FROM v),
+        |     e AS (SELECT vec_id, scale, unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS dim FROM s)
+        |SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+        |       CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(round(x / scale) AS BIGINT) END AS q,
+        |       CAST(floor(scale * 1048576) AS BIGINT) AS scale_scaled
+        |FROM e ORDER BY vec_id, dim""".stripMargin) { spark =>
+      Similarity.quantizeInt8(spark.table("embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("q")).as(Seq("dim", "q")))
+        .select(col("vec_id"), col("dim").cast("bigint").as("dim"), col("q"),
+          floor(col("scale") * 1048576).cast("bigint").as("scale_scaled"))
+        .orderBy("vec_id", "dim")
+    },
+
     // Sketch aggregation: built-in HLL + graft's native KMV sketch
     // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
     // side with the exact count. Rows-only (engine-specific sketches).

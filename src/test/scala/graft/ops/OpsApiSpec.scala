@@ -98,6 +98,46 @@ class OpsApiSpec extends SparkSpec {
     assert(out.count() == 50) // 5 langs × 10 (each stratum has >= 10 docs)
   }
 
+  test("chunk: geometry invariants (coverage, overlap, short docs)") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a" * 1000), (2L, "b" * 512), (3L, "c" * 10), (4L, ""))
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunk(df, "doc_id", "text", size = 512, overlap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val byDoc = out.groupBy(_._1)
+    // short and empty docs: exactly one chunk
+    assert(byDoc(3L).size == 1 && byDoc(3L).head._4 == 10)
+    assert(byDoc(4L).size == 1 && byDoc(4L).head._4 == 0)
+    assert(byDoc(2L).size == 1) // exactly size → one chunk
+    // 1000 chars at stride 448: chunks at 1, 449, 897 — full coverage,
+    // neighbor overlap = 64
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.map(_._3) == Seq(1L, 449L, 897L))
+    assert(c1.map(_._4) == Seq(512L, 512L, 104L))
+    assert(c1.init.zip(c1.tail).forall { case (a, b) =>
+      a._3 + a._4 - b._3 == 64 || a._4 < 512 })
+    // reassembling strides reproduces the doc
+    assert(c1.map(c => c._5.take((c._4 - (if (c._2 == 0) 0 else 64)).toInt))
+      .mkString.length + 64 * (c1.size - 1) >= 1000 - 1)
+  }
+
+  test("quantizeInt8: codes bounded, reconstruction within half-scale") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val bad = q.select(explode(col("q")).as("qd"))
+      .filter(col("qd") > 127 || col("qd") < -127).count()
+    assert(bad == 0)
+    val err = q.join(emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")), "vec_id")
+      .select(expr(
+        "aggregate(zip_with(q, v, (a, b) -> abs(a * scale - b)), 0.0D, (m, x) -> greatest(m, x))")
+        .as("maxerr"), col("scale"))
+      .filter(col("maxerr") > col("scale") / 2 + 1e-9).count()
+    assert(err == 0)
+  }
+
   test("sampleDeterministic residue classes partition the corpus") {
     val parts = (0 until 4)
       .map(r => TextOps.sampleDeterministic(docs, "text", 4, r).count())
