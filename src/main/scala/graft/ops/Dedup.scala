@@ -173,6 +173,59 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
+  /** Duplicate clustering: connected components over an undirected
+    * similar-pair graph (e.g. [[jaccardPairs]] output) by min-label
+    * propagation — every node ends up labeled with the smallest doc id
+    * reachable from it, so "keep one per cluster" = keep rows where
+    * doc_id = cluster_id. Returns (doc_id, cluster_id) for every node
+    * with at least one edge.
+    *
+    * Iterative: each round joins labels across edges and takes the
+    * neighborhood minimum, converging in O(component diameter) rounds
+    * (dup clusters are shallow — near-dup graphs converge in a handful).
+    * Labels are `localCheckpoint`ed per round to truncate lineage (the
+    * label table is O(nodes in the dup graph), the standard iterative-
+    * graph trade also made by k-means/GraphX); the convergence probe is
+    * an aggregate count, not a data collect. */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // Edges partitioned ONCE on the lookup key: every iteration's join
+    // exchanges only the (small, freshly-aggregated) label side.
+    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .repartition(col("b"))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jumping: lbl := label(lbl) — label values are node ids,
+      // so one extra self-join halves the remaining chain length each
+      // round (O(log diameter) rounds instead of O(diameter))
+      val updated = stepped
+        .join(stepped.select(col("node").as("lbl"), col("lbl").as("ll")),
+          Seq("lbl"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
+          (least(col("lbl"), coalesce(col("ll"), col("lbl"))) < col("prev"))
+            .as("moved"))
+        .localCheckpoint()
+      // convergence probe on the just-materialized partitions — cheap
+      changed = updated.filter(col("moved")).count()
+      labels = updated.drop("moved")
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Exact token-set Jaccard pairs above `threshold` tenths, blocked by
     * (strata, token-count bucket), candidates by PREFIX FILTERING:
     *

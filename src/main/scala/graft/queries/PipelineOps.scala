@@ -63,6 +63,38 @@ object PipelineOps {
         .orderBy("doc_id_a", "doc_id_b")
     },
 
+    // Duplicate clustering: connected components over the exact-Jaccard
+    // pair graph (min-reachable-id labels). Oracle = recursive CTE over
+    // the identical edge set — DuckDB walks the graph, Spark label-
+    // propagates; both must land on the same component minima.
+    QueryDef.views("cc1_dup_clusters",
+      """WITH RECURSIVE
+        |  t AS (SELECT doc_id, lang,
+        |          list_distinct(list_filter(string_split(text, ' '),
+        |                                    x -> len(x) > 0)) AS w
+        |        FROM documents),
+        |  tt AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS nw,
+        |           CAST(floor(len(w) / 8) AS BIGINT) AS bucket FROM t),
+        |  p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |          CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS inter,
+        |          a.nw + b.nw AS s
+        |        FROM tt a JOIN tt b ON a.lang = b.lang
+        |          AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |  pairs AS (SELECT da, db FROM p WHERE inter * 10 >= (s - inter) * 9),
+        |  edges AS (SELECT da AS a, db AS b FROM pairs
+        |            UNION SELECT db, da FROM pairs),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e.a, w2.lbl FROM edges e JOIN walk w2 ON e.b = w2.node)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin) { spark =>
+      val pairs = Dedup.jaccardPairs(spark.table("documents"),
+        "doc_id", "lang", "text")
+      Dedup.dupClusters(pairs, "doc_id_a", "doc_id_b")
+        .orderBy("doc_id")
+    },
+
     // Word-set dedup groups (Jaccard = 1.0 tier).
     QueryDef.views("d5_wordset_dedup",
       """SELECT md5(array_to_string(list_sort(list_distinct(

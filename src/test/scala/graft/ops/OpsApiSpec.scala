@@ -98,6 +98,17 @@ class OpsApiSpec extends SparkSpec {
     assert(out.count() == 50) // 5 langs × 10 (each stratum has >= 10 docs)
   }
 
+  test("dupClusters: chains collapse to the component minimum") {
+    // path 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // pair (8,9), singleton-free by construction
+    val edges = spark.createDataFrame(Seq(
+      (2L, 3L), (1L, 2L), (3L, 4L), (8L, 9L))).toDF("x", "y")
+    val got = Dedup.dupClusters(edges, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("chunk: geometry invariants (coverage, overlap, short docs)") {
     val df = spark.createDataFrame(Seq(
       (1L, "a" * 1000), (2L, "b" * 512), (3L, "c" * 10), (4L, ""))
