@@ -39,6 +39,51 @@ object TextOps {
       .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_text")
   }
 
+  /** Pattern redaction for curation (PII-style scrubbing): replaces
+    * every match of each (tag, regex) with `[TAG]` and counts the
+    * redactions per tag. Patterns must stay in the RE2-compatible subset
+    * so behavior is identical across engines. Scan-local. */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    val redacted = patterns.foldLeft(col(textCol)) { case (c, (tag, re)) =>
+      regexp_replace(c, re, s"[${tag.toUpperCase}]")
+    }
+    val counts = patterns.map { case (tag, re) =>
+      // Column-form regexp (no SQL-literal escaping of \b etc.)
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("bigint").as(s"n_$tag")
+    }
+    df.select(col(idCol).as("doc_id") +: redacted.as("redacted_text") +:
+      counts: _*)
+  }
+
+  /** Deterministic train/val/test assignment by content hash: split is a
+    * pure function of the text (reproducible across runs and engines,
+    * stable under re-partitioning — the property row-number splits
+    * lack). Weights are per-mille [train, val, test]. The per-mille
+    * bucket is the first 5 md5 hex chars read base-16, expressed with
+    * instr/substring only so the same SQL fragment evaluates identically
+    * in any dialect. */
+  def assignSplit(df: DataFrame, idCol: String, textCol: String,
+      trainPm: Int = 900, valPm: Int = 50): DataFrame = {
+    require(trainPm + valPm < 1000, "train + val must leave room for test")
+    df.select(col(idCol).as("doc_id"),
+        expr(pmBucketSql(s"md5($textCol)")).as("pm_bucket"))
+      .withColumn("split",
+        when(col("pm_bucket") < trainPm, "train")
+          .when(col("pm_bucket") < trainPm + valPm, "val")
+          .otherwise("test"))
+  }
+
+  /** Dialect-portable per-mille bucket of a lowercase-hex expression. */
+  def pmBucketSql(hexExpr: String): String = {
+    val digit = (i: Int) =>
+      s"(instr('0123456789abcdef', substring($hexExpr, $i, 1)) - 1)"
+    val value = (1 to 5).map(i =>
+      s"${digit(i)} * ${math.pow(16, 5 - i).toLong}").mkString(" + ")
+    s"CAST(($value) % 1000 AS BIGINT)"
+  }
+
   /** Marker-token language-ID scores + deterministic argmax prediction.
     * `markers` maps language code → marker words, in priority order for
     * ties (first wins). */

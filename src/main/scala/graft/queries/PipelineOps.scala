@@ -306,6 +306,36 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Pattern redaction (PII-style scrub): stopword-class tags replaced
+    // with [TAG]; digests + per-tag counts exact cross-engine (RE2-safe
+    // patterns; DuckDB needs the 'g' flag Spark implies).
+    QueryDef.views("rd1_redact",
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text, '\b(the|and|of)\b', '[STOP]', 'g'),
+        |      '[0-9]+', '[NUM]', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of)\b', 0)) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_num
+        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.redact(spark.table("documents"), "doc_id", "text",
+          Seq("stop" -> "\\b(the|and|of)\\b", "num" -> "[0-9]+"))
+        .select(col("doc_id"), md5(col("redacted_text")).as("redacted_md5"),
+          col("n_stop"), col("n_num"))
+        .orderBy("doc_id")
+    },
+
+    // Content-hash train/val/test assignment (900/50/50 per-mille): the
+    // bucket formula is dialect-portable (instr + substring over the md5
+    // hex), so the oracle runs the very same expression.
+    QueryDef.views("sp1_split_assign",
+      s"""SELECT doc_id, ${TextOps.pmBucketSql("md5(text)")} AS pm_bucket,
+         |  CASE WHEN ${TextOps.pmBucketSql("md5(text)")} < 900 THEN 'train'
+         |       WHEN ${TextOps.pmBucketSql("md5(text)")} < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.assignSplit(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Deterministic content-hash sampling.
     QueryDef.views("sm1_det_sample",
       """SELECT doc_id, lang FROM documents
