@@ -276,23 +276,6 @@ object Relational {
         .orderBy("o_orderstatus", "rnk")
     },
 
-    // Text normalization pipeline step: lowercase, strip punctuation,
-    // collapse whitespace — then a portable digest of the result.
-    QueryDef.views("x5_normalize",
-      """SELECT doc_id,
-        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |                ' +', ' ', 'g'))) AS norm_hash,
-        |       CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-        |                ' +', ' ', 'g'))) AS BIGINT) AS norm_len
-        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      spark.table("documents").select(
-          col("doc_id"), md5(norm).as("norm_hash"),
-          length(norm).cast("bigint").as("norm_len"))
-        .orderBy("doc_id")
-    },
-
     // Global sort + limit (TakeOrderedAndProject — no full sort at scale).
     QueryDef.views("o1_sort_limit",
       """SELECT o_orderkey, o_totalprice AS total,
