@@ -149,6 +149,33 @@ class OpsApiSpec extends SparkSpec {
     assert(err == 0)
   }
 
+  test("redact: custom patterns scrub and count independently") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "mail me at bob@example.com or sue@test.org, code 12345"),
+      (2L, "nothing sensitive here"))).toDF("doc_id", "text")
+    val out = TextOps.redact(df, "doc_id", "text", Seq(
+        "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+        "num" -> "[0-9]+"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(out(0)._2 == "mail me at [EMAIL] or [EMAIL], code [NUM]")
+    assert(out(0)._3 == 2 && out(0)._4 == 1)
+    assert(out(1)._2 == "nothing sensitive here" &&
+      out(1)._3 == 0 && out(1)._4 == 0)
+  }
+
+  test("assignSplit: deterministic, complete, and roughly weight-shaped") {
+    val out = TextOps.assignSplit(docs, "doc_id", "text", 800, 100)
+    val byCat = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCat.values.sum == docs.count())
+    // 500 docs at 800/100/100 per-mille — generous tolerance bands
+    assert(byCat("train") > 300 && byCat("val") > 10 && byCat("test") > 10)
+    // pure function of content: re-running yields identical assignment
+    val again = TextOps.assignSplit(docs, "doc_id", "text", 800, 100)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
   test("sampleDeterministic residue classes partition the corpus") {
     val parts = (0 until 4)
       .map(r => TextOps.sampleDeterministic(docs, "text", 4, r).count())
