@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => rstreaming}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -89,7 +90,8 @@ final class GraftTopicTable(topic: String) extends Table
   override def name(): String = s"graft-topic:$topic"
   override def schema(): StructType = TopicStore.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ).asJava
+    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // input frame: (key, value) — position of each in the incoming schema
@@ -112,7 +114,62 @@ final class GraftTopicTable(topic: String) extends Table
         override def createReaderFactory(): PartitionReaderFactory =
           new TopicReaderFactory
       }
+      override def toMicroBatchStream(
+          checkpointLocation: String): rstreaming.MicroBatchStream =
+        new TopicMicroBatchStream(topic)
     }
+}
+
+/** Dense sequence ids double as the stream offset (messages-consumed
+  * watermark) — the upsert-source half of the reference's Pulsar round
+  * trip: a topic written by the K1 sink streams back incrementally and
+  * feeds changelog compaction (latest sequenceId per key wins). */
+final case class TopicOffset(seq: Long)
+    extends rstreaming.Offset {
+  override def json(): String = seq.toString
+}
+
+final class TopicMicroBatchStream(topic: String)
+    extends rstreaming.MicroBatchStream {
+  
+  override def initialOffset(): rstreaming.Offset = TopicOffset(0L)
+  override def latestOffset(): rstreaming.Offset =
+    TopicOffset(TopicStore.read(topic).size.toLong)
+  override def planInputPartitions(start: rstreaming.Offset, end: rstreaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TopicOffset].seq
+    val e = end.asInstanceOf[TopicOffset].seq
+    if (e <= s) Array.empty else Array(TopicRangePartition(topic, s, e))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TopicRangeReaderFactory
+  override def deserializeOffset(json: String): rstreaming.Offset = TopicOffset(json.toLong)
+  override def commit(end: rstreaming.Offset): Unit = () // broker-ack analog
+  override def stop(): Unit = ()
+}
+
+final case class TopicRangePartition(topic: String, startSeq: Long,
+    endSeq: Long) extends InputPartition
+
+final class TopicRangeReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[TopicRangePartition]
+    val it = TopicStore.read(r.topic)
+      .filter(m => m.sequenceId >= r.startSeq && m.sequenceId < r.endSeq)
+      .iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val m = it.next()
+          cur = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(m.key), UTF8String.fromString(m.value),
+            UTF8String.fromString(m.topic), m.sequenceId))
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class TopicPartition(topic: String) extends InputPartition

@@ -62,6 +62,47 @@ class GraftTopicSpec extends SparkSpec {
       "schema1|2" -> "anne smith"))
   }
 
+  test("S3 live: topic streams back incrementally into compaction") {
+    TopicStore.clear("live-topic")
+    val input = MemoryStream[CdcEnvelope]
+    // producer: CDC -> keyed JSON -> topic sink
+    val producer = CdcPipeline.usersTopicFrame(input.toDS())
+      .writeStream.format("graft-topic").option("topic", "live-topic")
+      .option("checkpointLocation", tmpDir("live-prod"))
+      .start()
+    // consumer: the written topic as a STREAM -> latest-per-key counts
+    val latest = spark.readStream.format("graft-topic")
+      .option("topic", "live-topic").load()
+      .select(col("key"), col("sequenceId"),
+        get_json_object(col("value"), "$.op").as("op"))
+    val consumer = latest.writeStream
+      .outputMode("append")
+      .format("memory").queryName("live_feed")
+      .option("checkpointLocation", tmpDir("live-cons"))
+      .start()
+
+    input.addData(Seq(
+      users(1, "c", "schema1", 1, "susan smith"),
+      users(2, "c", "schema1", 2, "anne smith")))
+    producer.processAllAvailable()
+    consumer.processAllAvailable()
+    assert(spark.table("live_feed").count() == 2)
+
+    input.addData(Seq(users(3, "d", "schema1", 2, null)))
+    producer.processAllAvailable()
+    consumer.processAllAvailable() // only the NEW sequence id arrives
+    producer.stop(); consumer.stop()
+
+    val feed = spark.table("live_feed")
+      .select("key", "sequenceId", "op")
+      .as[(String, Long, String)].collect().sortBy(_._2).toSeq
+    assert(feed.map(_._2) == Seq(0L, 1L, 2L)) // incremental, no replays
+    // upsert view over the feed: delete removes schema1|2
+    val live = feed.groupBy(_._1).map { case (k, rows) => k -> rows.last._3 }
+      .filter(_._2 != "d").keys.toSet
+    assert(live == Set("schema1|1"))
+  }
+
   test("epoch replay is dropped: sink commit is idempotent per (query, epoch)") {
     TopicStore.clear("replay-topic")
     TopicStore.commit("replay-topic", "q1", 0L, Seq(("k1", "v1")))
