@@ -127,6 +127,53 @@ object Similarity {
         col("nn").as("nn_id"))
   }
 
+  /** Above this cluster count, [[clusterAssignment]] switches from k inlined
+    * per-centroid literal arrays (maximally codegen-friendly, but the
+    * generated expression grows as k×dims and trips JVM/codegen method-size
+    * limits around a few hundred centroids) to a single constant
+    * centroid-table reference (size-independent codegen). */
+  private[graft] val LiteralAssignMaxK = 64
+
+  /** Nearest-centroid assignment as ONE projection over the corpus — no
+    * crossJoin row blow-up, no groupBy(vec_id) re-shuffle of the vectors
+    * per Lloyd iteration, at ANY k. Ties break toward the smaller cluster
+    * id (max of (score, -cluster)), matching the relational max_by
+    * formulation. Expects columns `v` (array<double>) and `nrm`.
+    *
+    * Two codegen strategies, same semantics (a spec pins identical
+    * assignments at k=16):
+    *  - small k (≤ [[LiteralAssignMaxK]]): per-centroid SQL literal arrays,
+    *    k inlined `vec_dot` calls — the tightest code Tungsten can emit;
+    *  - large k: the whole centroid table as ONE `typedlit` constant
+    *    (array<struct<cid, cvec>>) + `transform`/`array_max` argmax. A
+    *    complex-typed literal is codegen'd as a reference object, so the
+    *    generated method stays O(1) in k while the runtime loop is the
+    *    same O(k·dims) dot products. The constant rides the task binary,
+    *    which Spark itself broadcasts per stage — this beats a
+    *    broadcast-join + partial-agg argmin, which would re-shuffle the
+    *    corpus (vec payloads) on vec_id every Lloyd iteration: the exact
+    *    pattern the projection design exists to avoid. */
+  private[graft] def clusterAssignment(cents: Seq[(Int, Seq[Double])],
+      forceConstPath: Boolean = false): org.apache.spark.sql.Column = {
+    if (!forceConstPath && cents.size <= LiteralAssignMaxK) {
+      val scored = cents.sortBy(_._1).map { case (cid, cv) =>
+        // 'D' suffix: SQL decimal literals would otherwise parse as
+        // DECIMAL; Double.toString round-trips exactly
+        val arr = cv.map(d => java.lang.Double.toString(d) + "D").mkString(",")
+        struct((expr(s"vec_dot(v, array($arr))") / col("nrm")).as("score"),
+          lit(-cid).as("negc"))
+      }
+      (-array_max(array(scored: _*)).getField("negc")).cast("int")
+    } else {
+      val centsLit = typedlit(cents.sortBy(_._1))
+      val scored = transform(centsLit, c => struct(
+        (call_function("vec_dot", col("v"), c.getField("_2")) / col("nrm"))
+          .as("score"),
+        (-c.getField("_1")).as("negc")))
+      (-array_max(scored).getField("negc")).cast("int")
+    }
+  }
+
   /** A built IVF index: driver-side coarse-quantizer centroids plus the
     * clustered corpus `(vec_id, cluster, v, nrm)`. Build once with
     * [[ivfIndex]], search many times with [[ivfSearch]] — callers should
@@ -149,24 +196,8 @@ object Similarity {
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .select("vec_id", "v", "nrm")
 
-    // Centroids are k small rows — they live on the driver as literals, so
-    // assigning a row to its nearest centroid is ONE projection over the
-    // corpus (k codegen'd vec_dot calls + an array argmax): no crossJoin
-    // row blow-up, no groupBy(vec_id) re-shuffle of the vectors per Lloyd
-    // iteration. Ties break toward the smaller cluster id (max of
-    // (score, -cluster)), matching the relational max_by formulation.
-    def argmaxCluster(cents: Seq[(Int, Seq[Double])]) = {
-      val scored = cents.sortBy(_._1).map { case (cid, cv) =>
-        // 'D' suffix: SQL decimal literals would otherwise parse as
-        // DECIMAL; Double.toString round-trips exactly
-        val arr = cv.map(d => java.lang.Double.toString(d) + "D").mkString(",")
-        struct((expr(s"vec_dot(v, array($arr))") / col("nrm")).as("score"),
-          lit(-cid).as("negc"))
-      }
-      (-array_max(array(scored: _*)).getField("negc")).cast("int")
-    }
     def assign(cents: Seq[(Int, Seq[Double])]) =
-      vecs.withColumn("cluster", argmaxCluster(cents))
+      vecs.withColumn("cluster", clusterAssignment(cents))
 
     // Recentering is the one genuine aggregation per iteration (partial
     // agg on (cluster, dim)); its k×dims result is collected (k-means on

@@ -84,6 +84,43 @@ class OpsApiSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("IVF const-path assignment is identical to the literal path at k=16") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding") // k=16: literal
+    assert(idx.centroids.size <= Similarity.LiteralAssignMaxK)
+    val vecs = idx.assigned.select("vec_id", "v", "nrm")
+    val both = vecs
+      .withColumn("lit_c", Similarity.clusterAssignment(idx.centroids))
+      .withColumn("const_c",
+        Similarity.clusterAssignment(idx.centroids, forceConstPath = true))
+    assert(both.filter(col("lit_c") =!= col("const_c")).count() == 0)
+    // and the literal-path assignment already stored in the index agrees
+    val joined = idx.assigned.select(col("vec_id"), col("cluster"))
+      .join(both.select(col("vec_id"), col("const_c")), "vec_id")
+    assert(joined.filter(col("cluster") =!= col("const_c")).count() == 0)
+  }
+
+  test("IVF large-k index (k > LiteralAssignMaxK) builds and searches") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    // k=100 > 64 exercises the constant-centroid-table codegen path that a
+    // 100-TB coarse quantizer (k in the thousands) requires
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      clusters = 100, iters = 1)
+    idx.assigned.persist()
+    try {
+      assert(idx.centroids.size == 100)
+      // every vector lands in a valid cell
+      assert(idx.assigned.filter(col("cluster") < 0 || col("cluster") >= 100)
+        .count() == 0)
+      val out = Similarity.ivfSearch(idx, col("vec_id") < 10, k = 3, nprobe = 8)
+      assert(out.select("q_vec_id").distinct().count() == 10)
+      assert(out.groupBy("q_vec_id").count().filter(col("count") > 3)
+        .count() == 0)
+    } finally idx.assigned.unpersist()
+  }
+
   test("langId with a custom marker set and priority order") {
     val out = TextOps.langId(docs, "doc_id", "text", "lang",
       Seq("aa" -> Seq("zzzneverpresent"), "bb" -> Seq("alsonotpresent")))
