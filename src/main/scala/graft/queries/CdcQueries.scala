@@ -26,6 +26,16 @@ import graft.sources.PgOutputFrames
   *    over the envelopes read through the source; the oracle is the
   *    row_number()-window SQL over the same synthesized changelog.
   *
+  *  - cdc3_snapshot_stream — the snapshot→incremental handoff every real
+  *    CDC consumer exercises first: the connector emits one `op='r'`
+  *    (snapshot read) envelope per pre-existing row, then the live c/u/d
+  *    stream (reference CustomJob.java:237-240 — Debezium's op set is
+  *    {c,u,d,r}). Snapshot records sit at low LSNs (a snapshot completes
+  *    before the slot's first streamed transaction), so the same
+  *    latest-by-LSN compaction yields: stream-untouched keys survive as
+  *    'r' rows, streamed keys take the stream's last image, trailing
+  *    deletes drop the key even when it existed in the snapshot.
+  *
   * Envelope derivation from `events` (expressible in both engines):
   * lsn = event_id, tx_id = event_id // 100, ts_ms = event_id * 1000,
   * op = 'd' when event_id % 7 = 0, 'c' for signups, else 'u';
@@ -45,13 +55,17 @@ object CdcQueries {
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
       else 31L * f.length() + f.lastModified()
+    // v2: bump when the derivation itself changes (v2 added the snapshot
+    // segment's ghost keys), so cached fixtures from older code miss.
     val src = new java.io.File(s"$sfDir/events.parquet")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-      "-" + java.lang.Long.toHexString(fp(src))
+      "-v2-" + java.lang.Long.toHexString(fp(src))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-fixture-$key")
     val jsonl = dir.resolve("wal.jsonl")
     val pgout = dir.resolve("wal.pgoutput")
-    if (Files.exists(jsonl) && Files.exists(pgout)) return dir.toString
+    val snap = dir.resolve("wal_snap.jsonl")
+    if (Files.exists(jsonl) && Files.exists(pgout) && Files.exists(snap))
+      return dir.toString
 
     graft.Tables.registerAll(spark, sfDir)
     // Only the three narrow columns leave the executors; at a real 100 TB
@@ -111,14 +125,54 @@ object CdcQueries {
       }
     } finally wp.close()
 
+    // wal_snap.jsonl — the cdc3 log: an initial snapshot segment (op='r',
+    // one envelope per pre-existing key, lsn = key id — all below
+    // SnapStreamBase), then the same c/u/d stream shifted up by
+    // SnapStreamBase so every streamed change outranks every snapshot read.
+    // Snapshot membership: every user_id % 2 = 0 (keys the stream then
+    // updates/deletes — handoff), plus a ghost key user_id + 100000 per
+    // user_id % 5 = 0 (keys the stream never touches — these MUST survive
+    // compaction as op='r' rows, the snapshot-survival half of the grade).
+    val tmpS = Files.createTempFile(dir, "wal", ".snap.tmp")
+    val ws = Files.newBufferedWriter(tmpS)
+    try {
+      val uids = rows.map(_._2).distinct
+      val snapIds = (uids.filter(_ % 2 == 0) ++
+        uids.filter(_ % 5 == 0).map(_ + 100000L)).sorted
+      snapIds.foreach { sid =>
+        ws.write(s"""{"lsn":$sid,"txId":0,"tsMs":0,"op":"r",""" +
+          s""""db":"experiment","schema":"public","table":"users",""" +
+          s""""before":{},"after":{"id":"$sid","event_type":"snapshot"}}""")
+        ws.newLine()
+      }
+      rows.foreach { case (id, uid, et) =>
+        val o = op(id, et)
+        val lsn = SnapStreamBase + id
+        val before = if (o == "d") s"""{"id":"$uid"}""" else "{}"
+        val after =
+          if (o == "d") "{}" else s"""{"id":"$uid","event_type":"$et"}"""
+        ws.write(s"""{"lsn":$lsn,"txId":${id / 100},"tsMs":${id * 1000},""" +
+          s""""op":"$o","db":"experiment","schema":"public","table":"users",""" +
+          s""""before":$before,"after":$after}""")
+        ws.newLine()
+      }
+    } finally ws.close()
+
     try {
       Files.move(tmpJ, jsonl, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmpP, pgout, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpS, snap, StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
       Files.deleteIfExists(tmpJ); Files.deleteIfExists(tmpP)
+      Files.deleteIfExists(tmpS)
     }
     dir.toString
   }
+
+  /** LSN offset separating the cdc3 snapshot segment from its stream:
+    * snapshot reads use lsn = user_id (bounded by the key space), streamed
+    * changes use lsn = SnapStreamBase + event_id. */
+  private val SnapStreamBase = 1000000000L
 
   private def readWal(spark: SparkSession, fixtureDir: String, mode: String) = {
     val file = if (mode == "pgoutput") "wal.pgoutput" else "wal.jsonl"
@@ -198,6 +252,53 @@ object CdcQueries {
           |         row_number() OVER (PARTITION BY user_id
           |                            ORDER BY lsn DESC) AS rn
           |  FROM env)
+          |SELECT id, lsn AS last_lsn, op AS last_op,
+          |       after_event_type AS last_event_type
+          |FROM r WHERE rn = 1 AND op != 'd'
+          |ORDER BY id""".stripMargin)),
+
+    QueryDef("cdc3_snapshot_stream",
+      (spark, dir) => {
+        val fix = ensureFixture(spark, dir)
+        // Snapshot (op='r') + incremental stream, compacted with the SAME
+        // operator as cdc2 — nothing special-cases 'r': any non-delete is
+        // an upsert, and snapshot LSNs all sit below stream LSNs, so the
+        // handoff falls out of latest-by-LSN. Keys only the snapshot saw
+        // survive as 'r'/'snapshot' rows; streamed keys take the stream's
+        // last image; deletes drop the key even if snapshotted.
+        spark.read.format("graft-cdc")
+          .option("path", s"$fix/wal_snap.jsonl")
+          .option("numPartitions", "8")
+          .load()
+          .withColumn("id", coalesce(element_at(col("after"), "id"),
+            element_at(col("before"), "id")).cast("long"))
+          .groupBy("id")
+          .agg(max_by(struct(col("lsn"), col("op"),
+            element_at(col("after"), "event_type").as("et")),
+            col("lsn")).as("last"))
+          .filter(col("last.op") =!= "d")
+          .select(col("id"), col("last.lsn").as("last_lsn"),
+            col("last.op").as("last_op"), col("last.et").as("last_event_type"))
+          .orderBy("id")
+      },
+      Some(envCte +
+        s"""
+          |, snap AS (
+          |  SELECT DISTINCT user_id AS sid FROM events WHERE user_id % 2 = 0
+          |  UNION
+          |  SELECT DISTINCT user_id + 100000 FROM events WHERE user_id % 5 = 0)
+          |, log AS (
+          |  SELECT sid AS id, CAST(sid AS BIGINT) AS lsn,
+          |         'r' AS op, 'snapshot' AS after_event_type
+          |  FROM snap
+          |  UNION ALL
+          |  SELECT user_id AS id, $SnapStreamBase + lsn AS lsn,
+          |         op, after_event_type
+          |  FROM env)
+          |, r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY id
+          |                               ORDER BY lsn DESC) AS rn
+          |  FROM log)
           |SELECT id, lsn AS last_lsn, op AS last_op,
           |       after_event_type AS last_event_type
           |FROM r WHERE rn = 1 AND op != 'd'

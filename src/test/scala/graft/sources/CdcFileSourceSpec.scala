@@ -58,6 +58,31 @@ class CdcFileSourceSpec extends SparkSpec {
     assert(sink.snapshot("schema1")("user_count") == 1L)
   }
 
+  test("snapshot phase: op='r' seeds state, then the stream takes over") {
+    // Debezium-style startup (reference CustomJob.java:237-240): every
+    // pre-existing row arrives once as op='r' at snapshot LSNs, then the
+    // incremental c/u/d stream. The compactor treats 'r' as an upsert, so
+    // handoff needs no special casing — this pins that contract.
+    val log = Paths.get(tmpDir("cdcsnap"), "wal.jsonl")
+    Files.write(log, Seq(
+      line(1, "r", "schema1", 1, "susan smith"),
+      line(2, "r", "schema1", 2, "anne smith"),
+      line(3, "r", "schema2", 1, "bob smith"),
+      line(1000, "u", "schema1", 1, "sue smith"), // update a snapshotted key
+      line(1001, "d", "schema1", 2, "anne smith"), // delete a snapshotted key
+      line(1002, "c", "schema2", 7, "carl smith")) // create a fresh key
+      .mkString("\n").getBytes)
+    val ns = s"cdc-snap-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
+    val q = CdcPipeline.liveCountPerSchema(
+      spark.readStream.format("graft-cdc").load(log.toString).as[CdcEnvelope],
+      Sinks.MemoryDb.factory(ns), tmpDir("cdc-snap-ckpt"))
+    q.processAllAvailable(); q.stop()
+    // schema1: {1,2} snapshotted, 2 deleted → 1; schema2: {1} + created 7 → 2.
+    assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
+      Map("schema1" -> 1L, "schema2" -> 2L))
+  }
+
   test("admission control: maxEventsPerBatch splits the backlog into micro-batches") {
     val log = Paths.get(tmpDir("cdclog4"), "wal.jsonl")
     Files.write(log, golden.mkString("\n").getBytes)

@@ -48,6 +48,69 @@ class PgOutputSpec extends SparkSpec {
     assert(insNull.head.after == Map("id" -> "9"))
   }
 
+  test("schema evolution: mid-stream Relation redefinition rebinds the oid") {
+    // ALTER TABLE ... ADD COLUMN between transactions shows up on the wire
+    // as a fresh Relation message for the same oid before the next DML
+    // (the reference's own open TODO, CustomJob.java:200). The session's
+    // relation registry must rebind, later tuples decode at the new width,
+    // and envelopes already decoded must be untouched (maps are built
+    // eagerly, never lazily rebound through the registry).
+    val session = new PgOutputSession()
+    session.decode(begin(xid = 801, tsMs = ts0), 1L)
+    session.decode(
+      relation(usersOid, "schema1", "users", Seq("id", "full_name")), 1L)
+    val before = session.decode(
+      insert(usersOid, Seq(Some("1"), Some("ann prior"))), 2L)
+    assert(before.head.after == Map("id" -> "1", "full_name" -> "ann prior"))
+    session.decode(commit(), 3L)
+
+    // next transaction, same oid, one column wider
+    session.decode(begin(xid = 802, tsMs = ts0 + 1000), 4L)
+    session.decode(relation(usersOid, "schema1", "users",
+      Seq("id", "full_name", "email")), 4L)
+    val widened = session.decode(
+      insert(usersOid, Seq(Some("2"), Some("bob new"), Some("bob@x.test"))), 5L)
+    assert(widened.head.after ==
+      Map("id" -> "2", "full_name" -> "bob new", "email" -> "bob@x.test"))
+    assert(widened.head.txId == 802L)
+    // updates decode old and new images at the evolved width too
+    val upd = session.decode(update(usersOid,
+      Some(Seq(Some("2"), Some("bob new"), Some("bob@x.test"))),
+      Seq(Some("2"), Some("bob newer"), None)), 6L)
+    assert(upd.head.before("email") == "bob@x.test")
+    assert(upd.head.after == Map("id" -> "2", "full_name" -> "bob newer"))
+    // the pre-evolution envelope is unchanged
+    assert(before.head.after == Map("id" -> "1", "full_name" -> "ann prior"))
+  }
+
+  test("schema evolution end-to-end: widened inserts through format(graft-cdc)") {
+    def line(lsn: Long, frame: Array[Byte]): String =
+      s"$lsn ${Base64.getEncoder.encodeToString(frame)}"
+    val wal = Seq(
+      line(1, begin(901, ts0)),
+      line(1, relation(usersOid, "schema1", "users", Seq("id", "full_name"))),
+      line(2, insert(usersOid, Seq(Some("1"), Some("ann prior")))),
+      line(3, commit()),
+      line(4, begin(902, ts0 + 1000)),
+      line(4, relation(usersOid, "schema1", "users",
+        Seq("id", "full_name", "email"))),
+      line(5, insert(usersOid, Seq(Some("2"), Some("bob new"), Some("bob@x.test")))),
+      line(6, commit()))
+    val log = Paths.get(tmpDir("pgevo"), "wal.bin")
+    Files.write(log, wal.mkString("\n").getBytes)
+    import spark.implicits._
+    // numPartitions=3 splits the LSN span, so at least one range starts
+    // after the redefinition — range readers must replay relation state.
+    val envs = spark.read.format("graft-cdc")
+      .option("walFormat", "pgoutput").option("numPartitions", "3")
+      .load(log.toString)
+      .as[CdcEnvelope].collect().sortBy(_.lsn)
+    assert(envs.length == 2)
+    assert(envs(0).after == Map("id" -> "1", "full_name" -> "ann prior"))
+    assert(envs(1).after ==
+      Map("id" -> "2", "full_name" -> "bob new", "email" -> "bob@x.test"))
+  }
+
   test("binary WAL end-to-end: pgoutput frames through format(graft-cdc)") {
     def line(lsn: Long, frame: Array[Byte]): String =
       s"$lsn ${Base64.getEncoder.encodeToString(frame)}"
