@@ -20,7 +20,8 @@ import graft.cdc.CdcEnvelope
   * transaction's xid and commit timestamp. This mirrors how a real
   * replication client must replay relation metadata before row messages.
   */
-final class PgOutputSession(db: String = "experiment") {
+final class PgOutputSession(db: String = "experiment",
+    initial: Option[PgOutputSession.State] = None) {
 
   private final case class Rel(namespace: String, name: String,
       cols: Array[String])
@@ -28,6 +29,33 @@ final class PgOutputSession(db: String = "experiment") {
   private val relations = scala.collection.mutable.Map[Int, Rel]()
   private var currentXid: Long = 0L
   private var currentTsMs: Long = 0L
+
+  initial.foreach { s =>
+    s.relations.foreach { case (oid, (ns, name, cols)) =>
+      relations(oid) = Rel(ns, name, cols.toArray)
+    }
+    currentXid = s.xid
+    currentTsMs = s.tsMs
+  }
+
+  /** Serializable snapshot of the decoder state — everything a reader must
+    * know before decoding frames past a given LSN (the relation catalog +
+    * current transaction context). Ships inside an `InputPartition` so
+    * parallel range readers seed from the driver's metadata pass instead
+    * of each re-decoding the whole log prefix. */
+  def state: PgOutputSession.State = PgOutputSession.State(
+    relations.map { case (oid, r) =>
+      oid -> ((r.namespace, r.name, r.cols.toSeq))
+    }.toMap, currentXid, currentTsMs)
+
+  /** Advance session state through a frame WITHOUT decoding row data:
+    * only Begin and Relation frames mutate state, and both are
+    * recognizable from the tag byte — O(1) skip for DML. This is what
+    * makes a driver-side metadata pass over the log cheap. */
+  def advanceMeta(frame: Array[Byte], lsn: Long): Unit = {
+    val tag = frame(0).toChar
+    if (tag == 'B' || tag == 'R') { decode(frame, lsn); () }
+  }
 
   /** Postgres epoch (2000-01-01) → Unix epoch millis offset. */
   private val PG_EPOCH_MS = 946684800000L
@@ -121,6 +149,37 @@ final class PgOutputSession(db: String = "experiment") {
       before: Map[String, String], after: Map[String, String]): CdcEnvelope =
     CdcEnvelope(lsn, currentXid, currentTsMs, op, db, rel.namespace,
       rel.name, before, after)
+}
+
+object PgOutputSession {
+  /** See [[PgOutputSession.state]]. `relations`: oid → (namespace, table,
+    * column names in attribute order). */
+  final case class State(relations: Map[Int, (String, String, Seq[String])],
+      xid: Long, tsMs: Long) extends Serializable
+
+  /** Decoder states at partition boundaries: for each exclusive-start LSN
+    * in `boundaries` (must be sorted ascending), the state after every
+    * frame with `lsn <= boundary`. ONE metadata-only pass over the
+    * LSN-ordered log — the index that makes parallel binary replay
+    * genuinely parallel: without it each of P range readers re-decodes
+    * the whole log to rebuild the relation catalog (O(P × log)); with it
+    * the driver walks the log once, skipping DML frames by tag byte, and
+    * each reader decodes only its own range. */
+  def boundaryStates(frames: Iterator[(Long, Array[Byte])],
+      boundaries: Seq[Long]): Seq[State] = {
+    val session = new PgOutputSession()
+    val out = Vector.newBuilder[State]
+    var bi = 0
+    for ((lsn, frame) <- frames if bi < boundaries.length) {
+      while (bi < boundaries.length && lsn > boundaries(bi)) {
+        out += session.state
+        bi += 1
+      }
+      if (bi < boundaries.length) session.advanceMeta(frame, lsn)
+    }
+    while (bi < boundaries.length) { out += session.state; bi += 1 }
+    out.result()
+  }
 }
 
 /** Frame builders for tests and fixtures (the encoder side of the same

@@ -111,6 +111,31 @@ class PgOutputSpec extends SparkSpec {
       Map("id" -> "2", "full_name" -> "bob new", "email" -> "bob@x.test"))
   }
 
+  test("parallel replay index: boundary states seed range readers") {
+    // The driver's one metadata pass snapshots the relation catalog + tx
+    // context at each range boundary; a reader seeded with that state
+    // decodes ONLY its own LSN range — never the log prefix.
+    val frames = Seq[(Long, Array[Byte])](
+      1L -> begin(950, ts0),
+      1L -> relation(usersOid, "s1", "users", Seq("id", "full_name")),
+      2L -> insert(usersOid, Seq(Some("1"), Some("a"))),
+      4L -> relation(usersOid, "s1", "users", Seq("id", "full_name", "email")),
+      5L -> insert(usersOid, Seq(Some("2"), Some("b"), Some("b@x.test"))),
+      6L -> commit())
+    val states = PgOutputSession.boundaryStates(frames.iterator, Seq(0L, 3L, 4L))
+    assert(states(0).relations.isEmpty) // nothing before the log
+    assert(states(1).relations(usersOid)._3 == Seq("id", "full_name"))
+    assert(states(1).xid == 950L) // tx context crosses the boundary too
+    assert(states(2).relations(usersOid)._3 == Seq("id", "full_name", "email"))
+    // a reader for range (4, 6] seeded at boundary 4 sees the evolved width
+    val seeded = new PgOutputSession(initial = Some(states(2)))
+    val envs = frames.filter(_._1 > 4L)
+      .flatMap { case (lsn, f) => seeded.decode(f, lsn) }
+    assert(envs.map(_.after) == Seq(
+      Map("id" -> "2", "full_name" -> "b", "email" -> "b@x.test")))
+    assert(envs.head.txId == 950L)
+  }
+
   test("binary WAL end-to-end: pgoutput frames through format(graft-cdc)") {
     def line(lsn: Long, frame: Array[Byte]): String =
       s"$lsn ${Base64.getEncoder.encodeToString(frame)}"
