@@ -31,9 +31,76 @@ trait WalTransport extends java.io.Closeable {
 }
 
 object WalTransport {
-  /** The file transport, `walFormat` "jsonl" or "pgoutput". */
+  /** URL scheme selecting the socket transport: `graft-wal://host:port`. */
+  val SocketScheme = "graft-wal://"
+
+  /** Transport for a `path` option value: `graft-wal://host:port` opens a
+    * live socket connection (one per call — the stream's driver-side probe
+    * and every partition reader hold their own connection, exactly like
+    * replication clients hold their own walsender sessions); anything else
+    * is a captured-log file. `walFormat` ("jsonl" | "pgoutput") is a
+    * decoder concern — the socket carries opaque frames either way. */
   def open(path: String, walFormat: String): WalTransport =
-    new FileWalTransport(path, walFormat)
+    if (path.startsWith(SocketScheme)) {
+      val hp = path.stripPrefix(SocketScheme)
+      val i = hp.lastIndexOf(':')
+      require(i > 0, s"expected ${SocketScheme}host:port, got $path")
+      new SocketWalTransport(hp.substring(0, i), hp.substring(i + 1).toInt)
+    } else new FileWalTransport(path, walFormat)
+}
+
+/** Client side of the replication socket — the wire shape is the walsender
+  * conversation reduced to its three verbs (reference StreamingJob.java:
+  * 44-62 tails a live Postgres this way via its connector):
+  *
+  *  - `'S' afterLsn` — START_REPLICATION from a given LSN; the server
+  *    answers zero or more `'w' lsn len bytes` frames (XLogData: the same
+  *    tag byte, LSN header, then the payload the decoder sees) and
+  *    terminates the burst with `'c'` (CopyDone analog — "caught up").
+  *  - `'H'` — head-LSN probe (IDENTIFY_SYSTEM's current flush location);
+  *    answered `'h' lsn`.
+  *  - `'r' lsn` — Standby Status Update: confirmed durable through `lsn`
+  *    (lets the server discard WAL). Fire-and-forget, as on the wire.
+  *
+  * All multi-byte integers big-endian (network order, as in the real
+  * protocol). One request/response at a time per connection — calls are
+  * synchronized; concurrency comes from many connections, not from
+  * multiplexing one. */
+final class SocketWalTransport(host: String, port: Int) extends WalTransport {
+  private val sock = new java.net.Socket(host, port)
+  private val out = new java.io.DataOutputStream(
+    new java.io.BufferedOutputStream(sock.getOutputStream))
+  private val in = new java.io.DataInputStream(
+    new java.io.BufferedInputStream(sock.getInputStream))
+
+  override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
+    synchronized {
+      out.writeByte('S'); out.writeLong(afterLsn); out.flush()
+      val buf = Vector.newBuilder[(Long, Array[Byte])]
+      var tag = in.readByte().toChar
+      while (tag == 'w') {
+        val lsn = in.readLong()
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        buf += lsn -> bytes
+        tag = in.readByte().toChar
+      }
+      require(tag == 'c', s"walsender protocol error: expected 'c', got '$tag'")
+      buf.result().sortBy(_._1).iterator
+    }
+
+  override def headLsn(): Long = synchronized {
+    out.writeByte('H'); out.flush()
+    val tag = in.readByte().toChar
+    require(tag == 'h', s"walsender protocol error: expected 'h', got '$tag'")
+    in.readLong()
+  }
+
+  override def ack(lsn: Long): Unit = synchronized {
+    out.writeByte('r'); out.writeLong(lsn); out.flush()
+  }
+
+  override def close(): Unit = sock.close()
 }
 
 /** Captured-log replay: each line is one frame — `<lsn> <base64(bytes)>`
