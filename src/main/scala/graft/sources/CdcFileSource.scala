@@ -76,10 +76,12 @@ final class CdcFileScan(path: String, numPartitions: Int,
   override def toBatch: Batch = new Batch {
     // Batch replay parallelizes the same way the stream does: contiguous
     // LSN subranges, one reader per range (`numPartitions` option). The
-    // LSN span is read from the log head/tail at plan time — the analog
-    // of asking the source for its low/high watermark before a snapshot.
+    // LSN span is probed through the transport at plan time — the analog
+    // of asking the source for its low/high watermark before a snapshot —
+    // so file and socket paths plan identically.
     override def planInputPartitions(): Array[InputPartition] = {
-      val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
+      val t = WalTransport.open(path, walFormat)
+      val lsns = try t.frames(Long.MinValue).map(_._1).toVector finally t.close()
       if (lsns.isEmpty || numPartitions <= 1)
         Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
       else {
@@ -87,11 +89,12 @@ final class CdcFileScan(path: String, numPartitions: Int,
         val hi = lsns.max
         val n = math.max(1L, math.min(numPartitions.toLong, hi - lo)).toInt
         val width = math.max(1L, (hi - lo + n - 1) / n)
-        (0 until n).iterator
+        val parts = (0 until n).iterator
           .map(i => CdcRangePartition(path, lo + i * width,
             math.min(hi, lo + (i + 1) * width), walFormat))
           .filter(p => p.endInclusive > p.startExclusive)
-          .toArray[InputPartition]
+          .toArray
+        CdcFileMicroBatchStream.attachPgStates(path, walFormat, parts)
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -147,11 +150,12 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
     // source's analog: one reader per slot range / table shard).
     val n = math.max(1, math.min(numPartitions, (e - s).toInt))
     val width = math.max(1L, (e - s + n - 1) / n)
-    (0 until n).iterator
+    val parts = (0 until n).iterator
       .map(i => CdcRangePartition(path, s + i * width,
         math.min(e, s + (i + 1) * width), walFormat))
       .filter(p => p.endInclusive > p.startExclusive)
-      .toArray[InputPartition]
+      .toArray
+    CdcFileMicroBatchStream.attachPgStates(path, walFormat, parts)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
@@ -163,6 +167,24 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
 object CdcFileMicroBatchStream {
   private val mapper = new ObjectMapper()
+
+  /** For pgoutput multi-range plans: ONE driver-side metadata pass over
+    * the log computes the decoder state at each range boundary
+    * ([[PgOutputSession.boundaryStates]]), so each range reader decodes
+    * only its own LSN span — O(log) total planning instead of
+    * O(partitions × log) reader work. jsonl is stateless: pass-through. */
+  def attachPgStates(path: String, walFormat: String,
+      parts: Array[CdcRangePartition]): Array[InputPartition] =
+    if (walFormat != "pgoutput" || parts.length <= 1)
+      parts.toArray[InputPartition]
+    else {
+      val t = WalTransport.open(path, walFormat)
+      val states = try PgOutputSession.boundaryStates(
+        t.frames(Long.MinValue), parts.map(_.startExclusive).toSeq)
+      finally t.close()
+      parts.zip(states).map { case (p, s) => p.copy(preState = Some(s)) }
+        .toArray[InputPartition]
+    }
 
   /** Cheap LSN extraction from a jsonl envelope line — the LSN index is
     * scanned far more often than full envelopes are materialized (offset
@@ -243,8 +265,14 @@ object CdcFileMicroBatchStream {
   }
 }
 
+/** One LSN-range replay reader. For pgoutput, `preState` carries the
+  * decoder state at `startExclusive` (relation catalog + tx context) from
+  * the driver's one metadata pass, so the reader decodes ONLY its range;
+  * absent (single partition / legacy), the reader falls back to decoding
+  * the log from the beginning and filtering. */
 final case class CdcRangePartition(path: String, startExclusive: Long,
-    endInclusive: Long, walFormat: String = "jsonl") extends InputPartition
+    endInclusive: Long, walFormat: String = "jsonl",
+    preState: Option[PgOutputSession.State] = None) extends InputPartition
 
 final class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -252,12 +280,16 @@ final class CdcReaderFactory extends PartitionReaderFactory {
     val transport = WalTransport.open(p.path, p.walFormat)
     val rows: Iterator[InternalRow] =
       if (p.walFormat == "pgoutput") {
-        // Binary pgoutput frames: decode the log in LSN order through one
-        // stateful session (Relation/Begin frames carry metadata needed by
-        // later DML), then emit only the requested range.
-        val session = new PgOutputSession()
-        transport.frames(Long.MinValue)
-          .flatMap { case (lsn, frame) => session.decode(frame, lsn) }
+        // Binary pgoutput frames need Relation/Begin metadata from earlier
+        // in the log. With a planner-supplied preState the reader seeds
+        // the session and pulls ONLY its range from the transport; without
+        // one (single partition) it decodes from the beginning and filters.
+        val session = new PgOutputSession(initial = p.preState)
+        val src =
+          if (p.preState.isDefined)
+            transport.frames(p.startExclusive).filter(_._1 <= p.endInclusive)
+          else transport.frames(Long.MinValue)
+        src.flatMap { case (lsn, frame) => session.decode(frame, lsn) }
           .filter(e => e.lsn > p.startExclusive && e.lsn <= p.endInclusive)
           .map(CdcFileMicroBatchStream.envelopeToRow)
       } else {
