@@ -29,6 +29,26 @@ object Sinks {
     def connect(): Connection
   }
 
+  /** Production [[ConnectionFactory]]: `DriverManager.getConnection` on the
+    * executor — the deploy-time counterpart of [[MemoryDb.factory]] for a
+    * real sink database (reference CustomJob.java:183-193 writes to the
+    * docker-compose Postgres this way). A case class of plain strings so the
+    * closure serializes without capturing a live connection; the driver jar
+    * must be on the executor classpath (`--jars`). `props` carries
+    * user/password etc. — source them from cluster secret management, not
+    * literals. One connection per partition per micro-batch is the writer's
+    * contract; at high trigger rates front the database with a server-side
+    * pooler (e.g. pgbouncer) — the writer already amortizes round-trips via
+    * statement batching, so connection setup is the only per-partition cost. */
+  final case class JdbcConnectionFactory(url: String,
+      props: Map[String, String] = Map.empty) extends ConnectionFactory {
+    override def connect(): Connection = {
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      java.sql.DriverManager.getConnection(url, p)
+    }
+  }
+
   /** K2: JDBC upsert writer (reference CustomJob.java:183-193 +
     * setup_sink_db1.sql). Spark's jdbc writer has no upsert, so this
     * renders `INSERT ... ON CONFLICT (pk) DO UPDATE` and executes it as a
