@@ -96,11 +96,27 @@ object Similarity {
     * the query's bucket in at least one table; exact top-k over the
     * candidate union. Multi-table is the standard LSH recall lever —
     * a true neighbor missed by one projection is caught by another —
-    * at the cost of `tables`× index volume. */
+    * at the cost of `tables`× index volume.
+    *
+    * CONTRACT: the query side — its bucket index and its vectors — is
+    * BROADCAST to every executor; the design point is a small query set
+    * probing a large corpus. `queryPred` selecting more than
+    * `maxQueryRows` rows fails fast (a cheap `limit(n+1).count()` probe)
+    * rather than silently shipping half the corpus to every task. Raise
+    * `maxQueryRows` only if queryRows × dims × 8 bytes comfortably fits
+    * executor memory; for corpus-vs-corpus search use
+    * [[nearestNeighbors]], whose both sides shuffle. */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5,
-      planeBits: Int = 8, tables: Int = 4): DataFrame = {
+      planeBits: Int = 8, tables: Int = 4,
+      maxQueryRows: Int = 10000): DataFrame = {
     val en = withNorm(corpus, idCol, vecCol)
+    val nq = en.filter(queryPred).limit(maxQueryRows + 1).count()
+    require(nq <= maxQueryRows,
+      s"lshTopK: queryPred selects more than $maxQueryRows rows, and the " +
+        "query side is broadcast (bucket index + query vectors). Raise " +
+        "maxQueryRows only if that volume fits executor memory; for " +
+        "corpus-vs-corpus search use nearestNeighbors instead.")
     // Bucket index carries ids only — vectors never ride through
     // candidate generation or the cross-table dedup.
     val bucketed = en.select(col("vec_id"), explode(expr(
@@ -140,22 +156,37 @@ object Similarity {
     * id (max of (score, -cluster)), matching the relational max_by
     * formulation. Expects columns `v` (array<double>) and `nrm`.
     *
-    * Two codegen strategies, same semantics (a spec pins identical
-    * assignments at k=16):
+    * Two strategies, same semantics (a spec pins identical assignments
+    * at k=16):
     *  - small k (≤ [[LiteralAssignMaxK]]): per-centroid SQL literal arrays,
-    *    k inlined `vec_dot` calls — the tightest code Tungsten can emit;
+    *    k inlined `vec_dot` calls — fully whole-stage-codegen'd. Requires
+    *    finite components: a NaN/Infinity centroid (degenerate recenter of
+    *    an emptied cluster) would render as an unparseable literal
+    *    ("NaND"), so non-finite centroids route to the const path, which
+    *    handles them uniformly.
     *  - large k: the whole centroid table as ONE `typedlit` constant
-    *    (array<struct<cid, cvec>>) + `transform`/`array_max` argmax. A
-    *    complex-typed literal is codegen'd as a reference object, so the
-    *    generated method stays O(1) in k while the runtime loop is the
-    *    same O(k·dims) dot products. The constant rides the task binary,
-    *    which Spark itself broadcasts per stage — this beats a
-    *    broadcast-join + partial-agg argmin, which would re-shuffle the
-    *    corpus (vec payloads) on vec_id every Lloyd iteration: the exact
-    *    pattern the projection design exists to avoid. */
+    *    (array<struct<cid, cvec>>) + `transform`/`array_max` argmax, so
+    *    plan and generated-code size stay O(1) in k. Note the HOF subtree
+    *    (`transform`) is CodegenFallback in Spark — it evaluates
+    *    interpreted per row with a k-element struct-array allocation; the
+    *    runtime loop is still the same O(k·dims) dot products, but the
+    *    literal path is the tight-code one. If large-k assignment becomes
+    *    hot, the next step is a dedicated native argmin Expression.
+    *    The constant rides the task binary, which Spark itself broadcasts
+    *    per stage — this beats a broadcast-join + partial-agg argmin,
+    *    which would re-shuffle the corpus (vec payloads) on vec_id every
+    *    Lloyd iteration: the exact pattern the projection design exists
+    *    to avoid. SIZE CEILING: a constant of k×dims doubles rides every
+    *    task descriptor for the stage, so the design point is a coarse
+    *    quantizer — up to a few thousand centroids (k≈4096 × 1k dims ≈
+    *    32 MB, fine). Beyond that tier (say 65k×1024 ≈ 0.5 GB), stop
+    *    inlining: store the centroid table as a DataFrame bucketed by a
+    *    coarser quantizer and assign via bucketed join — a different
+    *    operator, deliberately out of scope here. */
   private[graft] def clusterAssignment(cents: Seq[(Int, Seq[Double])],
       forceConstPath: Boolean = false): org.apache.spark.sql.Column = {
-    if (!forceConstPath && cents.size <= LiteralAssignMaxK) {
+    val finite = cents.forall(_._2.forall(java.lang.Double.isFinite))
+    if (!forceConstPath && finite && cents.size <= LiteralAssignMaxK) {
       val scored = cents.sortBy(_._1).map { case (cid, cv) =>
         // 'D' suffix: SQL decimal literals would otherwise parse as
         // DECIMAL; Double.toString round-trips exactly

@@ -121,6 +121,37 @@ class OpsApiSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("lshTopK guards its query-side broadcast against a wide queryPred") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    // narrow query set: inside the contract, runs end to end
+    val ok = Similarity.lshTopK(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 3)
+    assert(ok.select("q_vec_id").distinct().count() <= 5)
+    // corpus-sized query set: fails fast instead of broadcasting the corpus
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queryPred = lit(true), maxQueryRows = 100)
+    }
+    assert(e.getMessage.contains("maxQueryRows"))
+  }
+
+  test("non-finite centroids route to the const path (literal SQL can't render NaN)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    val dims = idx.centroids.head._2.size
+    // Poison one centroid with NaN (the degenerate-recenter shape). k<=64
+    // would normally take the literal path, whose rendered SQL ("NaND")
+    // fails at parse; the finite check must reroute to the const path.
+    val poisoned = idx.centroids.updated(0,
+      (idx.centroids.head._1, Seq.fill(dims)(Double.NaN)))
+    val assigned = idx.assigned.select("vec_id", "v", "nrm")
+      .withColumn("c", Similarity.clusterAssignment(poisoned))
+    assert(assigned.filter(col("c").isNull).count() == 0)
+    assert(assigned.count() == emb.count())
+  }
+
   test("langId with a custom marker set and priority order") {
     val out = TextOps.langId(docs, "doc_id", "text", "lang",
       Seq("aa" -> Seq("zzzneverpresent"), "bb" -> Seq("alsonotpresent")))
