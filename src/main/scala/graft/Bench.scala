@@ -27,14 +27,22 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    // Consume through a noop write, not count(): under count(1) Catalyst
+    // prunes every column, so projection-only queries would be timed as
+    // bare parquet scans. The noop sink pulls fully materialized rows —
+    // every output expression evaluates — with no I/O and no driver
+    // funnel, and unlike a hash-the-row probe it handles map-typed
+    // columns (the CDC envelopes).
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val results = picked.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
+      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () } // warmup
       // min of two measured runs: single-run numbers on a busy host can
       // spike 2-4x from GC/compilation noise; the min is the honest
       // steady-state (both runs recompute everything — nothing cached)
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.min
       name -> t
