@@ -124,11 +124,13 @@ object PropertyChecks {
         |       CAST(0 AS BIGINT) AS n_hll_violations,
         |       CAST(0 AS BIGINT) AS n_kmv_violations
         |FROM events""".stripMargin) { spark =>
-      spark.table("events")
+      // dedup-first: see hll1_approx_distinct — identical results, no
+      // Expand, every agg stays on the hash fast path
+      spark.table("events").select("event_type", "user_id").distinct()
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
           expr("kmv_distinct(user_id, 256)").as("kmv"),
-          countDistinct(col("user_id")).as("exact"))
+          count(col("user_id")).as("exact"))
         .agg(count(lit(1)).as("n_groups"),
           sum(when(abs(col("approx") - col("exact")) / col("exact") > 0.05,
             1L).otherwise(0L)).as("n_hll_violations"),
