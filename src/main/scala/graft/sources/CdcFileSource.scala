@@ -81,7 +81,7 @@ final class CdcFileScan(path: String, numPartitions: Int,
     // so file and socket paths plan identically.
     override def planInputPartitions(): Array[InputPartition] = {
       val t = WalTransport.open(path, walFormat)
-      val lsns = try t.frames(Long.MinValue).map(_._1).toVector finally t.close()
+      val lsns = try t.lsns(Long.MinValue).toVector finally t.close()
       if (lsns.isEmpty || numPartitions <= 1)
         Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
       else {
@@ -133,7 +133,7 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].lsn
-    val lsns = transport.frames(s).map(_._1).toSeq
+    val lsns = transport.lsns(s).toSeq
     if (lsns.isEmpty) return CdcOffset(s)
     limit match {
       case mr: ReadMaxRows =>
@@ -215,23 +215,28 @@ object CdcFileMicroBatchStream {
     finally src.close()
   }
 
-  /** LSNs present in the log, for either format. */
+  /** LSNs present in the log, for either format (no payload decode). */
   def readLsns(path: String, walFormat: String): Seq[Long] =
-    if (walFormat == "pgoutput") readBinaryFrames(path).map(_._1)
+    if (walFormat == "pgoutput") readRawLines(path).map(_._1)
     else readLines(path).map(_._1)
 
-  /** Binary WAL: one frame per line as "<lsn> <base64(pgoutput frame)>". */
-  def readBinaryFrames(path: String): Seq[(Long, Array[Byte])] = {
+  /** Binary-WAL lines as (lsn, raw line) — LSN from the cheap numeric
+    * prefix, base64 payload NOT decoded (callers decode lazily after
+    * range pruning; see [[FileWalTransport.frames]]). */
+  def readRawLines(path: String): Seq[(Long, String)] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Seq.empty
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map { l =>
-      val sp = l.indexOf(' ')
-      l.substring(0, sp).toLong ->
-        java.util.Base64.getDecoder.decode(l.substring(sp + 1))
-    }.toVector
+    try src.getLines().filter(_.nonEmpty)
+      .map(l => l.substring(0, l.indexOf(' ')).toLong -> l).toVector
     finally src.close()
   }
+
+  /** Binary WAL: one frame per line as "<lsn> <base64(pgoutput frame)>". */
+  def readBinaryFrames(path: String): Seq[(Long, Array[Byte])] =
+    readRawLines(path).map { case (lsn, l) =>
+      lsn -> java.util.Base64.getDecoder.decode(l.substring(l.indexOf(' ') + 1))
+    }
 
   def envelopeToRow(e: graft.cdc.CdcEnvelope): InternalRow = {
     def mapOf(m: Map[String, String]) = {
@@ -285,17 +290,21 @@ final class CdcReaderFactory extends PartitionReaderFactory {
         // the session and pulls ONLY its range from the transport; without
         // one (single partition) it decodes from the beginning and filters.
         val session = new PgOutputSession(initial = p.preState)
+        // takeWhile, not filter: frames arrive LSN-ordered and payload
+        // decode is lazy in the iterator, so stopping at the range end
+        // means frames beyond it are never materialized.
         val src =
           if (p.preState.isDefined)
-            transport.frames(p.startExclusive).filter(_._1 <= p.endInclusive)
+            transport.frames(p.startExclusive).takeWhile(_._1 <= p.endInclusive)
           else transport.frames(Long.MinValue)
         src.flatMap { case (lsn, frame) => session.decode(frame, lsn) }
           .filter(e => e.lsn > p.startExclusive && e.lsn <= p.endInclusive)
           .map(CdcFileMicroBatchStream.envelopeToRow)
       } else {
-        // jsonl is stateless — range-prune at the transport.
+        // jsonl is stateless — range-prune at the transport (takeWhile:
+        // see above).
         transport.frames(p.startExclusive)
-          .filter(_._1 <= p.endInclusive)
+          .takeWhile(_._1 <= p.endInclusive)
           .map { case (_, bytes) => CdcFileMicroBatchStream.parse(
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) }
       }

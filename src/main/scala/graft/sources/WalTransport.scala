@@ -20,6 +20,11 @@ trait WalTransport extends java.io.Closeable {
     * `Long.MinValue` and filter emitted envelopes instead. */
   def frames(afterLsn: Long): Iterator[(Long, Array[Byte])]
 
+  /** LSNs of frames past `afterLsn`, in order — the offset-planning /
+    * admission-control probe. Default pulls (and so may decode) full
+    * frames; implementations with a cheaper LSN-only path override. */
+  def lsns(afterLsn: Long): Iterator[Long] = frames(afterLsn).map(_._1)
+
   /** Highest LSN currently available — the `latestOffset` probe. */
   def headLsn(): Long
 
@@ -110,13 +115,27 @@ final class FileWalTransport(path: String, walFormat: String)
     extends WalTransport {
   @volatile private var acked = Long.MinValue
 
-  private def all(): Seq[(Long, Array[Byte])] =
-    if (walFormat == "pgoutput") CdcFileMicroBatchStream.readBinaryFrames(path)
-    else CdcFileMicroBatchStream.readLines(path)
-      .map { case (lsn, line) => lsn -> line.getBytes("UTF-8") }
-
+  /** Range-pruned BEFORE payload decode: only the cheap LSN prefix of
+    * each line is parsed up front; base64 (pgoutput) / UTF-8 (jsonl)
+    * payload materialization is deferred into the returned iterator, so
+    * a range reader consuming via `takeWhile` decodes only its own LSN
+    * span — P parallel readers do O(log) total decode work, not
+    * O(P × log). (The stable sort preserves file order within an LSN —
+    * Begin/DML/Commit share their transaction's LSN.) */
   override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
-    all().filter(_._1 > afterLsn).sortBy(_._1).iterator
+    if (walFormat == "pgoutput")
+      CdcFileMicroBatchStream.readRawLines(path)
+        .filter(_._1 > afterLsn).sortBy(_._1).iterator
+        .map { case (lsn, l) =>
+          lsn -> java.util.Base64.getDecoder.decode(l.substring(l.indexOf(' ') + 1)) }
+    else
+      CdcFileMicroBatchStream.readLines(path)
+        .filter(_._1 > afterLsn).sortBy(_._1).iterator
+        .map { case (lsn, l) => lsn -> l.getBytes("UTF-8") }
+
+  override def lsns(afterLsn: Long): Iterator[Long] =
+    CdcFileMicroBatchStream.readLsns(path, walFormat)
+      .filter(_ > afterLsn).sorted.iterator
 
   override def headLsn(): Long = {
     val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
