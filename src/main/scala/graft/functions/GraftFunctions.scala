@@ -19,7 +19,8 @@ object GraftFunctions {
     "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),
-    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1))))
+    "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
+    "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es))
   )
 
   private def litInt(e: Expression): Int = e match {

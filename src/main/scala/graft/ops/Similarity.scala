@@ -159,30 +159,30 @@ object Similarity {
     * Two strategies, same semantics (a spec pins identical assignments
     * at k=16):
     *  - small k (≤ [[LiteralAssignMaxK]]): per-centroid SQL literal arrays,
-    *    k inlined `vec_dot` calls — fully whole-stage-codegen'd. Requires
-    *    finite components: a NaN/Infinity centroid (degenerate recenter of
-    *    an emptied cluster) would render as an unparseable literal
-    *    ("NaND"), so non-finite centroids route to the const path, which
-    *    handles them uniformly.
-    *  - large k: the whole centroid table as ONE `typedlit` constant
-    *    (array<struct<cid, cvec>>) + `transform`/`array_max` argmax, so
-    *    plan and generated-code size stay O(1) in k. Note the HOF subtree
-    *    (`transform`) is CodegenFallback in Spark — it evaluates
-    *    interpreted per row with a k-element struct-array allocation; the
-    *    runtime loop is still the same O(k·dims) dot products, but the
-    *    literal path is the tight-code one. If large-k assignment becomes
-    *    hot, the next step is a dedicated native argmin Expression.
-    *    The constant rides the task binary, which Spark itself broadcasts
-    *    per stage — this beats a broadcast-join + partial-agg argmin,
-    *    which would re-shuffle the corpus (vec payloads) on vec_id every
-    *    Lloyd iteration: the exact pattern the projection design exists
-    *    to avoid. SIZE CEILING: a constant of k×dims doubles rides every
-    *    task descriptor for the stage, so the design point is a coarse
-    *    quantizer — up to a few thousand centroids (k≈4096 × 1k dims ≈
-    *    32 MB, fine). Beyond that tier (say 65k×1024 ≈ 0.5 GB), stop
-    *    inlining: store the centroid table as a DataFrame bucketed by a
-    *    coarser quantizer and assign via bucketed join — a different
-    *    operator, deliberately out of scope here. */
+    *    k inlined `vec_dot` calls — fully whole-stage-codegen'd, but the
+    *    generated method grows as k×dims and trips codegen method-size
+    *    limits around a few hundred centroids. Requires finite
+    *    components: a NaN/Infinity centroid (degenerate recenter of an
+    *    emptied cluster) would render as an unparseable literal
+    *    ("NaND"), so non-finite centroids route to the native path,
+    *    which orders NaN explicitly.
+    *  - large k: the native [[graft.functions.CentroidAssign]]
+    *    expression — the whole centroid table embedded as codegen
+    *    reference objects (flattened primitive arrays), evaluated as a
+    *    two-level primitive loop. Generated-code size is O(1) in k, no
+    *    per-row allocation, stays inside whole-stage codegen at any k.
+    *    The constants ride the task binary, which Spark itself
+    *    broadcasts per stage — this beats a broadcast-join +
+    *    partial-agg argmin, which would re-shuffle the corpus (vec
+    *    payloads) on vec_id every Lloyd iteration: the exact pattern
+    *    the projection design exists to avoid. SIZE CEILING: k×dims
+    *    doubles ride every task descriptor for the stage, so the design
+    *    point is a coarse quantizer — up to a few thousand centroids
+    *    (k≈4096 × 1k dims ≈ 32 MB, fine). Beyond that tier (say
+    *    65k×1024 ≈ 0.5 GB), stop inlining: store the centroid table as
+    *    a DataFrame bucketed by a coarser quantizer and assign via
+    *    bucketed join — a different operator, deliberately out of
+    *    scope here. */
   private[graft] def clusterAssignment(cents: Seq[(Int, Seq[Double])],
       forceConstPath: Boolean = false): org.apache.spark.sql.Column = {
     val finite = cents.forall(_._2.forall(java.lang.Double.isFinite))
@@ -196,12 +196,10 @@ object Similarity {
       }
       (-array_max(array(scored: _*)).getField("negc")).cast("int")
     } else {
-      val centsLit = typedlit(cents.sortBy(_._1))
-      val scored = transform(centsLit, c => struct(
-        (call_function("vec_dot", col("v"), c.getField("_2")) / col("nrm"))
-          .as("score"),
-        (-c.getField("_1")).as("negc")))
-      (-array_max(scored).getField("negc")).cast("int")
+      val sorted = cents.sortBy(_._1)
+      call_function("centroid_assign", col("v"), col("nrm"),
+        typedlit(sorted.map(_._1).toArray),
+        typedlit(sorted.iterator.flatMap(_._2).toArray))
     }
   }
 

@@ -108,6 +108,13 @@ class OpsApiSpec extends SparkSpec {
     // 100-TB coarse quantizer (k in the thousands) requires
     val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
       clusters = 100, iters = 1)
+    // the native centroid_assign expression must reach whole-stage
+    // codegen: its generated loop references the embedded primitive
+    // arrays (addReferenceObj emits a "/* cids */" marker) — absent if
+    // the expression fell back to interpreted eval
+    val cg = org.apache.spark.sql.execution.debug.codegenString(
+      idx.assigned.queryExecution.executedPlan)
+    assert(cg.contains("cids"), "centroid_assign not codegen'd")
     idx.assigned.persist()
     try {
       assert(idx.centroids.size == 100)
