@@ -162,12 +162,15 @@ class PgOutputSpec extends SparkSpec {
     assert(envs.map(_.op).toSeq == Seq("c", "c", "c", "d"))
     assert(envs.head.txId == 731L && envs.last.schema == "schema1")
 
-    // streaming: compaction counts deletes correctly off the binary WAL
+    // streaming: compaction counts deletes correctly off the binary WAL,
+    // with the micro-batch split into parallel LSN ranges (numPartitions)
+    // — streaming range readers seed from the boundary-state index too
     val ns = s"pgout-${java.util.UUID.randomUUID()}"
     val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
     val q = CdcPipeline.liveCountPerSchema(
       spark.readStream.format("graft-cdc")
-        .option("walFormat", "pgoutput").load(log.toString).as[CdcEnvelope],
+        .option("walFormat", "pgoutput").option("numPartitions", "3")
+        .load(log.toString).as[CdcEnvelope],
       Sinks.MemoryDb.factory(ns), tmpDir("pgout-ckpt"))
     q.processAllAvailable(); q.stop()
     assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
