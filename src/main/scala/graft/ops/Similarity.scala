@@ -212,6 +212,35 @@ object Similarity {
   final case class IvfIndex(
       centroids: Seq[(Int, Seq[Double])], assigned: DataFrame)
 
+  /** Persists a built index in the at-scale layout: `assigned` written
+    * PARTITIONED BY CLUSTER (one directory per cell) plus the centroid
+    * table. Searching a loaded index joins the broadcast probe set on
+    * `cluster`, so Spark's dynamic partition pruning restricts the scan
+    * to the probed cells' directories — an nprobe/k fraction of the
+    * corpus read per query batch, the property that makes IVF pay off
+    * at 100 TB (a spec pins the dynamicpruning filter in the plan). */
+  def saveIndex(index: IvfIndex, dir: String): Unit = {
+    val spark0 = index.assigned.sparkSession
+    import spark0.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/assigned")
+    index.centroids.toDF("cluster", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Loads a [[saveIndex]] layout. The assigned table comes back with
+    * `cluster` as a partition column — exactly what [[ivfSearch]]'s
+    * probe join prunes on. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster"), col("cvec"))
+      .as[(Int, Seq[Double])].collect().toSeq
+    IvfIndex(cents, spark.read.parquet(s"$dir/assigned")
+      .select("vec_id", "cluster", "v", "nrm"))
+  }
+
   /** Builds the IVF coarse quantizer: `iters` Lloyd iterations
     * (deterministic seeds = first `clusters` vectors) and the final
     * cluster assignment. */

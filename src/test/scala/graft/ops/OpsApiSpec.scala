@@ -128,6 +128,24 @@ class OpsApiSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("IVF index persists partitioned by cluster; probe prunes the scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val dir = tmpDir("ivf-index")
+    val built = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    Similarity.saveIndex(built, dir)
+    val loaded = Similarity.loadIndex(spark, dir)
+    assert(loaded.centroids.toSet == built.centroids.toSet)
+    val a = Similarity.ivfSearch(built, col("vec_id") < 10, k = 3)
+    val b = Similarity.ivfSearch(loaded, col("vec_id") < 10, k = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the at-scale property: the rerank join on the partition column
+    // dynamically prunes the cluster-partitioned scan to probed cells
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
   test("lshTopK guards its query-side broadcast against a wide queryPred") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, sf, "embeddings")
