@@ -133,12 +133,16 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CdcOffset].lsn
-    val lsns = transport.lsns(s).toSeq
-    if (lsns.isEmpty) return CdcOffset(s)
     limit match {
       case mr: ReadMaxRows =>
-        CdcOffset(lsns.take(mr.maxRows().toInt).last)
-      case _ => CdcOffset(lsns.last)
+        // Admission control needs the LSN list (to stop after N events);
+        // lsns() is the payload-free probe.
+        val lsns = transport.lsns(s).take(mr.maxRows().toInt).toSeq
+        if (lsns.isEmpty) CdcOffset(s) else CdcOffset(lsns.last)
+      case _ =>
+        // Unthrottled: the head probe answers directly — no LSN list,
+        // no payload transfer.
+        CdcOffset(math.max(s, transport.headLsn()))
     }
   }
 
@@ -178,9 +182,12 @@ object CdcFileMicroBatchStream {
     if (walFormat != "pgoutput" || parts.length <= 1)
       parts.toArray[InputPartition]
     else {
+      val boundaries = parts.map(_.startExclusive).toSeq
       val t = WalTransport.open(path, walFormat)
+      // Only the prefix up to the LAST boundary can affect any state —
+      // bound the pull so a socket server never ships the final range.
       val states = try PgOutputSession.boundaryStates(
-        t.frames(Long.MinValue), parts.map(_.startExclusive).toSeq)
+        t.frames(Long.MinValue, boundaries.max), boundaries)
       finally t.close()
       parts.zip(states).map { case (p, s) => p.copy(preState = Some(s)) }
         .toArray[InputPartition]
@@ -232,11 +239,6 @@ object CdcFileMicroBatchStream {
     finally src.close()
   }
 
-  /** Binary WAL: one frame per line as "<lsn> <base64(pgoutput frame)>". */
-  def readBinaryFrames(path: String): Seq[(Long, Array[Byte])] =
-    readRawLines(path).map { case (lsn, l) =>
-      lsn -> java.util.Base64.getDecoder.decode(l.substring(l.indexOf(' ') + 1))
-    }
 
   def envelopeToRow(e: graft.cdc.CdcEnvelope): InternalRow = {
     def mapOf(m: Map[String, String]) = {
@@ -290,21 +292,19 @@ final class CdcReaderFactory extends PartitionReaderFactory {
         // the session and pulls ONLY its range from the transport; without
         // one (single partition) it decodes from the beginning and filters.
         val session = new PgOutputSession(initial = p.preState)
-        // takeWhile, not filter: frames arrive LSN-ordered and payload
-        // decode is lazy in the iterator, so stopping at the range end
-        // means frames beyond it are never materialized.
+        // Both range bounds travel to the transport, so only this
+        // reader's span is transferred/decoded (socket servers stop at
+        // the end bound; the file impl prunes before payload decode).
         val src =
           if (p.preState.isDefined)
-            transport.frames(p.startExclusive).takeWhile(_._1 <= p.endInclusive)
-          else transport.frames(Long.MinValue)
+            transport.frames(p.startExclusive, p.endInclusive)
+          else transport.frames(Long.MinValue, p.endInclusive)
         src.flatMap { case (lsn, frame) => session.decode(frame, lsn) }
           .filter(e => e.lsn > p.startExclusive && e.lsn <= p.endInclusive)
           .map(CdcFileMicroBatchStream.envelopeToRow)
       } else {
-        // jsonl is stateless — range-prune at the transport (takeWhile:
-        // see above).
-        transport.frames(p.startExclusive)
-          .takeWhile(_._1 <= p.endInclusive)
+        // jsonl is stateless — range-prune entirely at the transport.
+        transport.frames(p.startExclusive, p.endInclusive)
           .map { case (_, bytes) => CdcFileMicroBatchStream.parse(
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) }
       }

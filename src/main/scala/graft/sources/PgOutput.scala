@@ -170,7 +170,12 @@ object PgOutputSession {
     val session = new PgOutputSession()
     val out = Vector.newBuilder[State]
     var bi = 0
-    for ((lsn, frame) <- frames if bi < boundaries.length) {
+    // plain while, not a guarded for: once every boundary is emitted the
+    // loop must stop PULLING — the frames iterator decodes payloads
+    // lazily, and draining it would decode the rest of the log for
+    // nothing
+    while (bi < boundaries.length && frames.hasNext) {
+      val (lsn, frame) = frames.next()
       while (bi < boundaries.length && lsn > boundaries(bi)) {
         out += session.state
         bi += 1

@@ -15,10 +15,14 @@ package graft.sources
   * decoders) is transport-agnostic.
   */
 trait WalTransport extends java.io.Closeable {
-  /** Frames with lsn strictly greater than `afterLsn`, in LSN order.
-    * Stateful decoders (pgoutput Relation/Begin metadata) should pass
-    * `Long.MinValue` and filter emitted envelopes instead. */
-  def frames(afterLsn: Long): Iterator[(Long, Array[Byte])]
+  /** Frames with lsn in `(afterLsn, endInclusive]`, in LSN order. Both
+    * bounds travel to the implementation so a range reader's request
+    * transfers/decodes only its own span (a socket server stops at the
+    * end bound; the file impl prunes before payload decode). Stateful
+    * decoders (pgoutput Relation/Begin metadata) seed from a
+    * planner-supplied state or pass `Long.MinValue`. */
+  def frames(afterLsn: Long,
+      endInclusive: Long = Long.MaxValue): Iterator[(Long, Array[Byte])]
 
   /** LSNs of frames past `afterLsn`, in order — the offset-planning /
     * admission-control probe. Default pulls (and so may decode) full
@@ -55,13 +59,17 @@ object WalTransport {
 }
 
 /** Client side of the replication socket — the wire shape is the walsender
-  * conversation reduced to its three verbs (reference StreamingJob.java:
-  * 44-62 tails a live Postgres this way via its connector):
+  * conversation reduced to its verbs (reference StreamingJob.java:44-62
+  * tails a live Postgres this way via its connector):
   *
-  *  - `'S' afterLsn` — START_REPLICATION from a given LSN; the server
-  *    answers zero or more `'w' lsn len bytes` frames (XLogData: the same
-  *    tag byte, LSN header, then the payload the decoder sees) and
-  *    terminates the burst with `'c'` (CopyDone analog — "caught up").
+  *  - `'S' afterLsn endInclusive` — START_REPLICATION over an LSN range;
+  *    the server answers zero or more `'w' lsn len bytes` frames
+  *    (XLogData: the same tag byte, LSN header, then the payload the
+  *    decoder sees) and terminates the burst with `'c'` (CopyDone
+  *    analog — "caught up"). The end bound is what keeps P parallel
+  *    range readers at O(log) total transfer instead of O(P × tail).
+  *  - `'L' afterLsn` — LSN-only listing (offset planning / admission
+  *    control); answered `'l' n lsn*n` — no payload bytes travel.
   *  - `'H'` — head-LSN probe (IDENTIFY_SYSTEM's current flush location);
   *    answered `'h' lsn`.
   *  - `'r' lsn` — Standby Status Update: confirmed durable through `lsn`
@@ -70,7 +78,8 @@ object WalTransport {
   * All multi-byte integers big-endian (network order, as in the real
   * protocol). One request/response at a time per connection — calls are
   * synchronized; concurrency comes from many connections, not from
-  * multiplexing one. */
+  * multiplexing one. Bursts are buffered before return (bounded by the
+  * requested range) so the connection is never left mid-conversation. */
 final class SocketWalTransport(host: String, port: Int) extends WalTransport {
   private val sock = new java.net.Socket(host, port)
   private val out = new java.io.DataOutputStream(
@@ -78,9 +87,11 @@ final class SocketWalTransport(host: String, port: Int) extends WalTransport {
   private val in = new java.io.DataInputStream(
     new java.io.BufferedInputStream(sock.getInputStream))
 
-  override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
+  override def frames(afterLsn: Long,
+      endInclusive: Long = Long.MaxValue): Iterator[(Long, Array[Byte])] =
     synchronized {
-      out.writeByte('S'); out.writeLong(afterLsn); out.flush()
+      out.writeByte('S'); out.writeLong(afterLsn); out.writeLong(endInclusive)
+      out.flush()
       val buf = Vector.newBuilder[(Long, Array[Byte])]
       var tag = in.readByte().toChar
       while (tag == 'w') {
@@ -93,6 +104,18 @@ final class SocketWalTransport(host: String, port: Int) extends WalTransport {
       require(tag == 'c', s"walsender protocol error: expected 'c', got '$tag'")
       buf.result().sortBy(_._1).iterator
     }
+
+  override def lsns(afterLsn: Long): Iterator[Long] = synchronized {
+    out.writeByte('L'); out.writeLong(afterLsn); out.flush()
+    val tag = in.readByte().toChar
+    require(tag == 'l', s"walsender protocol error: expected 'l', got '$tag'")
+    val n = in.readInt()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = in.readLong(); i += 1 }
+    java.util.Arrays.sort(arr)
+    arr.iterator
+  }
 
   override def headLsn(): Long = synchronized {
     out.writeByte('H'); out.flush()
@@ -116,21 +139,24 @@ final class FileWalTransport(path: String, walFormat: String)
   @volatile private var acked = Long.MinValue
 
   /** Range-pruned BEFORE payload decode: only the cheap LSN prefix of
-    * each line is parsed up front; base64 (pgoutput) / UTF-8 (jsonl)
-    * payload materialization is deferred into the returned iterator, so
-    * a range reader consuming via `takeWhile` decodes only its own LSN
-    * span — P parallel readers do O(log) total decode work, not
-    * O(P × log). (The stable sort preserves file order within an LSN —
-    * Begin/DML/Commit share their transaction's LSN.) */
-  override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
+    * each line is parsed up front, both bounds filter, and base64
+    * (pgoutput) / UTF-8 (jsonl) payload materialization is deferred
+    * into the returned iterator — P parallel range readers do O(log)
+    * total decode work, not O(P × log). (The stable sort preserves file
+    * order within an LSN — Begin/DML/Commit share their transaction's
+    * LSN.) */
+  override def frames(afterLsn: Long,
+      endInclusive: Long = Long.MaxValue): Iterator[(Long, Array[Byte])] =
     if (walFormat == "pgoutput")
       CdcFileMicroBatchStream.readRawLines(path)
-        .filter(_._1 > afterLsn).sortBy(_._1).iterator
+        .filter(f => f._1 > afterLsn && f._1 <= endInclusive)
+        .sortBy(_._1).iterator
         .map { case (lsn, l) =>
           lsn -> java.util.Base64.getDecoder.decode(l.substring(l.indexOf(' ') + 1)) }
     else
       CdcFileMicroBatchStream.readLines(path)
-        .filter(_._1 > afterLsn).sortBy(_._1).iterator
+        .filter(f => f._1 > afterLsn && f._1 <= endInclusive)
+        .sortBy(_._1).iterator
         .map { case (lsn, l) => lsn -> l.getBytes("UTF-8") }
 
   override def lsns(afterLsn: Long): Iterator[Long] =

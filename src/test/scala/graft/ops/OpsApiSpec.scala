@@ -128,6 +128,22 @@ class OpsApiSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("centroid_assign reads float vectors directly (no cast required)") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding")
+    // raw array<float> embedding + its norm, no cast-to-double anywhere
+    val f = emb.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("c",
+        Similarity.clusterAssignment(idx.centroids, forceConstPath = true))
+    // must agree with the double-path assignment stored in the index
+    // (per-element float->double widening is exact)
+    val j = idx.assigned.select(col("vec_id"), col("cluster"))
+      .join(f.select(col("vec_id"), col("c")), "vec_id")
+    assert(j.filter(col("cluster") =!= col("c")).count() == 0)
+  }
+
   test("IVF index persists partitioned by cluster; probe prunes the scan") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, sf, "embeddings")

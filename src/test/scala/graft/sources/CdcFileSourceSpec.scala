@@ -145,8 +145,9 @@ class CdcFileSourceSpec extends SparkSpec {
       2L -> PgOutputFrames.delete(oid, Seq(Some("1"), None)),
       2L -> PgOutputFrames.commit())
     val mem = new WalTransport {
-      override def frames(afterLsn: Long): Iterator[(Long, Array[Byte])] =
-        framed.filter(_._1 > afterLsn).iterator
+      override def frames(afterLsn: Long,
+          endInclusive: Long): Iterator[(Long, Array[Byte])] =
+        framed.filter(f => f._1 > afterLsn && f._1 <= endInclusive).iterator
       override def headLsn(): Long = framed.map(_._1).max
       private var acked = Long.MinValue
       override def ack(lsn: Long): Unit = acked = lsn

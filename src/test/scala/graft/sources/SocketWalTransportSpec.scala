@@ -43,11 +43,19 @@ final class FakeWalSender(initial: Seq[(Long, Array[Byte])] = Seq.empty)
     try while (true) in.readByte().toChar match {
       case 'S' =>
         val after = in.readLong()
-        log.filter(_._1 > after).sortBy(_._1).foreach { case (lsn, b) =>
-          out.writeByte('w'); out.writeLong(lsn)
-          out.writeInt(b.length); out.write(b)
-        }
+        val end = in.readLong()
+        log.filter(f => f._1 > after && f._1 <= end).sortBy(_._1)
+          .foreach { case (lsn, b) =>
+            out.writeByte('w'); out.writeLong(lsn)
+            out.writeInt(b.length); out.write(b)
+          }
         out.writeByte('c'); out.flush()
+      case 'L' =>
+        val after = in.readLong()
+        val ls = log.map(_._1).filter(_ > after).sorted
+        out.writeByte('l'); out.writeInt(ls.length)
+        ls.foreach(out.writeLong)
+        out.flush()
       case 'H' =>
         out.writeByte('h')
         out.writeLong(if (log.isEmpty) 0L else log.map(_._1).max)
@@ -98,6 +106,10 @@ class SocketWalTransportSpec extends SparkSpec {
         assert(t.headLsn() == 3L)
         assert(t.frames(1L).map(_._1).toSeq == Seq(2L, 3L))
         assert(t.frames(Long.MinValue).size == 3)
+        // range end bound is enforced server-side
+        assert(t.frames(1L, 2L).map(_._1).toSeq == Seq(2L))
+        // LSN-only probe carries no payloads
+        assert(t.lsns(0L).toSeq == Seq(1L, 2L, 3L))
         sender.append(4L, jsonLine(4, "d", "s1", 2, "anne"))
         assert(t.headLsn() == 4L)
         assert(t.frames(3L).map(_._1).toSeq == Seq(4L))
