@@ -195,8 +195,12 @@ object Dedup {
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .repartition(col("b"))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Seed labels with min(node, min neighbor) — the same aggregation a
+    // plain distinct() would cost, but it folds the first propagation
+    // round into initialization (one fewer iteration of the loop's
+    // join+jump choreography).
+    var labels = sym.groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
