@@ -419,9 +419,14 @@ object PipelineOps {
         |            ELSE CAST(round(x / scale) AS BIGINT) END AS q,
         |       CAST(floor(scale * 1048576) AS BIGINT) AS scale_scaled
         |FROM e ORDER BY vec_id, dim""".stripMargin) { spark =>
+      // posexplode_outer + null-guard ≡ posexplode, but dodges
+      // InferFiltersFromGenerate's size(q) > 0 pre-filter, which would
+      // re-evaluate the whole quantization transform chain per row (the
+      // guard runs on the generate's OUTPUT attribute — cheap)
       Similarity.quantizeInt8(spark.table("embeddings"), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
-          posexplode(col("q")).as(Seq("dim", "q")))
+          posexplode_outer(col("q")).as(Seq("dim", "q")))
+        .filter(col("dim").isNotNull)
         .select(col("vec_id"), col("dim").cast("bigint").as("dim"), col("q"),
           floor(col("scale") * 1048576).cast("bigint").as("scale_scaled"))
         .orderBy("vec_id", "dim")
