@@ -179,7 +179,12 @@ object CdcFileMicroBatchStream {
     * O(partitions × log) reader work. jsonl is stateless: pass-through. */
   def attachPgStates(path: String, walFormat: String,
       parts: Array[CdcRangePartition]): Array[InputPartition] =
-    if (walFormat != "pgoutput" || parts.length <= 1)
+    // Also worthwhile for a SINGLE partition when its range starts past
+    // the log head (an incremental micro-batch, or a restart from a
+    // checkpointed LSN): without a state the reader must re-decode the
+    // whole prefix every batch just to rebuild the relation catalog.
+    if (walFormat != "pgoutput" || parts.isEmpty ||
+        parts.forall(_.startExclusive == Long.MinValue))
       parts.toArray[InputPartition]
     else {
       val boundaries = parts.map(_.startExclusive).toSeq
