@@ -111,6 +111,41 @@ class PgOutputSpec extends SparkSpec {
       Map("id" -> "2", "full_name" -> "bob new", "email" -> "bob@x.test"))
   }
 
+  test("restart from checkpointed LSN: relation catalog replays via the state index") {
+    // The reader for a post-restart micro-batch never sees the early
+    // Relation frames; it must decode its range from the planner's
+    // boundary state (single partition — the incremental/restart path).
+    import spark.implicits._
+    def line(lsn: Long, frame: Array[Byte]): String =
+      s"$lsn ${java.util.Base64.getEncoder.encodeToString(frame)}"
+    val dir = tmpDir("pgrestart")
+    val log = Paths.get(dir, "wal.bin")
+    Files.write(log, Seq(
+      line(1, begin(950, ts0)),
+      line(1, relation(usersOid, "schema1", "users", Seq("id", "full_name"))),
+      line(2, insert(usersOid, Seq(Some("1"), Some("susan")))),
+      line(3, commit())).mkString("\n").getBytes)
+    val ns = s"pgrestart-${java.util.UUID.randomUUID()}"
+    val sink = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
+    def start() = CdcPipeline.liveCountPerSchema(
+      spark.readStream.format("graft-cdc")
+        .option("walFormat", "pgoutput").load(log.toString).as[CdcEnvelope],
+      Sinks.MemoryDb.factory(ns), s"$dir/ckpt")
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(sink.snapshot("schema1")("user_count") == 1L)
+    // replication continues while the query is down: a second tx whose
+    // DML depends on the round-1 Relation frame
+    Files.write(log, ("\n" + Seq(
+      line(4, begin(951, ts0 + 1000)),
+      line(5, insert(usersOid, Seq(Some("2"), Some("anne")))),
+      line(6, commit())).mkString("\n")).getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(sink.snapshot("schema1")("user_count") == 2L)
+  }
+
   test("parallel replay index: boundary states seed range readers") {
     // The driver's one metadata pass snapshots the relation catalog + tx
     // context at each range boundary; a reader seeded with that state
