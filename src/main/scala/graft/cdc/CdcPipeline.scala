@@ -40,8 +40,13 @@ object CdcPipeline {
       events: Dataset[CdcEnvelope],
       factory: Sinks.ConnectionFactory,
       checkpoint: String)(implicit spark: SparkSession): StreamingQuery = {
+    // runId from the checkpoint location: stable across restarts of THIS
+    // pipeline (its batchIds continue from the checkpoint), distinct for
+    // a fresh checkpoint or another pipeline sharing the sink table — so
+    // ledger claims never collide across logical runs.
     val writer = new Sinks.UpsertWriter(countTable, "pgschema",
-      Seq("pgschema", "user_count"), additive = Set("user_count"))
+      Seq("pgschema", "user_count"), additive = Set("user_count"),
+      runId = java.lang.Integer.toHexString(checkpoint.hashCode))
     val deltas = Changelog.compact(events)
     deltas.writeStream
       .outputMode("update")

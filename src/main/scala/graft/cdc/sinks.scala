@@ -60,7 +60,8 @@ object Sinks {
     * (delta accumulation — see [[CdcPipeline.liveCountPerSchema]]).
     */
   final class UpsertWriter(table: String, pk: String, columns: Seq[String],
-      additive: Set[String] = Set.empty, batchSize: Int = 500)
+      additive: Set[String] = Set.empty, batchSize: Int = 500,
+      runId: String = "", ledgerPartitions: Int = 32)
       extends Serializable {
     require(columns.contains(pk), s"pk $pk must be among columns")
 
@@ -86,19 +87,36 @@ object Sinks {
       *
       * Pass the `foreachBatch` micro-batch id as `batchId` to make the
       * write EXACTLY-ONCE under retries: each partition first claims
-      * (batchId, partitionId) in a ledger table inside the same
+      * (runId, batchId, partitionId) in a ledger table inside the same
       * transaction; a replayed partition whose claim already exists
       * (data committed, checkpoint didn't advance before the crash)
       * skips — the standard idempotent-foreachBatch recipe. Required for
       * additive merge, where blind re-application would double-count;
-      * replace merge is idempotent by PK and may omit it. */
+      * replace merge is idempotent by PK and may omit it.
+      *
+      * Two details make the claim key SOUND rather than merely plausible:
+      *  - `runId` scopes it to one logical pipeline run (derive it from
+      *    the checkpoint location: stable across restarts of the same
+      *    checkpoint, distinct for a fresh checkpoint or another pipeline
+      *    sharing the table — otherwise a reprocessing run's batch 0
+      *    collides with the old run's batch 0 and is silently skipped);
+      *  - in exactly-once mode the batch is first hash-repartitioned by
+      *    pk into a FIXED `ledgerPartitions` count, so partition ids are
+      *    a pure function of the data — a replay after a
+      *    shuffle-partition/AQE change still maps rows to the same claim
+      *    keys (physical partition ids of the incoming plan are not
+      *    replay-stable). */
     def writeBatch(batch: DataFrame, factory: ConnectionFactory,
         batchId: Long = -1L): Unit = {
       val cols = columns
       val sql = upsertSql
       val ledger = ledgerSql
       val bs = batchSize
-      batch.select(cols.map(col): _*).foreachPartition { rows: Iterator[Row] =>
+      val run = runId
+      val stable =
+        if (batchId < 0) batch.select(cols.map(col): _*)
+        else batch.select(cols.map(col): _*).repartition(ledgerPartitions, col(pk))
+      stable.foreachPartition { rows: Iterator[Row] =>
         if (rows.hasNext) {
           val conn = factory.connect()
           try {
@@ -106,7 +124,7 @@ object Sinks {
             val claimed = batchId < 0 || {
               val ls = conn.prepareStatement(ledger)
               try {
-                ls.setObject(1, s"$batchId/${org.apache.spark.TaskContext.getPartitionId()}")
+                ls.setObject(1, s"$run/$batchId/${org.apache.spark.TaskContext.getPartitionId()}")
                 ls.executeUpdate() == 1 // 0 = already applied → skip
               } finally ls.close()
             }
@@ -154,6 +172,12 @@ object Sinks {
   object MemoryDb {
     private val registry = new ConcurrentHashMap[String, MemoryUpsertTable]()
 
+    /** Claim keys taken by an open (uncommitted) transaction — the
+      * in-memory analog of the row lock a real `INSERT ... ON CONFLICT DO
+      * NOTHING` holds until commit. */
+    private val pendingClaims =
+      ConcurrentHashMap.newKeySet[String]()
+
     def table(ns: String, name: String): MemoryUpsertTable =
       registry.computeIfAbsent(s"$ns/$name", _ => new MemoryUpsertTable)
 
@@ -164,18 +188,46 @@ object Sinks {
       override def connect(): Connection = newConnection(ns)
     }
 
+    /** Per-connection transaction: statements buffer their effects here;
+      * `commit` applies them, `rollback`/`close` discards — so the K2
+      * writer's claimed-and-written-atomically contract holds in specs
+      * exactly as it does on a real database (a task that fails after
+      * claiming leaves neither the claim nor partial rows behind). */
+    private final class Txn(val ns: String) {
+      val effects = scala.collection.mutable.ArrayBuffer[() => Unit]()
+      val claims = scala.collection.mutable.ArrayBuffer[String]()
+      def commit(): Unit = {
+        effects.foreach(_.apply())
+        finish()
+      }
+      def rollback(): Unit = {
+        effects.clear()
+        claims.foreach(pendingClaims.remove)
+        claims.clear()
+      }
+      private def finish(): Unit = {
+        effects.clear()
+        claims.foreach(pendingClaims.remove)
+        claims.clear()
+      }
+    }
+
     private def newConnection(ns: String): Connection = {
+      val txn = new Txn(ns)
       val handler = new InvocationHandler {
         override def invoke(proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
           m.getName match {
             case "prepareStatement" =>
-              newStatement(ns, args(0).asInstanceOf[String])
+              newStatement(ns, args(0).asInstanceOf[String], txn)
+            case "commit" => txn.commit(); null
+            case "rollback" => txn.rollback(); null
+            case "close" => txn.rollback(); null // uncommitted work dies
             case "isClosed" => java.lang.Boolean.FALSE
             case "getAutoCommit" => java.lang.Boolean.FALSE
             case "toString" => s"MemoryDb($ns)"
             case "hashCode" => Int.box(System.identityHashCode(proxy))
             case "equals" => Boolean.box(proxy eq args(0))
-            case _ => null // close/commit/rollback/setAutoCommit: no-ops
+            case _ => null // setAutoCommit etc.: no-ops
           }
       }
       Proxy.newProxyInstance(classOf[Connection].getClassLoader,
@@ -188,16 +240,19 @@ object Sinks {
     private val InsertIgnoreRe =
       """INSERT INTO (\S+) \((\w+)\) VALUES \(\?\) ON CONFLICT \(\w+\) DO NOTHING""".r
 
-    private def newStatement(ns: String, sql: String): PreparedStatement =
+    private def newStatement(ns: String, sql: String,
+        txn: Txn): PreparedStatement =
       sql match {
-        case InsertIgnoreRe(t, c) => newInsertIgnore(ns, t, c, sql)
-        case _ => newUpsert(ns, sql)
+        case InsertIgnoreRe(t, c) => newInsertIgnore(ns, t, c, sql, txn)
+        case _ => newUpsert(ns, sql, txn)
       }
 
-    /** Ledger claim: executeUpdate returns 1 on first insert, 0 when the
-      * key already exists (the DO NOTHING contract the writer tests). */
+    /** Ledger claim: executeUpdate returns 1 when this transaction takes
+      * the key (insert applies at commit, lock held meanwhile), 0 when
+      * the key is already committed or held by an open transaction (the
+      * DO NOTHING + row-lock contract the writer relies on). */
     private def newInsertIgnore(ns: String, tableName: String, colName: String,
-        sql: String): PreparedStatement = {
+        sql: String, txn: Txn): PreparedStatement = {
       val target = table(ns, tableName)
       val params = new java.util.HashMap[Int, Any]()
       val handler = new InvocationHandler {
@@ -209,9 +264,18 @@ object Sinks {
                 args(1)); null
             case "executeUpdate" =>
               val key = String.valueOf(params.get(1))
+              val lock = s"$ns/$tableName/$key"
               target.synchronized {
-                if (target.snapshot.contains(key)) Int.box(0)
-                else { target.upsert(key, Map(colName -> key)); Int.box(1) }
+                if (target.snapshot.contains(key) ||
+                    !pendingClaims.add(lock)) Int.box(0)
+                else {
+                  txn.claims += lock
+                  txn.effects += (() =>
+                    target.synchronized {
+                      target.upsert(key, Map(colName -> key))
+                    })
+                  Int.box(1)
+                }
               }
             case "isClosed" => java.lang.Boolean.FALSE
             case "toString" => s"MemoryDb($ns).prepare($sql)"
@@ -225,7 +289,8 @@ object Sinks {
         .asInstanceOf[PreparedStatement]
     }
 
-    private def newUpsert(ns: String, sql: String): PreparedStatement = {
+    private def newUpsert(ns: String, sql: String,
+        txn: Txn): PreparedStatement = {
       val (tableName, cols, pk, additiveCols) = sql match {
         case UpsertRe(t, collist, pkCol, sets) =>
           val cs = collist.split(",").map(_.trim).toSeq
@@ -251,7 +316,10 @@ object Sinks {
         case _ => b
       }
 
-      def applyRow(values: Seq[Any]): Unit = {
+      // read-modify-write under the table lock: additive merge must not
+      // lose increments to a concurrent writer (real Postgres serializes
+      // this with row locks)
+      def applyRow(values: Seq[Any]): Unit = target.synchronized {
         val incoming = cols.zip(values).toMap
         val key = String.valueOf(incoming(pk))
         val merged = target.snapshot.get(key) match {
@@ -275,11 +343,15 @@ object Sinks {
             case "addBatch" =>
               batch += (1 to cols.length).map(params.get(_)); null
             case "executeBatch" =>
-              val n = batch.length
-              batch.foreach(applyRow); batch.clear()
-              Array.fill(n)(Statement.SUCCESS_NO_INFO)
+              // transactional: rows apply at connection commit, in
+              // execution order; rollback discards them
+              val staged = batch.toVector
+              batch.clear()
+              txn.effects += (() => staged.foreach(applyRow))
+              Array.fill(staged.length)(Statement.SUCCESS_NO_INFO)
             case "executeUpdate" =>
-              applyRow((1 to cols.length).map(params.get(_))); Int.box(1)
+              val values = (1 to cols.length).map(params.get(_))
+              txn.effects += (() => applyRow(values)); Int.box(1)
             case "clearParameters" => params.clear(); null
             case "clearBatch" => batch.clear(); null
             case "isClosed" => java.lang.Boolean.FALSE

@@ -215,6 +215,93 @@ class CdcPipelineSpec extends SparkSpec {
     assert(sink.snapshot("schema1")("user_count") == 2L)
   }
 
+  test("equal-LSN events within a batch: the later op wins") {
+    // two changes of one tx can share an LSN; batch order is authoritative
+    val (st, d) = Changelog.transition(None, Seq(
+      users(5, "c", "schema1", 1, "first"),
+      users(5, "u", "schema1", 1, "second", beforeName = "first")))
+    assert(d.get.image("full_name") == "second")
+    assert(st.get.alive)
+  }
+
+  test("tombstone TTL (opt-in) drops deleted-key state after expiry") {
+    // With a processing-time timeout armed, Spark keeps scheduling
+    // micro-batches to check timeouts (so AvailableNow never terminates
+    // and processAllAvailable can starve — pace with a real trigger and
+    // poll, the deployment shape the scaladoc prescribes).
+    import org.apache.spark.sql.streaming.Trigger
+    val input = MemoryStream[CdcEnvelope]
+    val deltas = Changelog.compact(input.toDS(),
+      tombstoneTtl = Some("100 milliseconds"))
+    val q = deltas.writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", tmpDir("cdc-ttl"))
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      input.addData(Seq(users(1, "c", "schema1", 1, "a"),
+        users(2, "c", "schema1", 2, "b"),
+        users(3, "d", "schema1", 2, "b"))) // delete arms key 2's tombstone
+      val deadline = System.currentTimeMillis() + 30000
+      var removed = 0L
+      while (removed < 1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100)
+        removed = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      }
+      assert(removed >= 1, s"tombstone not removed within 30s (got $removed)")
+    } finally q.stop()
+  }
+
+  test("ledger claims are runId-scoped: a fresh logical run is not skipped") {
+    val ns = s"ledger-run-${java.util.UUID.randomUUID()}"
+    val factory = Sinks.MemoryDb.factory(ns)
+    val sums = Seq(("schema1", 5L)).toDF("pgschema", "user_count")
+    def writer(run: String) = new Sinks.UpsertWriter(CdcPipeline.countTable,
+      "pgschema", Seq("pgschema", "user_count"),
+      additive = Set("user_count"), runId = run)
+    writer("runA").writeBatch(sums, factory, batchId = 0)
+    writer("runA").writeBatch(sums, factory, batchId = 0) // replay: skipped
+    writer("runB").writeBatch(sums, factory, batchId = 0) // fresh run: applies
+    val t = Sinks.MemoryDb.table(ns, CdcPipeline.countTable)
+    assert(t.snapshot("schema1")("user_count") == 10L)
+  }
+
+  test("MemoryDb transactions: rollback releases the claim, applies nothing") {
+    val ns = s"txn-${java.util.UUID.randomUUID()}"
+    val f = Sinks.MemoryDb.factory(ns)
+    val w = new Sinks.UpsertWriter("t", "k", Seq("k", "v"))
+    val conn = f.connect()
+    conn.setAutoCommit(false)
+    val ls = conn.prepareStatement(w.ledgerSql)
+    ls.setObject(1, "b0/p0")
+    assert(ls.executeUpdate() == 1)
+    // a concurrent transaction cannot take the held claim (row lock)
+    val conn2 = f.connect()
+    val ls2 = conn2.prepareStatement(w.ledgerSql)
+    ls2.setObject(1, "b0/p0")
+    assert(ls2.executeUpdate() == 0)
+    conn2.close()
+    val st = conn.prepareStatement(w.upsertSql)
+    st.setObject(1, "x"); st.setObject(2, Long.box(1L)); st.addBatch()
+    st.executeBatch()
+    conn.rollback()
+    conn.close()
+    // neither the claim nor the rows survived the rollback
+    assert(Sinks.MemoryDb.table(ns, "t").snapshot.isEmpty)
+    assert(Sinks.MemoryDb.table(ns, "t__batches").snapshot.isEmpty)
+    // the claim is reusable, and commit applies claim+rows atomically
+    val conn3 = f.connect()
+    val ls3 = conn3.prepareStatement(w.ledgerSql)
+    ls3.setObject(1, "b0/p0")
+    assert(ls3.executeUpdate() == 1)
+    val st3 = conn3.prepareStatement(w.upsertSql)
+    st3.setObject(1, "x"); st3.setObject(2, Long.box(2L)); st3.addBatch()
+    st3.executeBatch()
+    assert(Sinks.MemoryDb.table(ns, "t").snapshot.isEmpty) // not yet visible
+    conn3.commit(); conn3.close()
+    assert(Sinks.MemoryDb.table(ns, "t").snapshot("x")("v") == 2L)
+    assert(Sinks.MemoryDb.table(ns, "t__batches").snapshot.contains("b0/p0"))
+  }
+
   test("K2 upsert SQL renders Postgres ON CONFLICT form (setup_sink_db1.sql)") {
     val w = new Sinks.UpsertWriter("user_count_by_pgschema", "pgschema",
       Seq("pgschema", "user_count"))
