@@ -27,8 +27,9 @@ object Changelog {
   private[cdc] def transition(
       prior: Option[KeyState], events: Seq[CdcEnvelope]): (Option[KeyState], Option[CompactionDelta]) = {
     if (events.isEmpty) return (prior, None)
-    // Latest event by LSN wins (ties: later op in the batch).
-    val latest = events.maxBy(_.lsn)
+    // Latest event by LSN wins; on equal LSNs the LATER op in the batch
+    // (>= keeps the last maximum — maxBy would keep the first).
+    val latest = events.reduceLeft((a, b) => if (b.lsn >= a.lsn) b else a)
     prior match {
       case Some(st) if st.lsn >= latest.lsn => (prior, None) // stale replay
       case _ =>
@@ -47,18 +48,50 @@ object Changelog {
     }
   }
 
-  /** Streaming compaction: `flatMapGroupsWithState` in Update mode. */
-  def compact(events: Dataset[CdcEnvelope])(
+  /** Streaming compaction: `flatMapGroupsWithState` in Update mode.
+    *
+    * State lifecycle: live keys persist (total live state = O(live
+    * keys)). DELETED keys keep a tombstone — it is what LSN-guards a
+    * late replayed pre-delete event from resurrecting the key — and by
+    * default tombstones persist too, so state grows with ever-deleted
+    * keys on churn workloads. Pass `tombstoneTtl = Some(duration)` to
+    * drop a tombstone after that much processing time with no new
+    * events for its key (the retention trade log-compacted brokers make
+    * with delete.retention: choose TTL ≥ the maximum replay lag).
+    *
+    * TTL is opt-in because Spark runs FlatMapGroupsWithState with a
+    * processing-time timeout on EVERY trigger whether or not data
+    * arrived (timeouts must be checked) — a query that would otherwise
+    * idle between bursts instead executes empty micro-batches each
+    * trigger interval. Set an explicit `Trigger.ProcessingTime` when
+    * enabling it; the default unset trigger busy-loops. */
+  def compact(events: Dataset[CdcEnvelope],
+      tombstoneTtl: Option[String] = None)(
       implicit spark: SparkSession): Dataset[CompactionDelta] = {
     import spark.implicits._
+    val timeoutConf = if (tombstoneTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     events
       .groupByKey(e => CdcEnvelope.keyOf(e.schema,
         e.image.getOrElse("id", e.image.getOrElse("user_id", ""))))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (_: String, it: Iterator[CdcEnvelope], state: GroupState[KeyState]) => {
-          val (next, delta) = transition(state.getOption, it.toSeq)
-          next.foreach(state.update)
-          delta.iterator
+          if (state.hasTimedOut) {
+            // tombstone expired with no new events for the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val (next, delta) = transition(state.getOption, it.toSeq)
+            next.foreach { st =>
+              state.update(st)
+              // timeouts don't persist across invocations: re-arm for
+              // tombstones, leave live keys timeout-free (kept forever)
+              tombstoneTtl.foreach { ttl =>
+                if (!st.alive) state.setTimeoutDuration(ttl)
+              }
+            }
+            delta.iterator
+          }
         })
   }
 
