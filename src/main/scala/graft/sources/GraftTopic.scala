@@ -77,6 +77,21 @@ object TopicStore {
   }
 
   def read(topic: String): Seq[Msg] = synchronized { buf(topic).toVector }
+
+  /** Messages-available watermark in O(1) — the per-trigger offset probe
+    * must not copy the topic. */
+  def size(topic: String): Long = synchronized { buf(topic).length.toLong }
+
+  /** Dense sequence ids are buffer indices, so a micro-batch range read
+    * is a slice — O(batch), not a full-topic copy + filter. */
+  def readRange(topic: String, startSeq: Long, endSeq: Long): Seq[Msg] =
+    synchronized {
+      val b = buf(topic)
+      val hi = math.min(endSeq, b.length.toLong).toInt
+      val lo = math.max(0L, math.min(startSeq, hi.toLong)).toInt
+      b.slice(lo, hi).toVector
+    }
+
   def clear(topic: String): Unit = synchronized {
     topics.remove(topic)
     epochs.keySet.asScala.filter(_.endsWith(s"/$topic"))
@@ -109,10 +124,11 @@ final class GraftTopicTable(topic: String) extends Table
     () => new Scan {
       override def readSchema(): StructType = TopicStore.schema
       override def toBatch: Batch = new Batch {
+        // batch = the full range; same reader as the streaming path
         override def planInputPartitions(): Array[InputPartition] =
-          Array(TopicPartition(topic))
+          Array(TopicRangePartition(topic, 0L, Long.MaxValue))
         override def createReaderFactory(): PartitionReaderFactory =
-          new TopicReaderFactory
+          new TopicRangeReaderFactory
       }
       override def toMicroBatchStream(
           checkpointLocation: String): rstreaming.MicroBatchStream =
@@ -134,7 +150,7 @@ final class TopicMicroBatchStream(topic: String)
   
   override def initialOffset(): rstreaming.Offset = TopicOffset(0L)
   override def latestOffset(): rstreaming.Offset =
-    TopicOffset(TopicStore.read(topic).size.toLong)
+    TopicOffset(TopicStore.size(topic))
   override def planInputPartitions(start: rstreaming.Offset, end: rstreaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TopicOffset].seq
     val e = end.asInstanceOf[TopicOffset].seq
@@ -153,30 +169,7 @@ final case class TopicRangePartition(topic: String, startSeq: Long,
 final class TopicRangeReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[TopicRangePartition]
-    val it = TopicStore.read(r.topic)
-      .filter(m => m.sequenceId >= r.startSeq && m.sequenceId < r.endSeq)
-      .iterator
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) {
-          val m = it.next()
-          cur = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(m.key), UTF8String.fromString(m.value),
-            UTF8String.fromString(m.topic), m.sequenceId))
-          true
-        } else false
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
-    }
-  }
-}
-
-final case class TopicPartition(topic: String) extends InputPartition
-
-final class TopicReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val it = TopicStore.read(p.asInstanceOf[TopicPartition].topic).iterator
+    val it = TopicStore.readRange(r.topic, r.startSeq, r.endSeq).iterator
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
