@@ -191,8 +191,16 @@ object Dedup {
       maxIters: Int = 50): DataFrame = {
     // Edges partitioned ONCE on the lookup key: every iteration's join
     // exchanges only the (small, freshly-aggregated) label side.
-    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // Symmetrize by exploding each pair into both directions rather than
+    // unioning two selects over `pairs` — a union would plant the (often
+    // expensive — e.g. a jaccardPairs verify join) upstream plan twice,
+    // and Spark does not dedupe common subtrees.
+    val sym = pairs
+      .select(explode(array(
+        struct(col(aCol).as("a"), col(bCol).as("b")),
+        struct(col(bCol).as("a"), col(aCol).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(col("b"))
       .localCheckpoint()
     // Seed labels with min(node, min neighbor) — the same aggregation a
