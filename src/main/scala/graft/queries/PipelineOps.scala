@@ -306,6 +306,82 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition signals: duplicate-word and top-bigram
+    // coverage as floor per-mille (integer-exact cross-engine).
+    QueryDef.views("x6_repetition",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |          CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+        |          CASE WHEN len(w) >= 2
+        |               THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |               ELSE NULL END AS bgs
+        |        FROM t),
+        |  s AS (SELECT doc_id, n, nd,
+        |          CASE WHEN bgs IS NULL THEN 0
+        |               ELSE CAST(list_max(list_transform(list_distinct(bgs),
+        |                      g -> len(list_filter(bgs, x -> x = g)))) AS BIGINT) END AS top
+        |        FROM b)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+        |  ((n - nd) * 1000) // n AS dup_pml,
+        |  top AS top_bigram_n,
+        |  (top * 2 * 1000) // n AS top_bigram_pml,
+        |  (((n - nd) * 1000) // n > 700 OR (top * 2 * 1000) // n > 180) AS repetitive
+        |FROM s ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.repetitionStats(spark.table("documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: training docs sharing any word 5-gram
+    // with the deterministic eval split (doc_id % 97 = 0) are flagged;
+    // n_shared counts distinct shared grams.
+    QueryDef.views("dc1_decontam",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(list_distinct(
+        |           CASE WHEN len(w) >= 5
+        |                THEN list_transform(range(1, len(w) - 3),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |                ELSE [] END)) AS gram
+        |        FROM t),
+        |  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |  sh AS (SELECT g.doc_id, count(*) AS n_shared
+        |         FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
+        |         GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sh.n_shared, 0) AS n_shared,
+        |       COALESCE(sh.n_shared, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      TextOps.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // Concat-and-chunk sequence packing: token cumsum per (lang, shard)
+    // stream cut into 256-token windows; a doc may straddle windows.
+    QueryDef.views("pk1_pack",
+      """WITH t AS (SELECT doc_id, lang, CAST(doc_id % 8 AS BIGINT) AS shard,
+        |             CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |           FROM documents)
+        |SELECT doc_id, lang, shard, n_tokens, tok_offset,
+        |  tok_offset // 256 AS first_window,
+        |  (tok_offset + greatest(n_tokens, 1) - 1) // 256 AS last_window
+        |FROM (SELECT doc_id, lang, shard, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+        |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS BIGINT) AS tok_offset
+        |      FROM t)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.packSequences(spark.table("documents"), "doc_id", "text",
+          "lang", budget = 256, shards = 8)
+        .orderBy("doc_id")
+    },
+
     // Pattern redaction (PII-style scrub): stopword-class tags replaced
     // with [TAG]; digests + per-tag counts exact cross-engine (RE2-safe
     // patterns; DuckDB needs the 'g' flag Spark implies).

@@ -291,4 +291,66 @@ class OpsApiSpec extends SparkSpec {
     assert(parts.sum == docs.count())
     assert(parts.forall(_ > 0))
   }
+
+  test("repetitionStats pins known counts and threshold behavior") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "hello"), (3L, "p q r p q"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // "a a a a": 4 tokens 1 distinct -> dup 750pml; bigram "a a" x3
+    assert(rows(0).getLong(1) == 4 && rows(0).getLong(2) == 1)
+    assert(rows(0).getLong(3) == 750 && rows(0).getLong(4) == 3)
+    assert(rows(0).getBoolean(6)) // repetitive: dup_pml 750 > 700
+    // single token: no bigrams, nothing repeated
+    assert(rows(1).getLong(3) == 0 && rows(1).getLong(4) == 0
+      && !rows(1).getBoolean(6))
+    // "p q r p q": 5 tokens 3 distinct -> dup 400pml; "p q" x2 ->
+    // top_bigram_pml 800 > 180 -> repetitive on the bigram arm alone
+    assert(rows(2).getLong(4) == 2 && rows(2).getLong(5) == 800)
+    assert(rows(2).getBoolean(6))
+    // thresholds are the caller's: loose ones accept everything
+    val loose = TextOps.repetitionStats(df, "doc_id", "text",
+      maxDupPml = 999, maxTopBigramPml = 2000)
+    assert(loose.filter(col("repetitive")).count() == 0)
+  }
+
+  test("decontaminate flags shared n-grams at non-default n") {
+    import spark.implicits._
+    val train = Seq((1L, "p q r s t"), (2L, "u v w x y")).toDF("doc_id", "text")
+    val eval = Seq((100L, "q r z")).toDF("doc_id", "text")
+    // n=2: train doc 1 shares exactly the bigram "q r" with eval
+    val out = TextOps.decontaminate(train, eval, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1 && !out(0).getBoolean(2))
+    assert(out(1).getLong(1) == 0 && out(1).getBoolean(2))
+    // n=5: doc 1's only 5-gram differs from eval's text -> all clean
+    val strict = TextOps.decontaminate(train, eval, "doc_id", "text", n = 5)
+    assert(strict.filter(!col("keep")).count() == 0)
+  }
+
+  test("packSequences: contiguous offsets, straddling windows, conservation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d", "en"), (2L, "e f g h i", "en"), (3L, "j k l m n o", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.packSequences(df, "doc_id", "text", "lang",
+      budget = 10, shards = 1).orderBy("doc_id").collect()
+    // offsets are the exclusive prefix sums 0, 4, 9
+    assert(out.map(_.getAs[Long]("tok_offset")).toSeq == Seq(0L, 4L, 9L))
+    // doc 3 (tokens 9..14) straddles the 10-token window boundary
+    assert(out(2).getAs[Long]("first_window") == 0
+      && out(2).getAs[Long]("last_window") == 1)
+    assert(out(0).getAs[Long]("last_window") == 0)
+    // conservation: max(offset + n_tokens) == total token count
+    val total = out.map(r =>
+      r.getAs[Long]("tok_offset") + r.getAs[Long]("n_tokens")).max
+    assert(total == 15L)
+    // sharding partitions every doc into exactly one stream
+    val sharded = TextOps.packSequences(docs, "doc_id", "text", "lang",
+      budget = 256, shards = 4)
+    assert(sharded.count() == docs.count())
+    assert(sharded.select("shard").distinct().count() == 4)
+  }
 }
