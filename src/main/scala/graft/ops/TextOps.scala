@@ -183,10 +183,20 @@ object TextOps {
           |  then transform(sequence(1, size(__w) - 1),
           |                 i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
           |  else null end""".stripMargin))
+      // top-bigram frequency = longest equal run in the SORTED bigram
+      // array: one O(n log n) sort + one linear aggregate pass, vs the
+      // naive O(distinct x n) per-row rescan (HOFs evaluate interpreted,
+      // so lambda count is the cost that matters)
       .withColumn("__top", expr(
         """case when __bgs is null then cast(0 as bigint)
-          |  else cast(array_max(transform(array_distinct(__bgs),
-          |                 b -> size(filter(__bgs, x -> x = b)))) as bigint) end""".stripMargin))
+          |  else aggregate(array_sort(__bgs),
+          |    named_struct('prev', cast(null as string),
+          |                 'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+          |    (a, x) -> named_struct('prev', x,
+          |      'run', case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end,
+          |      'best', greatest(a.best,
+          |        case when x <=> a.prev then a.run + 1 else cast(1 as bigint) end)),
+          |    a -> a.best) end""".stripMargin))
       .select(col(idCol),
         col("__n").as("n_tokens"),
         size(array_distinct(col("__w"))).cast("bigint").as("n_distinct"),
@@ -214,14 +224,19 @@ object TextOps {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     require(n >= 1, s"decontaminate: need n >= 1, got $n")
+    // explode_outer + isNotNull-on-OUTPUT, not explode: plain explode
+    // makes InferFiltersFromGenerate plant `size(__g) > 0` below the
+    // generate, substituting the whole gram-array chain into a scan
+    // filter that recomputes it per row (same disease qz1 hit).
     def grams(df: DataFrame) = df
       .withColumn("__w", toks(textCol))
       .withColumn("__g", expr(
         s"""case when size(__w) >= $n
            |  then array_distinct(transform(sequence(1, size(__w) - ${n - 1}),
            |    i -> concat_ws(' ', slice(__w, i, $n))))
-           |  else array() end""".stripMargin))
-      .select(col(idCol), explode(col("__g")).as("gram"))
+           |  else null end""".stripMargin))
+      .select(col(idCol), explode_outer(col("__g")).as("gram"))
+      .filter(col("gram").isNotNull)
     val evalGrams = grams(eval).select("gram").distinct()
     // (doc, gram) pairs are distinct by construction -> count(*) counts
     // distinct shared grams without a countDistinct Expand.
