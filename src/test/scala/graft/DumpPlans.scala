@@ -10,7 +10,8 @@ object DumpPlans {
   val headline = Seq("a1_lineitem_pricing", "j1_join_agg", "j3_join_4way",
     "t5_changelog_count", "s3_changelog_latest", "t7_window_tumbling",
     "d4_ngram_jaccard", "d2_dedup_minhash", "e1_embed_nn", "o1_sort_limit",
-    "cdc1_source_batch", "hll1_approx_distinct", "qz1_quantize_int8")
+    "cdc1_source_batch", "hll1_approx_distinct", "qz1_quantize_int8",
+    "x6_repetition", "dc1_decontam", "pk1_pack")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
