@@ -61,10 +61,13 @@ final class PgOutputSession(db: String = "experiment",
   private val PG_EPOCH_MS = 946684800000L
 
   private def cstr(b: ByteBuffer): String = {
-    val sb = new java.lang.StringBuilder
+    // collect the raw bytes and decode as UTF-8 — identifiers are
+    // sent UTF-8 on the wire, and per-byte toChar would read any
+    // multi-byte character as Latin-1 mojibake
+    val out = new java.io.ByteArrayOutputStream(16)
     var c = b.get()
-    while (c != 0) { sb.append(c.toChar); c = b.get() }
-    sb.toString
+    while (c != 0) { out.write(c.toInt); c = b.get() }
+    new String(out.toByteArray, UTF_8)
   }
 
   /** Column-name → text-value map; None for a null/unchanged column. */
@@ -196,6 +199,15 @@ object PgOutputFrames {
   private def finish(b: ByteBuffer): Array[Byte] = {
     val out = new Array[Byte](b.position()); b.rewind(); b.get(out); out
   }
+  // exact wire sizes — builders size their buffer from content so an
+  // arbitrarily large row value or identifier can never overflow a
+  // fixed-capacity buffer
+  private def cstrSize(s: String): Int = s.getBytes(UTF_8).length + 1
+  private def tupleSize(cols: Seq[Option[String]]): Int =
+    2 + cols.map {
+      case Some(v) => 1 + 4 + v.getBytes(UTF_8).length
+      case None => 1
+    }.sum
   private def putCstr(b: ByteBuffer, s: String): Unit = {
     b.put(s.getBytes(UTF_8)); b.put(0.toByte)
   }
@@ -225,7 +237,8 @@ object PgOutputFrames {
 
   def relation(oid: Int, namespace: String, name: String,
       cols: Seq[String]): Array[Byte] = {
-    val b = buf(1024)
+    val b = buf(1 + 4 + cstrSize(namespace) + cstrSize(name) + 1 + 2 +
+      cols.map(c => 1 + cstrSize(c) + 8).sum)
     b.put('R'.toByte); b.putInt(oid)
     putCstr(b, namespace); putCstr(b, name)
     b.put('f'.toByte) // replica identity full
@@ -237,7 +250,7 @@ object PgOutputFrames {
   }
 
   def insert(oid: Int, values: Seq[Option[String]]): Array[Byte] = {
-    val b = buf(1024)
+    val b = buf(1 + 4 + 1 + tupleSize(values))
     b.put('I'.toByte); b.putInt(oid); b.put('N'.toByte)
     putTuple(b, values)
     finish(b)
@@ -245,7 +258,8 @@ object PgOutputFrames {
 
   def update(oid: Int, oldValues: Option[Seq[Option[String]]],
       newValues: Seq[Option[String]]): Array[Byte] = {
-    val b = buf(2048)
+    val b = buf(1 + 4 + oldValues.map(ov => 1 + tupleSize(ov)).getOrElse(0) +
+      1 + tupleSize(newValues))
     b.put('U'.toByte); b.putInt(oid)
     oldValues.foreach { ov => b.put('O'.toByte); putTuple(b, ov) }
     b.put('N'.toByte); putTuple(b, newValues)
@@ -253,7 +267,7 @@ object PgOutputFrames {
   }
 
   def delete(oid: Int, oldValues: Seq[Option[String]]): Array[Byte] = {
-    val b = buf(1024)
+    val b = buf(1 + 4 + 1 + tupleSize(oldValues))
     b.put('D'.toByte); b.putInt(oid); b.put('O'.toByte)
     putTuple(b, oldValues)
     finish(b)

@@ -211,4 +211,79 @@ class PgOutputSpec extends SparkSpec {
     assert(sink.snapshot.view.mapValues(_("user_count")).toMap ==
       Map("schema1" -> 1L, "schema2" -> 1L))
   }
+
+  test("unicode identifiers and values survive the wire (UTF-8, not Latin-1)") {
+    val session = new PgOutputSession()
+    session.decode(relation(7, "публичная", "événements",
+      Seq("id", "名前", "größe")), 1L)
+    val out = session.decode(insert(7,
+      Seq(Some("1"), Some("中文テキスト ✓"), Some("åäö–—€"))), 2L)
+    assert(out.head.schema == "публичная" && out.head.table == "événements")
+    assert(out.head.after == Map("id" -> "1", "名前" -> "中文テキスト ✓",
+      "größe" -> "åäö–—€"))
+  }
+
+  test("large row values don't overflow the frame builders") {
+    val session = new PgOutputSession()
+    session.decode(relation(8, "public", "blobs", Seq("id", "payload")), 1L)
+    val big = "x" * 100000 + "€" // > any fixed buffer, multi-byte tail
+    val out = session.decode(insert(8, Seq(Some("1"), Some(big))), 2L)
+    assert(out.head.after("payload") == big)
+    val upd = session.decode(update(8, Some(Seq(Some("1"), Some(big))),
+      Seq(Some("1"), Some(big + big))), 3L)
+    assert(upd.head.before("payload") == big)
+    assert(upd.head.after("payload") == big + big)
+  }
+
+  test("property: random transactions roundtrip encode -> decode exactly") {
+    val rnd = new scala.util.Random(20260812L)
+    val alphabets = Seq("abc XYZ 019", "äöüß€çñ", "日本語中文한국", "πλθΩ∑ ✓✗")
+    def randStr(): String = {
+      val a = alphabets(rnd.nextInt(alphabets.length))
+      (0 until rnd.nextInt(12)).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    def randVal(): Option[String] =
+      if (rnd.nextInt(5) == 0) None else Some(randStr())
+
+    val session = new PgOutputSession()
+    var lsn = 0L
+    (1 to 300).foreach { i =>
+      lsn += 1 + rnd.nextInt(3)
+      // occasional relation (re)definition with random width/names —
+      // later DML must bind to the latest definition
+      val oid = 100 + rnd.nextInt(3)
+      val ncols = 1 + rnd.nextInt(4)
+      val cols = (1 to ncols).map(c => s"c${c}_${randStr()}")
+      session.decode(relation(oid, s"ns_${randStr()}", s"t_${randStr()}",
+        cols), lsn)
+
+      val xid = rnd.nextInt(1 << 20)
+      val tsMs = ts0 + rnd.nextInt(1 << 30)
+      session.decode(begin(xid, tsMs), lsn)
+
+      val vals = cols.map(_ => randVal())
+      val expected = cols.zip(vals).collect { case (c, Some(v)) => c -> v }.toMap
+      val got = rnd.nextInt(3) match {
+        case 0 => session.decode(insert(oid, vals), lsn)
+        case 1 =>
+          val withOld = rnd.nextBoolean()
+          val old = cols.map(_ => randVal())
+          val r = session.decode(
+            update(oid, if (withOld) Some(old) else None, vals), lsn)
+          if (withOld) assert(r.head.before ==
+            cols.zip(old).collect { case (c, Some(v)) => c -> v }.toMap)
+          else assert(r.head.before.isEmpty)
+          r
+        case _ =>
+          val r = session.decode(delete(oid, vals), lsn)
+          assert(r.head.before == expected && r.head.after.isEmpty)
+          r
+      }
+      assert(got.size == 1)
+      val e = got.head
+      assert(e.lsn == lsn && e.txId == xid.toLong && e.tsMs == tsMs)
+      if (e.op != "d") assert(e.after == expected)
+      session.decode(commit(), lsn)
+    }
+  }
 }
