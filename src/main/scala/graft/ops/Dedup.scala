@@ -216,9 +216,12 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("node").as("b"), col("lbl").as("nl")), Seq("b"))
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      // checkpointed so the jump's SELF-join reads it from cache — inlined,
+      // the nbrMin join above would be planted (and computed) twice
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("prev"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // pointer jumping: lbl := label(lbl) — label values are node ids,
       // so one extra self-join halves the remaining chain length each
       // round (O(log diameter) rounds instead of O(diameter))

@@ -50,28 +50,70 @@ object Similarity {
       planeBits: Int = 6, tables: Int = 4): DataFrame = {
     if (!blocked) return bruteNearestNeighbors(df, idCol, vecCol, nearDupCos)
     val en = withNorm(df, idCol, vecCol)
-    // One bucket row per (table, vector): tables decorrelate the planes so
-    // a true neighbor missed by one projection is caught by another.
+    val pairs = blockedScoredPairs(en, planeBits, tables, ordered = false)
+    bestPerVec(pairs.select(col("vec_id_a").as("vec_id"),
+      col("vec_id_b").as("nn"), col("cs")), nearDupCos)
+  }
+
+  /** Shared candidate machinery of the blocked family: multi-table SRP
+    * buckets → distinct candidate id pairs → exact cosine via shuffle
+    * payload joins. `ordered = true` emits each unordered pair once
+    * (vec_id_a < vec_id_b); `false` emits both directions (per-vector
+    * consumers like nearest-neighbor). One bucket row per (table,
+    * vector): tables decorrelate the planes so a true neighbor missed by
+    * one projection is caught by another. Embeddings are the corpus —
+    * never broadcast, never carried through candidate generation. */
+  private def blockedScoredPairs(en: DataFrame, planeBits: Int,
+      tables: Int, ordered: Boolean): DataFrame = {
     val bucketed = en.select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${tables - 1}),
            |  t -> struct(t as tbl, srp_bits(embedding, $planeBits, t) as bucket))"""
         .stripMargin)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val idCmp =
+      if (ordered) col("x.vec_id") < col("y.vec_id")
+      else col("x.vec_id") =!= col("y.vec_id")
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nn"))
+          idCmp)
+      .select(col("x.vec_id").as("vec_id_a"), col("y.vec_id").as("vec_id_b"))
       .distinct()
-    // Payload fetch by id via shuffle equi-joins (embeddings are the
-    // corpus — never broadcast, never carried through candidate gen).
-    val pairs = cand
-      .join(en.select(col("vec_id"), col("embedding").as("ea"),
-        col("nrm").as("na")).hint("shuffle_hash"), Seq("vec_id"))
-      .join(en.select(col("vec_id").as("nn"), col("embedding").as("eb"),
-        col("nrm").as("nb")).hint("shuffle_hash"), Seq("nn"))
+    cand
+      .join(en.select(col("vec_id").as("vec_id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")).hint("shuffle_hash"), Seq("vec_id_a"))
+      .join(en.select(col("vec_id").as("vec_id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")).hint("shuffle_hash"), Seq("vec_id_b"))
       .withColumn("cs", expr("vec_dot(ea, eb)") / (col("na") * col("nb")))
-      .select(col("vec_id"), col("nn"), col("cs"))
-    bestPerVec(pairs, nearDupCos)
+      .select(col("vec_id_a"), col("vec_id_b"), col("cs"))
+  }
+
+  /** Every pair with cosine ≥ `minCos`, each unordered pair once
+    * (vec_id_a < vec_id_b) with `sim_bp` in basis points — the edge set
+    * for embedding-level near-duplicate clustering (SemDeDup shape:
+    * feed into [[Dedup.dupClusters]], keep one doc per cluster).
+    *
+    * Default BLOCKED: SRP-bucketed candidates + exact rerank, shuffle
+    * volume O(candidates). `blocked = false` is the exact all-pairs
+    * diagnostic (O(n²) broadcast loop) for fixture-scale grading only. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = 0.4, blocked: Boolean = true,
+      planeBits: Int = 6, tables: Int = 4): DataFrame = {
+    val en = withNorm(df, idCol, vecCol)
+    val pairs =
+      if (blocked) blockedScoredPairs(en, planeBits, tables, ordered = true)
+      else {
+        val streamed =
+          en.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        streamed.as("a")
+          .join(broadcast(en).as("b"), col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cs", expr("vec_dot(a.embedding, b.embedding)")
+            / (col("a.nrm") * col("b.nrm")))
+          .select(col("a.vec_id").as("vec_id_a"),
+            col("b.vec_id").as("vec_id_b"), col("cs"))
+      }
+    pairs.filter(col("cs") >= minCos)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(col("cs") * 10000).cast("bigint").as("sim_bp"))
   }
 
   /** Brute-force cosine top-k: `queries` (small, broadcast) against the

@@ -125,6 +125,33 @@ object PipelineOps {
         .orderBy("vec_id")
     },
 
+    // Embedding near-dup clustering (SemDeDup shape): connected
+    // components over the cosine >= 0.4 pair graph. Graded via the exact
+    // pair set (the oracle is all-pairs + a recursive CTE); the library
+    // default cosinePairs(blocked = true) is the scale path, recall
+    // spec-pinned in OpsApiSpec.
+    QueryDef.views("ec1_embed_dup_clusters",
+      """WITH RECURSIVE
+        |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings),
+        |  en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |  p AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |        FROM en a JOIN en b ON a.vec_id < b.vec_id
+        |          AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        |  edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e2.a, w2.lbl FROM edges e2 JOIN walk w2 ON e2.b = w2.node)
+        |SELECT node AS vec_id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY vec_id""".stripMargin) { spark =>
+      val pairs = Similarity.cosinePairs(spark.table("embeddings"),
+        "vec_id", "embedding", minCos = 0.4, blocked = false)
+      Dedup.dupClusters(pairs, "vec_id_a", "vec_id_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+
     // Brute-force cosine top-k ANN baseline (broadcast query side).
     QueryDef.views("s1_ann_topk",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

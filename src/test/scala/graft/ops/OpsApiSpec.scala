@@ -292,6 +292,25 @@ class OpsApiSpec extends SparkSpec {
     assert(parts.forall(_ > 0))
   }
 
+  test("blocked cosinePairs: subset of exact with recall >= 0.9") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding",
+      minCos = 0.4, blocked = false).select("vec_id_a", "vec_id_b")
+    // blocked candidates are verified with the same exact cosine, so the
+    // pair set can only MISS edges, never invent them
+    val blocked = Similarity.cosinePairs(emb, "vec_id", "embedding",
+      minCos = 0.4, planeBits = 3, tables = 12).select("vec_id_a", "vec_id_b")
+    assert(blocked.exceptAll(exact).count() == 0)
+    val nExact = exact.count().toDouble
+    val nHit = blocked.intersect(exact).count().toDouble
+    assert(nHit / nExact >= 0.9, s"recall ${nHit / nExact} ($nHit/$nExact)")
+    // and the blocked edge set composes with dupClusters
+    val clustered = Dedup.dupClusters(blocked, "vec_id_a", "vec_id_b")
+    assert(clustered.count() > 0)
+    assert(clustered.filter(col("cluster_id") > col("doc_id")).count() == 0)
+  }
+
   test("repetitionStats pins known counts and threshold behavior") {
     import spark.implicits._
     val df = Seq((1L, "a a a a"), (2L, "hello"), (3L, "p q r p q"))
