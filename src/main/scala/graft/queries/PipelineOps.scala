@@ -409,6 +409,47 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // BM25 relevance to a seed term set (log-free rational idf — every
+    // arithmetic step is an IEEE basic op in the same order on both
+    // engines, so score_ppm is integer-exact cross-engine). 'dup' is the
+    // rare term (df ~5%), the others are common — exercises both idf
+    // regimes.
+    QueryDef.views("bm1_bm25",
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |          CAST(len(list_filter(w, x -> x = 'dup')) AS BIGINT) AS tf_dup,
+        |          CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_scan,
+        |          CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |        FROM d),
+        |  s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |          CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+        |          CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_scan,
+        |          CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge
+        |        FROM p)
+        |SELECT doc_id, dl, tf_dup, tf_scan, tf_merge,
+        |  CAST(round((
+        |    (((n_docs - df_dup) + CAST(0.5 AS DOUBLE)) / (df_dup + CAST(0.5 AS DOUBLE)))
+        |      * (tf_dup * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (tf_dup + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+        |    + (((n_docs - df_scan) + CAST(0.5 AS DOUBLE)) / (df_scan + CAST(0.5 AS DOUBLE)))
+        |      * (tf_scan * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (tf_scan + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+        |    + (((n_docs - df_merge) + CAST(0.5 AS DOUBLE)) / (df_merge + CAST(0.5 AS DOUBLE)))
+        |      * (tf_merge * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |      / (tf_merge + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+        |  ) * 1000000) AS BIGINT) AS score_ppm
+        |FROM p CROSS JOIN s ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.bm25(spark.table("documents"), "doc_id", "text",
+          Seq("dup", "scan", "merge"))
+        .orderBy("doc_id")
+    },
+
     // Pattern redaction (PII-style scrub): stopword-class tags replaced
     // with [TAG]; digests + per-tag counts exact cross-engine (RE2-safe
     // patterns; DuckDB needs the 'g' flag Spark implies).
