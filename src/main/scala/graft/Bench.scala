@@ -47,13 +47,32 @@ object Bench {
       }.min
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query seconds at 2 decimals: the harvester keeps only the last
+    // ~2000 chars of sbt output, and full-precision doubles pushed the
+    // JSON line past that window every round (r1-r4 all arrived truncated
+    // mid-line, unparseable). Centisecond precision is far below host
+    // noise anyway; full precision is preserved in bench_last.json.
+    def fmt(v: Double): String = "%.2f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // "method" documents the consumption strategy in the artifact: rounds
-    // measured with count() (r1-r3) under-reported projection/sketch work
-    // (Catalyst pruning), so totals are not comparable across the change.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","method":"noop_write_consume"}""")
+    // "method" documents the consumption strategy: rounds measured with
+    // count() (r1-r3) under-reported projection/sketch work (Catalyst
+    // pruning), so totals are not comparable across the change.
+    val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write"}"""
+    // Full-precision copy survives in the repo even if stdout is clipped.
+    try {
+      val w = new java.io.PrintWriter("bench_last.json")
+      try {
+        val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write_consume"}""")
+      } finally w.close()
+    } catch { case _: Throwable => () }
+    // Stop BEFORE printing: shutdown warnings must not land after the JSON
+    // line and push it out of the harvester's tail window.
     spark.stop()
+    println(line)
   }
 }
