@@ -20,7 +20,19 @@ object GraftFunctions {
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
-    "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es))
+    "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es)),
+    "pq_encode" -> ((es: Seq[Expression]) => PqEncode.fromArgs(es)),
+    "gather_sum" -> ((es: Seq[Expression]) => GatherSum(es(0), es(1))),
+    // Spark's own runtime-filter expressions, surfaced as SQL functions
+    // (upstream keeps them internal to the InjectRuntimeFilter rule):
+    // bloom_filter_agg(xxhash64(x), est_items, num_bits) builds the filter,
+    // might_contain(<scalar subquery>, xxhash64(x)) probes it.
+    "bloom_filter_agg" -> ((es: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        es(0), es(1), es(2))),
+    "might_contain" -> ((es: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        es(0), es(1)))
   )
 
   private def litInt(e: Expression): Int = e match {

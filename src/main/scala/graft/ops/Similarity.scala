@@ -374,4 +374,137 @@ object Similarity {
       clusters: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
     ivfSearch(ivfIndex(corpus, idCol, vecCol, clusters, iters),
       queryPred, k, nprobe)
+
+  /** A trained product-quantization index: `m` subspaces × `k` codes
+    * per subspace (codebook row-major `[subspace][code][subDim]`,
+    * trained on UNIT vectors so ADC inner products approximate cosine)
+    * plus the encoded corpus `(vec_id, u, codes)` — `codes` is m global
+    * code ids ([[graft.functions.PqEncode]]), i.e. m small ints per
+    * vector instead of dims floats: the 16-32× compression that lets an
+    * ADC scan read the whole corpus index from a fraction of the I/O.
+    * Callers should persist `encoded` (ids + codes only) for reuse. */
+  final case class PqIndex(m: Int, k: Int,
+      codebook: IndexedSeq[Double], encoded: DataFrame) {
+    def subDims: Int = codebook.length / (m * k)
+  }
+
+  /** Trains a PQ codebook by per-subspace Lloyd iterations and encodes
+    * the corpus. Deterministic: seeds are the first `k` vectors (by id)
+    * sliced per subspace; an emptied code cell keeps its previous
+    * centroid.
+    *
+    * Scale shape: training is `iters` passes of (one shuffle-free
+    * projection encode) + (partial agg on (code, dim) — k·dims groups) +
+    * (k·dims driver collect); the codebook (m·k·subDims = k·dims
+    * doubles — a few KB at any realistic setting) embeds in the encode
+    * expression like the IVF constant path, so encoding never joins or
+    * shuffles the corpus. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): PqIndex = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    require(m > 0 && k > 0 && iters >= 0,
+      s"pqIndex: need m > 0, k > 0, iters >= 0, got m=$m k=$k iters=$iters")
+    // Unit vectors: ADC reconstructs dot(u_q, u_b) = cosine. All-zero
+    // vectors stay zero (their cosine to anything is undefined; they
+    // encode to cell 0 of every subspace and rerank last).
+    val vecs = corpus
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("u", expr(
+        "CASE WHEN nrm = 0.0D THEN v ELSE transform(v, x -> x / nrm) END"))
+      .select("vec_id", "u")
+    val seedRows = vecs.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("u")).as[(Long, Seq[Double])].collect()
+    require(seedRows.length == k, s"pqIndex: corpus has fewer than k=$k vectors")
+    val dims = seedRows.head._2.length
+    require(dims % m == 0, s"pqIndex: dims ($dims) must divide into m ($m)")
+    val subDims = dims / m
+
+    // codebook[(s*k + j) * subDims + i] = component i of code j in subspace s
+    val seed = new Array[Double](m * k * subDims)
+    for (s <- 0 until m; j <- 0 until k; i <- 0 until subDims)
+      seed((s * k + j) * subDims + i) = seedRows(j)._2(s * subDims + i)
+
+    def encode(cb: Array[Double]) = vecs.withColumn("codes",
+      call_function("pq_encode", col("u"), typedlit(cb), lit(m), lit(k)))
+
+    // Per-cell mean of the assigned subvectors: one partial agg over
+    // (global code, dim) — group count is k*dims, collect is k*dims
+    // doubles (PQ trains centroids on the driver like any k-means).
+    def recenter(encoded: DataFrame, prev: Array[Double]): Array[Double] = {
+      val rows = encoded
+        .select(col("codes"), posexplode(col("u")).as(Seq("dim", "x")))
+        .select(expr(s"element_at(codes, CAST(dim / $subDims AS INT) + 1)")
+          .as("g"), col("dim"), col("x"))
+        .groupBy("g", "dim").agg(avg("x").as("mean"))
+        .as[(Int, Int, Double)].collect()
+      val next = prev.clone()
+      rows.foreach { case (g, dim, mean) =>
+        next(g * subDims + dim % subDims) = mean
+      }
+      next
+    }
+
+    val cb = (1 to iters).foldLeft(seed)((c, _) => recenter(encode(c), c))
+    PqIndex(m, k, cb.toIndexedSeq, encode(cb).select("vec_id", "u", "codes"))
+  }
+
+  /** PQ (ADC) top-k search: per query, a lookup table of
+    * `dot(query_subvector, codebook_entry)` for every code; the corpus
+    * scan scores each vector as Σ lut[code] over its m codes (the
+    * codegen'd [[graft.functions.GatherSum]] kernel — the hot loop
+    * touches m ints + m doubles per vector, never the vector itself);
+    * the top `rerankFactor * k` ADC candidates per query are reranked
+    * with exact cosine (payload fetch by id, shuffle join) and the exact
+    * top-k is returned.
+    *
+    * Scale shape: the ADC scan reads (vec_id, codes) only — with m=8,
+    * k=16 that is ~12 bytes/vector vs 256+ for the raw embedding, so a
+    * 100 TB embedding corpus scans as a few TB of codes; queries + their
+    * LUTs broadcast (small query set, the [[lshTopK]] contract); only
+    * the rerank touches true vectors, for R·|queries| rows. */
+  def pqSearch(index: PqIndex, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, rerankFactor: Int = 4): DataFrame = {
+    val nCodes = index.m * index.k
+    val subDims = index.subDims
+    val cbLit = typedlit(index.codebook.toArray)
+    // LUT build is query-side only: m*k interpreted lambda evals per
+    // QUERY row (never per corpus row — that side is gather_sum).
+    val lut = transform(sequence(lit(0), lit(nCodes - 1)), g =>
+      aggregate(sequence(lit(0), lit(subDims - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(col("u"), (g.cast("int") / index.k).cast("int") * subDims + i + 1) *
+          element_at(cbLit, g * subDims + i + 1)))
+    val queries = index.encoded.filter(queryPred)
+      .select(col("vec_id").as("q_vec_id"), col("u").as("qu"),
+        lut.as("lut"))
+    val adcW = Window.partitionBy("q_vec_id")
+      .orderBy(col("adc").desc, col("nn"))
+    val cand = broadcast(queries).join(index.encoded.select(
+        col("vec_id").as("nn"), col("codes")),
+        col("q_vec_id") =!= col("nn"))
+      .withColumn("adc", call_function("gather_sum", col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(adcW))
+      .filter(col("rn") <= k * rerankFactor)
+      .select("q_vec_id", "qu", "nn")
+    val rerankW = Window.partitionBy("q_vec_id")
+      .orderBy(col("cs").desc, col("nn"))
+    cand.join(index.encoded.select(col("vec_id").as("nn"),
+        col("u").as("bu")).hint("shuffle_hash"), Seq("nn"))
+      .withColumn("cs", expr("vec_dot(qu, bu)"))
+      .withColumn("rn", row_number().over(rerankW))
+      .filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+        col("nn").as("nn_id"))
+  }
+
+  /** PQ ANN in one call: train + encode, then ADC scan + exact rerank.
+    * Repeated query workloads should build [[pqIndex]] once instead. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      m: Int = 8, codes: Int = 16, iters: Int = 2,
+      rerankFactor: Int = 4): DataFrame =
+    pqSearch(pqIndex(corpus, idCol, vecCol, m, codes, iters),
+      queryPred, k, rerankFactor)
 }

@@ -187,6 +187,15 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     }, None),
 
+    // Product-quantized ANN (per-subspace codebooks + ADC scan + exact
+    // rerank). Rows-only; the exact-head containment twin is pq1x.
+    QueryDef("pq1_ann", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      Similarity.pqTopK(spark.table("embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < 20, k = 5)
+        .orderBy("q_vec_id", "rnk")
+    }, None),
+
     // Language-ID by marker-token scoring, deterministic argmax.
     QueryDef.views("x1_lang_id",
       """WITH tk AS (SELECT doc_id, lang,

@@ -93,6 +93,16 @@ object PropertyChecks {
       Similarity.ivfTopK(spark.table("embeddings"), "vec_id", "embedding",
         queryPred = col("vec_id") < 20, k = 5, nprobe = 8)),
 
+    // PQ at recall-oriented parameters for this fixture's geometry
+    // (near-orthogonal vectors, true neighbors at cos ≈ 0.4 — ADC noise
+    // is largest exactly there): finer subspaces (m=16 → subDims=4) and
+    // a deep exact rerank make the returned top-k provably sit in the
+    // exact head.
+    annContainment("pq1x_pq_in_exact_head", spark =>
+      Similarity.pqTopK(spark.table("embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") < 20, k = 5, m = 16, iters = 3,
+        rerankFactor = 16)),
+
     // Misra–Gries guarantee: every token with true frequency > n/(k+1)
     // must appear in the k-counter summary (mergeable-summaries bound,
     // which holds under Spark's partial-aggregation merge tree). DuckDB
