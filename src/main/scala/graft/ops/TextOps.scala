@@ -224,29 +224,78 @@ object TextOps {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 5): DataFrame = {
     require(n >= 1, s"decontaminate: need n >= 1, got $n")
-    // explode_outer + isNotNull-on-OUTPUT, not explode: plain explode
-    // makes InferFiltersFromGenerate plant `size(__g) > 0` below the
-    // generate, substituting the whole gram-array chain into a scan
-    // filter that recomputes it per row (same disease qz1 hit).
-    def grams(df: DataFrame) = df
-      .withColumn("__w", toks(textCol))
-      .withColumn("__g", expr(
-        s"""case when size(__w) >= $n
-           |  then array_distinct(transform(sequence(1, size(__w) - ${n - 1}),
-           |    i -> concat_ws(' ', slice(__w, i, $n))))
-           |  else null end""".stripMargin))
-      .select(col(idCol), explode_outer(col("__g")).as("gram"))
-      .filter(col("gram").isNotNull)
-    val evalGrams = grams(eval).select("gram").distinct()
+    val evalGrams = docGrams(eval, idCol, textCol, n).select("gram").distinct()
     // (doc, gram) pairs are distinct by construction -> count(*) counts
     // distinct shared grams without a countDistinct Expand.
-    val shared = grams(train).join(evalGrams, "gram")
+    val shared = docGrams(train, idCol, textCol, n).join(evalGrams, "gram")
       .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    joinBack(train, shared, idCol)
+  }
+
+  /** Distinct (doc, word-n-gram) pairs of a corpus.
+    *
+    * explode_outer + isNotNull-on-OUTPUT, not explode: plain explode
+    * makes InferFiltersFromGenerate plant `size(__g) > 0` below the
+    * generate, substituting the whole gram-array chain into a scan
+    * filter that recomputes it per row (same disease qz1 hit). */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = df
+    .withColumn("__w", toks(textCol))
+    .withColumn("__g", expr(
+      s"""case when size(__w) >= $n
+         |  then array_distinct(transform(sequence(1, size(__w) - ${n - 1}),
+         |    i -> concat_ws(' ', slice(__w, i, $n))))
+         |  else null end""".stripMargin))
+    .select(col(idCol), explode_outer(col("__g")).as("gram"))
+    .filter(col("gram").isNotNull)
+
+  private def joinBack(train: DataFrame, shared: DataFrame,
+      idCol: String): DataFrame =
     train.select(col(idCol))
       .join(shared, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) === 0L).as("keep"))
+
+  /** [[decontaminate]] with a Bloom-filter pre-pass — IDENTICAL results
+    * (the bloom admits false positives, never false negatives, and a
+    * positive only forwards the gram to the exact confirm join), but the
+    * shuffle that dominates at corpus scale (train grams × eval grams)
+    * only receives grams that pass the filter: at 100 TB the train side
+    * is ~everything and the eval gram set is tiny, so the bloom turns a
+    * full-corpus exchange into one sized by the (rare) hits + the fpp.
+    *
+    * Built on Spark's OWN runtime-filter machinery, surfaced as SQL
+    * functions (graft registers bloom_filter_agg / might_contain, which
+    * upstream reserves for its InjectRuntimeFilter rule): the eval-gram
+    * bloom is a scalar subquery — built once as a tiny aggregate,
+    * shipped as a literal to every scan task — and might_contain
+    * evaluates INSIDE the train-side scan stage, before any exchange.
+    *
+    * `bitsPerGram` sizes the filter (8 bits/item ≈ 2% fpp); the default
+    * `expectedGrams` suits eval corpora up to ~1M distinct grams —
+    * size it to the REAL eval gram count in production (fpp degrades,
+    * correctness never: every positive is exact-confirmed). */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, expectedGrams: Long = 1000000L,
+      bitsPerGram: Int = 8): DataFrame = {
+    require(n >= 1 && expectedGrams > 0 && bitsPerGram > 0,
+      s"decontaminateBloom: bad n=$n/expectedGrams=$expectedGrams/bitsPerGram=$bitsPerGram")
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val evalGrams = docGrams(eval, idCol, textCol, n).select("gram").distinct()
+    val evView = "__graft_decontam_eval_grams"
+    evalGrams.createOrReplaceTempView(evView)
+    val candidates = docGrams(train, idCol, textCol, n)
+      .filter(expr(
+        s"""might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(gram),
+           |     CAST($expectedGrams AS BIGINT),
+           |     CAST(${expectedGrams * bitsPerGram} AS BIGINT))
+           |   FROM $evView),
+           |  xxhash64(gram))""".stripMargin))
+    val shared = candidates.join(evalGrams, "gram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    joinBack(train, shared, idCol)
   }
 
   /** Concat-and-chunk sequence packing — the standard LLM pretraining

@@ -398,6 +398,39 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Bloom-accelerated decontamination: Spark's runtime-filter bloom
+    // (bloom_filter_agg scalar subquery + might_contain inside the train
+    // scan) pre-filters grams before the exact confirm join — results
+    // are IDENTICAL to the exact op (no false negatives; positives are
+    // exact-confirmed), so the oracle is the plain exact SQL. Different
+    // eval split (% 89) than dc1 so the two entries grade different
+    // row sets.
+    QueryDef.views("dc2_decontam_bloom",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(list_distinct(
+        |           CASE WHEN len(w) >= 5
+        |                THEN list_transform(range(1, len(w) - 3),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |                ELSE [] END)) AS gram
+        |        FROM t),
+        |  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0),
+        |  sh AS (SELECT g.doc_id, count(*) AS n_shared
+        |         FROM g JOIN ev USING (gram) WHERE g.doc_id % 89 <> 0
+        |         GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sh.n_shared, 0) AS n_shared,
+        |       COALESCE(sh.n_shared, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 89 <> 0 ORDER BY d.doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      TextOps.decontaminateBloom(
+          docs.filter(pmod(col("doc_id"), lit(89)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(89)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
     // Concat-and-chunk sequence packing: token cumsum per (lang, shard)
     // stream cut into 256-token windows; a doc may straddle windows.
     QueryDef.views("pk1_pack",
