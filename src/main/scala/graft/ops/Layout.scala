@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-column
+  * locality. At 100 TB the dominant cost of a selective query is the
+  * scan; range-partitioning + sorting by an interleaved key keeps rows
+  * that are close in EVERY clustered dimension inside the same files,
+  * so parquet min/max stats prune multi-predicate queries that a
+  * single-column sort can only prune on its leading column. */
+object Layout {
+
+  /** Dialect-portable Morton (Z-order) value of `cols`, `bits` low bits
+    * each, bit-by-bit interleaved (column j contributes bit i of its
+    * value to result bit `i * cols + j`). Bit i is read as
+    * `floor(x / 2^i) % 2` — division by a power of two is EXACT in
+    * binary floating point (exponent shift, no rounding), so the same
+    * fragment evaluates identically in Spark SQL and any ANSI-ish
+    * oracle dialect, with no dialect-specific shift/bitand syntax.
+    * Bits above `bits` are ignored (the walk never reads them); inputs
+    * must be non-negative and < 2^52. */
+  def zValueSql(cols: Seq[String], bits: Int): String = {
+    require(cols.nonEmpty && bits > 0 && cols.size * bits <= 62,
+      s"zValueSql: need 0 < cols*bits <= 62, got ${cols.size} x $bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield {
+      val srcPow = 1L << i
+      val dstPow = 1L << (i.toLong * cols.size + j)
+      s"(CAST(floor(CAST($c AS BIGINT) / $srcPow) AS BIGINT) % 2) * $dstPow"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** Adds `z_value` = Morton interleave of `cols` (low `bits` bits
+    * each; non-negative inputs). */
+  def zorder(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame =
+    df.withColumn("z_value", expr(zValueSql(cols, bits)))
+
+  /** Writes `df` clustered by the Z-order of `cols`: range-partitioned
+    * on `z_value` (contiguous z-ranges per output file) and sorted
+    * within partitions, so every file covers a tight z-rectangle and
+    * parquet min/max stats prune on ALL clustered dimensions. This is
+    * the layout step of a 100 TB curation pipeline — run once after
+    * heavy filtering, cheap relative to the scans it saves downstream.
+    * Returns a reader over the written layout. */
+  def clusteredWrite(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
+    zorder(df, cols, bits)
+      .repartitionByRange(numFiles, col("z_value"))
+      .sortWithinPartitions("z_value")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Per-file min/max of a column in a written dataset — the pruning
+    * telemetry for [[clusteredWrite]] (disjoint per-file z-ranges =
+    * min/max stats actually prune). */
+  def fileRanges(df: DataFrame, colName: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(colName)).as("lo"), max(col(colName)).as("hi"))
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Layout, Similarity, TextOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -616,6 +616,24 @@ object PipelineOps {
         .select(col("vec_id"), col("dim").cast("bigint").as("dim"), col("q"),
           floor(col("scale") * 1048576).cast("bigint").as("scale_scaled"))
         .orderBy("vec_id", "dim")
+    },
+
+    // Z-order (Morton) clustering key over (user_id, floor(value)) —
+    // the multi-dimensional data-layout step ([[graft.ops.Layout]]):
+    // the SAME dialect-portable bit-interleave fragment runs on both
+    // engines (power-of-two floor division is exact in binary FP), so
+    // the oracle grades the key bit-for-bit. The layout write itself
+    // (range-partition + sort by z_value) is spec-pinned in LayoutSpec.
+    QueryDef.views("z1_zorder",
+      s"""SELECT event_id, CAST(user_id AS BIGINT) AS x,
+         |  CAST(floor(value) AS BIGINT) AS y,
+         |  ${Layout.zValueSql(Seq("user_id", "floor(value)"), 11)} AS z_value
+         |FROM events ORDER BY event_id""".stripMargin) { spark =>
+      Layout.zorder(spark.table("events")
+          .select(col("event_id"), col("user_id").cast("bigint").as("x"),
+            floor(col("value")).cast("bigint").as("y")),
+          Seq("x", "y"), bits = 11)
+        .orderBy("event_id")
     },
 
     // Sketch aggregation: built-in HLL + graft's native KMV sketch

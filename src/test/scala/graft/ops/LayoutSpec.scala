@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout specs: the interleave must match a Scala reference
+  * Morton encoder bit for bit (the fragment is also the oracle side of
+  * z1_zorder), and the clustered write must produce the property the
+  * op exists for — per-file z-ranges that do not overlap, so parquet
+  * min/max stats prune multi-dimensional predicates. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refMorton(xs: Seq[Long], bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits; (x, j) <- xs.zipWithIndex)
+      z |= ((x >> i) & 1L) << (i * xs.size + j)
+    z
+  }
+
+  test("zorder matches the reference Morton encoder, edges included") {
+    val bits = 11
+    val max = (1L << bits) - 1
+    val vals = Seq((0L, 0L), (max, max), (0L, max), (max, 0L),
+      (1L, 2L), (1234L, 567L), (2047L, 1L),
+      // bits above `bits` must be ignored
+      (max + 4096L, 3L))
+    val df = vals.toDF("x", "y")
+    val got = Layout.zorder(df, Seq("x", "y"), bits)
+      .select("x", "y", "z_value").collect()
+    got.foreach { r =>
+      val expect = refMorton(Seq(r.getLong(0) & max, r.getLong(1) & max), bits)
+      assert(r.getLong(2) == expect,
+        s"(${r.getLong(0)}, ${r.getLong(1)}): got ${r.getLong(2)}, want $expect")
+    }
+  }
+
+  test("interleave is a bijection over the masked domain") {
+    val bits = 5
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val z = Layout.zorder(df, Seq("x", "y"), bits)
+    assert(z.select("z_value").distinct().count() == 32 * 32)
+    assert(z.agg(max("z_value")).head().getLong(0) == (1L << (2 * bits)) - 1)
+  }
+
+  test("clusteredWrite yields disjoint per-file z-ranges") {
+    val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val dir = tmpDir("graft_zorder")
+    val back = Layout.clusteredWrite(df, Seq("x", "y"), dir,
+      numFiles = 8, bits = 6)
+    assert(back.count() == 64 * 64)
+    val ranges = Layout.fileRanges(back, "z_value")
+      .orderBy("lo").collect()
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) < b.getLong(1),
+          s"file ranges overlap: [${a.getLong(1)},${a.getLong(2)}] vs " +
+            s"[${b.getLong(1)},${b.getLong(2)}]")
+      case _ =>
+    }
+  }
+}
