@@ -298,6 +298,55 @@ object TextOps {
     joinBack(train, shared, idCol)
   }
 
+  /** Span-level exact substring dedup (the Lee et al. "Deduplicating
+    * Training Data" shape, at span granularity): each document is cut
+    * into consecutive non-overlapping `span`-token spans (tail partial
+    * span included) and a span occurrence survives only if it is the
+    * FIRST occurrence of that exact token sequence corpus-wide, ordered
+    * by (doc_id, span_idx). Emits one row per doc: total spans, kept
+    * spans, and the md5 of the kept-spans reconstruction (in original
+    * order) — the dedup'd document content.
+    *
+    * Scale shape: one explode to (doc, idx, span) rows, one window over
+    * the span key (the global first-occurrence pass — a single shuffle
+    * on the span; at 100 TB swap the raw span text for xxhash64(span)
+    * to exchange 8 bytes per span and refetch kept text by (doc, idx)),
+    * one per-doc re-aggregation. No join ever touches the full text. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 16): DataFrame = {
+    require(span >= 1, s"spanDedup: need span >= 1, got $span")
+    val spans = df
+      .withColumn("__w", toks(textCol))
+      .withColumn("__ns", expr(
+        s"CAST(ceil(size(__w) / CAST($span AS DOUBLE)) AS INT)"))
+      .select(col(idCol).as("doc_id"), explode_outer(expr(
+        s"""CASE WHEN __ns >= 1
+           |  THEN transform(sequence(1, __ns), s ->
+           |    struct(CAST(s - 1 AS BIGINT) AS span_idx,
+           |           concat_ws(' ', slice(__w, (s - 1) * $span + 1, $span))
+           |             AS span_text))
+           |  ELSE NULL END""".stripMargin)).as("sp"))
+      .filter(col("sp").isNotNull)
+      .select(col("doc_id"), col("sp.span_idx").as("span_idx"),
+        col("sp.span_text").as("span_text"))
+    val firstW = Window.partitionBy("span_text")
+      .orderBy("doc_id", "span_idx")
+    val marked = spans.withColumn("__rn", row_number().over(firstW))
+    val agg = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      md5(concat_ws(" ", expr(
+        """transform(array_sort(collect_list(
+          |  CASE WHEN __rn = 1 THEN struct(span_idx, span_text) END)),
+          |  p -> p.span_text)""".stripMargin))).as("kept_md5"))
+    df.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+  }
+
   /** Concat-and-chunk sequence packing — the standard LLM pretraining
     * layout: documents are laid end to end in deterministic (shard,
     * doc-id) order and the stream is cut into fixed `budget`-token

@@ -398,6 +398,37 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Span-level exact substring dedup (Lee et al. shape): consecutive
+    // 16-token spans, first occurrence corpus-wide survives; per-doc
+    // kept-content digest graded exactly (md5s are portable).
+    QueryDef.views("sd1_span_dedup",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  s AS (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS span_idx
+        |        FROM t),
+        |  sp AS (SELECT doc_id, span_idx,
+        |           array_to_string(w[span_idx * 16 + 1 : span_idx * 16 + 16], ' ')
+        |             AS span_text
+        |         FROM s),
+        |  r AS (SELECT doc_id, span_idx, span_text, row_number() OVER
+        |          (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+        |        FROM sp),
+        |  agg AS (SELECT doc_id, count(*) AS n_spans,
+        |            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |            md5(coalesce(string_agg(CASE WHEN rn = 1 THEN span_text END,
+        |                                    ' ' ORDER BY span_idx), '')) AS kept_md5
+        |          FROM r GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agg.n_spans, 0) AS n_spans,
+        |       COALESCE(agg.n_kept, 0) AS n_kept,
+        |       COALESCE(agg.kept_md5, md5('')) AS kept_md5
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.spanDedup(spark.table("documents"), "doc_id", "text", span = 16)
+        .orderBy("doc_id")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results
