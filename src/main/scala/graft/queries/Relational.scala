@@ -528,6 +528,42 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // Interval join (the range-join twin of ao1, and the batch form of
+    // the watermarked stream-stream join spec-pinned in StreamJoinSpec):
+    // for each error event, the count and value sum of the same user's
+    // clicks in the preceding 5 minutes. Plans as a hash join on
+    // user_id with the time band as residual — at scale one shuffle on
+    // the join key, no O(pairs) blow-up beyond each user's band. Value
+    // sum in DECIMAL per the determinism contract.
+    QueryDef.views("iv1_interval_join",
+      """SELECT e.event_id AS err_id,
+        |       CAST(count(c.ts) AS BIGINT) AS n_clicks,
+        |       CAST(CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin) { spark =>
+      val ev = spark.table("events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("err_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+      errs.join(clicks,
+          errs("user_id") === clicks("user_id") &&
+            col("click_ts") >= col("err_ts") - expr("INTERVAL 5 MINUTE") &&
+            col("click_ts") < col("err_ts"), "left")
+        .groupBy("err_id")
+        .agg(count(col("click_ts")).as("n_clicks"),
+          coalesce(sum(col("value").cast("decimal(18,2)")), lit(0))
+            .cast("decimal(18,2)").cast("double").as("click_value"))
+        .orderBy("err_id")
+    },
+
     // Exact percentile statistics (median / p90 via linear interpolation —
     // identical definition in both engines) + exact extrema.
     QueryDef.views("p1_percentiles",
