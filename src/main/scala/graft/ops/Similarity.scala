@@ -507,4 +507,81 @@ object Similarity {
       rerankFactor: Int = 4): DataFrame =
     pqSearch(pqIndex(corpus, idCol, vecCol, m, codes, iters),
       queryPred, k, rerankFactor)
+
+  /** IVF+PQ (the IVFADC architecture — Jégou et al.'s pairing, and the
+    * standard 100 TB ANN layout): the coarse quantizer prunes WHICH rows
+    * are scanned (probe nprobe of `clusters` cells; stored partitioned
+    * by cluster, DPP restricts the scan to the probed directories — see
+    * [[saveIndex]]), PQ codes shrink WHAT each scanned row costs (m ints
+    * instead of dims floats), and the exact rerank restores precision on
+    * the tiny ADC head. `assigned` carries (vec_id, cluster, u, codes). */
+  final case class IvfPqIndex(centroids: Seq[(Int, Seq[Double])],
+      m: Int, k: Int, codebook: IndexedSeq[Double], assigned: DataFrame)
+
+  /** Builds both quantizer tiers; one build-time id-join attaches PQ
+    * codes to the coarse assignment. */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: Int = 16, m: Int = 8, codes: Int = 16,
+      iters: Int = 2): IvfPqIndex = {
+    val coarse = ivfIndex(corpus, idCol, vecCol, clusters, iters)
+    val pq = pqIndex(corpus, idCol, vecCol, m, codes, iters)
+    IvfPqIndex(coarse.centroids, pq.m, pq.k, pq.codebook,
+      coarse.assigned.select("vec_id", "cluster")
+        .join(pq.encoded, Seq("vec_id"))
+        .select("vec_id", "cluster", "u", "codes"))
+  }
+
+  /** Probe + ADC + exact rerank: only the `nprobe` probed cells are
+    * touched, their rows scanned as codes (ADC kernel), and just the
+    * top `rerankFactor * k` per query fetch true vectors. */
+  def ivfPqSearch(index: IvfPqIndex,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val spark0 = index.assigned.sparkSession
+    import spark0.implicits._
+    val nCodes = index.m * index.k
+    val subDims = index.codebook.length / nCodes
+    val cbLit = typedlit(index.codebook.toArray)
+    val lut = transform(sequence(lit(0), lit(nCodes - 1)), g =>
+      aggregate(sequence(lit(0), lit(subDims - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(col("u"), (g.cast("int") / index.k).cast("int") * subDims + i + 1) *
+          element_at(cbLit, g * subDims + i + 1)))
+    val queries = index.assigned.filter(queryPred)
+      .select(col("vec_id").as("q_vec_id"), col("u").as("qu"), lut.as("lut"))
+    val centsDf = index.centroids.toDF("cluster", "cvec")
+    val probeW = Window.partitionBy("q_vec_id")
+      .orderBy(col("score").desc, col("cluster"))
+    val probed = broadcast(queries).crossJoin(broadcast(centsDf))
+      .withColumn("score", expr("vec_dot(qu, cvec)"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select("q_vec_id", "qu", "lut", "cluster")
+    val adcW = Window.partitionBy("q_vec_id")
+      .orderBy(col("adc").desc, col("nn"))
+    val cand = probed.join(index.assigned
+        .select(col("cluster"), col("vec_id").as("nn"), col("codes")),
+        Seq("cluster"))
+      .filter(col("nn") =!= col("q_vec_id"))
+      .withColumn("adc", call_function("gather_sum", col("codes"), col("lut")))
+      .withColumn("rn", row_number().over(adcW))
+      .filter(col("rn") <= k * rerankFactor)
+      .select("q_vec_id", "qu", "nn")
+    val rerankW = Window.partitionBy("q_vec_id")
+      .orderBy(col("cs").desc, col("nn"))
+    cand.join(index.assigned.select(col("vec_id").as("nn"),
+        col("u").as("bu")).hint("shuffle_hash"), Seq("nn"))
+      .withColumn("cs", expr("vec_dot(qu, bu)"))
+      .withColumn("rn", row_number().over(rerankW))
+      .filter(col("rn") <= k)
+      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
+        col("nn").as("nn_id"))
+  }
+
+  /** IVFADC in one call; repeated workloads build [[ivfPqIndex]] once. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      clusters: Int = 16, m: Int = 8, codes: Int = 16,
+      nprobe: Int = 4, rerankFactor: Int = 4): DataFrame =
+    ivfPqSearch(ivfPqIndex(corpus, idCol, vecCol, clusters, m, codes),
+      queryPred, k, nprobe, rerankFactor)
 }

@@ -426,6 +426,24 @@ object TextOps {
       residue: Int): DataFrame =
     df.filter(ascii(substring(md5(col(textCol)), 1, 1)) % modulus === residue)
 
+  /** Deterministic mixture sampling — the domain-weighting step of a
+    * pretraining data recipe (DoReMi/Pile-style source mixing): each
+    * stratum (source/domain) keeps the per-mille fraction given by
+    * `weightsPm`, decided per row by the content-hash bucket, so the
+    * sample is reproducible across runs/engines, stable under
+    * repartitioning, and needs NO per-stratum pass or count: one
+    * scan-local filter regardless of how many strata exist. Strata
+    * missing from the map keep `defaultPm`. */
+  def mixtureSample(df: DataFrame, strataCol: String, textCol: String,
+      weightsPm: Map[String, Int], defaultPm: Int = 0): DataFrame = {
+    require((weightsPm.values ++ Seq(defaultPm)).forall(w => w >= 0 && w <= 1000),
+      s"mixtureSample: per-mille weights must be in [0, 1000]")
+    val threshold = weightsPm.foldLeft(lit(defaultPm)) {
+      case (acc, (s, w)) => when(col(strataCol) === s, w).otherwise(acc)
+    }
+    df.filter(expr(pmBucketSql(s"md5($textCol)")) < threshold)
+  }
+
   /** Stratified quota: top `n` rows per stratum by `orderCol` desc with a
     * deterministic id tiebreak. */
   def quotaPerStratum(df: DataFrame, strataCol: String, orderCol: String,

@@ -196,6 +196,16 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     }, None),
 
+    // IVF+PQ (IVFADC): coarse probe prunes the rows scanned, PQ codes
+    // shrink their cost, exact rerank restores precision. Rows-only;
+    // containment twin is pq2x.
+    QueryDef("pq2_ivfadc", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      Similarity.ivfPqTopK(spark.table("embeddings"), "vec_id", "embedding",
+          queryPred = col("vec_id") < 20, k = 5)
+        .orderBy("q_vec_id", "rnk")
+    }, None),
+
     // Language-ID by marker-token scoring, deterministic argmax.
     QueryDef.views("x1_lang_id",
       """WITH tk AS (SELECT doc_id, lang,
@@ -560,6 +570,25 @@ object PipelineOps {
         |ORDER BY doc_id""".stripMargin) { spark =>
       TextOps.sampleDeterministic(spark.table("documents"), "text", 4, 0)
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic mixture sampling (domain-weighting/data-recipe step):
+    // per-source per-mille keep rates decided by the portable content-
+    // hash bucket — scan-local, no per-stratum pass; the oracle runs the
+    // very same bucket expression.
+    QueryDef.views("sm3_mixture_sample",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${TextOps.pmBucketSql("md5(text)")} <
+         |  CASE WHEN source = 'src0' THEN 900
+         |       WHEN source = 'src1' THEN 500
+         |       WHEN source = 'src2' THEN 250
+         |       ELSE 100 END
+         |ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.mixtureSample(spark.table("documents"), "source", "text",
+          Map("src0" -> 900, "src1" -> 500, "src2" -> 250),
+          defaultPm = 100)
+        .select("doc_id", "source")
         .orderBy("doc_id")
     },
 

@@ -103,6 +103,13 @@ object PropertyChecks {
         queryPred = col("vec_id") < 20, k = 5, m = 16, iters = 3,
         rerankFactor = 16)),
 
+    // IVFADC at the same recall-oriented settings, plus a wide probe
+    // (the coarse tier can only LOSE candidates ADC would have found).
+    annContainment("pq2x_ivfadc_in_exact_head", spark =>
+      Similarity.ivfPqTopK(spark.table("embeddings"), "vec_id", "embedding",
+        queryPred = col("vec_id") < 20, k = 5, m = 16, nprobe = 12,
+        rerankFactor = 16)),
+
     // Misra–Gries guarantee: every token with true frequency > n/(k+1)
     // must appear in the k-counter summary (mergeable-summaries bound,
     // which holds under Spark's partial-aggregation merge tree). DuckDB

@@ -105,6 +105,23 @@ class PqSpec extends SparkSpec {
       "a top-3 neighbor of a cluster-0 query fell outside cluster 0")
   }
 
+  test("ivfPqSearch (IVFADC) finds cluster neighbors through the probe tier") {
+    val dims = 16
+    val data = for (c <- 0 until 4; r <- 0 until 8) yield {
+      val v = Array.tabulate(dims)(i =>
+        (if (i == c * 4) 10.0 else 0.0) + math.sin(c * 31 + r * 7 + i) * 0.3)
+      (c.toLong * 8 + r, v.map(_.toFloat), c)
+    }
+    val df = registered.createDataset(data).toDF("vec_id", "embedding", "cluster")
+    val idx = Similarity.ivfPqIndex(df, "vec_id", "embedding",
+      clusters = 4, m = 4, codes = 8)
+    val got = Similarity.ivfPqSearch(idx, col("vec_id") < 8, k = 3, nprobe = 2)
+      .join(df.select(col("vec_id").as("nn_id"), col("cluster")), "nn_id")
+    assert(got.count() == 8 * 3)
+    assert(got.filter(col("cluster") =!= 0).count() == 0,
+      "a top-3 IVFADC neighbor of a cluster-0 query fell outside cluster 0")
+  }
+
   test("pqIndex is deterministic across builds") {
     val data = (0L until 40L).map(r =>
       (r, Array.tabulate(8)(i => math.sin(r * 3.1 + i).toFloat)))
