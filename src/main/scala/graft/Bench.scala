@@ -47,20 +47,26 @@ object Bench {
       }.min
       name -> t
     }
-    // Per-query seconds at 2 decimals: the harvester keeps only the last
-    // ~2000 chars of sbt output, and full-precision doubles pushed the
-    // JSON line past that window every round (r1-r4 all arrived truncated
-    // mid-line, unparseable). Centisecond precision is far below host
-    // noise anyway; full precision is preserved in bench_last.json.
+    // The stdout line must fit the harvester's ~2000-char tail window:
+    // full-precision doubles + full names pushed past it every round
+    // (BENCH_r{1..4} all arrived truncated mid-line, unparseable). Two
+    // fixes: seconds at 2 decimals (centiseconds are far below host
+    // noise) and SHORT KEYS — each query's name up to the first '_'
+    // (unique across the inventory, e.g. "d2x" = d2x_minhash_exactdup;
+    // "keys":"short" announces the convention). Full precision + full
+    // names are preserved in bench_last.json.
     def fmt(v: Double): String = "%.2f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def short(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => short(r._1)).distinct.size == results.size,
+      "short-key collision: a new query name breaks the prefix convention")
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "method" documents the consumption strategy: rounds measured with
     // count() (r1-r3) under-reported projection/sketch work (Catalyst
     // pruning), so totals are not comparable across the change.
     val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short"}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
     try {
       val w = new java.io.PrintWriter("bench_last.json")
