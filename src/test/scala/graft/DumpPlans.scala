@@ -11,7 +11,9 @@ object DumpPlans {
     "t5_changelog_count", "s3_changelog_latest", "t7_window_tumbling",
     "d4_ngram_jaccard", "d2_dedup_minhash", "e1_embed_nn", "o1_sort_limit",
     "cdc1_source_batch", "hll1_approx_distinct", "qz1_quantize_int8",
-    "x6_repetition", "dc1_decontam", "pk1_pack")
+    "x6_repetition", "dc1_decontam", "pk1_pack",
+    "dc2_decontam_bloom", "iv1_interval_join", "sd1_span_dedup",
+    "pq1_ann", "pq2_ivfadc", "z1_zorder", "sm3_mixture_sample")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
