@@ -22,6 +22,7 @@ object GraftFunctions {
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
     "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es)),
     "pq_encode" -> ((es: Seq[Expression]) => PqEncode.fromArgs(es)),
+    "kll_quantiles" -> ((es: Seq[Expression]) => KllQuantiles.fromArgs(es)),
     "gather_sum" -> ((es: Seq[Expression]) => GatherSum(es(0), es(1))),
     // Spark's own runtime-filter expressions, surfaced as SQL functions
     // (upstream keeps them internal to the InjectRuntimeFilter rule):

@@ -136,6 +136,43 @@ object PropertyChecks {
           .agg(count(lit(1)).as("n_missing")))
     },
 
+    // KLL-style quantile sketch: each estimate's TRUE rank (computed
+    // exactly over the corpus) must sit within eps·n of its target
+    // rank. k=512 with ~20 levels of headroom gives eps ≈ log2(n/k)/k
+    // ≈ 1.5% at this n; graded at a generous 5%. Spark's builtin GK
+    // (approx_percentile, accuracy 100 → eps 1%) rides along at the
+    // same bar — the sketch family's third member next to HLL/KMV
+    // (distinct) and Misra-Gries (frequency).
+    QueryDef.views("qs1x_quantile_sketch_error",
+      """SELECT count(*) AS n_rows,
+        |       CAST(3 AS BIGINT) AS n_probes,
+        |       CAST(0 AS BIGINT) AS n_kll_violations,
+        |       CAST(0 AS BIGINT) AS n_gk_violations
+        |FROM events""".stripMargin) { spark =>
+      val ev = spark.table("events").select(col("value"))
+      val probs = Seq(0.1, 0.5, 0.9)
+      val est = ev.agg(
+        expr("kll_quantiles(value, 512, array(0.1D, 0.5D, 0.9D))").as("kll"),
+        expr("approx_percentile(value, array(0.1D, 0.5D, 0.9D), 100)").as("gk"),
+        count(lit(1)).as("n"))
+      val ranked = ev.crossJoin(broadcast(est))
+      val sums = probs.indices.flatMap { i =>
+        Seq(sum(when(col("value") <= element_at(col("kll"), i + 1), 1L)
+            .otherwise(0L)).as(s"kr$i"),
+          sum(when(col("value") <= element_at(col("gk"), i + 1), 1L)
+            .otherwise(0L)).as(s"gr$i"))
+      }
+      val ranks = ranked.groupBy("n").agg(sums.head, sums.tail: _*)
+      def viol(prefix: String) = probs.zipWithIndex.map { case (p, i) =>
+        when(abs(col(s"$prefix$i") - col("n") * p) > col("n") * 0.05, 1L)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      ranks.select(col("n").as("n_rows"),
+        lit(3L).as("n_probes"),
+        viol("kr").as("n_kll_violations"),
+        viol("gr").as("n_gk_violations"))
+    },
+
     QueryDef.views("hll1x_sketch_error",
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       CAST(0 AS BIGINT) AS n_hll_violations,

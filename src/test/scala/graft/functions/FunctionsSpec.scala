@@ -179,6 +179,32 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("kll_quantiles: exact (nearest-rank) while n <= k") {
+    GraftFunctions.register(spark)
+    // 100 distinct values in shuffled order, k=256 -> level 0 only
+    val vals = (1 to 100).map(i => ((i * 37) % 100 + 1).toDouble)
+    val got = vals.toDF("x")
+      .agg(expr("kll_quantiles(x, 256, array(0.25D, 0.5D, 0.99D))"))
+      .head().getSeq[Double](0)
+    assert(got == Seq(25.0, 50.0, 99.0), s"got $got")
+  }
+
+  test("kll_quantiles: bounded rank error through partial-agg merges") {
+    GraftFunctions.register(spark)
+    val n = 20000
+    // deterministic value ordering scattered across 8 partitions so the
+    // merge tree (serialize/deserialize included) really exercises
+    val df = spark.range(n).repartition(8)
+      .selectExpr("CAST((id * 7919) % 20000 AS DOUBLE) AS x")
+    val got = df.agg(expr("kll_quantiles(x, 512, array(0.1D, 0.5D, 0.9D))"))
+      .head().getSeq[Double](0)
+    Seq(0.1, 0.5, 0.9).zip(got).foreach { case (p, est) =>
+      // true rank of the estimate: values are 0..n-1 so rank(est) = est+1
+      assert(math.abs((est + 1) - p * n) <= 0.05 * n,
+        s"p=$p est=$est rank error ${(est + 1) - p * n}")
+    }
+  }
+
   test("functions are callable from the SQL surface after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(

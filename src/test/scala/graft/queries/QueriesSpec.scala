@@ -24,7 +24,7 @@ class QueriesSpec extends SparkSpec {
 
   test("oracle SQL exists for every SQL-expressible query") {
     val rowsOnly = Set("d2_dedup_minhash", "d3_dedup_simhash", "s2_ann_lsh",
-      "hll1_approx_distinct", "ivf1_ann")
+      "hll1_approx_distinct", "ivf1_ann", "pq1_ann", "pq2_ivfadc")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
