@@ -564,6 +564,28 @@ object Relational {
         .orderBy("err_id")
     },
 
+    // JSON scalar functions over the props payload column: typed path
+    // extraction + predicate + aggregation on the extracted value (the
+    // semi-structured half of the scalar library; the reference's
+    // envelopes are JSON, so payload-field extraction is a first-class
+    // need). get_json_object (Spark) and json_extract (DuckDB) agree on
+    // integer-typed leaves cast to BIGINT.
+    QueryDef.views("f4_json_funcs",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |         AS sum_k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 10
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin) { spark =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      spark.table("events")
+        .filter(k >= 10)
+        .groupBy((k % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+        .orderBy("k_mod")
+    },
+
     // Exact percentile statistics (median / p90 via linear interpolation —
     // identical definition in both engines) + exact extrema.
     QueryDef.views("p1_percentiles",
