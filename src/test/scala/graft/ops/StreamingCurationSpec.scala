@@ -32,4 +32,37 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batch && streamed > 0,
       s"stream=$streamed batch=$batch")
   }
+
+  test("mixture sampling + z-order key run over a file stream") {
+    val dir = tmpDir("stream-docs-mix")
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.write.mode("overwrite").parquet(dir)
+
+    val weights = Map("src0" -> 1000, "src1" -> 500)
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val sampled = Layout.zorder(
+      TextOps.mixtureSample(stream, "source", "text", weights, defaultPm = 0)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("x"), (col("doc_id") % 1024).as("y")),
+      Seq("x", "y"), bits = 10)
+    val q = sampled.writeStream
+      .outputMode("append")
+      .format("memory").queryName("mixture_stream")
+      .option("checkpointLocation", tmpDir("mix-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("mixture_stream")
+    val batch = Layout.zorder(
+      TextOps.mixtureSample(src, "source", "text", weights, defaultPm = 0)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").as("x"), (col("doc_id") % 1024).as("y")),
+      Seq("x", "y"), bits = 10)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    // content-hash sampling is deterministic: the kept doc ids and their
+    // z keys match the batch run exactly
+    assert(streamed.select("doc_id", "z_value").exceptAll(
+      batch.select("doc_id", "z_value")).count() == 0)
+  }
 }
