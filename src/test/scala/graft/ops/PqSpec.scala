@@ -122,6 +122,31 @@ class PqSpec extends SparkSpec {
       "a top-3 IVFADC neighbor of a cluster-0 query fell outside cluster 0")
   }
 
+  test("pq_encode and gather_sum stay inside whole-stage codegen") {
+    val data = (0L until 40L).map(r =>
+      (r, Array.tabulate(8)(i => math.sin(r * 3.1 + i).toFloat)))
+    // through parquet, not a local relation: ConvertToLocalRelation
+    // would pre-evaluate deterministic projections interpreted at
+    // optimization time, leaving no codegen subtree to inspect
+    val dir = tmpDir("pq-codegen")
+    registered.createDataset(data).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val idx = Similarity.pqIndex(df, "vec_id", "embedding", m = 2, k = 4)
+    // the embedded codebook rides as a codegen reference object; its
+    // absence from the generated source means a silent interpreted
+    // fallback (the failure mode the native kernels exist to avoid)
+    val encCg = org.apache.spark.sql.execution.debug.codegenString(
+      idx.encoded.queryExecution.executedPlan)
+    assert(encCg.contains("codebook"), "pq_encode not codegen'd")
+    val scored = idx.encoded.selectExpr(
+      "gather_sum(codes, array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D)) AS s")
+    val adcCg = org.apache.spark.sql.execution.debug.codegenString(
+      scored.queryExecution.executedPlan)
+    assert(adcCg.contains("numElements"), "gather_sum not codegen'd")
+    assert(scored.filter(col("s") <= 0).count() == 0)
+  }
+
   test("pqIndex is deterministic across builds") {
     val data = (0L until 40L).map(r =>
       (r, Array.tabulate(8)(i => math.sin(r * 3.1 + i).toFloat)))

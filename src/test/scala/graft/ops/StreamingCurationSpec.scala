@@ -65,4 +65,39 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed.select("doc_id", "z_value").exceptAll(
       batch.select("doc_id", "z_value")).count() == 0)
   }
+
+  test("native sketches aggregate over a stream (state-store merge path)") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir("stream-docs-sk")
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.write.mode("overwrite").parquet(dir)
+
+    // global streaming aggregation in complete mode: the sketch buffers
+    // serialize into the state store and merge across micro-batches —
+    // the TypedImperativeAggregate path a continuous corpus monitor uses
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val agg = stream.groupBy(col("lang"))
+      .agg(expr("kll_quantiles(CAST(n_chars AS DOUBLE), 256, array(0.5D))")
+        .as("p50"),
+        expr("mg_topk(source, 8)").as("hot_sources"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sketch_stream")
+      .option("checkpointLocation", tmpDir("sk-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sketch_stream")
+      .select(col("lang"), element_at(col("p50"), 1).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed.nonEmpty)
+    // one file, one batch -> estimates must equal the batch run's
+    val batch = src.groupBy(col("lang"))
+      .agg(expr("kll_quantiles(CAST(n_chars AS DOUBLE), 256, array(0.5D))")
+        .as("p50"))
+      .select(col("lang"), element_at(col("p50"), 1).as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
