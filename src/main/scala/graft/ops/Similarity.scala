@@ -531,6 +531,39 @@ object Similarity {
         .select("vec_id", "cluster", "u", "codes"))
   }
 
+  /** Persists an IVFADC index in the at-scale layout: `assigned`
+    * partitioned by cluster (so [[ivfPqSearch]]'s probe join prunes the
+    * scan to the probed cells' directories via dynamic partition
+    * pruning — the same property [[saveIndex]] gives plain IVF) plus
+    * the centroid table and the PQ codebook. */
+  def savePqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark0 = index.assigned.sparkSession
+    import spark0.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/assigned")
+    index.centroids.toDF("cluster", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((index.m, index.k, index.codebook))
+      .toDF("m", "k", "codebook").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+  }
+
+  /** Loads a [[savePqIndex]] layout; `cluster` comes back as a
+    * partition column, which is exactly what the probe join prunes. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cluster"), col("cvec"))
+      .as[(Int, Seq[Double])].collect().toSeq
+    val (m, k, cb) = spark.read.parquet(s"$dir/pq")
+      .select(col("m"), col("k"), col("codebook"))
+      .as[(Int, Int, Seq[Double])].head()
+    IvfPqIndex(cents, m, k, cb.toIndexedSeq,
+      spark.read.parquet(s"$dir/assigned")
+        .select("vec_id", "cluster", "u", "codes"))
+  }
+
   /** Probe + ADC + exact rerank: only the `nprobe` probed cells are
     * touched, their rows scanned as codes (ADC kernel), and just the
     * top `rerankFactor * k` per query fetch true vectors. */

@@ -147,6 +147,27 @@ class PqSpec extends SparkSpec {
     assert(scored.filter(col("s") <= 0).count() == 0)
   }
 
+  test("IVFADC index persists partitioned by cluster; probe prunes the scan") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmpDir("ivfpq-index")
+    val built = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      clusters = 8, m = 4, codes = 8)
+    Similarity.savePqIndex(built, dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.m == built.m && loaded.k == built.k &&
+      loaded.codebook == built.codebook &&
+      loaded.centroids.toSet == built.centroids.toSet)
+    val a = Similarity.ivfPqSearch(built, col("vec_id") < 10, k = 3)
+    val b = Similarity.ivfPqSearch(loaded, col("vec_id") < 10, k = 3)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the at-scale property: the ADC scan over the cluster-partitioned
+    // layout is dynamically pruned to the probed cells
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
+
   test("pqIndex is deterministic across builds") {
     val data = (0L until 40L).map(r =>
       (r, Array.tabulate(8)(i => math.sin(r * 3.1 + i).toFloat)))
