@@ -454,4 +454,150 @@ object TextOps {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** CCNet-style bigram-LM quality scoring: train an add-1-smoothed
+    * bigram model ON the corpus itself, score each doc by its bigram
+    * cross-entropy under that model, and bucket docs into head/middle/
+    * tail quality tiers (the perplexity-filter shape of CCNet / the
+    * "documents that look like the corpus" signal).
+    *
+    * Determinism contract: each bigram's log-probability is rounded to
+    * an integer in MICRO-nats immediately (`round(ln(p)*1e6)` — the one
+    * engine-local double op), and everything after that is exact BIGINT
+    * arithmetic: per-doc sums are integer sums, the per-doc score is an
+    * integer division. Cross-entropy is positive (p < 1 always under
+    * add-1), so trunc-vs-floor integer division agrees across engines.
+    *
+    * Scale shape: the bigram stream is pre-aggregated per (doc, w1, w2)
+    * BEFORE any join, so join volume is distinct-bigrams-per-doc, not
+    * tokens; model tables c2/c1 derive from that same aggregate (one
+    * pass over the corpus). Joins are key-partitioned shuffles on the
+    * bigram/context key — at 100 TB the LM tables are vocab-bounded and
+    * can be capped to top-V + an OOV bucket and broadcast; the uncapped
+    * exact form here keeps the oracle portable. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      headMaxMicro: Long, middleMaxMicro: Long): DataFrame = {
+    require(headMaxMicro < middleMaxMicro,
+      "lmScore: need headMaxMicro < middleMaxMicro")
+    val base = df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
+    val bg = base
+      .select(col("doc_id"), explode(expr(
+        """case when size(__w) >= 2
+          |  then transform(sequence(1, size(__w) - 1),
+          |    i -> named_struct('w1', element_at(__w, i),
+          |                      'w2', element_at(__w, i + 1)))
+          |  else null end""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // per-(doc, bigram) counts first: all downstream joins and the LM
+    // tables themselves run on this reduced stream
+    val db = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+    val c2 = db.groupBy("w1", "w2").agg(sum("n").cast("bigint").as("c2"))
+    val c1 = db.groupBy("w1").agg(sum("n").cast("bigint").as("c1"))
+    val vocab = base.select(explode(col("__w")).as("w"))
+      .agg(countDistinct(col("w")).cast("bigint").as("v"))
+    val scored = db
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      // ln((c2 + 1) / (c1 + V)) in micro-nats; literal shapes mirror the
+      // oracle exactly (see bm25's note on operation-order determinism)
+      .withColumn("__lp", round(log(
+        (col("c2") + lit(1.0)) / (col("c1") + col("v").cast("double")))
+        * 1000000).cast("bigint"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      sum(col("n")).cast("bigint").as("n_bigrams"),
+      (sum(col("n") * col("__lp")) * -1).cast("bigint").as("xent_sum_micro"))
+      .withColumn("xent_micro", expr("xent_sum_micro div n_bigrams"))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent_sum_micro"), lit(0L)).as("xent_sum_micro"),
+        col("xent_micro"),
+        when(col("xent_micro").isNull, lit(null).cast("string"))
+          .when(col("xent_micro") <= headMaxMicro, "head")
+          .when(col("xent_micro") <= middleMaxMicro, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
+  /** Sorted-neighborhood fuzzy dedup (the classic entity-resolution
+    * method — Hernandez & Stolfo's merge/purge): sort docs by a
+    * normalized prefix signature, then verify only pairs within a
+    * `window`-row neighborhood with exact Levenshtein distance. An
+    * edit-distance complement to the token-set (MinHash/Jaccard) and
+    * bit-signature (SimHash/SRP) near-dup families: catches small
+    * in-place edits those can miss, with a verify that is O(sigLen²)
+    * per pair regardless of doc length.
+    *
+    * Scale shape: the sort runs INSIDE blocks (first `blockLen` chars of
+    * the signature) — a partitioned window, never a single-partition
+    * global sort; the neighborhood self-join co-partitions on the block
+    * key (one shuffle) and emits at most `window` pairs per row. Pairs
+    * across block boundaries are out of scope by construction (the
+    * standard blocking trade); a skewed block (many docs sharing a
+    * prefix) can be salted by lengthening `blockLen`. */
+  def fuzzyNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 6, sigLen: Int = 40, window: Int = 4,
+      maxDist: Int = 6): DataFrame = {
+    require(blockLen > 0 && sigLen >= blockLen && window > 0 && maxDist >= 0,
+      "fuzzyNeighborPairs: need 0 < blockLen <= sigLen, window > 0, maxDist >= 0")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val sigs = df
+      .select(col(idCol).as("doc_id"), substring(norm, 1, sigLen).as("sig"))
+      .withColumn("blk", substring(col("sig"), 1, blockLen))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("blk").orderBy(col("sig"), col("doc_id"))))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + window)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        levenshtein(col("a.sig"), col("b.sig")).cast("bigint").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Corpus rank-frequency diagnostics: type/token/hapax counts and a
+    * Zipf log-log slope + intercept fitted over the top `topRanks`
+    * tokens — the "does this corpus look like natural language" check a
+    * curation pipeline runs before and after filtering.
+    *
+    * Determinism contract: ln(rank) and ln(count) are rounded to
+    * micro-nat BIGINTs first; the least-squares slope/intercept are then
+    * computed from exact integer sums (n·Σxy − ΣxΣy etc.) with one
+    * final double division — bit-identical across engines. The top-k is
+    * a distributed TakeOrdered with a total tiebreak (count desc,
+    * token), NOT a global window; the only window runs over the
+    * `topRanks`-row result, bounded by a constant. */
+  def zipfStats(df: DataFrame, idCol: String, textCol: String,
+      topRanks: Int = 100): DataFrame = {
+    require(topRanks >= 2, "zipfStats: need topRanks >= 2")
+    val counts = df.select(explode(toks(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").cast("bigint").as("n_tokens"),
+      count(lit(1)).cast("bigint").as("n_types"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("bigint")
+        .as("n_hapax"))
+    val top = counts.orderBy(col("cnt").desc, col("w")).limit(topRanks)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("w"))))
+      .withColumn("x",
+        round(log(col("rank").cast("double")) * 1000000).cast("bigint"))
+      .withColumn("y",
+        round(log(col("cnt").cast("double")) * 1000000).cast("bigint"))
+    val reg = top.agg(
+      count(lit(1)).cast("bigint").as("n_ranks"),
+      sum("x").cast("bigint").as("sx"),
+      sum("y").cast("bigint").as("sy"),
+      sum(col("x") * col("y")).cast("bigint").as("sxy"),
+      sum(col("x") * col("x")).cast("bigint").as("sxx"))
+    val slope = (col("n_ranks") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") /
+      (col("n_ranks") * col("sxx") - col("sx") * col("sx")).cast("double")
+    reg.crossJoin(broadcast(totals)).select(
+      col("n_tokens"), col("n_types"), col("n_hapax"), col("n_ranks"),
+      round(slope * 1000000).cast("bigint").as("slope_ppm"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("n_ranks").cast("double")).cast("bigint").as("intercept_micro"))
+  }
 }

@@ -715,6 +715,107 @@ object PipelineOps {
           expr("kmv_distinct(user_id, 256)").as("kmv_users"),
           count(col("user_id")).as("exact_users"))
         .orderBy("event_type")
-    }, None)
+    }, None),
+
+    // CCNet-style bigram-LM quality scoring ([[graft.ops.TextOps.lmScore]]):
+    // add-1 bigram model trained on the corpus, per-doc cross-entropy in
+    // micro-nats, head/middle/tail tiers. Per-bigram log-probs round to
+    // BIGINT micro-nats immediately; everything downstream is exact
+    // integer arithmetic, so the oracle grades values bit-for-bit.
+    QueryDef.views("lm1_bigram_lm",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |            THEN list_transform(range(1, len(w)),
+        |              i -> struct_pack(w1 := w[i], w2 := w[i + 1]))
+        |            ELSE [] END) AS bg
+        |        FROM t),
+        |  b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM g),
+        |  db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |         FROM b GROUP BY 1, 2, 3),
+        |  c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |  c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM db GROUP BY 1),
+        |  vv AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
+        |         FROM (SELECT unnest(w) AS x FROM t)),
+        |  sc AS (SELECT db.doc_id, db.n,
+        |           CAST(round(ln((c2.c2 + CAST(1 AS DOUBLE))
+        |             / (c1.c1 + CAST(vv.v AS DOUBLE))) * 1000000) AS BIGINT) AS lp
+        |         FROM db JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv),
+        |  pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |           CAST(-sum(n * lp) AS BIGINT) AS xent_sum_micro
+        |         FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.xent_sum_micro, 0) AS xent_sum_micro,
+        |  pd.xent_sum_micro // pd.n_bigrams AS xent_micro,
+        |  CASE WHEN pd.xent_sum_micro // pd.n_bigrams <= 3340000 THEN 'head'
+        |       WHEN pd.xent_sum_micro // pd.n_bigrams <= 3420000 THEN 'middle'
+        |       WHEN pd.xent_sum_micro IS NOT NULL THEN 'tail' END AS tier
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.lmScore(spark.table("documents"), "doc_id", "text",
+          headMaxMicro = 3340000L, middleMaxMicro = 3420000L)
+        .orderBy("doc_id")
+    },
+
+    // Sorted-neighborhood fuzzy dedup (merge/purge;
+    // [[graft.ops.TextOps.fuzzyNeighborPairs]]): block-partitioned sort
+    // by normalized signature, Levenshtein verify within a 4-row
+    // neighborhood — the edit-distance complement to the MinHash /
+    // SimHash / SRP families. Integers end to end; oracle exact.
+    QueryDef.views("fz1_fuzzy_neighbors",
+      """WITH s AS (SELECT doc_id,
+        |    substring(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS sig
+        |  FROM documents),
+        |  r AS (SELECT doc_id, sig, substring(sig, 1, 6) AS blk,
+        |          row_number() OVER (PARTITION BY substring(sig, 1, 6)
+        |                             ORDER BY sig, doc_id) AS rn
+        |        FROM s),
+        |  p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |          CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+        |        FROM r a JOIN r b
+        |          ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4)
+        |SELECT a_id, b_id, dist FROM p WHERE dist <= 6
+        |ORDER BY a_id, b_id""".stripMargin) { spark =>
+      TextOps.fuzzyNeighborPairs(spark.table("documents"), "doc_id", "text",
+          blockLen = 6, sigLen = 40, window = 4, maxDist = 6)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Corpus rank-frequency diagnostics ([[graft.ops.TextOps.zipfStats]]):
+    // type/token/hapax counts + Zipf log-log slope over the top-100
+    // tokens. ln(rank)/ln(count) round to micro-nat BIGINTs first; the
+    // least-squares fit is exact integer sums + one final double
+    // division, bit-identical across engines.
+    QueryDef.views("cs1_zipf",
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |             x -> len(x) > 0)) AS w
+        |           FROM documents),
+        |  c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |  tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |            CAST(count(*) AS BIGINT) AS n_types,
+        |            CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |          FROM c),
+        |  top AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+        |          FROM c ORDER BY cnt DESC, w LIMIT 100),
+        |  xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+        |           CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        |         FROM top),
+        |  reg AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |            CAST(sum(x * y) AS BIGINT) AS sxy,
+        |            CAST(sum(x * x) AS BIGINT) AS sxx
+        |          FROM xy)
+        |SELECT n_tokens, n_types, n_hapax, n_ranks,
+        |  CAST(round(CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_ranks * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS slope_ppm,
+        |  CAST(round((CAST(sy AS DOUBLE) - CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n_ranks * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n_ranks AS DOUBLE)) AS BIGINT) AS intercept_micro
+        |FROM reg CROSS JOIN tot""".stripMargin) { spark =>
+      TextOps.zipfStats(spark.table("documents"), "doc_id", "text",
+        topRanks = 100)
+    }
   )
 }

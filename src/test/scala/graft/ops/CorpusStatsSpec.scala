@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-5 corpus ops: bigram-LM scoring
+  * ([[TextOps.lmScore]]), sorted-neighborhood fuzzy dedup
+  * ([[TextOps.fuzzyNeighborPairs]]), and Zipf rank-frequency stats
+  * ([[TextOps.zipfStats]]). Hand-computable fixtures; the sf-scale
+  * oracle parity is graded by the driver (lm1 / fz1 / cs1). */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lmScore: hand-computed cross-entropy on a 2-doc corpus") {
+    // corpus: "a b a b" + "a b". bigrams: (a,b)x3, (b,a)x1. V = 2.
+    // p(b|a) = (3+1)/(3+2) = 0.8; p(a|b) = (1+1)/(1+2) = 2/3.
+    val df = Seq((0L, "a b a b"), (1L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(df, "doc_id", "text",
+        headMaxMicro = 300000L, middleMaxMicro = 350000L)
+      .orderBy("doc_id").collect()
+    val lpAB = math.round(math.log((3 + 1.0) / (3 + 2.0)) * 1e6) // -223144
+    val lpBA = math.round(math.log((1 + 1.0) / (1 + 2.0)) * 1e6) // -405465
+    // doc0: 2x(a,b) + 1x(b,a); doc1: 1x(a,b)
+    val sum0 = -(2 * lpAB + lpBA)
+    assert(got(0).getLong(1) == 3L)
+    assert(got(0).getLong(2) == sum0)
+    assert(got(0).getLong(3) == sum0 / 3)
+    assert(got(1).getLong(2) == -lpAB)
+    // tiers: doc0 avg ~283k -> head; doc1 223k -> head
+    assert(got.map(_.getString(4)).toSeq == Seq("head", "head"))
+  }
+
+  test("lmScore: docs with fewer than 2 tokens get zero counts, null tier") {
+    val df = Seq((0L, "a b"), (1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.lmScore(df, "doc_id", "text", 1L, 2L)
+      .orderBy("doc_id").collect()
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L)
+    assert(got(1).isNullAt(3) && got(1).isNullAt(4))
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+    assert(!got(0).isNullAt(4)) // a real doc is always tiered
+  }
+
+  test("fuzzyNeighborPairs: finds near-identical docs, skips distant ones") {
+    val df = Seq(
+      (10L, "the quick brown fox jumps over the dog"),
+      (11L, "the quick brown fox jumps over the cat"), // dist 3 within sig
+      (12L, "the quick brown fox leaps over the dog"), // dist ~3 vs 10
+      (13L, "zzz completely different content here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.fuzzyNeighborPairs(df, "doc_id", "text",
+        blockLen = 6, sigLen = 40, window = 4, maxDist = 6)
+      .orderBy("a_id", "b_id").collect()
+    val pairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all three "the quick brown fox" docs pair up inside the block
+    assert(pairs == Set((10L, 12L), (11L, 10L), (11L, 12L)) ||
+      pairs.size == 3) // exact pair orientation follows sig sort order
+    assert(got.forall(_.getLong(2) <= 6))
+    assert(!got.exists(r => r.getLong(0) == 13L || r.getLong(1) == 13L))
+  }
+
+  test("fuzzyNeighborPairs: window bounds comparisons; blocks isolate") {
+    // 3 docs in one block: with window=1 only adjacent (by sig order)
+    // rows compare -> 2 pairs, not 3
+    val df = Seq(
+      (0L, "aaaaaa one"), (1L, "aaaaaa two"), (2L, "aaaaaa three"),
+      (3L, "bbbbbb one")
+    ).toDF("doc_id", "text")
+    val got = TextOps.fuzzyNeighborPairs(df, "doc_id", "text",
+        blockLen = 6, sigLen = 40, window = 1, maxDist = 40)
+      .collect()
+    assert(got.length == 2)
+    assert(!got.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("zipfStats: exact integer stats + fitted slope on a known corpus") {
+    // freqs: a=4, b=2, c=1 -> n_tokens=7, types=3, hapax=1
+    val df = Seq((0L, "a a b c"), (1L, "a a b")).toDF("doc_id", "text")
+    val got = TextOps.zipfStats(df, "doc_id", "text", topRanks = 3)
+      .collect()(0)
+    assert(got.getLong(0) == 7L && got.getLong(1) == 3L &&
+      got.getLong(2) == 1L && got.getLong(3) == 3L)
+    // replicate the exact integer-sum fit
+    val xs = Seq(1L, 2L, 3L).map(r => math.round(math.log(r.toDouble) * 1e6))
+    val ys = Seq(4L, 2L, 1L).map(c => math.round(math.log(c.toDouble) * 1e6))
+    val n = 3L
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(got.getLong(4) == math.round(slope * 1e6))
+    assert(got.getLong(5) ==
+      math.round((sy.toDouble - slope * sx.toDouble) / n.toDouble))
+  }
+}
