@@ -556,6 +556,64 @@ object TextOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc by
+    * how much more likely its tokens are under the TARGET corpus's
+    * unigram distribution than under the RAW corpus's, then keep the
+    * top-`quota` docs — the hashed-n-gram importance-weighting recipe
+    * for "make the pretraining mix look like the high-quality subset".
+    *
+    * Weight = Σ_w n(w)·[ln p_target(w) − ln p_raw(w)], add-1 smoothing
+    * over the shared vocab. Same determinism contract as [[lmScore]]:
+    * each ln rounds to micro-nat BIGINTs immediately; doc scores are
+    * exact integer sums; selection is rank-by-(weight, id).
+    *
+    * Scale shape: token stream pre-aggregates per (doc, token) before
+    * any join; both distribution tables derive from that aggregate;
+    * joins shuffle on the token key (vocab-bounded tables — cappable to
+    * top-V + OOV and broadcast at corpus scale). Selection is a
+    * distributed TakeOrdered (orderBy.limit), never a global window;
+    * the kept-id set (quota rows) joins back as the `selected` flag. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, quota: Int): DataFrame = {
+    require(quota > 0, "dsirSelect: need quota > 0")
+    val base = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
+      toks(textCol).as("__w"))
+    val dt = base.select(col("doc_id"), col("is_t"), explode(col("__w")).as("w"))
+      .groupBy("doc_id", "is_t", "w").agg(count(lit(1)).as("n"))
+    val ct = dt.filter(col("is_t")).groupBy("w")
+      .agg(sum("n").cast("bigint").as("ct"))
+    val cr = dt.filter(!col("is_t")).groupBy("w")
+      .agg(sum("n").cast("bigint").as("cr"))
+    val stats = dt.agg(
+      sum(when(col("is_t"), col("n")).otherwise(0L)).cast("bigint").as("nt"),
+      sum(when(!col("is_t"), col("n")).otherwise(0L)).cast("bigint").as("nr"),
+      countDistinct("w").cast("bigint").as("v"))
+    val scoredTok = dt.filter(!col("is_t"))
+      .join(ct, Seq("w"), "left") // raw-only tokens: ct absent -> 0
+      .join(cr, Seq("w"))         // own corpus: always present
+      .crossJoin(broadcast(stats))
+      .withColumn("lt", round(log(
+        (coalesce(col("ct"), lit(0L)) + lit(1.0))
+          / (col("nt") + col("v").cast("double"))) * 1000000).cast("bigint"))
+      .withColumn("lr", round(log(
+        (col("cr") + lit(1.0))
+          / (col("nr") + col("v").cast("double"))) * 1000000).cast("bigint"))
+    val perDoc = scoredTok.groupBy("doc_id").agg(
+      sum("n").cast("bigint").as("n_toks"),
+      sum(col("n") * (col("lt") - col("lr"))).cast("bigint").as("w_micro"))
+    val scored = base.filter(!col("is_t")).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("w_micro"), lit(0L)).as("w_micro"))
+    val picked = scored.orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(quota).select(col("doc_id").as("__sel"))
+    scored.join(picked, scored("doc_id") === col("__sel"), "left")
+      .select(col("doc_id"), col("n_toks"), col("w_micro"),
+        col("__sel").isNotNull.as("selected"))
+  }
+
   /** Corpus rank-frequency diagnostics: type/token/hapax counts and a
     * Zipf log-log slope + intercept fitted over the top `topRanks`
     * tokens — the "does this corpus look like natural language" check a

@@ -783,6 +783,49 @@ object PipelineOps {
         .orderBy("a_id", "b_id")
     },
 
+    // DSIR-style importance resampling ([[graft.ops.TextOps.dsirSelect]]):
+    // raw (non-en) docs scored by Σ n(w)·[ln p_target(w) − ln p_raw(w)]
+    // with target = the English subset; top-100 selected. Micro-nat
+    // integer weights; selection rank has a total (weight, id) tiebreak,
+    // so the oracle grades the flag exactly.
+    QueryDef.views("ds1_dsir_select",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  dt AS (SELECT doc_id, is_t, unnest(w) AS w FROM t),
+        |  dn AS (SELECT doc_id, is_t, w, CAST(count(*) AS BIGINT) AS n
+        |         FROM dt GROUP BY 1, 2, 3),
+        |  ct AS (SELECT w, CAST(sum(n) AS BIGINT) AS ct FROM dn WHERE is_t GROUP BY 1),
+        |  cr AS (SELECT w, CAST(sum(n) AS BIGINT) AS cr FROM dn WHERE NOT is_t GROUP BY 1),
+        |  st AS (SELECT CAST(sum(CASE WHEN is_t THEN n ELSE 0 END) AS BIGINT) AS nt,
+        |           CAST(sum(CASE WHEN NOT is_t THEN n ELSE 0 END) AS BIGINT) AS nr,
+        |           CAST(count(DISTINCT w) AS BIGINT) AS v
+        |         FROM dn),
+        |  sc AS (SELECT dn.doc_id, dn.n,
+        |           CAST(round(ln((COALESCE(ct.ct, 0) + CAST(1 AS DOUBLE))
+        |             / (st.nt + CAST(st.v AS DOUBLE))) * 1000000) AS BIGINT) AS lt,
+        |           CAST(round(ln((cr.cr + CAST(1 AS DOUBLE))
+        |             / (st.nr + CAST(st.v AS DOUBLE))) * 1000000) AS BIGINT) AS lr
+        |         FROM dn LEFT JOIN ct USING (w) JOIN cr USING (w) CROSS JOIN st
+        |         WHERE NOT dn.is_t),
+        |  pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+        |           CAST(sum(n * (lt - lr)) AS BIGINT) AS w_micro
+        |         FROM sc GROUP BY 1),
+        |  sco AS (SELECT d.doc_id, COALESCE(pd.n_toks, 0) AS n_toks,
+        |            COALESCE(pd.w_micro, 0) AS w_micro
+        |          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |          WHERE d.lang <> 'en'),
+        |  pick AS (SELECT doc_id FROM sco
+        |           ORDER BY w_micro DESC, doc_id LIMIT 100)
+        |SELECT sco.doc_id, sco.n_toks, sco.w_micro,
+        |  pick.doc_id IS NOT NULL AS selected
+        |FROM sco LEFT JOIN pick ON sco.doc_id = pick.doc_id
+        |ORDER BY sco.doc_id""".stripMargin) { spark =>
+      TextOps.dsirSelect(spark.table("documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", quota = 100)
+        .orderBy("doc_id")
+    },
+
     // Corpus rank-frequency diagnostics ([[graft.ops.TextOps.zipfStats]]):
     // type/token/hapax counts + Zipf log-log slope over the top-100
     // tokens. ln(rank)/ln(count) round to micro-nat BIGINTs first; the

@@ -72,6 +72,64 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("dsirSelect: raw docs resembling the target outrank the rest") {
+    // target docs are all "x y"; raw doc 10 shares the target's tokens,
+    // raw doc 11 shares none -> 10 must outrank 11 and win the quota
+    val df = Seq(
+      (0L, "x y x y", true), (1L, "x y", true),
+      (10L, "x y z", false), (11L, "q r s", false)
+    ).toDF("doc_id", "text", "is_target")
+    val got = TextOps.dsirSelect(df, "doc_id", "text",
+        col("is_target"), quota = 1)
+      .orderBy("doc_id").collect()
+    // only raw docs appear
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 11L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getLong(2) > byId(11L).getLong(2))
+    assert(byId(10L).getBoolean(3) && !byId(11L).getBoolean(3))
+  }
+
+  test("dsirSelect: tokenless raw docs score zero and rank by id") {
+    val df = Seq(
+      (0L, "a b", true), (1L, "", false), (2L, " ", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = TextOps.dsirSelect(df, "doc_id", "text", col("is_t"), quota = 1)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 0L, 0L)))
+    // deterministic id tiebreak at equal weight: doc 1 takes the quota
+    assert(got(0).getBoolean(3) && !got(1).getBoolean(3))
+  }
+
+  test("lmScore tables serve a stream-static scoring join") {
+    // train the LM on a static corpus, score a STREAM of docs against it:
+    // the stream-static join shape of a continuously-scoring ingest.
+    val staticDocs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val batchScores = TextOps.lmScore(staticDocs, "doc_id", "text",
+      headMaxMicro = 3340000L, middleMaxMicro = 3420000L)
+
+    val dir = tmpDir("stream-lm-docs")
+    staticDocs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(staticDocs.schema).parquet(dir)
+    // static side: per-doc scores keyed by id (vocab-bounded in a real
+    // deployment; here the per-doc table stands in as the broadcastable
+    // static side of the join)
+    val joined = stream.select(col("doc_id"), col("source"))
+      .join(batchScores, Seq("doc_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("lm_stream_scored")
+      .option("checkpointLocation", tmpDir("lm-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lm_stream_scored")
+    assert(streamed.count() == staticDocs.count())
+    assert(streamed.filter(col("tier").isNull).count() ==
+      batchScores.filter(col("tier").isNull).count())
+  }
+
   test("zipfStats: exact integer stats + fitted slope on a known corpus") {
     // freqs: a=4, b=2, c=1 -> n_tokens=7, types=3, hapax=1
     val df = Seq((0L, "a a b c"), (1L, "a a b")).toDF("doc_id", "text")
