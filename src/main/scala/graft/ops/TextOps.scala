@@ -489,12 +489,23 @@ object TextOps {
           |  else null end""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     // per-(doc, bigram) counts first: all downstream joins and the LM
-    // tables themselves run on this reduced stream
+    // tables themselves run on this reduced stream. Materialized ONCE
+    // (localCheckpoint): its three consumers' subtrees don't
+    // canonicalize equal (lambda exprIds defeat exchange reuse), so
+    // without this the corpus-wide explode+aggregate would re-execute
+    // per consumer — this is the "tokenize once, then train and score"
+    // two-pass structure of a real LM filter
     val db = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // the model table is vocab-bounded — materialize it too so the
+    // big (w1, w2) shuffle runs once, not once per derived table
     val c2 = db.groupBy("w1", "w2").agg(sum("n").cast("bigint").as("c2"))
-    val c1 = db.groupBy("w1").agg(sum("n").cast("bigint").as("c1"))
-    val vocab = base.select(explode(col("__w")).as("w"))
-      .agg(countDistinct(col("w")).cast("bigint").as("v"))
+      .localCheckpoint()
+    // context counts AND the smoothing vocab roll up from the small
+    // model table — no second pass over the corpus: V counts distinct
+    // CONTEXTS, the event space the conditional actually normalizes over
+    val c1 = c2.groupBy("w1").agg(sum("c2").cast("bigint").as("c1"))
+    val vocab = c2.agg(countDistinct(col("w1")).cast("bigint").as("v"))
     val scored = db
       .join(c2, Seq("w1", "w2"))
       .join(c1, Seq("w1"))
@@ -579,15 +590,22 @@ object TextOps {
     require(quota > 0, "dsirSelect: need quota > 0")
     val base = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
       toks(textCol).as("__w"))
+    // per-(doc, token) counts materialized ONCE (localCheckpoint, as in
+    // [[lmScore]]): the scored chain and the distribution roll-up would
+    // otherwise each re-run the corpus-wide explode+aggregate
     val dt = base.select(col("doc_id"), col("is_t"), explode(col("__w")).as("w"))
       .groupBy("doc_id", "is_t", "w").agg(count(lit(1)).as("n"))
-    val ct = dt.filter(col("is_t")).groupBy("w")
-      .agg(sum("n").cast("bigint").as("ct"))
-    val cr = dt.filter(!col("is_t")).groupBy("w")
-      .agg(sum("n").cast("bigint").as("cr"))
-    val stats = dt.agg(
-      sum(when(col("is_t"), col("n")).otherwise(0L)).cast("bigint").as("nt"),
-      sum(when(!col("is_t"), col("n")).otherwise(0L)).cast("bigint").as("nr"),
+      .localCheckpoint()
+    // ONE roll-up to the vocab-bounded (side, token) table; both
+    // distributions and the corpus totals derive from it — the corpus-
+    // sized token stream is aggregated exactly once
+    val wc = dt.groupBy("is_t", "w").agg(sum("n").cast("bigint").as("c"))
+      .localCheckpoint()
+    val ct = wc.filter(col("is_t")).select(col("w"), col("c").as("ct"))
+    val cr = wc.filter(!col("is_t")).select(col("w"), col("c").as("cr"))
+    val stats = wc.agg(
+      sum(when(col("is_t"), col("c")).otherwise(0L)).cast("bigint").as("nt"),
+      sum(when(!col("is_t"), col("c")).otherwise(0L)).cast("bigint").as("nr"),
       countDistinct("w").cast("bigint").as("v"))
     val scoredTok = dt.filter(!col("is_t"))
       .join(ct, Seq("w"), "left") // raw-only tokens: ct absent -> 0

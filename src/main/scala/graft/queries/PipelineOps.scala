@@ -736,8 +736,7 @@ object PipelineOps {
         |         FROM b GROUP BY 1, 2, 3),
         |  c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
         |  c1 AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM db GROUP BY 1),
-        |  vv AS (SELECT CAST(count(DISTINCT x) AS BIGINT) AS v
-        |         FROM (SELECT unnest(w) AS x FROM t)),
+        |  vv AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
         |  sc AS (SELECT db.doc_id, db.n,
         |           CAST(round(ln((c2.c2 + CAST(1 AS DOUBLE))
         |             / (c1.c1 + CAST(vv.v AS DOUBLE))) * 1000000) AS BIGINT) AS lp

@@ -13,7 +13,8 @@ object DumpPlans {
     "cdc1_source_batch", "hll1_approx_distinct", "qz1_quantize_int8",
     "x6_repetition", "dc1_decontam", "pk1_pack",
     "dc2_decontam_bloom", "iv1_interval_join", "sd1_span_dedup",
-    "pq1_ann", "pq2_ivfadc", "z1_zorder", "sm3_mixture_sample")
+    "pq1_ann", "pq2_ivfadc", "z1_zorder", "sm3_mixture_sample",
+    "lm1_bigram_lm", "fz1_fuzzy_neighbors", "cs1_zipf", "ds1_dsir_select")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
