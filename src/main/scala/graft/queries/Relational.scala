@@ -723,6 +723,69 @@ object Relational {
             .cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q18 shape (large-volume customer): HAVING-filtered aggregate
+    // semi-joins back into a 3-table join, then a distributed top-k
+    // (TakeOrdered, never a global sort). The big-orders set is
+    // aggregate-reduced BEFORE any join, so the expensive fact-fact join
+    // runs on the filtered keys only.
+    QueryDef.views("q18_large_orders",
+      """WITH big AS (SELECT l_orderkey FROM lineitem
+        |             GROUP BY l_orderkey
+        |             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS order_date, o.o_totalprice,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o.o_totalprice DESC, order_date, o.o_orderkey
+        |LIMIT 100""".stripMargin) { spark =>
+      val li = spark.table("lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(dec2("l_quantity")).as("sq"))
+        .filter(col("sq") > 200).select("l_orderkey")
+      spark.table("orders")
+        .join(big, col("o_orderkey") === big("l_orderkey"), "left_semi")
+        .join(spark.table("customer"), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          col("o_totalprice"))
+        .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("order_date"),
+          col("o_orderkey"))
+        .limit(100)
+    },
+
+    // GROUPING SETS with grouping_id: the multi-granularity aggregate
+    // surface beyond ROLLUP (r1) — per-status, per-priority, and grand
+    // totals in one Expand+aggregate pass; both engines emit the same
+    // grouping bitmask (argument-order bits).
+    QueryDef.views("gs1_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin) { spark =>
+      spark.table("orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n"),
+          sum(dec2("o_totalprice")).cast("double").as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"), col("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
     }
   )
 }
