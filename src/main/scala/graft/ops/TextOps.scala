@@ -541,11 +541,15 @@ object TextOps {
     *
     * Scale shape: the sort runs INSIDE blocks (first `blockLen` chars of
     * the signature) — a partitioned window, never a single-partition
-    * global sort; the neighborhood self-join co-partitions on the block
-    * key (one shuffle) and emits at most `window` pairs per row. Pairs
-    * across block boundaries are out of scope by construction (the
-    * standard blocking trade); a skewed block (many docs sharing a
-    * prefix) can be salted by lengthening `blockLen`. */
+    * global sort; neighbors come from `lead(d)` over that same window
+    * for d = 1..`window`, so the op is one shuffle + O(n·window) pairs
+    * with NO self-join (a block-key equi-join would materialize all B²
+    * within-block pairs before any range filter pruned them — the
+    * quadratic trap this formulation avoids). Pairs across block
+    * boundaries are out of scope by construction (the standard blocking
+    * trade); a skewed block (many docs sharing a prefix) still costs
+    * only B·window comparisons, and its window sort can be salted by
+    * lengthening `blockLen`. */
   def fuzzyNeighborPairs(df: DataFrame, idCol: String, textCol: String,
       blockLen: Int = 6, sigLen: Int = 40, window: Int = 4,
       maxDist: Int = 6): DataFrame = {
@@ -556,14 +560,16 @@ object TextOps {
     val sigs = df
       .select(col(idCol).as("doc_id"), substring(norm, 1, sigLen).as("sig"))
       .withColumn("blk", substring(col("sig"), 1, blockLen))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("blk").orderBy(col("sig"), col("doc_id"))))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.blk") === col("b.blk") &&
-          col("b.rn") > col("a.rn") &&
-          col("b.rn") <= col("a.rn") + window)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        levenshtein(col("a.sig"), col("b.sig")).cast("bigint").as("dist"))
+    val wspec = Window.partitionBy("blk").orderBy(col("sig"), col("doc_id"))
+    val leads = (1 to window).map(d => struct(
+      lead(col("doc_id"), d).over(wspec).as("b_id"),
+      lead(col("sig"), d).over(wspec).as("b_sig")).as(s"__l$d"))
+    sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        array(leads: _*).as("__ls"))
+      .select(col("a_id"), col("a_sig"), explode(col("__ls")).as("nb"))
+      .filter(col("nb.b_id").isNotNull)
+      .select(col("a_id"), col("nb.b_id").as("b_id"),
+        levenshtein(col("a_sig"), col("nb.b_sig")).cast("bigint").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 
