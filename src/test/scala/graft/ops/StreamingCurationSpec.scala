@@ -100,4 +100,48 @@ class StreamingCurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("CDC envelopes -> curation gate -> topic sink compose end to end") {
+    // the two halves of the engine in one pipeline: a documents table
+    // arriving as CDC change events is demuxed, quality-gated with the
+    // curation ops, and published through the keyed-JSON topic sink
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.{CdcEnvelope, Sinks}
+    import spark.implicits._
+    graft.sources.TopicStore.clear("curated-docs")
+
+    def doc(lsn: Long, id: Long, text: String): CdcEnvelope =
+      CdcEnvelope(lsn, lsn, 1600000000000L + lsn, "c", "experiment",
+        "schema1", "documents", before = Map.empty,
+        after = Map("doc_id" -> id.toString, "text" -> text))
+
+    val input = MemoryStream[CdcEnvelope]
+    val docs = input.toDS()
+      .filter(col("table") === "documents" && col("op") =!= "d")
+      .select(col("after")("doc_id").cast("long").as("doc_id"),
+        col("after")("text").as("text"),
+        length(col("after")("text")).cast("bigint").as("n_chars"))
+    val curated = TextOps.quality(docs, "doc_id", "text", "n_chars",
+        Seq("the", "and", "of"))
+      .filter(col("quality_ok"))
+      .withColumn("key", col("doc_id").cast("string"))
+    val frame = Sinks.keyedJson(curated, Seq("doc_id", "n_tokens"))
+    val q = frame.writeStream
+      .format("graft-topic").option("topic", "curated-docs")
+      .option("checkpointLocation", tmpDir("cdc-cur-ckpt"))
+      .start()
+    val longText = ("the quick brown fox and the lazy dog of winter " * 4).trim
+    input.addData(Seq(
+      doc(1, 1, longText),          // passes: >= 100 chars, >= 20 tokens
+      doc(2, 2, "too short")))      // gated out
+    q.processAllAvailable()
+    input.addData(Seq(doc(3, 3, longText + " again")))
+    q.processAllAvailable()
+    q.stop()
+
+    val msgs = graft.sources.TopicStore.read("curated-docs")
+    assert(msgs.map(_.key) == Seq("1", "3"), s"got keys ${msgs.map(_.key)}")
+    assert(msgs.head.value.contains("\"doc_id\":1") &&
+      msgs.head.value.contains("\"n_tokens\":"))
+  }
 }
