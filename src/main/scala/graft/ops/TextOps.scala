@@ -471,14 +471,18 @@ object TextOps {
     * Scale shape: the bigram stream is pre-aggregated per (doc, w1, w2)
     * BEFORE any join, so join volume is distinct-bigrams-per-doc, not
     * tokens; model tables c2/c1 derive from that same aggregate (one
-    * pass over the corpus). Joins are key-partitioned shuffles on the
-    * bigram/context key — at 100 TB the LM tables are vocab-bounded and
-    * can be capped to top-V + an OOV bucket and broadcast; the uncapped
-    * exact form here keeps the oracle portable. */
+    * pass over the corpus). With `maxContexts = 0` the joins are
+    * key-partitioned shuffles on the bigram/context key (exact model);
+    * `maxContexts > 0` caps the model to the top contexts by count,
+    * BROADCASTS it, and scores out-of-model bigrams with the uniform
+    * ln(1/V) backoff — at 100 TB the corpus-side never shuffles for
+    * scoring. Both forms are deterministic and oracle-portable. */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
-      headMaxMicro: Long, middleMaxMicro: Long): DataFrame = {
+      headMaxMicro: Long, middleMaxMicro: Long,
+      maxContexts: Int = 0): DataFrame = {
     require(headMaxMicro < middleMaxMicro,
       "lmScore: need headMaxMicro < middleMaxMicro")
+    require(maxContexts >= 0, "lmScore: need maxContexts >= 0")
     val base = df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
     val bg = base
       .select(col("doc_id"), explode(expr(
@@ -506,15 +510,37 @@ object TextOps {
     // CONTEXTS, the event space the conditional actually normalizes over
     val c1 = c2.groupBy("w1").agg(sum("c2").cast("bigint").as("c1"))
     val vocab = c2.agg(countDistinct(col("w1")).cast("bigint").as("v"))
+    // maxContexts > 0 is the 100 TB path: keep only the top contexts by
+    // count (deterministic count-desc/context tiebreak), BROADCAST the
+    // capped model, and score out-of-model bigrams with the uniform
+    // backoff ln(1/V). The scoring joins then never shuffle the corpus
+    // — the model ships to it. maxContexts = 0 scores exactly (full
+    // model, key-partitioned joins; AQE broadcasts when it fits).
+    val lp =
+      if (maxContexts == 0)
+        // ln((c2 + 1) / (c1 + V)) in micro-nats; literal shapes mirror
+        // the oracle exactly (see bm25's note on op-order determinism)
+        round(log((col("c2") + lit(1.0))
+          / (col("c1") + col("v").cast("double"))) * 1000000).cast("bigint")
+      else
+        when(col("c1").isNull,
+          round(log(lit(1.0) / col("v").cast("double")) * 1000000)
+            .cast("bigint"))
+          .otherwise(round(log((coalesce(col("c2"), lit(0L)) + lit(1.0))
+            / (col("c1") + col("v").cast("double"))) * 1000000)
+            .cast("bigint"))
+    val (c2s, c1s, jt) =
+      if (maxContexts == 0) (c2, c1, "inner")
+      else {
+        val kept = c1.orderBy(col("c1").desc, col("w1")).limit(maxContexts)
+        (broadcast(c2.join(broadcast(kept.select("w1")), Seq("w1"),
+          "left_semi")), broadcast(kept), "left")
+      }
     val scored = db
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+      .join(c2s, Seq("w1", "w2"), jt)
+      .join(c1s, Seq("w1"), jt)
       .crossJoin(broadcast(vocab))
-      // ln((c2 + 1) / (c1 + V)) in micro-nats; literal shapes mirror the
-      // oracle exactly (see bm25's note on operation-order determinism)
-      .withColumn("__lp", round(log(
-        (col("c2") + lit(1.0)) / (col("c1") + col("v").cast("double")))
-        * 1000000).cast("bigint"))
+      .withColumn("__lp", lp)
     val perDoc = scored.groupBy("doc_id").agg(
       sum(col("n")).cast("bigint").as("n_bigrams"),
       (sum(col("n") * col("__lp")) * -1).cast("bigint").as("xent_sum_micro"))

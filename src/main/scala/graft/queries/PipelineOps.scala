@@ -757,6 +757,55 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // The capped-broadcast LM path ([[graft.ops.TextOps.lmScore]] with
+    // maxContexts): model capped to the top-16 contexts by count and
+    // broadcast; bigrams outside it score with the uniform ln(1/V)
+    // backoff. This is the 100 TB shape (the corpus never shuffles for
+    // scoring) graded against an oracle that replicates the cap exactly.
+    QueryDef.views("lm2_bigram_lm_capped",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |            THEN list_transform(range(1, len(w)),
+        |              i -> struct_pack(w1 := w[i], w2 := w[i + 1]))
+        |            ELSE [] END) AS bg
+        |        FROM t),
+        |  b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM g),
+        |  db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |         FROM b GROUP BY 1, 2, 3),
+        |  c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |  c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |  vv AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
+        |  kept AS (SELECT w1, c1 FROM c1 ORDER BY c1 DESC, w1 LIMIT 16),
+        |  sc AS (SELECT db.doc_id, db.n,
+        |           CASE WHEN kept.w1 IS NULL
+        |             THEN CAST(round(ln(CAST(1.0 AS DOUBLE)
+        |               / CAST(vv.v AS DOUBLE)) * 1000000) AS BIGINT)
+        |             ELSE CAST(round(ln((c2.c2 + CAST(1 AS DOUBLE))
+        |               / (kept.c1 + CAST(vv.v AS DOUBLE))) * 1000000) AS BIGINT)
+        |           END AS lp
+        |         FROM db
+        |         LEFT JOIN c2 USING (w1, w2)
+        |         LEFT JOIN kept USING (w1)
+        |         CROSS JOIN vv),
+        |  pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |           CAST(-sum(n * lp) AS BIGINT) AS xent_sum_micro
+        |         FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.xent_sum_micro, 0) AS xent_sum_micro,
+        |  pd.xent_sum_micro // pd.n_bigrams AS xent_micro,
+        |  CASE WHEN pd.xent_sum_micro // pd.n_bigrams <= 3340000 THEN 'head'
+        |       WHEN pd.xent_sum_micro // pd.n_bigrams <= 3420000 THEN 'middle'
+        |       WHEN pd.xent_sum_micro IS NOT NULL THEN 'tail' END AS tier
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.lmScore(spark.table("documents"), "doc_id", "text",
+          headMaxMicro = 3340000L, middleMaxMicro = 3420000L,
+          maxContexts = 16)
+        .orderBy("doc_id")
+    },
+
     // Sorted-neighborhood fuzzy dedup (merge/purge;
     // [[graft.ops.TextOps.fuzzyNeighborPairs]]): block-partitioned sort
     // by normalized signature, Levenshtein verify within a 4-row

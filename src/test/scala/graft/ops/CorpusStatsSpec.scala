@@ -30,6 +30,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.map(_.getString(4)).toSeq == Seq("head", "head"))
   }
 
+  test("lmScore capped path: parity at cap >= contexts; broadcast plan") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextOps.lmScore(docs, "doc_id", "text", 3340000L, 3420000L)
+      .orderBy("doc_id").collect().toSeq
+    // a cap larger than the context vocabulary keeps every context ->
+    // the capped path must reproduce the exact scores bit for bit
+    val capped = TextOps.lmScore(docs, "doc_id", "text", 3340000L, 3420000L,
+        maxContexts = 100000)
+      .orderBy("doc_id").collect().toSeq
+    assert(capped == exact)
+    // a tight cap still tiers every doc, and the scoring joins broadcast
+    // the model (the corpus side must not shuffle into a SortMergeJoin)
+    val tight = TextOps.lmScore(docs, "doc_id", "text", 3340000L, 3420000L,
+      maxContexts = 4)
+    tight.collect()
+    val plan = tight.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin LeftOuter (BuildRight"),
+      "capped scoring joins must broadcast the model")
+    assert(tight.filter(col("n_bigrams") > 0 && col("tier").isNull)
+      .count() == 0)
+  }
+
   test("lmScore: docs with fewer than 2 tokens get zero counts, null tier") {
     val df = Seq((0L, "a b"), (1L, "solo"), (2L, "")).toDF("doc_id", "text")
     val got = TextOps.lmScore(df, "doc_id", "text", 1L, 2L)
