@@ -153,6 +153,23 @@ class CorpusStatsSpec extends SparkSpec {
       batchScores.filter(col("tier").isNull).count())
   }
 
+  test("scores are invariant under physical layout (repartition)") {
+    // the micro-nat integer contract exists so that partial-aggregation
+    // order can never leak into results: the same corpus in different
+    // physical layouts must produce bit-identical scores
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def all(d: org.apache.spark.sql.DataFrame) = Seq(
+      TextOps.lmScore(d, "doc_id", "text", 3340000L, 3420000L)
+        .orderBy("doc_id").collect().toSeq,
+      TextOps.dsirSelect(d, "doc_id", "text", col("lang") === "en", 50)
+        .orderBy("doc_id").collect().toSeq,
+      TextOps.zipfStats(d, "doc_id", "text", topRanks = 50)
+        .collect().toSeq,
+      TextOps.fuzzyNeighborPairs(d, "doc_id", "text")
+        .orderBy("a_id", "b_id").collect().toSeq)
+    assert(all(docs.repartition(13)) == all(docs.repartition(2)))
+  }
+
   test("zipfStats: exact integer stats + fitted slope on a known corpus") {
     // freqs: a=4, b=2, c=1 -> n_tokens=7, types=3, hapax=1
     val df = Seq((0L, "a a b c"), (1L, "a a b")).toDF("doc_id", "text")
