@@ -84,6 +84,45 @@ object TextOps {
     s"CAST(($value) % 1000 AS BIGINT)"
   }
 
+  /** Dialect-portable 48-bit integer from the first 12 hex digits of a
+    * lowercase-hex expression — the uniform source for deterministic
+    * sampling (instr-based digit decode, exact in both engines). */
+  def hex48Sql(hexExpr: String): String = {
+    // digit cast to BIGINT: digit * 16^5 already overflows 32-bit INT
+    // under ANSI arithmetic
+    val digit = (i: Int) =>
+      s"CAST(instr('0123456789abcdef', substring($hexExpr, $i, 1)) - 1 AS BIGINT)"
+    "(" + (1 to 12).map(i =>
+      s"${digit(i)} * ${math.pow(16, 12 - i).toLong}").mkString(" + ") + ")"
+  }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES): each row's priority is ln(u)/w with u a 48-bit
+    * content-hash uniform in (0, 1] — no RNG state, reproducible across
+    * engines, runs, and physical layouts — and the sample is the top
+    * `n` priorities. Higher weight → priority closer to 0 → more likely
+    * sampled, with exactly the A-ES inclusion distribution.
+    *
+    * Determinism contract: the priority is rounded to a micro-unit
+    * BIGINT immediately (the single engine-local double chain:
+    * ln(uniform)/weight); selection is then an exact-integer
+    * TakeOrdered with an id tiebreak — never a global window. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "weightedSample: need n > 0")
+    val u = s"(${hex48Sql(s"md5(CAST($idCol AS STRING))")} + 1) / 281474976710657.0"
+    // weight filter BEFORE the priority projection: ANSI arithmetic
+    // rejects the w = 0 division eagerly, and non-positive weights are
+    // outside the A-ES domain anyway
+    df.select(col(idCol).as("doc_id"),
+        col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("key_micro", expr(
+        s"CAST(round(ln($u) / CAST(weight AS DOUBLE) * 1000000) AS BIGINT)"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(n)
+  }
+
   /** Marker-token language-ID scores + deterministic argmax prediction.
     * `markers` maps language code → marker words, in priority order for
     * ties (first wins). */

@@ -831,6 +831,22 @@ object PipelineOps {
         .orderBy("a_id", "b_id")
     },
 
+    // Deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis A-ES; [[graft.ops.TextOps.weightedSample]]): priority
+    // ln(u)/w from a portable 48-bit md5 uniform, micro-rounded, top-100
+    // by exact-integer TakeOrdered. Oracle runs the same formula.
+    QueryDef.views("ws1_weighted_sample", {
+      val hex48 = TextOps.hex48Sql("md5(CAST(doc_id AS STRING))")
+      s"""SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+         |  CAST(round(ln(($hex48 + 1) / 281474976710657.0)
+         |    / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS key_micro
+         |FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+         |ORDER BY key_micro DESC, doc_id LIMIT 100""".stripMargin
+    }) { spark =>
+      TextOps.weightedSample(spark.table("documents"), "doc_id", "n_chars",
+        n = 100)
+    },
+
     // DSIR-style importance resampling ([[graft.ops.TextOps.dsirSelect]]):
     // raw (non-en) docs scored by Σ n(w)·[ln p_target(w) − ln p_raw(w)]
     // with target = the English subset; top-100 selected. Micro-nat

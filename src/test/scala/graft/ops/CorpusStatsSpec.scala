@@ -153,6 +153,24 @@ class CorpusStatsSpec extends SparkSpec {
       batchScores.filter(col("tier").isNull).count())
   }
 
+  test("weightedSample: priority rises with weight; zero-weight excluded") {
+    val a = Seq((1L, 10.0), (2L, 1.0), (3L, 5.0), (4L, 0.0))
+      .toDF("doc_id", "w")
+    val ka = TextOps.weightedSample(a, "doc_id", "w", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!ka.contains(4L) && ka.size == 3)
+    // same ids → same uniforms; scaling weights up moves every priority
+    // toward 0 (ln(u)/w with ln(u) <= 0), monotone per row
+    val b = Seq((1L, 100.0), (2L, 10.0), (3L, 50.0)).toDF("doc_id", "w")
+    val kb = TextOps.weightedSample(b, "doc_id", "w", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(kb.keySet.forall(id => kb(id) >= ka(id)))
+    // n caps the sample with the priority-desc order
+    val top1 = TextOps.weightedSample(a, "doc_id", "w", 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(ka.maxBy { case (id, k) => (k, -id) }._1))
+  }
+
   test("scores are invariant under physical layout (repartition)") {
     // the micro-nat integer contract exists so that partial-aggregation
     // order can never leak into results: the same corpus in different
