@@ -633,9 +633,13 @@ object TextOps {
         array(leads: _*).as("__ls"))
       .select(col("a_id"), col("a_sig"), explode(col("__ls")).as("nb"))
       .filter(col("nb.b_id").isNotNull)
+      // thresholded levenshtein: the banded early-exit kernel (O(maxDist
+      // ·sigLen) per pair, -1 past the bound) — kept pairs carry their
+      // exact distance, so results are identical to the unbounded form
       .select(col("a_id"), col("nb.b_id").as("b_id"),
-        levenshtein(col("a_sig"), col("nb.b_sig")).cast("bigint").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("a_sig"), col("nb.b_sig"), maxDist)
+          .cast("bigint").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
