@@ -512,16 +512,22 @@ object TextOps {
     * tokens; model tables c2/c1 derive from that same aggregate (one
     * pass over the corpus). With `maxContexts = 0` the joins are
     * key-partitioned shuffles on the bigram/context key (exact model);
-    * `maxContexts > 0` caps the model to the top contexts by count,
+    * `maxContexts > 0` caps the model to the top contexts by count
+    * (plus, with `maxPerContext`, the top continuations per kept
+    * context — bounding the model at maxContexts·maxPerContext rows),
     * BROADCASTS it, and scores out-of-model bigrams with the uniform
-    * ln(1/V) backoff — at 100 TB the corpus-side never shuffles for
-    * scoring. Both forms are deterministic and oracle-portable. */
+    * ln(1/V) backoff (unknown context) or add-1 unseen smoothing
+    * (evicted continuation) — at 100 TB the corpus side never shuffles
+    * for scoring. All forms are deterministic and oracle-portable. */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       headMaxMicro: Long, middleMaxMicro: Long,
-      maxContexts: Int = 0): DataFrame = {
+      maxContexts: Int = 0, maxPerContext: Int = 0): DataFrame = {
     require(headMaxMicro < middleMaxMicro,
       "lmScore: need headMaxMicro < middleMaxMicro")
-    require(maxContexts >= 0, "lmScore: need maxContexts >= 0")
+    require(maxContexts >= 0 && maxPerContext >= 0,
+      "lmScore: need maxContexts >= 0 and maxPerContext >= 0")
+    require(maxPerContext == 0 || maxContexts > 0,
+      "lmScore: maxPerContext requires the capped path (maxContexts > 0)")
     val base = df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
     val bg = base
       .select(col("doc_id"), explode(expr(
@@ -572,8 +578,23 @@ object TextOps {
       if (maxContexts == 0) (c2, c1, "inner")
       else {
         val kept = c1.orderBy(col("c1").desc, col("w1")).limit(maxContexts)
-        (broadcast(c2.join(broadcast(kept.select("w1")), Seq("w1"),
-          "left_semi")), broadcast(kept), "left")
+        val c2kept = c2.join(broadcast(kept.select("w1")), Seq("w1"),
+          "left_semi")
+        // capping contexts alone does NOT bound the model's row count —
+        // a kept context can have arbitrarily many continuations on open
+        // text. maxPerContext keeps the top continuations per kept
+        // context (count-desc/token tiebreak, a window PARTITIONED by
+        // context), bounding the broadcast at maxContexts·maxPerContext
+        // rows; an evicted bigram scores as unseen (c2 → 0 + add-1),
+        // which only ever raises its cross-entropy
+        val c2b =
+          if (maxPerContext == 0) c2kept
+          else c2kept
+            .withColumn("__rk", row_number().over(Window.partitionBy("w1")
+              .orderBy(col("c2").desc, col("w2"))))
+            .filter(col("__rk") <= maxPerContext)
+            .drop("__rk")
+        (broadcast(c2b), broadcast(kept), "left")
       }
     val scored = db
       .join(c2s, Seq("w1", "w2"), jt)

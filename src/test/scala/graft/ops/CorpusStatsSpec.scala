@@ -40,6 +40,18 @@ class CorpusStatsSpec extends SparkSpec {
         maxContexts = 100000)
       .orderBy("doc_id").collect().toSeq
     assert(capped == exact)
+    // a huge per-context cap keeps every continuation -> still exact
+    val cappedBoth = TextOps.lmScore(docs, "doc_id", "text",
+        3340000L, 3420000L, maxContexts = 100000, maxPerContext = 100000)
+      .orderBy("doc_id").collect().toSeq
+    assert(cappedBoth == exact)
+    // evicting continuations can only RAISE a doc's cross-entropy
+    // (evicted bigrams score as unseen), never lower it
+    val small = TextOps.lmScore(docs, "doc_id", "text",
+        3340000L, 3420000L, maxContexts = 100000, maxPerContext = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(small.zip(exact).forall { case (s, e) =>
+      s.getLong(2) >= e.getLong(2) })
     // a tight cap still tiers every doc, and the scoring joins broadcast
     // the model (the corpus side must not shuffle into a SortMergeJoin)
     val tight = TextOps.lmScore(docs, "doc_id", "text", 3340000L, 3420000L,
