@@ -728,6 +728,40 @@ object TextOps {
         col("__sel").isNotNull.as("selected"))
   }
 
+  /** TF-IDF top-k terms per document — the classic sparse document
+    * representation (keyword extraction / feature vectors), emitted as
+    * the k highest-weighted terms per doc with deterministic (weight
+    * desc, term) ordering.
+    *
+    * Determinism contract (as [[lmScore]]): idf = ln(N/df) rounds to a
+    * micro-nat BIGINT once; weight = tf·idf_micro is exact integer
+    * arithmetic; the per-doc top-k is a window PARTITIONED by doc.
+    *
+    * Scale shape: the token stream pre-aggregates to (doc, term, tf)
+    * once (localCheckpoint — two consumers); df and N derive from that
+    * aggregate; the df join shuffles on the term key (vocab-bounded
+    * table, broadcastable when capped). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, "tfidfTopK: need k > 0")
+    val dt = df.select(col(idCol).as("doc_id"), explode(toks(textCol)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("bigint").as("tf"))
+      .localCheckpoint()
+    val dft = dt.groupBy("w").agg(count(lit(1)).cast("bigint").as("df"))
+    val nDocs = dt.agg(countDistinct(col("doc_id")).cast("bigint").as("n"))
+    dt.join(dft, Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro", round(log(
+        col("n").cast("double") / col("df").cast("double")) * 1000000)
+        .cast("bigint"))
+      .withColumn("weight_micro", col("tf") * col("idf_micro"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("weight_micro").desc, col("w"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("bigint").as("rk"), col("w"),
+        col("tf"), col("weight_micro"))
+  }
+
   /** Corpus rank-frequency diagnostics: type/token/hapax counts and a
     * Zipf log-log slope + intercept fitted over the top `topRanks`
     * tokens — the "does this corpus look like natural language" check a

@@ -890,6 +890,32 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // TF-IDF top-k terms per doc ([[graft.ops.TextOps.tfidfTopK]]):
+    // idf rounds to micro-nats once, weight = tf·idf_micro is exact
+    // integer arithmetic, top-k via a doc-partitioned window with a
+    // total (weight desc, term) tiebreak — bit-exact oracle.
+    QueryDef.views("ti1_tfidf_topk",
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |             x -> len(x) > 0)) AS w
+        |           FROM documents),
+        |  dt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |         FROM t GROUP BY 1, 2),
+        |  dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+        |  nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+        |  sc AS (SELECT dt.doc_id, dt.w, dt.tf,
+        |           dt.tf * CAST(round(ln(CAST(nn.n AS DOUBLE)
+        |             / CAST(dft.df AS DOUBLE)) * 1000000) AS BIGINT) AS weight_micro
+        |         FROM dt JOIN dft USING (w) CROSS JOIN nn),
+        |  rk AS (SELECT doc_id, w, tf, weight_micro,
+        |           CAST(row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY weight_micro DESC, w) AS BIGINT) AS rk
+        |         FROM sc)
+        |SELECT doc_id, rk, w, tf, weight_micro FROM rk WHERE rk <= 5
+        |ORDER BY doc_id, rk""".stripMargin) { spark =>
+      TextOps.tfidfTopK(spark.table("documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")
+    },
+
     // Corpus rank-frequency diagnostics ([[graft.ops.TextOps.zipfStats]]):
     // type/token/hapax counts + Zipf log-log slope over the top-100
     // tokens. ln(rank)/ln(count) round to micro-nat BIGINTs first; the

@@ -165,6 +165,24 @@ class CorpusStatsSpec extends SparkSpec {
       batchScores.filter(col("tier").isNull).count())
   }
 
+  test("tfidfTopK: hand-computed weights; ubiquitous terms rank last") {
+    // "rare" appears in 1 of 3 docs (idf = ln 3), "mid" in 2 (ln 1.5),
+    // "all" in every doc (idf = 0 -> weight 0 regardless of tf)
+    val df = Seq(
+      (0L, "all all all rare mid"), (1L, "all mid"), (2L, "all")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk").collect()
+    val ln3 = math.round(math.log(3.0 / 1.0) * 1e6)
+    val ln15 = math.round(math.log(3.0 / 2.0) * 1e6)
+    // doc0 top-2: rare (1*ln3) then mid (1*ln1.5); tf=3 "all" still 0
+    assert(got(0).getString(2) == "rare" && got(0).getLong(4) == ln3)
+    assert(got(1).getString(2) == "mid" && got(1).getLong(4) == ln15)
+    // doc2 has only "all": weight exactly 0
+    val doc2 = got.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2(0).getLong(4) == 0L)
+  }
+
   test("weightedSample: priority rises with weight; zero-weight excluded") {
     val a = Seq((1L, 10.0), (2L, 1.0), (3L, 5.0), (4L, 0.0))
       .toDF("doc_id", "w")
