@@ -150,6 +150,29 @@ object Relational {
         .orderBy("window_start", "event_type")
     },
 
+    // Sliding (hopping) event-time window — the overlapping-assignment
+    // twin of t7 (size 10 min, slide 5: every event lands in exactly two
+    // windows; Spark plans the expansion as a Generate/Expand before the
+    // hash aggregate). Oracle expands each event to both window starts.
+    QueryDef.views("t8_window_sliding",
+      """WITH e AS (SELECT ts, event_type, value,
+        |             time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),
+        |  x AS (SELECT event_type, value,
+        |          unnest([b, b - INTERVAL '5 minutes']) AS ws FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2("value")).cast("double").as("sum_value"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // K1/E3 keyed JSON wire format (reference Pulsar sink serialization:
     // CustomJob.java:93-104, key extractor :95).
     QueryDef.views("k1_keyed_json",

@@ -46,6 +46,36 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out.contains((w1, "be", 2L)))
   }
 
+  test("sliding window: overlapping assignment with watermark state") {
+    // size 10s / slide 5s: an event at t lands in the window starting at
+    // its 5s bucket AND the one before it — t8's streaming twin
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("memory").queryName("sliding")
+      .option("checkpointLocation", tmpDir("t8"))
+      .start()
+    def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+    input.addData(Seq((t(1), "a"), (t(6), "a"), (t(7), "b")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sliding")
+      .select(col("window.start").cast("long").as("start"), col("k"),
+        col("n"))
+      .as[(Long, String, Long)].collect().toSet
+    val b = 1600000000L
+    // event@1 -> windows [-5,5) start b-5 and [0,10) start b;
+    // event@6 -> [0,10) start b and [5,15) start b+5
+    assert(out.contains((b - 5, "a", 1L)))
+    assert(out.contains((b, "a", 2L)))
+    assert(out.contains((b + 5, "a", 1L)))
+    assert(out.contains((b + 5, "b", 1L)))
+  }
+
   test("session window: gap-based sessionization per key") {
     val input = MemoryStream[(Timestamp, String, Double)]
     val sessions = input.toDF().toDF("ts", "user", "v")
