@@ -784,6 +784,29 @@ object Relational {
         .limit(100)
     },
 
+    // CUBE completes the multi-granularity family (ROLLUP r1, GROUPING
+    // SETS gs1): all four granularities of (status, priority) in one
+    // Expand+aggregate pass.
+    QueryDef.views("cb1_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin) { spark =>
+      spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n"),
+          sum(dec2("o_totalprice")).cast("double").as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+          col("n"), col("total"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // GROUPING SETS with grouping_id: the multi-granularity aggregate
     // surface beyond ROLLUP (r1) — per-status, per-priority, and grand
     // totals in one Expand+aggregate pass; both engines emit the same
