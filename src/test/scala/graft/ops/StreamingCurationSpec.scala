@@ -101,6 +101,41 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("transformWithState keep-rate monitor: running per-stratum totals") {
+    // the Spark 4 arbitrary-state API (StatefulProcessor) behind a
+    // curation monitor: state is one counter pair per stratum, updated
+    // across micro-batches on the RocksDB provider
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.StreamMonitor.{GateEvent, GateStats}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[GateEvent]
+      val q = StreamMonitor.keepRate(input.toDS()).writeStream
+        .outputMode("update")
+        .format("memory").queryName("keep_rate")
+        .option("checkpointLocation", tmpDir("tws-ckpt"))
+        .start()
+      input.addData(Seq(GateEvent("web", kept = true),
+        GateEvent("web", kept = false), GateEvent("books", kept = true)))
+      q.processAllAvailable()
+      input.addData(Seq(GateEvent("web", kept = true),
+        GateEvent("web", kept = true)))
+      q.processAllAvailable()
+      q.stop()
+      // memory sink in update mode appends each update; the LAST row per
+      // stratum carries the running totals across both batches
+      val last = spark.table("keep_rate").as[GateStats].collect()
+        .groupBy(_.stratum).map { case (s, rows) =>
+          s -> rows.maxBy(_.seen) }
+      assert(last("web") == GateStats("web", 4L, 3L, 750L))
+      assert(last("books") == GateStats("books", 1L, 1L, 1000L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CDC envelopes -> curation gate -> topic sink compose end to end") {
     // the two halves of the engine in one pipeline: a documents table
     // arriving as CDC change events is demuxed, quality-gated with the
