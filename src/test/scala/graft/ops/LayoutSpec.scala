@@ -44,6 +44,30 @@ class LayoutSpec extends SparkSpec {
     assert(z.agg(max("z_value")).head().getLong(0) == (1L << (2 * bits)) - 1)
   }
 
+  test("hive-partitioned write prunes non-matching partitions at the scan") {
+    // the partition-layout complement of z-ordering: a write partitioned
+    // by a categorical column must turn an equality predicate into a
+    // PartitionFilter (directory pruning — at 100 TB the difference
+    // between scanning one language's files and all of them)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dir = tmpDir("part-docs")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("lang") === "en")
+    read.collect()
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      plan.take(1500))
+    // pruning must not change results
+    assert(read.count() == docs.filter(col("lang") === "en").count())
+    // and the scan's executed metrics show ONE partition directory read
+    // (inputFiles would list the whole pre-pruning catalog)
+    val scans = read.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.map(_.metrics("numFiles").value).sum == 1L)
+  }
+
   test("clusteredWrite yields disjoint per-file z-ranges") {
     val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
       .toDF("x", "y")
