@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Layout, Similarity, TextOps}
 
@@ -888,6 +889,50 @@ object PipelineOps {
       TextOps.dsirSelect(spark.table("documents"), "doc_id", "text",
           targetPred = col("lang") === "en", quota = 100)
         .orderBy("doc_id")
+    },
+
+    // End-to-end curation pipeline in ONE query — the ops compose:
+    // quality gate (x2's criteria) → exact dedup keep-first → per-lang
+    // quota → per-lang stats with an id-set digest. Every stage is
+    // deterministic, so the oracle grades the whole pipeline bit-exact.
+    QueryDef.views("cp1_curation_pipeline",
+      """WITH gated AS (SELECT doc_id, lang, text, n_chars FROM documents
+        |    WHERE n_chars >= 100 AND
+        |      CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) >= 20),
+        |  dedup AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |  kept AS (SELECT g.doc_id, g.lang, g.n_chars
+        |           FROM gated g JOIN dedup d ON g.doc_id = d.doc_id),
+        |  quota AS (SELECT doc_id, lang, n_chars,
+        |              row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |            FROM kept)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+        |FROM quota WHERE rn <= 40
+        |GROUP BY lang ORDER BY lang""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val gatedIds = TextOps.quality(docs, "doc_id", "text", "n_chars",
+          Seq("the", "and", "of", "to", "a", "in", "is"))
+        .filter(col("quality_ok")).select("doc_id")
+      val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+      val kept = gated.groupBy(md5(col("text")).as("__h"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("n_chars")),
+          col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.lang"), col("r.n_chars"))
+      kept
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy("doc_id")))
+        .filter(col("rn") <= 40)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"),
+          // numeric sort FIRST, then stringify — a lexical sort of id
+          // strings would diverge from the oracle's ORDER BY doc_id
+          sort_array(collect_list(col("doc_id"))).as("__ids"))
+        .select(col("lang"), col("n_docs"), col("sum_chars"),
+          md5(concat_ws(",",
+            expr("transform(__ids, x -> cast(x as string))"))).as("ids_md5"))
+        .orderBy("lang")
     },
 
     // TF-IDF top-k terms per doc ([[graft.ops.TextOps.tfidfTopK]]):

@@ -101,6 +101,26 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("Observation metrics ride a batch curation pass without a second job") {
+    // production telemetry: observe() attaches aggregates to the SAME
+    // action (no extra pass over the corpus) — here a quality gate
+    // reports volume in/out and mean length from one write
+    import org.apache.spark.sql.Observation
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val obs = Observation("gate")
+    val gated = TextOps.quality(docs, "doc_id", "text", "n_chars",
+        Seq("the", "and", "of"))
+      .observe(obs, count(lit(1)).as("rows_in"),
+        sum(col("quality_ok").cast("long")).as("rows_kept"),
+        avg(col("n_tokens")).as("mean_tokens"))
+      .filter(col("quality_ok"))
+    val kept = gated.count()
+    val m = obs.get
+    assert(m("rows_in") == docs.count())
+    assert(m("rows_kept") == kept)
+    assert(m("mean_tokens").asInstanceOf[Double] > 0)
+  }
+
   test("transformWithState keep-rate monitor: running per-stratum totals") {
     // the Spark 4 arbitrary-state API (StatefulProcessor) behind a
     // curation monitor: state is one counter pair per stratum, updated
