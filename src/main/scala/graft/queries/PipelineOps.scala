@@ -891,6 +891,50 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): transitive closure over
+    // chain edges inside each word-set duplicate group — multi-hop
+    // recursion (depth = group size, up to ~30 on this fixture) on both
+    // engines, acyclic by construction (edges only step rn -> rn+1).
+    // The SQL surface feature the reference's Flink SQL cannot express.
+    QueryDef("rc1_recursive_closure", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      spark.sql(
+        """WITH RECURSIVE
+          |g AS (SELECT doc_id, md5(array_join(array_sort(array_distinct(
+          |        filter(split(text, ' '), x -> length(x) > 0))), ' ')) AS h
+          |      FROM documents),
+          |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+          |m AS (SELECT g.doc_id, g.h,
+          |        row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id) AS rn
+          |      FROM g JOIN dup USING (h)),
+          |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          |      FROM m a JOIN m b ON a.h = b.h AND b.rn = a.rn + 1),
+          |r(node, root) AS (
+          |  SELECT doc_id, doc_id FROM m WHERE rn = 1
+          |  UNION ALL
+          |  SELECT e.dst, r.root FROM r JOIN e ON e.src = r.node)
+          |SELECT root, CAST(count(*) AS BIGINT) AS n_members,
+          |  CAST(max(node) AS BIGINT) AS max_member
+          |FROM r GROUP BY root ORDER BY root""".stripMargin)
+    }, Option(
+      """WITH RECURSIVE
+        |g AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0))), ' ')) AS h
+        |      FROM documents),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        |m AS (SELECT g.doc_id, g.h,
+        |        row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id) AS rn
+        |      FROM g JOIN dup USING (h)),
+        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+        |      FROM m a JOIN m b ON a.h = b.h AND b.rn = a.rn + 1),
+        |r(node, root) AS (
+        |  SELECT doc_id, doc_id FROM m WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.dst, r.root FROM r JOIN e ON e.src = r.node)
+        |SELECT root, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(node) AS BIGINT) AS max_member
+        |FROM r GROUP BY root ORDER BY root""".stripMargin)),
+
     // End-to-end curation pipeline in ONE query — the ops compose:
     // quality gate (x2's criteria) → exact dedup keep-first → per-lang
     // quota → per-lang stats with an id-set digest. Every stage is
