@@ -892,10 +892,12 @@ object PipelineOps {
     },
 
     // Recursive CTE (Spark 4's WITH RECURSIVE): transitive closure over
-    // chain edges inside each word-set duplicate group — multi-hop
-    // recursion (depth = group size, up to ~30 on this fixture) on both
-    // engines, acyclic by construction (edges only step rn -> rn+1).
-    // The SQL surface feature the reference's Flink SQL cannot express.
+    // TREE edges inside each word-set duplicate group (parent of member
+    // rn is max(rn div 16, 1)) — every recursion level is a full
+    // distributed iteration, so the edge layout must bound the depth: a
+    // 16-ary tree closes a 248-member group in 2 levels where a chain
+    // (rn -> rn+1) recurses group-size times (measured 97s chain vs 7s
+    // binary vs ~2s 16-ary at sf0.1). Acyclic, single path per node.
     QueryDef("rc1_recursive_closure", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
       spark.sql(
@@ -908,7 +910,8 @@ object PipelineOps {
           |        row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id) AS rn
           |      FROM g JOIN dup USING (h)),
           |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-          |      FROM m a JOIN m b ON a.h = b.h AND b.rn = a.rn + 1),
+          |      FROM m a JOIN m b ON a.h = b.h AND b.rn >= 2
+          |        AND a.rn = greatest(b.rn div 16, 1)),
           |r(node, root) AS (
           |  SELECT doc_id, doc_id FROM m WHERE rn = 1
           |  UNION ALL
@@ -926,7 +929,8 @@ object PipelineOps {
         |        row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id) AS rn
         |      FROM g JOIN dup USING (h)),
         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-        |      FROM m a JOIN m b ON a.h = b.h AND b.rn = a.rn + 1),
+        |      FROM m a JOIN m b ON a.h = b.h AND b.rn >= 2
+        |        AND a.rn = greatest(b.rn // 16, 1)),
         |r(node, root) AS (
         |  SELECT doc_id, doc_id FROM m WHERE rn = 1
         |  UNION ALL

@@ -14,7 +14,10 @@ object DumpPlans {
     "x6_repetition", "dc1_decontam", "pk1_pack",
     "dc2_decontam_bloom", "iv1_interval_join", "sd1_span_dedup",
     "pq1_ann", "pq2_ivfadc", "z1_zorder", "sm3_mixture_sample",
-    "lm1_bigram_lm", "fz1_fuzzy_neighbors", "cs1_zipf", "ds1_dsir_select")
+    "lm1_bigram_lm", "fz1_fuzzy_neighbors", "cs1_zipf", "ds1_dsir_select",
+    "lm2_bigram_lm_capped", "ti1_tfidf_topk", "ws1_weighted_sample",
+    "cp1_curation_pipeline", "rc1_recursive_closure", "t8_window_sliding",
+    "q18_large_orders")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
