@@ -136,6 +136,40 @@ object PropertyChecks {
           .agg(count(lit(1)).as("n_missing")))
     },
 
+    // Per-group Misra–Gries: the sketch as a GROUPED aggregate — one
+    // mergeable summary per language (the per-stratum monitoring shape:
+    // partial buffers merge map-side, k counters per group ship per
+    // partition). Guarantee graded per group: every true heavy hitter
+    // (freq > total/(k+1) = total/65 within its language) must appear
+    // in that language's k=64 sketch.
+    QueryDef.views("hh2_heavy_hitters_grouped",
+      """WITH tok AS (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |                            x -> len(x) > 0)) AS word FROM documents),
+        |     t AS (SELECT lang, count(*) AS total FROM tok GROUP BY lang),
+        |     h AS (SELECT lang, word, count(*) AS c FROM tok GROUP BY lang, word)
+        |SELECT h.lang, CAST(count(*) AS BIGINT) AS n_true_hh,
+        |       CAST(0 AS BIGINT) AS n_missing
+        |FROM h JOIN t ON h.lang = t.lang WHERE h.c * 65 > t.total
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin) { spark =>
+      val tok = spark.table("documents")
+        .select(col("lang"), explode(expr(
+          "filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val sketch = tok.groupBy("lang").agg(expr("mg_topk(word, 64)").as("sk"))
+        .select(col("lang"), explode(col("sk")).as("e"))
+        .select(col("lang"), col("e.item").as("word"))
+      val trueHh = tok.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+        .join(tok.groupBy("lang").agg(count(lit(1)).as("total")), Seq("lang"))
+        .filter(col("c") * 65 > col("total"))
+        .select("lang", "word")
+      trueHh.join(sketch, Seq("lang", "word"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("miss"))
+        .join(trueHh.groupBy("lang").agg(count(lit(1)).as("n_true_hh")),
+          Seq("lang"), "right")
+        .select(col("lang"), col("n_true_hh"),
+          coalesce(col("miss"), lit(0L)).as("n_missing"))
+        .orderBy("lang")
+    },
+
     // KLL-style quantile sketch: each estimate's TRUE rank (computed
     // exactly over the corpus) must sit within eps·n of its target
     // rank. k=512 with ~20 levels of headroom gives eps ≈ log2(n/k)/k
