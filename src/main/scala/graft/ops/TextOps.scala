@@ -676,14 +676,18 @@ object TextOps {
     * exact integer sums; selection is rank-by-(weight, id).
     *
     * Scale shape: token stream pre-aggregates per (doc, token) before
-    * any join; both distribution tables derive from that aggregate;
-    * joins shuffle on the token key (vocab-bounded tables — cappable to
-    * top-V + OOV and broadcast at corpus scale). Selection is a
-    * distributed TakeOrdered (orderBy.limit), never a global window;
-    * the kept-id set (quota rows) joins back as the `selected` flag. */
+    * any join; both distribution tables derive from that aggregate.
+    * With `maxVocab = 0` the joins shuffle on the token key;
+    * `maxVocab > 0` is the 100 TB path: both distributions cap to the
+    * top tokens by combined count and BROADCAST, and an out-of-model
+    * token contributes ZERO evidence (its two uniform backoffs cancel
+    * in the log-ratio) — the corpus side never shuffles for scoring.
+    * Selection is a distributed TakeOrdered (orderBy.limit), never a
+    * global window; the kept-id set joins back as `selected`. */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, quota: Int): DataFrame = {
-    require(quota > 0, "dsirSelect: need quota > 0")
+      targetPred: Column, quota: Int, maxVocab: Int = 0): DataFrame = {
+    require(quota > 0 && maxVocab >= 0,
+      "dsirSelect: need quota > 0 and maxVocab >= 0")
     val base = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
       toks(textCol).as("__w"))
     // per-(doc, token) counts materialized ONCE (localCheckpoint, as in
@@ -697,25 +701,42 @@ object TextOps {
     // sized token stream is aggregated exactly once
     val wc = dt.groupBy("is_t", "w").agg(sum("n").cast("bigint").as("c"))
       .localCheckpoint()
-    val ct = wc.filter(col("is_t")).select(col("w"), col("c").as("ct"))
-    val cr = wc.filter(!col("is_t")).select(col("w"), col("c").as("cr"))
+    val ct0 = wc.filter(col("is_t")).select(col("w"), col("c").as("ct"))
+    val cr0 = wc.filter(!col("is_t")).select(col("w"), col("c").as("cr"))
     val stats = wc.agg(
       sum(when(col("is_t"), col("c")).otherwise(0L)).cast("bigint").as("nt"),
       sum(when(!col("is_t"), col("c")).otherwise(0L)).cast("bigint").as("nr"),
       countDistinct("w").cast("bigint").as("v"))
+    val (ct, cr, crJt) =
+      if (maxVocab == 0) (ct0, cr0, "inner")
+      else {
+        val kept = wc.groupBy("w").agg(sum("c").as("call"))
+          .orderBy(col("call").desc, col("w")).limit(maxVocab)
+          .select("w")
+        (broadcast(ct0.join(broadcast(kept), Seq("w"), "left_semi")),
+          broadcast(cr0.join(broadcast(kept), Seq("w"), "left_semi")),
+          "left")
+      }
     val scoredTok = dt.filter(!col("is_t"))
       .join(ct, Seq("w"), "left") // raw-only tokens: ct absent -> 0
-      .join(cr, Seq("w"))         // own corpus: always present
+      .join(cr, Seq("w"), crJt)   // uncapped: own corpus always present
       .crossJoin(broadcast(stats))
       .withColumn("lt", round(log(
         (coalesce(col("ct"), lit(0L)) + lit(1.0))
           / (col("nt") + col("v").cast("double"))) * 1000000).cast("bigint"))
       .withColumn("lr", round(log(
-        (col("cr") + lit(1.0))
+        (coalesce(col("cr"), lit(0L)) + lit(1.0))
           / (col("nr") + col("v").cast("double"))) * 1000000).cast("bigint"))
+      // capped path: a token outside the model carries no evidence —
+      // cr is null ONLY when the token was evicted (every scored token
+      // exists in the raw corpus), and then ct was evicted with it
+      .withColumn("__d",
+        if (maxVocab == 0) col("lt") - col("lr")
+        else when(col("cr").isNull, lit(0L))
+          .otherwise(col("lt") - col("lr")))
     val perDoc = scoredTok.groupBy("doc_id").agg(
       sum("n").cast("bigint").as("n_toks"),
-      sum(col("n") * (col("lt") - col("lr"))).cast("bigint").as("w_micro"))
+      sum(col("n") * col("__d")).cast("bigint").as("w_micro"))
     val scored = base.filter(!col("is_t")).select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

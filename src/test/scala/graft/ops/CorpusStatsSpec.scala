@@ -165,6 +165,24 @@ class CorpusStatsSpec extends SparkSpec {
       batchScores.filter(col("tier").isNull).count())
   }
 
+  test("dsirSelect capped path: parity at cap >= vocab; broadcast plan") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextOps.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", 50)
+      .orderBy("doc_id").collect().toSeq
+    val capped = TextOps.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", 50, maxVocab = 1000000)
+      .orderBy("doc_id").collect().toSeq
+    assert(capped == exact)
+    // a tight cap still scores and selects; the scoring joins broadcast
+    val tight = TextOps.dsirSelect(docs, "doc_id", "text",
+      col("lang") === "en", 50, maxVocab = 8)
+    tight.collect()
+    val plan = tight.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(tight.filter(col("selected")).count() == 50)
+  }
+
   test("tfidfTopK: hand-computed weights; ubiquitous terms rank last") {
     // "rare" appears in 1 of 3 docs (idf = ln 3), "mid" in 2 (ln 1.5),
     // "all" in every doc (idf = 0 -> weight 0 regardless of tf)
