@@ -75,6 +75,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!got(0).isNullAt(4)) // a real doc is always tiered
   }
 
+  test("thresholded levenshtein = unbounded clamped to -1 past the bound") {
+    // fz1's join-free formulation relies on this equivalence; pin it
+    // over ascii, unicode, empty, and boundary-distance pairs
+    val pairs = Seq(
+      ("kitten", "sitting"), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("naïve café", "naive cafe"), ("日本語テキスト", "日本語のテキスト"),
+      ("abcdefgh", "hgfedcba"), ("a" * 40, "b" * 40))
+    val df = pairs.toDF("a", "b")
+    for (k <- Seq(0, 1, 3, 7, 40)) {
+      val got = df.select(
+          levenshtein(col("a"), col("b")).as("full"),
+          levenshtein(col("a"), col("b"), k).as("thr"))
+        .collect()
+      got.foreach { r =>
+        val (full, thr) = (r.getInt(0), r.getInt(1))
+        assert(thr == (if (full <= k) full else -1),
+          s"k=$k full=$full thr=$thr")
+      }
+    }
+  }
+
   test("fuzzyNeighborPairs: finds near-identical docs, skips distant ones") {
     val df = Seq(
       (10L, "the quick brown fox jumps over the dog"),
