@@ -20,6 +20,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
+    "topk_pairs" -> ((es: Seq[Expression]) =>
+      TopKPairs(es(0), es(1), litInt(es(2)))),
     "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es)),
     "pq_encode" -> ((es: Seq[Expression]) => PqEncode.fromArgs(es)),
     "kll_quantiles" -> ((es: Seq[Expression]) => KllQuantiles.fromArgs(es)),

@@ -116,20 +116,35 @@ object Similarity {
         round(col("cs") * 10000).cast("bigint").as("sim_bp"))
   }
 
+  /** Bounded per-query top-k over a scored (q_vec_id, nn, score) set via
+    * the mergeable `topk_pairs` heap aggregate — each map task keeps an
+    * O(k) heap per query and only k-sized partials cross the exchange.
+    * The `row_number().over(partitionBy(q_vec_id))` formulation this
+    * replaces shuffles EVERY scored row into |queries| partitions before
+    * discarding all but k: with 20 queries over a 100 TB corpus scan
+    * that funnels the whole corpus's scores through 20 tasks. Ordering
+    * (score desc, nn asc) matches the window form bit-for-bit. */
+  private def topKSelect(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame =
+    scored.groupBy("q_vec_id")
+      .agg(call_function("topk_pairs", col("nn").cast("bigint"),
+        col(scoreCol).cast("double"), lit(k)).as("top"))
+      .select(col("q_vec_id"), posexplode(expr("top.nn")).as(Seq("pos", "nn_id")))
+      .select(col("q_vec_id"), (col("pos") + 1).cast("bigint").as("rnk"),
+        col("nn_id"))
+
   /** Brute-force cosine top-k: `queries` (small, broadcast) against the
     * corpus. Output (q_vec_id, rnk, nn_id). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int = 10): DataFrame = {
     val en = withNorm(corpus, idCol, vecCol)
     val q = withNorm(queries, idCol, vecCol)
-    val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
-    broadcast(q.as("q")).join(en.as("b"), col("q.vec_id") =!= col("b.vec_id"))
+    val scored = broadcast(q.as("q"))
+      .join(en.as("b"), col("q.vec_id") =!= col("b.vec_id"))
       .withColumn("cs",
         expr("vec_dot(q.embedding, b.embedding)") / (col("q.nrm") * col("b.nrm")))
       .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"), col("cs"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
-        col("nn").as("nn_id"))
+    topKSelect(scored, "cs", k)
   }
 
   /** LSH-bucketed ANN: `tables` independent sign-random-projection
@@ -172,17 +187,14 @@ object Similarity {
           col("q.vec_id") =!= col("b.vec_id"))
       .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"))
       .distinct() // candidate union across tables
-    val w = Window.partitionBy("q_vec_id").orderBy(col("cs").desc, col("nn"))
-    cand
+    val scored = cand
       .join(broadcast(en.filter(queryPred).select(col("vec_id").as("q_vec_id"),
         col("embedding").as("qe"), col("nrm").as("qn"))), Seq("q_vec_id"))
       .join(en.select(col("vec_id").as("nn"), col("embedding").as("be"),
         col("nrm").as("bn")).hint("shuffle_hash"), Seq("nn"))
       .withColumn("cs", expr("vec_dot(qe, be)") / (col("qn") * col("bn")))
       .select(col("q_vec_id"), col("nn"), col("cs"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
-        col("nn").as("nn_id"))
+    topKSelect(scored, "cs", k)
   }
 
   /** Above this cluster count, [[clusterAssignment]] switches from k inlined
@@ -339,16 +351,14 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select("q_vec_id", "qv", "qnrm", "cluster")
-    val rerankW = Window.partitionBy("q_vec_id")
-      .orderBy(col("cs").desc, col("nn"))
-    probed.join(assigned, Seq("cluster"))
+    val scored = probed.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_vec_id"))
       .withColumn("cs", expr("vec_dot(qv, v)") / (col("qnrm") * col("nrm")))
       .select(col("q_vec_id"), col("vec_id").as("nn"), col("cs"))
-      .withColumn("rn", row_number().over(rerankW))
-      .filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
-        col("nn").as("nn_id"))
+    // Bounded top-k selection: the probed cells are an nprobe/clusters
+    // fraction of the corpus — still corpus-scaled, so their scores must
+    // not funnel through |queries| window partitions.
+    topKSelect(scored, "cs", k)
   }
 
   /** Symmetric per-vector int8 quantization of an embedding column:
@@ -479,24 +489,28 @@ object Similarity {
     val queries = index.encoded.filter(queryPred)
       .select(col("vec_id").as("q_vec_id"), col("u").as("qu"),
         lut.as("lut"))
-    val adcW = Window.partitionBy("q_vec_id")
-      .orderBy(col("adc").desc, col("nn"))
-    val cand = broadcast(queries).join(index.encoded.select(
-        col("vec_id").as("nn"), col("codes")),
+    // ADC head selection is the mergeable topk_pairs heap, NOT a
+    // row_number window: the scan scores |queries| × corpus rows, and a
+    // window would shuffle every one of those scores into |queries|
+    // partitions before keeping k·rerankFactor — the whole corpus's
+    // scores funneled through a handful of tasks. The aggregate keeps
+    // an O(k·rerankFactor) heap per query per map task; only heap-sized
+    // partials reach the exchange.
+    val cand = broadcast(queries.drop("qu"))
+      .join(index.encoded.select(col("vec_id").as("nn"), col("codes")),
         col("q_vec_id") =!= col("nn"))
       .withColumn("adc", call_function("gather_sum", col("codes"), col("lut")))
-      .withColumn("rn", row_number().over(adcW))
-      .filter(col("rn") <= k * rerankFactor)
-      .select("q_vec_id", "qu", "nn")
-    val rerankW = Window.partitionBy("q_vec_id")
-      .orderBy(col("cs").desc, col("nn"))
-    cand.join(index.encoded.select(col("vec_id").as("nn"),
+      .groupBy("q_vec_id")
+      .agg(call_function("topk_pairs", col("nn"), col("adc"),
+        lit(k * rerankFactor)).as("top"))
+      .select(col("q_vec_id"), explode(expr("top.nn")).as("nn"))
+    val scored = cand
+      .join(broadcast(queries.select("q_vec_id", "qu")), Seq("q_vec_id"))
+      .join(index.encoded.select(col("vec_id").as("nn"),
         col("u").as("bu")).hint("shuffle_hash"), Seq("nn"))
       .withColumn("cs", expr("vec_dot(qu, bu)"))
-      .withColumn("rn", row_number().over(rerankW))
-      .filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
-        col("nn").as("nn_id"))
+      .select(col("q_vec_id"), col("nn"), col("cs"))
+    topKSelect(scored, "cs", k)
   }
 
   /** PQ ANN in one call: train + encode, then ADC scan + exact rerank.
@@ -589,25 +603,25 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select("q_vec_id", "qu", "lut", "cluster")
-    val adcW = Window.partitionBy("q_vec_id")
-      .orderBy(col("adc").desc, col("nn"))
-    val cand = probed.join(index.assigned
+    // Same ADC-head discipline as [[pqSearch]]: the probed cells' scores
+    // are selected by the bounded mergeable heap aggregate, never
+    // funneled through |queries| window partitions.
+    val cand = probed.drop("qu").join(index.assigned
         .select(col("cluster"), col("vec_id").as("nn"), col("codes")),
         Seq("cluster"))
       .filter(col("nn") =!= col("q_vec_id"))
       .withColumn("adc", call_function("gather_sum", col("codes"), col("lut")))
-      .withColumn("rn", row_number().over(adcW))
-      .filter(col("rn") <= k * rerankFactor)
-      .select("q_vec_id", "qu", "nn")
-    val rerankW = Window.partitionBy("q_vec_id")
-      .orderBy(col("cs").desc, col("nn"))
-    cand.join(index.assigned.select(col("vec_id").as("nn"),
+      .groupBy("q_vec_id")
+      .agg(call_function("topk_pairs", col("nn"), col("adc"),
+        lit(k * rerankFactor)).as("top"))
+      .select(col("q_vec_id"), explode(expr("top.nn")).as("nn"))
+    val scored = cand
+      .join(broadcast(queries.select("q_vec_id", "qu")), Seq("q_vec_id"))
+      .join(index.assigned.select(col("vec_id").as("nn"),
         col("u").as("bu")).hint("shuffle_hash"), Seq("nn"))
       .withColumn("cs", expr("vec_dot(qu, bu)"))
-      .withColumn("rn", row_number().over(rerankW))
-      .filter(col("rn") <= k)
-      .select(col("q_vec_id"), col("rn").cast("bigint").as("rnk"),
-        col("nn").as("nn_id"))
+      .select(col("q_vec_id"), col("nn"), col("cs"))
+    topKSelect(scored, "cs", k)
   }
 
   /** IVFADC in one call; repeated workloads build [[ivfPqIndex]] once. */

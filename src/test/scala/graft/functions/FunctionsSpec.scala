@@ -179,6 +179,30 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("topk_pairs equals the row_number window form, any partitioning") {
+    // Deterministic scored set with deliberate score ties (score = id % 7)
+    // across several groups; the aggregate must select and order exactly
+    // the rows row_number().over(orderBy(score desc, id asc)) keeps,
+    // regardless of how many partitions feed the partial heaps.
+    val rows = (0L until 500L).map(i =>
+      (i % 3, i, (i % 7).toDouble + (i % 11) * 0.01))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = registered.createDataset(rows).toDF("g", "id", "score")
+        .repartition(parts)
+      val viaAgg = df.groupBy("g")
+        .agg(expr("topk_pairs(id, score, 9)").as("top"))
+        .select(col("g"), posexplode(expr("top.nn")).as(Seq("pos", "id")))
+        .select(col("g"), (col("pos") + 1).as("rn"), col("id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("id"))
+      val viaWin = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 9).select(col("g"), col("rn").cast("int"), col("id"))
+      assert(viaAgg.exceptAll(viaWin).count() == 0 &&
+        viaWin.exceptAll(viaAgg).count() == 0,
+        s"topk_pairs diverged from window form at $parts partitions")
+    }
+  }
+
   test("kll_quantiles: exact (nearest-rank) while n <= k") {
     GraftFunctions.register(spark)
     // 100 distinct values in shuffled order, k=256 -> level 0 only

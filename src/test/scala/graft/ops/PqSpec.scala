@@ -168,6 +168,25 @@ class PqSpec extends SparkSpec {
       s"no dynamic partition pruning in plan:\n$plan")
   }
 
+  test("ADC head selection is a bounded aggregate, not a window") {
+    // The at-scale property behind topk_pairs: the |queries| × corpus
+    // ADC score set must never funnel through |queries| window
+    // partitions. Pin that the physical plan has NO WindowExec at all
+    // (the probe tier's small window is pq-free pqSearch; rerank and
+    // head are both heap aggregates) and that the selection runs as a
+    // partial ObjectHashAggregate before its exchange.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    graft.functions.GraftFunctions.register(spark)
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding", m = 4, k = 8)
+    val out = Similarity.pqSearch(idx, col("vec_id") < 5, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"pqSearch plan still contains a window:\n$plan")
+    assert(plan.contains("partial_topk_pairs"),
+      s"no partial topk_pairs aggregate in plan:\n$plan")
+    assert(out.count() == 15)
+  }
+
   test("pqIndex is deterministic across builds") {
     val data = (0L until 40L).map(r =>
       (r, Array.tabulate(8)(i => math.sin(r * 3.1 + i).toFloat)))
