@@ -346,11 +346,18 @@ object TextOps {
     * spans, and the md5 of the kept-spans reconstruction (in original
     * order) — the dedup'd document content.
     *
-    * Scale shape: one explode to (doc, idx, span) rows, one window over
-    * the span key (the global first-occurrence pass — a single shuffle
-    * on the span; at 100 TB swap the raw span text for xxhash64(span)
-    * to exchange 8 bytes per span and refetch kept text by (doc, idx)),
-    * one per-doc re-aggregation. No join ever touches the full text. */
+    * Scale shape: span text NEVER crosses an exchange. Spans leave the
+    * scan as (doc_id, span_idx, 128-bit span key — two independent
+    * xxhash64s, collision odds ~2⁻¹²⁸ per pair, the standard exact-
+    * substring-dedup fingerprint); the global first-occurrence pass is a
+    * `min(struct(doc_id, span_idx))` HASH AGGREGATION on that 16-byte
+    * key, whose map-side partials absorb corpus-hot spans (boilerplate,
+    * licenses) — the skew that a window partitioned by span would funnel
+    * into one task. Kept span INDEXES (8 bytes each) regroup per doc,
+    * rejoin the corpus once on doc_id (shuffle-hash; bucketing the
+    * corpus by doc id makes even that exchange-free), and the kept-text
+    * reconstruction re-tokenizes locally inside that projection —
+    * trading one extra scan-local tokenize for never shipping text. */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       span: Int = 16): DataFrame = {
     require(span >= 1, s"spanDedup: need span >= 1, got $span")
@@ -361,29 +368,32 @@ object TextOps {
       .select(col(idCol).as("doc_id"), explode_outer(expr(
         s"""CASE WHEN __ns >= 1
            |  THEN transform(sequence(1, __ns), s ->
-           |    struct(CAST(s - 1 AS BIGINT) AS span_idx,
-           |           concat_ws(' ', slice(__w, (s - 1) * $span + 1, $span))
-           |             AS span_text))
+           |    named_struct(
+           |      'span_idx', CAST(s - 1 AS BIGINT),
+           |      'h1', xxhash64(concat_ws(' ',
+           |        slice(__w, (s - 1) * $span + 1, $span))),
+           |      'h2', xxhash64('g2', concat_ws(' ',
+           |        slice(__w, (s - 1) * $span + 1, $span)))))
            |  ELSE NULL END""".stripMargin)).as("sp"))
       .filter(col("sp").isNotNull)
       .select(col("doc_id"), col("sp.span_idx").as("span_idx"),
-        col("sp.span_text").as("span_text"))
-    val firstW = Window.partitionBy("span_text")
-      .orderBy("doc_id", "span_idx")
-    val marked = spans.withColumn("__rn", row_number().over(firstW))
-    val agg = marked.groupBy("doc_id").agg(
-      count(lit(1)).as("n_spans"),
-      sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-      md5(concat_ws(" ", expr(
-        """transform(array_sort(collect_list(
-          |  CASE WHEN __rn = 1 THEN struct(span_idx, span_text) END)),
-          |  p -> p.span_text)""".stripMargin))).as("kept_md5"))
-    df.select(col(idCol).as("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+        col("sp.h1").as("h1"), col("sp.h2").as("h2"))
+    val keptPerDoc = spans
+      .groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("first.span_idx"))).as("kept_idx"))
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
+      .join(keptPerDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+        expr(s"CAST(ceil(size(__w) / CAST($span AS DOUBLE)) AS BIGINT)")
+          .as("n_spans"),
+        coalesce(size(col("kept_idx")).cast("bigint"), lit(0L)).as("n_kept"),
+        when(col("kept_idx").isNull, md5(lit("")))
+          .otherwise(md5(concat_ws(" ", expr(
+            s"""transform(kept_idx, s -> concat_ws(' ',
+               |  slice(__w, CAST(s * $span + 1 AS INT), $span)))"""
+              .stripMargin)))).as("kept_md5"))
   }
 
   /** Concat-and-chunk sequence packing — the standard LLM pretraining

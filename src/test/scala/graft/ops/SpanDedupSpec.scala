@@ -38,6 +38,23 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(1).getLong(2) == 0L)
   }
 
+  test("first-occurrence pass is a hash aggregation; text never shuffles") {
+    // The de-skew contract: no WindowExec anywhere (a window partitioned
+    // by span text lands every occurrence of a corpus-hot span in one
+    // task), the global first-occurrence pass runs as partial+final
+    // aggregation on the 128-bit span key, and no Exchange carries a
+    // span_text/string span column — only hashes, indexes, and the one
+    // doc_id-keyed corpus join.
+    val df = Seq((0L, "a b c d"), (1L, "a b x y")).toDF("doc_id", "text")
+    val plan = TextOps.spanDedup(df, "doc_id", "text", span = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"spanDedup plan has a window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"first-occurrence pass is not a partial aggregation:\n$plan")
+    assert(!plan.contains("span_text"),
+      s"span text appears in the physical plan:\n$plan")
+  }
+
   test("empty and whitespace-only docs emit zero rows with empty digest") {
     val df = Seq((0L, ""), (1L, "   "), (2L, "w")).toDF("doc_id", "text")
     val got = TextOps.spanDedup(df, "doc_id", "text", span = 4)
