@@ -913,7 +913,7 @@ object PipelineOps {
           |      FROM m a JOIN m b ON a.h = b.h AND b.rn >= 2
           |        AND a.rn = greatest(b.rn div 16, 1)),
           |r(node, root) AS (
-          |  SELECT doc_id, doc_id FROM m WHERE rn = 1
+          |  SELECT doc_id AS node, doc_id AS root FROM m WHERE rn = 1
           |  UNION ALL
           |  SELECT e.dst, r.root FROM r JOIN e ON e.src = r.node)
           |SELECT root, CAST(count(*) AS BIGINT) AS n_members,
