@@ -75,6 +75,47 @@ object PropertyChecks {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // The blocked (SRP-bucketed) similarity path IS the production plan;
+    // e1/ec1 grade the exact diagnostic. This entry grades the blocked
+    // path itself against DuckDB's exact pair set: every blocked pair
+    // must be a true >= 0.4 pair WITH the same basis-point cosine
+    // (soundness — blocked reranks candidates exactly, so a mismatch
+    // means a broken payload join), and blocked recall over the exact
+    // pair set must clear 0.9 (the OpsApiSpec bar, now oracle-graded).
+    QueryDef.views("e1x_blocked_recall",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |     p AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |           FROM en a JOIN en b ON a.vec_id < b.vec_id
+        |             AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+        |SELECT (SELECT count(*) FROM p) AS n_exact_pairs,
+        |       CAST(0 AS BIGINT) AS n_outside_exact,
+        |       true AS recall_ge_90""".stripMargin) { spark =>
+      val emb = spark.table("embeddings")
+      // Both pair sets are consumed by three aggregates each; checkpoint
+      // the (small) pair lists so the generation plans run once.
+      val exact = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        minCos = 0.4, blocked = false).localCheckpoint()
+      // Same recall-oriented parameters as s2x/OpsApiSpec: this
+      // fixture's true pairs sit at cos ≈ 0.4 (per-plane agreement
+      // ~0.63), so recall needs shorter bucket keys and more tables; a
+      // production corpus targeting near-dups (cos ≥ 0.9) reaches the
+      // bar at the defaults.
+      val blocked = Similarity.cosinePairs(emb, "vec_id", "embedding",
+        minCos = 0.4, blocked = true, planeBits = 3, tables = 12)
+        .localCheckpoint()
+      val key = Seq("vec_id_a", "vec_id_b", "sim_bp")
+      val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+      val outside = blocked.join(exact, key, "left_anti")
+        .agg(count(lit(1)).as("n_outside_exact"))
+      val hit = blocked.join(exact, key, "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nExact.crossJoin(outside).crossJoin(hit)
+        .select(col("n_exact_pairs"), col("n_outside_exact"),
+          (col("n_hit") * 10 >= col("n_exact_pairs") * 9).as("recall_ge_90"))
+    },
+
     dedupCheck("d2x_minhash_exactdup", md5(col("text")), "md5(text)", spark =>
       Dedup.minhashKept(spark.table("documents"), "doc_id", "text")),
 
