@@ -43,7 +43,19 @@ object StreamMonitor {
 
   /** Lifts a stream of (stratum, keptFlag) gate decisions into running
     * per-stratum keep-rate stats. `ttl` bounds state for strata that go
-    * quiet (TTLConfig.NONE keeps them forever). */
+    * quiet (TTLConfig.NONE keeps them forever).
+    *
+    * TTL RESET SEMANTICS: with a TTL configured, an idle stratum's
+    * (seen, kept) state expires, and when events resume the running
+    * totals RESTART FROM ZERO — downstream consumers see a
+    * discontinuity (counts smaller than previously emitted) that is
+    * indistinguishable from a brand-new stratum. That is the deliberate
+    * trade: bounded state for unbounded stratum cardinality. Consumers
+    * needing lifetime totals must either run TTLConfig.NONE (state is
+    * O(strata) — fine when the stratum domain is bounded, the design
+    * point here) or treat emitted rows as deltas-since-reset and
+    * re-accumulate (sum of max-per-epoch) downstream; a monotonicity
+    * break in (seen, kept) IS the reset marker. */
   def keepRate(events: Dataset[GateEvent],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[GateStats] = {
     import events.sparkSession.implicits._

@@ -110,7 +110,11 @@ object TextOps {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n > 0, "weightedSample: need n > 0")
-    val u = s"(${hex48Sql(s"md5(CAST($idCol AS STRING))")} + 1) / 281474976710657.0"
+    // built against the POST-rename id column: the priority projection
+    // runs after select() renames idCol to doc_id, so referencing the
+    // caller's name here would fail analysis for any idCol other than
+    // "doc_id" (and an idCol named "weight" would hash the cast weight)
+    val u = s"(${hex48Sql("md5(CAST(doc_id AS STRING))")} + 1) / 281474976710657.0"
     // weight filter BEFORE the priority projection: ANSI arithmetic
     // rejects the w = 0 division eagerly, and non-positive weights are
     // outside the A-ES domain anyway
@@ -528,7 +532,21 @@ object TextOps {
     * BROADCASTS it, and scores out-of-model bigrams with the uniform
     * ln(1/V) backoff (unknown context) or add-1 unseen smoothing
     * (evicted continuation) — at 100 TB the corpus side never shuffles
-    * for scoring. All forms are deterministic and oracle-portable. */
+    * for scoring. All forms are deterministic and oracle-portable.
+    *
+    * Fault-tolerance trade-off (applies equally to [[dsirSelect]] and
+    * [[tfidfTopK]]): the shared per-(doc, token) aggregate is pinned
+    * with `localCheckpoint`, which truncates lineage onto EXECUTOR-LOCAL
+    * storage — losing an executor after the checkpoint fails the job
+    * (no recompute path, no replication). That is the right default
+    * here because the alternative is strictly worse: without the pin,
+    * lambda-expression subtrees defeat exchange reuse and every
+    * consumer re-runs the corpus-wide explode+aggregate. On a long
+    * multi-hour 100 TB run where executor loss is EXPECTED rather than
+    * exceptional, swap the pin for a reliable materialization — write
+    * the aggregate to distributed storage (or `checkpoint()` with a
+    * checkpoint dir) and read it back; same plan shape, lineage cut at
+    * a replicated boundary. */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       headMaxMicro: Long, middleMaxMicro: Long,
       maxContexts: Int = 0, maxPerContext: Int = 0): DataFrame = {
@@ -701,8 +719,10 @@ object TextOps {
     val base = df.select(col(idCol).as("doc_id"), targetPred.as("is_t"),
       toks(textCol).as("__w"))
     // per-(doc, token) counts materialized ONCE (localCheckpoint, as in
-    // [[lmScore]]): the scored chain and the distribution roll-up would
-    // otherwise each re-run the corpus-wide explode+aggregate
+    // [[lmScore]] — see its scaladoc for the executor-local
+    // fault-tolerance trade-off): the scored chain and the distribution
+    // roll-up would otherwise each re-run the corpus-wide
+    // explode+aggregate
     val dt = base.select(col("doc_id"), col("is_t"), explode(col("__w")).as("w"))
       .groupBy("doc_id", "is_t", "w").agg(count(lit(1)).as("n"))
       .localCheckpoint()
@@ -769,7 +789,8 @@ object TextOps {
     * arithmetic; the per-doc top-k is a window PARTITIONED by doc.
     *
     * Scale shape: the token stream pre-aggregates to (doc, term, tf)
-    * once (localCheckpoint — two consumers); df and N derive from that
+    * once (localCheckpoint — two consumers; see [[lmScore]] for the
+    * executor-local fault-tolerance trade-off); df and N derive from that
     * aggregate; the df join shuffles on the term key (vocab-bounded
     * table, broadcastable when capped). */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
@@ -805,7 +826,7 @@ object TextOps {
     * a distributed TakeOrdered with a total tiebreak (count desc,
     * token), NOT a global window; the only window runs over the
     * `topRanks`-row result, bounded by a constant. */
-  def zipfStats(df: DataFrame, idCol: String, textCol: String,
+  def zipfStats(df: DataFrame, textCol: String,
       topRanks: Int = 100): DataFrame = {
     require(topRanks >= 2, "zipfStats: need topRanks >= 2")
     val counts = df.select(explode(toks(textCol)).as("w"))

@@ -817,6 +817,61 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // The TRIMMED capped path: maxPerContext bounds the broadcast model
+    // at maxContexts·maxPerContext rows (top continuations per kept
+    // context); an evicted bigram scores as unseen (c2 → 0 + add-1
+    // smoothing). Oracle replicates the cap AND the trim exactly, so
+    // the eviction backoff arithmetic — not just the keep-everything
+    // parity the unit tests pin — is graded independently.
+    QueryDef.views("lm3_bigram_lm_trimmed",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |            THEN list_transform(range(1, len(w)),
+        |              i -> struct_pack(w1 := w[i], w2 := w[i + 1]))
+        |            ELSE [] END) AS bg
+        |        FROM t),
+        |  b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM g),
+        |  db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |         FROM b GROUP BY 1, 2, 3),
+        |  c2 AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM db GROUP BY 1, 2),
+        |  c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |  vv AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
+        |  kept AS (SELECT w1, c1 FROM c1 ORDER BY c1 DESC, w1 LIMIT 16),
+        |  c2k AS (SELECT c2.w1, c2.w2, c2.c2,
+        |            row_number() OVER (PARTITION BY c2.w1
+        |                               ORDER BY c2.c2 DESC, c2.w2) AS rk
+        |          FROM c2 JOIN kept USING (w1)),
+        |  c2b AS (SELECT w1, w2, c2 FROM c2k WHERE rk <= 2),
+        |  sc AS (SELECT db.doc_id, db.n,
+        |           CASE WHEN kept.w1 IS NULL
+        |             THEN CAST(round(ln(CAST(1.0 AS DOUBLE)
+        |               / CAST(vv.v AS DOUBLE)) * 1000000) AS BIGINT)
+        |             ELSE CAST(round(ln((COALESCE(c2b.c2, 0) + CAST(1 AS DOUBLE))
+        |               / (kept.c1 + CAST(vv.v AS DOUBLE))) * 1000000) AS BIGINT)
+        |           END AS lp
+        |         FROM db
+        |         LEFT JOIN c2b USING (w1, w2)
+        |         LEFT JOIN kept USING (w1)
+        |         CROSS JOIN vv),
+        |  pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |           CAST(-sum(n * lp) AS BIGINT) AS xent_sum_micro
+        |         FROM sc GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(pd.xent_sum_micro, 0) AS xent_sum_micro,
+        |  pd.xent_sum_micro // pd.n_bigrams AS xent_micro,
+        |  CASE WHEN pd.xent_sum_micro // pd.n_bigrams <= 3340000 THEN 'head'
+        |       WHEN pd.xent_sum_micro // pd.n_bigrams <= 3420000 THEN 'middle'
+        |       WHEN pd.xent_sum_micro IS NOT NULL THEN 'tail' END AS tier
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.lmScore(spark.table("documents"), "doc_id", "text",
+          headMaxMicro = 3340000L, middleMaxMicro = 3420000L,
+          maxContexts = 16, maxPerContext = 2)
+        .orderBy("doc_id")
+    },
+
     // Sorted-neighborhood fuzzy dedup (merge/purge;
     // [[graft.ops.TextOps.fuzzyNeighborPairs]]): block-partitioned sort
     // by normalized signature, Levenshtein verify within a 4-row
@@ -898,6 +953,57 @@ object PipelineOps {
         |ORDER BY sco.doc_id""".stripMargin) { spark =>
       TextOps.dsirSelect(spark.table("documents"), "doc_id", "text",
           targetPred = col("lang") === "en", quota = 100)
+        .orderBy("doc_id")
+    },
+
+    // The capped-vocab DSIR path (maxVocab > 0 — the 100 TB shape: both
+    // distributions trimmed to the top tokens by combined count and
+    // BROADCAST; an out-of-model token contributes zero evidence, its
+    // two uniform backoffs cancelling in the log-ratio). Oracle
+    // replicates the cap exactly, grading the eviction arithmetic the
+    // unit tests only check at keep-everything settings.
+    QueryDef.views("ds2_dsir_capped",
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  dt AS (SELECT doc_id, is_t, unnest(w) AS w FROM t),
+        |  dn AS (SELECT doc_id, is_t, w, CAST(count(*) AS BIGINT) AS n
+        |         FROM dt GROUP BY 1, 2, 3),
+        |  ct AS (SELECT w, CAST(sum(n) AS BIGINT) AS ct FROM dn WHERE is_t GROUP BY 1),
+        |  cr AS (SELECT w, CAST(sum(n) AS BIGINT) AS cr FROM dn WHERE NOT is_t GROUP BY 1),
+        |  st AS (SELECT CAST(sum(CASE WHEN is_t THEN n ELSE 0 END) AS BIGINT) AS nt,
+        |           CAST(sum(CASE WHEN NOT is_t THEN n ELSE 0 END) AS BIGINT) AS nr,
+        |           CAST(count(DISTINCT w) AS BIGINT) AS v
+        |         FROM dn),
+        |  call AS (SELECT w, CAST(sum(n) AS BIGINT) AS call FROM dn GROUP BY 1),
+        |  kept AS (SELECT w FROM call ORDER BY call DESC, w LIMIT 64),
+        |  ctk AS (SELECT ct.w, ct.ct FROM ct JOIN kept USING (w)),
+        |  crk AS (SELECT cr.w, cr.cr FROM cr JOIN kept USING (w)),
+        |  sc AS (SELECT dn.doc_id, dn.n,
+        |           CASE WHEN crk.cr IS NULL THEN CAST(0 AS BIGINT)
+        |             ELSE CAST(round(ln((COALESCE(ctk.ct, 0) + CAST(1 AS DOUBLE))
+        |                    / (st.nt + CAST(st.v AS DOUBLE))) * 1000000) AS BIGINT)
+        |                - CAST(round(ln((crk.cr + CAST(1 AS DOUBLE))
+        |                    / (st.nr + CAST(st.v AS DOUBLE))) * 1000000) AS BIGINT)
+        |           END AS d
+        |         FROM dn LEFT JOIN ctk USING (w) LEFT JOIN crk USING (w)
+        |         CROSS JOIN st
+        |         WHERE NOT dn.is_t),
+        |  pd AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_toks,
+        |           CAST(sum(n * d) AS BIGINT) AS w_micro
+        |         FROM sc GROUP BY 1),
+        |  sco AS (SELECT d2.doc_id, COALESCE(pd.n_toks, 0) AS n_toks,
+        |            COALESCE(pd.w_micro, 0) AS w_micro
+        |          FROM documents d2 LEFT JOIN pd ON d2.doc_id = pd.doc_id
+        |          WHERE d2.lang <> 'en'),
+        |  pick AS (SELECT doc_id FROM sco
+        |           ORDER BY w_micro DESC, doc_id LIMIT 100)
+        |SELECT sco.doc_id, sco.n_toks, sco.w_micro,
+        |  pick.doc_id IS NOT NULL AS selected
+        |FROM sco LEFT JOIN pick ON sco.doc_id = pick.doc_id
+        |ORDER BY sco.doc_id""".stripMargin) { spark =>
+      TextOps.dsirSelect(spark.table("documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", quota = 100, maxVocab = 64)
         .orderBy("doc_id")
     },
 
@@ -1050,7 +1156,7 @@ object PipelineOps {
         |    / CAST(n_ranks * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
         |    / CAST(n_ranks AS DOUBLE)) AS BIGINT) AS intercept_micro
         |FROM reg CROSS JOIN tot""".stripMargin) { spark =>
-      TextOps.zipfStats(spark.table("documents"), "doc_id", "text",
+      TextOps.zipfStats(spark.table("documents"), "text",
         topRanks = 100)
     }
   )

@@ -250,7 +250,7 @@ class CorpusStatsSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq,
       TextOps.dsirSelect(d, "doc_id", "text", col("lang") === "en", 50)
         .orderBy("doc_id").collect().toSeq,
-      TextOps.zipfStats(d, "doc_id", "text", topRanks = 50)
+      TextOps.zipfStats(d, "text", topRanks = 50)
         .collect().toSeq,
       TextOps.fuzzyNeighborPairs(d, "doc_id", "text")
         .orderBy("a_id", "b_id").collect().toSeq)
@@ -260,7 +260,7 @@ class CorpusStatsSpec extends SparkSpec {
   test("zipfStats: exact integer stats + fitted slope on a known corpus") {
     // freqs: a=4, b=2, c=1 -> n_tokens=7, types=3, hapax=1
     val df = Seq((0L, "a a b c"), (1L, "a a b")).toDF("doc_id", "text")
-    val got = TextOps.zipfStats(df, "doc_id", "text", topRanks = 3)
+    val got = TextOps.zipfStats(df, "text", topRanks = 3)
       .collect()(0)
     assert(got.getLong(0) == 7L && got.getLong(1) == 3L &&
       got.getLong(2) == 1L && got.getLong(3) == 3L)
