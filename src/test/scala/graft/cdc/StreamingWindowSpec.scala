@@ -126,6 +126,41 @@ class StreamingWindowSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("T7 processing-time emulation over a rate-limited source") {
+    // The same ingestion-time emulation driven by Spark's rate-limited
+    // source (rate-micro-batch: a fixed row budget per micro-batch —
+    // the backpressured-ingest shape). Assertions are structural, not
+    // timing-dependent: windows are 5s-aligned, and in complete mode
+    // every emitted value is counted exactly once, so Σn must equal
+    // max(value)+1 (rate emits consecutive values from 0).
+    val rated = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", 5).load()
+      .withColumn("ingest_ts", current_timestamp())
+      .groupBy(window(col("ingest_ts"), "5 seconds"))
+      .agg(count(lit(1)).as("n"), max("value").as("max_v"))
+    val q = rated.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("ratewin")
+      .option("checkpointLocation", tmpDir("ratewin"))
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def total(): Long = spark.table("ratewin")
+      .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    while (total() < 15 && System.nanoTime() < deadline) Thread.sleep(200)
+    q.stop()
+    val rows = spark.table("ratewin")
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        unix_timestamp(col("window.end")).as("we"), col("n"), col("max_v"))
+      .collect()
+    assert(rows.nonEmpty, "no windows produced within the deadline")
+    assert(rows.forall(r => r.getLong(0) % 5 == 0 &&
+      r.getLong(1) - r.getLong(0) == 5), "windows not 5s-aligned tumbles")
+    val sumN = rows.map(_.getLong(2)).sum
+    val maxV = rows.map(_.getLong(3)).max
+    assert(sumN == maxV + 1,
+      s"count conservation broken: sum(n)=$sumN, max(value)=$maxV")
+  }
+
   test("watermark drops data later than the threshold") {
     val input = MemoryStream[(Timestamp, String)]
     val counts = input.toDF().toDF("ts", "k")
