@@ -73,7 +73,9 @@ object Bench {
       try {
         val full = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
-        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write_consume"}""")
+        // same "method" label as the stdout line — see
+        // tools/BENCH_METHOD.md for the label/method history
+        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write"}""")
       } finally w.close()
     } catch { case _: Throwable => () }
     // Stop BEFORE printing: shutdown warnings must not land after the JSON
