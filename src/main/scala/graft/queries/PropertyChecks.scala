@@ -116,6 +116,53 @@ object PropertyChecks {
           (col("n_hit") * 10 >= col("n_exact_pairs") * 9).as("recall_ge_90"))
     },
 
+    // Companion for the blocked CLUSTERING composition (cosinePairs
+    // blocked=true → dupClusters — the production SemDeDup plan): since
+    // blocked pairs ⊆ exact pairs (e1x), blocked components must REFINE
+    // the exact components — no blocked cluster may span two exact
+    // clusters. DuckDB computes the exact component count as real
+    // ground truth; the refinement violation count pins at zero. This
+    // grades the pair-generation → label-propagation composition on the
+    // plan production runs, not just its pair inputs.
+    QueryDef.views("ec1x_blocked_refines_exact",
+      """WITH RECURSIVE
+        |  e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings),
+        |  en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |  p AS (SELECT a.vec_id AS da, b.vec_id AS db
+        |        FROM en a JOIN en b ON a.vec_id < b.vec_id
+        |          AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+        |  edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e2.a, w2.lbl FROM edges e2 JOIN walk w2 ON e2.b = w2.node)
+        |SELECT (SELECT count(DISTINCT cluster_id) FROM
+        |          (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node))
+        |         AS n_exact_clusters,
+        |       CAST(0 AS BIGINT) AS n_refinement_violations""".stripMargin) { spark =>
+      val emb = spark.table("embeddings")
+      val exact = Dedup.dupClusters(Similarity.cosinePairs(emb,
+          "vec_id", "embedding", minCos = 0.4, blocked = false),
+          "vec_id_a", "vec_id_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("ecl"))
+        .localCheckpoint()
+      val blocked = Dedup.dupClusters(Similarity.cosinePairs(emb,
+          "vec_id", "embedding", minCos = 0.4, blocked = true,
+          planeBits = 3, tables = 12),
+          "vec_id_a", "vec_id_b")
+        .select(col("doc_id").as("vec_id"), col("cluster_id").as("bcl"))
+      // every blocked node IS an exact node (its pairs are a subset), so
+      // the inner join loses nothing; a blocked cluster touching >1
+      // exact cluster is a refinement violation
+      val viol = blocked.join(exact, Seq("vec_id"))
+        .groupBy("bcl").agg(countDistinct("ecl").as("ne"))
+        .agg(coalesce(sum(col("ne") - 1), lit(0L)).cast("bigint")
+          .as("n_refinement_violations"))
+      exact.agg(countDistinct("ecl").cast("bigint").as("n_exact_clusters"))
+        .crossJoin(viol)
+    },
+
     dedupCheck("d2x_minhash_exactdup", md5(col("text")), "md5(text)", spark =>
       Dedup.minhashKept(spark.table("documents"), "doc_id", "text")),
 
