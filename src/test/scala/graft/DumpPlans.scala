@@ -17,7 +17,8 @@ object DumpPlans {
     "lm1_bigram_lm", "fz1_fuzzy_neighbors", "cs1_zipf", "ds1_dsir_select",
     "lm2_bigram_lm_capped", "ti1_tfidf_topk", "ws1_weighted_sample",
     "cp1_curation_pipeline", "rc1_recursive_closure", "t8_window_sliding",
-    "q18_large_orders")
+    "q18_large_orders", "lm3_bigram_lm_trimmed", "ds2_dsir_capped",
+    "m1_multimodal_meta", "f4_json_funcs")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
