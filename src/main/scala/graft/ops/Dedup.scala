@@ -307,4 +307,82 @@ object Dedup {
         lit(0L).as("inter"), lit(0L).as("uni"))
     pairs.unionByName(emptyPairs)
   }
+
+  /** Cross-corpus dedup — the incremental-crawl shape: flag each
+    * `incoming` doc that already exists in `reference`, EXACTLY
+    * (identical text — content-digest semi-join, no text comparison) or
+    * NEARLY (token-set Jaccard ≥ threshold/10 against any same-stratum,
+    * same-size-bucket reference doc — the continual-pretraining "have we
+    * already trained on this" gate). Emits one row per incoming doc:
+    * (doc_id, exact_dup, n_near, near_dup).
+    *
+    * Near-tier semantics mirror [[jaccardPairs]] (blocking by (strata,
+    * token-count bucket) is part of the contract; an oracle replicates
+    * it): candidates come from the same PREFIX-FILTERING construction,
+    * but the inverted-index join is STRICTLY incoming × reference — the
+    * reference side is never self-joined, so a small crawl against a
+    * 100 TB reference costs candidates proportional to the CRAWL.
+    * Token df for the shared prefix order is computed over the union of
+    * both corpora (any common total order preserves the no-miss
+    * guarantee; rarity-ordering is the fan-out optimization). Zero-token
+    * incoming docs near-match zero-token same-stratum reference docs
+    * (inter = uni = 0), as in [[jaccardPairs]].
+    *
+    * Scale shape: digests and 64-bit token hashes on every exchange —
+    * never text; payload fetch by id via shuffle-hash joins; per-doc
+    * near counts by hash aggregation. */
+  def crossDedup(incoming: DataFrame, reference: DataFrame, idCol: String,
+      strataCol: String, textCol: String, threshold: Int = 9): DataFrame = {
+    require(threshold >= 1 && threshold <= 10,
+      s"crossDedup: threshold in tenths must be in [1, 10], got $threshold")
+    def prep(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+        col(strataCol).as("lang"), md5(col(textCol)).as("digest"),
+        expr(s"array_sort(array_distinct(transform(filter(split($textCol, ' '), " +
+          "x -> length(x) > 0), x -> xxhash64(x))))").as("w"))
+      .withColumn("nw", size(col("w")).cast("bigint"))
+      .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
+    val inc = prep(incoming)
+    val ref = prep(reference)
+    val exact = inc.select("doc_id", "digest")
+      .join(ref.select("digest").distinct(), Seq("digest"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+    def tokens(t: DataFrame) = t.select(col("doc_id"), col("lang"),
+      col("bucket"), col("nw"), explode(col("w")).as("word"))
+    val freq = tokens(inc).select("word").unionAll(tokens(ref).select("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("word"))
+    def prefixes(t: DataFrame) = tokens(t).join(freq, "word")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("nw") - ceil(col("nw") * threshold / lit(10.0)) + 1)
+      .select("doc_id", "lang", "bucket", "word")
+    val cand = prefixes(inc).as("a").join(prefixes(ref).as("b"),
+        col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+          col("a.word") === col("b.word"))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("ref_id"))
+      .distinct()
+    val near = cand
+      .join(inc.select(col("doc_id").as("inc_id"), col("w").as("wa"),
+        col("nw").as("na")).hint("shuffle_hash"), Seq("inc_id"))
+      .join(ref.select(col("doc_id").as("ref_id"), col("w").as("wb"),
+        col("nw").as("nb")).hint("shuffle_hash"), Seq("ref_id"))
+      .withColumn("inter", expr("sorted_intersect_count(wa, wb)"))
+      .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter"))
+        * threshold)
+      .groupBy("inc_id").agg(count(lit(1)).as("n_near"))
+    val emptyNear = inc.filter(col("nw") === 0).select("doc_id", "lang")
+      .join(ref.filter(col("nw") === 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_near")), Seq("lang"))
+      .select(col("doc_id").as("inc_id"), col("n_near"))
+    val nearAll = near.unionByName(emptyNear)
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(nearAll.select(col("inc_id").as("doc_id"), col("n_near")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        (coalesce(col("n_near"), lit(0L)) > 0).as("near_dup"))
+  }
 }

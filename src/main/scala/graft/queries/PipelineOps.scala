@@ -96,6 +96,50 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Cross-corpus dedup ([[graft.ops.Dedup.crossDedup]]) — the
+    // incremental-crawl gate: odd-id docs (the "new crawl") flagged
+    // against even-id docs (the "already-trained reference"), exact by
+    // content digest and near by same-(lang, size-bucket) token-set
+    // Jaccard >= 0.9. The oracle replicates the blocking contract and
+    // the empty-doc rule on raw tokens (the Spark side intersects
+    // xxhash64 token sets — injective on any realistic vocabulary, same
+    // argument d4 grades under).
+    QueryDef.views("xd1_cross_dedup",
+      """WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |     ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |     it AS (SELECT doc_id, lang,
+        |              list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                x -> len(x) > 0))) AS w
+        |            FROM inc),
+        |     rt AS (SELECT doc_id, lang,
+        |              list_sort(list_distinct(list_filter(string_split(text, ' '),
+        |                x -> len(x) > 0))) AS w
+        |            FROM ref),
+        |     itb AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS nw,
+        |               CAST(len(w) // 8 AS BIGINT) AS bucket FROM it),
+        |     rtb AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS nw,
+        |               CAST(len(w) // 8 AS BIGINT) AS bucket FROM rt),
+        |     nearm AS (SELECT i.doc_id, count(*) AS n_near
+        |               FROM itb i JOIN rtb r
+        |                 ON i.lang = r.lang AND i.bucket = r.bucket
+        |                 AND CAST(len(list_intersect(i.w, r.w)) AS BIGINT) * 10
+        |                     >= (i.nw + r.nw
+        |                         - CAST(len(list_intersect(i.w, r.w)) AS BIGINT)) * 9
+        |               GROUP BY 1)
+        |SELECT inc.doc_id,
+        |  inc.doc_id IN (SELECT i2.doc_id FROM inc i2
+        |                 WHERE md5(i2.text) IN (SELECT md5(text) FROM ref))
+        |    AS exact_dup,
+        |  COALESCE(nearm.n_near, 0) AS n_near,
+        |  COALESCE(nearm.n_near, 0) > 0 AS near_dup
+        |FROM inc LEFT JOIN nearm ON inc.doc_id = nearm.doc_id
+        |ORDER BY inc.doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      Dedup.crossDedup(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "lang", "text")
+        .orderBy("doc_id")
+    },
+
     // Word-set dedup groups (Jaccard = 1.0 tier).
     QueryDef.views("d5_wordset_dedup",
       """SELECT md5(array_to_string(list_sort(list_distinct(

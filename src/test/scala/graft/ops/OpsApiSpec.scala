@@ -26,6 +26,37 @@ class OpsApiSpec extends SparkSpec {
     assert(lax <= bigram)
   }
 
+  test("crossDedup: exact, near, empty, and novel incoming docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // reference corpus: one 10-token doc, its identical twin domain,
+    // an empty doc, and an unrelated doc in another lang
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ") + " z1"
+    val ref = Seq(
+      (0L, "en", ten), (2L, "en", "only ref words here"),
+      (4L, "en", ""), (6L, "fr", ten)
+    ).toDF("doc_id", "lang", "text")
+    val inc = Seq(
+      (1L, "en", ten),   // exact dup of 0 (and near dup)
+      (3L, "en", nine),  // 9/11 shared -> J = 9/11 < 0.9: NOT near
+      (5L, "en", ""),    // empty: matches ref empty 4
+      (7L, "de", ten),   // same text, different lang -> exact only
+      (9L, "en", "completely novel text payload")
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.crossDedup(inc, ref, "doc_id", "lang", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, true, 1L, true),  // exact + near vs ref 0 (not fr 6: lang)
+      (3L, false, 0L, false), // J = 9/11 < 0.9
+      (5L, true, 1L, true),  // empty == empty: exact AND near (ref 4)
+      (7L, true, 0L, false), // digest ignores lang; blocking does not
+      (9L, false, 0L, false) // novel
+    ))
+  }
+
   test("jaccardPairs: lower threshold yields a superset of pairs") {
     val strict = Dedup.jaccardPairs(docs, "doc_id", "lang", "text",
       threshold = 9)
