@@ -4,15 +4,17 @@ package graft.sources
   * seam between "how frames arrive" and "what they mean" (decoding stays
   * in [[PgOutputSession]] / the jsonl parser regardless of transport).
   *
-  * The production implementation speaks the walsender protocol over a
-  * socket (`START_REPLICATION SLOT ... LOGICAL`, XLogData frames in,
-  * standby-status-update acks out — reference source S1's connector does
-  * exactly this under Debezium, StreamingJob.java:44-62). The container
-  * has no Postgres, so [[FileWalTransport]] replays a captured log with
-  * identical semantics: LSN-ordered frames, a head-LSN probe for offset
-  * planning, and an ack that stands in for confirmed_flush_lsn. Everything
-  * above this trait (offset math, range partitioning, admission control,
-  * decoders) is transport-agnostic.
+  * The production implementation is [[PgWalTransport]]: the real
+  * walsender conversation against a live PostgreSQL server
+  * (`START_REPLICATION SLOT ... LOGICAL`, XLogData frames in,
+  * standby-status acks out — reference source S1's connector does
+  * exactly this under Debezium, StreamingJob.java:44-62), exercised
+  * end-to-end by PgLiveReplicationSpec against a cluster it provisions.
+  * [[FileWalTransport]] replays a captured log with identical semantics
+  * for deterministic fixtures: LSN-ordered frames, a head-LSN probe for
+  * offset planning, and an ack that stands in for confirmed_flush_lsn.
+  * Everything above this trait (offset math, range partitioning,
+  * admission control, decoders) is transport-agnostic.
   */
 trait WalTransport extends java.io.Closeable {
   /** Frames with lsn in `(afterLsn, endInclusive]`, in LSN order. Both
@@ -43,14 +45,33 @@ object WalTransport {
   /** URL scheme selecting the socket transport: `graft-wal://host:port`. */
   val SocketScheme = "graft-wal://"
 
+  /** URL scheme selecting the LIVE PostgreSQL replication transport:
+    * `pgwal://host:port/db?slot=<slot>&publication=<pub>[&user=<u>]`. */
+  val PgScheme = "pgwal://"
+
   /** Transport for a `path` option value: `graft-wal://host:port` opens a
     * live socket connection (one per call — the stream's driver-side probe
     * and every partition reader hold their own connection, exactly like
-    * replication clients hold their own walsender sessions); anything else
-    * is a captured-log file. `walFormat` ("jsonl" | "pgoutput") is a
-    * decoder concern — the socket carries opaque frames either way. */
+    * replication clients hold their own walsender sessions);
+    * `pgwal://host:port/db?slot=…&publication=…` tails a REAL PostgreSQL
+    * replication slot over the v3 wire protocol ([[PgWalTransport]]);
+    * anything else is a captured-log file. `walFormat` ("jsonl" |
+    * "pgoutput") is a decoder concern — the socket carries opaque frames
+    * either way (a pgwal transport always carries pgoutput). */
   def open(path: String, walFormat: String): WalTransport =
-    if (path.startsWith(SocketScheme)) {
+    if (path.startsWith(PgScheme)) {
+      val uri = java.net.URI.create(path)
+      val q = Option(uri.getQuery).getOrElse("").split('&')
+        .filter(_.contains('=')).map { kv =>
+          val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1)
+        }.toMap
+      new PgWalTransport(uri.getHost, uri.getPort,
+        Option(uri.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+          .getOrElse("postgres"),
+        q.getOrElse("user", "postgres"),
+        q.getOrElse("slot", sys.error(s"pgwal url needs slot=: $path")),
+        q.getOrElse("publication", sys.error(s"pgwal url needs publication=: $path")))
+    } else if (path.startsWith(SocketScheme)) {
       val hp = path.stripPrefix(SocketScheme)
       val i = hp.lastIndexOf(':')
       require(i > 0, s"expected ${SocketScheme}host:port, got $path")

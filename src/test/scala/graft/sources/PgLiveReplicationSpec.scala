@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.scalatest.BeforeAndAfterAll
+import scala.sys.process._
+
+/** LIVE end-to-end logical replication against a REAL PostgreSQL server:
+  * the spec provisions its own throwaway cluster (initdb with
+  * wal_level=logical, trust auth on loopback), creates a table,
+  * publication and pgoutput replication slot, runs DML, and tails the
+  * slot through [[PgWalTransport]] — the v3 wire protocol
+  * (START_REPLICATION … LOGICAL, XLogData frames, standby status) with
+  * [[PgOutputSession]] decoding the server's actual pgoutput bytes.
+  * This is the reference's S1 capability (StreamingJob.java:44-62,
+  * docker-compose.yaml:4-10) exercised against the genuine article, not
+  * a captured log.
+  *
+  * Skips cleanly (canceled, not failed) when PostgreSQL binaries or the
+  * postgres OS user are unavailable. */
+class PgLiveReplicationSpec extends graft.SparkSpec with BeforeAndAfterAll {
+
+  private val port = 54417
+  private val pgAvailable =
+    new java.io.File("/usr/local/bin/pg_ctl").exists() &&
+      scala.util.Try(Seq("id", "-u", "postgres").!!).isSuccess
+  private var dir: java.io.File = _
+  private var started = false
+
+  private def sh(cmd: String): Int =
+    Seq("bash", "-c", cmd) ! ProcessLogger(_ => (), _ => ())
+
+  private def psql(sql: String): String =
+    Seq("psql", "-h", "127.0.0.1", "-p", port.toString, "-U", "postgres",
+      "-tA", "-c", sql).!!.trim
+
+  override def beforeAll(): Unit = {
+    if (!pgAvailable) return
+    dir = java.nio.file.Files.createTempDirectory("pglive").toFile
+    require(sh(s"chown postgres '$dir'") == 0)
+    require(sh(s"cd /tmp && su postgres -c \"initdb -D '$dir/data' " +
+      "-U postgres --no-sync\"") == 0, "initdb failed")
+    // logical decoding on; loopback only; keep the cluster tiny
+    val conf = new java.io.FileWriter(s"$dir/data/postgresql.conf", true)
+    conf.write("\nwal_level = logical\nmax_wal_senders = 4\n" +
+      "max_replication_slots = 4\nlisten_addresses = '127.0.0.1'\n" +
+      s"port = $port\nunix_socket_directories = '$dir'\n")
+    conf.close()
+    require(sh(s"cd /tmp && su postgres -c \"pg_ctl -D '$dir/data' " +
+      s"-l '$dir/pg.log' -w start\"") == 0, "pg_ctl start failed")
+    started = true
+    psql("CREATE TABLE users (id int PRIMARY KEY, full_name text)")
+    psql("ALTER TABLE users REPLICA IDENTITY FULL")
+    psql("CREATE PUBLICATION livepub FOR ALL TABLES")
+    psql("SELECT pg_create_logical_replication_slot('liveslot', 'pgoutput')")
+  }
+
+  override def afterAll(): Unit = {
+    if (started)
+      sh(s"cd /tmp && su postgres -c \"pg_ctl -D '$dir/data' -m immediate stop\"")
+    if (dir != null) sh(s"rm -rf '$dir'")
+  }
+
+  private def transport() = WalTransport.open(
+    s"pgwal://127.0.0.1:$port/postgres?slot=liveslot&publication=livepub",
+    "pgoutput").asInstanceOf[PgWalTransport]
+
+  test("live slot tail: real pgoutput frames decode to change envelopes") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    psql("INSERT INTO users VALUES (1, 'alice'), (2, 'bob')")
+    psql("UPDATE users SET full_name = 'carol' WHERE id = 2")
+    psql("DELETE FROM users WHERE id = 1")
+    val t = transport()
+    try {
+      assert(t.headLsn() > 0L)
+      val frames = t.frames(Long.MinValue).toVector
+      assert(frames.nonEmpty)
+      // LSNs monotone; metadata frames interleave at stream position
+      assert(frames.map(_._1) == frames.map(_._1).sorted)
+      val session = new PgOutputSession(db = "postgres")
+      val envs = frames.flatMap { case (lsn, f) => session.decode(f, lsn) }
+      assert(envs.map(_.op) == Vector("c", "c", "u", "d"))
+      assert(envs.forall(e => e.schema == "public" && e.table == "users"))
+      assert(envs(0).after == Map("id" -> "1", "full_name" -> "alice"))
+      assert(envs(1).after == Map("id" -> "2", "full_name" -> "bob"))
+      // REPLICA IDENTITY FULL: the update carries its full before image
+      assert(envs(2).before == Map("id" -> "2", "full_name" -> "bob"))
+      assert(envs(2).after == Map("id" -> "2", "full_name" -> "carol"))
+      assert(envs(3).before == Map("id" -> "1", "full_name" -> "alice"))
+      assert(envs(3).after.isEmpty)
+      assert(envs.forall(_.tsMs > 0L))
+    } finally t.close()
+  }
+
+  test("incremental read from a prior LSN yields only newer changes") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    val t = transport()
+    try {
+      val first = t.frames(Long.MinValue).toVector
+      val mark = first.map(_._1).max
+      psql("INSERT INTO users VALUES (3, 'dora')")
+      val inc = t.frames(mark).toVector
+      val session = new PgOutputSession(db = "postgres")
+      val envs = inc.flatMap { case (lsn, f) => session.decode(f, lsn) }
+        .filter(_.lsn > mark)
+      assert(envs.map(_.op) == Vector("c"))
+      assert(envs.head.after == Map("id" -> "3", "full_name" -> "dora"))
+    } finally t.close()
+  }
+
+  test("DSv2 batch read: format(\"graft-cdc\") over the live slot") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    psql("INSERT INTO users VALUES (5, 'erin')")
+    val url = s"pgwal://127.0.0.1:$port/postgres?slot=liveslot&publication=livepub"
+    val df = spark.read.format("graft-cdc")
+      .option("path", url).option("walFormat", "pgoutput").load()
+    val rows = df.selectExpr("op", "table", "after['id']", "after['full_name']")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    // everything not yet acked replays, erin last
+    assert(rows.nonEmpty && rows.last == ("c", "users", "5", "erin"))
+    assert(rows.forall(_._2 == "users"))
+  }
+
+  test("DSv2 streaming: micro-batches tail the live slot and commit acks") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    val url = s"pgwal://127.0.0.1:$port/postgres?slot=liveslot&publication=livepub"
+    // drain + ack everything so the stream starts from a clean slot
+    val t0 = transport()
+    try t0.ack(t0.headLsn()) finally t0.close()
+    psql("INSERT INTO users VALUES (6, 'finn')")
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", url).option("walFormat", "pgoutput").load()
+      .selectExpr("op", "after['id'] AS id", "after['full_name'] AS name")
+      .writeStream.format("memory").queryName("livecdc")
+      .option("checkpointLocation", tmpDir("livecdc-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      psql("INSERT INTO users VALUES (7, 'gene')")
+      q.processAllAvailable()
+      val got = spark.table("livecdc").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(got.contains(("c", "6", "finn")) && got.contains(("c", "7", "gene")),
+        s"missing live rows in $got")
+    } finally q.stop()
+    // the stream's commit() acked through the processed offsets. Spark
+    // commits batch N's offset at trigger N+1, so the FINAL batch may
+    // legitimately replay (at-least-once) — but nothing older may.
+    val t = transport()
+    try {
+      val session = new PgOutputSession(db = "postgres")
+      val envs = t.frames(Long.MinValue).toVector
+        .flatMap { case (lsn, f) => session.decode(f, lsn) }
+      assert(envs.forall(_.after.get("id").contains("7")),
+        s"acks lag more than the final batch: $envs")
+    } finally t.close()
+  }
+
+  test("ack advances the slot's confirmed_flush_lsn") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    val t = transport()
+    try {
+      def confirmed(): String =
+        psql("SELECT confirmed_flush_lsn FROM pg_replication_slots " +
+          "WHERE slot_name = 'liveslot'")
+      val head = t.headLsn()
+      t.ack(head)
+      val after = confirmed()
+      // parse X/Y the same way the transport does
+      val i = after.indexOf('/')
+      val afterLsn = (java.lang.Long.parseLong(after.substring(0, i), 16) << 32) |
+        java.lang.Long.parseLong(after.substring(i + 1), 16)
+      assert(afterLsn >= head,
+        s"confirmed_flush_lsn $after did not advance to ${head}")
+      // an acked-through slot replays nothing older
+      val replay = t.frames(Long.MinValue).toVector
+      val session = new PgOutputSession(db = "postgres")
+      val envs = replay.flatMap { case (lsn, f) => session.decode(f, lsn) }
+      assert(envs.isEmpty, s"acked slot replayed ${envs.size} changes")
+    } finally t.close()
+  }
+}
