@@ -121,6 +121,27 @@ private[sources] final class PgProto(host: String, port: Int, db: String,
     rows.result()
   }
 
+  /** Simple query → affected-row count from the CommandComplete tag
+    * ("INSERT 0 1" / "UPDATE 2" → trailing integer). */
+  def execUpdate(sql: String): Int = {
+    sendQuery(sql)
+    var affected = 0
+    var err: String = null
+    var done = false
+    while (!done) readMessage() match {
+      case ('C', p) =>
+        // NUL-terminated command tag
+        val tag = new String(p, 0, math.max(0, p.length - 1), UTF_8).trim
+        val last = tag.substring(tag.lastIndexOf(' ') + 1)
+        affected = scala.util.Try(last.toInt).getOrElse(0)
+      case ('Z', _) => done = true
+      case ('E', p) => err = errText(p)
+      case _ => ()
+    }
+    if (err != null) throw new java.io.IOException(s"postgres error: $err")
+    affected
+  }
+
   /** CopyData from the frontend (standby status updates live here). */
   def sendCopyData(payload: Array[Byte]): Unit = {
     out.writeByte('d'); out.writeInt(payload.length + 4)

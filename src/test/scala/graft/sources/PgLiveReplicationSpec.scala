@@ -49,7 +49,12 @@ class PgLiveReplicationSpec extends graft.SparkSpec with BeforeAndAfterAll {
     started = true
     psql("CREATE TABLE users (id int PRIMARY KEY, full_name text)")
     psql("ALTER TABLE users REPLICA IDENTITY FULL")
-    psql("CREATE PUBLICATION livepub FOR ALL TABLES")
+    // Scoped to the source table: the live-pipeline test below writes its
+    // count upserts back into the SAME database, and a FOR ALL TABLES
+    // publication would replicate those sink writes into the CDC stream —
+    // an infinite feedback loop. (The reference avoids this by using two
+    // separate databases, sourcedb/sinkdb in docker-compose.yaml.)
+    psql("CREATE PUBLICATION livepub FOR TABLE users")
     psql("SELECT pg_create_logical_replication_slot('liveslot', 'pgoutput')")
   }
 
@@ -177,5 +182,44 @@ class PgLiveReplicationSpec extends graft.SparkSpec with BeforeAndAfterAll {
       val envs = replay.flatMap { case (lsn, f) => session.decode(f, lsn) }
       assert(envs.isEmpty, s"acked slot replayed ${envs.size} changes")
     } finally t.close()
+  }
+
+  test("REFERENCE PIPELINE LIVE: wal -> compaction -> count upsert -> postgres") {
+    // The reference's whole docker-compose architecture in one test, no
+    // containers and no drivers: a live replication slot feeds the DSv2
+    // source, changelog compaction emits per-key liveness deltas, and
+    // the additive K2 upsert writes the per-schema live count back into
+    // the SAME PostgreSQL over the wire-protocol connection factory —
+    // including the reference's open TODO, deletes decrementing.
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    psql("CREATE TABLE user_count_by_pgschema " +
+      "(pgschema text PRIMARY KEY, user_count bigint)")
+    psql("CREATE TABLE user_count_by_pgschema__batches " +
+      "(batch_key text PRIMARY KEY)")
+    val t0 = transport()
+    try t0.ack(t0.headLsn()) finally t0.close()
+    psql("INSERT INTO users VALUES (20, 'u20'), (21, 'u21')")
+    val url = s"pgwal://127.0.0.1:$port/postgres?slot=liveslot&publication=livepub"
+    import spark.implicits._
+    val events = spark.readStream.format("graft-cdc")
+      .option("path", url).option("walFormat", "pgoutput").load()
+      .as[graft.cdc.CdcEnvelope]
+    val q = graft.cdc.CdcPipeline.liveCountPerSchema(events,
+      PgWireConnectionFactory("127.0.0.1", port, "postgres", "postgres"),
+      tmpDir("live-count-ckpt"))
+    try {
+      def count(): String =
+        psql("SELECT user_count FROM user_count_by_pgschema " +
+          "WHERE pgschema = 'public'")
+      q.processAllAvailable()
+      assert(count() == "2", s"after 2 inserts: '${count()}'")
+      psql("DELETE FROM users WHERE id = 20")
+      q.processAllAvailable()
+      assert(count() == "1", s"after delete: '${count()}'")
+      psql("UPDATE users SET full_name = 'u21b' WHERE id = 21")
+      q.processAllAvailable()
+      // in-place update: delta 0, live count unchanged
+      assert(count() == "1", s"after update: '${count()}'")
+    } finally q.stop()
   }
 }
