@@ -365,8 +365,55 @@ object TextOps {
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       span: Int = 16): DataFrame = {
     require(span >= 1, s"spanDedup: need span >= 1, got $span")
-    val spans = df
-      .withColumn("__w", toks(textCol))
+    val keptPerDoc = spanKeys(df, idCol, textCol, span)
+      .groupBy("h1", "h2")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
+      .groupBy(col("first.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("first.span_idx"))).as("kept_idx"))
+    reassembleKept(df, idCol, textCol, span, keptPerDoc)
+  }
+
+  /** Corpus-frequency boilerplate removal (the CCNet / RefinedWeb rule,
+    * at span granularity): a `span`-token span is boilerplate when the
+    * exact token sequence occurs in at least `minDocs` DISTINCT
+    * documents — navigation chrome, license headers, cookie banners —
+    * and every occurrence is dropped, in every document (unlike
+    * [[spanDedup]], which keeps the first). Emits the same per-doc
+    * (n_spans, n_kept, kept_md5) grading shape as [[spanDedup]].
+    *
+    * Scale shape: shares [[spanKeys]]'s guarantee that span text never
+    * crosses an exchange. The document frequency is a two-level hash
+    * aggregation on the 16-byte span key (partial distinct on (key,
+    * doc) absorbs within-doc repeats map-side); the hot set — only
+    * spans clearing `minDocs` — is usually tiny, so the `left_anti`
+    * removal join on the same key co-partitions with the aggregation
+    * (shuffle-hash; AQE converts it to broadcast when the hot set is
+    * small enough, the common case at real boilerplate thresholds). */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 16, minDocs: Int = 3): DataFrame = {
+    require(span >= 1, s"boilerplateStrip: need span >= 1, got $span")
+    require(minDocs >= 2,
+      s"boilerplateStrip: need minDocs >= 2, got $minDocs")
+    val spans = spanKeys(df, idCol, textCol, span)
+    val hot = spans
+      .groupBy("h1", "h2")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h1", "h2")
+    val keptPerDoc = spans
+      .join(hot.hint("shuffle_hash"), Seq("h1", "h2"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("span_idx"))).as("kept_idx"))
+    reassembleKept(df, idCol, textCol, span, keptPerDoc)
+  }
+
+  /** Span fingerprint stream shared by the span-granularity ops: one
+    * row per (doc, span) carrying a 128-bit span key — two independent
+    * xxhash64s, collision odds ~2⁻¹²⁸ per pair — so span TEXT never
+    * leaves the scan. */
+  private def spanKeys(df: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame =
+    df.withColumn("__w", toks(textCol))
       .withColumn("__ns", expr(
         s"CAST(ceil(size(__w) / CAST($span AS DOUBLE)) AS INT)"))
       .select(col(idCol).as("doc_id"), explode_outer(expr(
@@ -382,11 +429,14 @@ object TextOps {
       .filter(col("sp").isNotNull)
       .select(col("doc_id"), col("sp.span_idx").as("span_idx"),
         col("sp.h1").as("h1"), col("sp.h2").as("h2"))
-    val keptPerDoc = spans
-      .groupBy("h1", "h2")
-      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"))
-      .groupBy(col("first.doc_id").as("doc_id"))
-      .agg(sort_array(collect_list(col("first.span_idx"))).as("kept_idx"))
+
+  /** Rejoin kept span INDEXES (8 bytes each) to the corpus once on
+    * doc id (shuffle-hash; bucketing the corpus by doc id makes even
+    * that exchange-free) and re-tokenize locally inside the projection
+    * to rebuild kept content — one extra scan-local tokenize instead of
+    * ever shipping text. */
+  private def reassembleKept(df: DataFrame, idCol: String, textCol: String,
+      span: Int, keptPerDoc: DataFrame): DataFrame =
     df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
       .join(keptPerDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -398,7 +448,6 @@ object TextOps {
             s"""transform(kept_idx, s -> concat_ws(' ',
                |  slice(__w, CAST(s * $span + 1 AS INT), $span)))"""
               .stripMargin)))).as("kept_md5"))
-  }
 
   /** Concat-and-chunk sequence packing — the standard LLM pretraining
     * layout: documents are laid end to end in deterministic (shard,

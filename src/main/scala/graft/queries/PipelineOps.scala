@@ -494,6 +494,44 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Corpus-frequency boilerplate removal (CCNet/RefinedWeb rule):
+    // 16-token spans occurring in >= 3 distinct docs are dropped from
+    // EVERY doc (vs sd1's keep-first). Same exact grading shape as sd1:
+    // per-doc span counts + kept-content digest.
+    QueryDef.views("bp1_boilerplate_strip",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  s AS (SELECT doc_id, w,
+        |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS span_idx
+        |        FROM t),
+        |  sp AS (SELECT doc_id, span_idx,
+        |           array_to_string(w[span_idx * 16 + 1 : span_idx * 16 + 16], ' ')
+        |             AS span_text
+        |         FROM s),
+        |  hot AS (SELECT span_text FROM sp
+        |          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+        |  k AS (SELECT sp.doc_id, sp.span_idx, sp.span_text
+        |        FROM sp ANTI JOIN hot USING (span_text)),
+        |  agg AS (SELECT doc_id,
+        |            CAST(count(*) AS BIGINT) AS n_kept,
+        |            md5(string_agg(span_text, ' ' ORDER BY span_idx))
+        |              AS kept_md5
+        |          FROM k GROUP BY doc_id),
+        |  ns AS (SELECT doc_id,
+        |           CAST(ceil(len(w) / 16.0) AS BIGINT) AS n_spans
+        |         FROM t)
+        |SELECT d.doc_id, ns.n_spans,
+        |       COALESCE(agg.n_kept, 0) AS n_kept,
+        |       COALESCE(agg.kept_md5, md5('')) AS kept_md5
+        |FROM documents d
+        |JOIN ns ON d.doc_id = ns.doc_id
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.boilerplateStrip(spark.table("documents"), "doc_id", "text",
+        span = 16, minDocs = 3).orderBy("doc_id")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results

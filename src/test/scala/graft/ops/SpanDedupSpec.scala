@@ -63,4 +63,35 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(1).getLong(1) == 0L && got(1).getString(3) == md5empty)
     assert(got(2).getLong(1) == 1L && got(2).getLong(2) == 1L)
   }
+
+  test("boilerplateStrip drops EVERY occurrence at the minDocs boundary") {
+    // span=2, minDocs=3: [a b] occurs in docs 0,1,2 (hot — stripped
+    // everywhere, including the first occurrence spanDedup would keep);
+    // [c d] occurs in docs 0,1 only (document frequency 2 < 3 — kept in
+    // both, unlike spanDedup which would drop doc1's copy). Within-doc
+    // repeats must not inflate document frequency: doc 3 repeats [x y]
+    // twice but it still counts once toward minDocs.
+    val df = Seq(
+      (0L, "a b c d"), (1L, "a b c d"), (2L, "a b"), (3L, "x y x y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateStrip(df, "doc_id", "text",
+      span = 2, minDocs = 3).orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 0L), (3L, 2L, 2L)))
+    val cd = df.sparkSession.range(1)
+      .select(md5(lit("c d"))).head().getString(0)
+    assert(got(0).getString(3) == cd && got(1).getString(3) == cd)
+    assert(got(2).getString(3) == md5empty)
+  }
+
+  test("boilerplateStrip plan: hash-agg frequency, anti join, no text exchange") {
+    val df = Seq((0L, "a b c d"), (1L, "a b x y")).toDF("doc_id", "text")
+    val plan = TextOps.boilerplateStrip(df, "doc_id", "text", span = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"boilerplateStrip plan has a window:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"hot-span removal is not an anti join:\n$plan")
+    assert(!plan.contains("span_text"),
+      s"span text appears in the physical plan:\n$plan")
+  }
 }
