@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Layout, Similarity, TextOps}
+import graft.ops.{Dedup, Layout, Similarity, TextOps, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -530,6 +530,72 @@ object PipelineOps {
         |ORDER BY d.doc_id""".stripMargin) { spark =>
       TextOps.boilerplateStrip(spark.table("documents"), "doc_id", "text",
         span = 16, minDocs = 3).orderBy("doc_id")
+    },
+
+    // URL canonicalization + registrable-domain extraction (WebOps):
+    // a deterministic URL is derived per doc (mixed-case scheme/host,
+    // trailing slashes, utm_*/ref tracking params, fragments — the
+    // derivation is mirrored verbatim in the oracle, the cdc1 pattern),
+    // then canonicalized; every doc's canonical form, host, and domain
+    // are graded exactly, row by row.
+    QueryDef.views("u1_url_canon",
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+        |    || source || '.Example.com/' || lang || '/article-'
+        |    || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |             THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |                  || '&sec=' || CAST(doc_id % 7 AS VARCHAR)
+        |             WHEN doc_id % 3 = 0
+        |             THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&ref=rss'
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |  c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([^:]+://[^/?#]+)', 1)) AS scheme_host,
+        |    regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS raw_path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+        |      p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
+        |        AND NOT list_contains(['ref','fbclid','gclid','msclkid'],
+        |                              string_split(p, '=')[1]))) AS params,
+        |    lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host
+        |  FROM u),
+        |  f AS (SELECT doc_id,
+        |    scheme_host
+        |    || (CASE WHEN len(raw_path) > 1 AND ends_with(raw_path, '/')
+        |             THEN substring(raw_path, 1, len(raw_path) - 1)
+        |             ELSE raw_path END)
+        |    || (CASE WHEN len(params) > 0
+        |             THEN '?' || array_to_string(params, '&')
+        |             ELSE '' END) AS canon_url,
+        |    host,
+        |    array_to_string(
+        |      string_split(host, '.')[greatest(len(string_split(host, '.')) - 1, 1)
+        |                              : len(string_split(host, '.'))],
+        |      '.') AS domain
+        |  FROM c)
+        |SELECT doc_id, canon_url, host, domain FROM f
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val urls = spark.table("documents").select(col("doc_id"), expr(
+        """concat(
+          |  CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+          |  source, '.Example.com/', lang, '/article-',
+          |  CAST(doc_id AS STRING),
+          |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN concat('?utm_source=feed&id=',
+          |                   CAST(doc_id % 50 AS STRING),
+          |                   '&sec=', CAST(doc_id % 7 AS STRING))
+          |       WHEN doc_id % 3 = 0
+          |       THEN concat('?id=', CAST(doc_id % 50 AS STRING), '&ref=rss')
+          |       ELSE '' END,
+          |  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)"""
+          .stripMargin).as("url"))
+      WebOps.canonicalize(urls, "url")
+        .select("doc_id", "canon_url", "host", "domain")
+        .orderBy("doc_id")
     },
 
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
