@@ -546,6 +546,53 @@ object TextOps {
     df.filter(expr(pmBucketSql(s"md5($textCol)")) < threshold)
   }
 
+  /** Epoch planner — the mixture UP-sampling step of pretraining-data
+    * assembly (the Llama/Dolma recipe): given per-stratum mixture
+    * weights (per-mille) and a total token budget, emit how many times
+    * each document is repeated in the assembled corpus. A stratum with
+    * target tokens `target = budget * w / 1000` and actual tokens `T`
+    * replays every doc `target div T` times (whole epochs), and a
+    * deterministic `((target mod T) * 1000) div T` per-mille slice of
+    * its docs — selected by content-free doc-id hash, so the slice is
+    * reproducible across runs, engines, and physical layouts — gets one
+    * extra repeat to cover the fractional epoch (token-approximate, the
+    * standard trade against a per-stratum prefix-sum pass). All integer
+    * arithmetic end to end.
+    *
+    * Scale shape: per-stratum token totals are one hash aggregation
+    * whose result is |strata| rows; the plan joins back by BROADCAST,
+    * so the corpus itself is touched by exactly one scan-local
+    * projection — no shuffle of document rows at any point. */
+  def epochPlan(df: DataFrame, idCol: String, textCol: String,
+      strataCol: String, weightsPm: Map[String, Int],
+      budget: Long): DataFrame = {
+    require(budget > 0, s"epochPlan: need budget > 0, got $budget")
+    require(weightsPm.values.forall(w => w >= 0 && w <= 1000),
+      s"epochPlan: per-mille weights must be in [0, 1000]")
+    val base = df.select(col(idCol).as("doc_id"),
+      col(strataCol).as("stratum"),
+      size(toks(textCol)).cast("bigint").as("n_tokens"))
+    val wexpr = weightsPm.foldLeft(lit(0L)) {
+      case (acc, (s, w)) => when(col("stratum") === s, lit(w.toLong)).otherwise(acc)
+    }
+    val plan = base.groupBy("stratum")
+      .agg(sum("n_tokens").as("t_total"))
+      .filter(col("t_total") > 0)
+      // integer arithmetic throughout: `div` truncates, and every
+      // operand here is non-negative, where truncation == floor ==
+      // DuckDB's `//` (the dialect-parity rule from QueryDef)
+      .withColumn("w_pm", wexpr)
+      .withColumn("target", expr(s"(w_pm * CAST($budget AS BIGINT)) div 1000"))
+      .select(col("stratum"),
+        expr("target div t_total").as("full_epochs"),
+        expr("((target % t_total) * 1000) div t_total").as("frac_pm"))
+    base.join(broadcast(plan), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        (col("full_epochs") +
+          when(expr(pmBucketSql("md5(CAST(doc_id AS STRING))")) < col("frac_pm"),
+            1L).otherwise(0L)).as("repeats"))
+  }
+
   /** Stratified quota: top `n` rows per stratum by `orderCol` desc with a
     * deterministic id tiebreak. */
   def quotaPerStratum(df: DataFrame, strataCol: String, orderCol: String,

@@ -598,6 +598,39 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Epoch planner (mixture up-sampling): per-doc repeat counts that
+    // hit per-language token targets (weights en=500/zh=200/de=150/
+    // fr=100/es=50 per-mille of a 60k-token budget) — whole epochs by
+    // integer division, the fractional epoch as a deterministic
+    // doc-id-hash per-mille slice. Down-sampling (full_epochs = 0) and
+    // multi-epoch up-sampling both occur at this weight/budget choice.
+    QueryDef.views("ep1_epoch_plan",
+      s"""WITH base AS (SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |  tot AS (SELECT stratum, sum(n_tokens) AS t_total
+         |          FROM base GROUP BY 1 HAVING sum(n_tokens) > 0),
+         |  plan AS (SELECT stratum, t_total,
+         |    (CAST(CASE stratum WHEN 'en' THEN 500 WHEN 'zh' THEN 200
+         |                       WHEN 'de' THEN 150 WHEN 'fr' THEN 100
+         |                       WHEN 'es' THEN 50 ELSE 0 END AS BIGINT)
+         |     * 60000) // 1000 AS target
+         |    FROM tot),
+         |  p2 AS (SELECT stratum, target // t_total AS full_epochs,
+         |           ((target % t_total) * 1000) // t_total AS frac_pm
+         |         FROM plan)
+         |SELECT b.doc_id, b.stratum, b.n_tokens,
+         |  CAST(full_epochs + (CASE WHEN
+         |    ${TextOps.pmBucketSql("md5(CAST(b.doc_id AS VARCHAR))")} < frac_pm
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS repeats
+         |FROM base b JOIN p2 USING (stratum)
+         |ORDER BY b.doc_id""".stripMargin) { spark =>
+      TextOps.epochPlan(spark.table("documents"), "doc_id", "text", "lang",
+        Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 100, "es" -> 50),
+        budget = 60000L).orderBy("doc_id")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results

@@ -316,6 +316,35 @@ class OpsApiSpec extends SparkSpec {
     assert(out.exceptAll(again).count() == 0)
   }
 
+  test("epochPlan: whole epochs exact, fractional slice bounded, zero-weight drops") {
+    import spark.implicits._
+    // two strata: "a" has 40 tokens, "b" has 20; budget 100 at a=750/b=0
+    // -> a: target 75 = 1 full epoch + frac_pm ((75%40)*1000)//40 = 875;
+    //    b: target 0 -> every repeat 0
+    val df = Seq(
+      (1L, "a", "w x y z"), (2L, "a", Seq.fill(36)("t").mkString(" ")),
+      (3L, "b", Seq.fill(20)("u").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.epochPlan(df, "doc_id", "text", "lang",
+      Map("a" -> 750, "b" -> 0), budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(3L) == 0L, "zero-weight stratum must not replay")
+    assert(Seq(out(1L), out(2L)).forall(r => r == 1L || r == 2L),
+      "stratum a: one full epoch plus at most one fractional repeat")
+    // deterministic: same inputs, same plan
+    val again = TextOps.epochPlan(df, "doc_id", "text", "lang",
+      Map("a" -> 750, "b" -> 0), budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == again)
+    // scale contract: the per-stratum plan reaches the corpus by
+    // broadcast — document rows never shuffle
+    val plan = TextOps.epochPlan(df, "doc_id", "text", "lang",
+      Map("a" -> 750), budget = 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"epochPlan corpus join is not broadcast:\n$plan")
+  }
+
   test("sampleDeterministic residue classes partition the corpus") {
     val parts = (0 until 4)
       .map(r => TextOps.sampleDeterministic(docs, "text", 4, r).count())
