@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Layout, Similarity, TextOps, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, Similarity, TextOps, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -629,6 +629,49 @@ object PipelineOps {
       TextOps.epochPlan(spark.table("documents"), "doc_id", "text", "lang",
         Map("en" -> 500, "zh" -> 200, "de" -> 150, "fr" -> 100, "es" -> 50),
         budget = 60000L).orderBy("doc_id")
+    },
+
+    // PageRank authority prior over a deterministic link graph (doc i
+    // links to (i*7 + k²) mod N for k = 1..1+i%3): all-integer mass
+    // arithmetic makes 3 supersteps bit-identical across engines — the
+    // oracle unrolls the same three iterations as CTEs. Bench-relevant:
+    // iterative edge-join + contribution hash-agg is a plan family
+    // (Pregel-as-DataFrames) nothing else in the suite exercises.
+    QueryDef.views("pr1_pagerank", {
+      val S = "1000000000000"
+      val iterCtes = (1 to 3).map { i =>
+        s"""  c$i AS (SELECT e.dst AS v,
+           |    CAST(sum((p.pr * 850 // 1000) // d.outdeg) AS BIGINT) AS m
+           |    FROM e JOIN p${i - 1} p ON e.src = p.v
+           |    JOIN deg d ON d.src = e.src GROUP BY 1),
+           |  p$i AS (SELECT nodes.v,
+           |    CAST(($S * 150 // 1000) // n.n + COALESCE(c$i.m, 0) AS BIGINT)
+           |      AS pr
+           |    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  nodes AS (SELECT DISTINCT v FROM
+         |    (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)),
+         |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |          FROM e GROUP BY 1),
+         |  p0 AS (SELECT v, CAST($S // n.n AS BIGINT) AS pr FROM nodes, n),
+         |$iterCtes
+         |SELECT v, pr FROM p3 ORDER BY v""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      GraphOps.pageRank(edges, "src", "dst", iterations = 3).orderBy("v")
     },
 
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom

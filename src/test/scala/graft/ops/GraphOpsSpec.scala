@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Integer-PageRank semantics: hand-computed ranks on tiny graphs, the
+  * cycle fixed point, dangling-mass drop, and the self-loop/dup edge
+  * normalization. Mass scale S = 10¹², damping 850‰. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a cycle is the fixed point: every iteration keeps S/n per node") {
+    // 0→1→2→0: contrib = (pr·850/1000)/1, restart = (S·150/1000)/3;
+    // 333333333333·850 div 1000 = 283333333333, + 50000000000 = init.
+    val r1 = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 1)
+    val r5 = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 5)
+    assert(r1.values.toSet == Set(333333333333L))
+    assert(r5 == r1)
+  }
+
+  test("star graph concentrates mass; dangling sink's mass is dropped") {
+    // 1→0, 2→0. iter1: pr(0) = 50e9 + 2·283333333333 = 616666666666,
+    // leaves fall to the restart floor. iter2: contrib from leaves is
+    // (50000000000·850 div 1000) = 42500000000 each; node 0's own mass
+    // (it has no out-edges) vanishes — dangling drop by definition.
+    val r1 = ranks(Seq((1L, 0L), (2L, 0L)), 1)
+    assert(r1 == Map(0L -> 616666666666L, 1L -> 50000000000L, 2L -> 50000000000L))
+    val r2 = ranks(Seq((1L, 0L), (2L, 0L)), 2)
+    assert(r2 == Map(0L -> 135000000000L, 1L -> 50000000000L, 2L -> 50000000000L))
+  }
+
+  test("self-loops and duplicate edges are normalized away") {
+    val clean = ranks(Seq((0L, 1L), (1L, 0L)), 3)
+    val noisy = ranks(Seq((0L, 1L), (0L, 1L), (0L, 0L), (1L, 0L)), 3)
+    assert(noisy == clean)
+  }
+
+  test("supersteps are hash-agg + join pipelines — no cartesian, no window") {
+    val plan = GraphOps.pageRank(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), "src", "dst", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pageRank plan has a cartesian product:\n$plan")
+    assert(!plan.contains("Window"), s"pageRank plan has a window:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"contribution aggregation is not a hash agg:\n$plan")
+  }
+}
