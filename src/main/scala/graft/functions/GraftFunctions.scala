@@ -64,6 +64,9 @@ object GraftFunctions {
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.injectAll(e)
+    // plan rewrites ride the same deploy hook as the function library
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+  }
 }
