@@ -522,6 +522,75 @@ object TextOps {
       Seq(round(score * 1000000).cast("bigint").as("score_ppm")): _*)
   }
 
+  /** Multi-query BM25 retrieval: top-`k` documents per query over an
+    * inverted-index join — search serving, not just scoring. Same
+    * scoring convention as [[bm25]] (ratio idf, no log; per-term double
+    * chain rounded to ppm BIGINT immediately, then exact integer sums —
+    * the cross-engine determinism rule), so a doc's total here equals
+    * its bm1-style score for the same terms: absent terms contribute
+    * exactly 0.
+    *
+    * Scale shape: the corpus is tokenized ONCE and filtered to query
+    * terms against a broadcast term set BEFORE the postings
+    * aggregation, so the posting lists that shuffle are |matched
+    * tokens|, not |corpus tokens|. Query table, per-term document
+    * frequencies, and corpus stats are all broadcast (|queries| and
+    * |terms| are user-config-sized). Head selection is the mergeable
+    * `topk_pairs` heap — O(k) partial states per query cross the
+    * exchange, never the full scored set (the ANN ADC lesson). */
+  def bm25Retrieve(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
+      "bm25Retrieve: query ids must be non-empty and distinct")
+    require(queries.forall { case (_, ts) =>
+      ts.nonEmpty && ts.size == ts.distinct.size },
+      "bm25Retrieve: each query needs non-empty distinct terms")
+    require(k >= 1, s"bm25Retrieve: need k >= 1, got $k")
+    val allTerms = queries.flatMap(_._2).distinct
+    val stats = df.select(size(toks(textCol)).cast("bigint").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val postings = df
+      .select(col(idCol).as("doc_id"), toks(textCol).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("bigint").as("dl"),
+        explode(col("__toks")).as("token"))
+      .filter(col("token").isin(allTerms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+      .toDF("query_id", "token")
+    val scored = postings
+      .join(broadcast(qt), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      // the bm25 sub-expression verbatim (constants combined in the
+      // expression with explicit DOUBLE literals — a bare 0.5 in SQL
+      // text parses as DECIMAL — and identical operation order = bit-
+      // equal doubles), rounded per term so the cross-doc sum is exact
+      // integers
+      .withColumn("term_ppm", expr(
+        s"""CAST(round(
+           |  (((n_docs - df) + 0.5D) / (df + 0.5D))
+           |  * (tf * (CAST($k1 AS DOUBLE) + 1.0D))
+           |  / (tf + CAST($k1 AS DOUBLE) * ((1.0D - CAST($b AS DOUBLE))
+           |      + CAST($b AS DOUBLE) * dl / (sum_dl / n_docs)))
+           |  * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_ppm").as("score_ppm"))
+    scored.groupBy("query_id")
+      .agg(call_function("topk_pairs", col("doc_id"),
+        col("score_ppm").cast("double"), lit(k)).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("hit.nn").as("doc_id"),
+        col("hit.score").cast("bigint").as("score_ppm"))
+  }
+
   /** Deterministic content-hash sampling: keeps rows whose digest falls
     * in the residue class — reproducible splits with no RNG state. */
   def sampleDeterministic(df: DataFrame, textCol: String, modulus: Int,
