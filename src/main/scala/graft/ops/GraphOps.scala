@@ -51,11 +51,14 @@ object GraphOps {
     var pr = base.select(col("v"),
       expr(s"CAST($scale AS BIGINT) div n").as("pr"))
     for (_ <- 1 to iterations) {
-      val contrib = eo.join(pr, eo("src") === pr("v"))
+      // shuffle-hash both superstep joins: ranks and contributions are
+      // node-keyed on both sides, so a sort adds nothing (SMJ would
+      // sort the edge relation every iteration)
+      val contrib = eo.join(pr.hint("shuffle_hash"), eo("src") === pr("v"))
         .select(col("dst").as("v"),
           expr(s"(pr * $dampingPm div 1000) div outdeg").as("m"))
         .groupBy("v").agg(sum("m").as("m"))
-      pr = base.join(contrib, Seq("v"), "left")
+      pr = base.join(contrib.hint("shuffle_hash"), Seq("v"), "left")
         .select(col("v"), (expr(
           s"(CAST($scale AS BIGINT) * ${1000 - dampingPm} div 1000) div n") +
           coalesce(col("m"), lit(0L))).as("pr"))

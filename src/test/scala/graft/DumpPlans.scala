@@ -18,7 +18,9 @@ object DumpPlans {
     "lm2_bigram_lm_capped", "ti1_tfidf_topk", "ws1_weighted_sample",
     "cp1_curation_pipeline", "rc1_recursive_closure", "t8_window_sliding",
     "q18_large_orders", "lm3_bigram_lm_trimmed", "ds2_dsir_capped",
-    "m1_multimodal_meta", "f4_json_funcs")
+    "m1_multimodal_meta", "f4_json_funcs",
+    "bp1_boilerplate_strip", "u1_url_canon", "ep1_epoch_plan",
+    "pr1_pagerank", "rt1_bm25_retrieval")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
