@@ -723,6 +723,65 @@ object PipelineOps {
         k = 5).orderBy("query_id", "rank")
     },
 
+    // Composition: host authority = page-level integer PageRank (pr1's
+    // graph) rolled up by the canonicalized host (WebOps extraction) —
+    // the crawl-curation quality prior at the granularity per-site
+    // filtering actually uses. Docs absent from the link graph
+    // contribute nothing (inner join, mirrored in the oracle).
+    QueryDef.views("da1_domain_authority", {
+      val S = "1000000000000"
+      val iterCtes = (1 to 3).map { i =>
+        s"""  c$i AS (SELECT e.dst AS v,
+           |    CAST(sum((p.pr * 850 // 1000) // d.outdeg) AS BIGINT) AS m
+           |    FROM e JOIN p${i - 1} p ON e.src = p.v
+           |    JOIN deg d ON d.src = e.src GROUP BY 1),
+           |  p$i AS (SELECT nodes.v,
+           |    CAST(($S * 150 // 1000) // n.n + COALESCE(c$i.m, 0) AS BIGINT)
+           |      AS pr
+           |    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  nodes AS (SELECT DISTINCT v FROM
+         |    (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)),
+         |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |          FROM e GROUP BY 1),
+         |  p0 AS (SELECT v, CAST($S // n.n AS BIGINT) AS pr FROM nodes, n),
+         |$iterCtes,
+         |  dom AS (SELECT doc_id,
+         |    'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+         |    FROM documents)
+         |SELECT dom.host, CAST(count(*) AS BIGINT) AS n_pages,
+         |       CAST(sum(p3.pr) AS BIGINT) AS authority
+         |FROM dom JOIN p3 ON dom.doc_id = p3.v
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      val ranks = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      // a URL per page, sharded over 7 hosts; WebOps extracts the domain
+      val urls = docs.select(col("doc_id"), expr(
+        "concat('https://src', CAST(doc_id % 7 AS STRING), " +
+          "'.Example.com/p/', CAST(doc_id AS STRING), '?utm_source=x')")
+        .as("url"))
+      WebOps.canonicalize(urls, "url")
+        .select(col("doc_id"), col("host"))
+        .join(ranks, col("doc_id") === col("v"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"), sum("pr").as("authority"))
+        .orderBy("host")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results
