@@ -65,4 +65,19 @@ object GraphOps {
     }
     pr
   }
+
+  /** Weakly-connected components of an arbitrary edge list: every node
+    * labeled with the smallest node id reachable through edges in
+    * either direction. Thin graph-API front for the min-label
+    * propagation + pointer-jumping engine built for duplicate
+    * clustering ([[Dedup.dupClusters]] — labels-only exchanges,
+    * O(log diameter) rounds); the machinery was always graph-generic,
+    * this names it for graph callers. Nodes with no edges are not
+    * emitted (no edges — no component membership to report). */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 50): DataFrame =
+    Dedup.dupClusters(
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b")),
+        "a", "b", maxIters)
+      .select(col("doc_id").as("v"), col("cluster_id").as("component"))
 }

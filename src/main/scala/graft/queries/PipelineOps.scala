@@ -782,6 +782,38 @@ object PipelineOps {
         .orderBy("host")
     },
 
+    // Weakly-connected components of the pr1 link graph through the
+    // public graph API (GraphOps.connectedComponents → the cc1
+    // clustering engine): grades the same min-label machinery on a
+    // DENSE structured graph (≈2 directed edges/node, one giant
+    // component) rather than cc1's sparse near-dup pairs.
+    QueryDef.views("wc1_link_components",
+      """WITH RECURSIVE
+        |  nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  edges AS (SELECT src AS a, dst AS b FROM e
+        |            UNION SELECT dst, src FROM e),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e2.a, w2.lbl FROM edges e2 JOIN walk w2 ON e2.b = w2.node)
+        |SELECT node AS v, min(lbl) AS component
+        |FROM walk GROUP BY node ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.connectedComponents(edges, "src", "dst").orderBy("v")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results

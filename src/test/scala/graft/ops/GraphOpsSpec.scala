@@ -38,6 +38,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(noisy == clean)
   }
 
+  test("connectedComponents labels disjoint structures independently") {
+    // chain 0-1-2 (directed arbitrarily), triangle 10-11-12, pair 20-21
+    val comps = GraphOps.connectedComponents(
+      Seq((1L, 0L), (1L, 2L), (11L, 10L), (12L, 11L), (10L, 12L),
+        (21L, 20L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("supersteps are hash-agg + join pipelines — no cartesian, no window") {
     val plan = GraphOps.pageRank(
       Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), "src", "dst", 2)
