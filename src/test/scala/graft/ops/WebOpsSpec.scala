@@ -50,6 +50,50 @@ class WebOpsSpec extends SparkSpec {
       "https://e.com/x")
   }
 
+  test("canonicalize is idempotent over generated URL shapes") {
+    // THE canonical-form property: applying canonicalize to its own
+    // output changes nothing. 300 URLs from a seeded generator sweep
+    // scheme/host case, ports, path depth, trailing slashes, tracking
+    // and valueless params, duplicates, and fragments — one Spark job
+    // checks the whole batch.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val host = for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.listOfN(n, Gen.oneOf("Ex", "news", "WWW", "site"))
+      tld <- Gen.oneOf("com", "ORG", "io")
+    } yield (ls :+ tld).mkString(".")
+    val param = Gen.oneOf("a=1", "b=2", "b=2", "utm_source=x", "ref=tw",
+      "q", "z=", "gclid=9", "Key=V")
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      h <- host
+      port <- Gen.oneOf("", ":8080")
+      np <- Gen.choose(0, 3)
+      ps <- Gen.listOfN(np, Gen.oneOf("a", "B", "p1", "x-y"))
+      slash <- Gen.oneOf("", "/")
+      nq <- Gen.choose(0, 4)
+      qs <- Gen.listOfN(nq, param)
+      frag <- Gen.oneOf("", "#top")
+    } yield s"$scheme://$h$port" +
+      (if (ps.isEmpty) "" else ps.mkString("/", "/", "")) + slash +
+      (if (qs.isEmpty) "" else qs.mkString("?", "&", "")) + frag
+    val urls = Gen.listOfN(300, urlGen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val once = WebOps.canonicalize(
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url"),
+      "url")
+    val twice = WebOps.canonicalize(
+      once.select($"id", $"canon_url".as("url"),
+        $"canon_url".as("c1"), $"host".as("h1"), $"domain".as("d1")),
+      "url")
+    val broken = twice.filter(
+      $"canon_url" =!= $"c1" || $"host" =!= $"h1" || $"domain" =!= $"d1")
+      .select("c1", "canon_url").collect()
+    assert(broken.isEmpty,
+      s"non-idempotent canonicalization:\n${broken.take(5).mkString("\n")}")
+  }
+
   test("dedupByCanonical keeps the smallest id per canonical group") {
     val df = Seq(
       (3L, "https://e.com/a?utm_source=x"),
