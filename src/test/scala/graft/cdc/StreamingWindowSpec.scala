@@ -269,6 +269,36 @@ class StreamingWindowSpec extends SparkSpec {
     assert(kept.sorted.toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("streaming canonical-URL dedup: tracking variants collapse in-flight") {
+    // WebOps.canonicalize is a stateless projection, so it lifts onto
+    // readStream unchanged; composed with watermark-bounded dedup it is
+    // the crawl-frontier gate — the same page fetched with different
+    // tracking params or case is admitted once per window.
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val gated = graft.ops.Dedup.streamingDedupWithinWatermark(
+      graft.ops.WebOps.canonicalize(
+        input.toDF().toDF("ts", "doc_id", "url"), "url"),
+      "ts", "10 seconds", Seq("canon_url"))
+    val q = gated.writeStream
+      .outputMode("append")
+      .format("memory").queryName("urlgate")
+      .option("checkpointLocation", tmpDir("urlgate"))
+      .start()
+    def t(s: Long) = new Timestamp(1600000000000L + s * 1000)
+    input.addData(
+      (t(0), 1L, "https://News.Example.com/a?q=1&utm_source=x"),
+      (t(1), 2L, "https://news.example.com/a/?q=1#top"),   // same page
+      (t(2), 3L, "https://news.example.com/b?q=1"))        // different path
+    q.processAllAvailable()
+    input.addData(Seq((t(3), 4L, "HTTPS://news.example.com/a?ref=tw&q=1")))
+    q.processAllAvailable() // still the same canonical page → suppressed
+    q.stop()
+    val got = spark.table("urlgate")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L),
+      s"canonical gate admitted the wrong fetches: $got")
+  }
+
   test("T1 streaming: union of two streams into one sink") {
     val a = MemoryStream[String]
     val b = MemoryStream[String]
