@@ -28,6 +28,17 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
+  test("no query in the inventory plans a CartesianProduct") {
+    // Global plan guard: the documented diagnostics (e1/ec1 exact
+    // paths) run bounded broadcast nested loops, never an unbounded
+    // cartesian; anything else planning one is a regression.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+    }
+  }
+
   test("j1/j3 broadcast their dimension tables") {
     val p1 = SparkEntry.queries("j1_join_agg")(spark, sf)
       .queryExecution.executedPlan.toString
