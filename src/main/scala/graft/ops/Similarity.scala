@@ -377,6 +377,29 @@ object Similarity {
           "ELSE CAST(round(x / scale) AS BIGINT) END)"))
       .select("vec_id", "scale", "q")
 
+  /** Dense projection of an embedding column through a broadcast
+    * matrix — the dimension-reduction step before an index build
+    * (hash-free random projection, offline-trained PCA components, and
+    * Matryoshka-style truncation are all this shape). `matrix` is dOut
+    * rows of dIn components; it is user-config sized and rides into
+    * the plan as array literals, so projecting a 100 TB corpus is a
+    * pure scan-local projection — zero shuffle, zero join, the corpus
+    * touched once. Each output component is the codegen'd `vec_dot`
+    * sequential fold of the vector with one matrix row, rounded to a
+    * micro-unit BIGINT immediately (one engine-local double chain per
+    * component — the cross-engine determinism rule). */
+  def projectVectors(df: DataFrame, idCol: String, vecCol: String,
+      matrix: Seq[Seq[Double]]): DataFrame = {
+    require(matrix.nonEmpty && matrix.map(_.length).distinct.length == 1,
+      "projectVectors: matrix must be non-empty with equal-length rows")
+    val vd = expr(s"transform($vecCol, x -> cast(x as double))")
+    val outs = matrix.map { row =>
+      round(call_function("vec_dot", vd, typedlit(row)) * 1000000)
+        .cast("bigint")
+    }
+    df.select(col(idCol).as("vec_id"), array(outs: _*).as("proj_micro"))
+  }
+
   /** IVF ANN in one call: build the quantizer, then probe + rerank.
     * Repeated query workloads should build [[ivfIndex]] once instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -1023,4 +1023,33 @@ object TextOps {
       round((col("sy").cast("double") - slope * col("sx").cast("double"))
         / col("n_ranks").cast("double")).cast("bigint").as("intercept_micro"))
   }
+
+  /** Model-based quality gating (the FineWeb-Edu / DCLM classifier
+    * tier): scores every document with a trained bag-of-words linear
+    * model as ONE scan-local projection. `weightsMicro` maps a term to
+    * its micro-unit coefficient — the model is trained offline on a
+    * small labeled seed set and is user-config sized, while the corpus
+    * is not; the map rides into the scoring expression as a literal, so
+    * a 100 TB inference pass has ZERO shuffle: no token explode, no
+    * per-doc aggregation exchange, no join — the same broadcast
+    * asymmetry as [[lmScore]]'s capped path and [[dsirSelect]]'s
+    * maxVocab path. (A fastText-style model with a bounded vocabulary
+    * IS this shape: hashed-bigram extensions just add entries.)
+    *
+    * All-integer arithmetic: score = bias + Σ_occurrences w(token),
+    * out-of-vocabulary tokens contributing exactly zero evidence;
+    * keep = score >= thresholdMicro. Bit-identical across engines by
+    * construction — there are no doubles anywhere in the chain. */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      weightsMicro: Map[String, Long], biasMicro: Long = 0L,
+      thresholdMicro: Long = 0L): DataFrame = {
+    require(weightsMicro.nonEmpty, "classifierScore: empty model")
+    val model = typedLit(weightsMicro)
+    // try_element_at, not element_at: ANSI mode turns a missing map key
+    // into an error, and OOV tokens are the common case
+    val score = aggregate(toks(textCol), lit(biasMicro),
+      (acc, t) => acc + coalesce(try_element_at(model, t), lit(0L)))
+    df.select(col(idCol).as("doc_id"), score.as("score_micro"))
+      .withColumn("keep", col("score_micro") >= thresholdMicro)
+  }
 }

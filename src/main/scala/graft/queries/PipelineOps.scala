@@ -18,6 +18,29 @@ import graft.ops.{Dedup, GraphOps, Layout, Similarity, TextOps, WebOps}
   */
 object PipelineOps {
 
+  /** qc1's trained classifier: micro-unit coefficients over the corpus
+    * vocabulary (positive = quality evidence). ONE definition feeds both
+    * the Spark map literal and the oracle's VALUES list — parity by
+    * construction. Deterministic order (Seq, not Map iteration). */
+  private val qcModel: Seq[(String, Long)] = Seq(
+    "query" -> 180000L, "fast" -> 150000L, "vector" -> 120000L,
+    "merge" -> 90000L, "sort" -> 60000L, "spark" -> 40000L,
+    "slow" -> -140000L, "scan" -> -110000L, "batch" -> -70000L,
+    "the" -> -20000L, "dup" -> -250000L)
+  private val qcBias = 50000L
+  private val qcThreshold = 200000L
+
+  /** rp1's projection matrix: 8 output components × 64 input dims, every
+    * entry k/16 with k ∈ [-9, 9] — exact in binary FP AND in the oracle's
+    * 4-decimal literal, so the only doubles in the chain are the shared
+    * sequential dot-product fold both engines run identically. */
+  private val rpMatrix: Seq[Seq[Double]] = Seq.tabulate(8)(j =>
+    Seq.tabulate(64)(i => (((7 * j + 11 * i + 3) % 19) - 9) / 16.0))
+
+  private def rpMatrixSql: String = rpMatrix.zipWithIndex.map {
+    case (row, j) => s"($j, [${row.mkString(", ")}]::DOUBLE[])"
+  }.mkString(",\n        ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on content digest, keep smallest doc_id.
@@ -1522,6 +1545,59 @@ object PipelineOps {
         |FROM reg CROSS JOIN tot""".stripMargin) { spark =>
       TextOps.zipfStats(spark.table("documents"), "text",
         topRanks = 100)
+    },
+
+    // Model-based quality gate ([[graft.ops.TextOps.classifierScore]]):
+    // FineWeb-Edu/DCLM-style bag-of-words classifier inference. The
+    // model is a broadcast map literal → scoring is scan-local with
+    // zero shuffle; arithmetic is all-integer (micro-unit weights,
+    // OOV terms contribute exactly zero), so the oracle — the same
+    // model as a VALUES list, evidence via unnest+join — matches
+    // bit-for-bit.
+    QueryDef.views("qc1_classifier_gate",
+      s"""WITH w(term, wt) AS (VALUES
+        |    ${qcModel.map { case (t, w) => s"('$t', ${w}::BIGINT)" }
+            .mkString(",\n    ")}),
+        |  t AS (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '),
+        |            x -> len(x) > 0)) AS tok
+        |        FROM documents),
+        |  ev AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS evid
+        |         FROM t JOIN w ON t.tok = w.term GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CAST($qcBias + coalesce(ev.evid, 0) AS BIGINT) AS score_micro,
+        |  ($qcBias + coalesce(ev.evid, 0)) >= $qcThreshold AS keep
+        |FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { spark =>
+      TextOps.classifierScore(spark.table("documents"), "doc_id", "text",
+          weightsMicro = qcModel.toMap, biasMicro = qcBias,
+          thresholdMicro = qcThreshold)
+        .orderBy("doc_id")
+    },
+
+    // Embedding dimension reduction ([[graft.ops.Similarity
+    // .projectVectors]]): dense 64→8 projection through a broadcast
+    // matrix — the pre-index compression step. Pure scan-local
+    // projection; each component is one sequential dot-product fold
+    // (vec_dot ≡ list_dot_product) rounded to micro BIGINT.
+    QueryDef.views("rp1_project_vectors",
+      s"""WITH m(j, mv) AS (VALUES
+        |    $rpMatrixSql),
+        |  e AS (SELECT vec_id, list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)
+        |SELECT e.vec_id, CAST(m.j AS BIGINT) AS out_dim,
+        |  CAST(round(list_dot_product(e.v, m.mv) * 1000000) AS BIGINT)
+        |    AS out_micro
+        |FROM e CROSS JOIN m
+        |ORDER BY vec_id, out_dim""".stripMargin) { spark =>
+      Similarity.projectVectors(spark.table("embeddings"), "vec_id",
+          "embedding", rpMatrix)
+        .select(col("vec_id"),
+          posexplode(col("proj_micro")).as(Seq("out_dim", "out_micro")))
+        .select(col("vec_id"), col("out_dim").cast("bigint").as("out_dim"),
+          col("out_micro"))
+        .orderBy("vec_id", "out_dim")
     }
   )
 }

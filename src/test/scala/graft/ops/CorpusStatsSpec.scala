@@ -65,6 +65,34 @@ class CorpusStatsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("classifierScore: hand-computed evidence, OOV zero, empty text = bias") {
+    val df = Seq(
+      (0L, "fast fast slow other"), // 2*150000 - 140000 + 0 = 160000
+      (1L, "unseen words only"),    // no model terms -> bias alone
+      (2L, "")                      // empty token list -> bias alone
+    ).toDF("doc_id", "text")
+    val w = Map("fast" -> 150000L, "slow" -> -140000L)
+    val got = TextOps.classifierScore(df, "doc_id", "text", w,
+        biasMicro = 50000L, thresholdMicro = 210000L)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(210000L, 50000L, 50000L))
+    // threshold is inclusive: doc0 sits exactly on it
+    assert(got.map(_.getBoolean(2)).toSeq == Seq(true, false, false))
+  }
+
+  test("classifierScore: scan-local plan (no exchange) and renamed id col") {
+    val df = Seq((7L, "fast")).toDF("page_id", "body")
+    val scored = TextOps.classifierScore(df, "page_id", "body",
+      Map("fast" -> 1L))
+    assert(scored.collect().head.getLong(1) == 1L)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextOps.classifierScore(docs, "doc_id", "text",
+      Map("fast" -> 1L)).queryExecution.executedPlan.toString
+    // inference is a pure projection: the model is a literal, the corpus
+    // is touched once, nothing shuffles
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("lmScore: docs with fewer than 2 tokens get zero counts, null tier") {
     val df = Seq((0L, "a b"), (1L, "solo"), (2L, "")).toDF("doc_id", "text")
     val got = TextOps.lmScore(df, "doc_id", "text", 1L, 2L)

@@ -95,6 +95,29 @@ class OpsApiSpec extends SparkSpec {
       .filter(col("count") =!= 3).count() == 0)
   }
 
+  test("projectVectors: hand-computed components, scan-local plan") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((0L, Array(1.0f, 2.0f, 4.0f)), (1L, Array(0.5f, 0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    // rows: identity-ish picks + a mixing row, all values exact in FP
+    val m = Seq(Seq(1.0, 0.0, 0.0), Seq(0.25, 0.5, -0.75))
+    val got = Similarity.projectVectors(df, "vec_id", "embedding", m)
+      .orderBy("vec_id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(1000000L, -1750000L))
+    assert(got(1).getSeq[Long](1) == Seq(500000L, 875000L))
+    // the matrix is a plan literal; projection must not shuffle
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val plan = Similarity.projectVectors(emb, "vec_id", "embedding", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // ragged matrices are rejected eagerly
+    intercept[IllegalArgumentException] {
+      Similarity.projectVectors(df, "vec_id", "embedding",
+        Seq(Seq(1.0), Seq(1.0, 2.0)))
+    }
+  }
+
   test("ivfIndex builds once and serves multiple searches") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, sf, "embeddings")
