@@ -33,6 +33,27 @@ class StreamingCurationSpec extends SparkSpec {
       s"stream=$streamed batch=$batch")
   }
 
+  test("classifier gate runs over a file stream (stateless lift)") {
+    val dir = tmpDir("clf-docs")
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.write.mode("overwrite").parquet(dir)
+    val w = Map("fast" -> 150000L, "slow" -> -140000L)
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val gated = TextOps.classifierScore(stream, "doc_id", "text", w,
+      thresholdMicro = 1L).filter(col("keep"))
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream")
+      .option("checkpointLocation", tmpDir("clf-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clf_stream").count()
+    val batch = TextOps.classifierScore(src, "doc_id", "text", w,
+      thresholdMicro = 1L).filter(col("keep")).count()
+    assert(streamed == batch && streamed > 0,
+      s"stream=$streamed batch=$batch")
+  }
+
   test("mixture sampling + z-order key run over a file stream") {
     val dir = tmpDir("stream-docs-mix")
     val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
