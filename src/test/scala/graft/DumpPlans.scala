@@ -20,7 +20,8 @@ object DumpPlans {
     "q18_large_orders", "lm3_bigram_lm_trimmed", "ds2_dsir_capped",
     "m1_multimodal_meta", "f4_json_funcs",
     "bp1_boilerplate_strip", "u1_url_canon", "ep1_epoch_plan",
-    "pr1_pagerank", "rt1_bm25_retrieval", "da1_domain_authority")
+    "pr1_pagerank", "rt1_bm25_retrieval", "da1_domain_authority",
+    "qc1_classifier_gate", "rp1_project_vectors")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
