@@ -19,6 +19,7 @@ object GraftFunctions {
     "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),
+    "deflate_size" -> ((es: Seq[Expression]) => DeflateSize(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
     "topk_pairs" -> ((es: Seq[Expression]) =>
       TopKPairs(es(0), es(1), litInt(es(2)))),

@@ -1040,6 +1040,26 @@ object TextOps {
     * out-of-vocabulary tokens contributing exactly zero evidence;
     * keep = score >= thresholdMicro. Bit-identical across engines by
     * construction — there are no doubles anywhere in the chain. */
+  /** Compression-ratio quality signal (the Gopher/Dolma filter family):
+    * deflate size of the UTF-8 text at fixed settings next to the raw
+    * byte count, with a per-mille ratio and a keep gate. Highly
+    * compressible documents are repetitive boilerplate; documents that
+    * barely compress are noise/junk — both tails get cut. Scan-local
+    * projection over the codegen'd `deflate_size` kernel (register
+    * [[graft.functions.GraftFunctions]] first); computed in the same
+    * pass as the other quality signals, nothing shuffles. */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String,
+      minRatioPm: Long = 200L, maxRatioPm: Long = 1100L): DataFrame = {
+    val nb = octet_length(col(textCol)).cast("bigint")
+    df.select(col(idCol).as("doc_id"), nb.as("n_bytes"),
+        expr(s"deflate_size($textCol)").as("deflate_bytes"))
+      .withColumn("ratio_pm",
+        when(col("n_bytes") > 0,
+          expr("(deflate_bytes * 1000) div n_bytes")).otherwise(null))
+      .withColumn("keep", col("n_bytes") > 0 &&
+        col("ratio_pm").between(minRatioPm, maxRatioPm))
+  }
+
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
       weightsMicro: Map[String, Long], biasMicro: Long = 0L,
       thresholdMicro: Long = 0L): DataFrame = {

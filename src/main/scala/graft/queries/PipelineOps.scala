@@ -41,6 +41,22 @@ object PipelineOps {
     case (row, j) => s"($j, [${row.mkString(", ")}]::DOUBLE[])"
   }.mkString(",\n        ")
 
+  /** Writes the documents table as JSONL once per sf-dir — the corpus
+    * interchange format every public text dataset ships in. The write
+    * is Spark-native (executors write shards; nothing funnels through
+    * the driver), fixture-cached like the CDC WAL. */
+  private def jsonlFixture(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-jsonl-fixture-$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      graft.Tables.registerAll(spark, sfDir)
+      spark.table("documents").write.mode("overwrite").json(dir.toString)
+    }
+    dir.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on content digest, keep smallest doc_id.
@@ -1598,6 +1614,48 @@ object PipelineOps {
         .select(col("vec_id"), col("out_dim").cast("bigint").as("out_dim"),
           col("out_micro"))
         .orderBy("vec_id", "out_dim")
+    },
+
+    // JSONL corpus ingestion: the documents table round-trips through
+    // real JSONL files (Spark-native sharded write → schema'd json
+    // read), graded field-for-field against the parquet original —
+    // the interchange path every public text corpus arrives through.
+    // Schema'd read, no inference pass: at 100 TB, schema inference
+    // would be a second full scan.
+    QueryDef("js1_jsonl_roundtrip", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val schema = spark.table("documents").schema
+      spark.read.schema(schema).json(jsonlFixture(spark, sfDir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Compression-ratio quality signal ([[graft.ops.TextOps
+    // .compressionStats]]): deflate has no DuckDB twin, so the graded
+    // output is invariant-style (the hll1x pattern) — DuckDB pins the
+    // doc count while the violation counters must be zero: deflate
+    // never beats the stored-block bound (n_bytes + 64), and
+    // compressing text||text must exploit the self-similarity
+    // (<= 2·deflate(text) + 32) — the property that makes the ratio a
+    // repetition signal at all.
+    QueryDef.views("x7_compression",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_overhead_violations,
+        |  CAST(0 AS BIGINT) AS n_doubling_violations
+        |FROM documents""".stripMargin) { spark =>
+      val cs = TextOps.compressionStats(spark.table("documents"),
+        "doc_id", "text")
+      val dbl = spark.table("documents").select(
+        expr("deflate_size(text)").as("c1"),
+        expr("deflate_size(concat(text, text))").as("c2"))
+      cs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("deflate_bytes") > col("n_bytes") + 64, 1L)
+            .otherwise(0L)).cast("bigint").as("n_overhead_violations"))
+        .crossJoin(dbl.agg(
+          sum(when(col("c2") > col("c1") * 2 + 32, 1L).otherwise(0L))
+            .cast("bigint").as("n_doubling_violations")))
     }
   )
 }

@@ -19,6 +19,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got == (4.0 + 10.0 + 18.0))
   }
 
+  test("deflate_size: deterministic, repetition-sensitive, null-safe") {
+    val rep = "spark query " * 50              // 600 chars, 2 distinct words
+    val mixed = Seq.tabulate(100)(i => s"w${i * 7919 % 997}").mkString(" ")
+    val df = registered.createDataset(Seq((rep, mixed, Option.empty[String])))
+      .toDF("rep", "mixed", "nul")
+    val r = df.select(expr("deflate_size(rep)"), expr("deflate_size(mixed)"),
+      expr("deflate_size(nul)"), expr("deflate_size('')")).head()
+    val (cRep, cMixed) = (r.getLong(0), r.getLong(1))
+    // repetitive text compresses far better than high-entropy text
+    assert(cRep > 0 && cRep * 4 < cMixed, s"rep=$cRep mixed=$cMixed")
+    // stored-block bound and empty-input floor
+    assert(cMixed <= mixed.length + 64)
+    assert(r.isNullAt(2) && r.getLong(3) > 0)
+    // pure function of the bytes: same input, same size, every call
+    val again = df.select(expr("deflate_size(rep)")).head().getLong(0)
+    assert(again == cRep)
+  }
+
   test("srp_bits: deterministic, seed-sensitive, scale-invariant buckets") {
     val v = Array.tabulate(16)(i => (i - 8).toFloat)
     val df = registered.createDataset(Seq(

@@ -65,6 +65,19 @@ class CorpusStatsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("compressionStats: repetitive docs gate out low, empty docs null") {
+    graft.functions.GraftFunctions.register(spark)
+    val rep = "a " * 300
+    val mixed = Seq.tabulate(120)(i => s"w${i * 7919 % 997}").mkString(" ")
+    val df = Seq((0L, rep), (1L, mixed), (2L, "")).toDF("doc_id", "text")
+    val got = TextOps.compressionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // one repeated bigram compresses to a sliver -> below the keep floor
+    assert(got(0).getLong(3) < 200L && !got(0).getBoolean(4))
+    assert(got(1).getBoolean(4), s"mixed ratio ${got(1).getLong(3)}")
+    assert(got(2).isNullAt(3) && !got(2).getBoolean(4))
+  }
+
   test("classifierScore: hand-computed evidence, OOV zero, empty text = bias") {
     val df = Seq(
       (0L, "fast fast slow other"), // 2*150000 - 140000 + 0 = 160000
