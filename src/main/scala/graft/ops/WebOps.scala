@@ -64,4 +64,58 @@ object WebOps {
     canonicalize(df, urlCol)
       .groupBy("canon_url")
       .agg(min(col(idCol)).as(idCol))
+
+  /** Serializes one WARC/1.1 response record per the public ISO 28500
+    * layout — version line, named headers, CRLF CRLF, content block,
+    * closing CRLF CRLF — for a text payload. The builder exists so
+    * crawl-shaped pipelines can be graded end to end against
+    * [[parseWarc]] on synthetic archives; at production scale the
+    * records come from the crawl, not from here. */
+  def warcResponse(urlCol: String, dateCol: String,
+      payloadCol: String): org.apache.spark.sql.Column =
+    concat(
+      lit("WARC/1.1\r\n"),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Target-URI: "), col(urlCol), lit("\r\n"),
+      lit("WARC-Date: "), col(dateCol), lit("\r\n"),
+      lit("Content-Type: text/plain\r\n"),
+      lit("Content-Length: "), length(col(payloadCol)).cast("string"),
+      lit("\r\n\r\n"),
+      col(payloadCol), lit("\r\n\r\n"))
+
+  /** Parses WARC record strings, one record per row: version check,
+    * header map (str_to_map over the CRLF-separated header block),
+    * Content-Length-driven payload slice, `warc_ok` validity flag.
+    * Pure codegen string expressions — scan-local, zero shuffle, no
+    * UDF — so parsing rides the ingest scan at archive scale.
+    *
+    * Record-splitting belongs to the source read: a text read with
+    * `lineSep = "WARC/1.1\r\n"` yields one row per record for text
+    * payloads (which cannot contain the version magic); binary
+    * payloads need a Content-Length-driven custom reader on the same
+    * seam as the CDC source. Rows may arrive with or without the
+    * leading version line (the lineSep read strips it). Content-Length
+    * is a byte count; the char-based slice here is exact for the
+    * single-byte payloads this text path handles. */
+  def parseWarc(df: DataFrame, recCol: String): DataFrame =
+    df.withColumn("__hb", split(col(recCol), "\r\n\r\n", 2))
+      // get(), not [1]: a record with no blank line has a 1-element
+      // split, and ANSI mode turns the out-of-bounds index into an
+      // error where the parser needs a null (-> warc_ok false)
+      .withColumn("__body", expr("get(__hb, 1)"))
+      .withColumn("__m",
+        expr("str_to_map(get(__hb, 0), '\\r\\n', ': ')"))
+      .withColumn("warc_type", expr("try_element_at(__m, 'WARC-Type')"))
+      .withColumn("target_uri",
+        expr("try_element_at(__m, 'WARC-Target-URI')"))
+      .withColumn("warc_date", expr("try_element_at(__m, 'WARC-Date')"))
+      .withColumn("content_length",
+        expr("try_cast(try_element_at(__m, 'Content-Length') AS BIGINT)"))
+      .withColumn("payload",
+        expr("substring(__body, 1, content_length)"))
+      .withColumn("warc_ok", coalesce(
+        (col(recCol).startsWith("WARC/") || col(recCol).startsWith("WARC-")) &&
+          col("content_length").isNotNull &&
+          length(col("__body")) >= col("content_length"), lit(false)))
+      .drop("__hb", "__body", "__m")
 }

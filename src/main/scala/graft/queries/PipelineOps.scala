@@ -1656,6 +1656,33 @@ object PipelineOps {
         .crossJoin(dbl.agg(
           sum(when(col("c2") > col("c1") * 2 + 32, 1L).otherwise(0L))
             .cast("bigint").as("n_doubling_violations")))
+    },
+
+    // WARC crawl-record round trip ([[graft.ops.WebOps.warcResponse]] /
+    // [[WebOps.parseWarc]]): every document serializes to a REAL ISO
+    // 28500 response record (version line, headers, Content-Length,
+    // CRLF framing) and parses back with pure codegen string
+    // expressions — both directions scan-local. The oracle predicts
+    // every extracted field directly from the table, so a framing or
+    // header-parse defect anywhere in the pair fails the hash.
+    QueryDef.views("wa1_warc_parse",
+      """SELECT doc_id, 'response' AS warc_type,
+        |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5, true AS warc_ok
+        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      val staged = spark.table("documents").select(col("doc_id"),
+        concat(lit("https://example.org/doc/"),
+          col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("wdate"), col("text"))
+      val recs = staged.select(col("doc_id"),
+        WebOps.warcResponse("url", "wdate", "text").as("rec"))
+      WebOps.parseWarc(recs, "rec")
+        .select(col("doc_id"), col("warc_type"), col("target_uri"),
+          col("content_length"), md5(col("payload")).as("payload_md5"),
+          col("warc_ok"))
+        .orderBy("doc_id")
     }
   )
 }

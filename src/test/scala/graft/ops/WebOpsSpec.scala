@@ -105,4 +105,48 @@ class WebOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("https://e.com/a", 1L), ("https://e.com/b", 2L)))
   }
+
+  test("WARC: multi-record archive file splits on the version magic") {
+    import org.apache.spark.sql.functions._
+    // five records concatenated into ONE archive file, as on disk
+    val docs = Seq.tabulate(5)(i => (i.toLong, s"doc $i body " * (i + 1)))
+      .toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://w.org/"),
+        col("doc_id").cast("string")))
+      .withColumn("wdate", lit("2026-01-01T00:00:00Z"))
+    val archive = docs.orderBy("doc_id")
+      .select(WebOps.warcResponse("url", "wdate", "text").as("rec"))
+      .collect().map(_.getString(0)).mkString("")
+    val dir = tmpDir("warc")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "crawl.warc"),
+      archive.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // text payloads cannot contain the magic -> lineSep splits records
+    val rows = spark.read.option("lineSep", "WARC/1.1\r\n").text(dir)
+      .filter(length(col("value")) > 0)
+    val parsed = WebOps.parseWarc(rows, "value")
+    assert(parsed.count() == 5)
+    assert(parsed.filter(col("warc_ok")).count() == 5)
+    val back = parsed.select("target_uri", "payload")
+      .as[(String, String)].collect().toMap
+    assert(back("https://w.org/3") == "doc 3 body " * 4)
+  }
+
+  test("WARC: truncated and header-damaged records flag warc_ok false") {
+    val good = Seq((0L, "https://w.org/0", "2026-01-01T00:00:00Z", "payload"))
+      .toDF("doc_id", "url", "wdate", "text")
+      .select(WebOps.warcResponse("url", "wdate", "text").as("rec"))
+      .head().getString(0)
+    val cases = Seq(
+      good.dropRight(12),                       // payload cut short
+      good.replace("Content-Length", "X-Len"),  // length header gone
+      "not a warc record at all")
+    val parsed = WebOps.parseWarc(cases.toDF("rec"), "rec")
+    assert(parsed.filter(org.apache.spark.sql.functions.col("warc_ok"))
+      .count() == 0)
+    // the intact record parses clean through the same code path
+    assert(WebOps.parseWarc(Seq(good).toDF("rec"), "rec")
+      .head().getAs[Boolean]("warc_ok"))
+  }
 }
