@@ -65,6 +65,56 @@ object WebOps {
       .groupBy("canon_url")
       .agg(min(col(idCol)).as(idCol))
 
+  /** URL blocklist gating (the RefinedWeb/UT1-shaped crawl filter):
+    * derives the host and flags rows whose host matches a blocked
+    * domain (exact or any-subdomain suffix) or whose URL contains a
+    * blocked substring, with domain hits taking precedence in
+    * `block_reason`. The lists ride in as literal predicates —
+    * scan-local, zero shuffle — which is the right shape for
+    * config-sized lists; a multi-million-entry blocklist is data, not
+    * code: join it instead ([[urlFilterByTable]]). */
+  def urlFilter(df: DataFrame, urlCol: String, blockedDomains: Seq[String],
+      blockedPatterns: Seq[String]): DataFrame = {
+    def lit1(s: String) = "'" + s.replace("'", "''") + "'"
+    val domHit =
+      if (blockedDomains.isEmpty) "false"
+      else blockedDomains.map(d =>
+        s"(__host = ${lit1(d)} OR endswith(__host, ${lit1("." + d)}))")
+        .mkString("(", " OR ", ")")
+    val patHit =
+      if (blockedPatterns.isEmpty) "false"
+      else blockedPatterns.map(p => s"contains(lower($urlCol), ${lit1(p)})")
+        .mkString("(", " OR ", ")")
+    df.withColumn("__host",
+        expr(s"lower(regexp_extract($urlCol, '^[^:]+://([^/?#:]+)', 1))"))
+      .withColumn("block_reason",
+        when(expr(domHit), "domain")
+          .when(expr(patHit), "pattern"))
+      .withColumn("url_ok", col("block_reason").isNull)
+      .withColumnRenamed("__host", "host")
+  }
+
+  /** Blocklist gating against a domain TABLE (one `domain` column) —
+    * the shape for real public blocklists (millions of rows): the
+    * corpus derives each host's candidate suffixes (host itself plus
+    * every parent domain — a handful per row), and a single equi-join
+    * against the list marks hits; AQE broadcasts the list when it fits,
+    * and the join key is the short suffix string, never the document. */
+  def urlFilterByTable(df: DataFrame, idCol: String, urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val withHost = df.withColumn("host",
+      expr(s"lower(regexp_extract($urlCol, '^[^:]+://([^/?#:]+)', 1))"))
+    val suffixes = withHost.select(col(idCol),
+        explode(expr("""transform(sequence(1, size(split(host, '\\.'))),
+          |  i -> array_join(slice(split(host, '\\.'), i, 10000), '.'))"""
+          .stripMargin)).as("cand"))
+    val hits = suffixes.join(blocked.select(col("domain").as("cand")), "cand")
+      .select(col(idCol)).distinct()
+    withHost.join(hits.withColumn("__hit", lit(true)), Seq(idCol), "left")
+      .withColumn("url_ok", col("__hit").isNull)
+      .drop("__hit")
+  }
+
   /** Serializes one WARC/1.1 response record per the public ISO 28500
     * layout — version line, named headers, CRLF CRLF, content block,
     * closing CRLF CRLF — for a text payload. The builder exists so

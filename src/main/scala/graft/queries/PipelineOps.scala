@@ -1683,6 +1683,47 @@ object PipelineOps {
           col("content_length"), md5(col("payload")).as("payload_md5"),
           col("warc_ok"))
         .orderBy("doc_id")
+    },
+
+    // URL blocklist gate ([[graft.ops.WebOps.urlFilter]]): RefinedWeb-
+    // style crawl filtering — blocked domains match the host exactly or
+    // as a parent suffix (www.src3… hits src3.example.com), blocked
+    // substrings catch path patterns, domain hits win precedence. The
+    // synthetic URL derives from (source, lang, doc_id) in both
+    // engines; the gate itself is a scan-local literal predicate.
+    QueryDef.views("wf1_url_filter",
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || source || '.example.com/' || lang || '/article-'
+        |    || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |  h AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^[^:]+://([^/?#:]+)', 1)) AS host
+        |  FROM u),
+        |  b AS (SELECT doc_id, host,
+        |    CASE WHEN host = 'src3.example.com'
+        |           OR ends_with(host, '.src3.example.com')
+        |           OR host = 'src7.example.com'
+        |           OR ends_with(host, '.src7.example.com')
+        |           OR host = 'src12.example.com'
+        |           OR ends_with(host, '.src12.example.com')
+        |         THEN 'domain'
+        |         WHEN contains(lower(url), '/zh/') THEN 'pattern'
+        |         ELSE NULL END AS block_reason
+        |  FROM h)
+        |SELECT doc_id, host, block_reason, block_reason IS NULL AS url_ok
+        |FROM b ORDER BY doc_id""".stripMargin) { spark =>
+      val staged = spark.table("documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+          col("source"), lit(".example.com/"), col("lang"),
+          lit("/article-"), col("doc_id").cast("string")).as("url"))
+      WebOps.urlFilter(staged, "url",
+          blockedDomains = Seq("src3.example.com", "src7.example.com",
+            "src12.example.com"),
+          blockedPatterns = Seq("/zh/"))
+        .select("doc_id", "host", "block_reason", "url_ok")
+        .orderBy("doc_id")
     }
   )
 }

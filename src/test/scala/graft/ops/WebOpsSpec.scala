@@ -106,6 +106,39 @@ class WebOpsSpec extends SparkSpec {
     assert(got == Seq(("https://e.com/a", 1L), ("https://e.com/b", 2L)))
   }
 
+  test("urlFilter: domain beats pattern; suffix matches subdomains only") {
+    val df = Seq(
+      (0L, "https://bad.org/x"),             // exact domain
+      (1L, "https://a.bad.org/x"),           // subdomain suffix
+      (2L, "https://notbad.org/x"),          // NOT a suffix match
+      (3L, "https://ok.org/spam/page"),      // pattern
+      (4L, "https://bad.org/spam"),          // both -> domain wins
+      (5L, "https://ok.org/fine")
+    ).toDF("doc_id", "url")
+    val got = WebOps.urlFilter(df, "url", Seq("bad.org"), Seq("/spam"))
+      .orderBy("doc_id").select("block_reason", "url_ok").collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1))).toSeq
+    assert(got == Seq(Some("domain") -> false, Some("domain") -> false,
+      None -> true, Some("pattern") -> false, Some("domain") -> false,
+      None -> true))
+  }
+
+  test("urlFilterByTable agrees with the literal domain path") {
+    val urls = Seq(
+      (0L, "https://bad.org/x"), (1L, "https://a.b.bad.org/x"),
+      (2L, "https://notbad.org/x"), (3L, "https://ok.org/y")
+    ).toDF("doc_id", "url")
+    val blocked = Seq("bad.org").toDF("domain")
+    val viaTable = WebOps.urlFilterByTable(urls, "doc_id", "url", blocked)
+      .orderBy("doc_id").select("doc_id", "url_ok")
+      .as[(Long, Boolean)].collect().toSeq
+    val viaLiteral = WebOps.urlFilter(urls, "url", Seq("bad.org"), Nil)
+      .orderBy("doc_id").select("doc_id", "url_ok")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(viaTable == viaLiteral)
+    assert(viaTable.map(_._2) == Seq(false, false, true, true))
+  }
+
   test("WARC: multi-record archive file splits on the version magic") {
     import org.apache.spark.sql.functions._
     // five records concatenated into ONE archive file, as on disk
