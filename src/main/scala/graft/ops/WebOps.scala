@@ -115,6 +115,27 @@ object WebOps {
       .drop("__hit")
   }
 
+  /** HTML → text extraction for crawl curation: drops script/style
+    * blocks (before tag-stripping — their bodies contain bare `<`),
+    * strips tags and comments, decodes the five standard entities
+    * (`&amp;` last, so `&amp;lt;` cannot double-decode), collapses
+    * whitespace. A pure codegen regexp/replace chain over
+    * RE2-compatible patterns — scan-local, engine-portable; the
+    * lightweight extraction tier, with a DOM-aware boilerplate model
+    * slotting into the same column contract when one is available.
+    * Adds `extracted_text`. */
+  def htmlToText(df: DataFrame, htmlCol: String): DataFrame = {
+    var c = col(htmlCol)
+    c = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    c = regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    c = regexp_replace(c, "<[^>]*>", " ")
+    for ((ent, ch) <- Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&"))
+      c = replace(c, lit(ent), lit(ch))
+    df.withColumn("extracted_text",
+      trim(regexp_replace(c, "\\s+", " ")))
+  }
+
   /** Serializes one WARC/1.1 response record per the public ISO 28500
     * layout — version line, named headers, CRLF CRLF, content block,
     * closing CRLF CRLF — for a text payload. The builder exists so

@@ -1724,6 +1724,31 @@ object PipelineOps {
           blockedPatterns = Seq("/zh/"))
         .select("doc_id", "host", "block_reason", "url_ok")
         .orderBy("doc_id")
+    },
+
+    // HTML → text extraction ([[graft.ops.WebOps.htmlToText]]): each
+    // document wraps into a full synthetic page — title, a script block
+    // whose body contains a bare '<' (why script-stripping must precede
+    // tag-stripping), a style block, heading, paragraph, comment — and
+    // the extraction chain recovers exactly title + heading + body
+    // text, which the oracle predicts directly from the table. The
+    // chain is scan-local codegen regexp/replace; no DOM, no UDF.
+    QueryDef.views("ht1_html_extract",
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+        |    || CAST(doc_id AS VARCHAR) || ' ' || text AS extracted_text
+        |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      val pages = spark.table("documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><script type=\"text/javascript\">var lt = 1 < 2;" +
+            "</script><style>p { margin: 0; }</style></head><body><h1>Doc "),
+          col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><!-- footer --></body></html>")).as("html"))
+      WebOps.htmlToText(pages, "html")
+        .select("doc_id", "extracted_text")
+        .orderBy("doc_id")
     }
   )
 }

@@ -54,6 +54,52 @@ class StreamingCurationSpec extends SparkSpec {
       s"stream=$streamed batch=$batch")
   }
 
+  test("WARC stream -> parse -> URL gate -> classifier gate composes") {
+    // a crawl firehose: two archive files of real WARC records
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40)
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, "blocked.example").otherwise("ok.org"),
+        lit("/doc/"), col("doc_id").cast("string")))
+      .withColumn("wdate", lit("2026-01-01T00:00:00Z"))
+    val recs = src.select(col("doc_id"),
+      WebOps.warcResponse("url", "wdate", "text").as("rec"))
+    val dir = tmpDir("warc-stream")
+    recs.filter(col("doc_id") % 2 === 0)
+      .select(concat_ws("", collect_list(col("rec"))).as("f"))
+      .collect().headOption.foreach(r => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "a.warc"), r.getString(0).getBytes))
+    recs.filter(col("doc_id") % 2 === 1)
+      .select(concat_ws("", collect_list(col("rec"))).as("f"))
+      .collect().headOption.foreach(r => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "b.warc"), r.getString(0).getBytes))
+
+    def curate(rows: org.apache.spark.sql.DataFrame) = {
+      val parsed = WebOps.parseWarc(rows, "value").filter(col("warc_ok"))
+      val allowed = WebOps
+        .urlFilter(parsed, "target_uri", Seq("blocked.example"), Nil)
+        .filter(col("url_ok"))
+      TextOps.classifierScore(allowed, "target_uri", "payload",
+        Map("fast" -> 1L), thresholdMicro = 1L)
+    }
+    val stream = spark.readStream
+      .option("lineSep", "WARC/1.1\r\n").text(dir)
+      .filter(length(col("value")) > 0)
+    val q = curate(stream).writeStream.outputMode("append")
+      .format("memory").queryName("warc_curated")
+      .option("checkpointLocation", tmpDir("warc-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val batchRows = spark.read.option("lineSep", "WARC/1.1\r\n").text(dir)
+      .filter(length(col("value")) > 0)
+    val streamed = spark.table("warc_curated").count()
+    val batch = curate(batchRows).count()
+    assert(streamed == batch && streamed == 30,
+      s"stream=$streamed batch=$batch") // 40 records minus the 10 blocked
+  }
+
   test("mixture sampling + z-order key run over a file stream") {
     val dir = tmpDir("stream-docs-mix")
     val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -139,6 +139,21 @@ class WebOpsSpec extends SparkSpec {
     assert(viaTable.map(_._2) == Seq(false, false, true, true))
   }
 
+  test("htmlToText: multiline scripts, comments, entity decode order") {
+    val html =
+      """<html><head><script>
+        |  if (a < b && c > d) { alert("x"); }
+        |</script><style>
+        |  body { color: red; }
+        |</style></head>
+        |<body><p>A &amp;lt; B stays literal; 1 &lt; 2 decodes.</p>
+        |<!-- hidden --></body></html>""".stripMargin
+    val got = WebOps.htmlToText(Seq((1L, html)).toDF("id", "html"), "html")
+      .head().getAs[String]("extracted_text")
+    // &amp;lt; -> &lt; (one decode, not two); &lt; -> < ; markup gone
+    assert(got == "A &lt; B stays literal; 1 < 2 decodes.", got)
+  }
+
   test("WARC: multi-record archive file splits on the version magic") {
     import org.apache.spark.sql.functions._
     // five records concatenated into ONE archive file, as on disk
