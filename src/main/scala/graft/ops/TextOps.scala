@@ -1062,14 +1062,15 @@ object TextOps {
 
   def classifierScore(df: DataFrame, idCol: String, textCol: String,
       weightsMicro: Map[String, Long], biasMicro: Long = 0L,
-      thresholdMicro: Long = 0L): DataFrame = {
+      thresholdMicro: Long = 0L, passthrough: Seq[String] = Nil): DataFrame = {
     require(weightsMicro.nonEmpty, "classifierScore: empty model")
     val model = typedLit(weightsMicro)
     // try_element_at, not element_at: ANSI mode turns a missing map key
     // into an error, and OOV tokens are the common case
     val score = aggregate(toks(textCol), lit(biasMicro),
       (acc, t) => acc + coalesce(try_element_at(model, t), lit(0L)))
-    df.select(col(idCol).as("doc_id"), score.as("score_micro"))
+    df.select(col(idCol).as("doc_id") +: passthrough.map(col) :+
+        score.as("score_micro"): _*)
       .withColumn("keep", col("score_micro") >= thresholdMicro)
   }
 }

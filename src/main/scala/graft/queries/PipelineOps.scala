@@ -1749,6 +1749,57 @@ object PipelineOps {
       WebOps.htmlToText(pages, "html")
         .select("doc_id", "extracted_text")
         .orderBy("doc_id")
+    },
+
+    // The composed web pipeline, graded end to end (the cp1 pattern for
+    // the crawl tier): document → synthetic HTML page → REAL WARC
+    // record → parseWarc → htmlToText → URL blocklist → classifier
+    // gate, ONE linear scan-local plan (classifierScore's passthrough
+    // keeps host/validity columns so nothing re-joins its own lineage).
+    // The oracle predicts every output — host, validity, score, keep —
+    // straight from the documents table: any framing, extraction,
+    // gating, or scoring defect anywhere in the five-op chain breaks
+    // the hash. Title/heading tokens ('Doc', the id) are OOV to the
+    // model, so the classifier evidence equals qc1's.
+    QueryDef.views("wp1_web_pipeline",
+      s"""WITH w(term, wt) AS (VALUES
+        |    ${qcModel.map { case (t, w) => s"('$t', ${w}::BIGINT)" }
+            .mkString(",\n    ")}),
+        |  t AS (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '),
+        |            x -> len(x) > 0)) AS tok
+        |        FROM documents),
+        |  ev AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS evid
+        |         FROM t JOIN w ON t.tok = w.term GROUP BY t.doc_id),
+        |  b AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 4 = 0 THEN 'blocked.example'
+        |         ELSE d.source || '.example.com' END AS host,
+        |    CAST($qcBias + coalesce(ev.evid, 0) AS BIGINT) AS score_micro
+        |  FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id)
+        |SELECT doc_id, host, true AS warc_ok,
+        |  host != 'blocked.example' AS url_ok, score_micro,
+        |  score_micro >= $qcThreshold AS keep
+        |FROM b ORDER BY doc_id""".stripMargin) { spark =>
+      val staged = spark.table("documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 4 === 0, "blocked.example")
+            .otherwise(concat(col("source"), lit(".example.com"))),
+          lit("/doc/"), col("doc_id").cast("string")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("wdate"),
+        concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><h1>Doc "), col("doc_id").cast("string"),
+          lit("</h1><p>"), col("text"), lit("</p></body></html>")).as("html"))
+      val recs = staged.select(col("doc_id"),
+        WebOps.warcResponse("url", "wdate", "html").as("rec"))
+      val parsed = WebOps.parseWarc(recs, "rec")
+      val extracted = WebOps.htmlToText(parsed, "payload")
+      val gated = WebOps.urlFilter(extracted, "target_uri",
+        blockedDomains = Seq("blocked.example"), blockedPatterns = Nil)
+      TextOps.classifierScore(gated, "doc_id", "extracted_text",
+          weightsMicro = qcModel.toMap, biasMicro = qcBias,
+          thresholdMicro = qcThreshold,
+          passthrough = Seq("host", "warc_ok", "url_ok"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -98,6 +98,13 @@ class CorpusStatsSpec extends SparkSpec {
     val scored = TextOps.classifierScore(df, "page_id", "body",
       Map("fast" -> 1L))
     assert(scored.collect().head.getLong(1) == 1L)
+    // passthrough keeps upstream columns so compositions stay one
+    // linear plan instead of re-joining their own lineage
+    val passed = TextOps.classifierScore(
+      df.withColumn("host", lit("h")), "page_id", "body",
+      Map("fast" -> 1L), passthrough = Seq("host"))
+    assert(passed.columns.toSeq ==
+      Seq("doc_id", "host", "score_micro", "keep"))
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plan = TextOps.classifierScore(docs, "doc_id", "text",
       Map("fast" -> 1L)).queryExecution.executedPlan.toString
