@@ -21,7 +21,9 @@ object DumpPlans {
     "m1_multimodal_meta", "f4_json_funcs",
     "bp1_boilerplate_strip", "u1_url_canon", "ep1_epoch_plan",
     "pr1_pagerank", "rt1_bm25_retrieval", "da1_domain_authority",
-    "qc1_classifier_gate", "rp1_project_vectors")
+    "qc1_classifier_gate", "rp1_project_vectors", "js1_jsonl_roundtrip",
+    "x7_compression", "wa1_warc_parse", "wf1_url_filter",
+    "ht1_html_extract", "wp1_web_pipeline")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
