@@ -88,6 +88,31 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("kept_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Quality-aware dedup: groups by the normalization digest (case /
+    * punctuation / whitespace-insensitive — the tier between byte-exact
+    * d1 and near-dup d2) and keeps the BEST member of each group by
+    * `scoreCol` (ties → smallest id), instead of exactGroups' arbitrary
+    * smallest-id survivor. This is the "keep the cleanest variant"
+    * policy real curation uses: among reformatted copies of a page,
+    * retain the longest / highest-quality one.
+    *
+    * Plan shape matches exactGroups — a single partial+final hash
+    * aggregate on a digest key (map-side combine absorbs hot groups, no
+    * window, no self-join). The argmax rides one BIGINT key,
+    * `score·10⁹ − id`, whose order equals the lexicographic
+    * (score desc, id asc) order whenever 0 ≤ score and id < 10⁹ — a
+    * dialect-portable encoding (DuckDB: `arg_max(id, key)`). */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val key = col(scoreCol).cast("long") * lit(1000000000L) - col(idCol)
+    df.groupBy(md5(norm).as("norm_hash"))
+      .agg(max_by(col(idCol), key).as("kept_doc_id"),
+        count(lit(1)).as("n_variants"),
+        max(col(scoreCol).cast("long")).as("best_score"))
+  }
+
   /** Identical-token-set groups (Jaccard = 1.0 tier): canonical sorted
     * distinct-token digest. */
   def wordSetGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling: the data-quality census a curation pipeline runs
+  * before and after every transform (nulls introduced by a bad join,
+  * cardinality collapse from a bug in a key derivation, out-of-range
+  * values from a schema drift).
+  *
+  * One corpus pass: all per-column statistics are computed in a single
+  * wide aggregate (partial+final, map-side combine) and then unpivoted
+  * driver-free with `stack` — no per-column scan, no shuffle beyond the
+  * one 1-row aggregate exchange.
+  *
+  * Exact `count(DISTINCT ...)` over several columns plans one Expand
+  * (×columns row blowup before the partial aggregate). That is the
+  * gradeable-exact formulation; at 100 TB profile with
+  * `exactDistinct = false`, which swaps in `approx_count_distinct`
+  * (HLL, no Expand, error graded in hll1x) and keeps the pass cheap.
+  */
+object Profile {
+
+  /** Per-column stats of `cols`: value/null counts, distinct count,
+    * min/max rendered as strings. Output: one row per column, ordered
+    * by column name — (column_name, n_values, n_nulls, n_distinct,
+    * min_value, max_value). */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profile: need at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_values, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy("column_name")
+  }
+}

@@ -400,6 +400,51 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), array(outs: _*).as("proj_micro"))
   }
 
+  /** Embedding-space (semantic) decontamination: flags every corpus
+    * vector whose max cosine similarity against a benchmark/eval set
+    * reaches `minCos` — the embedding sibling of the n-gram
+    * decontamination ops (TextOps.decontaminate / bloomDecontaminate),
+    * catching paraphrased eval leakage that exact n-gram overlap
+    * misses.
+    *
+    * Scale shape: a benchmark side is small by construction (eval
+    * suites — thousands of rows, not corpus-scale), so it is collected
+    * once (bounded by `maxBench`, like the IVF centroid and PQ codebook
+    * tables) and folded into the projection as literal vectors. The
+    * corpus is then touched in ONE scan-local pass — no shuffle, no
+    * join, no groupBy: the per-row max over benchmark vectors is a
+    * `greatest` tree of codegen'd `vec_dot` kernels. Zero-norm corpus
+    * rows are dropped before the projection (ANSI: x/0.0 throws).
+    *
+    * Determinism: cosines are exact double chains in benchmark-set
+    * order-independent `max`; `max_sim_bp` rounds once at the end and
+    * the flag compares the raw double against `minCos` — both mirror
+    * DuckDB's `list_dot_product` formulation bit-for-bit. */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, minCos: Double = 0.25,
+      maxBench: Int = 4096): DataFrame = {
+    val benchRows = bench.select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toIndexedSeq)
+    require(benchRows.nonEmpty && benchRows.length <= maxBench,
+      s"semanticDecontam: benchmark set must be 1..$maxBench vectors, " +
+        s"got ${benchRows.length}")
+    val en = withNorm(corpus, idCol, vecCol).filter(col("nrm") > 0)
+    // one literal column per benchmark vector, max'd pairwise; each
+    // benchmark norm is the sqrt of the same sequential self-dot fold
+    // the SQL side runs
+    val csCols = benchRows.map { bv =>
+      val bn = math.sqrt(bv.foldLeft(0.0)((a, x) => a + x * x))
+      call_function("vec_dot",
+        expr("transform(embedding, x -> cast(x as double))"),
+        typedlit(bv)) / (col("nrm") * lit(bn))
+    }
+    val maxCs = csCols.reduce((a, b) => greatest(a, b))
+    en.select(col("vec_id"), maxCs.as("__mx"))
+      .select(col("vec_id"),
+        round(col("__mx") * 10000).cast("bigint").as("max_sim_bp"),
+        (col("__mx") >= minCos).as("contaminated"))
+  }
+
   /** IVF ANN in one call: build the quantizer, then probe + rerank.
     * Repeated query workloads should build [[ivfIndex]] once instead. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,

@@ -1800,6 +1800,82 @@ object PipelineOps {
           thresholdMicro = qcThreshold,
           passthrough = Seq("host", "warc_ok", "url_ok"))
         .orderBy("doc_id")
+    },
+
+    // Column profiling census: one wide partial+final aggregate pass,
+    // unpivoted to a row per column. Exact distincts here (gradeable);
+    // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    QueryDef.views("pf1_profile",
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(doc_id) AS n_values,
+        |         count(*) - count(doc_id) AS n_nulls,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(*) - count(lang),
+        |         CAST(count(DISTINCT lang) AS BIGINT),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(n_chars), count(*) - count(n_chars),
+        |         CAST(count(DISTINCT n_chars) AS BIGINT),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(*) - count(source),
+        |         CAST(count(DISTINCT source) AS BIGINT),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(text), count(*) - count(text),
+        |         CAST(count(DISTINCT text) AS BIGINT),
+        |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        |  FROM documents)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin) { spark =>
+      graft.ops.Profile.profile(spark.table("documents"),
+        Seq("doc_id", "lang", "n_chars", "source", "text"))
+    },
+
+    // Quality-aware dedup: normalization-digest groups keep the
+    // highest-n_chars member (ties → smallest id) via the portable
+    // score·10⁹−id argmax key — one hash aggregate, no window.
+    QueryDef.views("d6_dedup_keep_best",
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |       arg_max(doc_id, n_chars * 1000000000 - doc_id) AS kept_doc_id,
+        |       count(*) AS n_variants,
+        |       CAST(max(n_chars) AS BIGINT) AS best_score
+        |FROM documents GROUP BY 1 ORDER BY kept_doc_id""".stripMargin) { spark =>
+      graft.ops.Dedup.keepBest(spark.table("documents"),
+          "doc_id", "text", "n_chars")
+        .orderBy("kept_doc_id")
+    },
+
+    // Semantic decontamination: max cosine of each corpus vector
+    // against the benchmark subset (vec_id % 50 = 0), flag ≥ 0.25 —
+    // scan-local greatest-of-vec_dot literals, zero shuffle; the
+    // embedding sibling of dc1/dc2.
+    QueryDef.views("dc3_semantic_decontam",
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |  en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |         FROM e),
+        |  b AS (SELECT * FROM en WHERE vec_id % 50 = 0),
+        |  c AS (SELECT * FROM en WHERE vec_id % 50 != 0 AND nrm > 0),
+        |  s AS (SELECT c.vec_id,
+        |          max(list_dot_product(c.v, b.v) / (c.nrm * b.nrm)) AS mx
+        |        FROM c CROSS JOIN b GROUP BY c.vec_id)
+        |SELECT vec_id, CAST(round(mx * 10000) AS BIGINT) AS max_sim_bp,
+        |       mx >= 0.25 AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin) { spark =>
+      val emb = spark.table("embeddings")
+      Similarity.semanticDecontam(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", minCos = 0.25)
+        .orderBy("vec_id")
     }
   )
 }
