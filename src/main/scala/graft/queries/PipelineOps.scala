@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, GraphOps, Layout, Similarity, TextOps, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, Similarity, TextOps, Tokenizer, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -1852,6 +1852,50 @@ object PipelineOps {
           "doc_id", "text", "n_chars")
         .orderBy("kept_doc_id")
     },
+
+    // BPE tokenization, trained and applied on the corpus in the same
+    // plan: train = ONE word-frequency aggregate + driver-local merge
+    // loop on the bounded type lexicon; apply = scan-local codegen
+    // kernel with the merge table as a reference object. Token ids are
+    // model-internal (no DuckDB twin) → rows-only; the graded twin is
+    // tk1x's lossless-roundtrip invariant.
+    QueryDef("tk1_bpe_tokenize", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents")
+      val model = Tokenizer.trainBpe(docs, "text",
+        numMerges = 200, maxWordTypes = 20000)
+      Tokenizer.tokenize(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_tokens"),
+          md5(concat_ws("", col("tokens"))).as("tokens_md5"))
+        .orderBy("doc_id")
+    }, None),
+
+    // The tokenizer's graded invariant: BPE is LOSSLESS — stripping the
+    // </w> markers from the concatenated tokens reconstructs exactly
+    // the lowercased word stream, and the word count survives encoding
+    // (</w> rides in each word's final token). DuckDB recomputes both
+    // from raw text with the same segmentation regex; any defect in
+    // training, the merge table, or the apply kernel breaks the hash.
+    QueryDef("tk1x_bpe_roundtrip", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents")
+      val model = Tokenizer.trainBpe(docs, "text",
+        numMerges = 200, maxWordTypes = 20000)
+      Tokenizer.tokenize(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          md5(expr("replace(concat_ws('', tokens), '</w>', '')"))
+            .as("detok_md5"),
+          size(filter(col("tokens"), t => t.endsWith(lit("</w>"))))
+            .cast("bigint").as("n_words"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS w
+        |  FROM documents)
+        |SELECT doc_id, md5(array_to_string(w, '')) AS detok_md5,
+        |       CAST(len(w) AS BIGINT) AS n_words
+        |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Semantic decontamination: max cosine of each corpus vector
     // against the benchmark subset (vec_id % 50 = 0), flag ≥ 0.25 —

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.BpeEncoder
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer semantics: hand-computed merge order on a fixture
+  * lexicon, lossless roundtrip as a generative property, the
+  * open-vocabulary fallback, and the scan-local plan shape of the
+  * apply stage. Corpus-scale oracle parity is graded by the driver
+  * (tk1 rows / tk1x roundtrip vs DuckDB). */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainBpe learns the hand-computed merge order") {
+    // one word type "aaab" (freq 5): pairs (a,a)x2, (a,b), (b,</w>)
+    // rank0 = (a,a) [count 10]; after L→R merge: [aa, a, b, </w>]
+    // rank1: (aa,a), (a,b), (b,</w>) all 5 → lexicographic → (a,b)
+    val df = Seq.fill(5)("aaab").toDF("text")
+    val m = Tokenizer.trainBpe(df, "text", numMerges = 2).merges
+    assert(m == IndexedSeq(("a", "a"), ("a", "b")))
+  }
+
+  test("tokenize fully merges a single-type corpus; plan is scan-local") {
+    val df = Seq.tabulate(5)(i => (i.toLong, "aaab")).toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(df, "text", numMerges = 10)
+    val out = Tokenizer.tokenize(df, "doc_id", "text", model)
+    // enough merges collapse the only word type into one token
+    assert(out.orderBy("doc_id").collect()
+      .forall(_.getSeq[String](1) == Seq("aaab</w>")))
+    // apply is a pure projection: no exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize shuffled:\n$plan")
+  }
+
+  test("open vocabulary: unseen words fall through to characters") {
+    val train = Seq.fill(3)("aa aa").toDF("text")
+    val model = Tokenizer.trainBpe(train, "text", numMerges = 5)
+    val out = Tokenizer.tokenize(
+      Seq((0L, "aa xy")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()(0).getSeq[String](1)
+    // "aa" merged to one token; "xy" has no learned merges → chars
+    assert(out == Seq("aa</w>", "x", "y", "</w>"))
+  }
+
+  test("roundtrip is lossless over generated ASCII text (incl. literal </w>)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordish = Gen.oneOf("the", "of", "and", "data", "spark", "bpe",
+      "aaab", "x1", "</w>", "a.b,c!", "don't", " ", "  ", "\t")
+    val textGen = Gen.listOf(wordish).map(_.mkString(" "))
+    val texts = Gen.listOfN(200, textGen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Tokenizer.trainBpe(df, "text", numMerges = 60)
+    val got = Tokenizer.tokenize(df, "doc_id", "text", model)
+      .select($"doc_id",
+        expr("replace(concat_ws('', tokens), '</w>', '')").as("detok"),
+        size(filter($"tokens", t => t.endsWith(lit("</w>"))))
+          .as("n_words"))
+      .orderBy("doc_id").collect()
+    val re = BpeEncoder.WordPattern.r
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = re.findAllIn(t.toLowerCase).toSeq
+      assert(got(i).getString(1) == words.mkString(""),
+        s"roundtrip broke on ${t.take(40)}")
+      assert(got(i).getInt(2) == words.size)
+    }
+  }
+
+  test("training is invariant to corpus partitioning") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m1 = Tokenizer.trainBpe(docs, "text", numMerges = 40)
+    val m2 = Tokenizer.trainBpe(docs.repartition(13), "text", numMerges = 40)
+    assert(m1 == m2)
+  }
+}
