@@ -55,6 +55,30 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Compacts a written dataset to ~`targetRowsPerFile` rows per file,
+    * keeping it sorted/clustered by `sortCol` — the small-files remedy.
+    * Heavy filtering (dedup, gating) leaves a 100 TB corpus as millions
+    * of KB-sized parquet files whose per-file open/footer overhead
+    * dominates every later scan and whose task count swamps the
+    * scheduler; periodic compaction to fat files restores scan
+    * efficiency and keeps min/max pruning sharp (range partitioning →
+    * disjoint per-file key ranges).
+    *
+    * Cost: one metadata-cheap count (parquet footers — no data read),
+    * then ONE range-repartition pass of the data. Returns a reader
+    * over the compacted layout. */
+  def compactTo(df: DataFrame, sortCol: String, path: String,
+      targetRowsPerFile: Long): DataFrame = {
+    require(targetRowsPerFile > 0, "compactTo: targetRowsPerFile must be > 0")
+    val n = df.count()
+    val files = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Per-file min/max of a column in a written dataset — the pruning
     * telemetry for [[clusteredWrite]] (disjoint per-file z-ranges =
     * min/max stats actually prune). */

@@ -86,4 +86,31 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compactTo heals a small-files layout: file count, content, ranges") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val shattered = tmpDir("graft_shatter")
+    docs.repartition(64).write.mode("overwrite").parquet(shattered)
+    val before = spark.read.parquet(shattered)
+    assert(before.inputFiles.length >= 32, "fixture not shattered")
+
+    val dir = tmpDir("graft_compact")
+    val n = before.count()
+    val target = 20L
+    val back = Layout.compactTo(before, "doc_id", dir, target)
+    // ceil(n/target) fat files instead of 64 shards
+    val expectFiles = ((n + target - 1) / target).toInt
+    assert(back.inputFiles.length == expectFiles,
+      s"got ${back.inputFiles.length} files, want $expectFiles")
+    // content survives bit for bit
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // clustering restored: per-file doc_id ranges are disjoint, so
+    // min/max stats prune point lookups to one file again
+    val ranges = Layout.fileRanges(back, "doc_id").orderBy("lo").collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) < b.getLong(1))
+      case _ =>
+    }
+  }
 }
