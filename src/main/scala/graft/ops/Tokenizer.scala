@@ -35,11 +35,20 @@ import graft.functions.BpeEncoder
   */
 object Tokenizer {
 
-  /** A trained merge table, in learn order (rank = index). */
-  final case class BpeModel(merges: IndexedSeq[(String, String)]) {
-    /** Token vocabulary closure: single chars seen at train time enter
-      * implicitly (open vocabulary); these are the learned additions. */
+  /** A trained merge table (learn order = rank) plus the base symbols
+    * (single characters of the training lexicon + the `</w>` marker). */
+  final case class BpeModel(merges: IndexedSeq[(String, String)],
+      baseSymbols: IndexedSeq[String]) {
+    /** Learned multi-char symbols, in rank order. */
     def mergedSymbols: IndexedSeq[String] = merges.map(p => p._1 + p._2)
+
+    /** Token vocabulary with deterministic ids: 0 is reserved for OOV
+      * (`<unk>` — a character the training lexicon never saw), base
+      * symbols follow in lexicographic order, then learned merges in
+      * rank order — the conventional BPE vocab layout, reproducible
+      * from the merge table alone. */
+    def vocab: IndexedSeq[String] =
+      (baseSymbols.sorted ++ mergedSymbols).distinct
   }
 
   /** Distributed word-frequency table — the corpus-scale stage of
@@ -62,6 +71,8 @@ object Tokenizer {
       r.getString(0).map(String.valueOf(_)).toArray :+ BpeEncoder.EndOfWord
     }
     val freqs: Array[Long] = top.map(_.getLong(1))
+    val base = (seqs.iterator.flatten.toSet + BpeEncoder.EndOfWord)
+      .toIndexedSeq.sorted
 
     val merges = IndexedSeq.newBuilder[(String, String)]
     var step = 0
@@ -116,7 +127,7 @@ object Tokenizer {
       }
       step += 1
     }
-    BpeModel(merges.result())
+    BpeModel(merges.result(), base)
   }
 
   /** `tokens` = BPE token array of `textCol` under `model`: lowercases
@@ -128,5 +139,51 @@ object Tokenizer {
     df.select(col(idCol),
       call_function("bpe_encode", lower(col(textCol)),
         typedlit(model.merges.map(p => Seq(p._1, p._2)))).as("tokens"))
+  }
+
+  /** `token_ids` = integer ids of a `tokens` column under the model's
+    * deterministic vocab (OOV → 0). The vocab map rides as a literal
+    * (O(vocab), like the classifier weights in qc1) — scan-local, no
+    * join against a vocab table. */
+  def encodeIds(df: DataFrame, idCol: String, tokensCol: String,
+      model: BpeModel): DataFrame = {
+    val idMap = typedlit(model.vocab.zipWithIndex
+      .map { case (t, i) => t -> (i + 1) }.toMap)
+    df.withColumn("token_ids",
+      transform(col(tokensCol),
+        t => coalesce(try_element_at(idMap, t), lit(0))))
+  }
+
+  /** Inverse of [[encodeIds]]: `tokens` from `token_ids` (id 0 →
+    * literal `<unk>`). `get()` is the 0-based ANSI-safe indexing.
+    * Other columns pass through (both codecs are projections). */
+  def decodeIds(df: DataFrame, idCol: String, idsCol: String,
+      model: BpeModel): DataFrame = {
+    val vocabArr = typedlit("<unk>" +: model.vocab)
+    df.withColumn("tokens", transform(col(idsCol), i => get(vocabArr, i)))
+  }
+
+  /** Persists a model as a tiny parquet table (rank, a, b; base symbols
+    * as rank −1 rows) — train once on the 100 TB corpus, apply from any
+    * later job. */
+  def saveModel(model: BpeModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = model.baseSymbols.map(s => (-1, s, "")) ++
+      model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+    rows.toDF("rank", "a", "b").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reloads a [[saveModel]] table. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "a", "b").collect()
+    val base = rows.filter(_.getInt(0) < 0).map(_.getString(1))
+      .toIndexedSeq.sorted
+    val merges = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    BpeModel(merges, base)
   }
 }

@@ -1897,6 +1897,34 @@ object PipelineOps {
         |       CAST(len(w) AS BIGINT) AS n_words
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // The id-space roundtrip: tokens → deterministic vocab ids →
+    // tokens → detokenized text. Grades the vocab BIJECTION on top of
+    // tk1x's merge-table invariant (an id collision, OOV leak, or
+    // off-by-one in the id codec breaks the hash or the flag).
+    QueryDef("tk2_bpe_ids", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents")
+      val model = Tokenizer.trainBpe(docs, "text",
+        numMerges = 200, maxWordTypes = 20000)
+      val ids = Tokenizer.encodeIds(
+          Tokenizer.tokenize(docs, "doc_id", "text", model),
+          "doc_id", "tokens", model)
+        .withColumn("has_oov", array_contains(col("token_ids"), 0))
+        .drop("tokens")
+      Tokenizer.decodeIds(ids, "doc_id", "token_ids", model)
+        .select(col("doc_id"),
+          md5(expr("replace(concat_ws('', tokens), '</w>', '')"))
+            .as("detok_md5"),
+          col("has_oov"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS w
+        |  FROM documents)
+        |SELECT doc_id, md5(array_to_string(w, '')) AS detok_md5,
+        |       false AS has_oov
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Semantic decontamination: max cosine of each corpus vector
     // against the benchmark subset (vec_id % 50 = 0), flag ≥ 0.25 —
     // scan-local greatest-of-vec_dot literals, zero shuffle; the

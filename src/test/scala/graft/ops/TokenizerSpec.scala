@@ -69,6 +69,39 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("id codec is a bijection on the vocab; OOV maps to 0/<unk>") {
+    val df = Seq.fill(4)("ab ab ba").toDF("text")
+    val model = Tokenizer.trainBpe(df, "text", numMerges = 8)
+    // every vocab token id-roundtrips; ids are 1..|vocab| densely
+    val vocabDf = model.vocab.zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq(t)) }.toDF("doc_id", "tokens")
+    val round = Tokenizer.decodeIds(
+      Tokenizer.encodeIds(vocabDf, "doc_id", "tokens", model)
+        .withColumnRenamed("tokens", "orig"),
+      "doc_id", "token_ids", model)
+      .select($"doc_id", $"orig" (0).as("before"), $"tokens" (0).as("after"),
+        $"token_ids" (0).as("id"))
+      .collect()
+    round.foreach { r =>
+      assert(r.getString(1) == r.getString(2))
+      assert(r.getInt(3) == r.getLong(0) + 1)
+    }
+    // a token the lexicon never saw → id 0 → <unk>
+    val oov = Tokenizer.decodeIds(
+      Tokenizer.encodeIds(Seq((0L, Seq("zq"))).toDF("doc_id", "tokens"),
+        "doc_id", "tokens", model), "doc_id", "token_ids", model)
+      .collect()(0)
+    assert(oov.getSeq[String](1) == Seq("<unk>") && oov.getSeq[Int](2) == Seq(0))
+  }
+
+  test("saveModel/loadModel roundtrips the model exactly") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val model = Tokenizer.trainBpe(docs, "text", numMerges = 50)
+    val dir = tmpDir("graft_bpe_model")
+    Tokenizer.saveModel(model, spark, dir)
+    assert(Tokenizer.loadModel(spark, dir) == model)
+  }
+
   test("training is invariant to corpus partitioning") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val m1 = Tokenizer.trainBpe(docs, "text", numMerges = 40)
