@@ -460,6 +460,50 @@ object TextOps {
     * The cumulative sum serializes WITHIN a stream, so parallelism =
     * number of streams — `shards` fans each stratum out (default 8;
     * raise it so streams ~ executor cores at the target scale). */
+  /** Materializes PACKED training rows from a tokens column: documents
+    * are laid head-to-tail per shard (deterministic id order), cut into
+    * fixed `budget`-token windows, and each window's tokens are
+    * reassembled in order — the step after [[packSequences]]'s window
+    * ASSIGNMENT, producing the actual `input_ids`-shaped rows a trainer
+    * consumes. `doc_ids` per window are the attention-boundary
+    * metadata (which documents contribute to each packed sequence).
+    *
+    * Works over any tokens column — whitespace words (bt1's
+    * DuckDB-gradeable granularity) or [[Tokenizer]] BPE ids (the
+    * production path; structure spec-pinned in TokenizerSpec).
+    *
+    * Scale shape: one window cumsum per shard (shards bound the window
+    * partitions; within a shard the scan stays clustered on id), then
+    * ONE exchange of the exploded tokens keyed on (shard, window) —
+    * balanced by construction, every window is exactly `budget` tokens
+    * except each shard's tail. The reassembly aggregate sorts each
+    * window's ≤`budget` (gpos, token) pairs locally — bounded memory,
+    * no global sort. */
+  def assembleSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long = 2048, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0,
+      s"assembleSequences: need budget > 0 and shards > 0, got $budget/$shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = df
+      .select(col(idCol), pmod(col(idCol), lit(shards)).cast("bigint")
+        .as("shard"), col(tokensCol).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("bigint"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+    base
+      .select(col(idCol), col("shard"), col("__off"),
+        posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .withColumn("__gpos", col("__off") + col("__p"))
+      .groupBy(col("shard"),
+        floor(col("__gpos") / budget).cast("bigint").as("window_id"))
+      .agg(
+        transform(array_sort(collect_list(
+            struct(col("__gpos"), col("__tok")))),
+          s => s.getField("__tok")).as("tokens"),
+        sort_array(collect_set(col(idCol))).as("doc_ids"))
+      .withColumn("n_tokens", size(col("tokens")).cast("bigint"))
+  }
+
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       strataCol: String, budget: Long = 2048, shards: Int = 8): DataFrame = {
     require(budget > 0 && shards > 0,

@@ -1897,6 +1897,43 @@ object PipelineOps {
         |       CAST(len(w) AS BIGINT) AS n_words
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Packed-sequence assembly graded content-for-content: documents
+    // laid head-to-tail per shard, cut into 64-token windows, window
+    // contents md5'd in order plus the doc-boundary metadata. Word
+    // granularity here so DuckDB can rebuild every window
+    // independently; the BPE-id production path is the same op
+    // (structure spec-pinned in TokenizerSpec).
+    QueryDef.views("bt1_batch_assembly",
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |             list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  n AS (SELECT doc_id, shard, w, CAST(len(w) AS BIGINT) AS n FROM d),
+        |  o AS (SELECT doc_id, shard, w, n,
+        |          COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS off
+        |        FROM n),
+        |  e AS (SELECT doc_id, shard, off,
+        |          unnest(list_transform(w, (x, i) -> {'tok': x, 'i': i})) AS u
+        |        FROM o),
+        |  f AS (SELECT doc_id, shard, off + u.i - 1 AS gpos, u.tok AS tok
+        |        FROM e)
+        |SELECT shard, CAST(gpos // 64 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+      TextOps.assembleSequences(docs, "doc_id", "words",
+          budget = 64, shards = 8)
+        .select(col("shard"), col("window_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("seq_md5"),
+          size(col("doc_ids")).cast("bigint").as("n_docs"))
+        .orderBy("shard", "window_id")
+    },
+
     // The id-space roundtrip: tokens → deterministic vocab ids →
     // tokens → detokenized text. Grades the vocab BIJECTION on top of
     // tk1x's merge-table invariant (an id collision, OOV leak, or

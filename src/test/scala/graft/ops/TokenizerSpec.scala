@@ -102,6 +102,30 @@ class TokenizerSpec extends SparkSpec {
     assert(Tokenizer.loadModel(spark, dir) == model)
   }
 
+  test("assembleSequences packs BPE ids into full windows, conserving tokens") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val model = Tokenizer.trainBpe(docs, "text", numMerges = 60)
+    val ids = Tokenizer.encodeIds(
+      Tokenizer.tokenize(docs, "doc_id", "text", model),
+      "doc_id", "tokens", model)
+    val budget = 128L
+    val packed = TextOps.assembleSequences(ids, "doc_id", "token_ids",
+      budget = budget, shards = 4)
+    // conservation: every token lands in exactly one window
+    val totalIn = ids.select(sum(size($"token_ids"))).collect()(0).getLong(0)
+    val totalOut = packed.select(sum($"n_tokens")).collect()(0).getLong(0)
+    assert(totalIn == totalOut)
+    // every window is exactly `budget` tokens except each shard's tail
+    val tails = packed.groupBy("shard")
+      .agg(max("window_id").as("tail")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    packed.collect().foreach { r =>
+      val (sh, win, n) = (r.getLong(0), r.getLong(1), r.getLong(4))
+      if (win < tails(sh)) assert(n == budget, s"short window $sh/$win: $n")
+      else assert(n <= budget)
+    }
+  }
+
   test("training is invariant to corpus partitioning") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val m1 = Tokenizer.trainBpe(docs, "text", numMerges = 40)
