@@ -23,7 +23,9 @@ object DumpPlans {
     "pr1_pagerank", "rt1_bm25_retrieval", "da1_domain_authority",
     "qc1_classifier_gate", "rp1_project_vectors", "js1_jsonl_roundtrip",
     "x7_compression", "wa1_warc_parse", "wf1_url_filter",
-    "ht1_html_extract", "wp1_web_pipeline")
+    "ht1_html_extract", "wp1_web_pipeline", "pf1_profile",
+    "d6_dedup_keep_best", "dc3_semantic_decontam", "tk1_bpe_tokenize",
+    "tk2_bpe_ids", "bt1_batch_assembly")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
