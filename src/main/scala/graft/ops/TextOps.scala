@@ -75,6 +75,24 @@ object TextOps {
           .otherwise("test"))
   }
 
+  /** Group-coherent (leakage-safe) split: the bucket is hashed from
+    * `groupCol` — a domain, a source, a dup-cluster id — so every
+    * member of a group lands in the SAME split. This is the assignment
+    * real eval hygiene needs: near-duplicate or same-site documents
+    * split by per-document hash ([[assignSplit]]) leak train content
+    * into test; hashing the group closes that channel. Scan-local, no
+    * shuffle; same portable per-mille bucket formula. */
+  def assignSplitByGroup(df: DataFrame, idCol: String, groupCol: String,
+      trainPm: Int = 900, valPm: Int = 50): DataFrame = {
+    require(trainPm + valPm < 1000, "train + val must leave room for test")
+    df.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
+        expr(pmBucketSql(s"md5(CAST($groupCol AS STRING))")).as("pm_bucket"))
+      .withColumn("split",
+        when(col("pm_bucket") < trainPm, "train")
+          .when(col("pm_bucket") < trainPm + valPm, "val")
+          .otherwise("test"))
+  }
+
   /** Dialect-portable per-mille bucket of a lowercase-hex expression. */
   def pmBucketSql(hexExpr: String): String = {
     val digit = (i: Int) =>

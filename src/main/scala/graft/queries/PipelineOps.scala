@@ -977,6 +977,21 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Group-coherent (leakage-safe) split: bucket hashed from the
+    // GROUP (source), so same-site/near-dup members can never straddle
+    // train/test. Same portable bucket formula as sp1.
+    QueryDef.views("sp2_split_by_group",
+      s"""SELECT doc_id, source AS group_key,
+         |  ${TextOps.pmBucketSql("md5(source)")} AS pm_bucket,
+         |  CASE WHEN ${TextOps.pmBucketSql("md5(source)")} < 600 THEN 'train'
+         |       WHEN ${TextOps.pmBucketSql("md5(source)")} < 800 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.assignSplitByGroup(spark.table("documents"), "doc_id",
+          "source", trainPm = 600, valPm = 200)
+        .orderBy("doc_id")
+    },
+
     // Deterministic content-hash sampling.
     QueryDef.views("sm1_det_sample",
       """SELECT doc_id, lang FROM documents

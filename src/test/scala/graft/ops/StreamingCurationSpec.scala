@@ -133,6 +133,61 @@ class StreamingCurationSpec extends SparkSpec {
       batch.select("doc_id", "z_value")).count() == 0)
   }
 
+  test("BPE tokenize + id encode run over a file stream (stateless lift)") {
+    // the train-once/apply-forever split: the model is a batch artifact,
+    // the apply is a pure projection — so a crawl ingest stream can
+    // tokenize continuously with no state and no re-training
+    val dir = tmpDir("bpe-docs")
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    src.write.mode("overwrite").parquet(dir)
+    val model = Tokenizer.trainBpe(src, "text", numMerges = 40)
+
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val ids = Tokenizer.encodeIds(
+      Tokenizer.tokenize(stream, "doc_id", "text", model),
+      "doc_id", "tokens", model)
+    val q = ids.writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream")
+      .option("checkpointLocation", tmpDir("bpe-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("bpe_stream")
+      .select(sum(size(col("token_ids")))).collect()(0).getLong(0)
+    val batch = Tokenizer.encodeIds(
+      Tokenizer.tokenize(src, "doc_id", "text", model),
+      "doc_id", "tokens", model)
+      .select(sum(size(col("token_ids")))).collect()(0).getLong(0)
+    assert(streamed == batch && streamed > 0)
+  }
+
+  test("semantic decontamination runs over an embedding stream") {
+    val dir = tmpDir("sem-vecs")
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    src.write.mode("overwrite").parquet(dir)
+    val bench = src.filter(col("vec_id") % 50 === 0)
+
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val marked = Similarity.semanticDecontam(
+      stream.filter(col("vec_id") % 50 =!= 0), bench,
+      "vec_id", "embedding", minCos = 0.25)
+    val q = marked.writeStream.outputMode("append")
+      .format("memory").queryName("sem_stream")
+      .option("checkpointLocation", tmpDir("sem-ckpt"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sem_stream")
+    val want = Similarity.semanticDecontam(
+      src.filter(col("vec_id") % 50 =!= 0), bench,
+      "vec_id", "embedding", minCos = 0.25)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.filter(col("contaminated")).count() ==
+      want.filter(col("contaminated")).count())
+  }
+
   test("native sketches aggregate over a stream (state-store merge path)") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmpDir("stream-docs-sk")
