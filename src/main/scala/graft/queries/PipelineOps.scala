@@ -1912,6 +1912,64 @@ object PipelineOps {
         |       CAST(len(w) AS BIGINT) AS n_words
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // The composed PRETRAINING pipeline, graded end to end (cp1/wp1's
+    // pattern for the training-batch tier): quality gate → keep-best
+    // normalization dedup → per-shard packed-sequence assembly, window
+    // contents hashed. DuckDB independently rebuilds every stage —
+    // a defect in any gate, the argmax key, the survivor set, the
+    // shard layout, or the window reassembly breaks the hash. Word
+    // granularity so the oracle can rebuild windows; swapping in the
+    // BPE-id tokens column is the same plan (TokenizerSpec).
+    QueryDef.views("tp1_pretrain_pipeline",
+      """WITH gated AS (SELECT doc_id, text, n_chars FROM documents
+        |    WHERE n_chars >= 100 AND
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |        x -> len(x) > 0)) AS BIGINT) >= 20),
+        |  best AS (SELECT arg_max(doc_id, n_chars * 1000000000 - doc_id)
+        |             AS doc_id
+        |           FROM gated
+        |           GROUP BY md5(trim(regexp_replace(regexp_replace(
+        |             lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),
+        |  kept AS (SELECT g.doc_id, g.text
+        |           FROM gated g JOIN best b ON g.doc_id = b.doc_id),
+        |  d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |        FROM kept),
+        |  n AS (SELECT doc_id, shard, w, CAST(len(w) AS BIGINT) AS n FROM d),
+        |  o AS (SELECT doc_id, shard, w, n,
+        |          COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS off
+        |        FROM n),
+        |  e AS (SELECT doc_id, shard, off,
+        |          unnest(list_transform(w, (x, i) -> {'tok': x, 'i': i})) AS u
+        |        FROM o),
+        |  f AS (SELECT doc_id, shard, off + u.i - 1 AS gpos, u.tok AS tok
+        |        FROM e)
+        |SELECT shard, CAST(gpos // 64 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val gatedIds = TextOps.quality(docs, "doc_id", "text", "n_chars",
+          Seq("the", "and", "of", "to", "a", "in", "is"))
+        .filter(col("quality_ok")).select("doc_id")
+      val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+      val keptIds = graft.ops.Dedup.keepBest(gated, "doc_id", "text",
+          "n_chars")
+        .select(col("kept_doc_id").as("doc_id"))
+      val kept = gated.join(keptIds, Seq("doc_id"), "left_semi")
+      val words = kept.select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+      TextOps.assembleSequences(words, "doc_id", "words",
+          budget = 64, shards = 8)
+        .select(col("shard"), col("window_id"), col("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("seq_md5"),
+          size(col("doc_ids")).cast("bigint").as("n_docs"))
+        .orderBy("shard", "window_id")
+    },
+
     // Packed-sequence assembly graded content-for-content: documents
     // laid head-to-tail per shard, cut into 64-token windows, window
     // contents md5'd in order plus the doc-boundary metadata. Word

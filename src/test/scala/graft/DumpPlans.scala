@@ -25,7 +25,8 @@ object DumpPlans {
     "x7_compression", "wa1_warc_parse", "wf1_url_filter",
     "ht1_html_extract", "wp1_web_pipeline", "pf1_profile",
     "d6_dedup_keep_best", "dc3_semantic_decontam", "tk1_bpe_tokenize",
-    "tk2_bpe_ids", "bt1_batch_assembly")
+    "tk2_bpe_ids", "bt1_batch_assembly", "tp1_pretrain_pipeline",
+    "sp2_split_by_group")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
