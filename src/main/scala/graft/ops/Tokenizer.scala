@@ -73,61 +73,98 @@ object Tokenizer {
     val freqs: Array[Long] = top.map(_.getLong(1))
     val base = (seqs.iterator.flatten.toSet + BpeEncoder.EndOfWord)
       .toIndexedSeq.sorted
+    BpeModel(mergeLoop(seqs, freqs, numMerges), base)
+  }
 
-    val merges = IndexedSeq.newBuilder[(String, String)]
+  /** The driver-local merge loop, INCREMENTAL (Sennrich's trick): pair
+    * counts and a pair→words occurrence index are built once; each
+    * merge then re-counts only the words that actually contain the
+    * merged pair, so a merge costs O(affected words), not O(lexicon) —
+    * the difference between a 200-merge toy vocab and a realistic
+    * 32k–100k-merge vocab on the same driver. The argmax rides a lazy
+    * max-heap (stale entries skipped on pop, deterministic
+    * (count desc, pair asc) order).
+    *
+    * Semantics are EXACTLY the naive recount-every-step loop
+    * (TokenizerSpec pins equality against a reference implementation):
+    * adjacent pairs counted with overlap, merges applied left-to-right
+    * non-overlapping, ties to the lexicographically smallest pair,
+    * stop below weighted count 2. */
+  private def mergeLoop(seqs: Array[Array[String]], freqs: Array[Long],
+      numMerges: Int): IndexedSeq[(String, String)] = {
+    type Pair = (String, String)
+    val stats = mutable.HashMap.empty[Pair, Long]
+    val where = mutable.HashMap.empty[Pair, mutable.Set[Int]]
+    // max-heap: highest count first, ties → smallest pair
+    val heapOrd: Ordering[(Long, Pair)] = (x, y) => {
+      val c = java.lang.Long.compare(x._1, y._1)
+      if (c != 0) c else implicitly[Ordering[Pair]].compare(y._2, x._2)
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Pair)](heapOrd)
+
+    def touch(i: Int, sign: Long): Unit = {
+      val s = seqs(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = stats.getOrElse(p, 0L) + sign * freqs(i)
+        if (c <= 0L) stats.remove(p)
+        else {
+          stats.update(p, c)
+          // every live count needs a heap snapshot — including counts
+          // LOWERED by a retract, whose old (higher) entries are now
+          // stale and will be skipped at pop
+          heap.enqueue((c, p))
+          if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+    }
+    seqs.indices.foreach(touch(_, 1L))
+
+    val merges = IndexedSeq.newBuilder[Pair]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
-      val counts = mutable.HashMap.empty[(String, String), Long]
-      var i = 0
-      while (i < seqs.length) {
-        val s = seqs(i)
-        var j = 0
-        while (j < s.length - 1) {
-          val p = (s(j), s(j + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + freqs(i))
-          j += 1
-        }
-        i += 1
-      }
-      // deterministic argmax: highest weighted count, ties to the
-      // lexicographically smallest pair (map order never observed)
-      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
-        case (acc, (p, c)) => acc match {
-          case Some((bp, bc)) if bc > c || (bc == c &&
-            implicitly[Ordering[(String, String)]].lteq(bp, p)) => acc
-          case _ => Some((p, c))
-        }
+      // pop stale entries until the top reflects a live count
+      var best: Option[(Long, Pair)] = None
+      while (best.isEmpty && heap.nonEmpty) {
+        val (c, p) = heap.dequeue()
+        if (stats.get(p).contains(c)) best = Some((c, p))
       }
       best match {
-        case Some(((a, b), c)) if c >= 2 =>
-          merges += ((a, b))
-          var i2 = 0
-          while (i2 < seqs.length) {
-            val s = seqs(i2)
-            var changed = false
+        case Some((c, p @ (a, b))) if c >= 2L =>
+          merges += p
+          // only words indexed under p can contain it; entries may be
+          // stale (pair gone after earlier merges) — touch() recounts
+          // them away harmlessly since the adjacency test re-checks
+          val candidates = where.remove(p).getOrElse(mutable.Set.empty)
+          candidates.toArray.sorted.foreach { i =>
+            val s = seqs(i)
+            var has = false
             var j = 0
-            while (!changed && j < s.length - 1) {
-              changed = s(j) == a && s(j + 1) == b
+            while (!has && j < s.length - 1) {
+              has = s(j) == a && s(j + 1) == b
               j += 1
             }
-            if (changed) {
-              val next = mutable.ArrayBuffer.empty[String]
+            if (has) {
+              touch(i, -1L) // retract the word's old pair counts
+              val next = new mutable.ArrayBuffer[String](s.length)
               var k = 0
               while (k < s.length) {
                 if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
-                  next += a + b; k += 2
+                  next += a + b; k += 2 // L→R non-overlapping
                 } else { next += s(k); k += 1 }
               }
-              seqs(i2) = next.toArray
+              seqs(i) = next.toArray
+              touch(i, 1L) // add the merged word's pair counts
             }
-            i2 += 1
           }
         case _ => exhausted = true // no pair worth a vocab slot
       }
       step += 1
     }
-    BpeModel(merges.result(), base)
+    merges.result()
   }
 
   /** `tokens` = BPE token array of `textCol` under `model`: lowercases

@@ -126,6 +126,58 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  /** Naive recount-every-merge BPE reference (the textbook loop): the
+    * incremental production trainer must reproduce it exactly. */
+  private def naiveMerges(words: Seq[(String, Long)],
+      numMerges: Int): IndexedSeq[(String, String)] = {
+    var seqs: Array[(Array[String], Long)] = words.toArray.map { case (w, f) =>
+      (w.map(String.valueOf(_)).toArray :+ graft.functions.BpeEncoder.EndOfWord, f)
+    }
+    val out = IndexedSeq.newBuilder[(String, String)]
+    var step = 0
+    var go = true
+    while (step < numMerges && go) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, f) <- seqs; j <- 0 until s.length - 1)
+        counts.update((s(j), s(j + 1)), counts.getOrElse((s(j), s(j + 1)), 0L) + f)
+      val live = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }
+      if (live.isEmpty || live.head._2 < 2) go = false
+      else {
+        val (a, b) = live.head._1
+        out += ((a, b))
+        seqs = seqs.map { case (s, f) =>
+          val next = scala.collection.mutable.ArrayBuffer.empty[String]
+          var k = 0
+          while (k < s.length) {
+            if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
+              next += a + b; k += 2
+            } else { next += s(k); k += 1 }
+          }
+          (next.toArray, f)
+        }
+      }
+      step += 1
+    }
+    out.result()
+  }
+
+  test("incremental trainer equals the naive reference loop") {
+    // the real corpus lexicon…
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val lex = Tokenizer.wordCounts(docs, "text")
+      .orderBy(desc("freq"), asc("word")).limit(20000).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = Tokenizer.trainBpe(docs, "text", numMerges = 120).merges
+    assert(fast == naiveMerges(lex, 120))
+    // …and adversarial tie/overlap shapes (runs, palindromic pairs)
+    val tricky = Seq("aaaa" -> 3L, "aaab" -> 3L, "abab" -> 2L,
+      "bbba" -> 2L, "zz" -> 5L, "z" -> 7L)
+    val df = tricky.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .toDF("text")
+    assert(Tokenizer.trainBpe(df, "text", numMerges = 30).merges ==
+      naiveMerges(tricky, 30))
+  }
+
   test("training is invariant to corpus partitioning") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val m1 = Tokenizer.trainBpe(docs, "text", numMerges = 40)
