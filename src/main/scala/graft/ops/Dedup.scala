@@ -113,6 +113,23 @@ object Dedup {
         max(col(scoreCol).cast("long")).as("best_score"))
   }
 
+  /** [[keepBest]] returning the full SURVIVING ROWS (id + the
+    * `carry` columns of each group's winner) instead of the group
+    * summary — the form a pipeline composes with: gate → keepBestRows
+    * → downstream, corpus scanned once. The winner's payload rides the
+    * aggregation buffer (`max_by` of the row struct — one candidate
+    * row per group per partial buffer, map-side combine absorbs dup
+    * groups), so no join back against a second scan. */
+  def keepBestRows(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, carry: Seq[String]): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val key = col(scoreCol).cast("long") * lit(1000000000L) - col(idCol)
+    df.groupBy(md5(norm).as("__norm_hash"))
+      .agg(max_by(struct(col(idCol) +: carry.map(col): _*), key).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Identical-token-set groups (Jaccard = 1.0 tier): canonical sorted
     * distinct-token digest. */
   def wordSetGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

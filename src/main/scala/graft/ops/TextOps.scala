@@ -175,17 +175,21 @@ object TextOps {
     * and a simple accept flag. */
   def quality(df: DataFrame, idCol: String, textCol: String,
       nCharsCol: String, stopwords: Seq[String],
-      minChars: Int = 100, minTokens: Int = 20): DataFrame = {
+      minChars: Int = 100, minTokens: Int = 20,
+      passthrough: Seq[String] = Nil): DataFrame = {
     val nTokens = size(toks(textCol)).cast("bigint")
     val nStop = size(regexp_extract_all(col(textCol),
       lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0))).cast("bigint")
-    df.select(col(idCol), col(nCharsCol),
-      nTokens.as("n_tokens"),
+    // passthrough keeps gate composition scan-local: downstream stages
+    // filter on quality_ok and keep working on the SAME rows, instead
+    // of semi-joining the id set back against a second corpus scan
+    df.select(col(idCol) +: col(nCharsCol) +: passthrough.map(col) :+
+      nTokens.as("n_tokens") :+
       size(regexp_extract_all(col(textCol), lit("[.,!?;:]"), lit(0)))
-        .cast("bigint").as("n_punct"),
-      nStop.as("n_stop"),
-      floor((nStop * 100) / nTokens).cast("bigint").as("stop_pct"),
-      (col(nCharsCol) >= minChars && nTokens >= minTokens).as("quality_ok"))
+        .cast("bigint").as("n_punct") :+
+      nStop.as("n_stop") :+
+      floor((nStop * 100) / nTokens).cast("bigint").as("stop_pct") :+
+      (col(nCharsCol) >= minChars && nTokens >= minTokens).as("quality_ok"): _*)
   }
 
   /** Whitespace + BPE-ish regex token counts. */

@@ -1951,15 +1951,18 @@ object PipelineOps {
         |  md5(string_agg(tok, ' ' ORDER BY gpos)) AS seq_md5,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      // ONE corpus scan: passthrough gate (scan-local filter), then the
+      // keep-best winner rows ride the dedup aggregate's buffer — no
+      // semi-join back against a second scan (at 100 TB the gated id
+      // set is corpus-sized: un-broadcastable, so id-join gating would
+      // cost two extra shuffles and two extra scans)
       val docs = spark.table("documents")
-      val gatedIds = TextOps.quality(docs, "doc_id", "text", "n_chars",
-          Seq("the", "and", "of", "to", "a", "in", "is"))
-        .filter(col("quality_ok")).select("doc_id")
-      val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
-      val keptIds = graft.ops.Dedup.keepBest(gated, "doc_id", "text",
-          "n_chars")
-        .select(col("kept_doc_id").as("doc_id"))
-      val kept = gated.join(keptIds, Seq("doc_id"), "left_semi")
+      val gated = TextOps.quality(docs, "doc_id", "text", "n_chars",
+          Seq("the", "and", "of", "to", "a", "in", "is"),
+          passthrough = Seq("text"))
+        .filter(col("quality_ok"))
+      val kept = graft.ops.Dedup.keepBestRows(gated, "doc_id", "text",
+        "n_chars", carry = Seq("text"))
       val words = kept.select(col("doc_id"),
         expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
       TextOps.assembleSequences(words, "doc_id", "words",

@@ -29,6 +29,17 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
+  test("tp1 composition is single-scan: no joins, one corpus read") {
+    // the gate passes through and the keep-best winner rides the
+    // aggregate buffer — at 100 TB an id-semi-join gate would re-scan
+    // the corpus and shuffle an un-broadcastable id set
+    val plan = SparkEntry.queries("tp1_pretrain_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"tp1 gained a join:\n$plan")
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans == 1, s"tp1 scans the corpus $scans times:\n$plan")
+  }
+
   test("no query in the inventory plans a CartesianProduct") {
     // Global plan guard: the documented diagnostics (e1/ec1 exact
     // paths) run bounded broadcast nested loops, never an unbounded
