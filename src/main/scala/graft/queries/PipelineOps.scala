@@ -1492,11 +1492,13 @@ object PipelineOps {
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
         |FROM quota WHERE rn <= 40
         |GROUP BY lang ORDER BY lang""".stripMargin) { spark =>
+      // single corpus scan: passthrough gate, keep-first winner rides
+      // the dedup aggregate buffer (same shape as tp1)
       val docs = spark.table("documents")
-      val gatedIds = TextOps.quality(docs, "doc_id", "text", "n_chars",
-          Seq("the", "and", "of", "to", "a", "in", "is"))
-        .filter(col("quality_ok")).select("doc_id")
-      val gated = docs.join(gatedIds, Seq("doc_id"), "left_semi")
+      val gated = TextOps.quality(docs, "doc_id", "text", "n_chars",
+          Seq("the", "and", "of", "to", "a", "in", "is"),
+          passthrough = Seq("text", "lang"))
+        .filter(col("quality_ok"))
       val kept = gated.groupBy(md5(col("text")).as("__h"))
         .agg(min_by(struct(col("doc_id"), col("lang"), col("n_chars")),
           col("doc_id")).as("r"))
