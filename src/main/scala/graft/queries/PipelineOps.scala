@@ -2040,6 +2040,47 @@ object PipelineOps {
         |       false AS has_oov
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Unigram-LM (SentencePiece-family) tokenization — the second
+    // industry-standard tokenizer family, same scalable shape as BPE:
+    // lexicon aggregate → driver EM → scan-local Viterbi kernel.
+    // Piece ids are model-internal → rows-only; graded twin is ug1x.
+    QueryDef("ug1_unigram_tokenize", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents")
+      val model = Tokenizer.trainUnigram(docs, "text", vocabSize = 2000)
+      Tokenizer.tokenizeUnigram(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("bigint").as("n_pieces"),
+          md5(concat_ws("", col("tokens"))).as("pieces_md5"))
+        .orderBy("doc_id")
+    }, None),
+
+    // Unigram losslessness + structural bounds, graded: concat(pieces)
+    // must reconstruct the lowercased word stream exactly (Viterbi is
+    // total — chars never pruned, OOV floor), and the piece count must
+    // sit inside [ceil(chars/8), chars]. DuckDB recomputes the stream
+    // and the bounds from raw text.
+    QueryDef("ug1x_unigram_roundtrip", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents")
+      val model = Tokenizer.trainUnigram(docs, "text", vocabSize = 2000)
+      Tokenizer.tokenizeUnigram(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          md5(concat_ws("", col("tokens"))).as("detok_md5"),
+          (size(col("tokens")).cast("bigint") <=
+            length(concat_ws("", col("tokens"))).cast("bigint") &&
+           size(col("tokens")).cast("bigint") * 8 >=
+            length(concat_ws("", col("tokens"))).cast("bigint"))
+            .as("bounds_ok"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS w
+        |  FROM documents)
+        |SELECT doc_id, md5(array_to_string(w, '')) AS detok_md5,
+        |       true AS bounds_ok
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
     // Semantic decontamination: max cosine of each corpus vector
     // against the benchmark subset (vec_id % 50 = 0), flag ≥ 0.25 —
     // scan-local greatest-of-vec_dot literals, zero shuffle; the

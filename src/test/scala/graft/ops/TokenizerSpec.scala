@@ -126,6 +126,58 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("unigram: frequent multi-char pieces win Viterbi over chars") {
+    // 'ab' dominates the corpus → EM gives it high mass → one piece
+    val df = Seq.fill(20)("ab abc").toDF("text")
+    val model = Tokenizer.trainUnigram(df, "text", vocabSize = 50)
+    val out = Tokenizer.tokenizeUnigram(
+      Seq((0L, "ab abc")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()(0).getSeq[String](1)
+    assert(out.head == "ab", s"got $out")
+    assert(out.mkString("") == "ababc")
+    // plan is scan-local
+    val plan = Tokenizer.tokenizeUnigram(
+      Seq((0L, "x")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("unigram: OOV characters segment through the floor, losslessly") {
+    val model = Tokenizer.trainUnigram(
+      Seq.fill(3)("aa bb").toDF("text"), "text", vocabSize = 20)
+    val out = Tokenizer.tokenizeUnigram(
+      Seq((0L, "aa zq!")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()(0).getSeq[String](1)
+    assert(out.mkString("") == "aazq!")
+  }
+
+  test("unigram roundtrip is lossless over generated ASCII text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val wordish = Gen.oneOf("the", "of", "and", "data", "spark", "unigram",
+      "aaab", "x1", "a.b,c!", "don't", " ", "\t")
+    val texts = Gen.listOfN(120, Gen.listOf(wordish).map(_.mkString(" ")))
+      .apply(Gen.Parameters.default, Seed(11L)).get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Tokenizer.trainUnigram(df, "text", vocabSize = 200)
+    val got = Tokenizer.tokenizeUnigram(df, "doc_id", "text", model)
+      .select($"doc_id", expr("concat_ws('', tokens)").as("detok"))
+      .orderBy("doc_id").collect()
+    val re = graft.functions.BpeEncoder.WordPattern.r
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i).getString(1) == re.findAllIn(t.toLowerCase).mkString(""))
+    }
+  }
+
+  test("unigram training is invariant to corpus partitioning") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val m1 = Tokenizer.trainUnigram(docs, "text", vocabSize = 300)
+    val m2 = Tokenizer.trainUnigram(docs.repartition(13), "text",
+      vocabSize = 300)
+    assert(m1 == m2)
+  }
+
   /** Naive recount-every-merge BPE reference (the textbook loop): the
     * incremental production trainer must reproduce it exactly. */
   private def naiveMerges(words: Seq[(String, Long)],

@@ -25,7 +25,7 @@ class QueriesSpec extends SparkSpec {
   test("oracle SQL exists for every SQL-expressible query") {
     val rowsOnly = Set("d2_dedup_minhash", "d3_dedup_simhash", "s2_ann_lsh",
       "hll1_approx_distinct", "ivf1_ann", "pq1_ann", "pq2_ivfadc",
-      "tk1_bpe_tokenize")
+      "tk1_bpe_tokenize", "ug1_unigram_tokenize")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
