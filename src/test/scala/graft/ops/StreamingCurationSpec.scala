@@ -278,6 +278,60 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("streaming sequence assembly: full windows across micro-batches") {
+    // continuous training-batch production: per-shard partial windows
+    // carry across micro-batches (O(shards×budget) state, RocksDB),
+    // and monotone-id arrival reproduces the batch layout exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.StreamAssembler.{PackedSeq, TokDoc}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id", ($"doc_id" % 2).as("shard"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("tokens"))
+        .as[TokDoc].collect().sortBy(_.doc_id)
+      val budget = 128
+      val input = MemoryStream[TokDoc]
+      val q = StreamAssembler.assemble(input.toDS(), budget).writeStream
+        .outputMode("append")
+        .format("memory").queryName("packed_stream")
+        .option("checkpointLocation", tmpDir("asm-ckpt"))
+        .start()
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("packed_stream").as[PackedSeq].collect()
+        .sortBy(p => (p.shard, p.window_id))
+      // every emitted window is exactly `budget` tokens, ids gapless
+      assert(got.nonEmpty)
+      got.foreach(p => assert(p.n_tokens == budget &&
+        p.tokens.length == budget))
+      got.groupBy(_.shard).foreach { case (_, ws) =>
+        assert(ws.map(_.window_id).toSeq == ws.indices.map(_.toLong)) }
+      // monotone arrival ⇒ identical windows to the batch form
+      // (batch keeps tails; the stream holds tails in state)
+      val batch = TextOps.assembleSequences(
+        docs.toSeq.toDF("doc_id", "shard", "tokens")
+          .withColumnRenamed("tokens", "toks"),
+        "doc_id", "toks", budget = budget, shards = 2)
+        .filter($"n_tokens" === budget)
+        .select($"shard", $"window_id", $"tokens").as[(Long, Long, Seq[String])]
+        .collect().sortBy(p => (p._1, p._2))
+      assert(batch.length == got.length)
+      batch.zip(got).foreach { case ((s, w, toks), p) =>
+        assert(s == p.shard && w == p.window_id && toks == p.tokens) }
+      // conservation: emitted + carried == total input tokens
+      val total = docs.map(_.tokens.length.toLong).sum
+      val emitted = got.map(_.n_tokens).sum
+      assert(emitted <= total && total - emitted < 2L * budget)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CDC envelopes -> curation gate -> topic sink compose end to end") {
     // the two halves of the engine in one pipeline: a documents table
     // arriving as CDC change events is demuxed, quality-gated with the
