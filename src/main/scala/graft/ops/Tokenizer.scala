@@ -343,6 +343,25 @@ object Tokenizer {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Persists a unigram model as a tiny parquet table (piece +
+    * micro-nat log-prob; the OOV floor as a piece='' row). */
+  def saveUnigramModel(model: UnigramModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    (model.pieces :+ ("", model.unkMicro))
+      .toDF("piece", "logp_micro").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reloads a [[saveUnigramModel]] table. */
+  def loadUnigramModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramModel = {
+    val rows = spark.read.parquet(path).select("piece", "logp_micro")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (unk, pieces) = rows.partition(_._1.isEmpty)
+    UnigramModel(pieces.sortBy(_._1).toIndexedSeq, unk.head._2)
+  }
+
   /** Reloads a [[saveModel]] table. */
   def loadModel(spark: org.apache.spark.sql.SparkSession,
       path: String): BpeModel = {

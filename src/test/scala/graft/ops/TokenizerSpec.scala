@@ -100,6 +100,10 @@ class TokenizerSpec extends SparkSpec {
     val dir = tmpDir("graft_bpe_model")
     Tokenizer.saveModel(model, spark, dir)
     assert(Tokenizer.loadModel(spark, dir) == model)
+    val um = Tokenizer.trainUnigram(docs, "text", vocabSize = 300)
+    val udir = tmpDir("graft_ug_model")
+    Tokenizer.saveUnigramModel(um, spark, udir)
+    assert(Tokenizer.loadUnigramModel(spark, udir) == um)
   }
 
   test("assembleSequences packs BPE ids into full windows, conserving tokens") {
