@@ -217,9 +217,15 @@ final class PgWalTransport(host: String, port: Int, db: String,
     while (true) {
       try return framesOnce(afterLsn, endInclusive)
       catch {
+        // "is active": slot release race with the previous session.
+        // "drain stalled": a slow catch-up outlived the quiet-window cap
+        // (framesOnce refuses to return a truncated range). Both are
+        // transient; a fresh session resumes from the slot's restart
+        // point, so retrying re-reads the same frames — idempotent.
         case e: java.io.IOException
             if attempt < 4 && e.getMessage != null &&
-              e.getMessage.contains("is active") =>
+              (e.getMessage.contains("is active") ||
+                e.getMessage.contains("drain stalled")) =>
           attempt += 1
           Thread.sleep(250L * attempt)
       }
@@ -251,6 +257,7 @@ final class PgWalTransport(host: String, port: Int, db: String,
         try conn.readMessage() match {
           case ('d', p) if p(0) == 'w' =>
             // XLogData: 'w' walStart(8) walEnd(8) serverTs(8) payload
+            quietRounds = 0 // only CONSECUTIVE quiet windows end the drain
             seenEnd = math.max(seenEnd, ByteBuffer.wrap(p, 9, 8).getLong)
             val frame = java.util.Arrays.copyOfRange(p, 25, p.length)
             val tag = frame(0).toChar
@@ -264,6 +271,7 @@ final class PgWalTransport(host: String, port: Int, db: String,
               buf += lsn -> frame
           case ('d', p) if p(0) == 'k' =>
             // keepalive: 'k' walEnd(8) serverTs(8) replyRequested(1)
+            quietRounds = 0
             seenEnd = math.max(seenEnd, ByteBuffer.wrap(p, 1, 8).getLong)
             if (p(17) != 0) conn.sendCopyData(standbyStatus(seenEnd))
           case ('E', p) =>
@@ -273,10 +281,24 @@ final class PgWalTransport(host: String, port: Int, db: String,
         } catch {
           case _: java.net.SocketTimeoutException =>
             quietRounds += 1
-            // quiet AND caught up to the connect-time head: done.
-            // The round cap bounds the wait when nothing (or only
-            // non-published WAL) is arriving.
-            if (seenEnd >= target || quietRounds >= 10) open = false
+            if (seenEnd >= target) open = false // quiet AND caught up: done
+            else if (quietRounds >= 10) {
+              // NOT caught up to the connect-time head after 10 CONSECUTIVE
+              // quiet windows. Returning now would silently truncate the
+              // planned (afterLsn, endInclusive] range — CdcFileSource
+              // would advance offsets past frames that never arrived, a
+              // permanent data loss (possibly mid-transaction). Fail loud;
+              // the caller retries with the same range, losing nothing.
+              throw new java.io.IOException(
+                s"replication drain stalled: walsender quiet for " +
+                  s"$quietRounds×${quietMs}ms with seenEnd=${lsnStr(seenEnd)}" +
+                  s" < head=${lsnStr(target)}; refusing to truncate range")
+            } else
+              // Prompt the server for an immediate keepalive (standby
+              // status with replyRequested=1) so seenEnd converges to the
+              // head even when only non-published WAL is flowing and the
+              // walsender's own keepalive cadence is slower than quietMs.
+              conn.sendCopyData(standbyStatus(seenEnd, requestReply = true))
         }
       }
       buf.result().iterator
@@ -284,13 +306,21 @@ final class PgWalTransport(host: String, port: Int, db: String,
   }
 
   /** Standby Status Update: 'r' written(8) flushed(8) applied(8)
-    * clock(8, µs since PG epoch 2000-01-01) replyRequested(1). */
-  private def standbyStatus(lsn: Long): Array[Byte] = {
+    * clock(8, µs since PG epoch 2000-01-01) replyRequested(1).
+    *
+    * flushed/applied are reported as 0 (InvalidXLogRecPtr = "no update"):
+    * confirmed_flush must only move through [[ack]] once the source's
+    * offset log has durably committed the range — reporting seenEnd as
+    * flushed here would let the server release WAL the reader has merely
+    * buffered. replyRequested=1 asks the walsender for an immediate
+    * keepalive (used by the quiet-window probe to learn the true head). */
+  private def standbyStatus(lsn: Long, requestReply: Boolean = false)
+      : Array[Byte] = {
     val b = ByteBuffer.allocate(34)
     b.put('r'.toByte)
-    b.putLong(lsn); b.putLong(lsn); b.putLong(lsn)
+    b.putLong(lsn); b.putLong(0L); b.putLong(0L)
     b.putLong((System.currentTimeMillis() - 946684800000L) * 1000L)
-    b.put(0.toByte)
+    b.put(if (requestReply) 1.toByte else 0.toByte)
     b.array()
   }
 
