@@ -21,8 +21,13 @@ object GraftFunctions {
       SortedIntersectCount(es(0), es(1))),
     "deflate_size" -> ((es: Seq[Expression]) => DeflateSize(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
+    // id/score children are coerced (int id → bigint, float score →
+    // double) or rejected HERE, at analysis: update() casts straight to
+    // Long/Double, so an uncoerced int id would fail row-at-a-time at
+    // runtime with a bare ClassCastException.
     "topk_pairs" -> ((es: Seq[Expression]) =>
-      TopKPairs(es(0), es(1), litInt(es(2)))),
+      TopKPairs(asLong(es(0), "topk_pairs id"),
+        asDouble(es(1), "topk_pairs score"), litInt(es(2)))),
     "centroid_assign" -> ((es: Seq[Expression]) => CentroidAssign.fromArgs(es)),
     "pq_encode" -> ((es: Seq[Expression]) => PqEncode.fromArgs(es)),
     "kll_quantiles" -> ((es: Seq[Expression]) => KllQuantiles.fromArgs(es)),
@@ -46,6 +51,25 @@ object GraftFunctions {
     case other => other.eval().asInstanceOf[Number].intValue()
   }
 
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types._
+  private def asLong(e: Expression, what: String): Expression =
+    if (!e.resolved) Cast(e, LongType) // type known only post-analysis
+    else e.dataType match {
+      case LongType => e
+      case ByteType | ShortType | IntegerType => Cast(e, LongType)
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integral column, got ${other.sql}")
+    }
+  private def asDouble(e: Expression, what: String): Expression =
+    if (!e.resolved) Cast(e, DoubleType)
+    else e.dataType match {
+      case DoubleType => e
+      case _: NumericType => Cast(e, DoubleType)
+      case other => throw new IllegalArgumentException(
+        s"$what must be a numeric column, got ${other.sql}")
+    }
+
   /** Inject every function into a SparkSessionExtensions (cluster path:
     * `--conf spark.sql.extensions=graft.functions.GraftExtensions`). */
   private[functions] def injectAll(e: SparkSessionExtensions): Unit =
@@ -54,12 +78,18 @@ object GraftFunctions {
         new ExpressionInfo(GraftFunctions.getClass.getName, name), b))
     }
 
-  /** Per-session registration (temp functions). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Per-session registration (temp functions). Idempotent — and
+    * genuinely so: re-registering an existing name via
+    * createOrReplaceTempFunction logs a "replaced a previously
+    * registered function" WARN per function per call, which buries real
+    * warnings in any harness that calls register() once per query. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+  }
 }
 
 /** `spark.sql.extensions`-injectable variant for cluster deployments:

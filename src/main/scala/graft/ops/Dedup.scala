@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -82,6 +82,11 @@ object Dedup {
       .filter(col("anyDup") === 0)
       .select(col("docId").as("doc_id"), col("simhash"))
 
+  /** (score desc, id asc) argmax ordering as one BIGINT (see [[keepBest]]
+    * for the domain contract). */
+  private def bestKey(score: Column, id: Column): Column =
+    round(score * lit(1000L)).cast("long") * lit(1000000000L) - id
+
   /** Exact dedup groups: one row per distinct content digest with the
     * smallest surviving id and the copy count. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -99,14 +104,19 @@ object Dedup {
     * Plan shape matches exactGroups — a single partial+final hash
     * aggregate on a digest key (map-side combine absorbs hot groups, no
     * window, no self-join). The argmax rides one BIGINT key,
-    * `score·10⁹ − id`, whose order equals the lexicographic
-    * (score desc, id asc) order whenever 0 ≤ score and id < 10⁹ — a
-    * dialect-portable encoding (DuckDB: `arg_max(id, key)`). */
+    * `round(score·10³)·10⁹ − id`, whose order equals the lexicographic
+    * (score desc, id asc) order at milli-score resolution (scores
+    * closer than 5·10⁻⁴ tie → smaller id wins) whenever
+    * |score| ≤ 9.2·10⁶ and 0 ≤ id < 10⁹ — a dialect-portable encoding
+    * (DuckDB: `arg_max(id, key)`; struct keys aren't, which is why the
+    * key is one BIGINT and not `struct(score, -id)`). Rounding, not a
+    * bare long cast: truncation would collapse every fractional score
+    * in (-1, 1) — the whole [0,1] quality-score family — onto 0. */
   def keepBest(df: DataFrame, idCol: String, textCol: String,
       scoreCol: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
-    val key = col(scoreCol).cast("long") * lit(1000000000L) - col(idCol)
+    val key = bestKey(col(scoreCol), col(idCol))
     df.groupBy(md5(norm).as("norm_hash"))
       .agg(max_by(col(idCol), key).as("kept_doc_id"),
         count(lit(1)).as("n_variants"),
@@ -124,7 +134,7 @@ object Dedup {
       scoreCol: String, carry: Seq[String]): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
-    val key = col(scoreCol).cast("long") * lit(1000000000L) - col(idCol)
+    val key = bestKey(col(scoreCol), col(idCol))
     df.groupBy(md5(norm).as("__norm_hash"))
       .agg(max_by(struct(col(idCol) +: carry.map(col): _*), key).as("__r"))
       .select(col("__r.*"))

@@ -1857,11 +1857,12 @@ object PipelineOps {
 
     // Quality-aware dedup: normalization-digest groups keep the
     // highest-n_chars member (ties → smallest id) via the portable
-    // score·10⁹−id argmax key — one hash aggregate, no window.
+    // round(score·10³)·10⁹−id argmax key — one hash aggregate, no window.
     QueryDef.views("d6_dedup_keep_best",
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
         |         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
-        |       arg_max(doc_id, n_chars * 1000000000 - doc_id) AS kept_doc_id,
+        |       arg_max(doc_id, CAST(round(n_chars * 1000) AS BIGINT)
+        |               * 1000000000 - doc_id) AS kept_doc_id,
         |       count(*) AS n_variants,
         |       CAST(max(n_chars) AS BIGINT) AS best_score
         |FROM documents GROUP BY 1 ORDER BY kept_doc_id""".stripMargin) { spark =>
@@ -1927,8 +1928,9 @@ object PipelineOps {
         |    WHERE n_chars >= 100 AND
         |      CAST(len(list_filter(string_split(text, ' '),
         |        x -> len(x) > 0)) AS BIGINT) >= 20),
-        |  best AS (SELECT arg_max(doc_id, n_chars * 1000000000 - doc_id)
-        |             AS doc_id
+        |  best AS (SELECT arg_max(doc_id,
+        |             CAST(round(n_chars * 1000) AS BIGINT)
+        |             * 1000000000 - doc_id) AS doc_id
         |           FROM gated
         |           GROUP BY md5(trim(regexp_replace(regexp_replace(
         |             lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))),

@@ -221,6 +221,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("topk_pairs coerces int id / float score; rejects strings at analysis") {
+    // the registry builder inserts the casts: update() consumes Long/Double
+    // directly, so an uncoerced INT id would be a runtime ClassCastException
+    val df = registered.createDataset(Seq((1, 1.0f), (2, 3.5f), (3, 2.5f)))
+      .toDF("id", "score") // id INT, score FLOAT — neither the buffer types
+    val top = df.agg(expr("topk_pairs(id, score, 2)").as("t"))
+      .select(expr("t.nn").as("nn")).head().getSeq[Long](0)
+    assert(top == Seq(2L, 3L))
+    // thrown at analysis (the registry wraps the builder's
+    // AnalysisException in a SparkException) — not at execution, and with
+    // the builder's clear message rather than a bare ClassCastException
+    val e = intercept[Exception](
+      df.selectExpr("'x' AS sid", "score")
+        .agg(expr("topk_pairs(sid, score, 2)")).count())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("integral"), msgs)
+  }
+
   test("kll_quantiles: exact (nearest-rank) while n <= k") {
     GraftFunctions.register(spark)
     // 100 distinct values in shuffled order, k=256 -> level 0 only

@@ -26,6 +26,24 @@ class OpsApiSpec extends SparkSpec {
     assert(lax <= bigram)
   }
 
+  test("keepBest honors fractional and negative scores") {
+    import spark.implicits._
+    // one normalization group of three variants with [0,1] quality scores
+    // (a bare long cast would floor all three to 0 and pick id 1), plus a
+    // negative-scored group (truncation toward zero would collapse those
+    // too — rounding at milli precision keeps the real order)
+    val df = Seq(
+      (1L, "same text", 0.4), (2L, "same text!", 0.9), (3L, "SAME text", 0.6),
+      (10L, "other doc", -0.2), (11L, "other doc?", -0.9))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.keepBest(df, "doc_id", "text", "score")
+      .select("kept_doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 10L), s"wrong winners: $got")
+    val rows = Dedup.keepBestRows(df, "doc_id", "text", "score",
+      carry = Seq("score")).select("doc_id").as[Long].collect().toSet
+    assert(rows == Set(2L, 10L), s"wrong surviving rows: $rows")
+  }
+
   test("crossDedup: exact, near, empty, and novel incoming docs") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
