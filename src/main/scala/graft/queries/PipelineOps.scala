@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, GraphOps, Layout, Similarity, TextOps, Tokenizer, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -634,6 +634,85 @@ object PipelineOps {
           .stripMargin).as("url"))
       WebOps.canonicalize(urls, "url")
         .select("doc_id", "canon_url", "host", "domain")
+        .orderBy("doc_id")
+    },
+
+    // Public-suffix registrable domains (PublicSuffix): hosts derived to
+    // cover all nine PSL tiers — multi-label ccTLD registries (co.uk /
+    // com.au / org.uk), private-registry suffixes (github.io), wildcard
+    // (*.ck) + exception (!www.ck) rules, the *.kawasaki.jp / !city
+    // exception pair, unknown TLDs (default rule *), and a host that IS
+    // a public suffix (no registrable domain). The oracle replays the
+    // publicsuffix.org algorithm in SQL over the SAME bundled rule table
+    // (interpolated as VALUES from the parsed resource), so both sides
+    // grade rule parsing AND the prevailing-rule argmax.
+    QueryDef.views("u2_psl_domain", {
+      val ruleValues = graft.ops.PublicSuffix.defaultRules
+        .map(r => s"('${r.key}', ${r.labels}, ${r.kind})").mkString(",\n")
+      s"""WITH rules(rule_key, rule_labels, rule_kind) AS (VALUES
+         |$ruleValues),
+         |h AS (SELECT doc_id,
+         |  CASE doc_id % 9
+         |    WHEN 0 THEN source || '.news.co.uk'
+         |    WHEN 1 THEN 'www.' || source || '.com'
+         |    WHEN 2 THEN 'blog.' || source || '.github.io'
+         |    WHEN 3 THEN source || '.shop.com.au'
+         |    WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'www.ck'
+         |                     ELSE source || '.b.ck' END
+         |    WHEN 5 THEN 'co.uk'
+         |    WHEN 6 THEN source || '.site.unknowntld'
+         |    WHEN 7 THEN CASE WHEN doc_id % 2 = 0 THEN 'city.kawasaki.jp'
+         |                     ELSE source || '.x.kawasaki.jp' END
+         |    ELSE 'deep.' || lang || '.' || source || '.org.uk'
+         |  END AS host
+         |  FROM documents),
+         |hl AS (SELECT doc_id, host, string_split(host, '.') AS ls,
+         |              len(string_split(host, '.')) AS n FROM h),
+         |cand AS (SELECT doc_id, n, ls,
+         |                unnest(range(1, n + 1)) AS i FROM hl),
+         |cand2 AS (SELECT doc_id, n,
+         |                 array_to_string(ls[i:n], '.') AS c, n - i + 1 AS L
+         |          FROM cand),
+         |m AS (SELECT c2.doc_id,
+         |        CASE r.rule_kind
+         |          WHEN 2 THEN r.rule_labels - 1
+         |          WHEN 1 THEN CASE WHEN c2.n >= c2.L + 1 THEN c2.L + 1 END
+         |          WHEN 0 THEN c2.L END AS ps,
+         |        r.rule_kind AS kind
+         |      FROM cand2 c2 JOIN rules r ON r.rule_key = c2.c),
+         |p AS (SELECT doc_id,
+         |        max(CASE WHEN kind = 2 THEN 1000000 + ps ELSE ps END) AS bk
+         |      FROM m WHERE ps IS NOT NULL GROUP BY doc_id),
+         |f AS (SELECT hl.doc_id, hl.host, hl.ls, hl.n,
+         |        CASE WHEN p.bk IS NULL THEN 1
+         |             WHEN p.bk >= 1000000 THEN p.bk - 1000000
+         |             ELSE p.bk END AS ps
+         |      FROM hl LEFT JOIN p USING (doc_id))
+         |SELECT doc_id, host,
+         |  array_to_string(ls[n - ps + 1 : n], '.') AS public_suffix,
+         |  COALESCE(CASE WHEN n >= ps + 1
+         |                THEN array_to_string(ls[n - ps : n], '.') END, '')
+         |    AS domain
+         |FROM f ORDER BY doc_id""".stripMargin
+    }) { spark =>
+      val hosts = spark.table("documents").select(col("doc_id"), expr(
+        """CASE doc_id % 9
+          |  WHEN 0 THEN concat(source, '.news.co.uk')
+          |  WHEN 1 THEN concat('www.', source, '.com')
+          |  WHEN 2 THEN concat('blog.', source, '.github.io')
+          |  WHEN 3 THEN concat(source, '.shop.com.au')
+          |  WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 'www.ck'
+          |                   ELSE concat(source, '.b.ck') END
+          |  WHEN 5 THEN 'co.uk'
+          |  WHEN 6 THEN concat(source, '.site.unknowntld')
+          |  WHEN 7 THEN CASE WHEN doc_id % 2 = 0 THEN 'city.kawasaki.jp'
+          |                   ELSE concat(source, '.x.kawasaki.jp') END
+          |  ELSE concat('deep.', lang, '.', source, '.org.uk')
+          |END""".stripMargin).as("host"))
+      PublicSuffix.withRegistrableDomain(hosts, "host",
+          PublicSuffix.rulesDf(spark))
+        .select(col("doc_id"), col("host"), col("public_suffix"),
+          coalesce(col("domain"), lit("")).as("domain"))
         .orderBy("doc_id")
     },
 

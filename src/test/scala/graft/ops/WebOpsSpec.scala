@@ -14,6 +14,65 @@ class WebOpsSpec extends SparkSpec {
     (r.getString(0), r.getString(1), r.getString(2))
   }
 
+  private def pslDomain(hosts: String*): Map[String, (String, String)] = {
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+    PublicSuffix.withRegistrableDomain(df, "host",
+        PublicSuffix.rulesDf(spark))
+      .select("host", "public_suffix", "domain").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+  }
+
+  test("public-suffix registrable domains: multi-label ccTLD registries") {
+    val got = pslDomain("bbc.co.uk", "www.bbc.co.uk", "news.example.com",
+      "a.deep.chain.shop.com.au", "blog.team.github.io")
+    assert(got("bbc.co.uk") == (("co.uk", "bbc.co.uk")))
+    assert(got("www.bbc.co.uk") == (("co.uk", "bbc.co.uk")))
+    assert(got("news.example.com") == (("com", "example.com")))
+    assert(got("a.deep.chain.shop.com.au") == (("com.au", "shop.com.au")))
+    // github.io is a private-registry public suffix: each user site is
+    // its own registrable domain
+    assert(got("blog.team.github.io") == (("github.io", "team.github.io")))
+  }
+
+  test("public-suffix wildcard and exception rules (*.ck / !www.ck)") {
+    val got = pslDomain("www.ck", "x.b.ck", "a.x.b.ck", "b.ck")
+    // exception: www.ck is registrable despite the wildcard
+    assert(got("www.ck") == (("ck", "www.ck")))
+    // wildcard: every direct child of ck is a public suffix
+    assert(got("x.b.ck") == (("b.ck", "x.b.ck")))
+    assert(got("a.x.b.ck") == (("b.ck", "x.b.ck")))
+    // a bare child IS the public suffix: no registrable domain
+    assert(got("b.ck") == (("b.ck", null)))
+  }
+
+  test("public-suffix default rule and edge hosts") {
+    val got = pslDomain("foo.unknowntld", "deep.sub.foo.unknowntld",
+      "co.uk", "com", "localhost", "MiXeD.Example.COM")
+    // unknown TLD: default rule * — the TLD is the public suffix
+    assert(got("foo.unknowntld") == (("unknowntld", "foo.unknowntld")))
+    assert(got("deep.sub.foo.unknowntld") == (("unknowntld", "foo.unknowntld")))
+    // a host that IS a public suffix has no registrable domain
+    assert(got("co.uk") == (("co.uk", null)))
+    assert(got("com") == (("com", null)))
+    assert(got("localhost") == (("localhost", null)))
+    // hosts are lowercased before matching
+    assert(got("MiXeD.Example.COM") == (("com", "example.com")))
+  }
+
+  test("public-suffix rules parse: markers, comments, case") {
+    val rules = PublicSuffix.parse(Iterator(
+      "// comment", "", "com", "*.ck", "!www.ck", "  CO.UK  "))
+    assert(rules == Seq(PublicSuffix.Rule("com", 0),
+      PublicSuffix.Rule("ck", 1), PublicSuffix.Rule("www.ck", 2),
+      PublicSuffix.Rule("co.uk", 0)))
+    assert(PublicSuffix.Rule("co.uk", 0).labels == 2)
+    // the bundled resource parses and contains the load-bearing tiers
+    val keys = PublicSuffix.defaultRules.map(r => (r.key, r.kind)).toSet
+    assert(keys(("co.uk", 0)) && keys(("github.io", 0)) &&
+      keys(("ck", 1)) && keys(("www.ck", 2)))
+  }
+
   test("tracking variants collapse to one canonical form") {
     val variants = Seq(
       "https://News.Example.com/a/b?utm_source=x&q=1&ref=tw",
