@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW. The default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any harness
+// that parses Bench's one-line JSON metric out of the process output
+// (BENCH_r5/r6 both arrived with `parsed: null` because the line read
+// `[info] {"metric":...}`).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
