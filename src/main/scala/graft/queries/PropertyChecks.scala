@@ -92,19 +92,17 @@ object PropertyChecks {
         |SELECT (SELECT count(*) FROM p) AS n_exact_pairs,
         |       CAST(0 AS BIGINT) AS n_outside_exact,
         |       true AS recall_ge_90""".stripMargin) { spark =>
-      val emb = spark.table("embeddings")
-      // Both pair sets are consumed by three aggregates each; checkpoint
-      // the (small) pair lists so the generation plans run once.
-      val exact = Similarity.cosinePairs(emb, "vec_id", "embedding",
-        minCos = 0.4, blocked = false).localCheckpoint()
-      // Same recall-oriented parameters as s2x/OpsApiSpec: this
+      // Both pair sets come from the session-scoped GradeFixtures cache
+      // (localCheckpoint'd — each is consumed by multiple aggregates
+      // here AND shared with ec1/ec1x, so the generation plans run once
+      // per verify/bench run, not once per consumer). The blocked side
+      // uses recall-oriented parameters (same as s2x/OpsApiSpec): this
       // fixture's true pairs sit at cos ≈ 0.4 (per-plane agreement
       // ~0.63), so recall needs shorter bucket keys and more tables; a
       // production corpus targeting near-dups (cos ≥ 0.9) reaches the
       // bar at the defaults.
-      val blocked = Similarity.cosinePairs(emb, "vec_id", "embedding",
-        minCos = 0.4, blocked = true, planeBits = 3, tables = 12)
-        .localCheckpoint()
+      val exact = GradeFixtures.exactPairs(spark)
+      val blocked = GradeFixtures.blockedPairs(spark)
       val key = Seq("vec_id_a", "vec_id_b", "sim_bp")
       val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
       val outside = blocked.join(exact, key, "left_anti")
@@ -141,15 +139,12 @@ object PropertyChecks {
         |          (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node))
         |         AS n_exact_clusters,
         |       CAST(0 AS BIGINT) AS n_refinement_violations""".stripMargin) { spark =>
-      val emb = spark.table("embeddings")
-      val exact = Dedup.dupClusters(Similarity.cosinePairs(emb,
-          "vec_id", "embedding", minCos = 0.4, blocked = false),
-          "vec_id_a", "vec_id_b")
-        .select(col("doc_id").as("vec_id"), col("cluster_id").as("ecl"))
-        .localCheckpoint()
-      val blocked = Dedup.dupClusters(Similarity.cosinePairs(emb,
-          "vec_id", "embedding", minCos = 0.4, blocked = true,
-          planeBits = 3, tables = 12),
+      // exact clusters and blocked pairs ride the GradeFixtures cache
+      // (shared with ec1 and e1x); only the blocked clustering and the
+      // refinement join are unique to this entry
+      val exact = GradeFixtures.exactClusters(spark)
+        .select(col("vec_id"), col("cluster_id").as("ecl"))
+      val blocked = Dedup.dupClusters(GradeFixtures.blockedPairs(spark),
           "vec_id_a", "vec_id_b")
         .select(col("doc_id").as("vec_id"), col("cluster_id").as("bcl"))
       // every blocked node IS an exact node (its pairs are a subset), so
