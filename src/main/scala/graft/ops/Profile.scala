@@ -32,8 +32,11 @@ object Profile {
       Seq(
         count(col(c)).as(s"${c}__n"),
         (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        // rsd 0.01 (2^14 registers — KBs per column, irrelevant next to
+        // the scan) so the pf2 grade can hold the same ±5% bound as
+        // hll1x; the default 0.05 would make 5% a 1-sigma coin flip
         (if (exactDistinct) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"${c}__nd"),
+         else approx_count_distinct(col(c), 0.01)).as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }

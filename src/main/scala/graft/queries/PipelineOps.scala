@@ -1203,6 +1203,39 @@ object PipelineOps {
         .orderBy("event_id")
     },
 
+    // Compaction ([[graft.ops.Layout.compactTo]] — the small-files
+    // remedy): events rewritten to ~3000-row files, graded three ways
+    // at once: every row read back bit-exact (content survives the
+    // rewrite), the file count equals ceil(n/target) (the write really
+    // splits at the target), and per-file sort-key ranges are disjoint
+    // (range partitioning preserved min/max pruning). File geometry has
+    // no DuckDB twin, so the layout facts ride every row as constants —
+    // n_files from the deterministic ceil, overlaps pinned at zero.
+    QueryDef("z2_compact", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val slim = spark.table("events").select(
+        col("event_id"), col("user_id").cast("bigint").as("user_id"),
+        col("event_type"),
+        floor(col("value")).cast("bigint").as("value_floor"))
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-compact-fixture-$key").toString
+      val compacted = Layout.compactTo(slim, "event_id", path, 3000L)
+      val w = Window.orderBy("lo") // file-metadata rows only (~n_files)
+      val layout = Layout.fileRanges(compacted, "event_id")
+        .select(col("lo"), lag(col("hi"), 1).over(w).as("prev_hi"))
+        .agg(count(lit(1)).cast("bigint").as("n_files"),
+          sum(when(col("prev_hi") >= col("lo"), 1L).otherwise(0L))
+            .cast("bigint").as("n_overlaps"))
+      compacted.crossJoin(broadcast(layout)).orderBy("event_id")
+    }, Some(
+      """SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+        |       CAST(floor(value) AS BIGINT) AS value_floor,
+        |       (SELECT CAST(ceil(count(*) / 3000.0) AS BIGINT)
+        |        FROM events) AS n_files,
+        |       CAST(0 AS BIGINT) AS n_overlaps
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // Sketch aggregation: built-in HLL + graft's native KMV sketch
     // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
     // side with the exact count. Rows-only (engine-specific sketches).
@@ -1931,6 +1964,53 @@ object PipelineOps {
         |SELECT * FROM p ORDER BY column_name""".stripMargin) { spark =>
       graft.ops.Profile.profile(spark.table("documents"),
         Seq("doc_id", "lang", "n_chars", "source", "text"))
+    },
+
+    // Profiling, HLL path (exactDistinct = false — the 100 TB plan: no
+    // Expand, one partial+final aggregate). The sketch estimate has no
+    // DuckDB twin, so the grade is the hll1x pattern: exact counts /
+    // nulls / min / max grade bit-for-bit, and the HLL estimate must
+    // sit within ±5% of the exact distinct count (rsd 0.01 → 5 sigma),
+    // computed by running both profile paths and comparing — which
+    // also pins that the approx plan produces the same row set.
+    QueryDef.views("pf2_profile_hll",
+      """WITH p AS (
+        |  SELECT 'doc_id' AS column_name, count(doc_id) AS n_values,
+        |         count(*) - count(doc_id) AS n_nulls,
+        |         CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |         CAST(max(doc_id) AS VARCHAR) AS max_value
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(*) - count(lang),
+        |         CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(n_chars), count(*) - count(n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(*) - count(source),
+        |         CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(text), count(*) - count(text),
+        |         CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+        |  FROM documents)
+        |SELECT column_name, n_values, n_nulls, min_value, max_value,
+        |       true AS nd_within_5pct
+        |FROM p ORDER BY column_name""".stripMargin) { spark =>
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val docs = spark.table("documents")
+      val approx = graft.ops.Profile.profile(docs, cols,
+        exactDistinct = false)
+      val exact = graft.ops.Profile.profile(docs, cols)
+        .select(col("column_name"), col("n_distinct").as("nd_exact"))
+      approx.join(exact, Seq("column_name"))
+        .select(col("column_name"), col("n_values"), col("n_nulls"),
+          col("min_value"), col("max_value"),
+          (abs(col("n_distinct") - col("nd_exact")) * 100 <=
+            col("nd_exact") * 5).as("nd_within_5pct"))
+        .orderBy("column_name")
     },
 
     // Quality-aware dedup: normalization-digest groups keep the
