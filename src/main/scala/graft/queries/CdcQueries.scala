@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.cdc.{CdcEnvelope, Changelog, CompactionDelta, Sinks}
 import graft.sources.PgOutputFrames
 
 /** CORRECTNESS-graded batch entries for the custom engine pieces:
@@ -302,6 +303,71 @@ object CdcQueries {
           |SELECT id, lsn AS last_lsn, op AS last_op,
           |       after_event_type AS last_event_type
           |FROM r WHERE rn = 1 AND op != 'd'
-          |ORDER BY id""".stripMargin))
+          |ORDER BY id""".stripMargin)),
+
+    // st1 — the flagship pipeline run AS A STREAM and graded by the
+    // DuckDB oracle: the WAL fixture replayed through the DSv2 source
+    // with admission control forcing multiple micro-batches, compacted
+    // by the stateful flatMapGroupsWithState operator, each batch's
+    // per-key final state PK-upserted through the K2 writer (ledger
+    // claims keyed by batchId = exactly-once under replay). The graded
+    // output is t5's semantics — live count per event_type — computed
+    // by real micro-batch execution end to end, closing the loop the
+    // batch twins (t5, cdc2) grade only statically. Driver-side
+    // materialization at the END is the grading seam only: per-batch
+    // writes go through foreachPartition/executeBatch (no driver
+    // funnel), and the same writer is live-graded against a real
+    // Postgres in PgLiveReplicationSpec.
+    QueryDef("st1_stream_changelog_count", (spark, dir) => {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val fix = ensureFixture(spark, dir)
+      // Admission control sized from the log so EVERY sf replays in ~3
+      // micro-batches: a fixed cap either degenerates to one batch at
+      // small sf (no micro-batch plurality left to grade) or explodes
+      // into dozens at large sf (per-trigger state/checkpoint overhead
+      // dominating the bench). Line count is a driver-side metadata
+      // probe of the fixture, not a data read.
+      val walLines = {
+        val s = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try s.count() finally s.close()
+      }
+      val events = spark.readStream.format("graft-cdc")
+        .option("walFormat", "jsonl")
+        .option("numPartitions", "8")
+        .option("maxEventsPerBatch", math.max(500L, (walLines + 2) / 3).toString)
+        .load(s"$fix/wal.jsonl").as[CdcEnvelope]
+      val ns = s"st1-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "live_keys")
+      val writer = new Sinks.UpsertWriter("live_keys", "key",
+        Seq("key", "alive", "event_type"), runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val q = Changelog.compact(events).writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st1-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[CompactionDelta],
+              batchId: Long) =>
+            writer.writeBatch(batch.select(col("key"), col("alive"),
+              try_element_at(col("image"), lit("event_type"))
+                .as("event_type")), factory, batchId)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val live = sink.snapshot.values.toSeq
+        .filter(_("alive") == true).map(_("event_type").toString)
+      live.toDF("event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("live_users"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH latest AS (
+        |  SELECT user_id, event_type, event_id, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS live_users
+        |FROM latest WHERE rn = 1 AND event_id % 7 != 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
