@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, processed per-partition in batches.
   *
-  * Image decode is REAL: the synthetic image payloads are well-formed
-  * PNG prefixes (signature + IHDR chunk, built per the public PNG spec,
-  * RFC 2083 / W3C PNG) and [[decode]] parses width/height back out of
-  * the bytes — the m1 oracle grades the parsed geometry against the
-  * construction formula computed independently by DuckDB. Audio/video
+  * Image decode is REAL in two formats: the synthetic image payloads
+  * are well-formed PNG prefixes (signature + IHDR chunk, per RFC 2083 /
+  * W3C PNG) and JPEG prefixes (SOI + APP0 + SOF0 marker stream, per ITU
+  * T.81/JFIF), and [[decode]] parses width/height back out of the bytes
+  * — for JPEG by walking the marker segments — with the m1 oracle
+  * grading the parsed geometry against the construction formula
+  * computed independently by DuckDB. Audio/video
   * payloads have no codec in this container, so decode reports them
   * honestly as not-decoded (`ok = false`, zero dims); on a cluster the
   * same partition-batched seam hosts the real codec call.
@@ -47,13 +49,23 @@ object Multimodal {
     0x1A, 0x0A).map(_.toByte)
   private[ops] val PngHeaderLen = 33
 
+  /** JPEG header layout (public JPEG/JFIF spec, ITU T.81 §B): SOI
+    * (FFD8), an APP0 JFIF segment (FFE0, length 16), then SOF0 (FFC0,
+    * length 17 for 3 components: precision 8, HEIGHT then WIDTH —
+    * height-first, the reverse of PNG — 3 component specs). 39 bytes
+    * total before the entropy stream stand-in. */
+  private[ops] val JpegHeaderLen = 39
+
   /** Build an asset table from the documents corpus. Image payloads are
-    * REAL PNG bytes: signature + IHDR (width = 64 + byte_len % 512,
-    * height = 64 + n_chars % 512, encoded big-endian) followed by the
-    * text bytes standing in for the compressed stream — so decoding the
-    * header is genuine byte-level parsing whose result an oracle can
-    * predict from the document columns. Audio/video stay opaque text
-    * bytes. Construction is a pure codegen projection (hex/unhex). */
+    * REAL bytes in two formats — even doc_ids get PNG (signature +
+    * IHDR), odd doc_ids get JPEG (SOI + APP0 JFIF + SOF0) — with
+    * width = 64 + byte_len % 512, height = 64 + n_chars % 512 encoded
+    * per each spec (PNG width-first 4-byte, JPEG height-first 2-byte),
+    * followed by the text bytes standing in for the compressed stream —
+    * so decoding the header is genuine byte-level parsing (for JPEG, a
+    * marker-stream walk past APP0) whose result an oracle can predict
+    * from the document columns. Audio/video stay opaque text bytes.
+    * Construction is a pure codegen projection (hex/unhex). */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     val w = (lit(64) + octet_length(col("text")) % 512).cast("int")
@@ -67,13 +79,26 @@ object Multimodal {
       // (zeroed: header consumers parse, they don't checksum)
       unhex(lit("0806000000" + "00000000")),
       col("text").cast("binary"))
+    val jpeg = concat(
+      // SOI ++ APP0 (len 16, "JFIF\0", v1.1, no units/thumbnail) — a
+      // segment the decoder must WALK PAST to find SOF0
+      unhex(lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" +
+        "00" + "0001" + "0001" + "0000")),
+      // SOF0: len 17, precision 8, then HEIGHT before WIDTH (T.81 §B.2.2)
+      unhex(lit("FFC0" + "0011" + "08")),
+      unhex(lpad(hex(h), 4, "0")),
+      unhex(lpad(hex(w), 4, "0")),
+      // 3 components: id, 1x1 sampling, quant table 0/1/1
+      unhex(lit("03" + "011100" + "021101" + "031101")),
+      col("text").cast("binary"))
     graft.Tables.load(spark, dir, "documents")
       .withColumn("modality",
         when(col("n_chars") % 3 === 0, "image")
           .when(col("n_chars") % 3 === 1, "audio")
           .otherwise("video"))
       .select(col("doc_id").as("asset_id"), col("modality"),
-        when(col("modality") === "image", png)
+        when(col("modality") === "image",
+          when(col("doc_id") % 2 === 0, png).otherwise(jpeg))
           .otherwise(col("text").cast("binary")).as("payload"),
         col("source"))
       .as[Asset]
@@ -90,11 +115,38 @@ object Multimodal {
       Some((bb.getInt, bb.getInt))
     } else None
 
-  /** Per-partition decoder: PNG headers parse for real; payloads with no
-    * available codec return `ok = false` with zero dims. `sha16` is the
-    * digest of the content body (for PNG, the bytes after the 33-byte
-    * header — where a production decoder would read IDAT; for undecoded
-    * payloads, the whole payload). Codec/digest state initializes once
+  /** Parses JPEG dimensions by walking the marker stream (ITU T.81
+    * §B.1.1.2): SOI, then segments skipped by their 2-byte big-endian
+    * lengths until a start-of-frame marker (FFC0-FFCF minus the
+    * non-frame C4/C8/CC), whose payload is [len][precision][height]
+    * [width] — height FIRST. Pure public-spec parsing; returns
+    * (width, height, offset of the first post-SOF byte) so the caller
+    * can digest the content body. */
+  private[ops] def parseJpegDims(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int): Int = p(i) & 0xFF
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < p.length && u8(i) == 0xFF) {
+      val marker = u8(i + 1)
+      val isSof = marker >= 0xC0 && marker <= 0xCF &&
+        marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+      if (isSof) {
+        // [FF Cn][len][precision][height][width]
+        return if (i + 8 < p.length)
+          Some((u16(i + 7), u16(i + 5), i + 2 + u16(i + 2)))
+        else None
+      }
+      i += 2 + u16(i + 2) // skip this segment by its declared length
+    }
+    None
+  }
+
+  /** Per-partition decoder: PNG and JPEG headers parse for real;
+    * payloads with no available codec return `ok = false` with zero
+    * dims. `sha16` is the digest of the content body (the bytes after
+    * the parsed header — where a production decoder would read IDAT /
+    * the entropy stream; for undecoded payloads, the whole payload). Codec/digest state initializes once
     * per partition batch. */
   private[ops] def decodePartition(
       assets: Iterator[Asset]): Iterator[DecodedMeta] = {
@@ -106,10 +158,13 @@ object Multimodal {
       digest.digest().take(8).map(b => f"$b%02x").mkString
     }
     assets.map { a =>
-      parsePngDims(a.payload) match {
-        case Some((w, h)) =>
+      val parsed = parsePngDims(a.payload)
+        .map { case (w, h) => (w, h, PngHeaderLen) }
+        .orElse(parseJpegDims(a.payload))
+      parsed match {
+        case Some((w, h, bodyFrom)) =>
           DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
-            sha16(a.payload, PngHeaderLen), w, h, n_frames = 1, ok = true)
+            sha16(a.payload, bodyFrom), w, h, n_frames = 1, ok = true)
         case None =>
           DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
             sha16(a.payload, 0), width = 0, height = 0, n_frames = 0,

@@ -385,7 +385,9 @@ object PipelineOps {
         |  CASE WHEN n_chars % 3 = 0 THEN 'image'
         |       WHEN n_chars % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(octet_length(CAST(text AS BLOB))
-        |       + CASE WHEN n_chars % 3 = 0 THEN 33 ELSE 0 END AS BIGINT) AS byte_len,
+        |       + CASE WHEN n_chars % 3 = 0
+        |              THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
+        |              ELSE 0 END AS BIGINT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS sha16,
         |  CAST(CASE WHEN n_chars % 3 = 0
         |       THEN 64 + octet_length(CAST(text AS BLOB)) % 512 ELSE 0 END

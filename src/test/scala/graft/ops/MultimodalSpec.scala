@@ -35,19 +35,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parsePngDims(Array.empty[Byte]).isEmpty)
   }
 
+  test("parseJpegDims walks the marker stream to SOF; rejects damage") {
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xFF.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xFF).toByte) ++ payload
+    val sof0 = seg(0xC0, Array[Byte](8, 0x01, 0x00, 0x02, 0x58, 3) ++
+      Array[Byte](1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // h=256, w=600
+    val soi = Array(0xFF.toByte, 0xD8.toByte)
+    // SOF directly after SOI
+    assert(Multimodal.parseJpegDims(soi ++ sof0).map(t => (t._1, t._2))
+      .contains((600, 256)))
+    // two segments to walk past (APP0 + a comment), then progressive SOF2
+    val app0 = seg(0xE0, "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val com = seg(0xFE, "not a frame header".getBytes)
+    val sof2 = seg(0xC2, Array[Byte](8, 0x00, 0x40, 0x00, 0x50, 1, 1, 0x11, 0))
+    assert(Multimodal.parseJpegDims(soi ++ app0 ++ com ++ sof2)
+      .map(t => (t._1, t._2)).contains((80, 64)))
+    // DHT (C4) must NOT be mistaken for a frame header
+    val dht = seg(0xC4, Array.fill[Byte](5)(0))
+    assert(Multimodal.parseJpegDims(soi ++ dht ++ sof0)
+      .map(t => (t._1, t._2)).contains((600, 256)))
+    // damage: no SOI, truncated before SOF payload, no SOF at all
+    assert(Multimodal.parseJpegDims(sof0).isEmpty)
+    assert(Multimodal.parseJpegDims((soi ++ sof0).take(8)).isEmpty)
+    assert(Multimodal.parseJpegDims(soi ++ app0 ++ com).isEmpty)
+    assert(Multimodal.parseJpegDims(Array.empty[Byte]).isEmpty)
+  }
+
   test("image payloads are real PNGs; decode recovers constructed geometry") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), octet_length(col("text")).as("blen"),
         col("n_chars"))
     val meta = Multimodal.metadataTable(spark, sf)
     val joined = meta.join(docs, meta("asset_id") === docs("doc_id"))
-    // every image decodes ok with the formula geometry the PNG was
-    // built from — recovered by byte parsing, not recomputation
+    // every image decodes ok with the formula geometry the header was
+    // built from — recovered by byte parsing, not recomputation; even
+    // ids are PNG (33-byte header), odd ids JPEG (39-byte marker stream)
+    val hdrLen = when(col("doc_id") % 2 === 0,
+      Multimodal.PngHeaderLen).otherwise(Multimodal.JpegHeaderLen)
     val badImg = joined.filter(col("modality") === "image" &&
       (!col("ok") || col("width") =!= (col("blen") % 512 + 64) ||
         col("height") =!= (col("n_chars") % 512 + 64) ||
         col("n_frames") =!= 1 ||
-        col("byte_len") =!= col("blen") + Multimodal.PngHeaderLen)).count()
+        col("byte_len") =!= col("blen") + hdrLen)).count()
     assert(badImg == 0)
     // no codec for audio/video in this container: honestly not decoded
     val badAv = joined.filter(col("modality") =!= "image" &&
