@@ -52,4 +52,14 @@ private[queries] object GradeFixtures {
       Similarity.cosinePairs(emb, "vec_id", "embedding",
         minCos = 0.4, blocked = true, planeBits = 3, tables = 12)
     }
+
+  /** Exact brute-force top-10 for the vec_id < 20 query set — the
+    * containment ground truth shared by every ANN property grade
+    * (s2x/ivf1x/pq1x/pq2x). */
+  def exactTopK(spark: SparkSession): DataFrame =
+    fixture(spark, "exactTopK") { emb =>
+      Similarity.bruteTopK(emb,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 20),
+        "vec_id", "embedding", k = 10)
+    }
 }

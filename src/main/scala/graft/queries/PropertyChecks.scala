@@ -64,10 +64,10 @@ object PropertyChecks {
       ann: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame) =
     QueryDef.views(name,
       "SELECT CAST(0 AS BIGINT) AS n_outside_top2k") { spark =>
-      val emb = spark.table("embeddings")
       val approx = ann(spark).select("q_vec_id", "nn_id")
-      val exact2k = Similarity.bruteTopK(emb,
-          emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      // ground truth rides the session-scoped GradeFixtures cache —
+      // four ANN grades share one brute-force computation per run
+      val exact2k = GradeFixtures.exactTopK(spark)
         .select("q_vec_id", "nn_id")
       approx.join(exact2k, Seq("q_vec_id", "nn_id"), "left_anti")
         .agg(count(lit(1)).as("n_outside_top2k"))
