@@ -375,4 +375,86 @@ class StreamingCurationSpec extends SparkSpec {
     assert(msgs.head.value.contains("\"doc_id\":1") &&
       msgs.head.value.contains("\"n_tokens\":"))
   }
+
+  test("CDC -> curate -> tokenize -> pack runs as ONE continuous topology") {
+    // the full pretraining ingest as a single streaming job: change
+    // events in, fixed-budget packed training windows out. Stateless
+    // stages (envelope projection, quality gate, BPE apply) lift
+    // unchanged; the only state is the assembler's per-shard carry.
+    // Monotone-lsn arrival (the CDC case) makes the emitted windows
+    // bit-identical to the batch pipeline over the same rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.cdc.CdcEnvelope
+    import graft.ops.StreamAssembler.{PackedSeq, TokDoc}
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      // train-once/apply-forever: the tokenizer model is a batch
+      // artifact; the stream only APPLIES it (pure projection)
+      val model = Tokenizer.trainBpe(src, "text", numMerges = 40)
+      val budget = 128
+
+      // the SAME curate+tokenize composition serves stream and batch —
+      // the equivalence below grades the topology, not two codepaths
+      def curateTokenize(docs: org.apache.spark.sql.DataFrame) = {
+        val curated = TextOps.quality(docs, "doc_id", "text", "n_chars",
+            Seq("the", "and", "of"), passthrough = Seq("text"))
+          .filter(col("quality_ok"))
+        Tokenizer.tokenize(curated, "doc_id", "text", model)
+          .select(col("doc_id"), pmod(col("doc_id"), lit(2))
+            .cast("bigint").as("shard"), col("tokens"))
+          .as[TokDoc]
+      }
+
+      def env(id: Long, text: String): CdcEnvelope =
+        CdcEnvelope(id, id, 1600000000000L + id, "c", "experiment",
+          "schema1", "documents", before = Map.empty,
+          after = Map("doc_id" -> id.toString, "text" -> text))
+
+      val input = MemoryStream[CdcEnvelope]
+      val streamDocs = input.toDS()
+        .filter(col("table") === "documents" && col("op") =!= "d")
+        .select(col("after")("doc_id").cast("long").as("doc_id"),
+          col("after")("text").as("text"),
+          length(col("after")("text")).cast("bigint").as("n_chars"))
+      val q = StreamAssembler.assemble(curateTokenize(streamDocs), budget)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cdc_packed")
+        .option("checkpointLocation", tmpDir("cdc-pack-ckpt"))
+        .start()
+
+      // three monotone micro-batches of change events
+      val rows = src.select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+        input.addData(chunk.map { case (id, t) => env(id, t) })
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("cdc_packed").as[PackedSeq].collect()
+        .sortBy(p => (p.shard, p.window_id))
+      assert(got.nonEmpty)
+      got.foreach(p => assert(p.n_tokens == budget))
+
+      // batch twin: same rows as a table, same curate+tokenize, the
+      // batch assembler's full windows
+      val batchDocs = rows.toSeq.toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+      val batch = TextOps.assembleSequences(
+          curateTokenize(batchDocs).toDF(),
+          "doc_id", "tokens", budget = budget, shards = 2)
+        .filter($"n_tokens" === budget)
+        .select($"shard", $"window_id", $"tokens")
+        .as[(Long, Long, Seq[String])]
+        .collect().sortBy(p => (p._1, p._2))
+      assert(batch.length == got.length,
+        s"stream=${got.length} batch=${batch.length} full windows")
+      batch.zip(got).foreach { case ((s, w, toks), p) =>
+        assert(s == p.shard && w == p.window_id && toks == p.tokens) }
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
