@@ -85,4 +85,27 @@ object Layout {
   def fileRanges(df: DataFrame, colName: String): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(colName)).as("lo"), max(col(colName)).as("hi"))
+
+  /** Writes `df` as an external parquet table bucketed (and sorted)
+    * by `key` — the CO-LOCATED JOIN layout: two tables bucketed by
+    * their join key with the same bucket count join with ZERO
+    * exchanges (each task reads bucket i of both sides), because the
+    * catalog records the hash-partitioning as a scan output property.
+    * At 100 TB this is the difference between re-shuffling the fact
+    * table on every join and shuffling it once at write time: dimension
+    * and fact tables that join repeatedly (every pipeline run) amortize
+    * the exchange into the layout, exactly like [[compactTo]] amortizes
+    * file geometry. Returns a reader over the catalog table (reading
+    * the path directly would lose the bucket metadata). */
+  def bucketedWrite(df: DataFrame, key: String, tableName: String,
+      path: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"bucketedWrite: need buckets > 0, got $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path).mode("overwrite")
+      .saveAsTable(tableName)
+    spark.table(tableName)
+  }
 }

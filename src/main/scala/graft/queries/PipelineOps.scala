@@ -1238,6 +1238,35 @@ object PipelineOps {
         |       CAST(0 AS BIGINT) AS n_overlaps
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Bucketed co-located join ([[graft.ops.Layout.bucketedWrite]]):
+    // customer and orders written bucketed by custkey with the same
+    // bucket count, then joined and rolled up by market segment — the
+    // shuffle-once-at-write-time layout. Values graded exactly against
+    // the plain join; the ZERO-EXCHANGE plan property is pinned in
+    // LayoutSpec (broadcast disabled there so the bucket metadata, not
+    // a small-table special case, is what eliminates the shuffle).
+    QueryDef("bk1_bucketed_join", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bucketed-$key")
+      val c = Layout.bucketedWrite(spark.table("customer"), "c_custkey",
+        s"graft_bk_customer", s"$base/customer", buckets = 8)
+      val o = Layout.bucketedWrite(spark.table("orders"), "o_custkey",
+        s"graft_bk_orders", s"$base/orders", buckets = 8)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy("c_mktsegment")
+    }, Some(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // Sketch aggregation: built-in HLL + graft's native KMV sketch
     // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
     // side with the exact count. Rows-only (engine-specific sketches).

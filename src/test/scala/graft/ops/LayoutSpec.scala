@@ -113,4 +113,41 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("bucketedWrite: same-bucket join plans with ZERO exchanges") {
+    // the co-located join property: both sides bucketed by the join key
+    // with the same bucket count -> the join consumes the scans'
+    // recorded hash-partitioning and no shuffle is planned. Broadcast
+    // is disabled so the bucket metadata (not a small-table special
+    // case) is what eliminates the exchange.
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val base = tmpDir("graft_bucket")
+    val a = Layout.bucketedWrite(
+      docs.select(col("doc_id"), col("lang")),
+      "doc_id", "graft_spec_bk_a", s"$base/a", buckets = 4)
+    val b = Layout.bucketedWrite(
+      docs.select(col("doc_id"), col("n_chars")),
+      "doc_id", "graft_spec_bk_b", s"$base/b", buckets = 4)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val joined = a.join(b, "doc_id")
+      // the JOIN plans with no exchange at all (the later rollup's own
+      // aggregate exchange is a different, unavoidable repartition)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      // and the values are the plain-join values
+      val want = docs.groupBy("lang")
+        .agg(sum("n_chars").as("chars"))
+        .orderBy("lang").collect().toSeq
+      val got = joined.groupBy("lang").agg(sum("n_chars").as("chars"))
+        .orderBy("lang").collect().toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bk_a")
+      spark.sql("DROP TABLE IF EXISTS graft_spec_bk_b")
+    }
+  }
 }
