@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * T.81/JFIF), and [[decode]] parses width/height back out of the bytes
   * — for JPEG by walking the marker segments — with the m1 oracle
   * grading the parsed geometry against the construction formula
-  * computed independently by DuckDB. Audio/video
-  * payloads have no codec in this container, so decode reports them
-  * honestly as not-decoded (`ok = false`, zero dims); on a cluster the
-  * same partition-batched seam hosts the real codec call.
+  * computed independently by DuckDB. Audio decode is real for
+  * canonical WAV (RIFF chunk walk, little-endian PCM fmt — the
+  * uncompressed format's metadata needs no codec). Compressed audio
+  * and all video have no codec in this container, so decode reports
+  * them honestly as not-decoded (`ok = false`, zero dims); on a
+  * cluster the same partition-batched seam hosts the real codec call.
   * `mapPartitions` is chosen over a per-row UDF so a decoder can
   * amortize codec/model initialization once per partition batch, the
   * same shape `mapInPandas` gives Python pipelines.
@@ -29,8 +31,11 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Typed decode output. For images w×h; `ok = false` marks payloads
-    * no available codec could decode (dims/frames zeroed). */
+  /** Typed decode output, flattened across modalities: for images
+    * width×height with n_frames = 1; for audio `width` carries the
+    * sample rate (Hz), `height` the channel count, and `n_frames` the
+    * PCM frame count. `ok = false` marks payloads no available codec
+    * could decode (dims/frames zeroed). */
   final case class DecodedMeta(
       asset_id: Long,
       modality: String,
@@ -56,6 +61,13 @@ object Multimodal {
     * total before the entropy stream stand-in. */
   private[ops] val JpegHeaderLen = 39
 
+  /** Canonical WAV header (public RIFF/WAVE spec): "RIFF" + size +
+    * "WAVE", a 16-byte PCM "fmt " chunk (format 1, channels, sample
+    * rate, byte rate, block align, 16 bits), then the "data" chunk
+    * header. 44 bytes; all integer fields LITTLE-endian (RIFF), the
+    * reverse of PNG/JPEG network order. */
+  private[ops] val WavHeaderLen = 44
+
   /** Build an asset table from the documents corpus. Image payloads are
     * REAL bytes in two formats — even doc_ids get PNG (signature +
     * IHDR), odd doc_ids get JPEG (SOI + APP0 JFIF + SOF0) — with
@@ -64,8 +76,11 @@ object Multimodal {
     * followed by the text bytes standing in for the compressed stream —
     * so decoding the header is genuine byte-level parsing (for JPEG, a
     * marker-stream walk past APP0) whose result an oracle can predict
-    * from the document columns. Audio/video stay opaque text bytes.
-    * Construction is a pure codegen projection (hex/unhex). */
+    * from the document columns. Audio payloads are REAL canonical WAV
+    * bytes (RIFF/WAVE + PCM fmt chunk, little-endian, sample rate
+    * 8000·(1 + doc_id%3), channels 1 + doc_id%2, text bytes as the PCM
+    * body); video stays opaque text bytes. Construction is a pure
+    * codegen projection (hex/unhex). */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     val w = (lit(64) + octet_length(col("text")) % 512).cast("int")
@@ -91,6 +106,21 @@ object Multimodal {
       // 3 components: id, 1x1 sampling, quant table 0/1/1
       unhex(lit("03" + "011100" + "021101" + "031101")),
       col("text").cast("binary"))
+    // n-byte LITTLE-endian hex of a (non-negative) integer column —
+    // RIFF integer fields are LE, so hex() output is byte-reversed
+    def leHex(v: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(v.cast("long"), 8 * i) % 256), 2, "0")): _*)
+    val dataLen = octet_length(col("text")).cast("long")
+    val sr = (lit(8000L) * (lit(1) + col("doc_id") % 3)).cast("long")
+    val ch = (lit(1L) + col("doc_id") % 2).cast("long")
+    val wav = unhex(concat(
+      lit("52494646"), leHex(dataLen + 36L, 4), lit("57415645"), // RIFF/WAVE
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2),    // fmt, PCM
+      leHex(ch, 2), leHex(sr, 4),
+      leHex(sr * ch * 2L, 4), leHex(ch * 2L, 2), leHex(lit(16L), 2),
+      lit("64617461"), leHex(dataLen, 4),                        // data hdr
+      hex(col("text").cast("binary"))))
     graft.Tables.load(spark, dir, "documents")
       .withColumn("modality",
         when(col("n_chars") % 3 === 0, "image")
@@ -99,6 +129,7 @@ object Multimodal {
       .select(col("doc_id").as("asset_id"), col("modality"),
         when(col("modality") === "image",
           when(col("doc_id") % 2 === 0, png).otherwise(jpeg))
+          .when(col("modality") === "audio", wav)
           .otherwise(col("text").cast("binary")).as("payload"),
         col("source"))
       .as[Asset]
@@ -114,6 +145,33 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(p, 16, 8)
       Some((bb.getInt, bb.getInt))
     } else None
+
+  /** Parses canonical-WAV audio metadata by walking RIFF chunks: "RIFF"
+    * + "WAVE" magic, then [id(4)][size(4 LE)] chunks — "fmt " yields
+    * channels / sample rate / block align, "data" yields the PCM body.
+    * All integers LITTLE-endian per the RIFF spec. Returns
+    * (sampleRate, channels, pcmFrames, dataOffset). */
+  private[ops] def parseWavMeta(p: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    def u16(i: Int): Int = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (0 until 4).map(k => (p(i + k) & 0xFFL) << (8 * k)).sum
+    def tag(i: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, k) => p(i + k) == c.toByte }
+    if (p.length < WavHeaderLen || !tag(0, "RIFF") || !tag(8, "WAVE"))
+      return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, blockAlign
+    var data: Option[(Int, Long)] = None    // offset, size
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = u32(i + 4)
+      if (tag(i, "fmt ") && i + 8 + 16 <= p.length)
+        fmt = Some((u16(i + 10), u32(i + 12).toInt, u16(i + 20)))
+      else if (tag(i, "data"))
+        data = Some((i + 8, math.min(size, (p.length - i - 8).toLong)))
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, rate, ba) <- fmt; (off, len) <- data if ba > 0)
+      yield (rate, ch, len / ba, off)
+  }
 
   /** Parses JPEG dimensions by walking the marker stream (ITU T.81
     * §B.1.1.2): SOI, then segments skipped by their 2-byte big-endian
@@ -159,12 +217,17 @@ object Multimodal {
     }
     assets.map { a =>
       val parsed = parsePngDims(a.payload)
-        .map { case (w, h) => (w, h, PngHeaderLen) }
-        .orElse(parseJpegDims(a.payload))
+        .map { case (w, h) => (w, h, 1L, PngHeaderLen) }
+        .orElse(parseJpegDims(a.payload)
+          .map { case (w, h, off) => (w, h, 1L, off) })
+        .orElse(parseWavMeta(a.payload)
+          // audio flattening: width carries the sample rate (Hz),
+          // height the channel count, n_frames the PCM frame count
+          .map { case (rate, ch, frames, off) => (rate, ch, frames, off) })
       parsed match {
-        case Some((w, h, bodyFrom)) =>
+        case Some((w, h, frames, bodyFrom)) =>
           DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
-            sha16(a.payload, bodyFrom), w, h, n_frames = 1, ok = true)
+            sha16(a.payload, bodyFrom), w, h, frames.toInt, ok = true)
         case None =>
           DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,
             sha16(a.payload, 0), width = 0, height = 0, n_frames = 0,

@@ -370,8 +370,11 @@ object PipelineOps {
     // geometry from the document columns the construction used. DuckDB
     // computes everything independently; a broken signature check, a
     // wrong endianness, or an off-by-one in the header offsets all
-    // surface as value mismatches. Audio/video payloads have no codec in
-    // this container and must come back ok=false with zero dims.
+    // surface as value mismatches. Audio payloads are canonical WAV and
+    // must parse to the constructed sample rate / channels / PCM frame
+    // count (little-endian RIFF walk — the endianness complement of the
+    // image formats); video payloads have no codec in this container
+    // and must come back ok=false with zero dims.
     QueryDef("m1_multimodal_meta", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
       graft.ops.Multimodal.metadataTable(spark, dir)
@@ -387,15 +390,22 @@ object PipelineOps {
         |  CAST(octet_length(CAST(text AS BLOB))
         |       + CASE WHEN n_chars % 3 = 0
         |              THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
+        |              WHEN n_chars % 3 = 1 THEN 44
         |              ELSE 0 END AS BIGINT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS sha16,
         |  CAST(CASE WHEN n_chars % 3 = 0
-        |       THEN 64 + octet_length(CAST(text AS BLOB)) % 512 ELSE 0 END
-        |    AS BIGINT) AS width,
-        |  CAST(CASE WHEN n_chars % 3 = 0
-        |       THEN 64 + n_chars % 512 ELSE 0 END AS BIGINT) AS height,
-        |  CAST(CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_frames,
-        |  n_chars % 3 = 0 AS ok
+        |       THEN 64 + octet_length(CAST(text AS BLOB)) % 512
+        |       WHEN n_chars % 3 = 1 THEN 8000 * (1 + doc_id % 3)
+        |       ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN n_chars % 3 = 0 THEN 64 + n_chars % 512
+        |       WHEN n_chars % 3 = 1 THEN 1 + doc_id % 2
+        |       ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN n_chars % 3 = 0 THEN 1
+        |       WHEN n_chars % 3 = 1
+        |       THEN octet_length(CAST(text AS BLOB))
+        |            // ((1 + doc_id % 2) * 2)
+        |       ELSE 0 END AS BIGINT) AS n_frames,
+        |  n_chars % 3 != 2 AS ok
         |FROM documents ORDER BY asset_id""".stripMargin)),
 
     // Multimodal frame sampling + resize targets (brief: "decode /

@@ -62,6 +62,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseJpegDims(Array.empty[Byte]).isEmpty)
   }
 
+  test("parseWavMeta walks RIFF chunks little-endian; rejects damage") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes ++ le(payload.length, 4) ++ payload
+    val fmt = chunk("fmt ", le(1, 2) ++ le(2, 2) ++ le(16000, 4) ++
+      le(64000, 4) ++ le(4, 2) ++ le(16, 2)) // stereo 16 kHz, align 4
+    val data = chunk("data", Array.fill[Byte](25)(7)) // 25 bytes -> 6 frames
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes ++ chunks.flatten
+      "RIFF".getBytes ++ le(body.length, 4) ++ body
+    }
+    assert(Multimodal.parseWavMeta(wav(fmt, data))
+      .contains((16000, 2, 6L, 44)))
+    // an unknown chunk before fmt must be skipped by its length
+    // (odd-sized: exercises word-alignment padding)
+    val junk = chunk("LIST", Array.fill[Byte](7)(1)) ++ Array[Byte](0)
+    assert(Multimodal.parseWavMeta(wav(junk, fmt, data))
+      .map(t => (t._1, t._2, t._3)).contains((16000, 2, 6L)))
+    // damage: wrong magic, truncated, missing data chunk
+    val bad = wav(fmt, data); bad(0) = 'X'.toByte
+    assert(Multimodal.parseWavMeta(bad).isEmpty)
+    assert(Multimodal.parseWavMeta(wav(fmt, data).take(30)).isEmpty)
+    assert(Multimodal.parseWavMeta(wav(fmt)).isEmpty)
+  }
+
   test("image payloads are real PNGs; decode recovers constructed geometry") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), octet_length(col("text")).as("blen"),
@@ -79,8 +105,18 @@ class MultimodalSpec extends SparkSpec {
         col("n_frames") =!= 1 ||
         col("byte_len") =!= col("blen") + hdrLen)).count()
     assert(badImg == 0)
-    // no codec for audio/video in this container: honestly not decoded
-    val badAv = joined.filter(col("modality") =!= "image" &&
+    // audio is canonical WAV: sample rate / channels / PCM frames all
+    // recovered from the little-endian RIFF walk
+    val badAudio = joined.filter(col("modality") === "audio" &&
+      (!col("ok") ||
+        col("width") =!= lit(8000) * (lit(1) + col("doc_id") % 3) ||
+        col("height") =!= lit(1) + col("doc_id") % 2 ||
+        col("n_frames") =!=
+          expr("blen div ((1 + doc_id % 2) * 2)") ||
+        col("byte_len") =!= col("blen") + Multimodal.WavHeaderLen)).count()
+    assert(badAudio == 0)
+    // no codec for video in this container: honestly not decoded
+    val badAv = joined.filter(col("modality") === "video" &&
       (col("ok") || col("width") =!= 0 || col("n_frames") =!= 0)).count()
     assert(badAv == 0)
     // deterministic across runs
