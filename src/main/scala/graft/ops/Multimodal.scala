@@ -68,6 +68,14 @@ object Multimodal {
     * reverse of PNG/JPEG network order. */
   private[ops] val WavHeaderLen = 44
 
+  /** Minimal MP4 (ISO BMFF, the public ISO/IEC 14496-12 layout):
+    * `ftyp`(16) + `moov`(216) { `mvhd` v0 (108: timescale 25, duration
+    * = frame ticks) + `trak`(100) { `tkhd` v0 (92: width/height as
+    * 16.16 fixed point at payload offsets 76/80) } } + the 8-byte
+    * `mdat` header. 240 bytes before the sample-stream stand-in; box
+    * sizes/fields big-endian. */
+  private[ops] val Mp4HeaderLen = 240
+
   /** Build an asset table from the documents corpus. Image payloads are
     * REAL bytes in two formats — even doc_ids get PNG (signature +
     * IHDR), odd doc_ids get JPEG (SOI + APP0 JFIF + SOF0) — with
@@ -121,6 +129,28 @@ object Multimodal {
       leHex(sr * ch * 2L, 4), leHex(ch * 2L, 2), leHex(lit(16L), 2),
       lit("64617461"), leHex(dataLen, 4),                        // data hdr
       hex(col("text").cast("binary"))))
+    // n-byte BIG-endian hex (ISO BMFF box fields)
+    def beHex(v: Column, nBytes: Int): Column =
+      lpad(hex(v.cast("long")), 2 * nBytes, "0")
+    val frames = (lit(1L) + col("n_chars") % 240).cast("long")
+    val unityMatrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000"
+    val mp4 = unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
+      lit("000000D8" + "6D6F6F76"),                           // moov (216)
+      lit("0000006C" + "6D766864" + "00000000" +              // mvhd v0
+        "00000000" * 2 + "00000019"),                         // timescale 25
+      beHex(frames, 4),                                       // duration
+      lit("00010000" + "0100" + "0000" + "00000000" * 2 +
+        unityMatrix + "00000000" * 6 + "00000002"),
+      lit("00000064" + "7472616B"),                           // trak (100)
+      lit("0000005C" + "746B6864" + "00000007" +              // tkhd v0
+        "00000000" * 2 + "00000001" + "00000000"),            // track 1
+      beHex(frames, 4),                                       // duration
+      lit("00000000" * 2 + "0000" * 4 + unityMatrix),
+      beHex(w, 2), lit("0000"), beHex(h, 2), lit("0000"),     // 16.16 dims
+      beHex(dataLen + 8L, 4), lit("6D646174"),                // mdat
+      hex(col("text").cast("binary"))))
     graft.Tables.load(spark, dir, "documents")
       .withColumn("modality",
         when(col("n_chars") % 3 === 0, "image")
@@ -130,7 +160,7 @@ object Multimodal {
         when(col("modality") === "image",
           when(col("doc_id") % 2 === 0, png).otherwise(jpeg))
           .when(col("modality") === "audio", wav)
-          .otherwise(col("text").cast("binary")).as("payload"),
+          .otherwise(mp4).as("payload"),
         col("source"))
       .as[Asset]
   }
@@ -200,6 +230,41 @@ object Multimodal {
     None
   }
 
+  /** Parses MP4 video metadata by walking the ISO BMFF box tree
+    * (public ISO/IEC 14496-12 layout): big-endian [size][type] boxes,
+    * `moov` > `mvhd` for the duration in timescale ticks (constructed
+    * at 1 tick = 1 frame), `moov` > `trak` > `tkhd` for width/height
+    * as 16.16 fixed point, `mdat` for the sample body. Returns
+    * (width, height, frames, dataOffset). */
+  private[ops] def parseMp4Meta(p: Array[Byte]): Option[(Int, Int, Long, Int)] = {
+    def u32(i: Int): Long =
+      (0 until 4).map(k => (p(i + k) & 0xFFL) << (8 * (3 - k))).sum
+    def tag(i: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, k) => p(i + k) == c.toByte }
+    if (p.length < 16 || !tag(4, "ftyp")) return None
+    // first box named `name` in [from, to): (payload offset, box end)
+    def findBox(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32(i)
+        if (size < 8) return None // malformed: would loop forever
+        if (tag(i + 4, name))
+          return Some((i + 8, math.min(i + size, to.toLong).toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      (moov, moovEnd) <- findBox(0, p.length, "moov")
+      (mvhd, mvhdEnd) <- findBox(moov, moovEnd, "mvhd")
+      (trak, trakEnd) <- findBox(moov, moovEnd, "trak")
+      (tkhd, tkhdEnd) <- findBox(trak, trakEnd, "tkhd")
+      (mdat, _) <- findBox(0, p.length, "mdat")
+      if mvhdEnd >= mvhd + 20 && tkhdEnd >= tkhd + 84
+    } yield ((u32(tkhd + 76) >> 16).toInt, (u32(tkhd + 80) >> 16).toInt,
+      u32(mvhd + 16), mdat)
+  }
+
   /** Per-partition decoder: PNG and JPEG headers parse for real;
     * payloads with no available codec return `ok = false` with zero
     * dims. `sha16` is the digest of the content body (the bytes after
@@ -224,6 +289,7 @@ object Multimodal {
           // audio flattening: width carries the sample rate (Hz),
           // height the channel count, n_frames the PCM frame count
           .map { case (rate, ch, frames, off) => (rate, ch, frames, off) })
+        .orElse(parseMp4Meta(a.payload))
       parsed match {
         case Some((w, h, frames, bodyFrom)) =>
           DecodedMeta(a.asset_id, a.modality, a.payload.length.toLong,

@@ -391,21 +391,19 @@ object PipelineOps {
         |       + CASE WHEN n_chars % 3 = 0
         |              THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
         |              WHEN n_chars % 3 = 1 THEN 44
-        |              ELSE 0 END AS BIGINT) AS byte_len,
+        |              ELSE 240 END AS BIGINT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS sha16,
-        |  CAST(CASE WHEN n_chars % 3 = 0
-        |       THEN 64 + octet_length(CAST(text AS BLOB)) % 512
-        |       WHEN n_chars % 3 = 1 THEN 8000 * (1 + doc_id % 3)
-        |       ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE WHEN n_chars % 3 = 0 THEN 64 + n_chars % 512
-        |       WHEN n_chars % 3 = 1 THEN 1 + doc_id % 2
-        |       ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE WHEN n_chars % 3 = 1 THEN 8000 * (1 + doc_id % 3)
+        |       ELSE 64 + octet_length(CAST(text AS BLOB)) % 512
+        |       END AS BIGINT) AS width,
+        |  CAST(CASE WHEN n_chars % 3 = 1 THEN 1 + doc_id % 2
+        |       ELSE 64 + n_chars % 512 END AS BIGINT) AS height,
         |  CAST(CASE WHEN n_chars % 3 = 0 THEN 1
         |       WHEN n_chars % 3 = 1
         |       THEN octet_length(CAST(text AS BLOB))
         |            // ((1 + doc_id % 2) * 2)
-        |       ELSE 0 END AS BIGINT) AS n_frames,
-        |  n_chars % 3 != 2 AS ok
+        |       ELSE 1 + n_chars % 240 END AS BIGINT) AS n_frames,
+        |  true AS ok
         |FROM documents ORDER BY asset_id""".stripMargin)),
 
     // Multimodal frame sampling + resize targets (brief: "decode /

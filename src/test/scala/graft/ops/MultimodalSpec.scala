@@ -88,6 +88,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWavMeta(wav(fmt)).isEmpty)
   }
 
+  test("parseMp4Meta walks the box tree big-endian; rejects damage") {
+    def be(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte).toArray
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be(payload.length + 8, 4) ++ name.getBytes ++ payload
+    val mvhd = box("mvhd", be(0, 4) ++ be(0, 8) ++ be(25, 4) ++ be(75, 4) ++
+      Array.fill[Byte](76)(0)) // timescale 25, duration 75 ticks
+    val tkhd = box("tkhd", be(7, 4) ++ be(0, 8) ++ be(1, 4) ++ be(0, 4) ++
+      be(75, 4) ++ Array.fill[Byte](52)(0) ++
+      be(320L << 16, 4) ++ be(180L << 16, 4)) // 320x180 in 16.16
+    val ftyp = box("ftyp", "isom".getBytes ++ be(0, 4))
+    val mdat = box("mdat", Array.fill[Byte](9)(3))
+    // an extra leading box inside moov and an extra trak-level box must
+    // be walked past by size
+    val free = box("free", Array.fill[Byte](5)(0))
+    val good = ftyp ++ box("moov", free ++ mvhd ++ box("trak", free ++ tkhd)) ++ mdat
+    val got = Multimodal.parseMp4Meta(good)
+    assert(got.map(t => (t._1, t._2, t._3)).contains((320, 180, 75L)))
+    // dataOffset points at the mdat payload
+    assert(got.exists { case (_, _, _, off) => good(off) == 3.toByte })
+    // damage: no ftyp, truncated tkhd, zero-size box (malformed loop)
+    assert(Multimodal.parseMp4Meta(mdat).isEmpty)
+    val short = ftyp ++ box("moov", mvhd ++ box("trak",
+      box("tkhd", be(7, 4)))) ++ mdat
+    assert(Multimodal.parseMp4Meta(short).isEmpty)
+    val zeroBox = ftyp ++ box("moov", be(0, 4) ++ "free".getBytes) ++ mdat
+    assert(Multimodal.parseMp4Meta(zeroBox).isEmpty)
+  }
+
   test("image payloads are real PNGs; decode recovers constructed geometry") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select(col("doc_id"), octet_length(col("text")).as("blen"),
@@ -115,10 +144,22 @@ class MultimodalSpec extends SparkSpec {
           expr("blen div ((1 + doc_id % 2) * 2)") ||
         col("byte_len") =!= col("blen") + Multimodal.WavHeaderLen)).count()
     assert(badAudio == 0)
-    // no codec for video in this container: honestly not decoded
-    val badAv = joined.filter(col("modality") === "video" &&
-      (col("ok") || col("width") =!= 0 || col("n_frames") =!= 0)).count()
-    assert(badAv == 0)
+    // video is minimal MP4: dims from tkhd 16.16, frames from mvhd ticks
+    val badVideo = joined.filter(col("modality") === "video" &&
+      (!col("ok") || col("width") =!= (col("blen") % 512 + 64) ||
+        col("height") =!= (col("n_chars") % 512 + 64) ||
+        col("n_frames") =!= lit(1) + col("n_chars") % 240 ||
+        col("byte_len") =!= col("blen") + Multimodal.Mp4HeaderLen)).count()
+    assert(badVideo == 0)
+    // unknown bytes still come back honestly undecoded
+    assert(Multimodal.decodePartition(Iterator(Multimodal.Asset(
+      1L, "video", "no known container here".getBytes, "s")))
+      .next() == Multimodal.DecodedMeta(1L, "video", 23L,
+        // sha16 of the whole payload
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest("no known container here".getBytes)
+          .take(8).map(b => f"$b%02x").mkString,
+        0, 0, 0, ok = false))
     // deterministic across runs
     val a = meta.orderBy("asset_id").collect().toSeq
     val b = Multimodal.metadataTable(spark, sf).orderBy("asset_id").collect().toSeq
