@@ -23,11 +23,22 @@ import graft.ops.{Dedup, Similarity}
 private[queries] object GradeFixtures {
   private val cache = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  // get/putIfAbsent, NOT computeIfAbsent: exactClusters builds on top of
+  // exactPairs, and a nested computeIfAbsent on the same ConcurrentHashMap
+  // throws IllegalStateException("Recursive update") whenever the two keys
+  // share a hash bin. A lost race just builds the (idempotent) fixture
+  // twice; re-entrancy must stay legal.
   private def fixture(spark: SparkSession, what: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val emb = spark.table("embeddings")
     val key = (spark, emb.inputFiles.sorted.mkString(","), what)
-    cache.computeIfAbsent(key, _ => build(emb).localCheckpoint())
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val built = build(emb).localCheckpoint()
+      val prev = cache.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Exact (all-pairs) cosine >= 0.4 pair set over `embeddings`. */
@@ -38,12 +49,14 @@ private[queries] object GradeFixtures {
     }
 
   /** Connected components of [[exactPairs]] — the exact cluster map. */
-  def exactClusters(spark: SparkSession): DataFrame =
+  def exactClusters(spark: SparkSession): DataFrame = {
+    val pairs = exactPairs(spark) // resolve BEFORE the nested fixture build
     fixture(spark, "exactClusters") { _ =>
-      Dedup.dupClusters(exactPairs(spark), "vec_id_a", "vec_id_b")
+      Dedup.dupClusters(pairs, "vec_id_a", "vec_id_b")
         .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
           org.apache.spark.sql.functions.col("cluster_id"))
     }
+  }
 
   /** Blocked (SRP-bucketed) pair set at the fixture-recall parameters
     * shared by e1x and ec1x (planeBits=3, tables=12 — see e1x's note). */
