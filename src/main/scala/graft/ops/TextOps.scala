@@ -1139,4 +1139,104 @@ object TextOps {
         score.as("score_micro"): _*)
       .withColumn("keep", col("score_micro") >= thresholdMicro)
   }
+
+  /** Trained logistic model over a bounded term vocabulary, micro-unit
+    * (1e-6) fixed-point: `score = interceptMicro + Σ_j weightsMicro(j)
+    * · [term_j present]`. Produced by [[trainLogistic]], consumed by
+    * [[scoreLogistic]]. */
+  final case class LogisticModel(interceptMicro: Long,
+      weightsMicro: Seq[(String, Long)])
+
+  /** round(1e6 · sigmoid(z_micro/1e6)) as BIGINT — the ONE double
+    * excursion in the logistic chain, rounded back to micro units
+    * immediately (the bm25/lm ln-parity discipline, applied to exp):
+    * z→double is exact, each of /1e6, exp, 1+, 1e6/ is a single IEEE
+    * op both engines perform identically, and round() on a positive
+    * double is half-up in both. */
+  private def sigmoidMicro(z: Column): Column =
+    round(lit(1000000.0) / (lit(1.0) +
+      exp(z.cast("double") / lit(-1000000.0)))).cast("bigint")
+
+  /** In-engine quality-classifier TRAINING — the other half of
+    * [[classifierScore]], which only scores with weights handed in.
+    * Real curation pipelines bootstrap their gates exactly this way
+    * (fastText-style): take a cheap weak label (a heuristic rule, a
+    * language tag, a teacher model's verdict), fit a linear classifier
+    * on bounded text features, then gate the corpus with it.
+    *
+    * Full-batch logistic regression by distributed gradient descent
+    * over binary term-presence features. Deterministic by construction:
+    * features and labels are integers; the per-row sigmoid is the one
+    * rounded double op ([[sigmoidMicro]]); gradients are BIGINT sums
+    * (associative — partial-agg order can't change them); the weight
+    * step uses truncating long division, which is the SAME operation as
+    * Spark SQL `div` and DuckDB `//` (all three truncate toward zero),
+    * so an unrolled SQL oracle reproduces training bit-for-bit.
+    *
+    * Scale shape (100 TB): ONE narrow projection materializes
+    * (y, x_0..x_J) — J+1 small integers per doc, the text never leaves
+    * the scan — and each iteration is one partial+final aggregate over
+    * that projection producing J+1 numbers; the driver's update is O(J)
+    * on a model bounded by the vocabulary, broadcast back as literals
+    * in the next iteration's expressions. localCheckpoint here stands
+    * in for persist-to-cluster-storage on a real deployment.
+    *
+    * Weight update: w ← w − (lrNum · g) / (lrDen · n) in micro units,
+    * where g = Σ_docs (p_micro − y·1e6) · x. lr defaults to 1/2 —
+    * safely inside the convergence region for presence features
+    * (‖x‖² ≤ J+1 bounds the logistic Hessian by (J+1)/4). */
+  def trainLogistic(df: DataFrame, textCol: String, label: Column,
+      vocab: Seq[String], iters: Int = 3,
+      lrNum: Long = 1L, lrDen: Long = 2L): LogisticModel = {
+    require(vocab.nonEmpty, "trainLogistic: empty vocabulary")
+    require(iters >= 1 && lrNum > 0 && lrDen > 0,
+      s"trainLogistic: need iters>=1 and a positive rate, " +
+        s"got iters=$iters lr=$lrNum/$lrDen")
+    val feats = df.select(
+      label.cast("bigint").as("y") +:
+      vocab.zipWithIndex.map { case (t, j) =>
+        array_contains(split(col(textCol), " "), lit(t))
+          .cast("bigint").as(s"x$j")
+      }: _*).localCheckpoint()
+    val n = feats.count()
+    require(n > 0, "trainLogistic: empty corpus")
+    var wb = 0L
+    val w = Array.fill(vocab.size)(0L)
+    for (_ <- 1 to iters) {
+      val z = w.zipWithIndex.foldLeft(lit(wb).cast("bigint")) {
+        case (acc, (wj, j)) => acc + lit(wj) * col(s"x$j")
+      }
+      val gs = sum(col("e")).cast("bigint").as("gb") +:
+        vocab.indices.map(j =>
+          sum(col("e") * col(s"x$j")).cast("bigint").as(s"g$j"))
+      val row = feats
+        .withColumn("e", sigmoidMicro(z) - col("y") * lit(1000000L))
+        .agg(gs.head, gs.tail: _*).head()
+      // plain Long `/` truncates toward zero — bit-identical to Spark
+      // SQL `div` and DuckDB `//` for either sign (verified empirically;
+      // floorDiv would NOT match on negative gradients)
+      wb -= (lrNum * row.getAs[Long]("gb")) / (lrDen * n)
+      for (j <- vocab.indices)
+        w(j) -= (lrNum * row.getAs[Long](s"g$j")) / (lrDen * n)
+    }
+    LogisticModel(wb, vocab.zip(w.toSeq))
+  }
+
+  /** Scores documents with a [[trainLogistic]] model: per doc the
+    * integer logit `z_micro`, the rounded probability `p_micro`, and
+    * the gate `keep = z_micro >= thresholdMicro`. The default threshold
+    * 0 is the MAP decision (p >= 1/2); production gates usually pick a
+    * tuned operating point on the score distribution instead (the
+    * FineWeb-Edu "score >= 3" pattern). Scan-local — the model rides
+    * the expression tree as literals, nothing shuffles. */
+  def scoreLogistic(df: DataFrame, idCol: String, textCol: String,
+      model: LogisticModel, thresholdMicro: Long = 0L): DataFrame = {
+    val z = model.weightsMicro.foldLeft(lit(model.interceptMicro).cast("bigint")) {
+      case (acc, (t, wj)) => acc +
+        lit(wj) * array_contains(split(col(textCol), " "), lit(t)).cast("bigint")
+    }
+    df.select(col(idCol).as("doc_id"), z.as("z_micro"))
+      .withColumn("p_micro", sigmoidMicro(col("z_micro")))
+      .withColumn("keep", col("z_micro") >= thresholdMicro)
+  }
 }

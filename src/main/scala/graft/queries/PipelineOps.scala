@@ -30,6 +30,65 @@ object PipelineOps {
   private val qcBias = 50000L
   private val qcThreshold = 200000L
 
+  /** qc2's training hyperparameters — ONE definition feeds the Spark
+    * trainer and the oracle generator below. Label: lang = 'en' (the
+    * weak-supervision bootstrap — distill the tag into a classifier). */
+  private val qc2Vocab = Seq("group", "hash", "scan", "customer",
+    "slow", "query", "merge", "vector")
+  private val qc2Iters = 3
+  private val (qc2LrNum, qc2LrDen) = (1L, 2L)
+  /** Gate operating point on the logit axis — tuned, like every
+    * production quality gate (p >= 1/2 is degenerate under the corpus'
+    * class imbalance + weak per-term signal). */
+  private val qc2ThresholdMicro = -300000L
+
+  /** Unrolled-CTE oracle for qc2: DuckDB replays the EXACT training
+    * computation — presence features, per-iteration sigmoid/gradient/
+    * update, final scoring — iteration k's weights are a one-row CTE
+    * crossed into iteration k+1. Integer throughout except the shared
+    * rounded sigmoid; `//` truncates toward zero exactly like the
+    * trainer's Long division. */
+  private def qc2OracleSql: String = {
+    val js = qc2Vocab.indices
+    def sig(z: String) =
+      s"CAST(round(CAST(1000000 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+        s"exp(CAST($z AS DOUBLE) / CAST(-1000000 AS DOUBLE)))) AS BIGINT)"
+    def zOf(w: String) =
+      (s"$w.w_b" +: js.map(j => s"$w.w$j * f.x$j")).mkString(" + ")
+    val xCols = qc2Vocab.zipWithIndex.map { case (t, j) =>
+      s"CAST(list_contains(string_split(text, ' '), '$t') AS BIGINT) AS x$j"
+    }.mkString(",\n           ")
+    val w0 = ("CAST(0 AS BIGINT) AS w_b" +:
+      js.map(j => s"CAST(0 AS BIGINT) AS w$j")).mkString(", ")
+    val iterCtes = (1 to qc2Iters).map { k =>
+      val pw = s"w${k - 1}"
+      val gSums = ("CAST(sum(p - y * 1000000) AS BIGINT) AS gb" +:
+        js.map(j => s"CAST(sum((p - y * 1000000) * x$j) AS BIGINT) AS g$j"))
+        .mkString(",\n           ")
+      val wUpd = (s"$pw.w_b - ($qc2LrNum * g$k.gb) // ($qc2LrDen * nn.n) AS w_b" +:
+        js.map(j =>
+          s"$pw.w$j - ($qc2LrNum * g$k.g$j) // ($qc2LrDen * nn.n) AS w$j"))
+        .mkString(",\n           ")
+      s"""  s$k AS (SELECT f.*, ${zOf(pw)} AS z FROM f CROSS JOIN $pw),
+         |  p$k AS (SELECT *, ${sig("z")} AS p FROM s$k),
+         |  g$k AS (SELECT $gSums
+         |          FROM p$k),
+         |  w$k AS (SELECT $wUpd
+         |          FROM $pw CROSS JOIN g$k CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+       |           $xCols
+       |           FROM documents),
+       |  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+       |  w0 AS (SELECT $w0),
+       |$iterCtes,
+       |  fin AS (SELECT f.doc_id, ${zOf(s"w$qc2Iters")} AS z
+       |          FROM f CROSS JOIN w$qc2Iters)
+       |SELECT doc_id, z AS z_micro, ${sig("z")} AS p_micro,
+       |       z >= CAST($qc2ThresholdMicro AS BIGINT) AS keep
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   /** rp1's projection matrix: 8 output components × 64 input dims, every
     * entry k/16 with k ∈ [-9, 9] — exact in binary FP AND in the oracle's
     * 4-decimal literal, so the only doubles in the chain are the shared
@@ -1755,6 +1814,24 @@ object PipelineOps {
       TextOps.classifierScore(spark.table("documents"), "doc_id", "text",
           weightsMicro = qcModel.toMap, biasMicro = qcBias,
           thresholdMicro = qcThreshold)
+        .orderBy("doc_id")
+    },
+
+    // In-engine classifier TRAINING ([[graft.ops.TextOps
+    // .trainLogistic]]): full-batch logistic regression by distributed
+    // gradient descent — the fastText/DCLM bootstrap where a weak label
+    // (here the lang tag) is distilled into a reusable linear gate.
+    // Each iteration is one BIGINT aggregate over a narrow presence-
+    // feature projection; the only double op is the per-row sigmoid,
+    // rounded to micro units immediately. The oracle UNROLLS the whole
+    // training loop as CTEs and must land on bit-identical weights,
+    // logits, probabilities, and gate decisions.
+    QueryDef.views("qc2_classifier_train", qc2OracleSql) { spark =>
+      val docs = spark.table("documents")
+      val model = TextOps.trainLogistic(docs, "text",
+        col("lang") === "en", qc2Vocab, qc2Iters, qc2LrNum, qc2LrDen)
+      TextOps.scoreLogistic(docs, "doc_id", "text", model,
+          thresholdMicro = qc2ThresholdMicro)
         .orderBy("doc_id")
     },
 

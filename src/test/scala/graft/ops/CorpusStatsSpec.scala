@@ -113,6 +113,51 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("trainLogistic: learns a separable task and gates it correctly") {
+    // positives all contain 'good', negatives all contain 'bad' — one
+    // gradient step already separates; three make the margin decisive
+    val df = Seq(
+      (0L, "good stuff here", 1L), (1L, "really good text", 1L),
+      (2L, "good again", 1L), (3L, "bad junk", 0L),
+      (4L, "some bad noise", 0L), (5L, "bad bad bad", 0L)
+    ).toDF("doc_id", "text", "y")
+    val m = TextOps.trainLogistic(df, "text", col("y") === 1L,
+      vocab = Seq("good", "bad"), iters = 3, lrNum = 4L, lrDen = 1L)
+    val w = m.weightsMicro.toMap
+    assert(w("good") > 0L && w("bad") < 0L, s"wrong signs: $m")
+    val scored = TextOps.scoreLogistic(df, "doc_id", "text", m)
+      .orderBy("doc_id").collect()
+    val z = scored.map(_.getLong(1))
+    assert(z.take(3).min > z.drop(3).max,
+      s"positives not separated: ${z.toSeq}")
+    // keep mirrors the threshold; p_micro mirrors z through the sigmoid
+    assert(scored.map(_.getBoolean(3)).toSeq ==
+      Seq(true, true, true, false, false, false))
+    assert(scored.map(_.getLong(2)).zip(z).forall { case (p, zi) =>
+      (p >= 500000L) == (zi >= 0L) })
+  }
+
+  test("trainLogistic: deterministic across runs; loss falls below ln 2") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val label = col("lang") === "en"
+    val vocab = Seq("group", "hash", "scan", "customer")
+    val m1 = TextOps.trainLogistic(docs, "text", label, vocab)
+    val m2 = TextOps.trainLogistic(docs, "text", label, vocab)
+    assert(m1 == m2, s"nondeterministic training: $m1 vs $m2")
+    // at w=0 every doc costs exactly ln 2; any learning must beat that
+    val p = TextOps.scoreLogistic(docs, "doc_id", "text", m1)
+      .join(docs.select(col("doc_id"), label.cast("int").as("y")), "doc_id")
+      .select((col("p_micro").cast("double") / 1e6).as("p"), col("y"))
+    val loss = p.select(avg(when(col("y") === 1, -log(col("p")))
+      .otherwise(-log(lit(1.0) - col("p")))).as("l"))
+      .head().getDouble(0)
+    assert(loss < math.log(2.0), s"no learning: loss=$loss")
+    // scoring is a pure projection: model rides as literals, no shuffle
+    val plan = TextOps.scoreLogistic(docs, "doc_id", "text", m1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("lmScore: docs with fewer than 2 tokens get zero counts, null tier") {
     val df = Seq((0L, "a b"), (1L, "solo"), (2L, "")).toDF("doc_id", "text")
     val got = TextOps.lmScore(df, "doc_id", "text", 1L, 2L)
