@@ -1334,6 +1334,39 @@ object PipelineOps {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Corpus snapshot diff ([[graft.ops.Layout.diffSnapshots]]): the
+    // incremental-update primitive — classify every doc id across two
+    // corpus versions as added / removed / changed / unchanged by
+    // digest, so a refresh recurates only the delta. Old = ids not
+    // divisible by 10; new = ids not divisible by 7, with every 5th
+    // doc's text revised — exercising all four statuses plus ids
+    // absent from both sides. ONE narrow (id, digest) full-outer join;
+    // payloads never move.
+    QueryDef.views("sn1_snapshot_diff",
+      """WITH o AS (SELECT doc_id, md5(text) AS old_digest
+        |           FROM documents WHERE doc_id % 10 <> 0),
+        |     n AS (SELECT doc_id,
+        |             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                      ELSE text END) AS new_digest
+        |           FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       o.old_digest, n.new_digest,
+        |       CASE WHEN o.old_digest IS NULL THEN 'added'
+        |            WHEN n.new_digest IS NULL THEN 'removed'
+        |            WHEN o.old_digest <> n.new_digest THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Layout.diffSnapshots(oldSnap, newSnap, "doc_id", "text")
+        .select("doc_id", "old_digest", "new_digest", "status")
+        .orderBy("doc_id")
+    },
+
     // Sketch aggregation: built-in HLL + graft's native KMV sketch
     // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
     // side with the exact count. Rows-only (engine-specific sketches).
@@ -1870,6 +1903,26 @@ object PipelineOps {
       graft.Tables.registerAll(spark, sfDir)
       val schema = spark.table("documents").schema
       spark.read.schema(schema).json(jsonlFixture(spark, sfDir))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ORC round-trip: the second columnar interchange format next to
+    // parquet (warehouse migrations routinely hand a Spark pipeline ORC
+    // inputs). Spark-native executor-parallel write, fixture-cached
+    // like the JSONL twin; the oracle grades the read-back against the
+    // source-of-truth table, so type fidelity (BIGINT/UTF-8 round-trip)
+    // is what's being hashed.
+    QueryDef("or1_orc_roundtrip", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-orc-fixture-$key")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        spark.table("documents").write.mode("overwrite").orc(dir.toString)
+      }
+      spark.read.orc(dir.toString)
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, text, lang, source, n_chars

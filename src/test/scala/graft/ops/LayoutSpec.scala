@@ -114,6 +114,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("diffSnapshots: all four statuses; payload stays out of the join") {
+    val oldDf = Seq((1L, "same"), (2L, "will change"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newDf = Seq((1L, "same"), (2L, "changed!"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Layout.diffSnapshots(oldDf, newDf, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toSeq
+    assert(got == Seq(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got)
+    // the delta-only mode drops unchanged rows and nothing else
+    val delta = Layout.diffSnapshots(oldDf, newDf, "doc_id", "text",
+      includeUnchanged = false).select("doc_id").as[Long].collect().toSet
+    assert(delta == Set(2L, 3L, 4L))
+    // only (id, digest) reaches the join: no raw text attribute may
+    // appear above the digest projections in the optimized plan
+    val plan = Layout.diffSnapshots(oldDf, newDf, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val join = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.head
+    assert(join.output.map(_.name).toSet == Set("doc_id", "old_digest",
+      "doc_id", "new_digest"), join.output.map(_.name))
+  }
+
   test("bucketedWrite: same-bucket join plans with ZERO exchanges") {
     // the co-located join property: both sides bucketed by the join key
     // with the same bucket count -> the join consumes the scans'
