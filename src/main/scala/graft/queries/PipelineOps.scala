@@ -2341,6 +2341,54 @@ object PipelineOps {
         .orderBy("shard", "window_id")
     },
 
+    // Binary shard sink/source roundtrip (`format("graft-shards")`,
+    // [[graft.sources.ShardFiles]]): the trainer interchange boundary —
+    // packed sequences hashed to token ids, written through the DSv2
+    // two-phase-commit binary writer (4 files, fixture-cached), read
+    // back file-parallel, and full-outer-compared against the directly
+    // computed packed table. n_mismatch must be ZERO (any id, record,
+    // or key lost or reordered by the binary encode/decode breaks it);
+    // the oracle pins seq/token totals independently — windows are
+    // dense per shard, so n_seqs = Σ_shards ceil(tokens/budget) without
+    // replaying the packing.
+    QueryDef.views("sh1_shard_roundtrip",
+      """WITH d AS (SELECT doc_id % 8 AS shard,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0)) AS BIGINT) AS n
+        |           FROM documents),
+        |  s AS (SELECT shard, CAST(sum(n) AS BIGINT) AS tok
+        |        FROM d GROUP BY 1)
+        |SELECT CAST(sum((tok + 63) // 64) AS BIGINT) AS n_seqs,
+        |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |       CAST(4 AS BIGINT) AS n_files,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM s""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+      val packed = TextOps.assembleSequences(docs, "doc_id", "words",
+          budget = 64, shards = 8)
+        .select(col("shard"), col("window_id"), expr(
+          "transform(tokens, t -> CAST(xxhash64(t) & 2147483647 AS INT))")
+          .as("token_ids"))
+      val inputKey = spark.table("documents").inputFiles.sorted
+        .mkString(",").replaceAll("[^A-Za-z0-9.]", "_").takeRight(64)
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-shards-fixture-$inputKey")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        graft.sources.ShardFiles.write(
+          packed.repartition(4, col("shard")), dir.toString)
+      }
+      val back = graft.sources.ShardFiles.read(spark, dir.toString)
+      val nFiles = graft.sources.ShardFiles.listCommitted(dir).size.toLong
+      packed.as("a")
+        .join(back.as("b"), Seq("shard", "window_id"), "full_outer")
+        .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+          sum(size(col("b.token_ids"))).cast("bigint").as("n_tokens"),
+          lit(nFiles).cast("bigint").as("n_files"),
+          sum(when(col("a.token_ids") <=> col("b.token_ids"), 0L)
+            .otherwise(1L)).cast("bigint").as("n_mismatch"))
+    },
+
     // The id-space roundtrip: tokens → deterministic vocab ids →
     // tokens → detokenized text. Grades the vocab BIJECTION on top of
     // tk1x's merge-table invariant (an id collision, OOV leak, or
