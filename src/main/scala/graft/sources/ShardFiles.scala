@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,7 +93,8 @@ final class ShardFilesTable(path: String) extends Table
   override def name(): String = s"graft-shards:$path"
   override def schema(): StructType = ShardFiles.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
@@ -108,13 +110,19 @@ final class ShardFilesTable(path: String) extends Table
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(info.schema() == ShardFiles.schema,
-      s"graft-shards write: need schema ${ShardFiles.schema}, " +
-        s"got ${info.schema()}")
+    // names + types must match; nullability flags vary freely across
+    // upstream plans (a projection often re-marks fields nullable), so
+    // they're not part of the contract — actual nulls fail in the writer
+    require(info.schema().fields.toSeq.map(f => (f.name, f.dataType.sql)) ==
+      ShardFiles.schema.fields.toSeq.map(f => (f.name, f.dataType.sql)),
+      s"graft-shards write: need schema ${ShardFiles.schema.simpleString}, " +
+        s"got ${info.schema().simpleString}")
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new ShardBatchWrite(path,
           java.util.UUID.randomUUID().toString)
+        override def toStreaming: StreamingWrite =
+          new ShardStreamingWrite(path, info.queryId())
       }
     }
   }
@@ -191,20 +199,82 @@ final class ShardBatchWrite(path: String, jobId: String) extends BatchWrite {
     }
 }
 
+/** Per-epoch two-phase commit for `writeStream.format("graft-shards")`:
+  * the streaming tail of the pipeline (continuous assembly) lands in
+  * the same trainer files as the batch path. Spark's sink contract is
+  * at-least-once epoch delivery; visibility is made effectively-once by
+  * an epoch MARKER written after the renames — a replayed epoch whose
+  * marker exists renames nothing, and a crash mid-commit re-renames
+  * with REPLACE on the (epoch, partition)-keyed names, so re-commits
+  * converge instead of duplicating. */
+final class ShardStreamingWrite(path: String, queryId: String)
+    extends StreamingWrite {
+  private def tmpDir = Paths.get(path, s"_tmp-stream-$queryId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(tmpDir)
+    val dir = tmpDir.toString
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        ShardWriterFactory.newWriter(
+          Paths.get(dir, s"attempt-$epochId-$partitionId-$taskId.gsh"),
+          partitionId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val marker = dir.resolve(s"_epoch-$queryId-$epochId")
+    if (!Files.exists(marker)) {
+      messages.collect { case m: ShardCommitMessage => m }.foreach { m =>
+        Files.move(Paths.get(m.tempFile),
+          dir.resolve(f"part-$queryId-$epochId-${m.partitionId}%05d.gsh"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.write(marker, Array.empty[Byte])
+    }
+    cleanupEpoch(epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = cleanupEpoch(epochId)
+
+  private def cleanupEpoch(epochId: Long): Unit =
+    if (Files.isDirectory(tmpDir)) {
+      Files.list(tmpDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"attempt-$epochId-"))
+        .foreach(Files.deleteIfExists(_))
+    }
+}
+
 final case class ShardCommitMessage(partitionId: Int, tempFile: String)
     extends WriterCommitMessage
 
 final class ShardWriterFactory(tmpDir: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
+    ShardWriterFactory.newWriter(
+      Paths.get(tmpDir, s"attempt-$partitionId-$taskId.gsh"), partitionId)
+}
+
+object ShardWriterFactory {
+  /** One record-streaming writer over a temp attempt file — shared by
+    * the batch and per-epoch streaming factories. */
+  private[sources] def newWriter(tempFile: Path,
+      partitionId: Int): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val tempFile =
-        Paths.get(tmpDir, s"attempt-$partitionId-$taskId.gsh")
       private val out = new DataOutputStream(new BufferedOutputStream(
         new FileOutputStream(tempFile.toFile), 1 << 16))
       out.write(ShardFiles.Magic)
 
       override def write(r: InternalRow): Unit = {
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalStateException(
+            "graft-shards: null shard/window_id/token_ids row")
         out.writeLong(r.getLong(0))
         out.writeLong(r.getLong(1))
         val ids = r.getArray(2).toIntArray()

@@ -332,6 +332,53 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("assembled windows stream into binary trainer shards (graft-shards)") {
+    // the topology's LAST hop: continuously produced packed windows
+    // land in the same GSH1 trainer files the batch exporter writes —
+    // per-epoch two-phase commit, so every visible record belongs to a
+    // committed micro-batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.StreamAssembler.TokDoc
+    import graft.sources.ShardFiles
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select($"doc_id", ($"doc_id" % 2).as("shard"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("tokens"))
+        .as[TokDoc].collect().sortBy(_.doc_id)
+      val budget = 128
+      val toIds = "transform(tokens, t -> CAST(length(t) AS INT))"
+      val dir = tmpDir("shards-e2e")
+      val input = MemoryStream[TokDoc]
+      val q = StreamAssembler.assemble(input.toDS(), budget)
+        .select($"shard", $"window_id", expr(toIds).as("token_ids"))
+        .writeStream.format("graft-shards")
+        .option("checkpointLocation", tmpDir("shards-e2e-ck"))
+        .outputMode("append")
+        .start(dir)
+      val (first, second) = docs.splitAt(docs.length / 2)
+      input.addData(first); q.processAllAvailable()
+      input.addData(second); q.processAllAvailable()
+      q.stop()
+      val got = ShardFiles.read(spark, dir)
+        .as[(Long, Long, Seq[Int])].collect().toSet
+      val want = TextOps.assembleSequences(
+          docs.toSeq.toDF("doc_id", "shard", "tokens")
+            .withColumnRenamed("tokens", "toks"),
+          "doc_id", "toks", budget = budget, shards = 2)
+        .filter($"n_tokens" === budget)
+        .withColumn("tokens", $"tokens") // keep name for the id mapping
+        .select($"shard", $"window_id", expr(toIds).as("token_ids"))
+        .as[(Long, Long, Seq[Int])].collect().toSet
+      assert(got.nonEmpty && got == want,
+        s"stream shards != batch shards: ${got.size} vs ${want.size}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("CDC envelopes -> curation gate -> topic sink compose end to end") {
     // the two halves of the engine in one pipeline: a documents table
     // arriving as CDC change events is demuxed, quality-gated with the

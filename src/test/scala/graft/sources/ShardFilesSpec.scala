@@ -62,4 +62,42 @@ class ShardFilesSpec extends SparkSpec {
       ShardFiles.write(Seq((1L, "x")).toDF("shard", "text"), tmpDir("shards-bs"))
     }
   }
+
+  test("streaming sink: micro-batches land in files; epochs are exactly-once-visible") {
+    val dir = tmpDir("shards-stream")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, Seq[Int])]
+    val q = mem.toDF().toDF("shard", "window_id", "token_ids")
+      .writeStream.format("graft-shards")
+      .option("checkpointLocation", tmpDir("shards-stream-ck"))
+      .outputMode("append")
+      .start(dir)
+    try {
+      mem.addData((0L, 0L, Seq(1, 2)), (1L, 0L, Seq(3)))
+      q.processAllAvailable()
+      mem.addData((0L, 1L, Seq(4, 5, 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = ShardFiles.read(spark, dir)
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(got == Set((0L, 0L, Seq(1, 2)), (1L, 0L, Seq(3)),
+      (0L, 1L, Seq(4, 5, 6))), got)
+    // a replayed epoch must not duplicate: its marker blocks re-commit
+    val before = ShardFiles.listCommitted(Paths.get(dir)).size
+    val sw = new ShardStreamingWrite(dir, "replay-q")
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 7L, 42L)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(9L, 9L,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(9))))
+    val msg = w.commit()
+    sw.commit(42L, Array(msg))
+    val after = ShardFiles.listCommitted(Paths.get(dir)).size
+    assert(after == before + 1)
+    // same epoch again: marker exists, nothing renamed, nothing leaks
+    val w2 = sw.createStreamingWriterFactory(null).createWriter(0, 8L, 42L)
+    w2.write(org.apache.spark.sql.catalyst.InternalRow(8L, 8L,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(8))))
+    sw.commit(42L, Array(w2.commit()))
+    assert(ShardFiles.listCommitted(Paths.get(dir)).size == after)
+    assert(ShardFiles.read(spark, dir).filter(col("shard") === 8L).count() == 0)
+  }
 }
