@@ -1239,4 +1239,29 @@ object TextOps {
       .withColumn("p_micro", sigmoidMicro(col("z_micro")))
       .withColumn("keep", col("z_micro") >= thresholdMicro)
   }
+
+  /** Persists a [[LogisticModel]] as a tiny parquet table (term +
+    * micro weight; the intercept as a term='' row) — train once, gate
+    * every later pipeline run, same as the tokenizer artifacts. Vocab
+    * order is preserved via an explicit rank column. */
+  def saveLogisticModel(model: LogisticModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, "", model.interceptMicro) +:
+      model.weightsMicro.zipWithIndex.map { case ((t, w), r) => (r, t, w) }
+    rows.toDF("rank", "term", "w_micro").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadLogisticModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LogisticModel = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "term", "w_micro").collect()
+    val intercept = rows.find(_.getInt(0) < 0)
+      .getOrElse(throw new IllegalStateException(
+        s"$path: no intercept row")).getLong(2)
+    val weights = rows.filter(_.getInt(0) >= 0).sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    LogisticModel(intercept, weights)
+  }
 }

@@ -156,6 +156,10 @@ class CorpusStatsSpec extends SparkSpec {
     val plan = TextOps.scoreLogistic(docs, "doc_id", "text", m1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // train-once/gate-forever: the persisted artifact reloads identically
+    val path = tmpDir("logistic-model")
+    TextOps.saveLogisticModel(m1, spark, path)
+    assert(TextOps.loadLogisticModel(spark, path) == m1)
   }
 
   test("lmScore: docs with fewer than 2 tokens get zero counts, null tier") {
