@@ -1367,6 +1367,49 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Incremental recuration ([[graft.ops.Layout.diffSnapshots]] put to
+    // work): quality-gate ONLY the added∪changed delta of the new
+    // snapshot and carry prior results for unchanged docs — then grade
+    // the stitched output BIT-EXACT against curating the new corpus
+    // from scratch (the oracle). A stale carried row, a doc missed in
+    // the delta, or a removed doc leaking through all break the hash.
+    // This is the 100 TB operating mode: a crawl refresh touches a few
+    // percent, so curation cost tracks the delta, not the corpus.
+    QueryDef.views("in1_incremental_curation",
+      """WITH nw AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |        n_chars + CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS n_chars
+        |      FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  n_chars >= 100 AND
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) >= 20 AS quality_ok,
+        |  CASE WHEN doc_id % 10 <> 0 AND doc_id % 5 <> 0 THEN 'prior'
+        |       ELSE 'delta' END AS curated_from
+        |FROM nw ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val stop = Seq("the", "and", "of", "to", "a", "in", "is")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .withColumn("n_chars", col("n_chars") +
+          when(col("doc_id") % 5 === 0, 3L).otherwise(0L))
+      val diff = Layout.diffSnapshots(oldSnap, newSnap, "doc_id", "text")
+      val carried = TextOps.quality(oldSnap, "doc_id", "text", "n_chars", stop)
+        .join(diff.filter(col("status") === "unchanged").select("doc_id"),
+          "doc_id")
+        .withColumn("curated_from", lit("prior"))
+      val fresh = TextOps.quality(
+          newSnap.join(diff.filter(col("status").isin("added", "changed"))
+            .select("doc_id"), "doc_id"),
+          "doc_id", "text", "n_chars", stop)
+        .withColumn("curated_from", lit("delta"))
+      carried.unionByName(fresh)
+        .select("doc_id", "n_chars", "n_tokens", "quality_ok", "curated_from")
+        .orderBy("doc_id")
+    },
+
     // Sketch aggregation: built-in HLL + graft's native KMV sketch
     // (TypedImperativeAggregate, graft.functions.KmvDistinct) side by
     // side with the exact count. Rows-only (engine-specific sketches).
