@@ -1395,7 +1395,12 @@ object PipelineOps {
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
         .withColumn("n_chars", col("n_chars") +
           when(col("doc_id") % 5 === 0, 3L).otherwise(0L))
+      // the diff output is tiny (id + status) but feeds two consumers;
+      // materialize it once or the digest join re-scans both corpus
+      // versions per consumer (exchange reuse cannot be relied on
+      // across the two differently-filtered subtrees)
       val diff = Layout.diffSnapshots(oldSnap, newSnap, "doc_id", "text")
+        .select("doc_id", "status").localCheckpoint()
       val carried = TextOps.quality(oldSnap, "doc_id", "text", "n_chars", stop)
         .join(diff.filter(col("status") === "unchanged").select("doc_id"),
           "doc_id")

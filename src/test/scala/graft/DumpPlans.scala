@@ -26,7 +26,10 @@ object DumpPlans {
     "ht1_html_extract", "wp1_web_pipeline", "pf1_profile",
     "d6_dedup_keep_best", "dc3_semantic_decontam", "tk1_bpe_tokenize",
     "tk2_bpe_ids", "bt1_batch_assembly", "tp1_pretrain_pipeline",
-    "sp2_split_by_group", "ug1_unigram_tokenize")
+    "sp2_split_by_group", "ug1_unigram_tokenize",
+    "qc2_classifier_train", "sn1_snapshot_diff", "in1_incremental_curation",
+    "or1_orc_roundtrip", "sh1_shard_roundtrip", "bk1_bucketed_join",
+    "z2_compact", "u2_psl_domain", "pf2_profile_hll")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
