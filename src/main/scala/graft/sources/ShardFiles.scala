@@ -44,6 +44,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    parallelism, no driver funnel) and streams records off a buffered
   *    DataInputStream — at 100 TB the layout is thousands of
   *    shard files scanned independently, exactly like parquet splits.
+  *
+  * Deployment constraint: IO goes through java.nio, so `path` must be
+  * a filesystem shared by driver and executors (local mode, NFS, a
+  * fuse-mounted object store). Porting to the Hadoop FS API — temp
+  * object + driver-side completion instead of rename — is mechanical;
+  * the commit protocol and record format don't change.
   */
 object ShardFiles {
   val Magic: Array[Byte] = "GSH1".getBytes("US-ASCII")
@@ -66,12 +72,20 @@ object ShardFiles {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-shards").load(path)
 
+  /** Directory listings: `Files.list` holds an open directory handle
+    * until the stream is closed — always drain inside a closing scope
+    * or repeated commits/reads leak file descriptors. */
+  private[sources] def withListing[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private[graft] def listCommitted(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
+    else withListing(dir)(_.filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
         p.getFileName.toString.endsWith(".gsh"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq.sortBy(_.getFileName.toString))
 }
 
 class ShardFilesProvider extends TableProvider with DataSourceRegister {
@@ -194,7 +208,7 @@ final class ShardBatchWrite(path: String, jobId: String) extends BatchWrite {
 
   private def cleanup(): Unit =
     if (Files.isDirectory(tmpDir)) {
-      Files.list(tmpDir).iterator().asScala.foreach(Files.deleteIfExists(_))
+      ShardFiles.withListing(tmpDir)(_.toSeq).foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(tmpDir)
     }
 }
@@ -245,9 +259,9 @@ final class ShardStreamingWrite(path: String, queryId: String)
 
   private def cleanupEpoch(epochId: Long): Unit =
     if (Files.isDirectory(tmpDir)) {
-      Files.list(tmpDir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith(s"attempt-$epochId-"))
-        .foreach(Files.deleteIfExists(_))
+      ShardFiles.withListing(tmpDir)(
+        _.filter(_.getFileName.toString.startsWith(s"attempt-$epochId-"))
+          .toSeq).foreach(Files.deleteIfExists(_))
     }
 }
 
