@@ -1185,9 +1185,22 @@ object TextOps {
     * where g = Σ_docs (p_micro − y·1e6) · x. lr defaults to 1/2 —
     * safely inside the convergence region for presence features
     * (‖x‖² ≤ J+1 bounds the logistic Hessian by (J+1)/4). */
+  /** One term feature: presence (0/1, default) or occurrence count —
+    * the two bag-of-words encodings linear text classifiers use.
+    * Counts carry magnitude signal but inflate ‖x‖², so pair them with
+    * a smaller learning rate (the convergence bound scales with the
+    * squared feature norm). */
+  private def termFeature(textCol: String, term: String,
+      counts: Boolean): Column =
+    if (counts)
+      size(filter(split(col(textCol), " "), t => t === lit(term)))
+        .cast("bigint")
+    else array_contains(split(col(textCol), " "), lit(term)).cast("bigint")
+
   def trainLogistic(df: DataFrame, textCol: String, label: Column,
       vocab: Seq[String], iters: Int = 3,
-      lrNum: Long = 1L, lrDen: Long = 2L): LogisticModel = {
+      lrNum: Long = 1L, lrDen: Long = 2L,
+      countFeatures: Boolean = false): LogisticModel = {
     require(vocab.nonEmpty, "trainLogistic: empty vocabulary")
     require(iters >= 1 && lrNum > 0 && lrDen > 0,
       s"trainLogistic: need iters>=1 and a positive rate, " +
@@ -1195,8 +1208,7 @@ object TextOps {
     val feats = df.select(
       label.cast("bigint").as("y") +:
       vocab.zipWithIndex.map { case (t, j) =>
-        array_contains(split(col(textCol), " "), lit(t))
-          .cast("bigint").as(s"x$j")
+        termFeature(textCol, t, countFeatures).as(s"x$j")
       }: _*).localCheckpoint()
     val n = feats.count()
     require(n > 0, "trainLogistic: empty corpus")
@@ -1230,10 +1242,11 @@ object TextOps {
     * FineWeb-Edu "score >= 3" pattern). Scan-local — the model rides
     * the expression tree as literals, nothing shuffles. */
   def scoreLogistic(df: DataFrame, idCol: String, textCol: String,
-      model: LogisticModel, thresholdMicro: Long = 0L): DataFrame = {
+      model: LogisticModel, thresholdMicro: Long = 0L,
+      countFeatures: Boolean = false): DataFrame = {
     val z = model.weightsMicro.foldLeft(lit(model.interceptMicro).cast("bigint")) {
       case (acc, (t, wj)) => acc +
-        lit(wj) * array_contains(split(col(textCol), " "), lit(t)).cast("bigint")
+        lit(wj) * termFeature(textCol, t, countFeatures)
     }
     df.select(col(idCol).as("doc_id"), z.as("z_micro"))
       .withColumn("p_micro", sigmoidMicro(col("z_micro")))

@@ -137,6 +137,29 @@ class CorpusStatsSpec extends SparkSpec {
       (p >= 500000L) == (zi >= 0L) })
   }
 
+  test("trainLogistic count features: magnitude sharpens the separation") {
+    // 'bad bad bad' counts 3 — with count features its logit must sit
+    // strictly below the single-'bad' doc's; presence features can't
+    // tell them apart
+    val df = Seq(
+      (0L, "good stuff here", 1L), (1L, "really good good text", 1L),
+      (2L, "one bad word", 0L), (3L, "bad bad bad", 0L)
+    ).toDF("doc_id", "text", "y")
+    val m = TextOps.trainLogistic(df, "text", col("y") === 1L,
+      vocab = Seq("good", "bad"), iters = 3, lrNum = 1L, lrDen = 1L,
+      countFeatures = true)
+    val z = TextOps.scoreLogistic(df, "doc_id", "text", m,
+        countFeatures = true)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(z(0) > 0L && z(1) > 0L && z(2) < 0L && z(3) < z(2),
+      s"count-weighted logits wrong: ${z.toSeq}")
+    val mp = TextOps.trainLogistic(df, "text", col("y") === 1L,
+      vocab = Seq("good", "bad"), iters = 3, lrNum = 1L, lrDen = 1L)
+    val zp = TextOps.scoreLogistic(df, "doc_id", "text", mp)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(zp(2) == zp(3), "presence features must not see the count")
+  }
+
   test("trainLogistic: deterministic across runs; loss falls below ln 2") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val label = col("lang") === "en"
