@@ -89,6 +89,22 @@ object PipelineOps {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  /** qc3's oracle: the same unrolled training, but the gate's operating
+    * point comes from the logit DISTRIBUTION (percentile_disc — stays
+    * in exact BIGINTs, no interpolation) instead of a fixed constant. */
+  private def qc3OracleSql: String = {
+    val trainPrefix = qc2OracleSql.split("\nSELECT doc_id, z AS z_micro")(0)
+    s"""$trainPrefix,
+       |  thr AS (SELECT percentile_disc(${qc3Quantile}) WITHIN GROUP
+       |            (ORDER BY z) AS t
+       |          FROM fin)
+       |SELECT fin.doc_id, fin.z AS z_micro,
+       |       fin.z >= thr.t AS keep,
+       |       CAST(thr.t AS BIGINT) AS threshold_micro
+       |FROM fin CROSS JOIN thr ORDER BY doc_id""".stripMargin
+  }
+  private val qc3Quantile = "0.37"
+
   /** rp1's projection matrix: 8 output components × 64 input dims, every
     * entry k/16 with k ∈ [-9, 9] — exact in binary FP AND in the oracle's
     * 4-decimal literal, so the only doubles in the chain are the shared
@@ -1913,6 +1929,28 @@ object PipelineOps {
         col("lang") === "en", qc2Vocab, qc2Iters, qc2LrNum, qc2LrDen)
       TextOps.scoreLogistic(docs, "doc_id", "text", model,
           thresholdMicro = qc2ThresholdMicro)
+        .orderBy("doc_id")
+    },
+
+    // Quantile-derived gate: the trained classifier's operating point
+    // picked from the logit distribution (keep the top 63%) rather
+    // than a hand-tuned constant — how production gates actually set
+    // thresholds (target a keep RATE, read the threshold off the score
+    // distribution). percentile_disc stays in exact BIGINTs; the 1-row
+    // threshold broadcasts back over the scores.
+    QueryDef.views("qc3_gate_at_quantile", qc3OracleSql) { spark =>
+      val docs = spark.table("documents")
+      val model = TextOps.trainLogistic(docs, "text",
+        col("lang") === "en", qc2Vocab, qc2Iters, qc2LrNum, qc2LrDen)
+      val scored = TextOps.scoreLogistic(docs, "doc_id", "text", model)
+        .select("doc_id", "z_micro")
+      val thr = scored.agg(expr(
+        s"percentile_disc($qc3Quantile) WITHIN GROUP (ORDER BY z_micro)")
+        .as("t"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("z_micro"),
+          (col("z_micro") >= col("t")).as("keep"),
+          col("t").cast("bigint").as("threshold_micro"))
         .orderBy("doc_id")
     },
 
