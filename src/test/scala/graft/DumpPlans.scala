@@ -29,7 +29,8 @@ object DumpPlans {
     "sp2_split_by_group", "ug1_unigram_tokenize",
     "qc2_classifier_train", "sn1_snapshot_diff", "in1_incremental_curation",
     "or1_orc_roundtrip", "sh1_shard_roundtrip", "bk1_bucketed_join",
-    "z2_compact", "u2_psl_domain", "pf2_profile_hll")
+    "z2_compact", "u2_psl_domain", "pf2_profile_hll",
+    "qc3_gate_at_quantile")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
