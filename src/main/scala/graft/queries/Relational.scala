@@ -587,6 +587,73 @@ object Relational {
         .orderBy("err_id")
     },
 
+    // Range join with NO equi key (the shape iv1 can't cover): for each
+    // purchase, the count and id-sum of ALL users' clicks in the hour
+    // after it. Naively this is a BroadcastNestedLoopJoin — O(|P|·|C|)
+    // comparisons no matter how narrow the band. RangeJoin.pointInRange
+    // rewrites it as a hash join on a 1-hour bin id (plan-guarded in
+    // RangeJoinSpec: no BNLJ, no CartesianProduct), so candidate volume
+    // tracks the true match count and the join survives 100× on both
+    // sides. Micros via unix_micros(cast ntz→ts) ≡ DuckDB epoch_us under
+    // the session's UTC timezone.
+    QueryDef.views("rj1_range_join_binned",
+      """SELECT p.event_id AS purchase_id,
+        |       CAST(count(*) AS BIGINT) AS n_clicks,
+        |       CAST(sum(c.event_id) AS BIGINT) AS sum_click_ids
+        |FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click') c
+        |  ON c.us >= p.us AND c.us < p.us + 3600000000
+        |GROUP BY 1 ORDER BY purchase_id""".stripMargin) { spark =>
+      val ev = spark.table("events")
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), us.as("c_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), us.as("lo"))
+        .withColumn("hi", col("lo") + lit(3600000000L))
+      graft.ops.RangeJoin
+        .pointInRange(clicks, "c_us", purchases, "lo", "hi", 3600000000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("click_id")).as("sum_click_ids"))
+        .orderBy("purchase_id")
+    },
+
+    // Interval-overlap join, again with no equi key: error windows vs
+    // purchase windows (each 30 minutes wide), count + id-sum of
+    // overlapping purchase windows per error. Both sides explode across
+    // covered bins; the later-start bin guard keeps each overlapping
+    // pair exactly once (RangeJoinSpec pins pair-exactness against the
+    // naive quadratic join).
+    QueryDef.views("rj2_interval_overlap",
+      """SELECT e.event_id AS err_id,
+        |       CAST(count(*) AS BIGINT) AS n_overlaps,
+        |       CAST(sum(p.event_id) AS BIGINT) AS sum_purchase_ids
+        |FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'error') e
+        |JOIN (SELECT event_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.us < p.us + 1800000000 AND p.us < e.us + 1800000000
+        |GROUP BY 1 ORDER BY err_id""".stripMargin) { spark =>
+      val ev = spark.table("events")
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      val win = 1800000000L
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), us.as("e_lo"))
+        .withColumn("e_hi", col("e_lo") + lit(win))
+      val purs = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), us.as("p_lo"))
+        .withColumn("p_hi", col("p_lo") + lit(win))
+      graft.ops.RangeJoin
+        .intervalOverlap(errs, "e_lo", "e_hi", purs, "p_lo", "p_hi", win)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("p_id")).as("sum_purchase_ids"))
+        .orderBy("err_id")
+    },
+
     // JSON scalar functions over the props payload column: typed path
     // extraction + predicate + aggregation on the extracted value (the
     // semi-structured half of the scalar library; the reference's
