@@ -2014,6 +2014,38 @@ object PipelineOps {
     }, Some("""SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // CSV round-trip: the third interchange format (crawl manifests and
+    // metadata exports routinely arrive as CSV). Spark-native quoted
+    // write → schema'd PERMISSIVE read (no inference — at 100 TB the
+    // inference pass is a second full scan). The null sentinel is set
+    // explicitly on both directions because CSV's classic ambiguity
+    // (empty string vs null both serializing to nothing) silently
+    // corrupts string columns on read-back; with `\N` as the sentinel
+    // the round trip is bijective. multiLine stays false — embedded
+    // newlines would force whole-file (unsplittable) parsing, so
+    // payloads with newlines belong in JSONL/parquet, not CSV
+    // (CsvIngestSpec pins the quoted-comma path and the malformed-row
+    // quarantine: PERMISSIVE parks broken lines in _corrupt_record
+    // instead of killing the 1000-executor job at hour three).
+    QueryDef("cv1_csv_roundtrip", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-csv-fixture-$key")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        spark.table("documents").write.mode("overwrite")
+          .option("header", "true").option("nullValue", "\\N")
+          .csv(dir.toString)
+      }
+      spark.read.schema(spark.table("documents").schema)
+        .option("header", "true").option("nullValue", "\\N")
+        .option("mode", "PERMISSIVE")
+        .csv(dir.toString)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Compression-ratio quality signal ([[graft.ops.TextOps
     // .compressionStats]]): deflate has no DuckDB twin, so the graded
     // output is invariant-style (the hll1x pattern) — DuckDB pins the

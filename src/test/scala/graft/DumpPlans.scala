@@ -30,7 +30,8 @@ object DumpPlans {
     "qc2_classifier_train", "sn1_snapshot_diff", "in1_incremental_curation",
     "or1_orc_roundtrip", "sh1_shard_roundtrip", "bk1_bucketed_join",
     "z2_compact", "u2_psl_domain", "pf2_profile_hll",
-    "qc3_gate_at_quantile", "rj1_range_join_binned", "rj2_interval_overlap")
+    "qc3_gate_at_quantile", "rj1_range_join_binned", "rj2_interval_overlap",
+    "cv1_csv_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
