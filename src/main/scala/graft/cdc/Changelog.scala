@@ -95,6 +95,82 @@ object Changelog {
         })
   }
 
+  private[cdc] final case class ValueState(
+      lsn: Long, alive: Boolean, group: String, valueMicro: Long)
+
+  /** Per-key transition for value-tracking compaction. Only the LATEST
+    * event of the batch matters: the net delta telescopes (last − prior),
+    * so per-key work is O(1) per micro-batch no matter how bursty the
+    * key. Deltas retract against the STATE's (group, value) — the delete
+    * envelope carries neither, and an update's retraction must hit the
+    * group the key previously counted in, not the one it moves to. */
+  private[cdc] def transitionValue(
+      prior: Option[ValueState], events: Seq[CdcEnvelope],
+      group: CdcEnvelope => String, valueMicro: CdcEnvelope => Long)
+      : (Option[ValueState], Seq[ValueDelta]) = {
+    if (events.isEmpty) return (prior, Nil)
+    val latest = events.reduceLeft((a, b) => if (b.lsn >= a.lsn) b else a)
+    prior match {
+      case Some(st) if st.lsn >= latest.lsn => (prior, Nil) // stale replay
+      case _ =>
+        val key = CdcEnvelope.keyOf(latest.schema,
+          latest.image.getOrElse("id", latest.image.getOrElse("user_id", "")))
+        val wasAlive = prior.exists(_.alive)
+        val nowAlive = !latest.isDelete
+        val gNew = if (nowAlive) group(latest) else ""
+        val vNew = if (nowAlive) valueMicro(latest) else 0L
+        val next = Some(ValueState(latest.lsn, nowAlive, gNew, vNew))
+        val out =
+          if (!wasAlive && nowAlive)
+            Seq(ValueDelta(key, gNew, latest.lsn, alive = true, 1L, vNew))
+          else if (wasAlive && !nowAlive) {
+            val st = prior.get
+            Seq(ValueDelta(key, st.group, latest.lsn, alive = false,
+              -1L, -st.valueMicro))
+          } else if (wasAlive && nowAlive) {
+            val st = prior.get
+            if (st.group == gNew)
+              Seq(ValueDelta(key, gNew, latest.lsn, alive = true,
+                0L, vNew - st.valueMicro))
+            else Seq(
+              ValueDelta(key, st.group, latest.lsn, alive = false,
+                -1L, -st.valueMicro),
+              ValueDelta(key, gNew, latest.lsn, alive = true, 1L, vNew))
+          } else Nil // delete of a never-live key: tombstone only
+        (next, out)
+    }
+  }
+
+  /** Value-tracking streaming compaction: generalizes [[compact]] from
+    * live-key COUNT maintenance to any additive aggregate (SUM, COUNT,
+    * and AVG = SUM/COUNT) over a `valueMicro` extracted from each live
+    * key's latest image, grouped by a `group` also read from the image.
+    * Downstream, `groupBy(group).sum(dCount, dValueMicro)` per
+    * micro-batch + an additive K2 upsert maintains the continuous
+    * aggregate without ever recounting state — including the two cases
+    * plain delta counting gets wrong: a delete must subtract the value
+    * it inserted long ago, and an update that MOVES a key between
+    * groups must retract from one group and add to the other.
+    *
+    * State is O(live keys + tombstones) like [[compact]], widened by
+    * one string + one long per key (the tracked group and value). */
+  def compactValue(events: Dataset[CdcEnvelope],
+      group: CdcEnvelope => String, valueMicro: CdcEnvelope => Long)(
+      implicit spark: SparkSession): Dataset[ValueDelta] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => CdcEnvelope.keyOf(e.schema,
+        e.image.getOrElse("id", e.image.getOrElse("user_id", ""))))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[CdcEnvelope],
+            state: GroupState[ValueState]) => {
+          val (next, out) =
+            transitionValue(state.getOption, it.toSeq, group, valueMicro)
+          next.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Batch form: same semantics via replay over a bounded dataset —
     * used by specs to cross-check the streaming operator. */
   def compactBatch(events: Seq[CdcEnvelope]): Map[String, CompactionDelta] = {

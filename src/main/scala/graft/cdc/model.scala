@@ -62,6 +62,23 @@ final case class CompactionDelta(
     delta: Int,
     image: Map[String, String])
 
+/** Output of value-tracking compaction ([[Changelog.compactValue]]): the
+  * additive deltas that maintain per-group SUM and COUNT (hence AVG)
+  * under inserts, updates, deletes AND group moves. An update that
+  * changes the grouping field emits TWO rows — a retraction against the
+  * old group and an addition to the new one; a delete retracts the
+  * prior image's (group, value) even though the delete envelope itself
+  * carries neither. `alive` refers to the key's membership in THIS
+  * row's group after the delta. Summing (dCount, dValueMicro) per group
+  * additively reproduces COUNT/SUM over live keys' latest images. */
+final case class ValueDelta(
+    key: String,
+    group: String,
+    lsn: Long,
+    alive: Boolean,
+    dCount: Long,
+    dValueMicro: Long)
+
 object CdcEnvelope {
   /** Synthetic cross-schema primary key (CustomJob.java:284, 320). */
   def keyOf(schema: String, id: String): String = schema + "|" + id

@@ -368,6 +368,78 @@ object CdcQueries {
         |  FROM events)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS live_users
         |FROM latest WHERE rn = 1 AND event_id % 7 != 0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // st2 — incremental view maintenance beyond counts: a continuous
+    // per-group SUM/COUNT/AVG over the changelog, run as real micro-
+    // batches through [[graft.cdc.Changelog.compactValue]]. The value
+    // (lsn % 997, micro-units) CHANGES on every update and the grouping
+    // field (event_type) MOVES across a user's events, so the two deltas
+    // plain count-IVM never exercises are both load-bearing here: an
+    // update retracts its previous value (new − old telescopes within a
+    // micro-batch), a group move retracts from the old group and adds to
+    // the new, and a delete subtracts the value recorded in state — the
+    // delete envelope itself carries neither group nor value. Each
+    // micro-batch pre-aggregates its deltas per group (|groups| rows,
+    // not |keys|, cross the sink boundary) and additively upserts
+    // through the ledgered K2 writer (exactly-once under replay). The
+    // oracle computes the same aggregate statically from latest-per-user.
+    QueryDef("st2_stream_changelog_sum", (spark, dir) => {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val fix = ensureFixture(spark, dir)
+      val walLines = {
+        val st = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try st.count() finally st.close()
+      }
+      val events = spark.readStream.format("graft-cdc")
+        .option("walFormat", "jsonl")
+        .option("numPartitions", "8")
+        .option("maxEventsPerBatch", math.max(500L, (walLines + 2) / 3).toString)
+        .load(s"$fix/wal.jsonl").as[CdcEnvelope]
+      val ns = s"st2-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "live_sums")
+      val writer = new Sinks.UpsertWriter("live_sums", "event_type",
+        Seq("event_type", "n_live", "sum_value_micro"),
+        additive = Set("n_live", "sum_value_micro"), runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val deltas = Changelog.compactValue(events,
+        e => e.image.getOrElse("event_type", ""),
+        e => e.lsn % 997L)
+      val q = deltas.writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st2-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.cdc.ValueDelta],
+              batchId: Long) =>
+            writer.writeBatch(batch.groupBy(col("group").as("event_type"))
+              .agg(sum(col("dCount")).as("n_live"),
+                sum(col("dValueMicro")).as("sum_value_micro")),
+              factory, batchId)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val rows = sink.snapshot.values.toSeq.map(r =>
+        (r("event_type").toString, r("n_live").toString.toLong,
+          r("sum_value_micro").toString.toLong))
+        .filter(_._2 > 0)
+      rows.toDF("event_type", "n_live", "sum_value_micro")
+        .select(col("event_type"), col("n_live"), col("sum_value_micro"),
+          expr("sum_value_micro div n_live").as("avg_value_micro"))
+        .orderBy("event_type")
+    }, Some(envCte +
+      """
+        |, r AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY lsn DESC) AS rn
+        |  FROM env)
+        |SELECT after_event_type AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_live,
+        |       CAST(sum(lsn % 997) AS BIGINT) AS sum_value_micro,
+        |       CAST(sum(lsn % 997) // count(*) AS BIGINT) AS avg_value_micro
+        |FROM r WHERE rn = 1 AND op != 'd'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }
