@@ -654,6 +654,46 @@ object Relational {
         .orderBy("err_id")
     },
 
+    // Time-series resampling with gap fill: per user, one row per DAY
+    // from their first to last purchase, zero-filled where no purchases
+    // happened — the regularization step before any window/trend
+    // computation (Spark has no native gap fill; the grid is a bounded
+    // per-key sequence explode). The daily aggregate is localCheckpoint'd
+    // because BOTH the grid derivation and the join probe read it —
+    // without it the corpus is scanned twice (lambda subtrees defeat
+    // exchange reuse). Grid size is bounded by span/day per key, never
+    // by the raw event count; day ids stay in integer space (div ≡ //
+    // on non-negative micros).
+    QueryDef.views("rs1_resample_gapfill",
+      """WITH daily AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |         count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |mm AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |       FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        |         FROM mm)
+        |SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+        |       CAST(coalesce(d.n, 0) AS BIGINT) AS n_purchases
+        |FROM grid g LEFT JOIN daily d USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin) { spark =>
+      val daily = spark.table("events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .withColumn("day", explode(sequence(col("d0"), col("d1"))))
+        .drop("d0", "d1")
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).cast("bigint").as("n_purchases"))
+        .orderBy("user_id", "day")
+    },
+
     // JSON scalar functions over the props payload column: typed path
     // extraction + predicate + aggregation on the extracted value (the
     // semi-structured half of the scalar library; the reference's
