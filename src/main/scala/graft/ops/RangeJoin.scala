@@ -42,6 +42,30 @@ object RangeJoin {
   private def bin(colSql: String, w: Long): Column =
     expr(s"(($colSql) - pmod(($colSql), ${w}L)) div ${w}L")
 
+  /** The runaway-interval guard, fused into the hi-bin value itself so it
+    * is part of the expression the explode consumes and can never be
+    * pruned: fails at the FIRST offending row, before the explode turns
+    * one bad interval into 10^9 rows. */
+  private def guarded(hiBin: Column, loBin: Column, w: Long,
+      maxBins: Int): Column =
+    when(hiBin - loBin >= maxBins,
+      raise_error(concat(lit(s"interval spans >= $maxBins bins of width " +
+        s"$w (lo_bin="), loBin, lit(")")))).otherwise(hiBin)
+
+  /** Planning helper: a good binWidth ≈ the typical range length — wider
+    * only adds residual-filter work, narrower multiplies the range-side
+    * explode by len/width. One approx-percentile aggregate over the
+    * ranges side (the stats-collection analog; at very large |ranges|
+    * run it on a sample — the answer only needs to be order-of-magnitude
+    * right). */
+  def suggestBinWidth(ranges: DataFrame, loCol: String,
+      hiCol: String): Long = {
+    val m = ranges.filter(col(hiCol) > col(loCol))
+      .agg(expr(s"approx_percentile(`$hiCol` - `$loCol`, 0.5D)").as("m"))
+      .head()
+    if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
+  }
+
   /** Inner join `points ⋈ ranges ON lo <= point < hi` (half-open) without
     * an equi key. Output columns = points ++ ranges (names must be
     * disjoint). Each matching pair appears exactly once. */
@@ -53,17 +77,17 @@ object RangeJoin {
     require(overlap.isEmpty, s"column name collision: $overlap")
     val p = points.withColumn("__bin", bin(s"`$pointCol`", binWidth))
     // Degenerate (empty) ranges can't match and would make the bin
-    // sequence descend; drop them before the explode.
+    // sequence descend; drop them before the explode. The runaway guard
+    // lives INSIDE the __hi_bin expression the explode consumes — a
+    // standalone guard column would be unreferenced and column pruning
+    // would silently eliminate the raise_error with it.
     val r = ranges.filter(col(hiCol) > col(loCol))
       .withColumn("__lo_bin", bin(s"`$loCol`", binWidth))
-      .withColumn("__hi_bin", bin(s"`$hiCol` - 1L", binWidth))
-      .withColumn("__bin_guard",
-        when(col("__hi_bin") - col("__lo_bin") >= maxBinsPerRange,
-          raise_error(concat(lit("range spans > " + maxBinsPerRange +
-            " bins of width " + binWidth + ": ["), col(loCol), lit(", "),
-            col(hiCol), lit(")")))).otherwise(lit(0)))
+      .withColumn("__hi_bin",
+        guarded(bin(s"`$hiCol` - 1L", binWidth), col("__lo_bin"),
+          binWidth, maxBinsPerRange))
       .withColumn("__bin", explode(sequence(col("__lo_bin"), col("__hi_bin"))))
-      .drop("__lo_bin", "__hi_bin", "__bin_guard")
+      .drop("__lo_bin", "__hi_bin")
     p.join(r, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
@@ -83,14 +107,12 @@ object RangeJoin {
     def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame =
       df.filter(col(hi) > col(lo))
         .withColumn("__lo_bin", bin(s"`$lo`", binWidth))
-        .withColumn("__hi_bin", bin(s"`$hi` - 1L", binWidth))
-        .withColumn("__bin_guard",
-          when(col("__hi_bin") - col("__lo_bin") >= maxBinsPerRange,
-            raise_error(lit(s"interval spans > $maxBinsPerRange bins of " +
-              s"width $binWidth"))).otherwise(lit(0)))
+        .withColumn("__hi_bin",
+          guarded(bin(s"`$hi` - 1L", binWidth), col("__lo_bin"),
+            binWidth, maxBinsPerRange))
         .withColumn("__bin",
           explode(sequence(col("__lo_bin"), col("__hi_bin"))))
-        .drop("__lo_bin", "__hi_bin", "__bin_guard")
+        .drop("__lo_bin", "__hi_bin")
     val l = explodeBins(left, lLo, lHi).withColumnRenamed("__bin", "__bin_l")
     val r = explodeBins(right, rLo, rHi).withColumnRenamed("__bin", "__bin_r")
     l.join(r, col("__bin_l") === col("__bin_r"))

@@ -97,7 +97,31 @@ class RangeJoinSpec extends SparkSpec {
     val ex = intercept[Exception] {
       RangeJoin.pointInRange(p, "p", runaway, "lo", "hi", 10L, 64).count()
     }
-    assert(ex.getMessage != null)
+    // must be OUR guard, not an incidental explode/OOM failure — and it
+    // must survive column pruning (it's fused into __hi_bin, not a
+    // standalone column the optimizer could drop)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    assert(messages(ex).exists(_.contains("bins of width")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("suggestBinWidth tracks the median range length and stays exact") {
+    val r = ranges(300, 5000) // lengths ~uniform in [0, 5000)
+    val w = RangeJoin.suggestBinWidth(r, "lo", "hi")
+    assert(w >= 1000 && w <= 4000, s"suggested width $w")
+    val p = points(500)
+    val binned = RangeJoin.pointInRange(p, "p", r, "lo", "hi", w)
+      .select("p_id", "r_id")
+    val naive = p.join(r, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p_id", "r_id")
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // all-degenerate input: a sane default, no NPE
+    import spark.implicits._
+    val empty = Seq((1L, 5L, 5L)).toDF("r_id", "lo", "hi")
+    assert(RangeJoin.suggestBinWidth(empty, "lo", "hi") == 1L)
   }
 
   test("column collisions are rejected up front") {
