@@ -728,6 +728,41 @@ object TextOps {
             1L).otherwise(0L)).as("repeats"))
   }
 
+  /** Temperature-based mixture weighting (the multilingual `size^α`
+    * sampling rule: α=1 is proportional, α→0 is uniform; α around
+    * 0.2–0.7 up-weights small strata without drowning large ones).
+    * Returns one row per stratum: its size, the smoothed weight, and
+    * its integer share of `budget`. Feed the shares to [[epochPlan]]
+    * (as per-mille weights or direct token targets) to realize the mix.
+    *
+    * Determinism: the ONLY double op is `exp(α·ln n)`, micro-rounded
+    * immediately (exp/ln are bit-identical across engines — the qc2
+    * discipline); the normalization `budget·w div Σw` is pure integer
+    * math. α is passed as a rational so the query text is exact.
+    *
+    * Scale: one hash aggregate over the corpus → |strata| rows; the
+    * total rides a broadcast. Caller bounds: budget·max(w_micro) must
+    * fit in a BIGINT (w_micro ≈ 10⁶·n^α — at α ≤ 0.5 that holds for
+    * any realistic corpus and budget; at α = 1 keep budget ≤ 2⁶³ /
+    * (10⁶·max stratum size)). */
+  def alphaMixture(df: DataFrame, strataCol: String, sizeCol: String,
+      alphaNum: Int, alphaDen: Int, budget: Long): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"alphaMixture: need 0 <= alphaNum/alphaDen <= 1, got $alphaNum/$alphaDen")
+    require(budget > 0, s"alphaMixture: need budget > 0, got $budget")
+    val s = df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(col(sizeCol)).cast("bigint").as("n_size"))
+      .filter(col("n_size") > 0)
+      .withColumn("w_micro", expr(
+        s"CAST(round(exp((${alphaNum}D / ${alphaDen}D) * " +
+          "ln(CAST(n_size AS DOUBLE))) * 1000000D) AS BIGINT)"))
+    val tot = s.agg(sum("w_micro").as("w_tot"))
+    s.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_size"), col("w_micro"),
+        expr(s"(CAST($budget AS BIGINT) * w_micro) div w_tot")
+          .as("target_size"))
+  }
+
   /** Stratified quota: top `n` rows per stratum by `orderCol` desc with a
     * deterministic id tiebreak. */
   def quotaPerStratum(df: DataFrame, strataCol: String, orderCol: String,

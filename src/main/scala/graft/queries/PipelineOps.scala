@@ -833,6 +833,32 @@ object PipelineOps {
         budget = 60000L).orderBy("doc_id")
     },
 
+    // Temperature-based mixture weighting ([[graft.ops.TextOps
+    // .alphaMixture]]): per-language size^0.5 smoothing — the
+    // multilingual sampling rule that up-weights small strata — turned
+    // into integer budget shares. ep1 consumes hand-set per-mille
+    // weights; this DERIVES them from the corpus. One hash aggregate →
+    // |strata| rows; the only double op is exp(α·ln n), micro-rounded
+    // (exp/ln are bit-identical across engines, the qc2 discipline),
+    // then pure integer normalization against the broadcast total.
+    QueryDef.views("as1_alpha_mixture",
+      """WITH s AS (SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT)
+        |             AS n_size
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT stratum, n_size,
+        |        CAST(round(exp(0.5 * ln(CAST(n_size AS DOUBLE))) * 1000000)
+        |          AS BIGINT) AS w_micro
+        |      FROM s WHERE n_size > 0),
+        |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w)
+        |SELECT w.stratum, w.n_size, w.w_micro,
+        |       CAST((1000000000 * w.w_micro) // t.w_tot AS BIGINT)
+        |         AS target_size
+        |FROM w, t ORDER BY stratum""".stripMargin) { spark =>
+      TextOps.alphaMixture(spark.table("documents"), "lang", "n_chars",
+          alphaNum = 1, alphaDen = 2, budget = 1000000000L)
+        .orderBy("stratum")
+    },
+
     // PageRank authority prior over a deterministic link graph (doc i
     // links to (i*7 + k²) mod N for k = 1..1+i%3): all-integer mass
     // arithmetic makes 3 supersteps bit-identical across engines — the

@@ -386,6 +386,35 @@ class OpsApiSpec extends SparkSpec {
       s"epochPlan corpus join is not broadcast:\n$plan")
   }
 
+  test("alphaMixture: α=1 is proportional, α=1/2 compresses, sum ≤ budget") {
+    import spark.implicits._
+    // strata sized 90000 / 10000 / 100 — wide enough that smoothing
+    // visibly reorders shares
+    val df = Seq(("big", 90000L), ("mid", 10000L), ("tiny", 100L))
+      .toDF("lang", "sz")
+    def shares(num: Int, den: Int): Map[String, (Long, Long)] =
+      TextOps.alphaMixture(df, "lang", "sz", num, den, budget = 1000000L)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+        .toMap
+    val flat = shares(1, 1)
+    // α=1: shares proportional to size (integer truncation only)
+    assert(flat("big")._2 > 8 * flat("mid")._2)
+    // exact proportional share: 90000/100100 of the 1e6 budget
+    assert(math.abs(flat("big")._2 - 899100L) <= 3)
+    val sqrt = shares(1, 2)
+    // α=1/2: the size ratio 900:1 compresses to 30:1 in weights
+    assert(sqrt("big")._2 < 3 * sqrt("mid")._2 * 5)
+    assert(sqrt("tiny")._2 > flat("tiny")._2, "smoothing must lift tiny")
+    // integer normalization never exceeds the budget
+    Seq(flat, sqrt).foreach(m =>
+      assert(m.values.map(_._2).sum <= 1000000L))
+    // the budget share rides a broadcast of the single-row total
+    val plan = TextOps.alphaMixture(df, "lang", "sz", 1, 2, 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"total not broadcast:\n$plan")
+  }
+
   test("sampleDeterministic residue classes partition the corpus") {
     val parts = (0 until 4)
       .map(r => TextOps.sampleDeterministic(docs, "text", 4, r).count())
