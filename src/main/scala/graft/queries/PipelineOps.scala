@@ -859,6 +859,55 @@ object PipelineOps {
         .orderBy("stratum")
     },
 
+    // Composition: alphaMixture-DERIVED weights drive the epoch planner
+    // end to end — the full "decide the mix, then realize it as per-doc
+    // repeats" path a pretraining assembly runs. The |strata|-row
+    // mixture is collected to the planner's weight map (bounded by
+    // distinct langs, the same plan-side smallness epochPlan already
+    // assumes); the oracle recomputes BOTH stages as one CTE chain, so
+    // a drift anywhere — smoothing, per-mille conversion, epoch split,
+    // fractional hash slice — breaks the hash on some doc.
+    QueryDef.views("am1_alpha_epoch_plan",
+      s"""WITH s AS (SELECT lang AS stratum, CAST(sum(n_chars) AS BIGINT)
+         |             AS n_size
+         |           FROM documents GROUP BY 1),
+         |w AS (SELECT stratum, n_size,
+         |        CAST(round(exp(0.5 * ln(CAST(n_size AS DOUBLE))) * 1000000)
+         |          AS BIGINT) AS w_micro
+         |      FROM s WHERE n_size > 0),
+         |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_tot FROM w),
+         |pm AS (SELECT w.stratum,
+         |         CAST((1000 * w.w_micro) // t.w_tot AS BIGINT) AS w_pm
+         |       FROM w, t),
+         |base AS (SELECT doc_id, lang AS stratum,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tot AS (SELECT stratum, sum(n_tokens) AS t_total
+         |        FROM base GROUP BY 1 HAVING sum(n_tokens) > 0),
+         |plan AS (SELECT tot.stratum, t_total,
+         |    (pm.w_pm * 60000) // 1000 AS target
+         |  FROM tot JOIN pm USING (stratum)),
+         |p2 AS (SELECT stratum, target // t_total AS full_epochs,
+         |         ((target % t_total) * 1000) // t_total AS frac_pm
+         |       FROM plan)
+         |SELECT b.doc_id, b.stratum, b.n_tokens,
+         |  CAST(full_epochs + (CASE WHEN
+         |    ${TextOps.pmBucketSql("md5(CAST(b.doc_id AS VARCHAR))")} < frac_pm
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS repeats
+         |FROM base b JOIN p2 USING (stratum)
+         |ORDER BY b.doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val mix = TextOps.alphaMixture(docs, "lang", "n_chars", 1, 2,
+        budget = 1000000000L)
+      val wTot = mix.agg(sum("w_micro")).head().getLong(0)
+      val weightsPm = mix.select("stratum", "w_micro").collect()
+        .map(r => r.getString(0) ->
+          ((1000L * r.getLong(1)) / wTot).toInt).toMap
+      TextOps.epochPlan(docs, "doc_id", "text", "lang", weightsPm,
+        budget = 60000L).orderBy("doc_id")
+    },
+
     // PageRank authority prior over a deterministic link graph (doc i
     // links to (i*7 + k²) mod N for k = 1..1+i%3): all-integer mass
     // arithmetic makes 3 supersteps bit-identical across engines — the

@@ -31,7 +31,8 @@ object DumpPlans {
     "or1_orc_roundtrip", "sh1_shard_roundtrip", "bk1_bucketed_join",
     "z2_compact", "u2_psl_domain", "pf2_profile_hll",
     "qc3_gate_at_quantile", "rj1_range_join_binned", "rj2_interval_overlap",
-    "cv1_csv_roundtrip", "rs1_resample_gapfill", "as1_alpha_mixture")
+    "cv1_csv_roundtrip", "rs1_resample_gapfill", "as1_alpha_mixture",
+    "am1_alpha_epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

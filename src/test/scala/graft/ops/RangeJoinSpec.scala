@@ -107,6 +107,25 @@ class RangeJoinSpec extends SparkSpec {
       s"wrong failure: ${messages(ex).mkString(" | ")}")
   }
 
+  test("exactness holds across adversarial bin widths") {
+    // Bin-boundary bugs are width-specific (off-by-one at width 1,
+    // pow2 masking slips, widths larger than every range, widths larger
+    // than the whole domain) — sweep the corners with one fixture.
+    val p = points(200)
+    val r = ranges(120, 3000)
+    val naive = p.join(r, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p_id", "r_id")
+    val nCount = naive.count()
+    for (w <- Seq(1L, 7L, 64L, 999L, 4096L, 99991L, 10000000L)) {
+      val binned = RangeJoin
+        .pointInRange(p, "p", r, "lo", "hi", w, maxBinsPerRange = 1 << 20)
+        .select("p_id", "r_id")
+      assert(binned.count() == nCount, s"width $w changed the count")
+      assert(binned.exceptAll(naive).count() == 0, s"width $w: extras")
+      assert(naive.exceptAll(binned).count() == 0, s"width $w: missing")
+    }
+  }
+
   test("suggestBinWidth tracks the median range length and stays exact") {
     val r = ranges(300, 5000) // lengths ~uniform in [0, 5000)
     val w = RangeJoin.suggestBinWidth(r, "lo", "hi")
