@@ -39,11 +39,16 @@ class CdcFileSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CdcFileSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    val malformed = Option(properties.get("malformed")).getOrElse("fail")
+    require(malformed == "fail" || malformed == "quarantine",
+      s"malformed must be 'fail' or 'quarantine', got '$malformed'")
     new CdcFileTable(properties.get("path"),
       Option(properties.get("numPartitions")).map(_.toInt).getOrElse(1),
       Option(properties.get("maxEventsPerBatch")).map(_.toLong),
-      Option(properties.get("walFormat")).getOrElse("jsonl"))
+      Option(properties.get("walFormat")).getOrElse("jsonl"),
+      malformed)
+  }
 }
 
 object CdcFileSource {
@@ -60,18 +65,21 @@ object CdcFileSource {
 }
 
 final class CdcFileTable(path: String, numPartitions: Int,
-    maxEventsPerBatch: Option[Long], walFormat: String)
+    maxEventsPerBatch: Option[Long], walFormat: String,
+    malformed: String = "fail")
     extends Table with SupportsRead {
   override def name(): String = s"graft-cdc:$path"
   override def schema(): StructType = CdcFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new CdcFileScan(path, numPartitions, maxEventsPerBatch, walFormat)
+    () => new CdcFileScan(path, numPartitions, maxEventsPerBatch, walFormat,
+      malformed)
 }
 
 final class CdcFileScan(path: String, numPartitions: Int,
-    maxEventsPerBatch: Option[Long], walFormat: String) extends Scan {
+    maxEventsPerBatch: Option[Long], walFormat: String,
+    malformed: String = "fail") extends Scan {
   override def readSchema(): StructType = CdcFileSource.schema
   override def toBatch: Batch = new Batch {
     // Batch replay parallelizes the same way the stream does: contiguous
@@ -83,7 +91,8 @@ final class CdcFileScan(path: String, numPartitions: Int,
       val t = WalTransport.open(path, walFormat)
       val lsns = try t.lsns(Long.MinValue).toVector finally t.close()
       if (lsns.isEmpty || numPartitions <= 1)
-        Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat))
+        Array(CdcRangePartition(path, Long.MinValue, Long.MaxValue, walFormat,
+          malformed = malformed))
       else {
         val lo = lsns.min - 1 // exclusive start
         val hi = lsns.max
@@ -91,7 +100,8 @@ final class CdcFileScan(path: String, numPartitions: Int,
         val width = math.max(1L, (hi - lo + n - 1) / n)
         val parts = (0 until n).iterator
           .map(i => CdcRangePartition(path, lo + i * width,
-            math.min(hi, lo + (i + 1) * width), walFormat))
+            math.min(hi, lo + (i + 1) * width), walFormat,
+            malformed = malformed))
           .filter(p => p.endInclusive > p.startExclusive)
           .toArray
         CdcFileMicroBatchStream.attachPgStates(path, walFormat, parts)
@@ -101,7 +111,8 @@ final class CdcFileScan(path: String, numPartitions: Int,
       new CdcReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcFileMicroBatchStream(path, numPartitions, maxEventsPerBatch, walFormat)
+    new CdcFileMicroBatchStream(path, numPartitions, maxEventsPerBatch,
+      walFormat, malformed)
 }
 
 /** LSN watermark offset (reference: Debezium `sourceOffset={lsn=…}`,
@@ -111,7 +122,8 @@ final case class CdcOffset(lsn: Long) extends Offset {
 }
 
 final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
-    maxEventsPerBatch: Option[Long] = None, walFormat: String = "jsonl")
+    maxEventsPerBatch: Option[Long] = None, walFormat: String = "jsonl",
+    malformed: String = "fail")
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
@@ -156,7 +168,8 @@ final class CdcFileMicroBatchStream(path: String, numPartitions: Int = 1,
     val width = math.max(1L, (e - s + n - 1) / n)
     val parts = (0 until n).iterator
       .map(i => CdcRangePartition(path, s + i * width,
-        math.min(e, s + (i + 1) * width), walFormat))
+        math.min(e, s + (i + 1) * width), walFormat,
+        malformed = malformed))
       .filter(p => p.endInclusive > p.startExclusive)
       .toArray
     CdcFileMicroBatchStream.attachPgStates(path, walFormat, parts)
@@ -218,13 +231,26 @@ object CdcFileMicroBatchStream {
     else if (neg) -v else v
   }
 
-  /** (lsn, line) pairs for the whole log. */
+  /** (lsn, line) pairs for the whole log. A line whose LSN cannot be
+    * parsed at all (structural corruption) is indexed at its
+    * predecessor's LSN so it rides the same range and the same
+    * micro-batch as its file neighborhood — offset accounting stays
+    * monotone and the stream never wedges on it. Whether the line then
+    * errors or quarantines is the READER's `malformed` policy; the
+    * index itself is always lenient (a planning-time throw would kill
+    * the query before the policy could apply). */
   def readLines(path: String): Seq[(Long, String)] = {
     val f = new java.io.File(path)
     if (!f.exists()) return Seq.empty
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).map(l => lsnOf(l) -> l).toVector
-    finally src.close()
+    try {
+      var prev = Long.MinValue + 1
+      src.getLines().filter(_.nonEmpty).map { l =>
+        val lsn = try lsnOf(l) catch { case scala.util.control.NonFatal(_) => prev }
+        prev = lsn
+        lsn -> l
+      }.toVector
+    } finally src.close()
   }
 
   /** LSNs present in the log, for either format (no payload decode). */
@@ -258,22 +284,61 @@ object CdcFileMicroBatchStream {
       UTF8String.fromString(e.table), mapOf(e.before), mapOf(e.after)))
   }
 
-  def parse(line: String): InternalRow = {
-    val n = mapper.readTree(line)
-    def str(field: String) =
-      Option(n.get(field)).filterNot(_.isNull)
-        .map(v => UTF8String.fromString(v.asText())).orNull
-    def mapOf(field: String) = {
-      val obj = Option(n.get(field)).filterNot(_.isNull)
-      val fields = obj.map(_.properties().asScala.toSeq).getOrElse(Seq.empty)
-      new ArrayBasedMapData(
-        new GenericArrayData(fields.map(e => UTF8String.fromString(e.getKey)).toArray[Any]),
-        new GenericArrayData(fields.map(e => UTF8String.fromString(e.getValue.asText())).toArray[Any]))
+  /** Parses one jsonl envelope line. `malformed` policy for a line that
+    * is not a well-formed envelope (broken JSON, or missing any of the
+    * non-nullable lsn/txId/tsMs/op fields):
+    *
+    *  - "fail" (default): error with the offending content — a corrupt
+    *    replication log is a stop-the-world event unless opted out.
+    *  - "quarantine": emit a DLQ row instead — op='bad',
+    *    table='_quarantine', raw line preserved in after['raw'], placed
+    *    at `lsnHint` (the position the range planner indexed the line
+    *    at). One corrupt line must not kill hour three of a 100 TB
+    *    replay: typed consumers already drop unknown tables (the T3
+    *    demux contract), so quarantine rows flow ONLY to whoever
+    *    filters for them, and offsets advance past the damage.
+    */
+  def parse(line: String, lsnHint: Long, malformed: String): InternalRow = {
+    try {
+      val n = mapper.readTree(line)
+      def str(field: String) =
+        Option(n.get(field)).filterNot(_.isNull)
+          .map(v => UTF8String.fromString(v.asText())).orNull
+      def mapOf(field: String) = {
+        val obj = Option(n.get(field)).filterNot(_.isNull)
+        val fields = obj.map(_.properties().asScala.toSeq).getOrElse(Seq.empty)
+        new ArrayBasedMapData(
+          new GenericArrayData(fields.map(e => UTF8String.fromString(e.getKey)).toArray[Any]),
+          new GenericArrayData(fields.map(e => UTF8String.fromString(e.getValue.asText())).toArray[Any]))
+      }
+      def num(field: String): Long = {
+        val v = n.get(field)
+        require(v != null && v.isNumber, s"missing/non-numeric '$field'")
+        v.asLong()
+      }
+      val op = str("op")
+      require(op != null, "missing 'op'")
+      new GenericInternalRow(Array[Any](
+        num("lsn"), num("txId"), num("tsMs"),
+        op, str("db"), str("schema"), str("table"),
+        mapOf("before"), mapOf("after")))
+    } catch {
+      case scala.util.control.NonFatal(e) if malformed == "quarantine" =>
+        val raw = UTF8String.fromString(line.take(8192))
+        new GenericInternalRow(Array[Any](
+          lsnHint, -1L, -1L, UTF8String.fromString("bad"),
+          null, null, UTF8String.fromString("_quarantine"),
+          new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+            new GenericArrayData(Array.empty[Any])),
+          new ArrayBasedMapData(
+            new GenericArrayData(Array[Any](UTF8String.fromString("raw"))),
+            new GenericArrayData(Array[Any](raw)))))
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"malformed CDC envelope at lsn~$lsnHint (set malformed=" +
+            s"'quarantine' to route to the _quarantine table): " +
+            s"${line.take(200)}", e)
     }
-    new GenericInternalRow(Array[Any](
-      n.get("lsn").asLong(), n.get("txId").asLong(), n.get("tsMs").asLong(),
-      str("op"), str("db"), str("schema"), str("table"),
-      mapOf("before"), mapOf("after")))
   }
 }
 
@@ -284,7 +349,8 @@ object CdcFileMicroBatchStream {
   * the log from the beginning and filtering. */
 final case class CdcRangePartition(path: String, startExclusive: Long,
     endInclusive: Long, walFormat: String = "jsonl",
-    preState: Option[PgOutputSession.State] = None) extends InputPartition
+    preState: Option[PgOutputSession.State] = None,
+    malformed: String = "fail") extends InputPartition
 
 final class CdcReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -310,8 +376,9 @@ final class CdcReaderFactory extends PartitionReaderFactory {
       } else {
         // jsonl is stateless — range-prune entirely at the transport.
         transport.frames(p.startExclusive, p.endInclusive)
-          .map { case (_, bytes) => CdcFileMicroBatchStream.parse(
-            new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) }
+          .map { case (lsn, bytes) => CdcFileMicroBatchStream.parse(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+            lsn, p.malformed) }
       }
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
