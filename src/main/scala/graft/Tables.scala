@@ -20,7 +20,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark reads only as a
       // nanos Long (nanosAsLong). Truncate to µs NTZ — exactly what DuckDB
       // does reading the same file, so oracle values line up.
