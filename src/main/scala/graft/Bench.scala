@@ -9,8 +9,18 @@ import org.apache.spark.sql.SparkSession
   * the honest comparison against a long-running engine: on a real cluster
   * a query's generated code is compiled once and reused across its
   * lifetime, while the work measured here (scans, shuffles, joins, state)
-  * scales with data. Queries hold no state between runs (no caching), so
-  * the measured run recomputes everything.
+  * scales with data. Queries hold no per-query state between runs — with
+  * ONE deliberate exception: the similarity GRADING queries share the
+  * session-scoped GradeFixtures cache (the O(n²) exact diagnostic is
+  * materialized once per run, not once per consumer), so their measured
+  * numbers are cache-warm. They are tagged in the output under "cached"
+  * so round-over-round comparisons never credit the cache as a plan
+  * improvement. Everything else recomputes fully on every run.
+  *
+  * Failure contract (round 7: a broken table reader made all 145 queries
+  * throw and this main still printed a plausible all-green line and exited
+  * 0): a table preflight runs first, per-query failures are counted into
+  * an "errors" field plus a "failed" list, and any failure → exit != 0.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,6 +33,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def short(k: String): String = k.takeWhile(_ != '_')
+    def fmt(v: Double): String = "%.2f".format(v)
+    val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
+
+    // Preflight: one loud named error per broken table beats 145 opaque
+    // per-query failures (round 7's events.ts parquet-type drift).
+    val drift = Tables.preflight(spark, sfDir)
+    if (drift.nonEmpty) {
+      drift.foreach(e => System.err.println(s"[bench] PREFLIGHT FAILED — $e"))
+      val failed = drift.map(e => "\"" + e.takeWhile(_ != ':') + "\"").mkString("[", ",", "]")
+      spark.stop()
+      println(s"""{"metric":"total","value":0.00,"unit":"sec","queries":{},"sf":"$sfTag","method":"noop_write","keys":"short","errors":${drift.size},"failed":$failed,"stage":"preflight"}""")
+      sys.exit(2)
+    }
+
     // Dev loop: SPARK_GRAFT_ONLY=<substring,substring> restricts the set.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -35,17 +61,34 @@ object Bench {
     // columns (the CDC envelopes).
     def consume(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val results = picked.map { case (name, fn) =>
-      try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () } // warmup
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cachedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = picked.flatMap { case (name, fn) =>
+      def run(): Option[String] =
+        try { consume(fn(spark, sfDir)); None } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      run() // warmup (codegen + JIT; also populates any grading fixtures)
       // min of two measured runs: single-run numbers on a busy host can
       // spike 2-4x from GC/compilation noise; the min is the honest
-      // steady-state (both runs recompute everything — nothing cached)
-      val t = (1 to 2).map { _ =>
+      // steady-state. A failure in ANY measured run disqualifies the
+      // query — a thrown plan's elapsed time measures nothing.
+      val fixturesBefore = graft.queries.GradeFixtures.accesses.get()
+      val timed = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { consume(fn(spark, sfDir)) } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> t
+        val err = run()
+        (err, (System.nanoTime() - t0) / 1e9)
+      }
+      if (graft.queries.GradeFixtures.accesses.get() > fixturesBefore)
+        cachedQueries += name
+      timed.collectFirst { case (Some(e), _) => e } match {
+        case Some(e) =>
+          System.err.println(s"[bench] $name FAILED — $e")
+          errors += name -> e
+          None
+        case None => Some(name -> timed.map(_._2).min)
+      }
     }
     // The stdout line must fit the harvester's ~2000-char tail window:
     // full-precision doubles + full names pushed past it every round
@@ -55,8 +98,6 @@ object Bench {
     // (unique across the inventory, e.g. "d2x" = d2x_minhash_exactdup;
     // "keys":"short" announces the convention). Full precision + full
     // names are preserved in bench_last.json.
-    def fmt(v: Double): String = "%.2f".format(v)
-    def short(k: String): String = k.takeWhile(_ != '_')
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "short-key collision: a new query name breaks the prefix convention")
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
@@ -65,22 +106,28 @@ object Bench {
     // "method" documents the consumption strategy: rounds measured with
     // count() (r1-r3) under-reported projection/sketch work (Catalyst
     // pruning), so totals are not comparable across the change.
-    val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short"}"""
+    val cachedJson = cachedQueries.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
+    val failedJson = errors.keys.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
     try {
       val w = new java.io.PrintWriter("bench_last.json")
       try {
         val full = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
+        val fullFailed = errors.map { case (k, v) =>
+          "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\x00-\\x1f]", " ") + "\"" }.mkString("{", ",", "}")
+        val fullCached = cachedQueries.map(n => "\"" + n + "\"").mkString("[", ",", "]")
         // same "method" label as the stdout line — see
         // tools/BENCH_METHOD.md for the label/method history
-        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write"}""")
+        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write","errors":$fullFailed,"cached":$fullCached}""")
       } finally w.close()
     } catch { case _: Throwable => () }
     // Stop BEFORE printing: shutdown warnings must not land after the JSON
     // line and push it out of the harvester's tail window.
     spark.stop()
     println(line)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -20,8 +20,15 @@ import graft.ops.{Dedup, Similarity}
   * materialized blocks; a new session or a different sf dir recomputes.
   * Entries are small (pair lists and label maps, not corpus rows).
   */
-private[queries] object GradeFixtures {
+private[graft] object GradeFixtures {
   private val cache = new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  // Monotone count of fixture() calls. Bench snapshots it around each
+  // measured query to tag fixture-riding queries in its output: their
+  // measured time is cache-WARM (the diagnostic blocks were materialized
+  // in an earlier consumer or warmup), so round-over-round comparisons
+  // must not credit the cache as a plan improvement (round-7 verdict #3).
+  val accesses = new java.util.concurrent.atomic.AtomicLong(0)
 
   // get/putIfAbsent, NOT computeIfAbsent: exactClusters builds on top of
   // exactPairs, and a nested computeIfAbsent on the same ConcurrentHashMap
@@ -30,6 +37,7 @@ private[queries] object GradeFixtures {
   // twice; re-entrancy must stay legal.
   private def fixture(spark: SparkSession, what: String)(
       build: DataFrame => DataFrame): DataFrame = {
+    accesses.incrementAndGet()
     val emb = spark.table("embeddings")
     val key = (spark, emb.inputFiles.sorted.mkString(","), what)
     val hit = cache.get(key)
