@@ -186,6 +186,108 @@ object CdcQueries {
   }
 
   /** Oracle CTE: the same envelope derivation in DuckDB SQL. */
+  /** Writes the stream-stream join fixture for an sf dir once: the events
+    * table split into error/click sides, each side chunked into three
+    * TIME-ORDERED parquet files (chunk k = ts tertile k, identical
+    * boundaries on both sides — so replaying chunks oldest-first can
+    * never produce a row older than the watermark, which is what makes
+    * the zero-delay watermark drop-free), plus far-future sentinel files
+    * (`sentinel1`, and `sentinel2` in a side dir) whose only job is to
+    * advance the watermark past all real data at end-of-stream so the
+    * left-outer join's unmatched state actually flushes. Sentinel rows
+    * carry negative ids and are filtered from the graded output. */
+  def ensureIvFixture(spark: SparkSession, sfDir: String): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-iv2v2-" + java.lang.Long.toHexString(fp(src))
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-iv2-fixture-$key")
+    if (Files.exists(dir.resolve("errs").resolve("chunk-2.parquet")) &&
+        Files.exists(dir.resolve("errs_flush").resolve("sentinel2.parquet")))
+      return dir.toString
+
+    graft.Tables.registerAll(spark, sfDir)
+    val ev = spark.table("events")
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    // Chunk boundaries need only be CONSISTENT across the two sides (the
+    // join result is batching-invariant); approx percentiles are fine.
+    // events.ts is TIMESTAMP_NTZ (oracle parity); unix_micros needs LTZ —
+    // under the session's UTC timezone the cast is value-preserving.
+    val bounds = ev.select(expr(
+      "percentile_approx(unix_micros(cast(ts as timestamp)), array(0.333, 0.667), 1000)"))
+      .head().getSeq[Long](0)
+    val maxMicros = ev.agg(max(unix_micros(col("ts").cast("timestamp"))))
+      .head().getLong(0)
+
+    val build = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft-iv2-build")
+    def writeOne(df: org.apache.spark.sql.DataFrame,
+        side: String, name: String): Unit = {
+      val tmp = build.resolve(s"w-$side-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"iv2 fixture: no part file for $side/$name"))
+      Files.createDirectories(build.resolve(side))
+      Files.move(part.toPath, build.resolve(side).resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def chunks(df0: org.apache.spark.sql.DataFrame, side: String): Unit = {
+      // Streaming watermarks require LTZ event time; under the session's
+      // UTC timezone the NTZ→LTZ cast preserves the wall-clock micros the
+      // oracle sees, so the join band is identical on both sides.
+      val df = df0.withColumn("ts", col("ts").cast("timestamp"))
+      val t = unix_micros(col("ts"))
+      writeOne(df.filter(t < bounds(0)), side, "chunk-0")
+      writeOne(df.filter(t >= bounds(0) && t < bounds(1)), side, "chunk-1")
+      writeOne(df.filter(t >= bounds(1)), side, "chunk-2")
+    }
+    chunks(errs, "errs"); chunks(clicks, "clicks")
+    // Sentinels: one hour / two hours past the last real event. The
+    // second lives in a *_flush side dir — it is copied into the stream
+    // AFTER the first drain, because outer-join state evicted by
+    // sentinel1's watermark is only EMITTED while a subsequent batch runs.
+    def sentinel(side: String, at: Long, name: String, flush: Boolean) = {
+      import spark.implicits._
+      val df =
+        if (side == "errs")
+          Seq((-1L, -1L)).toDF("err_id", "user_id")
+            .select(col("err_id"), col("user_id"),
+              timestamp_micros(lit(at)).as("ts"))
+        else
+          Seq((-2L, 0.0)).toDF("user_id", "value")
+            .select(col("user_id"),
+              timestamp_micros(lit(at)).cast("timestamp_ntz").as("ts"),
+              col("value"))
+      writeOne(df, if (flush) s"${side}_flush" else side, name)
+    }
+    Seq("errs", "clicks").foreach { s =>
+      sentinel(s, maxMicros + 3600L * 1000000, "sentinel1", flush = false)
+      sentinel(s, maxMicros + 7200L * 1000000, "sentinel2", flush = true)
+    }
+    // Atomic publish: concurrent/repeat builders race benignly.
+    try {
+      Seq("w-errs-chunk-0", "w-errs-chunk-1", "w-errs-chunk-2",
+        "w-errs-sentinel1", "w-errs-sentinel2", "w-clicks-chunk-0",
+        "w-clicks-chunk-1", "w-clicks-chunk-2", "w-clicks-sentinel1",
+        "w-clicks-sentinel2").foreach { w =>
+        val p = build.resolve(w)
+        if (Files.exists(p)) {
+          p.toFile.listFiles().foreach(_.delete()); Files.delete(p)
+        }
+      }
+      Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.nio.file.FileAlreadyExistsException
+        | _: java.nio.file.DirectoryNotEmptyException => () }
+    dir.toString
+  }
+
   private val envCte =
     """WITH env AS (
       |  SELECT event_id AS lsn, event_id // 100 AS tx_id,
@@ -440,6 +542,191 @@ object CdcQueries {
         |       CAST(sum(lsn % 997) AS BIGINT) AS sum_value_micro,
         |       CAST(sum(lsn % 997) // count(*) AS BIGINT) AS avg_value_micro
         |FROM r WHERE rn = 1 AND op != 'd'
-        |GROUP BY 1 ORDER BY event_type""".stripMargin))
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // st3 — CRASH RECOVERY graded end to end: st2's continuous SUM/AVG
+    // pipeline, but the first query execution is killed by an injected
+    // failure AFTER batch 0's sink transaction lands and BEFORE the batch
+    // reaches the checkpoint's commit log. A second execution resumes from
+    // the same checkpoint: Structured Streaming sees offsets logged for
+    // batch 0 but no commit, replays exactly that batch, then processes
+    // the remaining admission-controlled batches. Two recovery claims the
+    // specs could only assert (StreamRecoverySpec) become ORACLE-graded:
+    //   (a) offset resume — a restart that rescanned from LSN 0 instead
+    //       of replaying the uncommitted batch would land the backlog
+    //       under NEW batchIds with no ledger claims, double-counting
+    //       every additive sum;
+    //   (b) the K2 writer's exactly-once ledger — replayed batch 0's
+    //       claims were recorded atomically with the crashed run's data
+    //       transaction, so its rows apply exactly once across the crash.
+    // Grading uses st2's ADDITIVE aggregate precisely because last-write
+    // upserts are naturally idempotent and would mask both failure modes;
+    // with additive sums any double-apply or gap breaks the DuckDB
+    // oracle (same oracle text as st2).
+    QueryDef("st3_stream_crash_recovery", (spark, dir) => {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val fix = ensureFixture(spark, dir)
+      val walLines = {
+        val st = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try st.count() finally st.close()
+      }
+      val ns = s"st3-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "live_sums")
+      val factory = Sinks.MemoryDb.factory(ns)
+      val ckpt = Files.createTempDirectory("graft-st3-ckpt").toString
+      // Shared across both executions: the first foreachBatch invocation
+      // flips it and dies; the replay of the same batch in run 2 finds it
+      // set and proceeds normally.
+      val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def run(inject: Boolean) = {
+        val events = spark.readStream.format("graft-cdc")
+          .option("walFormat", "jsonl")
+          .option("numPartitions", "8")
+          .option("maxEventsPerBatch", math.max(500L, (walLines + 2) / 3).toString)
+          .load(s"$fix/wal.jsonl").as[CdcEnvelope]
+        // Same runId both runs: ledger claims are keyed (runId, batchId,
+        // partitionId), and the replayed batch must MATCH the crashed
+        // run's claims to be recognized as already applied.
+        val writer = new Sinks.UpsertWriter("live_sums", "event_type",
+          Seq("event_type", "n_live", "sum_value_micro"),
+          additive = Set("n_live", "sum_value_micro"), runId = ns)
+        Changelog.compactValue(events,
+          e => e.image.getOrElse("event_type", ""),
+          e => e.lsn % 997L).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.cdc.ValueDelta],
+                batchId: Long) =>
+              writer.writeBatch(batch.groupBy(col("group").as("event_type"))
+                .agg(sum(col("dCount")).as("n_live"),
+                  sum(col("dValueMicro")).as("sum_value_micro")),
+                factory, batchId)
+              if (inject && crashed.compareAndSet(false, true))
+                throw new RuntimeException(
+                  "st3: injected crash after batch write, before commit")
+          }
+          .start()
+      }
+      val q1 = run(inject = true)
+      try q1.processAllAvailable() catch { case _: Throwable => () }
+      try q1.stop() catch { case _: Throwable => () }
+      // The entry's whole point is that execution spans a failure; if the
+      // injection never fired (e.g. a future refactor drops the batch),
+      // fail LOUDLY rather than grade a plain st2 rerun as recovery.
+      require(q1.exception.isDefined, "st3: crash injection did not fire")
+      val q2 = run(inject = false)
+      q2.processAllAvailable(); q2.stop()
+      val rows = sink.snapshot.values.toSeq.map(r =>
+        (r("event_type").toString, r("n_live").toString.toLong,
+          r("sum_value_micro").toString.toLong))
+        .filter(_._2 > 0)
+      rows.toDF("event_type", "n_live", "sum_value_micro")
+        .select(col("event_type"), col("n_live"), col("sum_value_micro"),
+          expr("sum_value_micro div n_live").as("avg_value_micro"))
+        .orderBy("event_type")
+    }, Some(envCte +
+      """
+        |, r AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY lsn DESC) AS rn
+        |  FROM env)
+        |SELECT after_event_type AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_live,
+        |       CAST(sum(lsn % 997) AS BIGINT) AS sum_value_micro,
+        |       CAST(sum(lsn % 997) // count(*) AS BIGINT) AS avg_value_micro
+        |FROM r WHERE rn = 1 AND op != 'd'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // iv2 — iv1's interval-join semantics executed as a REAL watermarked
+    // stream-stream LEFT OUTER join (the capability StreamJoinSpec could
+    // only spec-pin): error and click events replay as two file streams,
+    // one time-tertile chunk per micro-batch, joined with zero-delay
+    // watermarks on both sides and the 5-minute band as the state-bounding
+    // time constraint. The two hard parts of streaming outer joins are
+    // both load-bearing and graded:
+    //   - bounded state: the band constraint lets Spark evict each side's
+    //     state as the watermark passes (at 100 TB/day the join would
+    //     otherwise hold the full history of both streams);
+    //   - end-of-stream flush: unmatched left rows are only emitted when
+    //     the watermark proves no future match can arrive, so a far-future
+    //     sentinel batch advances the watermark and one further batch
+    //     drains the evictions (sentinel rows carry negative ids and are
+    //     filtered from the output).
+    // The joined rows stream into a memory sink in append mode; the final
+    // per-error aggregate is computed in batch over that sink — the same
+    // grading seam st1/st2 use. Oracle = iv1's SQL verbatim, so the
+    // streaming execution must bit-match the batch twin.
+    QueryDef("iv2_stream_interval_join", (spark, dir) => {
+      val fix = ensureIvFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-iv2-run")
+      // Copy the cached chunk files into a fresh per-run dir with strictly
+      // increasing mtimes: the file source admits oldest-first, which is
+      // what makes "chunk k = tertile k" arrive time-ordered.
+      def seed(side: String): Unit = {
+        Files.createDirectories(run.resolve(side))
+        Seq("chunk-0", "chunk-1", "chunk-2", "sentinel1").zipWithIndex
+          .foreach { case (f, i) =>
+            val d = run.resolve(side).resolve(s"$f.parquet")
+            Files.copy(Paths.get(fix, side, s"$f.parquet"), d)
+            d.toFile.setLastModified(1000000000000L + i * 1000L)
+          }
+      }
+      seed("errs"); seed("clicks")
+      val errs = spark.readStream
+        .schema("err_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.resolve("errs").toString)
+        .withWatermark("ts", "0 seconds")
+        .select(col("err_id"), col("user_id").as("e_uid"),
+          col("ts").as("err_ts"))
+      val clicks = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.resolve("clicks").toString)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id").as("c_uid"), col("ts").as("click_ts"),
+          col("value"))
+      val joined = errs.join(clicks,
+          col("e_uid") === col("c_uid") &&
+            col("click_ts") >= col("err_ts") - expr("INTERVAL 5 MINUTES") &&
+            col("click_ts") < col("err_ts"), "left_outer")
+        .select(col("err_id"), col("click_ts"), col("value"))
+      val qn = "iv2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-iv2-ckpt").toString)
+        .start()
+      q.processAllAvailable()
+      // Flush batch: sentinel1's watermark advance evicts the remaining
+      // outer state, but evictions are only EMITTED while a batch runs.
+      Seq("errs", "clicks").foreach { side =>
+        val d = run.resolve(side).resolve("sentinel2.parquet")
+        Files.copy(Paths.get(fix, s"${side}_flush", "sentinel2.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + 9000L)
+      }
+      q.processAllAvailable(); q.stop()
+      spark.table(qn).filter(col("err_id") >= 0)
+        .groupBy("err_id")
+        .agg(count(col("click_ts")).as("n_clicks"),
+          coalesce(sum(col("value").cast("decimal(18,2)")), lit(0))
+            .cast("decimal(18,2)").cast("double").as("click_value"))
+        .orderBy("err_id")
+    }, Some(
+      """SELECT e.event_id AS err_id,
+        |       CAST(count(c.ts) AS BIGINT) AS n_clicks,
+        |       CAST(CAST(coalesce(sum(CAST(c.value AS DECIMAL(18,2))), 0)
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, ts, value FROM events
+        |           WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin))
   )
 }
