@@ -310,6 +310,49 @@ object Multimodal {
     assets.mapPartitions(decodePartition _)
   }
 
+  /** Per-asset statistics over DECODED audio content — not container
+    * geometry: every 16-bit little-endian PCM sample in the WAV data
+    * chunk is read and folded. */
+  final case class PcmStats(
+      asset_id: Long,
+      n_samples: Long,
+      sum_abs: Long,
+      sum_sq: Long,
+      peak: Long)
+
+  /** Decode actual PCM samples (WAV, 16-bit LE — pure public RIFF spec)
+    * and reduce each asset to exact integer statistics: sample count,
+    * Σ|s|, Σs² (the RMS numerator, kept integral so an oracle can match
+    * it bit-for-bit) and peak |s|. This is the second layer of the
+    * decode seam: [[parseWavMeta]] walks the container, THIS walks the
+    * samples — same mapPartitions placement (per-partition decoder
+    * state, payloads never shuffle, output is |assets| tiny rows).
+    * Assets that are not parseable WAV, or whose data chunk holds less
+    * than one full frame, are skipped (they have no decodable content).
+    */
+  def decodePcm(assets: Dataset[Asset]): Dataset[PcmStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parseWavMeta(a.payload).flatMap { case (_, ch, frames, off) =>
+        val n = (frames * ch).toInt // samples across all channels
+        if (n <= 0) None
+        else {
+          var j = 0; var sumAbs = 0L; var sumSq = 0L; var peak = 0L
+          while (j < n) {
+            val lo = a.payload(off + 2 * j) & 0xFF
+            val hi = a.payload(off + 2 * j + 1) & 0xFF
+            val s = ((hi << 8) | lo).toShort.toLong // signed 16-bit
+            val abs = math.abs(s)
+            sumAbs += abs; sumSq += s * s
+            if (abs > peak) peak = abs
+            j += 1
+          }
+          Some(PcmStats(a.asset_id, n.toLong, sumAbs, sumSq, peak))
+        }
+      }
+    })
+  }
+
   /** Typed metadata frame joined back to asset identity — the table a
     * training-data pipeline filters/groups on (no payload column: metadata
     * queries must never drag binary blobs through a shuffle). */

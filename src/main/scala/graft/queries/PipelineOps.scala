@@ -518,6 +518,41 @@ object PipelineOps {
         .orderBy("asset_id", "frame_idx")
     },
 
+    // m3 — content decode, not container geometry: every 16-bit LE PCM
+    // sample in each WAV asset's data chunk is decoded and folded into
+    // exact integer statistics (count, Σ|s|, Σs², peak). The oracle
+    // rebuilds the identical sample stream from the document text bytes
+    // (the PCM body) byte-pair by byte-pair in SQL, so a green row pins
+    // the full chain: payload synthesis → RIFF chunk walk → sample
+    // decode → reduction. Assets without a full frame are skipped on
+    // both sides. At scale the shape is the decode seam's: payloads
+    // stay put, |assets| tiny stat rows come out.
+    QueryDef("m3_audio_pcm_decode", (spark, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromDocuments(spark, dir)
+        .filter(col("modality") === "audio")
+      graft.ops.Multimodal.decodePcm(assets).toDF()
+        .select(col("asset_id"), col("n_samples"), col("sum_abs"),
+          col("sum_sq"), col("peak"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  2 * (1 + doc_id % 2) AS ba
+        |           FROM documents WHERE n_chars % 3 = 1),
+        |     s AS (SELECT doc_id,
+        |                  ('0x' || substr(hex(b), 4*j-3, 2))::INT
+        |                  + 256 * ('0x' || substr(hex(b), 4*j-1, 2))::INT AS u
+        |           FROM a, UNNEST(generate_series(
+        |                  1, (octet_length(b) // ba) * ba // 2)) AS t(j)),
+        |     v AS (SELECT doc_id,
+        |                  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+        |           FROM s)
+        |SELECT doc_id AS asset_id,
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |       CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+        |       CAST(max(abs(smp)) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
     // Text normalization digest.
     QueryDef.views("x5_normalize",
       """SELECT doc_id,
