@@ -164,6 +164,99 @@ object PropertyChecks {
     dedupCheck("d3x_simhash_exactdup", setHashSpark, setHashDuck, spark =>
       Dedup.simhashKept(spark.table("documents"), "doc_id", "text")),
 
+    // d2y — MinHash RECALL pinned by the oracle (d2x only pins the
+    // exact-duplicate tier): DuckDB computes the full truth set of
+    // bigram-shingle Jaccard >= 0.9 pairs (raw shingle strings; the
+    // Spark side intersects xxhash64 shingle sets — the d4/xd1
+    // injectivity argument) under d4's (lang, size-bucket) blocking,
+    // and every truth pair must have lost at least one endpoint to
+    // minhashKept. n_missed_pairs pins at ZERO: at 32 perms × 8 bands
+    // a J=0.9 pair escapes all bands with p ≈ 2e-4, and the xxhash
+    // seeding is deterministic — verified empirically at sf0.01 and
+    // sf0.1. Weakening the banding (fewer bands, longer rows, fewer
+    // perms) surfaces here as misses the moment it loses a real pair.
+    QueryDef.views("d2y_minhash_recall",
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |     g AS (SELECT doc_id, lang,
+        |             list_sort(list_distinct(CASE WHEN len(toks) < 2 THEN []
+        |               ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                      i -> toks[i] || ' ' || toks[i + 1]) END)) AS s
+        |           FROM t),
+        |     gg AS (SELECT doc_id, lang, s, CAST(len(s) AS BIGINT) AS ns,
+        |              CAST(len(s) // 8 AS BIGINT) AS bucket
+        |            FROM g WHERE len(s) > 0),
+        |     p AS (SELECT a.doc_id AS da, b.doc_id AS db,
+        |             CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |             a.ns + b.ns AS ssum
+        |           FROM gg a JOIN gg b ON a.lang = b.lang
+        |             AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |     truth AS (SELECT da, db FROM p
+        |               WHERE inter * 10 >= (ssum - inter) * 9)
+        |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+        |       CAST(0 AS BIGINT) AS n_missed_pairs""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val kept = Dedup.minhashKept(docs, "doc_id", "text")
+        .select(col("doc_id"))
+      // Truth pairs, Spark side: same shingling/blocking as the oracle,
+      // shingles as sorted xxhash64 sets (codegen sorted-merge count —
+      // the exact kernel minhashKept's verification uses).
+      val g = docs.select(col("doc_id"), col("lang"), expr(
+          "array_sort(array_distinct(transform(word_ngrams(" +
+            "filter(split(text, ' '), x -> length(x) > 0), 2), " +
+            "x -> xxhash64(x))))").as("s"))
+        .withColumn("ns", size(col("s")).cast("bigint"))
+        .filter(col("ns") > 0)
+        .withColumn("bucket", expr("ns div 8"))
+      val truth = g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter", expr("sorted_intersect_count(a.s, b.s)"))
+        .filter(col("inter") * 10 >=
+          (col("a.ns") + col("b.ns") - col("inter")) * 9)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // missed = both endpoints survived dedup
+      val missed = truth
+        .join(kept.as("ka"), col("da") === col("ka.doc_id"), "left_semi")
+        .join(kept.as("kb"), col("db") === col("kb.doc_id"), "left_semi")
+      truth.agg(count(lit(1)).cast("bigint").as("n_truth_pairs"))
+        .crossJoin(missed.agg(count(lit(1)).cast("bigint")
+          .as("n_missed_pairs")))
+    },
+
+    // d3y — SimHash band/bit parameters pinned by construction: 4 bands
+    // of 16 bits have PERFECT candidate recall at Hamming <= 3 (4 bands,
+    // at most 3 differing bits — one band must be untouched), so after
+    // simhashKept no two SURVIVORS may sit within Hamming 3 of each
+    // other, and the banded self-join over survivors that asserts it is
+    // itself complete (same pigeonhole). The zero pins the whole chain:
+    // signature → banding → Hamming verify → anti-join. Widening
+    // maxHamming past the bands' pigeonhole budget, or shrinking the
+    // band count, breaks the completeness argument and surfaces here.
+    QueryDef.views("d3y_simhash_no_residual",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(0 AS BIGINT) AS n_residual_close_pairs
+        |FROM documents""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val kept = Dedup.simhashKept(docs, "doc_id", "text")
+      val bandsDf = kept.select(col("doc_id"), col("simhash"), explode(expr(
+          "transform(sequence(0, 3), k -> struct(k as band, " +
+            "shiftright(simhash, k*16) & 65535 as bucket))")).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val residual = bandsDf.as("x").join(bandsDf.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("bit_count(x.simhash ^ y.simhash) <= 3"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+      docs.agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .crossJoin(residual.agg(count(lit(1)).cast("bigint")
+          .as("n_residual_close_pairs")))
+    },
+
     // Graded at recall-oriented parameters for this fixture's geometry
     // (true neighbors at cos ≈ 0.4 — the hard case for SRP-LSH): more
     // tables / shorter keys push the candidate union deep enough that
