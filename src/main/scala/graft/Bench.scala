@@ -53,6 +53,41 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+
+    // SPARK_GRAFT_SHUFFLE=1 → shuffle-bytes profiling instead of timing:
+    // one cold run per query, total shuffle WRITE bytes attributed via a
+    // stage listener (deterministic per plan, so a single run suffices;
+    // used for the scale-curve "bytes shuffled" ratios in
+    // tools/BENCH_METHOD.md without touching the timing path).
+    if (sys.env.get("SPARK_GRAFT_SHUFFLE").contains("1")) {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            bytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def consumeOnce(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val rows = picked.map { case (name, fn) =>
+        val before = { Thread.sleep(200); bytes.get() }
+        val err =
+          try { consumeOnce(fn(spark, sfDir)); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        Thread.sleep(200) // let straggler stage-completed events land
+        val mb = (bytes.get() - before) / 1e6
+        name -> (err match {
+          case Some(e) => "\"" + e + "\""
+          case None => "%.1f".format(mb)
+        })
+      }
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      spark.stop()
+      println(s"""{"metric":"shuffle_write_mb","queries":$qs,"sf":"$sfTag"}""")
+      return
+    }
     // Consume through a noop write, not count(): under count(1) Catalyst
     // prunes every column, so projection-only queries would be timed as
     // bare parquet scans. The noop sink pulls fully materialized rows —

@@ -159,6 +159,13 @@ object Sinks {
     private val rows = new ConcurrentHashMap[String, Map[String, Any]]()
     def upsert(key: String, row: Map[String, Any]): Unit = rows.put(key, row)
     def delete(key: String): Unit = rows.remove(key)
+    // Point reads for the upsert path: `snapshot` copies the WHOLE map,
+    // which inside the per-row merge turned every micro-batch write into
+    // O(|table|) work per row — quadratic in keys, and the r8 scale
+    // curve's only sink-side superlinearity. A real database does a
+    // point read here; so do we.
+    def get(key: String): Option[Map[String, Any]] = Option(rows.get(key))
+    def contains(key: String): Boolean = rows.containsKey(key)
     def snapshot: Map[String, Map[String, Any]] = rows.asScala.toMap
   }
 
@@ -266,7 +273,7 @@ object Sinks {
               val key = String.valueOf(params.get(1))
               val lock = s"$ns/$tableName/$key"
               target.synchronized {
-                if (target.snapshot.contains(key) ||
+                if (target.contains(key) ||
                     !pendingClaims.add(lock)) Int.box(0)
                 else {
                   txn.claims += lock
@@ -322,7 +329,7 @@ object Sinks {
       def applyRow(values: Seq[Any]): Unit = target.synchronized {
         val incoming = cols.zip(values).toMap
         val key = String.valueOf(incoming(pk))
-        val merged = target.snapshot.get(key) match {
+        val merged = target.get(key) match {
           case Some(existing) =>
             incoming.map { case (c, v) =>
               c -> (if (additiveCols(c)) addNum(existing.getOrElse(c, 0L), v)

@@ -457,11 +457,24 @@ object CdcQueries {
         }
         .start()
       q.processAllAvailable(); q.stop()
-      val live = sink.snapshot.values.toSeq
-        .filter(_("alive") == true).map(_("event_type").toString)
-      live.toDF("event_type")
-        .groupBy("event_type")
-        .agg(count(lit(1)).cast("bigint").as("live_users"))
+      // Grading seam: fold the sink's per-key state straight to the
+      // |groups|-row aggregate in one driver pass. Building a |keys|-row
+      // LocalRelation first (the old Seq.toDF → groupBy) encodes every
+      // key into the plan driver-side and was the ONLY superlinear term
+      // in the r8 scale curve (14.5× at 10× data; the streaming run
+      // itself scales like st2's 1.8×). In production these counts live
+      // in the JDBC table and are read back as |groups| rows — this
+      // fold is the MemoryDb stand-in for that query.
+      val counts = new scala.collection.mutable.HashMap[String, Long]()
+      sink.snapshot.values.foreach { r =>
+        if (r("alive") == true) {
+          val et = r("event_type").toString
+          counts.update(et, counts.getOrElse(et, 0L) + 1L)
+        }
+      }
+      counts.toSeq.toDF("event_type", "live_users")
+        .select(col("event_type"),
+          col("live_users").cast("bigint").as("live_users"))
         .orderBy("event_type")
     }, Some(
       """WITH latest AS (
