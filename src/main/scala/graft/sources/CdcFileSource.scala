@@ -216,7 +216,7 @@ object CdcFileMicroBatchStream {
     * planning, range pruning), so it must not pay a full JSON parse.
     * Falls back to the parser for lines where "lsn" is not textually
     * first-positioned. */
-  private def lsnOf(l: String): Long = {
+  private[sources] def lsnOf(l: String): Long = {
     val k = l.indexOf("\"lsn\":")
     if (k < 0) return mapper.readTree(l).get("lsn").asLong()
     var i = k + 6

@@ -152,6 +152,134 @@ final class SocketWalTransport(host: String, port: Int) extends WalTransport {
   override def close(): Unit = sock.close()
 }
 
+/** Per-JVM byte-offset index of a WAL capture file: one streaming pass
+  * records each non-empty line's (lsn, byte offset, byte length); every
+  * subsequent range read seeks straight to its span.
+  *
+  * Why it exists: without it, EVERY range reader of EVERY micro-batch
+  * re-read and line-split the whole file — O(partitions × batches ×
+  * file) I/O that the r8 scale curve priced at ~10 MB/s/thread on the
+  * jsonl path (cdc1's whole cost). With the index the file is scanned
+  * once per (executor JVM, file version) and each reader transfers only
+  * its own range — the replication-slot analog of "start streaming at
+  * LSN X", which a file stand-in must emulate with seeks. Admission
+  * probes (`lsns`, `headLsn`) become pure in-memory reads, which
+  * matters because the driver issues them on every trigger.
+  *
+  * Cache keyed by path and validated by (length, mtime): a regenerated
+  * fixture misses and rebuilds. Entries are three primitive arrays —
+  * ~20 bytes/line, two orders of magnitude under the payload they
+  * index. Offsets are BYTE offsets (multi-byte UTF-8 safe: the scan
+  * counts raw bytes, never chars). */
+object WalIndex {
+  final case class Idx(lsns: Array[Long], offs: Array[Long], lens: Array[Int],
+      fileLen: Long, mtime: Long) {
+    def maxLsn: Long = {
+      var m = 0L; var i = 0
+      while (i < lsns.length) { if (lsns(i) > m) m = lsns(i); i += 1 }
+      m
+    }
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Idx]()
+
+  def of(path: String, walFormat: String): Idx = {
+    val f = new java.io.File(path)
+    val len = f.length(); val mt = f.lastModified()
+    val hit = cache.get(path)
+    if (hit != null && hit.fileLen == len && hit.mtime == mt) hit
+    else {
+      val built = build(f, walFormat)
+      cache.put(path, built)
+      built
+    }
+  }
+
+  private def build(f: java.io.File, walFormat: String): Idx = {
+    val lsns = scala.collection.mutable.ArrayBuilder.make[Long]
+    val offs = scala.collection.mutable.ArrayBuilder.make[Long]
+    val lens = scala.collection.mutable.ArrayBuilder.make[Int]
+    if (!f.exists())
+      return Idx(lsns.result(), offs.result(), lens.result(), -1L, -1L)
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 20)
+    try {
+      val line = new java.io.ByteArrayOutputStream(256)
+      var off = 0L
+      var lineStart = 0L
+      // Same malformed-lsn policy as the line reader: a line whose LSN
+      // can't be determined indexes at its predecessor's LSN (rides the
+      // same range; the reader's `malformed` policy then applies).
+      var prev = Long.MinValue + 1
+      def flush(): Unit = {
+        if (line.size() > 0) {
+          val bytes = line.toByteArray
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val lsn =
+            try {
+              if (walFormat == "pgoutput")
+                s.substring(0, s.indexOf(' ')).toLong
+              else CdcFileMicroBatchStream.lsnOf(s)
+            } catch { case scala.util.control.NonFatal(_) => prev }
+          prev = lsn
+          lsns += lsn; offs += lineStart; lens += bytes.length
+          line.reset()
+        }
+      }
+      var b = in.read()
+      while (b >= 0) {
+        if (b == '\n') { flush(); lineStart = off + 1 }
+        else line.write(b)
+        off += 1
+        b = in.read()
+      }
+      flush()
+    } finally in.close()
+    Idx(lsns.result(), offs.result(), lens.result(),
+      f.length(), f.lastModified())
+  }
+
+  /** Materialize the in-range lines: one mmap of the file, then a
+    * positional copy per selected line — no per-line syscalls, and only
+    * the selected spans' pages fault in. Output is stably sorted by LSN
+    * (file order preserved within an LSN — Begin/DML/Commit share their
+    * transaction's LSN). */
+  def linesInRange(path: String, walFormat: String, afterLsn: Long,
+      endInclusive: Long): IndexedSeq[(Long, Array[Byte])] = {
+    val idx = of(path, walFormat)
+    val sel = scala.collection.mutable.ArrayBuilder.make[Int]
+    var i = 0
+    while (i < idx.lsns.length) {
+      if (idx.lsns(i) > afterLsn && idx.lsns(i) <= endInclusive) sel += i
+      i += 1
+    }
+    val picked = sel.result()
+    if (picked.isEmpty) return Vector.empty
+    // MappedByteBuffer positions are int-bounded; a >2 GB capture file
+    // would need chunked maps (real deployments segment WAL far below
+    // that, as Postgres does at 16 MB).
+    require(idx.fileLen <= Int.MaxValue,
+      s"WAL capture $path exceeds 2GB — segment it")
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    val out =
+      try {
+        val map = ch.map(
+          java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, idx.fileLen)
+        picked.map { k =>
+          val bytes = new Array[Byte](idx.lens(k))
+          map.position(idx.offs(k).toInt)
+          map.get(bytes)
+          idx.lsns(k) -> bytes
+        }.toIndexedSeq
+      } finally ch.close()
+    // picked is ascending file order; sortBy is stable → file order
+    // survives within equal LSNs.
+    out.sortBy(_._1)
+  }
+}
+
 /** Captured-log replay: each line is one frame — `<lsn> <base64(bytes)>`
   * for pgoutput, a JSON envelope (frame = line bytes) for jsonl. Acks are
   * recorded but nothing is discarded (a file is its own retention). */
@@ -159,35 +287,29 @@ final class FileWalTransport(path: String, walFormat: String)
     extends WalTransport {
   @volatile private var acked = Long.MinValue
 
-  /** Range-pruned BEFORE payload decode: only the cheap LSN prefix of
-    * each line is parsed up front, both bounds filter, and base64
-    * (pgoutput) / UTF-8 (jsonl) payload materialization is deferred
-    * into the returned iterator — P parallel range readers do O(log)
-    * total decode work, not O(P × log). (The stable sort preserves file
-    * order within an LSN — Begin/DML/Commit share their transaction's
-    * LSN.) */
+  /** Range reads ride [[WalIndex]]: the file is scanned once per JVM,
+    * then each reader seeks straight to its span and decodes only its
+    * own payloads (base64 for pgoutput, raw line bytes for jsonl) — P
+    * parallel range readers transfer O(Σ ranges), not O(P × log). */
   override def frames(afterLsn: Long,
-      endInclusive: Long = Long.MaxValue): Iterator[(Long, Array[Byte])] =
+      endInclusive: Long = Long.MaxValue): Iterator[(Long, Array[Byte])] = {
+    val lines = WalIndex.linesInRange(path, walFormat, afterLsn, endInclusive)
     if (walFormat == "pgoutput")
-      CdcFileMicroBatchStream.readRawLines(path)
-        .filter(f => f._1 > afterLsn && f._1 <= endInclusive)
-        .sortBy(_._1).iterator
-        .map { case (lsn, l) =>
-          lsn -> java.util.Base64.getDecoder.decode(l.substring(l.indexOf(' ') + 1)) }
-    else
-      CdcFileMicroBatchStream.readLines(path)
-        .filter(f => f._1 > afterLsn && f._1 <= endInclusive)
-        .sortBy(_._1).iterator
-        .map { case (lsn, l) => lsn -> l.getBytes("UTF-8") }
-
-  override def lsns(afterLsn: Long): Iterator[Long] =
-    CdcFileMicroBatchStream.readLsns(path, walFormat)
-      .filter(_ > afterLsn).sorted.iterator
-
-  override def headLsn(): Long = {
-    val lsns = CdcFileMicroBatchStream.readLsns(path, walFormat)
-    if (lsns.isEmpty) 0L else lsns.max
+      lines.iterator.map { case (lsn, l) =>
+        val s = new String(l, java.nio.charset.StandardCharsets.UTF_8)
+        lsn -> java.util.Base64.getDecoder.decode(s.substring(s.indexOf(' ') + 1))
+      }
+    else lines.iterator
   }
+
+  override def lsns(afterLsn: Long): Iterator[Long] = {
+    val idx = WalIndex.of(path, walFormat)
+    val out = idx.lsns.filter(_ > afterLsn)
+    java.util.Arrays.sort(out)
+    out.iterator
+  }
+
+  override def headLsn(): Long = WalIndex.of(path, walFormat).maxLsn
 
   override def ack(lsn: Long): Unit = acked = math.max(acked, lsn)
 
