@@ -171,6 +171,41 @@ object Changelog {
         })
   }
 
+  /** SCD Type-2 history materialization: one row per (key, version)
+    * with an LSN validity interval, instead of [[compact]]'s
+    * latest-image-only view. Every c/u/r envelope OPENS a version at
+    * its LSN; the key's next change (any op, deletes included) CLOSES
+    * it via `lead(lsn)`; a delete opens nothing, so a deleted key's
+    * history simply ends with a closed interval. `is_current` marks the
+    * open tail version.
+    *
+    * Plan shape at scale: ONE hash exchange on the key + per-partition
+    * sort for the lead window — the same cost class as the compaction
+    * itself, and embarrassingly partition-parallel (history of one key
+    * never crosses partitions). This is the standard warehouse
+    * "dimension history" consumer the latest-only changelog view can't
+    * serve: as-of queries, audit trails, slowly-changing joins. */
+  def scd2(events: Dataset[CdcEnvelope]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val env = events.toDF()
+    val keyed = env.select(
+      col("lsn"), col("op"), col("schema"),
+      coalesce(
+        element_at(col("after"), "id"),
+        element_at(col("after"), "user_id"),
+        element_at(col("before"), "id"),
+        element_at(col("before"), "user_id")).as("key_id"),
+      col("after"))
+    val w = Window.partitionBy("schema", "key_id").orderBy("lsn")
+    keyed
+      .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(w))
+      .filter(col("op") =!= "d") // a delete closes; it opens no version
+      .select(col("schema"), col("key_id"),
+        col("lsn").as("valid_from_lsn"), col("valid_to_lsn"),
+        col("valid_to_lsn").isNull.as("is_current"), col("after"))
+  }
+
   /** Batch form: same semantics via replay over a bounded dataset —
     * used by specs to cross-check the streaming operator. */
   def compactBatch(events: Seq[CdcEnvelope]): Map[String, CompactionDelta] = {

@@ -751,6 +751,84 @@ object CdcQueries {
         |           WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id
         | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
-        |GROUP BY e.event_id ORDER BY err_id""".stripMargin))
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin)),
+
+    // sc1 — SCD Type-2 history materialization: the changelog consumer
+    // the latest-only views (s3, cdc2) cannot serve. Every c/u envelope
+    // opens a version at its LSN, the key's next change (deletes
+    // included) closes it, the open tail is is_current. One hash
+    // exchange on the key + a per-partition sort window — compaction's
+    // cost class. Envelopes come through the DSv2 source (the cdc1
+    // path), so the grade covers source → history end to end.
+    QueryDef("sc1_scd2_history", (spark, dir) => {
+      import spark.implicits._
+      val fix = ensureFixture(spark, dir)
+      val env = readWal(spark, fix, "jsonl").drop("mode").as[CdcEnvelope]
+      Changelog.scd2(env)
+        .select(col("key_id").cast("bigint").as("id"),
+          col("valid_from_lsn"), col("valid_to_lsn"), col("is_current"),
+          element_at(col("after"), "event_type").as("event_type"))
+        .orderBy("id", "valid_from_lsn")
+    }, Some(envCte +
+      """
+        |, h AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         lead(lsn) OVER (PARTITION BY user_id
+        |                         ORDER BY lsn) AS valid_to_lsn
+        |  FROM env)
+        |SELECT CAST(user_id AS BIGINT) AS id, lsn AS valid_from_lsn,
+        |       valid_to_lsn, valid_to_lsn IS NULL AS is_current,
+        |       after_event_type AS event_type
+        |FROM h WHERE op != 'd'
+        |ORDER BY id, valid_from_lsn""".stripMargin)),
+
+    // sc2 — point-in-time lookup against the SCD2 history: for each
+    // probe (an error event's LSN), the version of that user valid AT
+    // that LSN — the "what did the dimension look like when this fact
+    // happened" join every warehouse asks of CDC history. Equi-join on
+    // the key with the validity interval as residual (iv1's plan
+    // shape: one exchange, no pair blow-up beyond a key's own version
+    // chain); probes whose key was deleted before the probe LSN (or
+    // never existed) come back null via the left join. Composes sc1's
+    // operator with the probe relation — graded end to end.
+    QueryDef("sc2_pit_lookup", (spark, dir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, dir)
+      val fix = ensureFixture(spark, dir)
+      val env = readWal(spark, fix, "jsonl").drop("mode").as[CdcEnvelope]
+      val hist = Changelog.scd2(env)
+        .select(col("key_id").cast("bigint").as("h_id"),
+          col("valid_from_lsn"), col("valid_to_lsn"),
+          element_at(col("after"), "event_type").as("event_type_at"))
+      val probes = spark.table("events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("probe_lsn"), col("user_id"))
+      probes.join(hist,
+          col("user_id") === col("h_id") &&
+            col("valid_from_lsn") <= col("probe_lsn") &&
+            (col("valid_to_lsn").isNull ||
+              col("probe_lsn") < col("valid_to_lsn")),
+          "left")
+        .select(col("probe_lsn"), col("user_id"),
+          col("valid_from_lsn").as("version_lsn"), col("event_type_at"))
+        .orderBy("probe_lsn")
+    }, Some(envCte +
+      """
+        |, h0 AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         lead(lsn) OVER (PARTITION BY user_id
+        |                         ORDER BY lsn) AS valid_to_lsn
+        |  FROM env),
+        |  h AS (SELECT user_id AS h_id, lsn AS valid_from_lsn,
+        |               valid_to_lsn, after_event_type
+        |        FROM h0 WHERE op != 'd'),
+        |  p AS (SELECT event_id AS probe_lsn, user_id FROM events
+        |        WHERE event_type = 'error')
+        |SELECT p.probe_lsn, p.user_id, h.valid_from_lsn AS version_lsn,
+        |       h.after_event_type AS event_type_at
+        |FROM p LEFT JOIN h ON p.user_id = h.h_id
+        |  AND h.valid_from_lsn <= p.probe_lsn
+        |  AND (h.valid_to_lsn IS NULL OR p.probe_lsn < h.valid_to_lsn)
+        |ORDER BY probe_lsn""".stripMargin))
   )
 }
