@@ -206,6 +206,75 @@ object Changelog {
         col("valid_to_lsn").isNull.as("is_current"), col("after"))
   }
 
+  /** One SCD2 version row as emitted by the STREAMING materializer: a
+    * version is emitted OPEN (validTo = None) when its envelope arrives
+    * and re-emitted CLOSED when the key's next change lands — possibly
+    * in a later micro-batch, possibly within the same one. Downstream a
+    * PK upsert on (key, validFrom) converges to exactly the batch
+    * [[Changelog.scd2]] table. */
+  final case class VersionRow(key: String, schemaName: String,
+      validFrom: Long, validTo: Option[Long], image: Map[String, String])
+
+  private[cdc] final case class OpenVersion(lsn: Long,
+      image: Map[String, String])
+
+  /** SCD2 per-key state: the LSN floor (guards stale replays even after
+    * a delete — the tombstone role [[KeyState]] plays for compaction)
+    * plus the currently open version, if the key is alive. */
+  private[cdc] final case class ScdState(lastLsn: Long,
+      open: Option[OpenVersion])
+
+  /** Per-key SCD2 transition: fold the batch's events in LSN order over
+    * the open version carried in state. Stale replays (lsn at or below
+    * the state's floor) are dropped by the same LSN guard the
+    * compaction uses — including after a delete, which leaves a
+    * tombstoned floor rather than no state. */
+  private[cdc] def transitionScd2(prior: Option[ScdState],
+      events: Seq[CdcEnvelope]): (Option[ScdState], Seq[VersionRow]) = {
+    val floor = prior.map(_.lastLsn).getOrElse(Long.MinValue)
+    var cur = prior.flatMap(_.open)
+    var last = floor
+    val out = Seq.newBuilder[VersionRow]
+    events.filter(_.lsn > floor).sortBy(_.lsn).foreach { e =>
+      val key = CdcEnvelope.keyOf(e.schema,
+        e.image.getOrElse("id", e.image.getOrElse("user_id", "")))
+      cur.foreach { v =>
+        out += VersionRow(key, e.schema, v.lsn, Some(e.lsn), v.image)
+      }
+      if (e.isDelete) cur = None
+      else {
+        cur = Some(OpenVersion(e.lsn, e.image))
+        out += VersionRow(key, e.schema, e.lsn, None, e.image)
+      }
+      last = e.lsn
+    }
+    val next = if (last == floor) prior else Some(ScdState(last, cur))
+    (next, out.result())
+  }
+
+  /** Streaming SCD2: incremental history maintenance. State per key is
+    * ONE open version (O(live keys), like [[compact]]); each micro-batch
+    * emits the versions it opened and the closures it caused, and a
+    * replace-merge PK upsert on (key, validFrom) — idempotent under
+    * replay by construction — materializes the same table the batch
+    * [[scd2]] window computes. This is the history twin of
+    * [[compactValue]]'s aggregate maintenance: the warehouse dimension
+    * table stays current continuously instead of being rebuilt. */
+  def scd2Stream(events: Dataset[CdcEnvelope])(
+      implicit spark: SparkSession): Dataset[VersionRow] = {
+    import spark.implicits._
+    events
+      .groupByKey(e => CdcEnvelope.keyOf(e.schema,
+        e.image.getOrElse("id", e.image.getOrElse("user_id", ""))))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[CdcEnvelope],
+            state: GroupState[ScdState]) => {
+          val (next, out) = transitionScd2(state.getOption, it.toSeq)
+          next.foreach(state.update)
+          out.iterator
+        })
+  }
+
   /** Batch form: same semantics via replay over a bounded dataset —
     * used by specs to cross-check the streaming operator. */
   def compactBatch(events: Seq[CdcEnvelope]): Map[String, CompactionDelta] = {

@@ -829,6 +829,86 @@ object CdcQueries {
         |FROM p LEFT JOIN h ON p.user_id = h.h_id
         |  AND h.valid_from_lsn <= p.probe_lsn
         |  AND (h.valid_to_lsn IS NULL OR p.probe_lsn < h.valid_to_lsn)
-        |ORDER BY probe_lsn""".stripMargin))
+        |ORDER BY probe_lsn""".stripMargin)),
+
+    // sc3 — STREAMING SCD2: the history table maintained incrementally
+    // by real micro-batches (st1's harness). Changelog.scd2Stream emits
+    // each version when opened and re-emits it when closed — across
+    // batch boundaries when the closure lands later — and a
+    // replace-merge PK upsert on (key, validFrom) converges the sink to
+    // exactly the batch scd2 table: the foreachBatch pre-aggregate
+    // (max(validTo) per version — closed beats open) makes intra-batch
+    // open→close pairs order-independent, and replace-merge makes
+    // replays idempotent without ledger claims. Oracle = sc1's SQL
+    // verbatim: continuous maintenance must equal the rebuild.
+    QueryDef("sc3_stream_scd2", (spark, dir) => {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val fix = ensureFixture(spark, dir)
+      val walLines = {
+        val st = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try st.count() finally st.close()
+      }
+      val events = spark.readStream.format("graft-cdc")
+        .option("walFormat", "jsonl")
+        .option("numPartitions", "8")
+        .option("maxEventsPerBatch", math.max(500L, (walLines + 2) / 3).toString)
+        .load(s"$fix/wal.jsonl").as[CdcEnvelope]
+      val ns = s"sc3-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "scd2")
+      val writer = new Sinks.UpsertWriter("scd2", "vk",
+        Seq("vk", "id", "valid_from_lsn", "valid_to_lsn", "event_type"),
+        runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val q = Changelog.scd2Stream(events).writeStream
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sc3-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Changelog.VersionRow],
+              batchId: Long) =>
+            val rows = batch
+              .select(col("key"), col("validFrom"), col("validTo"),
+                try_element_at(col("image"), lit("id")).as("id"),
+                try_element_at(col("image"), lit("event_type")).as("et"))
+              .groupBy("key", "validFrom")
+              // closed beats open: max ignores nulls, and a version's
+              // closing LSN is unique — intra-batch emission order
+              // stops mattering before rows reach the sink
+              .agg(max(col("validTo")).as("valid_to_lsn"),
+                max(col("id")).as("id"), max(col("et")).as("event_type"))
+            writer.writeBatch(rows.select(
+              concat_ws("/", col("key"), col("validFrom")).as("vk"),
+              col("id"), col("validFrom").as("valid_from_lsn"),
+              col("valid_to_lsn"), col("event_type")), factory, batchId)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      // Grading seam: the full history is the graded output, so rows
+      // are parallelized (not a LocalRelation — the st1 lesson) and
+      // typed/ordered in the engine.
+      val rows = sink.snapshot.values.iterator.map { r =>
+        (r("id").toString.toLong,
+          r("valid_from_lsn").toString.toLong,
+          Option(r("valid_to_lsn")).map(_.toString.toLong),
+          r("event_type").toString)
+      }.toSeq
+      spark.sparkContext.parallelize(rows, 8)
+        .toDF("id", "valid_from_lsn", "valid_to_lsn", "event_type")
+        .select(col("id"), col("valid_from_lsn"), col("valid_to_lsn"),
+          col("valid_to_lsn").isNull.as("is_current"), col("event_type"))
+        .orderBy("id", "valid_from_lsn")
+    }, Some(envCte +
+      """
+        |, h AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         lead(lsn) OVER (PARTITION BY user_id
+        |                         ORDER BY lsn) AS valid_to_lsn
+        |  FROM env)
+        |SELECT CAST(user_id AS BIGINT) AS id, lsn AS valid_from_lsn,
+        |       valid_to_lsn, valid_to_lsn IS NULL AS is_current,
+        |       after_event_type AS event_type
+        |FROM h WHERE op != 'd'
+        |ORDER BY id, valid_from_lsn""".stripMargin))
   )
 }

@@ -42,6 +42,34 @@ class Scd2Spec extends SparkSpec {
     assert(Changelog.scd2(Seq(env(3, "d", "9")).toDS()).count() == 0)
   }
 
+  test("streaming transition: closure crosses the batch boundary") {
+    val (st1, out1) = Changelog.transitionScd2(None, Seq(env(1, "c", "7")))
+    assert(out1.map(r => (r.validFrom, r.validTo)) == Seq((1L, None)))
+    val (st2, out2) = Changelog.transitionScd2(st1, Seq(env(5, "u", "7")))
+    // batch 2 closes batch 1's version and opens its own
+    assert(out2.map(r => (r.validFrom, r.validTo)) ==
+      Seq((1L, Some(5L)), (5L, None)))
+    assert(st2.exists(_.open.exists(_.lsn == 5L)))
+  }
+
+  test("streaming transition: stale replay is dropped, even after delete") {
+    val (st1, _) = Changelog.transitionScd2(None,
+      Seq(env(1, "c", "7"), env(4, "d", "7")))
+    assert(st1.exists(s => s.lastLsn == 4L && s.open.isEmpty)) // tombstone
+    // a replayed pre-delete event must NOT resurrect the key
+    val (st2, out2) = Changelog.transitionScd2(st1, Seq(env(3, "u", "7")))
+    assert(out2.isEmpty && st2 == st1)
+  }
+
+  test("streaming transition: open and close within one batch") {
+    val (_, out) = Changelog.transitionScd2(None,
+      Seq(env(2, "c", "7"), env(6, "u", "7")))
+    // version 2 appears twice (open, then closed) — the sink's
+    // max(validTo) pre-aggregate makes the pair order-independent
+    assert(out.map(r => (r.validFrom, r.validTo)) ==
+      Seq((2L, None), (2L, Some(6L)), (6L, None)))
+  }
+
   test("keys and schemas partition independently") {
     val hist = Changelog.scd2(Seq(
         env(1, "c", "7"), env(2, "c", "8"), env(6, "u", "7")).toDS())
