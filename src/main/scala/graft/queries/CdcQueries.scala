@@ -185,6 +185,21 @@ object CdcQueries {
       .withColumn("mode", lit(mode))
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions = n, restored after.
+    * Streaming state-store partition sizing is a per-query decision: a
+    * stateful operator commits one (join: four) state store(s) per
+    * partition per trigger, so fixture-scale state wants few partitions
+    * — at 32, commit choreography dominated every streaming entry's
+    * measured time — while production volume turns the knob the other
+    * way. Queries run sequentially in Verify/Bench, so the set/restore
+    * cannot leak across entries. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(
+      body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Oracle CTE: the same envelope derivation in DuckDB SQL. */
   /** Writes the stream-stream join fixture for an sf dir once: the events
     * table split into error/click sides, each side chunked into three
@@ -444,19 +459,21 @@ object CdcQueries {
       val writer = new Sinks.UpsertWriter("live_keys", "key",
         Seq("key", "alive", "event_type"), runId = ns)
       val factory = Sinks.MemoryDb.factory(ns)
-      val q = Changelog.compact(events).writeStream
-        .outputMode("update")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-st1-ckpt").toString)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[CompactionDelta],
-              batchId: Long) =>
-            writer.writeBatch(batch.select(col("key"), col("alive"),
-              try_element_at(col("image"), lit("event_type"))
-                .as("event_type")), factory, batchId)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(spark, 8) {
+        val q = Changelog.compact(events).writeStream
+          .outputMode("update")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st1-ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[CompactionDelta],
+                batchId: Long) =>
+              writer.writeBatch(batch.select(col("key"), col("alive"),
+                try_element_at(col("image"), lit("event_type"))
+                  .as("event_type")), factory, batchId)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       // Grading seam: fold the sink's per-key state straight to the
       // |groups|-row aggregate in one driver pass. Building a |keys|-row
       // LocalRelation first (the old Seq.toDF → groupBy) encodes every
@@ -521,20 +538,22 @@ object CdcQueries {
       val deltas = Changelog.compactValue(events,
         e => e.image.getOrElse("event_type", ""),
         e => e.lsn % 997L)
-      val q = deltas.writeStream
-        .outputMode("update")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-st2-ckpt").toString)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.cdc.ValueDelta],
-              batchId: Long) =>
-            writer.writeBatch(batch.groupBy(col("group").as("event_type"))
-              .agg(sum(col("dCount")).as("n_live"),
-                sum(col("dValueMicro")).as("sum_value_micro")),
-              factory, batchId)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(spark, 8) {
+        val q = deltas.writeStream
+          .outputMode("update")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st2-ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.cdc.ValueDelta],
+                batchId: Long) =>
+              writer.writeBatch(batch.groupBy(col("group").as("event_type"))
+                .agg(sum(col("dCount")).as("n_live"),
+                  sum(col("dValueMicro")).as("sum_value_micro")),
+                factory, batchId)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       val rows = sink.snapshot.values.toSeq.map(r =>
         (r("event_type").toString, r("n_live").toString.toLong,
           r("sum_value_micro").toString.toLong))
@@ -622,15 +641,18 @@ object CdcQueries {
           }
           .start()
       }
-      val q1 = run(inject = true)
-      try q1.processAllAvailable() catch { case _: Throwable => () }
-      try q1.stop() catch { case _: Throwable => () }
-      // The entry's whole point is that execution spans a failure; if the
-      // injection never fired (e.g. a future refactor drops the batch),
-      // fail LOUDLY rather than grade a plain st2 rerun as recovery.
-      require(q1.exception.isDefined, "st3: crash injection did not fire")
-      val q2 = run(inject = false)
-      q2.processAllAvailable(); q2.stop()
+      withStatePartitions(spark, 8) {
+        val q1 = run(inject = true)
+        try q1.processAllAvailable() catch { case _: Throwable => () }
+        try q1.stop() catch { case _: Throwable => () }
+        // The entry's whole point is that execution spans a failure; if
+        // the injection never fired (e.g. a future refactor drops the
+        // batch), fail LOUDLY rather than grade a plain st2 rerun as
+        // recovery.
+        require(q1.exception.isDefined, "st3: crash injection did not fire")
+        val q2 = run(inject = false)
+        q2.processAllAvailable(); q2.stop()
+      }
       val rows = sink.snapshot.values.toSeq.map(r =>
         (r("event_type").toString, r("n_live").toString.toLong,
           r("sum_value_micro").toString.toLong))
@@ -860,30 +882,32 @@ object CdcQueries {
         Seq("vk", "id", "valid_from_lsn", "valid_to_lsn", "event_type"),
         runId = ns)
       val factory = Sinks.MemoryDb.factory(ns)
-      val q = Changelog.scd2Stream(events).writeStream
-        .outputMode("update")
-        .option("checkpointLocation",
-          Files.createTempDirectory("graft-sc3-ckpt").toString)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[Changelog.VersionRow],
-              batchId: Long) =>
-            val rows = batch
-              .select(col("key"), col("validFrom"), col("validTo"),
-                try_element_at(col("image"), lit("id")).as("id"),
-                try_element_at(col("image"), lit("event_type")).as("et"))
-              .groupBy("key", "validFrom")
-              // closed beats open: max ignores nulls, and a version's
-              // closing LSN is unique — intra-batch emission order
-              // stops mattering before rows reach the sink
-              .agg(max(col("validTo")).as("valid_to_lsn"),
-                max(col("id")).as("id"), max(col("et")).as("event_type"))
-            writer.writeBatch(rows.select(
-              concat_ws("/", col("key"), col("validFrom")).as("vk"),
-              col("id"), col("validFrom").as("valid_from_lsn"),
-              col("valid_to_lsn"), col("event_type")), factory, batchId)
-        }
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStatePartitions(spark, 8) {
+        val q = Changelog.scd2Stream(events).writeStream
+          .outputMode("update")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-sc3-ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[Changelog.VersionRow],
+                batchId: Long) =>
+              val rows = batch
+                .select(col("key"), col("validFrom"), col("validTo"),
+                  try_element_at(col("image"), lit("id")).as("id"),
+                  try_element_at(col("image"), lit("event_type")).as("et"))
+                .groupBy("key", "validFrom")
+                // closed beats open: max ignores nulls, and a version's
+                // closing LSN is unique — intra-batch emission order
+                // stops mattering before rows reach the sink
+                .agg(max(col("validTo")).as("valid_to_lsn"),
+                  max(col("id")).as("id"), max(col("et")).as("event_type"))
+              writer.writeBatch(rows.select(
+                concat_ws("/", col("key"), col("validFrom")).as("vk"),
+                col("id"), col("validFrom").as("valid_from_lsn"),
+                col("valid_to_lsn"), col("event_type")), factory, batchId)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       // Grading seam: the full history is the graded output, so rows
       // are parallelized (not a LocalRelation — the st1 lesson) and
       // typed/ordered in the engine.
