@@ -32,7 +32,8 @@ object DumpPlans {
     "z2_compact", "u2_psl_domain", "pf2_profile_hll",
     "qc3_gate_at_quantile", "rj1_range_join_binned", "rj2_interval_overlap",
     "cv1_csv_roundtrip", "rs1_resample_gapfill", "as1_alpha_mixture",
-    "am1_alpha_epoch_plan", "m3_audio_pcm_decode", "d2y_minhash_recall")
+    "am1_alpha_epoch_plan", "m3_audio_pcm_decode", "d2y_minhash_recall",
+    "sc1_scd2_history", "sc2_pit_lookup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
