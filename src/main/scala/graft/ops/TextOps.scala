@@ -297,6 +297,36 @@ object TextOps {
     joinBack(train, shared, idCol)
   }
 
+  /** Per-doc n-gram overlap FRACTION against an eval corpus — the
+    * graded form of [[decontaminate]]'s boolean gate: real decontam
+    * policies threshold on "what fraction of this document is
+    * benchmark material" (a 10k-gram page sharing 3 grams is clean; a
+    * 40-gram doc sharing 30 is a leak), not on any-overlap. Overlap is
+    * reported in integer basis points so the oracle matches exactly.
+    *
+    * One gram-level LEFT join against the distinct eval grams and ONE
+    * aggregation produce both the total and the shared count — same
+    * exchange budget as [[decontaminate]]; at 100 TB the eval side is
+    * the small one and the bloom pre-pass of [[decontaminateBloom]]
+    * drops non-candidate grams before the shuffle. */
+  def decontamOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, s"decontamOverlap: need n >= 1, got $n")
+    val evalGrams = docGrams(eval, idCol, textCol, n)
+      .select(col("gram")).distinct().withColumn("__hit", lit(1))
+    val agg = docGrams(train, idCol, textCol, n)
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_shared"))
+    train.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_bp", expr(
+        "case when n_grams = 0 then 0L else n_shared * 10000L div n_grams end"))
+  }
+
   /** Distinct (doc, word-n-gram) pairs of a corpus.
     *
     * explode_outer + isNotNull-on-OUTPUT, not explode: plain explode

@@ -595,6 +595,43 @@ object PipelineOps {
     // Eval-set decontamination: training docs sharing any word 5-gram
     // with the deterministic eval split (doc_id % 97 = 0) are flagged;
     // n_shared counts distinct shared grams.
+    // Overlap-FRACTION decontam (dc1's graded sibling): per train doc,
+    // total distinct 5-grams, benchmark-shared count, and the overlap
+    // in basis points — the quantity real policies threshold on. Same
+    // doc split and gram derivation as dc1, so the two entries pin the
+    // same pipeline at two decision granularities.
+    QueryDef.views("dc4_overlap_fraction",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  g AS (SELECT doc_id, unnest(list_distinct(
+        |           CASE WHEN len(w) >= 5
+        |                THEN list_transform(range(1, len(w) - 3),
+        |                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+        |                ELSE [] END)) AS gram
+        |        FROM t),
+        |  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |  tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+        |  agg AS (SELECT tr.doc_id, count(*) AS n_grams,
+        |            count(ev.gram) AS n_shared
+        |          FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+        |          GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(agg.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(agg.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(CASE WHEN COALESCE(agg.n_grams, 0) = 0 THEN 0
+        |            ELSE agg.n_shared * 10000 // agg.n_grams END AS BIGINT)
+        |         AS overlap_bp
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      TextOps.decontamOverlap(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("dc1_decontam",
       """WITH t AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
