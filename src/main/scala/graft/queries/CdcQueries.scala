@@ -853,6 +853,73 @@ object CdcQueries {
         |  AND (h.valid_to_lsn IS NULL OR p.probe_lsn < h.valid_to_lsn)
         |ORDER BY probe_lsn""".stripMargin)),
 
+    // pb1 — the reference's two-pipeline topology WITH the broker hop,
+    // oracle-graded (PgLiveReplicationSpec runs it live; this puts it in
+    // the gate): pipeline A streams envelopes through the DSv2 source
+    // and WRITES the keyed JSON frame through the `graft-topic`
+    // streaming sink (epoch-idempotent commit — the Pulsar hop);
+    // pipeline B READS the topic back as a batch source, decodes the
+    // JSON wire values, compacts latest-per-key by LSN (deletes drop
+    // the key), and counts live users per event_type. The grade spans
+    // produce → broker → consume → compact → aggregate; a wire-format
+    // mismatch, a lost/duplicated epoch, or a compaction bug all break
+    // the same t5-shaped oracle.
+    QueryDef("pb1_pipeline_b_topic_hop", (spark, dir) => {
+      import spark.implicits._
+      val fix = ensureFixture(spark, dir)
+      val walLines = {
+        val st = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try st.count() finally st.close()
+      }
+      val events = spark.readStream.format("graft-cdc")
+        .option("walFormat", "jsonl")
+        .option("numPartitions", "8")
+        .option("maxEventsPerBatch", math.max(500L, (walLines + 2) / 3).toString)
+        .load(s"$fix/wal.jsonl").as[CdcEnvelope]
+      val topic = s"pb1-${java.util.UUID.randomUUID()}"
+      // Pipeline A: demuxed keyed JSON onto the topic (reference
+      // CustomJob.java:93-94 — key = schema|id, value = JSON fields).
+      val frame = events.toDF().select(
+        concat_ws("|", col("schema"),
+          coalesce(try_element_at(col("after"), lit("id")),
+            try_element_at(col("before"), lit("id")))).as("key"),
+        to_json(struct(col("lsn"), col("op"),
+          try_element_at(col("after"), lit("id")).as("id"),
+          try_element_at(col("after"), lit("event_type"))
+            .as("event_type"))).as("value"))
+      val q = frame.writeStream.format("graft-topic")
+        .option("topic", topic)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-pb1-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      // Pipeline B: consume the topic, decode the wire JSON, compact,
+      // count — the upsert-source semantics of the reference's SQL job.
+      val msgs = spark.read.format("graft-topic")
+        .option("topic", topic).load()
+      val parsed = msgs.select(col("key"), from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lsn BIGINT, op STRING, id STRING, event_type STRING")).as("v"))
+        .select(col("key"), col("v.lsn").as("lsn"), col("v.op").as("op"),
+          col("v.event_type").as("event_type"))
+      parsed.groupBy("key")
+        .agg(max_by(struct(col("op"), col("event_type")), col("lsn"))
+          .as("last"))
+        .select(col("last.op").as("op"),
+          col("last.event_type").as("event_type"))
+        .filter(col("op") =!= "d")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("live_users"))
+        .orderBy("event_type")
+    }, Some(
+      """WITH latest AS (
+        |  SELECT user_id, event_type, event_id, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS live_users
+        |FROM latest WHERE rn = 1 AND event_id % 7 != 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // sc3 — STREAMING SCD2: the history table maintained incrementally
     // by real micro-batches (st1's harness). Changelog.scd2Stream emits
     // each version when opened and re-emits it when closed — across
