@@ -165,6 +165,76 @@ object Multimodal {
       .as[Asset]
   }
 
+  /** PPM (P6) payloads for the image-modality docs — the UNCOMPRESSED
+    * image format whose pixel data needs no codec, so the decode seam
+    * reaches actual pixels (the image twin of the WAV-PCM path, m3).
+    * Header is ASCII per the public Netpbm spec: "P6", whitespace,
+    * width, height, maxval (255), one whitespace, then raw RGB byte
+    * triples row-major. Width varies by doc (4 + 2·(doc_id % 5), so the
+    * ASCII parse sees multi-digit dims), height = as many full rows as
+    * the text bytes fill; the pixel body is the first 3·w·h bytes of
+    * the UTF-8 text — a pure codegen projection the oracle reproduces
+    * byte-for-byte from the documents table. Docs too short for one
+    * full row carry no decodable image and are excluded (the oracle
+    * applies the same floor). */
+  def ppmAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    val w = (lit(4) + (col("doc_id") % 5) * 2).cast("int")
+    val h = (octet_length(col("text")) / (lit(3) * w)).cast("int")
+    graft.Tables.load(spark, dir, "documents")
+      .filter(col("n_chars") % 3 === 0)
+      .withColumn("w", w).withColumn("h", h)
+      .filter(col("h") >= 1)
+      .select(col("doc_id").as("asset_id"), lit("image").as("modality"),
+        concat(
+          concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+            col("h").cast("string"), lit("\n255\n")).cast("binary"),
+          col("text").cast("binary")
+            .substr(lit(1), lit(3) * col("w") * col("h"))).as("payload"),
+        col("source"))
+      .as[Asset]
+  }
+
+  /** Parses a P6 PPM header per the public Netpbm spec: magic "P6",
+    * then three whitespace-separated ASCII integers (width, height,
+    * maxval) — `#` comment lines allowed anywhere whitespace is — and
+    * exactly ONE whitespace byte before the raster. Returns
+    * (width, height, maxval, rasterOffset). */
+  private[ops] def parsePpmHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') return None
+    var i = 2
+    def skipWs(): Boolean = {
+      var saw = false
+      var more = true
+      while (more && i < p.length) {
+        val c = p(i)
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t') { i += 1; saw = true }
+        else if (c == '#') { // comment runs to end of line
+          while (i < p.length && p(i) != '\n') i += 1
+          saw = true
+        } else more = false
+      }
+      saw
+    }
+    def int(): Option[Int] = {
+      var v = 0L; var any = false
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); any = true; i += 1
+        if (v > Int.MaxValue) return None
+      }
+      if (any) Some(v.toInt) else None
+    }
+    for {
+      _ <- if (skipWs()) Some(()) else None
+      w <- int(); _ <- if (skipWs()) Some(()) else None
+      h <- int(); _ <- if (skipWs()) Some(()) else None
+      m <- int()
+      // exactly one whitespace byte separates maxval from the raster
+      _ <- if (i < p.length && (p(i) == '\n' || p(i) == ' ' ||
+        p(i) == '\r' || p(i) == '\t')) Some(()) else None
+    } yield { i += 1; (w, h, m, i) }
+  }
+
   /** Parses PNG dimensions from raw bytes: signature check, IHDR tag
     * check, big-endian width/height at offsets 16/20. Pure public-spec
     * parsing — no codec library involved. */
@@ -285,6 +355,8 @@ object Multimodal {
         .map { case (w, h) => (w, h, 1L, PngHeaderLen) }
         .orElse(parseJpegDims(a.payload)
           .map { case (w, h, off) => (w, h, 1L, off) })
+        .orElse(parsePpmHeader(a.payload)
+          .map { case (w, h, _, off) => (w, h, 1L, off) })
         .orElse(parseWavMeta(a.payload)
           // audio flattening: width carries the sample rate (Hz),
           // height the channel count, n_frames the PCM frame count
@@ -348,6 +420,49 @@ object Multimodal {
             j += 1
           }
           Some(PcmStats(a.asset_id, n.toLong, sumAbs, sumSq, peak))
+        }
+      }
+    })
+  }
+
+  /** Per-asset statistics over DECODED image content — actual RGB
+    * pixels, not container geometry. All sums are exact integers so an
+    * oracle matches bit-for-bit; `sum_luma` uses the integer ITU-R
+    * BT.601 weights (299·R + 587·G + 114·B, i.e. luma·1000). */
+  final case class PixelStats(
+      asset_id: Long,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long,
+      sum_luma: Long)
+
+  /** Decode actual pixels (P6 PPM — pure public Netpbm spec) and reduce
+    * each asset to exact integer channel statistics. The image twin of
+    * [[decodePcm]]: [[parsePpmHeader]] walks the ASCII header, THIS
+    * walks the RGB raster — same mapPartitions placement (per-partition
+    * decoder state, payloads never shuffle, output is |assets| tiny
+    * rows). Assets that are not parseable P6, or whose raster holds
+    * less than the declared w·h triples, are skipped (no fully
+    * decodable image). */
+  def decodePixels(assets: Dataset[Asset]): Dataset[PixelStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmHeader(a.payload).flatMap { case (w, h, _, off) =>
+        val n = w * h
+        if (n <= 0 || a.payload.length - off < 3 * n) None
+        else {
+          var j = 0; var sr = 0L; var sg = 0L; var sb = 0L
+          while (j < n) {
+            sr += a.payload(off + 3 * j) & 0xFF
+            sg += a.payload(off + 3 * j + 1) & 0xFF
+            sb += a.payload(off + 3 * j + 2) & 0xFF
+            j += 1
+          }
+          Some(PixelStats(a.asset_id, w.toLong, h.toLong, n.toLong,
+            sr, sg, sb, 299L * sr + 587L * sg + 114L * sb))
         }
       }
     })

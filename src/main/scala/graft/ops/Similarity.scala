@@ -331,6 +331,65 @@ object Similarity {
     IvfIndex(cents, assign(cents).select("vec_id", "cluster", "v", "nrm"))
   }
 
+  /** Deterministic INTEGER k-means clustering — the data-mixing /
+    * curriculum-bucketing operator (every embedding → one of k cluster
+    * ids). Unlike [[ivfIndex]] (float Lloyd's, cosine assignment — fine
+    * for an ANN coarse quantizer, where tiny FP divergence only moves a
+    * vector between near-equivalent cells), THIS operator's assignment
+    * is the output, so every step is exact integer math and therefore
+    * order-independent across partitions and bit-reproducible by a SQL
+    * oracle that unrolls the same iterations (qc2's determinism trick,
+    * applied to clustering):
+    *
+    *  - vectors quantize to micro-units: round(x·10⁶) as BIGINT;
+    *  - assignment = argmin of squared-L2 in micro-units (≤ 4·10¹²/dim,
+    *    summed over dims — far inside BIGINT), ties to the smaller
+    *    cluster id via lexicographic (dist, id) struct-min;
+    *  - recenter = per-(cluster, dim) SUM/COUNT partial agg, centroid
+    *    component = floor(sum/n) done as (s − pmod(s, n)) div n (exact,
+    *    sign-safe);
+    *  - seeds = the first k vectors by id.
+    *
+    * Scale shape: per iteration ONE partial+final aggregation over
+    * (cluster, dim) keys; the k×dims centroid table collects to the
+    * driver and re-broadcasts inside the assignment expression — the
+    * same bounded driver surface as ivfIndex/PQ training. A cluster
+    * that empties simply drops out of the centroid table (the oracle
+    * joins on surviving centroids the same way). */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
+        .as("v"))
+
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+      val structs = cents.sortBy(_._1).map { case (cid, cv) =>
+        s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
+          s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
+      }
+      vecs.withColumn("cluster", expr(s"array_min(array(${structs.mkString(",")})).c"))
+    }
+
+    def recenter(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .withColumn("m", expr("(s - pmod(s, n)) div n"))
+        .groupBy("cluster")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+          .as("cv"))
+        .as[(Int, Seq[Long])].collect().toSeq
+
+    val seed: Seq[(Int, Seq[Long])] = vecs
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .as[(Int, Seq[Long])].collect().toSeq
+    val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
+    assign(cents).select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
+  }
+
   /** Probes the `nprobe` nearest cells per query and reranks exactly
     * inside them. `queryPred` selects query rows from the indexed corpus
     * (columns `vec_id`, `v`, `nrm`, `cluster`). */

@@ -56,16 +56,19 @@ object CdcQueries {
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
       else 31L * f.length() + f.lastModified()
-    // v2: bump when the derivation itself changes (v2 added the snapshot
-    // segment's ghost keys), so cached fixtures from older code miss.
+    // v3: bump when the derivation itself changes (v2 added the snapshot
+    // segment's ghost keys; v3 the schema-evolution log), so cached
+    // fixtures from older code miss.
     val src = new java.io.File(s"$sfDir/events.parquet")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-      "-v2-" + java.lang.Long.toHexString(fp(src))
+      "-v3-" + java.lang.Long.toHexString(fp(src))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-fixture-$key")
     val jsonl = dir.resolve("wal.jsonl")
     val pgout = dir.resolve("wal.pgoutput")
     val snap = dir.resolve("wal_snap.jsonl")
-    if (Files.exists(jsonl) && Files.exists(pgout) && Files.exists(snap))
+    val evo = dir.resolve("wal_evo.pgoutput")
+    if (Files.exists(jsonl) && Files.exists(pgout) && Files.exists(snap) &&
+        Files.exists(evo))
       return dir.toString
 
     graft.Tables.registerAll(spark, sfDir)
@@ -126,6 +129,53 @@ object CdcQueries {
       }
     } finally wp.close()
 
+    // wal_evo.pgoutput — the cdc4 log: the same stream, but the table's
+    // schema CHANGES mid-log (a column added upstream — the ALTER TABLE
+    // every long-lived CDC pipeline eventually meets). The publisher
+    // re-sends the Relation message with the new column list, exactly as
+    // a real walsender does after DDL; rows before the change carry two
+    // columns, rows at/after it three. Decoding correctly requires the
+    // relation catalog to be REPLAYED IN LSN ORDER — including by the
+    // parallel range readers, whose boundary states must snapshot the
+    // catalog version in force at each split point.
+    val tmpE = Files.createTempFile(dir, "wal", ".evo.tmp")
+    val we = Files.newBufferedWriter(tmpE)
+    try {
+      val oid = 102
+      val mid = (rows.head._1 + rows.last._1) / 2
+      def frame(lsn: Long, bytes: Array[Byte]): Unit = {
+        we.write(s"$lsn " + enc.encodeToString(bytes)); we.newLine()
+      }
+      we.write("0 " + enc.encodeToString(
+        PgOutputFrames.relation(oid, "public", "users",
+          Seq("id", "event_type"))))
+      we.newLine()
+      var evolved = false
+      rows.foreach { case (id, uid, et) =>
+        if (!evolved && id >= mid) {
+          // the DDL point: same-LSN Relation precedes the DML in file
+          // order, as on the wire
+          frame(id, PgOutputFrames.relation(oid, "public", "users",
+            Seq("id", "event_type", "email")))
+          evolved = true
+        }
+        frame(id, PgOutputFrames.begin((id / 100).toInt, id * 1000))
+        val v2 = Seq(Some(uid.toString), Some(et),
+          Some(s"$uid@example.com"))
+        val v1 = Seq(Some(uid.toString), Some(et))
+        op(id, et) match {
+          case "c" => frame(id,
+            PgOutputFrames.insert(oid, if (evolved) v2 else v1))
+          case "u" => frame(id,
+            PgOutputFrames.update(oid, None, if (evolved) v2 else v1))
+          case _ => frame(id, PgOutputFrames.delete(oid,
+            if (evolved) Seq(Some(uid.toString), None, None)
+            else Seq(Some(uid.toString), None)))
+        }
+        frame(id, PgOutputFrames.commit())
+      }
+    } finally we.close()
+
     // wal_snap.jsonl — the cdc3 log: an initial snapshot segment (op='r',
     // one envelope per pre-existing key, lsn = key id — all below
     // SnapStreamBase), then the same c/u/d stream shifted up by
@@ -163,9 +213,10 @@ object CdcQueries {
       Files.move(tmpJ, jsonl, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmpP, pgout, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmpS, snap, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpE, evo, StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
       Files.deleteIfExists(tmpJ); Files.deleteIfExists(tmpP)
-      Files.deleteIfExists(tmpS)
+      Files.deleteIfExists(tmpS); Files.deleteIfExists(tmpE)
     }
     dir.toString
   }
@@ -421,6 +472,43 @@ object CdcQueries {
           |       after_event_type AS last_event_type
           |FROM r WHERE rn = 1 AND op != 'd'
           |ORDER BY id""".stripMargin)),
+
+    // cdc4 — schema evolution mid-stream: the upstream table gains a
+    // column halfway through the log (ALTER TABLE … ADD COLUMN), the
+    // publisher re-sends the pgoutput Relation message, and every later
+    // tuple decodes against the NEW column list. Read through the DSv2
+    // source with 8 parallel LSN-range readers, so the grade also pins
+    // the boundary-state machinery: readers whose range starts after
+    // the DDL point must seed from a catalog snapshot that already
+    // carries the third column (PgOutputSession.boundaryStates) — no
+    // reader rescans the log to find out. The envelope's map-typed
+    // before/after is what makes this a non-event downstream: old rows
+    // simply lack the key, new rows carry it, and the oracle predicts
+    // exactly which (lsn >= the midpoint the fixture used).
+    QueryDef("cdc4_schema_evolution",
+      (spark, dir) => {
+        val fix = ensureFixture(spark, dir)
+        spark.read.format("graft-cdc")
+          .option("path", s"$fix/wal_evo.pgoutput")
+          .option("walFormat", "pgoutput")
+          .option("numPartitions", "8")
+          .load()
+          .select(col("lsn"), col("op"),
+            element_at(col("after"), "id").as("after_id"),
+            element_at(col("after"), "event_type").as("after_event_type"),
+            element_at(col("after"), "email").as("after_email"),
+            element_at(col("before"), "id").as("before_id"))
+          .orderBy("lsn")
+      },
+      Some(envCte +
+        """
+          |, b AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid
+          |        FROM events)
+          |SELECT lsn, op, after_id, after_event_type,
+          |       CASE WHEN lsn >= b.mid AND op != 'd'
+          |            THEN after_id || '@example.com' END AS after_email,
+          |       before_id
+          |FROM env CROSS JOIN b ORDER BY lsn""".stripMargin)),
 
     // st1 — the flagship pipeline run AS A STREAM and graded by the
     // DuckDB oracle: the WAL fixture replayed through the DSv2 source
@@ -1100,6 +1188,96 @@ object CdcQueries {
         |           WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id
         | AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts < e.ts
-        |GROUP BY e.event_id ORDER BY err_id""".stripMargin))
+        |GROUP BY e.event_id ORDER BY err_id""".stripMargin)),
+
+    // st4 — the streaming exact-dedup operator executed as REAL micro-
+    // batches: dropDuplicatesWithinWatermark keyed on the canonical
+    // token-set fingerprint over four file-stream batches. Duplicate
+    // documents straddle batch boundaries by construction (chunks are
+    // doc_id mod 4, dup-group members have unrelated ids), so a
+    // correct result REQUIRES first-seen keys to
+    // survive trigger boundaries in the state store; the watermark
+    // delay spans the fixture's whole event-time range, so no key is
+    // evicted mid-run and the kept set is exactly one row per distinct
+    // digest — which the oracle computes statically. (Eviction by
+    // watermark — the bounded-state half of the operator — is pinned in
+    // StreamingWindowSpec, where batch timing is under test control; a
+    // gate entry must not depend on WHEN the watermark crosses a key.)
+    QueryDef("st4_stream_dedup", (spark, dir) => {
+      val fix = ensureDedupFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st4-run")
+      (0 until 4).foreach { k =>
+        val d = run.resolve(s"chunk-$k.parquet")
+        Files.copy(Paths.get(fix, s"chunk-$k.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + k * 1000L)
+      }
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, digest STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      val kept = graft.ops.Dedup.streamingDedupWithinWatermark(
+        docs, "ts", "6 hours", Seq("digest"))
+      val qn = "st4_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = kept.writeStream.outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st4-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      spark.table(qn).select(col("digest")).orderBy("digest")
+    }, Some(
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(text, ' '), x -> len(x) > 0))),
+        |       ' ')) AS digest
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin))
   )
+
+  /** Writes the streaming-dedup fixture once per sf dir: the documents
+    * corpus as (doc_id, digest, ts) in four parquet chunk files keyed
+    * by doc_id mod 4 — duplicates of a text deliberately straddle
+    * chunks, so suppressing them exercises cross-batch state, not
+    * within-batch dedup. Event times fold into one hour
+    * (1700000000 + doc_id % 3600) so a fixed watermark delay covers
+    * the range at every sf. */
+  def ensureDedupFixture(spark: SparkSession, sfDir: String): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-st4v2-" + java.lang.Long.toHexString(fp(src))
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-st4-fixture-$key")
+    if (Files.exists(dir.resolve("chunk-3.parquet"))) return dir.toString
+
+    graft.Tables.registerAll(spark, sfDir)
+    // Key = canonical token-SET fingerprint (d5's dedup notion — the
+    // corpus HAS such duplicates at every sf, unlike byte-identical
+    // texts which only appear at sf0.1+), so the stream genuinely
+    // suppresses rows, it doesn't just echo its input.
+    val docs = spark.table("documents").select(col("doc_id"),
+      md5(expr("array_join(array_sort(array_distinct(filter(" +
+        "split(text, ' '), x -> length(x) > 0))), ' ')")).as("digest"),
+      timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
+        .as("ts"))
+    val build = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft-st4-build")
+    (0 until 4).foreach { k =>
+      val tmp = build.resolve(s"w-chunk-$k")
+      docs.filter(pmod(col("doc_id"), lit(4L)) === k)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"st4 fixture: no part file for chunk-$k"))
+      Files.move(part.toPath, build.resolve(s"chunk-$k.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+    }
+    try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException
+        | _: java.nio.file.DirectoryNotEmptyException => () }
+    dir.toString
+  }
 }

@@ -105,6 +105,46 @@ object PipelineOps {
   }
   private val qc3Quantile = "0.37"
 
+  /** km1's oracle: DuckDB replays the EXACT integer k-means the operator
+    * runs ([[graft.ops.Similarity.kmeansAssign]]) — micro-unit
+    * quantization, then `iters` unrolled assign/recenter rounds, then
+    * the final assignment. Assignment argmin uses (distance, cluster)
+    * ordering (ties to the smaller id, mirroring the struct-min);
+    * recenter floors sum/count via the sign-safe positive-mod identity,
+    * matching `(s - pmod(s, n)) div n` exactly. */
+  private def km1OracleSql(k: Int, iters: Int): String = {
+    // argmin assignment of every vector against centroid CTE `c`
+    def assignCte(a: String, c: String) =
+      s"""  $a AS (SELECT vec_id, cluster FROM (
+         |    SELECT i.vec_id, c.cluster,
+         |           row_number() OVER (PARTITION BY i.vec_id ORDER BY
+         |             list_sum(list_transform(range(1, len(i.v) + 1),
+         |               j -> (i.v[j] - c.cv[j]) * (i.v[j] - c.cv[j]))) ASC,
+         |             c.cluster ASC) AS rn
+         |    FROM iv i CROSS JOIN $c c) WHERE rn = 1)""".stripMargin
+    // floored integer mean per (cluster, dim), reassembled in dim order
+    def recenterCte(c: String, a: String) =
+      s"""  $c AS (SELECT cluster, list(m ORDER BY dim) AS cv FROM (
+         |    SELECT a.cluster, t.dim,
+         |           (sum(i.v[t.dim]) - ((sum(i.v[t.dim]) % count(*)) + count(*)) % count(*))
+         |             // count(*) AS m
+         |    FROM $a a JOIN iv i USING (vec_id),
+         |         UNNEST(generate_series(1, len(i.v))) AS t(dim)
+         |    GROUP BY a.cluster, t.dim) GROUP BY cluster)""".stripMargin
+    val rounds = (1 to iters).flatMap(r =>
+      Seq(assignCte(s"a${r - 1}", s"c${r - 1}"), recenterCte(s"c$r", s"a${r - 1}")))
+    val ctes = (Seq(
+      s"""iv AS (SELECT vec_id, list_transform(embedding,
+         |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         |        FROM embeddings)""".stripMargin,
+      s"""  c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
+         |         FROM iv WHERE vec_id < $k)""".stripMargin) ++
+      rounds :+ assignCte("fin", s"c$iters")).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   /** rp1's projection matrix: 8 output components × 64 input dims, every
     * entry k/16 with k ∈ [-9, 9] — exact in binary FP AND in the oracle's
     * 4-decimal literal, so the only doubles in the chain are the shared
@@ -327,6 +367,20 @@ object PipelineOps {
       Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", k = 10)
         .orderBy("q_vec_id", "rnk")
+    },
+
+    // km1 — deterministic integer k-means over the embeddings: the
+    // clustering operator behind domain mixing / curriculum bucketing.
+    // Fully oracle-graded PER VECTOR (not an invariant twin): because
+    // the operator quantizes to integer micro-units and floors the
+    // recenter, DuckDB can replay the exact Lloyd iterations as
+    // unrolled CTEs — qc2's determinism trick applied to clustering —
+    // and every one of the n final assignments must match bit-for-bit.
+    QueryDef.views("km1_kmeans_assign", km1OracleSql(k = 8, iters = 2)) {
+      spark =>
+        Similarity.kmeansAssign(spark.table("embeddings"), "vec_id",
+            "embedding", k = 8, iters = 2)
+          .orderBy("vec_id")
     },
 
     // LSH-bucketed ANN (scale path). Rows-only.
@@ -552,6 +606,45 @@ object PipelineOps {
         |       CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
         |       CAST(max(abs(smp)) AS BIGINT) AS peak
         |FROM v GROUP BY doc_id ORDER BY asset_id""".stripMargin)),
+
+    // m4 — image pixel decode: the image half of the two-layer decode
+    // seam (m3 is audio). P6 PPM payloads (public Netpbm spec —
+    // uncompressed, so pixels need no codec) are synthesized from the
+    // image-modality documents as a pure codegen projection, the ASCII
+    // header is parsed back and the full RGB raster walked on the
+    // mapPartitions seam, and each asset reduces to exact integer
+    // channel sums + BT.601 integer luma. The oracle rebuilds the same
+    // raster bytes from the documents table (UTF-8 text prefix) and
+    // folds the identical integer statistics — a green row proves
+    // header construction, ASCII parse, raster walk, and the per-pixel
+    // arithmetic, byte-for-byte.
+    QueryDef("m4_image_pixel_decode", (spark, dir) => {
+      val assets = graft.ops.Multimodal.ppmAssetsFromDocuments(spark, dir)
+      graft.ops.Multimodal.decodePixels(assets).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("sum_luma"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  4 + (doc_id % 5) * 2 AS w
+        |           FROM documents WHERE n_chars % 3 = 0),
+        |     d AS (SELECT doc_id, w,
+        |                  octet_length(b) // (3 * w) AS h, b
+        |           FROM a WHERE octet_length(b) >= 3 * w),
+        |     p AS (SELECT doc_id, w, h,
+        |                  ('0x' || substr(hex(b), 6*j-5, 2))::INT AS r,
+        |                  ('0x' || substr(hex(b), 6*j-3, 2))::INT AS g,
+        |                  ('0x' || substr(hex(b), 6*j-1, 2))::INT AS bl
+        |           FROM d, UNNEST(generate_series(1, w * h)) AS t(j))
+        |SELECT doc_id AS asset_id,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(count(*) AS BIGINT) AS n_pixels,
+        |       CAST(sum(r) AS BIGINT) AS sum_r,
+        |       CAST(sum(g) AS BIGINT) AS sum_g,
+        |       CAST(sum(bl) AS BIGINT) AS sum_b,
+        |       CAST(sum(299*r + 587*g + 114*bl) AS BIGINT) AS sum_luma
+        |FROM p GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin)),
 
     // Text normalization digest.
     QueryDef.views("x5_normalize",

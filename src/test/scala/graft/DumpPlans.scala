@@ -33,7 +33,8 @@ object DumpPlans {
     "qc3_gate_at_quantile", "rj1_range_join_binned", "rj2_interval_overlap",
     "cv1_csv_roundtrip", "rs1_resample_gapfill", "as1_alpha_mixture",
     "am1_alpha_epoch_plan", "m3_audio_pcm_decode", "d2y_minhash_recall",
-    "sc1_scd2_history", "sc2_pit_lookup")
+    "sc1_scd2_history", "sc2_pit_lookup",
+    "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -166,6 +166,60 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("parsePpmHeader reads ASCII dims incl. comments; rejects damage") {
+    val plain = "P6\n3 2\n255\n".getBytes ++ Array.fill[Byte](18)(9)
+    assert(Multimodal.parsePpmHeader(plain).contains((3, 2, 255, 11)))
+    // comments anywhere whitespace is legal; multi-digit dims; CRLF/tab
+    val commented = "P6 # netpbm\n# another\n 12\t20 # w h\n65535 ".getBytes
+    assert(Multimodal.parsePpmHeader(commented)
+      .contains((12, 20, 65535, commented.length)))
+    // damage: wrong magic, missing separator, non-numeric dim, truncated
+    assert(Multimodal.parsePpmHeader("P5\n3 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.parsePpmHeader("P63 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.parsePpmHeader("P6\nx 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.parsePpmHeader("P6\n3 2\n255".getBytes).isEmpty)
+    assert(Multimodal.parsePpmHeader(Array.empty[Byte]).isEmpty)
+  }
+
+  test("PPM pixel decode recovers exact channel sums from real rasters") {
+    import spark.implicits._
+    // hand raster: 2×1, pixels (1,2,3) and (250, 0, 100)
+    val ppm = "P6\n2 1\n255\n".getBytes ++
+      Array[Byte](1, 2, 3, 250.toByte, 0, 100)
+    val st = Multimodal.decodePixels(
+      Seq(Multimodal.Asset(7L, "image", ppm, "s")).toDS()).collect()
+    assert(st.toSeq == Seq(Multimodal.PixelStats(7L, 2L, 1L, 2L,
+      251L, 2L, 103L, 299L * 251 + 587L * 2 + 114L * 103)))
+    // a short raster (declared 2×1 but one pixel of bytes) is skipped
+    val short = "P6\n2 1\n255\n".getBytes ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.decodePixels(
+      Seq(Multimodal.Asset(8L, "image", short, "s")).toDS()).isEmpty)
+    // end-to-end over the corpus: every synthesized asset decodes, and
+    // the sums match an independent in-engine recomputation from the
+    // raw text bytes (the oracle does the same cross-engine)
+    val assets = Multimodal.ppmAssetsFromDocuments(spark, sf)
+    val stats = Multimodal.decodePixels(assets).toDF()
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .filter(col("n_chars") % 3 === 0)
+      .withColumn("w", (lit(4) + (col("doc_id") % 5) * 2).cast("int"))
+      .withColumn("h", (octet_length(col("text")) / (lit(3) * col("w"))).cast("int"))
+      .filter(col("h") >= 1)
+      .select(col("doc_id").as("asset_id"), col("w"), col("h"),
+        expr("transform(sequence(1, w*h*3), " +
+          "i -> cast(unhex(substring(hex(cast(text as binary)), 2*i-1, 2)) as binary))")
+          .as("bytes"))
+    // cross-check row counts and one aggregate invariant: total byte sum
+    // per asset equals sum_r + sum_g + sum_b
+    val got = stats.select(col("asset_id"),
+      (col("sum_r") + col("sum_g") + col("sum_b")).as("tot"))
+    val want = expected.select(col("asset_id"),
+      expr("aggregate(bytes, 0L, (a, x) -> a + cast(conv(hex(x), 16, 10) as long))")
+        .as("tot"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, "asset_id")
+      .filter(got("tot") =!= want("tot")).count() == 0)
+  }
+
   test("payloads cannot reach a shuffle: decode output carries no binary column") {
     val decoded = Multimodal.decode(Multimodal.assetsFromDocuments(spark, sf))
     // the structural guarantee: everything downstream of decode (the part
