@@ -1231,7 +1231,78 @@ object CdcQueries {
       """SELECT md5(array_to_string(list_sort(list_distinct(
         |         list_filter(string_split(text, ' '), x -> len(x) > 0))),
         |       ' ')) AS digest
-        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin))
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
+
+    // st5 — streaming NEAR-dup dedup (continuous simhash) executed as
+    // real micro-batches: banded signatures become keyed state per
+    // (band, bucket) through flatMapGroupsWithState, votes aggregate
+    // per batch, and survivors accumulate across four file batches.
+    // WHICH member of a near-dup family survives depends on within-
+    // batch arrival order (inherent to any online dedup), so the grade
+    // pins what IS deterministic — the d3x invariant, live: identical
+    // token sets hash to identical simhashes and collide in every
+    // band's bucket, so no two survivors may share a token set, under
+    // ANY arrival order; and each identical-set family keeps at most
+    // one member, so |survivors| is bounded by the distinct-set count
+    // the oracle computes. Survivors return to the driver only for
+    // this bounded invariant fold (|kept| ≤ |docs| fixture rows — the
+    // grading seam, same as st1's snapshot; per-batch kept sets are
+    // computed distributed by keptFromVotes).
+    QueryDef("st5_stream_near_dedup", (spark, dir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, dir) // simhash64 + documents view
+      val fix = ensureDedupFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st5-run")
+      (0 until 4).foreach { k =>
+        val d = run.resolve(s"chunk-$k.parquet")
+        Files.copy(Paths.get(fix, s"chunk-$k.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + k * 1000L)
+      }
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, digest STRING, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      implicit val s: SparkSession = spark
+      val votes = graft.ops.Dedup.streamingSimhashVotes(docs, "doc_id", "text")
+      val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      withStatePartitions(spark, 8) {
+        val q = votes.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st5-ckpt").toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.ops.Dedup.keptFromVotes(batch).select("doc_id").collect()
+              .foreach(r => kept.add(r.getLong(0)))
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val keptDf = {
+        import scala.jdk.CollectionConverters._
+        kept.asScala.toSeq.toDF("doc_id")
+      }
+      val sets = spark.table("documents").select(col("doc_id"),
+        md5(expr("array_join(array_sort(array_distinct(filter(" +
+          "split(text, ' '), x -> length(x) > 0))), ' ')")).as("setkey"))
+      val surv = keptDf.join(sets, "doc_id")
+      val nSets = sets.agg(countDistinct("setkey")).head().getLong(0)
+      val violations = surv.groupBy("setkey").count()
+        .filter(col("count") > 1)
+        .agg(coalesce(sum(col("count") - 1), lit(0L)).as("v"))
+        .head().getLong(0)
+      val keptN = surv.count()
+      // kept_nonzero guards the degenerate failure the other two
+      // columns cannot see (an operator that drops EVERYTHING — the
+      // first row of batch 0 must always admit)
+      Seq((nSets, violations, keptN <= nSets, keptN > 0))
+        .toDF("n_sets", "violations", "kept_le_sets", "kept_nonzero")
+    }, Some(
+      """SELECT CAST(count(DISTINCT md5(array_to_string(list_sort(list_distinct(
+        |         list_filter(string_split(text, ' '), x -> len(x) > 0))),
+        |       ' '))) AS BIGINT) AS n_sets,
+        |       CAST(0 AS BIGINT) AS violations,
+        |       true AS kept_le_sets,
+        |       true AS kept_nonzero
+        |FROM documents""".stripMargin))
   )
 
   /** Writes the streaming-dedup fixture once per sf dir: the documents
@@ -1248,7 +1319,7 @@ object CdcQueries {
       else 31L * f.length() + f.lastModified()
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-      "-st4v2-" + java.lang.Long.toHexString(fp(src))
+      "-st4v3-" + java.lang.Long.toHexString(fp(src))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-st4-fixture-$key")
     if (Files.exists(dir.resolve("chunk-3.parquet"))) return dir.toString
 
@@ -1260,6 +1331,7 @@ object CdcQueries {
     val docs = spark.table("documents").select(col("doc_id"),
       md5(expr("array_join(array_sort(array_distinct(filter(" +
         "split(text, ' '), x -> length(x) > 0))), ' ')")).as("digest"),
+      col("text"), // st5 recomputes signatures from the raw text
       timestamp_seconds(lit(1700000000L) + pmod(col("doc_id"), lit(3600L)))
         .as("ts"))
     val build = Files.createTempDirectory(
