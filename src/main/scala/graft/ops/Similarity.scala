@@ -331,6 +331,32 @@ object Similarity {
     IvfIndex(cents, assign(cents).select("vec_id", "cluster", "v", "nrm"))
   }
 
+  /** Extends a built IVF index with NEW vectors WITHOUT retraining: the
+    * arrivals are assigned to the EXISTING centroids — the same
+    * scan-local assignment projection the build used, no shuffle, no
+    * aggregation — and appended to their cells as one narrow union.
+    * This is the daily-ingest path at scale: training the coarse
+    * quantizer is a rare batch decision over a sample, while embedding
+    * arrivals are continuous; an index that must rebuild to absorb a
+    * day's vectors is not an index. Because cell membership is a pure
+    * function of the frozen centroids, searches see old and new rows
+    * identically (the probe→rerank plan is unchanged), and extending
+    * commutes with itself — any arrival batching produces the same
+    * index. Centroids do drift from optimal under distribution shift;
+    * per-cell counts (one groupBy over `assigned`) are the retrain
+    * signal. */
+  def extendIndex(index: IvfIndex, newVectors: DataFrame,
+      idCol: String, vecCol: String): IvfIndex = {
+    val vecs = newVectors
+      .select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+    val assignedNew = vecs
+      .withColumn("cluster", clusterAssignment(index.centroids))
+      .select("vec_id", "cluster", "v", "nrm")
+    IvfIndex(index.centroids, index.assigned.unionByName(assignedNew))
+  }
+
   /** Deterministic INTEGER k-means clustering — the data-mixing /
     * curriculum-bucketing operator (every embedding → one of k cluster
     * ids). Unlike [[ivfIndex]] (float Lloyd's, cosine assignment — fine

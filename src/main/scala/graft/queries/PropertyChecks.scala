@@ -269,6 +269,23 @@ object PropertyChecks {
       Similarity.ivfTopK(spark.table("embeddings"), "vec_id", "embedding",
         queryPred = col("vec_id") < 20, k = 5, nprobe = 8)),
 
+    // Incremental index maintenance (the daily-ingest path): train the
+    // coarse quantizer on HALF the corpus (even ids), absorb the other
+    // half through extendIndex — no retraining, arrivals assign to the
+    // frozen centroids scan-locally — then search the extended index.
+    // Same containment grade as ivf1x, and the exact head is computed
+    // over the FULL corpus: results must be true neighbors drawn from
+    // both the trained-on half and the appended half, or the append
+    // path is broken.
+    annContainment("ivf2x_incremental_in_exact_head", spark => {
+      val emb = spark.table("embeddings")
+      val base = Similarity.ivfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", clusters = 16, iters = 2)
+      val full = Similarity.extendIndex(base,
+        emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      Similarity.ivfSearch(full, col("vec_id") < 20, k = 5, nprobe = 8)
+    }),
+
     // PQ at recall-oriented parameters for this fixture's geometry
     // (near-orthogonal vectors, true neighbors at cos ≈ 0.4 — ADC noise
     // is largest exactly there): finer subspaces (m=16 → subDims=4) and

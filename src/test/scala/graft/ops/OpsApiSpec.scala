@@ -156,6 +156,32 @@ class OpsApiSpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("extendIndex: appended vectors land in the frozen-centroid cells") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 =!= 0)
+    val base = Similarity.ivfIndex(half, "vec_id", "embedding")
+    val ext = Similarity.extendIndex(base, rest, "vec_id", "embedding")
+    // centroids are untouched and every vector is present exactly once
+    assert(ext.centroids == base.centroids)
+    assert(ext.assigned.count() == emb.count())
+    assert(ext.assigned.select("vec_id").distinct().count() == emb.count())
+    // the append is order-free: cell membership is a pure function of
+    // the frozen centroids, so extending must agree with assigning the
+    // full corpus against the same centroids in one pass
+    val oneShot = Similarity.extendIndex(
+      base.copy(assigned = base.assigned.limit(0)), emb,
+      "vec_id", "embedding")
+    assert(ext.assigned.select("vec_id", "cluster")
+      .exceptAll(oneShot.assigned.select("vec_id", "cluster")).count() == 0)
+    // searches over the extended index can return appended (odd-id)
+    // vectors — the new rows are reachable through the probe plan
+    val nn = Similarity.ivfSearch(ext, col("vec_id") < 20, k = 5, nprobe = 8)
+    assert(nn.filter(col("nn_id") % 2 =!= 0).count() > 0,
+      "no appended vector ever surfaced as a neighbor")
+  }
+
   test("IVF const-path assignment is identical to the literal path at k=16") {
     graft.functions.GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, sf, "embeddings")
