@@ -1302,7 +1302,65 @@ object CdcQueries {
         |       CAST(0 AS BIGINT) AS violations,
         |       true AS kept_le_sets,
         |       true AS kept_nonzero
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // st6 — continuous heavy hitters (trending tokens) as a REAL
+    // streaming aggregation: the Misra–Gries TypedImperativeAggregate
+    // runs in complete mode, so its k-counter buffer lives in the
+    // STATE STORE and every micro-batch's partials merge into it —
+    // the per-stratum monitoring shape, executed by the engine's own
+    // streaming-agg machinery rather than foreachBatch bookkeeping.
+    // hh1 pins the merge guarantee across partition trees; this pins
+    // it across trigger/state merges, which is exactly the claim that
+    // lets one summary per executor per batch replace a corpus-scaled
+    // word count at 100 TB. The guarantee (every token with freq >
+    // n/(k+1) survives merging, ANY merge order) is batching-
+    // invariant, so the oracle is hh1's: true heavy hitters from the
+    // static corpus, missing pinned at zero.
+    QueryDef("st6_stream_heavy_hitters", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir) // mg_topk + documents view
+      val fix = ensureDedupFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st6-run")
+      (0 until 4).foreach { k =>
+        val d = run.resolve(s"chunk-$k.parquet")
+        Files.copy(Paths.get(fix, s"chunk-$k.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + k * 1000L)
+      }
+      val words = spark.readStream
+        .schema("doc_id BIGINT, digest STRING, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .select(explode(expr(
+          "filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val qn = "st6_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = words.agg(expr("mg_topk(word, 16)").as("sk"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st6-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val sketch = spark.table(qn)
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("word"))
+      val tok = spark.table("documents").select(explode(expr(
+        "filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
+      val trueHh = tok.groupBy("word").agg(count(lit(1)).as("c"))
+        .crossJoin(tok.agg(count(lit(1)).as("total")))
+        .filter(col("c") * 17 > col("total"))
+        .select("word")
+      trueHh.agg(count(lit(1)).as("n_true_hh"))
+        .crossJoin(trueHh.join(sketch, Seq("word"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+    }, Some(
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |                            x -> len(x) > 0)) AS word FROM documents),
+        |     t AS (SELECT count(*) AS total FROM tok),
+        |     h AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
+        |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
+        |       CAST(0 AS BIGINT) AS n_missing""".stripMargin))
   )
 
   /** Writes the streaming-dedup fixture once per sf dir: the documents
