@@ -222,4 +222,32 @@ class PgLiveReplicationSpec extends graft.SparkSpec with BeforeAndAfterAll {
       assert(count() == "1", s"after update: '${count()}'")
     } finally q.stop()
   }
+
+  test("parallel-range table read: dimension hydration over the wire client") {
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    psql("CREATE TABLE dims (dim_id int PRIMARY KEY, label text, note text)")
+    psql("INSERT INTO dims SELECT g, 'label-' || g, " +
+      "CASE WHEN g % 10 = 0 THEN NULL ELSE 'n''' || g END " +
+      "FROM generate_series(1, 500) g")
+    import org.apache.spark.sql.functions._
+    val df = PgTableRead.table(spark, "127.0.0.1", port, "postgres",
+      "postgres", "dims", Seq("dim_id", "label", "note"),
+      partitionColumn = "dim_id", numPartitions = 4)
+    // four genuine range partitions, every row exactly once
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 500)
+    assert(df.select("dim_id").distinct().count() == 500)
+    // text values, quotes, and SQL NULLs survive the wire
+    val r7 = df.filter(col("dim_id") === "7").head()
+    assert(r7.getString(1) == "label-7" && r7.getString(2) == "n'7")
+    assert(df.filter(col("note").isNull).count() == 50)
+    // caller-side casts own the typing (the documented contract)
+    val typed = df.select(col("dim_id").cast("long").as("dim_id"),
+      col("label"))
+    assert(typed.agg(sum("dim_id")).head().getLong(0) == 500L * 501 / 2)
+    // empty-table read degrades to an empty frame, not a crash
+    psql("CREATE TABLE empty_dims (id int PRIMARY KEY)")
+    assert(PgTableRead.table(spark, "127.0.0.1", port, "postgres",
+      "postgres", "empty_dims", Seq("id"), "id").count() == 0)
+  }
 }
