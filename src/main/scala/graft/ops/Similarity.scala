@@ -383,19 +383,45 @@ object Similarity {
     * that empties simply drops out of the centroid table (the oracle
     * joins on surviving centroids the same way). */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iters: Int = 2): DataFrame = {
+      k: Int = 8, iters: Int = 2,
+      literalMaxK: Int = LiteralAssignMaxK): DataFrame = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
         .as("v"))
 
+    // Same dual strategy as [[clusterAssignment]], integer-L2 edition:
+    // small k inlines one aggregate/zip_with per centroid (fully
+    // codegen'd, but the expression tree grows as k×dims and would
+    // bloat plans and trip codegen method limits near a few hundred
+    // centroids); large k ships the centroid table as ONE constant
+    // array-of-structs and folds the argmin with transform — plan size
+    // O(1) in k, the constant rides the task binary. Both paths are
+    // the same exact integer math, so assignments are identical
+    // (KmeansSpec pins parity across the switch).
     def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
-      val structs = cents.sortBy(_._1).map { case (cid, cv) =>
-        s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
-          s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
-      }
-      vecs.withColumn("cluster", expr(s"array_min(array(${structs.mkString(",")})).c"))
+      val sorted = cents.sortBy(_._1)
+      val cluster =
+        if (sorted.size <= literalMaxK) {
+          val structs = sorted.map { case (cid, cv) =>
+            s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
+              s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
+          }
+          expr(s"array_min(array(${structs.mkString(",")})).c")
+        } else {
+          val table = typedlit(sorted.map { case (cid, cv) =>
+            (cid, cv.toArray)
+          }.toArray)
+          array_min(transform(table, c =>
+            struct(
+              aggregate(
+                zip_with(col("v"), c.getField("_2"),
+                  (x, y) => (x - y) * (x - y)),
+                lit(0L), (a, x) => a + x).as("d"),
+              c.getField("_1").as("c")))).getField("c")
+        }
+      vecs.withColumn("cluster", cluster)
     }
 
     def recenter(assigned: DataFrame): Seq[(Int, Seq[Long])] =

@@ -77,6 +77,25 @@ class KmeansSpec extends SparkSpec {
     assert(got == Seq(0L))
   }
 
+  test("const-path assignment (large k) is identical to the literal path") {
+    graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val emb = spark.table("embeddings")
+    // literalMaxK = 0 forces the single-constant centroid table; the
+    // default inlines per-centroid expressions — same integer math,
+    // so every assignment must agree bit-for-bit
+    val lit = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 2, literalMaxK = 1000)
+    val const = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 2, literalMaxK = 0)
+    assert(lit.exceptAll(const).count() == 0 &&
+      const.exceptAll(lit).count() == 0)
+    // and a genuinely large k runs end-to-end on the const path
+    val big = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 80, iters = 1)
+    assert(big.count() == emb.count())
+    assert(big.select("cluster").distinct().count() > 8)
+  }
+
   test("corpus scale: every embedding assigned, k clusters non-trivial") {
     graft.Tables.registerAll(spark, "/root/testdata/sf0.001")
     val emb = spark.table("embeddings")
