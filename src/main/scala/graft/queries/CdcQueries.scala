@@ -56,19 +56,21 @@ object CdcQueries {
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
       else 31L * f.length() + f.lastModified()
-    // v3: bump when the derivation itself changes (v2 added the snapshot
-    // segment's ghost keys; v3 the schema-evolution log), so cached
-    // fixtures from older code miss.
+    // v5: bump when the derivation itself changes (v2 added the snapshot
+    // segment's ghost keys; v3 the schema-evolution log; v5 the
+    // truncate log at the 98% LSN point), so cached fixtures from older
+    // code miss.
     val src = new java.io.File(s"$sfDir/events.parquet")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
-      "-v3-" + java.lang.Long.toHexString(fp(src))
+      "-v5-" + java.lang.Long.toHexString(fp(src))
     val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-cdc-fixture-$key")
     val jsonl = dir.resolve("wal.jsonl")
     val pgout = dir.resolve("wal.pgoutput")
     val snap = dir.resolve("wal_snap.jsonl")
     val evo = dir.resolve("wal_evo.pgoutput")
+    val trunc = dir.resolve("wal_trunc.pgoutput")
     if (Files.exists(jsonl) && Files.exists(pgout) && Files.exists(snap) &&
-        Files.exists(evo))
+        Files.exists(evo) && Files.exists(trunc))
       return dir.toString
 
     graft.Tables.registerAll(spark, sfDir)
@@ -176,6 +178,50 @@ object CdcQueries {
       }
     } finally we.close()
 
+    // wal_trunc.pgoutput — the cdc5 log: the same stream with a TRUNCATE
+    // mid-log (the bulk-reset every reference-data table eventually
+    // gets). On the wire it is one frame listing the relation oids,
+    // inside its own transaction; its consumer-side meaning is a
+    // PER-TABLE LSN FLOOR — every key whose latest change precedes it
+    // is gone, keys touched after it live on. The floor sits at the
+    // 98% LSN point, NOT the midpoint: users stay active through the
+    // whole stream, so an early truncate kills nobody (its grade would
+    // be vacuous) — at 98% both populations are nonzero at every sf
+    // (sf0.01: 96 survivors / 29 truncated). The frame's own LSN is
+    // floor-1 so the id-derived DML LSNs partition cleanly around it.
+    val tmpT = Files.createTempFile(dir, "wal", ".trunc.tmp")
+    val wt = Files.newBufferedWriter(tmpT)
+    try {
+      val oid = 103
+      val mid = rows.head._1 + (98L * (rows.last._1 - rows.head._1)) / 100L
+      def frame(lsn: Long, bytes: Array[Byte]): Unit = {
+        wt.write(s"$lsn " + enc.encodeToString(bytes)); wt.newLine()
+      }
+      wt.write("0 " + enc.encodeToString(
+        PgOutputFrames.relation(oid, "public", "users",
+          Seq("id", "event_type"))))
+      wt.newLine()
+      var truncated = false
+      rows.foreach { case (id, uid, et) =>
+        if (!truncated && id >= mid) {
+          frame(mid - 1, PgOutputFrames.begin((mid / 100).toInt, mid * 1000))
+          frame(mid - 1, PgOutputFrames.truncate(Seq(oid)))
+          frame(mid - 1, PgOutputFrames.commit())
+          truncated = true
+        }
+        frame(id, PgOutputFrames.begin((id / 100).toInt, id * 1000))
+        op(id, et) match {
+          case "c" => frame(id, PgOutputFrames.insert(oid,
+            Seq(Some(uid.toString), Some(et))))
+          case "u" => frame(id, PgOutputFrames.update(oid, None,
+            Seq(Some(uid.toString), Some(et))))
+          case _ => frame(id, PgOutputFrames.delete(oid,
+            Seq(Some(uid.toString), None)))
+        }
+        frame(id, PgOutputFrames.commit())
+      }
+    } finally wt.close()
+
     // wal_snap.jsonl — the cdc3 log: an initial snapshot segment (op='r',
     // one envelope per pre-existing key, lsn = key id — all below
     // SnapStreamBase), then the same c/u/d stream shifted up by
@@ -214,9 +260,11 @@ object CdcQueries {
       Files.move(tmpP, pgout, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmpS, snap, StandardCopyOption.ATOMIC_MOVE)
       Files.move(tmpE, evo, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmpT, trunc, StandardCopyOption.ATOMIC_MOVE)
     } catch { case _: java.nio.file.FileAlreadyExistsException => // racer won
       Files.deleteIfExists(tmpJ); Files.deleteIfExists(tmpP)
       Files.deleteIfExists(tmpS); Files.deleteIfExists(tmpE)
+      Files.deleteIfExists(tmpT)
     }
     dir.toString
   }
@@ -509,6 +557,57 @@ object CdcQueries {
           |            THEN after_id || '@example.com' END AS after_email,
           |       before_id
           |FROM env CROSS JOIN b ORDER BY lsn""".stripMargin)),
+
+    // cdc5 — TRUNCATE replay: the bulk reset every reference-data table
+    // eventually gets. The decoder turns the wire frame into op='t'
+    // envelopes (Debezium's op set); the compaction-side semantic is a
+    // PER-TABLE LSN FLOOR — a key is alive iff its latest change is a
+    // non-delete AND lands after the table's last truncate. That floor
+    // composes with the max_by compaction as one broadcast join of a
+    // |tables|-row frame (never a per-key exchange): exactly how a
+    // 100 TB changelog absorbs a truncate without rescanning state.
+    // The oracle replays the same rule statically: survivors are the
+    // latest-per-user rows at/after the midpoint, minus deletes.
+    QueryDef("cdc5_truncate_replay",
+      (spark, dir) => {
+        val fix = ensureFixture(spark, dir)
+        val env = spark.read.format("graft-cdc")
+          .option("path", s"$fix/wal_trunc.pgoutput")
+          .option("walFormat", "pgoutput")
+          .option("numPartitions", "8")
+          .load()
+        val floors = env.filter(col("op") === "t")
+          .groupBy(col("table")).agg(max("lsn").as("trunc_lsn"))
+        val compacted = env.filter(col("op") =!= "t")
+          .withColumn("id", coalesce(element_at(col("after"), "id"),
+            element_at(col("before"), "id")).cast("long"))
+          .groupBy(col("table"), col("id"))
+          .agg(max_by(struct(col("lsn"), col("op"),
+            element_at(col("after"), "event_type").as("et")),
+            col("lsn")).as("last"))
+        compacted.join(broadcast(floors), Seq("table"), "left")
+          .filter(col("last.op") =!= "d" &&
+            (col("trunc_lsn").isNull || col("last.lsn") > col("trunc_lsn")))
+          .select(col("id"), col("last.lsn").as("last_lsn"),
+            col("last.et").as("last_event_type"))
+          .orderBy("id")
+      },
+      Some(envCte +
+        """
+          |, b AS (SELECT min(event_id)
+          |               + (98 * (max(event_id) - min(event_id))) // 100
+          |               AS mid
+          |        FROM events)
+          |, latest AS (
+          |  SELECT user_id, lsn, op, after_event_type,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY lsn DESC) AS rn
+          |  FROM env)
+          |SELECT CAST(user_id AS BIGINT) AS id, lsn AS last_lsn,
+          |       after_event_type AS last_event_type
+          |FROM latest CROSS JOIN b
+          |WHERE rn = 1 AND op != 'd' AND lsn >= b.mid
+          |ORDER BY id""".stripMargin)),
 
     // st1 — the flagship pipeline run AS A STREAM and graded by the
     // DuckDB oracle: the WAL fixture replayed through the DSv2 source

@@ -11,9 +11,10 @@ import graft.cdc.CdcEnvelope
   * "Logical Replication Message Formats").
   *
   * Messages handled: Begin ('B'), Commit ('C'), Relation ('R'),
-  * Insert ('I'), Update ('U'), Delete ('D'); Origin/Type/Truncate are
-  * skipped. Tuple columns are expected in text format ('t'), with 'n'
-  * (null) and 'u' (unchanged-TOAST) handled.
+  * Insert ('I'), Update ('U'), Delete ('D'), Truncate ('T' — one
+  * op='t' envelope per registered relation, Debezium's op set);
+  * Origin/Type/Message are skipped. Tuple columns are expected in text
+  * format ('t'), with 'n' (null) and 'u' (unchanged-TOAST) handled.
   *
   * A session is stateful: Relation messages register (oid → namespace,
   * table, column names) used by subsequent DML; Begin supplies the
@@ -142,7 +143,23 @@ final class PgOutputSession(db: String = "experiment",
         require(kind == 'K' || kind == 'O', s"expected old tuple, got '$kind'")
         val before = tupleData(b, rel)
         Seq(env(rel, lsn, "d", before, after = Map.empty))
-      case 'O' | 'Y' | 'T' | 'M' => Nil // Origin / Type / Truncate / Message: skipped
+      case 'T' => // Truncate: nrels (4), option bits (1), rel oids (4 each)
+        // Debezium's op='t': one envelope per truncated relation, both
+        // images empty — the consumer-side meaning is "every key of
+        // this table whose latest change precedes this LSN is gone"
+        // (the truncate floor; see Changelog/cdc5). Option bits
+        // (CASCADE / RESTART IDENTITY) don't change that semantic.
+        val nRels = b.getInt()
+        b.get() // option bits
+        (0 until nRels).flatMap { _ =>
+          val oid = b.getInt()
+          // a truncate for a never-registered oid (not in the
+          // publication) carries no decodable table identity — skip it
+          // like any other non-published relation's traffic
+          relations.get(oid).map(rel =>
+            env(rel, lsn, "t", before = Map.empty, after = Map.empty))
+        }
+      case 'O' | 'Y' | 'M' => Nil // Origin / Type / Message: skipped
       case other =>
         throw new IllegalArgumentException(s"unknown pgoutput message '$other'")
     }
@@ -270,6 +287,13 @@ object PgOutputFrames {
     val b = buf(1 + 4 + 1 + tupleSize(oldValues))
     b.put('D'.toByte); b.putInt(oid); b.put('O'.toByte)
     putTuple(b, oldValues)
+    finish(b)
+  }
+
+  def truncate(oids: Seq[Int], optionBits: Byte = 0): Array[Byte] = {
+    val b = buf(1 + 4 + 1 + 4 * oids.size)
+    b.put('T'.toByte); b.putInt(oids.size); b.put(optionBits)
+    oids.foreach(b.putInt)
     finish(b)
   }
 }

@@ -48,6 +48,25 @@ class PgOutputSpec extends SparkSpec {
     assert(insNull.head.after == Map("id" -> "9"))
   }
 
+  test("truncate: one op='t' envelope per registered relation, unknown skipped") {
+    val session = new PgOutputSession()
+    session.decode(begin(xid = 9, tsMs = ts0), 1L)
+    session.decode(relation(usersOid, "public", "users", Seq("id")), 1L)
+    session.decode(relation(usersOid + 1, "public", "orders", Seq("id")), 1L)
+    // multi-relation truncate (the CASCADE shape): one envelope each,
+    // empty images, the current tx context attached
+    val envs = session.decode(
+      truncate(Seq(usersOid, usersOid + 1), optionBits = 1), 2L)
+    assert(envs.map(e => (e.op, e.table, e.before, e.after)) == Seq(
+      ("t", "users", Map.empty, Map.empty),
+      ("t", "orders", Map.empty, Map.empty)))
+    assert(envs.forall(e => e.lsn == 2L && e.txId == 9L))
+    // an oid outside the publication's registered set is skipped, the
+    // registered one still decodes
+    val partial = session.decode(truncate(Seq(424242, usersOid)), 3L)
+    assert(partial.map(_.table) == Seq("users"))
+  }
+
   test("schema evolution: mid-stream Relation redefinition rebinds the oid") {
     // ALTER TABLE ... ADD COLUMN between transactions shows up on the wire
     // as a fresh Relation message for the same oid before the next DML
