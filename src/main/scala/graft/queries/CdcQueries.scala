@@ -1459,8 +1459,142 @@ object CdcQueries {
         |     t AS (SELECT count(*) AS total FROM tok),
         |     h AS (SELECT word, count(*) AS c FROM tok GROUP BY word)
         |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
-        |       CAST(0 AS BIGINT) AS n_missing""".stripMargin))
+        |       CAST(0 AS BIGINT) AS n_missing""".stripMargin)),
+
+    // st7 — gap sessionization as REAL micro-batches: ses1's semantics
+    // (a >= 5-minute gap starts a new session) through Spark's native
+    // streaming session_window — per-key session state MERGES in the
+    // state store as later batches extend open sessions, and append
+    // mode only emits a session once the watermark proves no further
+    // event can join it. Chunks are time tertiles with shared
+    // boundaries (the iv2 discipline), which makes the zero-delay
+    // watermark both drop-free AND split-free: a session can only be
+    // closed early if watermark >= last_ts + gap, and every next-chunk
+    // event has ts >= watermark, so any continuation would be a new
+    // session anyway. Sessions straddling chunk boundaries therefore
+    // merge correctly across triggers — which is exactly the semantics
+    // under test. sentinel1 advances the watermark past all real
+    // session ends; evictions only EMIT while a batch runs, so
+    // sentinel2 (copied in after the first drain) provides the flush
+    // batch. Sentinel rows carry user_id = -1 and are filtered from
+    // the graded output; the oracle is ses1's gaps-and-islands SQL.
+    QueryDef("st7_stream_sessionize", (spark, dir) => {
+      val fix = ensureSesFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st7-run")
+      Seq("chunk-0", "chunk-1", "chunk-2", "sentinel1").zipWithIndex
+        .foreach { case (f, i) =>
+          val d = run.resolve(s"$f.parquet")
+          Files.copy(Paths.get(fix, s"$f.parquet"), d)
+          d.toFile.setLastModified(1000000000000L + i * 1000L)
+        }
+      val ev = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .withWatermark("ts", "0 seconds")
+      val sessions = ev
+        .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+        .agg(min("event_id").cast("bigint").as("first_event_id"),
+          count(lit(1)).as("n_events"))
+      val qn = "st7_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = sessions.writeStream.outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st7-ckpt").toString)
+          .start()
+        q.processAllAvailable()
+        val d = run.resolve("sentinel2.parquet")
+        Files.copy(Paths.get(fix, "flush", "sentinel2.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + 9000L)
+        q.processAllAvailable(); q.stop()
+      }
+      spark.table(qn).filter(col("user_id") >= 0)
+        .select("user_id", "first_event_id", "n_events")
+        .orderBy("user_id", "first_event_id")
+    }, Some(
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN ts - lag(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |     islands AS (
+        |  SELECT user_id, event_id,
+        |         sum(new_session) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, CAST(min(event_id) AS BIGINT) AS first_event_id,
+        |       count(*) AS n_events
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, first_event_id""".stripMargin))
   )
+
+  /** Writes the streaming-sessionization fixture once per sf dir: the
+    * events table as (user_id, event_id, ts) in three TIME-TERTILE
+    * parquet chunks (iv2's boundary discipline — chunk k's rows all
+    * precede chunk k+1's, so replaying oldest-first never produces a
+    * row behind the zero-delay watermark) plus two far-future
+    * sentinels: sentinel1 (max + 1h, replayed after the chunks) pushes
+    * the watermark past every real session end, sentinel2 (max + 2h,
+    * in the `flush` side dir) drives the batch during which those
+    * evictions are actually emitted. Sentinel rows: user_id = -1. */
+  def ensureSesFixture(spark: SparkSession, sfDir: String): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-st7v1-" + java.lang.Long.toHexString(fp(src))
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-st7-fixture-$key")
+    if (Files.exists(dir.resolve("flush").resolve("sentinel2.parquet")))
+      return dir.toString
+
+    graft.Tables.registerAll(spark, sfDir)
+    // NTZ→LTZ cast is value-preserving under the session's UTC zone
+    // (the iv2 note); streaming watermarks require LTZ event time.
+    val ev = spark.table("events")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val bounds = ev.select(expr(
+      "percentile_approx(unix_micros(ts), array(0.333, 0.667), 1000)"))
+      .head().getSeq[Long](0)
+    val maxMicros = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+
+    val build = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft-st7-build")
+    def writeOne(df: org.apache.spark.sql.DataFrame, sub: String,
+        name: String): Unit = {
+      val tmp = build.resolve(s"w-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"st7 fixture: no part file for $name"))
+      val target =
+        if (sub.isEmpty) build else { Files.createDirectories(build.resolve(sub)); build.resolve(sub) }
+      Files.move(part.toPath, target.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+    }
+    val t = unix_micros(col("ts"))
+    writeOne(ev.filter(t < bounds(0)), "", "chunk-0")
+    writeOne(ev.filter(t >= bounds(0) && t < bounds(1)), "", "chunk-1")
+    writeOne(ev.filter(t >= bounds(1)), "", "chunk-2")
+    def sentinel(at: Long): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      Seq((-1L, -1L)).toDF("user_id", "event_id")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(lit(at)).as("ts"))
+    }
+    writeOne(sentinel(maxMicros + 3600L * 1000000), "", "sentinel1")
+    writeOne(sentinel(maxMicros + 7200L * 1000000), "flush", "sentinel2")
+    try Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException
+        | _: java.nio.file.DirectoryNotEmptyException => () }
+    dir.toString
+  }
 
   /** Writes the streaming-dedup fixture once per sf dir: the documents
     * corpus as (doc_id, digest, ts) in four parquet chunk files keyed

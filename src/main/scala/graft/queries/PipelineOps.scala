@@ -105,6 +105,24 @@ object PipelineOps {
   }
   private val qc3Quantile = "0.37"
 
+  /** Shared CTE for the evaluation entries (au1/au2): qc1's model
+    * scores every document (same VALUES-list scoring as qc1's oracle)
+    * and the qc2 weak label rides along — `sc(doc_id, s, y)`. */
+  private def qcScoredCte: String =
+    s"""WITH w(term, wt) AS (VALUES
+       |    ${qcModel.map { case (t, w) => s"('$t', ${w}::BIGINT)" }
+              .mkString(",\n    ")}),
+       |  t AS (SELECT doc_id,
+       |          unnest(list_filter(string_split(text, ' '),
+       |            x -> len(x) > 0)) AS tok
+       |        FROM documents),
+       |  ev AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS evid
+       |         FROM t JOIN w ON t.tok = w.term GROUP BY t.doc_id),
+       |  sc AS (SELECT d.doc_id,
+       |           CAST($qcBias + coalesce(ev.evid, 0) AS BIGINT) AS s,
+       |           CAST(d.lang = 'en' AS BIGINT) AS y
+       |         FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id)""".stripMargin
+
   /** km1's oracle: DuckDB replays the EXACT integer k-means the operator
     * runs ([[graft.ops.Similarity.kmeansAssign]]) — micro-unit
     * quantization, then `iters` unrolled assign/recenter rounds, then
@@ -2194,6 +2212,71 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Exact ROC-AUC ([[graft.ops.TextOps.classifierAuc]]): the
+    // evaluation leg of the classifier triangle — qc1's handed-in gate
+    // measured against qc2's weak label on the ranking axis. Mann-
+    // Whitney on floor-bucketed scores (ties count half), so the
+    // corpus reduces to ONE hash aggregate over |buckets| rows before
+    // the window; the pair numerator is exact DECIMAL(38,0) (P·N
+    // overflows BIGINT past ~3e9 per class) and the single double op
+    // is the final ppm ratio. The oracle replays bucket, cumulative,
+    // numerator and ratio exactly.
+    QueryDef.views("au1_classifier_auc", qcScoredCte +
+      s"""
+        |, b AS (SELECT (s - ((s % 1000) + 1000) % 1000) // 1000 AS bucket,
+        |               CAST(sum(y) AS BIGINT) AS np,
+        |               CAST(sum(1 - y) AS BIGINT) AS nn
+        |        FROM sc GROUP BY 1),
+        |  c AS (SELECT bucket, np, nn,
+        |          CAST(coalesce(sum(nn) OVER (ORDER BY bucket
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) AS BIGINT) AS cumneg
+        |        FROM b),
+        |  f AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |          CAST(sum(nn) AS BIGINT) AS n_neg,
+        |          CAST(count(*) AS BIGINT) AS n_buckets,
+        |          sum(CAST(np AS HUGEINT) * 2 * CAST(cumneg AS HUGEINT)
+        |            + CAST(np AS HUGEINT) * CAST(nn AS HUGEINT)) AS num2
+        |        FROM c)
+        |SELECT n_pos, n_neg, n_buckets,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    CAST(round(CAST(num2 AS DOUBLE) * 1000000.0 /
+        |      (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+        |      AS BIGINT)
+        |  END AS auc_ppm
+        |FROM f""".stripMargin) { spark =>
+      val scored = TextOps.classifierScore(spark.table("documents"),
+          "doc_id", "text", weightsMicro = qcModel.toMap,
+          biasMicro = qcBias, thresholdMicro = qcThreshold,
+          passthrough = Seq("lang"))
+        .withColumn("y", (col("lang") === "en").cast("bigint"))
+      TextOps.classifierAuc(scored, "score_micro", "y",
+        bucketMicro = 1000L)
+    },
+
+    // Calibration / reliability table ([[graft.ops.TextOps
+    // .calibrationTable]]): per 0.1-logit bucket the observed positive
+    // rate and truncated mean score — the artifact an operating point
+    // is read off (qc3 picks a quantile; a human picks a bucket from
+    // THIS table). All-integer (`div` ≡ `//`), one hash aggregate.
+    QueryDef.views("au2_calibration", qcScoredCte +
+      """
+        |SELECT (s - ((s % 100000) + 100000) % 100000) // 100000 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_rate_pm,
+        |       CAST(sum(s) // count(*) AS BIGINT) AS mean_score_micro
+        |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin) { spark =>
+      val scored = TextOps.classifierScore(spark.table("documents"),
+          "doc_id", "text", weightsMicro = qcModel.toMap,
+          biasMicro = qcBias, thresholdMicro = qcThreshold,
+          passthrough = Seq("lang"))
+        .withColumn("y", (col("lang") === "en").cast("bigint"))
+      TextOps.calibrationTable(scored, "score_micro", "y",
+          bucketMicro = 100000L)
+        .orderBy("bucket")
+    },
+
     // Embedding dimension reduction ([[graft.ops.Similarity
     // .projectVectors]]): dense 64→8 projection through a broadcast
     // matrix — the pre-index compression step. Pure scan-local
@@ -2285,6 +2368,33 @@ object PipelineOps {
         .orderBy("doc_id")
     }, Some("""SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Hive-style partitioned layout: corpus written `partitionBy(lang)`
+    // (the standard curation layout — language is the first thing every
+    // downstream query filters on), read back with a partition-column
+    // filter. The filter resolves against the DIRECTORY LISTING, not
+    // the data: at 100 TB a lang='en' read plans only the lang=en
+    // files — zero footers opened, zero bytes scanned for the other
+    // partitions (PartitionPruneSpec pins `selectedPartitions` = 1 and
+    // an empty data filter). Round-trip graded field-for-field; the
+    // partition column itself survives the directory encoding (it is
+    // reconstructed from the path, a distinct code path from column
+    // storage — worth grading).
+    QueryDef("pt1_partition_pruning", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-part-fixture-$key")
+      if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        spark.table("documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(dir.toString)
+      }
+      spark.read.parquet(dir.toString)
+        .filter(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }, Some("""SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
     // Compression-ratio quality signal ([[graft.ops.TextOps
     // .compressionStats]]): deflate has no DuckDB twin, so the graded

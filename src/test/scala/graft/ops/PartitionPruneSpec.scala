@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Pins what pt1_partition_pruning claims about hive-style layout: a
+  * filter on the partition column is resolved against the directory
+  * listing (partitionFilters), scans exactly the matching partition
+  * directories, and never becomes a row-level data filter — the
+  * mechanism that makes a lang='en' read of a 100 TB corpus cost only
+  * the en bytes. */
+class PartitionPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = tmpDir("prune")
+    Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"), (4L, "fr", "d"))
+      .toDF("id", "lang", "payload")
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    d
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+    df.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+
+  test("partition filter prunes to exactly the matching directory") {
+    val df = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = scanOf(df)
+    assert(scan.partitionFilters.nonEmpty,
+      "lang = 'en' must resolve as a partition filter")
+    assert(scan.dataFilters.isEmpty,
+      "partition-only predicate must not also run per row")
+    // listing-level pruning: one of three lang= directories survives
+    // (df.inputFiles would NOT show this — it reads the unfiltered
+    // logical relation; the executed scan's listing is the truth)
+    assert(scan.selectedPartitions.partitionCount == 1)
+    val files = scan.selectedPartitions.toPartitionArray.map(_.urlEncodedPath)
+    assert(files.nonEmpty && files.forall(_.contains("lang=en")),
+      files.toSeq)
+    assert(df.count() == 2L)
+  }
+
+  test("mixed predicate splits: partition part prunes, data part filters") {
+    val df = spark.read.parquet(dir)
+      .filter(col("lang") === "de" && col("id") > 0L)
+    val scan = scanOf(df)
+    assert(scan.partitionFilters.nonEmpty && scan.dataFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount == 1)
+    assert(df.count() == 1L)
+  }
+
+  test("partition column is reconstructed from the path on read-back") {
+    val back = spark.read.parquet(dir).orderBy("id")
+      .select("id", "lang", "payload").as[(Long, String, String)]
+      .collect().toSeq
+    assert(back == Seq((1L, "en", "a"), (2L, "en", "b"),
+      (3L, "de", "c"), (4L, "fr", "d")))
+  }
+}
