@@ -1431,4 +1431,56 @@ object TextOps {
         expr("(n_pos * 1000) div n").as("pos_rate_pm"),
         expr("__s div n").as("mean_score_micro"))
   }
+
+  /** `c`'s ≤`k`-deletion neighborhood (the string itself included) as
+    * an array expression — single deletions via one `transform` over
+    * `sequence(1, length)`, depth 2 by composing the same map over the
+    * depth-1 set and flattening. Pure codegen string ops, scan-local. */
+  private def delNeighborhood(c: String, k: Int): Column = {
+    def delOne(v: String) =
+      s"transform(sequence(1, length($v)), i -> " +
+        s"concat(substring($v, 1, i - 1), substring($v, i + 1)))"
+    val d1 = s"array_union(array($c), " +
+      s"CASE WHEN length($c) = 0 THEN array($c) ELSE ${delOne(c)} END)"
+    k match {
+      case 1 => expr(d1)
+      case 2 => expr(s"array_union($d1, array_distinct(flatten(" +
+        s"transform($d1, v -> CASE WHEN length(v) = 0 THEN array(v) " +
+        s"ELSE ${delOne("v")} END))))")
+      case _ => throw new IllegalArgumentException(
+        s"delNeighborhood: maxDist 1 or 2, got $k")
+    }
+  }
+
+  /** Fuzzy (edit-distance ≤ `maxDist`) string join — the SymSpell /
+    * FastSS algorithm: candidates are an EQUI-join on the ≤k-deletion
+    * neighborhoods of both sides (complete for Levenshtein ≤ k: any
+    * single edit — substitution, insertion or deletion — leaves a
+    * shared member in the two depth-1 sets, and the argument composes
+    * to depth k), then exact `levenshtein` verification kills the
+    * distance-2 strays the blocking admits. The spell-correction /
+    * crawl-noise-normalization operator: map OCR'd or typo'd surface
+    * forms onto a dictionary without ever comparing all pairs.
+    *
+    * Scale shape (100 TB): NO cross join anywhere (FuzzyMatchSpec pins
+    * the plan) — the neighborhood explode is scan-local (≈ L^k/k!
+    * variants per string; meant for token/title-length keys, document
+    * callers should pre-truncate pathological keys), the candidate
+    * join is an equi-join on short variant keys that AQE broadcasts
+    * when the dictionary side is small (the usual case: vocabulary is
+    * bounded, the query side is the corpus), and verification touches
+    * only candidates. Emits distinct (q, w, dist) pairs. */
+  def fuzzyMatch(queries: DataFrame, qCol: String, dict: DataFrame,
+      dCol: String, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"fuzzyMatch: maxDist must be 1 or 2, got $maxDist")
+    val qv = queries.select(col(qCol).as("q")).distinct()
+      .select(col("q"), explode(delNeighborhood("q", maxDist)).as("__v"))
+    val dv = dict.select(col(dCol).as("w")).distinct()
+      .select(col("w"), explode(delNeighborhood("w", maxDist)).as("__v"))
+    qv.join(dv, "__v")
+      .select("q", "w").distinct()
+      .filter(levenshtein(col("q"), col("w")) <= maxDist)
+      .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
+  }
 }

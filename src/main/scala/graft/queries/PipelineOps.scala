@@ -2396,6 +2396,87 @@ object PipelineOps {
     }, Some("""SELECT doc_id, text, lang, source, n_chars
       |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin)),
 
+    // Dynamic partition pruning: pt1's static prune needs the literal
+    // in the query; the production star-join shape ("this quarter's
+    // facts") filters a DIM table instead, and the fact partitions
+    // that matter only become known at RUNTIME from the dim's
+    // broadcast result. Fixture: events re-laid-out partitionBy(day)
+    // (30 daily partitions) + a tiny date-dim; the query joins
+    // through dim.dom <= 7, and Spark's DPP turns the dim broadcast
+    // into a partition filter on the fact scan — 7 of 30 directories
+    // read, nothing static in the plan says so (PartitionPruneSpec
+    // pins the dynamicpruning expression and the pruned scan). The
+    // oracle computes the same week straight off the events table.
+    QueryDef("pt2_dynamic_pruning", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-dpp-fixture-$key")
+      if (!java.nio.file.Files.exists(dir.resolve("fact").resolve("_SUCCESS"))) {
+        val ev = spark.table("events")
+          .withColumn("day", col("ts").cast("date"))
+        ev.write.mode("overwrite").partitionBy("day")
+          .parquet(dir.resolve("fact").toString)
+        ev.select(col("day")).distinct()
+          .withColumn("dom", dayofmonth(col("day")).cast("bigint"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir.resolve("dim").toString)
+      }
+      val fact = spark.read.parquet(dir.resolve("fact").toString)
+      val dim = spark.read.parquet(dir.resolve("dim").toString)
+        .filter(col("dom") <= 7)
+      fact.join(dim, "day")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("total_value"))
+        .orderBy("day")
+    }, Some(
+      """SELECT CAST(ts AS DATE) AS day,
+        |       count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 7
+        |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // Fuzzy edit-distance join ([[graft.ops.TextOps.fuzzyMatch]]):
+    // SymSpell/FastSS deletion-neighborhood blocking + exact
+    // levenshtein verify — the spell-correction / crawl-noise-
+    // normalization operator. Fixture: the corpus vocabulary as the
+    // dictionary, its complete single-deletion set as the queries
+    // (every "typo" one deletion away, including ''), so dist-0 hits
+    // (a deletion that lands on another word) and dist-1 hits both
+    // occur. The oracle brute-forces the tiny vocabulary with
+    // DuckDB's levenshtein — the Spark side must find exactly the
+    // same pairs through the blocked plan (no cross join, pinned in
+    // FuzzyMatchSpec).
+    QueryDef.views("fz2_fuzzy_match",
+      """WITH d AS (SELECT DISTINCT unnest(list_filter(
+        |             string_split(text, ' '), x -> len(x) > 0)) AS w
+        |           FROM documents),
+        |  q AS (SELECT DISTINCT q FROM (
+        |          SELECT unnest(list_transform(range(1, len(w) + 1),
+        |                   i -> substr(w, 1, i - 1) || substr(w, i + 1)))
+        |                 AS q
+        |          FROM d))
+        |SELECT q.q, d.w, CAST(levenshtein(q.q, d.w) AS BIGINT) AS dist
+        |FROM q CROSS JOIN d
+        |WHERE levenshtein(q.q, d.w) <= 1
+        |ORDER BY q, w""".stripMargin) { spark =>
+      val d = spark.table("documents")
+        .select(explode(expr(
+          "filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+        .distinct()
+      val q = d.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> " +
+            "concat(substring(w, 1, i - 1), substring(w, i + 1)))"))
+          .as("q"))
+        .distinct()
+      TextOps.fuzzyMatch(q, "q", d, "w", maxDist = 1)
+        .orderBy("q", "w")
+    },
+
     // Compression-ratio quality signal ([[graft.ops.TextOps
     // .compressionStats]]): deflate has no DuckDB twin, so the graded
     // output is invariant-style (the hll1x pattern) — DuckDB pins the

@@ -34,7 +34,9 @@ object DumpPlans {
     "cv1_csv_roundtrip", "rs1_resample_gapfill", "as1_alpha_mixture",
     "am1_alpha_epoch_plan", "m3_audio_pcm_decode", "d2y_minhash_recall",
     "sc1_scd2_history", "sc2_pit_lookup",
-    "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution")
+    "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution",
+    "au1_classifier_auc", "au2_calibration", "pt1_partition_pruning",
+    "pt2_dynamic_pruning", "fz2_fuzzy_match")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

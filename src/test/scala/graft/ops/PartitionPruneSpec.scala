@@ -21,10 +21,18 @@ class PartitionPruneSpec extends SparkSpec {
     d
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
-    df.queryExecution.executedPlan.collectFirst {
-      case f: FileSourceScanExec => f
-    }.getOrElse(fail("no FileSourceScanExec in plan"))
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case s: QueryStageExec => find(s.plan)
+      case other => other.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+  }
 
   test("partition filter prunes to exactly the matching directory") {
     val df = spark.read.parquet(dir).filter(col("lang") === "en")
@@ -50,6 +58,27 @@ class PartitionPruneSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty && scan.dataFilters.nonEmpty)
     assert(scan.selectedPartitions.partitionCount == 1)
     assert(df.count() == 1L)
+  }
+
+  test("dynamic partition pruning: a dim-side filter prunes the fact " +
+      "scan at runtime") {
+    val d = tmpDir("dpp")
+    (1L to 40L).map(i => (i, i % 4, s"p$i")).toDF("id", "part", "payload")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$d/fact")
+    Seq((0L, "keep"), (1L, "keep"), (2L, "drop"), (3L, "drop"))
+      .toDF("part", "tag")
+      .write.mode("overwrite").parquet(s"$d/dim")
+    val fact = spark.read.parquet(s"$d/fact")
+    val dim = spark.read.parquet(s"$d/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, "part")
+    // the fact scan's partition filter is a runtime subquery on the
+    // dim's broadcast result — invisible to static pruning
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"), planStr)
+    assert(joined.count() == 20L)
+    // after execution, the scan reports the pruned listing
+    val scan = scanOf(joined)
+    assert(scan.partitionFilters.nonEmpty)
   }
 
   test("partition column is reconstructed from the path on read-back") {
