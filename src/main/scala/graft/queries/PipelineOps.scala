@@ -1274,6 +1274,42 @@ object PipelineOps {
       GraphOps.connectedComponents(edges, "src", "dst").orderBy("v")
     },
 
+    // Per-node triangle counts ([[graft.ops.GraphOps.triangleCounts]])
+    // on the same dense link graph — the local-clustering signal
+    // (link-farm detection). Spark runs degree-ordered compact-forward
+    // (every triangle found once, at its minimum-(deg,id) apex; hub
+    // in-links produce no wedges); the oracle brute-forces the ordered
+    // 3-clique join x<y<z and explodes each triangle to its corners —
+    // same multiset by a completely different enumeration.
+    QueryDef.views("tc1_triangles",
+      """WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a,
+        |                greatest(src, dst) AS b FROM e),
+        |  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |          FROM ue e1
+        |          JOIN ue e2 ON e2.a = e1.b
+        |          JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |  corners AS (SELECT x AS v FROM tri
+        |              UNION ALL SELECT y FROM tri
+        |              UNION ALL SELECT z FROM tri)
+        |SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY v ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.triangleCounts(edges, "src", "dst").orderBy("v")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results
@@ -1543,6 +1579,39 @@ object PipelineOps {
           .select(col("event_id"), col("user_id").cast("bigint").as("x"),
             floor(col("value")).cast("bigint").as("y")),
           Seq("x", "y"), bits = 11)
+        .orderBy("event_id")
+    },
+
+    // Hilbert layout key ([[graft.ops.Layout.hilbert]]): the
+    // space-filling curve whose consecutive cells are always grid
+    // NEIGHBORS (unit Manhattan step — HilbertSpec proves it
+    // exhaustively), so contiguous key ranges are compact blobs and
+    // per-file min/max prunes rectangle queries tighter than Morton's
+    // Z-jumps. The oracle CTE chain is generated from the SAME
+    // hilbertSteps definition the operator folds into its projection —
+    // parity by construction (the km1/qc2 discipline) — and every
+    // arithmetic step is integer-exact in both engines.
+    QueryDef.views("hb1_hilbert", {
+      val steps = Layout.hilbertSteps("x", "y", 8)
+      def sel(trio: Seq[(String, String)]) =
+        trio.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+      val c0 = s"c0 AS (SELECT *,\n    ${sel(steps.take(3))}\n  FROM " +
+        "(SELECT event_id, CAST(user_id % 256 AS BIGINT) AS x, " +
+        "CAST(event_id % 256 AS BIGINT) AS y FROM events))"
+      val chain = steps.drop(3).grouped(3).toSeq.zipWithIndex.map {
+        case (trio, i) =>
+          s"c${i + 1} AS (SELECT *,\n    ${sel(trio.toSeq)}\n  FROM c$i)"
+      }
+      s"""WITH $c0,
+         |${chain.mkString(",\n")}
+         |SELECT event_id, x, y, __hd8 AS h_value
+         |FROM c8 ORDER BY event_id""".stripMargin
+    }) { spark =>
+      Layout.hilbert(spark.table("events")
+          .select(col("event_id"),
+            (col("user_id") % 256).cast("bigint").as("x"),
+            (col("event_id") % 256).cast("bigint").as("y")),
+          "x", "y", bits = 8)
         .orderBy("event_id")
     },
 

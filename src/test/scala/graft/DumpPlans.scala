@@ -36,7 +36,8 @@ object DumpPlans {
     "sc1_scd2_history", "sc2_pit_lookup",
     "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution",
     "au1_classifier_auc", "au2_calibration", "pt1_partition_pruning",
-    "pt2_dynamic_pruning", "fz2_fuzzy_match")
+    "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
+    "tc1_triangles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

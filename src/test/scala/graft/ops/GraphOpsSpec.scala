@@ -48,6 +48,34 @@ class GraphOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: one triangle, every corner counted once") {
+    assert(tris(Seq((0L, 1L), (1L, 2L), (2L, 0L))) ==
+      Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangleCounts: a square has none; K4 has four, three per node") {
+    assert(tris(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))).isEmpty)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    assert(tris(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts: direction, duplicates and self-loops are noise") {
+    val clean = tris(Seq((0L, 1L), (1L, 2L), (2L, 0L)))
+    assert(tris(Seq((1L, 0L), (0L, 1L), (1L, 2L), (0L, 2L), (2L, 0L),
+      (0L, 0L))) == clean)
+  }
+
+  test("triangleCounts: bowtie — shared apex participates in both") {
+    // triangles {0,1,2} and {0,3,4} share node 0
+    val b = tris(Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (0L, 3L), (3L, 4L), (4L, 0L)))
+    assert(b == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("supersteps are hash-agg + join pipelines — no cartesian, no window") {
     val plan = GraphOps.pageRank(
       Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"), "src", "dst", 2)
