@@ -20,6 +20,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),
     "deflate_size" -> ((es: Seq[Expression]) => DeflateSize(es(0))),
+    "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
+    "nfkc_normalize" -> ((es: Seq[Expression]) => NfkcNormalize(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
     // id/score children are coerced (int id → bigint, float score →
     // double) or rejected HERE, at analysis: update() casts straight to

@@ -676,6 +676,38 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Unicode canonical composition ([[graft.functions.NfcNormalize]]
+    // — a native codegen expression): crawls mix composed and
+    // decomposed encodings of the same visible text, which fragments
+    // exact dedup / decontamination / tokenizer lookups. The fixture
+    // appends a deterministic decomposed tail (combining acute/grave/
+    // tilde/diaeresis plus an already-composed é) to every document;
+    // both engines implement UAX #15 (java.text.Normalizer here,
+    // utf8proc's nfc_normalize in DuckDB), so the composed length AND
+    // the normalized bytes' md5 must hash-match. NFKC (compatibility
+    // folding — what tokenizer pipelines actually deploy) has no
+    // DuckDB twin; UnicodeNormalizeSpec pins it.
+    QueryDef.views("un1_unicode_nfc", {
+      val tail = " e\u0301 A\u0300 n\u0303 o\u0308 \u00e9"
+      s"""SELECT doc_id,
+         |  CAST(length(s) AS BIGINT) AS n_raw,
+         |  CAST(length(nfc_normalize(s)) AS BIGINT) AS n_nfc,
+         |  md5(nfc_normalize(s)) AS h
+         |FROM (SELECT doc_id, substr(text, 1, 24) || '$tail' AS s
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { spark =>
+      val tail = " e\u0301 A\u0300 n\u0303 o\u0308 \u00e9"
+      spark.table("documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 24), lit(tail)).as("s"))
+        .select(col("doc_id"),
+          length(col("s")).cast("bigint").as("n_raw"),
+          length(expr("nfc_normalize(s)")).cast("bigint").as("n_nfc"),
+          md5(expr("nfc_normalize(s)").cast("binary")).as("h"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style repetition signals: duplicate-word and top-bigram
     // coverage as floor per-mille (integer-exact cross-engine).
     QueryDef.views("x6_repetition",
