@@ -1461,6 +1461,61 @@ object CdcQueries {
         |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
         |       CAST(0 AS BIGINT) AS n_missing""".stripMargin)),
 
+    // st8 — continuous quantiles as a REAL streaming aggregation: the
+    // KLL TypedImperativeAggregate in complete mode, its compactor
+    // buffer merged across four file triggers by the state store —
+    // st6's claim (one summary per executor per batch instead of a
+    // corpus-scaled shuffle) for the sketch family's rank member. The
+    // KLL merge guarantee is batching-invariant, so the grade is
+    // qs1x's: each streamed estimate's TRUE rank over the static
+    // corpus must sit within 5%·n of its target rank, violations
+    // pinned at zero; the oracle pins the corpus size.
+    QueryDef("st8_stream_quantiles", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir) // kll_quantiles + documents
+      val fix = ensureDedupFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st8-run")
+      (0 until 4).foreach { k =>
+        val d = run.resolve(s"chunk-$k.parquet")
+        Files.copy(Paths.get(fix, s"chunk-$k.parquet"), d)
+        d.toFile.setLastModified(1000000000000L + k * 1000L)
+      }
+      val vals = spark.readStream
+        .schema("doc_id BIGINT, digest STRING, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .select(length(col("text")).cast("double").as("v"))
+      val qn = "st8_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = vals
+          .agg(expr("kll_quantiles(v, 512, array(0.1D, 0.5D, 0.9D))")
+            .as("kll"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st8-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val probs = Seq(0.1, 0.5, 0.9)
+      val corpus = spark.table("documents")
+        .select(length(col("text")).cast("double").as("v"))
+      val ranked = corpus.crossJoin(broadcast(spark.table(qn)))
+      val sums = count(lit(1)).as("n") +: probs.indices.map { i =>
+        sum(when(col("v") <= element_at(col("kll"), i + 1), 1L)
+          .otherwise(0L)).as(s"kr$i")
+      }
+      val ranks = ranked.agg(sums.head, sums.tail: _*)
+      val viol = probs.zipWithIndex.map { case (p, i) =>
+        when(abs(col(s"kr$i") - col("n") * p) > col("n") * 0.05, 1L)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      ranks.select(col("n").as("n_rows"), lit(3L).as("n_probes"),
+        viol.as("n_kll_violations"))
+    }, Some(
+      """SELECT count(*) AS n_rows, CAST(3 AS BIGINT) AS n_probes,
+        |       CAST(0 AS BIGINT) AS n_kll_violations
+        |FROM documents""".stripMargin)),
+
     // st7 — gap sessionization as REAL micro-batches: ses1's semantics
     // (a >= 5-minute gap starts a new session) through Spark's native
     // streaming session_window — per-key session state MERGES in the
