@@ -68,13 +68,20 @@ object Multimodal {
     * reverse of PNG/JPEG network order. */
   private[ops] val WavHeaderLen = 44
 
-  /** Minimal MP4 (ISO BMFF, the public ISO/IEC 14496-12 layout):
-    * `ftyp`(16) + `moov`(216) { `mvhd` v0 (108: timescale 25, duration
-    * = frame ticks) + `trak`(100) { `tkhd` v0 (92: width/height as
-    * 16.16 fixed point at payload offsets 76/80) } } + the 8-byte
-    * `mdat` header. 240 bytes before the sample-stream stand-in; box
+  /** Minimal-but-complete MP4 (ISO BMFF, the public ISO/IEC 14496-12
+    * layout): `ftyp`(16) + `moov` { `mvhd` v0 (108: timescale 25,
+    * duration = frame ticks) + `trak` { `tkhd` v0 (92: width/height as
+    * 16.16 fixed point) + `mdia` { `mdhd`(32) + `minf` { `stbl` — a
+    * REAL sample table: `stsd`(16) + `stts`(24: n samples × delta 1) +
+    * `stsc`(28: one chunk holds all samples) + `stsz`(20 + 4n:
+    * per-sample sizes — the text bytes split into n near-equal runs,
+    * base = len div n plus one extra byte for the first len mod n
+    * samples) + `stco`(20: the absolute payload offset) } } } } + the
+    * 8-byte `mdat` header. Header length is therefore VARIABLE:
+    * [[mp4HeaderLen]](frames) = 404 + 4·frames bytes before the sample
+    * stream (mdat header included, like the old fixed 240); box
     * sizes/fields big-endian. */
-  private[ops] val Mp4HeaderLen = 240
+  private[ops] def mp4HeaderLen(frames: Long): Long = 404L + 4L * frames
 
   /** Build an asset table from the documents corpus. Image payloads are
     * REAL bytes in two formats — even doc_ids get PNG (signature +
@@ -135,20 +142,46 @@ object Multimodal {
     val frames = (lit(1L) + col("n_chars") % 240).cast("long")
     val unityMatrix = "00010000" + "00000000" * 3 + "00010000" +
       "00000000" * 3 + "40000000"
+    // per-sample sizes: text bytes split into `frames` near-equal runs
+    // (base = len div n, first len mod n samples get one extra byte) —
+    // the rule the m5 oracle re-derives in SQL
+    val stszEntries = expr(
+      "array_join(transform(sequence(0L, CAST(n_chars % 240 AS BIGINT)), " +
+        "i -> lpad(hex((CAST(octet_length(text) AS BIGINT) div " +
+        "(1 + n_chars % 240)) + (CASE WHEN i < " +
+        "CAST(octet_length(text) AS BIGINT) % (1 + n_chars % 240) " +
+        "THEN 1 ELSE 0 END)), 8, '0')), '')")
     val mp4 = unhex(concat(
       lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp isom
-      lit("000000D8" + "6D6F6F76"),                           // moov (216)
+      beHex(frames * 4L + 380L, 4), lit("6D6F6F76"),          // moov
       lit("0000006C" + "6D766864" + "00000000" +              // mvhd v0
         "00000000" * 2 + "00000019"),                         // timescale 25
       beHex(frames, 4),                                       // duration
       lit("00010000" + "0100" + "0000" + "00000000" * 2 +
         unityMatrix + "00000000" * 6 + "00000002"),
-      lit("00000064" + "7472616B"),                           // trak (100)
+      beHex(frames * 4L + 264L, 4), lit("7472616B"),          // trak
       lit("0000005C" + "746B6864" + "00000007" +              // tkhd v0
         "00000000" * 2 + "00000001" + "00000000"),            // track 1
       beHex(frames, 4),                                       // duration
       lit("00000000" * 2 + "0000" * 4 + unityMatrix),
       beHex(w, 2), lit("0000"), beHex(h, 2), lit("0000"),     // 16.16 dims
+      beHex(frames * 4L + 164L, 4), lit("6D646961"),          // mdia
+      lit("00000020" + "6D646864" + "00000000" +              // mdhd v0
+        "00000000" * 2 + "00000019"),                         // timescale 25
+      beHex(frames, 4), lit("55C40000"),                      // dur, 'und'
+      beHex(frames * 4L + 124L, 4), lit("6D696E66"),          // minf
+      beHex(frames * 4L + 116L, 4), lit("7374626C"),          // stbl
+      lit("00000010" + "73747364" + "00000000" + "00000000"), // stsd, 0
+      lit("00000018" + "73747473" + "00000000" + "00000001"), // stts, 1
+      beHex(frames, 4), lit("00000001"),                      // n × delta 1
+      lit("0000001C" + "73747363" + "00000000" + "00000001" + // stsc, 1
+        "00000001"),                                          // first chunk
+      beHex(frames, 4), lit("00000001"),                      // all samples
+      beHex(frames * 4L + 20L, 4),                            // stsz
+      lit("7374737A" + "00000000" + "00000000"),              // per-entry
+      beHex(frames, 4), stszEntries,
+      lit("00000014" + "7374636F" + "00000000" + "00000001"), // stco, 1
+      beHex(frames * 4L + 404L, 4),                           // payload off
       beHex(dataLen + 8L, 4), lit("6D646174"),                // mdat
       hex(col("text").cast("binary"))))
     graft.Tables.load(spark, dir, "documents")
@@ -423,6 +456,88 @@ object Multimodal {
         }
       }
     })
+  }
+
+  /** Parses the MP4 sample table (`moov` > `trak` > `mdia` > `minf` >
+    * `stbl`): per-sample byte sizes from `stsz`, the chunk's absolute
+    * payload offset from `stco`, and the declared sample count from
+    * `stts` — returning (sizes, chunkOffset) only when the three boxes
+    * agree and the samples fit inside the payload. This is the layer a
+    * real frame extractor needs: tkhd tells you WHAT the video looks
+    * like, the sample table tells you WHERE each frame's bytes are. */
+  private[ops] def parseMp4Samples(p: Array[Byte]): Option[(Array[Long], Long)] = {
+    def u32(i: Int): Long =
+      (0 until 4).map(k => (p(i + k) & 0xFFL) << (8 * (3 - k))).sum
+    def tag(i: Int, t: String): Boolean =
+      t.zipWithIndex.forall { case (c, k) => p(i + k) == c.toByte }
+    if (p.length < 16 || !tag(4, "ftyp")) return None
+    def findBox(from: Int, to: Int, name: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32(i)
+        if (size < 8) return None
+        if (tag(i + 4, name))
+          return Some((i + 8, math.min(i + size, to.toLong).toInt))
+        i += size.toInt
+      }
+      None
+    }
+    for {
+      (moov, moovEnd) <- findBox(0, p.length, "moov")
+      (trak, trakEnd) <- findBox(moov, moovEnd, "trak")
+      (mdia, mdiaEnd) <- findBox(trak, trakEnd, "mdia")
+      (minf, minfEnd) <- findBox(mdia, mdiaEnd, "minf")
+      (stbl, stblEnd) <- findBox(minf, minfEnd, "stbl")
+      (stts, sttsEnd) <- findBox(stbl, stblEnd, "stts")
+      (stsz, stszEnd) <- findBox(stbl, stblEnd, "stsz")
+      (stco, stcoEnd) <- findBox(stbl, stblEnd, "stco")
+      if sttsEnd >= stts + 12 && stszEnd >= stsz + 12 && stcoEnd >= stco + 12
+      n = u32(stsz + 8)
+      // stsz sample_size must be 0 (per-entry sizes), entries must fit,
+      // stts must declare the same sample count, stco exactly one chunk
+      if u32(stsz + 4) == 0 && stszEnd >= stsz + 12 + 4 * n &&
+        u32(stts + 4) == 1 && u32(stts + 8) == n && u32(stco + 4) == 1
+      sizes = Array.tabulate(n.toInt)(i => u32(stsz + 12 + 4 * i))
+      off = u32(stco + 8)
+      if off + sizes.sum <= p.length
+    } yield (sizes, off)
+  }
+
+  /** Per-asset facts read back from the MP4 SAMPLE TABLE — the third
+    * layer of the decode seam for video: container geometry (m1),
+    * frame-index arithmetic (m2), and now the actual per-frame byte
+    * map. `mid_md5` digests the bytes of the middle sample located
+    * purely through stsz/stco — a wrong size or offset anywhere in the
+    * table shifts the byte window and breaks the hash. */
+  final case class SampleStats(
+      asset_id: Long,
+      n_samples: Long,
+      sum_bytes: Long,
+      chunk_offset: Long,
+      max_sample: Long,
+      mid_md5: String)
+
+  /** Walk each video asset's sample table and reduce it to exact
+    * integers plus the middle sample's digest. Same mapPartitions
+    * placement as [[decodePcm]]/[[decodePixels]] (per-partition digest
+    * state, payloads never shuffle, |assets| tiny rows out). Assets
+    * whose sample table is absent or inconsistent are skipped. */
+  def videoSampleStats(assets: Dataset[Asset]): Dataset[SampleStats] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { a =>
+        parseMp4Samples(a.payload).map { case (sizes, off) =>
+          val mid = sizes.length / 2
+          val mstart = off + sizes.take(mid).sum
+          md.reset()
+          md.update(a.payload, mstart.toInt, sizes(mid).toInt)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          SampleStats(a.asset_id, sizes.length.toLong, sizes.sum,
+            off, if (sizes.isEmpty) 0L else sizes.max, hex)
+        }
+      }
+    }
   }
 
   /** Per-asset statistics over DECODED image content — actual RGB

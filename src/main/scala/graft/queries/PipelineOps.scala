@@ -538,7 +538,7 @@ object PipelineOps {
         |       + CASE WHEN n_chars % 3 = 0
         |              THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
         |              WHEN n_chars % 3 = 1 THEN 44
-        |              ELSE 240 END AS BIGINT) AS byte_len,
+        |              ELSE 404 + 4 * (1 + n_chars % 240) END AS BIGINT) AS byte_len,
         |  substring(sha256(text), 1, 16) AS sha16,
         |  CAST(CASE WHEN n_chars % 3 = 1 THEN 8000 * (1 + doc_id % 3)
         |       ELSE 64 + octet_length(CAST(text AS BLOB)) % 512
@@ -663,6 +663,40 @@ object PipelineOps {
         |       CAST(sum(bl) AS BIGINT) AS sum_b,
         |       CAST(sum(299*r + 587*g + 114*bl) AS BIGINT) AS sum_luma
         |FROM p GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin)),
+
+    // m5 — the video SAMPLE TABLE read back ([[graft.ops.Multimodal
+    // .videoSampleStats]]): m1 grades what the video looks like (tkhd
+    // dims, mvhd ticks); THIS grades where each frame's bytes are —
+    // stsz per-sample sizes, the stco chunk offset, stts agreement —
+    // the layer a real frame extractor seeks through. The builder
+    // splits the text bytes into n near-equal samples (base = len div
+    // n, first len mod n get one extra byte); the oracle re-derives
+    // that rule in SQL, INCLUDING the md5 of the middle sample's bytes
+    // located purely through the parsed table — a wrong size or offset
+    // anywhere shifts the byte window and breaks the hash.
+    QueryDef("m5_video_sample_table", (spark, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromDocuments(spark, dir)
+        .filter(col("modality") === "video")
+      graft.ops.Multimodal.videoSampleStats(assets).toDF()
+        .select(col("asset_id"), col("n_samples"), col("sum_bytes"),
+          col("chunk_offset"), col("max_sample"), col("mid_md5"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH v AS (SELECT doc_id,
+        |             CAST(1 + n_chars % 240 AS BIGINT) AS n,
+        |             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS len,
+        |             text
+        |           FROM documents WHERE n_chars % 3 = 2),
+        |  s AS (SELECT doc_id, n, len, text,
+        |          len // n AS base, len % n AS rem, n // 2 AS mid
+        |        FROM v)
+        |SELECT doc_id AS asset_id, n AS n_samples, len AS sum_bytes,
+        |       404 + 4 * n AS chunk_offset,
+        |       base + CASE WHEN rem > 0 THEN 1 ELSE 0 END AS max_sample,
+        |       md5(substr(text, CAST(base * mid + least(mid, rem) AS INT) + 1,
+        |                  CAST(base + CASE WHEN mid < rem THEN 1 ELSE 0 END
+        |                       AS INT))) AS mid_md5
+        |FROM s ORDER BY asset_id""".stripMargin)),
 
     // Text normalization digest.
     QueryDef.views("x5_normalize",

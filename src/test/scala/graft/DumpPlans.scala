@@ -37,7 +37,7 @@ object DumpPlans {
     "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution",
     "au1_classifier_auc", "au2_calibration", "pt1_partition_pruning",
     "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
-    "tc1_triangles", "un1_unicode_nfc")
+    "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

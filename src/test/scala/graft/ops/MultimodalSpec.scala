@@ -149,7 +149,8 @@ class MultimodalSpec extends SparkSpec {
       (!col("ok") || col("width") =!= (col("blen") % 512 + 64) ||
         col("height") =!= (col("n_chars") % 512 + 64) ||
         col("n_frames") =!= lit(1) + col("n_chars") % 240 ||
-        col("byte_len") =!= col("blen") + Multimodal.Mp4HeaderLen)).count()
+        col("byte_len") =!= col("blen") + lit(404L) +
+          lit(4L) * (lit(1L) + col("n_chars") % 240))).count()
     assert(badVideo == 0)
     // unknown bytes still come back honestly undecoded
     assert(Multimodal.decodePartition(Iterator(Multimodal.Asset(
