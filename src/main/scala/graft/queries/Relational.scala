@@ -448,6 +448,99 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // TPC-H Q7 shape (volume shipping): five-table join where the
+    // nation pair is a DISJUNCTIVE predicate — (A,B) or (B,A) — that
+    // no single equi-key expresses, plus a derived group key
+    // (year(l_shipdate)). The two nation dims broadcast; the
+    // disjunction stays a residual filter on the joined row, NOT a
+    // fallback to a nested-loop join (both nation joins remain
+    // equi-joins on the keys; the pair constraint prunes after).
+    QueryDef.views("q7_volume_shipping",
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(l_extendedprice AS DECIMAL(18,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        |      FROM supplier, lineitem, orders, customer,
+        |           nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey
+        |        AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { spark =>
+      val li = spark.table("lineitem").select(col("l_orderkey"),
+        col("l_suppkey"),
+        year(col("l_shipdate")).cast("bigint").as("l_year"),
+        dec2("l_extendedprice").as("price"),
+        col("l_discount").cast("decimal(4,2)").as("disc"))
+      val o = spark.table("orders").select("o_orderkey", "o_custkey")
+      val c = spark.table("customer").select("c_custkey", "c_nationkey")
+      val s = spark.table("supplier").select("s_suppkey", "s_nationkey")
+      val n = spark.table("nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .join(broadcast(n.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): revenue lost to
+    // returns per customer over a quarter, top 20. The returnflag and
+    // date filters push into the scans, dims broadcast, and the final
+    // ORDER BY revenue LIMIT 20 compiles to TakeOrderedAndProject —
+    // no global sort crosses the cluster (o1's guarantee on a 4-way
+    // join output). Tie-break on c_custkey for a total order.
+    QueryDef.views("q10_returned_items",
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { spark =>
+      val li = spark.table("lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), dec2("l_extendedprice").as("price"),
+          col("l_discount").cast("decimal(4,2)").as("disc"))
+      val o = spark.table("orders")
+        .filter(col("o_orderdate") >=
+          lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("o_orderdate") <
+            lit("1996-10-01 00:00:00").cast(TimestampNTZType))
+        .select("o_orderkey", "o_custkey")
+      val c = spark.table("customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      val n = spark.table("nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Correlated scalar subquery (per-row dependent aggregate).
     QueryDef.views("sq1_scalar_subquery",
       """SELECT c_custkey,

@@ -37,7 +37,8 @@ object DumpPlans {
     "m4_image_pixel_decode", "km1_kmeans_assign", "cdc4_schema_evolution",
     "au1_classifier_auc", "au2_calibration", "pt1_partition_pruning",
     "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
-    "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table")
+    "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table",
+    "q7_volume_shipping", "q10_returned_items")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
