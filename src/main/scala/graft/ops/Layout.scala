@@ -79,6 +79,64 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** INCREMENTAL compaction: rewrite only the parquet files in `path`
+    * holding fewer than `targetRowsPerFile` rows, merging them into
+    * ~target-sized files sorted by `sortCol`; files already at or above
+    * the target are NOT touched (not read, not rewritten, not moved).
+    * This is the steady-state form of [[compactTo]]: a 100 TB corpus
+    * under continuous ingest accretes a small-file tail every batch,
+    * and a full rewrite to fix the tail costs a full corpus pass —
+    * incremental compaction costs only the tail. File row counts come
+    * from parquet FOOTERS (driver-side metadata reads over the bounded
+    * file list, no data scan); the rewrite is one range-partition pass
+    * over the small files only. Publish order is write-new → delete-old
+    * (a crash in between leaves the new files alongside the old — an
+    * at-least-once window a production deployment closes with a commit
+    * manifest, the ShardFiles two-phase shape; never data loss).
+    * Returns the number of files rewritten. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, sortCol: String, targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0,
+      "compactSmallFiles: targetRowsPerFile must be > 0")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val parts = fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+    }
+    val counted = parts.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try (st.getPath, r.getRecordCount) finally r.close()
+    }
+    val small = counted.filter(_._2 < targetRowsPerFile)
+    val smallRows = small.map(_._2).sum
+    val nOut = math.max(1L,
+      (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // rewrite only if merging REDUCES the file count — otherwise a
+    // merge that lands just under the target would re-qualify its own
+    // output and compaction would never reach a fixed point
+    if (small.length <= 1 || nOut >= small.length) return 0
+    val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+      s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.read.parquet(small.map(_._1.toString): _*)
+      .repartitionByRange(nOut, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // publish: move the new files in, then retire the old ones
+    fs.listStatus(tmp).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).foreach { st =>
+      fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dir,
+          s"compact-${st.getPath.getName.stripPrefix("part-")}"))
+    }
+    fs.delete(tmp, true)
+    small.foreach { case (p, _) => fs.delete(p, false) }
+    small.length
+  }
+
   /** Per-file min/max of a column in a written dataset — the pruning
     * telemetry for [[clusteredWrite]] (disjoint per-file z-ranges =
     * min/max stats actually prune). */

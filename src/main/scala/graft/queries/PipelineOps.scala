@@ -1714,6 +1714,51 @@ object PipelineOps {
         |       CAST(0 AS BIGINT) AS n_overlaps
         |FROM events ORDER BY event_id""".stripMargin)),
 
+    // INCREMENTAL compaction ([[graft.ops.Layout.compactSmallFiles]]):
+    // z2 fixes a small-file layout by rewriting everything; a corpus
+    // under continuous ingest needs the steady-state form — rewrite
+    // ONLY the small-file tail, leave settled fat files untouched (at
+    // 100 TB the difference is a tail-sized pass vs a corpus-sized
+    // one). Fixture: one fat file (70% of events) plus 20 small
+    // appended files (30%); compaction with target just over half the
+    // tail must merge the 20 into exactly 2 and not touch the fat one
+    // → 3 files total, every row intact — both facts graded (the
+    // untouched-fat byte-identity is spec-pinned, file geometry having
+    // no DuckDB twin rides as the n_files constant).
+    QueryDef("z3_compact_incremental", (spark, sfDir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, sfDir)
+      val slim = spark.table("events").select(
+        col("event_id"), col("user_id").cast("bigint").as("user_id"),
+        col("event_type"),
+        floor(col("value")).cast("bigint").as("value_floor"))
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-z3-fixture-$key")
+      val marker = dir.resolve("_COMPACTED")
+      if (!java.nio.file.Files.exists(marker)) {
+        slim.filter(col("event_id") % 10 >= 3).orderBy("event_id")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(dir.toString)
+        slim.filter(col("event_id") % 10 < 3).repartition(20)
+          .write.mode("append").parquet(dir.toString)
+        val smallRows = slim.filter(col("event_id") % 10 < 3).count()
+        Layout.compactSmallFiles(spark, dir.toString, "event_id",
+          smallRows / 2 + 1)
+        java.nio.file.Files.createFile(marker)
+      }
+      val back = spark.read.parquet(dir.toString)
+      val nFiles = back.select(input_file_name()).distinct().count()
+      back.crossJoin(broadcast(Seq(nFiles).toDF("n_files")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value_floor"), col("n_files"))
+        .orderBy("event_id")
+    }, Some(
+      """SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+        |       CAST(floor(value) AS BIGINT) AS value_floor,
+        |       CAST(3 AS BIGINT) AS n_files
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // Bucketed co-located join ([[graft.ops.Layout.bucketedWrite]]):
     // customer and orders written bucketed by custkey with the same
     // bucket count, then joined and rolled up by market segment — the

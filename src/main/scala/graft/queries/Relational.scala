@@ -299,6 +299,35 @@ object Relational {
         .orderBy("o_orderstatus", "rnk")
     },
 
+    // RANGE-frame window over event time: per user, how many of their
+    // events fall in the trailing 24 hours at each event — the rate-
+    // limit / burst-detection window. ROWS frames count a fixed row
+    // budget; this is a VALUE frame (all peers within the interval,
+    // however many rows that is). Spark's rangeBetween needs a numeric
+    // order key, so the frame runs over unix seconds; DuckDB states the
+    // same frame as RANGE INTERVAL 24 HOURS over the timestamp —
+    // different spellings, identical frame semantics (bounds inclusive,
+    // ties are peers). One shuffle on user_id + per-partition sort.
+    QueryDef.views("w3_range_window",
+      """SELECT user_id, event_id,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+        |               AND CURRENT ROW) AS BIGINT) AS n_24h
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { spark =>
+      // unix MICROS, not seconds: the interval bound must compare at
+      // the timestamp's full precision or events exactly 24h plus a
+      // fraction apart land inside the Spark frame but outside DuckDB's
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      spark.table("events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_24h"))
+        .orderBy("user_id", "event_id")
+    },
+
     // Global sort + limit (TakeOrderedAndProject — no full sort at scale).
     QueryDef.views("o1_sort_limit",
       """SELECT o_orderkey, o_totalprice AS total,

@@ -38,7 +38,8 @@ object DumpPlans {
     "au1_classifier_auc", "au2_calibration", "pt1_partition_pruning",
     "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
     "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table",
-    "q7_volume_shipping", "q10_returned_items")
+    "q7_volume_shipping", "q10_returned_items", "w3_range_window",
+    "z3_compact_incremental")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
