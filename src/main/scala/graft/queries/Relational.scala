@@ -497,8 +497,8 @@ object Relational {
         |        AND c_custkey = o_custkey
         |        AND s_nationkey = n1.n_nationkey
         |        AND c_nationkey = n2.n_nationkey
-        |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+        |        AND ((n1.n_nationkey % 5 = 1 AND n2.n_nationkey % 5 = 2)
+        |          OR (n1.n_nationkey % 5 = 2 AND n2.n_nationkey % 5 = 1))) t
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { spark =>
       val li = spark.table("lineitem").select(col("l_orderkey"),
@@ -517,10 +517,10 @@ object Relational {
           col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
         .join(broadcast(n.select(col("n_nationkey").as("ck"),
           col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("s_nationkey") % 5 === 1 &&
+            col("c_nationkey") % 5 === 2) ||
+          (col("s_nationkey") % 5 === 2 &&
+            col("c_nationkey") % 5 === 1))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(sum(col("price") * (lit(1) - col("disc"))).cast("double")
           .as("revenue"))
