@@ -1432,6 +1432,38 @@ object TextOps {
         expr("__s div n").as("mean_score_micro"))
   }
 
+  /** Confusion matrix + operating-point metrics of a scored, binary-
+    * labeled corpus at a fixed decision threshold — the third leg of
+    * classifier evaluation next to [[classifierAuc]] (threshold-free
+    * ranking) and [[calibrationTable]] (where to put the threshold):
+    * once the gate ships, THESE are the numbers on its dashboard.
+    * ONE hash-free aggregate over the scan (four conditional counts);
+    * precision/recall/F1 in ppm by integer `div` on the counts (same
+    * operation in DuckDB — exact cross-engine), null when undefined
+    * (no predicted / no actual positives). */
+  def confusionAtThreshold(scored: DataFrame, scoreCol: String,
+      labelCol: String, thresholdMicro: Long): DataFrame = {
+    val y = col(labelCol).cast("bigint")
+    val pred = (col(scoreCol).cast("bigint") >= thresholdMicro)
+      .cast("bigint")
+    scored
+      .agg(sum(pred * y).cast("bigint").as("tp"),
+        sum(pred * (lit(1L) - y)).cast("bigint").as("fp"),
+        sum((lit(1L) - pred) * y).cast("bigint").as("fn"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).cast("bigint").as("tn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000) div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(coalesce(col("precision_ppm"), lit(0L)) +
+            coalesce(col("recall_ppm"), lit(0L)) > 0,
+          expr("(2 * precision_ppm * recall_ppm) div " +
+            "(precision_ppm + recall_ppm)")))
+  }
+
   /** `c`'s ≤`k`-deletion neighborhood (the string itself included) as
     * an array expression — single deletions via one `transform` over
     * `sequence(1, length)`, depth 2 by composing the same map over the

@@ -2457,6 +2457,39 @@ object PipelineOps {
         .orderBy("bucket")
     },
 
+    // Operating-point metrics ([[graft.ops.TextOps
+    // .confusionAtThreshold]]): the deployed gate's dashboard numbers
+    // — confusion counts at qc1's threshold plus integer-div ppm
+    // precision/recall/F1, every value re-derived by the oracle from
+    // the same scoring CTE. Closes the evaluation family: au1 ranks
+    // (threshold-free), au2 calibrates (pick the threshold), au3
+    // reports (live the threshold).
+    QueryDef.views("au3_confusion", qcScoredCte +
+      s"""
+        |, cf AS (SELECT
+        |    CAST(sum(CASE WHEN s >= $qcThreshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN s >= $qcThreshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN s < $qcThreshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN s < $qcThreshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM sc),
+        |  pr AS (SELECT tp, fp, fn, tn,
+        |    CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END AS precision_ppm,
+        |    CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END AS recall_ppm
+        |  FROM cf)
+        |SELECT tp, fp, fn, tn, precision_ppm, recall_ppm,
+        |  CASE WHEN coalesce(precision_ppm, 0) + coalesce(recall_ppm, 0) > 0
+        |       THEN (2 * precision_ppm * recall_ppm)
+        |            // (precision_ppm + recall_ppm) END AS f1_ppm
+        |FROM pr""".stripMargin) { spark =>
+      val scored = TextOps.classifierScore(spark.table("documents"),
+          "doc_id", "text", weightsMicro = qcModel.toMap,
+          biasMicro = qcBias, thresholdMicro = qcThreshold,
+          passthrough = Seq("lang"))
+        .withColumn("y", (col("lang") === "en").cast("bigint"))
+      TextOps.confusionAtThreshold(scored, "score_micro", "y",
+        thresholdMicro = qcThreshold)
+    },
+
     // Embedding dimension reduction ([[graft.ops.Similarity
     // .projectVectors]]): dense 64→8 projection through a broadcast
     // matrix — the pre-index compression step. Pure scan-local

@@ -400,6 +400,37 @@ object PropertyChecks {
         viol("gr").as("n_gk_violations"))
     },
 
+    // Grouped quantile sketch — hh2's claim for the rank member: one
+    // KLL buffer PER GROUP, partials merging map-side per (lang), so a
+    // per-stratum length profile costs |groups| summaries per executor
+    // instead of a corpus-scaled sort. Same bar as qs1x, per group:
+    // every estimate's true in-group rank within 5%·n_group.
+    QueryDef.views("qs2x_grouped_quantiles",
+      """SELECT lang, count(*) AS n_rows,
+        |       CAST(3 AS BIGINT) AS n_probes,
+        |       CAST(0 AS BIGINT) AS n_violations
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { spark =>
+      val v = spark.table("documents")
+        .select(col("lang"), length(col("text")).cast("double").as("v"))
+      val probs = Seq(0.1, 0.5, 0.9)
+      val est = v.groupBy("lang")
+        .agg(expr("kll_quantiles(v, 512, array(0.1D, 0.5D, 0.9D))")
+          .as("kll"))
+      val ranked = v.join(broadcast(est), "lang")
+      val sums = count(lit(1)).as("n") +: probs.indices.map { i =>
+        sum(when(col("v") <= element_at(col("kll"), i + 1), 1L)
+          .otherwise(0L)).as(s"kr$i")
+      }
+      val ranks = ranked.groupBy("lang").agg(sums.head, sums.tail: _*)
+      val viol = probs.zipWithIndex.map { case (p, i) =>
+        when(abs(col(s"kr$i") - col("n") * p) > col("n") * 0.05, 1L)
+          .otherwise(0L)
+      }.reduce(_ + _)
+      ranks.select(col("lang"), col("n").as("n_rows"),
+          lit(3L).as("n_probes"), viol.as("n_violations"))
+        .orderBy("lang")
+    },
+
     QueryDef.views("hll1x_sketch_error",
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       CAST(0 AS BIGINT) AS n_hll_violations,

@@ -570,6 +570,45 @@ object Relational {
         .limit(20)
     },
 
+    // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-
+    // logic trap, graded: a probe list seeded with NULLs (every 97th
+    // order key) makes `NOT IN` return ZERO rows (x <> NULL is
+    // unknown, so no row can prove membership-absence), while
+    // NOT EXISTS — equi-semantics — returns the intuitive count, equal
+    // to NOT IN over the null-stripped list. Spark plans the first as
+    // a null-aware anti join (BroadcastHashJoin LeftAnti with
+    // isNullAwareAntiJoin) — an engine that "optimizes" it to a plain
+    // anti join silently returns wrong answers on nullable keys; this
+    // entry pins all three counts against DuckDB implementing the
+    // same SQL standard independently.
+    QueryDef.views("nn1_null_aware_anti",
+      """WITH probe AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |                           ELSE o_custkey END AS k FROM orders
+        |               WHERE o_orderkey % 3 = 0)
+        |SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.k = c.c_custkey)) AS n_not_exists,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM probe
+        |                           WHERE k IS NOT NULL)) AS n_not_in_nonull""".stripMargin) { spark =>
+      spark.sql(
+        """WITH probe AS (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+          |                           ELSE o_custkey END AS k FROM orders
+          |               WHERE o_orderkey % 3 = 0)
+          |SELECT
+          |  (SELECT count(*) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+          |  (SELECT count(*) FROM customer c
+          |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+          |                     WHERE p.k = c.c_custkey)) AS n_not_exists,
+          |  (SELECT count(*) FROM customer
+          |   WHERE c_custkey NOT IN (SELECT k FROM probe
+          |                           WHERE k IS NOT NULL)) AS n_not_in_nonull""".stripMargin)
+    },
+
     // Correlated scalar subquery (per-row dependent aggregate).
     QueryDef.views("sq1_scalar_subquery",
       """SELECT c_custkey,

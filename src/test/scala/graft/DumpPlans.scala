@@ -39,7 +39,7 @@ object DumpPlans {
     "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
     "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table",
     "q7_volume_shipping", "q10_returned_items", "w3_range_window",
-    "z3_compact_incremental")
+    "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
