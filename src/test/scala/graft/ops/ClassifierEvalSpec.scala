@@ -62,6 +62,25 @@ class ClassifierEvalSpec extends SparkSpec {
     assert(auc(rows, bucket = 100L) == auc(quantized))
   }
 
+  test("confusion at threshold: hand-computed counts and ppm metrics") {
+    // threshold 10: scores {12+,11+,9+,8-,13-} → tp=2 fn=1 fp=1 tn=1
+    val df = Seq((12L, 1L), (11L, 1L), (9L, 1L), (8L, 0L), (13L, 0L))
+      .toDF("s", "y")
+    val r = TextOps.confusionAtThreshold(df, "s", "y", 10L).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)))
+    assert(r.getLong(4) == 666666L) // precision 2/3
+    assert(r.getLong(5) == 666666L) // recall 2/3
+    assert(r.getLong(6) == 666666L) // f1 of equal p/r
+  }
+
+  test("confusion metrics are null when undefined, not zero") {
+    // nothing predicted positive → precision undefined, recall 0
+    val r = TextOps.confusionAtThreshold(
+      Seq((1L, 1L), (2L, 0L)).toDF("s", "y"), "s", "y", 100L).head()
+    assert(r.isNullAt(4) && r.getLong(5) == 0L && r.isNullAt(6))
+  }
+
   test("calibration table: counts, per-mille rate, truncated mean") {
     val df = Seq((250000L, 1L), (260000L, 0L), (270000L, 1L),
       (-150000L, 0L), (-250000L, 1L)).toDF("s", "y")
