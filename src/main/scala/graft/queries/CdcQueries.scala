@@ -1461,6 +1461,73 @@ object CdcQueries {
         |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
         |       CAST(0 AS BIGINT) AS n_missing""".stripMargin)),
 
+    // sc4 — the TEMPORAL join, streaming: facts arrive as a stream and
+    // each joins the dimension VERSION valid at its own time (Flink's
+    // FOR SYSTEM_TIME AS OF — the flagship join of the CDC world this
+    // engine re-expresses). Spark shape: a stream-STATIC left join —
+    // the SCD2 history (sc1's operator, frozen once via
+    // localCheckpoint) broadcasts under each micro-batch, the probe
+    // stream joins on the key with the validity interval as residual,
+    // stateless (no watermark, no state store: history is bounded by
+    // |versions|, facts pass through). Probes split across three
+    // files → three real micro-batches; the result must equal the
+    // batch PIT lookup bit-for-bit, so it grades on sc2's oracle.
+    QueryDef("sc4_stream_temporal_join", (spark, dir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, dir)
+      val fix = ensureFixture(spark, dir)
+      val env = readWal(spark, fix, "jsonl").drop("mode").as[CdcEnvelope]
+      val hist = Changelog.scd2(env)
+        .select(col("key_id").cast("bigint").as("h_id"),
+          col("valid_from_lsn"), col("valid_to_lsn"),
+          element_at(col("after"), "event_type").as("event_type_at"))
+        .localCheckpoint() // freeze: re-planned, not re-computed, per batch
+      val run = Files.createTempDirectory("graft-sc4-run")
+      spark.table("events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("probe_lsn"), col("user_id"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(run.toString)
+      val probes = spark.readStream
+        .schema("probe_lsn BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      val joined = probes.join(broadcast(hist),
+        col("user_id") === col("h_id") &&
+          col("valid_from_lsn") <= col("probe_lsn") &&
+          (col("valid_to_lsn").isNull ||
+            col("probe_lsn") < col("valid_to_lsn")),
+        "left_outer")
+      val qn = "sc4_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined
+        .select(col("probe_lsn"), col("user_id"),
+          col("valid_from_lsn").as("version_lsn"), col("event_type_at"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qn)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sc4-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(qn).orderBy("probe_lsn")
+    }, Some(envCte +
+      """
+        |, h0 AS (
+        |  SELECT user_id, lsn, op, after_event_type,
+        |         lead(lsn) OVER (PARTITION BY user_id
+        |                         ORDER BY lsn) AS valid_to_lsn
+        |  FROM env),
+        |  h AS (SELECT user_id AS h_id, lsn AS valid_from_lsn,
+        |               valid_to_lsn, after_event_type
+        |        FROM h0 WHERE op != 'd'),
+        |  p AS (SELECT event_id AS probe_lsn, user_id FROM events
+        |        WHERE event_type = 'error')
+        |SELECT p.probe_lsn, p.user_id, h.valid_from_lsn AS version_lsn,
+        |       h.after_event_type AS event_type_at
+        |FROM p LEFT JOIN h ON p.user_id = h.h_id
+        |  AND h.valid_from_lsn <= p.probe_lsn
+        |  AND (h.valid_to_lsn IS NULL OR p.probe_lsn < h.valid_to_lsn)
+        |ORDER BY probe_lsn""".stripMargin)),
+
     // st8 — continuous quantiles as a REAL streaming aggregation: the
     // KLL TypedImperativeAggregate in complete mode, its compactor
     // buffer merged across four file triggers by the state store —
