@@ -145,8 +145,13 @@ object Bench {
     val failedJson = errors.keys.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
+    // Restricted dev runs (SPARK_GRAFT_ONLY) go to bench_restricted.json:
+    // overwriting bench_last.json with a 5-query subset would silently
+    // replace the committed full-run artifact round comparisons read.
+    val outName =
+      if (only.isDefined) "bench_restricted.json" else "bench_last.json"
     try {
-      val w = new java.io.PrintWriter("bench_last.json")
+      val w = new java.io.PrintWriter(outName)
       try {
         val full = results.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
