@@ -1788,6 +1788,55 @@ object PipelineOps {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Corpus CHANGELOG export (dd1): the corpus as a CDC *source* for
+    // downstream consumers — snapshot diff ([[graft.ops.Layout
+    // .diffSnapshots]]) becomes c/u/d envelopes, BATCH-produced into
+    // the topic boundary (`format("graft-topic")` batch write — the
+    // new backfill path next to K1's streaming produce), batch-read
+    // back and JSON-decoded. Grades the full export loop: diff → op
+    // mapping → wire JSON → broker append → read-back → decode; the
+    // oracle re-derives every (id, op, digest) straight from the
+    // version-mutation rules.
+    QueryDef.views("dd1_corpus_changelog",
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |  ch AS (SELECT doc_id, md5(text || ' UPDATED') AS digest
+        |         FROM base WHERE doc_id % 17 = 5),
+        |  rm AS (SELECT doc_id FROM base WHERE doc_id % 17 = 3),
+        |  ad AS (SELECT doc_id + 1000000 AS doc_id,
+        |                md5('NEW ' || text) AS digest
+        |         FROM base WHERE doc_id % 17 = 7)
+        |SELECT doc_id, 'u' AS op, digest FROM ch
+        |UNION ALL SELECT doc_id, 'd', NULL FROM rm
+        |UNION ALL SELECT doc_id, 'c', digest FROM ad
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val v1 = spark.table("documents").select("doc_id", "text")
+      val v2 = v1.filter(col("doc_id") % 17 =!= 3)
+        .withColumn("text", when(col("doc_id") % 17 === 5,
+          concat(col("text"), lit(" UPDATED"))).otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 17 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("NEW "), col("text")).as("text")))
+      val diff = Layout.diffSnapshots(v1, v2, "doc_id", "text",
+        includeUnchanged = false)
+      val env = diff.select(
+        col("doc_id").cast("string").as("key"),
+        to_json(struct(col("doc_id"),
+          when(col("status") === "added", "c")
+            .when(col("status") === "removed", "d")
+            .otherwise("u").as("op"),
+          col("new_digest").as("digest"))).as("value"))
+      val topicName =
+        "dd1_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      env.write.format("graft-topic").option("topic", topicName)
+        .mode("append").save()
+      spark.read.format("graft-topic").option("topic", topicName).load()
+        .select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, op STRING, digest STRING")).as("j"))
+        .select("j.doc_id", "j.op", "j.digest")
+        .orderBy("doc_id")
+    },
+
     // Corpus snapshot diff ([[graft.ops.Layout.diffSnapshots]]): the
     // incremental-update primitive — classify every doc id across two
     // corpus versions as added / removed / changed / unchanged by

@@ -105,8 +105,8 @@ final class GraftTopicTable(topic: String) extends Table
   override def name(): String = s"graft-topic:$topic"
   override def schema(): StructType = TopicStore.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // input frame: (key, value) — position of each in the incoming schema
@@ -116,6 +116,12 @@ final class GraftTopicTable(topic: String) extends Table
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new TopicStreamingWrite(topic, info.queryId(), ki, vi)
+        // batch produce — the BACKFILL path (kafka-connect's batch
+        // ingest analog): one append per job at driver commit, task
+        // retries deduplicated by Spark's commit coordinator (only one
+        // attempt's commit message reaches commit()).
+        override def toBatch: BatchWrite = new TopicBatchWrite(
+          topic, info.queryId(), ki, vi)
       }
     }
   }
@@ -204,6 +210,39 @@ final class TopicStreamingWrite(topic: String, queryId: String,
 
 final case class TopicCommitMessage(partitionId: Int,
     rows: Seq[(String, String)]) extends WriterCommitMessage
+
+/** Batch produce into the topic: same deterministic append order and
+  * TopicStore commit as the streaming write (epoch 0 under the batch
+  * query id — a re-submitted JOB appends again, which is the backfill
+  * semantic; duplicated TASK attempts never reach commit()). */
+final class TopicBatchWrite(topic: String, queryId: String,
+    ki: Int, vi: Int) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TopicBatchWriterFactory(ki, vi)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: TopicCommitMessage => m }
+      .sortBy(_.partitionId).toSeq.flatMap(_.rows)
+    TopicStore.commit(topic, queryId, 0L, rows)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final class TopicBatchWriterFactory(ki: Int, vi: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val rows = ArrayBuffer.empty[(String, String)]
+      override def write(r: InternalRow): Unit =
+        rows += ((if (r.isNullAt(ki)) null else r.getUTF8String(ki).toString,
+          if (r.isNullAt(vi)) null else r.getUTF8String(vi).toString))
+      override def commit(): WriterCommitMessage =
+        TopicCommitMessage(partitionId, rows.toVector)
+      override def abort(): Unit = rows.clear()
+      override def close(): Unit = ()
+    }
+}
 
 final class TopicWriterFactory(ki: Int, vi: Int)
     extends StreamingDataWriterFactory {

@@ -103,6 +103,30 @@ class GraftTopicSpec extends SparkSpec {
     assert(live == Set("schema1|1"))
   }
 
+  test("batch produce (backfill path): write round-trips through a " +
+      "batch read with dense sequence ids") {
+    import org.apache.spark.sql.functions._
+    TopicStore.clear("backfill-topic")
+    (1 to 5).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+      .repartition(3)
+      .write.format("graft-topic").option("topic", "backfill-topic")
+      .mode("append").save()
+    val back = spark.read.format("graft-topic")
+      .option("topic", "backfill-topic").load()
+      .select("key", "value", "sequenceId")
+      .as[(String, String, Long)].collect().sortBy(_._3)
+    assert(back.length == 5)
+    assert(back.map(_._3).toSeq == (0L until 5L)) // dense ids
+    assert(back.map(t => (t._1, t._2)).toSet ==
+      (1 to 5).map(i => (s"k$i", s"v$i")).toSet)
+    // a second batch job APPENDS (backfill semantics), ids keep rising
+    Seq(("k9", "v9")).toDF("key", "value")
+      .write.format("graft-topic").option("topic", "backfill-topic")
+      .mode("append").save()
+    assert(TopicStore.size("backfill-topic") == 6L)
+    assert(TopicStore.read("backfill-topic").last.sequenceId == 5L)
+  }
+
   test("epoch replay is dropped: sink commit is idempotent per (query, epoch)") {
     TopicStore.clear("replay-topic")
     TopicStore.commit("replay-topic", "q1", 0L, Seq(("k1", "v1")))
