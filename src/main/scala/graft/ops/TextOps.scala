@@ -1432,6 +1432,44 @@ object TextOps {
         expr("__s div n").as("mean_score_micro"))
   }
 
+  /** Padding-waste accounting for fixed-size training batches: with B
+    * sequences per batch padded to the batch max, how many pad tokens
+    * does arrival-order batching burn vs length-sorted batching — the
+    * arithmetic that justifies length-bucketed batch assembly (the
+    * sorted figure is what [[packSequences]]-style layouts approach).
+    * Exact integers: each strategy is one row_number window (arrival =
+    * by id, sorted = by (len, id)), batch id = (rn−1) div B, per-batch
+    * waste = n_b·max(len) − Σlen. The global sort is the one corpus-
+    * scaled step; at 100 TB it runs as a range-partitioned sort (the
+    * layout machinery), and the result is a one-row report either way.
+    * Returns (n_seqs, n_tokens, batch_size, arrival_pad_tokens,
+    * sorted_pad_tokens, saving_pm). */
+  def paddingStats(df: DataFrame, idCol: String, lenCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"paddingStats: batchSize > 0, got $batchSize")
+    val base = df.select(col(idCol).cast("bigint").as("id"),
+      col(lenCol).cast("bigint").as("len"))
+    def strategy(orderCols: Seq[Column], name: String): DataFrame = {
+      val w = Window.orderBy(orderCols: _*)
+      base.withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
+        .groupBy("batch")
+        .agg((count(lit(1)) * max("len") - sum("len")).as("pad"))
+        .agg(sum("pad").cast("bigint").as(name))
+    }
+    val arrival = strategy(Seq(col("id")), "arrival_pad_tokens")
+    val sorted = strategy(Seq(col("len"), col("id")), "sorted_pad_tokens")
+    val totals = base.agg(count(lit(1)).as("n_seqs"),
+      sum("len").cast("bigint").as("n_tokens"))
+    totals.crossJoin(arrival).crossJoin(sorted)
+      .select(col("n_seqs"), col("n_tokens"),
+        lit(batchSize.toLong).as("batch_size"),
+        col("arrival_pad_tokens"), col("sorted_pad_tokens"),
+        when(col("arrival_pad_tokens") > 0,
+          expr("((arrival_pad_tokens - sorted_pad_tokens) * 1000) div " +
+            "arrival_pad_tokens")).as("saving_pm"))
+  }
+
   /** Confusion matrix + operating-point metrics of a scored, binary-
     * labeled corpus at a fixed decision threshold — the third leg of
     * classifier evaluation next to [[classifierAuc]] (threshold-free

@@ -1788,6 +1788,44 @@ object PipelineOps {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // Padding-waste report ([[graft.ops.TextOps.paddingStats]]): the
+    // arithmetic behind length-bucketed batch assembly — at batch
+    // size 32, pad-to-batch-max burns N tokens under arrival-order
+    // batching vs length-sorted batching, and the saving (per-mille)
+    // is the number a trainer infra review asks for. Both strategies
+    // are exact integer window+agg chains the oracle replays.
+    QueryDef.views("pd1_padding_stats",
+      """WITH t AS (SELECT doc_id AS id,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0)) AS BIGINT) AS len
+        |           FROM documents),
+        |  a AS (SELECT len, row_number() OVER (ORDER BY id) AS rn FROM t),
+        |  ab AS (SELECT (rn - 1) // 32 AS b,
+        |           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad
+        |         FROM a GROUP BY 1),
+        |  s AS (SELECT len, row_number() OVER (ORDER BY len, id) AS rn
+        |        FROM t),
+        |  sb AS (SELECT (rn - 1) // 32 AS b,
+        |           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad
+        |         FROM s GROUP BY 1),
+        |  tot AS (SELECT CAST(count(*) AS BIGINT) AS n_seqs,
+        |            CAST(sum(len) AS BIGINT) AS n_tokens FROM t),
+        |  aa AS (SELECT CAST(sum(pad) AS BIGINT) AS arrival_pad_tokens
+        |         FROM ab),
+        |  ss AS (SELECT CAST(sum(pad) AS BIGINT) AS sorted_pad_tokens
+        |         FROM sb)
+        |SELECT n_seqs, n_tokens, CAST(32 AS BIGINT) AS batch_size,
+        |  arrival_pad_tokens, sorted_pad_tokens,
+        |  CASE WHEN arrival_pad_tokens > 0
+        |       THEN ((arrival_pad_tokens - sorted_pad_tokens) * 1000)
+        |            // arrival_pad_tokens END AS saving_pm
+        |FROM tot, aa, ss""".stripMargin) { spark =>
+      val lens = spark.table("documents").select(col("doc_id"),
+        size(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .cast("bigint").as("n_tokens"))
+      TextOps.paddingStats(lens, "doc_id", "n_tokens", batchSize = 32)
+    },
+
     // Corpus CHANGELOG export (dd1): the corpus as a CDC *source* for
     // downstream consumers — snapshot diff ([[graft.ops.Layout
     // .diffSnapshots]]) becomes c/u/d envelopes, BATCH-produced into

@@ -39,7 +39,8 @@ object DumpPlans {
     "pt2_dynamic_pruning", "fz2_fuzzy_match", "hb1_hilbert",
     "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table",
     "q7_volume_shipping", "q10_returned_items", "w3_range_window",
-    "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion")
+    "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion",
+    "dd1_corpus_changelog", "pd1_padding_stats", "qs2x_grouped_quantiles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
