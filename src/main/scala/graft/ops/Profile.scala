@@ -21,6 +21,66 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Declarative data-quality expectations (the Deequ/dbt-tests shape):
+    * evaluate a set of named checks against a table and report one row
+    * per check — (check, n_rows, n_violations, passed). Three check
+    * kinds cover the standard suite:
+    *
+    *   - [[rowChecks]]: per-row predicates (ranges, non-null, regex…) —
+    *     ALL predicates fold into ONE pass over the scan (a conditional
+    *     count per rule inside a single aggregate; adding a rule adds
+    *     an expression, not a scan);
+    *   - [[uniqueCheck]]: key uniqueness — one hash aggregate on the
+    *     key, violations = Σ(group size − 1);
+    *   - [[fkCheck]]: referential integrity child ⊆ parent — one
+    *     left-anti join on the key (broadcast when the parent's
+    *     distinct keys fit, the dimension case).
+    *
+    * Violations COUNT rather than fail-fast: at 100 TB a quality gate
+    * wants the full violation census from one run, not the first bad
+    * row of twenty consecutive runs. Callers union the reports and
+    * alert on `passed = false`. */
+  def rowChecks(df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(checks.nonEmpty, "rowChecks: need at least one check")
+    val aggs = count(lit(1)).as("__n") +: checks.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L))
+        .as(s"__v__$name")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.map { case (name, _) =>
+      s"'$name', __v__$name" }.mkString(", ")
+    row.select(expr(
+        s"stack(${checks.size}, $stacked) AS (check, n_violations)"),
+        col("__n").as("n_rows"))
+      .select(col("check"), col("n_rows"),
+        col("n_violations").cast("bigint").as("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  def uniqueCheck(df: DataFrame, name: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "uniqueCheck: need at least one column")
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).cast("bigint").as("n_rows"),
+        sum(col("__c") - 1L).cast("bigint").as("n_violations"))
+      .select(lit(name).as("check"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  def fkCheck(child: DataFrame, childCol: String, parent: DataFrame,
+      parentCol: String, name: String): DataFrame = {
+    val orphans = child.select(col(childCol).as("__k"))
+      .filter(col("__k").isNotNull)
+      .join(parent.select(col(parentCol).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+    child.agg(count(lit(1)).cast("bigint").as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).cast("bigint")
+        .as("n_violations")))
+      .select(lit(name).as("check"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
   /** Per-column stats of `cols`: value/null counts, distinct count,
     * min/max rendered as strings. Output: one row per column, ordered
     * by column name — (column_name, n_values, n_nulls, n_distinct,

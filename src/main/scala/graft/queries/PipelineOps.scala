@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, GraphOps, Layout, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, Profile, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -1787,6 +1787,78 @@ object PipelineOps {
         |         AS total_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Data-quality expectations ([[graft.ops.Profile.rowChecks]] /
+    // uniqueCheck / fkCheck — the Deequ/dbt-tests shape): a named
+    // check suite over the warehouse tables reported as one violation
+    // census — five per-row predicates folded into ONE lineitem pass
+    // (a conditional count per rule in a single aggregate), key
+    // uniqueness as one hash agg, referential integrity as one
+    // left-anti join. quantity_le_10 is deliberately violated so the
+    // counting path itself is load-bearing (all-zeros would also pass
+    // a broken counter); NULL predicates count as violations on both
+    // sides (CASE WHEN pred THEN 0 ELSE 1).
+    QueryDef.views("dq1_expectations",
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |  rc AS (
+        |    SELECT 'discount_unit' AS chk,
+        |      CAST(sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS BIGINT) AS v
+        |    FROM lineitem
+        |    UNION ALL SELECT 'price_positive',
+        |      CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |    UNION ALL SELECT 'quantity_in_range',
+        |      CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |    UNION ALL SELECT 'quantity_le_10',
+        |      CAST(sum(CASE WHEN l_quantity <= 10 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem
+        |    UNION ALL SELECT 'shipdate_known',
+        |      CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem),
+        |  rows_rc AS (SELECT chk AS "check", n.n AS n_rows, v AS n_violations
+        |              FROM rc CROSS JOIN n),
+        |  u1 AS (SELECT 'unique_orderkey' AS "check",
+        |           CAST(count(*) AS BIGINT) AS n_rows,
+        |           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+        |         FROM orders),
+        |  u2 AS (SELECT 'unique_lineitem_key',
+        |           CAST(count(*) AS BIGINT),
+        |           CAST(count(*) - (SELECT count(*) FROM
+        |             (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT)
+        |         FROM lineitem),
+        |  f1 AS (SELECT 'fk_lineitem_orders',
+        |           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |              ON l.l_orderkey = o.o_orderkey
+        |            WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)),
+        |  f2 AS (SELECT 'fk_orders_customer',
+        |           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |              ON o.o_custkey = c.c_custkey
+        |            WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL))
+        |SELECT "check", n_rows, n_violations, n_violations = 0 AS passed
+        |FROM (SELECT * FROM rows_rc UNION ALL SELECT * FROM u1
+        |      UNION ALL SELECT * FROM u2 UNION ALL SELECT * FROM f1
+        |      UNION ALL SELECT * FROM f2)
+        |ORDER BY "check"""".stripMargin) { spark =>
+      val li = spark.table("lineitem")
+      val o = spark.table("orders")
+      val c = spark.table("customer")
+      Profile.rowChecks(li, Seq(
+          "discount_unit" -> col("l_discount").between(0, 1),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "quantity_in_range" -> col("l_quantity").between(1, 50),
+          "quantity_le_10" -> (col("l_quantity") <= 10),
+          "shipdate_known" -> col("l_shipdate").isNotNull))
+        .unionByName(Profile.uniqueCheck(o, "unique_orderkey",
+          Seq("o_orderkey")))
+        .unionByName(Profile.uniqueCheck(li, "unique_lineitem_key",
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(Profile.fkCheck(li, "l_orderkey", o, "o_orderkey",
+          "fk_lineitem_orders"))
+        .unionByName(Profile.fkCheck(o, "o_custkey", c, "c_custkey",
+          "fk_orders_customer"))
+        .orderBy("check")
+    },
 
     // Padding-waste report ([[graft.ops.TextOps.paddingStats]]): the
     // arithmetic behind length-bucketed batch assembly — at batch
