@@ -668,6 +668,51 @@ object Relational {
         .orderBy("user_id", "first_event_id")
     },
 
+    // Dynamic-gap sessionization: the gap is a PER-EVENT expression
+    // (clicks keep a session alive 2 minutes, errors 10, everything
+    // else 5) — the real-world form of ses1, where different activity
+    // kinds have different idle tolerances. Each event contributes the
+    // interval [ts, ts+gap(e)); sessions are the transitive merge of
+    // overlapping intervals. The oracle states that as running-max
+    // islands: a new session starts exactly when an event's ts clears
+    // the max window-end of every earlier event in the group —
+    // lag(ts) (ses1's rule) would be WRONG here, since a long-gap
+    // event can bridge over a short-gap successor.
+    QueryDef.views("ses2_dynamic_gap",
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |         ts + CASE event_type WHEN 'click' THEN INTERVAL 2 MINUTE
+        |                              WHEN 'error' THEN INTERVAL 10 MINUTE
+        |                              ELSE INTERVAL 5 MINUTE END AS wend
+        |  FROM events),
+        |  f AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN max(wend) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |              <= ts THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |  islands AS (
+        |  SELECT user_id, event_id,
+        |         sum(new_session) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(min(event_id) AS BIGINT) AS first_event_id,
+        |       count(*) AS n_events
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, first_event_id""".stripMargin) { spark =>
+      spark.table("events")
+        .groupBy(session_window(col("ts"),
+          when(col("event_type") === "click", "2 minutes")
+            .when(col("event_type") === "error", "10 minutes")
+            .otherwise("5 minutes")), col("user_id"))
+        .agg(min("event_id").cast("bigint").as("first_event_id"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "first_event_id", "n_events")
+        .orderBy("user_id", "first_event_id")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).
