@@ -1461,6 +1461,90 @@ object CdcQueries {
         |SELECT (SELECT count(*) FROM h, t WHERE c * 17 > total) AS n_true_hh,
         |       CAST(0 AS BIGINT) AS n_missing""".stripMargin)),
 
+    // st9 — CHAINED STATEFUL OPERATORS in one streaming query: exact
+    // dedup (cross-batch key state) feeding a tumbling-window count
+    // (window state), both on the same watermarked event-time column —
+    // the dedup-then-aggregate pipeline every ingestion DAG wants as
+    // ONE query instead of two jobs with a materialized middle. Made
+    // deterministic by construction: the fixture derives each doc's
+    // event time FROM ITS DIGEST, so every member of a duplicate
+    // family carries the SAME timestamp and the surviving row's window
+    // is fixed no matter which member a batch keeps. Duplicates
+    // straddle the four doc_id%4 chunks, so a correct count REQUIRES
+    // the dedup state to survive trigger boundaries; the window agg
+    // then counts first-occurrences per 10-minute window. Watermark
+    // delay (2h) spans the fixture's one-hour range — nothing evicts
+    // mid-run — and a far-future sentinel (+4h) closes every window,
+    // emitted during the flush batch (iv2's discipline). Oracle:
+    // distinct digests bucketed by the same digest-derived window.
+    QueryDef("st9_stream_dedup_window", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val run = Files.createTempDirectory("graft-st9-run")
+      val src = spark.table("documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) +
+          expr("conv(substr(digest, 1, 4), 16, 10)").cast("long") % 3600))
+      (0 until 4).foreach { k =>
+        val tmp = run.resolve(s"w-$k")
+        src.filter(col("doc_id") % 4 === k).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error("st9 fixture: no part file"))
+        Files.move(part.toPath, run.resolve(s"chunk-$k.parquet"))
+        tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+        run.resolve(s"chunk-$k.parquet").toFile
+          .setLastModified(1000000000000L + k * 1000L)
+      }
+      import spark.implicits._
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, digest STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .withWatermark("ts", "2 hours")
+      val counts = docs
+        .dropDuplicatesWithinWatermark("digest")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_first_seen"))
+      val qn = "st9_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = counts.writeStream.outputMode("append")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st9-ckpt").toString)
+          .start()
+        q.processAllAvailable()
+        // flush: the sentinel's watermark closes all real windows, but
+        // evictions only EMIT while a subsequent batch runs
+        val d = run.resolve("sentinel.parquet")
+        val tmp = run.resolve("w-s")
+        Seq((-1L, "zz_sentinel")).toDF("doc_id", "digest")
+          .select(col("doc_id"), col("digest"),
+            timestamp_seconds(lit(1700000000L + 4L * 3600)).as("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error("st9 sentinel: no part file"))
+        Files.move(part.toPath, d)
+        tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+        d.toFile.setLastModified(1000000000000L + 9000L)
+        q.processAllAvailable(); q.stop()
+      }
+      spark.table(qn)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("n_first_seen"))
+        .filter(col("window_start") < "2023-11-15 00:00:00") // drop sentinel
+        .orderBy("window_start")
+    }, Some(
+      """WITH d AS (SELECT DISTINCT md5(text) AS dg FROM documents),
+        |  t AS (SELECT dg, 1700000000 +
+        |          ('0x' || substr(dg, 1, 4))::BIGINT % 3600 AS sec
+        |        FROM d)
+        |SELECT strftime(make_timestamp(((sec // 600) * 600) * 1000000),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       count(*) AS n_first_seen
+        |FROM t GROUP BY 1 ORDER BY window_start""".stripMargin)),
+
     // sc4 — the TEMPORAL join, streaming: facts arrive as a stream and
     // each joins the dimension VERSION valid at its own time (Flink's
     // FOR SYSTEM_TIME AS OF — the flagship join of the CDC world this
