@@ -477,6 +477,33 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS with
+    // an extra correlated predicate (a lineitem shipped > 30 days
+    // after ordering) over a date-windowed fact scan — the existence
+    // join Catalyst rewrites to a left-semi with the correlation as
+    // the join condition; counts grouped by priority. Expressed as
+    // SQL text (the E1 surface) so the subquery-rewrite path itself
+    // is under grade.
+    QueryDef.views("q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey
+          |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // TPC-H Q7 shape (volume shipping): five-table join where the
     // nation pair is a DISJUNCTIVE predicate — (A,B) or (B,A) — that
     // no single equi-key expresses, plus a derived group key
