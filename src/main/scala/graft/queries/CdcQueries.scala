@@ -1516,8 +1516,11 @@ object CdcQueries {
         q.processAllAvailable()
         // flush: the sentinel's watermark closes all real windows, but
         // evictions only EMIT while a subsequent batch runs
+        // build OUTSIDE the streamed dir: the file source globs `run`
+        // every trigger and must never see a half-written temp dir
         val d = run.resolve("sentinel.parquet")
-        val tmp = run.resolve("w-s")
+        val tmp = Files.createTempDirectory("graft-st9-sentinel")
+          .resolve("w-s")
         Seq((-1L, "zz_sentinel")).toDF("doc_id", "digest")
           .select(col("doc_id"), col("digest"),
             timestamp_seconds(lit(1700000000L + 4L * 3600)).as("ts"))
