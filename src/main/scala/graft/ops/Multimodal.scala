@@ -583,6 +583,58 @@ object Multimodal {
     })
   }
 
+  /** Perceptual image hash output: 64-bit dHash split into two
+    * non-negative 32-bit halves (bit 63 would wrap a single BIGINT
+    * negative and complicate every oracle comparison). */
+  final case class ImageHash(
+      asset_id: Long,
+      width: Long,
+      height: Long,
+      dhash_hi: Long,
+      dhash_lo: Long)
+
+  /** Difference hash (dHash) over DECODED pixels — perceptual near-dup
+    * detection for the image modality, the content-space analog of
+    * simhash for text: resize to a 9×8 grid by nearest-neighbor
+    * (source pixel (r·h div 8, c·w div 9) — pure integer index math,
+    * no filtering kernel, so an oracle replays it exactly), take the
+    * integer BT.601 luma of each cell, and emit one bit per
+    * horizontally adjacent pair (left brighter than right). Identical
+    * rasters collide exactly; small edits flip few bits, so banded
+    * near-dup joins (the simhash machinery) apply unchanged to the
+    * (hi, lo) halves. Same mapPartitions seam as the other decoders;
+    * assets without a full declared raster are skipped. */
+  def imageDHash(assets: Dataset[Asset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmHeader(a.payload).flatMap { case (w, h, _, off) =>
+        if (w <= 0 || h <= 0 || a.payload.length - off < 3 * w * h) None
+        else {
+          def gray(r: Int, c: Int): Long = {
+            val p = off + 3 * ((r * h / 8) * w + (c * w / 9))
+            299L * (a.payload(p) & 0xFF) +
+              587L * (a.payload(p + 1) & 0xFF) +
+              114L * (a.payload(p + 2) & 0xFF)
+          }
+          var hi = 0L; var lo = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (gray(r, c) > gray(r, c + 1)) {
+                val k = r * 8 + c
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              c += 1
+            }
+            r += 1
+          }
+          Some(ImageHash(a.asset_id, w.toLong, h.toLong, hi, lo))
+        }
+      }
+    })
+  }
+
   /** Typed metadata frame joined back to asset identity — the table a
     * training-data pipeline filters/groups on (no payload column: metadata
     * queries must never drag binary blobs through a shuffle). */

@@ -664,6 +664,56 @@ object PipelineOps {
         |       CAST(sum(299*r + 587*g + 114*bl) AS BIGINT) AS sum_luma
         |FROM p GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin)),
 
+    // mh1 — perceptual image hashing over DECODED pixels ([[graft.ops
+    // .Multimodal.imageDHash]]): the content-space near-dup key for
+    // the image modality (simhash's analog — identical rasters
+    // collide, small edits flip few bits, the banded machinery applies
+    // unchanged). Nearest-neighbor 9×8 resize by pure integer index
+    // math + integer BT.601 luma + adjacent-pair bits, so the oracle
+    // replays EVERY pixel pick, luma, comparison and bit position from
+    // the raw raster bytes — all 64 bits of every asset's hash are
+    // load-bearing.
+    QueryDef("mh1_image_dhash", (spark, dir) => {
+      val assets = graft.ops.Multimodal.ppmAssetsFromDocuments(spark, dir)
+      graft.ops.Multimodal.imageDHash(assets).toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("dhash_hi"), col("dhash_lo"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  4 + (doc_id % 5) * 2 AS w
+        |           FROM documents WHERE n_chars % 3 = 0),
+        |  d AS (SELECT doc_id, w, octet_length(b) // (3 * w) AS h, b
+        |        FROM a WHERE octet_length(b) >= 3 * w),
+        |  cells AS (SELECT doc_id, r, c,
+        |      299 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 1, 2))::BIGINT
+        |    + 587 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 3, 2))::BIGINT
+        |    + 114 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 5, 2))::BIGINT
+        |      AS gray
+        |    FROM d, UNNEST(range(0, 8)) AS t1(r),
+        |            UNNEST(range(0, 9)) AS t2(c)),
+        |  bits AS (SELECT l.doc_id, l.r * 8 + l.c AS k,
+        |             CASE WHEN l.gray > rr.gray THEN 1 ELSE 0 END AS bit
+        |           FROM cells l JOIN cells rr
+        |             ON l.doc_id = rr.doc_id AND l.r = rr.r
+        |            AND rr.c = l.c + 1
+        |           WHERE l.c < 8),
+        |  hh AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN k >= 32
+        |             THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+        |             ELSE 0 END) AS BIGINT) AS dhash_hi,
+        |           CAST(sum(CASE WHEN k < 32
+        |             THEN bit * (CAST(1 AS BIGINT) << k)
+        |             ELSE 0 END) AS BIGINT) AS dhash_lo
+        |         FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id AS asset_id, CAST(w AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height, dhash_hi, dhash_lo
+        |FROM d JOIN hh ON d.doc_id = hh.doc_id
+        |ORDER BY asset_id""".stripMargin)),
+
     // m5 — the video SAMPLE TABLE read back ([[graft.ops.Multimodal
     // .videoSampleStats]]): m1 grades what the video looks like (tkhd
     // dims, mvhd ticks); THIS grades where each frame's bytes are —

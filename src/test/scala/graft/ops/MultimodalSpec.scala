@@ -221,6 +221,39 @@ class MultimodalSpec extends SparkSpec {
       .filter(got("tot") =!= want("tot")).count() == 0)
   }
 
+  test("imageDHash: gradients, duplicate collision, edit sensitivity") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes
+      val body = Array.tabulate(3 * w * h) { i =>
+        px((i / 3) / w, (i / 3) % w).toByte }
+      header ++ body
+    }
+    def hash(id: Long, p: Array[Byte]) =
+      Multimodal.imageDHash(
+        Seq(Multimodal.Asset(id, "image", p, "s")).toDS()).collect()
+    // brightness strictly rising left->right: every left < right -> 0
+    val rising = hash(1L, ppm(16, 16, (_, c) => c * 10))
+    assert(rising.head.dhash_hi == 0L && rising.head.dhash_lo == 0L)
+    // strictly falling: every comparison true -> all 32 bits per half
+    val falling = hash(2L, ppm(16, 16, (_, c) => 255 - c * 10))
+    assert(falling.head.dhash_hi == 0xFFFFFFFFL &&
+      falling.head.dhash_lo == 0xFFFFFFFFL)
+    // identical rasters collide regardless of asset id
+    val a = hash(3L, ppm(12, 10, (r, c) => (r * 31 + c * 17) % 256)).head
+    val b = hash(4L, ppm(12, 10, (r, c) => (r * 31 + c * 17) % 256)).head
+    assert((a.dhash_hi, a.dhash_lo) == ((b.dhash_hi, b.dhash_lo)))
+    // a one-pixel edit flips few bits (perceptual locality)
+    val edited = hash(5L, ppm(12, 10, (r, c) =>
+      if (r == 0 && c == 0) 255 else (r * 31 + c * 17) % 256)).head
+    val flips = java.lang.Long.bitCount(a.dhash_hi ^ edited.dhash_hi) +
+      java.lang.Long.bitCount(a.dhash_lo ^ edited.dhash_lo)
+    assert(flips >= 1 && flips <= 4, s"flips=$flips")
+    // undeclared raster bytes -> skipped, not hashed
+    assert(hash(6L, "P6\n4 4\n255\n".getBytes ++
+      Array.fill[Byte](10)(1)).isEmpty)
+  }
+
   test("payloads cannot reach a shuffle: decode output carries no binary column") {
     val decoded = Multimodal.decode(Multimodal.assetsFromDocuments(spark, sf))
     // the structural guarantee: everything downstream of decode (the part
