@@ -635,6 +635,43 @@ object Multimodal {
     })
   }
 
+  /** Perceptual near-dup candidate pairs over [[imageDHash]] output —
+    * the banded join, d3's machinery applied to pixels: the 64-bit
+    * hash splits into 8 bands of 8 bits, any two hashes within
+    * Hamming distance ≤ 7 share at least one band UNCHANGED
+    * (pigeonhole: 8 differing bits cannot touch all 8 bands when only
+    * ≤ 7 differ), so candidates come from an EQUI-join on (band,
+    * value) and the exact bit_count verify runs on candidates only.
+    * Returns distinct (a, b, hamming) pairs, a < b. Scale shape:
+    * hashes are 3 longs/asset — the join input is narrow regardless
+    * of raster sizes, and band buckets bound the candidate volume the
+    * way simhash bands do for text. */
+  def imageDHashPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"imageDHashPairs: 8 bands are pigeonhole-complete only to " +
+        s"Hamming 7, got $maxHamming")
+    val df = hashes.toDF()
+    val banded = df.select(col("asset_id"), col("dhash_hi"),
+      col("dhash_lo"), posexplode(array((0 until 8).map { k =>
+        val src = if (k < 4) col("dhash_hi") else col("dhash_lo")
+        shiftright(src, 8 * (k % 4)).bitwiseAND(lit(255L))
+      }: _*)).as(Seq("band", "bval")))
+    val l = banded.select(col("asset_id").as("a"),
+      col("dhash_hi").as("ah"), col("dhash_lo").as("al"),
+      col("band"), col("bval"))
+    val r = banded.select(col("asset_id").as("b"),
+      col("dhash_hi").as("bh"), col("dhash_lo").as("bl"),
+      col("band"), col("bval"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (expr("bit_count(ah ^ bh)") + expr("bit_count(al ^ bl)"))
+          .cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Typed metadata frame joined back to asset identity — the table a
     * training-data pipeline filters/groups on (no payload column: metadata
     * queries must never drag binary blobs through a shuffle). */

@@ -714,6 +714,68 @@ object PipelineOps {
         |FROM d JOIN hh ON d.doc_id = hh.doc_id
         |ORDER BY asset_id""".stripMargin)),
 
+    // mh2 — perceptual near-dup detection through the BANDED plan
+    // ([[graft.ops.Multimodal.imageDHashPairs]]): simhash's machinery
+    // applied to pixels — 8×8-bit bands make an equi-join complete for
+    // Hamming ≤ 7, exact bit_count verify on candidates only. Graded
+    // per asset (neighbor count, zeros included) against an oracle
+    // that rebuilds every hash from raw raster bytes and brute-forces
+    // ALL pairs — the banded path must find exactly the pairs the
+    // exhaustive one does.
+    QueryDef("mh2_image_neardup", (spark, dir) => {
+      val hashes = graft.ops.Multimodal.imageDHash(
+        graft.ops.Multimodal.ppmAssetsFromDocuments(spark, dir))
+      val pairs = graft.ops.Multimodal.imageDHashPairs(hashes, 7)
+      val sides = pairs.select(col("a").as("v"))
+        .unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      hashes.toDF().select(col("asset_id"))
+        .join(sides, col("asset_id") === col("v"), "left")
+        .select(col("asset_id"),
+          coalesce(col("n"), lit(0L)).as("n_neardups"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  4 + (doc_id % 5) * 2 AS w
+        |           FROM documents WHERE n_chars % 3 = 0),
+        |  d AS (SELECT doc_id, w, octet_length(b) // (3 * w) AS h, b
+        |        FROM a WHERE octet_length(b) >= 3 * w),
+        |  cells AS (SELECT doc_id, r, c,
+        |      299 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 1, 2))::BIGINT
+        |    + 587 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 3, 2))::BIGINT
+        |    + 114 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 5, 2))::BIGINT
+        |      AS gray
+        |    FROM d, UNNEST(range(0, 8)) AS t1(r),
+        |            UNNEST(range(0, 9)) AS t2(c)),
+        |  bits AS (SELECT l.doc_id, l.r * 8 + l.c AS k,
+        |             CASE WHEN l.gray > rr.gray THEN 1 ELSE 0 END AS bit
+        |           FROM cells l JOIN cells rr
+        |             ON l.doc_id = rr.doc_id AND l.r = rr.r
+        |            AND rr.c = l.c + 1
+        |           WHERE l.c < 8),
+        |  hh AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN k >= 32
+        |             THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi,
+        |           CAST(sum(CASE WHEN k < 32
+        |             THEN bit * (CAST(1 AS BIGINT) << k)
+        |             ELSE 0 END) AS BIGINT) AS lo
+        |         FROM bits GROUP BY doc_id),
+        |  pairs AS (SELECT p.doc_id AS x, q.doc_id AS y
+        |            FROM hh p JOIN hh q ON p.doc_id < q.doc_id
+        |            WHERE bit_count(xor(p.hi, q.hi))
+        |                + bit_count(xor(p.lo, q.lo)) <= 7),
+        |  cnt AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM
+        |            (SELECT x AS v FROM pairs
+        |             UNION ALL SELECT y FROM pairs) GROUP BY v)
+        |SELECT d.doc_id AS asset_id,
+        |       coalesce(cnt.n, 0) AS n_neardups
+        |FROM d LEFT JOIN cnt ON d.doc_id = cnt.v
+        |ORDER BY asset_id""".stripMargin)),
+
     // m5 — the video SAMPLE TABLE read back ([[graft.ops.Multimodal
     // .videoSampleStats]]): m1 grades what the video looks like (tkhd
     // dims, mvhd ticks); THIS grades where each frame's bytes are —

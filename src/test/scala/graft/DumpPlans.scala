@@ -40,7 +40,9 @@ object DumpPlans {
     "tc1_triangles", "un1_unicode_nfc", "m5_video_sample_table",
     "q7_volume_shipping", "q10_returned_items", "w3_range_window",
     "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion",
-    "dd1_corpus_changelog", "pd1_padding_stats", "qs2x_grouped_quantiles")
+    "dd1_corpus_changelog", "pd1_padding_stats", "qs2x_grouped_quantiles",
+    "ses2_dynamic_gap", "q4_order_priority", "mh1_image_dhash",
+    "mh2_image_neardup", "dq1_expectations")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
