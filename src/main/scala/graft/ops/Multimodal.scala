@@ -635,6 +635,51 @@ object Multimodal {
     })
   }
 
+  /** Acoustic fingerprint over DECODED PCM — the audio member of the
+    * perceptual family (text simhash / image dHash / THIS): the sample
+    * stream folds into 64 energy bins (Σ|s| per contiguous time slice,
+    * slice of sample j = j·64 div n — integer index math an oracle
+    * replays exactly), and each of the 63 adjacent bin pairs emits one
+    * sign-of-delta bit — the energy-envelope shape, robust to volume
+    * scaling direction and croppable into the banded near-dup
+    * machinery like the other two. Same mapPartitions seam as
+    * [[decodePcm]]; assets without a full frame are skipped. */
+  final case class AudioFingerprint(
+      asset_id: Long,
+      n_samples: Long,
+      fp_hi: Long,
+      fp_lo: Long)
+
+  def audioFingerprint(assets: Dataset[Asset]): Dataset[AudioFingerprint] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parseWavMeta(a.payload).flatMap { case (_, ch, frames, off) =>
+        val n = (frames * ch).toInt
+        if (n <= 0) None
+        else {
+          val bins = new Array[Long](64)
+          var j = 0
+          while (j < n) {
+            val b0 = a.payload(off + 2 * j) & 0xFF
+            val b1 = a.payload(off + 2 * j + 1) & 0xFF
+            val s = ((b1 << 8) | b0).toShort.toLong
+            bins((j.toLong * 64 / n).toInt) += math.abs(s)
+            j += 1
+          }
+          var hi = 0L; var lo = 0L
+          var k = 0
+          while (k < 63) {
+            if (bins(k) > bins(k + 1)) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          Some(AudioFingerprint(a.asset_id, n.toLong, hi, lo))
+        }
+      }
+    })
+  }
+
   /** Perceptual near-dup candidate pairs over [[imageDHash]] output —
     * the banded join, d3's machinery applied to pixels: the 64-bit
     * hash splits into 8 bands of 8 bits, any two hashes within

@@ -714,6 +714,60 @@ object PipelineOps {
         |FROM d JOIN hh ON d.doc_id = hh.doc_id
         |ORDER BY asset_id""".stripMargin)),
 
+    // ah1 — acoustic fingerprinting over DECODED PCM ([[graft.ops
+    // .Multimodal.audioFingerprint]]): the audio member of the
+    // perceptual family. 64 contiguous energy bins (Σ|s| per slice,
+    // slice index = j·64 div n) + 63 sign-of-delta bits = the energy
+    // envelope's shape as a bandable key. The oracle rebuilds the
+    // sample stream byte-pair by byte-pair (m3's machinery), re-bins,
+    // and re-derives every bit — fingerprint exact per asset.
+    QueryDef("ah1_audio_fingerprint", (spark, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromDocuments(spark, dir)
+        .filter(col("modality") === "audio")
+      graft.ops.Multimodal.audioFingerprint(assets).toDF()
+        .select(col("asset_id"), col("n_samples"),
+          col("fp_hi"), col("fp_lo"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  2 * (1 + doc_id % 2) AS ba
+        |           FROM documents WHERE n_chars % 3 = 1),
+        |  na AS (SELECT doc_id,
+        |           (octet_length(b) // ba) * ba // 2 AS n
+        |         FROM a WHERE (octet_length(b) // ba) * ba // 2 >= 1),
+        |  s AS (SELECT a.doc_id, j,
+        |          ('0x' || substr(hex(b), 4*j-3, 2))::INT
+        |          + 256 * ('0x' || substr(hex(b), 4*j-1, 2))::INT AS u
+        |        FROM a, UNNEST(generate_series(
+        |          1, (octet_length(b) // ba) * ba // 2)) AS t(j)),
+        |  v AS (SELECT s.doc_id, ((j - 1) * 64) // na.n AS bin,
+        |          abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)
+        |            AS am
+        |        FROM s JOIN na ON s.doc_id = na.doc_id),
+        |  bins AS (SELECT doc_id, bin, CAST(sum(am) AS BIGINT) AS e
+        |           FROM v GROUP BY doc_id, bin),
+        |  grid0 AS (SELECT na.doc_id, t.k
+        |            FROM na, UNNEST(range(0, 63)) AS t(k)),
+        |  grid AS (SELECT g.doc_id, g.k,
+        |             coalesce(b1.e, 0) AS e1, coalesce(b2.e, 0) AS e2
+        |           FROM grid0 g
+        |           LEFT JOIN bins b1
+        |             ON b1.doc_id = g.doc_id AND b1.bin = g.k
+        |           LEFT JOIN bins b2
+        |             ON b2.doc_id = g.doc_id AND b2.bin = g.k + 1),
+        |  fp AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN e1 > e2 AND k >= 32
+        |             THEN CAST(1 AS BIGINT) << (k - 32)
+        |             ELSE 0 END) AS BIGINT) AS fp_hi,
+        |           CAST(sum(CASE WHEN e1 > e2 AND k < 32
+        |             THEN CAST(1 AS BIGINT) << k
+        |             ELSE 0 END) AS BIGINT) AS fp_lo
+        |         FROM grid GROUP BY doc_id)
+        |SELECT na.doc_id AS asset_id, CAST(na.n AS BIGINT) AS n_samples,
+        |       fp.fp_hi, fp.fp_lo
+        |FROM na JOIN fp ON na.doc_id = fp.doc_id
+        |ORDER BY asset_id""".stripMargin)),
+
     // mh2 — perceptual near-dup detection through the BANDED plan
     // ([[graft.ops.Multimodal.imageDHashPairs]]): simhash's machinery
     // applied to pixels — 8×8-bit bands make an equi-join complete for

@@ -42,7 +42,7 @@ object DumpPlans {
     "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion",
     "dd1_corpus_changelog", "pd1_padding_stats", "qs2x_grouped_quantiles",
     "ses2_dynamic_gap", "q4_order_priority", "mh1_image_dhash",
-    "mh2_image_neardup", "dq1_expectations")
+    "mh2_image_neardup", "dq1_expectations", "ah1_audio_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -254,6 +254,41 @@ class MultimodalSpec extends SparkSpec {
       Array.fill[Byte](10)(1)).isEmpty)
   }
 
+  test("audioFingerprint: envelope shape, duplicate collision, skip") {
+    import spark.implicits._
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le(s.toLong & 0xFFFF, 2)).toArray
+      val fmt = "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+        le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2)
+      val dc = "data".getBytes ++ le(data.length, 4) ++ data
+      val body = "WAVE".getBytes ++ fmt ++ dc
+      "RIFF".getBytes ++ le(body.length, 4) ++ body
+    }
+    def fp(id: Long, p: Array[Byte]) =
+      Multimodal.audioFingerprint(
+        Seq(Multimodal.Asset(id, "audio", p, "s")).toDS()).collect()
+    // constant amplitude: every bin equal -> no bit set
+    val flat = fp(1L, wav(Seq.fill(256)(1000))).head
+    assert(flat.fp_hi == 0L && flat.fp_lo == 0L &&
+      flat.n_samples == 256L)
+    // monotonically DECAYING envelope: every adjacent pair fires
+    val decay = fp(2L, wav((0 until 256).map(j => 20000 - j * 70))).head
+    assert(decay.fp_hi == 0x7FFFFFFFL && decay.fp_lo == 0xFFFFFFFFL)
+    // identical streams collide; a local loudness spike flips few bits
+    val base = (0 until 256).map(j => (j * 37) % 4000)
+    val a = fp(3L, wav(base)).head
+    val b = fp(4L, wav(base)).head
+    assert((a.fp_hi, a.fp_lo) == ((b.fp_hi, b.fp_lo)))
+    val spiked = fp(5L, wav(base.updated(10, 30000))).head
+    val flips = java.lang.Long.bitCount(a.fp_hi ^ spiked.fp_hi) +
+      java.lang.Long.bitCount(a.fp_lo ^ spiked.fp_lo)
+    assert(flips >= 1 && flips <= 4, s"flips=$flips")
+    // sub-frame payload is skipped
+    assert(fp(6L, wav(Seq.empty)).isEmpty)
+  }
+
   test("payloads cannot reach a shuffle: decode output carries no binary column") {
     val decoded = Multimodal.decode(Multimodal.assetsFromDocuments(spark, sf))
     // the structural guarantee: everything downstream of decode (the part
