@@ -714,6 +714,66 @@ object PipelineOps {
         |FROM d JOIN hh ON d.doc_id = hh.doc_id
         |ORDER BY asset_id""".stripMargin)),
 
+    // mh3 — perceptual duplicate CLUSTERS: mh2's banded pair graph
+    // through [[graft.ops.Dedup.dupClusters]] (min-label + pointer
+    // jumping) — SemDeDup's composition for the image modality, the
+    // keep-one-per-cluster step a 100 TB image corpus actually runs.
+    // The oracle walks the brute-force pair graph with a recursive
+    // CTE (wc1's formulation), so the banded candidates, the hamming
+    // verify AND the clustering must all agree with the exhaustive
+    // answer.
+    QueryDef("mh3_image_dup_clusters", (spark, dir) => {
+      val hashes = graft.ops.Multimodal.imageDHash(
+        graft.ops.Multimodal.ppmAssetsFromDocuments(spark, dir))
+      val pairs = graft.ops.Multimodal.imageDHashPairs(hashes, 7)
+        .select(col("a"), col("b"))
+      graft.ops.Dedup.dupClusters(pairs, "a", "b")
+        .select(col("doc_id").as("asset_id"),
+          col("cluster_id").cast("bigint").as("cluster_id"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH RECURSIVE a AS (SELECT doc_id, encode(text) AS b,
+        |                  4 + (doc_id % 5) * 2 AS w
+        |           FROM documents WHERE n_chars % 3 = 0),
+        |  d AS (SELECT doc_id, w, octet_length(b) // (3 * w) AS h, b
+        |        FROM a WHERE octet_length(b) >= 3 * w),
+        |  cells AS (SELECT doc_id, r, c,
+        |      299 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 1, 2))::BIGINT
+        |    + 587 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 3, 2))::BIGINT
+        |    + 114 * ('0x' || substr(hex(b),
+        |        6 * (((r * h) // 8) * w + (c * w) // 9) + 5, 2))::BIGINT
+        |      AS gray
+        |    FROM d, UNNEST(range(0, 8)) AS t1(r),
+        |            UNNEST(range(0, 9)) AS t2(c)),
+        |  bits AS (SELECT l.doc_id, l.r * 8 + l.c AS k,
+        |             CASE WHEN l.gray > rr.gray THEN 1 ELSE 0 END AS bit
+        |           FROM cells l JOIN cells rr
+        |             ON l.doc_id = rr.doc_id AND l.r = rr.r
+        |            AND rr.c = l.c + 1
+        |           WHERE l.c < 8),
+        |  hh AS (SELECT doc_id,
+        |           CAST(sum(CASE WHEN k >= 32
+        |             THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi,
+        |           CAST(sum(CASE WHEN k < 32
+        |             THEN bit * (CAST(1 AS BIGINT) << k)
+        |             ELSE 0 END) AS BIGINT) AS lo
+        |         FROM bits GROUP BY doc_id),
+        |  pairs AS (SELECT p.doc_id AS x, q.doc_id AS y
+        |            FROM hh p JOIN hh q ON p.doc_id < q.doc_id
+        |            WHERE bit_count(xor(p.hi, q.hi))
+        |                + bit_count(xor(p.lo, q.lo)) <= 7),
+        |  edges AS (SELECT x AS s, y AS t FROM pairs
+        |            UNION SELECT y, x FROM pairs),
+        |  walk(node, lbl) AS (
+        |    SELECT s, s FROM (SELECT DISTINCT s FROM edges) base
+        |    UNION
+        |    SELECT e.s, w2.lbl FROM edges e JOIN walk w2 ON e.t = w2.node)
+        |SELECT node AS asset_id, min(lbl) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY asset_id""".stripMargin)),
+
     // ah1 — acoustic fingerprinting over DECODED PCM ([[graft.ops
     // .Multimodal.audioFingerprint]]): the audio member of the
     // perceptual family. 64 contiguous energy bins (Σ|s| per slice,
