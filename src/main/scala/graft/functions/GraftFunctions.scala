@@ -23,6 +23,9 @@ object GraftFunctions {
     "nfc_normalize" -> ((es: Seq[Expression]) => NfcNormalize(es(0))),
     "nfkc_normalize" -> ((es: Seq[Expression]) => NfkcNormalize(es(0))),
     "mg_topk" -> ((es: Seq[Expression]) => MgTopK(es(0), litInt(es(1)))),
+    "cms_sketch" -> ((es: Seq[Expression]) =>
+      CmsSketch(es(0), litInt(es(1)), litInt(es(2)))),
+    "cms_estimate" -> ((es: Seq[Expression]) => CmsEstimate(es(0), es(1))),
     // id/score children are coerced (int id → bigint, float score →
     // double) or rejected HERE, at analysis: update() casts straight to
     // Long/Double, so an uncoerced int id would fail row-at-a-time at

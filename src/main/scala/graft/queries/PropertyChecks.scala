@@ -431,6 +431,46 @@ object PropertyChecks {
         .orderBy("lang")
     },
 
+    // Count-Min sketch: point-frequency estimates for EVERY distinct word
+    // bigram in the corpus, graded both ways — the lower bound
+    // (estimate ≥ true count) is the algorithm's deterministic guarantee
+    // (counters only ever add), and the upper bound is the classic
+    // ε = 2e/width slack. The probe runs through cms_estimate (codegen'd)
+    // against ONE sketch built by a single mergeable aggregate — the
+    // partial buffers exercising the linear (element-wise add) merge
+    // across all 32 input partitions. Completes the sketch family:
+    // distinct (HLL/KMV), rank (KLL/GK), heavy items (MG), and now
+    // point frequency for arbitrary probes (CMS).
+    QueryDef.views("cms1x_point_estimates",
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+        |                    x -> len(x) > 0) AS toks FROM documents),
+        |     bg AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |              ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i + 1]) END) AS bg
+        |            FROM t)
+        |SELECT CAST(count(DISTINCT bg) AS BIGINT) AS n_probes,
+        |       CAST(0 AS BIGINT) AS n_lower_violations,
+        |       CAST(0 AS BIGINT) AS n_upper_violations
+        |FROM bg""".stripMargin) { spark =>
+      val bg = spark.table("documents").select(explode(expr(
+        "word_ngrams(filter(split(text, ' '), x -> length(x) > 0), 2)"))
+        .as("bg"))
+      val sk = bg.agg(expr("cms_sketch(bg, 4, 16384)").as("sk"),
+        count(lit(1)).as("n"))
+      bg.groupBy("bg").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(sk))
+        .select(col("bg"), col("c"),
+          expr("cms_estimate(sk, bg)").as("est"),
+          // ceil(2e·n/width): the ε·n additive slack of the CMS bound
+          expr("CAST(ceil(5.436563656918091D * n / 16384) AS BIGINT)")
+            .as("slack"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("est") < col("c"), 1L).otherwise(0L))
+            .as("n_lower_violations"),
+          sum(when(col("est") > col("c") + col("slack"), 1L).otherwise(0L))
+            .as("n_upper_violations"))
+    },
+
     QueryDef.views("hll1x_sketch_error",
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       CAST(0 AS BIGINT) AS n_hll_violations,

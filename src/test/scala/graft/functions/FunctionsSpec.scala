@@ -275,4 +275,33 @@ class FunctionsSpec extends SparkSpec {
     // extensions installer accepts the same builders (cluster deploy path)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+  test("cms_sketch/cms_estimate: lower bound exact, linear merge, slack") {
+    val words = (Seq.fill(600)("alpha") ++ Seq.fill(90)("beta") ++
+      Seq.tabulate(2000)(i => s"w${i % 500}")).map(Tuple1(_))
+    val df = registered.createDataset(words).toDF("w")
+      .repartition(8) // force partial-buffer merges across partitions
+    val sk = df.selectExpr("cms_sketch(w, 4, 1024) AS sk")
+    val est = sk.selectExpr(
+      "cms_estimate(sk, 'alpha') AS a", "cms_estimate(sk, 'beta') AS b",
+      "cms_estimate(sk, 'w7') AS w7", "cms_estimate(sk, 'absent') AS z",
+      "sk[0] AS depth", "sk[1] AS width", "sk[2] AS n").head()
+    // estimate >= true always; <= true + generous eps*n here
+    assert(est.getLong(0) >= 600 && est.getLong(0) <= 600 + 30)
+    assert(est.getLong(1) >= 90 && est.getLong(1) <= 90 + 30)
+    assert(est.getLong(2) >= 4 && est.getLong(2) <= 4 + 30)
+    assert(est.getLong(3) <= 30) // absent item: pure collision noise
+    assert(est.getLong(4) == 4 && est.getLong(5) == 1024 &&
+      est.getLong(6) == 2690)
+    // linearity: sketch(A ++ B) == sketch(A) + sketch(B) element-wise
+    val (a, b) = (words.take(1000), words.drop(1000))
+    def sketchOf(rows: Seq[Tuple1[String]]): Seq[Long] =
+      registered.createDataset(rows).toDF("w")
+        .selectExpr("cms_sketch(w, 4, 1024) AS sk")
+        .head().getSeq[Long](0)
+    val merged = sketchOf(words)
+    val summed = sketchOf(a).zip(sketchOf(b)).zipWithIndex.map {
+      case ((x, y), i) => if (i < 2) x else x + y // [0]/[1] are shape
+    }
+    assert(merged == summed)
+  }
 }
