@@ -123,4 +123,49 @@ object GraphOps {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Multi-source BFS hop distance — the crawl-frontier / seed-proximity
+    * measure (distance from trusted seed hosts is a standard spam prior,
+    * and hop-limited reachability drives crawl scheduling). Emits
+    * (v, dist) for every node within `maxHops` of any source, dist =
+    * MINIMUM hop count.
+    *
+    * Frontier-relaxation shape: each round joins the CURRENT FRONTIER
+    * (not all visited nodes) against the edge list — the superstep
+    * exchange carries |frontier| + |new nodes| longs, never node
+    * payloads, and the edge relation is computed/partitioned once
+    * (localCheckpoint) and re-probed per round. Rounds are data-bounded:
+    * an empty frontier short-circuits the remaining hops — on a
+    * small-diameter web graph the loop ends at the diameter, not at
+    * `maxHops`; the isEmpty probe is a limit-1 job on a checkpointed
+    * frontier, not a full materialization. BFS level-synchronous
+    * distances are deterministic (no tie-break needed: a node's dist is
+    * the first round that reaches it). */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int = 8): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"shortestPaths: maxHops must be in [1, 64], got $maxHops")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var visited = sources.select(col(sourceCol).cast("bigint").as("v"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited.select("v")
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      // shuffle-hash: both sides are node-keyed; SMJ would re-sort the
+      // checkpointed edge relation every round for nothing
+      val next = e.join(frontier.hint("shuffle_hash"),
+          e("src") === frontier("v"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select("v")
+      hop += 1
+    }
+    visited
+  }
 }

@@ -1566,6 +1566,41 @@ object PipelineOps {
       GraphOps.connectedComponents(edges, "src", "dst").orderBy("v")
     },
 
+    // Multi-source BFS hop distance ([[graft.ops.GraphOps.shortestPaths]])
+    // on the same link graph — seed-proximity (distance from trusted
+    // seeds is a crawl-quality prior). Spark runs level-synchronous
+    // frontier relaxation (per-round exchanges carry node ids + one
+    // BIGINT, edges partitioned once); the oracle re-derives the same
+    // distances with a hop-bounded recursive CTE and min(d) — a
+    // completely different evaluation strategy over the same graph.
+    QueryDef.views("bf1_bfs_distance",
+      """WITH RECURSIVE
+        |  nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  s AS (SELECT doc_id AS v FROM documents WHERE doc_id % 250 = 0),
+        |  walk(v, d) AS (
+        |    SELECT v, 0 FROM s
+        |    UNION
+        |    SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+        |    WHERE w.d < 8)
+        |SELECT v, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY v ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      val sources = docs.filter(col("doc_id") % 250 === 0)
+      GraphOps.shortestPaths(edges, "src", "dst", sources, "doc_id",
+        maxHops = 8).orderBy("v")
+    },
+
     // Per-node triangle counts ([[graft.ops.GraphOps.triangleCounts]])
     // on the same dense link graph — the local-clustering signal
     // (link-farm detection). Spark runs degree-ordered compact-forward

@@ -86,4 +86,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"contribution aggregation is not a hash agg:\n$plan")
   }
+  test("shortestPaths: BFS min-hop distances, multi-source, early exit") {
+    // 0→1→2→3→4 chain plus shortcut 0→3 and an unreachable island 9→10
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (9L, 10L)).toDF("src", "dst")
+    val one = Seq(0L).toDF("id")
+    val d = GraphOps.shortestPaths(e, "src", "dst", one, "id", maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shortcut wins over the chain: dist(3)=1, dist(4)=2; island absent
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+
+    // multi-source: a node's dist is the min over sources
+    val two = Seq(0L, 4L).toDF("id")
+    val d2 = GraphOps.shortestPaths(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 3L)).toDF("src", "dst"),
+      "src", "dst", two, "id", maxHops = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(0L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L))
+
+    // hop cap truncates the frontier
+    val d3 = GraphOps.shortestPaths(
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"),
+      "src", "dst", one, "id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
 }
