@@ -16,6 +16,9 @@ object GraftFunctions {
       MinHashShingle(es(0), litInt(es(1)), litInt(es(2)))),
     "word_ngrams" -> ((es: Seq[Expression]) => WordNGrams(es(0), litInt(es(1)))),
     "kmv_distinct" -> ((es: Seq[Expression]) => KmvDistinct(es(0), litInt(es(1)))),
+    "kmv_sketch" -> ((es: Seq[Expression]) => KmvSketch(es(0), litInt(es(1)))),
+    "kmv_merge" -> ((es: Seq[Expression]) => KmvMerge(es(0))),
+    "kmv_value" -> ((es: Seq[Expression]) => KmvValue(es(0))),
     "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),

@@ -39,47 +39,25 @@ case class KmvDistinct(
   override def createAggregationBuffer(): JTreeSet[java.lang.Long] =
     new JTreeSet[java.lang.Long]()
 
-  /** Sign-flipped XXH64 so natural Long ordering = unsigned hash order. */
-  private def hashOf(v: Any): Long = (v match {
-    case l: Long => XXH64.hashLong(l, 42L)
-    case i: Int => XXH64.hashInt(i, 42L)
-    case s: UTF8String => XXH64.hashUTF8String(s, 42L)
-    case d: Double => XXH64.hashLong(java.lang.Double.doubleToLongBits(d), 42L)
-    case f: Float => XXH64.hashInt(java.lang.Float.floatToIntBits(f), 42L)
-    case b: Boolean => XXH64.hashInt(if (b) 1 else 0, 42L)
-    case other => XXH64.hashUTF8String(UTF8String.fromString(other.toString), 42L)
-  }) ^ Long.MinValue
-
-  private def insert(buf: JTreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last()) {
-      if (buf.add(h)) buf.pollLast()
-      ()
-    }
-  }
-
+  // hashing/insert/estimator shared with the persistable-sketch trio
+  // (kmv_sketch / kmv_merge / kmv_value) in [[Kmv]], so the direct and
+  // re-aggregated paths can never drift apart.
   override def update(buf: JTreeSet[java.lang.Long],
       input: InternalRow): JTreeSet[java.lang.Long] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, hashOf(v))
+    if (v != null) Kmv.insert(buf, k, Kmv.hashOf(v))
     buf
   }
 
   override def merge(buf: JTreeSet[java.lang.Long],
       other: JTreeSet[java.lang.Long]): JTreeSet[java.lang.Long] = {
     val it = other.iterator()
-    while (it.hasNext) insert(buf, it.next())
+    while (it.hasNext) Kmv.insert(buf, k, it.next())
     buf
   }
 
   override def eval(buf: JTreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else {
-      // normalize the k-th smallest (buffer max) back to (0, 1)
-      val u = (buf.last().toDouble - Long.MinValue.toDouble) /
-        math.pow(2.0, 64)
-      math.round((k - 1) / u)
-    }
+    Kmv.estimate(buf.size, k, if (buf.isEmpty) 0L else buf.last())
 
   override def serialize(buf: JTreeSet[java.lang.Long]): Array[Byte] = {
     val b = ByteBuffer.allocate(4 + 8 * buf.size)

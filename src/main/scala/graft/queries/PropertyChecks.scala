@@ -471,6 +471,39 @@ object PropertyChecks {
             .as("n_upper_violations"))
     },
 
+    // Persistable KMV sketches: the re-aggregation path (per-shard
+    // kmv_sketch arrays → kmv_merge → kmv_value, the shape a 100 TB
+    // corpus uses to keep daily distinct-profiles it rolls up WITHOUT
+    // re-scanning history) must be BIT-IDENTICAL to running
+    // kmv_distinct over the union directly — both keep the k smallest
+    // distinct hashes, so merge order and sharding cannot matter. Also
+    // re-grades the estimate against exact distinct at KMV's ±20% bar.
+    QueryDef.views("kmv1x_mergeable_sketches",
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        |       CAST(0 AS BIGINT) AS n_path_mismatch,
+        |       CAST(0 AS BIGINT) AS n_error_violations
+        |FROM events""".stripMargin) { spark =>
+      val ev = spark.table("events")
+        .select("event_type", "user_id", "event_id")
+      // 8 "shards" stand in for the daily/partition boundary a real
+      // pipeline persists sketches at
+      val perShard = ev.withColumn("shard", col("event_id") % 8)
+        .groupBy("event_type", "shard")
+        .agg(expr("kmv_sketch(user_id, 256)").as("sk"))
+      val merged = perShard.groupBy("event_type")
+        .agg(expr("kmv_value(kmv_merge(sk))").as("merged_est"))
+      val direct = ev.groupBy("event_type")
+        .agg(expr("kmv_distinct(user_id, 256)").as("direct_est"))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact"))
+      merged.join(direct, "event_type").join(exact, "event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("merged_est") =!= col("direct_est"), 1L)
+            .otherwise(0L)).as("n_path_mismatch"),
+          sum(when(abs(col("merged_est") - col("exact")) / col("exact") > 0.2,
+            1L).otherwise(0L)).as("n_error_violations"))
+    },
+
     QueryDef.views("hll1x_sketch_error",
       """SELECT count(DISTINCT event_type) AS n_groups,
         |       CAST(0 AS BIGINT) AS n_hll_violations,

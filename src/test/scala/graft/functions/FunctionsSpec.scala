@@ -304,4 +304,25 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(merged == summed)
   }
+  test("kmv_sketch/merge/value: persisted roundtrip equals direct path") {
+    val rows = Seq.tabulate(5000)(i => (s"u${i % 700}", i % 4)).map {
+      case (u, g) => (u, g)
+    }
+    val df = registered.createDataset(rows).toDF("u", "g")
+    // direct estimate over the union
+    val direct = df.selectExpr("kmv_distinct(u, 64) AS d").head().getLong(0)
+    // per-group sketches, persisted through a parquet roundtrip, merged
+    val skPath = java.nio.file.Files
+      .createTempDirectory("kmv_sk").toString
+    df.groupBy("g").agg(expr("kmv_sketch(u, 64) AS sk"))
+      .write.mode("overwrite").parquet(skPath)
+    val viaSketches = spark.read.parquet(skPath)
+      .selectExpr("kmv_value(kmv_merge(sk)) AS d").head().getLong(0)
+    assert(viaSketches == direct)
+    // below k the sketch path is exact
+    val tiny = registered.createDataset(Seq("a", "b", "c", "a"))
+      .toDF("u").selectExpr("kmv_value(kmv_sketch(u, 64)) AS d")
+      .head().getLong(0)
+    assert(tiny == 3L)
+  }
 }
