@@ -1670,6 +1670,69 @@ object CdcQueries {
         |       CAST(0 AS BIGINT) AS n_kll_violations
         |FROM documents""".stripMargin)),
 
+    // st10 — continuous DISTINCT COUNT as real micro-batches: per-group
+    // KMV sketches as streaming aggregation state (the same
+    // TypedImperativeAggregate buffers the batch path partial-aggregates
+    // ship — in streaming they persist in the state store and absorb
+    // each trigger's rows, bounded at k longs per group FOREVER, where
+    // exact streaming distinct would grow state with every new user).
+    // Graded bit-exactly: the k-smallest-distinct-hash set is
+    // order-insensitive, so the 4-trigger streamed sketch must equal
+    // batch kmv_distinct over the same rows EXACTLY, and both sit
+    // within KMV's ±20% of true distinct. The streamed value is the
+    // live "distinct users per event type" dashboard every ingestion
+    // pipeline wants without a daily re-scan.
+    QueryDef("st10_stream_distinct", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir) // kmv_* + events view
+      val run = Files.createTempDirectory("graft-st10-run")
+      val src = spark.table("events")
+        .select("event_id", "event_type", "user_id")
+      (0 until 4).foreach { k =>
+        val tmp = run.resolve(s"w-$k")
+        src.filter(col("event_id") % 4 === k).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error("st10 fixture: no part file"))
+        Files.move(part.toPath, run.resolve(s"chunk-$k.parquet"))
+        tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+        run.resolve(s"chunk-$k.parquet").toFile
+          .setLastModified(1000000000000L + k * 1000L)
+      }
+      val stream = spark.readStream
+        .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      val qn = "st10_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      withStatePartitions(spark, 8) {
+        val q = stream.groupBy("event_type")
+          .agg(expr("kmv_sketch(user_id, 256)").as("sk"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st10-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      val streamed = spark.table(qn)
+        .select(col("event_type"), expr("kmv_value(sk)").as("stream_est"))
+      val ev = spark.table("events").select("event_type", "user_id")
+      val direct = ev.groupBy("event_type")
+        .agg(expr("kmv_distinct(user_id, 256)").as("direct_est"))
+      val exact = ev.distinct().groupBy("event_type")
+        .agg(count(lit(1)).as("exact"))
+      streamed.join(direct, "event_type").join(exact, "event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("stream_est") =!= col("direct_est"), 1L)
+            .otherwise(0L)).as("n_path_mismatch"),
+          sum(when(abs(col("stream_est") - col("exact")) / col("exact") > 0.2,
+            1L).otherwise(0L)).as("n_error_violations"))
+    }, Some(
+      """SELECT count(DISTINCT event_type) AS n_groups,
+        |       CAST(0 AS BIGINT) AS n_path_mismatch,
+        |       CAST(0 AS BIGINT) AS n_error_violations
+        |FROM events""".stripMargin)),
+
     // st7 — gap sessionization as REAL micro-batches: ses1's semantics
     // (a >= 5-minute gap starts a new session) through Spark's native
     // streaming session_window — per-key session state MERGES in the
