@@ -740,6 +740,76 @@ object Relational {
         .orderBy("user_id", "first_event_id")
     },
 
+    // Funnel analysis — ordered step conversion (view → click →
+    // purchase, strictly increasing event time per user): the product-
+    // analytics staple next to sessionization. Each step is ONE
+    // conditional min-aggregate plus one equi-join on user_id carrying
+    // (user_id, timestamp) only — never a per-user event sort, never a
+    // window over the raw stream; at 100 TB the step relations shrink
+    // monotonically (step k+1 probes only step-k converters), so the
+    // chain costs three narrow key-partitioned joins. Counts come out
+    // as one row.
+    QueryDef.views("fn1_funnel_steps",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |     s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |            JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |            WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |     s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |            JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s1) AS n_step_view,
+        |       (SELECT count(*) FROM s2) AS n_step_click,
+        |       (SELECT count(*) FROM s3) AS n_step_purchase""".stripMargin) { spark =>
+      val ev = spark.table("events").select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_step_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_step_click")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_step_purchase")))
+    },
+
+    // Cohort retention — users grouped by first-activity week, counted
+    // again in each later week they return: the second product-
+    // analytics staple. Two scans (first-event per user, distinct
+    // user-weeks), one key-partitioned join, grouped counts; the
+    // retention matrix is |cohorts| × |weeks| rows no matter the event
+    // volume. Week bucketing via date_trunc('week') — ISO Monday start
+    // in both engines — and the offset in whole weeks via exact
+    // integer day arithmetic.
+    QueryDef.views("co1_cohort_retention",
+      """WITH f AS (SELECT user_id,
+        |             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+        |           FROM events GROUP BY user_id),
+        |     a AS (SELECT DISTINCT user_id,
+        |             CAST(date_trunc('week', ts) AS DATE) AS wk
+        |           FROM events)
+        |SELECT cohort, CAST((wk - cohort) // 7 AS BIGINT) AS week_offset,
+        |       count(*) AS n_active
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin) { spark =>
+      val ev = spark.table("events").select("user_id", "ts")
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      val a = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+      a.join(f, "user_id")
+        .groupBy(col("cohort"),
+          expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "week_offset")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).
