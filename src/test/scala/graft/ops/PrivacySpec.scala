@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymous: suppresses small quasi groups, keeps rows intact") {
+    // (city, segment) groups: (a,x)=3 rows, (a,y)=1, (b,x)=2
+    val df = Seq(
+      ("a", "x", 1L), ("a", "x", 2L), ("a", "x", 3L),
+      ("a", "y", 4L), ("b", "x", 5L), ("b", "x", 6L))
+      .toDF("city", "segment", "id")
+    val k2 = Privacy.kAnonymous(df, Seq("city", "segment"), 2)
+      .select("id").as[Long].collect().sorted
+    assert(k2.toSeq == Seq(1L, 2L, 3L, 5L, 6L)) // (a,y) suppressed
+    val k3 = Privacy.kAnonymous(df, Seq("city", "segment"), 3)
+      .select("id").as[Long].collect().sorted
+    assert(k3.toSeq == Seq(1L, 2L, 3L)) // only (a,x) reaches 3
+    // payload columns survive the semi join untouched
+    assert(Privacy.kAnonymous(df, Seq("city", "segment"), 2)
+      .columns.toSeq == Seq("city", "segment", "id"))
+  }
+
+  test("dpNoisyCount: deterministic per seed, seed moves the noise") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 7}", i)).toDF("g", "v")
+    def run(seed: Long): Map[String, (Long, Long)] =
+      Privacy.dpNoisyCount(df, Seq("g"), epsilon = 0.5, seed = seed)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val a = run(1L)
+    assert(a == run(1L)) // reproducible release
+    assert(a.values.forall { case (t, _) => t > 0 })
+    // bound: |noisy - true| <= 15/eps = 30 for every group (P ~ e^-15)
+    assert(a.values.forall { case (t, n) => math.abs(n - t) <= 30 })
+    // a different seed draws different noise somewhere
+    val b = run(2L)
+    assert(a != b)
+  }
+}
