@@ -687,6 +687,40 @@ object TextOps {
         col("hit.score").cast("bigint").as("score_ppm"))
   }
 
+  /** Reciprocal-rank fusion of a retrieved list with a document-
+    * authority prior — quality-aware retrieval (search engines fuse
+    * relevance with site quality; a RAG pipeline fuses lexical rank
+    * with a curation score). `retrieved` is (query_id, rank, doc_id)
+    * from [[bm25Retrieve]] or any ranker; `authority` is a per-doc
+    * score (e.g. integer PageRank). Per query: the authority rank is
+    * computed AMONG THE CANDIDATES (never a corpus-wide sort — the
+    * windows here partition into ≤retrieval-k rows per query, so the
+    * rerank costs |queries|·k rows regardless of corpus size), then
+    * fused_ppm = 10⁶ div (rrfK + rank_lex) + 10⁶ div (rrfK +
+    * rank_auth) — integer arithmetic end to end, so fusion is exact
+    * and engine-independent. Ties break on doc_id for a total order. */
+  def hybridRerank(retrieved: DataFrame, authority: DataFrame,
+      authCol: String, rrfK: Int = 60, topK: Int = 5): DataFrame = {
+    require(rrfK >= 1 && topK >= 1, "hybridRerank: rrfK and topK must be >= 1")
+    val cand = retrieved
+      .select(col("query_id"), col("rank").cast("bigint").as("rank_lex"),
+        col("doc_id"))
+      .join(authority.select(col("doc_id"), col(authCol).as("__auth")),
+        "doc_id")
+    val byAuth = Window.partitionBy("query_id")
+      .orderBy(col("__auth").desc, col("doc_id"))
+    val fused = cand
+      .withColumn("rank_auth", row_number().over(byAuth).cast("bigint"))
+      .withColumn("fused_ppm", expr(
+        s"CAST(1000000 div ($rrfK + rank_lex) + " +
+          s"1000000 div ($rrfK + rank_auth) AS BIGINT)"))
+    val byFused = Window.partitionBy("query_id")
+      .orderBy(col("fused_ppm").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(byFused).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "doc_id", "fused_ppm")
+  }
+
   /** Deterministic content-hash sampling: keeps rows whose digest falls
     * in the residue class — reproducible splits with no RNG state. */
   def sampleDeterministic(df: DataFrame, textCol: String, modulus: Int,

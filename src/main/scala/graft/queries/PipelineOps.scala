@@ -1475,6 +1475,108 @@ object PipelineOps {
         k = 5).orderBy("query_id", "rank")
     },
 
+    // Hybrid retrieval: BM25 relevance fused with PageRank authority by
+    // reciprocal-rank fusion ([[graft.ops.TextOps.hybridRerank]]) — the
+    // quality-aware rerank a search/RAG stack runs over its candidate
+    // list. Everything is exact integer arithmetic (ppm BM25 scores,
+    // integer PageRank mass, 10⁶ div (60+rank) fusion), so the oracle —
+    // rt1's retrieval CTEs composed with pr1's unrolled PageRank CTEs
+    // plus the same fusion — must agree bit-for-bit on scores AND
+    // ranking. The rerank windows partition into ≤20 candidates per
+    // query: |queries|·k work regardless of corpus size.
+    QueryDef.views("hy1_hybrid_rrf", {
+      val S = "1000000000000"
+      val iterCtes = (1 to 3).map { i =>
+        s"""  c$i AS (SELECT e.dst AS v,
+           |    CAST(sum((p.pr * 850 // 1000) // d.outdeg) AS BIGINT) AS m
+           |    FROM e JOIN p${i - 1} p ON e.src = p.v
+           |    JOIN deg d ON d.src = e.src GROUP BY 1),
+           |  p$i AS (SELECT nodes.v,
+           |    CAST(($S * 150 // 1000) // n.n + COALESCE(c$i.m, 0) AS BIGINT)
+           |      AS pr
+           |    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |           FROM documents),
+         |  s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM d),
+         |  p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |          unnest(w) AS token FROM d),
+         |  pt AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+         |         FROM p
+         |         WHERE token IN ('scan','merge','join','window','hash',
+         |                         'stream','batch','spark','dup','sort')
+         |         GROUP BY 1, 2, 3),
+         |  dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |          FROM pt GROUP BY 1),
+         |  q AS (SELECT * FROM (VALUES (0,'scan'),(0,'merge'),(0,'join'),
+         |          (1,'window'),(1,'hash'),
+         |          (2,'stream'),(2,'batch'),(2,'spark'),
+         |          (3,'dup'),(3,'sort')) AS t(query_id, token)),
+         |  sc AS (SELECT q.query_id, pt.doc_id,
+         |           CAST(sum(CAST(round(
+         |             (((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |             * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |             / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |                 + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+         |             * 1000000) AS BIGINT)) AS BIGINT) AS score_ppm
+         |         FROM pt JOIN q USING (token) JOIN dfq USING (token)
+         |         CROSS JOIN s GROUP BY 1, 2),
+         |  r AS (SELECT query_id, doc_id, score_ppm,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_ppm DESC, doc_id) AS rank
+         |        FROM sc),
+         |  nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  nodes AS (SELECT DISTINCT v FROM
+         |    (SELECT src AS v FROM e UNION SELECT dst AS v FROM e)),
+         |  n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |          FROM e GROUP BY 1),
+         |  p0 AS (SELECT v, CAST($S // n.n AS BIGINT) AS pr FROM nodes, n),
+         |$iterCtes,
+         |  cand AS (SELECT query_id, doc_id, rank AS rank_lex FROM r
+         |           WHERE rank <= 20),
+         |  au AS (SELECT c.query_id, c.doc_id, c.rank_lex,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY p3.pr DESC, c.doc_id) AS rank_auth
+         |         FROM cand c JOIN p3 ON c.doc_id = p3.v),
+         |  f AS (SELECT query_id, doc_id,
+         |          CAST(1000000 // (60 + rank_lex)
+         |             + 1000000 // (60 + rank_auth) AS BIGINT) AS fused_ppm
+         |        FROM au),
+         |  rr AS (SELECT query_id, doc_id, fused_ppm,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY fused_ppm DESC, doc_id) AS rank
+         |         FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |       CAST(rank AS BIGINT) AS rank, doc_id, fused_ppm
+         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val retrieved = TextOps.bm25Retrieve(docs, "doc_id", "text",
+        Seq(0 -> Seq("scan", "merge", "join"),
+          1 -> Seq("window", "hash"),
+          2 -> Seq("stream", "batch", "spark"),
+          3 -> Seq("dup", "sort")),
+        k = 20)
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      val auth = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+        .withColumnRenamed("v", "doc_id")
+      TextOps.hybridRerank(retrieved, auth, "pr", rrfK = 60, topK = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // Composition: host authority = page-level integer PageRank (pr1's
     // graph) rolled up by the canonicalized host (WebOps extraction) —
     // the crawl-curation quality prior at the granularity per-site

@@ -528,4 +528,24 @@ class OpsApiSpec extends SparkSpec {
     assert(sharded.count() == docs.count())
     assert(sharded.select("shard").distinct().count() == 4)
   }
+  test("hybridRerank: RRF fusion, candidate-local authority, tie-breaks") {
+    import spark.implicits._
+    // query 0: lexical ranks 1..3 for docs 10,20,30; authority inverts
+    val retrieved = Seq((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L))
+      .toDF("query_id", "rank", "doc_id")
+    val auth = Seq((10L, 5L), (20L, 50L), (30L, 500L), (99L, 9999L))
+      .toDF("doc_id", "a") // 99 is not a candidate: must not leak in
+    val out = TextOps.hybridRerank(retrieved, auth, "a", rrfK = 60,
+      topK = 3).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // fused = 1e6 div (60+lex) + 1e6 div (60+auth-rank):
+    // doc10: lex 1, auth 3 -> 16393+15873 = 32266
+    // doc20: lex 2, auth 2 -> 16129+16129 = 32258
+    // doc30: lex 3, auth 1 -> 15873+16393 = 32266 (ties doc10; doc_id asc)
+    assert(out.toSeq == Seq((1L, 10L, 32266L), (2L, 30L, 32266L),
+      (3L, 20L, 32258L)))
+    // topK truncates
+    assert(TextOps.hybridRerank(retrieved, auth, "a", topK = 1)
+      .count() == 1)
+  }
 }
