@@ -108,4 +108,35 @@ object Profile {
         "(column_name, n_values, n_nulls, n_distinct, min_value, max_value)")
       .orderBy("column_name")
   }
+
+  /** Distribution drift between two snapshots of the same column as
+    * TOTAL VARIATION DISTANCE — the data-drift monitor a pipeline runs
+    * between yesterday's corpus and today's before retraining decisions.
+    * TVD = ½·Σ|pᵢ − qᵢ| over the key's categories (bin numerics first;
+    * the caller picks the binning). Chosen over PSI/KL because it is
+    * computable in EXACT integer arithmetic — Σ|cᵃᵢ·n_b − cᵇᵢ·n_a| over
+    * BIGINT counts, divided once at the end — so the reported ppm value
+    * is engine-independent (PSI's per-bin ln() is libm-dependent at the
+    * ULP level and can flip a rounded output). Bounded in [0, 1]: 0 =
+    * identical distributions, 1 = disjoint supports.
+    *
+    * Scale shape: one hash aggregation per side to |categories| rows, a
+    * full-outer join of the two small count relations (absent category
+    * = 0), single-row reduce. Fact volume never crosses an exchange. */
+  def driftTvd(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ca = a.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("ca"))
+    val cb = b.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cb"))
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    ca.join(cb, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("ca", "cb"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        sum(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+          .as("__num"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__num").cast("double") * 1000000.0 /
+          (col("n_a").cast("double") * col("n_b") * 2.0))
+          .cast("bigint").as("tvd_ppm"))
+  }
 }

@@ -3386,6 +3386,59 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // Distribution drift ([[graft.ops.Profile.driftTvd]]) between the
+    // two halves of the event month, for a categorical key and a binned
+    // numeric — the retrain/alert monitor of an ML data pipeline. TVD
+    // instead of PSI/KL: the statistic reduces to exact BIGINT
+    // arithmetic (Σ|cᵃ·n_b − cᵇ·n_a|, one division at the end), so the
+    // ppm output is bit-stable across engines where a per-bin ln()
+    // would be libm-dependent.
+    QueryDef.views("dr1_drift_tvd",
+      """WITH a AS (SELECT event_type,
+        |             CAST(floor(value / 50) AS BIGINT) AS bin FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |     b AS (SELECT event_type,
+        |             CAST(floor(value / 50) AS BIGINT) AS bin FROM events
+        |           WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |     na AS (SELECT count(*) AS n_a FROM a),
+        |     nb AS (SELECT count(*) AS n_b FROM b),
+        |     t AS (
+        |       SELECT 'event_type' AS column_name, n_a, n_b,
+        |              (SELECT sum(abs(COALESCE(ca, 0) * n_b
+        |                            - COALESCE(cb, 0) * n_a))
+        |               FROM (SELECT event_type AS k, count(*) AS ca
+        |                     FROM a GROUP BY 1) x
+        |               FULL OUTER JOIN
+        |                    (SELECT event_type AS k, count(*) AS cb
+        |                     FROM b GROUP BY 1) y USING (k)) AS num
+        |       FROM na, nb
+        |       UNION ALL
+        |       SELECT 'value_bin', n_a, n_b,
+        |              (SELECT sum(abs(COALESCE(ca, 0) * n_b
+        |                            - COALESCE(cb, 0) * n_a))
+        |               FROM (SELECT bin AS k, count(*) AS ca
+        |                     FROM a GROUP BY 1) x
+        |               FULL OUTER JOIN
+        |                    (SELECT bin AS k, count(*) AS cb
+        |                     FROM b GROUP BY 1) y USING (k))
+        |       FROM na, nb)
+        |SELECT column_name, n_a, n_b,
+        |       CAST(round((num * 1000000.0)
+        |                  / ((n_a * 1.0) * n_b * 2.0)) AS BIGINT) AS tvd_ppm
+        |FROM t ORDER BY column_name""".stripMargin) { spark =>
+      val ev = spark.table("events").select(col("event_type"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("bin"), col("ts"))
+      val aH = ev.filter(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"))
+      val bH = ev.filter(col("ts") >= expr("TIMESTAMP '2024-01-16 00:00:00'"))
+      val byType = Profile.driftTvd(aH, bH, "event_type")
+        .select(lit("event_type").as("column_name"),
+          col("n_a"), col("n_b"), col("tvd_ppm"))
+      val byBin = Profile.driftTvd(aH, bH, "bin")
+        .select(lit("value_bin").as("column_name"),
+          col("n_a"), col("n_b"), col("tvd_ppm"))
+      byType.unionByName(byBin).orderBy("column_name")
+    },
+
     // k-anonymity publish gate ([[graft.ops.Privacy.kAnonymous]]): rows
     // whose quasi-identifier combination has fewer than k peers are
     // withheld (suppression). Graded as the per-group audit every

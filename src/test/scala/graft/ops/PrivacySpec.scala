@@ -38,4 +38,18 @@ class PrivacySpec extends SparkSpec {
     val b = run(2L)
     assert(a != b)
   }
+  test("driftTvd: hand-computed TVD, identical halves give zero") {
+    val a = (Seq.fill(60)("x") ++ Seq.fill(40)("y")).toDF("k")
+    val b = (Seq.fill(30)("x") ++ Seq.fill(50)("y") ++ Seq.fill(20)("z"))
+      .toDF("k")
+    val r = Profile.driftTvd(a, b, "k").head()
+    // p = (.6, .4, 0), q = (.3, .5, .2) -> TVD = .5*(.3+.1+.2) = .3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((100L, 100L, 300000L)))
+    // self-drift is exactly zero; bounds hold
+    assert(Profile.driftTvd(a, a, "k").head().getLong(2) == 0L)
+    // disjoint supports -> exactly 1.0
+    val c = Seq.fill(10)("only").toDF("k")
+    assert(Profile.driftTvd(a, c, "k").head().getLong(2) == 1000000L)
+  }
 }
