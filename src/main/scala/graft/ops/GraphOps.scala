@@ -81,6 +81,26 @@ object GraphOps {
         "a", "b", maxIters)
       .select(col("doc_id").as("v"), col("cluster_id").as("component"))
 
+  /** Incremental connected components: yesterday's labels + today's new
+    * edges, WITHOUT re-scanning the historical edge set. Correctness
+    * identity: a component labeling is connectivity-equivalent to the
+    * STAR GRAPH node→component, so CC(star(labels) ∪ newEdges) equals
+    * CC(oldEdges ∪ newEdges) exactly — and because the engine's CC
+    * canonicalizes to the minimum member id, the incremental labels are
+    * BIT-IDENTICAL to a full recompute, not merely isomorphic. The 100 TB
+    * point: the star relation is |nodes| rows where the accumulated
+    * crawl-edge history is orders of magnitude larger; daily updates
+    * iterate over |nodes| + |today's edges| only. */
+  def connectedComponentsIncremental(labels: DataFrame, vCol: String,
+      compCol: String, newEdges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val star = labels.select(col(vCol).cast("bigint").as("a"),
+      col(compCol).cast("bigint").as("b"))
+    val e2 = newEdges.select(col(srcCol).cast("bigint").as("a"),
+      col(dstCol).cast("bigint").as("b"))
+    connectedComponents(star.unionByName(e2), "a", "b", maxIters)
+  }
+
   /** Per-node triangle counts of the UNDIRECTED graph (direction,
     * duplicates and self-loops dropped) — the local clustering signal
     * (spam/link-farm detection: farms are triangle-dense, organic link

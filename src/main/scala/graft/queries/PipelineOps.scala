@@ -1668,6 +1668,51 @@ object PipelineOps {
       GraphOps.connectedComponents(edges, "src", "dst").orderBy("v")
     },
 
+    // Incremental connected components
+    // ([[graft.ops.GraphOps.connectedComponentsIncremental]]): the link
+    // graph split into an accumulated history (~94% of edges, labeled
+    // first) and today's small crawl delta (~6%), merged in via
+    // yesterday's labels as star edges — the historical edge set is
+    // never re-read. The split ratio mirrors the real workload AND the
+    // engine's convergence behavior: min-label rounds track component
+    // diameter, so labeling a DENSE history is fast (few rounds, like
+    // wc1) where an artificially sparse half-graph of long chains
+    // would multiply rounds — the daily-delta shape is exactly the
+    // case where incremental wins. Because CC canonicalizes to minimum
+    // member id, the incremental result must be BIT-IDENTICAL to a
+    // full recompute — which is exactly what the oracle computes (the
+    // recursive min-label CTE over the FULL edge set, wc1's mirror).
+    QueryDef.views("wc2_incremental_components",
+      """WITH RECURSIVE
+        |  nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  edges AS (SELECT src AS a, dst AS b FROM e
+        |            UNION SELECT dst, src FROM e),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e2.a, w2.lbl FROM edges e2 JOIN walk w2 ON e2.b = w2.node)
+        |SELECT node AS v, min(lbl) AS component
+        |FROM walk GROUP BY node ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val history = edges.filter((col("src") * 31 + col("dst")) % 16 =!= 0)
+      val today = edges.filter((col("src") * 31 + col("dst")) % 16 === 0)
+      val yesterday = GraphOps.connectedComponents(history, "src", "dst")
+      GraphOps.connectedComponentsIncremental(yesterday, "v", "component",
+        today, "src", "dst").orderBy("v")
+    },
+
     // Multi-source BFS hop distance ([[graft.ops.GraphOps.shortestPaths]])
     // on the same link graph — seed-proximity (distance from trusted
     // seeds is a crawl-quality prior). Spark runs level-synchronous
