@@ -687,6 +687,73 @@ object TextOps {
         col("hit.score").cast("bigint").as("score_ppm"))
   }
 
+  /** BM25 index build — the PERSISTED inverted index behind
+    * [[bm25ServeFromIndex]]: one tokenize pass over the corpus produces
+    * the postings relation (token, doc_id, dl, tf). Written to parquet
+    * (sorted by token so row-group min/max stats carry the token
+    * predicate), the corpus is never re-scanned at query time — the
+    * build-once / serve-many split every retrieval deployment wants.
+    * Corpus constants (n_docs, sum_dl) ride along via
+    * [[bm25IndexStats]]. */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("bigint").as("dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus constants for [[bm25ServeFromIndex]] — one row (n_docs,
+    * sum_dl), computed at build time from the same tokenize pass's
+    * inputs. */
+  def bm25IndexStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(size(toks(textCol)).cast("bigint").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** BM25 retrieval FROM a persisted index — bit-identical scores to
+    * [[bm25Retrieve]] (same ppm rounding, same tie-breaks), but the
+    * only corpus-shaped input is the postings table, FILTERED BY THE
+    * QUERY TERMS before anything else: on a parquet index the term
+    * IN-list pushes into the scan, so a 10-term query reads the row
+    * groups containing those 10 postings lists, not the corpus. df
+    * (document frequency) is computed from the filtered postings —
+    * exactly the per-term list lengths. */
+  def bm25ServeFromIndex(postings: DataFrame, stats: DataFrame,
+      queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size,
+      "bm25ServeFromIndex: query ids must be non-empty and distinct")
+    require(k >= 1, s"bm25ServeFromIndex: need k >= 1, got $k")
+    val allTerms = queries.flatMap(_._2).distinct
+    val hits = postings.filter(col("token").isin(allTerms: _*))
+    val dfreq = hits.groupBy("token").agg(count(lit(1)).as("df"))
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+      .toDF("query_id", "token")
+    val scored = hits
+      .join(broadcast(qt), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_ppm", expr(
+        s"""CAST(round(
+           |  (((n_docs - df) + 0.5D) / (df + 0.5D))
+           |  * (tf * (CAST($k1 AS DOUBLE) + 1.0D))
+           |  / (tf + CAST($k1 AS DOUBLE) * ((1.0D - CAST($b AS DOUBLE))
+           |      + CAST($b AS DOUBLE) * dl / (sum_dl / n_docs)))
+           |  * 1000000) AS BIGINT)""".stripMargin))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_ppm").as("score_ppm"))
+    scored.groupBy("query_id")
+      .agg(call_function("topk_pairs", col("doc_id"),
+        col("score_ppm").cast("double"), lit(k)).as("top"))
+      .select(col("query_id"),
+        posexplode(col("top")).as(Seq("pos", "hit")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("bigint").as("rank"),
+        col("hit.nn").as("doc_id"),
+        col("hit.score").cast("bigint").as("score_ppm"))
+  }
+
   /** Reciprocal-rank fusion of a retrieved list with a document-
     * authority prior — quality-aware retrieval (search engines fuse
     * relevance with site quality; a RAG pipeline fuses lexical rank

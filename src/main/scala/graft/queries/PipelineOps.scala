@@ -1432,6 +1432,73 @@ object PipelineOps {
     // addition, order-free), so the DuckDB mirror — which selects the
     // head with a row_number window, fine at oracle scale — must agree
     // bit-for-bit on scores AND (score desc, doc_id asc) ranking.
+    // BM25 from a PERSISTED inverted index
+    // ([[graft.ops.TextOps.buildBm25Index]] →
+    // [[graft.ops.TextOps.bm25ServeFromIndex]]): the build-once /
+    // serve-many deployment split. The index is written to parquet
+    // sorted by token and read back; the serve plan's only corpus-
+    // shaped input is the postings table filtered by the query terms —
+    // on parquet the IN-list pushes into the scan, so queries read the
+    // matching postings lists, not the corpus. Graded against rt1's
+    // EXACT oracle: the persisted-index path must reproduce the direct
+    // path bit-for-bit (same ppm scores, same tie-breaks).
+    QueryDef("rt2_bm25_from_index", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bm25idx-$key")
+      val docs = spark.table("documents")
+      if (!java.nio.file.Files.exists(base.resolve("postings"))) {
+        TextOps.buildBm25Index(docs, "doc_id", "text")
+          .sortWithinPartitions("token") // row-group stats carry token
+          .write.mode("overwrite").parquet(s"$base/postings")
+        TextOps.bm25IndexStats(docs, "text")
+          .write.mode("overwrite").parquet(s"$base/stats")
+      }
+      TextOps.bm25ServeFromIndex(
+        spark.read.parquet(s"$base/postings"),
+        spark.read.parquet(s"$base/stats"),
+        Seq(0 -> Seq("scan", "merge", "join"),
+          1 -> Seq("window", "hash"),
+          2 -> Seq("stream", "batch", "spark"),
+          3 -> Seq("dup", "sort")),
+        k = 5).orderBy("query_id", "rank")
+    }, Some(
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |          CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM d),
+        |  p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |          unnest(w) AS token FROM d),
+        |  pt AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+        |         FROM p
+        |         WHERE token IN ('scan','merge','join','window','hash',
+        |                         'stream','batch','spark','dup','sort')
+        |         GROUP BY 1, 2, 3),
+        |  dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |          FROM pt GROUP BY 1),
+        |  q AS (SELECT * FROM (VALUES (0,'scan'),(0,'merge'),(0,'join'),
+        |          (1,'window'),(1,'hash'),
+        |          (2,'stream'),(2,'batch'),(2,'spark'),
+        |          (3,'dup'),(3,'sort')) AS t(query_id, token)),
+        |  sc AS (SELECT q.query_id, pt.doc_id,
+        |           CAST(sum(CAST(round(
+        |             (((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |             * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |             / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |                 + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+        |             * 1000000) AS BIGINT)) AS BIGINT) AS score_ppm
+        |         FROM pt JOIN q USING (token) JOIN dfq USING (token)
+        |         CROSS JOIN s GROUP BY 1, 2),
+        |  r AS (SELECT query_id, doc_id, score_ppm,
+        |          row_number() OVER (PARTITION BY query_id
+        |            ORDER BY score_ppm DESC, doc_id) AS rank
+        |        FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |       CAST(rank AS BIGINT) AS rank, doc_id, score_ppm
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     QueryDef.views("rt1_bm25_retrieval",
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w

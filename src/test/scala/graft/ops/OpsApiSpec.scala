@@ -548,4 +548,29 @@ class OpsApiSpec extends SparkSpec {
     assert(TextOps.hybridRerank(retrieved, auth, "a", topK = 1)
       .count() == 1)
   }
+  test("bm25 index serve: bit-equal to direct path, token IN pushdown") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // topk_pairs
+    val docs = Seq(
+      (1L, "spark scan join scan"), (2L, "merge join stream"),
+      (3L, "scan scan scan merge"), (4L, "window hash window"),
+      (5L, "unrelated words only")).toDF("doc_id", "text")
+    val qs = Seq(0 -> Seq("scan", "merge"), 1 -> Seq("window"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextOps.buildBm25Index(docs, "doc_id", "text")
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    TextOps.bm25IndexStats(docs, "text")
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    val served = TextOps.bm25ServeFromIndex(
+      spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/stats"), qs, k = 3)
+    val direct = TextOps.bm25Retrieve(docs, "doc_id", "text", qs, k = 3)
+    assert(served.orderBy("query_id", "rank").collect().toSeq ==
+      direct.orderBy("query_id", "rank").collect().toSeq)
+    // the query-term filter reaches the parquet postings scan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(token"),
+      s"token IN-list not pushed to the postings scan:\n$plan")
+  }
 }
