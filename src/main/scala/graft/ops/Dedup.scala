@@ -437,4 +437,69 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"),
         (coalesce(col("n_near"), lit(0L)) > 0).as("near_dup"))
   }
+
+  /** Containment join — the ASYMMETRIC near-dup: probe doc A is
+    * "contained" in corpus doc B when |A∩B| ≥ (threshold/10)·|A| over
+    * distinct token sets. Jaccard misses this family by construction
+    * (a quote inside a 100× longer page has tiny Jaccard but full
+    * containment) — it is how quote-inclusion, boilerplate embedding,
+    * and excerpt plagiarism are actually found.
+    *
+    * Blocking: prefix filtering applies ONLY to the probe side (A's
+    * |A|−⌈t·|A|/10⌉+1 rarest tokens must overlap any container), while
+    * the container side indexes ALL its tokens — inherent to
+    * containment, which places no upper bound on |B|; the size guard
+    * |B| ≥ ⌈t·|A|/10⌉ prunes candidates before the verify. Candidates
+    * are (probe-prefix × posting list) equi-join rows; payloads (the
+    * sorted token-hash arrays) are fetched by id afterwards and
+    * verified with the codegen sorted-merge intersect. Probes scale
+    * the cost: checking a small batch against a 100 TB corpus costs
+    * the batch's postings, never corpus×corpus. Emits one row per
+    * ordered contained pair (doc_id_a, doc_id_b, inter, nw_a).
+    * Zero-token probes are excluded (vacuous containment). */
+  def containedIn(probes: DataFrame, corpus: DataFrame, idCol: String,
+      strataCol: String, textCol: String, threshold: Int = 9): DataFrame = {
+    require(threshold >= 1 && threshold <= 10,
+      s"containedIn: threshold must be in [1, 10] tenths, got $threshold")
+    def tokenSets(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"), col(strataCol).as("lang"),
+          expr(s"array_sort(array_distinct(transform(filter(split($textCol, ' '), " +
+            "x -> length(x) > 0), x -> xxhash64(x))))").as("w"))
+        .withColumn("nw", size(col("w")).cast("bigint"))
+        .filter(col("nw") > 0)
+    val pa = tokenSets(probes)
+    val pb = tokenSets(corpus)
+    val corpusTokens = pb.select(col("doc_id"), col("lang"), col("nw"),
+      explode(col("w")).as("word"))
+    // rarity order from the CORPUS df — the side whose postings the
+    // prefix tokens probe
+    val freq = corpusTokens.groupBy("word").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("word"))
+    val probePrefix = pa
+      .select(col("doc_id"), col("lang"), col("nw"), explode(col("w")).as("word"))
+      .join(freq, Seq("word"), "left") // probe-only tokens: df null →
+      .na.fill(0L, Seq("df"))          // rarest, harmless (no postings)
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <=
+        col("nw") - ceil(col("nw") * threshold / lit(10.0)) + 1)
+      .select(col("doc_id").as("a"), col("lang"), col("nw").as("nwa"),
+        col("word"))
+    val cand = probePrefix.join(
+        corpusTokens.select(col("doc_id").as("b"), col("lang"),
+          col("nw").as("nwb"), col("word")),
+        Seq("lang", "word"))
+      .filter(col("a") =!= col("b") &&
+        col("nwb") * 10 >= col("nwa") * threshold)
+      .select("a", "b").distinct()
+    cand
+      .join(pa.select(col("doc_id").as("a"), col("w").as("wa"),
+        col("nw").as("nw_a")).hint("shuffle_hash"), Seq("a"))
+      .join(pb.select(col("doc_id").as("b"), col("w").as("wb"))
+        .hint("shuffle_hash"), Seq("b"))
+      .withColumn("inter", expr("sorted_intersect_count(wa, wb)"))
+      .filter(col("inter") * 10 >= col("nw_a") * threshold)
+      .select(col("a").as("doc_id_a"), col("b").as("doc_id_b"),
+        col("inter"), col("nw_a"))
+  }
 }

@@ -276,6 +276,53 @@ object PipelineOps {
     // the empty-doc rule on raw tokens (the Spark side intersects
     // xxhash64 token sets — injective on any realistic vocabulary, same
     // argument d4 grades under).
+    // Containment join ([[graft.ops.Dedup.containedIn]]): the
+    // asymmetric near-dup Jaccard misses by construction — a probe doc
+    // ≥90%-token-contained in a (possibly much longer) corpus doc.
+    // Probes = every 20th doc; output is the per-probe audit (container
+    // count + smallest container id, 0/-1 when free), so the entry is
+    // non-empty at every SF regardless of hit density. The oracle
+    // brute-forces probe × same-lang corpus with list_intersect over
+    // raw token strings — a different enumeration AND a different
+    // token representation (Spark intersects sorted xxhash64 sets)
+    // agreeing exactly.
+    QueryDef.views("ct1_containment",
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_sort(list_distinct(list_filter(
+        |               string_split(text, ' '), x -> len(x) > 0))) AS s
+        |           FROM documents),
+        |     g AS (SELECT doc_id, lang, s, CAST(len(s) AS BIGINT) AS ns
+        |           FROM t WHERE len(s) > 0),
+        |     p AS (SELECT * FROM g WHERE doc_id % 20 = 0),
+        |     hits AS (SELECT p.doc_id AS a, g.doc_id AS b
+        |              FROM p JOIN g ON p.lang = g.lang
+        |                AND g.doc_id <> p.doc_id
+        |              WHERE CAST(len(list_intersect(p.s, g.s)) AS BIGINT) * 10
+        |                    >= p.ns * 9),
+        |     agg AS (SELECT a, count(*) AS n, min(b) AS mn
+        |             FROM hits GROUP BY a)
+        |SELECT p.doc_id AS doc_id,
+        |       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_containers,
+        |       CAST(COALESCE(agg.mn, -1) AS BIGINT) AS best_container
+        |FROM p LEFT JOIN agg ON p.doc_id = agg.a
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val probes = docs.filter(col("doc_id") % 20 === 0)
+      val pairs = Dedup.containedIn(probes, docs, "doc_id", "lang", "text",
+        threshold = 9)
+      val agg = pairs.groupBy(col("doc_id_a").as("doc_id"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id_b")).as("mn"))
+      // probe census mirrors the op's zero-token exclusion
+      probes
+        .filter(size(expr("filter(split(text, ' '), x -> length(x) > 0)")) > 0)
+        .select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_containers"),
+          coalesce(col("mn"), lit(-1L)).as("best_container"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("xd1_cross_dedup",
       """WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
         |     ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
