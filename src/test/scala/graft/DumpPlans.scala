@@ -42,7 +42,16 @@ object DumpPlans {
     "z3_compact_incremental", "nn1_null_aware_anti", "au3_confusion",
     "dd1_corpus_changelog", "pd1_padding_stats", "qs2x_grouped_quantiles",
     "ses2_dynamic_gap", "q4_order_priority", "mh1_image_dhash",
-    "mh2_image_neardup", "dq1_expectations", "ah1_audio_fingerprint")
+    "mh2_image_neardup", "dq1_expectations", "ah1_audio_fingerprint",
+    "q6_revenue_forecast", "q8_market_share", "q9_product_profit",
+    "q13_cust_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_disjunctive_pred",
+    "q21_waiting_suppliers", "q22_dormant_customers",
+    "cms1x_point_estimates", "kmv1x_mergeable_sketches",
+    "bf1_bfs_distance", "wc2_incremental_components",
+    "fn1_funnel_steps", "co1_cohort_retention", "hy1_hybrid_rrf",
+    "pv1_k_anonymity", "pv2x_dp_noise_bound", "dr1_drift_tvd",
+    "rt2_bm25_from_index", "ct1_containment")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
