@@ -109,6 +109,78 @@ object Profile {
       .orderBy("column_name")
   }
 
+  /** Pairwise correlation profile over numeric columns — the feature-
+    * redundancy census (drop one of two ~duplicate signals before
+    * training a gate on them). ONE pass: values quantize to integer
+    * `unit`-ths (cents by default — exact for the fixed-point data this
+    * profiles), and every Σx, Σx², Σxy accumulates as exact DECIMAL(38)
+    * integers in a single wide aggregate; k columns need k(k+3)/2 + 1
+    * accumulators, no second scan, no shuffle beyond the one partial-
+    * agg reduce. The report is sqrt-FREE: r² (ppm) and the sign, from
+    * the textbook identity r² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−
+    * (Σy)²)) — every operand an exact integer cast to double, so the
+    * result is engine-independent where a sqrt/stddev formulation
+    * would be libm-dependent. Zero-variance columns yield NULL r². */
+  def correlations(df: DataFrame, cols: Seq[String],
+      unit: Int = 100): DataFrame = {
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      "correlations: need >= 2 distinct columns")
+    val base = df.selectExpr(cols.map(c =>
+      s"CAST(round($c * $unit) AS BIGINT) AS __$c"): _*)
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map(c => sum(col(s"__$c")).as(s"s_$c")) ++
+      cols.map(c =>
+        sum(expr(s"CAST(__$c * __$c AS DECIMAL(38,0))")).as(s"ss_$c")) ++
+      pairs.map { case (a, b) =>
+        sum(expr(s"CAST(__$a * __$b AS DECIMAL(38,0))")).as(s"sp_${a}_$b") }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    def d(e: String) = s"CAST($e AS DOUBLE)"
+    val stackArgs = pairs.map { case (a, b) =>
+      val num = s"(${d("n")} * ${d(s"sp_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")})"
+      val d1 = s"(${d("n")} * ${d(s"ss_$a")} - ${d(s"s_$a")} * ${d(s"s_$a")})"
+      val d2 = s"(${d("n")} * ${d(s"ss_$b")} - ${d(s"s_$b")} * ${d(s"s_$b")})"
+      s"'$a', '$b', CAST(sign($num) AS BIGINT), " +
+        s"CAST(round($num * $num * 1000000.0 / nullif($d1 * $d2, 0.0)) AS BIGINT)"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(col_x, col_y, sign, r2_ppm)")
+      .orderBy("col_x", "col_y")
+  }
+
+  /** Equal-frequency discretization — the feature-engineering staple
+    * (score buckets for stratified sampling, quantile features for the
+    * classifier gate, histogram-balanced shards). Boundaries come from
+    * ONE approx_percentile aggregate (GK sketch, mergeable partials)
+    * collected to the driver — numBins-1 doubles, the same bounded
+    * driver surface as the k-means/IVF centroids — and assignment is a
+    * scan-local UNROLLED comparison chain built from the literal
+    * boundaries: full codegen, zero shuffle, no per-row array walk (a
+    * HOF over a boundary array would be CodegenFallback in the hot
+    * path). Bin b holds values in (bnd(b-1), bnd(b)]; bin 0 is
+    * (-inf, bnd(0)]. Rows within a tied boundary value land in one bin
+    * together (ties never split), so bins are balanced only up to the
+    * heaviest tie — exactly the quantile semantics. */
+  def quantileBins(df: DataFrame, valueCol: String, numBins: Int,
+      accuracy: Int = 10000, binCol: String = "bin"): DataFrame = {
+    require(numBins >= 2 && numBins <= 4096,
+      s"quantileBins: numBins must be in [2, 4096], got $numBins")
+    val probs = (1 until numBins).map(_.toDouble / numBins)
+    val bnds = df.selectExpr(
+        s"approx_percentile($valueCol, array(${probs.mkString("D,")}D), " +
+          s"$accuracy) AS b")
+      .head().getSeq[Double](0)
+    val v = col(valueCol).cast("double")
+    val assigned = bnds.zipWithIndex.foldRight(
+        lit(bnds.length.toLong)) { case ((b, i), rest) =>
+      when(v <= b, i.toLong).otherwise(rest)
+    }
+    df.withColumn(binCol, assigned)
+  }
+
   /** Distribution drift between two snapshots of the same column as
     * TOTAL VARIATION DISTANCE — the data-drift monitor a pipeline runs
     * between yesterday's corpus and today's before retraining decisions.

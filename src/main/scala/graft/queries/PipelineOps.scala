@@ -3545,6 +3545,69 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // Pairwise correlation profile ([[graft.ops.Profile.correlations]])
+    // over the lineitem measures — ONE wide aggregate of exact integer
+    // (cents) sums, report as sqrt-free r² ppm + sign so nothing in
+    // the statistic is libm-dependent. The oracle replays the identity
+    // from its own exact HUGEINT/DECIMAL sums: two engines, one
+    // formula, identical doubles.
+    QueryDef.views("cr1_correlations",
+      """WITH b AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |             CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |             CAST(round(l_tax * 100) AS BIGINT) AS t
+        |           FROM lineitem),
+        |  a AS (SELECT count(*) AS n,
+        |          sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d, sum(t) AS s_t,
+        |          sum(CAST(q*q AS DECIMAL(38,0))) AS ss_q,
+        |          sum(CAST(p*p AS DECIMAL(38,0))) AS ss_p,
+        |          sum(CAST(d*d AS DECIMAL(38,0))) AS ss_d,
+        |          sum(CAST(t*t AS DECIMAL(38,0))) AS ss_t,
+        |          sum(CAST(q*p AS DECIMAL(38,0))) AS sp_qp,
+        |          sum(CAST(q*d AS DECIMAL(38,0))) AS sp_qd,
+        |          sum(CAST(q*t AS DECIMAL(38,0))) AS sp_qt,
+        |          sum(CAST(p*d AS DECIMAL(38,0))) AS sp_pd,
+        |          sum(CAST(p*t AS DECIMAL(38,0))) AS sp_pt,
+        |          sum(CAST(d*t AS DECIMAL(38,0))) AS sp_dt
+        |        FROM b),
+        |  rows_ AS (
+        |    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |           CAST(sp_qp AS DOUBLE) AS sp, CAST(s_q AS DOUBLE) AS sa,
+        |           CAST(s_p AS DOUBLE) AS sb, CAST(ss_q AS DOUBLE) AS sa2,
+        |           CAST(ss_p AS DOUBLE) AS sb2, CAST(n AS DOUBLE) AS nd
+        |    FROM a
+        |    UNION ALL SELECT 'l_quantity', 'l_discount',
+        |      CAST(sp_qd AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+        |      CAST(ss_q AS DOUBLE), CAST(ss_d AS DOUBLE), CAST(n AS DOUBLE)
+        |    FROM a
+        |    UNION ALL SELECT 'l_quantity', 'l_tax',
+        |      CAST(sp_qt AS DOUBLE), CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE),
+        |      CAST(ss_q AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(n AS DOUBLE)
+        |    FROM a
+        |    UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |      CAST(sp_pd AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+        |      CAST(ss_p AS DOUBLE), CAST(ss_d AS DOUBLE), CAST(n AS DOUBLE)
+        |    FROM a
+        |    UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |      CAST(sp_pt AS DOUBLE), CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE),
+        |      CAST(ss_p AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(n AS DOUBLE)
+        |    FROM a
+        |    UNION ALL SELECT 'l_discount', 'l_tax',
+        |      CAST(sp_dt AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
+        |      CAST(ss_d AS DOUBLE), CAST(ss_t AS DOUBLE), CAST(n AS DOUBLE)
+        |    FROM a)
+        |SELECT col_x, col_y,
+        |       CAST(sign(nd * sp - sa * sb) AS BIGINT) AS sign,
+        |       CAST(round((nd * sp - sa * sb) * (nd * sp - sa * sb)
+        |                  * 1000000.0
+        |                  / nullif((nd * sa2 - sa * sa)
+        |                           * (nd * sb2 - sb * sb), 0.0))
+        |            AS BIGINT) AS r2_ppm
+        |FROM rows_ ORDER BY col_x, col_y""".stripMargin) { spark =>
+      Profile.correlations(spark.table("lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
     // Distribution drift ([[graft.ops.Profile.driftTvd]]) between the
     // two halves of the event month, for a categorical key and a binned
     // numeric — the retrain/alert monitor of an ML data pipeline. TVD

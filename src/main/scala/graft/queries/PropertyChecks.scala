@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Profile, Similarity}
 
 /** Oracle-encoded invariants for the hash-signature operators DuckDB
   * cannot reproduce directly (minhash / simhash / LSH / IVF / sketches —
@@ -469,6 +469,28 @@ object PropertyChecks {
             .as("n_lower_violations"),
           sum(when(col("est") > col("c") + col("slack"), 1L).otherwise(0L))
             .as("n_upper_violations"))
+    },
+
+    // Equal-frequency binning ([[graft.ops.Profile.quantileBins]]):
+    // 10 buckets over events.value from one GK-sketch aggregate,
+    // assignment as an unrolled codegen comparison chain. Graded on
+    // the quantile guarantee: every bucket's EXACT population within
+    // 5%·n of n/k (the qs1x bar — GK at accuracy 10⁴ is ~100× inside
+    // it; ties in the 2-decimal fixture are far smaller than the
+    // slack), and exactly k buckets come out non-empty.
+    QueryDef.views("qb1x_quantile_bins",
+      """SELECT count(*) AS n_rows, CAST(10 AS BIGINT) AS n_bins,
+        |       CAST(0 AS BIGINT) AS n_balance_violations
+        |FROM events""".stripMargin) { spark =>
+      val binned = Profile.quantileBins(
+        spark.table("events").select("value"), "value", numBins = 10)
+      val counts = binned.groupBy("bin").agg(count(lit(1)).as("c"))
+      counts.crossJoin(broadcast(
+          binned.agg(count(lit(1)).as("n"))))
+        .agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_bins"),
+          sum(when(abs(col("c") - col("n") / 10) > col("n") * 0.05, 1L)
+            .otherwise(0L)).as("n_balance_violations"))
     },
 
     // Persistable KMV sketches: the re-aggregation path (per-shard
