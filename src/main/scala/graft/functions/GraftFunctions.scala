@@ -109,5 +109,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.injectAll(e)
     // plan rewrites ride the same deploy hook as the function library
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    e.injectOptimizerRule(_ => graft.plans.RewriteToMv)
   }
 }

@@ -3545,6 +3545,46 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // Materialized-view rewrite ([[graft.plans.MaterializedViews]] +
+    // [[graft.plans.RewriteToMv]]): a rollup of orders at (status,
+    // priority) granularity is built once and REGISTERED; the entry's
+    // coarser status-level aggregate is then served by the optimizer
+    // rule from the |groups|-row rollup (count → Σcnt, sum → Σsum,
+    // cast back to the original result type), never the fact table —
+    // the classic MV answer path, value-preserving by construction
+    // (exact decimal/long re-aggregation). The oracle computes the
+    // query directly on orders, so a wrong rollup build or a wrong
+    // re-aggregation both fail the grade; MaterializedViewsSpec pins
+    // that the rewrite actually fires (plan scans the MV, not the
+    // base) and that DISTINCT/filters/unregistered measures stay on
+    // the base table.
+    QueryDef("mv1_rollup_rewrite", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-mv-$key")
+      val src = s"$sfDir/orders.parquet"
+      if (!java.nio.file.Files.exists(base.resolve("mv")))
+        graft.plans.MaterializedViews.build(spark, src, s"$base/mv",
+          Seq("o_orderstatus", "o_orderpriority"),
+          Seq("CAST(o_totalprice AS DECIMAL(18,2))"))
+      graft.plans.MaterializedViews.register(spark, src, s"$base/mv",
+        Seq("o_orderstatus", "o_orderpriority"),
+        Seq("o_totalprice:DECIMAL(18,2)"))
+      graft.plans.MaterializedViews.install(spark)
+      spark.read.parquet(src)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy("o_orderstatus")
+    }, Some(
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)),
+
     // Pairwise correlation profile ([[graft.ops.Profile.correlations]])
     // over the lineitem measures — ONE wide aggregate of exact integer
     // (cents) sums, report as sqrt-free r² ppm + sign so nothing in
