@@ -3545,6 +3545,58 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // Partition-overwrite backfill: the day-partitioned events table is
+    // written once, then three days are RECOMPUTED (values doubled) and
+    // spliced in with dynamic partition overwrite — Spark replaces only
+    // the partitions present in the incoming write, the standard
+    // reprocess-a-window maintenance op (static overwrite mode would
+    // silently truncate the other 27 days; partitionOverwriteMode=
+    // dynamic is exactly the difference under grade). The read-back
+    // census must show doubled sums on the backfilled days and
+    // untouched originals elsewhere — which the oracle recomputes from
+    // the source directly.
+    QueryDef("ov1_partition_backfill", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-backfill-$key")
+      val tab = s"$base/events_by_day"
+      val src = spark.table("events")
+        .select(col("event_id"), col("user_id"),
+          col("value").cast("decimal(18,2)").as("value"),
+          col("ts").cast("date").as("day"))
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tab))) {
+        src.write.partitionBy("day").mode("overwrite").parquet(tab)
+        // backfill: recompute days 10-12 with corrected (doubled) values
+        val patch = src
+          .filter(col("day").between("2024-01-10", "2024-01-12"))
+          .withColumn("value", (col("value") * 2).cast("decimal(18,2)"))
+        val prev = spark.conf.getOption(
+          "spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try patch.write.partitionBy("day").mode("overwrite").parquet(tab)
+        finally prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset(
+            "spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      spark.read.parquet(tab)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value")).cast("double").as("sum_value"))
+        .orderBy("day")
+    }, Some(
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN CAST(ts AS DATE)
+        |                          BETWEEN DATE '2024-01-10'
+        |                              AND DATE '2024-01-12'
+        |                     THEN CAST(value AS DECIMAL(18,2)) * 2
+        |                     ELSE CAST(value AS DECIMAL(18,2)) END)
+        |            AS DOUBLE) AS sum_value
+        |FROM events GROUP BY day ORDER BY day""".stripMargin)),
+
     // Materialized-view rewrite ([[graft.plans.MaterializedViews]] +
     // [[graft.plans.RewriteToMv]]): a rollup of orders at (status,
     // priority) granularity is built once and REGISTERED; the entry's
