@@ -3545,6 +3545,32 @@ object PipelineOps {
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
     // the 100 TB knob is exactDistinct=false (HLL, error graded hll1x).
+    // Parquet aggregate pushdown: COUNT/MIN/MAX answered from parquet
+    // FOOTER STATISTICS through the DSv2 reader (PushedAggregation in
+    // the scan) — at 100 TB the difference between reading row-group
+    // metadata and scanning the table. Scoped to a CHILD session (own
+    // conf, shared context), so every other entry keeps planning
+    // against the default V1 path; AggPushdownSpec pins both the
+    // pushdown firing here and the parent session staying V1.
+    QueryDef("ap1_agg_pushdown", (spark, sfDir) => {
+      graft.Tables.registerAll(spark, sfDir)
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.sources.useV1SourceList", "")
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }, Some(
+      """SELECT count(*) AS n_rows,
+        |       min(l_orderkey) AS min_orderkey,
+        |       max(l_orderkey) AS max_orderkey,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin)),
+
     // Partition-overwrite backfill: the day-partitioned events table is
     // written once, then three days are RECOMPUTED (values doubled) and
     // spliced in with dynamic partition overwrite — Spark replaces only
