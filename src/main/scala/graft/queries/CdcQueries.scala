@@ -1733,6 +1733,70 @@ object CdcQueries {
         |       CAST(0 AS BIGINT) AS n_error_violations
         |FROM events""".stripMargin)),
 
+    // st11 — STREAMING-MAINTAINED MATERIALIZED VIEW, served by the
+    // optimizer: the rollup mv1's rewrite rule answers from is kept
+    // fresh BY A STREAM — each micro-batch's complete-mode aggregate
+    // state overwrites the rollup parquet in foreachBatch (the standard
+    // small-rollup maintenance pattern; complete mode re-emits the full
+    // |groups|-row table, so a restart or replay converges to the same
+    // file). After the run the entry registers the rollup and returns
+    // the SAME aggregate query over the raw chunk files — RewriteToMv
+    // serves it from the stream-maintained summary, and the oracle
+    // computes the truth from the events table: a wrong trigger, a
+    // missed batch, or a wrong rewrite all fail the grade.
+    QueryDef("st11_stream_mv_maintenance", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val run = Files.createTempDirectory("graft-st11-run")
+      val mvPath = Files.createTempDirectory("graft-st11-mv").toString
+      val src = spark.table("events")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,2)").as("value"))
+      (0 until 4).foreach { k =>
+        val tmp = run.resolve(s"w-$k")
+        src.filter(col("event_id") % 4 === k).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error("st11 fixture: no part file"))
+        Files.move(part.toPath, run.resolve(s"chunk-$k.parquet"))
+        tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+        run.resolve(s"chunk-$k.parquet").toFile
+          .setLastModified(1000000000000L + k * 1000L)
+      }
+      val stream = spark.readStream
+        .schema("event_id BIGINT, event_type STRING, value DECIMAL(18,2)")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      withStatePartitions(spark, 8) {
+        val q = stream.groupBy("event_type")
+          .agg(count(lit(1)).as("__cnt"), sum(col("value")).as("__sum_0"))
+          .writeStream.outputMode("complete")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.coalesce(1).write.mode("overwrite").parquet(mvPath)
+          }
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st11-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      // the chunk files already store DECIMAL(18,2), so SimplifyCasts
+      // reduces the query's sum argument to the bare column — register
+      // the measure under that key
+      graft.plans.MaterializedViews.register(spark, run.toString, mvPath,
+        Seq("event_type"), Seq("value"))
+      graft.plans.MaterializedViews.install(spark)
+      spark.read.parquet(run.toString)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("event_type")
+    }, Some(
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // st7 — gap sessionization as REAL micro-batches: ses1's semantics
     // (a >= 5-minute gap starts a new session) through Spark's native
     // streaming session_window — per-key session state MERGES in the
