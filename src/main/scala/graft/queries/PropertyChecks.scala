@@ -471,6 +471,37 @@ object PropertyChecks {
             .as("n_upper_violations"))
     },
 
+    // Approximate query processing by deterministic sampling: per-group
+    // counts estimated from the 1/16 hash-sample (xxhash64 of the row
+    // id — reproducible, no RNG state; the same mechanism behind the
+    // sm/sp split family) scaled by 16, graded against exact counts at
+    // a 6σ binomial bound (σ² = 15·true for a 1/16 sample): per-group
+    // miss probability ~1e-9, zero violations pinned on the fixed
+    // corpus. The 100 TB shape: the estimate touches 1/16 of the rows
+    // and answers with quantified error — the exploratory-query mode
+    // every warehouse runs before committing to the full scan.
+    QueryDef.views("aqp1x_sampled_counts",
+      """SELECT count(*) AS n_groups,
+        |       CAST(0 AS BIGINT) AS n_bound_violations
+        |FROM (SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        |      GROUP BY event_type, CAST(ts AS DATE)) g""".stripMargin) { spark =>
+      val ev = spark.table("events")
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          col("event_id"))
+      val sampled = ev
+        .filter(pmod(xxhash64(col("event_id"), lit(7L)), lit(16)) === 0)
+        .groupBy("event_type", "day")
+        .agg((count(lit(1)) * 16).as("est"))
+      val exact = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("true_n"))
+      exact.join(sampled, Seq("event_type", "day"), "left")
+        .na.fill(0L, Seq("est"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(abs(col("est") - col("true_n")) >
+            lit(6.0) * sqrt(col("true_n") * 15.0) + 16.0, 1L)
+            .otherwise(0L)).as("n_bound_violations"))
+    },
+
     // Equal-frequency binning ([[graft.ops.Profile.quantileBins]]):
     // 10 buckets over events.value from one GK-sketch aggregate,
     // assignment as an unrolled codegen comparison chain. Graded on
