@@ -51,7 +51,9 @@ object DumpPlans {
     "bf1_bfs_distance", "wc2_incremental_components",
     "fn1_funnel_steps", "co1_cohort_retention", "hy1_hybrid_rrf",
     "pv1_k_anonymity", "pv2x_dp_noise_bound", "dr1_drift_tvd",
-    "rt2_bm25_from_index", "ct1_containment")
+    "rt2_bm25_from_index", "ct1_containment",
+    "mv1_rollup_rewrite", "ov1_partition_backfill", "ap1_agg_pushdown",
+    "qb1x_quantile_bins", "cr1_correlations", "aqp1x_sampled_counts")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
