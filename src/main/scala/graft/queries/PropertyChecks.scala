@@ -574,6 +574,84 @@ object PropertyChecks {
             1L).otherwise(0L)).as("n_hll_violations"),
           sum(when(abs(col("kmv") - col("exact")) / col("exact") > 0.2,
             1L).otherwise(0L)).as("n_kmv_violations"))
+    },
+
+    // Pre-join cardinality estimation (kmv_intersect): the planning
+    // probe that answers "how many keys actually meet" from two 1-row
+    // sketch aggregates — the input to broadcast/salt decisions at
+    // 100 TB — graded against the EXACT distinct-key intersection
+    // DuckDB computes. k=4096 puts the KMV Jaccard path well inside
+    // ±10% (and the sf0.01 cardinalities sit below k, where the
+    // estimator is exact by construction); the +32 absolute slack
+    // keeps tiny intersections out of the relative-error regime.
+    QueryDef.views("jc1x_join_cardinality",
+      """WITH co AS (SELECT CAST(count(*) AS BIGINT) AS x FROM
+        |    (SELECT DISTINCT o_custkey FROM orders
+        |     WHERE o_custkey IN (SELECT c_custkey FROM customer))),
+        |  pl AS (SELECT CAST(count(*) AS BIGINT) AS x FROM
+        |    (SELECT DISTINCT l_partkey FROM lineitem
+        |     WHERE l_partkey IN (SELECT p_partkey FROM part))),
+        |  eh AS (SELECT CAST(count(*) AS BIGINT) AS x FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |       AND user_id IN (SELECT user_id FROM events
+        |                       WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')))
+        |SELECT 'customer_orders' AS pair, x AS exact_intersection,
+        |       true AS within_bound FROM co
+        |UNION ALL SELECT 'events_halves', x, true FROM eh
+        |UNION ALL SELECT 'part_lineitem', x, true FROM pl
+        |ORDER BY pair""".stripMargin) { spark =>
+      import org.apache.spark.sql.DataFrame
+      def probe(name: String, l: DataFrame, lk: String,
+          r: DataFrame, rk: String): DataFrame = {
+        val ska = l.agg(expr(s"kmv_sketch($lk, 4096)").as("sa"))
+        val skb = r.agg(expr(s"kmv_sketch($rk, 4096)").as("sb"))
+        val exact = l.select(col(lk).as("k")).distinct()
+          .join(r.select(col(rk).as("k")).distinct(), "k")
+          .agg(count(lit(1)).as("exact_intersection"))
+        ska.crossJoin(skb).crossJoin(exact)
+          .select(lit(name).as("pair"), col("exact_intersection"),
+            (abs(expr("kmv_intersect(sa, sb)") - col("exact_intersection"))
+              <= greatest(expr("exact_intersection div 10"), lit(32L)))
+              .as("within_bound"))
+      }
+      val ev = spark.table("events")
+      val cut = expr("TIMESTAMP '2024-01-16 00:00:00'")
+      probe("customer_orders",
+          spark.table("orders"), "o_custkey",
+          spark.table("customer"), "c_custkey")
+        .unionByName(probe("events_halves",
+          ev.filter(col("ts") < cut), "user_id",
+          ev.filter(col("ts") >= cut), "user_id"))
+        .unionByName(probe("part_lineitem",
+          spark.table("lineitem"), "l_partkey",
+          spark.table("part"), "p_partkey"))
+        .orderBy("pair")
+    },
+
+    // Hashing-trick featurizer (feature_hash / featureHashSparse): both
+    // paths must preserve token mass — Σ dense vector = token count =
+    // Σ sparse counts, per document. DuckDB recomputes the token count
+    // from raw text (the xxhash64 bucket assignment itself has no
+    // DuckDB twin; dense/sparse bucket-level agreement is spec-pinned
+    // in PlanningOpsSpec).
+    QueryDef.views("fh1x_feature_hash_mass",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id, n AS n_tokens, n AS dense_l1, n AS sparse_l1
+        |FROM t ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val dense = graft.ops.TextOps.featureHash(docs, "doc_id", "text", 64)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("aggregate(features, 0L, (s, v) -> s + v)").as("dense_l1"))
+      val sparse = graft.ops.TextOps
+        .featureHashSparse(docs, "doc_id", "text", 64)
+        .groupBy("doc_id").agg(sum("cnt").as("sparse_l1"))
+      dense.join(sparse, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("sparse_l1"))
+        .orderBy("doc_id")
     }
   )
 }
