@@ -21,6 +21,7 @@ object GraftFunctions {
     "kmv_value" -> ((es: Seq[Expression]) => KmvValue(es(0))),
     "kmv_intersect" -> ((es: Seq[Expression]) => KmvIntersect(es(0), es(1))),
     "feature_hash" -> ((es: Seq[Expression]) => FeatureHash(es(0), litInt(es(1)))),
+    "range_bucket" -> ((es: Seq[Expression]) => RangeBucket(es(0), es(1))),
     "srp_bits" -> ((es: Seq[Expression]) => SrpBits(es(0), es(1), es(2))),
     "sorted_intersect_count" -> ((es: Seq[Expression]) =>
       SortedIntersectCount(es(0), es(1))),

@@ -957,6 +957,86 @@ object Relational {
         .orderBy("err_id")
     },
 
+    // Point-in-range lookup against a BROADCAST-SIZED dimension — the
+    // third member of the range-join family (iv1: equi key + band; rj1:
+    // two large sides, binned; lk1: huge fact × small disjoint-range
+    // dim). Spark's planner turns the naive BETWEEN join into a
+    // BroadcastNestedLoopJoin — O(|dim|) comparisons per fact row — so
+    // BroadcastLookup collects the (lo,hi) pairs once, embeds them as
+    // ONE sorted boundary array literal, binary-searches it per row in
+    // whole-stage codegen (range_bucket, O(log|dim|)), and attaches the
+    // payload with a broadcast HASH join on the found ordinal. Zero
+    // exchanges on the fact side (PlanningOpsSpec pins: no BNLJ, no
+    // shuffle before the aggregate). Tier boundaries are irregular
+    // quadratic-width bands derived from nation, with real gaps between
+    // them (the gap path drops rows — inner semantics, graded here).
+    QueryDef.views("lk1_broadcast_range_lookup",
+      """WITH tiers AS (SELECT n_nationkey AS tier,
+        |         CAST(n_nationkey AS BIGINT)*n_nationkey*100000 AS lo,
+        |         CAST(n_nationkey AS BIGINT)*n_nationkey*100000
+        |           + (2*n_nationkey + 1)*90000 AS hi
+        |       FROM nation),
+        |     pts AS (SELECT CAST(floor(o_totalprice*100) AS BIGINT) AS cents
+        |             FROM orders)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM pts JOIN tiers ON cents >= lo AND cents < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin) { spark =>
+      val k = col("n_nationkey").cast("long")
+      val tiers = spark.table("nation").select(
+        col("n_nationkey").as("tier"),
+        (k * k * lit(100000L)).as("lo"),
+        (k * k * lit(100000L) + (k * 2 + 1) * lit(90000L)).as("hi"))
+      val pts = spark.table("orders")
+        .select(expr("CAST(floor(o_totalprice*100) AS BIGINT)").as("cents"))
+      graft.ops.BroadcastLookup.pointLookup(pts, "cents", tiers, "lo", "hi")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("tier")
+    },
+
+    // Rolling-window anomaly detection — each event's value judged
+    // against the mean/σ of the same user's previous 20 values, the
+    // metric-alerting staple. The flag is a THRESHOLD on window
+    // aggregates, and float window sums are association-order-dependent
+    // (Spark's running frame vs DuckDB's segment tree), so a borderline
+    // row could flip on a 1-ulp difference: TimeSeries.rollingAnomalies
+    // therefore works in fixed-point ℤ (milli-units), where
+    // |v−mean| > 3σ becomes the exact integer comparison
+    // dev² > 9·(cnt·Σv² − (Σv)²). One hash exchange on user_id +
+    // in-partition sort; O(lookback) frame state per key, so a skewed
+    // user costs O(1) memory at 100 TB.
+    QueryDef.views("ts1_rolling_anomaly",
+      """WITH s AS (SELECT event_id, user_id, ts,
+        |             CAST(floor(value*1000) AS BIGINT) AS v
+        |           FROM events),
+        |     w AS (SELECT event_id, user_id, v,
+        |             count(v) OVER win AS w_cnt,
+        |             sum(v)   OVER win AS w_sum,
+        |             sum(v*v) OVER win AS s2
+        |           FROM s
+        |           WINDOW win AS (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, w_cnt,
+        |       CAST(v*w_cnt - w_sum AS BIGINT) AS dev
+        |FROM w
+        |WHERE w_cnt >= 10
+        |  AND (v*w_cnt - w_sum)*(v*w_cnt - w_sum)
+        |        > 9*(w_cnt*s2 - w_sum*w_sum)
+        |ORDER BY event_id""".stripMargin) { spark =>
+      val scaled = spark.table("events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("CAST(floor(value*1000) AS BIGINT)").as("v"))
+      graft.ops.TimeSeries.rollingAnomalies(scaled, "user_id",
+          Seq("ts", "event_id"), "v", lookback = 20, minPoints = 10,
+          sigmas = 3)
+        .filter(col("is_anomaly"))
+        .select(col("event_id"), col("user_id"), col("w_cnt"), col("dev"))
+        .orderBy("event_id")
+    },
+
     // Time-series resampling with gap fill: per user, one row per DAY
     // from their first to last purchase, zero-filled where no purchases
     // happened — the regularization step before any window/trend
