@@ -810,6 +810,96 @@ object Relational {
         .orderBy("cohort", "week_offset")
     },
 
+    // Markov transition counts — the (prev event_type → event_type)
+    // bigram census per user stream, the behavioral-modeling staple
+    // (session path analysis, next-action priors for curriculum
+    // mining). ONE window pass (lag over the user's ordered stream) +
+    // a grouped count whose output is |types|² rows no matter the
+    // event volume — the same shuffle the sessionizer already pays,
+    // nothing quadratic.
+    QueryDef.views("pa1_transition_counts",
+      """WITH t AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS prev_type
+        |           FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type,
+        |       CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      spark.table("events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy("from_type", "to_type")
+    },
+
+    // Marketing-style attribution: every purchase credited to the
+    // user's FIRST touch (first event_type ever) and LAST touch (most
+    // recent non-purchase event strictly before it — ao1's
+    // ignore-nulls running last_value). Both signals fall out of the
+    // SAME single window pass over the user-partitioned stream; the
+    // result is a |types|² attribution matrix.
+    QueryDef.views("at1_attribution",
+      """WITH o AS (SELECT event_id, event_type,
+        |    first_value(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT first_touch, coalesce(last_touch, '(none)') AS last_touch,
+        |       CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM o WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      spark.table("events")
+        .withColumn("first_touch", first(col("event_type"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(prior))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("first_touch"),
+          coalesce(col("last_touch"), lit("(none)")).as("last_touch"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("first_touch", "last_touch")
+    },
+
+    // Quantile normalization — rank → uniform grid per stratum, the
+    // feature-engineering transform that makes heterogeneous score
+    // columns comparable before mixing/weighting. Emitted in exact
+    // integer ppm (floor((rn−1)·10⁶ / (n−1))) rather than
+    // percent_rank's double division, so the output is bit-identical
+    // across engines and re-runs (the same reproducibility argument as
+    // ts1). One exchange per stratum + in-partition sort; the grid is
+    // assigned per row with O(1) state.
+    QueryDef.views("qn1_quantile_normalize",
+      """WITH t AS (SELECT event_id,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY value, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_id, CAST((rn - 1)*1000000 // (n - 1) AS BIGINT) AS qn_ppm
+        |FROM t WHERE n > 1 ORDER BY event_id""".stripMargin) { spark =>
+      val byType = Window.partitionBy("event_type")
+      spark.table("events")
+        .withColumn("rn", row_number()
+          .over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("n") > 1)
+        .select(col("event_id"),
+          expr("CAST((rn - 1)*1000000L div (n - 1) AS BIGINT)").as("qn_ppm"))
+        .orderBy("event_id")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).
