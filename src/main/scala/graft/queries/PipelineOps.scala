@@ -2121,6 +2121,67 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Token-weighted median document length per language: the
+    // unweighted median answers "the typical document", this answers
+    // "the typical TOKEN's document" — the statistic that actually
+    // predicts what a trained model sees. Weighted.weightedMedian is
+    // one exchange on the group key + a cumulative-sum window in exact
+    // integer weights (the boundary row is a threshold decision, so ℤ
+    // keeps it bit-identical across engines — ts1's argument).
+    QueryDef.views("wm1_weighted_median",
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0)) AS BIGINT) AS w
+        |           FROM documents),
+        |     t AS (SELECT lang, n_chars, w,
+        |             sum(w) OVER (PARTITION BY lang
+        |               ORDER BY n_chars, doc_id) AS cumw,
+        |             sum(w) OVER (PARTITION BY lang) AS totw
+        |           FROM d)
+        |SELECT lang, CAST(min(n_chars) AS BIGINT) AS wmedian
+        |FROM t WHERE 2*cumw >= totw
+        |GROUP BY lang ORDER BY lang""".stripMargin) { spark =>
+      val d = spark.table("documents").select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)")
+          .as("w"))
+      graft.ops.Weighted.weightedMedian(d, Seq("lang"), "n_chars", "w",
+          "doc_id")
+        .orderBy("lang")
+    },
+
+    // Nucleus (top-p) selection per language: keep the smallest head of
+    // documents (heaviest first) carrying 90% of the language's token
+    // mass — the mass-bounded variant of top-k that a mixing stage
+    // wants (a row-count bound keeps wildly different mass per group).
+    // Exactly one row straddles the boundary; the keep rule
+    // (mass-before-row < target) is evaluated in exact integer ppm.
+    QueryDef.views("np1_nucleus_select",
+      """WITH d AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0)) AS BIGINT) AS w
+        |           FROM documents),
+        |     t AS (SELECT lang, doc_id, w,
+        |             sum(w) OVER (PARTITION BY lang
+        |               ORDER BY w DESC, doc_id) AS cumw,
+        |             sum(w) OVER (PARTITION BY lang) AS totw
+        |           FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(w) AS BIGINT) AS kept_mass,
+        |       CAST(min(totw) AS BIGINT) AS total_mass
+        |FROM t WHERE (cumw - w)*1000000 < 900000*totw
+        |GROUP BY lang ORDER BY lang""".stripMargin) { spark =>
+      val d = spark.table("documents").select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), x -> length(x) > 0)) AS BIGINT)")
+          .as("w"))
+      val kept = graft.ops.Weighted.nucleusSelect(d, Seq("lang"), "w",
+          "doc_id", 900000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("w")).as("kept_mass"))
+      val tot = d.groupBy("lang").agg(sum(col("w")).as("total_mass"))
+      kept.join(tot, "lang").orderBy("lang")
+    },
+
     // Int8 embedding quantization: per-vector symmetric scale, integer
     // codes exact cross-engine (identical IEEE division + half-away
     // rounding); scale emitted as the 2^20-scaled integer per the

@@ -900,6 +900,54 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // Event-time lateness census — per user, how often events arrive
+    // out of event-time order and by how much at worst. This is the
+    // measurement that DRIVES watermark selection for every streaming
+    // entry (t7/t8, st*, iv2): the delay bound is a quantile of exactly
+    // this distribution. The synthetic events happen to arrive
+    // perfectly ordered, so (cdc1's derived-WAL style) event time is
+    // arrival time minus a deterministic per-event client skew: a
+    // Knuth multiplicative hash of event_id mod 86400s. It must be a
+    // HASH — ids are assigned in time order, so any monotone skew
+    // preserves order against the ~7h median per-user gap — and a day
+    // deep so it clears that gap; ~27% of events land out of order. Running-max
+    // window over arrival order, lateness in exact µs, grouped census;
+    // HAVING keeps only users that ever saw disorder.
+    QueryDef.views("la1_lateness_census",
+      """WITH s AS (SELECT user_id, event_id, ts,
+        |             epoch_us(ts) - ((event_id * 2654435761) % 86400)*1000000 AS ev_us
+        |           FROM events),
+        |     t AS (SELECT user_id, ev_us,
+        |             max(ev_us) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS max_prior
+        |           FROM s)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(CASE WHEN ev_us < max_prior THEN 1 END) AS BIGINT)
+        |         AS n_out_of_order,
+        |       CAST(coalesce(max(CASE WHEN ev_us < max_prior
+        |           THEN max_prior - ev_us END), 0) AS BIGINT)
+        |         AS max_lateness_us
+        |FROM t GROUP BY user_id
+        |HAVING count(CASE WHEN ev_us < max_prior THEN 1 END) > 0
+        |ORDER BY user_id""".stripMargin) { spark =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spark.table("events")
+        .withColumn("ev_us",
+          expr("unix_micros(cast(ts as timestamp)) - ((event_id * 2654435761L) % 86400)*1000000L"))
+        .withColumn("max_prior", max(col("ev_us")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("ev_us") < col("max_prior"), 1)).as("n_out_of_order"),
+          coalesce(max(when(col("ev_us") < col("max_prior"),
+              col("max_prior") - col("ev_us"))), lit(0L))
+            .cast("long").as("max_lateness_us"))
+        .filter(col("n_out_of_order") > 0)
+        .orderBy("user_id")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).
