@@ -147,6 +147,40 @@ object Similarity {
     topKSelect(scored, "cs", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar vectors whose LABEL differs from the
+    * query's — close in embedding space yet labeled apart, exactly the
+    * pairs a contrastive loss learns most from (random negatives are
+    * too easy; same-label candidates are likely false negatives).
+    * `labels` is any (id, label) frame — typically [[kmeansAssign]]'s
+    * deterministic clustering, making the whole chain oracle-gradable
+    * (hn1). Same broadcast contract as [[lshTopK]]: the query side is
+    * small and ships to every executor; the corpus side stays
+    * scan-local, so the probe is one pass with no exchange. For
+    * corpus-vs-corpus mining at 100 TB, block first (the SRP path) and
+    * apply the label-mismatch filter on the blocked candidates. */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labels: DataFrame, labelIdCol: String, labelCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      maxQueryRows: Int = 10000): DataFrame = {
+    val lbl = labels.select(col(labelIdCol).as("vec_id"),
+      col(labelCol).as("lbl"))
+    val en = withNorm(corpus, idCol, vecCol).join(lbl, "vec_id")
+    val q = en.filter(queryPred)
+    val nq = q.limit(maxQueryRows + 1).count()
+    require(nq <= maxQueryRows,
+      s"hardNegatives: queryPred selects more than $maxQueryRows rows — " +
+        "the query side is broadcast; block the corpus instead")
+    val scored = broadcast(q.as("q"))
+      .join(en.as("b"), col("q.vec_id") =!= col("b.vec_id") &&
+        col("q.lbl") =!= col("b.lbl"))
+      .withColumn("cs",
+        expr("vec_dot(q.embedding, b.embedding)") / (col("q.nrm") * col("b.nrm")))
+      .select(col("q.vec_id").as("q_vec_id"), col("b.vec_id").as("nn"),
+        col("cs"))
+    topKSelect(scored, "cs", k)
+  }
+
   /** LSH-bucketed ANN: `tables` independent sign-random-projection
     * bucketings of `planeBits` bits each (codegen'd
     * [[graft.functions.SrpBits]], one seed per table); candidates share

@@ -130,7 +130,7 @@ object PipelineOps {
     * ordering (ties to the smaller id, mirroring the struct-min);
     * recenter floors sum/count via the sign-safe positive-mod identity,
     * matching `(s - pmod(s, n)) div n` exactly. */
-  private def km1OracleSql(k: Int, iters: Int): String = {
+  private def km1Ctes(k: Int, iters: Int): String = {
     // argmin assignment of every vector against centroid CTE `c`
     def assignCte(a: String, c: String) =
       s"""  $a AS (SELECT vec_id, cluster FROM (
@@ -151,17 +151,19 @@ object PipelineOps {
          |    GROUP BY a.cluster, t.dim) GROUP BY cluster)""".stripMargin
     val rounds = (1 to iters).flatMap(r =>
       Seq(assignCte(s"a${r - 1}", s"c${r - 1}"), recenterCte(s"c$r", s"a${r - 1}")))
-    val ctes = (Seq(
+    (Seq(
       s"""iv AS (SELECT vec_id, list_transform(embedding,
          |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
          |        FROM embeddings)""".stripMargin,
       s"""  c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv
          |         FROM iv WHERE vec_id < $k)""".stripMargin) ++
       rounds :+ assignCte("fin", s"c$iters")).mkString(",\n")
-    s"""WITH $ctes
+  }
+
+  private def km1OracleSql(k: Int, iters: Int): String =
+    s"""WITH ${km1Ctes(k, iters)}
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM fin ORDER BY vec_id""".stripMargin
-  }
 
   /** rp1's projection matrix: 8 output components × 64 input dims, every
     * entry k/16 with k ∈ [-9, 9] — exact in binary FP AND in the oracle's
@@ -446,6 +448,41 @@ object PipelineOps {
         Similarity.kmeansAssign(spark.table("embeddings"), "vec_id",
             "embedding", k = 8, iters = 2)
           .orderBy("vec_id")
+    },
+
+    // hn1 — hard-negative mining, the contrastive-training data op:
+    // for each query vector, the 5 most-similar vectors OUTSIDE its
+    // own cluster (km1's deterministic integer k-means supplies the
+    // labels, so the WHOLE chain — Lloyd iterations → label-mismatch
+    // candidate filter → cosine ranking — is replayed exactly by the
+    // oracle: km1's unrolled CTEs feeding s1's pairwise ranking).
+    // Random negatives are too easy to teach anything; same-cluster
+    // candidates are likely false negatives; this keeps the band
+    // between.
+    QueryDef.views("hn1_hard_negatives",
+      s"""WITH ${km1Ctes(k = 8, iters = 2)},
+         |  en AS (SELECT vec_id, list_transform(embedding,
+         |           x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |  enn AS (SELECT e.vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |                 f.cluster
+         |          FROM en e JOIN fin f USING (vec_id)),
+         |  p AS (SELECT q.vec_id AS q_vec_id, b.vec_id AS neg_id,
+         |               list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS cs
+         |        FROM enn q JOIN enn b
+         |          ON q.vec_id != b.vec_id AND q.cluster != b.cluster
+         |        WHERE q.vec_id < 20),
+         |  r AS (SELECT q_vec_id, neg_id, row_number() OVER
+         |          (PARTITION BY q_vec_id ORDER BY cs DESC, neg_id) AS rn
+         |        FROM p)
+         |SELECT q_vec_id, CAST(rn AS BIGINT) AS rnk, neg_id
+         |FROM r WHERE rn <= 5 ORDER BY q_vec_id, rnk""".stripMargin) { spark =>
+      val emb = spark.table("embeddings")
+      val labels = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      Similarity.hardNegatives(emb, "vec_id", "embedding", labels,
+          "vec_id", "cluster", col("vec_id") < 20, k = 5)
+        .withColumnRenamed("nn_id", "neg_id")
+        .orderBy("q_vec_id", "rnk")
     },
 
     // LSH-bucketed ANN (scale path). Rows-only.
