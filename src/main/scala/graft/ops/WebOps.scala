@@ -191,4 +191,91 @@ object WebOps {
           col("content_length").isNotNull &&
           length(col("__body")) >= col("content_length"), lit(false)))
       .drop("__hb", "__body", "__m")
+
+  /** Pure per-document robots.txt parser (RFC 9309 subset: groups of
+    * consecutive User-agent lines, Allow/Disallow path-PREFIX rules —
+    * no `*`/`$` wildcard support; prefixes are matched literally).
+    * Comments (`#` to EOL), blank lines, unknown directives
+    * (crawl-delay, sitemap, …) are skipped; field names are
+    * case-insensitive; an unknown directive still closes a group
+    * header, so a later User-agent line starts a NEW group. Returns
+    * (agent lowercased, rule_ord = source line number, allow, prefix).
+    * Sequential by necessity (group state spans lines) but bounded by
+    * ONE robots.txt per host — never by corpus size. */
+  private[graft] def parseRobots(text: String): Seq[(String, Int, Boolean, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Boolean, String)]
+    var agents: List[String] = Nil
+    var inHeader = false
+    for ((raw, i) <- text.split("\n", -1).zipWithIndex) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split(":", 2) match {
+        case Array(f, v) =>
+          val value = v.trim
+          f.trim.toLowerCase match {
+            case "user-agent" =>
+              if (inHeader) agents ::= value.toLowerCase
+              else { agents = List(value.toLowerCase); inHeader = true }
+            case d @ ("allow" | "disallow") =>
+              inHeader = false
+              // RFC: an empty Disallow means "allow all" — a no-op rule
+              if (value.nonEmpty)
+                agents.foreach(a => out += ((a, i, d == "allow", value)))
+            case _ => inHeader = false
+          }
+        case _ => () // no colon — not a directive line
+      }
+    }
+    out.toSeq
+  }
+
+  /** Parse a frame of fetched robots.txt documents into one rule row
+    * per (host, agent, prefix): columns (host, agent, rule_ord, allow,
+    * prefix). One input row per HOST, so the sequential parse is
+    * scan-local and O(file size) — the classic "small control data,
+    * huge fact data" shape. */
+  def robotsRules(robots: DataFrame, hostCol: String,
+      textCol: String): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .flatMap { case (host, text) =>
+        parseRobots(Option(text).getOrElse("")).map {
+          case (agent, ord, allow, prefix) => (host, agent, ord, allow, prefix)
+        }
+      }
+      .toDF("host", "agent", "rule_ord", "allow", "prefix")
+  }
+
+  /** Longest-match crawl decision per probe URL (RFC 9309): the
+    * applicable group is the host's `agent`-specific group when one
+    * exists, else `*`; among matching prefixes the LONGEST wins, with
+    * allow beating disallow on equal length; no match → allowed.
+    * Output: (idCol, hostCol, pathCol, allowed).
+    *
+    * Plan shape: the rules side is control data (a handful of rows per
+    * host) → broadcast hash join on host with the prefix test as
+    * residual, then ONE partial-aggregatable max_by per probe — no
+    * window sort, so the decision combines map-side and the exchange
+    * carries one row per probe, not one per (probe, rule) match. */
+  def robotsAllowed(probes: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, rules: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase
+    val r = rules.select(col("host").as("__rhost"),
+      lower(col("agent")).as("__agent"), col("allow").as("__allow"),
+      col("prefix").as("__prefix"))
+    val hostHas = r.groupBy("__rhost")
+      .agg(max(col("__agent") === a).as("__has"))
+    val chosen = r.join(hostHas, "__rhost")
+      .filter((col("__has") && col("__agent") === a) ||
+        (!col("__has") && col("__agent") === "*"))
+    probes.join(broadcast(chosen),
+        probes(hostCol) === chosen("__rhost") &&
+          col(pathCol).startsWith(col("__prefix")), "left")
+      .groupBy(col(idCol), col(hostCol), col(pathCol))
+      .agg(coalesce(
+        max_by(col("__allow"),
+          struct(length(col("__prefix")), col("__allow"))),
+        lit(true)).as("allowed"))
+  }
 }

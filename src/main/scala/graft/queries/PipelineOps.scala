@@ -3496,6 +3496,103 @@ object PipelineOps {
             .cast("bigint").as("n_doubling_violations")))
     },
 
+    // rb1 — robots.txt compliance gate, the one legally-loaded web op a
+    // crawl pipeline cannot skip: per-host robots.txt text is ASSEMBLED
+    // deterministically from the table (cdc1's derived-fixture style —
+    // comments, blank lines, mixed-case fields, an ignorable
+    // crawl-delay, a multi-group layout with a bot-specific override
+    // group for 'de'), parsed back by WebOps.robotsRules (real
+    // sequential RFC 9309 parsing of the text bytes), and every
+    // document URL is gated by WebOps.robotsAllowed (group selection →
+    // longest-prefix match → allow-wins-ties, no match → allowed). The
+    // oracle never parses text: it derives the SAME rules relationally
+    // and replays the decision logic, so any parser defect — group
+    // state, case, comment handling, precedence — breaks the hash.
+    // Plan: rules are control data (broadcast); decisions are one
+    // partial-aggregatable max_by per probe.
+    QueryDef.views("rb1_robots_gate",
+      """WITH srcs AS (SELECT DISTINCT lang AS host, source,
+        |         CAST(substr(source, 4) AS INT) AS n FROM documents),
+        |rules AS (
+        |  SELECT host, '*' AS agent, false AS allow,
+        |         '/s' || source || '/' AS prefix
+        |  FROM srcs WHERE n % 3 = 0
+        |  UNION ALL
+        |  SELECT host, '*', true, '/s' || source || '/ok'
+        |  FROM srcs WHERE n % 3 = 0 AND n % 2 = 0
+        |  UNION ALL
+        |  SELECT DISTINCT lang, 'graftbot', false, '/'
+        |  FROM documents WHERE lang = 'de'),
+        |hosts AS (SELECT host, bool_or(agent = 'graftbot') AS has_spec
+        |          FROM rules GROUP BY host),
+        |chosen AS (SELECT r.* FROM rules r JOIN hosts h USING (host)
+        |  WHERE (h.has_spec AND r.agent = 'graftbot')
+        |     OR (NOT h.has_spec AND r.agent = '*')),
+        |probes AS (SELECT doc_id, lang AS host,
+        |    '/s' || source || '/' ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'ok-' ELSE 'p-' END) ||
+        |    CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |m AS (SELECT p.doc_id, p.host, c.allow, len(c.prefix) AS plen
+        |  FROM probes p LEFT JOIN chosen c
+        |    ON p.host = c.host AND starts_with(p.path, c.prefix)),
+        |d AS (SELECT doc_id, host, coalesce(allow, true) AS allowed,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY plen DESC NULLS LAST, allow DESC) AS rn
+        |      FROM m)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_probes,
+        |       CAST(count(CASE WHEN NOT allowed THEN 1 END) AS BIGINT)
+        |         AS n_blocked,
+        |       CAST(coalesce(sum(CASE WHEN NOT allowed THEN doc_id END), 0)
+        |         AS BIGINT) AS sum_blocked_ids
+        |FROM d WHERE rn = 1
+        |GROUP BY host ORDER BY host""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val srcs = docs.select(col("lang").as("host"), col("source")).distinct()
+        .withColumn("n", expr("CAST(substr(source, 4) AS INT)"))
+      // Assemble each host's robots.txt: fixed header noise + data-
+      // derived rule lines, line order pinned by an explicit ordinal.
+      val headerLines = srcs.select(col("host")).distinct().select(
+        col("host"), array(
+          struct(lit(0).as("ord"), concat(lit("# robots for "), col("host")).as("line")),
+          struct(lit(1).as("ord"), lit("").as("line")),
+          struct(lit(2).as("ord"), lit("User-agent: *").as("line")),
+          struct(lit(3).as("ord"), lit("crawl-delay: 2").as("line"))).as("ls"))
+        .select(col("host"), explode(col("ls")).as("l"))
+      val disallowLines = srcs.filter(col("n") % 3 === 0)
+        .select(col("host"), struct((col("n") + 10).as("ord"),
+          concat(lit("Disallow: /s"), col("source"), lit("/")).as("line")).as("l"))
+      val allowLines = srcs.filter(col("n") % 3 === 0 && col("n") % 2 === 0)
+        .select(col("host"), struct((col("n") + 40).as("ord"),
+          concat(lit("Allow: /s"), col("source"), lit("/ok")).as("line")).as("l"))
+      val botGroup = srcs.filter(col("host") === "de")
+        .select(col("host")).distinct().select(
+          col("host"), array(
+            struct(lit(100).as("ord"), lit("").as("line")),
+            struct(lit(101).as("ord"), lit("User-Agent: graftbot").as("line")),
+            struct(lit(102).as("ord"), lit("Disallow: /").as("line"))).as("ls"))
+        .select(col("host"), explode(col("ls")).as("l"))
+      val robotsTxt = headerLines.unionByName(disallowLines)
+        .unionByName(allowLines).unionByName(botGroup)
+        .groupBy("host")
+        .agg(concat_ws("\n",
+          expr("transform(array_sort(collect_list(l)), x -> x.line)"))
+          .as("text"))
+      val rules = graft.ops.WebOps.robotsRules(robotsTxt, "host", "text")
+      val probes = docs.select(col("doc_id"), col("lang").as("host"),
+        concat(lit("/s"), col("source"), lit("/"),
+          when(col("doc_id") % 5 === 0, "ok-").otherwise("p-"),
+          col("doc_id").cast("string")).as("path"))
+      graft.ops.WebOps.robotsAllowed(probes, "doc_id", "host", "path",
+          rules, "graftbot")
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_probes"),
+          count(when(!col("allowed"), 1)).as("n_blocked"),
+          coalesce(sum(when(!col("allowed"), col("doc_id"))), lit(0L))
+            .cast("long").as("sum_blocked_ids"))
+        .orderBy("host")
+    },
+
     // WARC crawl-record round trip ([[graft.ops.WebOps.warcResponse]] /
     // [[WebOps.parseWarc]]): every document serializes to a REAL ISO
     // 28500 response record (version line, headers, Content-Length,
