@@ -79,6 +79,24 @@ class LookupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("pointLookup lifts onto a stream unchanged (stateless enrich)") {
+    // The dim side is batch control data (collected at plan time); the
+    // points side can be a stream — the probe is a stateless projection
+    // + broadcast join, so it composes with readStream like any map.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[Long]
+    in.addData(5L, 120L, 260L, 700L) // 260 falls in the 250..300 gap
+    val out = BroadcastLookup.pointLookup(
+      in.toDF.withColumnRenamed("value", "v"), "v", ranges, "lo", "hi")
+    val qn = "lookup_stream_" + System.nanoTime()
+    val q = out.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(qn).select("v", "range_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((5L, 0), (120L, 1), (700L, 3)))
+  }
+
   // --- TimeSeries.rollingAnomalies ---------------------------------------
 
   test("rollingAnomalies flags the spike and only the spike") {
