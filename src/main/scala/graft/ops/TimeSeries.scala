@@ -1,8 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  TimeMode, TimerValues}
 
 /** Rolling-window anomaly detection over keyed, ordered series (metric
   * streams, per-user event values, sensor feeds).
@@ -58,5 +60,65 @@ object TimeSeries {
             lit(sigmas.toLong * sigmas) *
               (col("w_cnt") * col("__s2") - col("w_sum") * col("w_sum")))
       .drop("__s2")
+  }
+
+  final case class TsPoint(user_id: Long, ts_us: Long, event_id: Long,
+      v: Long)
+  final case class TsAnomaly(event_id: Long, user_id: Long, w_cnt: Long,
+      dev: Long)
+  /** Keyed state: the trailing values, oldest first, ≤ lookback long. */
+  final case class TsRing(vals: Seq[Long])
+
+  private final class AnomalyProcessor(lookback: Int, minPoints: Int,
+      sigmas: Int) extends StatefulProcessor[Long, TsPoint, TsAnomaly] {
+    @transient private var ring
+        : org.apache.spark.sql.streaming.ValueState[TsRing] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState[TsRing]("ring",
+        Encoders.product[TsRing],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TsPoint],
+        timers: TimerValues): Iterator[TsAnomaly] = {
+      var vals = if (ring.exists()) ring.get().vals.toVector else Vector.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[TsAnomaly]
+      // event-time order within the batch = the batch form's frame order
+      // (exact across batches when chunk admission is time-ordered)
+      rows.toArray.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+        val cnt = vals.length.toLong
+        if (cnt >= minPoints) {
+          var s1 = 0L; var s2 = 0L
+          vals.foreach { x => s1 += x; s2 += x * x }
+          val dev = p.v * cnt - s1
+          if (dev * dev > sigmas.toLong * sigmas * (cnt * s2 - s1 * s1))
+            out += TsAnomaly(p.event_id, p.user_id, cnt, dev)
+        }
+        vals = (vals :+ p.v).takeRight(lookback)
+      }
+      ring.update(TsRing(vals))
+      out.iterator
+    }
+  }
+
+  /** CONTINUOUS form of [[rollingAnomalies]]: the same exact-integer
+    * trailing-window flag over an unbounded keyed stream, via
+    * `transformWithState`. State is ONE ≤`lookback`-long value ring per
+    * key — O(keys × lookback) total, independent of stream length,
+    * RocksDB-backed like every graft streaming op — so the detector
+    * holds the property the batch form can't have: each point is judged
+    * ONCE, as it arrives, and alerts stream out within its micro-batch.
+    * Ordering contract (StreamAssembler's): rows are event-time-sorted
+    * within each batch, so the streaming flags equal the batch form's
+    * exactly when batch admission is time-ordered (the replay/ingest
+    * case — graded against ts1's oracle in st12). */
+  def streamingAnomalies(points: Dataset[TsPoint], lookback: Int = 20,
+      minPoints: Int = 10, sigmas: Int = 3): Dataset[TsAnomaly] = {
+    require(lookback >= 1 && minPoints >= 2 && sigmas >= 1,
+      s"streamingAnomalies: bad knobs ($lookback, $minPoints, $sigmas)")
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user_id)
+      .transformWithState(new AnomalyProcessor(lookback, minPoints, sigmas),
+        TimeMode.None(), OutputMode.Append())
   }
 }

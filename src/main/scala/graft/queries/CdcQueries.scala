@@ -402,6 +402,58 @@ object CdcQueries {
     dir.toString
   }
 
+  /** st12's fixture: the events stream as (user_id, ts_us, event_id, v)
+    * in milli-unit fixed point, split into three time-tertile chunk
+    * files (iv2's replay discipline: chunk k strictly precedes chunk
+    * k+1 in event time, so time-ordered admission + in-batch sorting
+    * reproduces the batch frame order exactly). */
+  def ensureTsFixture(spark: SparkSession, sfDir: String): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+      else 31L * f.length() + f.lastModified()
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "-ts1-" + java.lang.Long.toHexString(fp(src))
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft-ts-fixture-$key")
+    if (Files.exists(dir.resolve("chunk-2.parquet"))) return dir.toString
+
+    graft.Tables.registerAll(spark, sfDir)
+    val pts = spark.table("events").select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+      col("event_id"),
+      expr("CAST(floor(value*1000) AS BIGINT)").as("v"))
+    val bounds = pts.select(expr(
+      "percentile_approx(ts_us, array(0.333, 0.667), 1000)"))
+      .head().getSeq[Long](0)
+    val build = Files.createTempDirectory(
+      Paths.get(sys.props("java.io.tmpdir")), "graft-ts-build")
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = build.resolve(s"w-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"ts fixture: no part file for $name"))
+      Files.move(part.toPath, build.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeOne(pts.filter(col("ts_us") < bounds(0)), "chunk-0")
+    writeOne(pts.filter(col("ts_us") >= bounds(0) &&
+      col("ts_us") < bounds(1)), "chunk-1")
+    writeOne(pts.filter(col("ts_us") >= bounds(1)), "chunk-2")
+    try {
+      Seq("w-chunk-0", "w-chunk-1", "w-chunk-2").foreach { w =>
+        val p = build.resolve(w)
+        if (Files.exists(p)) {
+          p.toFile.listFiles().foreach(_.delete()); Files.delete(p)
+        }
+      }
+      Files.move(build, dir, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.nio.file.FileAlreadyExistsException
+        | _: java.nio.file.DirectoryNotEmptyException => () }
+    dir.toString
+  }
+
   private val envCte =
     """WITH env AS (
       |  SELECT event_id AS lsn, event_id // 100 AS tx_id,
@@ -1864,7 +1916,77 @@ object CdcQueries {
         |SELECT user_id, CAST(min(event_id) AS BIGINT) AS first_event_id,
         |       count(*) AS n_events
         |FROM islands GROUP BY user_id, sid
-        |ORDER BY user_id, first_event_id""".stripMargin))
+        |ORDER BY user_id, first_event_id""".stripMargin)),
+
+    // st12 — CONTINUOUS anomaly detection: ts1's exact-integer rolling
+    // z-score run as real micro-batches through transformWithState
+    // (TimeSeries.streamingAnomalies). State is one ≤20-value ring per
+    // user — O(keys × lookback), stream-length-independent — and each
+    // point is judged ONCE as it arrives, alerts streaming out within
+    // their micro-batch (the property the batch form can't have: at
+    // 100 TB/day you cannot re-window history per alert). Time-tertile
+    // chunk replay + in-batch event-time sorting reproduce the batch
+    // frame order, so the oracle is ts1's VERBATIM — the streaming
+    // flags must bit-match the batch window's.
+    QueryDef("st12_stream_anomaly", (spark, dir) => {
+      import spark.implicits._
+      val fix = ensureTsFixture(spark, dir)
+      val run = Files.createTempDirectory("graft-st12-run")
+      Seq("chunk-0", "chunk-1", "chunk-2").zipWithIndex.foreach {
+        case (f, i) =>
+          val d = run.resolve(s"$f.parquet")
+          Files.copy(Paths.get(fix, s"$f.parquet"), d)
+          d.toFile.setLastModified(1000000000000L + i * 1000L)
+      }
+      val pts = spark.readStream
+        .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, v BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .as[graft.ops.TimeSeries.TsPoint]
+      val qn = "st12_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // transformWithState needs the RocksDB provider (column families);
+      // scoped to this query and restored, like the partition override.
+      val prevProvider =
+        spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStatePartitions(spark, 8) {
+        val q = graft.ops.TimeSeries
+          .streamingAnomalies(pts, lookback = 20, minPoints = 10, sigmas = 3)
+          .writeStream
+          .outputMode("append").format("memory").queryName(qn)
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st12-ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      } finally prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      spark.table(qn)
+        .select(col("event_id"), col("user_id"), col("w_cnt"), col("dev"))
+        .orderBy("event_id")
+    }, Some(
+      """WITH s AS (SELECT event_id, user_id, ts,
+        |             CAST(floor(value*1000) AS BIGINT) AS v
+        |           FROM events),
+        |     w AS (SELECT event_id, user_id, v,
+        |             count(v) OVER win AS w_cnt,
+        |             sum(v)   OVER win AS w_sum,
+        |             sum(v*v) OVER win AS s2
+        |           FROM s
+        |           WINDOW win AS (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, w_cnt,
+        |       CAST(v*w_cnt - w_sum AS BIGINT) AS dev
+        |FROM w
+        |WHERE w_cnt >= 10
+        |  AND (v*w_cnt - w_sum)*(v*w_cnt - w_sum)
+        |        > 9*(w_cnt*s2 - w_sum*w_sum)
+        |ORDER BY event_id""".stripMargin))
   )
 
   /** Writes the streaming-sessionization fixture once per sf dir: the
