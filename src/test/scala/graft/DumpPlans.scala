@@ -53,7 +53,12 @@ object DumpPlans {
     "pv1_k_anonymity", "pv2x_dp_noise_bound", "dr1_drift_tvd",
     "rt2_bm25_from_index", "ct1_containment",
     "mv1_rollup_rewrite", "ov1_partition_backfill", "ap1_agg_pushdown",
-    "qb1x_quantile_bins", "cr1_correlations", "aqp1x_sampled_counts")
+    "qb1x_quantile_bins", "cr1_correlations", "aqp1x_sampled_counts",
+    "lk1_broadcast_range_lookup", "ts1_rolling_anomaly",
+    "pa1_transition_counts", "at1_attribution", "qn1_quantile_normalize",
+    "wm1_weighted_median", "np1_nucleus_select", "la1_lateness_census",
+    "hn1_hard_negatives", "rb1_robots_gate", "fh1x_feature_hash_mass",
+    "jc1x_join_cardinality")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
