@@ -224,6 +224,52 @@ object Profile {
       .orderBy(groupCol)
   }
 
+  /** Welch's two-sample t statistic over a fixed-point integral metric —
+    * the A/B experiment readout. Per-arm moments (n, Σv, Σv²) are exact
+    * order-free bigint aggregates; everything after is pure scalar
+    * double arithmetic on ONE row, written with a fixed operation
+    * order — and IEEE −, ×, /, √ are correctly rounded, so the
+    * statistic AND the significance decision are bit-identical on any
+    * engine and any partitioning (the property a flaky re-run of an
+    * experiment readout must have). Exactly two arms required; the
+    * check rides the output expression (raise_error fused into n_a) so
+    * pruning can't drop it. One hash aggregate to |arms| rows, then a
+    * 2-row reduction — nothing after the scan scales. */
+  def welchT(df: DataFrame, armCol: String, valueCol: String,
+      critical1000: Int = 1960): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val m = df.groupBy(col(armCol).as("arm"))
+      .agg(count(v).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    // Both arm sizes are GUARDED columns: every division below derives
+    // its denominator from n_a/n_b, so the validation raise_error fires
+    // on any evaluation path before ANSI mode can see a 0 divisor (a
+    // bare parallel guard column would race the divide and be prunable).
+    val bad = "CASE WHEN k <> 2 THEN raise_error(" +
+      "'welchT: need exactly 2 arms, got ' || CAST(k AS STRING)) " +
+      "WHEN a.n < 2 OR b.n < 2 THEN raise_error(" +
+      "'welchT: each arm needs >= 2 observations') ELSE %s END"
+    m.agg(
+        countDistinct(col("arm")).as("k"),
+        min_by(struct(col("n"), col("s1"), col("s2")), col("arm")).as("a"),
+        max_by(struct(col("n"), col("s1"), col("s2")), col("arm")).as("b"))
+      .select(
+        expr(bad.format("a.n")).as("n_a"), expr(bad.format("b.n")).as("n_b"),
+        col("a.s1").as("s1_a"), col("b.s1").as("s1_b"),
+        col("a.s2").as("s2_a"), col("b.s2").as("s2_b"))
+      .select(col("n_a"), col("n_b"), col("s1_a"), col("s1_b"),
+        expr(
+          """(CAST(s1_a AS DOUBLE)/n_a - CAST(s1_b AS DOUBLE)/n_b) /
+            |sqrt(((CAST(n_a AS DOUBLE)*CAST(s2_a AS DOUBLE)
+            |        - CAST(s1_a AS DOUBLE)*CAST(s1_a AS DOUBLE))
+            |       / (CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1d))) / n_a
+            |   + ((CAST(n_b AS DOUBLE)*CAST(s2_b AS DOUBLE)
+            |        - CAST(s1_b AS DOUBLE)*CAST(s1_b AS DOUBLE))
+            |       / (CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1d))) / n_b)
+            |""".stripMargin.replace("\n", " ")).as("t_stat"))
+      .withColumn("significant",
+        abs(col("t_stat")) * 1000 > lit(critical1000.toDouble))
+  }
+
   /** Distribution drift between two snapshots of the same column as
     * TOTAL VARIATION DISTANCE — the data-drift monitor a pipeline runs
     * between yesterday's corpus and today's before retraining decisions.

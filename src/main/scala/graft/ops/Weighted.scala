@@ -59,4 +59,45 @@ object Weighted {
         lit(pPpm) * col("__totw"))
       .drop("__cumw", "__totw")
   }
+
+  /** Neyman (optimal) allocation of a sampling `budget` across strata:
+    * n_h ∝ N_h·S_h, the allocation that minimizes estimator variance at
+    * fixed budget — uniform and size-proportional allocation both
+    * over-sample homogeneous strata. With the weight computed from the
+    * stratum's own rows, N_h·S_h = √(n·Σx² − (Σx)²) — ONE exact bigint
+    * per stratum (needs n·Σx² < 2⁶³; at fixed-point scale that bounds
+    * the stratum around 10⁵–10⁶ rows per unit² — pre-aggregate or drop
+    * the unit for more). The only float op is IEEE sqrt (correctly
+    * rounded, so cross-engine identical on identical inputs),
+    * micro-rounded straight back to ℤ; shares then use integer
+    * largest-remainder rounding, so Σ allocations == budget EXACTLY
+    * and the result is bit-stable. Two hash aggregates (per-stratum
+    * moments, then the |strata|-row total broadcast back) — nothing
+    * scales with row count but the first scan. */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val v = col(valueCol).cast("long")
+    val m = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(v).as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+      .withColumn("w",
+        expr("CAST(floor(sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * 1000000) AS BIGINT)"))
+    val tot = m.agg(sum(col("w")).as("wtot"), count(lit(1)).as("k"))
+    val fl = m.crossJoin(broadcast(tot))
+      // all-constant strata everywhere → no variance signal to allocate
+      // on; fail loudly rather than divide by zero
+      .withColumn("wtot", when(col("wtot") <= 0,
+        raise_error(lit("neymanAllocation: total weight is 0 — every " +
+          "stratum is constant"))).otherwise(col("wtot")))
+      .withColumn("alloc_fl", expr(s"${budget}L * w div wtot"))
+      .withColumn("rem", expr(s"${budget}L * w - alloc_fl * wtot"))
+    val deficit = Window.orderBy(col("rem").desc, col("stratum"))
+    fl.withColumn("used", sum(col("alloc_fl"))
+        .over(Window.partitionBy(lit(1))))
+      .withColumn("rn", row_number().over(deficit))
+      .withColumn("alloc",
+        col("alloc_fl") + when(col("rn") <= lit(budget) - col("used"), 1L)
+          .otherwise(0L))
+      .select(col("stratum").as(stratumCol), col("n"), col("w"), col("alloc"))
+  }
 }

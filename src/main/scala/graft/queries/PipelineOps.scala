@@ -2088,6 +2088,39 @@ object PipelineOps {
     // per-source per-mille keep rates decided by the portable content-
     // hash bucket — scan-local, no per-stratum pass; the oracle runs the
     // very same bucket expression.
+    // ny1 — Neyman (optimal) stratified-sampling allocation: a 1000-doc
+    // eval budget split across languages ∝ N_h·S_h = √(n·Σx²−(Σx)²)
+    // (one exact bigint per stratum; the only float op is IEEE sqrt,
+    // micro-rounded back to ℤ), with integer largest-remainder rounding
+    // so Σ allocations == 1000 EXACTLY. Uniform and size-proportional
+    // splits both over-sample homogeneous strata; this is the
+    // variance-minimizing split sampling theory actually prescribes —
+    // and the statistic-to-allocation chain is bit-stable, so the same
+    // corpus always yields the same eval set sizes.
+    QueryDef.views("ny1_neyman_allocation",
+      """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |             sum(n_chars) AS s1, sum(n_chars*n_chars) AS s2
+        |           FROM documents GROUP BY lang),
+        |     w AS (SELECT lang, n,
+        |             CAST(floor(sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * 1000000)
+        |               AS BIGINT) AS w
+        |           FROM m),
+        |     t AS (SELECT sum(w) AS wtot FROM w),
+        |     f AS (SELECT lang, n, w, 1000*w // wtot AS alloc_fl,
+        |             1000*w - (1000*w // wtot)*wtot AS rem
+        |           FROM w, t),
+        |     r AS (SELECT *, sum(alloc_fl) OVER () AS used,
+        |             row_number() OVER (ORDER BY rem DESC, lang) AS rn
+        |           FROM f)
+        |SELECT lang, n, w,
+        |       CAST(alloc_fl + CASE WHEN rn <= 1000 - used THEN 1 ELSE 0 END
+        |         AS BIGINT) AS alloc
+        |FROM r ORDER BY lang""".stripMargin) { spark =>
+      graft.ops.Weighted.neymanAllocation(
+          spark.table("documents"), "lang", "n_chars", budget = 1000L)
+        .orderBy("lang")
+    },
+
     QueryDef.views("sm3_mixture_sample",
       s"""SELECT doc_id, source FROM documents
          |WHERE ${TextOps.pmBucketSql("md5(text)")} <

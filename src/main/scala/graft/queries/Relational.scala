@@ -948,6 +948,47 @@ object Relational {
         .orderBy("user_id")
     },
 
+    // A/B experiment readout — Welch's two-sample t over a fixed-point
+    // metric (arms = user_id parity, metric = event value in milli-
+    // units). Per-arm moments are exact order-free bigint sums; the
+    // statistic is pure scalar IEEE arithmetic on one row with a fixed
+    // operation order, so t AND the significance decision are
+    // bit-identical across engines, partitionings, and re-runs — the
+    // reproducibility an experiment readout needs (Profile.welchT).
+    QueryDef.views("ab1_welch_t",
+      """WITH s AS (SELECT user_id % 2 AS arm,
+        |             CAST(floor(value*1000) AS BIGINT) AS v FROM events),
+        |     g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(v) AS BIGINT) AS s1,
+        |             CAST(sum(v*v) AS BIGINT) AS s2
+        |           FROM s GROUP BY arm),
+        |     p AS (SELECT
+        |             max(CASE WHEN arm = 0 THEN n END) AS na,
+        |             max(CASE WHEN arm = 0 THEN s1 END) AS s1a,
+        |             max(CASE WHEN arm = 0 THEN s2 END) AS s2a,
+        |             max(CASE WHEN arm = 1 THEN n END) AS nb,
+        |             max(CASE WHEN arm = 1 THEN s1 END) AS s1b,
+        |             max(CASE WHEN arm = 1 THEN s2 END) AS s2b
+        |           FROM g),
+        |     q AS (SELECT na, nb, s1a, s1b,
+        |             (CAST(s1a AS DOUBLE)/na - CAST(s1b AS DOUBLE)/nb) /
+        |             sqrt(((CAST(na AS DOUBLE)*CAST(s2a AS DOUBLE)
+        |                     - CAST(s1a AS DOUBLE)*CAST(s1a AS DOUBLE))
+        |                    / (CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)-1))) / na
+        |                + ((CAST(nb AS DOUBLE)*CAST(s2b AS DOUBLE)
+        |                     - CAST(s1b AS DOUBLE)*CAST(s1b AS DOUBLE))
+        |                    / (CAST(nb AS DOUBLE)*(CAST(nb AS DOUBLE)-1))) / nb)
+        |               AS t_stat
+        |           FROM p)
+        |SELECT na AS n_a, nb AS n_b, s1a AS s1_a, s1b AS s1_b, t_stat,
+        |       abs(t_stat) * 1000 > 1960 AS significant
+        |FROM q""".stripMargin) { spark =>
+      graft.ops.Profile.welchT(
+        spark.table("events").select((col("user_id") % 2).as("arm"),
+          expr("CAST(floor(value*1000) AS BIGINT)").as("v")),
+        "arm", "v")
+    },
+
     // E1 SQL entry surface made concrete: the flagship expressed as SQL
     // text over the registered temp views (same Catalyst plan as the
     // DataFrame form — parse → analyze → optimize → HashAggregate).

@@ -39,6 +39,52 @@ class WeightedSpec extends SparkSpec {
     assert(Weighted.nucleusSelect(df, Seq("k"), "w", "id", 0L).count() == 0)
   }
 
+  test("neymanAllocation: variance-heavy stratum gets the budget") {
+    // 'flat' is constant (w=0); 'wild' has all the variance.
+    val df = (Seq.fill(50)(("flat", 10L)) ++
+      (0 until 50).map(i => ("wild", (i * 100).toLong))).toDF("k", "v")
+    val out = Weighted.neymanAllocation(df, "k", "v", budget = 100L)
+      .select("k", "alloc").as[(String, Long)].collect().toMap
+    assert(out == Map("flat" -> 0L, "wild" -> 100L))
+  }
+
+  test("neymanAllocation sums exactly to the budget (largest remainder)") {
+    val df = (0 until 300).map { i =>
+      (s"s${i % 3}", ((i * 37) % 97).toLong)
+    }.toDF("k", "v")
+    val out = Weighted.neymanAllocation(df, "k", "v", budget = 1000L)
+    assert(out.agg(sum("alloc")).head().getLong(0) == 1000L)
+    // roughly equal strata → no stratum starved
+    assert(out.filter(col("alloc") < 200).count() == 0)
+  }
+
+  test("neymanAllocation: all-constant strata fail loudly") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Weighted.neymanAllocation(df, "k", "v", 10L).collect()
+    }
+    assert(ex.getMessage.contains("total weight is 0"))
+  }
+
+  test("welchT: hand-checked statistic and arm ordering") {
+    // arm 0: {1,2,3}, arm 1: {7,8,9}: means 2 and 8, var 1 each →
+    // t = (2-8)/sqrt(1/3+1/3) = -6/sqrt(2/3)
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 7L), (1L, 8L), (1L, 9L))
+      .toDF("arm", "v")
+    val r = Profile.welchT(df, "arm", "v").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("s1_a") == 6L && r.getAs[Long]("s1_b") == 24L)
+    val expected = -6.0 / math.sqrt(2.0 / 3.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - expected) < 1e-12)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("welchT: not exactly two arms fails loudly") {
+    val df = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("arm", "v")
+    val ex = intercept[Exception] { Profile.welchT(df, "arm", "v").collect() }
+    assert(ex.getMessage.contains("need exactly 2 arms"))
+  }
+
   test("nucleusSelect groups are independent") {
     val df = (Seq(("a", 0L, 90L), ("a", 1L, 10L)) ++
       (0 until 10).map(i => ("b", i.toLong, 10L))).toDF("k", "id", "w")
