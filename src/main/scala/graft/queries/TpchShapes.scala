@@ -13,7 +13,13 @@ import org.apache.spark.sql.types.TimestampNTZType
   * aggregation ratio (q14), argmax via aggregated-view scalar subquery
   * (q15), correlated scalar AVG subquery (q17), OR-of-conjuncts residual
   * join predicate (q19), double correlated EXISTS / NOT EXISTS (q21), and
-  * anti join + exact decimal threshold subquery (q22).
+  * anti join + exact decimal threshold subquery (q22). The partsupp-based
+  * four are expressed over a DERIVED partsupp (aggregated
+  * (l_partkey, l_suppkey) pairs from lineitem — at 100 TB this would be a
+  * real table and the derivation agg vanishes, leaving the canonical
+  * plans): correlated scalar MIN (q2), HAVING vs scalar-subquery
+  * threshold (q11), CASE-pivot dual count (q12), DISTINCT + NOT IN +
+  * COUNT(DISTINCT) (q16), IN-subquery with correlated scalar agg (q20).
   *
   * Determinism: every aggregate is computed in DECIMAL (exact,
   * associative — safe under any partitioning) and cast to DOUBLE only on
@@ -290,6 +296,222 @@ object TpchShapes {
             col("l_quantity").between(20, 30)))
         .agg(sum(col("vol")).cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // Q2 shape — minimum-cost supplier: the correlated-scalar-MIN
+    // subquery over a shared CTE. The schema has no partsupp table, so one
+    // is DERIVED inside the query: per (part, supplier) pair observed in
+    // lineitem, cost = min extended price (DECIMAL min — exact and
+    // order-independent, so safe under any partitioning). Catalyst
+    // decorrelates the `= (SELECT min ...)` into an aggregate + equi-join
+    // on p_partkey; at 100 TB partsupp would be a real table and the
+    // derivation aggregate disappears, leaving exactly TPC-H Q2's plan:
+    // dims broadcast, one shuffle each for the pair-agg and the per-part
+    // min, a hash join between them.
+    QueryDef.views("q2_min_cost_supplier",
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, ps_suppkey,
+        |       CAST(ps_supplycost AS DOUBLE) AS cost
+        |FROM partsupp
+        |JOIN part ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND p_type = 'MEDIUM' AND p_size <= 10
+        |  AND ps_supplycost =
+        |      (SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+        |       JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |       WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, p_partkey, ps_suppkey LIMIT 100""".stripMargin) { spark =>
+      spark.sql(
+        """WITH partsupp AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, ps_suppkey,
+          |       CAST(ps_supplycost AS DOUBLE) AS cost
+          |FROM partsupp
+          |JOIN part ON p_partkey = ps_partkey
+          |JOIN supplier ON s_suppkey = ps_suppkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA' AND p_type = 'MEDIUM' AND p_size <= 10
+          |  AND ps_supplycost =
+          |      (SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+          |       JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          |       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          |       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          |       WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+          |ORDER BY s_acctbal DESC, p_partkey, ps_suppkey LIMIT 100""".stripMargin)
+    },
+
+    // Q11 shape — important stock: group-agg HAVING a scalar-subquery
+    // threshold over the SAME derived relation. TPC-H's `> sum * 0.001`
+    // is multiplied through to the exact integer form `sum_part * 1000 >
+    // sum_total` so no engine-specific DECIMAL rounding can flip a
+    // boundary row. Both sides of the HAVING aggregate the one `scoped`
+    // CTE; Catalyst plans the threshold as a broadcast single-row
+    // subquery, so the only shuffles are the pair-agg and the per-part
+    // re-agg — at 100 TB the nation filter prunes first (broadcast dim),
+    // keeping the big aggregates 1/25th of the pairs.
+    QueryDef.views("q11_important_stock",
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_value
+        |  FROM lineitem GROUP BY 1, 2),
+        |scoped AS (
+        |  SELECT ps_partkey, ps_value FROM partsupp
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3')
+        |SELECT ps_partkey, CAST(sum(ps_value) AS DOUBLE) AS value
+        |FROM scoped GROUP BY ps_partkey
+        |HAVING sum(ps_value) * 1000 > (SELECT sum(ps_value) FROM scoped)
+        |ORDER BY value DESC, ps_partkey""".stripMargin) { spark =>
+      spark.sql(
+        """WITH partsupp AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_value
+          |  FROM lineitem GROUP BY 1, 2),
+          |scoped AS (
+          |  SELECT ps_partkey, ps_value FROM partsupp
+          |  JOIN supplier ON s_suppkey = ps_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_3')
+          |SELECT ps_partkey, CAST(sum(ps_value) AS DOUBLE) AS value
+          |FROM scoped GROUP BY ps_partkey
+          |HAVING sum(ps_value) * 1000 > (SELECT sum(ps_value) FROM scoped)
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
+    },
+
+    // Q12 shape — shipping class vs order priority: fact-to-fact join with
+    // a dual conditional count (the CASE-pivot aggregate). The schema has
+    // no l_shipmode, so the class is l_returnflag ∈ {A,R}; "late receipt"
+    // is shipped-after-ordered (no receipt date). The shipdate year range
+    // and flag IN-list reach the lineitem scan as PushedFilters; the join
+    // shuffles both facts on the order key — the unavoidable exchange —
+    // then the final agg is 2 rows.
+    QueryDef.views("q12_priority_by_class",
+      """SELECT l_returnflag AS ship_class,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { spark =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val li = spark.table("lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+      spark.table("orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(hi, 0).otherwise(1)).as("low_line_count"))
+        .orderBy("ship_class")
+    },
+
+    // Q16 shape — supplier counts by part attribute: DISTINCT pair
+    // derivation + NOT-IN exclusion + COUNT(DISTINCT). The complaint list
+    // (negative balance) is provably non-null, so NOT IN is exactly a
+    // left-anti join — Spark plans a broadcast anti (6 rows); DuckDB keeps
+    // the NOT IN phrasing. count(DISTINCT) re-shuffles on the 3-column
+    // group key with the supplier appended — Expand-free because there is
+    // only one distinct aggregate. Part prunes BEFORE the pair join
+    // (broadcast), so at 100 TB the distinct-pair aggregate only sees
+    // matching parts' lines.
+    QueryDef.views("q16_supplier_part_counts",
+      """WITH partsupp AS (
+        |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'SM%'
+        |  AND p_size IN (1, 2, 3, 4, 5)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                         WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { spark =>
+      val ps = spark.table("lineitem")
+        .select(col("l_partkey").as("ps_partkey"),
+          col("l_suppkey").as("ps_suppkey")).distinct()
+      val p = spark.table("part")
+        .filter(col("p_brand") =!= "Brand#3" && !col("p_type").like("SM%") &&
+          col("p_size").isin(1, 2, 3, 4, 5))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = spark.table("supplier").filter(col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+      ps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // Q20 shape — part promotion candidates: IN-subquery whose inner WHERE
+    // carries a correlated scalar AGGREGATE over the fact (the deepest
+    // decorrelation TPC-H asks for). Derived availqty = lifetime quantity
+    // per pair; since the 1996 shipment is a subset of lifetime, TPC-H's
+    // `avail > 0.5 * year` would be vacuous, so the predicate is flipped
+    // to `2 * year > lifetime` — "most of this pair's volume shipped in
+    // 1996" — same shape, selective. All quantities are exact DECIMAL and
+    // the ×2 multiply-through avoids any fractional threshold. Catalyst
+    // turns the correlated agg into a grouped join on (partkey, suppkey)
+    // and the IN into a left-semi chain — no per-row subquery execution.
+    QueryDef.views("q20_promotion_suppliers",
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |      AND 2 * (SELECT COALESCE(sum(CAST(l_quantity AS DECIMAL(18,2))),
+        |                               CAST(0.00 AS DECIMAL(18,2)))
+        |               FROM lineitem
+        |               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |          > ps_availqty)
+        |ORDER BY s_name""".stripMargin) { spark =>
+      spark.sql(
+        """WITH partsupp AS (
+          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |         sum(CAST(l_quantity AS DECIMAL(18,2))) AS ps_availqty
+          |  FROM lineitem GROUP BY 1, 2)
+          |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |WHERE n_name = 'NATION_3'
+          |  AND s_suppkey IN (
+          |    SELECT ps_suppkey FROM partsupp
+          |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+          |                         WHERE p_name LIKE 'red%')
+          |      AND 2 * (SELECT COALESCE(sum(CAST(l_quantity AS DECIMAL(18,2))),
+          |                               CAST(0.00 AS DECIMAL(18,2)))
+          |               FROM lineitem
+          |               WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          |                 AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+          |          > ps_availqty)
+          |ORDER BY s_name""".stripMargin)
     },
 
     // Q21 shape — suppliers who kept orders waiting: the double

@@ -58,7 +58,9 @@ object DumpPlans {
     "pa1_transition_counts", "at1_attribution", "qn1_quantile_normalize",
     "wm1_weighted_median", "np1_nucleus_select", "la1_lateness_census",
     "hn1_hard_negatives", "rb1_robots_gate", "fh1x_feature_hash_mass",
-    "jc1x_join_cardinality", "ny1_neyman_allocation", "ab1_welch_t")
+    "jc1x_join_cardinality", "ny1_neyman_allocation", "ab1_welch_t",
+    "q2_min_cost_supplier", "q11_important_stock", "q12_priority_by_class",
+    "q16_supplier_part_counts", "q20_promotion_suppliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
