@@ -1724,4 +1724,39 @@ object TextOps {
       .filter(levenshtein(col("q"), col("w")) <= maxDist)
       .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
   }
+
+  /** Preference-pair construction — the RLHF/DPO data op: within each
+    * prompt group, pair the best-scored candidate (chosen) with the
+    * worst (rejected), keeping only groups whose score gap reaches
+    * `minMargin` (near-tie pairs teach a preference model nothing and
+    * add label noise). Ties break on ascending `idCol` so the pair is
+    * deterministic. Emits one row per surviving group:
+    * keys ++ (chosen_id, rejected_id, chosen_score, rejected_score,
+    * margin).
+    *
+    * Scale shape: one hash exchange on the group key feeding TWO
+    * in-partition window ranks over the same sort (Spark plans a single
+    * sort for the frame pair), then a scan-local pivot — no join; the
+    * output is |groups| rows, so everything downstream is tiny. Scores
+    * must be BIGINT-coded (the margin gate is a threshold decision —
+    * ℤ keeps the boundary row identical across engines). */
+  def preferencePairs(df: DataFrame, keys: Seq[String], idCol: String,
+      scoreCol: String, minMargin: Long): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val best = byKey.orderBy(col("__s").desc, col(idCol))
+    val worst = byKey.orderBy(col("__s"), col(idCol))
+    df.select(keys.map(col) ++ Seq(col(idCol), col(scoreCol).cast("long")
+        .as("__s")): _*)
+      .withColumn("__rb", row_number().over(best))
+      .withColumn("__rw", row_number().over(worst))
+      .filter(col("__rb") === 1 || col("__rw") === 1)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max(when(col("__rb") === 1, col(idCol))).as("chosen_id"),
+        max(when(col("__rw") === 1, col(idCol))).as("rejected_id"),
+        max(when(col("__rb") === 1, col("__s"))).as("chosen_score"),
+        max(when(col("__rw") === 1, col("__s"))).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin && col("chosen_id") =!= col("rejected_id"))
+  }
 }

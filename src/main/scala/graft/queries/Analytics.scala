@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Stats, TextOps}
+
+/** Statistical-analytics query inventory (session 6): trend fits,
+  * dependence tests, tradeoff frontiers, leakage-safe encodings,
+  * preference-pair construction. Each entry wraps a graft.ops operator
+  * and carries an exact DuckDB oracle — all statistics are assembled
+  * from integer sufficient statistics (Stats scaladoc), so the oracle
+  * matches bit-for-bit, not approximately.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ols1 — per-group linear trend (price-vs-quantity by return flag):
+    // ONE map-combined hash aggregate of six exact moments, then ppm
+    // ratios. The oracle rebuilds the identical sufficient statistics
+    // in HUGEINT (DuckDB's sum(BIGINT) is exact 128-bit, mirroring the
+    // DECIMAL(38,0) sums Spark uses), so slope/intercept/r² match to
+    // the last ppm digit. The 100 TB story is the aggregate's: no
+    // window, no join, no second scan.
+    QueryDef.views("ols1_linear_fit",
+      """WITH p AS (SELECT l_returnflag,
+        |             CAST(floor(l_quantity) AS BIGINT) AS x,
+        |             CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |           FROM lineitem),
+        |     m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |             sum(x*x) AS sxx, sum(y*y) AS syy
+        |           FROM p GROUP BY 1),
+        |     d AS (SELECT l_returnflag, n, sx, sy,
+        |             n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |             n*syy - sy*sy AS deny
+        |           FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+        |       CAST(CASE WHEN den <> 0 THEN (1000000*num) // den END
+        |         AS BIGINT) AS slope_ppm,
+        |       CAST(CASE WHEN den <> 0 THEN
+        |           (1000000*(sy*den - num*sx)) // (n*den) END
+        |         AS BIGINT) AS intercept_ppm,
+        |       CAST(CASE WHEN den <> 0 AND deny <> 0 THEN
+        |           (((1000000*num) // den) * num) // deny END
+        |         AS BIGINT) AS r2_ppm
+        |FROM d ORDER BY l_returnflag""".stripMargin) { spark =>
+      Stats.linearFit(
+        spark.table("lineitem").select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y")),
+        Seq("l_returnflag"), "x", "y")
+        .orderBy("l_returnflag")
+    },
+
+    // chi1 — χ² independence of event mix across user cohorts, plus
+    // Cramér's V. Row-count work is the contingency aggregate only;
+    // margins/statistics run over the |A|·|B| cells. Exact rational
+    // per-cell contributions (scaled integral division); sqrt is the
+    // one IEEE op, micro-rounded back to ℤ (ny1's argument).
+    QueryDef.views("chi1_chisq_independence",
+      """WITH c0 AS (SELECT event_type AS a, user_id % 8 AS b,
+        |             CAST(count(*) AS HUGEINT) AS o
+        |           FROM events GROUP BY 1, 2),
+        |     g AS (SELECT * FROM (SELECT DISTINCT a FROM c0),
+        |             (SELECT DISTINCT b FROM c0)),
+        |     c AS (SELECT g.a, g.b, coalesce(o, CAST(0 AS HUGEINT)) AS o
+        |           FROM g LEFT JOIN c0 ON g.a = c0.a AND g.b = c0.b),
+        |     m AS (SELECT a, b, o,
+        |             sum(o) OVER (PARTITION BY a) AS ra,
+        |             sum(o) OVER (PARTITION BY b) AS cb,
+        |             sum(o) OVER () AS n
+        |           FROM c),
+        |     x AS (SELECT n, a, b,
+        |             (1000000*(n*o - ra*cb)*(n*o - ra*cb)) // (n*ra*cb) AS cell
+        |           FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS cells,
+        |       CAST(sum(cell) AS BIGINT) AS chi2_ppm,
+        |       CAST(floor(sqrt(CAST((sum(cell)*1000000) //
+        |           (max(n)*least(count(DISTINCT a)-1, count(DISTINCT b)-1))
+        |         AS DOUBLE))) AS BIGINT) AS cramers_v_ppm
+        |FROM x""".stripMargin) { spark =>
+      Stats.chiSquare(
+        spark.table("events").select(col("event_type"),
+          (col("user_id") % 8).as("cohort")),
+        "event_type", "cohort")
+    },
+
+    // sky1 — Pareto frontier (skyline) of orders on price × recency:
+    // the orders no other order beats on both axes. The Spark plan is
+    // the distributed skyline (per-x candidates → range exchange →
+    // per-partition prefix scan → P-row driver fold → broadcast
+    // verify), NOT an O(n²) dominance join; the oracle exploits the
+    // same per-distinct-x reduction with a lag-max window, which is
+    // exact on the same integers.
+    QueryDef.views("sky1_pareto_frontier",
+      """WITH p AS (SELECT o_orderkey,
+        |             CAST(floor(o_totalprice*100) AS BIGINT) AS price_c,
+        |             CAST(date_diff('day', DATE '1990-01-01',
+        |               CAST(o_orderdate AS DATE)) AS BIGINT) AS rec_day
+        |           FROM orders),
+        |     c AS (SELECT price_c, max(rec_day) AS dmax FROM p GROUP BY 1),
+        |     m AS (SELECT price_c, dmax, max(dmax) OVER
+        |             (ORDER BY price_c DESC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             AS mprev
+        |           FROM c)
+        |SELECT p.o_orderkey, p.price_c, p.rec_day
+        |FROM p JOIN m ON p.price_c = m.price_c AND p.rec_day = m.dmax
+        |WHERE m.mprev IS NULL OR m.dmax > m.mprev
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      Stats.paretoFrontier2D(
+        spark.table("orders").select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1990-01-01").cast("date")).cast("long").as("rec_day")),
+        "price_c", "rec_day")
+        .select("o_orderkey", "price_c", "rec_day")
+        .orderBy("o_orderkey")
+    },
+
+    // tg1 — leave-one-out target encoding of event_type against the
+    // event value (µ-scaled): the leakage-safe categorical feature.
+    // One window exchange + a broadcast 1-row prior; exact integral
+    // division at the target's scale on both engines.
+    QueryDef.views("tg1_target_encode_loo",
+      """WITH p AS (SELECT event_id, event_type,
+        |             CAST(floor(value*1000000) AS BIGINT) AS y_ppm
+        |           FROM events),
+        |     g AS (SELECT *, sum(y_ppm) OVER (PARTITION BY event_type) AS sg,
+        |             count(*) OVER (PARTITION BY event_type) AS ng
+        |           FROM p),
+        |     t AS (SELECT sum(y_ppm) AS gs, CAST(count(*) AS HUGEINT) AS gn
+        |           FROM p)
+        |SELECT event_id, event_type, y_ppm,
+        |       CAST(CASE WHEN ng > 1 THEN (sg - y_ppm) // (ng - 1)
+        |            ELSE gs // gn END AS BIGINT) AS loo_ppm
+        |FROM g, t ORDER BY event_id""".stripMargin) { spark =>
+      Stats.targetEncodeLoo(
+        spark.table("events").select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("y_ppm")),
+        "event_type", "y_ppm", "loo_ppm")
+        .select("event_id", "event_type", "y_ppm", "loo_ppm")
+        .orderBy("event_id")
+    },
+
+    // pp1 — preference-pair construction (the RLHF/DPO data op): per
+    // (lang, source) prompt group, pair the longest candidate with the
+    // shortest, keep groups with margin ≥ 64 chars. One window
+    // exchange, |groups| output rows, no join.
+    QueryDef.views("pp1_preference_pairs",
+      """WITH b AS (SELECT lang, source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY lang, source
+        |               ORDER BY n_chars DESC, doc_id) AS rb,
+        |             row_number() OVER (PARTITION BY lang, source
+        |               ORDER BY n_chars, doc_id) AS rw
+        |           FROM documents),
+        |     g AS (SELECT lang, source,
+        |             max(CASE WHEN rb = 1 THEN doc_id END) AS chosen_id,
+        |             max(CASE WHEN rw = 1 THEN doc_id END) AS rejected_id,
+        |             max(CASE WHEN rb = 1 THEN n_chars END) AS chosen_score,
+        |             max(CASE WHEN rw = 1 THEN n_chars END) AS rejected_score
+        |           FROM b WHERE rb = 1 OR rw = 1 GROUP BY 1, 2)
+        |SELECT lang, source, chosen_id, rejected_id, chosen_score,
+        |       rejected_score, chosen_score - rejected_score AS margin
+        |FROM g
+        |WHERE chosen_score - rejected_score >= 64
+        |  AND chosen_id <> rejected_id
+        |ORDER BY lang, source""".stripMargin) { spark =>
+      TextOps.preferencePairs(spark.table("documents"),
+          Seq("lang", "source"), "doc_id", "n_chars", minMargin = 64L)
+        .select("lang", "source", "chosen_id", "rejected_id",
+          "chosen_score", "rejected_score", "margin")
+        .orderBy("lang", "source")
+    })
+}
