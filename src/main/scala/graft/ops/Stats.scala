@@ -182,6 +182,148 @@ object Stats {
       .drop("__x", "__ymax")
   }
 
+  /** Time-bucketed OHLC bars over an event stream — open/high/low/close
+    * plus count and sum per (key, bucket), the canonical series-rollup a
+    * metrics pipeline runs before charting or drift checks. Open/close
+    * are the values at the (ts, id)-min/max rows — the id tiebreak makes
+    * same-timestamp events deterministic. The bucket is emitted as a
+    * whole-second string per the repo determinism contract.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate — `min_by`/
+    * `max_by` over a (ts,id) struct replaces the two ranked windows the
+    * naive SQL uses, so there is no per-row rank materialization and no
+    * second exchange; partials combine associatively, which is exactly
+    * what a 100 TB bar rollup needs. Values must be BIGINT-coded. */
+  def timeBars(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, valueCol: String, unit: String = "hour"): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val order = struct(col(tsCol), col(idCol))
+    df.groupBy(keys.map(col) :+
+        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss")
+          .as("bar"): _*)
+      .agg(
+        min_by(v, order).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, order).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(dec(v)).cast("long").as("sum_v"))
+  }
+
+  /** Per-group Gini concentration coefficient (ppm) of a non-negative
+    * BIGINT measure — "how skewed is the length/size mass inside each
+    * cohort". Uses the sorted-index identity
+    *   G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx)   (x ascending, i = 1..n)
+    * rewritten as (Σ(2i−1)xᵢ − n·Σx) / (n·Σx) so one aggregate pass over
+    * the ranked rows suffices. Within a tie block the index weights sum
+    * to a constant, so any deterministic tiebreak yields the same G —
+    * the id tiebreak just keeps the plan reproducible. All sums are
+    * DECIMAL(38,0); the ppm ratio is one exact integral division.
+    *
+    * Scale shape: one hash exchange on the group key feeding an
+    * in-partition sort (the rank window) and an immediate partial
+    * aggregate — no join, no second scan, output is |groups| rows. */
+  def gini(df: DataFrame, keys: Seq[String], valueCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("__i", row_number().over(w).cast("decimal(38,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(dec(col(valueCol))).as("__s"),
+        sum((lit(2).cast("decimal(38,0)") * col("__i") - 1) *
+          dec(col(valueCol))).as("__a"))
+      .select(keys.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        col("__s").cast("long").as("sum_v"),
+        when(col("__s") > 0,
+          expr("(1000000 * (__a - __n * __s)) div (__n * __s)")
+            .cast("long")).as("gini_ppm")): _*)
+  }
+
+  /** Per-group Mann–Whitney U between two cohorts — the nonparametric
+    * "did the distribution shift" test ([[ab1]]'s Welch t without the
+    * normality assumption). Ranks use the midrank convention; to stay
+    * in ℤ everything is carried at 2× scale: a row's doubled midrank is
+    * min(rn)+max(rn) over its tie block, and
+    *   2·U₁ = Σ_{cohort1} 2r − n₁(n₁+1).
+    * Also emits the common-language effect size P(X₁>X₂) (tie-halved)
+    * in ppm: (10⁶·2U₁) div (2n₁n₂) — exact integral division.
+    *
+    * Scale shape: one hash exchange on the test key, ONE in-partition
+    * sort serving the global rank window AND the two tie-block windows
+    * (same partition, compatible order), then a partial-aggregated
+    * rollup to |keys| rows. No join, no second exchange. */
+  def mannWhitneyU(df: DataFrame, keys: Seq[String], valueCol: String,
+      cohortCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+    val tieBlock = Window.partitionBy((keys :+ valueCol).map(col): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(byKey))
+      .withColumn("__r2",
+        (min(col("__rn")).over(tieBlock) +
+          max(col("__rn")).over(tieBlock)).cast("decimal(38,0)"))
+    val one = col(cohortCol) === 1
+    ranked.groupBy(keys.map(col): _*)
+      .agg(
+        sum(when(one, lit(1)).otherwise(lit(0))).cast("decimal(38,0)")
+          .as("__n1"),
+        sum(when(!one, lit(1)).otherwise(lit(0))).cast("decimal(38,0)")
+          .as("__n2"),
+        sum(when(one, col("__r2")).otherwise(lit(0))).as("__rs1"))
+      .select(keys.map(col) ++ Seq(
+        col("__n1").cast("long").as("n1"),
+        col("__n2").cast("long").as("n2"),
+        expr("__rs1 - __n1 * (__n1 + 1)").cast("long").as("u1_2x"),
+        when(col("__n1") > 0 && col("__n2") > 0,
+          expr("(1000000 * (__rs1 - __n1 * (__n1 + 1))) div (2 * __n1 * __n2)")
+            .cast("long")).as("cles_ppm")): _*)
+  }
+
+  /** Per-group Spearman rank correlation, reported as sign(ρ) and ρ²
+    * in ppm — both exact. Midranks at 2× scale (ties handled as in
+    * [[mannWhitneyU]]) turn both columns into integers; ρ is then
+    * Pearson on the rank pairs, and ρ² comes out of the same staged
+    * exact-moment division [[linearFit]] uses for r² (ρ² IS the rank
+    * fit's r²). The square avoids the irrational sqrt; the sign column
+    * restores the direction the square drops. NULL on degenerate
+    * groups (either column constant).
+    *
+    * Scale shape: one hash exchange on the group key; the two rank
+    * windows sort within the same partitions (one per axis), then one
+    * partial-aggregated moment rollup — no join, |groups| output rows. */
+  def spearman(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    def rank2(c: String, out: String)(d: DataFrame): DataFrame = {
+      val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+      val tie = Window.partitionBy((keys :+ c).map(col): _*)
+      d.withColumn("__rn", row_number().over(byKey))
+        .withColumn(out, (min(col("__rn")).over(tie) +
+          max(col("__rn")).over(tie)).cast("decimal(38,0)"))
+        .drop("__rn")
+    }
+    val ranked = rank2(yCol, "__ry")(rank2(xCol, "__rx")(df))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      .withColumn("__num", expr("__n*__sxy - __sx*__sy"))
+      .withColumn("__den", expr("__n*__sxx - __sx*__sx"))
+      .withColumn("__deny", expr("__n*__syy - __sy*__sy"))
+      .select(keys.map(col) ++ Seq(
+        col("__n").cast("long").as("n"),
+        when(col("__den") =!= 0 && col("__deny") =!= 0,
+          signum(col("__num")).cast("long")).as("rho_sign"),
+        when(col("__den") =!= 0 && col("__deny") =!= 0,
+          expr("(((1000000 * __num) div __den) * __num) div __deny")
+            .cast("long")).as("rho2_ppm")): _*)
+  }
+
   /** Leave-one-out mean target encoding of a categorical key — the
     * leakage-safe way to turn a high-cardinality category into a model
     * feature (plain group-mean encoding leaks each row's own label into

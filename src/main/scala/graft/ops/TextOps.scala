@@ -1725,6 +1725,52 @@ object TextOps {
       .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
   }
 
+  /** Top-k adjacent-bigram association strength — PMI expressed as an
+    * exact integer LIFT ratio over the bigram event space (the log is
+    * monotone, so ranking/thresholding on lift ≡ ranking on PMI while
+    * staying in ℤ):
+    *   lift_ppm = (10⁶ · c_ab · N) div (r_a · c_b)
+    * with r_a/c_b the row/column marginals of the bigram contingency
+    * and N its total — collocations score ≫ 10⁶, independent pairs
+    * ≈ 10⁶. Returns the k most frequent bigrams (count-desc, then
+    * (w1,w2) — the deterministic tiebreak) with their counts, marginals
+    * and lift.
+    *
+    * Scale shape: lmScore's "one corpus pass, then vocab-bounded
+    * everything" discipline — the corpus is tokenized and reduced to
+    * the (w1,w2) count table once (localCheckpoint: three downstream
+    * consumers would otherwise re-run the explode), marginals and the
+    * total roll up from that table, and the assembly joins are
+    * vocab-sized. The final top-k is a TakeOrderedAndProject, not a
+    * global sort. */
+  def pmiLift(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), toks(textCol).as("__w"))
+    val bg = base
+      .select(explode(expr(
+        """case when size(__w) >= 2
+          |  then transform(sequence(1, size(__w) - 1),
+          |    i -> named_struct('w1', element_at(__w, i),
+          |                      'w2', element_at(__w, i + 1)))
+          |  else null end""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c_ab"))
+      .localCheckpoint()
+    val ra = c2.groupBy("w1").agg(sum("c_ab").as("__ra"))
+    val cb = c2.groupBy("w2").agg(sum("c_ab").as("__cb"))
+    val nb = c2.agg(sum("c_ab").as("__nb"))
+    c2.join(ra, "w1").join(cb, "w2").crossJoin(broadcast(nb))
+      .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"),
+        col("c_ab").cast("long").as("c_ab"),
+        col("__ra").cast("long").as("c_left"),
+        col("__cb").cast("long").as("c_right"),
+        expr("(1000000 * c_ab * __nb) div (__ra * __cb)")
+          .cast("long").as("lift_ppm"))
+  }
+
   /** Preference-pair construction — the RLHF/DPO data op: within each
     * prompt group, pair the best-scored candidate (chosen) with the
     * worst (rejected), keeping only groups whose score gap reaches

@@ -146,6 +146,167 @@ object Analytics {
         .orderBy("event_id")
     },
 
+    // bars1 — hourly OHLC bars per event type: ONE map-combined hash
+    // aggregate where min_by/max_by over a (ts,id) struct replace the
+    // two ranked windows the oracle (and the naive SQL) needs — no
+    // per-row rank materialization, partials combine associatively.
+    QueryDef.views("bars1_ohlc_bars",
+      """WITH p AS (SELECT event_id, ts, event_type,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v,
+        |             strftime(date_trunc('hour', ts),
+        |               '%Y-%m-%d %H:%M:%S') AS bar
+        |           FROM events),
+        |     r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY event_type, bar
+        |               ORDER BY ts, event_id) AS ra,
+        |             row_number() OVER (PARTITION BY event_type, bar
+        |               ORDER BY ts DESC, event_id DESC) AS rd
+        |           FROM p)
+        |SELECT event_type, bar,
+        |       max(CASE WHEN ra = 1 THEN v END) AS open,
+        |       max(v) AS high, min(v) AS low,
+        |       max(CASE WHEN rd = 1 THEN v END) AS close,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { spark =>
+      Stats.timeBars(
+        spark.table("events").select(col("event_id"), col("ts"),
+          col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+        Seq("event_type"), "ts", "event_id", "v")
+        .orderBy("event_type", "bar")
+    },
+
+    // gini1 — Gini concentration of document length per language: the
+    // sorted-index identity makes it one rank window + one aggregate,
+    // exact in DECIMAL(38,0)/HUGEINT on both engines.
+    QueryDef.views("gini1_length_concentration",
+      """WITH r AS (SELECT lang, n_chars,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_chars, doc_id) AS i
+        |           FROM documents),
+        |     a AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+        |             CAST(sum(n_chars) AS HUGEINT) AS s,
+        |             sum((2*CAST(i AS HUGEINT) - 1)*n_chars) AS a
+        |           FROM r GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_v,
+        |       CAST(CASE WHEN s > 0 THEN (1000000*(a - n*s)) // (n*s) END
+        |         AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY lang""".stripMargin) { spark =>
+      Stats.gini(spark.table("documents"), Seq("lang"), "n_chars", "doc_id")
+        .orderBy("lang")
+    },
+
+    // mw1 — Mann–Whitney U per event type between user-parity cohorts:
+    // midranks at 2× scale keep everything in ℤ (tie blocks get the
+    // same doubled midrank whatever order row_number assigns, so the
+    // statistic is tie-order-invariant on both engines).
+    QueryDef.views("mw1_mann_whitney",
+      """WITH p AS (SELECT event_type,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v,
+        |             CAST(user_id % 2 AS BIGINT) AS cohort
+        |           FROM events),
+        |     r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |             ORDER BY v) AS rn FROM p),
+        |     t AS (SELECT *,
+        |             CAST(min(rn) OVER (PARTITION BY event_type, v)
+        |               + max(rn) OVER (PARTITION BY event_type, v)
+        |               AS HUGEINT) AS r2
+        |           FROM r),
+        |     g AS (SELECT event_type,
+        |             CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END)
+        |               AS HUGEINT) AS n1,
+        |             CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END)
+        |               AS HUGEINT) AS n2,
+        |             sum(CASE WHEN cohort = 1 THEN r2 ELSE 0 END) AS rs1
+        |           FROM t GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |       CAST(n2 AS BIGINT) AS n2,
+        |       CAST(rs1 - n1*(n1+1) AS BIGINT) AS u1_2x,
+        |       CAST(CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |           (1000000*(rs1 - n1*(n1+1))) // (2*n1*n2) END
+        |         AS BIGINT) AS cles_ppm
+        |FROM g ORDER BY event_type""".stripMargin) { spark =>
+      Stats.mannWhitneyU(
+        spark.table("events").select(col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("v"),
+          (col("user_id") % 2).as("cohort")),
+        Seq("event_type"), "v", "cohort")
+        .orderBy("event_type")
+    },
+
+    // srk1 — Spearman rank correlation (quantity vs price by return
+    // flag): 2×-midranks turn both axes into integers, then ρ² falls
+    // out of the same staged exact-moment division ols1 uses for r².
+    QueryDef.views("srk1_spearman",
+      """WITH p AS (SELECT l_returnflag AS g,
+        |             CAST(floor(l_quantity) AS BIGINT) AS x,
+        |             CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |           FROM lineitem),
+        |     rx AS (SELECT *, row_number() OVER (PARTITION BY g
+        |              ORDER BY x) AS rnx FROM p),
+        |     r1 AS (SELECT *, CAST(min(rnx) OVER (PARTITION BY g, x)
+        |              + max(rnx) OVER (PARTITION BY g, x) AS HUGEINT)
+        |              AS rx2 FROM rx),
+        |     ry AS (SELECT *, row_number() OVER (PARTITION BY g
+        |              ORDER BY y) AS rny FROM r1),
+        |     r2 AS (SELECT *, CAST(min(rny) OVER (PARTITION BY g, y)
+        |              + max(rny) OVER (PARTITION BY g, y) AS HUGEINT)
+        |              AS ry2 FROM ry),
+        |     m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(rx2) AS sx, sum(ry2) AS sy, sum(rx2*ry2) AS sxy,
+        |             sum(rx2*rx2) AS sxx, sum(ry2*ry2) AS syy
+        |           FROM r2 GROUP BY 1),
+        |     d AS (SELECT g, n, n*sxy - sx*sy AS num,
+        |             n*sxx - sx*sx AS den, n*syy - sy*sy AS deny
+        |           FROM m)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN den <> 0 AND deny <> 0 THEN sign(num) END
+        |         AS BIGINT) AS rho_sign,
+        |       CAST(CASE WHEN den <> 0 AND deny <> 0 THEN
+        |           (((1000000*num) // den) * num) // deny END
+        |         AS BIGINT) AS rho2_ppm
+        |FROM d ORDER BY l_returnflag""".stripMargin) { spark =>
+      Stats.spearman(
+        spark.table("lineitem").select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("x"),
+          floor(col("l_extendedprice")).cast("long").as("y")),
+        Seq("l_returnflag"), "x", "y")
+        .orderBy("l_returnflag")
+    },
+
+    // pmi1 — top-100 adjacent-bigram collocations scored by exact
+    // integer PMI-lift over the bigram contingency (log is monotone;
+    // lift keeps the oracle in ℤ). One corpus pass to the (w1,w2)
+    // count table; marginals and the total roll up vocab-bounded.
+    QueryDef.views("pmi1_bigram_lift",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0) AS w
+        |           FROM documents),
+        |     g AS (SELECT unnest(CASE WHEN len(w) >= 2
+        |             THEN list_transform(range(1, len(w)),
+        |               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))
+        |             ELSE [] END) AS bg FROM t),
+        |     c2 AS (SELECT bg.w1 AS w1, bg.w2 AS w2,
+        |              CAST(count(*) AS HUGEINT) AS c_ab
+        |            FROM g GROUP BY 1, 2),
+        |     ra AS (SELECT w1, sum(c_ab) AS r_a FROM c2 GROUP BY 1),
+        |     cb AS (SELECT w2, sum(c_ab) AS c_b FROM c2 GROUP BY 1),
+        |     nn AS (SELECT sum(c_ab) AS nb FROM c2),
+        |     j AS (SELECT c2.w1, c2.w2, c_ab, r_a, c_b, nb
+        |           FROM c2 JOIN ra USING (w1) JOIN cb USING (w2)
+        |           CROSS JOIN nn),
+        |     k AS (SELECT * FROM j ORDER BY c_ab DESC, w1, w2 LIMIT 100)
+        |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+        |       CAST(r_a AS BIGINT) AS c_left,
+        |       CAST(c_b AS BIGINT) AS c_right,
+        |       CAST((1000000*c_ab*nb) // (r_a*c_b) AS BIGINT) AS lift_ppm
+        |FROM k ORDER BY c_ab DESC, w1, w2""".stripMargin) { spark =>
+      TextOps.pmiLift(spark.table("documents"), "doc_id", "text", 100)
+        .orderBy(col("c_ab").desc, col("w1"), col("w2"))
+    },
+
     // pp1 — preference-pair construction (the RLHF/DPO data op): per
     // (lang, source) prompt group, pair the longest candidate with the
     // shortest, keep groups with margin ≥ 64 chars. One window

@@ -87,6 +87,74 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(1L -> 25L, 2L -> 20L, 3L -> 15L, 4L -> 40L))
   }
 
+  test("timeBars: open/close at (ts,id) extremes, deterministic on ts ties") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    val df = Seq(("a", 1L, t0, 50L), ("a", 2L, t0, 20L), // tie: id 1 opens
+      ("a", 3L, t1, 90L), ("b", 4L, t1, 5L))
+      .toDF("k", "id", "ts", "v")
+    val got = Stats.timeBars(df, Seq("k"), "ts", "id", "v")
+      .select("k", "bar", "open", "high", "low", "close", "n_events", "sum_v")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01 10:00:00", 50L, 90L, 20L, 90L, 3L, 160L),
+      ("b", "2024-01-01 10:00:00", 5L, 5L, 5L, 5L, 1L, 5L)))
+  }
+
+  test("gini: uniform gives 0; full concentration approaches (n-1)/n") {
+    val uni = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), ("a", 4L, 10L))
+      .toDF("k", "id", "v")
+    assert(Stats.gini(uni, Seq("k"), "v", "id").collect().head
+      .getAs[Long]("gini_ppm") == 0L)
+    // one row owns everything: G = (n-1)/n = 3/4
+    val conc = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 100L))
+      .toDF("k", "id", "v")
+    assert(Stats.gini(conc, Seq("k"), "v", "id").collect().head
+      .getAs[Long]("gini_ppm") == 750000L)
+  }
+
+  test("mannWhitneyU: hand-worked case with a cross-cohort tie") {
+    // key k: cohort1 = {1, 3}, cohort0 = {3, 5}
+    // sorted: 1,3,3,5 → midranks 1, 2.5, 2.5, 4 (doubled: 2,5,5,8)
+    // 2R1 = 2 + 5 = 7; 2U1 = 7 − n1(n1+1) = 7 − 6 = 1 (U1 = 0.5)
+    // CLES = 2U1/(2 n1 n2) = 1/8 → 125000 ppm
+    val df = Seq(("k", 1L, 1), ("k", 3L, 1), ("k", 3L, 0), ("k", 5L, 0))
+      .toDF("g", "v", "c")
+    val r = Stats.mannWhitneyU(df, Seq("g"), "v", "c").collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u1_2x") == 1L)
+    assert(r.getAs[Long]("cles_ppm") == 125000L)
+  }
+
+  test("spearman: perfect monotone gives rho2 1e6; reversed flips sign") {
+    val up = Seq((1L, 10L), (2L, 40L), (3L, 90L), (4L, 160L))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r1 = Stats.spearman(up, Seq("g"), "x", "y").collect().head
+    assert(r1.getAs[Long]("rho_sign") == 1L)
+    assert(r1.getAs[Long]("rho2_ppm") == 1000000L)
+    val down = up.withColumn("y", -col("y"))
+    val r2 = Stats.spearman(down, Seq("g"), "x", "y").collect().head
+    assert(r2.getAs[Long]("rho_sign") == -1L)
+    assert(r2.getAs[Long]("rho2_ppm") == 1000000L)
+  }
+
+  test("pmiLift: collocation outscores independent pairs") {
+    // "x y" always together (4×); fillers make the marginals uneven
+    val df = Seq((1L, "x y a b"), (2L, "x y b a"), (3L, "x y a a"),
+      (4L, "x y b b")).toDF("id", "text")
+    val got = TextOps.pmiLift(df, "id", "text", 10)
+      .select("w1", "w2", "c_ab", "lift_ppm")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val (cxy, liftXy) = got(("x", "y"))
+    assert(cxy == 4L)
+    // r_a("x") = 4, c_b("y") = 4, N = 12 → lift = 12·4/(4·4) = 3×
+    assert(liftXy == 3000000L)
+    // an uncorrelated filler pair scores at or below independence
+    assert(got.filterKeys(_ != ("x", "y")).values.forall(_._2 <= 1500000L))
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
