@@ -458,6 +458,123 @@ object Multimodal {
     })
   }
 
+  /** One fixed-length PCM analysis frame: `sum_abs` is the frame's
+    * integer energy (Σ|s| over `frameLen` samples). */
+  final case class PcmFrame(
+      asset_id: Long,
+      frame_idx: Long,
+      sum_abs: Long)
+
+  /** Decode PCM and reduce to per-FRAME energies (frames of `frameLen`
+    * samples; the trailing partial frame is dropped — every emitted
+    * frame is exactly `frameLen` samples, so frame statistics compare
+    * across assets). Same mapPartitions decode seam as [[decodePcm]]:
+    * payloads never shuffle, ~samples/frameLen tiny rows come out per
+    * asset — the granularity a VAD / diarization stage consumes. */
+  def pcmFrameEnergy(assets: Dataset[Asset], frameLen: Int): Dataset[PcmFrame] = {
+    import assets.sparkSession.implicits._
+    require(frameLen > 0, "pcmFrameEnergy: frameLen must be positive")
+    assets.mapPartitions(_.flatMap { a =>
+      parseWavMeta(a.payload).toSeq.flatMap { case (_, ch, frames, off) =>
+        val n = (frames * ch).toInt // raw sample stream, channels interleaved
+        val full = if (n > 0) n / frameLen else 0
+        (0 until full).map { f =>
+          var j = f * frameLen
+          val end = j + frameLen
+          var s = 0L
+          while (j < end) {
+            val lo = a.payload(off + 2 * j) & 0xFF
+            val hi = a.payload(off + 2 * j + 1) & 0xFF
+            s += math.abs(((hi << 8) | lo).toShort.toLong)
+            j += 1
+          }
+          PcmFrame(a.asset_id, f.toLong, s)
+        }
+      }
+    })
+  }
+
+  /** Energy-threshold activity segmentation over [[pcmFrameEnergy]]
+    * frames — the VAD step that turns raw audio into trainable speech
+    * segments. A frame is ACTIVE iff its energy strictly exceeds the
+    * asset mean (`e·n_frames > Σe` — exact-integer form, no division);
+    * consecutive active frames merge into segments via the
+    * gaps-and-islands identity (frame_idx − active_rank is constant
+    * within a run). Emits one row per asset: frame/energy totals plus
+    * segment count, active-frame count and longest run (0s when no
+    * frame clears the mean, e.g. constant energy).
+    *
+    * Scale shape: everything is keyed by asset_id — ONE hash exchange,
+    * then windows and aggregates run inside it (frames per asset are
+    * bounded by payload size / frameLen, so per-key state is small);
+    * the left join back is |assets|-vs-|assets| on the same key. */
+  def vadSegments(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byAsset = Window.partitionBy(col("asset_id"))
+    val wf = frames
+      .withColumn("__nf", count(lit(1)).over(byAsset))
+      .withColumn("__tot", sum(col("sum_abs")).over(byAsset))
+    val segs = wf
+      .filter(col("sum_abs") * col("__nf") > col("__tot"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("asset_id"))
+          .orderBy(col("frame_idx"))))
+      .withColumn("__sid", col("frame_idx") - col("__rn"))
+      .groupBy("asset_id", "__sid")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("__nseg"), sum("len").as("__nact"),
+        max("len").as("__longest"))
+    wf.groupBy("asset_id")
+      .agg(max("__nf").as("n_frames"), max("__tot").as("sum_abs"))
+      .join(segs, Seq("asset_id"), "left")
+      .select(col("asset_id"), col("n_frames"), col("sum_abs"),
+        coalesce(col("__nact"), lit(0L)).as("n_active"),
+        coalesce(col("__nseg"), lit(0L)).as("n_segments"),
+        coalesce(col("__longest"), lit(0L)).as("longest_seg"))
+  }
+
+  /** One full p×p patch of the decoded raster with its exact integer
+    * BT.601 luma sum (scaled ×1000, like [[PixelStats.sum_luma]]). */
+  final case class PixelPatch(
+      asset_id: Long,
+      px: Int,
+      py: Int,
+      sum_luma: Long)
+
+  /** Decode pixels and reduce to a ViT-style patch grid: the raster is
+    * cut into non-overlapping p×p patches (partial edge patches
+    * dropped — a patch embedder needs constant shape) and each patch
+    * reduces to its exact integer luma mass. Same decode-seam
+    * placement as [[decodePixels]]; output is (w/p)·(h/p) tiny rows
+    * per asset — the tensor-shaped metadata a patchifying trainer
+    * consumes, with the payload left where it is. */
+  def patchLuma(assets: Dataset[Asset], p: Int): Dataset[PixelPatch] = {
+    import assets.sparkSession.implicits._
+    require(p > 0, "patchLuma: patch size must be positive")
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmHeader(a.payload).toSeq.flatMap { case (w, h, _, off) =>
+        if (w < p || h < p || a.payload.length - off < 3 * w * h) Seq.empty
+        else for (py <- 0 until h / p; px <- 0 until w / p) yield {
+          var s = 0L
+          var y = py * p
+          while (y < (py + 1) * p) {
+            var x = px * p
+            while (x < (px + 1) * p) {
+              val j = y * w + x
+              s += 299L * (a.payload(off + 3 * j) & 0xFF) +
+                587L * (a.payload(off + 3 * j + 1) & 0xFF) +
+                114L * (a.payload(off + 3 * j + 2) & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          PixelPatch(a.asset_id, px, py, s)
+        }
+      }
+    })
+  }
+
   /** Parses the MP4 sample table (`moov` > `trak` > `mdia` > `minf` >
     * `stbl`): per-sample byte sizes from `stsz`, the chunk's absolute
     * payload offset from `stco`, and the declared sample count from

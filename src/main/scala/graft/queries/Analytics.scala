@@ -307,6 +307,104 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // vad1 — energy-threshold voice-activity segmentation over DECODED
+    // PCM frames (m3's decode seam, regrouped into 160-sample frames):
+    // a frame is active iff its energy strictly beats the asset mean
+    // (exact-integer form e·nf > Σe), runs merge via gaps-and-islands.
+    // The oracle replays the identical sample reconstruction from the
+    // document bytes, frame bucketing, threshold and island fold.
+    QueryDef("vad1_energy_segments", (spark, dir) => {
+      val assets = graft.ops.Multimodal.assetsFromDocuments(spark, dir)
+        .filter(col("modality") === "audio")
+      graft.ops.Multimodal.vadSegments(
+        graft.ops.Multimodal.pcmFrameEnergy(assets, 160).toDF())
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  2 * (1 + doc_id % 2) AS ba
+        |           FROM documents WHERE n_chars % 3 = 1),
+        |     s AS (SELECT doc_id, j,
+        |                  ('0x' || substr(hex(b), 4*j-3, 2))::INT
+        |                  + 256 * ('0x' || substr(hex(b), 4*j-1, 2))::INT AS u
+        |           FROM a, UNNEST(generate_series(
+        |                  1, (octet_length(b) // ba) * ba // 2)) AS t(j)),
+        |     v AS (SELECT doc_id, j,
+        |                  CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS smp
+        |           FROM s),
+        |     f AS (SELECT doc_id, (j-1) // 160 AS fi,
+        |                  sum(abs(smp)) AS e, count(*) AS c
+        |           FROM v GROUP BY 1, 2),
+        |     ff AS (SELECT * FROM f WHERE c = 160),
+        |     t2 AS (SELECT doc_id, count(*) AS nf, sum(e) AS tot
+        |            FROM ff GROUP BY 1),
+        |     act AS (SELECT ff.doc_id, fi,
+        |               row_number() OVER (PARTITION BY ff.doc_id
+        |                 ORDER BY fi) AS rn
+        |             FROM ff JOIN t2 USING (doc_id) WHERE e * nf > tot),
+        |     seg AS (SELECT doc_id, fi - rn AS sid,
+        |               CAST(count(*) AS BIGINT) AS len
+        |             FROM act GROUP BY 1, 2),
+        |     sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |              CAST(sum(len) AS BIGINT) AS n_active,
+        |              max(len) AS longest FROM seg GROUP BY 1)
+        |SELECT t2.doc_id AS asset_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(tot AS BIGINT) AS sum_abs,
+        |       COALESCE(n_active, 0) AS n_active,
+        |       COALESCE(n_segments, 0) AS n_segments,
+        |       COALESCE(longest, 0) AS longest_seg
+        |FROM t2 LEFT JOIN sa USING (doc_id)
+        |ORDER BY asset_id""".stripMargin)),
+
+    // vp1 — ViT-style patch grid over DECODED pixels (m4's decode
+    // seam): full 4×4 patches with exact integer luma mass, reduced
+    // per asset to patch count, total luma, and the brightest patch
+    // (luma-desc, then (py,px) — the deterministic argmax). The oracle
+    // rebuilds every pixel from the document bytes, assigns patch
+    // coordinates by integer index math, and replays the argmax.
+    QueryDef("vp1_vit_patches", (spark, dir) => {
+      val assets = graft.ops.Multimodal.ppmAssetsFromDocuments(spark, dir)
+      graft.ops.Multimodal.patchLuma(assets, 4).toDF()
+        .groupBy("asset_id")
+        .agg(
+          count(lit(1)).as("n_patches"),
+          sum("sum_luma").as("total_luma"),
+          max_by(
+            struct(col("px").cast("long").as("best_px"),
+              col("py").cast("long").as("best_py"),
+              col("sum_luma").as("best_luma")),
+            struct(col("sum_luma"), (-col("py")).cast("int"),
+              (-col("px")).cast("int"))).as("__b"))
+        .select(col("asset_id"), col("n_patches"), col("total_luma"),
+          col("__b.best_px"), col("__b.best_py"), col("__b.best_luma"))
+        .orderBy("asset_id")
+    }, Option(
+      """WITH a AS (SELECT doc_id, encode(text) AS b,
+        |                  4 + (doc_id % 5) * 2 AS w
+        |           FROM documents WHERE n_chars % 3 = 0),
+        |     d AS (SELECT doc_id, w, octet_length(b) // (3 * w) AS h, b
+        |           FROM a WHERE octet_length(b) >= 3 * w),
+        |     p AS (SELECT doc_id, w, h,
+        |                  ((j-1) % w) // 4 AS px, ((j-1) // w) // 4 AS py,
+        |                  299 * ('0x' || substr(hex(b), 6*j-5, 2))::INT
+        |                  + 587 * ('0x' || substr(hex(b), 6*j-3, 2))::INT
+        |                  + 114 * ('0x' || substr(hex(b), 6*j-1, 2))::INT AS luma
+        |           FROM d, UNNEST(generate_series(1, w * h)) AS t(j)),
+        |     q AS (SELECT doc_id, px, py,
+        |                  CAST(sum(luma) AS BIGINT) AS sum_luma
+        |           FROM p WHERE px < w // 4 AND py < h // 4
+        |           GROUP BY 1, 2, 3),
+        |     r AS (SELECT doc_id, px, py, sum_luma,
+        |             row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY sum_luma DESC, py, px) AS rn,
+        |             count(*) OVER (PARTITION BY doc_id) AS np,
+        |             sum(sum_luma) OVER (PARTITION BY doc_id) AS tl
+        |           FROM q)
+        |SELECT doc_id AS asset_id, CAST(np AS BIGINT) AS n_patches,
+        |       CAST(tl AS BIGINT) AS total_luma,
+        |       CAST(px AS BIGINT) AS best_px, CAST(py AS BIGINT) AS best_py,
+        |       sum_luma AS best_luma
+        |FROM r WHERE rn = 1 ORDER BY asset_id""".stripMargin)),
+
     // pp1 — preference-pair construction (the RLHF/DPO data op): per
     // (lang, source) prompt group, pair the longest candidate with the
     // shortest, keep groups with margin ≥ 64 chars. One window

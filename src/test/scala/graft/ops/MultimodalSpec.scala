@@ -289,6 +289,62 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(6L, wav(Seq.empty)).isEmpty)
   }
 
+  test("pcmFrameEnergy + vadSegments: frames, threshold, islands") {
+    import spark.implicits._
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => le(s.toLong & 0xFFFF, 2)).toArray
+      val fmt = "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+        le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2)
+      val dc = "data".getBytes ++ le(data.length, 4) ++ data
+      val body = "WAVE".getBytes ++ fmt ++ dc
+      "RIFF".getBytes ++ le(body.length, 4) ++ body
+    }
+    // 10 frames of 4 samples; frames 2,3 and 7 loud (runs of 2 and 1),
+    // plus a trailing partial frame (3 samples) that must be dropped
+    val quiet = Seq.fill(4)(10)
+    val loud = Seq.fill(4)(1000)
+    val samples = quiet ++ quiet ++ loud ++ loud ++ quiet ++ quiet ++
+      quiet ++ loud ++ quiet ++ quiet ++ Seq(9, 9, 9)
+    val assets = Seq(Multimodal.Asset(7L, "audio", wav(samples), "s")).toDS()
+    val frames = Multimodal.pcmFrameEnergy(assets, 4)
+    assert(frames.count() == 10) // partial frame dropped
+    val r = Multimodal.vadSegments(frames.toDF()).collect().head
+    assert(r.getAs[Long]("n_frames") == 10L)
+    assert(r.getAs[Long]("n_active") == 3L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(r.getAs[Long]("longest_seg") == 2L)
+    // constant energy: nothing strictly beats the mean -> zeros
+    val flat = Seq(Multimodal.Asset(8L, "audio",
+      wav(Seq.fill(16)(500)), "s")).toDS()
+    val fr = Multimodal.vadSegments(
+      Multimodal.pcmFrameEnergy(flat, 4).toDF()).collect().head
+    assert(fr.getAs[Long]("n_segments") == 0L &&
+      fr.getAs[Long]("n_active") == 0L)
+  }
+
+  test("patchLuma: full patches only, exact luma sums") {
+    import spark.implicits._
+    // 8x6 raster: left half dark (0), right half bright (200 gray)
+    def ppm(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val head = s"P6\n$w $h\n255\n".getBytes
+      val body = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+        val v = px(x, y).toByte; Seq(v, v, v) }).toArray
+      head ++ body
+    }
+    val assets = Seq(Multimodal.Asset(1L, "image",
+      ppm(8, 6, (x, _) => if (x < 4) 0 else 200), "s")).toDS()
+    val got = Multimodal.patchLuma(assets, 4).collect()
+      .map(p => (p.px, p.py) -> p.sum_luma).toMap
+    // h=6 -> one full patch row; 2 patches; luma(200 gray)=200*1000/px
+    assert(got == Map((0, 0) -> 0L, (1, 0) -> 16L * 200L * 1000L))
+    // raster smaller than the patch in either axis -> no patches
+    val tiny = Seq(Multimodal.Asset(2L, "image",
+      ppm(3, 8, (_, _) => 10), "s")).toDS()
+    assert(Multimodal.patchLuma(tiny, 4).count() == 0L)
+  }
+
   test("payloads cannot reach a shuffle: decode output carries no binary column") {
     val decoded = Multimodal.decode(Multimodal.assetsFromDocuments(spark, sf))
     // the structural guarantee: everything downstream of decode (the part
