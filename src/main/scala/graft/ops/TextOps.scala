@@ -1725,6 +1725,90 @@ object TextOps {
       .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: cumulative token count vs
+    * cumulative DISTINCT-token count at fixed doc-id checkpoints
+    * (checkpoint c covers ids < c; `bucket` ids per step). The census a
+    * tokenizer-budget decision reads — "is the corpus's vocabulary
+    * still growing, and how fast per ingested token".
+    *
+    * Scale shape: the corpus is touched twice but shuffled never —
+    * per-doc token counts are a scan-local `size(split)` projection
+    * (no explode), and the distinct side reduces straight to the
+    * vocab-bounded (token, min_doc) table whose partial min combines
+    * map-side. Both collapse to |checkpoints| rows before the
+    * cumulative window, which therefore sorts a handful of rows, not
+    * data. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucket: Long): DataFrame = {
+    require(bucket > 0, "vocabGrowth: bucket must be positive")
+    val cp = expr(s"(__id div $bucket) * $bucket + $bucket")
+    val docs = df.select(col(idCol).as("__id"), toks(textCol).as("__w"))
+    val perBucket = docs
+      .select(cp.as("checkpoint"), size(col("__w")).cast("long").as("__nt"))
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("__nd"), sum("__nt").as("__tok"))
+    val firstSeen = docs
+      .select(col("__id"), explode(col("__w")).as("__t"))
+      .groupBy("__t").agg(min(col("__id")).as("__first"))
+      .select(expr(s"(__first div $bucket) * $bucket + $bucket")
+        .as("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("__newv"))
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firstSeen, Seq("checkpoint"), "left")
+      .select(col("checkpoint"),
+        sum(col("__nd")).over(w).as("n_docs"),
+        sum(col("__tok")).over(w).as("cum_tokens"),
+        sum(coalesce(col("__newv"), lit(0L))).over(w).as("cum_vocab"))
+  }
+
+  /** Content-defined chunking (the storage/dedup primitive behind
+    * rsync/LBFS-style delta encoding, public art): a chunk boundary
+    * closes at character position i (i ≥ 4) when the polynomial hash
+    * of the trailing 4-gram — Σ codePoint·31^k — is ≡ 0 (mod
+    * `modulus`), so boundaries move WITH content: an insertion only
+    * reflows chunks locally instead of shifting every fixed-width
+    * span. Per doc: chunk count, shortest/longest chunk, and how many
+    * chunk INSTANCES recur in some other doc (the dedup signal).
+    *
+    * Scale shape: boundary detection and chunk slicing are one
+    * codegen'd higher-order-function projection over the scan (no
+    * explode until the chunk table); the recurrence join is a
+    * hash-agg + equi-join on the chunk text at this scale — at 100 TB
+    * the join key becomes the chunk's 128-bit digest (sd1's span-key
+    * discipline) so full chunk text never crosses an exchange. */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    require(modulus > 0, "contentChunks: modulus must be positive")
+    val withChunks = df
+      .filter(length(col(textCol)) >= 4)
+      .withColumn("__cuts", expr(
+        s"""array_distinct(concat(
+           |  filter(sequence(4, length($textCol)), i ->
+           |    (ascii(substring($textCol, i - 3, 1)) * 29791 +
+           |     ascii(substring($textCol, i - 2, 1)) * 961 +
+           |     ascii(substring($textCol, i - 1, 1)) * 31 +
+           |     ascii(substring($textCol, i, 1))) % $modulus = 0),
+           |  array(length($textCol))))""".stripMargin))
+      .withColumn("__chunks", expr(
+        s"""transform(__cuts, (c, k) -> substring($textCol,
+           |  case when k = 0 then 1 else element_at(__cuts, k) + 1 end,
+           |  c - case when k = 0 then 0 else element_at(__cuts, k) end))"""
+          .stripMargin))
+      .select(col(idCol).as("doc_id"), col("__chunks"))
+    val chunks = withChunks
+      .select(col("doc_id"), explode(col("__chunks")).as("__c"))
+    val recurrence = chunks.groupBy("__c")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+    chunks.join(recurrence, "__c")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        min(length(col("__c"))).cast("long").as("min_len"),
+        max(length(col("__c"))).cast("long").as("max_len"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Top-k adjacent-bigram association strength — PMI expressed as an
     * exact integer LIFT ratio over the bigram event space (the log is
     * monotone, so ranking/thresholding on lift ≡ ranking on PMI while

@@ -307,6 +307,76 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // hp1 — Heaps-law vocabulary growth at 100-doc checkpoints: corpus
+    // shuffled never (per-doc token counts are a scan-local size(),
+    // distinct side reduces to the vocab-bounded (token, min_doc)
+    // table); the cumulative window sorts |checkpoints| rows.
+    QueryDef.views("hp1_vocab_growth",
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0) AS w
+        |           FROM documents),
+        |     pb AS (SELECT (doc_id // 100) * 100 + 100 AS checkpoint,
+        |              count(*) AS nd, sum(len(w)) AS tok
+        |            FROM d GROUP BY 1),
+        |     t AS (SELECT doc_id, unnest(w) AS tk FROM d),
+        |     f AS (SELECT tk, min(doc_id) AS fd FROM t GROUP BY 1),
+        |     nv AS (SELECT (fd // 100) * 100 + 100 AS checkpoint,
+        |              count(*) AS newv FROM f GROUP BY 1)
+        |SELECT pb.checkpoint,
+        |       CAST(sum(nd) OVER (ORDER BY pb.checkpoint) AS BIGINT)
+        |         AS n_docs,
+        |       CAST(sum(tok) OVER (ORDER BY pb.checkpoint) AS BIGINT)
+        |         AS cum_tokens,
+        |       CAST(sum(coalesce(newv, 0)) OVER (ORDER BY pb.checkpoint)
+        |         AS BIGINT) AS cum_vocab
+        |FROM pb LEFT JOIN nv USING (checkpoint)
+        |ORDER BY checkpoint""".stripMargin) { spark =>
+      TextOps.vocabGrowth(spark.table("documents"), "doc_id", "text", 100L)
+        .orderBy("checkpoint")
+    },
+
+    // cdk1 — content-defined chunking (LBFS/rsync-style): boundaries
+    // where the trailing 4-gram's polynomial hash ≡ 0 (mod 16), so an
+    // insertion reflows chunks locally instead of shifting every
+    // fixed-width span. Boundary detect + slice are ONE codegen HOF
+    // projection; the recurrence join is a hash-agg on the chunk key.
+    // The oracle replays the hash per position, rebuilds chunks with a
+    // boundaries-before-me running count, and re-counts recurrence.
+    QueryDef.views("cdk1_content_chunks",
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE length(text) >= 4),
+        |     pos AS (SELECT doc_id, j,
+        |               (unicode(substr(text, j-3, 1)) * 29791
+        |                + unicode(substr(text, j-2, 1)) * 961
+        |                + unicode(substr(text, j-1, 1)) * 31
+        |                + unicode(substr(text, j, 1))) % 16 = 0 AS isb
+        |             FROM d, UNNEST(generate_series(4, n)) AS t(j)),
+        |     ch AS (SELECT d.doc_id, p, substr(text, p, 1) AS c
+        |            FROM d, UNNEST(generate_series(1, n)) AS t(p)),
+        |     k AS (SELECT ch.doc_id, ch.p, ch.c,
+        |             coalesce(sum(CASE WHEN pos.isb THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY ch.doc_id ORDER BY ch.p
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |               0) AS cid
+        |           FROM ch LEFT JOIN pos
+        |             ON pos.doc_id = ch.doc_id AND pos.j = ch.p),
+        |     cks AS (SELECT doc_id, cid,
+        |               string_agg(c, '' ORDER BY p) AS chunk
+        |             FROM k GROUP BY 1, 2),
+        |     rec AS (SELECT chunk, count(DISTINCT doc_id) AS nd
+        |             FROM cks GROUP BY 1)
+        |SELECT cks.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |       CAST(min(length(chunk)) AS BIGINT) AS min_len,
+        |       CAST(max(length(chunk)) AS BIGINT) AS max_len,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared
+        |FROM cks JOIN rec USING (chunk)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.contentChunks(spark.table("documents"), "doc_id", "text", 16)
+        .orderBy("doc_id")
+    },
+
     // vad1 — energy-threshold voice-activity segmentation over DECODED
     // PCM frames (m3's decode seam, regrouped into 160-sample frames):
     // a frame is active iff its energy strictly beats the asset mean

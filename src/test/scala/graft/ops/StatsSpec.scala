@@ -155,6 +155,34 @@ class StatsSpec extends SparkSpec {
     assert(got.filterKeys(_ != ("x", "y")).values.forall(_._2 <= 1500000L))
   }
 
+  test("vocabGrowth: cumulative tokens and first-seen vocab per checkpoint") {
+    // bucket 2: checkpoint 2 covers ids 0,1; checkpoint 4 covers 2,3
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "c d d"), (3L, "a"))
+      .toDF("id", "text")
+    val got = TextOps.vocabGrowth(df, "id", "text", 2L)
+      .orderBy("checkpoint")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // cp 2: 2 docs, 4 tokens, vocab {a,b,c} = 3
+    // cp 4: 4 docs, 8 tokens, vocab {a,b,c,d} = 4
+    assert(got == Seq((2L, 2L, 4L, 3L), (4L, 4L, 8L, 4L)))
+  }
+
+  test("contentChunks: boundaries reflow with content; recurrence counted") {
+    // modulus 1: EVERY position >= 4 is a boundary -> chunks are
+    // (first 4 chars), then 1-char chunks
+    val df = Seq((1L, "abcdef"), (2L, "zzabcdef")).toDF("id", "text")
+    val got = TextOps.contentChunks(df, "id", "text", 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 1: "abcd","e","f" (3 chunks); doc 2: "zzab","c","d","e","f" (5)
+    // shared instances: "e","f" in both -> doc1 n_shared 2, doc2 2
+    assert(got == Seq((1L, 3L, 1L, 4L, 2L), (2L, 5L, 1L, 4L, 2L)))
+    // huge modulus: no interior boundary -> one chunk per doc
+    val whole = TextOps.contentChunks(df, "id", "text", 1 << 30)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(whole == Seq((1L, 1L, 6L, 6L, 0L), (2L, 1L, 8L, 8L, 0L)))
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
