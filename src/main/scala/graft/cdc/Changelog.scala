@@ -171,6 +171,111 @@ object Changelog {
         })
   }
 
+  /** One fact's tracked cell inside a join-view key's state. */
+  private[cdc] final case class FactCell(
+      lsn: Long, alive: Boolean, valueMicro: Long)
+
+  /** Join-view state for one join key: the dim side's latest-by-LSN
+    * attribute, plus the live fact mass currently attributed to it.
+    * Facts are tracked per fact-id so replays and out-of-order fact
+    * versions resolve by LSN exactly like [[compactValue]]'s cells. */
+  private[cdc] final case class JoinViewState(
+      dimLsn: Long, dimAlive: Boolean, cohort: String,
+      facts: Map[String, FactCell], n: Long, sumMicro: Long)
+
+  /** Per-key transition for [[joinView]]: applies a batch's envelopes in
+    * (lsn, table) order and emits the EXACT additive deltas of the view
+    * functional cohort → (count, sum). Because every emission is the
+    * delta of the same state functional, the summed emissions equal the
+    * final state regardless of how envelopes interleave ACROSS batches
+    * and sides — which is what makes the additive K2 sink safe under
+    * independent source progress. */
+  private[cdc] def transitionJoin(
+      prior: Option[JoinViewState], events: Seq[CdcEnvelope],
+      dimTable: String, cohortField: String, valueField: String)
+      : (JoinViewState, Seq[ValueDelta]) = {
+    var st = prior.getOrElse(
+      JoinViewState(Long.MinValue, dimAlive = false, "", Map.empty, 0L, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[ValueDelta]
+    def emit(cohort: String, lsn: Long, dN: Long, dV: Long): Unit =
+      if (dN != 0 || dV != 0)
+        out += ValueDelta("", cohort, lsn, alive = true, dN, dV)
+    events.sortBy(e => (e.lsn, e.table)).foreach { e =>
+      if (e.table == dimTable) {
+        if (e.lsn > st.dimLsn) {
+          if (e.isDelete) {
+            if (st.dimAlive) emit(st.cohort, e.lsn, -st.n, -st.sumMicro)
+            st = st.copy(dimLsn = e.lsn, dimAlive = false)
+          } else {
+            val c2 = e.image.getOrElse(cohortField, "")
+            if (!st.dimAlive) emit(c2, e.lsn, st.n, st.sumMicro)
+            else if (st.cohort != c2) {
+              emit(st.cohort, e.lsn, -st.n, -st.sumMicro)
+              emit(c2, e.lsn, st.n, st.sumMicro)
+            }
+            st = st.copy(dimLsn = e.lsn, dimAlive = true, cohort = c2)
+          }
+        }
+      } else {
+        val fid = e.image.getOrElse("id", "")
+        val old = st.facts.get(fid)
+        if (old.forall(_.lsn < e.lsn)) {
+          val nowAlive = !e.isDelete
+          val v = if (nowAlive)
+            e.image.get(valueField).map(_.toLong).getOrElse(0L) else 0L
+          val dN = (if (nowAlive) 1L else 0L) -
+            (if (old.exists(_.alive)) 1L else 0L)
+          val dV = v - old.filter(_.alive).map(_.valueMicro).getOrElse(0L)
+          if (st.dimAlive) emit(st.cohort, e.lsn, dN, dV)
+          st = st.copy(facts = st.facts + (fid -> FactCell(e.lsn, nowAlive, v)),
+            n = st.n + dN, sumMicro = st.sumMicro + dV)
+        }
+      }
+    }
+    (st, out.map(d => d.copy(key = "")).toSeq)
+  }
+
+  /** Streaming JOIN-view maintenance — incremental materialization of
+    *   SELECT d.cohort, count(*), sum(f.value)
+    *   FROM facts f JOIN dims d ON f.joinKey = d.id
+    * over TWO independent changelogs, both receiving creates, updates
+    * and deletes. This is the IVM case the aggregate compactors
+    * ([[compact]], [[compactValue]]) cannot express: a dim UPDATE moves
+    * every currently-attributed fact between output groups, a dim
+    * DELETE retracts them all, and fact churn must be attributed to
+    * whatever the dim's current image is at that moment.
+    *
+    * Both streams arrive UNIONED as raw envelopes (the dim side
+    * identified by its `table`), co-partitioned by the join key into
+    * ONE stateful operator — the state holds the dim's latest-by-LSN
+    * attribute plus the per-fact-id cells (LSN-guarded like
+    * [[compactValue]], so replay and out-of-order versions are
+    * idempotent). Emissions are exact additive deltas of the view
+    * functional, which makes the downstream `groupBy(cohort).sum` +
+    * additive K2 upsert correct under ANY interleaving of the two
+    * sources' micro-batches — the sources need no lockstep.
+    *
+    * Scale: state is hash-partitioned by join key; per-key size is
+    * O(live facts of that key) — the same asymptotics a stream-stream
+    * join's state store carries, held in RocksDB at deployment scale. */
+  def joinView(events: Dataset[CdcEnvelope], dimTable: String,
+      joinKeyOf: CdcEnvelope => String, cohortField: String,
+      valueField: String)(
+      implicit spark: SparkSession): Dataset[ValueDelta] = {
+    import spark.implicits._
+    events
+      .groupByKey(joinKeyOf)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[CdcEnvelope],
+            state: GroupState[JoinViewState]) => {
+          val (next, out) =
+            transitionJoin(state.getOption, it.toSeq, dimTable,
+              cohortField, valueField)
+          state.update(next)
+          out.map(_.copy(key = key)).iterator
+        })
+  }
+
   /** SCD Type-2 history materialization: one row per (key, version)
     * with an LSN validity interval, instead of [[compact]]'s
     * latest-image-only view. Every c/u/r envelope OPENS a version at

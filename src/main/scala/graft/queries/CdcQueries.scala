@@ -1986,7 +1986,130 @@ object CdcQueries {
         |WHERE w_cnt >= 10
         |  AND (v*w_cnt - w_sum)*(v*w_cnt - w_sum)
         |        > 9*(w_cnt*s2 - w_sum*w_sum)
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin)),
+
+    // st13 — streaming JOIN-view maintenance as REAL micro-batches: the
+    // IVM case the aggregate compactors can't express. Two independent
+    // changelogs — facts (per-fact creates, amount revisions, deletes)
+    // and a dimension whose cohort attribute CHANGES across rounds and
+    // is sometimes deleted — are unioned, co-partitioned by the join
+    // key, and maintained by ONE stateful operator (Changelog.joinView)
+    // that emits exact additive deltas of cohort → (count, sum): a dim
+    // update moves the key's whole live fact mass between cohorts, a
+    // dim delete retracts it, fact churn lands on the dim's current
+    // image. Because every emission is a delta of the same state
+    // functional, the additive K2 upsert is correct under ANY
+    // interleaving of the two sources' micro-batches — no lockstep.
+    // The oracle computes the joined truth statically from latest-per-
+    // key on both derived logs.
+    QueryDef("st13_stream_join_view", (spark, dir) => {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      graft.Tables.registerAll(spark, dir)
+      val rows = spark.table("events")
+        .select(col("event_id").cast("long"), col("user_id").cast("long"))
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val maxId = rows.map(_._1).max
+      val run = Files.createTempDirectory("graft-st13-run")
+      def line(lsn: Long, table: String, op: String,
+          before: String, after: String): String =
+        s"""{"lsn":$lsn,"txId":${lsn / 100},"tsMs":${lsn * 1000},""" +
+          s""""op":"$op","db":"experiment","schema":"public",""" +
+          s""""table":"$table","before":$before,"after":$after}"""
+      // facts: one envelope per event (delete every 7th), plus a later
+      // amount REVISION for every 5th live fact — the update path.
+      val factLines = rows.flatMap { case (id, uid) =>
+        val u = uid % 50
+        val base =
+          if (id % 7 == 0)
+            Seq(2 * id + 1 -> line(2 * id + 1, "facts", "d",
+              s"""{"id":"$id","user_ref":"$u"}""", "{}"))
+          else Seq(2 * id + 1 -> line(2 * id + 1, "facts", "c", "{}",
+            s"""{"id":"$id","user_ref":"$u","amount":"${id % 997}"}"""))
+        val rev =
+          if (id % 5 == 0 && id % 7 != 0) {
+            val lsn = 2 * id + 1 + 2 * (maxId + 1)
+            Seq(lsn -> line(lsn, "facts", "u", "{}",
+              s"""{"id":"$id","user_ref":"$u","amount":"${(3 * id) % 997}"}"""))
+          } else Nil
+        base ++ rev
+      }.sortBy(_._1).map(_._2)
+      // dims: 50 users × 3 rounds; the cohort moves every round, and
+      // round 2 DELETES every user with u % 10 == 3 (their facts must
+      // leave the view).
+      val dimLines = (for (r <- 0 to 2; u <- 0 until 50) yield {
+        val lsn = 4 * (maxId + 1) + r * 1000L + 2 * u
+        if (r == 2 && u % 10 == 3)
+          lsn -> line(lsn, "dims", "d", s"""{"id":"$u"}""", "{}")
+        else lsn -> line(lsn, "dims", "u", "{}",
+          s"""{"id":"$u","cohort":"c${(u + r) % 4}"}""")
+      }).sortBy(_._1).map(_._2)
+      Files.write(run.resolve("facts.jsonl"),
+        factLines.mkString("\n").getBytes)
+      Files.write(run.resolve("dims.jsonl"),
+        dimLines.mkString("\n").getBytes)
+      def read(name: String, lines: Int) = spark.readStream
+        .format("graft-cdc").option("walFormat", "jsonl")
+        .option("numPartitions", "8")
+        .option("maxEventsPerBatch",
+          math.max(50L, (lines + 2) / 3).toString)
+        .load(run.resolve(name).toString).as[CdcEnvelope]
+      val envelopes = read("facts.jsonl", factLines.size)
+        .unionByName(read("dims.jsonl", dimLines.size))
+      val ns = s"st13-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "join_view")
+      val writer = new Sinks.UpsertWriter("join_view", "cohort",
+        Seq("cohort", "n_facts", "sum_micro"),
+        additive = Set("n_facts", "sum_micro"), runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val deltas = Changelog.joinView(envelopes, dimTable = "dims",
+        joinKeyOf = e => if (e.table == "dims") e.image.getOrElse("id", "")
+          else e.image.getOrElse("user_ref", ""),
+        cohortField = "cohort", valueField = "amount")
+      withStatePartitions(spark, 8) {
+        val q = deltas.writeStream
+          .outputMode("update")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st13-ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[graft.cdc.ValueDelta],
+                batchId: Long) =>
+              writer.writeBatch(batch.groupBy(col("group").as("cohort"))
+                .agg(sum(col("dCount")).as("n_facts"),
+                  sum(col("dValueMicro")).as("sum_micro")),
+                factory, batchId)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      sink.snapshot.values.toSeq.map(r =>
+        (r("cohort").toString, r("n_facts").toString.toLong,
+          r("sum_micro").toString.toLong))
+        .filter(_._2 > 0)
+        .toDF("cohort", "n_facts", "sum_micro")
+        .orderBy("cohort")
+    }, Some(
+      """WITH f AS (SELECT event_id AS id, user_id % 50 AS u,
+        |             CASE WHEN event_id % 7 = 0 THEN 'd' ELSE 'x' END AS op,
+        |             CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+        |                  THEN (3*event_id) % 997
+        |                  ELSE event_id % 997 END AS v
+        |           FROM events),
+        |     lf AS (SELECT * FROM f WHERE op <> 'd'),
+        |     d AS (SELECT u, r,
+        |             CASE WHEN r = 2 AND u % 10 = 3 THEN 'd' ELSE 'u' END AS op,
+        |             'c' || CAST((u + r) % 4 AS VARCHAR) AS cohort
+        |           FROM generate_series(0, 49) AS s(u),
+        |                generate_series(0, 2) AS t(r)),
+        |     ld AS (SELECT u, cohort FROM (
+        |              SELECT *, row_number() OVER (PARTITION BY u
+        |                ORDER BY r DESC) AS rn FROM d)
+        |            WHERE rn = 1 AND op <> 'd')
+        |SELECT cohort, CAST(count(*) AS BIGINT) AS n_facts,
+        |       CAST(sum(v) AS BIGINT) AS sum_micro
+        |FROM lf JOIN ld ON lf.u = ld.u
+        |GROUP BY 1 ORDER BY cohort""".stripMargin))
   )
 
   /** Writes the streaming-sessionization fixture once per sf dir: the
