@@ -324,6 +324,76 @@ object Stats {
             .cast("long")).as("rho2_ppm")): _*)
   }
 
+  /** Per-group time-weighted average (TWAP): each value is weighted by
+    * how long it REMAINED current (the gap to the key's next event), so
+    * bursts don't dominate the way a plain mean lets them. The last
+    * event holds no interval and contributes no weight. Exact integral
+    * division at the value's own scale:
+    *   twap = Σ vᵢ·gapᵢ div Σ gapᵢ   (gaps in µs)
+    * NULL when the group spans zero time. One hash exchange on the key
+    * feeding a lead window and an immediate partial aggregate — the
+    * same single-exchange shape as [[gini]]. */
+  def twap(df: DataFrame, keys: Seq[String], tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__us", expr(s"unix_micros(cast($tsCol as timestamp))"))
+      .withColumn("__gap", lead(col("__us"), 1).over(w) - col("__us"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__gap")).cast("decimal(38,0)").as("__span"),
+        sum(dec(col(valueCol)) * col("__gap").cast("decimal(38,0)"))
+          .as("__wv"))
+      .select(keys.map(col) ++ Seq(
+        col("n_events"),
+        col("__span").cast("long").as("span_us"),
+        when(col("__span") > 0, expr("__wv div __span").cast("long"))
+          .as("twap")): _*)
+  }
+
+  /** Per-group inter-arrival histogram on log₂ buckets — the arrival-
+    * process census a capacity model or a traffic anomaly baseline
+    * reads. Bucket = ⌊log₂(gap_µs)⌋ computed EXACTLY as
+    * length(bin(gap)) − 1 (integer bit-length, no float log to disagree
+    * at boundaries; gaps of 0 and 1 µs share bucket 0). One lead
+    * window + one hash aggregate; output is |keys|·≤64 rows. */
+  def interArrivalLog2(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    df.withColumn("__us", expr(s"unix_micros(cast($tsCol as timestamp))"))
+      .withColumn("__gap", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(keys.map(col) :+
+        (length(bin(col("__gap"))) - 1).cast("long").as("log2_gap"): _*)
+      .agg(count(lit(1)).as("n_gaps"))
+  }
+
+  /** Top-k label TRIGRAMS along each key's event timeline — the path-
+    * mining step behind "what do users actually do in sequence", one
+    * order up from pairwise transition counts. A trigram counts only
+    * when its three events fit inside `windowUs` (t₃ − t₁ ≤ window), so
+    * unrelated visits don't concatenate. Deterministic top-k:
+    * count-desc, then the label triple. Two lead windows over ONE
+    * per-key sort, then a hash aggregate on the (tiny) trigram space
+    * and a TakeOrderedAndProject — the corpus is exchanged once. */
+  def pathTrigrams(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, labelCol: String, windowUs: Long, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__us", expr(s"unix_micros(cast($tsCol as timestamp))"))
+      .withColumn("__l2", lead(col(labelCol), 1).over(w))
+      .withColumn("__l3", lead(col(labelCol), 2).over(w))
+      .withColumn("__t3", lead(col("__us"), 2).over(w))
+      .filter(col("__l3").isNotNull &&
+        col("__t3") - col("__us") <= windowUs)
+      .groupBy(col(labelCol).as("step1"), col("__l2").as("step2"),
+        col("__l3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(k)
+  }
+
   /** Leave-one-out mean target encoding of a categorical key — the
     * leakage-safe way to turn a high-cardinality category into a model
     * feature (plain group-mean encoding leaks each row's own label into

@@ -1725,6 +1725,76 @@ object TextOps {
       .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
   }
 
+  /** Exact phrase search over a positional index — the retrieval op
+    * BM25's bag-of-words scoring cannot answer ("hash join" ≠ "join
+    * hash"). Postings are (doc, position) pairs PER PHRASE TERM —
+    * filtered to the phrase's vocabulary BEFORE anything is exchanged,
+    * so the joined tables are the phrase terms' postings only, never
+    * the corpus index. Adjacency is an equi-join on (doc, pos + i);
+    * per doc: hit count and first match position (1-based).
+    *
+    * Scale shape: the posting extraction is one scan projection
+    * (posexplode of the token array, filtered to ≤|phrase| terms);
+    * the chain of |phrase|−1 joins is hash-partitioned on doc and —
+    * because every side is one term's postings — orders of magnitude
+    * smaller than the corpus. At 100 TB the postings come from the
+    * persisted inverted index (rt2's table) instead of a scan; the
+    * join chain is identical. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need at least a 2-word phrase")
+    val postings = df
+      .select(col(idCol).as("doc_id"), posexplode(toks(textCol))
+        .as(Seq("__p0", "__w")))
+      .filter(col("__w").isin(phrase.map(lit): _*))
+      // posexplode is 0-based; positions are reported 1-based
+      .select(col("doc_id"), (col("__p0") + 1).as("pos"), col("__w"))
+      .localCheckpoint() // |phrase-term postings| rows; joined |phrase| times
+    val first = postings.filter(col("__w") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(
+          postings.filter(col("__w") === term)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long")
+        .as("first_pos"))
+  }
+
+  /** Pairwise vocabulary overlap between corpus groups (sources,
+    * languages, snapshots) — the corpus-similarity matrix a mixture
+    * designer reads before weighting sources. Exact Jaccard in ppm
+    * over DISTINCT token sets:
+    *   j_ppm = (10⁶·|A∩B|) div (|A| + |B| − |A∩B|).
+    * The corpus reduces to the distinct (group, token) table once
+    * (vocab-bounded); the intersection is a self-equi-join on token
+    * with the canonical a < b ordering, and sizes broadcast back —
+    * group count, not corpus size, bounds the output. */
+  def vocabOverlap(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val vocab = df
+      .select(col(groupCol).as("__g"), explode(toks(textCol)).as("__t"))
+      .distinct()
+      .localCheckpoint() // three consumers: sizes + both join sides
+    val sizes = vocab.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val inter = vocab.as("a").join(vocab.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("src_a"), col("b.__g").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes).withColumnRenamed("__g", "src_a")
+        .withColumnRenamed("__n", "n_a"), "src_a")
+      .join(broadcast(sizes).withColumnRenamed("__g", "src_b")
+        .withColumnRenamed("__n", "n_b"), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative token count vs
     * cumulative DISTINCT-token count at fixed doc-id checkpoints
     * (checkpoint c covers ids < c; `bucket` ids per step). The census a

@@ -307,6 +307,124 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // ph1 — exact phrase search ("hash join") over positional postings:
+    // postings are filtered to the phrase's two terms BEFORE any
+    // exchange, adjacency is an equi-join on (doc, pos+1) — the corpus
+    // index never shuffles, only the phrase terms' postings do.
+    QueryDef.views("ph1_phrase_search",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+        |             x -> len(x) > 0) AS w FROM documents),
+        |     p AS (SELECT doc_id, j AS pos, w[j] AS tok
+        |           FROM t, UNNEST(generate_series(1, len(w))) AS s(j)),
+        |     h AS (SELECT doc_id, pos FROM p WHERE tok = 'hash'),
+        |     jn AS (SELECT doc_id, pos FROM p WHERE tok = 'join'),
+        |     m AS (SELECT h.doc_id, h.pos FROM h JOIN jn
+        |           ON jn.doc_id = h.doc_id AND jn.pos = h.pos + 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin) { spark =>
+      TextOps.phraseSearch(spark.table("documents"), "doc_id", "text",
+          Seq("hash", "join"))
+        .orderBy("doc_id")
+    },
+
+    // twap1 — time-weighted average of the event value per type: each
+    // value weighted by how long it stayed current (gap to the key's
+    // next event), exact integral division. One lead window + partial
+    // aggregate on a single exchange.
+    QueryDef.views("twap1_time_weighted_avg",
+      """WITH p AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v
+        |           FROM events),
+        |     g AS (SELECT event_type, v,
+        |             lead(us) OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id) - us AS gap
+        |           FROM p),
+        |     a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(sum(gap) AS HUGEINT) AS span,
+        |             sum(CAST(v AS HUGEINT) * gap) AS wv
+        |           FROM g GROUP BY 1)
+        |SELECT event_type, n_events, CAST(span AS BIGINT) AS span_us,
+        |       CAST(CASE WHEN span > 0 THEN wv // span END AS BIGINT)
+        |         AS twap
+        |FROM a ORDER BY event_type""".stripMargin) { spark =>
+      Stats.twap(
+        spark.table("events").select(col("event_type"), col("ts"),
+          col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+        Seq("event_type"), "ts", "event_id", "v")
+        .orderBy("event_type")
+    },
+
+    // ia1 — inter-arrival histogram on log2 buckets per event type:
+    // bucket = bit-length − 1, exact on both engines (no float log at
+    // bucket boundaries). Lead window + hash aggregate.
+    QueryDef.views("ia1_interarrival_hist",
+      """WITH p AS (SELECT event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        |     g AS (SELECT event_type,
+        |             lead(us) OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id) - us AS gap
+        |           FROM p)
+        |SELECT event_type, CAST(length(bin(gap)) - 1 AS BIGINT) AS log2_gap,
+        |       CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, log2_gap""".stripMargin) { spark =>
+      Stats.interArrivalLog2(spark.table("events"),
+          Seq("event_type"), "ts", "event_id")
+        .orderBy("event_type", "log2_gap")
+    },
+
+    // pt3 — top-50 event-type TRIGRAM paths within a 24-hour window
+    // per user: two leads over ONE per-user sort, a hash aggregate on
+    // the tiny trigram space, TakeOrderedAndProject for the top-k.
+    QueryDef.views("pt3_path_trigrams",
+      """WITH p AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |             event_id FROM events),
+        |     q AS (SELECT user_id, event_type AS s1,
+        |             lead(event_type, 1) OVER w AS s2,
+        |             lead(event_type, 2) OVER w AS s3,
+        |             lead(us, 2) OVER w - us AS dt
+        |           FROM p WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY us, event_id)),
+        |     c AS (SELECT s1 AS step1, s2 AS step2, s3 AS step3,
+        |             CAST(count(*) AS BIGINT) AS n_paths
+        |           FROM q WHERE s3 IS NOT NULL AND dt <= 86400000000
+        |           GROUP BY 1, 2, 3)
+        |SELECT * FROM c
+        |ORDER BY n_paths DESC, step1, step2, step3
+        |LIMIT 50""".stripMargin) { spark =>
+      Stats.pathTrigrams(spark.table("events"), "user_id", "ts",
+          "event_id", "event_type", windowUs = 86400000000L, k = 50)
+        .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+          col("step3"))
+    },
+
+    // vo1 — pairwise source-vocabulary overlap (exact Jaccard, ppm):
+    // the corpus reduces once to the distinct (source, token) table;
+    // the intersection is a token self-join with a < b; sizes
+    // broadcast back. |groups|² rows out, corpus exchanged once.
+    QueryDef.views("vo1_vocab_overlap",
+      """WITH v AS (SELECT DISTINCT g, t FROM (
+        |             SELECT source AS g,
+        |               unnest(list_filter(string_split(text, ' '),
+        |                 x -> len(x) > 0)) AS t
+        |             FROM documents)),
+        |     sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+        |            FROM v GROUP BY 1),
+        |     i AS (SELECT a.g AS src_a, b.g AS src_b,
+        |             CAST(count(*) AS BIGINT) AS n_common
+        |           FROM v a JOIN v b ON a.t = b.t AND a.g < b.g
+        |           GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |       (1000000 * n_common) // (sa.n + sb.n - n_common)
+        |         AS jaccard_ppm
+        |FROM i JOIN sz sa ON sa.g = src_a JOIN sz sb ON sb.g = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { spark =>
+      TextOps.vocabOverlap(spark.table("documents"), "source", "text")
+        .orderBy("src_a", "src_b")
+    },
+
     // hp1 — Heaps-law vocabulary growth at 100-doc checkpoints: corpus
     // shuffled never (per-doc token counts are a scan-local size(),
     // distinct side reduces to the vocab-bounded (token, min_doc)

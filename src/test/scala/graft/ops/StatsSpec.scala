@@ -183,6 +183,68 @@ class StatsSpec extends SparkSpec {
     assert(whole == Seq((1L, 1L, 6L, 6L, 0L), (2L, 1L, 8L, 8L, 0L)))
   }
 
+  test("twap weights by holding time; last event carries no weight") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // v=10 held 2s, v=100 held 1s, v=7 last (no weight)
+    // twap = (10*2e6 + 100*1e6) div 3e6 = 40
+    val df = Seq(("k", 1L, t("2024-01-01 00:00:00"), 10L),
+      ("k", 2L, t("2024-01-01 00:00:02"), 100L),
+      ("k", 3L, t("2024-01-01 00:00:03"), 7L)).toDF("g", "id", "ts", "v")
+    val r = Stats.twap(df, Seq("g"), "ts", "id", "v").collect().head
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(r.getAs[Long]("span_us") == 3000000L)
+    assert(r.getAs[Long]("twap") == 40L)
+  }
+
+  test("interArrivalLog2: exact bit-length buckets") {
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // ms precision ok
+    // gaps: 1s, 3s -> log2(1e6)=19, log2(3e6)=21
+    val df = Seq(("k", 1L, t(0L)), ("k", 2L, t(1000000L)),
+      ("k", 3L, t(4000000L))).toDF("g", "id", "ts")
+    val got = Stats.interArrivalLog2(df, Seq("g"), "ts", "id")
+      .select("log2_gap", "n_gaps").as[(Long, Long)].collect().toSet
+    assert(got == Set((19L, 1L), (21L, 1L)))
+  }
+
+  test("pathTrigrams: window gate and deterministic top-k") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val df = Seq(
+      (1L, 1L, t(0), "a"), (1L, 2L, t(10), "b"), (1L, 3L, t(20), "c"),
+      (1L, 4L, t(30), "a"), (1L, 5L, t(40), "b"), (1L, 6L, t(5000), "c"))
+      .toDF("u", "id", "ts", "e")
+    // windowUs 100s: (a,b,c), (b,c,a), (c,a,b) qualify; (a,b,c) via
+    // ids 4,5,6 spans 4970s -> gated out
+    val got = Stats.pathTrigrams(df, "u", "ts", "id", "e",
+        windowUs = 100000000L, k = 10)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got.toSet == Set(("a", "b", "c", 1L), ("b", "c", "a", 1L),
+      ("c", "a", "b", 1L)))
+    // ties broken by labels ascending
+    assert(got == got.sortBy(x => (-x._4, x._1, x._2, x._3)))
+  }
+
+  test("phraseSearch: adjacency, not co-occurrence; repeated hits counted") {
+    val df = Seq((1L, "hash join beats sort merge hash join"),
+      (2L, "join hash is reversed"), (3L, "hash only")).toDF("id", "text")
+    val got = TextOps.phraseSearch(df, "id", "text", Seq("hash", "join"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, 1L)))
+    // 3-word phrase goes through the join chain
+    val tri = TextOps.phraseSearch(df, "id", "text",
+      Seq("sort", "merge", "hash")).as[(Long, Long, Long)].collect().toSeq
+    assert(tri == Seq((1L, 1L, 4L)))
+  }
+
+  test("vocabOverlap: exact jaccard over distinct token sets") {
+    val df = Seq(("s1", "a b c"), ("s1", "a a"), ("s2", "b c d"),
+      ("s3", "x")).toDF("src", "text")
+    val got = TextOps.vocabOverlap(df, "src", "text")
+      .select("src_a", "src_b", "n_common", "jaccard_ppm")
+      .as[(String, String, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // s1={a,b,c}, s2={b,c,d}: inter 2, union 4 -> 500000 ppm; s3 disjoint
+    assert(got == Seq(("s1", "s2", 2L, 500000L)))
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
