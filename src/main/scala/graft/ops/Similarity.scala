@@ -419,11 +419,46 @@ object Similarity {
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int = 8, iters: Int = 2,
       literalMaxK: Int = LiteralAssignMaxK): DataFrame = {
-    val spark0 = corpus.sparkSession
-    import spark0.implicits._
-    val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
+    val vecs = kmVecs(corpus, idCol, vecCol)
+    val cents = kmTrain(vecs, k, iters, literalMaxK)
+    kmAssign(vecs, cents, literalMaxK)
+      .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
+  }
+
+  /** Micro-unit integer quantization of the embedding column — the
+    * shared first step of every exact-integer k-means consumer. */
+  private def kmVecs(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("vec_id"),
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 1000000) as bigint))")
         .as("v"))
+
+  /** Lloyd training loop on integer vectors: seeds = first k ids,
+    * `iters` assign+recenter rounds, returns the final centroids. */
+  private def kmTrain(vecs: DataFrame, k: Int, iters: Int,
+      literalMaxK: Int): Seq[(Int, Seq[Long])] = {
+    val spark0 = vecs.sparkSession
+    import spark0.implicits._
+    val seed: Seq[(Int, Seq[Long])] = vecs
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("v"))
+      .as[(Int, Seq[Long])].collect().toSeq
+    (1 to iters).foldLeft(seed)((c, _) =>
+      kmRecenter(kmAssign(vecs, c, literalMaxK)))
+  }
+
+  private def kmRecenter(assigned: DataFrame): Seq[(Int, Seq[Long])] = {
+    val spark0 = assigned.sparkSession
+    import spark0.implicits._
+    assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(s - pmod(s, n)) div n"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
+        .as("cv"))
+      .as[(Int, Seq[Long])].collect().toSeq
+  }
 
     // Same dual strategy as [[clusterAssignment]], integer-L2 edition:
     // small k inlines one aggregate/zip_with per centroid (fully
@@ -434,7 +469,8 @@ object Similarity {
     // O(1) in k, the constant rides the task binary. Both paths are
     // the same exact integer math, so assignments are identical
     // (KmeansSpec pins parity across the switch).
-    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+  private def kmAssign(vecs: DataFrame, cents: Seq[(Int, Seq[Long])],
+      literalMaxK: Int): DataFrame = {
       val sorted = cents.sortBy(_._1)
       val cluster =
         if (sorted.size <= literalMaxK) {
@@ -456,24 +492,42 @@ object Similarity {
               c.getField("_1").as("c")))).getField("c")
         }
       vecs.withColumn("cluster", cluster)
+  }
+
+  /** Simplified (centroid) silhouette of the integer k-means clustering
+    * — the cluster-quality readout: per point, a = squared-L2 to its
+    * own (nearest) centroid, b = squared-L2 to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [0, 1] (a is the argmin by
+    * construction, so s ≥ 0; 0 = boundary point, 1 = glued to its
+    * centroid). Reported per cluster as exact ppm integers: per-point
+    * s_ppm by integral division (the b − a product is staged through
+    * DECIMAL — micro-unit squared distances reach ~10¹⁵ and the ×10⁶
+    * scaling would burst BIGINT), then mean = Σs div n.
+    *
+    * Scale shape: training is [[kmeansAssign]]'s (bounded k×dims driver
+    * surface); the scoring pass is ONE scan projection — the k
+    * distances fold inside a codegen'd array_sort over a k-element
+    * literal, no join, no window — and a |clusters|-row aggregate. */
+  def kmeansSilhouette(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2,
+      literalMaxK: Int = LiteralAssignMaxK): DataFrame = {
+    val vecs = kmVecs(corpus, idCol, vecCol)
+    val cents = kmTrain(vecs, k, iters, literalMaxK).sortBy(_._1)
+    val structs = cents.map { case (cid, cv) =>
+      s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
+        s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
     }
-
-    def recenter(assigned: DataFrame): Seq[(Int, Seq[Long])] =
-      assigned.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .withColumn("m", expr("(s - pmod(s, n)) div n"))
-        .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)")
-          .as("cv"))
-        .as[(Int, Seq[Long])].collect().toSeq
-
-    val seed: Seq[(Int, Seq[Long])] = vecs
-      .filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int"), col("v"))
-      .as[(Int, Seq[Long])].collect().toSeq
-    val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
-    assign(cents).select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
+    vecs
+      .withColumn("__ds", expr(s"array_sort(array(${structs.mkString(",")}))"))
+      .select(col("vec_id"), expr("__ds[0].c").as("cluster"),
+        expr("__ds[0].d").as("__a"), expr("__ds[1].d").as("__b"))
+      .withColumn("__s", when(greatest(col("__a"), col("__b")) === 0, 0L)
+        .otherwise(expr(
+          """(cast(__b - __a as decimal(38,0)) * 1000000)
+            | div greatest(__a, __b)""".stripMargin).cast("long")))
+      .groupBy(col("cluster").cast("bigint").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(__s) div count(1)").as("mean_sil_ppm"))
   }
 
   /** Probes the `nprobe` nearest cells per query and reranks exactly

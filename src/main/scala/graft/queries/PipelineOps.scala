@@ -485,6 +485,40 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     },
 
+    // sil1 — simplified (centroid) silhouette of km1's clustering: the
+    // cluster-quality readout. Per point a = d² to its own (nearest)
+    // centroid, b = d² to the nearest other; s = (b−a)/max(a,b) as an
+    // exact ppm integer (the ×10⁶ product staged through HUGEINT /
+    // DECIMAL — µ-unit d² reaches ~10¹⁵). The Spark side folds the k
+    // distances inside one codegen'd array_sort over a literal — no
+    // join, no window; the oracle replays the same Lloyd iterations
+    // (km1's CTEs) and the same (d, cluster) ordering.
+    QueryDef.views("sil1_kmeans_silhouette",
+      s"""WITH ${km1Ctes(k = 8, iters = 2)},
+         |  dd AS (SELECT i.vec_id, c.cluster,
+         |           list_sum(list_transform(range(1, len(i.v) + 1),
+         |             j -> (i.v[j] - c.cv[j]) * (i.v[j] - c.cv[j]))) AS d
+         |         FROM iv i CROSS JOIN c2 c),
+         |  r AS (SELECT vec_id, cluster, d, row_number() OVER
+         |          (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+         |        FROM dd),
+         |  ab AS (SELECT a.vec_id, a.cluster, a.d AS da, b.d AS db
+         |         FROM r a JOIN r b
+         |           ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+         |  sp AS (SELECT vec_id, cluster,
+         |           CASE WHEN greatest(da, db) = 0 THEN 0
+         |                ELSE (CAST(db - da AS HUGEINT) * 1000000)
+         |                     // greatest(da, db) END AS s
+         |         FROM ab)
+         |SELECT CAST(cluster AS BIGINT) AS cluster,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_ppm
+         |FROM sp GROUP BY 1 ORDER BY cluster""".stripMargin) { spark =>
+      Similarity.kmeansSilhouette(spark.table("embeddings"), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .orderBy("cluster")
+    },
+
     // LSH-bucketed ANN (scale path). Rows-only.
     QueryDef("s2_ann_lsh", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
