@@ -147,6 +147,41 @@ object Similarity {
     topKSelect(scored, "cs", k)
   }
 
+  /** Mutual-nearest-neighbor pairing — the bitext/alignment mining op:
+    * split the corpus into two sides (source vs target language,
+    * snapshot A vs B), take each side-A vector's best side-B match by
+    * cosine and vice versa, and keep only the RECIPROCAL pairs. One-
+    * directional best-match keeps hubs (a vector that is everyone's
+    * neighbor pairs with thousands); mutuality is the standard cheap
+    * filter that kills them. Ties break on ascending id, so the pair
+    * set is deterministic. Output: (a_id, b_id), one row per mutual
+    * pair.
+    *
+    * Scale shape: the pair scores are computed ONCE (localCheckpoint:
+    * both argmax directions consume the same table) and reduced by two
+    * max_by hash aggregates — no ranked window over the pair stream.
+    * This entry grades the exact semantics; at corpus scale the pair
+    * table is generated by the blocked-SRP candidate path (e1x's
+    * oracle-graded production route), and the two argmaxes are
+    * unchanged. */
+  def mutualNearest(corpus: DataFrame, idCol: String, vecCol: String,
+      sideA: org.apache.spark.sql.Column): DataFrame = {
+    val a = corpus.filter(sideA)
+    val b = corpus.filter(!sideA)
+    val pairs = withNorm(a, idCol, vecCol).as("a")
+      .join(broadcast(withNorm(b, idCol, vecCol).as("b")))
+      .withColumn("cs",
+        expr("vec_dot(a.embedding, b.embedding)") / (col("a.nrm") * col("b.nrm")))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("cs"))
+      .localCheckpoint()
+    val ab = pairs.groupBy("a_id")
+      .agg(max_by(col("b_id"), struct(col("cs"), -col("b_id"))).as("b_id"))
+    val ba = pairs.groupBy("b_id")
+      .agg(max_by(col("a_id"), struct(col("cs"), -col("a_id"))).as("a_id"))
+    ab.join(ba, Seq("a_id", "b_id"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar vectors whose LABEL differs from the
     * query's — close in embedding space yet labeled apart, exactly the

@@ -436,6 +436,35 @@ object PipelineOps {
         .orderBy("q_vec_id", "rnk")
     },
 
+    // mnn1 — mutual-nearest-neighbor pairing across the label-parity
+    // split (the bitext/alignment mining op): reciprocal best cosine
+    // matches only — one-directional argmax keeps hub vectors, the
+    // mutuality filter kills them. Pair scores computed once, two
+    // max_by aggregates, deterministic id tiebreaks; the oracle
+    // replays both ranked directions and intersects.
+    QueryDef.views("mnn1_mutual_nearest",
+      """WITH e AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |     en AS (SELECT vec_id, label, v,
+        |              sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |     p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
+        |           FROM en a JOIN en b
+        |             ON a.label % 2 = 0 AND b.label % 2 = 1),
+        |     ab AS (SELECT a_id, b_id FROM (SELECT *, row_number() OVER
+        |              (PARTITION BY a_id ORDER BY cs DESC, b_id) AS rn
+        |            FROM p) WHERE rn = 1),
+        |     ba AS (SELECT a_id, b_id FROM (SELECT *, row_number() OVER
+        |              (PARTITION BY b_id ORDER BY cs DESC, a_id) AS rn
+        |            FROM p) WHERE rn = 1)
+        |SELECT ab.a_id, ab.b_id FROM ab JOIN ba USING (a_id, b_id)
+        |ORDER BY a_id""".stripMargin) { spark =>
+      Similarity.mutualNearest(spark.table("embeddings"), "vec_id",
+          "embedding", sideA = col("label") % 2 === 0)
+        .orderBy("a_id")
+    },
+
     // km1 — deterministic integer k-means over the embeddings: the
     // clustering operator behind domain mixing / curriculum bucketing.
     // Fully oracle-graded PER VECTOR (not an invariant twin): because
