@@ -394,6 +394,38 @@ object Stats {
       .limit(k)
   }
 
+  /** Median/MAD robust outlier census per group — the anomaly gate that
+    * survives the anomalies themselves (a mean/stddev gate lets one
+    * huge value inflate σ and hide its peers). Median is the EXACT
+    * lower median ([[graft.ops.Weighted.weightedMedian]] with unit
+    * weights), MAD the lower median of |x − med|; a row is an outlier
+    * when |x − med| > k·MAD, all in ℤ. Emits per group: n, median,
+    * mad, n_outliers.
+    *
+    * Scale shape: two ranked passes over the SAME group-key partition
+    * (median, then MAD of deviations) and one counting aggregate; the
+    * per-group medians travel by broadcast, never a row-level join
+    * shuffle. */
+  def robustOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val unit = df.withColumn("__w", lit(1L))
+    val med = Weighted.weightedMedian(unit, keys, valueCol, "__w", idCol)
+      .withColumnRenamed("wmedian", "__med")
+    val withDev = df.join(broadcast(med), keys)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = Weighted.weightedMedian(withDev.withColumn("__w", lit(1L)),
+        keys, "__ad", "__w", idCol)
+      .withColumnRenamed("wmedian", "__mad")
+    withDev.join(broadcast(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__ad") > lit(k.toLong) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Leave-one-out mean target encoding of a categorical key — the
     * leakage-safe way to turn a high-cardinality category into a model
     * feature (plain group-mean encoding leaks each row's own label into

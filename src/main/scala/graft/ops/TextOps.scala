@@ -1725,6 +1725,47 @@ object TextOps {
       .withColumn("dist", levenshtein(col("q"), col("w")).cast("bigint"))
   }
 
+  /** Per-group unigram entropy and KL divergence vs the whole corpus —
+    * the diversity/drift census a mixture designer reads next to
+    * [[vocabOverlap]]: low entropy = repetitive source, high KL = the
+    * source's token distribution departs from the corpus. Log
+    * probabilities are micro-nat integers (`round(ln(p)·1e6)`, the lm1
+    * precedent: ln is the ONE IEEE op, identical on both engines since
+    * both evaluate ln(c/N) on the same doubles), everything after is
+    * exact integer arithmetic:
+    *   H_µ = −Σ c·lp_s div N,   KL_µ = Σ c·(lp_s − lp_c) div N.
+    *
+    * Scale shape: the corpus reduces once to the (group, token) count
+    * table (vocab-bounded, localCheckpoint'd for its four consumers);
+    * group totals broadcast back, the corpus marginal joins on token —
+    * every post-reduction table is vocabulary-sized. */
+  def sourceEntropy(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("source"),
+      explode(toks(textCol)).as("__t"))
+    val c = tok.groupBy("source", "__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val ns = c.groupBy("source")
+      .agg(sum("__c").as("__n"), count(lit(1)).as("__vocab"))
+    val cc = c.groupBy("__t").agg(sum("__c").as("__cc"))
+    val nn = c.agg(sum("__c").as("__nn"))
+    c.join(broadcast(ns), "source").join(cc, "__t").crossJoin(broadcast(nn))
+      .withColumn("__lps", round(log(col("__c").cast("double") /
+        col("__n").cast("double")) * 1000000).cast("long"))
+      .withColumn("__lpc", round(log(col("__cc").cast("double") /
+        col("__nn").cast("double")) * 1000000).cast("long"))
+      .groupBy("source")
+      .agg(
+        max(col("__n")).as("n_tokens"),
+        max(col("__vocab")).as("vocab"),
+        sum(col("__c").cast("decimal(38,0)") * col("__lps")).as("__slps"),
+        sum(col("__c").cast("decimal(38,0)") *
+          (col("__lps") - col("__lpc"))).as("__skl"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        expr("(-__slps) div n_tokens").cast("long").as("entropy_micro"),
+        expr("__skl div n_tokens").cast("long").as("kl_micro"))
+  }
+
   /** Exact phrase search over a positional index — the retrieval op
     * BM25's bag-of-words scoring cannot answer ("hash join" ≠ "join
     * hash"). Postings are (doc, position) pairs PER PHRASE TERM —

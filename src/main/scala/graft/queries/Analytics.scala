@@ -307,6 +307,76 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // ent1 — per-source unigram entropy + KL vs the corpus (diversity /
+    // drift census): log-probs are micro-nat integers (lm1's ln
+    // precedent — the one IEEE op, identical on both engines), the
+    // rest exact integer arithmetic over the vocab-bounded count table.
+    QueryDef.views("ent1_source_entropy",
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |               string_split(text, ' '), x -> len(x) > 0)) AS t
+        |             FROM documents),
+        |     c AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |           FROM tok GROUP BY 1, 2),
+        |     ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |              CAST(count(*) AS BIGINT) AS vocab
+        |            FROM c GROUP BY 1),
+        |     cc AS (SELECT t, CAST(sum(c) AS BIGINT) AS cc
+        |            FROM c GROUP BY 1),
+        |     nn AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM c),
+        |     s AS (SELECT c.source, c.c, ns.n, ns.vocab,
+        |             CAST(round(ln(CAST(c.c AS DOUBLE)
+        |               / CAST(ns.n AS DOUBLE)) * 1000000) AS BIGINT) AS lps,
+        |             CAST(round(ln(CAST(cc.cc AS DOUBLE)
+        |               / CAST(nn.nn AS DOUBLE)) * 1000000) AS BIGINT) AS lpc
+        |           FROM c JOIN ns USING (source) JOIN cc USING (t)
+        |           CROSS JOIN nn)
+        |SELECT source, max(n) AS n_tokens, max(vocab) AS vocab,
+        |       CAST((-sum(CAST(c AS HUGEINT) * lps)) // max(n) AS BIGINT)
+        |         AS entropy_micro,
+        |       CAST(sum(CAST(c AS HUGEINT) * (lps - lpc)) // max(n)
+        |         AS BIGINT) AS kl_micro
+        |FROM s GROUP BY 1 ORDER BY source""".stripMargin) { spark =>
+      TextOps.sourceEntropy(spark.table("documents"), "source", "text")
+        .orderBy("source")
+    },
+
+    // mad1 — median/MAD robust outlier census per event type: exact
+    // lower medians via the cum·2 ≥ total rank rule (weightedMedian
+    // with unit weights), MAD over |x − med|, outlier iff ad > 3·MAD —
+    // all in ℤ; the oracle replays the identical rank arithmetic.
+    QueryDef.views("mad1_robust_outliers",
+      """WITH p AS (SELECT event_type, event_id,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v
+        |           FROM events),
+        |     r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |             ORDER BY v, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM p),
+        |     m AS (SELECT event_type, min(v) AS med
+        |           FROM r WHERE 2*rn >= n GROUP BY 1),
+        |     d AS (SELECT p.event_type, p.event_id, p.v,
+        |             abs(p.v - m.med) AS ad, m.med
+        |           FROM p JOIN m USING (event_type)),
+        |     r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |              ORDER BY ad, event_id) AS rn,
+        |              count(*) OVER (PARTITION BY event_type) AS n
+        |            FROM d),
+        |     md AS (SELECT event_type, min(ad) AS mad
+        |            FROM r2 WHERE 2*rn >= n GROUP BY 1)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(d.med) AS BIGINT) AS median,
+        |       CAST(max(md.mad) AS BIGINT) AS mad,
+        |       CAST(sum(CASE WHEN d.ad > 3*md.mad THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { spark =>
+      Stats.robustOutliers(
+        spark.table("events").select(col("event_type"), col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+        Seq("event_type"), "v", "event_id", k = 3)
+        .orderBy("event_type")
+    },
+
     // ph1 — exact phrase search ("hash join") over positional postings:
     // postings are filtered to the phrase's two terms BEFORE any
     // exchange, adjacency is an equi-join on (doc, pos+1) — the corpus

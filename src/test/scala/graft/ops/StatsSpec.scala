@@ -245,6 +245,35 @@ class StatsSpec extends SparkSpec {
     assert(got == Seq(("s1", "s2", 2L, 500000L)))
   }
 
+  test("robustOutliers: lower median on even n; MAD gate; MAD=0 group") {
+    // values 1,3,5,100: lower median 3; |x-3| = 2,0,2,97 -> MAD 2
+    // outliers (> 3*2=6): only 100
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 3L), ("k", 3L, 5L),
+      ("k", 4L, 100L), ("c", 5L, 7L), ("c", 6L, 7L), ("c", 7L, 9L))
+      .toDF("g", "id", "v")
+    val got = Stats.robustOutliers(df, Seq("g"), "v", "id", k = 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("k") == ((4L, 3L, 2L, 1L)))
+    // group c: median 7, deviations 0,0,2 -> MAD 0; 9 deviates > 0 -> outlier
+    assert(got("c") == ((3L, 7L, 0L, 1L)))
+  }
+
+  test("sourceEntropy: uniform vs repeated; KL of a skewed source > 0") {
+    // s1: 4 distinct tokens once each -> H = ln(4) = 1386294 micro
+    // s2: one token 4 times -> H = 0
+    val df = Seq(("s1", "a b c d"), ("s2", "e e e e")).toDF("src", "text")
+    val got = TextOps.sourceEntropy(df, "src", "text")
+      .select("source", "n_tokens", "vocab", "entropy_micro", "kl_micro")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1")._4 == 1386294L && got("s1")._2 == 4L && got("s1")._3 == 4L)
+    assert(got("s2")._4 == 0L)
+    // each source's tokens are corpus-rare (p_c = 1/8 or 4/8 vs p_s) ->
+    // KL strictly positive for s1 (its tokens are 2x likelier in-source)
+    assert(got("s1")._5 > 0L && got("s2")._5 > 0L)
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
