@@ -426,6 +426,111 @@ object Stats {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** Per-group two-sample Kolmogorov–Smirnov statistic — the
+    * distribution-shift test that sees SHAPE changes Mann–Whitney's
+    * rank sum can miss (equal medians, different spread). Everything
+    * stays in ℤ by clearing denominators: at every distinct value,
+    *   drift = |cum₁·n₂ − cum₂·n₁|,   D = max drift,
+    * and D_ppm = (10⁶·D) div (n₁·n₂). One hash aggregate to the
+    * distinct-value step points, a cumulative window over THOSE (the
+    * reduced stream, not rows), one max. */
+  def ksTest(df: DataFrame, keys: Seq[String], valueCol: String,
+      cohortCol: String): DataFrame = {
+    val one = col(cohortCol) === 1
+    val steps = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(when(one, 1L).otherwise(0L)).as("__c1"),
+        sum(when(!one, 1L).otherwise(0L)).as("__c2"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = byKey.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    steps
+      .withColumn("__n1", sum(col("__c1")).over(byKey))
+      .withColumn("__n2", sum(col("__c2")).over(byKey))
+      .withColumn("__drift", abs(
+        sum(col("__c1")).over(cum) * col("__n2") -
+          sum(col("__c2")).over(cum) * col("__n1")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(col("__drift")).as("d_num"))
+      .select(keys.map(col) ++ Seq(col("n1"), col("n2"), col("d_num"),
+        when(col("n1") > 0 && col("n2") > 0,
+          expr("(1000000 * d_num) div (n1 * n2)")).as("d_ppm")): _*)
+  }
+
+  /** Per-group CUSUM change-point detection: the index where the
+    * running sum departs furthest from the straight line between 0 and
+    * the series total — the standard single-change-point location
+    * statistic, denominator-cleared to stay exact:
+    *   drift_i = |n·S_i − i·S_n|,  change at argmax (first index wins).
+    * One ordered window pass (cumsum + row index share the sort) and a
+    * max_by argmax — no second scan. */
+  def cusumChangePoint(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val ordered = byKey.orderBy(col(tsCol), col(idCol))
+    val cum = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    df.withColumn("__rn", row_number().over(ordered))
+      .withColumn("__s", sum(dec(col(valueCol))).over(cum))
+      .withColumn("__n", count(lit(1)).over(byKey).cast("decimal(38,0)"))
+      .withColumn("__tot", sum(dec(col(valueCol))).over(byKey))
+      .withColumn("__drift", abs(col("__n") * col("__s") -
+        col("__rn").cast("decimal(38,0)") * col("__tot")))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__rn")).cast("long").as("n"),
+        max_by(col("__rn").cast("long"),
+          struct(col("__drift"), -col("__rn"))).as("change_idx"),
+        max(col("__drift")).cast("long").as("max_drift"))
+  }
+
+  /** Per-group linear interpolation onto a fixed time grid — the
+    * resampling step that turns irregular event series into the
+    * constant-rate tensors a forecaster or feature store consumes
+    * (rs1's gap-fill twin, but VALUE interpolation rather than zero
+    * fill). Grid points land on `stepUs` multiples inside the group's
+    * observed span; at grid time g between neighbors (t₀,v₀), (t₁,v₁):
+    *   v(g) = v₀ + (v₁−v₀)·(g−t₀) div (t₁−t₀)   (exact integral),
+    * with the flat right-edge case (g = last event time) emitting v₀.
+    *
+    * Plan shape: events and grid points UNION into one stream, ONE
+    * ordered window pass per direction (last/first IGNORE NULLS with
+    * same-timestamp events sorted before grid points, so an on-grid
+    * event is its own neighbor) — no as-of join, no per-grid-point
+    * probe. */
+  def interpolateGrid(df: DataFrame, keys: Seq[String], tsCol: String,
+      idCol: String, valueCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, "interpolateGrid: stepUs must be positive")
+    val ev = df.select(keys.map(col) ++ Seq(
+      expr(s"unix_micros(cast($tsCol as timestamp))").as("__us"),
+      col(idCol).as("__id"), col(valueCol).cast("long").as("__v"),
+      lit(1).as("__isEvent")): _*)
+    val grid = ev.groupBy(keys.map(col): _*)
+      .agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"))
+      .withColumn("__us", explode(sequence(
+        expr(s"((__lo + ${stepUs - 1}) div $stepUs) * $stepUs"),
+        expr(s"(__hi div $stepUs) * $stepUs"), lit(stepUs))))
+      .select(keys.map(col) ++ Seq(col("__us"), lit(-1L).as("__id"),
+        lit(null).cast("long").as("__v"), lit(0).as("__isEvent")): _*)
+    val ordered = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__us"), col("__isEvent").desc, col("__id"))
+    val back = ordered.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val fwd = ordered.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    ev.unionByName(grid)
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pu", last(when(col("__isEvent") === 1, col("__us")),
+        ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nu", first(when(col("__isEvent") === 1, col("__us")),
+        ignoreNulls = true).over(fwd))
+      .filter(col("__isEvent") === 0 && col("__pv").isNotNull)
+      .select(keys.map(col) ++ Seq(col("__us").as("grid_us"),
+        when(col("__nu").isNotNull && col("__nu") > col("__pu"),
+          col("__pv") + expr("((__nv - __pv) * (__us - __pu)) div (__nu - __pu)"))
+          .otherwise(col("__pv")).as("v_interp")): _*)
+  }
+
   /** Leave-one-out mean target encoding of a categorical key — the
     * leakage-safe way to turn a high-cardinality category into a model
     * feature (plain group-mean encoding leaks each row's own label into

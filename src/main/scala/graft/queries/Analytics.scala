@@ -307,6 +307,129 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // ks1 — two-sample Kolmogorov–Smirnov per event type (user-parity
+    // cohorts): denominators cleared so D = max|cum1·n2 − cum2·n1|
+    // stays in ℤ; the cumulative window runs over the distinct-value
+    // step points, not rows.
+    QueryDef.views("ks1_kolmogorov_smirnov",
+      """WITH p AS (SELECT event_type,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v,
+        |             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS c
+        |           FROM events),
+        |     s AS (SELECT event_type, v,
+        |             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS c1,
+        |             sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS c2
+        |           FROM p GROUP BY 1, 2),
+        |     w AS (SELECT event_type, v,
+        |             sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |             sum(c2) OVER (PARTITION BY event_type) AS n2,
+        |             sum(c1) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS k1,
+        |             sum(c2) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               AS k2
+        |           FROM s),
+        |     a AS (SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+        |             max(abs(k1*n2 - k2*n1)) AS d
+        |           FROM w GROUP BY 1)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |       CAST(n2 AS BIGINT) AS n2, CAST(d AS BIGINT) AS d_num,
+        |       CAST(CASE WHEN n1 > 0 AND n2 > 0
+        |            THEN (1000000*d) // (n1*n2) END AS BIGINT) AS d_ppm
+        |FROM a ORDER BY event_type""".stripMargin) { spark =>
+      Stats.ksTest(
+        spark.table("events").select(col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("v"),
+          (col("user_id") % 2).as("cohort")),
+        Seq("event_type"), "v", "cohort")
+        .orderBy("event_type")
+    },
+
+    // cpd1 — CUSUM change-point per event type: the index where the
+    // running sum departs furthest from the 0→total straight line,
+    // denominator-cleared (drift = |n·S_i − i·S_n|); cumsum and row
+    // index share one ordered window pass, argmax via max_by.
+    QueryDef.views("cpd1_cusum_changepoint",
+      """WITH p AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v
+        |           FROM events),
+        |     w AS (SELECT event_type,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id) AS rn,
+        |             sum(CAST(v AS HUGEINT)) OVER (PARTITION BY event_type
+        |               ORDER BY us, event_id ROWS BETWEEN UNBOUNDED
+        |               PRECEDING AND CURRENT ROW) AS s,
+        |             count(*) OVER (PARTITION BY event_type) AS n,
+        |             sum(CAST(v AS HUGEINT)) OVER
+        |               (PARTITION BY event_type) AS tot
+        |           FROM p),
+        |     d AS (SELECT event_type, rn, n,
+        |             abs(n*s - rn*tot) AS drift FROM w),
+        |     r AS (SELECT event_type, rn, n, drift, row_number() OVER
+        |             (PARTITION BY event_type ORDER BY drift DESC, rn)
+        |             AS rk FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(rn AS BIGINT) AS change_idx,
+        |       CAST(drift AS BIGINT) AS max_drift
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin) { spark =>
+      Stats.cusumChangePoint(
+        spark.table("events").select(col("event_type"), col("ts"),
+          col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+        Seq("event_type"), "ts", "event_id", "v")
+        .orderBy("event_type")
+    },
+
+    // li1 — linear interpolation onto the hourly grid (rs1's gap-fill
+    // twin with VALUE interpolation): events and grid points union
+    // into one stream, one ordered window pass per direction with
+    // IGNORE NULLS — no as-of join, no per-grid-point probe; exact
+    // integral division at the value scale.
+    QueryDef.views("li1_interpolate_grid",
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us,
+        |              event_id AS id,
+        |              CAST(floor(value*1000000) AS BIGINT) AS v, 1 AS isev
+        |            FROM events),
+        |     mm AS (SELECT event_type, min(us) AS lo, max(us) AS hi
+        |            FROM ev GROUP BY 1),
+        |     grid AS (SELECT event_type,
+        |                unnest(generate_series(
+        |                  ((lo + 3599999999) // 3600000000) * 3600000000,
+        |                  (hi // 3600000000) * 3600000000,
+        |                  3600000000)) AS us,
+        |                CAST(-1 AS BIGINT) AS id,
+        |                CAST(NULL AS BIGINT) AS v, 0 AS isev
+        |              FROM mm),
+        |     u AS (SELECT * FROM ev UNION ALL SELECT * FROM grid),
+        |     w AS (SELECT *,
+        |             last_value(v IGNORE NULLS) OVER win1 AS pv,
+        |             last_value(CASE WHEN isev = 1 THEN us END
+        |               IGNORE NULLS) OVER win1 AS pu,
+        |             first_value(v IGNORE NULLS) OVER win2 AS nv,
+        |             first_value(CASE WHEN isev = 1 THEN us END
+        |               IGNORE NULLS) OVER win2 AS nu
+        |           FROM u
+        |           WINDOW win1 AS (PARTITION BY event_type
+        |               ORDER BY us, isev DESC, id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             win2 AS (PARTITION BY event_type
+        |               ORDER BY us, isev DESC, id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, us AS grid_us,
+        |       CASE WHEN nu IS NOT NULL AND nu > pu
+        |            THEN pv + ((nv - pv) * (us - pu)) // (nu - pu)
+        |            ELSE pv END AS v_interp
+        |FROM w WHERE isev = 0 AND pv IS NOT NULL
+        |ORDER BY event_type, grid_us""".stripMargin) { spark =>
+      Stats.interpolateGrid(
+        spark.table("events").select(col("event_type"), col("ts"),
+          col("event_id"),
+          floor(col("value") * 1000000).cast("long").as("v")),
+        Seq("event_type"), "ts", "event_id", "v", stepUs = 3600000000L)
+        .orderBy("event_type", "grid_us")
+    },
+
     // ent1 — per-source unigram entropy + KL vs the corpus (diversity /
     // drift census): log-probs are micro-nat integers (lm1's ln
     // precedent — the one IEEE op, identical on both engines), the

@@ -60,7 +60,15 @@ object DumpPlans {
     "hn1_hard_negatives", "rb1_robots_gate", "fh1x_feature_hash_mass",
     "jc1x_join_cardinality", "ny1_neyman_allocation", "ab1_welch_t",
     "q2_min_cost_supplier", "q11_important_stock", "q12_priority_by_class",
-    "q16_supplier_part_counts", "q20_promotion_suppliers")
+    "q16_supplier_part_counts", "q20_promotion_suppliers",
+    "ols1_linear_fit", "chi1_chisq_independence", "sky1_pareto_frontier",
+    "tg1_target_encode_loo", "pp1_preference_pairs", "bars1_ohlc_bars",
+    "gini1_length_concentration", "mw1_mann_whitney", "srk1_spearman",
+    "pmi1_bigram_lift", "vad1_energy_segments", "vp1_vit_patches",
+    "hp1_vocab_growth", "cdk1_content_chunks", "ph1_phrase_search",
+    "twap1_time_weighted_avg", "ia1_interarrival_hist",
+    "pt3_path_trigrams", "vo1_vocab_overlap", "sil1_kmeans_silhouette",
+    "mnn1_mutual_nearest", "ent1_source_entropy", "mad1_robust_outliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -274,6 +274,43 @@ class StatsSpec extends SparkSpec {
     assert(got("s1")._5 > 0L && got("s2")._5 > 0L)
   }
 
+  test("ksTest: identical cohorts give D 0; disjoint give n1*n2") {
+    val same = Seq(("k", 1L, 1), ("k", 1L, 0), ("k", 5L, 1), ("k", 5L, 0))
+      .toDF("g", "v", "c")
+    val r1 = Stats.ksTest(same, Seq("g"), "v", "c").collect().head
+    assert(r1.getAs[Long]("d_num") == 0L && r1.getAs[Long]("d_ppm") == 0L)
+    // cohort 1 all below cohort 0: at v=2, |2*2 - 0*2| = 4 = n1*n2
+    val split = Seq(("k", 1L, 1), ("k", 2L, 1), ("k", 8L, 0), ("k", 9L, 0))
+      .toDF("g", "v", "c")
+    val r2 = Stats.ksTest(split, Seq("g"), "v", "c").collect().head
+    assert(r2.getAs[Long]("d_num") == 4L)
+    assert(r2.getAs[Long]("d_ppm") == 1000000L)
+  }
+
+  test("cusumChangePoint finds the level shift; first index wins ties") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // 0,0,0,10,10,10: change right at i=3 (drift |6*S_i - i*30| peaks)
+    val df = (1 to 6).map(i => ("k", i.toLong, t(i),
+      if (i <= 3) 0L else 10L)).toDF("g", "id", "ts", "v")
+    val r = Stats.cusumChangePoint(df, Seq("g"), "ts", "id", "v")
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("change_idx") == 3L)
+    assert(r.getAs[Long]("max_drift") == 90L) // |6*0 - 3*30|
+  }
+
+  test("interpolateGrid: exact midpoint interpolation + flat right edge") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // events at 0s (v=100) and 7200s (v=300); hourly grid: 0, 3600, 7200
+    val df = Seq(("k", 1L, t(0), 100L), ("k", 2L, t(7200), 300L))
+      .toDF("g", "id", "ts", "v")
+    val got = Stats.interpolateGrid(df, Seq("g"), "ts", "id", "v",
+        stepUs = 3600000000L)
+      .select("grid_us", "v_interp").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 100L, 3600000000L -> 200L,
+      7200000000L -> 300L))
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
