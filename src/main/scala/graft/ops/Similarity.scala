@@ -165,8 +165,14 @@ object Similarity {
     * oracle-graded production route), and the two argmaxes are
     * unchanged. */
   def mutualNearest(corpus: DataFrame, idCol: String, vecCol: String,
-      sideA: org.apache.spark.sql.Column): DataFrame = {
-    val a = corpus.filter(sideA)
+      sideA: org.apache.spark.sql.Column,
+      queryPred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    // queryPred bounds the A side (s1's fixed-query-slice discipline):
+    // with it the exact pair table is O(|slice|·|B|) — linear in the
+    // corpus — instead of |A|·|B| quadratic. Mutuality is evaluated
+    // within the sliced pair table on both directions (the oracle
+    // mirrors), so the pair set stays deterministic and exact.
+    val a = corpus.filter(sideA && queryPred)
     val b = corpus.filter(!sideA)
     val pairs = withNorm(a, idCol, vecCol).as("a")
       .join(broadcast(withNorm(b, idCol, vecCol).as("b")))

@@ -542,9 +542,16 @@ object Stats {
       .withColumn("__nu", last(when(col("__isEvent") === 1, col("__us")),
         ignoreNulls = true).over(fwdRun))
       .filter(col("__isEvent") === 0 && col("__pv").isNotNull)
+      // The (Δv · Δt) product is staged through DECIMAL(38,0): a value
+      // swing of ±2·10⁶ µ-units across a month-scale gap (~10¹³ µs)
+      // passes 10¹⁹ and overflows BIGINT (caught by the sf1 scale run
+      // as an ANSI ArithmeticException); the quotient is back in value
+      // range, so only the intermediate needs width.
       .select(keys.map(col) ++ Seq(col("__us").as("grid_us"),
         when(col("__nu").isNotNull && col("__nu") > col("__pu"),
-          col("__pv") + expr("((__nv - __pv) * (__us - __pu)) div (__nu - __pu)"))
+          col("__pv") + expr(
+            """(cast(__nv - __pv as decimal(38,0)) * (__us - __pu))
+              | div (__nu - __pu)""".stripMargin).cast("long"))
           .otherwise(col("__pv")).as("v_interp")): _*)
   }
 

@@ -489,9 +489,10 @@ object Analytics {
         |               ORDER BY us, isev DESC, id
         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_type, us AS grid_us,
-        |       CASE WHEN nu IS NOT NULL AND nu > pu
-        |            THEN pv + ((nv - pv) * (us - pu)) // (nu - pu)
-        |            ELSE pv END AS v_interp
+        |       CAST(CASE WHEN nu IS NOT NULL AND nu > pu
+        |            THEN pv + (CAST(nv - pv AS HUGEINT) * (us - pu))
+        |                 // (nu - pu)
+        |            ELSE pv END AS BIGINT) AS v_interp
         |FROM w WHERE isev = 0 AND pv IS NOT NULL
         |ORDER BY event_type, grid_us""".stripMargin) { spark =>
       Stats.interpolateGrid(

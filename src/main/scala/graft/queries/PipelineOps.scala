@@ -441,7 +441,12 @@ object PipelineOps {
     // matches only — one-directional argmax keeps hub vectors, the
     // mutuality filter kills them. Pair scores computed once, two
     // max_by aggregates, deterministic id tiebreaks; the oracle
-    // replays both ranked directions and intersects.
+    // replays both ranked directions and intersects. The query side is
+    // a FIXED id slice (s1's discipline) so the exact pair table grows
+    // linearly with the corpus — the sf1 scale run caught the
+    // unbounded form at |A|·|B| = 100× per 10× data; mining the whole
+    // of A is a sharded sweep of this query, and the corpus-scale
+    // candidate path is blocked SRP (e1x) feeding the same argmaxes.
     QueryDef.views("mnn1_mutual_nearest",
       """WITH e AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -451,7 +456,8 @@ object PipelineOps {
         |     p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cs
         |           FROM en a JOIN en b
-        |             ON a.label % 2 = 0 AND b.label % 2 = 1),
+        |             ON a.label % 2 = 0 AND a.vec_id < 200
+        |               AND b.label % 2 = 1),
         |     ab AS (SELECT a_id, b_id FROM (SELECT *, row_number() OVER
         |              (PARTITION BY a_id ORDER BY cs DESC, b_id) AS rn
         |            FROM p) WHERE rn = 1),
@@ -461,7 +467,8 @@ object PipelineOps {
         |SELECT ab.a_id, ab.b_id FROM ab JOIN ba USING (a_id, b_id)
         |ORDER BY a_id""".stripMargin) { spark =>
       Similarity.mutualNearest(spark.table("embeddings"), "vec_id",
-          "embedding", sideA = col("label") % 2 === 0)
+          "embedding", sideA = col("label") % 2 === 0,
+          queryPred = col("vec_id") < 200)
         .orderBy("a_id")
     },
 
