@@ -144,6 +144,55 @@ object GraphOps {
       .groupBy("v").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — "how much of my
+    * neighborhood is itself connected", the standard community-density
+    * signal a spam/link-farm detector reads next to [[pageRank]] (link
+    * farms cluster; organic hubs don't). Exact ppm:
+    *   lcc = (2·10⁶·T_v) div (d_v·(d_v−1))   for d_v ≥ 2, else NULL.
+    * Cost is [[triangleCounts]]'s oriented wedge join plus a degree
+    * aggregate — both labels-only exchanges; output is |nodes| rows. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ue = edges.select(
+        least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.join(triangleCounts(edges, srcCol, dstCol), Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2, expr(
+          "(2000000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))"))
+          .as("lcc_ppm"))
+  }
+
+  /** Degree assortativity of an undirected graph — does the graph wire
+    * hubs to hubs (r > 0, social-network shape) or hubs to leaves
+    * (r < 0, web/link shape)? Pearson correlation over the SYMMETRIC
+    * endpoint-degree pairs (each undirected edge contributes (dₐ,d_b)
+    * and (d_b,dₐ), the standard convention), assembled from the same
+    * exact integer moments as [[graft.ops.Stats.linearFit]] — on a
+    * symmetric pair set Σx=Σy and Σx²=Σy², so the fit's SLOPE IS the
+    * assortativity coefficient, emitted in ppm with one staged exact
+    * division. Returns one row: (n_pairs, r_ppm). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ue = edges.select(
+        least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = ue
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val pairs = withDeg.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(withDeg.select(col("db").as("x"), col("da").as("y")))
+    Stats.linearFit(pairs, Seq.empty, "x", "y")
+      .select(col("n").as("n_pairs"), col("slope_ppm").as("r_ppm"))
+  }
+
   /** Multi-source BFS hop distance — the crawl-frontier / seed-proximity
     * measure (distance from trusted seed hosts is a standard spam prior,
     * and hop-limited reachability drives crawl scheduling). Emits

@@ -2005,6 +2005,87 @@ object PipelineOps {
       GraphOps.triangleCounts(edges, "src", "dst").orderBy("v")
     },
 
+    // lcc1 — local clustering coefficient per node over tc1's graph:
+    // the community-density signal (link farms cluster, organic hubs
+    // don't). Exact ppm from triangle counts + degrees; the oracle
+    // re-enumerates triangles by the independent 3-clique join.
+    QueryDef.views("lcc1_local_clustering",
+      """WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a,
+        |                greatest(src, dst) AS b FROM e),
+        |  tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |          FROM ue e1
+        |          JOIN ue e2 ON e2.a = e1.b
+        |          JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |  corners AS (SELECT x AS v FROM tri
+        |              UNION ALL SELECT y FROM tri
+        |              UNION ALL SELECT z FROM tri),
+        |  tcnt AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |           FROM corners GROUP BY v),
+        |  dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |           (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue)
+        |         GROUP BY 1)
+        |SELECT dg.v, deg, coalesce(t, 0) AS n_triangles,
+        |       CAST(CASE WHEN deg >= 2 THEN
+        |           (2000000 * coalesce(t, 0)) // (deg * (deg - 1)) END
+        |         AS BIGINT) AS lcc_ppm
+        |FROM dg LEFT JOIN tcnt USING (v) ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.clusteringCoefficient(edges, "src", "dst").orderBy("v")
+    },
+
+    // asr1 — degree assortativity of the same graph: Pearson over the
+    // symmetric endpoint-degree pairs, assembled from ols1's exact
+    // integer moments (on a symmetric pair set the fit's slope IS the
+    // correlation) — one labels-only degree join + a 1-row moment fold.
+    QueryDef.views("asr1_degree_assortativity",
+      """WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+        |  ks AS (SELECT doc_id AS src,
+        |           unnest(range(1, 2 + doc_id % 3)) AS k
+        |         FROM documents),
+        |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+        |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+        |  ue AS (SELECT DISTINCT least(src, dst) AS a,
+        |                greatest(src, dst) AS b FROM e),
+        |  dg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+        |           (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue)
+        |         GROUP BY 1),
+        |  wd AS (SELECT d1.deg AS da, d2.deg AS db
+        |         FROM ue JOIN dg d1 ON d1.v = ue.a
+        |         JOIN dg d2 ON d2.v = ue.b),
+        |  p AS (SELECT da AS x, db AS y FROM wd
+        |        UNION ALL SELECT db, da FROM wd),
+        |  m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |          sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        |        FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |       CAST(CASE WHEN n*sxx - sx*sx <> 0 THEN
+        |           (1000000*(n*sxy - sx*sy)) // (n*sxx - sx*sx) END
+        |         AS BIGINT) AS r_ppm
+        |FROM m""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      GraphOps.degreeAssortativity(edges, "src", "dst")
+    },
+
     // Bloom-accelerated decontamination: Spark's runtime-filter bloom
     // (bloom_filter_agg scalar subquery + might_contain inside the train
     // scan) pre-filters grams before the exact confirm join — results

@@ -111,4 +111,27 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d3 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
   }
+
+  test("clusteringCoefficient: triangle-with-tail, leaf gets NULL") {
+    import spark.implicits._
+    // triangle 0-1-2 plus tail 2-3: lcc(0)=lcc(1)=1, lcc(2)=1/3, d(3)=1
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got == Map(0L -> ((2L, 1L, 1000000L)),
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((3L, 1L, 333333L)),
+      3L -> ((1L, 0L, -1L))))
+  }
+
+  test("degreeAssortativity: star is perfectly disassortative") {
+    import spark.implicits._
+    // star K1,3: every edge pairs deg 3 with deg 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = GraphOps.degreeAssortativity(star, "src", "dst").collect().head
+    assert(r.getAs[Long]("n_pairs") == 6L)
+    assert(r.getAs[Long]("r_ppm") == -1000000L)
+  }
 }
