@@ -307,6 +307,43 @@ object Analytics {
         .orderBy(col("c_ab").desc, col("w1"), col("w2"))
     },
 
+    // xc1 — cross-metric correlation: do hourly click volumes move
+    // with view volumes? Hourly counts of the two event types pivot
+    // from ONE conditional aggregate (no join of two filtered scans),
+    // then ols1's exact moment fold gives slope and r² in ppm — an
+    // operator COMPOSITION entry (timeBars shape → linearFit).
+    QueryDef.views("xc1_cross_correlation",
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |             sum(CASE WHEN event_type = 'click' THEN 1
+        |                 ELSE 0 END) AS x,
+        |             sum(CASE WHEN event_type = 'view' THEN 1
+        |                 ELSE 0 END) AS y
+        |           FROM events GROUP BY 1),
+        |     m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+        |             sum(y*y) AS syy
+        |           FROM h),
+        |     d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+        |             n*syy - sy*sy AS deny FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_hours,
+        |       CAST(CASE WHEN den <> 0 THEN (1000000*num) // den END
+        |         AS BIGINT) AS slope_ppm,
+        |       CAST(CASE WHEN den <> 0 AND deny <> 0 THEN
+        |           (((1000000*num) // den) * num) // deny END
+        |         AS BIGINT) AS r2_ppm
+        |FROM d""".stripMargin) { spark =>
+      val hourly = spark.table("events")
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .as("hr"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("y"))
+      Stats.linearFit(hourly, Seq.empty, "x", "y")
+        .select(col("n").as("n_hours"), col("slope_ppm"), col("r2_ppm"))
+    },
+
     // dow1 — seasonality matrix (event_type × day-of-week × hour):
     // pure-integer calendar arithmetic on epoch µs (dow 0 = Sunday via
     // the epoch-starts-Thursday offset) — no locale-dependent

@@ -68,7 +68,11 @@ object DumpPlans {
     "hp1_vocab_growth", "cdk1_content_chunks", "ph1_phrase_search",
     "twap1_time_weighted_avg", "ia1_interarrival_hist",
     "pt3_path_trigrams", "vo1_vocab_overlap", "sil1_kmeans_silhouette",
-    "mnn1_mutual_nearest", "ent1_source_entropy", "mad1_robust_outliers")
+    "mnn1_mutual_nearest", "ent1_source_entropy", "mad1_robust_outliers",
+    "ks1_kolmogorov_smirnov", "cpd1_cusum_changepoint",
+    "li1_interpolate_grid", "dow1_seasonality", "dau1_growth_accounting",
+    "pz1_two_proportion", "lcc1_local_clustering",
+    "asr1_degree_assortativity", "xc1_cross_correlation")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
