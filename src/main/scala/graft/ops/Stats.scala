@@ -466,6 +466,54 @@ object Stats {
           expr("(1000000 * d_num) div (n1 * n2)")).as("d_ppm")): _*)
   }
 
+  /** Per-group Population Stability Index between two cohorts — the
+    * drift score model-monitoring dashboards alarm on (completing the
+    * family: dr1 TVD, ent1 KL, ks1 KS). Bins are REFERENCE-ECDF
+    * deciles assigned positionally — bin(v) = min((10·|{ref < v}|)
+    * div n₀, 9) — so no bin-edge list ever materializes: the bin id
+    * falls out of the same cumulative step-point window [[ksTest]]
+    * uses. Counts are Laplace-smoothed (+1 per cell, +10 per total)
+    * so empty cells stay finite, and
+    *   PSI_µ = Σ_bins (k₁·n₀ − k₀·n₁) · lp_b  div (n₀·n₁),
+    *   lp_b = round(ln(((k₁+1)·(n₀+10)) / ((k₀+1)·(n₁+10))) · 10⁶)
+    * — ln is the one IEEE op (lm1's precedent), everything else exact.
+    *
+    * Scale shape: one hash aggregate to distinct-value step points,
+    * one cumulative window over those, a ≤10-bin rollup per key. */
+  def psi(df: DataFrame, keys: Seq[String], valueCol: String,
+      cohortCol: String): DataFrame = {
+    val one = col(cohortCol) === 1
+    val steps = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(sum(when(!one, 1L).otherwise(0L)).as("__c0"),
+        sum(when(one, 1L).otherwise(0L)).as("__c1"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = byKey.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = steps
+      .withColumn("__n0", sum(col("__c0")).over(byKey))
+      .withColumn("__n1", sum(col("__c1")).over(byKey))
+      .withColumn("__below", sum(col("__c0")).over(cum) - col("__c0"))
+      .withColumn("__bin", when(col("__n0") > 0,
+        least(expr("(10 * __below) div __n0"), lit(9L))).otherwise(0L))
+      .groupBy(keys.map(col) :+ col("__bin"): _*)
+      .agg(max(col("__n0")).as("__n0"), max(col("__n1")).as("__n1"),
+        sum(col("__c0")).as("__k0"), sum(col("__c1")).as("__k1"))
+    binned
+      .withColumn("__lp", round(log(
+        ((col("__k1") + 1).cast("double") * (col("__n0") + 10)) /
+          ((col("__k0") + 1).cast("double") * (col("__n1") + 10))) *
+        1000000).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n0")).cast("long").as("n0"),
+        max(col("__n1")).cast("long").as("n1"),
+        count(lit(1)).as("n_bins"),
+        sum((col("__k1") * col("__n0") - col("__k0") * col("__n1"))
+          .cast("decimal(38,0)") * col("__lp")).as("__s"))
+      .select(keys.map(col) ++ Seq(col("n0"), col("n1"), col("n_bins"),
+        expr("__s div (cast(n0 as decimal(38,0)) * n1)").cast("long")
+          .as("psi_micro")): _*)
+  }
+
   /** Per-group CUSUM change-point detection: the index where the
     * running sum departs furthest from the straight line between 0 and
     * the series total — the standard single-change-point location

@@ -416,6 +416,53 @@ object Analytics {
         "user_id", "cohort", "conv")
     },
 
+    // psi1 — Population Stability Index per event type between the
+    // user-parity cohorts (completing the drift family: TVD, KL, KS):
+    // reference-ECDF decile bins assigned positionally from the same
+    // cumulative step-point window ks1 uses (no edge list ever
+    // materializes), Laplace-smoothed log-ratios in micro-nats (lm1's
+    // ln precedent), everything else exact integer.
+    QueryDef.views("psi1_population_stability",
+      """WITH p AS (SELECT event_type,
+        |             CAST(floor(value*1000000) AS BIGINT) AS v,
+        |             CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS c
+        |           FROM events),
+        |     s AS (SELECT event_type, v,
+        |             sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS c0,
+        |             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS c1
+        |           FROM p GROUP BY 1, 2),
+        |     w AS (SELECT event_type, v, c0, c1,
+        |             sum(c0) OVER (PARTITION BY event_type) AS n0,
+        |             sum(c1) OVER (PARTITION BY event_type) AS n1,
+        |             sum(c0) OVER (PARTITION BY event_type ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - c0 AS below
+        |           FROM s),
+        |     b AS (SELECT event_type,
+        |             least((10*below) // n0, 9) AS bin,
+        |             max(n0) AS n0, max(n1) AS n1,
+        |             sum(c0) AS k0, sum(c1) AS k1
+        |           FROM w GROUP BY 1, 2),
+        |     l AS (SELECT *, CAST(round(ln(
+        |             (CAST(k1 + 1 AS DOUBLE) * (n0 + 10)) /
+        |             (CAST(k0 + 1 AS DOUBLE) * (n1 + 10))) * 1000000)
+        |             AS BIGINT) AS lp
+        |           FROM b)
+        |SELECT event_type, CAST(max(n0) AS BIGINT) AS n0,
+        |       CAST(max(n1) AS BIGINT) AS n1,
+        |       CAST(count(*) AS BIGINT) AS n_bins,
+        |       CAST(sum(CAST(k1*n0 - k0*n1 AS HUGEINT) * lp)
+        |         // (CAST(max(n0) AS HUGEINT) * max(n1)) AS BIGINT)
+        |         AS psi_micro
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin) { spark =>
+      Stats.psi(
+        spark.table("events").select(col("event_type"),
+          floor(col("value") * 1000000).cast("long").as("v"),
+          (col("user_id") % 2).as("cohort")),
+        Seq("event_type"), "v", "cohort")
+        .orderBy("event_type")
+    },
+
     // ks1 — two-sample Kolmogorov–Smirnov per event type (user-parity
     // cohorts): denominators cleared so D = max|cum1·n2 − cum2·n1|
     // stays in ℤ; the cumulative window runs over the distinct-value

@@ -345,6 +345,20 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("z2_ppm") == 4000000L)
   }
 
+  test("psi: identical cohorts give ~0; a hard shift scores large") {
+    // identical distributions: k1*n0 == k0*n1 in every bin -> PSI 0
+    val same = (1 to 100).flatMap(i =>
+      Seq(("k", i.toLong, 0), ("k", i.toLong, 1))).toDF("g", "v", "c")
+    assert(Stats.psi(same, Seq("g"), "v", "c").collect().head
+      .getAs[Long]("psi_micro") == 0L)
+    // cohort 1 shifted wholly above the reference: PSI blows up
+    val shift = ((1 to 100).map(i => ("k", i.toLong, 0)) ++
+      (1 to 100).map(i => ("k", 1000L + i, 1))).toDF("g", "v", "c")
+    val r = Stats.psi(shift, Seq("g"), "v", "c").collect().head
+    assert(r.getAs[Long]("psi_micro") > 2000000L) // >> the 0.25 alarm bar
+    assert(r.getAs[Long]("n0") == 100L && r.getAs[Long]("n1") == 100L)
+  }
+
   test("preferencePairs picks argmax/argmin with margin gate") {
     val df = Seq(("g1", 1L, 100L), ("g1", 2L, 10L), ("g1", 3L, 50L),
       ("g2", 4L, 30L), ("g2", 5L, 25L), // margin 5 < 20 → dropped
