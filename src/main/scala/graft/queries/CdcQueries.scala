@@ -2108,7 +2108,131 @@ object CdcQueries {
         .filter(_._2 > 0)
         .toDF("cohort", "n_facts", "sum_micro")
         .orderBy("cohort")
+    }, Some(st13OracleSql)),
+
+    // st14 — continuous data-quality DRIFT monitor as real
+    // micro-batches: each batch's event-type mix is compared against
+    // the full-corpus reference mix (broadcast, |types| rows) and the
+    // total-variation distance lands in the upsert sink as exact ppm —
+    // the alarm feed a curation pipeline watches for "this crawl slice
+    // looks nothing like the corpus". Batches are the deterministic
+    // time-tertile chunks (st7's fixture discipline; tertile assigned
+    // by exact row-count thirds over the (ts, event_id) order and
+    // carried IN the fixture, so each trigger is one known tertile).
+    // The oracle recomputes per-tertile mixes and the same cleared-
+    // denominator TVD statically.
+    QueryDef("st14_stream_drift", (spark, dir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, dir)
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+        else 31L * f.length() + f.lastModified()
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st14v1-" +
+        java.lang.Long.toHexString(fp(new java.io.File(s"$dir/events.parquet")))
+      val run = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-st14-fixture-$key")
+      if (!Files.exists(run.resolve("chunk-2.parquet"))) {
+        Files.createDirectories(run)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))
+        // exact thirds: t = ((rn - 1) * 3) div n
+        val n = spark.table("events").count()
+        val tert2 = spark.table("events")
+          .select(col("event_id"), col("ts"), col("event_type"))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("tertile", expr(s"((__rn - 1) * 3) div $n"))
+          .drop("__rn")
+        (0 until 3).foreach { k =>
+          val tmp = run.resolve(s"w-$k")
+          tert2.filter(col("tertile") === k).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error("st14 fixture: no part file"))
+          Files.move(part.toPath, run.resolve(s"chunk-$k.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+          run.resolve(s"chunk-$k.parquet").toFile
+            .setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      // reference mix: |types| rows, computed once, closed over by the
+      // per-batch comparison (a broadcast at cluster scale)
+      val ref = spark.table("events").groupBy("event_type")
+        .agg(count(lit(1)).as("cr")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nr = ref.values.sum
+      val ns = s"st14-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "drift")
+      val writer = new Sinks.UpsertWriter("drift", "tertile",
+        Seq("tertile", "n_events", "tvd_ppm"), runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val stream = spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING, tertile BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+      withStatePartitions(spark, 8) {
+        val q = stream.writeStream
+          .outputMode("append")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-st14-ckpt").toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              val counts = batch.groupBy("tertile", "event_type")
+                .agg(count(lit(1)).as("cb")).collect()
+              if (counts.nonEmpty) {
+                val tertile = counts.head.getLong(0)
+                val nb = counts.map(_.getLong(2)).sum
+                // TVD over the union of types, cleared denominators:
+                // tvd_ppm = 1e6 * Σ|cb·Nr − cr·Nb| / (2·Nb·Nr)
+                val byType = counts.map(r => r.getString(1) -> r.getLong(2)).toMap
+                val keys = ref.keySet ++ byType.keySet
+                val num = keys.toSeq.map { t =>
+                  math.abs(byType.getOrElse(t, 0L) * nr -
+                    ref.getOrElse(t, 0L) * nb)
+                }.sum
+                val tvd = 1000000L * num / (2L * nb * nr)
+                writer.writeBatch(
+                  Seq((tertile, nb, tvd)).toDF("tertile", "n_events", "tvd_ppm"),
+                  factory, batchId)
+              }
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      sink.snapshot.values.toSeq.map(r =>
+        (r("tertile").toString.toLong, r("n_events").toString.toLong,
+          r("tvd_ppm").toString.toLong))
+        .toDF("tertile", "n_events", "tvd_ppm")
+        .orderBy("tertile")
     }, Some(
+      """WITH r AS (SELECT event_id, event_type,
+        |             row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |             count(*) OVER () AS n
+        |           FROM events),
+        |     t AS (SELECT event_type, ((rn - 1) * 3) // n AS tertile
+        |           FROM r),
+        |     cb AS (SELECT tertile, event_type, count(*) AS cb
+        |            FROM t GROUP BY 1, 2),
+        |     nb AS (SELECT tertile, sum(cb) AS nb FROM cb GROUP BY 1),
+        |     cr AS (SELECT event_type, count(*) AS cr FROM events
+        |            GROUP BY 1),
+        |     nr AS (SELECT count(*) AS nr FROM events),
+        |     g AS (SELECT nb.tertile, nb.nb, nr.nr,
+        |             sum(abs(coalesce(cb.cb, 0)*nr.nr
+        |               - cr.cr*nb.nb)) AS num
+        |           FROM nb CROSS JOIN nr
+        |           CROSS JOIN cr
+        |           LEFT JOIN cb ON cb.tertile = nb.tertile
+        |             AND cb.event_type = cr.event_type
+        |           GROUP BY 1, 2, 3)
+        |SELECT tertile, CAST(nb AS BIGINT) AS n_events,
+        |       CAST((1000000*num) // (2*nb*nr) AS BIGINT) AS tvd_ppm
+        |FROM g ORDER BY tertile""".stripMargin))
+  )
+
+  private def st13OracleSql: String =
       """WITH f AS (SELECT event_id AS id, user_id % 50 AS u,
         |             CASE WHEN event_id % 7 = 0 THEN 'd' ELSE 'x' END AS op,
         |             CASE WHEN event_id % 5 = 0 AND event_id % 7 <> 0
@@ -2128,8 +2252,7 @@ object CdcQueries {
         |SELECT cohort, CAST(count(*) AS BIGINT) AS n_facts,
         |       CAST(sum(v) AS BIGINT) AS sum_micro
         |FROM lf JOIN ld ON lf.u = ld.u
-        |GROUP BY 1 ORDER BY cohort""".stripMargin))
-  )
+        |GROUP BY 1 ORDER BY cohort""".stripMargin
 
   /** Writes the streaming-sessionization fixture once per sf dir: the
     * events table as (user_id, event_id, ts) in three TIME-TERTILE
