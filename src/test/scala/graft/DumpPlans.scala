@@ -72,7 +72,8 @@ object DumpPlans {
     "ks1_kolmogorov_smirnov", "cpd1_cusum_changepoint",
     "li1_interpolate_grid", "dow1_seasonality", "dau1_growth_accounting",
     "pz1_two_proportion", "lcc1_local_clustering",
-    "asr1_degree_assortativity", "xc1_cross_correlation")
+    "asr1_degree_assortativity", "xc1_cross_correlation",
+    "psi1_population_stability")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
