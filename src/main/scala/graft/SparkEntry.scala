@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, CdcQueries, PipelineOps, PropertyChecks, QueryDef, Relational, TpchShapes}
+import graft.queries.{Analytics, CdcQueries, Inference, PipelineOps, PropertyChecks, QueryDef, Relational, TpchShapes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{Analytics, CdcQueries, PipelineOps, PropertyChecks, QueryD
 object SparkEntry {
   val all: Seq[QueryDef] =
     Relational.defs ++ TpchShapes.defs ++ PipelineOps.defs ++ CdcQueries.defs ++
-      PropertyChecks.defs ++ Analytics.defs
+      PropertyChecks.defs ++ Analytics.defs ++ Inference.defs
 
   /** Flagship query (reference CustomJob.java:194 analog: live count per key
     * over the compacted changelog) on sf=0.001; driver smoke-checks rows>0. */

@@ -696,4 +696,195 @@ object Stats {
           .otherwise(expr("__gs div __gn")).cast("long"))
       .drop("__sg", "__ng", "__gs", "__gn")
   }
+
+  /** Nelson–Aalen cumulative-hazard estimator — the survival-analysis
+    * readout for churn/retention questions ("what fraction of users who
+    * reach day d stop there?"). Input is one row per subject with an
+    * integer duration and an observed flag (1 = the terminal event was
+    * seen, 0 = right-censored at that duration). At each event time t:
+    *   n_risk(t) = #subjects with duration ≥ t,
+    *   step_µ(t) = 10⁶·d(t) div n_risk(t),  H(t) = Σ_{s≤t} step_µ(s)
+    * — the hazard increments are exact integer ratios summed as
+    * integers, so unlike Kaplan–Meier's product (which would need a
+    * float exp·ln round-trip) the whole estimator is bit-exact on any
+    * exact-integer engine. Only durations with d(t) > 0 are emitted
+    * (zero steps add nothing to H).
+    *
+    * Plan shape: ONE map-combined hash aggregate collapses subjects to
+    * |distinct durations| rows; the risk-set cumulative and the hazard
+    * cumsum are a window over that tiny table — no second scan of the
+    * subjects, no join. At 100 TB the windowed relation is still only
+    * as long as the duration range (days, not rows). */
+  def nelsonAalen(df: DataFrame, keys: Seq[String], durCol: String,
+      observedCol: String): DataFrame = {
+    val perT = df.groupBy((keys :+ durCol).map(col): _*)
+      .agg(count(lit(1)).as("__n_at"),
+        sum(col(observedCol).cast("long")).as("__d"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cumBefore = byKey.orderBy(col(durCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumTo = byKey.orderBy(col(durCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT
+      .withColumn("__risk",
+        sum(col("__n_at")).over(byKey) -
+          coalesce(sum(col("__n_at")).over(cumBefore), lit(0L)))
+      .withColumn("__step",
+        expr("(1000000 * __d) div __risk"))
+      .withColumn("__h", sum(col("__step")).over(cumTo))
+      .filter(col("__d") > 0)
+      .select(keys.map(col) ++ Seq(
+        col(durCol),
+        col("__risk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("d_events"),
+        col("__step").cast("long").as("hazard_step_ppm"),
+        col("__h").cast("long").as("cum_hazard_ppm")): _*)
+  }
+
+  /** First-significant-digit census vs Benford's law — the classic
+    * fabricated-data / broken-ETL tripwire for positive monetary
+    * columns. Expected shares are the fixed constants
+    * ⌊10⁶·log₁₀(1+1/d)⌋ (digits 1–9); the observed share and the χ²
+    * contribution are exact scaled integers:
+    *   contrib_µ(d) = (10⁶·o_d − p_d·n)² div (p_d·n · 10⁶) · 10⁶-scale
+    * computed in DECIMAL(38,0) (the squared numerator passes 10²³ at
+    * sf 1). The first digit is taken lexically from the integer's
+    * decimal string — no float log10 near power-of-ten boundaries.
+    * One hash aggregate to 9 rows; everything after is per-digit. */
+  val benfordPpm: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = benfordPpm.map { case (d, p) =>
+      s"WHEN __digit = $d THEN ${p}L" }.mkString(" ")
+    df.filter(col(valueCol) > 0)
+      .withColumn("__digit",
+        substring(col(valueCol).cast("string"), 1, 1).cast("int"))
+      .groupBy(col("__digit")).agg(count(lit(1)).as("__obs"))
+      .withColumn("__n", sum(col("__obs")).over(Window.partitionBy()))
+      .withColumn("__p", expr(s"CASE $expected END"))
+      .select(
+        col("__digit").cast("long").as("digit"),
+        col("__obs").cast("long").as("observed"),
+        col("__p").cast("long").as("benford_ppm"),
+        expr("(1000000 * __obs) div __n").cast("long").as("observed_ppm"),
+        expr("""((1000000 * cast(__obs as decimal(38,0)) - __p * __n)
+               | * (1000000 * cast(__obs as decimal(38,0)) - __p * __n))
+               | div (__p * __n * 1000000)""".stripMargin)
+          .cast("long").as("chi2_contrib_micro"))
+  }
+
+  /** Poisson bootstrap — distributed-friendly resampling for confidence
+    * intervals: instead of materializing B resampled datasets, each row
+    * gets a deterministic Poisson(1) weight per replicate, derived from
+    * a 48-bit md5 uniform on (row id, replicate) — so the whole
+    * bootstrap is ONE scan with a B-fold map-side explode and one hash
+    * aggregate (the canonical way to bootstrap a 100 TB table; the
+    * per-dataset alternative is B full shuffles). The inverse-CDF
+    * ladder uses fixed ppm thresholds (P(X≤k) for λ=1, capped at 7),
+    * so weights — and therefore every replicate mean — are bit-exact
+    * cross-engine. Returns one row per replicate:
+    * (replicate, n_eff, mean_value) with mean = Σwv div Σw. */
+  val poissonPpmThresholds: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+
+  /** SQL CASE ladder mapping a ppm uniform expression to Poisson(1). */
+  def poissonLadderSql(uExpr: String): String =
+    poissonPpmThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $uExpr < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  def poissonBootstrap(df: DataFrame, idCols: Seq[String],
+      valueCol: String, replicates: Int = 32): DataFrame = {
+    require(replicates >= 2, "poissonBootstrap: need >= 2 replicates")
+    val idStr = idCols.map(c => s"CAST($c AS STRING)")
+      .mkString("concat_ws('-', ", ", ", ", CAST(__b AS STRING))")
+    val u = s"(${TextOps.hex48Sql(s"md5($idStr)")}) % 1000000"
+    df.select(idCols.map(col) :+ col(valueCol): _*)
+      .withColumn("__b",
+        explode(expr(s"sequence(0, ${replicates - 1})")))
+      .withColumn("__w", expr(poissonLadderSql(u)).cast("long"))
+      .groupBy(col("__b").as("replicate"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(dec(col("__w")) * dec(col(valueCol))).as("__wv"))
+      .select(col("replicate").cast("long"),
+        col("n_eff").cast("long"),
+        expr("__wv div cast(n_eff as decimal(38,0))").cast("long")
+          .as("mean_value"))
+  }
+
+  /** Truncated exponentially-weighted moving average over a regular
+    * integer-indexed series — the smoothing layer under anomaly/trend
+    * readouts. Weights w_k = ⌊10⁶·α·(1−α)^k⌋ for lags k = 0..L−1 are
+    * FIXED constants (computed once here, embedded identically in any
+    * oracle), so the smoothed value Σ_k w_k·x_{t−k} div 10⁶ is exact —
+    * no recursive float state, which also makes the estimator
+    * embarrassingly parallel: each output point depends on a bounded
+    * lag window, joined as an EQUI-join on (key, t−k) after a bounded
+    * L-fold explode of lag offsets. Missing lags contribute nothing
+    * (document: the series should be gap-filled first — rs1's job). */
+  def ewmaWeightsMicro(alphaPm: Int, lookback: Int): Seq[Long] =
+    (0 until lookback).map { k =>
+      math.floor(1e6 * (alphaPm / 1000.0) *
+        math.pow(1.0 - alphaPm / 1000.0, k)).toLong
+    }
+
+  def ewmaSmooth(df: DataFrame, keys: Seq[String], idxCol: String,
+      valueCol: String, alphaPm: Int = 250, lookback: Int = 16)
+      : DataFrame = {
+    require(alphaPm > 0 && alphaPm < 1000, "ewmaSmooth: alphaPm in (0,1000)")
+    val w = ewmaWeightsMicro(alphaPm, lookback)
+    val warr = w.mkString("array(", "L, ", "L)")
+    val lags = df.select(
+      (keys.map(col) :+ col(idxCol).as("__t") :+
+        explode(expr(s"sequence(0, ${lookback - 1})")).as("__k")): _*)
+      .withColumn("__lag_t", col("__t") - col("__k"))
+    val src = df.select(
+      (keys.map(col) :+ col(idxCol).as("__lag_t") :+
+        col(valueCol).as("__x")): _*)
+    lags.join(src, keys :+ "__lag_t")
+      .groupBy((keys.map(col) :+ col("__t")): _*)
+      .agg(sum(expr(s"element_at($warr, cast(__k + 1 as int)) " +
+        s"* cast(__x as decimal(38,0))")).as("__s"),
+        count(lit(1)).as("__n_lags"))
+      .select(keys.map(col) ++ Seq(
+        col("__t").cast("long").as(idxCol),
+        col("__n_lags").cast("long").as("n_lags"),
+        expr("__s div 1000000").cast("long").as("ewma_micro_value")): _*)
+  }
+
+  /** Frequent item-pair mining over baskets (market-basket / co-occurrence
+    * analysis) with the Apriori prune: items below min support are
+    * dropped BEFORE the within-basket pair self-join — at 100 TB this is
+    * the difference between pairing every basket's full item set
+    * (quadratic in basket width) and pairing only the survivors. The
+    * candidate join is an equi-join on the basket id; lift is the exact
+    * ppm ratio 10⁶·n·c_ab div (c_a·c_b). Items are deduped per basket
+    * first (presence, not multiplicity). */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "frequentPairs: minSupport >= 1")
+    val items = df.select(col(basketCol).as("__basket"),
+      col(itemCol).as("__item")).distinct()
+    val nBaskets = items.select("__basket").distinct()
+      .agg(count(lit(1)).as("__n"))
+    val freq = items.groupBy("__item")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= minSupport)
+    val pruned = items.join(broadcast(freq), "__item")
+    val pairs = pruned.as("a").join(pruned.as("b"),
+        col("a.__basket") === col("b.__basket") &&
+          col("a.__item") < col("b.__item"))
+      .groupBy(col("a.__item").as("item_a"), col("b.__item").as("item_b"))
+      .agg(count(lit(1)).as("pair_count"),
+        max(col("a.__c")).as("__ca"), max(col("b.__c")).as("__cb"))
+      .filter(col("pair_count") >= minSupport)
+    pairs.crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"),
+        col("pair_count").cast("long"),
+        col("__ca").cast("long").as("count_a"),
+        col("__cb").cast("long").as("count_b"),
+        expr("""(1000000 * cast(pair_count as decimal(38,0)) * __n)
+               | div (cast(__ca as decimal(38,0)) * __cb)""".stripMargin)
+          .cast("long").as("lift_ppm"))
+  }
 }

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Stats, TextOps}
+
+/** Inference / resampling / risk-analytics query inventory (session 7):
+  * survival hazard, digit-law data-quality testing, Poisson-bootstrap
+  * confidence intervals, truncated-EWMA smoothing, market-basket pair
+  * mining, and split-conformal prediction intervals. Same discipline as
+  * [[Analytics]]: every statistic is exact scaled-integer arithmetic so
+  * the DuckDB oracle matches bit-for-bit.
+  */
+object Inference {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // na1 — Nelson–Aalen cumulative-hazard curve for order
+    // time-to-completion: duration = whole days from o_orderdate to the
+    // order's LAST ship date (nonnegative spans only — the synthetic
+    // dates put some ship dates before the order), terminal event
+    // observed iff the order closed (status 'F'); open/partial orders
+    // are right-censored at their current span. Hazard increments are
+    // exact integer ratios, so unlike a Kaplan–Meier product the whole
+    // curve is oracle-exact. Plan: one join + per-order hash aggregate
+    // collapses line items to subjects, then a window over |distinct
+    // durations| rows — line items are scanned once.
+    QueryDef.views("na1_nelson_aalen",
+      """WITH subj AS (SELECT o.o_orderkey, o.o_orderstatus,
+        |                date_diff('day', CAST(o.o_orderdate AS DATE),
+        |                  CAST(max(l.l_shipdate) AS DATE)) AS dur_days
+        |              FROM orders o JOIN lineitem l
+        |                ON l.l_orderkey = o.o_orderkey
+        |              GROUP BY 1, 2, o.o_orderdate),
+        |     s2 AS (SELECT dur_days,
+        |              CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+        |                AS observed
+        |            FROM subj WHERE dur_days >= 0),
+        |     pt AS (SELECT dur_days, count(*) AS n_at,
+        |              sum(observed) AS d
+        |            FROM s2 GROUP BY 1),
+        |     w AS (SELECT dur_days, n_at, d,
+        |             sum(n_at) OVER () - COALESCE(sum(n_at) OVER
+        |               (ORDER BY dur_days ROWS BETWEEN UNBOUNDED
+        |                PRECEDING AND 1 PRECEDING), 0) AS risk
+        |           FROM pt),
+        |     h AS (SELECT dur_days, risk, d,
+        |             (1000000 * d) // risk AS step,
+        |             sum((1000000 * d) // risk)
+        |               OVER (ORDER BY dur_days) AS ch
+        |           FROM w)
+        |SELECT CAST(dur_days AS BIGINT) AS dur_days,
+        |       CAST(risk AS BIGINT) AS n_risk,
+        |       CAST(d AS BIGINT) AS d_events,
+        |       CAST(step AS BIGINT) AS hazard_step_ppm,
+        |       CAST(ch AS BIGINT) AS cum_hazard_ppm
+        |FROM h WHERE d > 0 ORDER BY dur_days""".stripMargin) { spark =>
+      val subj = spark.table("orders").as("o")
+        .join(spark.table("lineitem").as("l"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("o.o_orderkey"), col("o.o_orderstatus"),
+          col("o.o_orderdate"))
+        .agg(expr(
+          """CAST(datediff(CAST(max(l_shipdate) AS DATE),
+            |  CAST(o_orderdate AS DATE)) AS BIGINT)""".stripMargin)
+          .as("dur_days"))
+      val s2 = subj.filter(col("dur_days") >= 0).select(col("dur_days"),
+        expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")
+          .as("observed"))
+      Stats.nelsonAalen(s2, Seq.empty, "dur_days", "observed")
+        .orderBy("dur_days")
+    },
+
+    // bd1 — Benford first-digit law over order totals in cents: the
+    // fabricated-data / broken-ETL tripwire. First digit is lexical
+    // (no float log10 at power-of-ten boundaries); expected shares are
+    // the fixed ⌊10⁶·log₁₀(1+1/d)⌋ constants embedded identically in
+    // both engines; χ² contributions are exact DECIMAL(38,0)/HUGEINT
+    // rationals. One hash aggregate to 9 rows.
+    QueryDef.views("bd1_benford_digits", {
+      val expected = Stats.benfordPpm.map { case (d, p) =>
+        s"WHEN digit = $d THEN $p" }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+         |             AS cents
+         |           FROM orders WHERE o_totalprice > 0),
+         |     d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+         |             AS INT) AS digit
+         |           FROM c WHERE cents > 0),
+         |     o AS (SELECT digit, count(*) AS obs FROM d GROUP BY 1),
+         |     t AS (SELECT digit, obs, sum(obs) OVER () AS n,
+         |             (CASE $expected END) AS p
+         |           FROM o)
+         |SELECT CAST(digit AS BIGINT) AS digit,
+         |       CAST(obs AS BIGINT) AS observed,
+         |       CAST(p AS BIGINT) AS benford_ppm,
+         |       CAST((1000000 * obs) // n AS BIGINT) AS observed_ppm,
+         |       CAST(((1000000 * CAST(obs AS HUGEINT) - p * n)
+         |             * (1000000 * CAST(obs AS HUGEINT) - p * n))
+         |            // (p * n * 1000000) AS BIGINT)
+         |         AS chi2_contrib_micro
+         |FROM t ORDER BY digit""".stripMargin
+    }) { spark =>
+      Stats.benford(
+        spark.table("orders").filter(col("o_totalprice") > 0)
+          .select(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+            .as("cents")),
+        "cents").orderBy("digit")
+    },
+
+    // bs1 — Poisson bootstrap of the mean line-item price (cents): 32
+    // deterministic replicates via per-(row, replicate) Poisson(1)
+    // weights from the md5 48-bit uniform — ONE scan with a 32-fold
+    // map-side explode and one 32-group hash aggregate, the canonical
+    // resampling shape for a 100 TB table (B full resample shuffles is
+    // the anti-pattern). The inverse-CDF ppm ladder is a fixed constant
+    // table, so every replicate mean is bit-exact in DuckDB too.
+    QueryDef.views("bs1_poisson_bootstrap", {
+      val idStr = "concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(b AS VARCHAR))"
+      val u = s"(${TextOps.hex48Sql(s"md5($idStr)")}) % 1000000"
+      s"""WITH v AS (SELECT l_orderkey, l_linenumber,
+         |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS val
+         |           FROM lineitem),
+         |     r AS (SELECT unnest(range(0, 32)) AS b),
+         |     x AS (SELECT b, val,
+         |             ${Stats.poissonLadderSql(u)} AS w
+         |           FROM v, r),
+         |     m AS (SELECT b AS replicate, sum(w) AS n_eff,
+         |             sum(CAST(w AS HUGEINT) * val) AS wv
+         |           FROM x GROUP BY 1)
+         |SELECT CAST(replicate AS BIGINT) AS replicate,
+         |       CAST(n_eff AS BIGINT) AS n_eff,
+         |       CAST(wv // CAST(n_eff AS HUGEINT) AS BIGINT)
+         |         AS mean_value
+         |FROM m ORDER BY replicate""".stripMargin
+    }) { spark =>
+      Stats.poissonBootstrap(
+        spark.table("lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("val")),
+        Seq("l_orderkey", "l_linenumber"), "val", replicates = 32)
+        .orderBy("replicate")
+    },
+
+    // ew1 — truncated EWMA (α=0.25, 16-lag) over the hourly event-count
+    // series per event type. The fixed ⌊10⁶·α(1−α)^k⌋ weight ladder
+    // makes the smoother exact AND embarrassingly parallel: each output
+    // point is a bounded-lag weighted sum assembled by an EQUI-join on
+    // (type, hour−k) after a 16-fold lag explode — no recursive state,
+    // no sequential scan, which is what makes EWMA feasible at all on a
+    // partitioned 100 TB series.
+    QueryDef.views("ew1_ewma_hourly", {
+      val w = Stats.ewmaWeightsMicro(250, 16)
+      val warr = w.mkString("[", ", ", "]")
+      s"""WITH s AS (SELECT event_type,
+         |             epoch_us(ts) // 3600000000 AS hr,
+         |             count(*) AS x
+         |           FROM events GROUP BY 1, 2),
+         |     lag AS (SELECT event_type, hr, unnest(range(0, 16)) AS k
+         |             FROM s),
+         |     j AS (SELECT l.event_type, l.hr, l.k, s.x
+         |           FROM lag l JOIN s
+         |             ON s.event_type = l.event_type
+         |            AND s.hr = l.hr - l.k),
+         |     agg AS (SELECT event_type, hr, count(*) AS n_lags,
+         |               sum(($warr)[CAST(k + 1 AS INT)]
+         |                   * CAST(x AS HUGEINT)) AS sw
+         |             FROM j GROUP BY 1, 2)
+         |SELECT event_type, CAST(hr AS BIGINT) AS hr,
+         |       CAST(n_lags AS BIGINT) AS n_lags,
+         |       CAST(sw // 1000000 AS BIGINT) AS ewma_micro_value
+         |FROM agg ORDER BY event_type, hr""".stripMargin
+    }) { spark =>
+      val series = spark.table("events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).as("x"))
+      Stats.ewmaSmooth(series, Seq("event_type"), "hr", "x",
+        alphaPm = 250, lookback = 16)
+        .orderBy("event_type", "hr")
+    },
+
+    // fi1 — market-basket frequent pairs with the Apriori prune: items
+    // (part categories, l_partkey mod 40) below min support are dropped
+    // BEFORE the within-order pair self-join, so the candidate join's
+    // width is survivors-only — the prune is what keeps basket mining
+    // subquadratic at 100 TB. Lift is the exact ppm ratio
+    // 10⁶·n·c_ab div (c_a·c_b).
+    QueryDef.views("fi1_frequent_pairs",
+      """WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+        |                 l_partkey % 40 AS item
+        |               FROM lineitem),
+        |     nb AS (SELECT count(DISTINCT basket) AS n FROM items),
+        |     freq AS (SELECT item, count(*) AS c FROM items
+        |              GROUP BY 1 HAVING count(*) >= 20),
+        |     pruned AS (SELECT i.basket, i.item, f.c
+        |                FROM items i JOIN freq f USING (item)),
+        |     pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |                 count(*) AS pc, max(a.c) AS ca, max(b.c) AS cb
+        |               FROM pruned a JOIN pruned b
+        |                 ON a.basket = b.basket AND a.item < b.item
+        |               GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT item_a, item_b, CAST(pc AS BIGINT) AS pair_count,
+        |       CAST(ca AS BIGINT) AS count_a,
+        |       CAST(cb AS BIGINT) AS count_b,
+        |       CAST((1000000 * CAST(pc AS HUGEINT) * nb.n)
+        |            // (CAST(ca AS HUGEINT) * cb) AS BIGINT) AS lift_ppm
+        |FROM pairs, nb ORDER BY item_a, item_b""".stripMargin) { spark =>
+      Stats.frequentPairs(
+        spark.table("lineitem").select(col("l_orderkey"),
+          expr("l_partkey % 40").as("item")),
+        "l_orderkey", "item", minSupport = 20L)
+        .orderBy("item_a", "item_b")
+    },
+
+    // cf1 — split-conformal prediction interval for the quantity→price
+    // linear model: fit on the train split (deterministic md5 ‰
+    // buckets <600), take the ⌈0.9·(n+1)⌉-th smallest absolute residual
+    // on the calibration split (600–799) as the interval half-width,
+    // grade empirical coverage on the test split (≥800). Residuals are
+    // exact µ-scaled integers off ols1's ppm fit, and the calibration
+    // quantile is an exact order statistic — the one global sort is
+    // over the CALIBRATION SLICE only (a fifth of the data; at 100 TB
+    // you'd swap the exact order statistic for the KLL sketch whose
+    // error qs1x pins). Output: one row with the fit, the conformal
+    // radius, and test coverage ppm.
+    QueryDef.views("cf1_conformal_interval", {
+      val pmB = TextOps.pmBucketSql(
+        "md5(concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
+          "CAST(l_linenumber AS VARCHAR)))")
+      s"""WITH p AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+         |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+         |             $pmB AS bucket
+         |           FROM lineitem),
+         |     tr AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |              sum(CAST(x AS HUGEINT)) AS sx,
+         |              sum(CAST(y AS HUGEINT)) AS sy,
+         |              sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |              sum(CAST(x AS HUGEINT) * x) AS sxx
+         |            FROM p WHERE bucket < 600),
+         |     fit AS (SELECT n,
+         |               (1000000 * (n * sxy - sx * sy))
+         |                 // (n * sxx - sx * sx) AS slope_ppm,
+         |               (1000000 * (sy * (n * sxx - sx * sx)
+         |                   - (n * sxy - sx * sy) * sx))
+         |                 // (n * (n * sxx - sx * sx)) AS icpt_ppm
+         |             FROM tr),
+         |     cal AS (SELECT abs(1000000 * CAST(p.y AS HUGEINT)
+         |               - (f.slope_ppm * p.x + f.icpt_ppm)) AS r
+         |             FROM p, fit f WHERE bucket >= 600 AND bucket < 800),
+         |     ranked AS (SELECT r, row_number() OVER (ORDER BY r) AS rn,
+         |                  count(*) OVER () AS nc
+         |                FROM cal),
+         |     q AS (SELECT nc, r AS q_resid FROM ranked
+         |           WHERE rn = CAST(ceil(0.9 * (nc + 1)) AS BIGINT)),
+         |     tst AS (SELECT count(*) AS n_test,
+         |               sum(CASE WHEN abs(1000000 * CAST(p.y AS HUGEINT)
+         |                 - (f.slope_ppm * p.x + f.icpt_ppm)) <= q.q_resid
+         |                 THEN 1 ELSE 0 END) AS covered
+         |             FROM p, fit f, q WHERE bucket >= 800)
+         |SELECT CAST(f.n AS BIGINT) AS n_train,
+         |       CAST(f.slope_ppm AS BIGINT) AS slope_ppm,
+         |       CAST(f.icpt_ppm AS BIGINT) AS intercept_ppm,
+         |       CAST(q.nc AS BIGINT) AS n_cal,
+         |       CAST(q.q_resid AS BIGINT) AS q_resid_micro,
+         |       CAST(t.n_test AS BIGINT) AS n_test,
+         |       CAST(t.covered AS BIGINT) AS covered,
+         |       CAST((1000000 * t.covered) // t.n_test AS BIGINT)
+         |         AS coverage_ppm
+         |FROM fit f, q, tst t""".stripMargin
+    }) { spark =>
+      val pmB = TextOps.pmBucketSql(
+        "md5(concat_ws('-', CAST(l_orderkey AS STRING), " +
+          "CAST(l_linenumber AS STRING)))")
+      val p = spark.table("lineitem").select(
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
+        expr(pmB).as("bucket"))
+      val fit = Stats.linearFit(p.filter(col("bucket") < 600),
+        Seq.empty, "x", "y")
+        .select(col("n").as("n_train"), col("slope_ppm"),
+          col("intercept_ppm"))
+      val withResid = p.crossJoin(broadcast(fit))
+        .withColumn("__r", expr(
+          """abs(1000000 * cast(y as decimal(38,0))
+            | - (cast(slope_ppm as decimal(38,0)) * x
+            |    + intercept_ppm))""".stripMargin))
+      val cal = withResid
+        .filter(col("bucket") >= 600 && col("bucket") < 800)
+      import org.apache.spark.sql.expressions.Window
+      val ranked = cal
+        .withColumn("__rn",
+          row_number().over(Window.orderBy(col("__r"))))
+        .withColumn("__nc", count(lit(1)).over(Window.partitionBy()))
+      val q = ranked
+        .filter(expr("__rn = CAST(ceil(0.9 * (__nc + 1)) AS BIGINT)"))
+        .select(col("__nc").cast("long").as("n_cal"),
+          col("__r").as("q_resid"))
+      val tst = withResid.filter(col("bucket") >= 800)
+        .crossJoin(broadcast(q))
+        .agg(max("n_cal").as("n_cal"),
+          max(col("q_resid").cast("long")).as("q_resid_micro"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("__r") <= col("q_resid"), 1L).otherwise(0L))
+            .as("covered"))
+      broadcast(fit).crossJoin(tst).select(
+        col("n_train").cast("long"),
+        col("slope_ppm").cast("long"),
+        col("intercept_ppm").cast("long"),
+        col("n_cal").cast("long"),
+        col("q_resid_micro").cast("long"),
+        col("n_test").cast("long"),
+        col("covered").cast("long"),
+        expr("CAST((1000000 * covered) div n_test AS BIGINT)")
+          .as("coverage_ppm"))
+    })
+}
