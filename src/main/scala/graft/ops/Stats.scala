@@ -776,37 +776,81 @@ object Stats {
 
   /** Poisson bootstrap — distributed-friendly resampling for confidence
     * intervals: instead of materializing B resampled datasets, each row
-    * gets a deterministic Poisson(1) weight per replicate, derived from
-    * a 48-bit md5 uniform on (row id, replicate) — so the whole
+    * gets a deterministic Poisson(1) weight per replicate, so the whole
     * bootstrap is ONE scan with a B-fold map-side explode and one hash
     * aggregate (the canonical way to bootstrap a 100 TB table; the
-    * per-dataset alternative is B full shuffles). The inverse-CDF
-    * ladder uses fixed ppm thresholds (P(X≤k) for λ=1, capped at 7),
-    * so weights — and therefore every replicate mean — are bit-exact
-    * cross-engine. Returns one row per replicate:
-    * (replicate, n_eff, mean_value) with mean = Σwv div Σw. */
-  val poissonPpmThresholds: Seq[Long] =
-    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L, 999916L)
+    * per-dataset alternative is B full shuffles).
+    *
+    * Uniform source: ONE md5 per (row, block-of-8 replicates); each
+    * digest's 32 hex digits are split into eight 16-bit lanes, one per
+    * replicate in the block — hashing per (row, replicate) instead was
+    * measured 10× slower at sf0.1 (the md5 + hex decode dominated the
+    * query). The inverse-CDF ladder uses fixed 2¹⁶-scaled thresholds
+    * (P(X≤k) for λ=1, capped at 7; quantization error ≤ 2⁻¹⁶ per class,
+    * irrelevant to a bootstrap), so weights — and therefore every
+    * replicate mean — are bit-exact cross-engine. Returns one row per
+    * replicate: (replicate, n_eff, mean_value), mean = Σwv div Σw. */
+  val poisson16Thresholds: Seq[Long] = {
+    val cdf = (0 to 6).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).map(_.toDouble).product
+    }.tail // P(X<=0) .. P(X<=6)
+    cdf.map(p => math.floor(p * 65536).toLong)
+  }
 
-  /** SQL CASE ladder mapping a ppm uniform expression to Poisson(1). */
-  def poissonLadderSql(uExpr: String): String =
-    poissonPpmThresholds.zipWithIndex
+  /** SQL CASE ladder mapping a 16-bit uniform expression to Poisson(1). */
+  def poissonLadder16Sql(uExpr: String): String =
+    poisson16Thresholds.zipWithIndex
       .map { case (t, k) => s"WHEN $uExpr < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 7 END")
+
+  /** Dialect-portable 16-bit decode of 4 hex digits at a computed
+    * 1-based offset (instr ladder — used by the DuckDB oracle; the
+    * Spark side uses the cheaper `conv`). */
+  def hex16FieldSql(hexExpr: String, offExpr: String): String = {
+    val digit = (j: Int) =>
+      s"(instr('0123456789abcdef', substring($hexExpr, ($offExpr) + $j, 1)) - 1)"
+    "(" + (0 until 4).map(j =>
+      s"${digit(j)} * ${math.pow(16, 3 - j).toLong}").mkString(" + ") + ")"
+  }
 
   def poissonBootstrap(df: DataFrame, idCols: Seq[String],
       valueCol: String, replicates: Int = 32): DataFrame = {
     require(replicates >= 2, "poissonBootstrap: need >= 2 replicates")
+    val nBlocks = (replicates + 7) / 8
     val idStr = idCols.map(c => s"CAST($c AS STRING)")
-      .mkString("concat_ws('-', ", ", ", ", CAST(__b AS STRING))")
-    val u = s"(${TextOps.hex48Sql(s"md5($idStr)")}) % 1000000"
+      .mkString("concat_ws('-', ", ", ", ", CAST(__blk AS STRING))")
+    // Two-stage explode so the digest is computed once per BLOCK row
+    // and the eight lane rows reference it as an attribute; the weight
+    // product stays in LONG (≤ 7·value, exact) — only the accumulator
+    // is DECIMAL — because per-row DECIMAL multiplication is the
+    // non-codegen BigDecimal path.
     df.select(idCols.map(col) :+ col(valueCol): _*)
-      .withColumn("__b",
-        explode(expr(s"sequence(0, ${replicates - 1})")))
-      .withColumn("__w", expr(poissonLadderSql(u)).cast("long"))
-      .groupBy(col("__b").as("replicate"))
+      .withColumn("__blk", explode(expr(s"sequence(0, ${nBlocks - 1})")))
+      .withColumn("__h", expr(s"md5($idStr)"))
+      // hex-parse ONCE per digest (3 conv calls: 48+48+32 bits), then
+      // each lane is a shift/mask — 8 per-lane conv calls measured ~3×
+      // the cost of this at sf0.1. Lane k's 16 bits are hex digits
+      // [4k+1, 4k+4], exactly what the oracle's instr ladder decodes.
+      .withColumn("__ua",
+        expr("CAST(conv(substring(__h, 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("__ub",
+        expr("CAST(conv(substring(__h, 13, 12), 16, 10) AS BIGINT)"))
+      .withColumn("__uc",
+        expr("CAST(conv(substring(__h, 25, 8), 16, 10) AS BIGINT)"))
+      .withColumn("__lane", explode(expr("sequence(0, 7)")))
+      .filter(expr(s"__blk * 8 + __lane < $replicates"))
+      .withColumn("__u", expr(
+        """CASE WHEN __lane < 3 THEN
+          |       shiftright(__ua, (2 - __lane) * 16) % 65536
+          |     WHEN __lane < 6 THEN
+          |       shiftright(__ub, (5 - __lane) * 16) % 65536
+          |     ELSE shiftright(__uc, (7 - __lane) * 16) % 65536
+          |END""".stripMargin))
+      .withColumn("__w", expr(poissonLadder16Sql("__u")).cast("long"))
+      .groupBy(expr("__blk * 8 + __lane").as("replicate"))
       .agg(sum(col("__w")).as("n_eff"),
-        sum(dec(col("__w")) * dec(col(valueCol))).as("__wv"))
+        sum((col("__w") * col(valueCol)).cast("decimal(38,0)"))
+          .as("__wv"))
       .select(col("replicate").cast("long"),
         col("n_eff").cast("long"),
         expr("__wv div cast(n_eff as decimal(38,0))").cast("long")

@@ -109,22 +109,27 @@ object Inference {
 
     // bs1 — Poisson bootstrap of the mean line-item price (cents): 32
     // deterministic replicates via per-(row, replicate) Poisson(1)
-    // weights from the md5 48-bit uniform — ONE scan with a 32-fold
-    // map-side explode and one 32-group hash aggregate, the canonical
-    // resampling shape for a 100 TB table (B full resample shuffles is
-    // the anti-pattern). The inverse-CDF ppm ladder is a fixed constant
-    // table, so every replicate mean is bit-exact in DuckDB too.
+    // weights — ONE scan with a map-side explode and one 32-group hash
+    // aggregate, the canonical resampling shape for a 100 TB table (B
+    // full resample shuffles is the anti-pattern). One md5 per (row,
+    // block-of-8) yields eight 16-bit uniform lanes; the inverse-CDF
+    // ladder is a fixed constant table, so every replicate mean is
+    // bit-exact in DuckDB too (which decodes the same hex lanes with
+    // the portable instr ladder).
     QueryDef.views("bs1_poisson_bootstrap", {
       val idStr = "concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
-        "CAST(l_linenumber AS VARCHAR), CAST(b AS VARCHAR))"
-      val u = s"(${TextOps.hex48Sql(s"md5($idStr)")}) % 1000000"
+        "CAST(l_linenumber AS VARCHAR), CAST(blk AS VARCHAR))"
+      val u = Stats.hex16FieldSql("h", "lane * 4 + 1")
       s"""WITH v AS (SELECT l_orderkey, l_linenumber,
          |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS val
          |           FROM lineitem),
-         |     r AS (SELECT unnest(range(0, 32)) AS b),
-         |     x AS (SELECT b, val,
-         |             ${Stats.poissonLadderSql(u)} AS w
-         |           FROM v, r),
+         |     r AS (SELECT unnest(range(0, 4)) AS blk),
+         |     l AS (SELECT unnest(range(0, 8)) AS lane),
+         |     d AS (SELECT val, blk, lane, md5($idStr) AS h
+         |           FROM v, r, l),
+         |     x AS (SELECT blk * 8 + lane AS b, val,
+         |             ${Stats.poissonLadder16Sql(u)} AS w
+         |           FROM d),
          |     m AS (SELECT b AS replicate, sum(w) AS n_eff,
          |             sum(CAST(w AS HUGEINT) * val) AS wv
          |           FROM x GROUP BY 1)
@@ -270,13 +275,16 @@ object Inference {
          |         AS coverage_ppm
          |FROM fit f, q, tst t""".stripMargin
     }) { spark =>
-      val pmB = TextOps.pmBucketSql(
-        "md5(concat_ws('-', CAST(l_orderkey AS STRING), " +
-          "CAST(l_linenumber AS STRING)))")
-      val p = spark.table("lineitem").select(
-        expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
-        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
-        expr(pmB).as("bucket"))
+      // hash materialized once, bucket decoded from the column (same
+      // md5-amplification trap as poissonBootstrap's scaladoc notes)
+      val p = spark.table("lineitem")
+        .withColumn("__h", expr(
+          "md5(concat_ws('-', CAST(l_orderkey AS STRING), " +
+            "CAST(l_linenumber AS STRING)))"))
+        .select(
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
+          expr(TextOps.pmBucketSql("__h")).as("bucket"))
       val fit = Stats.linearFit(p.filter(col("bucket") < 600),
         Seq.empty, "x", "y")
         .select(col("n").as("n_train"), col("slope_ppm"),
