@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Stats, TextOps}
+import graft.ops.{Pca, Stats, TextOps}
 
 /** Inference / resampling / risk-analytics query inventory (session 7):
   * survival hazard, digit-law data-quality testing, Poisson-bootstrap
@@ -322,5 +322,125 @@ object Inference {
         col("covered").cast("long"),
         expr("CAST((1000000 * covered) div n_test AS BIGINT)")
           .as("coverage_ppm"))
+    },
+
+    // pca1 — the data-sized pass of PCA: exact fixed-point covariance
+    // numerators over the embedding corpus, accumulated per partition
+    // into a d(d+1)/2 array (mapPartitions — dims²-sized state is the
+    // textbook per-partition-imperative case; a posexplode² would
+    // shuffle n·d² rows). Output is exact integers, so DuckDB rebuilds
+    // every (i ≤ j) cell bit-for-bit from an unnest² self-join — fine
+    // at oracle scale, which is exactly why the ENGINE side doesn't do
+    // it that way.
+    QueryDef.views("pca1_covariance",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS v
+        |           FROM embeddings),
+        |     e AS (SELECT vec_id, unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS i
+        |           FROM q),
+        |     nn AS (SELECT count(*) AS n FROM q),
+        |     m AS (SELECT i, sum(x) AS mi FROM e GROUP BY 1),
+        |     s AS (SELECT a.i AS i, b.i AS j,
+        |             sum(CAST(a.x AS HUGEINT) * b.x) AS sij
+        |           FROM e a JOIN e b
+        |             ON a.vec_id = b.vec_id AND a.i <= b.i
+        |           GROUP BY 1, 2)
+        |SELECT CAST(s.i - 1 AS BIGINT) AS i, CAST(s.j - 1 AS BIGINT) AS j,
+        |       CAST(nn.n AS BIGINT) AS n,
+        |       CAST(ma.mi AS BIGINT) AS sum_i,
+        |       CAST(mb.mi AS BIGINT) AS sum_j,
+        |       CAST(s.sij AS BIGINT) AS sum_ij,
+        |       CAST(nn.n * s.sij - CAST(ma.mi AS HUGEINT) * mb.mi
+        |         AS BIGINT) AS cov_num
+        |FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j, nn
+        |ORDER BY i, j""".stripMargin) { spark =>
+      Pca.covarianceSums(spark.table("embeddings"), "embedding",
+        scalePow = 4).orderBy("i", "j")
+    },
+
+    // pca1x — the eigensolve's invariants, oracle-pinned: the driver
+    // Jacobi runs on pca1's exact covariance, and this entry emits
+    // exact fields DuckDB recomputes (n, dims, trace_num = Σ diagonal
+    // cov_num) next to property fields DuckDB pins as literals —
+    // eigenvector orthonormality violations (= 0), Σλ = trace and
+    // VᵀΛV = C reconstruction within float tolerance (= true/0), plus
+    // a DATA-side check: the corpus variance along component 0 (one
+    // scan-local projection + one aggregate) must equal λ₀.
+    QueryDef.views("pca1x_eigen_invariants",
+      """WITH q AS (SELECT list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS v
+        |           FROM embeddings),
+        |     e AS (SELECT unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS i
+        |           FROM q),
+        |     nn AS (SELECT count(*) AS n,
+        |             CAST(max(len(v)) AS BIGINT) AS dims FROM q),
+        |     diag AS (SELECT i, sum(CAST(x AS HUGEINT) * x) AS sii,
+        |               sum(x) AS mi
+        |             FROM e GROUP BY 1),
+        |     tr AS (SELECT sum(nn.n * sii - CAST(mi AS HUGEINT) * mi)
+        |              AS trace_num
+        |            FROM diag, nn)
+        |SELECT CAST(nn.n AS BIGINT) AS n, nn.dims AS dims,
+        |       CAST(tr.trace_num AS BIGINT) AS trace_num,
+        |       CAST(0 AS BIGINT) AS orth_violations,
+        |       true AS eig_trace_ok,
+        |       CAST(0 AS BIGINT) AS recon_violations,
+        |       true AS eig_descending_ok,
+        |       true AS proj_var_matches_lambda0
+        |FROM nn, tr""".stripMargin) { spark =>
+      import spark.implicits._
+      val emb = spark.table("embeddings")
+      val model = Pca.fit(emb, "embedding", scalePow = 4)
+      val d = model.dims
+      val traceNum = {
+        // recover the exact integer trace from the graded pass
+        Pca.covarianceSums(emb, "embedding", scalePow = 4)
+          .filter(col("i") === col("j"))
+          .agg(sum("cov_num")).head().getLong(0)
+      }
+      // (a) orthonormality of the Jacobi eigenvectors
+      val orthViolations = (for {
+        a <- 0 until d; b <- a until d
+      } yield {
+        val dot = (0 until d).map(k =>
+          model.components(a)(k) * model.components(b)(k)).sum
+        val target = if (a == b) 1.0 else 0.0
+        if (math.abs(dot - target) > 1e-8) 1 else 0
+      }).sum.toLong
+      // (b) Σλ = trace(C)
+      val trace = (0 until d).map(i => model.covariance(i)(i)).sum
+      val eigTraceOk =
+        math.abs(model.eigenvalues.sum - trace) <= 1e-9 * math.abs(trace)
+      // (c) reconstruction VᵀΛV = C entrywise
+      val scaleTol = 1e-9 * (trace / d).max(1e-300)
+      val reconViolations = (for {
+        i <- 0 until d; j <- i until d
+      } yield {
+        val rec = (0 until d).map(k => model.eigenvalues(k) *
+          model.components(k)(i) * model.components(k)(j)).sum
+        if (math.abs(rec - model.covariance(i)(j)) > scaleTol) 1 else 0
+      }).sum.toLong
+      val eigDescending = model.eigenvalues.sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-15)
+      // (d) data-side: sample variance along component 0 equals λ0.
+      // proj_micro is µ-rounded, so compare at 1e-3 relative tolerance.
+      val proj = Pca.project(emb, "vec_id", "embedding", model, k = 1)
+        .select(expr("CAST(proj_micro[0] AS DOUBLE) / 1e6").as("p"))
+      val r = proj.agg(count(lit(1)).as("n"), sum("p").as("s"),
+        sum(expr("p * p")).as("ss")).head()
+      val pn = r.getAs[Long]("n").toDouble
+      val varP = (r.getAs[Double]("ss") -
+        r.getAs[Double]("s") * r.getAs[Double]("s") / pn) / pn
+      val lam0 = model.eigenvalues(0)
+      val projVarOk = math.abs(varP - lam0) <= 1e-3 * lam0.max(1e-300)
+      Seq((model.n, d.toLong, traceNum, orthViolations, eigTraceOk,
+        reconViolations, eigDescending, projVarOk))
+        .toDF("n", "dims", "trace_num", "orth_violations",
+          "eig_trace_ok", "recon_violations", "eig_descending_ok",
+          "proj_var_matches_lambda0")
     })
 }
