@@ -66,6 +66,53 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank: [[pageRank]]'s integer-mass Pregel loop
+    * with the teleport mass restricted to a SEED set — the retrieval /
+    * recommendation primitive ("authority relative to these query
+    * nodes") rather than global authority. `seedPred` marks seed node
+    * ids; both the initial distribution and the per-iteration restart
+    * put (1−d) of the mass uniformly on seeds only, so rank
+    * concentrates in the seeds' neighborhoods. Same all-integer
+    * arithmetic as pageRank (scale div counts), so an external engine
+    * unrolling the same iterations matches bit-for-bit. Plan shape is
+    * pageRank's: the (src, dst, outdeg) relation is built once and
+    * localCheckpoint'd; each superstep is two shuffle-hash joins keyed
+    * by node — nothing grows with iteration count. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seedPred: org.apache.spark.sql.Column,
+      iterations: Int = 3, dampingPm: Int = 850,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: need iterations >= 1")
+    require(dampingPm >= 0 && dampingPm <= 1000,
+      s"personalizedPageRank: dampingPm must be in [0, 1000]")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .withColumn("is_seed", seedPred.cast("boolean"))
+    val ns = nodes.agg(
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"))
+    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint()
+    val base = nodes.crossJoin(broadcast(ns))
+    var pr = base.select(col("v"), col("is_seed"), col("n_seeds"),
+      when(col("is_seed"), expr(s"CAST($scale AS BIGINT) div n_seeds"))
+        .otherwise(0L).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = eo.join(pr.hint("shuffle_hash"), eo("src") === pr("v"))
+        .select(col("dst").as("v"),
+          expr(s"(pr * $dampingPm div 1000) div outdeg").as("m"))
+        .groupBy("v").agg(sum("m").as("m"))
+      pr = base.join(contrib.hint("shuffle_hash"), Seq("v"), "left")
+        .select(col("v"), col("is_seed"), col("n_seeds"),
+          (when(col("is_seed"), expr(
+            s"(CAST($scale AS BIGINT) * ${1000 - dampingPm} div 1000) div n_seeds"))
+            .otherwise(0L) + coalesce(col("m"), lit(0L))).as("pr"))
+    }
+    pr.select(col("v"), col("is_seed"), col("pr"))
+  }
+
   /** Weakly-connected components of an arbitrary edge list: every node
     * labeled with the smallest node id reachable through edges in
     * either direction. Thin graph-API front for the min-label

@@ -442,5 +442,55 @@ object Inference {
         .toDF("n", "dims", "trace_num", "orth_violations",
           "eig_trace_ok", "recon_violations", "eig_descending_ok",
           "proj_var_matches_lambda0")
+    },
+
+    // ppr1 — personalized PageRank over pr1's deterministic doc link
+    // graph, teleporting only to the seed set (doc_id ≡ 0 mod 97):
+    // "authority relative to THESE nodes", the retrieval/recsys rank.
+    // All-integer mass arithmetic, so the oracle unrolls the same three
+    // supersteps as CTEs and matches bit-for-bit (pr1's discipline,
+    // seed-restricted restart).
+    QueryDef.views("ppr1_personalized_pagerank", {
+      val S = "1000000000000"
+      val iterCtes = (1 to 3).map { i =>
+        s"""  c$i AS (SELECT e.dst AS v,
+           |    CAST(sum((p.pr * 850 // 1000) // d.outdeg) AS BIGINT) AS m
+           |    FROM e JOIN p${i - 1} p ON e.src = p.v
+           |    JOIN deg d ON d.src = e.src GROUP BY 1),
+           |  p$i AS (SELECT nodes.v, nodes.is_seed,
+           |    CAST((CASE WHEN nodes.is_seed
+           |            THEN ($S * 150 // 1000) // s.n_seeds ELSE 0 END)
+           |      + COALESCE(c$i.m, 0) AS BIGINT) AS pr
+           |    FROM nodes LEFT JOIN c$i ON nodes.v = c$i.v, s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  nodes AS (SELECT v, v % 97 = 0 AS is_seed FROM
+         |    (SELECT DISTINCT v FROM
+         |      (SELECT src AS v FROM e UNION SELECT dst AS v FROM e))),
+         |  s AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_seeds FROM nodes),
+         |  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |          FROM e GROUP BY 1),
+         |  p0 AS (SELECT v, is_seed,
+         |           CAST(CASE WHEN is_seed THEN $S // s.n_seeds
+         |             ELSE 0 END AS BIGINT) AS pr
+         |         FROM nodes, s),
+         |$iterCtes
+         |SELECT v, is_seed, pr FROM p3 ORDER BY v""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      graft.ops.GraphOps.personalizedPageRank(edges, "src", "dst",
+        seedPred = expr("v % 97 = 0"), iterations = 3).orderBy("v")
     })
 }

@@ -134,4 +134,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pairs") == 6L)
     assert(r.getAs[Long]("r_ppm") == -1000000L)
   }
+
+  test("personalizedPageRank: mass stays in the seed's reachable set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two disconnected 2-cycles {0,1} and {2,3}; seed = node 0 only.
+    // Nodes 2,3 are unreachable from the seed and get rank exactly 0;
+    // the seeded cycle carries all retained mass.
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val got = GraphOps.personalizedPageRank(edges, "src", "dst",
+      seedPred = expr("v = 0"), iterations = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("pr")).toMap
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(0L) > 0L && got(1L) > 0L)
+    // seed restart: node 0 keeps the (1-d) teleport share every round
+    assert(got(0L) >= 150000000000L)
+  }
+
+  test("personalizedPageRank: uniform seeds over all nodes = pageRank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+      .toDF("src", "dst")
+    val ppr = GraphOps.personalizedPageRank(edges, "src", "dst",
+      seedPred = lit(true), iterations = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("pr")).toMap
+    val pr = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("pr")).toMap
+    assert(ppr == pr)
+  }
 }
