@@ -897,6 +897,140 @@ object Stats {
         expr("__s div 1000000").cast("long").as("ewma_micro_value")): _*)
   }
 
+  /** Best single-split regression stump — the one-level decision tree
+    * that a feature-importance census or a boosting round needs: for
+    * every candidate threshold t over an integer feature, score the
+    * split x ≤ t by the variance-explained surrogate
+    *   score(t) = Sk_L² div n_L + Sk_R² div n_R,   Sk = S div 1000
+    * (maximizing it minimizes SSE; the constant Σy² term cancels).
+    * The kilo-unit de-scaling before squaring is load-bearing: Spark's
+    * `div` ALWAYS returns BIGINT, so the divided score must fit a
+    * long — Sk² div n peaks ~10¹⁷ at sf100 where the µ-scaled version
+    * bursts. Sums stay DECIMAL(38,0)-exact; every truncation is
+    * computed identically on both engines, so the argmax (threshold
+    * choice, tie-break included) is bit-pinned, not just the score.
+    *
+    * Plan shape: ONE hash aggregate collapses rows to |distinct x|
+    * step points; the cumulative sums and the argmax are a window +
+    * aggregate over that bounded relation. The right-edge candidate
+    * (empty right child) is excluded. */
+  def decisionStump(df: DataFrame, xCol: String, yCol: String)
+      : DataFrame = {
+    val perX = df.groupBy(col(xCol).as("__x"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__nx"),
+        sum(dec(col(yCol))).as("__sx"))
+    val all = Window.partitionBy()
+    val cum = Window.orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perX
+      .withColumn("__n", sum(col("__nx")).over(all))
+      .withColumn("__s", sum(col("__sx")).over(all))
+      .withColumn("__nl", sum(col("__nx")).over(cum))
+      .withColumn("__sl", sum(col("__sx")).over(cum))
+      .filter(col("__nl") < col("__n")) // right child must be non-empty
+      .withColumn("__slk", expr("__sl div 1000"))
+      .withColumn("__srk", expr("(__s - __sl) div 1000"))
+      .withColumn("__sk", expr("__s div 1000"))
+      .withColumn("__score", expr(
+        """(cast(__slk as decimal(38,0)) * __slk) div __nl
+          | + (cast(__srk as decimal(38,0)) * __srk) div (__n - __nl)
+          |""".stripMargin))
+      .groupBy()
+      .agg(
+        max(col("__n")).cast("long").as("n"),
+        max_by(struct(
+          col("__x").cast("long").as("best_x"),
+          col("__nl").cast("long").as("n_left"),
+          (col("__n") - col("__nl")).cast("long").as("n_right"),
+          expr("(1000000 * __sl) div __nl").cast("long")
+            .as("mean_left_micro"),
+          expr("(1000000 * (__s - __sl)) div (__n - __nl)").cast("long")
+            .as("mean_right_micro"),
+          // per-row variance explained in (y/1000)² units
+          expr("""(cast(__score as decimal(38,0))
+                 | - (cast(__sk as decimal(38,0)) * __sk) div __n)
+                 | div __n""".stripMargin).cast("long")
+            .as("gain_per_row")),
+          struct(col("__score"), col("__x") * -1)).as("b"))
+      .select(col("n"), col("b.best_x"), col("b.n_left"),
+        col("b.n_right"), col("b.mean_left_micro"),
+        col("b.mean_right_micro"), col("b.gain_per_row"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * feature-selection score ("how much does knowing A tell you about
+    * B"), in micro-nats:
+    *   MI_µ = (Σ_cells c · lp) div n,
+    *   lp = round(ln((c·n)/(rₐ·c_b)) · 10⁶)
+    * — one contingency hash aggregate over the rows, margins over the
+    * CELLS ([[chiSquare]]'s shape); ln of one identically-computed
+    * double ratio is the single IEEE op (the lm1/psi precedent).
+    * Returns one row: (n, cells, mi_micro). Independent columns give
+    * mi_micro = 0 exactly (every lp is ln(1) = 0). */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val cells = df.groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val byA = Window.partitionBy(col("__a"))
+    val byB = Window.partitionBy(col("__b"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("__ra", sum(col("__c")).over(byA))
+      .withColumn("__cb", sum(col("__c")).over(byB))
+      .withColumn("__n", sum(col("__c")).over(all))
+      .withColumn("__lp", round(log(
+        (col("__c") * col("__n")).cast("double") /
+          (col("__ra") * col("__cb")).cast("double")) * 1000000)
+        .cast("long"))
+      .groupBy()
+      .agg(max(col("__n")).cast("long").as("n"),
+        count(lit(1)).as("cells"),
+        sum(dec(col("__c")) * col("__lp")).as("__s"))
+      .select(col("n"), col("cells"),
+        expr("__s div cast(n as decimal(38,0))").cast("long")
+          .as("mi_micro"))
+  }
+
+  /** Isotonic (monotone nondecreasing) calibration via
+    * pool-adjacent-violators over BINNED inputs: one hash aggregate
+    * collapses rows to (bin, n, positives); PAVA runs on the driver
+    * over the ≤|bins| summary (bounded by the binning, not the data —
+    * the k-means-centroid rationale), pooling adjacent bins whose raw
+    * rates decrease. Returns one row per input bin:
+    * (bin, n, d, raw_ppm, fit_ppm) where fit_ppm is the pooled rate
+    * 10⁶·Σd div Σn of the bin's final pool — monotone nondecreasing in
+    * bin by construction. */
+  def isotonicFit(df: DataFrame, binCol: String, positiveCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bins = df.groupBy(col(binCol).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(positiveCol).cast("long")).as("d"))
+      .orderBy("bin")
+      .as[(Long, Long, Long)].collect()
+    // PAVA: stack of pools (binLo, n, d); merge while rates decrease
+    // (exact rational comparison d1·n2 > d2·n1 — no float rates)
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)] // (firstBin, n, d)
+    bins.foreach { case (b, n, d) =>
+      var cur = (b, n, d)
+      while (pools.nonEmpty && {
+        val (_, pn, pd) = pools.last
+        pd * cur._2 > cur._3 * pn // pooled rate would decrease
+      }) {
+        val (pb, pn, pd) = pools.remove(pools.length - 1)
+        cur = (pb, pn + cur._2, pd + cur._3)
+      }
+      pools += cur
+    }
+    val fitByBin = bins.map { case (b, n, d) =>
+      val pool = pools.reverse.find(_._1 <= b).get
+      (b, n, d, 1000000L * d / n.max(1L), 1000000L * pool._3 / pool._2)
+    }
+    fitByBin.toSeq.toDF("bin", "n", "d", "raw_ppm", "fit_ppm")
+  }
+
   /** Frequent item-pair mining over baskets (market-basket / co-occurrence
     * analysis) with the Apriori prune: items below min support are
     * dropped BEFORE the within-basket pair self-join — at 100 TB this is

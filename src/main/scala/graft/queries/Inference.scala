@@ -492,5 +492,128 @@ object Inference {
         .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
       graft.ops.GraphOps.personalizedPageRank(edges, "src", "dst",
         seedPred = expr("v % 97 = 0"), iterations = 3).orderBy("v")
+    },
+
+    // dt1 — best regression stump (quantity → price cents): the
+    // variance-explained argmax over all candidate thresholds, from
+    // ONE hash aggregate to |distinct quantities| step points + a
+    // bounded window. Scores are truncated scaled integers computed
+    // identically in both engines, so the ARGMAX (threshold choice,
+    // tie-break included) is pinned, not just the score.
+    QueryDef.views("dt1_decision_stump",
+      """WITH p AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+        |           FROM lineitem),
+        |     px AS (SELECT x, CAST(count(*) AS HUGEINT) AS nx,
+        |              sum(CAST(y AS HUGEINT)) AS sx
+        |            FROM p GROUP BY 1),
+        |     c AS (SELECT x, sum(nx) OVER () AS n, sum(sx) OVER () AS s,
+        |             sum(nx) OVER (ORDER BY x) AS nl,
+        |             sum(sx) OVER (ORDER BY x) AS sl
+        |           FROM px),
+        |     k AS (SELECT *, sl // 1000 AS slk, (s - sl) // 1000 AS srk,
+        |             s // 1000 AS sk
+        |           FROM c WHERE nl < n),
+        |     f AS (SELECT *,
+        |             (slk * slk) // nl + (srk * srk) // (n - nl) AS score
+        |           FROM k),
+        |     best AS (SELECT * FROM f ORDER BY score DESC, x ASC LIMIT 1)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS best_x,
+        |       CAST(nl AS BIGINT) AS n_left,
+        |       CAST(n - nl AS BIGINT) AS n_right,
+        |       CAST((1000000 * sl) // nl AS BIGINT) AS mean_left_micro,
+        |       CAST((1000000 * (s - sl)) // (n - nl) AS BIGINT)
+        |         AS mean_right_micro,
+        |       CAST((score - (sk * sk) // n) // n AS BIGINT)
+        |         AS gain_per_row
+        |FROM best""".stripMargin) { spark =>
+      Stats.decisionStump(
+        spark.table("lineitem").select(
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y")),
+        "x", "y")
+    },
+
+    // mi1 — mutual information between document language and source
+    // (micro-nats): the feature-selection dependence score next to
+    // chi1's χ². One contingency aggregate; margins over the cells;
+    // ln of one identically-computed double ratio is the single IEEE
+    // op (psi/lm1 precedent), micro-rounded before the exact Σc·lp.
+    QueryDef.views("mi1_mutual_information",
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+        |               FROM documents GROUP BY 1, 2),
+        |     m AS (SELECT c,
+        |             sum(c) OVER (PARTITION BY a) AS ra,
+        |             sum(c) OVER (PARTITION BY b) AS cb,
+        |             sum(c) OVER () AS n
+        |           FROM cells),
+        |     l AS (SELECT c, n,
+        |             CAST(round(ln(CAST(c * n AS DOUBLE)
+        |               / CAST(ra * cb AS DOUBLE)) * 1000000) AS BIGINT)
+        |               AS lp
+        |           FROM m)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |       CAST(count(*) AS BIGINT) AS cells,
+        |       CAST(sum(CAST(c AS HUGEINT) * lp) // max(n) AS BIGINT)
+        |         AS mi_micro
+        |FROM l""".stripMargin) { spark =>
+      Stats.mutualInformation(spark.table("documents"), "lang", "source")
+    },
+
+    // iso1x — isotonic (PAVA) calibration of the return rate over
+    // quantity bins, graded as an invariant entry (hll1x's pattern:
+    // the POOLING lives outside SQL's reach, so DuckDB recomputes the
+    // exact inputs and pins the properties the fit must satisfy):
+    // per-bin n/d totals exact; fitted rates monotone nondecreasing
+    // (violations = 0); each pool preserves its positive mass (the
+    // pooled-rate truncation bound); fits stay in [0, 10⁶].
+    QueryDef.views("iso1x_isotonic_calibration",
+      """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS bin,
+        |             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+        |               AS pos
+        |           FROM lineitem),
+        |     s AS (SELECT bin, count(*) AS n, sum(pos) AS d
+        |           FROM b GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS bins,
+        |       CAST(sum(n) AS BIGINT) AS n_total,
+        |       CAST(sum(d) AS BIGINT) AS d_total,
+        |       CAST(0 AS BIGINT) AS monotone_violations,
+        |       true AS mass_preserved,
+        |       true AS fits_in_range
+        |FROM s""".stripMargin) { spark =>
+      import spark.implicits._
+      val fit = Stats.isotonicFit(
+        spark.table("lineitem").select(
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("bin"),
+          expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END")
+            .as("pos")),
+        "bin", "pos").orderBy("bin").collect()
+      val monotoneViolations = fit.sliding(2).count(p =>
+        p.length == 2 &&
+          p(0).getAs[Long]("fit_ppm") > p(1).getAs[Long]("fit_ppm"))
+      // pools = maximal runs of equal fit_ppm; per pool the truncated
+      // pooled rate bounds: 10⁶·D_pool − N_pool < Σ n·fit ≤ 10⁶·D_pool
+      val pools = fit.foldLeft(
+        List.empty[(Long, Long, Long)]) { (acc, r) =>
+        val (n, d, f) = (r.getAs[Long]("n"), r.getAs[Long]("d"),
+          r.getAs[Long]("fit_ppm"))
+        acc match {
+          case (pn, pd, pf) :: rest if pf == f =>
+            (pn + n, pd + d, pf) :: rest
+          case _ => (n, d, f) :: acc
+        }
+      }
+      val massPreserved = pools.forall { case (pn, pd, pf) =>
+        val approx = pn * pf
+        approx <= 1000000L * pd && approx > 1000000L * pd - pn
+      }
+      val fitsInRange = fit.forall { r =>
+        val f = r.getAs[Long]("fit_ppm"); f >= 0L && f <= 1000000L
+      }
+      Seq((fit.length.toLong, fit.map(_.getAs[Long]("n")).sum,
+        fit.map(_.getAs[Long]("d")).sum, monotoneViolations.toLong,
+        massPreserved, fitsInRange))
+        .toDF("bins", "n_total", "d_total", "monotone_violations",
+          "mass_preserved", "fits_in_range")
     })
 }

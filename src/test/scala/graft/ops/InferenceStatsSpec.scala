@@ -109,4 +109,70 @@ class InferenceStatsSpec extends SparkSpec {
       .collect()
     assert(got.length == 1 && got.head.getAs[Long]("pair_count") == 2L)
   }
+
+  test("decisionStump: clean two-level signal splits at the boundary") {
+    // x in {1, 2} with y = 1000000 below, 5000000 above: the only
+    // sensible split is x <= 1, recovering both means exactly.
+    val df = Seq((1L, 1000000L), (1L, 1000000L), (2L, 5000000L),
+      (2L, 5000000L), (2L, 5000000L)).toDF("x", "y")
+    val r = Stats.decisionStump(df, "x", "y").collect().head
+    assert(r.getAs[Long]("best_x") == 1L)
+    assert(r.getAs[Long]("n_left") == 2L &&
+      r.getAs[Long]("n_right") == 3L)
+    assert(r.getAs[Long]("mean_left_micro") == 1000000L * 1000000L)
+    assert(r.getAs[Long]("mean_right_micro") == 5000000L * 1000000L)
+    assert(r.getAs[Long]("gain_per_row") > 0L)
+  }
+
+  test("decisionStump: tie-break picks the smallest threshold") {
+    // constant y: every split scores the same — smallest x must win
+    val df = Seq((1L, 7000L), (2L, 7000L), (3L, 7000L)).toDF("x", "y")
+    val r = Stats.decisionStump(df, "x", "y").collect().head
+    assert(r.getAs[Long]("best_x") == 1L)
+  }
+
+  test("mutualInformation: independence gives exactly 0; identity > 0") {
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    assert(Stats.mutualInformation(ind, "u", "v").collect().head
+      .getAs[Long]("mi_micro") == 0L)
+    // perfectly dependent 2-symbol: MI = ln 2 ≈ 0.693147 nats
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val mi = Stats.mutualInformation(dep, "u", "v").collect().head
+      .getAs[Long]("mi_micro")
+    assert(mi == 693147L)
+  }
+
+  test("isotonicFit: pools adjacent violators to the weighted mean") {
+    // raw rates by bin: 0.2, 0.6, 0.4, 0.8 — bins 2 and 3 violate and
+    // pool to (3+2)/(5+5) = 0.5; the rest stand.
+    val rows = Seq.tabulate(5)(i => (1L, if (i < 1) 1 else 0)) ++
+      Seq.tabulate(5)(i => (2L, if (i < 3) 1 else 0)) ++
+      Seq.tabulate(5)(i => (3L, if (i < 2) 1 else 0)) ++
+      Seq.tabulate(5)(i => (4L, if (i < 4) 1 else 0))
+    val df = rows.toDF("bin", "pos")
+    val got = Stats.isotonicFit(df, "bin", "pos").orderBy("bin")
+      .collect()
+    assert(got.map(_.getAs[Long]("fit_ppm")).toSeq ==
+      Seq(200000L, 500000L, 500000L, 800000L))
+    assert(got.map(_.getAs[Long]("raw_ppm")).toSeq ==
+      Seq(200000L, 600000L, 400000L, 800000L))
+  }
+
+  test("isotonicFit: already-monotone input is untouched") {
+    val rows = Seq((1L, 0), (1L, 0), (2L, 1), (2L, 0), (3L, 1), (3L, 1))
+    val got = Stats.isotonicFit(rows.toDF("bin", "pos"), "bin", "pos")
+      .orderBy("bin").collect()
+    assert(got.map(_.getAs[Long]("fit_ppm")).toSeq ==
+      Seq(0L, 500000L, 1000000L))
+  }
+
+  test("isotonicFit: fully decreasing input pools to one global rate") {
+    val rows = Seq((1L, 1), (1L, 1), (2L, 1), (2L, 0), (3L, 0), (3L, 0))
+    val got = Stats.isotonicFit(rows.toDF("bin", "pos"), "bin", "pos")
+      .collect()
+    assert(got.map(_.getAs[Long]("fit_ppm")).distinct.toSeq ==
+      Seq(500000L))
+  }
 }
