@@ -615,5 +615,58 @@ object Inference {
         massPreserved, fitsInRange))
         .toDF("bins", "n_total", "d_total", "monotone_violations",
           "mass_preserved", "fits_in_range")
+    },
+
+    // db1 — grid-blocked DBSCAN over the first two embedding
+    // dimensions (µ-quantized, eps 0.015, minPts 4): density clustering
+    // with core/border/noise roles. The ENGINE path blocks candidate
+    // pairs on epsilon-grid cells and labels components with the
+    // min-label/pointer-jumping machinery; the oracle — at its own
+    // scale — brute-forces the pairs and closes components with a
+    // recursive label-propagation CTE. Both resolve every choice
+    // DBSCAN usually leaves scan-order-dependent (canonical min-id
+    // cluster labels, min-label border assignment), so the match is
+    // exact.
+    QueryDef.views("db1_dbscan_grid",
+      """WITH RECURSIVE
+        |  p AS (SELECT vec_id AS id,
+        |          CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS x,
+        |          CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000)
+        |            AS BIGINT) AS y
+        |        FROM embeddings),
+        |  pairs AS (SELECT a.id AS a, b.id AS b FROM p a JOIN p b
+        |    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+        |       <= CAST(15000 AS BIGINT) * 15000),
+        |  cores AS (SELECT a AS id FROM pairs
+        |            GROUP BY a HAVING count(*) >= 4),
+        |  ce AS (SELECT a, b FROM pairs
+        |         WHERE a IN (SELECT id FROM cores)
+        |           AND b IN (SELECT id FROM cores) AND a <> b),
+        |  cc AS (SELECT id AS v, id AS lbl FROM cores
+        |         UNION
+        |         SELECT ce.b AS v, cc.lbl FROM cc JOIN ce ON ce.a = cc.v),
+        |  lab AS (SELECT v AS id, min(lbl) AS cluster FROM cc GROUP BY 1),
+        |  border AS (SELECT pr.a AS id, min(lab.cluster) AS cluster
+        |             FROM pairs pr
+        |             JOIN cores cb ON pr.b = cb.id
+        |             JOIN lab ON lab.id = pr.b
+        |             WHERE pr.a NOT IN (SELECT id FROM cores)
+        |             GROUP BY 1)
+        |SELECT p.id,
+        |       p.id IN (SELECT id FROM cores) AS is_core,
+        |       CAST(COALESCE(l.cluster, bo.cluster, -1) AS BIGINT)
+        |         AS cluster
+        |FROM p LEFT JOIN lab l ON l.id = p.id
+        |       LEFT JOIN border bo ON bo.id = p.id
+        |ORDER BY p.id""".stripMargin) { spark =>
+      val pts = spark.table("embeddings").select(
+        col("vec_id"),
+        expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("x"),
+        expr("CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)")
+          .as("y"))
+      graft.ops.Density.dbscan2D(pts, "vec_id", "x", "y",
+        eps = 15000L, minPts = 4).orderBy("id")
     })
 }
