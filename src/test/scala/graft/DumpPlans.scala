@@ -73,7 +73,12 @@ object DumpPlans {
     "li1_interpolate_grid", "dow1_seasonality", "dau1_growth_accounting",
     "pz1_two_proportion", "lcc1_local_clustering",
     "asr1_degree_assortativity", "xc1_cross_correlation",
-    "psi1_population_stability")
+    "psi1_population_stability",
+    "na1_nelson_aalen", "bd1_benford_digits", "bs1_poisson_bootstrap",
+    "ew1_ewma_hourly", "fi1_frequent_pairs", "cf1_conformal_interval",
+    "pca1_covariance", "ppr1_personalized_pagerank",
+    "dt1_decision_stump", "mi1_mutual_information",
+    "iso1x_isotonic_calibration", "db1_dbscan_grid")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
