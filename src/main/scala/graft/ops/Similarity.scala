@@ -939,4 +939,102 @@ object Similarity {
       nprobe: Int = 4, rerankFactor: Int = 4): DataFrame =
     ivfPqSearch(ivfPqIndex(corpus, idCol, vecCol, clusters, m, codes),
       queryPred, k, nprobe, rerankFactor)
+
+  /** Embedding-distribution drift between two cohorts — the vector
+    * sibling of the scalar drift family (TVD/KL/KS/PSI): how far has
+    * the corpus centroid moved? Per-dimension fixed-point SUMS are the
+    * sufficient statistic (one posexplode + a dims-group hash
+    * aggregate — map-side combine leaves dims rows per task, so the
+    * exchange is dims-sized at any corpus scale); the cosine between
+    * the mean vectors and the L2 mean shift then need only the exact
+    * integer sums plus IEEE sqrt micro-rounded at the very end:
+    *   cos(m₀,m₁) = Σs₀s₁ / (‖s₀‖‖s₁‖)   (the 1/n factors cancel),
+    *   ‖m₀−m₁‖ assembled from Δᵢ = s₀ᵢn₁ − s₁ᵢn₀ over n₀n₁·10⁴.
+    * Returns one row: (n0, n1, dims, cos_micro, mean_shift_micro). */
+  def embeddingDrift(df: DataFrame, vecCol: String,
+      cohortCol: String, scalePow: Int = 4): DataFrame = {
+    val scale = math.pow(10, scalePow).toLong
+    val counts = df.agg(
+      sum(when(col(cohortCol).cast("bigint") =!= 1, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("__n0"),
+      sum(when(col(cohortCol).cast("bigint") === 1, 1L).otherwise(0L))
+        .cast("decimal(38,0)").as("__n1"))
+    val perDim = df.select(col(cohortCol).cast("bigint").as("__co"),
+        posexplode(expr(s"transform($vecCol, x -> " +
+          s"cast(floor(cast(x as double) * $scale) as bigint))"))
+          .as(Seq("__dim", "__x")))
+      .groupBy("__dim")
+      .agg(sum(when(col("__co") =!= 1, col("__x")).otherwise(0L))
+          .cast("decimal(38,0)").as("__s0"),
+        sum(when(col("__co") === 1, col("__x")).otherwise(0L))
+          .cast("decimal(38,0)").as("__s1"))
+    perDim.crossJoin(broadcast(counts))
+      .agg(
+        max(col("__n0")).as("__n0"), max(col("__n1")).as("__n1"),
+        count(lit(1)).as("dims"),
+        sum(col("__s0") * col("__s1")).as("__num"),
+        sum(col("__s0") * col("__s0")).as("__a"),
+        sum(col("__s1") * col("__s1")).as("__b"),
+        sum((col("__s0") * col("__n1") - col("__s1") * col("__n0")) *
+          (col("__s0") * col("__n1") - col("__s1") * col("__n0")))
+          .as("__d2"))
+      .select(
+        col("__n0").cast("long").as("n0"),
+        col("__n1").cast("long").as("n1"),
+        col("dims"),
+        when(col("__a") > 0 && col("__b") > 0, round(
+          col("__num").cast("double") * lit(1000000.0) /
+            (sqrt(col("__a").cast("double")) *
+              sqrt(col("__b").cast("double")))).cast("bigint"))
+          .as("cos_micro"),
+        round(sqrt(col("__d2").cast("double")) * lit(1000000.0) /
+          (col("__n0").cast("double") * col("__n1").cast("double") *
+            lit(scale.toDouble))).cast("bigint")
+          .as("mean_shift_micro"))
+  }
+
+  /** Leave-one-out k-NN label accuracy over a bounded query slice —
+    * the cheap embedding-quality probe ("do nearest neighbors share
+    * labels?") run before committing to an index build. Distances are
+    * EXACT integer L2² on µ-quantized vectors (≤ 2⁵³, so the
+    * `topk_pairs` double score is still exact); the per-query top-k
+    * head is the mergeable aggregate, never a corpus-wide window; the
+    * predicted label is the neighbor majority with the (count desc,
+    * label asc) tie-break — every choice deterministic, so an external
+    * brute-force replay matches exactly. The query slice is bounded by
+    * construction (s1's discipline): candidates are |corpus|·|slice|,
+    * linear in the corpus. */
+  def knnLooAccuracy(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queryPred: org.apache.spark.sql.Column,
+      k: Int = 5, scalePow: Int = 6): DataFrame = {
+    require(k >= 1, "knnLooAccuracy: k >= 1")
+    val scale = math.pow(10, scalePow).toLong
+    val q = corpus.select(col(idCol).cast("bigint").as("vec_id"),
+      col(labelCol).cast("bigint").as("label"),
+      expr(s"transform($vecCol, x -> " +
+        s"cast(floor(cast(x as double) * $scale) as bigint))").as("v"))
+    val queries = q.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val scored = q.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"))
+      .groupBy("qid", "true_label")
+      .agg(call_function("topk_pairs", col("vec_id"),
+        -col("__d").cast("double"), lit(k)).as("top"))
+      .select(col("qid"), col("true_label"),
+        explode(expr("top.nn")).as("nn"))
+    scored
+      .join(q.select(col("vec_id").as("nn"), col("label").as("nl")), "nn")
+      .groupBy("qid", "true_label", "nl")
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("qid", "true_label")
+      .agg(max_by(col("nl"), struct(col("__c"), -col("nl")))
+        .as("pred_label"))
+      .select(col("qid").as("vec_id"), col("true_label"),
+        col("pred_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
 }

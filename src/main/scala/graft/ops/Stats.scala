@@ -897,6 +897,46 @@ object Stats {
         expr("__s div 1000000").cast("long").as("ewma_micro_value")): _*)
   }
 
+  /** Per-group symmetric trimmed mean — the robust location estimate
+    * between the mean (trim 0) and the median (trim 50%): drop the
+    * bottom and top `trimPm`‰ of the MASS by exact rank and average
+    * the rest. Works on the ks1 step-point formulation, so no row-level
+    * sort ever happens: one hash aggregate collapses rows to
+    * (group, value, count), a per-group window over those DISTINCT
+    * VALUES assigns each value its rank interval [below+1, below+c],
+    * and the kept contribution is the interval's overlap with
+    * (n·trim‰, n − n·trim‰] — all integer arithmetic, so the oracle
+    * mirrors it exactly. Returns per group:
+    * (keys..., n, kept, mean_micro, trimmed_mean_micro). */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+      trimPm: Int = 50): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500,
+      s"trimmedMean: trimPm in [0, 500), got $trimPm")
+    val perV = df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = byKey.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perV
+      .withColumn("__n", sum(col("__c")).over(byKey))
+      .withColumn("__below", sum(col("__c")).over(cum) - col("__c"))
+      .withColumn("__lo", expr(s"(__n * $trimPm) div 1000"))
+      .withColumn("__hi", expr(s"__n - (__n * $trimPm) div 1000"))
+      .withColumn("__keep", greatest(lit(0L),
+        least(col("__below") + col("__c"), col("__hi")) -
+          greatest(col("__below"), col("__lo"))))
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).cast("long").as("n"),
+        sum(col("__keep")).cast("long").as("kept"),
+        sum(dec(col(valueCol)) * col("__c")).as("__sall"),
+        sum(dec(col(valueCol)) * col("__keep")).as("__skeep"))
+      .select(keys.map(col) ++ Seq(col("n"), col("kept"),
+        expr("(1000000 * __sall) div n").cast("long").as("mean_micro"),
+        when(col("kept") > 0,
+          expr("(1000000 * __skeep) div kept").cast("long"))
+          .as("trimmed_mean_micro")): _*)
+  }
+
   /** Best single-split regression stump — the one-level decision tree
     * that a feature-importance census or a boosting round needs: for
     * every candidate threshold t over an integer feature, score the

@@ -1603,6 +1603,27 @@ object TextOps {
         expr("__s div n").as("mean_score_micro"))
   }
 
+  /** Brier score of a micro-scaled evidence score against a binary
+    * label — the strictly-proper scoring rule next to [[classifierAuc]]
+    * (ranking quality) and [[calibrationTable]] (reliability): mean
+    * squared error of the sigmoid-mapped probability,
+    *   brier_µ = Σ (p_µ − 10⁶·y)² div (n·10⁶),
+    * p_µ = round(10⁶·σ(score/10⁶)) — the one double excursion is the
+    * shared [[sigmoidMicro]] (qc2's oracle-pinned formulation), so the
+    * whole statistic is cross-engine exact. ONE hash aggregate. */
+  def brierScore(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val y = col(labelCol).cast("bigint")
+    scored
+      .withColumn("__p", sigmoidMicro(col(scoreCol).cast("bigint")))
+      .withColumn("__d", col("__p") - y * lit(1000000L))
+      .agg(count(lit(1)).as("n"), sum(y).cast("bigint").as("n_pos"),
+        sum((col("__d") * col("__d")).cast("decimal(38,0)")).as("__s"))
+      .select(col("n"), col("n_pos"),
+        expr("__s div (cast(n as decimal(38,0)) * 1000000)").cast("long")
+          .as("brier_micro"))
+  }
+
   /** Padding-waste accounting for fixed-size training batches: with B
     * sequences per batch padded to the batch max, how many pad tokens
     * does arrival-order batching burn vs length-sorted batching — the

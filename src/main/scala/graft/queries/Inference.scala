@@ -668,5 +668,133 @@ object Inference {
           .as("y"))
       graft.ops.Density.dbscan2D(pts, "vec_id", "x", "y",
         eps = 15000L, minPts = 4).orderBy("id")
+    },
+
+    // tm1 — symmetric 5%-trimmed mean of order totals per status: the
+    // robust location estimate between mean and median, computed on
+    // ks1's step-point formulation (one hash aggregate to distinct
+    // values, a per-group window over those, exact rank-interval
+    // overlap arithmetic) — no row-level sort at any scale.
+    QueryDef.views("tm1_trimmed_mean",
+      """WITH p AS (SELECT o_orderstatus AS g,
+        |             CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |           FROM orders),
+        |     pv AS (SELECT g, v, count(*) AS c FROM p GROUP BY 1, 2),
+        |     w AS (SELECT g, v, c,
+        |             sum(c) OVER (PARTITION BY g) AS n,
+        |             sum(c) OVER (PARTITION BY g ORDER BY v) - c
+        |               AS below
+        |           FROM pv),
+        |     k AS (SELECT g, v, c, n, below,
+        |             (n * 50) // 1000 AS lo, n - (n * 50) // 1000 AS hi
+        |           FROM w),
+        |     o AS (SELECT g, v, c, n,
+        |             greatest(0, least(below + c, hi)
+        |               - greatest(below, lo)) AS keep
+        |           FROM k)
+        |SELECT g AS o_orderstatus, CAST(max(n) AS BIGINT) AS n,
+        |       CAST(sum(keep) AS BIGINT) AS kept,
+        |       CAST((1000000 * sum(CAST(v AS HUGEINT) * c)) // max(n)
+        |         AS BIGINT) AS mean_micro,
+        |       CAST((1000000 * sum(CAST(v AS HUGEINT) * keep))
+        |         // sum(keep) AS BIGINT) AS trimmed_mean_micro
+        |FROM o GROUP BY 1 ORDER BY o_orderstatus""".stripMargin) { spark =>
+      Stats.trimmedMean(
+        spark.table("orders").select(
+          col("o_orderstatus"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("v")),
+        Seq("o_orderstatus"), "v", trimPm = 50)
+        .orderBy("o_orderstatus")
+    },
+
+    // ed1 — embedding drift between the even/odd vec_id cohorts: the
+    // vector sibling of the TVD/KL/KS/PSI scalar drift family. The
+    // data pass is one posexplode + dims-group aggregate (dims-sized
+    // exchange after map-side combine); cosine/mean-shift assemble from
+    // exact integer sums with IEEE sqrt micro-rounded last, so the
+    // oracle's unnest replay matches bit-for-bit.
+    QueryDef.views("ed1_embedding_drift",
+      """WITH q AS (SELECT vec_id % 2 AS co, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS v
+        |           FROM embeddings),
+        |     cnt AS (SELECT
+        |         CAST(sum(CASE WHEN co <> 1 THEN 1 ELSE 0 END)
+        |           AS HUGEINT) AS n0,
+        |         CAST(sum(CASE WHEN co = 1 THEN 1 ELSE 0 END)
+        |           AS HUGEINT) AS n1
+        |       FROM q),
+        |     e AS (SELECT co, unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS dim
+        |           FROM q),
+        |     pd AS (SELECT dim,
+        |              CAST(sum(CASE WHEN co <> 1 THEN x ELSE 0 END)
+        |                AS HUGEINT) AS s0,
+        |              CAST(sum(CASE WHEN co = 1 THEN x ELSE 0 END)
+        |                AS HUGEINT) AS s1
+        |            FROM e GROUP BY 1),
+        |     agg AS (SELECT count(*) AS dims,
+        |               sum(s0 * s1) AS num, sum(s0 * s0) AS a,
+        |               sum(s1 * s1) AS b,
+        |               sum((s0 * cnt.n1 - s1 * cnt.n0)
+        |                 * (s0 * cnt.n1 - s1 * cnt.n0)) AS d2
+        |             FROM pd, cnt)
+        |SELECT CAST(cnt.n0 AS BIGINT) AS n0,
+        |       CAST(cnt.n1 AS BIGINT) AS n1,
+        |       CAST(agg.dims AS BIGINT) AS dims,
+        |       CASE WHEN agg.a > 0 AND agg.b > 0 THEN
+        |         CAST(round(CAST(agg.num AS DOUBLE) * 1000000.0 /
+        |           (sqrt(CAST(agg.a AS DOUBLE))
+        |            * sqrt(CAST(agg.b AS DOUBLE)))) AS BIGINT)
+        |       END AS cos_micro,
+        |       CAST(round(sqrt(CAST(agg.d2 AS DOUBLE)) * 1000000.0 /
+        |         (CAST(cnt.n0 AS DOUBLE) * CAST(cnt.n1 AS DOUBLE)
+        |          * 10000.0)) AS BIGINT) AS mean_shift_micro
+        |FROM agg, cnt""".stripMargin) { spark =>
+      graft.ops.Similarity.embeddingDrift(
+        spark.table("embeddings")
+          .withColumn("co", expr("vec_id % 2")),
+        "embedding", "co", scalePow = 4)
+    },
+
+    // knn1 — leave-one-out k-NN label accuracy over the vec_id < 256
+    // query slice (s1's bounded-query discipline): exact integer L2²
+    // distances, mergeable topk_pairs heads (never a corpus-wide
+    // window), majority vote with the (count desc, label asc)
+    // tie-break — deterministic end to end, so the oracle's
+    // brute-force window replay matches every prediction.
+    QueryDef.views("knn1_loo_accuracy",
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+        |               AS BIGINT)) AS v
+        |           FROM embeddings),
+        |     e AS (SELECT vec_id, label, unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS i
+        |           FROM q),
+        |     qs AS (SELECT * FROM e WHERE vec_id < 256),
+        |     d AS (SELECT qs.vec_id AS qid, qs.label AS tl,
+        |             e.vec_id AS cid, e.label AS cl,
+        |             sum((qs.x - e.x) * (qs.x - e.x)) AS dist
+        |           FROM qs JOIN e ON qs.i = e.i
+        |             AND qs.vec_id <> e.vec_id
+        |           GROUP BY 1, 2, 3, 4),
+        |     top AS (SELECT qid, tl, cl,
+        |               row_number() OVER (PARTITION BY qid
+        |                 ORDER BY dist, cid) AS rn
+        |             FROM d),
+        |     votes AS (SELECT qid, tl, cl, count(*) AS c
+        |               FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |     pred AS (SELECT qid, tl, cl,
+        |                row_number() OVER (PARTITION BY qid
+        |                  ORDER BY c DESC, cl ASC) AS pr
+        |              FROM votes)
+        |SELECT qid AS vec_id, CAST(tl AS BIGINT) AS true_label,
+        |       CAST(cl AS BIGINT) AS pred_label,
+        |       tl = cl AS correct
+        |FROM pred WHERE pr = 1 ORDER BY vec_id""".stripMargin) { spark =>
+      graft.ops.Similarity.knnLooAccuracy(
+        spark.table("embeddings"), "vec_id", "embedding", "label",
+        queryPred = col("vec_id") < 256, k = 5, scalePow = 6)
+        .orderBy("vec_id")
     })
 }

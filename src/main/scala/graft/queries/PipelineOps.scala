@@ -3397,6 +3397,33 @@ object PipelineOps {
         bucketMicro = 1000L)
     },
 
+    // Brier score ([[graft.ops.TextOps.brierScore]]): the strictly-
+    // proper scoring rule completing the classifier-eval family — au1
+    // ranks (AUC), au2 calibrates, au3 confuses, br1 scores the
+    // PROBABILITIES. The sigmoid micro-rounding is qc2's oracle-pinned
+    // formulation, so the mean squared error is cross-engine exact.
+    QueryDef.views("br1_brier_score", qcScoredCte +
+      """
+        |, pr AS (SELECT y,
+        |    CAST(round(CAST(1000000 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+        |      exp(CAST(s AS DOUBLE) / CAST(-1000000 AS DOUBLE))))
+        |      AS BIGINT) AS p
+        |  FROM sc)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       CAST(sum(CAST((p - 1000000 * y) AS HUGEINT)
+        |                * (p - 1000000 * y))
+        |            // (CAST(count(*) AS HUGEINT) * 1000000) AS BIGINT)
+        |         AS brier_micro
+        |FROM pr""".stripMargin) { spark =>
+      val scored = TextOps.classifierScore(spark.table("documents"),
+          "doc_id", "text", weightsMicro = qcModel.toMap,
+          biasMicro = qcBias, thresholdMicro = qcThreshold,
+          passthrough = Seq("lang"))
+        .withColumn("y", (col("lang") === "en").cast("bigint"))
+      TextOps.brierScore(scored, "score_micro", "y")
+    },
+
     // Calibration / reliability table ([[graft.ops.TextOps
     // .calibrationTable]]): per 0.1-logit bucket the observed positive
     // rate and truncated mean score — the artifact an operating point

@@ -175,4 +175,31 @@ class InferenceStatsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("fit_ppm")).distinct.toSeq ==
       Seq(500000L))
   }
+
+  test("trimmedMean: drops exactly the rank-interval mass") {
+    // 10 values 1..10 in one group, trim 10% each side → keep ranks
+    // 2..9 → mean = 44/8 = 5.5 → 5500000 micro; raw mean 5.5 too
+    val df = (1L to 10L).map(v => ("g", v)).toDF("g", "v")
+    val r = Stats.trimmedMean(df, Seq("g"), "v", trimPm = 100)
+      .collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("kept") == 8L)
+    assert(r.getAs[Long]("trimmed_mean_micro") == 5500000L)
+    // outliers on both ends: trimmed mean ignores them, raw mean moves
+    val df2 = (Seq(-1000L) ++ (1L to 8L) ++ Seq(1000L))
+      .map(v => ("g", v)).toDF("g", "v")
+    val r2 = Stats.trimmedMean(df2, Seq("g"), "v", trimPm = 100)
+      .collect().head
+    assert(r2.getAs[Long]("trimmed_mean_micro") == 4500000L) // mean 1..8
+    assert(r2.getAs[Long]("mean_micro") == 3600000L)
+  }
+
+  test("trimmedMean: duplicate values split across the trim boundary") {
+    // values: 1,2,2,2,3 — trim 20% each side (n=5 → lo=1, hi=4):
+    // keep ranks 2..4 = the three 2s → trimmed mean 2.0
+    val df = Seq(1L, 2L, 2L, 2L, 3L).map(("g", _)).toDF("g", "v")
+    val r = Stats.trimmedMean(df, Seq("g"), "v", trimPm = 200)
+      .collect().head
+    assert(r.getAs[Long]("kept") == 3L)
+    assert(r.getAs[Long]("trimmed_mean_micro") == 2000000L)
+  }
 }
