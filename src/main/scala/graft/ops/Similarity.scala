@@ -1016,7 +1016,9 @@ object Similarity {
     val queries = q.filter(queryPred)
       .select(col("vec_id").as("qid"), col("label").as("true_label"),
         col("v").as("qv"))
-    val scored = q.crossJoin(broadcast(queries))
+    // the |queries|-fold broadcast cross join amplifies the scan's
+    // split count — rebalance the corpus side first
+    val scored = Rebalance.forAmplification(q).crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("__d", expr(
         "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), " +

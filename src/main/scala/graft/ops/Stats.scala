@@ -823,8 +823,11 @@ object Stats {
     // and the eight lane rows reference it as an attribute; the weight
     // product stays in LONG (≤ 7·value, exact) — only the accumulator
     // is DECIMAL — because per-row DECIMAL multiplication is the
-    // non-codegen BigDecimal path.
-    df.select(idCols.map(col) :+ col(valueCol): _*)
+    // non-codegen BigDecimal path. The input is rebalanced first: the
+    // B-fold explode amplifies whatever split count the scan produced
+    // ([[Rebalance.forAmplification]]).
+    Rebalance.forAmplification(
+      df.select(idCols.map(col) :+ col(valueCol): _*))
       .withColumn("__blk", explode(expr(s"sequence(0, ${nBlocks - 1})")))
       .withColumn("__h", expr(s"md5($idStr)"))
       // hex-parse ONCE per digest (3 conv calls: 48+48+32 bits), then

@@ -276,15 +276,18 @@ object Inference {
          |FROM fit f, q, tst t""".stripMargin
     }) { spark =>
       // hash materialized once, bucket decoded from the column (same
-      // md5-amplification trap as poissonBootstrap's scaladoc notes)
-      val p = spark.table("lineitem")
-        .withColumn("__h", expr(
-          "md5(concat_ws('-', CAST(l_orderkey AS STRING), " +
-            "CAST(l_linenumber AS STRING)))"))
-        .select(
-          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
-          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
-          expr(TextOps.pmBucketSql("__h")).as("bucket"))
+      // md5-amplification trap as poissonBootstrap's scaladoc notes);
+      // rebalanced because the md5 + three filtered passes all inherit
+      // the scan's split count (one file at bench scale = one core)
+      val p = graft.ops.Rebalance.forAmplification(
+        spark.table("lineitem")
+          .withColumn("__h", expr(
+            "md5(concat_ws('-', CAST(l_orderkey AS STRING), " +
+              "CAST(l_linenumber AS STRING)))"))
+          .select(
+            expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+            expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
+            expr(TextOps.pmBucketSql("__h")).as("bucket")))
       val fit = Stats.linearFit(p.filter(col("bucket") < 600),
         Seq.empty, "x", "y")
         .select(col("n").as("n_train"), col("slope_ppm"),
