@@ -78,7 +78,9 @@ object DumpPlans {
     "ew1_ewma_hourly", "fi1_frequent_pairs", "cf1_conformal_interval",
     "pca1_covariance", "ppr1_personalized_pagerank",
     "dt1_decision_stump", "mi1_mutual_information",
-    "iso1x_isotonic_calibration", "db1_dbscan_grid")
+    "iso1x_isotonic_calibration", "db1_dbscan_grid",
+    "tm1_trimmed_mean", "ed1_embedding_drift", "knn1_loo_accuracy",
+    "br1_brier_score")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
