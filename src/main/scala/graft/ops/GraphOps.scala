@@ -113,6 +113,46 @@ object GraphOps {
     pr.select(col("v"), col("is_seed"), col("pr"))
   }
 
+  /** Synchronous label-propagation community detection — the cheap
+    * community structure pass (PageRank ranks, components connect,
+    * THIS groups densely-linked neighborhoods): labels start as node
+    * ids; each round every node adopts the MODE of its neighbors'
+    * labels, ties broken (count desc, label asc), isolated nodes keep
+    * their own. Plain LPA is scan-order-nondeterministic; pinning the
+    * tie-break and running synchronous rounds makes every round a pure
+    * function of the previous labeling, so an external engine
+    * unrolling the same rounds matches exactly.
+    *
+    * Plan shape per round: one labels-only equi-join onto the
+    * symmetrized edge list + two hash aggregates (neighbor-label
+    * counts, per-node argmax) — nothing retains history, nothing grows
+    * with round count. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "labelPropagation: need iterations >= 1")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = e.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b")),
+        struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .localCheckpoint() // reused every round
+    val nodes = sym.select(col("a").as("v")).distinct()
+    var labels = nodes.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to iterations) {
+      val votes = sym
+        .join(labels.select(col("v").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("v"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("v")
+        .agg(max_by(col("nl"), struct(col("c"), -col("nl"))).as("new_lbl"))
+      labels = labels.join(votes, Seq("v"), "left")
+        .select(col("v"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
   /** Weakly-connected components of an arbitrary edge list: every node
     * labeled with the smallest node id reachable through edges in
     * either direction. Thin graph-API front for the min-label

@@ -900,6 +900,145 @@ object Stats {
         expr("__s div 1000000").cast("long").as("ewma_micro_value")): _*)
   }
 
+  /** RANSAC line fit — the robust regression that survives the gross
+    * outliers OLS averages in: T deterministic trials each hypothesize
+    * the line through two hash-selected sample points and the winner is
+    * the trial with the most inliers. Everything scan-order-free:
+    * trial t's sample pair is the two rows minimizing
+    * md5(id‖t) (a mergeable 2-min [[graft.functions.TopKPairs]] head —
+    * (x, y) packed into the id word, so no second fetch join), and the
+    * inlier test is the exact cross-product form
+    *   (Δx·(y−y₁) − Δy·(x−x₁))² ≤ eps²·(Δx²+Δy²)
+    * in DECIMAL(38,0) — true point-to-line distance, no sqrt, no
+    * division, identical on any exact-integer engine.
+    *
+    * Plan: one T-fold explode + hash-agg picks the T pairs (map-side
+    * 2-element heaps; rebalanced first — the explode amplifies the
+    * scan's splits); the T candidate lines broadcast back over ONE
+    * more scan for the inlier census. Two passes total, both linear.
+    * Returns one row: the winning trial (inliers desc, trial asc) with
+    * its two sample points, inlier count, and slope_ppm. */
+  def ransacLine(df: DataFrame, idCols: Seq[String], xCol: String,
+      yCol: String, eps: Long, trials: Int = 16): DataFrame = {
+    require(trials >= 1 && trials <= 256, "ransacLine: trials in [1,256]")
+    // eps < 2²⁰ keeps the per-line threshold within the range where the
+    // double-sqrt ±1 correction is exact (thr ≤ 2¹⁰², √ error ≤ 1)
+    require(eps > 0 && eps < 1048576L,
+      "ransacLine: eps must be in (0, 2^20)")
+    val spark = df.sparkSession
+    val idStr = idCols.map(c => s"CAST($c AS STRING)")
+      .mkString("concat_ws('-', ", ", ", ", CAST(__t AS STRING))")
+    // pack (x, y) into one BIGINT: x·2³² + y (caller guarantees
+    // 0 ≤ x < 2³¹, 0 ≤ y < 2³²)
+    val base = Rebalance.forAmplification(
+      df.select((idCols.map(col) :+
+        col(xCol).cast("bigint").as("__x") :+
+        col(yCol).cast("bigint").as("__y")): _*))
+      .withColumn("__t", explode(expr(s"sequence(0, ${trials - 1})")))
+      .withColumn("__h", expr(s"md5($idStr)"))
+      .withColumn("__r",
+        expr(s"${TextOps.hex48Sql("__h")}").cast("double"))
+      .withColumn("__packed",
+        expr("__x * 4294967296L + __y"))
+    val pairs = base.groupBy(col("__t"))
+      .agg(call_function("topk_pairs", col("__packed"), -col("__r"),
+        lit(2)).as("top"))
+      .select(col("__t"),
+        expr("top[0].nn div 4294967296L").as("x1"),
+        expr("top[0].nn % 4294967296L").as("y1"),
+        expr("top[1].nn div 4294967296L").as("x2"),
+        expr("top[1].nn % 4294967296L").as("y2"))
+      .filter(expr("x1 <> x2 OR y1 <> y2")) // degenerate pair: skip trial
+    // The inlier test cross² ≤ eps²·|Δ|² is rewritten |cross| ≤ s with
+    // s = ⌊√(eps²·|Δ|²)⌋ computed ONCE per trial line (DECIMAL sqrt
+    // with an exact ±1 integer correction — the equivalence is exact
+    // for integer cross), so the per-row census is pure LONG codegen —
+    // the per-row DECIMAL cross² version was measured 2× slower.
+    // Requires |x| < 2³⁰ and |y| < 2³⁰ so cross never overflows a long
+    // (|cross| ≤ 2·2³⁰·2³⁰ = 2⁶¹).
+    val linesWithThreshold = pairs
+      .withColumn("__thr",
+        expr(s"""cast($eps as decimal(38,0)) * $eps *
+                |  (cast((x2 - x1) as decimal(38,0)) * (x2 - x1)
+                |   + cast((y2 - y1) as decimal(38,0)) * (y2 - y1))
+                |""".stripMargin))
+      .withColumn("__s0", expr(
+        "CAST(floor(sqrt(CAST(__thr AS DOUBLE))) AS BIGINT)"))
+      .withColumn("__sq", expr(
+        """CASE
+          |  WHEN cast(__s0 + 1 as decimal(38,0)) * (__s0 + 1) <= __thr
+          |    THEN __s0 + 1
+          |  WHEN cast(__s0 as decimal(38,0)) * __s0 > __thr
+          |    THEN __s0 - 1
+          |  ELSE __s0 END""".stripMargin))
+      .drop("__thr", "__s0")
+    val data = df.select(col(xCol).cast("bigint").as("__px"),
+      col(yCol).cast("bigint").as("__py"))
+    val census = Rebalance.forAmplification(data)
+      .crossJoin(broadcast(linesWithThreshold))
+      .withColumn("__cross", expr(
+        "(x2 - x1) * (__py - y1) - (y2 - y1) * (__px - x1)"))
+      .withColumn("__in",
+        (abs(col("__cross")) <= col("__sq")).cast("long"))
+      .groupBy("__t", "x1", "y1", "x2", "y2")
+      .agg(sum(col("__in")).as("inliers"), count(lit(1)).as("n"))
+    census.groupBy()
+      .agg(max_by(
+        struct(col("__t").cast("long").as("trial"),
+          col("x1").cast("long").as("x1"),
+          col("y1").cast("long").as("y1"),
+          col("x2").cast("long").as("x2"),
+          col("y2").cast("long").as("y2"),
+          col("n").cast("long").as("n"),
+          col("inliers").cast("long").as("inliers"),
+          when(col("x2") =!= col("x1"),
+            expr("(1000000 * (y2 - y1)) div (x2 - x1)").cast("long"))
+            .as("slope_ppm")),
+        struct(col("inliers"), -col("__t"))).as("b"))
+      .select("b.trial", "b.x1", "b.y1", "b.x2", "b.y2", "b.n",
+        "b.inliers", "b.slope_ppm")
+  }
+
+  /** Autocorrelation function of a regular integer-indexed series at
+    * lags 1..K — the periodicity probe next to [[seasonality]]'s
+    * calendar matrix. Denominators cleared so the whole statistic is
+    * exact: with S = Σx, n = series length,
+    *   r_ppm(k) = 10⁶·Σ_t (n·x_t − S)(n·x_{t−k} − S)
+    *              div Σ_t (n·x_t − S)²
+    * — the numerator over the n−k overlapping pairs from a bounded
+    * K-fold lag explode + equi-join ([[ewmaSmooth]]'s shape), the
+    * denominator from the same one-pass moment aggregate. Per-key
+    * series, one row per (key, lag). */
+  def autocorrelation(df: DataFrame, keys: Seq[String], idxCol: String,
+      valueCol: String, maxLag: Int = 12): DataFrame = {
+    require(maxLag >= 1, "autocorrelation: maxLag >= 1")
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val withTot = df
+      .withColumn("__n", count(lit(1)).over(byKey).cast("decimal(38,0)"))
+      .withColumn("__s", sum(dec(col(valueCol))).over(byKey))
+      .withColumn("__c", expr(s"__n * cast($valueCol as decimal(38,0)) - __s"))
+    val den = withTot.groupBy(keys.map(col): _*)
+      .agg(sum(col("__c") * col("__c")).as("__den"),
+        max(col("__n")).cast("long").as("n"))
+    val lags = withTot.select(
+      (keys.map(col) :+ col(idxCol).as("__i") :+ col("__c").as("__ca")): _*)
+      .withColumn("__k", explode(expr(s"sequence(1, $maxLag)")))
+      .withColumn("__lag_i", col("__i") - col("__k"))
+    val prev = withTot.select(
+      (keys.map(col) :+ col(idxCol).as("__lag_i") :+
+        col("__c").as("__cb")): _*)
+    lags.join(prev, keys :+ "__lag_i")
+      .groupBy((keys.map(col) :+ col("__k").as("lag")): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+      .join(den, keys)
+      .select(keys.map(col) ++ Seq(col("lag").cast("long"),
+        col("n"), col("n_pairs").cast("long"),
+        when(col("__den") > 0,
+          expr("(1000000 * __num) div __den").cast("long"))
+          .as("acf_ppm")): _*)
+  }
+
   /** Per-group symmetric trimmed mean — the robust location estimate
     * between the mean (trim 0) and the median (trim 50%): drop the
     * bottom and top `trimPm`‰ of the MASS by exact rank and average

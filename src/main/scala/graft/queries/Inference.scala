@@ -799,5 +799,151 @@ object Inference {
         spark.table("embeddings"), "vec_id", "embedding", "label",
         queryPred = col("vec_id") < 256, k = 5, scalePow = 6)
         .orderBy("vec_id")
+    },
+
+    // lp1 — label-propagation communities over pr1's doc link graph
+    // (2 synchronous rounds, mode-of-neighbors with the count-desc /
+    // label-asc tie-break): the community structure pass next to
+    // pr1 (rank) and wc1 (connectivity). Synchronous rounds + pinned
+    // tie-breaks make LPA — normally scan-order-dependent — a pure
+    // function of the graph, so the oracle unrolls the same two
+    // rounds and matches exactly.
+    QueryDef.views("lp1_label_propagation", {
+      def round(i: Int) =
+        s"""  v$i AS (SELECT s.a AS v, l.lbl AS nl, count(*) AS c
+           |    FROM sym s JOIN l${i - 1} l ON l.v = s.b GROUP BY 1, 2),
+           |  m$i AS (SELECT v, nl FROM (SELECT v, nl, row_number()
+           |      OVER (PARTITION BY v ORDER BY c DESC, nl ASC) AS rn
+           |    FROM v$i) WHERE rn = 1),
+           |  l$i AS (SELECT p.v, COALESCE(m$i.nl, p.lbl) AS lbl
+           |    FROM l${i - 1} p LEFT JOIN m$i ON m$i.v = p.v)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  sym AS (SELECT DISTINCT a, b FROM
+         |    (SELECT src AS a, dst AS b FROM e
+         |     UNION ALL SELECT dst, src FROM e)),
+         |  nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |  l0 AS (SELECT v, v AS lbl FROM nodes),
+         |${round(1)},
+         |${round(2)}
+         |SELECT v, CAST(lbl AS BIGINT) AS lbl FROM l2
+         |ORDER BY v""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      graft.ops.GraphOps.labelPropagation(edges, "src", "dst",
+        iterations = 2).orderBy("v")
+    },
+
+    // rn1 — RANSAC robust line fit (quantity → price cents, eps $5k,
+    // 16 trials): the fit OLS can't give when gross outliers dominate.
+    // Trial samples, inlier tests and the winner are all deterministic
+    // (md5 trial ranks, exact cross-product distance, inliers-desc /
+    // trial-asc argmax), so the oracle replays every trial and lands
+    // on the identical winning line.
+    QueryDef.views("rn1_ransac_fit", {
+      val idStr = "concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR), CAST(t AS VARCHAR))"
+      s"""WITH p AS (SELECT l_orderkey, l_linenumber,
+         |             CAST(floor(l_quantity) AS BIGINT) AS x,
+         |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+         |           FROM lineitem),
+         |     tr AS (SELECT unnest(range(0, 16)) AS t),
+         |     h AS (SELECT t, x, y,
+         |             ${TextOps.hex48Sql(s"md5($idStr)")} AS r
+         |           FROM p, tr),
+         |     rk AS (SELECT t, x, y, row_number() OVER (PARTITION BY t
+         |              ORDER BY r ASC, x * 4294967296 + y ASC) AS rn
+         |            FROM h),
+         |     pr AS (SELECT t,
+         |              max(CASE WHEN rn = 1 THEN x END) AS x1,
+         |              max(CASE WHEN rn = 1 THEN y END) AS y1,
+         |              max(CASE WHEN rn = 2 THEN x END) AS x2,
+         |              max(CASE WHEN rn = 2 THEN y END) AS y2
+         |            FROM rk WHERE rn <= 2 GROUP BY 1),
+         |     good AS (SELECT * FROM pr WHERE x1 <> x2 OR y1 <> y2),
+         |     census AS (SELECT g.t, g.x1, g.y1, g.x2, g.y2,
+         |         count(*) AS n,
+         |         sum(CASE WHEN
+         |             (CAST(g.x2 - g.x1 AS HUGEINT) * (p.y - g.y1)
+         |              - CAST(g.y2 - g.y1 AS HUGEINT) * (p.x - g.x1))
+         |             * (CAST(g.x2 - g.x1 AS HUGEINT) * (p.y - g.y1)
+         |                - CAST(g.y2 - g.y1 AS HUGEINT) * (p.x - g.x1))
+         |             <= CAST(500000 AS HUGEINT) * 500000 *
+         |                (CAST(g.x2 - g.x1 AS HUGEINT) * (g.x2 - g.x1)
+         |                 + CAST(g.y2 - g.y1 AS HUGEINT) * (g.y2 - g.y1))
+         |           THEN 1 ELSE 0 END) AS inliers
+         |       FROM p, good g GROUP BY 1, 2, 3, 4, 5),
+         |     best AS (SELECT * FROM census
+         |              ORDER BY inliers DESC, t ASC LIMIT 1)
+         |SELECT CAST(t AS BIGINT) AS trial, CAST(x1 AS BIGINT) AS x1,
+         |       CAST(y1 AS BIGINT) AS y1, CAST(x2 AS BIGINT) AS x2,
+         |       CAST(y2 AS BIGINT) AS y2, CAST(n AS BIGINT) AS n,
+         |       CAST(inliers AS BIGINT) AS inliers,
+         |       CASE WHEN x2 <> x1 THEN
+         |         CAST((1000000 * (y2 - y1)) // (x2 - x1) AS BIGINT)
+         |       END AS slope_ppm
+         |FROM best""".stripMargin
+    }) { spark =>
+      Stats.ransacLine(
+        spark.table("lineitem").select(col("l_orderkey"),
+          col("l_linenumber"),
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y")),
+        Seq("l_orderkey", "l_linenumber"), "x", "y",
+        eps = 500000L, trials = 16)
+    },
+
+    // acf1 — autocorrelation of the hourly event-count series per
+    // event type at lags 1..6: the periodicity probe next to dow1's
+    // calendar seasonality. Denominators cleared (n·x − S form) so the
+    // whole statistic is exact; lag pairs from ew1's bounded-lag
+    // equi-join shape.
+    QueryDef.views("acf1_autocorrelation",
+      """WITH s AS (SELECT event_type,
+        |             epoch_us(ts) // 3600000000 AS hr, count(*) AS x
+        |           FROM events GROUP BY 1, 2),
+        |     w AS (SELECT event_type, hr, x,
+        |             CAST(count(*) OVER (PARTITION BY event_type)
+        |               AS HUGEINT) AS nh,
+        |             CAST(sum(x) OVER (PARTITION BY event_type)
+        |               AS HUGEINT) AS sm
+        |           FROM s),
+        |     c AS (SELECT event_type, hr, nh, nh * x - sm AS cc FROM w),
+        |     den AS (SELECT event_type, sum(cc * cc) AS dn,
+        |               CAST(max(nh) AS BIGINT) AS n
+        |             FROM c GROUP BY 1),
+        |     l AS (SELECT event_type, hr, cc,
+        |             unnest(range(1, 7)) AS k
+        |           FROM c),
+        |     j AS (SELECT l.event_type, l.k, l.cc AS ca, c2.cc AS cb
+        |           FROM l JOIN c c2 ON c2.event_type = l.event_type
+        |             AND c2.hr = l.hr - l.k),
+        |     nm AS (SELECT event_type, k, sum(ca * cb) AS num,
+        |              count(*) AS np
+        |            FROM j GROUP BY 1, 2)
+        |SELECT nm.event_type, CAST(nm.k AS BIGINT) AS lag, den.n,
+        |       CAST(nm.np AS BIGINT) AS n_pairs,
+        |       CASE WHEN den.dn > 0 THEN
+        |         CAST((1000000 * nm.num) // den.dn AS BIGINT)
+        |       END AS acf_ppm
+        |FROM nm JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin) { spark =>
+      val series = spark.table("events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+            .as("hr"))
+        .agg(count(lit(1)).as("x"))
+      Stats.autocorrelation(series, Seq("event_type"), "hr", "x",
+        maxLag = 6).orderBy("event_type", "lag")
     })
 }

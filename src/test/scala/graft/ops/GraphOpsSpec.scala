@@ -152,6 +152,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(0L) >= 150000000000L)
   }
 
+  test("labelPropagation: disjoint triangles converge to their min ids") {
+    import spark.implicits._
+    // two disconnected K3s: after 2 synchronous rounds each triangle
+    // lands on its min node id (round 1 spreads the min to the other
+    // corners; round 2's ties all break toward it).
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, "src", "dst", 2)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("lbl"))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: tie goes to the smaller label") {
+    import spark.implicits._
+    // node 5 between nodes 1 and 2 (one edge each): round 1 votes are
+    // {1:1, 2:1} → tie → label 1
+    val edges = Seq((1L, 5L), (2L, 5L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, "src", "dst", 1)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("lbl"))
+      .toMap
+    assert(got(5L) == 1L)
+  }
+
   test("personalizedPageRank: uniform seeds over all nodes = pageRank") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -202,4 +202,49 @@ class InferenceStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("kept") == 3L)
     assert(r.getAs[Long]("trimmed_mean_micro") == 2000000L)
   }
+
+  test("ransacLine: outlier-resistant — finds the line OLS would miss") {
+    graft.functions.GraftFunctions.register(spark) // topk_pairs
+    // 20 points exactly on y = 3x + 7 with x spread 100..2000 (so no
+    // near-vertical sample line can sweep up the cloud within eps),
+    // plus 4 gross outliers: only the true line collects all 20.
+    val online = (1L to 20L).map(i => (i, 100L * i, 300L * i + 7L))
+    val outliers = Seq((21L, 500L, 99000L), (22L, 1000L, 88000L),
+      (23L, 1500L, 77000L), (24L, 200L, 66000L))
+    val df = (online ++ outliers).toDF("id", "x", "y")
+    val r = Stats.ransacLine(df, Seq("id"), "x", "y",
+      eps = 10L, trials = 32).collect().head
+    assert(r.getAs[Long]("inliers") == 20L,
+      s"expected the 20 collinear points, got $r")
+    assert(r.getAs[Long]("slope_ppm") == 3000000L) // slope 3
+    assert(r.getAs[Long]("n") == 24L)
+  }
+
+  test("ransacLine: run is deterministic") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = (1L to 30L).map(i => (i, i % 7, i * 13 % 1000))
+      .toDF("id", "x", "y")
+    val a = Stats.ransacLine(df, Seq("id"), "x", "y", eps = 50L,
+      trials = 8).collect().head.toSeq
+    val b = Stats.ransacLine(df, Seq("id"), "x", "y", eps = 50L,
+      trials = 8).collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("autocorrelation: constant series has zero denominator (null); " +
+    "alternating series is perfectly anti-correlated at lag 1") {
+    val const = (0L to 9L).map(t => ("k", t, 5L)).toDF("g", "t", "x")
+    val rc = Stats.autocorrelation(const, Seq("g"), "t", "x", maxLag = 2)
+      .collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("acf_ppm"))))
+    // x alternates 0,10,0,10,... (n=10, mean 5): r(1) = -25·9/(25·10)
+    // = -0.9 → -900000 ppm; r(2) = +0.8 → 800000
+    val alt = (0L to 9L).map(t => ("k", t, if (t % 2 == 0) 0L else 10L))
+      .toDF("g", "t", "x")
+    val ra = Stats.autocorrelation(alt, Seq("g"), "t", "x", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(ra(0).getAs[Long]("acf_ppm") == -900000L)
+    assert(ra(1).getAs[Long]("acf_ppm") == 800000L)
+    assert(ra(0).getAs[Long]("n_pairs") == 9L)
+  }
 }
