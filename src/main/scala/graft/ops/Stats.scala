@@ -918,6 +918,13 @@ object Stats {
     * more scan for the inlier census. Two passes total, both linear.
     * Returns one row: the winning trial (inliers desc, trial asc) with
     * its two sample points, inlier count, and slope_ppm. */
+  /** Per-trial XOR mask constants: golden-ratio multiples truncated to
+    * 48 bits — one shared 48-bit row hash XOR-permuted per trial is a
+    * measure-preserving re-ranking, so each trial's 2-min sample is a
+    * fresh deterministic draw WITHOUT a trials-fold row explode. */
+  def ransacMask(t: Int): Long =
+    (t.toLong * 0x9E3779B97F4AL) & 0xFFFFFFFFFFFFL
+
   def ransacLine(df: DataFrame, idCols: Seq[String], xCol: String,
       yCol: String, eps: Long, trials: Int = 16): DataFrame = {
     require(trials >= 1 && trials <= 256, "ransacLine: trials in [1,256]")
@@ -927,27 +934,38 @@ object Stats {
       "ransacLine: eps must be in (0, 2^20)")
     val spark = df.sparkSession
     val idStr = idCols.map(c => s"CAST($c AS STRING)")
-      .mkString("concat_ws('-', ", ", ", ", CAST(__t AS STRING))")
+      .mkString("concat_ws('-', ", ", ", ")")
     // pack (x, y) into one BIGINT: x·2³² + y (caller guarantees
-    // 0 ≤ x < 2³¹, 0 ≤ y < 2³²)
-    val base = Rebalance.forAmplification(
-      df.select((idCols.map(col) :+
+    // 0 ≤ x < 2³⁰, 0 ≤ y < 2³⁰ — also the cross-product bound below).
+    // ONE md5 per ROW; every trial re-ranks the same 48-bit uniform
+    // through its XOR mask ([[ransacMask]]) — the per-(row, trial)
+    // hash version cost trials× the hashing and a trials-fold explode
+    // (measured 4× slower at sf1). All T 2-min heads accumulate in ONE
+    // hash-aggregate pass (T mergeable topk_pairs buffers).
+    val base = df.select((idCols.map(col) :+
         col(xCol).cast("bigint").as("__x") :+
-        col(yCol).cast("bigint").as("__y")): _*))
-      .withColumn("__t", explode(expr(s"sequence(0, ${trials - 1})")))
+        col(yCol).cast("bigint").as("__y")): _*)
       .withColumn("__h", expr(s"md5($idStr)"))
-      .withColumn("__r",
-        expr(s"${TextOps.hex48Sql("__h")}").cast("double"))
-      .withColumn("__packed",
-        expr("__x * 4294967296L + __y"))
-    val pairs = base.groupBy(col("__t"))
-      .agg(call_function("topk_pairs", col("__packed"), -col("__r"),
-        lit(2)).as("top"))
-      .select(col("__t"),
-        expr("top[0].nn div 4294967296L").as("x1"),
-        expr("top[0].nn % 4294967296L").as("y1"),
-        expr("top[1].nn div 4294967296L").as("x2"),
-        expr("top[1].nn % 4294967296L").as("y2"))
+      .withColumn("__u", expr(s"${TextOps.hex48Sql("__h")}"))
+      .withColumn("__packed", expr("__x * 4294967296L + __y"))
+    val heads = base.groupBy()
+      .agg(call_function("topk_pairs", col("__packed"),
+        -expr(s"__u ^ ${ransacMask(0)}L").cast("double"), lit(2))
+        .as("top0"),
+        (1 until trials).map { t =>
+          call_function("topk_pairs", col("__packed"),
+            -expr(s"__u ^ ${ransacMask(t)}L").cast("double"), lit(2))
+            .as(s"top$t")
+        }: _*)
+    val pairs = heads
+      .select(explode(array((0 until trials).map { t =>
+        struct(lit(t.toLong).as("__t"), col(s"top$t").as("top"))
+      }: _*)).as("e"))
+      .select(col("e.__t").as("__t"),
+        expr("e.top[0].nn div 4294967296L").as("x1"),
+        expr("e.top[0].nn % 4294967296L").as("y1"),
+        expr("e.top[1].nn div 4294967296L").as("x2"),
+        expr("e.top[1].nn % 4294967296L").as("y2"))
       .filter(expr("x1 <> x2 OR y1 <> y2")) // degenerate pair: skip trial
     // The inlier test cross² ≤ eps²·|Δ|² is rewritten |cross| ≤ s with
     // s = ⌊√(eps²·|Δ|²)⌋ computed ONCE per trial line (DECIMAL sqrt

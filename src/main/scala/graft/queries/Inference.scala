@@ -852,14 +852,17 @@ object Inference {
     // on the identical winning line.
     QueryDef.views("rn1_ransac_fit", {
       val idStr = "concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
-        "CAST(l_linenumber AS VARCHAR), CAST(t AS VARCHAR))"
-      s"""WITH p AS (SELECT l_orderkey, l_linenumber,
+        "CAST(l_linenumber AS VARCHAR))"
+      val masks = (0 until 16).map(Stats.ransacMask)
+        .mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT
          |             CAST(floor(l_quantity) AS BIGINT) AS x,
-         |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+         |             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+         |             ${TextOps.hex48Sql(s"md5($idStr)")} AS u
          |           FROM lineitem),
          |     tr AS (SELECT unnest(range(0, 16)) AS t),
          |     h AS (SELECT t, x, y,
-         |             ${TextOps.hex48Sql(s"md5($idStr)")} AS r
+         |             xor(u, ($masks)[CAST(t + 1 AS INT)]) AS r
          |           FROM p, tr),
          |     rk AS (SELECT t, x, y, row_number() OVER (PARTITION BY t
          |              ORDER BY r ASC, x * 4294967296 + y ASC) AS rn
