@@ -57,6 +57,30 @@ object WebOps {
         s"array_join(slice($labels, greatest(size($labels) - 1, 1), 2), '.')"))
   }
 
+  /** Anchor extraction: one row per `<a href="...">text</a>` tag —
+    * (source id, href, anchor_text). The link-graph/anchor-corpus
+    * builder: anchor text is the classic cheap relevance signal for the
+    * TARGET page (it describes where the link goes, written by someone
+    * else). Pure codegen'd regexp extraction over the html column —
+    * scan-local, zero shuffle; compose with [[canonicalize]] +
+    * aggregation for per-target anchor profiles (an1). Tags with an
+    * empty href are dropped; anchor text is the tag's direct text
+    * content (nested markup not descended into — the [[htmlToText]]
+    * trade-off). */
+  def extractAnchors(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("src_id"),
+        explode(expr(
+          s"""regexp_extract_all($htmlCol,
+             |  '<a\\\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)"""
+            .stripMargin)).as("__tag"))
+      .select(col("src_id"),
+        expr("""regexp_extract(__tag, 'href="([^"]*)"', 1)""")
+          .as("href"),
+        expr("""regexp_extract(__tag, '>([^<]*)</a>', 1)""")
+          .as("anchor_text"))
+      .filter(length(col("href")) > 0)
+
   /** Canonical-URL dedup: one row per distinct `canon_url`, keeping the
     * smallest id (the standard pre-content-dedup pass). Hash aggregation
     * on the canonical string — at crawl scale, substitute

@@ -948,5 +948,74 @@ object Inference {
         .agg(count(lit(1)).as("x"))
       Stats.autocorrelation(series, Seq("event_type"), "hr", "x",
         maxLag = 6).orderBy("event_type", "lag")
+    },
+
+    // an1 — anchor-text aggregation over the synthetic link layer: the
+    // web-tier op that builds the per-target anchor profile (link
+    // count, distinct sources, majority anchor text) the way a search
+    // or host-authority pipeline does — extract <a> tags
+    // ([[graft.ops.WebOps.extractAnchors]], codegen regexp,
+    // scan-local), canonicalize the dirty hrefs (uppercase authority,
+    // tracking params, fragments, trailing slash — u1's machinery),
+    // aggregate per canonical target. The oracle reconstructs the
+    // expected profile from the same doc_id arithmetic (ht1's
+    // synthetic-page pattern), so the extraction+canonicalization
+    // chain is pinned end to end.
+    QueryDef.views("an1_anchor_text",
+      """WITH ks AS (SELECT doc_id,
+        |              unnest(range(1, 2 + doc_id % 2)) AS k
+        |            FROM documents),
+        |     l AS (SELECT doc_id,
+        |             (doc_id * 7 + k * k) % 50 AS tid,
+        |             doc_id % 10 AS pid,
+        |             'ref ' || CAST((doc_id * 7 + k * k) % 50 AS VARCHAR)
+        |               || ' from ' || CAST(doc_id % 3 AS VARCHAR) AS txt
+        |           FROM ks),
+        |     cu AS (SELECT doc_id,
+        |              'https://site-' || CAST(tid AS VARCHAR)
+        |                || '.example.com/p/' || CAST(pid AS VARCHAR)
+        |                || '?a=1&b=2' AS canon_url,
+        |              txt
+        |            FROM l),
+        |     pu AS (SELECT canon_url, count(*) AS n_links,
+        |              count(DISTINCT doc_id) AS n_sources
+        |            FROM cu GROUP BY 1),
+        |     v AS (SELECT canon_url, txt, count(*) AS c
+        |           FROM cu GROUP BY 1, 2),
+        |     t AS (SELECT canon_url, txt FROM
+        |             (SELECT canon_url, txt, row_number() OVER
+        |               (PARTITION BY canon_url ORDER BY c DESC, txt ASC)
+        |               AS rn FROM v)
+        |           WHERE rn = 1)
+        |SELECT pu.canon_url, CAST(pu.n_links AS BIGINT) AS n_links,
+        |       CAST(pu.n_sources AS BIGINT) AS n_sources,
+        |       t.txt AS top_anchor
+        |FROM pu JOIN t USING (canon_url)
+        |ORDER BY canon_url""".stripMargin) { spark =>
+      val pages = spark.table("documents").select(col("doc_id"),
+        expr("""concat('<html><body><p>intro</p>',
+          |  array_join(transform(
+          |    sequence(1, CAST(1 + doc_id % 2 AS INT)),
+          |    k -> concat('<a rel="nofollow" href="HTTPS://Site-',
+          |      CAST((doc_id * 7 + k * k) % 50 AS STRING),
+          |      '.Example.COM/p/', CAST(doc_id % 10 AS STRING),
+          |      '/?utm_source=feed&b=2&a=1#frag">',
+          |      'ref ', CAST((doc_id * 7 + k * k) % 50 AS STRING),
+          |      ' from ', CAST(doc_id % 3 AS STRING), '</a>')), ''),
+          |  '</body></html>')""".stripMargin).as("html"))
+      val anchors = graft.ops.WebOps.extractAnchors(pages, "doc_id", "html")
+      val canon = graft.ops.WebOps.canonicalize(anchors, "href")
+      val perUrl = canon.groupBy("canon_url")
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("src_id")).as("n_sources"))
+      val top = canon.groupBy("canon_url", "anchor_text")
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("canon_url")
+        .agg(min_by(col("anchor_text"),
+          struct(-col("__c"), col("anchor_text"))).as("top_anchor"))
+      perUrl.join(top, "canon_url")
+        .select(col("canon_url"), col("n_links").cast("long"),
+          col("n_sources").cast("long"), col("top_anchor"))
+        .orderBy("canon_url")
     })
 }

@@ -256,4 +256,22 @@ class WebOpsSpec extends SparkSpec {
     assert(WebOps.parseWarc(Seq(good).toDF("rec"), "rec")
       .head().getAs[Boolean]("warc_ok"))
   }
+
+  test("extractAnchors: hrefs + direct text; empty hrefs dropped") {
+    import spark.implicits._
+    val html =
+      """<html><body>
+        |<a href="https://a.example.com/x">first link</a>
+        |<p>noise</p>
+        |<a rel="nofollow" class="z" href="http://b.example.com">B</a>
+        |<a href="">empty href</a>
+        |<a name="anchor-only">no href attr</a>
+        |</body></html>""".stripMargin
+    val got = WebOps.extractAnchors(Seq((7L, html)).toDF("id", "html"),
+      "id", "html").orderBy("href").collect()
+      .map(r => (r.getAs[String]("href"), r.getAs[String]("anchor_text")))
+    assert(got.toSeq == Seq(
+      ("http://b.example.com", "B"),
+      ("https://a.example.com/x", "first link")))
+  }
 }
