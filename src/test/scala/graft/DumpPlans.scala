@@ -80,7 +80,8 @@ object DumpPlans {
     "dt1_decision_stump", "mi1_mutual_information",
     "iso1x_isotonic_calibration", "db1_dbscan_grid",
     "tm1_trimmed_mean", "ed1_embedding_drift", "knn1_loo_accuracy",
-    "br1_brier_score")
+    "br1_brier_score", "lp1_label_propagation", "rn1_ransac_fit",
+    "acf1_autocorrelation", "an1_anchor_text")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
