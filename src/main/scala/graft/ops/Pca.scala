@@ -86,6 +86,28 @@ object Pca {
     rows.toSeq.toDF("i", "j", "n", "sum_i", "sum_j", "sum_ij", "cov_num")
   }
 
+  /** Merge two [[covarianceSums]] outputs — the incremental-model-
+    * maintenance path: moments are ADDITIVE, so yesterday's sums plus
+    * today's delta give the updated covariance without rescanning
+    * history (the sn1/in1 recuration discipline applied to model
+    * state). Joins on (i, j) (dims²-sized relations — trivially
+    * broadcastable), re-derives cov_num from the merged raw sums. */
+  def mergeCovarianceSums(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("i"), col("j"), col("n").as("nb"),
+      col("sum_i").as("sib"), col("sum_j").as("sjb"),
+      col("sum_ij").as("sijb"))
+    a.join(bb, Seq("i", "j"))
+      .select(col("i"), col("j"),
+        (col("n") + col("nb")).as("n"),
+        (col("sum_i") + col("sib")).as("sum_i"),
+        (col("sum_j") + col("sjb")).as("sum_j"),
+        (col("sum_ij") + col("sijb")).as("sum_ij"))
+      .withColumn("cov_num", expr(
+        """cast(n as decimal(38,0)) * sum_ij
+          | - cast(sum_i as decimal(38,0)) * sum_j""".stripMargin)
+        .cast("long"))
+  }
+
   /** Cyclic Jacobi eigensolver for a symmetric matrix (driver-side,
     * dims bounded). Returns (eigenvalues, eigenvectors) sorted by
     * eigenvalue descending; eigenvectors are rows, sign-canonicalized

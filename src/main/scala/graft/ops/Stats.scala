@@ -900,6 +900,90 @@ object Stats {
         expr("__s div 1000000").cast("long").as("ewma_micro_value")): _*)
   }
 
+  /** Exact-quota k-fold assignment — cross-validation folds whose
+    * sizes differ by at most one, unlike hash-bucket splits (sp1)
+    * whose fold sizes are only binomially close. Rows are ranked by a
+    * 48-bit md5 uniform (id tiebreak) and fold = rank mod k. The exact
+    * global rank comes from the one formulation that scales: a
+    * distributed range-partitioned sort + per-partition offsets
+    * (zipWithIndex) — no single-partition window ever sees the data.
+    * Returns (idCols..., fold). */
+  def kFoldAssign(df: DataFrame, idCols: Seq[String], k: Int)
+      : DataFrame = {
+    require(k >= 2, "kFoldAssign: k >= 2")
+    val spark = df.sparkSession
+    val idStr = idCols.map(c => s"CAST($c AS STRING)")
+      .mkString("concat_ws('-', ", ", ", ")")
+    val hashed = df.select(idCols.map(col): _*)
+      .withColumn("__u", expr(
+        s"${TextOps.hex48Sql(s"md5($idStr)")}"))
+    val ordered = hashed
+      .orderBy((col("__u") +: idCols.map(col)): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      ordered.schema.fields :+
+        org.apache.spark.sql.types.StructField("__rank",
+          org.apache.spark.sql.types.LongType))
+    val withRank = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    withRank.select(idCols.map(col) :+
+      expr(s"__rank % $k").cast("long").as("fold"): _*)
+  }
+
+  /** Kendall τ-b rank correlation over BOUNDED integer axes (bucket a
+    * continuous axis first — monotone bucketing preserves concordance
+    * w.r.t. the bucketed values): one contingency hash aggregate over
+    * the rows, then concordant/discordant counts from the CELL-pair
+    * join (|X|·|Y| cells squared — model-sized, never row-sized):
+    *   τ_b = (C − D) / √((N₀−T_x)(N₀−T_y)),  N₀ = n(n−1)/2
+    * with tie terms T from the marginal counts. All exact integers in
+    * DECIMAL(38,0); the √ is the one IEEE op, ppm-rounded. Completes
+    * the nonparametric family (Spearman ρ, Mann-Whitney U, KS). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).cast("bigint").as("__x"),
+        col(yCol).cast("bigint").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // reused by the pair join + three margins
+    val c1 = cells.select(col("__x").as("x1"), col("__y").as("y1"),
+      dec(col("__c")).as("c1"))
+    val c2 = cells.select(col("__x").as("x2"), col("__y").as("y2"),
+      dec(col("__c")).as("c2"))
+    val conc = c1.join(c2,
+        col("x2") > col("x1") && col("y2") =!= col("y1"))
+      .agg(
+        sum(when(col("y2") > col("y1"), col("c1") * col("c2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__conc"),
+        sum(when(col("y2") < col("y1"), col("c1") * col("c2"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__disc"))
+    val margins = cells.agg(
+      sum(dec(col("__c"))).as("__n"),
+      count(lit(1)).as("cells"))
+    val tx = cells.groupBy("__x").agg(sum(dec(col("__c"))).as("nx"))
+      .agg(sum(expr("nx * (nx - 1)")).as("__tx2")) // 2·T_x
+    val ty = cells.groupBy("__y").agg(sum(dec(col("__c"))).as("ny"))
+      .agg(sum(expr("ny * (ny - 1)")).as("__ty2"))
+    conc.crossJoin(margins).crossJoin(tx).crossJoin(ty)
+      .withColumn("__cc",
+        coalesce(col("__conc"), lit(0).cast("decimal(38,0)")))
+      .withColumn("__dd",
+        coalesce(col("__disc"), lit(0).cast("decimal(38,0)")))
+      .select(
+        col("__n").cast("long").as("n"),
+        col("cells"),
+        col("__cc").cast("long").as("concordant"),
+        col("__dd").cast("long").as("discordant"),
+        when(expr("__n * (__n - 1) - __tx2") > 0 &&
+            expr("__n * (__n - 1) - __ty2") > 0,
+          round((col("__cc") - col("__dd")).cast("double")
+            * lit(1000000.0) /
+            (sqrt((expr("__n * (__n - 1)") - col("__tx2"))
+              .cast("double") / lit(2.0)) *
+             sqrt((expr("__n * (__n - 1)") - col("__ty2"))
+              .cast("double") / lit(2.0)))).cast("bigint"))
+          .as("tau_b_ppm"))
+  }
+
   /** RANSAC line fit — the robust regression that survives the gross
     * outliers OLS averages in: T deterministic trials each hypothesize
     * the line through two hash-selected sample points and the winner is

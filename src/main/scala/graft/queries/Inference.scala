@@ -1017,5 +1017,116 @@ object Inference {
         .select(col("canon_url"), col("n_links").cast("long"),
           col("n_sources").cast("long"), col("top_anchor"))
         .orderBy("canon_url")
+    },
+
+    // pca2 — incremental covariance maintenance: moments are ADDITIVE,
+    // so the model updates from per-slice sums without rescanning
+    // history (the sn1/in1 recuration discipline applied to model
+    // state). The QUERY computes the even/odd vec_id slices separately
+    // and merges; the ORACLE computes the full corpus directly — exact
+    // equality proves the incremental path bit-for-bit.
+    QueryDef.views("pca2_incremental_covariance",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> CAST(floor(CAST(x AS DOUBLE) * 10000)
+        |               AS BIGINT)) AS v
+        |           FROM embeddings),
+        |     e AS (SELECT vec_id, unnest(v) AS x,
+        |             generate_subscripts(v, 1) AS i
+        |           FROM q),
+        |     nn AS (SELECT count(*) AS n FROM q),
+        |     m AS (SELECT i, sum(x) AS mi FROM e GROUP BY 1),
+        |     s AS (SELECT a.i AS i, b.i AS j,
+        |             sum(CAST(a.x AS HUGEINT) * b.x) AS sij
+        |           FROM e a JOIN e b
+        |             ON a.vec_id = b.vec_id AND a.i <= b.i
+        |           GROUP BY 1, 2)
+        |SELECT CAST(s.i - 1 AS BIGINT) AS i, CAST(s.j - 1 AS BIGINT) AS j,
+        |       CAST(nn.n AS BIGINT) AS n,
+        |       CAST(ma.mi AS BIGINT) AS sum_i,
+        |       CAST(mb.mi AS BIGINT) AS sum_j,
+        |       CAST(s.sij AS BIGINT) AS sum_ij,
+        |       CAST(nn.n * s.sij - CAST(ma.mi AS HUGEINT) * mb.mi
+        |         AS BIGINT) AS cov_num
+        |FROM s JOIN m ma ON ma.i = s.i JOIN m mb ON mb.i = s.j, nn
+        |ORDER BY i, j""".stripMargin) { spark =>
+      val emb = spark.table("embeddings")
+      val even = Pca.covarianceSums(
+        emb.filter(expr("vec_id % 2 = 0")), "embedding", scalePow = 4)
+      val odd = Pca.covarianceSums(
+        emb.filter(expr("vec_id % 2 = 1")), "embedding", scalePow = 4)
+      Pca.mergeCovarianceSums(even, odd).orderBy("i", "j")
+    },
+
+    // kf1 — exact-quota k-fold assignment (k = 5): fold sizes differ
+    // by at most one (hash-bucket splits are only binomially close).
+    // The exact global rank uses the one scalable formulation — a
+    // range-partitioned sort + per-partition offsets — and the oracle
+    // replays it as a row_number window at its own scale.
+    QueryDef.views("kf1_kfold_assign", {
+      val idStr = "concat_ws('-', CAST(l_orderkey AS VARCHAR), " +
+        "CAST(l_linenumber AS VARCHAR))"
+      s"""WITH p AS (SELECT l_orderkey, l_linenumber,
+         |             ${TextOps.hex48Sql(s"md5($idStr)")} AS u
+         |           FROM lineitem),
+         |     r AS (SELECT l_orderkey, l_linenumber,
+         |             row_number() OVER (ORDER BY u, l_orderkey,
+         |               l_linenumber) - 1 AS rk
+         |           FROM p)
+         |SELECT l_orderkey, CAST(l_linenumber AS BIGINT)
+         |         AS l_linenumber,
+         |       CAST(rk % 5 AS BIGINT) AS fold
+         |FROM r ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }) { spark =>
+      Stats.kFoldAssign(
+        spark.table("lineitem").select(col("l_orderkey"),
+          col("l_linenumber").cast("bigint").as("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber"), k = 5)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // kt1 — Kendall τ-b between quantity and price bucket (cents div
+    // 10⁶; monotone bucketing preserves concordance w.r.t. the
+    // bucketed axis): contingency cells → cell-pair concordance (500²
+    // cell pairs, model-sized), exact C/D/tie terms, one ppm-rounded
+    // sqrt. Completes the nonparametric family next to srk1/mw1/ks1.
+    QueryDef.views("kt1_kendall_tau",
+      """WITH b AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+        |             CAST(floor(l_extendedprice * 100) AS BIGINT)
+        |               // 1000000 AS y
+        |           FROM lineitem),
+        |     cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+        |               FROM b GROUP BY 1, 2),
+        |     cd AS (SELECT
+        |         sum(CASE WHEN c2.y > c1.y THEN c1.c * c2.c
+        |           ELSE 0 END) AS conc,
+        |         sum(CASE WHEN c2.y < c1.y THEN c1.c * c2.c
+        |           ELSE 0 END) AS disc
+        |       FROM cells c1 JOIN cells c2
+        |         ON c2.x > c1.x AND c2.y <> c1.y),
+        |     mg AS (SELECT sum(c) AS n, count(*) AS cells FROM cells),
+        |     tx AS (SELECT sum(nx * (nx - 1)) AS tx2 FROM
+        |              (SELECT sum(c) AS nx FROM cells GROUP BY x)),
+        |     ty AS (SELECT sum(ny * (ny - 1)) AS ty2 FROM
+        |              (SELECT sum(c) AS ny FROM cells GROUP BY y))
+        |SELECT CAST(mg.n AS BIGINT) AS n,
+        |       CAST(mg.cells AS BIGINT) AS cells,
+        |       CAST(COALESCE(cd.conc, 0) AS BIGINT) AS concordant,
+        |       CAST(COALESCE(cd.disc, 0) AS BIGINT) AS discordant,
+        |       CASE WHEN mg.n * (mg.n - 1) - tx.tx2 > 0
+        |             AND mg.n * (mg.n - 1) - ty.ty2 > 0 THEN
+        |         CAST(round(CAST(COALESCE(cd.conc, 0)
+        |             - COALESCE(cd.disc, 0) AS DOUBLE) * 1000000.0 /
+        |           (sqrt(CAST(mg.n * (mg.n - 1) - tx.tx2 AS DOUBLE)
+        |              / 2.0)
+        |            * sqrt(CAST(mg.n * (mg.n - 1) - ty.ty2 AS DOUBLE)
+        |              / 2.0))) AS BIGINT)
+        |       END AS tau_b_ppm
+        |FROM cd, mg, tx, ty""".stripMargin) { spark =>
+      Stats.kendallTau(
+        spark.table("lineitem").select(
+          expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div 1000000")
+            .as("y")),
+        "x", "y")
     })
 }

@@ -231,6 +231,35 @@ class InferenceStatsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("kFoldAssign: exact quotas — fold sizes differ by at most one") {
+    val df = (1L to 103L).map(i => (i, i * 7)).toDF("a", "b")
+    val got = Stats.kFoldAssign(df, Seq("a", "b"), k = 5).collect()
+    assert(got.length == 103)
+    val sizes = got.groupBy(_.getAs[Long]("fold")).map(_._2.length).toSeq
+    assert(sizes.max - sizes.min <= 1, s"sizes: $sizes")
+    assert(sizes.sum == 103 && sizes.size == 5)
+    // deterministic across runs
+    val again = Stats.kFoldAssign(df, Seq("a", "b"), k = 5).collect()
+    assert(got.map(r => (r.getLong(0), r.getAs[Long]("fold"))).sortBy(_._1)
+      .toSeq == again.map(r => (r.getLong(0), r.getAs[Long]("fold")))
+      .sortBy(_._1).toSeq)
+  }
+
+  test("kendallTau: perfect concordance, reversal, and ties") {
+    // y strictly increasing in x → tau = +1
+    val up = (1L to 10L).map(i => (i, i * 3)).toDF("x", "y")
+    assert(Stats.kendallTau(up, "x", "y").collect().head
+      .getAs[Long]("tau_b_ppm") == 1000000L)
+    // y strictly decreasing → tau = -1
+    val down = (1L to 10L).map(i => (i, 100L - i)).toDF("x", "y")
+    assert(Stats.kendallTau(down, "x", "y").collect().head
+      .getAs[Long]("tau_b_ppm") == -1000000L)
+    // constant y: all pairs are y-ties → denominator zero → null
+    val const = (1L to 10L).map(i => (i, 5L)).toDF("x", "y")
+    val r = Stats.kendallTau(const, "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("tau_b_ppm")))
+  }
+
   test("autocorrelation: constant series has zero denominator (null); " +
     "alternating series is perfectly anti-correlated at lag 1") {
     val const = (0L to 9L).map(t => ("k", t, 5L)).toDF("g", "t", "x")

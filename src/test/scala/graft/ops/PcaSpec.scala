@@ -32,6 +32,19 @@ class PcaSpec extends SparkSpec {
     assert(got.getAs[Long]("sum_i") == -1L) // -1 + 0
   }
 
+  test("mergeCovarianceSums: split + merge equals the direct pass") {
+    val all = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f), Seq(5.0f, 1.0f),
+      Seq(2.0f, 2.0f)).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val direct = Pca.covarianceSums(all, "v").orderBy("i", "j")
+      .collect().map(_.toSeq).toSeq
+    val merged = Pca.mergeCovarianceSums(
+      Pca.covarianceSums(all.filter("id % 2 = 0"), "v"),
+      Pca.covarianceSums(all.filter("id % 2 = 1"), "v"))
+      .orderBy("i", "j").collect().map(_.toSeq).toSeq
+    assert(merged == direct)
+  }
+
   test("jacobiEigen: known 2x2 eigensystem") {
     // [[2,1],[1,2]] → λ = 3, 1; v0 = (1,1)/√2, v1 = (1,-1)/√2 (canon +)
     val (vals, vecs) = Pca.jacobiEigen(
