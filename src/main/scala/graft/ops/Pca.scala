@@ -211,4 +211,40 @@ object Pca {
       model: PcaModel, k: Int): DataFrame =
     Similarity.projectVectors(df, idCol, vecCol,
       model.components.take(k).map(_.toSeq).toSeq)
+
+  /** Persist a fitted model as a tiny parquet table (the
+    * Tokenizer.saveModel / Similarity.saveIndex build-once/serve-many
+    * discipline): one row per matrix cell, kind ∈ {meta, eig, comp,
+    * cov}. Model size is O(dims²) — never data-sized. */
+  def saveModel(model: PcaModel,
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val meta = Seq(("meta", 0, 0, model.n.toDouble),
+      ("meta", 1, 0, model.dims.toDouble))
+    val eig = model.eigenvalues.zipWithIndex.map { case (v, i) =>
+      ("eig", i, 0, v) }
+    val comp = for {
+      i <- model.components.indices; j <- 0 until model.dims
+    } yield ("comp", i, j, model.components(i)(j))
+    val cov = for {
+      i <- 0 until model.dims; j <- 0 until model.dims
+    } yield ("cov", i, j, model.covariance(i)(j))
+    (meta ++ eig ++ comp ++ cov).toDF("kind", "i", "j", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val rows = spark.read.parquet(path).collect()
+    def grab(kind: String) = rows.filter(_.getString(0) == kind)
+    val meta = grab("meta").map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    val d = meta(1).toInt
+    val eig = grab("eig").sortBy(_.getInt(1)).map(_.getDouble(3))
+    def mat(kind: String): Array[Array[Double]] = {
+      val m = Array.ofDim[Double](d, d)
+      grab(kind).foreach(r => m(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+      m
+    }
+    PcaModel(meta(0).toLong, d, eig, mat("comp"), mat("cov"))
+  }
 }

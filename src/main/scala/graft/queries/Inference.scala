@@ -1128,5 +1128,41 @@ object Inference {
           expr("CAST(floor(l_extendedprice * 100) AS BIGINT) div 1000000")
             .as("y")),
         "x", "y")
+    },
+
+    // ob1 — in-flight gate metrics via Dataset.observe: the audit
+    // counters a curation gate must emit (rows seen / kept / kept
+    // volume) collected ON the gating pass itself — observe attaches
+    // an accumulator-backed CollectMetrics node to the plan, so the
+    // counters cost ZERO extra scans at any corpus size (the
+    // alternative — a second aggregate over the input — reads 100 TB
+    // twice). The gate's output is consumed through a noop write; the
+    // observed values are the query result, and the oracle recomputes
+    // the same counters directly.
+    QueryDef.views("ob1_observed_gate_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 20000
+        |                 AND lang <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 20000
+        |                 AND lang <> '' THEN n_chars END) AS BIGINT)
+        |         AS chars_kept
+        |FROM documents""".stripMargin) { spark =>
+      import spark.implicits._
+      val keep = expr(
+        "n_chars BETWEEN 100 AND 20000 AND lang <> ''")
+      val obs = new org.apache.spark.sql.Observation("gate")
+      val gated = spark.table("documents")
+        .observe(obs,
+          count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_chars"))).as("chars_kept"))
+        .filter(keep)
+      gated.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      Seq((m("n_total").asInstanceOf[Long],
+        m("n_kept").asInstanceOf[Long],
+        m("chars_kept").asInstanceOf[Long]))
+        .toDF("n_total", "n_kept", "chars_kept")
     })
 }

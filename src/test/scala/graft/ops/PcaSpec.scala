@@ -67,6 +67,21 @@ class PcaSpec extends SparkSpec {
     assert(vecs(0).toSeq == Seq(0.0, 1.0, 0.0))
   }
 
+  test("saveModel/loadModel round-trips the fitted model exactly") {
+    val df = Seq(Seq(0.1f, 0.9f), Seq(0.4f, 0.2f), Seq(0.7f, 0.5f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val model = Pca.fit(df, "v")
+    val dir = tmpDir("pca-model")
+    Pca.saveModel(model, spark, dir)
+    val back = Pca.loadModel(spark, dir)
+    assert(back.n == model.n && back.dims == model.dims)
+    assert(back.eigenvalues.toSeq == model.eigenvalues.toSeq)
+    assert(back.components.map(_.toSeq).toSeq ==
+      model.components.map(_.toSeq).toSeq)
+    assert(back.covariance.map(_.toSeq).toSeq ==
+      model.covariance.map(_.toSeq).toSeq)
+  }
+
   test("fit + project: rank-1 data lands on one component") {
     // points t·(3,4)/5 for t = 1..40: variance is all along (0.6, 0.8)
     val pts = (1 to 40).map { t =>
