@@ -2229,7 +2229,94 @@ object CdcQueries {
         |           GROUP BY 1, 2, 3)
         |SELECT tertile, CAST(nb AS BIGINT) AS n_events,
         |       CAST((1000000*num) // (2*nb*nr) AS BIGINT) AS tvd_ppm
-        |FROM g ORDER BY tertile""".stripMargin))
+        |FROM g ORDER BY tertile""".stripMargin)),
+
+    // st15 — streaming OBSERVED gate metrics: ob1's in-flight audit
+    // counters on a continuous pipeline. The quality gate runs as real
+    // micro-batches (st14's tertile-chunk fixture, one file per
+    // trigger) with `Dataset.observe` attached to the STREAMING plan —
+    // Structured Streaming surfaces the per-batch accumulator values
+    // through each StreamingQueryProgress's observedMetrics, so the
+    // counters cost zero extra passes AND zero state: this is the
+    // mechanism a production gate's monitoring actually uses. The
+    // result is the per-chunk (rows seen / kept / kept volume) table
+    // read back from the progress events; the oracle recomputes the
+    // same counters per tertile statically.
+    QueryDef("st15_stream_observed_gate", (spark, dir) => {
+      import spark.implicits._
+      graft.Tables.registerAll(spark, dir)
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+        else 31L * f.length() + f.lastModified()
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st15v1-" +
+        java.lang.Long.toHexString(fp(new java.io.File(s"$dir/documents.parquet")))
+      val run = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-st15-fixture-$key")
+      if (!Files.exists(run.resolve("chunk-2.parquet"))) {
+        Files.createDirectories(run)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val n = spark.table("documents").count()
+        val tert = spark.table("documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("tertile", expr(s"((__rn - 1) * 3) div $n"))
+          .drop("__rn")
+        (0 until 3).foreach { k =>
+          val tmp = run.resolve(s"w-$k")
+          tert.filter(col("tertile") === k).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.toFile.listFiles()
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(sys.error("st15 fixture: no part file"))
+          Files.move(part.toPath, run.resolve(s"chunk-$k.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          tmp.toFile.listFiles().foreach(_.delete()); Files.delete(tmp)
+          run.resolve(s"chunk-$k.parquet").toFile
+            .setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      val keep = expr("n_chars BETWEEN 100 AND 20000 AND lang <> ''")
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, tertile BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(run.toString)
+        .observe("gate",
+          min(col("tertile")).as("tertile"),
+          count(lit(1)).as("n_total"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_chars"))).as("chars_kept"))
+        .filter(keep)
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st15-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate")))
+        .filter(r => !r.isNullAt(r.fieldIndex("tertile")))
+        .map(r => (r.getAs[Long]("tertile"), r.getAs[Long]("n_total"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept")))
+      metrics.toDF("tertile", "n_total", "n_kept", "chars_kept")
+        .orderBy("tertile")
+    }, Some(
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |             row_number() OVER (ORDER BY doc_id) AS rn,
+        |             count(*) OVER () AS n
+        |           FROM documents),
+        |     t AS (SELECT ((rn - 1) * 3) // n AS tertile, lang, n_chars
+        |           FROM r)
+        |SELECT tertile,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 20000
+        |                 AND lang <> '' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 20000
+        |                 AND lang <> '' THEN n_chars END) AS BIGINT)
+        |         AS chars_kept
+        |FROM t GROUP BY 1 ORDER BY tertile""".stripMargin))
   )
 
   private def st13OracleSql: String =
