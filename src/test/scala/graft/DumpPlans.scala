@@ -81,7 +81,9 @@ object DumpPlans {
     "iso1x_isotonic_calibration", "db1_dbscan_grid",
     "tm1_trimmed_mean", "ed1_embedding_drift", "knn1_loo_accuracy",
     "br1_brier_score", "lp1_label_propagation", "rn1_ransac_fit",
-    "acf1_autocorrelation", "an1_anchor_text")
+    "acf1_autocorrelation", "an1_anchor_text",
+    "pca2_incremental_covariance", "kf1_kfold_assign",
+    "kt1_kendall_tau", "ob1_observed_gate_metrics")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
