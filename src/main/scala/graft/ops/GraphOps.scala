@@ -324,4 +324,58 @@ object GraphOps {
     }
     visited
   }
+
+  /** k-core of the UNDIRECTED graph (direction/duplicates/self-loops
+    * dropped): the maximal induced subgraph in which every node keeps
+    * degree ≥ k — the standard link-farm / dense-community extractor
+    * (cores survive peeling; sparse organic fringes do not). Synchronous
+    * peeling: each round recomputes induced degrees over the CURRENT
+    * survivor set and drops every node below k, all at once. Running a
+    * FIXED `rounds` count (rather than testing convergence) keeps every
+    * round a pure function of the previous survivor set, so an external
+    * engine unrolling the same rounds matches bit-for-bit whether or not
+    * the peel has converged — and once it converges, extra rounds are
+    * exact no-ops, so any rounds ≥ the peel depth yields exactly the
+    * k-core (the fixpoint is verified engine-side in GraphOpsSpec, not
+    * assumed). Emits (v, deg): survivors with their degree INSIDE the
+    * final induced subgraph.
+    *
+    * Scale shape per round: two semi-join-shaped hash joins of the
+    * symmetrized edge list against the survivor set (node ids only —
+    * 8 bytes a row, never payloads) + one hash-aggregated degree count
+    * with map-side partials. The edge relation is symmetrized and
+    * partitioned ONCE (localCheckpoint) and re-probed each round;
+    * survivors shrink monotonically, so per-round exchange volume only
+    * goes down. Nothing in the loop retains history or grows with
+    * round count — at 100 TB the cost is rounds × (edges ⋈ survivors),
+    * the same bound as any Pregel superstep over the edge list. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: need k >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"kCore: rounds must be in [1, 64], got $rounds")
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sym = e.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b")),
+        struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .localCheckpoint() // re-probed every peel round
+    var alive = sym.select(col("a").as("v")).distinct().localCheckpoint()
+    def inducedDegrees(surv: DataFrame): DataFrame = sym
+      // both endpoints must survive for the edge to count toward the
+      // induced degree; shuffle-hash — everything is node-keyed
+      .join(surv.select(col("v").as("a")).hint("shuffle_hash"), "a")
+      .join(surv.select(col("v").as("b")).hint("shuffle_hash"), "b")
+      .groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds)
+      alive = inducedDegrees(alive).filter(col("deg") >= k)
+        .select("v").localCheckpoint() // ids only: truncate the round's
+                                       // lineage, carry 8 bytes a node
+    // survivors reported with their degree INSIDE the final core — one
+    // more induced-degree pass so the emitted number is the subgraph
+    // invariant (≥ k at fixpoint), not a stale pre-peel count
+    inducedDegrees(alive)
+  }
 }

@@ -1349,4 +1349,79 @@ object Stats {
                | div (cast(__ca as decimal(38,0)) * __cb)""".stripMargin)
           .cast("long").as("lift_ppm"))
   }
+
+  /** Rank-position discounts for [[ndcgAtK]]: round(10⁹ / log2(r+1))
+    * for rank r — the standard NDCG discount, pre-rounded to ppb
+    * CONSTANTS so no engine ever evaluates a logarithm at query time
+    * (libm log2 can differ in the last ulp across engines, which under
+    * a floor would flip a digit; a fixed rational table can't). */
+  val ndcgDiscountsPpb: Seq[(Int, Long)] = Seq(
+    1 -> 1000000000L, 2 -> 630929754L, 3 -> 500000000L,
+    4 -> 430676558L, 5 -> 386852807L, 6 -> 356207187L,
+    7 -> 333333333L, 8 -> 315464877L, 9 -> 301029996L, 10 -> 289064826L)
+
+  /** NDCG@k — THE graded-relevance retrieval metric (how good is a
+    * ranked run when relevance isn't binary). Inputs: `run` =
+    * (query, doc, rank 1..k) — a retrieval head, |queries|·k rows;
+    * `judgments` = (query, doc, integer grade ≥ 0). Per query:
+    *   DCG  = Σ_{r ≤ k} (2^grade(doc@r) − 1) · disc(r)
+    *   IDCG = the same sum over the IDEAL reordering of that query's
+    *          judged pool (grades descending), truncated at k
+    *   NDCG = DCG / IDCG
+    * All arithmetic is exact integers: gains are 2^g−1 BIGINTs, the
+    * discounts come from [[ndcgDiscountsPpb]], and NDCG is emitted as
+    * `dcg·10⁶ div idcg` ppm — bit-identical on any engine.
+    *
+    * The ideal side never sorts the judged pool per doc: it reduces to
+    * per-(query, grade) COUNTS, turns the cumulative counts into rank
+    * intervals (one window over ≤ |grades| rows per query), and joins
+    * the k-row discount table against those intervals — |queries|·k
+    * work however many docs are judged. The run side is one broadcast
+    * join against the k-row discount table plus a left join onto
+    * judgments keyed (query, doc) — at 100 TB the only corpus-shaped
+    * cost is whatever produced the run and judgments upstream.
+    * Queries with an empty judged pool emit NULL ndcg (0/0 is
+    * meaningless, not zero). Emits (query, dcg_ppb, idcg_ppb,
+    * ndcg_ppm). */
+  def ndcgAtK(run: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, judgments: DataFrame, jQueryCol: String,
+      jDocCol: String, gradeCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscountsPpb.length,
+      s"ndcgAtK: k must be in [1, ${ndcgDiscountsPpb.length}], got $k")
+    require(run.sparkSession eq judgments.sparkSession,
+      "ndcgAtK: run and judgments must share a session")
+    val spark = run.sparkSession
+    import spark.implicits._
+    val disc = spark.createDataset(ndcgDiscountsPpb.take(k))
+      .toDF("__rk", "__disc_ppb")
+    def gain(g: Column): Column =
+      call_function("shiftleft", lit(1L), g.cast("int")) - 1
+    val j = judgments.select(col(jQueryCol).as("__q"),
+      col(jDocCol).as("__d"), col(gradeCol).cast("long").as("__g"))
+      .filter(col("__g") > 0)
+    val r = run.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("int").as("__rk"))
+      .filter(col("__rk") <= k)
+    val dcg = r.join(j, Seq("__q", "__d"), "left")
+      .join(broadcast(disc), "__rk")
+      .groupBy("__q")
+      .agg(sum(gain(coalesce(col("__g"), lit(0L))) * col("__disc_ppb"))
+        .cast("long").as("dcg_ppb"))
+    // ideal ranking as grade→rank-interval arithmetic: the window runs
+    // over per-(query, grade) counts — ≤ |distinct grades| rows per
+    // query — never over the judged pool itself
+    val byGrade = j.groupBy("__q", "__g").agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy("__q").orderBy(col("__g").desc)
+    val intervals = byGrade
+      .withColumn("__hi", sum("__n").over(w))
+      .withColumn("__lo", col("__hi") - col("__n"))
+    val idcg = intervals.join(broadcast(disc),
+        col("__rk") > col("__lo") && col("__rk") <= col("__hi"))
+      .groupBy("__q")
+      .agg(sum(gain(col("__g")) * col("__disc_ppb"))
+        .cast("long").as("idcg_ppb"))
+    dcg.join(idcg, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("dcg_ppb"), col("idcg_ppb"),
+        expr("dcg_ppb * 1000000 div idcg_ppb").as("ndcg_ppm"))
+  }
 }

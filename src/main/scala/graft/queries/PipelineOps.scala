@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, GraphOps, Layout, Privacy, Profile, PublicSuffix, Similarity, TextOps, Tokenizer, WebOps}
+import graft.ops.{Dedup, GraphOps, Layout, Privacy, Profile, PublicSuffix, Similarity, Stats, TextOps, Tokenizer, WebOps}
 
 /** LLM-training-data pipeline operators (BASELINE.json north_star; SURVEY §7.5
   * item 5) — thin oracle-graded wrappers over the public library surface in
@@ -1796,6 +1796,93 @@ object PipelineOps {
         .withColumnRenamed("v", "doc_id")
       TextOps.hybridRerank(retrieved, auth, "pr", rrfK = 60, topK = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // ndcg1 — NDCG@10 of the rt1 BM25 run against graded relevance
+    // (grade = how many of the query's terms the doc contains, 1..3):
+    // the eval loop that closes the retrieval tier (rt1 produces a run,
+    // THIS scores it). Gains 2^g−1 and a pre-rounded ppb discount TABLE
+    // ([[graft.ops.Stats.ndcgDiscountsPpb]] — no engine evaluates log2
+    // at query time) keep DCG/IDCG exact integers; the ideal ranking is
+    // grade-count interval arithmetic, never a sort of the judged pool.
+    QueryDef.views("ndcg1_retrieval_eval", {
+      val discRows = Stats.ndcgDiscountsPpb
+        .map { case (r, d) => s"($r, ${d})" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |           FROM documents),
+         |  s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM d),
+         |  p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |          unnest(w) AS token FROM d),
+         |  pt AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+         |         FROM p
+         |         WHERE token IN ('scan','merge','join','window','hash',
+         |                         'stream','batch','spark','dup','sort')
+         |         GROUP BY 1, 2, 3),
+         |  dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |          FROM pt GROUP BY 1),
+         |  q AS (SELECT * FROM (VALUES (0,'scan'),(0,'merge'),(0,'join'),
+         |          (1,'window'),(1,'hash'),
+         |          (2,'stream'),(2,'batch'),(2,'spark'),
+         |          (3,'dup'),(3,'sort')) AS t(query_id, token)),
+         |  sc AS (SELECT q.query_id, pt.doc_id,
+         |           CAST(sum(CAST(round(
+         |             (((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |             * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |             / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |                 + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+         |             * 1000000) AS BIGINT)) AS BIGINT) AS score_ppm
+         |         FROM pt JOIN q USING (token) JOIN dfq USING (token)
+         |         CROSS JOIN s GROUP BY 1, 2),
+         |  r AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_ppm DESC, doc_id) AS rank
+         |        FROM sc),
+         |  jm AS (SELECT q.query_id, dt.doc_id, count(*) AS g
+         |         FROM (SELECT doc_id, unnest(list_distinct(w)) AS token
+         |               FROM d) dt
+         |         JOIN q USING (token) GROUP BY 1, 2),
+         |  disc AS (SELECT * FROM (VALUES $discRows) AS t(rk, disc_ppb)),
+         |  dcg AS (SELECT r.query_id,
+         |            CAST(sum(((1 << COALESCE(jm.g, 0)) - 1) * disc_ppb)
+         |              AS BIGINT) AS dcg_ppb
+         |          FROM r JOIN disc ON r.rank = disc.rk
+         |          LEFT JOIN jm ON jm.query_id = r.query_id
+         |            AND jm.doc_id = r.doc_id
+         |          WHERE r.rank <= 10 GROUP BY 1),
+         |  bg AS (SELECT query_id, g, count(*) AS n FROM jm GROUP BY 1, 2),
+         |  ivl AS (SELECT query_id, g,
+         |            sum(n) OVER (PARTITION BY query_id ORDER BY g DESC) AS hi,
+         |            sum(n) OVER (PARTITION BY query_id ORDER BY g DESC) - n AS lo
+         |          FROM bg),
+         |  idcg AS (SELECT ivl.query_id,
+         |             CAST(sum(((1 << g) - 1) * disc_ppb) AS BIGINT) AS idcg_ppb
+         |           FROM ivl JOIN disc ON disc.rk > ivl.lo AND disc.rk <= ivl.hi
+         |           GROUP BY 1)
+         |SELECT CAST(dcg.query_id AS BIGINT) AS query_id, dcg_ppb, idcg_ppb,
+         |       CAST(dcg_ppb * 1000000 // idcg_ppb AS BIGINT) AS ndcg_ppm
+         |FROM dcg LEFT JOIN idcg ON dcg.query_id = idcg.query_id
+         |ORDER BY query_id""".stripMargin
+    }) { spark =>
+      import spark.implicits._
+      val terms = Seq(0 -> Seq("scan", "merge", "join"),
+        1 -> Seq("window", "hash"),
+        2 -> Seq("stream", "batch", "spark"),
+        3 -> Seq("dup", "sort"))
+      val docs = spark.table("documents")
+      val run = TextOps.bm25Retrieve(docs, "doc_id", "text", terms, k = 10)
+      val qt = terms.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+        .toDF("query_id", "token")
+      // graded relevance: distinct query terms present in the doc —
+      // one tokenize scan, broadcast term list, (query, doc) hash agg
+      val judged = docs.select(col("doc_id"), explode(array_distinct(
+          filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+        .join(broadcast(qt), "token")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("grade"))
+      Stats.ndcgAtK(run, "query_id", "doc_id", "rank",
+        judged, "query_id", "doc_id", "grade", k = 10)
+        .orderBy("query_id")
     },
 
     // Composition: host authority = page-level integer PageRank (pr1's
