@@ -83,7 +83,8 @@ object DumpPlans {
     "br1_brier_score", "lp1_label_propagation", "rn1_ransac_fit",
     "acf1_autocorrelation", "an1_anchor_text",
     "pca2_incremental_covariance", "kf1_kfold_assign",
-    "kt1_kendall_tau", "ob1_observed_gate_metrics")
+    "kt1_kendall_tau", "ob1_observed_gate_metrics",
+    "kcore1_k_core", "ndcg1_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
