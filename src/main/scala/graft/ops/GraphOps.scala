@@ -378,4 +378,73 @@ object GraphOps {
     // invariant (≥ k at fixpoint), not a stale pre-peel count
     inducedDegrees(alive)
   }
+
+  /** Neighborhood function via sketch propagation — the HyperBall/ANF
+    * family (Boldi–Rosa–Vigna; Palmer–Gibbons–Faloutsos): for every
+    * node, |B(v, r)| = how many nodes sit within r hops on the
+    * UNDIRECTED graph, for r = 1..radius. The exact computation is
+    * all-pairs BFS (O(V·E) — dead at any scale); the scalable form
+    * replaces each node's reachable SET with a mergeable distinct-count
+    * sketch and runs r rounds of "my ball = union of my neighbors'
+    * balls ∪ mine", which is exactly one edge join + one kmv_merge hash
+    * aggregate per round. This is the primitive behind closeness/
+    * harmonic centrality, effective-diameter estimation, and
+    * hop-coverage crawl audits.
+    *
+    * Sketches are the engine's persisted KMV arrays
+    * ([[graft.functions.KmvSketch]]): self-describing array<bigint>,
+    * merged by the `kmv_merge` aggregate map-side like any partial agg.
+    * KMV is EXACT below its k (the sketch still holds every distinct
+    * hash), so with k above the largest ball the output is the exact
+    * neighborhood function — which is what the oracle grades at fixture
+    * scale; at 100 TB you drop k to 256 and take the ±1/√(k−2) rsd, and
+    * NOTHING about the plan changes. Per-round state is |V| sketches of
+    * ≤ k+1 longs (bounded by construction — the reason this beats
+    * materializing reachable sets), localCheckpoint'd so round r+1
+    * starts from bytes, not lineage.
+    *
+    * Self-loops are added to the propagation edge list once, so a
+    * single join+agg per round does "neighbors ∪ self". Emits
+    * (v, r, ball) for r = 1..radius, ball = sketch estimate of
+    * |B(v, r)| INCLUDING v itself. */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+      dstCol: String, radius: Int, k: Int = 1024): DataFrame = {
+    require(radius >= 1 && radius <= 16,
+      s"neighborhoodFunction: radius must be in [1, 16], got $radius")
+    require(k >= 16, s"neighborhoodFunction: need k >= 16, got $k")
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    // propagation relation: both directions + a self-loop per node, so
+    // each round is ONE join + ONE merge agg (no separate union-with-
+    // own-sketch pass); built and partitioned once
+    val prop = e.select(explode(array(
+        struct(col("src").as("a"), col("dst").as("b")),
+        struct(col("dst").as("a"), col("src").as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .union(nodes.select(col("v").as("a"), col("v").as("b")))
+      .distinct()
+      .localCheckpoint() // re-probed every round
+    // B(v, 0) = {v}: one k-sized sketch per node seeded with its own id
+    var sk = nodes.groupBy("v")
+      .agg(expr(s"kmv_sketch(v, $k)").as("sk"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to radius) {
+      sk = prop
+        .join(sk.select(col("v").as("b"), col("sk")).hint("shuffle_hash"),
+          "b")
+        .groupBy(col("a").as("v"))
+        .agg(expr("kmv_merge(sk)").as("sk"))
+        .localCheckpoint() // bytes, not lineage: round r+1 and the
+                           // estimate projection both read this once
+      val est = sk.select(col("v"), lit(r.toLong).as("r"),
+        expr("kmv_value(sk)").as("ball"))
+      out = if (out == null) est else out.unionByName(est)
+    }
+    out
+  }
 }

@@ -885,6 +885,50 @@ object Inference {
         .orderBy("v")
     },
 
+    // nb1 — neighborhood function |B(v, r)| for r = 1..3 on pr1's doc
+    // link graph via KMV-sketch propagation (the HyperBall/ANF shape:
+    // one edge join + one mergeable-sketch hash agg per round — the
+    // scalable stand-in for all-pairs BFS). KMV is exact below its k,
+    // and k = 1024 clears every ball at fixture scale, so the oracle
+    // grades the sketch path against the EXACT ball sizes (unrolled
+    // distinct-pair BFS CTEs) bit-for-bit; at 100 TB the same plan
+    // runs with k = 256 and a ±1/√(k−2) rsd instead.
+    QueryDef.views("nb1_neighborhood_function", {
+      def ball(i: Int) =
+        s"""  b$i AS (SELECT DISTINCT p.a, b${i - 1}.x
+           |    FROM ps p JOIN b${i - 1} ON b${i - 1}.a = p.b)""".stripMargin
+      val counts = (1 to 3).map(i =>
+        s"""SELECT a AS v, CAST($i AS BIGINT) AS r,
+           |  CAST(count(*) AS BIGINT) AS ball FROM b$i GROUP BY 1""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  sym AS (SELECT DISTINCT a, b FROM
+         |    (SELECT src AS a, dst AS b FROM e
+         |     UNION ALL SELECT dst, src FROM e)),
+         |  nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |  ps AS (SELECT a, b FROM sym
+         |         UNION SELECT v, v FROM nodes),
+         |  b0 AS (SELECT v AS a, v AS x FROM nodes),
+         |${(1 to 3).map(ball).mkString(",\n")}
+         |SELECT v, r, ball FROM ($counts)
+         |ORDER BY v, r""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      graft.ops.GraphOps.neighborhoodFunction(edges, "src", "dst",
+        radius = 3, k = 1024).orderBy("v", "r")
+    },
+
     // rn1 — RANSAC robust line fit (quantity → price cents, eps $5k,
     // 16 trials): the fit OLS can't give when gross outliers dominate.
     // Trial samples, inlier tests and the winner are all deterministic

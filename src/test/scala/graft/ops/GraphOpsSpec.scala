@@ -228,6 +228,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(r8.forall(_._2 >= 3)) // every survivor keeps core degree
   }
 
+  private def balls(edges: Seq[(Long, Long)], radius: Int,
+      k: Int = 1024): Map[(Long, Long), Long] =
+    GraphOps.neighborhoodFunction(edges.toDF("src", "dst"), "src", "dst",
+        radius, k)
+      .collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("r")) ->
+        r.getAs[Long]("ball")).toMap
+
+  test("neighborhoodFunction: exact ball sizes on a path (k above balls)") {
+    // path 0-1-2-3: B(0,1)={0,1}, B(0,2)={0,1,2}, B(1,1)={0,1,2}, ...
+    val b = balls(Seq((0L, 1L), (1L, 2L), (2L, 3L)), 2)
+    assert(b((0L, 1L)) == 2L && b((0L, 2L)) == 3L)
+    assert(b((1L, 1L)) == 3L && b((1L, 2L)) == 4L)
+    assert(b((3L, 1L)) == 2L && b((3L, 2L)) == 3L)
+  }
+
+  test("neighborhoodFunction: direction is noise; balls saturate at |V|") {
+    val b = balls(Seq((1L, 0L), (2L, 1L), (2L, 3L)), 4)
+    assert(b((0L, 4L)) == 4L) // whole component reached, then stable
+    assert(b((0L, 3L)) == 4L)
+  }
+
+  test("neighborhoodFunction: k below the ball degrades to an estimate") {
+    // star: center's 1-ball is 33 nodes; k=16 forces the KMV estimator
+    // (rsd 1/√14 ≈ 27%) — assert the estimate is in a generous band,
+    // NOT exact (that it stays an estimator is the documented contract)
+    val star = (1L to 32L).map(i => (0L, i))
+    val b = balls(star, 1, k = 16)
+    assert(b((0L, 1L)) > 15L && b((0L, 1L)) < 70L)
+    // leaves' 1-balls are {leaf, 0} = 2 < k: still exact
+    assert(b((5L, 1L)) == 2L)
+  }
+
   test("personalizedPageRank: uniform seeds over all nodes = pageRank") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
