@@ -447,4 +447,76 @@ object GraphOps {
     }
     out
   }
+
+  /** Per-edge support over a normalized (a < b, distinct) undirected
+    * edge set: the number of triangles the edge closes. Enumeration is
+    * [[triangleCounts]]' degree-ordered compact-forward (each triangle
+    * found once at its minimum-(deg, id) apex, O(√m) oriented
+    * out-degree bounds the wedge exchange); each triangle then credits
+    * its THREE edges — emitted as ordered (a, b) pairs — through one
+    * hash aggregate. Edges in no triangle don't appear (support 0). */
+  private def edgeSupport(ue: DataFrame): DataFrame = {
+    val deg = ue.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = ue
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("t")))
+        .otherwise(struct(col("b").as("u"), col("a").as("t"))).as("e"))
+      .select(col("e.u").as("u"), col("e.t").as("t"))
+    val e1 = oriented.select(col("u"), col("t").as("v"))
+    val e2 = oriented.select(col("u"), col("t").as("w"))
+    val wedges = e1.join(e2, Seq("u")).filter(col("v") < col("w"))
+    val tris = wedges.join(ue,
+      wedges("v") === ue("a") && wedges("w") === ue("b"), "left_semi")
+    // u is min in (deg, id) order, not id order — re-normalize the two
+    // apex edges; the closing edge (v, w) is already id-ordered
+    tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(col("v").as("a"), col("w").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss of the UNDIRECTED graph: the maximal subgraph in which
+    * every EDGE sits in ≥ k−2 triangles — the edge-level strengthening
+    * of [[kCore]] (cores bound degrees; trusses demand the degrees be
+    * CLOSED into triangles, so they isolate cohesive communities that
+    * mere hub-ness can't fake — the spam-ring extractor one notch
+    * stricter than the link farm's k-core). Same fixed-rounds
+    * synchronous peeling contract as kCore: each round recomputes
+    * per-edge support over the CURRENT survivor set and drops every
+    * edge below k−2 at once, so an external engine unrolling the same
+    * rounds matches bit-for-bit converged or not, and any rounds ≥ the
+    * peel depth yields exactly the k-truss (fixpoint spec-asserted).
+    * Emits surviving edges with their support INSIDE the final
+    * subgraph: (a, b, support), a < b — edges whose final support is 0
+    * are not emitted (they close no triangle there).
+    *
+    * Scale shape per round: [[edgeSupport]]'s two node-keyed equi-joins
+    * (wedge build + closure semi-join, Σ out-deg² bounded) + one edge-
+    * keyed hash agg + one filter — edge keys (16 B) are all that moves,
+    * survivors shrink monotonically, and the round's output is
+    * localCheckpoint'd ids so no lineage accumulates. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 3, s"kTruss: need k >= 3, got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"kTruss: rounds must be in [1, 16], got $rounds")
+    var surv = edges.select(
+        least(col(srcCol), col(dstCol)).cast("bigint").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      surv = edgeSupport(surv).filter(col("support") >= k - 2)
+        .select("a", "b").localCheckpoint()
+    edgeSupport(surv)
+  }
 }

@@ -853,21 +853,24 @@ object Inference {
     // peel converged; GraphOpsSpec verifies the fixpoint IS reached
     // (so what's graded is exactly the 3-core, not a truncation).
     QueryDef.views("kcore1_k_core", {
+      // a_i is referenced twice per round and sym every round:
+      // MATERIALIZED, or DuckDB's CTE inlining re-expands the whole
+      // prefix 2^rounds times (measured: 89s inlined vs 0.04s here)
       def round(i: Int) =
         s"""  d$i AS (SELECT s.a AS v, count(*) AS deg FROM sym s
            |    JOIN a${i - 1} x ON s.a = x.v
            |    JOIN a${i - 1} y ON s.b = y.v GROUP BY 1),
-           |  a$i AS (SELECT v FROM d$i WHERE deg >= 3)""".stripMargin
+           |  a$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= 3)""".stripMargin
       s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
          |  ks AS (SELECT doc_id AS src,
          |           unnest(range(1, 2 + doc_id % 3)) AS k
          |         FROM documents),
          |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
          |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
-         |  sym AS (SELECT DISTINCT a, b FROM
+         |  sym AS MATERIALIZED (SELECT DISTINCT a, b FROM
          |    (SELECT src AS a, dst AS b FROM e
          |     UNION ALL SELECT dst, src FROM e)),
-         |  a0 AS (SELECT DISTINCT a AS v FROM sym),
+         |  a0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
          |${(1 to 8).map(round).mkString(",\n")},
          |  df AS (SELECT s.a AS v, count(*) AS deg FROM sym s
          |    JOIN a8 x ON s.a = x.v JOIN a8 y ON s.b = y.v GROUP BY 1)
@@ -894,8 +897,10 @@ object Inference {
     // distinct-pair BFS CTEs) bit-for-bit; at 100 TB the same plan
     // runs with k = 256 and a ±1/√(k−2) rsd instead.
     QueryDef.views("nb1_neighborhood_function", {
+      // b_i feeds both the next round and its own count — MATERIALIZED
+      // keeps DuckDB from re-expanding the prefix per reference
       def ball(i: Int) =
-        s"""  b$i AS (SELECT DISTINCT p.a, b${i - 1}.x
+        s"""  b$i AS MATERIALIZED (SELECT DISTINCT p.a, b${i - 1}.x
            |    FROM ps p JOIN b${i - 1} ON b${i - 1}.a = p.b)""".stripMargin
       val counts = (1 to 3).map(i =>
         s"""SELECT a AS v, CAST($i AS BIGINT) AS r,
@@ -911,7 +916,7 @@ object Inference {
          |    (SELECT src AS a, dst AS b FROM e
          |     UNION ALL SELECT dst, src FROM e)),
          |  nodes AS (SELECT DISTINCT a AS v FROM sym),
-         |  ps AS (SELECT a, b FROM sym
+         |  ps AS MATERIALIZED (SELECT a, b FROM sym
          |         UNION SELECT v, v FROM nodes),
          |  b0 AS (SELECT v AS a, v AS x FROM nodes),
          |${(1 to 3).map(ball).mkString(",\n")}
@@ -927,6 +932,70 @@ object Inference {
         .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
       graft.ops.GraphOps.neighborhoodFunction(edges, "src", "dst",
         radius = 3, k = 1024).orderBy("v", "r")
+    },
+
+    // ktr1 — 4-truss (every edge in ≥ 2 triangles) over the hash link
+    // graph UNIONED with a banded graph (doc i — i±1, i±2, i±3 mod N):
+    // the edge-level cohesion extractor one notch stricter than
+    // kcore1. The band makes triangle structure dense with varied
+    // supports while the sparse hash edges mostly close no triangles —
+    // so the peel does real work (2483 → 1508 edges at sf0.01).
+    // kcore1's fixed-rounds contract: 4 unrolled synchronous rounds,
+    // fixpoint reached by round 3 at both grading scales
+    // (spec-asserted); oracle enumerates triangles min-apex style
+    // (engine uses the degree-ordered orientation — same triangle set,
+    // different enumeration). Round CTEs are MATERIALIZED: each
+    // references its predecessor 3×, and DuckDB's CTE inlining would
+    // re-expand the prefix 3^rounds times.
+    QueryDef.views("ktr1_k_truss", {
+      def round(i: Int) =
+        s"""  tr$i AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |    FROM s${i - 1} e1 JOIN s${i - 1} e2
+           |      ON e1.a = e2.a AND e1.b < e2.b
+           |    JOIN s${i - 1} e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |  sup$i AS (SELECT a, b, count(*) AS sup FROM (
+           |      SELECT x AS a, y AS b FROM tr$i
+           |      UNION ALL SELECT x AS a, z AS b FROM tr$i
+           |      UNION ALL SELECT y AS a, z AS b FROM tr$i) GROUP BY 1, 2),
+           |  s$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 2)""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  eh AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |         FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  bd AS (SELECT doc_id AS src, (doc_id + d) % nn.ndoc AS dst
+         |         FROM documents, nn, (SELECT unnest(range(1, 4)) AS d)
+         |         WHERE (doc_id + d) % nn.ndoc <> doc_id),
+         |  ue AS (SELECT DISTINCT least(src, dst) AS a,
+         |           greatest(src, dst) AS b
+         |         FROM (SELECT src, dst FROM eh
+         |               UNION ALL SELECT src, dst FROM bd)),
+         |  s0 AS MATERIALIZED (SELECT a, b FROM ue),
+         |${(1 to 4).map(round).mkString(",\n")},
+         |  trf AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |    FROM s4 e1 JOIN s4 e2 ON e1.a = e2.a AND e1.b < e2.b
+         |    JOIN s4 e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT x AS a, y AS b FROM trf
+         |    UNION ALL SELECT x AS a, z AS b FROM trf
+         |    UNION ALL SELECT y AS a, z AS b FROM trf) GROUP BY 1, 2
+         |ORDER BY a, b""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val hash = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      val band = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, 3)")).as("d"), col("ndoc"))
+        .select(col("src"), expr("(src + d) % ndoc").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.GraphOps.kTruss(hash.unionByName(band), "src", "dst",
+        k = 4, rounds = 4).orderBy("a", "b")
     },
 
     // rn1 — RANSAC robust line fit (quantity → price cents, eps $5k,

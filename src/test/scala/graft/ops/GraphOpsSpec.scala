@@ -228,6 +228,65 @@ class GraphOpsSpec extends SparkSpec {
     assert(r8.forall(_._2 >= 3)) // every survivor keeps core degree
   }
 
+  private def truss(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 4): Map[(Long, Long), Long] =
+    GraphOps.kTruss(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("support")).toMap
+
+  test("kTruss: K4 is a 4-truss; hanging a triangle off it peels away") {
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)).toSeq
+    // in K4 every edge closes exactly 2 triangles
+    assert(truss(k4, 4) == k4.map(e => e -> 2L).toMap)
+    // a triangle glued at node 3 has support-1 edges: k=4 peels all
+    // three (the shared node's K4 edges keep support 2)
+    val glued = k4 ++ Seq((3L, 10L), (3L, 11L), (10L, 11L))
+    assert(truss(glued, 4) == k4.map(e => e -> 2L).toMap)
+    // but the glued triangle IS part of the 3-truss (support >= 1)
+    val t3 = truss(glued, 3)
+    assert(t3((3L, 10L)) == 1L && t3((10L, 11L)) == 1L)
+  }
+
+  test("kTruss: cascading edge peel — bowtie loses both wings at k=4") {
+    // two triangles sharing node 0 only: every edge has support 1,
+    // k=4 (support >= 2) empties the graph in one round
+    val bowtie = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (0L, 3L), (3L, 4L), (4L, 0L))
+    assert(truss(bowtie, 4).isEmpty)
+    assert(truss(bowtie, 3).size == 6) // each wing survives at k=3
+  }
+
+  test("kTruss: direction, duplicates and self-loops are normalized away") {
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val noisy = Seq((1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L),
+      (1L, 1L))
+    assert(truss(noisy, 3) == truss(tri, 3))
+  }
+
+  test("ktr1's 4 rounds reach the fixpoint on the sf0.001 banded graph") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nn = docs.agg(count(lit(1)).as("ndoc"))
+    val hash = docs.crossJoin(broadcast(nn))
+      .select(col("doc_id").as("src"),
+        explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+        col("ndoc"))
+      .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+    val band = docs.crossJoin(broadcast(nn))
+      .select(col("doc_id").as("src"),
+        explode(expr("sequence(1, 3)")).as("d"), col("ndoc"))
+      .select(col("src"), expr("(src + d) % ndoc").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = hash.unionByName(band)
+    def run(rounds: Int) = GraphOps.kTruss(e, "src", "dst", 4, rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r4 = run(4)
+    assert(r4 == run(5))
+    assert(r4.nonEmpty, "4-truss must be non-trivial for the grade to bite")
+    assert(r4.forall(_._3 >= 2)) // fixpoint ⇒ every edge keeps support
+  }
+
   private def balls(edges: Seq[(Long, Long)], radius: Int,
       k: Int = 1024): Map[(Long, Long), Long] =
     GraphOps.neighborhoodFunction(edges.toDF("src", "dst"), "src", "dst",
