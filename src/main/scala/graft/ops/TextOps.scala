@@ -1959,6 +1959,53 @@ object TextOps {
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
   }
 
+  /** SFT chat-template assembly offsets — the loss-masking table an
+    * instruction-tuning pipeline needs next to packing (pk1/bt1): given
+    * per-doc transcripts as alternating fixed-width word turns (user
+    * first), compute WHERE each turn's content lands in the assembled
+    * template string `tag₀‖content₀‖tag₁‖content₁‖…` so the trainer can
+    * mask loss to assistant spans only. Emits one row per turn:
+    * (doc_id, turn_idx, role, start_off, end_off, content_md5) with
+    * 0-based character offsets into the assembled string — filtering to
+    * role = 'assistant' IS the loss mask; the md5 pins the content the
+    * offsets point at.
+    *
+    * All arithmetic is exact lengths (no tokenizer dependency — compose
+    * with tk2's id codec for token-level masks): start = Σ previous
+    * (tag+content) lengths + own tag length, via one per-doc running-sum
+    * window whose partitions are bounded by turns-per-doc — scan-local
+    * chunking, no corpus-wide sort, nothing grows with corpus size. */
+  def sftTurnOffsets(df: DataFrame, idCol: String, textCol: String,
+      wordsPerTurn: Int = 8, userTag: String = "<|user|>",
+      assistantTag: String = "<|assistant|>"): DataFrame = {
+    require(wordsPerTurn >= 1,
+      s"sftTurnOffsets: wordsPerTurn must be >= 1, got $wordsPerTurn")
+    val words = df.select(col(idCol).as("doc_id"), toks(textCol).as("__w"))
+      .filter(size(col("__w")) > 0) // empty docs assemble to nothing
+    val turns = words.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast((size(__w) - 1) div $wordsPerTurn as int)),
+           |  i -> array_join(slice(__w, i * $wordsPerTurn + 1,
+           |                        $wordsPerTurn), ' '))""".stripMargin))
+        .as(Seq("turn_idx", "content")))
+    val tagLen = when(col("turn_idx") % 2 === 0, lit(userTag.length))
+      .otherwise(lit(assistantTag.length)).cast("long")
+    val w = Window.partitionBy("doc_id").orderBy("turn_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("role", when(col("turn_idx") % 2 === 0, lit("user"))
+        .otherwise(lit("assistant")))
+      .withColumn("__piece_len",
+        length(col("content")).cast("long") + tagLen)
+      .withColumn("start_off",
+        coalesce(sum(col("__piece_len")).over(w), lit(0L)) + tagLen)
+      .select(col("doc_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("role"), col("start_off"),
+        (col("start_off") + length(col("content"))).as("end_off"),
+        md5(col("content")).as("content_md5"))
+  }
+
   /** Top-k adjacent-bigram association strength — PMI expressed as an
     * exact integer LIFT ratio over the bigram event space (the log is
     * monotone, so ranking/thresholding on lift ≡ ranking on PMI while

@@ -2429,6 +2429,46 @@ object PipelineOps {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // sft1 — chat-template assembly offsets for SFT loss masking
+    // ([[graft.ops.TextOps.sftTurnOffsets]]): docs become alternating
+    // 8-word user/assistant turns; the output says where each turn's
+    // content lands (0-based char offsets) in the assembled
+    // `<|user|>…<|assistant|>…` string, so role='assistant' rows ARE
+    // the loss mask. Pure length arithmetic + a per-doc running-sum
+    // window (partitions bounded by turns-per-doc); the md5 pins the
+    // content each span points at.
+    QueryDef.views("sft1_turn_mask_offsets",
+      """WITH w AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '),
+        |               x -> len(x) > 0) AS w
+        |           FROM documents),
+        |  t AS (SELECT doc_id,
+        |          unnest(range(0, 1 + (len(w) - 1) // 8)) AS turn_idx,
+        |          w
+        |        FROM w WHERE len(w) > 0),
+        |  c AS (SELECT doc_id, turn_idx,
+        |          array_to_string(list_slice(w, turn_idx * 8 + 1,
+        |            turn_idx * 8 + 8), ' ') AS content,
+        |          CASE WHEN turn_idx % 2 = 0 THEN 'user'
+        |               ELSE 'assistant' END AS role,
+        |          CASE WHEN turn_idx % 2 = 0 THEN 8 ELSE 13 END AS tag_len
+        |        FROM t),
+        |  o AS (SELECT doc_id, turn_idx, role, content, tag_len,
+        |          COALESCE(sum(len(content) + tag_len) OVER (
+        |            PARTITION BY doc_id ORDER BY turn_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |            0) + tag_len AS start_off
+        |        FROM c)
+        |SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+        |       CAST(start_off AS BIGINT) AS start_off,
+        |       CAST(start_off + len(content) AS BIGINT) AS end_off,
+        |       md5(content) AS content_md5
+        |FROM o ORDER BY doc_id, turn_idx""".stripMargin) { spark =>
+      TextOps.sftTurnOffsets(spark.table("documents"), "doc_id", "text",
+          wordsPerTurn = 8)
+        .orderBy("doc_id", "turn_idx")
+    },
+
     // Token-weighted median document length per language: the
     // unweighted median answers "the typical document", this answers
     // "the typical TOKEN's document" — the statistic that actually

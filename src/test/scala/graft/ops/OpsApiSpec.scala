@@ -573,4 +573,28 @@ class OpsApiSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("In(token"),
       s"token IN-list not pushed to the postings scan:\n$plan")
   }
+
+  test("sftTurnOffsets: offsets reconstruct the assembled template") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2-word turns over a 5-word doc: 3 turns (u, a, u), last short;
+    // one empty doc assembles to nothing
+    val docs = Seq((1L, "alpha beta gamma delta eps"), (2L, " "))
+      .toDF("doc_id", "text")
+    val rows = TextOps.sftTurnOffsets(docs, "doc_id", "text",
+        wordsPerTurn = 2)
+      .orderBy("doc_id", "turn_idx").collect()
+    assert(rows.forall(_.getLong(0) == 1L)) // empty doc emits no turns
+    val contents = Seq("alpha beta", "gamma delta", "eps")
+    val assembled = "<|user|>alpha beta<|assistant|>gamma delta<|user|>eps"
+    rows.zip(contents).zipWithIndex.foreach { case ((r, c), i) =>
+      assert(r.getLong(1) == i.toLong)
+      assert(r.getString(2) == (if (i % 2 == 0) "user" else "assistant"))
+      val (s, e) = (r.getLong(3).toInt, r.getLong(4).toInt)
+      // the offsets must slice the assembled string back to the content
+      assert(assembled.substring(s, e) == c, s"turn $i span [$s,$e)")
+    }
+    // the single assistant span IS the loss mask
+    assert(rows.count(_.getString(2) == "assistant") == 1)
+  }
 }
