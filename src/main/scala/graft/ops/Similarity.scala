@@ -1039,4 +1039,62 @@ object Similarity {
         col("pred_label"),
         (col("pred_label") === col("true_label")).as("correct"))
   }
+
+  /** k-center greedy coreset — the diverse-subset selector data
+    * curation reaches for when "representative AND spread out" beats
+    * random sampling (active-learning coresets, eval-set seeding,
+    * dedup anchors): start from the smallest id, then k−1 times pick
+    * the point FARTHEST from everything selected so far (farthest-
+    * point traversal — the classic 2-approximation to the k-center
+    * cover). Emits the selected rows (center_idx, vec_id, dist_sq)
+    * where dist_sq is the squared distance to the previously-selected
+    * set at pick time — center k's dist_sq IS the coverage radius the
+    * first k−1 centers left, so the column doubles as the marginal-
+    * gain curve ("how much diversity did each pick buy").
+    *
+    * Exact integer arithmetic end to end: coordinates micro-fixed to
+    * 10^scalePow BIGINTs, squared distances summed in BIGINT, argmax
+    * tie-broken (dist desc, id asc) — bit-identical on any engine
+    * replaying the same greedy.
+    *
+    * Scale shape: the vector table is coded once (localCheckpoint) and
+    * re-scanned k times — each round is ONE scan-local distance update
+    * against a single broadcast-as-literal center + ONE max_by
+    * aggregate (map-side partials; a single row reaches the driver per
+    * round). State between rounds is one BIGINT column riding the
+    * checkpointed rows. k driver round-trips of one row each is the
+    * textbook distributed farthest-point loop — nothing material ever
+    * collects. */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, scalePow: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 64, s"kCenterGreedy: k must be in [1, 64], got $k")
+    require(scalePow >= 0 && scalePow <= 9,
+      s"kCenterGreedy: scalePow must be in [0, 9], got $scalePow")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val s = math.pow(10, scalePow).toLong
+    val vecs = corpus.select(col(idCol).cast("bigint").as("id"),
+        expr(s"transform($vecCol, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * $s) AS BIGINT))").as("v"))
+      .localCheckpoint() // re-scanned once per round
+    def distTo(center: Seq[Long]) = expr(
+      s"aggregate(zip_with(v, array(${center.mkString(",")}), " +
+        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val first = vecs.orderBy("id").head()
+    var centers = List((0L, first.getLong(0), 0L))
+    var cur = vecs.withColumn("mind", distTo(first.getSeq[Long](1)))
+      .localCheckpoint()
+    for (i <- 1 until k) {
+      // farthest point, ties to the smaller id; one row to the driver
+      val pick = cur.agg(max_by(struct(col("id"), col("v"), col("mind")),
+          struct(col("mind"), -col("id"))).as("p"))
+        .select(col("p.id"), col("p.v"), col("p.mind")).head()
+      centers ::= (i.toLong, pick.getLong(0), pick.getLong(2))
+      if (i < k - 1)
+        cur = cur.withColumn("mind",
+            least(col("mind"), distTo(pick.getSeq[Long](1))))
+          .localCheckpoint()
+    }
+    centers.reverse.toDF("center_idx", "vec_id", "dist_sq")
+  }
 }

@@ -555,6 +555,57 @@ object PipelineOps {
         .orderBy("cluster")
     },
 
+    // kc1 — k-center greedy coreset (farthest-point traversal, k = 6):
+    // the diverse-subset selector next to km1 (partition), hn1
+    // (contrast) and sm* (sample) — "representative AND spread out"
+    // for active-learning coresets and eval-set seeding. Exact micro-
+    // fixed integer distances, argmax ties to the smaller id, so the
+    // oracle replays the greedy pick-for-pick (round CTEs MATERIALIZED
+    // — each feeds the next round AND its own argmax). dist_sq is the
+    // marginal-gain curve: each pick's distance to everything before
+    // it.
+    QueryDef.views("kc1_kcenter_coreset", {
+      // distance via per-row list arithmetic against the ONE picked
+      // center (sil1's shape) — a long-form dimension self-join here
+      // made DuckDB build the i-keyed cross product before filtering
+      // to the center (minutes at sf0.1); this form is milliseconds
+      def round(i: Int) =
+        s"""  c$i AS MATERIALIZED (SELECT vec_id AS id, mind FROM (
+           |    SELECT vec_id, mind, row_number() OVER
+           |      (ORDER BY mind DESC, vec_id) AS rn FROM m${i - 1})
+           |    WHERE rn = 1),
+           |  v$i AS (SELECT v AS cv FROM q JOIN c$i ON q.vec_id = c$i.id),
+           |  m$i AS MATERIALIZED (SELECT m.vec_id,
+           |      least(m.mind, CAST(list_sum(list_transform(
+           |        range(1, len(q.v) + 1),
+           |        j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))
+           |        AS BIGINT)) AS mind
+           |    FROM m${i - 1} m JOIN q USING (vec_id) CROSS JOIN v$i c)"""
+          .stripMargin
+      s"""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
+         |             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+         |               AS BIGINT)) AS v
+         |           FROM embeddings),
+         |  c0 AS (SELECT min(vec_id) AS id FROM q),
+         |  v0 AS (SELECT v AS cv FROM q JOIN c0 ON q.vec_id = c0.id),
+         |  m0 AS MATERIALIZED (SELECT q.vec_id,
+         |      CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+         |        j -> (q.v[j] - c.cv[j]) * (q.v[j] - c.cv[j])))
+         |        AS BIGINT) AS mind
+         |    FROM q CROSS JOIN v0 c),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT CAST(center_idx AS BIGINT) AS center_idx, vec_id,
+         |       CAST(dist_sq AS BIGINT) AS dist_sq FROM (
+         |  SELECT 0 AS center_idx, id AS vec_id, 0 AS dist_sq FROM c0
+         |${(1 to 5).map(i =>
+            s"  UNION ALL SELECT $i, id, mind FROM c$i").mkString("\n")})
+         |ORDER BY center_idx""".stripMargin
+    }) { spark =>
+      Similarity.kCenterGreedy(spark.table("embeddings"), "vec_id",
+          "embedding", k = 6)
+        .orderBy("center_idx")
+    },
+
     // LSH-bucketed ANN (scale path). Rows-only.
     QueryDef("s2_ann_lsh", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)

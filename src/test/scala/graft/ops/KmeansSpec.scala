@@ -106,4 +106,21 @@ class KmeansSpec extends SparkSpec {
     assert(sizes.length >= 2, "k-means degenerated to one cluster")
     assert(sizes.map(_.getLong(1)).sum == emb.count())
   }
+
+  test("kCenterGreedy: farthest-point traversal on a hand line") {
+    import spark.implicits._
+    // points on a line at 0, 1, 10, 11 (id = position): seed id 0,
+    // then 11 (dist² 121), then 1? no — after {0, 11} the min-dists
+    // are 1→1, 10→1: tie at 10⁻⁶-scaled 1e12, smaller id 1 wins
+    val pts = Seq(0L -> 0.0, 1L -> 1.0, 10L -> 10.0, 11L -> 11.0)
+      .map { case (id, x) => (id, Seq(x.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == (0L, 0L, 0L))
+    assert(got(1) == (1L, 11L, 121L * 1000000000000L))
+    assert(got(2) == (2L, 1L, 1000000000000L))
+    // marginal gains must be non-increasing (greedy invariant)
+    assert(got(1)._3 >= got(2)._3)
+  }
 }
