@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Link-graph operators for crawl curation. Page/domain authority is a
@@ -446,6 +447,29 @@ object GraphOps {
       out = if (out == null) est else out.unionByName(est)
     }
     out
+  }
+
+  /** Bounded-radius harmonic centrality — the closeness-family score
+    * that stays defined on disconnected graphs: hc(v) = Σ_{r ≤ R}
+    * (|B(v,r)| − |B(v,r−1)|) / r, i.e. every node reached at distance
+    * r contributes 1/r. Computed straight off
+    * [[neighborhoodFunction]]'s ball sizes (the whole point of the
+    * HyperBall paper — centralities fall out of the neighborhood
+    * function as arithmetic), with 1/r pre-truncated to the ppm
+    * integer 10⁶ div r so the score is exact on any engine. The
+    * post-processing is one per-node window over ≤ R rows (the ball
+    * column, lagged) + one hash agg — nothing touches the graph again.
+    * Emits (v, hc_ppm); with k above the largest ball the score is
+    * exact, otherwise it inherits the sketch's rsd. */
+  def harmonicCentrality(edges: DataFrame, srcCol: String,
+      dstCol: String, radius: Int, k: Int = 1024): DataFrame = {
+    val nf = neighborhoodFunction(edges, srcCol, dstCol, radius, k)
+    val w = Window.partitionBy("v").orderBy("r")
+    nf
+      .withColumn("__prev", coalesce(lag("ball", 1).over(w), lit(1L)))
+      .groupBy("v")
+      .agg(sum((col("ball") - col("__prev")) * expr("1000000 div r"))
+        .cast("long").as("hc_ppm"))
   }
 
   /** Per-edge support over a normalized (a < b, distinct) undirected

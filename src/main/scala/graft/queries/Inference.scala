@@ -934,6 +934,52 @@ object Inference {
         radius = 3, k = 1024).orderBy("v", "r")
     },
 
+    // nb2 — bounded-radius harmonic centrality off nb1's ball sizes
+    // (the HyperBall dividend: centrality = arithmetic over the
+    // neighborhood function, the graph is never touched again). Every
+    // node reached at distance r adds 10⁶ div r ppm; exact because
+    // k = 1024 keeps the sketches below their k at fixture scale.
+    QueryDef.views("nb2_harmonic_centrality", {
+      def ball(i: Int) =
+        s"""  b$i AS MATERIALIZED (SELECT DISTINCT p.a, b${i - 1}.x
+           |    FROM ps p JOIN b${i - 1} ON b${i - 1}.a = p.b)""".stripMargin
+      val counts = (1 to 3).map(i =>
+        s"""SELECT a AS v, $i AS r, count(*) AS ball FROM b$i GROUP BY 1""")
+        .mkString("\nUNION ALL\n")
+      s"""WITH nn AS (SELECT count(*) AS ndoc FROM documents),
+         |  ks AS (SELECT doc_id AS src,
+         |           unnest(range(1, 2 + doc_id % 3)) AS k
+         |         FROM documents),
+         |  e AS (SELECT DISTINCT src, (src * 7 + k * k) % nn.ndoc AS dst
+         |        FROM ks, nn WHERE (src * 7 + k * k) % nn.ndoc <> src),
+         |  sym AS (SELECT DISTINCT a, b FROM
+         |    (SELECT src AS a, dst AS b FROM e
+         |     UNION ALL SELECT dst, src FROM e)),
+         |  nodes AS (SELECT DISTINCT a AS v FROM sym),
+         |  ps AS MATERIALIZED (SELECT a, b FROM sym
+         |         UNION SELECT v, v FROM nodes),
+         |  b0 AS (SELECT v AS a, v AS x FROM nodes),
+         |${(1 to 3).map(ball).mkString(",\n")},
+         |  u AS (SELECT v, r, ball FROM ($counts)),
+         |  l AS (SELECT v, r, ball,
+         |          COALESCE(lag(ball) OVER (PARTITION BY v ORDER BY r),
+         |            1) AS prev
+         |        FROM u)
+         |SELECT v, CAST(sum((ball - prev) * (1000000 // r)) AS BIGINT)
+         |         AS hc_ppm
+         |FROM l GROUP BY v ORDER BY v""".stripMargin
+    }) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("ndoc"))
+      val edges = docs.crossJoin(broadcast(nn))
+        .select(col("doc_id").as("src"),
+          explode(expr("sequence(1, CAST(1 + doc_id % 3 AS INT))")).as("k"),
+          col("ndoc"))
+        .select(col("src"), expr("(src * 7 + k * k) % ndoc").as("dst"))
+      graft.ops.GraphOps.harmonicCentrality(edges, "src", "dst",
+        radius = 3, k = 1024).orderBy("v")
+    },
+
     // ktr1 — 4-truss (every edge in ≥ 2 triangles) over the hash link
     // graph UNIONED with a banded graph (doc i — i±1, i±2, i±3 mod N):
     // the edge-level cohesion extractor one notch stricter than

@@ -85,7 +85,8 @@ object DumpPlans {
     "pca2_incremental_covariance", "kf1_kfold_assign",
     "kt1_kendall_tau", "ob1_observed_gate_metrics",
     "kcore1_k_core", "ndcg1_retrieval_eval", "nb1_neighborhood_function",
-    "ktr1_k_truss", "sft1_turn_mask_offsets", "kc1_kcenter_coreset")
+    "ktr1_k_truss", "sft1_turn_mask_offsets", "kc1_kcenter_coreset",
+    "nb2_harmonic_centrality")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

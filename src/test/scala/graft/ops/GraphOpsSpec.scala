@@ -309,6 +309,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(b((0L, 3L)) == 4L)
   }
 
+  test("harmonicCentrality: hand-computed ppm scores on a path") {
+    import org.apache.spark.sql.functions.col
+    // path 0-1-2-3, radius 3: hc(0) = 1·10⁶ + 1·(10⁶ div 2) +
+    // 1·(10⁶ div 3) = 1833333; hc(1) = 2·10⁶ + 1·500000 = 2500000
+    val hc = GraphOps.harmonicCentrality(
+        Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"),
+        "src", "dst", radius = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("hc_ppm"))
+      .toMap
+    assert(hc == Map(0L -> 1833333L, 1L -> 2500000L,
+      2L -> 2500000L, 3L -> 1833333L))
+  }
+
   test("neighborhoodFunction: k below the ball degrades to an estimate") {
     // star: center's 1-ball is 33 nodes; k=16 forces the KMV estimator
     // (rsd 1/√14 ≈ 27%) — assert the estimate is in a generous band,
