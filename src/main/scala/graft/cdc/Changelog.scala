@@ -290,6 +290,43 @@ object Changelog {
     * never crosses partitions). This is the standard warehouse
     * "dimension history" consumer the latest-only changelog view can't
     * serve: as-of queries, audit trails, slowly-changing joins. */
+  /** Transactionally-consistent snapshot at an LSN watermark — the
+    * all-or-nothing visibility rule a CDC consumer must honor when it
+    * materializes "the table as of W": a transaction is visible only if
+    * it is WHOLLY durable at W (its last LSN ≤ W). Filtering rows by
+    * `lsn <= W` alone would apply the half of a straddling transaction
+    * that happens to sit below the watermark — exactly the torn read
+    * logical replication exists to prevent (postgres publishes changes
+    * in commit order; Debezium surfaces txId for this reason).
+    * Compaction then follows [[compact]]'s batch twin: latest envelope
+    * per key by LSN, deletes drop the key. Emits (id, last_lsn,
+    * event_type).
+    *
+    * Scale shape: one (txId → max lsn) hash aggregate — |transactions|
+    * rows, map-side partials — equi-joined back onto the envelope
+    * stream (AQE broadcasts the committed-tx set when it is small,
+    * which it is: transactions, not rows), then the one-exchange
+    * max_by compaction. Nothing scans the log twice. */
+  def txConsistentSnapshot(events: Dataset[CdcEnvelope],
+      watermarkLsn: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val env = events.toDF()
+    val committed = env.groupBy("txId").agg(max("lsn").as("__maxLsn"))
+      .filter(col("__maxLsn") <= watermarkLsn)
+      .select("txId")
+    env.join(committed, "txId")
+      .withColumn("id", coalesce(
+        element_at(col("after"), "id"),
+        element_at(col("before"), "id")).cast("long"))
+      .groupBy("id")
+      .agg(max_by(struct(col("lsn"), col("op"),
+        element_at(col("after"), "event_type").as("et")),
+        col("lsn")).as("last"))
+      .filter(col("last.op") =!= "d")
+      .select(col("id"), col("last.lsn").as("last_lsn"),
+        col("last.et").as("event_type"))
+  }
+
   def scd2(events: Dataset[CdcEnvelope]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -526,6 +526,42 @@ object CdcQueries {
           |FROM r WHERE rn = 1 AND op != 'd'
           |ORDER BY id""".stripMargin)),
 
+    // tx1 — transactionally-consistent snapshot at an LSN watermark
+    // ([[graft.cdc.Changelog.txConsistentSnapshot]]): a transaction is
+    // visible only if WHOLLY durable at W (its max lsn ≤ W) — the
+    // all-or-nothing rule that distinguishes "the table as of W" from
+    // a torn `lsn <= W` row filter. The fixture's transactions span
+    // 100 LSNs (txId = lsn div 100) and W is placed mid-transaction
+    // (max·6/10 − 50), so one transaction genuinely straddles the
+    // watermark and its below-W rows must STILL be excluded — the
+    // semantics the oracle enforces row-for-row. ChangelogSpec pins
+    // the straddle on a hand WAL.
+    QueryDef("tx1_consistent_snapshot",
+      (spark, dir) => {
+        import spark.implicits._
+        val fix = ensureFixture(spark, dir)
+        val env = readWal(spark, fix, "jsonl").drop("mode").as[CdcEnvelope]
+        // watermark: a driver scalar off one max() aggregate — mirrors
+        // the oracle's w CTE exactly (integer arithmetic both sides)
+        val w =
+          env.toDF().agg(max(col("lsn"))).head().getLong(0) * 6 / 10 - 50
+        Changelog.txConsistentSnapshot(env, w).orderBy("id")
+      },
+      Some(envCte +
+        """
+          |, w AS (SELECT max(lsn) * 6 // 10 - 50 AS wl FROM env),
+          |  mx AS (SELECT tx_id, max(lsn) AS ml FROM env GROUP BY 1),
+          |  ok AS (SELECT tx_id FROM mx, w WHERE ml <= wl),
+          |  vis AS (SELECT env.* FROM env JOIN ok USING (tx_id)),
+          |  r AS (SELECT user_id, lsn, op, after_event_type,
+          |          row_number() OVER (PARTITION BY user_id
+          |                             ORDER BY lsn DESC) AS rn
+          |        FROM vis)
+          |SELECT CAST(user_id AS BIGINT) AS id, lsn AS last_lsn,
+          |       after_event_type AS event_type
+          |FROM r WHERE rn = 1 AND op != 'd'
+          |ORDER BY id""".stripMargin)),
+
     QueryDef("cdc3_snapshot_stream",
       (spark, dir) => {
         val fix = ensureFixture(spark, dir)

@@ -79,4 +79,41 @@ class Scd2Spec extends SparkSpec {
     assert(hist == Set(("7", 1L, Some(6L)), ("7", 6L, None),
       ("8", 2L, None)))
   }
+
+  private def txEnv(lsn: Long, txId: Long, op: String, id: String,
+      et: String): CdcEnvelope = {
+    val img = Map("id" -> id, "event_type" -> et)
+    CdcEnvelope(lsn, txId, lsn * 1000, op, "db", "s1", "users",
+      before = if (op == "d") img else Map.empty,
+      after = if (op == "d") Map.empty else img)
+  }
+
+  test("txConsistentSnapshot: a straddling transaction is ALL excluded") {
+    // tx 1 = lsns 1,2 (committed ≤ W=4); tx 2 = lsns 3,5 — lsn 3 sits
+    // below the watermark but the tx's last lsn (5) does not, so BOTH
+    // rows are invisible: key 9 keeps tx 1's image, key 8 never exists
+    val env = Seq(
+      txEnv(1, 1, "c", "9", "signup"),
+      txEnv(2, 1, "u", "9", "click"),
+      txEnv(3, 2, "u", "9", "error"), // below W, but tx 2 straddles
+      txEnv(5, 2, "c", "8", "signup"))
+    val got = Changelog.txConsistentSnapshot(env.toDS(), watermarkLsn = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == Set((9L, 2L, "click")))
+    // a naive lsn <= W filter would have returned key 9 @ lsn 3 "error"
+    val torn = Changelog.txConsistentSnapshot(env.toDS(), watermarkLsn = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(torn == Set((9L, 3L, "error"), (8L, 5L, "signup")))
+  }
+
+  test("txConsistentSnapshot: deletes inside visible transactions drop keys") {
+    val env = Seq(
+      txEnv(1, 1, "c", "7", "signup"),
+      txEnv(2, 2, "d", "7", "gone"))
+    val got = Changelog.txConsistentSnapshot(env.toDS(), watermarkLsn = 9)
+      .collect()
+    assert(got.isEmpty)
+  }
 }
