@@ -34,6 +34,30 @@ object Privacy {
     df.join(safe, quasi, "left_semi")
   }
 
+  /** l-diversity suppression — k-anonymity's missing half: a group can
+    * be large (≥ k) yet still leak if everyone in it shares the same
+    * SENSITIVE value (the homogeneity attack — "all 12 patients in
+    * this quasi-group have the same diagnosis"). Keep only rows whose
+    * quasi group has BOTH ≥ k members and ≥ l distinct sensitive
+    * values.
+    *
+    * Scale shape: [[kAnonymous]]'s exactly — one hash aggregation to
+    * |groups| rows (count + distinct-sensitive per group; the distinct
+    * is per-group bounded by l × group size, partial aggs map-side),
+    * then one LEFT SEMI join of the fact against the safe-group list. */
+  def lDiverse(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Int, l: Int): DataFrame = {
+    require(quasi.nonEmpty, "lDiverse: need at least one quasi column")
+    require(k >= 2, s"lDiverse: k must be >= 2, got $k")
+    require(l >= 2, s"lDiverse: l must be >= 2, got $l")
+    val safe = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitive)).as("__l"))
+      .filter(col("__n") >= k && col("__l") >= l)
+      .select(quasi.map(col): _*)
+    df.join(safe, quasi, "left_semi")
+  }
+
   /** Laplace-noised group counts (ε-DP release shape) with DETERMINISTIC
     * noise: u ~ Uniform(0,1) is derived from xxhash64 of the group key
     * and `seed`, then inverted through the Laplace CDF with scale 1/ε.

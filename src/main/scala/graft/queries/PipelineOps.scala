@@ -4392,6 +4392,40 @@ object PipelineOps {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // pv3 — l-diversity ([[graft.ops.Privacy.lDiverse]]): pv1's
+    // suppression strengthened against the homogeneity attack — a
+    // quasi-group must have ≥ 8 rows AND ≥ 8 distinct sensitive values
+    // (acctbal-cents signed decile, 19 possible) to publish — both
+    // conditions genuinely split the fixture's groups at sf0.01. Audited per group like
+    // pv1 so the oracle checks the gate's decision everywhere, not
+    // just the surviving rows.
+    QueryDef.views("pv3_l_diversity",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |             count(*) AS n_rows,
+        |             count(DISTINCT CAST(floor(c_acctbal * 100)
+        |               AS BIGINT) % 10) AS n_sens
+        |           FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT c_nationkey, c_mktsegment, n_rows,
+        |       CAST(n_sens AS BIGINT) AS n_sens,
+        |       CAST(CASE WHEN n_rows >= 8 AND n_sens >= 8
+        |            THEN 1 ELSE 0 END AS BIGINT) AS published
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin) { spark =>
+      val quasi = Seq("c_nationkey", "c_mktsegment")
+      val cust = spark.table("customer").withColumn("sens",
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT) % 10"))
+      val kept = Privacy.lDiverse(cust, quasi, "sens", k = 8, l = 8)
+        .groupBy(quasi.map(col): _*)
+        .agg(count(lit(1)).as("n_kept"))
+      cust.groupBy(quasi.map(col): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("sens")).as("n_sens"))
+        .join(kept, quasi, "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_rows"),
+          col("n_sens"),
+          when(col("n_kept").isNotNull, 1L).otherwise(0L).as("published"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ε-DP-shaped noised counts ([[graft.ops.Privacy.dpNoisyCount]]),
     // graded as a property: the deterministic Laplace noise (inverse-
     // CDF of a hash-derived uniform, scale 1/ε) must keep every group's

@@ -23,6 +23,27 @@ class PrivacySpec extends SparkSpec {
       .columns.toSeq == Seq("city", "segment", "id"))
   }
 
+  test("lDiverse: a large-but-homogeneous group is still suppressed") {
+    // (a,x): 3 rows but every sensitive value identical — k=2 passes,
+    // l=2 kills it (the homogeneity attack); (b,x): 2 rows, 2 values ok
+    val df = Seq(
+      ("a", "x", "flu", 1L), ("a", "x", "flu", 2L), ("a", "x", "flu", 3L),
+      ("b", "x", "flu", 5L), ("b", "x", "cold", 6L))
+      .toDF("city", "segment", "dx", "id")
+    val kept = Privacy.lDiverse(df, Seq("city", "segment"), "dx",
+        k = 2, l = 2)
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(5L, 6L))
+    // with l satisfied everywhere, lDiverse degrades to kAnonymous
+    val k2 = Privacy.kAnonymous(df, Seq("city", "segment"), 2)
+      .select("id").as[Long].collect().sorted
+    val l1ish = Privacy.lDiverse(
+        df.withColumn("dx2", col("id").cast("string")),
+        Seq("city", "segment"), "dx2", k = 2, l = 2)
+      .select("id").as[Long].collect().sorted
+    assert(l1ish.toSeq == k2.toSeq)
+  }
+
   test("dpNoisyCount: deterministic per seed, seed moves the noise") {
     val df = Seq.tabulate(300)(i => (s"g${i % 7}", i)).toDF("g", "v")
     def run(seed: Long): Map[String, (Long, Long)] =
