@@ -58,6 +58,49 @@ object Privacy {
     df.join(safe, quasi, "left_semi")
   }
 
+  /** One level of a [[deletionCascade]]: a child table reached from its
+    * parent's victims through `fkCol` (the column referencing the
+    * parent's `pkCol` victims); `pkCol` is what the NEXT level's fk
+    * references. */
+  final case class CascadeLevel(name: String, df: DataFrame,
+      fkCol: String, pkCol: String)
+
+  /** Deletion-request cascade — the right-to-be-forgotten audit: given
+    * subject ids to erase, walk the foreign-key chain (customer →
+    * orders → lineitem shaped) marking every derived row that must go,
+    * and report per table how much leaves. Returns the audit relation
+    * (tbl, n_rows, n_removed, n_kept) — the numbers a compliance
+    * review signs off on BEFORE the actual anti-join rewrite runs
+    * (the rewrite is `df.join(victims, fk, "left_anti")` per level
+    * with the same victim sets this computes).
+    *
+    * Scale shape: per level ONE left-semi join of the child against
+    * the previous level's victim KEYS (ids only — AQE broadcasts
+    * while requests are small, hash-partitions when a crawl-wide
+    * purge isn't) + count aggregates with map-side partials. Payloads
+    * never move; the chain's cost is the chain's scans. */
+  def deletionCascade(rootName: String, root: DataFrame, rootPk: String,
+      requests: DataFrame, reqCol: String,
+      levels: Seq[CascadeLevel]): DataFrame = {
+    val ids = requests.select(col(reqCol).as(rootPk)).distinct()
+    var victims = root.join(ids, Seq(rootPk), "left_semi")
+    def audit(name: String, df: DataFrame, vic: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(vic.agg(count(lit(1)).as("n_removed")))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_removed"),
+          (col("n_rows") - col("n_removed")).as("n_kept"))
+    var out = audit(rootName, root, victims)
+    var keys = victims.select(col(rootPk))
+    levels.foreach { lvl =>
+      val vic = lvl.df.join(
+        keys.withColumnRenamed(keys.columns.head, lvl.fkCol),
+        Seq(lvl.fkCol), "left_semi")
+      out = out.unionByName(audit(lvl.name, lvl.df, vic))
+      keys = vic.select(col(lvl.pkCol))
+    }
+    out
+  }
+
   /** Laplace-noised group counts (ε-DP release shape) with DETERMINISTIC
     * noise: u ~ Uniform(0,1) is derived from xxhash64 of the group key
     * and `seed`, then inverted through the Laplace CDF with scale 1/ε.

@@ -4426,6 +4426,47 @@ object PipelineOps {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // gd1 — right-to-be-forgotten cascade audit
+    // ([[graft.ops.Privacy.deletionCascade]]): erase-requests for
+    // customers with custkey ≡ 0 (mod 97) walked through the FK chain
+    // customer → orders → lineitem, reporting per table how many rows
+    // leave — the numbers a compliance review signs off on before the
+    // anti-join rewrite runs. Per level one ids-only semi join +
+    // count aggregates.
+    QueryDef.views("gd1_deletion_cascade",
+      """WITH vc AS (SELECT c_custkey FROM customer
+        |            WHERE c_custkey % 97 = 0),
+        |  vo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM vc)),
+        |  vl AS (SELECT count(*) AS n FROM lineitem
+        |         WHERE l_orderkey IN (SELECT o_orderkey FROM vo))
+        |SELECT tbl, n_rows, n_removed, n_rows - n_removed AS n_kept
+        |FROM (
+        |  SELECT 'customer' AS tbl,
+        |         CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+        |         CAST((SELECT count(*) FROM vc) AS BIGINT) AS n_removed
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         CAST((SELECT count(*) FROM orders) AS BIGINT),
+        |         CAST((SELECT count(*) FROM vo) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+        |         CAST((SELECT n FROM vl) AS BIGINT))
+        |ORDER BY tbl""".stripMargin) { spark =>
+      val requests = spark.table("customer")
+        .filter(expr("c_custkey % 97 = 0")).select("c_custkey")
+      Privacy.deletionCascade(
+          "customer", spark.table("customer"), "c_custkey",
+          requests, "c_custkey",
+          Seq(
+            Privacy.CascadeLevel("orders", spark.table("orders"),
+              fkCol = "o_custkey", pkCol = "o_orderkey"),
+            Privacy.CascadeLevel("lineitem", spark.table("lineitem"),
+              fkCol = "l_orderkey", pkCol = "l_linenumber")))
+        .orderBy("tbl")
+    },
+
     // ε-DP-shaped noised counts ([[graft.ops.Privacy.dpNoisyCount]]),
     // graded as a property: the deterministic Laplace noise (inverse-
     // CDF of a hash-derived uniform, scale 1/ε) must keep every group's

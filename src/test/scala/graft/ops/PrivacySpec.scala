@@ -44,6 +44,25 @@ class PrivacySpec extends SparkSpec {
     assert(l1ish.toSeq == k2.toSeq)
   }
 
+  test("deletionCascade: victims propagate down the FK chain, audited") {
+    // users 1,2,3; erase 1. orders: (10,u1),(11,u1),(12,u2).
+    // items: (10,a),(10,b),(11,a),(12,a) — removing u1 takes orders
+    // 10,11 and their 3 items; order 12 / its item stay.
+    val users = Seq(1L, 2L, 3L).toDF("uid")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("oid", "uid")
+    val items = Seq((10L, "a"), (10L, "b"), (11L, "a"), (12L, "a"))
+      .toDF("oid", "sku")
+    val audit = Privacy.deletionCascade(
+        "users", users, "uid", Seq(1L).toDF("uid"), "uid",
+        Seq(Privacy.CascadeLevel("orders", orders, "uid", "oid"),
+          Privacy.CascadeLevel("items", items, "oid", "sku")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(audit("users") == ((3L, 1L, 2L)))
+    assert(audit("orders") == ((3L, 2L, 1L)))
+    assert(audit("items") == ((4L, 3L, 1L)))
+  }
+
   test("dpNoisyCount: deterministic per seed, seed moves the noise") {
     val df = Seq.tabulate(300)(i => (s"g${i % 7}", i)).toDF("g", "v")
     def run(seed: Long): Map[String, (Long, Long)] =
