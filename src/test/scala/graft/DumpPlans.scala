@@ -86,7 +86,8 @@ object DumpPlans {
     "kt1_kendall_tau", "ob1_observed_gate_metrics",
     "kcore1_k_core", "ndcg1_retrieval_eval", "nb1_neighborhood_function",
     "ktr1_k_truss", "sft1_turn_mask_offsets", "kc1_kcenter_coreset",
-    "nb2_harmonic_centrality")
+    "nb2_harmonic_centrality", "tx1_consistent_snapshot", "pv3_l_diversity",
+    "gd1_deletion_cascade")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
