@@ -1350,6 +1350,40 @@ object Stats {
           .cast("long").as("lift_ppm"))
   }
 
+  /** Precision/recall/reciprocal-rank@k — the binary-relevance eval
+    * triple next to [[ndcgAtK]]'s graded one. Per query over the run's
+    * top-k: n_rel = relevant docs retrieved (grade ≥ 1 counts as
+    * relevant), precision = n_rel/k, recall = n_rel/|judged relevant|,
+    * rr = 1/rank of the first relevant hit — all emitted as exact ppm
+    * integers (·10⁶ div …). Queries with an empty judged pool emit
+    * NULL recall (0/0); queries whose head has no relevant hit emit
+    * rr = 0. Scale shape: one (query, doc) left join of the |queries|·k
+    * run against judgments + two hash aggregates — nothing touches the
+    * corpus. */
+  def retrievalEval(run: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, judgments: DataFrame, jQueryCol: String,
+      jDocCol: String, gradeCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"retrievalEval: k must be >= 1, got $k")
+    val j = judgments.select(col(jQueryCol).as("__q"),
+      col(jDocCol).as("__d"), col(gradeCol).cast("long").as("__g"))
+      .filter(col("__g") > 0)
+    val nJudged = j.groupBy("__q").agg(count(lit(1)).as("__nj"))
+    val head = run.select(col(queryCol).as("__q"), col(docCol).as("__d"),
+        col(rankCol).cast("long").as("__rk"))
+      .filter(col("__rk") <= k)
+      .join(j.select(col("__q"), col("__d"), lit(1L).as("__rel")),
+        Seq("__q", "__d"), "left")
+    head.groupBy("__q")
+      .agg(sum(coalesce(col("__rel"), lit(0L))).as("n_rel"),
+        min(when(col("__rel").isNotNull, col("__rk"))).as("__first"))
+      .join(nJudged, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        col("n_rel"),
+        expr(s"n_rel * 1000000 div $k").as("precision_ppm"),
+        expr("n_rel * 1000000 div __nj").as("recall_ppm"),
+        coalesce(expr("1000000 div __first"), lit(0L)).as("rr_ppm"))
+  }
+
   /** Rank-position discounts for [[ndcgAtK]]: round(10⁹ / log2(r+1))
     * for rank r — the standard NDCG discount, pre-rounded to ppb
     * CONSTANTS so no engine ever evaluates a logarithm at query time

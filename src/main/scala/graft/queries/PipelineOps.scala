@@ -1936,6 +1936,80 @@ object PipelineOps {
         .orderBy("query_id")
     },
 
+    // ir1 — precision/recall/reciprocal-rank@10 of the same run and
+    // judgments as ndcg1 ([[graft.ops.Stats.retrievalEval]]): the
+    // binary-relevance eval triple (grade ≥ 1 = relevant) in exact
+    // ppm integers. One run⋈judgments left join + two hash aggs.
+    QueryDef.views("ir1_retrieval_pr",
+      s"""WITH d AS (SELECT doc_id,
+         |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+         |           FROM documents),
+         |  s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM d),
+         |  p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |          unnest(w) AS token FROM d),
+         |  pt AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+         |         FROM p
+         |         WHERE token IN ('scan','merge','join','window','hash',
+         |                         'stream','batch','spark','dup','sort')
+         |         GROUP BY 1, 2, 3),
+         |  dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |          FROM pt GROUP BY 1),
+         |  q AS (SELECT * FROM (VALUES (0,'scan'),(0,'merge'),(0,'join'),
+         |          (1,'window'),(1,'hash'),
+         |          (2,'stream'),(2,'batch'),(2,'spark'),
+         |          (3,'dup'),(3,'sort')) AS t(query_id, token)),
+         |  sc AS (SELECT q.query_id, pt.doc_id,
+         |           CAST(sum(CAST(round(
+         |             (((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |             * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |             / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+         |                 + CAST(0.75 AS DOUBLE) * dl / (sum_dl / n_docs)))
+         |             * 1000000) AS BIGINT)) AS BIGINT) AS score_ppm
+         |         FROM pt JOIN q USING (token) JOIN dfq USING (token)
+         |         CROSS JOIN s GROUP BY 1, 2),
+         |  r AS (SELECT query_id, doc_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY score_ppm DESC, doc_id) AS rank
+         |        FROM sc),
+         |  jm AS (SELECT q.query_id, dt.doc_id, count(*) AS g
+         |         FROM (SELECT doc_id, unnest(list_distinct(w)) AS token
+         |               FROM d) dt
+         |         JOIN q USING (token) GROUP BY 1, 2),
+         |  h AS (SELECT r.query_id, r.rank,
+         |          CASE WHEN jm.g IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |        FROM r LEFT JOIN jm ON jm.query_id = r.query_id
+         |          AND jm.doc_id = r.doc_id
+         |        WHERE r.rank <= 10),
+         |  nj AS (SELECT query_id, count(*) AS njud FROM jm GROUP BY 1),
+         |  a AS (SELECT query_id, sum(rel) AS n_rel,
+         |          min(CASE WHEN rel = 1 THEN rank END) AS frst
+         |        FROM h GROUP BY 1)
+         |SELECT CAST(a.query_id AS BIGINT) AS query_id,
+         |       CAST(n_rel AS BIGINT) AS n_rel,
+         |       CAST(n_rel * 1000000 // 10 AS BIGINT) AS precision_ppm,
+         |       CAST(n_rel * 1000000 // njud AS BIGINT) AS recall_ppm,
+         |       CAST(COALESCE(1000000 // frst, 0) AS BIGINT) AS rr_ppm
+         |FROM a LEFT JOIN nj USING (query_id)
+         |ORDER BY query_id""".stripMargin) { spark =>
+      import spark.implicits._
+      val terms = Seq(0 -> Seq("scan", "merge", "join"),
+        1 -> Seq("window", "hash"),
+        2 -> Seq("stream", "batch", "spark"),
+        3 -> Seq("dup", "sort"))
+      val docs = spark.table("documents")
+      val run = TextOps.bm25Retrieve(docs, "doc_id", "text", terms, k = 10)
+      val qt = terms.flatMap { case (q, ts) => ts.map(t => (q.toLong, t)) }
+        .toDF("query_id", "token")
+      val judged = docs.select(col("doc_id"), explode(array_distinct(
+          filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
+        .join(broadcast(qt), "token")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("grade"))
+      Stats.retrievalEval(run, "query_id", "doc_id", "rank",
+        judged, "query_id", "doc_id", "grade", k = 10)
+        .orderBy("query_id")
+    },
+
     // Composition: host authority = page-level integer PageRank (pr1's
     // graph) rolled up by the canonicalized host (WebOps extraction) —
     // the crawl-curation quality prior at the granularity per-site
