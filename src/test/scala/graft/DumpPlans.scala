@@ -87,7 +87,7 @@ object DumpPlans {
     "kcore1_k_core", "ndcg1_retrieval_eval", "nb1_neighborhood_function",
     "ktr1_k_truss", "sft1_turn_mask_offsets", "kc1_kcenter_coreset",
     "nb2_harmonic_centrality", "tx1_consistent_snapshot", "pv3_l_diversity",
-    "gd1_deletion_cascade")
+    "gd1_deletion_cascade", "ir1_retrieval_pr")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
