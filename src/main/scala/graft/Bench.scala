@@ -2,25 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one JSON line of steady-state per-query seconds.
+/** Benchmark main — one JSON line of steady-state totals plus a
+  * full-precision per-query artifact (bench_last.json).
   *
-  * Each query gets one unmeasured warmup execution (whole-stage-codegen
-  * compilation + JIT happen there), then one measured run. Steady-state is
-  * the honest comparison against a long-running engine: on a real cluster
-  * a query's generated code is compiled once and reused across its
-  * lifetime, while the work measured here (scans, shuffles, joins, state)
-  * scales with data. Queries hold no per-query state between runs — with
-  * ONE deliberate exception: the similarity GRADING queries share the
-  * session-scoped GradeFixtures cache (the O(n²) exact diagnostic is
-  * materialized once per run, not once per consumer), so their measured
-  * numbers are cache-warm. They are tagged in the output under "cached"
-  * so round-over-round comparisons never credit the cache as a plan
-  * improvement. Everything else recomputes fully on every run.
+  * Measurement protocol (round 9): one unmeasured WARMUP PASS over every
+  * query (whole-stage-codegen compilation + JIT + grading-fixture
+  * population happen there), then TWO full timed passes with the
+  * per-query MIN taken across passes. The two samples of any query are
+  * minutes apart, so a transient contended window on the host (the
+  * round-8 gate rerun inflated the alphabetically-first queries 3–8×
+  * because both back-to-back measured runs landed inside the same busy
+  * first minutes) can spoil at most one of them — the min survives.
+  * Steady-state is the honest comparison against a long-running engine:
+  * on a real cluster a query's generated code is compiled once and
+  * reused across its lifetime, while the work measured here (scans,
+  * shuffles, joins, state) scales with data. Queries hold no per-query
+  * state between runs — with ONE deliberate exception: the similarity
+  * GRADING queries share the session-scoped GradeFixtures cache (the
+  * O(n²) exact diagnostic is materialized once per run, not once per
+  * consumer), so their measured numbers are cache-warm. They are tagged
+  * in the output under "cached" so round-over-round comparisons never
+  * credit the cache as a plan improvement. Everything else recomputes
+  * fully on every run.
+  *
+  * Stdout contract (round 8: the 315-key per-query map grew the line to
+  * ~6 KB and the driver's ~2 KB tail harvest truncated it mid-line —
+  * BENCH_r08 arrived `parsed: null`): stdout carries the COMPACT summary
+  * only — total, counts, errors/failed/cached, and the 20 slowest
+  * queries (the ones a reviewer compares round-over-round). The complete
+  * per-query map at full precision lives in bench_last.json, which the
+  * "detail" field points at.
   *
   * Failure contract (round 7: a broken table reader made all 145 queries
   * throw and this main still printed a plausible all-green line and exited
   * 0): a table preflight runs first, per-query failures are counted into
   * an "errors" field plus a "failed" list, and any failure → exit != 0.
+  * A failure in ANY pass disqualifies the query (a thrown plan's elapsed
+  * time measures nothing).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,43 +117,56 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cachedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = picked.flatMap { case (name, fn) =>
-      def run(): Option[String] =
-        try { consume(fn(spark, sfDir)); None } catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-        }
-      run() // warmup (codegen + JIT; also populates any grading fixtures)
-      // min of two measured runs: single-run numbers on a busy host can
-      // spike 2-4x from GC/compilation noise; the min is the honest
-      // steady-state. A failure in ANY measured run disqualifies the
-      // query — a thrown plan's elapsed time measures nothing.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[String] =
+      try { consume(fn(spark, sfDir)); None } catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
+    // Warmup pass: codegen + JIT + grading-fixture population, untimed.
+    // Cache detection happens here — a query that touches GradeFixtures
+    // during its first execution is fixture-cached for the timed passes.
+    picked.foreach { case (name, fn) =>
       val fixturesBefore = graft.queries.GradeFixtures.accesses.get()
-      val timed = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val err = run()
-        (err, (System.nanoTime() - t0) / 1e9)
+      run(fn).foreach { e =>
+        System.err.println(s"[bench] $name FAILED (warmup) — $e")
+        errors += name -> e
       }
       if (graft.queries.GradeFixtures.accesses.get() > fixturesBefore)
         cachedQueries += name
-      timed.collectFirst { case (Some(e), _) => e } match {
+    }
+    // Two INTERLEAVED timed passes (all queries once, then all again),
+    // per-query min: the min over samples minutes apart is robust both
+    // to GC/compilation noise AND to a multi-minute contended window on
+    // a shared host, which back-to-back repeats are not.
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to 2; (name, fn) <- picked if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      run(fn) match {
         case Some(e) =>
           System.err.println(s"[bench] $name FAILED — $e")
           errors += name -> e
-          None
-        case None => Some(name -> timed.map(_._2).min)
+          best.remove(name)
+        case None =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          best(name) = best.get(name).fold(sec)(math.min(_, sec))
       }
     }
+    val results = picked.collect {
+      case (name, _) if best.contains(name) => name -> best(name)
+    }
     // The stdout line must fit the harvester's ~2000-char tail window:
-    // full-precision doubles + full names pushed past it every round
-    // (BENCH_r{1..4} all arrived truncated mid-line, unparseable). Two
-    // fixes: seconds at 2 decimals (centiseconds are far below host
-    // noise) and SHORT KEYS — each query's name up to the first '_'
-    // (unique across the inventory, e.g. "d2x" = d2x_minhash_exactdup;
-    // "keys":"short" announces the convention). Full precision + full
-    // names are preserved in bench_last.json.
+    // full-precision doubles + full names pushed past it in rounds 1-4
+    // (truncated mid-line, unparseable), and even 2-decimal SHORT keys
+    // overflowed it at 315 queries in round 8 (BENCH_r08 parsed:null).
+    // So stdout is a COMPACT summary: total + counts + errors/failed/
+    // cached + only the 20 SLOWEST queries (short keys — each name up
+    // to the first '_', unique across the inventory; "keys":"short"
+    // announces the convention). The complete per-query map at full
+    // precision is in bench_last.json ("detail" points there).
     require(results.map(r => short(r._1)).distinct.size == results.size,
       "short-key collision: a new query name breaks the prefix convention")
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+    val slowest = results.sortBy(-_._2).take(20)
+    val qs = slowest.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "method" documents the consumption strategy: rounds measured with
@@ -143,7 +174,7 @@ object Bench {
     // pruning), so totals are not comparable across the change.
     val cachedJson = cachedQueries.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
     val failedJson = errors.keys.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","n_queries":${results.size},"queries_listed":${slowest.size},"detail":"bench_last.json","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
     // Restricted dev runs (SPARK_GRAFT_ONLY) go to bench_restricted.json:
     // overwriting bench_last.json with a 5-query subset would silently
