@@ -1629,21 +1629,47 @@ object TextOps {
     * does arrival-order batching burn vs length-sorted batching — the
     * arithmetic that justifies length-bucketed batch assembly (the
     * sorted figure is what [[packSequences]]-style layouts approach).
-    * Exact integers: each strategy is one row_number window (arrival =
-    * by id, sorted = by (len, id)), batch id = (rn−1) div B, per-batch
-    * waste = n_b·max(len) − Σlen. The global sort is the one corpus-
-    * scaled step; at 100 TB it runs as a range-partitioned sort (the
-    * layout machinery), and the result is a one-row report either way.
-    * Returns (n_seqs, n_tokens, batch_size, arrival_pad_tokens,
-    * sorted_pad_tokens, saving_pm). */
+    * Exact integers: each strategy ranks rows globally (arrival = by
+    * id, sorted = by (len, id)), batch id = (rn−1) div B, per-batch
+    * waste = n_b·max(len) − Σlen.
+    *
+    * The global rank is computed WITHOUT a single-partition window:
+    * `repartitionByRange` on the order key (range partitioning is
+    * order-exact whatever boundaries sampling picks — every row in
+    * partition i sorts before every row in partition i+1), then a
+    * PER-PARTITION row_number plus each partition's start offset
+    * (a |partitions|-row cumsum, broadcast back). The narrow (id,len)
+    * relation is localCheckpoint'ed so the two consumers (offsets,
+    * ranks) see identical partition boundaries — at 100 TB that is a
+    * 16-byte-per-row materialization, the price of replaying the scan
+    * twice. Result is a one-row report. Returns (n_seqs, n_tokens,
+    * batch_size, arrival_pad_tokens, sorted_pad_tokens, saving_pm). */
   def paddingStats(df: DataFrame, idCol: String, lenCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize > 0, s"paddingStats: batchSize > 0, got $batchSize")
     val base = df.select(col(idCol).cast("bigint").as("id"),
       col(lenCol).cast("bigint").as("len"))
+    val nParts = math.max(1, df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt)
     def strategy(orderCols: Seq[Column], name: String): DataFrame = {
-      val w = Window.orderBy(orderCols: _*)
-      base.withColumn("rn", row_number().over(w))
+      val ranged = base.repartitionByRange(nParts, orderCols: _*)
+        .withColumn("__pid", spark_partition_id().cast("bigint"))
+        .localCheckpoint() // pin boundaries across the two consumers
+      // partition start offsets: ≤ nParts (pid, count) rows to the
+      // driver — bounded by the partition count, never by the data —
+      // folded back in as a literal lookup (no exchange of any kind)
+      val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).init)
+      val offExpr =
+        if (offsets.isEmpty) lit(0L)
+        else element_at(
+          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
+          col("__pid"))
+      val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
+      ranged.withColumn("__lrn", row_number().over(wLocal).cast("bigint"))
+        .withColumn("rn", offExpr + col("__lrn"))
         .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
         .groupBy("batch")
         .agg((count(lit(1)) * max("len") - sum("len")).as("pad"))

@@ -597,4 +597,32 @@ class OpsApiSpec extends SparkSpec {
     // the single assistant span IS the loss mask
     assert(rows.count(_.getString(2) == "assistant") == 1)
   }
+
+  test("paddingStats: exact waste, and every window is partitioned") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 5L), (4L, 2L), (5L, 8L),
+      (6L, 4L), (7L, 9L)).toDF("id", "len")
+    val out = TextOps.paddingStats(df, "id", "len", batchSize = 3)
+    val r = out.collect()(0)
+    // arrival (by id), B=3: [10,1,5]→3·10−16=14, [2,8,4]→3·8−14=10,
+    // [9]→0 ⇒ 24; sorted (by len): [1,2,4]→3·4−7=5, [5,8,9]→3·9−22=5,
+    // [10]→0 ⇒ 10; saving = (24−10)·1000 div 24 = 583
+    assert(r.getAs[Long]("n_seqs") == 7L)
+    assert(r.getAs[Long]("n_tokens") == 39L)
+    assert(r.getAs[Long]("arrival_pad_tokens") == 24L)
+    assert(r.getAs[Long]("sorted_pad_tokens") == 10L)
+    assert(r.getAs[Long]("saving_pm") == 583L)
+    // Plan guard (VERDICT r8 #1): the global rank must come from the
+    // range-partition + per-partition offset pattern, never from an
+    // unpartitioned window (= Exchange SinglePartition of the corpus).
+    // The one-row report aggregate legitimately funnels, so the assert
+    // targets WindowExec nodes specifically: every one must carry a
+    // partitionSpec.
+    val wins = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-partition rank windows")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in paddingStats plan: $w"))
+  }
 }
