@@ -338,8 +338,12 @@ object GraphOps {
     * the peel has converged — and once it converges, extra rounds are
     * exact no-ops, so any rounds ≥ the peel depth yields exactly the
     * k-core (the fixpoint is verified engine-side in GraphOpsSpec, not
-    * assumed). Emits (v, deg): survivors with their degree INSIDE the
-    * final induced subgraph.
+    * assumed). If rounds < the peel depth (e.g. a long chain peels one
+    * node per round), the result is a SUPERSET of the k-core and some
+    * emitted degrees sit below k — that condition is detectable in the
+    * output (any deg < k) and `requireConverged = true` turns it into
+    * a loud failure instead. Emits (v, deg): survivors with their
+    * degree INSIDE the final induced subgraph (≥ k iff converged).
     *
     * Scale shape per round: two semi-join-shaped hash joins of the
     * symmetrized edge list against the survivor set (node ids only —
@@ -351,7 +355,8 @@ object GraphOps {
     * round count — at 100 TB the cost is rounds × (edges ⋈ survivors),
     * the same bound as any Pregel superstep over the edge list. */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 8): DataFrame = {
+      k: Int, rounds: Int = 8, requireConverged: Boolean = false)
+      : DataFrame = {
     require(k >= 1, s"kCore: need k >= 1, got $k")
     require(rounds >= 1 && rounds <= 64,
       s"kCore: rounds must be in [1, 64], got $rounds")
@@ -377,7 +382,22 @@ object GraphOps {
     // survivors reported with their degree INSIDE the final core — one
     // more induced-degree pass so the emitted number is the subgraph
     // invariant (≥ k at fixpoint), not a stale pre-peel count
-    inducedDegrees(alive)
+    // Convergence is visible in the output itself: any emitted deg < k
+    // means the peel had NOT reached its fixpoint in `rounds` rounds
+    // (e.g. a long chain peels one node per round) and the result is a
+    // SUPERSET of the k-core. Callers that need the guarantee, not the
+    // approximation, opt into the loud check (one bounded aggregate;
+    // checkpointed so the check and the returned frame share one
+    // computation).
+    val fin =
+      if (requireConverged) inducedDegrees(alive).localCheckpoint()
+      else inducedDegrees(alive)
+    if (requireConverged) {
+      val bad = fin.filter(col("deg") < k).limit(1).count()
+      require(bad == 0, s"kCore: not converged after $rounds rounds " +
+        s"(survivors with induced degree < $k remain); raise rounds")
+    }
+    fin
   }
 
   /** Neighborhood function via sketch propagation — the HyperBall/ANF
@@ -529,7 +549,8 @@ object GraphOps {
     * survivors shrink monotonically, and the round's output is
     * localCheckpoint'd ids so no lineage accumulates. */
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int = 4): DataFrame = {
+      k: Int, rounds: Int = 4, requireConverged: Boolean = false)
+      : DataFrame = {
     require(k >= 3, s"kTruss: need k >= 3, got $k")
     require(rounds >= 1 && rounds <= 16,
       s"kTruss: rounds must be in [1, 16], got $rounds")
@@ -541,6 +562,17 @@ object GraphOps {
     for (_ <- 1 to rounds)
       surv = edgeSupport(surv).filter(col("support") >= k - 2)
         .select("a", "b").localCheckpoint()
-    edgeSupport(surv)
+    // As with [[kCore]]: an emitted support < k−2 means the peel had
+    // not converged in `rounds` rounds and the result is a superset of
+    // the k-truss; the opt-in check turns that into a loud failure.
+    val fin =
+      if (requireConverged) edgeSupport(surv).localCheckpoint()
+      else edgeSupport(surv)
+    if (requireConverged) {
+      val bad = fin.filter(col("support") < k - 2).limit(1).count()
+      require(bad == 0, s"kTruss: not converged after $rounds rounds " +
+        s"(edges with support < ${k - 2} remain); raise rounds")
+    }
+    fin
   }
 }

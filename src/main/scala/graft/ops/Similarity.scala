@@ -1080,6 +1080,20 @@ object Similarity {
     def distTo(center: Seq[Long]) = expr(
       s"aggregate(zip_with(v, array(${center.mkString(",")}), " +
         "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    // loud preconditions instead of corruption: an empty corpus would
+    // NoSuchElementException on head(), and a row whose vector length
+    // differs from the seed's would zip_with against the fixed-length
+    // center literal into NULL distances that silently poison the
+    // max_by argmax. One bounded aggregate checks both.
+    val shape = vecs.agg(count(lit(1)).as("n"),
+      count(col("v")).as("nv"),
+      min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi")).head()
+    require(shape.getLong(0) > 0, "kCenterGreedy: empty corpus")
+    require(shape.getLong(1) == shape.getLong(0),
+      s"kCenterGreedy: ${shape.getLong(0) - shape.getLong(1)} NULL vectors")
+    require(shape.getInt(2) == shape.getInt(3) && shape.getInt(2) > 0,
+      s"kCenterGreedy: vectors must share one positive dimensionality, " +
+        s"got sizes in [${shape.get(2)}, ${shape.get(3)}]")
     val first = vecs.orderBy("id").head()
     var centers = List((0L, first.getLong(0), 0L))
     var cur = vecs.withColumn("mind", distTo(first.getSeq[Long](1)))

@@ -1351,22 +1351,36 @@ object Stats {
   }
 
   /** Precision/recall/reciprocal-rank@k — the binary-relevance eval
-    * triple next to [[ndcgAtK]]'s graded one. Per query over the run's
-    * top-k: n_rel = relevant docs retrieved (grade ≥ 1 counts as
-    * relevant), precision = n_rel/k, recall = n_rel/|judged relevant|,
-    * rr = 1/rank of the first relevant hit — all emitted as exact ppm
-    * integers (·10⁶ div …). Queries with an empty judged pool emit
+    * triple next to [[ndcgAtK]]'s graded one, over EXPLICIT judgment
+    * grades (grade ≥ 1 counts as relevant). Per query over the run's
+    * top-k: n_rel = relevant docs retrieved, precision = n_rel/k,
+    * recall = n_rel/|judged relevant|, rr = 1/rank of the first
+    * relevant hit — all emitted as exact ppm integers (·10⁶ div …,
+    * i.e. TRUNCATING division). Queries with an empty judged pool emit
     * NULL recall (0/0); queries whose head has no relevant hit emit
-    * rr = 0. Scale shape: one (query, doc) left join of the |queries|·k
-    * run against judgments + two hash aggregates — nothing touches the
-    * corpus. */
-  def retrievalEval(run: DataFrame, queryCol: String, docCol: String,
+    * rr = 0.
+    *
+    * NOT the same conventions as [[TextOps.retrievalEval]] (the
+    * (query_id, doc_id)-schema twin over a binary ground-truth set):
+    * that one rounds HALF-UP to ppm, 0-fills recall for unjudged
+    * queries, and names the columns mrr_ppm/p_at_k_ppm/r_at_k_ppm.
+    * Pick by input shape (graded judgments here, binary label set
+    * there) and keep the rounding convention of whichever you grade
+    * against — hence the distinct name.
+    *
+    * Judgments are deduplicated to one row per (query, doc) before the
+    * join (duplicate judgment rows would otherwise fan out the top-k
+    * left join and inflate n_rel past k). Scale shape: one (query,
+    * doc) left join of the |queries|·k run against judgments + two
+    * hash aggregates — nothing touches the corpus. */
+  def binaryRetrievalEval(run: DataFrame, queryCol: String, docCol: String,
       rankCol: String, judgments: DataFrame, jQueryCol: String,
       jDocCol: String, gradeCol: String, k: Int = 10): DataFrame = {
-    require(k >= 1, s"retrievalEval: k must be >= 1, got $k")
+    require(k >= 1, s"binaryRetrievalEval: k must be >= 1, got $k")
     val j = judgments.select(col(jQueryCol).as("__q"),
       col(jDocCol).as("__d"), col(gradeCol).cast("long").as("__g"))
       .filter(col("__g") > 0)
+      .select("__q", "__d").distinct()
     val nJudged = j.groupBy("__q").agg(count(lit(1)).as("__nj"))
     val head = run.select(col(queryCol).as("__q"), col(docCol).as("__d"),
         col(rankCol).cast("long").as("__rk"))
@@ -1430,9 +1444,13 @@ object Stats {
       .toDF("__rk", "__disc_ppb")
     def gain(g: Column): Column =
       call_function("shiftleft", lit(1L), g.cast("int")) - 1
+    // one judgment per (query, doc) — max grade wins; duplicate rows
+    // would fan out the run-side left join (double-counted DCG gains)
+    // and inflate the ideal pool
     val j = judgments.select(col(jQueryCol).as("__q"),
       col(jDocCol).as("__d"), col(gradeCol).cast("long").as("__g"))
       .filter(col("__g") > 0)
+      .groupBy("__q", "__d").agg(max("__g").as("__g"))
     val r = run.select(col(queryCol).as("__q"), col(docCol).as("__d"),
         col(rankCol).cast("int").as("__rk"))
       .filter(col("__rk") <= k)

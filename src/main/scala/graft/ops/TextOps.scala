@@ -635,17 +635,24 @@ object TextOps {
     * they are computed in exact BIGINT round-half-up arithmetic
     * ((2·10⁶·a + b) div (2b)) — no libm log-discount (NDCG's log2(r+1)
     * is ULP-unstable across engines), no float division for a rounded
-    * ppm to flip on. Scale shape: the top-k relation is |queries|·k
-    * rows and the label join is broadcast-sized; the corpus itself
-    * never enters this op. */
+    * ppm to flip on. NOT the same conventions as
+    * [[graft.ops.Stats.binaryRetrievalEval]] (the graded-judgments
+    * twin): that one TRUNCATES to ppm, emits NULL recall for unjudged
+    * queries, and names its columns precision_ppm/recall_ppm/rr_ppm —
+    * keep the convention of whatever you grade against. The ground-
+    * truth set is deduplicated per (query, doc) before the join, so
+    * duplicate label rows can't fan out the hit counts. Scale shape:
+    * the top-k relation is |queries|·k rows and the label join is
+    * broadcast-sized; the corpus itself never enters this op. */
   def retrievalEval(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"retrievalEval: need k >= 1, got $k")
+    val relU = rel.select("query_id", "doc_id").distinct()
     val hits = ranked.filter(col("rank") <= k)
-      .join(rel, Seq("query_id", "doc_id"))
+      .join(relU, Seq("query_id", "doc_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_hits_at_k"),
         min("rank").cast("bigint").as("first_rel_rank"))
-    rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    relU.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
       .join(hits, Seq("query_id"), "left")
       .na.fill(0L, Seq("n_hits_at_k", "first_rel_rank"))
       .select(col("query_id"), col("n_rel"), col("n_hits_at_k"),

@@ -1937,7 +1937,7 @@ object PipelineOps {
     },
 
     // ir1 — precision/recall/reciprocal-rank@10 of the same run and
-    // judgments as ndcg1 ([[graft.ops.Stats.retrievalEval]]): the
+    // judgments as ndcg1 ([[graft.ops.Stats.binaryRetrievalEval]]): the
     // binary-relevance eval triple (grade ≥ 1 = relevant) in exact
     // ppm integers. One run⋈judgments left join + two hash aggs.
     QueryDef.views("ir1_retrieval_pr",
@@ -2005,7 +2005,7 @@ object PipelineOps {
           filter(split(col("text"), " "), t => length(t) > 0))).as("token"))
         .join(broadcast(qt), "token")
         .groupBy("query_id", "doc_id").agg(count(lit(1)).as("grade"))
-      Stats.retrievalEval(run, "query_id", "doc_id", "rank",
+      Stats.binaryRetrievalEval(run, "query_id", "doc_id", "rank",
         judged, "query_id", "doc_id", "grade", k = 10)
         .orderBy("query_id")
     },

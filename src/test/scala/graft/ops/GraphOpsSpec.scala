@@ -207,6 +207,35 @@ class GraphOpsSpec extends SparkSpec {
       == clean)
   }
 
+  test("kCore/kTruss: requireConverged flags a peel cut short") {
+    // chain 0..5 at k=2 peels one node per END per round: 1 round is
+    // far short of the fixpoint (empty), and the survivors still carry
+    // deg < 2 — exactly the superset condition the flag must catch
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2,
+        rounds = 1, requireConverged = true).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    // with enough rounds the same call converges (to the empty core)
+    assert(GraphOps.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2,
+      rounds = 8, requireConverged = true).collect().isEmpty)
+    // truss cascade: central triangle {0,1,2}, each central edge
+    // reinforced by its own pendant triangle (via 3, 4, 5) — at k=4
+    // (support >= 2) round 1 peels the pendant edges, leaving the
+    // central triangle with support 1 each: emitted support < k-2,
+    // not converged; round 2 would empty it
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L), (1L, 3L),
+      (1L, 4L), (2L, 4L), (0L, 5L), (2L, 5L))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.kTruss(tri.toDF("src", "dst"), "src", "dst", k = 4,
+        rounds = 1, requireConverged = true).collect()
+    }
+    assert(e2.getMessage.contains("not converged"))
+    assert(GraphOps.kTruss(tri.toDF("src", "dst"), "src", "dst", k = 4,
+      rounds = 8, requireConverged = true).collect().isEmpty)
+  }
+
   test("kcore1's 8 rounds reach the fixpoint on the sf0.001 link graph") {
     // the graded entry unrolls 8 peel rounds; the oracle matches for
     // ANY round count, but 8 must be past convergence for the output

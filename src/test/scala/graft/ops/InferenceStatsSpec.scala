@@ -276,4 +276,31 @@ class InferenceStatsSpec extends SparkSpec {
     assert(ra(1).getAs[Long]("acf_ppm") == 800000L)
     assert(ra(0).getAs[Long]("n_pairs") == 9L)
   }
+
+  test("retrieval eval dedups duplicate judgment rows (no fan-out)") {
+    // run: one query, top-3 = docs 10, 20, 30
+    val run = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))
+      .toDF("q", "d", "rank")
+    val judged = Seq((1L, 10L, 2L), (1L, 30L, 1L))
+      .toDF("q", "d", "grade")
+    // same pool with doc 10 judged THREE times (twice at a lower grade)
+    val dup = judged.union(Seq((1L, 10L, 1L), (1L, 10L, 2L))
+      .toDF("q", "d", "grade"))
+    def pr(j: org.apache.spark.sql.DataFrame) =
+      Stats.binaryRetrievalEval(run, "q", "d", "rank", j, "q", "d",
+        "grade", k = 3).collect()(0)
+    val (clean, dirty) = (pr(judged), pr(dup))
+    assert(clean.getAs[Long]("n_rel") == 2L)
+    assert(clean.getAs[Long]("precision_ppm") == 666666L)
+    assert(dirty == clean, s"duplicate judgments changed the eval: $dirty")
+    def ndcg(j: org.apache.spark.sql.DataFrame) =
+      Stats.ndcgAtK(run, "q", "d", "rank", j, "q", "d", "grade", k = 3)
+        .collect()(0)
+    val (nClean, nDirty) = (ndcg(judged), ndcg(dup))
+    // dup rows carry a LOWER grade for doc 10: max-grade dedup must
+    // keep grade 2 (gain 3), not sum or overwrite
+    assert(nClean.getAs[Long]("dcg_ppb") ==
+      3L * 1000000000L + 1L * 500000000L)
+    assert(nDirty == nClean, s"duplicate judgments changed NDCG: $nDirty")
+  }
 }

@@ -123,4 +123,27 @@ class KmeansSpec extends SparkSpec {
     // marginal gains must be non-increasing (greedy invariant)
     assert(got(1)._3 >= got(2)._3)
   }
+
+  test("kCenterGreedy rejects empty, NULL-vector and ragged corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(empty, "vec_id", "embedding", k = 2)
+    }
+    assert(e1.getMessage.contains("empty"))
+    // mixed dimensionality: zip_with against the seed's fixed-length
+    // literal would NULL out distances and corrupt the argmax silently
+    val ragged = Seq(1L -> Seq(1.0f, 2.0f), 2L -> Seq(1.0f))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(ragged, "vec_id", "embedding", k = 2)
+    }
+    assert(e2.getMessage.contains("dimensionality"))
+    val withNull = Seq((1L, Seq(1.0f)), (2L, null))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.kCenterGreedy(withNull, "vec_id", "embedding", k = 2)
+    }
+    assert(e3.getMessage.contains("NULL"))
+  }
 }
