@@ -30,6 +30,30 @@ object PipelineOps {
   private val qcBias = 50000L
   private val qcThreshold = 200000L
 
+  /** wp1's oracle — shared verbatim by st16, the streaming run of the
+    * same five-op crawl pipeline: identical expected output is exactly
+    * the claim (stateless curation ops lift onto micro-batches
+    * unchanged). */
+  private def wpOracleSql: String =
+    s"""WITH w(term, wt) AS (VALUES
+      |    ${qcModel.map { case (t, w) => s"('$t', ${w}::BIGINT)" }
+          .mkString(",\n    ")}),
+      |  t AS (SELECT doc_id,
+      |          unnest(list_filter(string_split(text, ' '),
+      |            x -> len(x) > 0)) AS tok
+      |        FROM documents),
+      |  ev AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS evid
+      |         FROM t JOIN w ON t.tok = w.term GROUP BY t.doc_id),
+      |  b AS (SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 4 = 0 THEN 'blocked.example'
+      |         ELSE d.source || '.example.com' END AS host,
+      |    CAST($qcBias + coalesce(ev.evid, 0) AS BIGINT) AS score_micro
+      |  FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id)
+      |SELECT doc_id, host, true AS warc_ok,
+      |  host != 'blocked.example' AS url_ok, score_micro,
+      |  score_micro >= $qcThreshold AS keep
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /** qc2's training hyperparameters — ONE definition feeds the Spark
     * trainer and the oracle generator below. Label: lang = 'en' (the
     * weak-supervision bootstrap — distill the tag into a classifier). */
@@ -4159,25 +4183,7 @@ object PipelineOps {
     // gating, or scoring defect anywhere in the five-op chain breaks
     // the hash. Title/heading tokens ('Doc', the id) are OOV to the
     // model, so the classifier evidence equals qc1's.
-    QueryDef.views("wp1_web_pipeline",
-      s"""WITH w(term, wt) AS (VALUES
-        |    ${qcModel.map { case (t, w) => s"('$t', ${w}::BIGINT)" }
-            .mkString(",\n    ")}),
-        |  t AS (SELECT doc_id,
-        |          unnest(list_filter(string_split(text, ' '),
-        |            x -> len(x) > 0)) AS tok
-        |        FROM documents),
-        |  ev AS (SELECT t.doc_id, CAST(sum(w.wt) AS BIGINT) AS evid
-        |         FROM t JOIN w ON t.tok = w.term GROUP BY t.doc_id),
-        |  b AS (SELECT d.doc_id,
-        |    CASE WHEN d.doc_id % 4 = 0 THEN 'blocked.example'
-        |         ELSE d.source || '.example.com' END AS host,
-        |    CAST($qcBias + coalesce(ev.evid, 0) AS BIGINT) AS score_micro
-        |  FROM documents d LEFT JOIN ev ON d.doc_id = ev.doc_id)
-        |SELECT doc_id, host, true AS warc_ok,
-        |  host != 'blocked.example' AS url_ok, score_micro,
-        |  score_micro >= $qcThreshold AS keep
-        |FROM b ORDER BY doc_id""".stripMargin) { spark =>
+    QueryDef.views("wp1_web_pipeline", wpOracleSql) { spark =>
       val staged = spark.table("documents").select(col("doc_id"),
         concat(lit("https://"),
           when(col("doc_id") % 4 === 0, "blocked.example")
@@ -4199,6 +4205,103 @@ object PipelineOps {
           passthrough = Seq("host", "warc_ok", "url_ok"))
         .orderBy("doc_id")
     },
+
+    // st16 — the SAME five-op crawl pipeline as wp1, run as REAL
+    // micro-batches: the documents table becomes genuine WARC/1.1
+    // archive files (three chunk files by doc_id mod 3), a streaming
+    // text read with lineSep = the WARC version magic delivers one
+    // record per row and one ARCHIVE per trigger (maxFilesPerTrigger=1
+    // — the crawl-firehose cadence), and parse → extract → URL gate →
+    // classifier gate lift onto the stream UNCHANGED because every op
+    // is a stateless scan-local projection. Each batch lands through
+    // the K2 upsert writer (exactly-once ledger keyed by doc_id) into
+    // the MemoryDb grading seam; doc_id is recovered from the record's
+    // own WARC-Target-URI, not carried out-of-band — the stream sees
+    // only bytes a real crawler would emit. Graded against wp1's
+    // oracle VERBATIM: identical output is the lift claim. Fixture
+    // files are built once per (dir, parquet fingerprint) via a
+    // driver-side collect of the rendered records — a grading seam
+    // bounded by the fixture corpus, not a production path (production
+    // archives come from the crawler).
+    QueryDef("st16_stream_crawl_ingest", (spark, dir) => {
+      import spark.implicits._
+      import java.nio.file.{Files, Paths}
+      graft.Tables.registerAll(spark, dir)
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+        else 31L * f.length() + f.lastModified()
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st16v1-" +
+        java.lang.Long.toHexString(
+          fp(new java.io.File(s"$dir/documents.parquet")))
+      val run = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-st16-fixture-$key")
+      if (!Files.exists(run.resolve("chunk-2.warc"))) {
+        Files.createDirectories(run)
+        val staged = spark.table("documents").select(col("doc_id"),
+          concat(lit("https://"),
+            when(col("doc_id") % 4 === 0, "blocked.example")
+              .otherwise(concat(col("source"), lit(".example.com"))),
+            lit("/doc/"), col("doc_id").cast("string")).as("url"),
+          lit("2026-01-01T00:00:00Z").as("wdate"),
+          concat(lit("<html><head><title>Doc "),
+            col("doc_id").cast("string"),
+            lit("</title></head><body><h1>Doc "),
+            col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit("</p></body></html>")).as("html"))
+        val recs = staged.select(col("doc_id"),
+          WebOps.warcResponse("url", "wdate", "html").as("rec"))
+        (0 until 3).foreach { k =>
+          val txt = recs.filter(pmod(col("doc_id"), lit(3)) === k)
+            .orderBy("doc_id").select("rec")
+            .collect().map(_.getString(0)).mkString("")
+          Files.write(run.resolve(s"chunk-$k.warc"),
+            txt.getBytes("UTF-8"))
+          run.resolve(s"chunk-$k.warc").toFile
+            .setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      val ns = s"st16-${java.util.UUID.randomUUID()}"
+      val sink = graft.cdc.Sinks.MemoryDb.table(ns, "crawl")
+      val writer = new graft.cdc.Sinks.UpsertWriter("crawl", "doc_id",
+        Seq("doc_id", "host", "warc_ok", "url_ok", "score_micro", "keep"),
+        runId = ns)
+      val factory = graft.cdc.Sinks.MemoryDb.factory(ns)
+      val stream = spark.readStream
+        .option("lineSep", "WARC/1.1\r\n")
+        .option("maxFilesPerTrigger", "1")
+        .text(run.toString)
+        .filter(length(col("value")) > 0)
+      val parsed = WebOps.parseWarc(stream, "value")
+        .withColumn("doc_id", expr(
+          "CAST(regexp_extract(target_uri, '/doc/([0-9]+)$', 1) AS BIGINT)"))
+      val extracted = WebOps.htmlToText(parsed, "payload")
+      val gated = WebOps.urlFilter(extracted, "target_uri",
+        blockedDomains = Seq("blocked.example"), blockedPatterns = Nil)
+      val scored = TextOps.classifierScore(gated, "doc_id",
+        "extracted_text", weightsMicro = qcModel.toMap,
+        biasMicro = qcBias, thresholdMicro = qcThreshold,
+        passthrough = Seq("host", "warc_ok", "url_ok"))
+      val q = scored.writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st16-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            writer.writeBatch(batch.select(col("doc_id"), col("host"),
+              col("warc_ok"), col("url_ok"), col("score_micro"),
+              col("keep")), factory, batchId)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      sink.snapshot.values.toSeq.map(r =>
+        (r("doc_id").toString.toLong, r("host").toString,
+          r("warc_ok").toString.toBoolean, r("url_ok").toString.toBoolean,
+          r("score_micro").toString.toLong, r("keep").toString.toBoolean))
+        .toDF("doc_id", "host", "warc_ok", "url_ok", "score_micro", "keep")
+        .orderBy("doc_id")
+    }, Some(wpOracleSql)),
 
     // Column profiling census: one wide partial+final aggregate pass,
     // unpivoted to a row per column. Exact distincts here (gradeable);
