@@ -1195,6 +1195,101 @@ object CdcQueries {
         |FROM latest WHERE rn = 1 AND event_id % 7 != 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // st17 — K1 TOPIC-SINK exactly-once across a RESTART, oracle-graded
+    // (st3's ledger claim, for the graft-topic epoch-idempotent commit
+    // instead of the K2 JDBC ledger). pb1's Pipeline-A keyed-JSON
+    // produce runs to completion, then the checkpoint's LAST commit-log
+    // entry is deleted — byte-for-byte the on-disk state of a driver
+    // that crashed AFTER the sink's epoch commit landed in the broker
+    // and BEFORE the commit log advanced. The restarted query sees
+    // offsets logged but no commit, REPLAYS that epoch into the sink,
+    // and TopicStore.commit drops the duplicate (queryId, epochId) pair
+    // — the broker-side idempotent-producer analog (the broker, like a
+    // real one, outlives the driver). The grade is deliberately
+    // ADDITIVE: per-(op, event_type) counts over EVERY message in the
+    // topic, so a double-landed epoch inflates exactly the replayed
+    // slice and breaks the hash; a last-write-wins readback would mask
+    // it. Loud guards pin that the deleted commit existed and that the
+    // second run really replayed that epoch (not resumed past it).
+    // The oracle's `event_id > 0` mirrors the source's offset
+    // convention, not a filter in the pipeline: streaming offsets are
+    // exclusive-start from LSN 0 (as in Postgres, where 0/0 is the
+    // invalid LSN), so the fixture's lsn-0 record is by definition
+    // before the subscription. The earlier per-key-latest streaming
+    // grades (st1-st3, pb1) never see this because lsn 0 is never any
+    // key's newest event; an every-message census does.
+    QueryDef("st17_topic_exactly_once_restart", (spark, dir) => {
+      val fix = ensureFixture(spark, dir)
+      val walLines = {
+        val st = Files.lines(Paths.get(fix, "wal.jsonl"))
+        try st.count() finally st.close()
+      }
+      val topic = s"st17-${java.util.UUID.randomUUID()}"
+      val ckpt = Files.createTempDirectory("graft-st17-ckpt")
+      def run() = {
+        val events = spark.readStream.format("graft-cdc")
+          .option("walFormat", "jsonl")
+          .option("numPartitions", "8")
+          .option("maxEventsPerBatch",
+            math.max(500L, (walLines + 2) / 3).toString)
+          .load(s"$fix/wal.jsonl")
+        val frame = events.select(
+          concat_ws("|", col("schema"),
+            coalesce(try_element_at(col("after"), lit("id")),
+              try_element_at(col("before"), lit("id")))).as("key"),
+          to_json(struct(col("lsn"), col("op"),
+            try_element_at(col("after"), lit("id")).as("id"),
+            try_element_at(col("after"), lit("event_type"))
+              .as("event_type"))).as("value"))
+        val q = frame.writeStream.format("graft-topic")
+          .option("topic", topic)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+        // stop() can return before the manager deregisters the query;
+        // the restart below shares the checkpoint and must not race it
+        q.awaitTermination()
+        while (spark.streams.active.exists(_.id == q.id))
+          Thread.sleep(50)
+        q
+      }
+      run()
+      // amputate the last commit-log entry = crash between sink commit
+      // and commit log
+      val commits = ckpt.resolve("commits").toFile.listFiles()
+        .filter(_.getName.forall(_.isDigit))
+      require(commits != null && commits.nonEmpty,
+        "st17: no commit-log entries written")
+      val last = commits.map(_.getName.toLong).max
+      require(ckpt.resolve("commits").resolve(last.toString).toFile.delete(),
+        s"st17: could not delete commit $last")
+      // the checksum sidecar too — a crashed driver wrote neither, and
+      // a stale .crc makes ChecksumFs fail the replay's commit rename
+      ckpt.resolve("commits").resolve(s".$last.crc").toFile.delete()
+      val q2 = run()
+      require(q2.recentProgress.exists(_.batchId == last),
+        s"st17: restart did not replay epoch $last — harness broken")
+      val msgs = spark.read.format("graft-topic")
+        .option("topic", topic).load()
+      msgs.select(from_json(col("value"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "lsn BIGINT, op STRING, id STRING, event_type STRING")).as("v"))
+        .select(col("v.op").as("op"),
+          coalesce(col("v.event_type"), lit("")).as("event_type"))
+        .groupBy("op", "event_type")
+        .agg(count(lit(1)).cast("bigint").as("n_msgs"))
+        .orderBy("op", "event_type")
+    }, Some(
+      """SELECT CASE WHEN event_id % 7 = 0 THEN 'd'
+        |            WHEN event_type = 'signup' THEN 'c'
+        |            ELSE 'u' END AS op,
+        |       CASE WHEN event_id % 7 = 0 THEN ''
+        |            ELSE event_type END AS event_type,
+        |       CAST(count(*) AS BIGINT) AS n_msgs
+        |FROM events
+        |WHERE event_id > 0  -- LSN 0 = exclusive stream start
+        |GROUP BY 1, 2 ORDER BY op, event_type""".stripMargin)),
+
     // sc3 — STREAMING SCD2: the history table maintained incrementally
     // by real micro-batches (st1's harness). Changelog.scd2Stream emits
     // each version when opened and re-emits it when closed — across
