@@ -52,6 +52,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_NOBCAST=1 → disable broadcast joins (diagnosis only,
+    // never the gate path): scale-curve shuffle ratios step when a join
+    // side crosses the 10 MB broadcast threshold between two sf notches
+    // (the sf1→sf3 cc1/db1 jump) — re-measuring both notches with
+    // broadcasts off separates that one-time plan flip from genuinely
+    // superlinear candidate growth.
+    if (sys.env.get("SPARK_GRAFT_NOBCAST").contains("1")) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+
     def short(k: String): String = k.takeWhile(_ != '_')
     def fmt(v: Double): String = "%.2f".format(v)
     val sfTag = sfDir.split('/').lastOption.getOrElse(sfDir)

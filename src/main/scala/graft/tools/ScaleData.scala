@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *    arithmetic the queries derive semantics from (event_id % 7 and
   *    parity for the CDC op derivation — the events offset is a multiple
   *    of 14; doc/vec ids shift by even offsets for the %2 format splits);
-  *  - document text goes through a per-copy alphabet rotation cipher:
+  *  - document text goes through a per-copy alphabet substitution
+  *    cipher (affine, injective across 312 copies — NOT a plain
+  *    rotation, which collides past 26 copies):
   *    within-copy token/shingle structure (distinct counts, Jaccard,
   *    byte lengths, n_chars) is preserved EXACTLY, while cross-copy
   *    token overlap collapses — so near-dup candidate volume scales
@@ -99,14 +101,30 @@ object ScaleData {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rot(s: String, k: Int): String =
-      s.drop(k % 26) + s.take(k % 26)
+    // Per-copy AFFINE substitution x -> a·x + b (mod 26), a coprime to
+    // 26 — a pure rotation (x -> x + k mod 26) has only 26 distinct
+    // values, so a >26-copy replica silently reused ciphers and
+    // manufactured cross-copy EXACT duplicates (round 9's first sf3 run:
+    // copies 26-29 byte-identical to 0-3 put 8 copies' worth of docs
+    // into the dup graph and cc1's shuffle went 10× for 3× data — the
+    // exact artifact the design notes above forbid). Distinct (a, b)
+    // per copy for 12·26 = 312 copies; two distinct affine maps agree
+    // on at most gcd-many letters, so cross-copy token images stay
+    // disjoint for real tokens. k = 0 is the identity (a=1, b=0).
+    def affine(k: Int): String = {
+      val as = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+      val a = as(k % as.length)
+      val b = (k / as.length) % 26
+      require(k < as.length * 26,
+        s"ScaleData: affine cipher family exhausted at $k copies")
+      lower.indices.map(x => lower((a * x + b) % 26)).mkString
+    }
     replicate("documents") { (df, k) =>
       df.withColumn("doc_id", col("doc_id") + lit(k * OFF))
         .withColumn("text",
           if (k == 0) col("text")
           else translate(col("text"), lower + upper,
-            rot(lower, k) + rot(upper, k)))
+            affine(k) + affine(k).toUpperCase))
     }
 
     replicate("embeddings") { (df, k) =>
