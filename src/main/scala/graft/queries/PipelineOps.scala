@@ -2170,6 +2170,64 @@ object PipelineOps {
         today, "src", "dst").orderBy("v")
     },
 
+    // Strongly-connected components
+    // ([[graft.ops.GraphOps.stronglyConnectedComponents]]) — the
+    // DIRECTED sibling of wc1 (mutual reachability: link cliques /
+    // redirect rings, where weak components over-merge everything a
+    // hub touches). Graph: blocks of 8 consecutive doc_ids closed into
+    // directed rings (each ring = one SCC, diameter 8 by construction)
+    // plus a condensation edge from every EVEN block's minimum to the
+    // next block's minimum — a depth-1 DAG between SCCs, so the
+    // engine's min-pivot forward/backward peel needs exactly 2 peels
+    // (even-block SCCs certify minF = minB on peel 1; odd blocks see a
+    // smaller even-block id in minF until their predecessor leaves).
+    // The oracle never peels: it materializes forward and backward
+    // reachability closures (bounded — ≤ 2 rings per node) and takes
+    // min over their intersection, i.e. the DEFINITION of "min u with
+    // u reaches v and v reaches u" — agreement is a two-strategy proof
+    // of the same canonical labels, wc1's pattern directed.
+    QueryDef.views("scc1_strong_components",
+      """WITH RECURSIVE
+        |  nn AS (SELECT count(*) AS n FROM documents),
+        |  ring AS (SELECT doc_id AS src,
+        |             CASE WHEN (doc_id + 1) % 8 = 0 OR doc_id + 1 = nn.n
+        |                  THEN 8 * (doc_id // 8) ELSE doc_id + 1
+        |             END AS dst
+        |           FROM documents, nn),
+        |  cr AS (SELECT doc_id AS src, doc_id + 8 AS dst
+        |         FROM documents, nn
+        |         WHERE doc_id % 16 = 0 AND doc_id + 8 < nn.n),
+        |  e AS MATERIALIZED (
+        |    SELECT DISTINCT src, dst FROM
+        |      (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM cr)
+        |    WHERE src <> dst),
+        |  nodes AS MATERIALIZED (SELECT DISTINCT v FROM
+        |    (SELECT src AS v FROM e UNION SELECT dst FROM e)),
+        |  wf(node, lbl) AS (
+        |    SELECT v, v FROM nodes
+        |    UNION
+        |    SELECT e.dst, w.lbl FROM e JOIN wf w ON e.src = w.node),
+        |  wb(node, lbl) AS (
+        |    SELECT v, v FROM nodes
+        |    UNION
+        |    SELECT e.src, w.lbl FROM e JOIN wb w ON e.dst = w.node)
+        |SELECT f.node AS v, min(f.lbl) AS scc
+        |FROM wf f JOIN wb b ON f.node = b.node AND f.lbl = b.lbl
+        |GROUP BY f.node ORDER BY v""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val nn = docs.agg(count(lit(1)).as("n"))
+      val base = docs.crossJoin(broadcast(nn))
+      val ring = base.selectExpr("doc_id AS src",
+        "CASE WHEN (doc_id + 1) % 8 = 0 OR doc_id + 1 = n " +
+          "THEN 8 * (doc_id div 8) ELSE doc_id + 1 END AS dst")
+      val crossE = base
+        .filter(expr("doc_id % 16 = 0 AND doc_id + 8 < n"))
+        .selectExpr("doc_id AS src", "doc_id + 8 AS dst")
+      GraphOps.stronglyConnectedComponents(
+        ring.unionByName(crossE), "src", "dst", maxPeels = 4)
+        .orderBy("v")
+    },
+
     // Multi-source BFS hop distance ([[graft.ops.GraphOps.shortestPaths]])
     // on the same link graph — seed-proximity (distance from trusted
     // seeds is a crawl-quality prior). Spark runs level-synchronous

@@ -374,4 +374,37 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("pr")).toMap
     assert(ppr == pr)
   }
+
+  private def sccMap(edges: Seq[(Long, Long)], maxPeels: Int = 8)
+      : Map[Long, Long] =
+    GraphOps.stronglyConnectedComponents(edges.toDF("src", "dst"),
+      "src", "dst", maxPeels = maxPeels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("scc: two rings bridged by a one-way edge stay separate SCCs " +
+      "(where weak CC merges them)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), // ring {1,2,3}
+      (10L, 11L), (11L, 10L),                     // ring {10,11}
+      (3L, 10L))                                  // one-way bridge
+    assert(sccMap(edges) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val weak = GraphOps.connectedComponents(edges.toDF("src", "dst"),
+      "src", "dst").collect().map(r => r.getLong(1)).toSet
+    assert(weak == Set(1L)) // the same graph weakly collapses to one
+  }
+
+  test("scc: a pure DAG is all singletons; descending ids force one " +
+      "peel per chain node (the worst case the peel budget guards)") {
+    // 3→2→1: node 1 certifies on peel 1, 2 on peel 2, 3 on peel 3.
+    val chain = Seq((3L, 2L), (2L, 1L))
+    assert(sccMap(chain) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val e = intercept[IllegalArgumentException](sccMap(chain, maxPeels = 2))
+    assert(e.getMessage.contains("peels"))
+  }
+
+  test("scc: labels are minimum member ids; self-loops and duplicate " +
+      "edges are normalized away; edge-less nodes are not emitted") {
+    val m = sccMap(Seq((7L, 4L), (4L, 7L), (4L, 7L), (7L, 7L), (9L, 7L)))
+    assert(m == Map(4L -> 4L, 7L -> 4L, 9L -> 9L))
+  }
 }
