@@ -4661,6 +4661,62 @@ object PipelineOps {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // pv4 — t-closeness ([[graft.ops.Privacy.tCloseness]]): the third
+    // rung after pv1/pv3 — a group can be large AND diverse yet leak by
+    // SKEW (90% of it holds a value the population holds at 1%), so the
+    // gate bounds the ordered-EMD between the group's sensitive
+    // distribution and the corpus-wide one. Same quasi/sensitive layout
+    // as pv3; exact integer EMD (prefix sums of g_i·N − c_i·n_g in
+    // 38-digit decimals, floored to ppm) so the oracle reproduces every
+    // digit; t = 0.065 splits the sf0.01 groups near the median (55/70). The audit
+    // relation (n_rows, emd_ppm, published) is what's graded — the
+    // row-level gate is the usual semi-join against published groups.
+    QueryDef.views("pv4_t_closeness",
+      """WITH fact AS MATERIALIZED (
+        |    SELECT c_nationkey, c_mktsegment,
+        |           CAST(floor(c_acctbal * 100) AS BIGINT) % 10 AS v
+        |    FROM customer),
+        |  gdist AS MATERIALIZED (
+        |    SELECT v, count(*) AS c FROM fact GROUP BY v),
+        |  nn AS MATERIALIZED (
+        |    SELECT CAST(count(*) AS HUGEINT) AS n FROM fact),
+        |  mm AS MATERIALIZED (SELECT count(*) AS m FROM gdist),
+        |  grp AS MATERIALIZED (
+        |    SELECT c_nationkey, c_mktsegment, count(*) AS ng
+        |    FROM fact GROUP BY 1, 2),
+        |  cells AS MATERIALIZED (
+        |    SELECT c_nationkey, c_mktsegment, v, count(*) AS g
+        |    FROM fact GROUP BY 1, 2, 3),
+        |  pref AS (
+        |    SELECT grp.c_nationkey, grp.c_mktsegment, grp.ng,
+        |      sum(CAST(COALESCE(cells.g, 0) AS HUGEINT) * nn.n
+        |          - CAST(gdist.c AS HUGEINT) * grp.ng)
+        |        OVER (PARTITION BY grp.c_nationkey, grp.c_mktsegment
+        |              ORDER BY gdist.v) AS d
+        |    FROM grp CROSS JOIN gdist
+        |    LEFT JOIN cells ON cells.c_nationkey = grp.c_nationkey
+        |      AND cells.c_mktsegment = grp.c_mktsegment
+        |      AND cells.v = gdist.v, nn),
+        |  agg AS (
+        |    SELECT c_nationkey, c_mktsegment, ng, sum(abs(d)) AS num
+        |    FROM pref GROUP BY 1, 2, 3),
+        |  scored AS (
+        |    SELECT c_nationkey, c_mktsegment, ng,
+        |      (num * 1000000) // ((mm.m - 1) * ng * nn.n) AS emd
+        |    FROM agg, mm, nn)
+        |SELECT c_nationkey, c_mktsegment, CAST(ng AS BIGINT) AS n_rows,
+        |  CAST(emd AS BIGINT) AS emd_ppm,
+        |  CAST(CASE WHEN emd <= 65000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS published
+        |FROM scored
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { spark =>
+      val cust = spark.table("customer").withColumn("sens",
+        expr("CAST(floor(c_acctbal * 100) AS BIGINT) % 10"))
+      Privacy.tCloseness(cust, Seq("c_nationkey", "c_mktsegment"),
+          "sens", tPpm = 65000L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // gd1 — right-to-be-forgotten cascade audit
     // ([[graft.ops.Privacy.deletionCascade]]): erase-requests for
     // customers with custkey ≡ 0 (mod 97) walked through the FK chain

@@ -92,4 +92,24 @@ class PrivacySpec extends SparkSpec {
     val c = Seq.fill(10)("only").toDF("k")
     assert(Profile.driftTvd(a, c, "k").head().getLong(2) == 1000000L)
   }
+
+  test("tCloseness: exact ordered-EMD ppm, hand-computed") {
+    // corpus: values {0,1,2}, N=6, global counts c=(3,2,1)
+    // group a (0,0,1,2): prefix d = (2·6−3·4, +1·6−2·4, +1·6−1·4)
+    //   = (0, −2, 0) → Σ|d| = 2 → emd = 2e6/((3−1)·4·6) = 41666
+    // group c (0,1): d = (0, +2, 0) → 2e6/((3−1)·2·6) = 83333
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 2L),
+      ("c", 0L), ("c", 1L)).toDF("g", "v")
+    val audit = Privacy.tCloseness(df, Seq("g"), "v", tPpm = 50000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("emd_ppm"),
+          r.getAs[Long]("published")))).toMap
+    assert(audit == Map("a" -> ((4L, 41666L, 1L)),
+      "c" -> ((2L, 83333L, 0L))))
+    // a single observed sensitive value has no distribution to compare
+    val e = intercept[IllegalArgumentException](
+      Privacy.tCloseness(Seq(("a", 1L), ("b", 1L)).toDF("g", "v"),
+        Seq("g"), "v", 0L))
+    assert(e.getMessage.contains("sensitive"))
+  }
 }
