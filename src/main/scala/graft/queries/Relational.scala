@@ -1353,6 +1353,86 @@ object Relational {
     // ROLLUP hierarchy totals (multi-level aggregation in one pass).
     // NULLS FIRST pinned in the oracle (DuckDB defaults NULLS LAST;
     // Spark ascending default is NULLS FIRST).
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    // arithmetic — min(m_a, m_b) and m_a - m_b copies respectively —
+    // where set1's DISTINCT variants collapse counts. Spark plans both
+    // as a count-aggregated join (no row-by-row anti semantics at
+    // scale); the probe multisets overlap on nationkey with differing
+    // multiplicities, so the ALL/DISTINCT difference is material.
+    QueryDef.views("set2_bag_ops",
+      """SELECT 'inter_all' AS tag, nationkey, count(*) AS m FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |GROUP BY nationkey
+        |UNION ALL
+        |SELECT 'except_all' AS tag, nationkey, count(*) AS m FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |GROUP BY nationkey
+        |ORDER BY tag, nationkey""".stripMargin) { spark =>
+      val cn = spark.table("customer")
+        .select(col("c_nationkey").cast("bigint").as("nationkey"))
+      val sn = spark.table("supplier")
+        .select(col("s_nationkey").cast("bigint").as("nationkey"))
+      cn.intersectAll(sn).groupBy("nationkey").agg(count(lit(1)).as("m"))
+        .select(lit("inter_all").as("tag"), col("nationkey"), col("m"))
+        .unionByName(cn.exceptAll(sn).groupBy("nationkey")
+          .agg(count(lit(1)).as("m"))
+          .select(lit("except_all").as("tag"), col("nationkey"), col("m")))
+        .orderBy("tag", "nationkey")
+    },
+
+    // LATERAL correlated-subquery join: per-nation top-2 customers by
+    // balance, expressed as the SQL-standard LATERAL form on BOTH
+    // engines (Catalyst decorrelates it into a ranked join; DuckDB
+    // executes the dependent scan) — the per-group-top-k plan family
+    // w1 reaches via window functions, reached here through the
+    // correlated-subquery surface instead.
+    QueryDef.views("lj1_lateral_topk",
+      """SELECT n.n_nationkey, t.c_custkey,
+        |       CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |           WHERE c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin) { spark =>
+      spark.sql(
+        """SELECT n.n_nationkey, t.c_custkey,
+          |       CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+          |FROM nation n
+          |JOIN LATERAL (SELECT c_custkey, c_acctbal FROM customer
+          |              WHERE c_nationkey = n.n_nationkey
+          |              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin)
+    },
+
+    // Native pivot API (wide one-column-per-value layout): explicit
+    // value list so the plan is ONE hash aggregate with PivotFirst —
+    // no values-discovery scan job, deterministic schema (the contract
+    // a 100 TB pivot needs; an implicit .pivot(col) would add a
+    // distinct scan and data-dependent columns). Oracle = conditional
+    // aggregation, the relational reading of the same table.
+    QueryDef.views("pvt1_pivot",
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin) { spark =>
+      spark.table("orders")
+        .withColumn("yr", year(col("o_orderdate")).cast("bigint"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2("o_totalprice")).cast("double"))
+        .select(col("yr"), col("F").as("f_total"), col("O").as("o_total"),
+          col("P").as("p_total"))
+        .orderBy("yr")
+    },
+
     QueryDef.views("r1_rollup",
       """SELECT order_year, o_orderstatus,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
