@@ -1290,6 +1290,104 @@ object CdcQueries {
         |WHERE event_id > 0  -- LSN 0 = exclusive stream start
         |GROUP BY 1, 2 ORDER BY op, event_type""".stripMargin)),
 
+    // st18 — STREAM-STATIC enrichment join: the one Structured
+    // Streaming join family not yet graded as its own entry (iv2/iv3
+    // are stateful stream-stream; st13 is a custom stateful join-view;
+    // this is the STATELESS per-batch broadcast of a static dimension
+    // — the canonical cheap-dim enrichment, re-planned inside every
+    // micro-batch's IncrementalExecution with no state store at all).
+    // The events table replays as three JSONL chunk files
+    // (maxFilesPerTrigger=1 → one real micro-batch per chunk; the
+    // fixture is written by SPARK, not a driver collect — only a
+    // one-file rename happens driver-side), LEFT-joined against the
+    // customer dim restricted to c_custkey < 100 so users 100–149
+    // genuinely exercise the unmatched path (segment 'NONE'). Each
+    // batch lands through the K2 upsert writer keyed by event_id
+    // (ledger claims = exactly-once under replay). Oracle: the same
+    // left join computed statically by DuckDB.
+    QueryDef("st18_stream_static_enrich", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+        else 31L * f.length() + f.lastModified()
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st18v1-" +
+        java.lang.Long.toHexString(
+          fp(new java.io.File(s"$dir/events.parquet")))
+      val run = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-st18-fixture-$key")
+      if (!Files.exists(run.resolve("chunk-2.jsonl"))) {
+        Files.createDirectories(run)
+        val staged = spark.table("events").select(col("event_id"),
+          col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+        (0 until 3).foreach { k =>
+          val part = run.resolve(s"part-$k")
+          staged.filter(pmod(col("event_id"), lit(3)) === k)
+            .coalesce(1).write.mode("overwrite").json(part.toString)
+          val one = part.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".json"))
+          require(one.length == 1,
+            s"st18 fixture: expected one part file, got ${one.length}")
+          Files.move(one.head.toPath, run.resolve(s"chunk-$k.jsonl"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          run.resolve(s"chunk-$k.jsonl").toFile
+            .setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      val ns = s"st18-${java.util.UUID.randomUUID()}"
+      val sink = Sinks.MemoryDb.table(ns, "enriched")
+      val writer = new Sinks.UpsertWriter("enriched", "event_id",
+        Seq("event_id", "user_id", "event_type", "value_cents",
+          "segment"), runId = ns)
+      val factory = Sinks.MemoryDb.factory(ns)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value_cents BIGINT")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(run.toString)
+        .filter(col("event_id").isNotNull)
+      val dim = spark.table("customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      val enriched = stream
+        .join(broadcast(dim), Seq("user_id"), "left")
+        .withColumn("segment", coalesce(col("segment"), lit("NONE")))
+      val q = enriched.writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st18-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            writer.writeBatch(batch.select(col("event_id"),
+              col("user_id"), col("event_type"), col("value_cents"),
+              col("segment")), factory, batchId)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      // Grading seam only (MemoryDb stand-in for the JDBC table the
+      // per-batch foreachPartition writer fills in production).
+      import spark.implicits._
+      sink.snapshot.values.toSeq.map(r =>
+        (r("event_id").toString.toLong, r("user_id").toString.toLong,
+          r("event_type").toString, r("value_cents").toString.toLong,
+          r("segment").toString))
+        .toDF("event_id", "user_id", "event_type", "value_cents",
+          "segment")
+        .orderBy("event_id")
+    }, Some(
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |       CAST(floor(e.value * 100) AS BIGINT) AS value_cents,
+        |       COALESCE(d.c_mktsegment, 'NONE') AS segment
+        |FROM events e
+        |LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |           WHERE c_custkey < 100) d
+        |  ON e.user_id = d.c_custkey
+        |ORDER BY e.event_id""".stripMargin)),
+
     // sc3 — STREAMING SCD2: the history table maintained incrementally
     // by real micro-batches (st1's harness). Changelog.scd2Stream emits
     // each version when opened and re-emits it when closed — across
