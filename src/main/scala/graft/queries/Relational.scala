@@ -1353,6 +1353,77 @@ object Relational {
     // ROLLUP hierarchy totals (multi-level aggregation in one pass).
     // NULLS FIRST pinned in the oracle (DuckDB defaults NULLS LAST;
     // Spark ascending default is NULLS FIRST).
+    // Distribution-family window functions — the analytic surface w2
+    // doesn't reach: dense_rank / percent_rank / cume_dist over a
+    // TIE-HEAVY ordering (per-status order year only — ranks are pure
+    // functions of the key VALUE, so ties make dense/percent/cume
+    // genuinely diverge from w2's rank while staying deterministic),
+    // plus running nth_value and lead-IGNORE-NULLS over the fully
+    // ordered twin window. percent_rank/cume_dist are IEEE divisions
+    // of the same small integers on both engines — bit-identical.
+    QueryDef.views("w4_distribution",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS dr,
+        |  percent_rank() OVER wt AS pr,
+        |  cume_dist() OVER wt AS cd,
+        |  nth_value(o_orderkey, 3) OVER wf AS nv3,
+        |  lead(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |            ELSE o_orderkey END IGNORE NULLS) OVER wf AS lnn
+        |FROM orders
+        |WINDOW
+        |  wt AS (PARTITION BY o_orderstatus ORDER BY year(o_orderdate)),
+        |  wf AS (PARTITION BY o_orderstatus
+        |         ORDER BY year(o_orderdate), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      val wt = Window.partitionBy("o_orderstatus")
+        .orderBy(year(col("o_orderdate")))
+      val wf = Window.partitionBy("o_orderstatus")
+        .orderBy(year(col("o_orderdate")), col("o_orderkey"))
+      spark.table("orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("yr"),
+          dense_rank().over(wt).cast("bigint").as("dr"),
+          percent_rank().over(wt).as("pr"),
+          cume_dist().over(wt).as("cd"),
+          nth_value(col("o_orderkey"), 3).over(wf).as("nv3"),
+          lead(when(col("o_orderkey") % 5 === 0, lit(null))
+            .otherwise(col("o_orderkey")), 1, null, true)
+            .over(wf).as("lnn"))
+        .orderBy("o_orderkey")
+    },
+
+    // Array higher-order functions as the graded surface (transform /
+    // filter / aggregate / zip_with — the codegen'd lambda family the
+    // similarity tier leans on, graded here in isolation): per order a
+    // derived 1..n integer array, sum of squares via
+    // aggregate∘transform, even-count via filter, and the palindromic
+    // dot product via zip_with against the reversed array. The oracle
+    // derives the same numbers INDEPENDENTLY from closed forms
+    // (Σi² = n(n+1)(2n+1)/6; Σ i·(n+1−i) = n(n+1)(n+2)/6) — the
+    // engine computes with lambdas what number theory predicts.
+    QueryDef.views("f5_array_hof",
+      """SELECT o_orderkey, n,
+        |  n * (n + 1) * (2 * n + 1) // 6 AS sumsq,
+        |  n // 2 AS n_even,
+        |  n * (n + 1) * (n + 2) // 6 AS zp
+        |FROM (SELECT o_orderkey,
+        |        CAST(2 + o_orderkey % 6 AS BIGINT) AS n FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { spark =>
+      spark.table("orders")
+        .select(col("o_orderkey"),
+          expr("sequence(1L, 2 + o_orderkey % 6)").as("arr"))
+        .select(col("o_orderkey"),
+          size(col("arr")).cast("bigint").as("n"),
+          expr("aggregate(transform(arr, x -> x * x), 0L, " +
+            "(a, x) -> a + x)").as("sumsq"),
+          expr("CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT)")
+            .as("n_even"),
+          expr("aggregate(zip_with(arr, reverse(arr), " +
+            "(a, b) -> a * b), 0L, (a, x) -> a + x)").as("zp"))
+        .orderBy("o_orderkey")
+    },
+
     // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
     // arithmetic — min(m_a, m_b) and m_a - m_b copies respectively —
     // where set1's DISTINCT variants collapse counts. Spark plans both
