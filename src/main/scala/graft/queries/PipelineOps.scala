@@ -3356,6 +3356,82 @@ object PipelineOps {
         .orderBy("a_id", "b_id")
     },
 
+    // Entity resolution end-to-end — the merge/purge GOLDEN RECORD:
+    // fz1's sorted-neighborhood fuzzy pairs → connected components
+    // (every record assigned a cluster, singletons their own) → one
+    // survivor row per entity with consensus attributes (majority
+    // lang, ties to the lexicographic minimum — derived by max-count
+    // join + min, a formulation both engines state identically — and
+    // max n_chars as the "richest member" field). The composition is
+    // what's graded: blocking, verify, transitive closure, and
+    // consensus must all agree with the oracle's independent recursive
+    // walk for any row to hash-match. Scale shape: pairs are
+    // blocked-window only (never corpus²), components exchange labels
+    // only, consensus is two hash aggregates on (cluster, lang).
+    QueryDef.views("er1_golden_record",
+      """WITH RECURSIVE
+        |  s AS MATERIALIZED (SELECT doc_id,
+        |    substring(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS sig
+        |  FROM documents),
+        |  r AS MATERIALIZED (SELECT doc_id, sig,
+        |          substring(sig, 1, 6) AS blk,
+        |          row_number() OVER (PARTITION BY substring(sig, 1, 6)
+        |                             ORDER BY sig, doc_id) AS rn
+        |        FROM s),
+        |  p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |        FROM r a JOIN r b
+        |          ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
+        |        WHERE levenshtein(a.sig, b.sig) <= 6),
+        |  edges AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM p
+        |          UNION SELECT b_id, a_id FROM p),
+        |  walk(node, lbl) AS (
+        |    SELECT a, a FROM (SELECT DISTINCT a FROM edges) base
+        |    UNION
+        |    SELECT e.a, w2.lbl FROM edges e JOIN walk w2 ON e.b = w2.node),
+        |  lbls AS MATERIALIZED (
+        |    SELECT node, min(lbl) AS cluster FROM walk GROUP BY node),
+        |  asg AS MATERIALIZED (
+        |    SELECT d.doc_id, d.lang, d.n_chars,
+        |           COALESCE(l.cluster, d.doc_id) AS cluster
+        |    FROM documents d LEFT JOIN lbls l ON d.doc_id = l.node),
+        |  g AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |          CAST(max(n_chars) AS BIGINT) AS max_chars
+        |        FROM asg GROUP BY 1),
+        |  lc AS MATERIALIZED (
+        |    SELECT cluster, lang, count(*) AS c FROM asg GROUP BY 1, 2),
+        |  mx AS (SELECT cluster, max(c) AS maxc FROM lc GROUP BY 1),
+        |  gl AS (SELECT lc.cluster, min(lc.lang) AS lang_golden
+        |         FROM lc JOIN mx ON lc.cluster = mx.cluster
+        |           AND lc.c = mx.maxc
+        |         GROUP BY 1)
+        |SELECT g.cluster AS cluster_id, g.n_members, gl.lang_golden,
+        |       g.max_chars
+        |FROM g JOIN gl ON g.cluster = gl.cluster
+        |ORDER BY cluster_id""".stripMargin) { spark =>
+      val docs = spark.table("documents")
+      val pairs = TextOps.fuzzyNeighborPairs(docs, "doc_id", "text",
+        blockLen = 6, sigLen = 40, window = 4, maxDist = 6)
+      val comp = Dedup.dupClusters(pairs, "a_id", "b_id")
+      val asg = docs
+        .join(comp.select(col("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster"))
+      val g = asg.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          max(col("n_chars").cast("bigint")).as("max_chars"))
+      val lc = asg.groupBy("cluster", "lang").agg(count(lit(1)).as("c"))
+      val mx = lc.groupBy("cluster").agg(max("c").as("maxc"))
+      val gl = lc.join(mx, "cluster")
+        .filter(col("c") === col("maxc"))
+        .groupBy("cluster").agg(min("lang").as("lang_golden"))
+      g.join(gl, "cluster")
+        .select(col("cluster").as("cluster_id"), col("n_members"),
+          col("lang_golden"), col("max_chars"))
+        .orderBy("cluster_id")
+    },
+
     // Deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis A-ES; [[graft.ops.TextOps.weightedSample]]): priority
     // ln(u)/w from a portable 48-bit md5 uniform, micro-rounded, top-100
