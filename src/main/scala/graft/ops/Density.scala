@@ -61,7 +61,17 @@ object Density {
         Seq("cx", "cy"))
       .filter(expr(s"(ax-bx)*(ax-bx) + (ay-by)*(ay-by) <= ${eps * eps}L"))
       .select("a", "b")
-      .localCheckpoint() // feeds core counts, core edges AND borders
+      // Feeds core counts, core edges AND borders — but pairs is the
+      // O(n · density) relation, the one thing here that GROWS
+      // superlinearly as a corpus densifies in a fixed ε-space. A
+      // localCheckpoint pinned it in the unified memory pool and at
+      // 100× original density (the sf10 scale notch) the pinned blocks
+      // starved execution memory to zero (SparkOutOfMemoryError in
+      // HashAggregate init). DISK_ONLY keeps the multi-consumer reuse
+      // without competing with join/aggregate execution memory — the
+      // only storage level that is safe for a relation whose size is a
+      // function of data density rather than data size.
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cores = pairs.groupBy(col("a").as("id"))
       .agg(count(lit(1)).as("n_nbr"))
       .filter(col("n_nbr") >= minPts)
