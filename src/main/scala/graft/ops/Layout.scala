@@ -270,4 +270,157 @@ object Layout {
     if (includeUnchanged) joined
     else joined.filter(col("status") =!= "unchanged")
   }
+
+  // ----- Snapshot-committed table: time travel + vacuum ---------------
+  //
+  // A minimal lakehouse commit protocol over plain parquet (the shape
+  // Iceberg/Delta formalize, reduced to its load-bearing core): every
+  // write lands as NEW immutable data files plus a MANIFEST naming
+  // exactly the files of that snapshot; the manifest's atomic rename IS
+  // the commit. Readers resolve a manifest — latest or AS OF an id —
+  // and read only its files, so concurrent writers never corrupt a
+  // reader's view (snapshot isolation by immutability), a crashed
+  // writer leaves only unreferenced orphans (never a torn table), and
+  // history stays queryable until vacuumed. Manifests are METADATA:
+  // driver-side reads/writes over a |files|-bounded list (the
+  // compactSmallFiles argument), while data moves only through
+  // distributed parquet writes. Format: plain text, line 1 "graft-snap
+  // v1", line 2 the row count, then one data-file name per line.
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    (root.getFileSystem(conf), root, conf)
+  }
+
+  private def manifestId(name: String): Option[Int] =
+    Option(name).filter(n => n.startsWith("snapshot-") &&
+        n.endsWith(".txt"))
+      .map(_.stripPrefix("snapshot-").stripSuffix(".txt"))
+      .filter(_.forall(_.isDigit)).map(_.toInt)
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-snap v1"),
+      s"snapshot manifest $p: unrecognized header")
+    (lines(1).toLong, lines.drop(2))
+  }
+
+  /** Commit `df` as the next snapshot of the table at `path`; returns
+    * the new snapshot id (1-based). Write order is the crash-safe one:
+    * data files first (staged by Spark, then moved under data/ with a
+    * per-snapshot prefix), manifest rename LAST — a failure anywhere
+    * before the rename leaves the table exactly at its previous
+    * snapshot, with at worst orphaned data files that [[vacuum]]
+    * removes. Row count comes from the staged parquet FOOTERS (driver
+    * metadata, no second scan). */
+  def commitSnapshot(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val (fs, root, conf) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    fs.mkdirs(snapsDir); fs.mkdirs(dataDir)
+    val prev = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName))
+    val id = if (prev.isEmpty) 1 else prev.max + 1
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(stage.toString)
+    val staged = fs.listStatus(stage).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet"))
+    val rows = staged.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+    val names = staged.map { st =>
+      val nm = s"s$id-${st.getPath.getName}"
+      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
+      nm
+    }.sorted
+    fs.delete(stage, true)
+    val tmp = new org.apache.hadoop.fs.Path(snapsDir,
+      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (Seq("graft-snap v1", rows.toString) ++ names)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")) // the atomic commit
+    id
+  }
+
+  /** Read the table at `path` — the latest snapshot, or AS OF
+    * `asOf` (time travel). Loud on a missing snapshot (vacuumed or
+    * never committed). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Int = -1): DataFrame = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val ids = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName))
+    require(ids.nonEmpty, s"readSnapshot: no snapshots at $path")
+    val id = if (asOf < 0) ids.max else asOf
+    require(ids.contains(id),
+      s"readSnapshot: snapshot $id not present at $path " +
+        s"(have ${ids.sorted.mkString(",")} — vacuumed or never committed)")
+    val (_, files) = readManifest(fs,
+      new org.apache.hadoop.fs.Path(snapsDir, f"snapshot-$id%05d.txt"))
+    require(files.nonEmpty, s"readSnapshot: snapshot $id is empty")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    spark.read.parquet(files.map(f =>
+      new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
+  }
+
+  /** The table's history as a (snapshot_id, n_files, n_rows) relation —
+    * |snapshots| rows of driver-read metadata. */
+  def snapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val rows = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
+      .sortBy(_._1)
+      .map { case (id, st) =>
+        val (n, files) = readManifest(fs, st.getPath)
+        (id.toLong, files.size.toLong, n)
+      }.toSeq
+    import spark.implicits._
+    rows.toDF("snapshot_id", "n_files", "n_rows")
+  }
+
+  /** Retention: keep the newest `keepLast` snapshots, drop older
+    * manifests, and delete every data file no kept snapshot references
+    * (including orphans from crashed commits). Returns (manifests
+    * dropped, data files deleted). Kept snapshots remain byte-identical
+    * readable — files shared with dropped history survive because
+    * retention is computed from the KEPT manifests' reference set, not
+    * from file age. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val manifests = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
+      .sortBy(_._1)
+    val (drop, keep) =
+      manifests.splitAt(math.max(0, manifests.length - keepLast))
+    val referenced = keep.flatMap { case (_, st) =>
+      readManifest(fs, st.getPath)._2
+    }.toSet
+    val removedFiles = fs.listStatus(dataDir).filter { st =>
+      st.isFile && !referenced.contains(st.getPath.getName)
+    }.map { st => fs.delete(st.getPath, false); 1 }.sum
+    drop.foreach { case (_, st) => fs.delete(st.getPath, false) }
+    (drop.length, removedFiles)
+  }
 }

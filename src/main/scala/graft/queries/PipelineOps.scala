@@ -3093,6 +3093,53 @@ object PipelineOps {
     // doc's text revised — exercising all four statuses plus ids
     // absent from both sides. ONE narrow (id, digest) full-outer join;
     // payloads never move.
+    // Snapshot-committed table with TIME TRAVEL
+    // ([[graft.ops.Layout.commitSnapshot]]/readSnapshot/snapshots): the
+    // minimal lakehouse commit protocol — immutable data files + a
+    // manifest whose atomic rename is the commit; readers resolve
+    // latest or AS OF an id. Graded end to end: two commits (the even
+    // half, then the full corpus; file counts pinned by range
+    // repartition), then the HISTORY relation joined with aggregates
+    // read through each snapshot — the oracle predicts every cell from
+    // the raw table, so manifest bookkeeping, as-of resolution, and
+    // the per-snapshot file sets must all be right for the hash to
+    // match. Vacuum/retention (incl. crashed-commit orphan removal and
+    // the loud read of a vacuumed id) is LayoutSpec territory — it
+    // deletes state, which an oracle can't observe.
+    QueryDef.views("tt1_time_travel",
+      """WITH e AS (SELECT count(*) AS c, sum(n_chars) AS s
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |     a AS (SELECT count(*) AS c, sum(n_chars) AS s
+        |           FROM documents)
+        |SELECT 1 AS snapshot_id, CAST(2 AS BIGINT) AS n_files,
+        |       CAST(e.c AS BIGINT) AS n_rows,
+        |       CAST(e.c AS BIGINT) AS n_docs_read,
+        |       CAST(e.s AS BIGINT) AS sum_chars FROM e
+        |UNION ALL
+        |SELECT 2, CAST(3 AS BIGINT), CAST(a.c AS BIGINT),
+        |       CAST(a.c AS BIGINT), CAST(a.s AS BIGINT) FROM a
+        |ORDER BY snapshot_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt1")
+        .toString
+      val s1 = Layout.commitSnapshot(
+        docs.filter(col("doc_id") % 2 === 0)
+          .repartitionByRange(2, col("doc_id")), t)
+      val s2 = Layout.commitSnapshot(
+        docs.repartitionByRange(3, col("doc_id")), t)
+      val reads = Seq(s1, s2).map { id =>
+        Layout.readSnapshot(spark, t, id)
+          .agg(count(lit(1)).as("n_docs_read"),
+            sum("n_chars").as("sum_chars"))
+          .withColumn("snapshot_id", lit(id.toLong))
+      }.reduce(_ unionByName _)
+      Layout.snapshots(spark, t).join(reads, "snapshot_id")
+        .select(col("snapshot_id"), col("n_files"), col("n_rows"),
+          col("n_docs_read"), col("sum_chars"))
+        .orderBy("snapshot_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

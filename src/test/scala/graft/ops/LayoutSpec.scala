@@ -174,4 +174,50 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_spec_bk_b")
     }
   }
+
+  test("snapshot table: commits are isolated, time travel reads, " +
+      "vacuum retains only referenced files and is loud afterwards") {
+    val t = java.nio.file.Files.createTempDirectory("graft-snap-spec")
+      .toString
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    val v2 = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "v")
+      .coalesce(1)
+    val v3 = Seq((9L, "z")).toDF("id", "v").coalesce(1)
+    assert(Layout.commitSnapshot(v1, t) == 1)
+    assert(Layout.commitSnapshot(v2, t) == 2)
+    // time travel: snapshot 1 is untouched by commit 2
+    assert(Layout.readSnapshot(spark, t, asOf = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "b"))
+    assert(Layout.readSnapshot(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // a crashed commit = staged orphan data file, no manifest: readers
+    // never see it, vacuum removes it
+    val (fs, dataDir) = {
+      val conf = spark.sessionState.newHadoopConf()
+      val d = new org.apache.hadoop.fs.Path(t, "data")
+      (d.getFileSystem(conf), d)
+    }
+    val orphan = new org.apache.hadoop.fs.Path(dataDir,
+      "s99-orphan.parquet")
+    fs.create(orphan, true).close()
+    assert(Layout.commitSnapshot(v3, t) == 3)
+    val hist = Layout.snapshots(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(hist == Map(1L -> 2L, 2L -> 3L, 3L -> 1L))
+    // vacuum to the last two snapshots: manifest 1 gone, its files and
+    // the orphan deleted, snapshots 2 and 3 still byte-identical
+    val (droppedManifests, droppedFiles) = Layout.vacuum(spark, t, 2)
+    assert(droppedManifests == 1)
+    assert(droppedFiles >= 2) // snapshot 1's file(s) + the orphan
+    assert(!fs.exists(orphan))
+    assert(Layout.readSnapshot(spark, t, asOf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(Layout.readSnapshot(spark, t, asOf = 3).count() == 1)
+    val e = intercept[IllegalArgumentException](
+      Layout.readSnapshot(spark, t, asOf = 1))
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }
