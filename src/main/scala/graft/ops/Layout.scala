@@ -396,6 +396,37 @@ object Layout {
     rows.toDF("snapshot_id", "n_files", "n_rows")
   }
 
+  /** MERGE INTO the snapshot table — the lakehouse upsert/delete write
+    * path (Delta/Iceberg MERGE reduced to the changelog-apply core):
+    * `source` carries whole replacement rows plus an op column; rows
+    * with op 'd' delete their key, everything else upserts (replaces
+    * or inserts whole-row). Produces a NEW snapshot — copy-on-write at
+    * table granularity, so time travel to the pre-merge state keeps
+    * working and a crash mid-merge leaves the table at its previous
+    * snapshot (the [[commitSnapshot]] guarantee). Returns the new id.
+    *
+    * Scale shape: ONE left-anti join of the current snapshot against
+    * the source's distinct keys (ids only) + a union with the source's
+    * surviving rows, then the distributed rewrite. Partition-scoped
+    * overwrites (the cheaper path when churn is partition-local) are
+    * the ov1 machinery; this is the general-key form. */
+  def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, keyCol: String,
+      opCol: String): Int = {
+    val cur = readSnapshot(spark, path)
+    require(source.columns.contains(opCol),
+      s"mergeSnapshot: source lacks op column '$opCol'")
+    require(source.columns.filter(_ != opCol).sorted
+        .sameElements(cur.columns.sorted),
+      s"mergeSnapshot: source columns ${source.columns.mkString(",")} " +
+        s"(minus $opCol) must match the table's ${cur.columns.mkString(",")}")
+    val keys = source.select(col(keyCol)).distinct()
+    val survivors = cur.join(keys, Seq(keyCol), "left_anti")
+    val upserts = source.filter(col(opCol) =!= "d").drop(opCol)
+      .select(cur.columns.map(col).toIndexedSeq: _*)
+    commitSnapshot(survivors.unionByName(upserts), path)
+  }
+
   /** Retention: keep the newest `keepLast` snapshots, drop older
     * manifests, and delete every data file no kept snapshot references
     * (including orphans from crashed commits). Returns (manifests

@@ -3140,6 +3140,44 @@ object PipelineOps {
         .orderBy("snapshot_id")
     },
 
+    // MERGE INTO the snapshot table ([[graft.ops.Layout.mergeSnapshot]]):
+    // deletes (doc_id ≡ 0 mod 10), whole-row updates (≡ 1: n_chars
+    // + 1000), and inserts (new ids 10⁶ + doc_id for ≡ 2) applied as
+    // ONE merge producing snapshot 2 — copy-on-write, so the pre-merge
+    // snapshot stays readable (graded implicitly: the merge reads it).
+    // The graded output is the ENTIRE post-merge table, so the anti
+    // join, the op routing, and the commit bookkeeping must all be
+    // right for any row to hash-match; the oracle predicts the merged
+    // relation directly from the raw table.
+    QueryDef.views("tt2_merge_snapshot",
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 10 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 10 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt2")
+        .toString
+      Layout.commitSnapshot(docs.repartitionByRange(3, col("doc_id")), t)
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      Layout.mergeSnapshot(spark, t, changes, "doc_id", "op")
+      Layout.readSnapshot(spark, t).orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),
