@@ -3178,6 +3178,48 @@ object PipelineOps {
       Layout.readSnapshot(spark, t).orderBy("doc_id")
     },
 
+    // Change data feed between two snapshots — the lakehouse CDF
+    // surface, composed from the table's own primitives: time travel
+    // to both ids ([[graft.ops.Layout.readSnapshot]]) and the narrow
+    // (id, digest) diff ([[graft.ops.Layout.diffSnapshots]], delta-only
+    // mode). Same merge fixture as tt2, so the feed must report
+    // exactly the deletes as `removed`, the whole-row updates as
+    // `changed`, and the inserts as `added` — predicted directly by
+    // the oracle. Payloads never move: the diff joins digests only.
+    QueryDef.views("tt3_change_feed",
+      """SELECT doc_id, status FROM (
+        |  SELECT doc_id, 'removed' AS status FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed' FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added' FROM documents
+        |  WHERE doc_id % 10 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt3")
+        .toString
+      Layout.commitSnapshot(docs.repartitionByRange(3, col("doc_id")), t)
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      Layout.mergeSnapshot(spark, t, changes, "doc_id", "op")
+      def content(asOf: Int) = Layout.readSnapshot(spark, t, asOf)
+        .withColumn("content",
+          concat_ws("|", col("lang"), col("n_chars")))
+      Layout.diffSnapshots(content(1), content(2), "doc_id", "content",
+          includeUnchanged = false)
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),
