@@ -308,8 +308,26 @@ object Layout {
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("graft-snap v1"),
       s"snapshot manifest $p: unrecognized header")
-    (lines(1).toLong, lines.drop(2))
+    (lines(1).toLong, lines.drop(2).filterNot(_.startsWith("tag:")))
   }
+
+  private def manifestTag(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    txt.split("\n").find(_.startsWith("tag:")).map(_.stripPrefix("tag:"))
+  }
+
+  /** If any committed manifest carries `tag`, return its id (the
+    * idempotence lookup for replayed writers); manifests are bounded
+    * metadata, the scan is driver-side. */
+  private def tagged(fs: org.apache.hadoop.fs.FileSystem,
+      snapsDir: org.apache.hadoop.fs.Path, tag: String): Option[Int] =
+    fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
+      .find { case (_, st) => manifestTag(fs, st.getPath).contains(tag) }
+      .map(_._1)
 
   /** Commit `df` as the next snapshot of the table at `path`; returns
     * the new snapshot id (1-based). Write order is the crash-safe one:
@@ -319,15 +337,44 @@ object Layout {
     * snapshot, with at worst orphaned data files that [[vacuum]]
     * removes. Row count comes from the staged parquet FOOTERS (driver
     * metadata, no second scan). */
-  def commitSnapshot(df: DataFrame, path: String): Int = {
+  def commitSnapshot(df: DataFrame, path: String,
+      tag: String = null): Int =
+    snapshotWrite(df, path, tag, carryPrevious = false)
+
+  /** APPEND `df` as the next snapshot: the new manifest references the
+    * previous snapshot's files PLUS the newly staged ones — the proper
+    * lakehouse append, O(batch) data written regardless of table size
+    * (where [[commitSnapshot]] is the full-replace form and
+    * [[mergeSnapshot]] the keyed copy-on-write). Same crash contract:
+    * the manifest rename is the commit. */
+  def appendSnapshot(df: DataFrame, path: String,
+      tag: String = null): Int =
+    snapshotWrite(df, path, tag, carryPrevious = true)
+
+  /** Shared commit body. `tag` (optional) makes the write IDEMPOTENT:
+    * a tag already present on a committed manifest short-circuits to
+    * that snapshot's id without writing — the replayed-epoch guard a
+    * streaming foreachBatch writer needs (tag = batchId), the manifest
+    * analog of the K1/K2 ledgers. */
+  private def snapshotWrite(df: DataFrame, path: String, tag: String,
+      carryPrevious: Boolean): Int = {
     val spark = df.sparkSession
     val (fs, root, conf) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     fs.mkdirs(snapsDir); fs.mkdirs(dataDir)
+    if (tag != null) tagged(fs, snapsDir, tag) match {
+      case Some(existing) => return existing // replayed write, committed
+      case None =>
+    }
     val prev = fs.listStatus(snapsDir)
       .flatMap(st => manifestId(st.getPath.getName))
     val id = if (prev.isEmpty) 1 else prev.max + 1
+    val (prevRows, prevFiles) =
+      if (carryPrevious && prev.nonEmpty)
+        readManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-${prev.max}%05d.txt"))
+      else (0L, Seq.empty[String])
     val stage = new org.apache.hadoop.fs.Path(root,
       s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(stage.toString)
@@ -349,7 +396,9 @@ object Layout {
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(
-      (Seq("graft-snap v1", rows.toString) ++ names)
+      (Seq("graft-snap v1", (prevRows + rows).toString) ++
+        Option(tag).map("tag:" + _).toSeq ++
+        (prevFiles ++ names))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, new org.apache.hadoop.fs.Path(snapsDir,

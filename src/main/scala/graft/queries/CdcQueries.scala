@@ -1388,6 +1388,92 @@ object CdcQueries {
         |  ON e.user_id = d.c_custkey
         |ORDER BY e.event_id""".stripMargin)),
 
+    // st19 — STREAMING INGEST INTO THE SNAPSHOT TABLE: the lakehouse
+    // write path fed by real micro-batches. Each batch lands through
+    // [[graft.ops.Layout.appendSnapshot]] — O(batch) data files plus a
+    // manifest referencing previous + new (never a table rewrite) —
+    // with tag = batchId making the commit IDEMPOTENT (a replayed
+    // epoch short-circuits to the already-committed snapshot: the
+    // manifest analog of the K1/K2 ledgers). The replay guard is
+    // exercised for real after the run: re-appending under batch 0's
+    // tag must return snapshot 1 and create nothing. History depth
+    // (one snapshot per micro-batch) is loudly pinned; the graded
+    // output is the final table read through the manifest chain,
+    // against the plain batch oracle.
+    QueryDef("st19_stream_snapshot_ingest", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      def fp(f: java.io.File): Long =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
+        else 31L * f.length() + f.lastModified()
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st19v1-" +
+        java.lang.Long.toHexString(
+          fp(new java.io.File(s"$dir/events.parquet")))
+      val run = Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-st19-fixture-$key")
+      if (!Files.exists(run.resolve("chunk-2.jsonl"))) {
+        Files.createDirectories(run)
+        val staged = spark.table("events").select(col("event_id"),
+          col("user_id"), col("event_type"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("value_cents"))
+        (0 until 3).foreach { k =>
+          val part = run.resolve(s"part-$k")
+          staged.filter(pmod(col("event_id"), lit(3)) === k)
+            .coalesce(1).write.mode("overwrite").json(part.toString)
+          val one = part.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".json"))
+          require(one.length == 1,
+            s"st19 fixture: expected one part file, got ${one.length}")
+          Files.move(one.head.toPath, run.resolve(s"chunk-$k.jsonl"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          run.resolve(s"chunk-$k.jsonl").toFile
+            .setLastModified(1000000000000L + k * 1000L)
+        }
+      }
+      val table = Files.createTempDirectory("graft-st19-table").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+          "value_cents BIGINT")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(run.toString)
+        .filter(col("event_id").isNotNull)
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st19-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            graft.ops.Layout.appendSnapshot(
+              batch.select(col("event_id"), col("user_id"),
+                col("event_type"), col("value_cents")),
+              table, tag = s"b$batchId"): Unit
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val hist = graft.ops.Layout.snapshots(spark, table).count()
+      require(hist == 3L,
+        s"st19: expected one snapshot per micro-batch (3), got $hist")
+      // replay guard, exercised for real: a second append under batch
+      // 0's tag must short-circuit to snapshot 1 and commit nothing
+      import spark.implicits._
+      val replayId = graft.ops.Layout.appendSnapshot(
+        Seq((-1L, -1L, "replay", -1L))
+          .toDF("event_id", "user_id", "event_type", "value_cents"),
+        table, tag = "b0")
+      require(replayId == 1,
+        s"st19: replayed tag b0 must return snapshot 1, got $replayId")
+      val after = graft.ops.Layout.snapshots(spark, table).count()
+      require(after == 3L,
+        s"st19: replayed append must commit nothing, history went $after")
+      graft.ops.Layout.readSnapshot(spark, table).orderBy("event_id")
+    }, Some(
+      """SELECT event_id, user_id, event_type,
+        |       CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |FROM events
+        |ORDER BY event_id""".stripMargin)),
+
     // sc3 — STREAMING SCD2: the history table maintained incrementally
     // by real micro-batches (st1's harness). Changelog.scd2Stream emits
     // each version when opened and re-emits it when closed — across
