@@ -601,8 +601,10 @@ object GraphOps {
     * round is one (src-keyed) equi-join of the live edge list against
     * the 16-byte (v, lbl) relation + one min hash-aggregate with
     * map-side partials, localCheckpoint'd so no lineage accumulates;
-    * rounds to fixpoint = SCC diameter (the graded fixture pins it at
-    * 8 by construction; web-graph SCC diameters are small). The edge
+    * rounds to fixpoint = O(log SCC diameter) — each round pairs the
+    * one-hop edge relax with pointer jumping on the label graph (the
+    * [[Dedup.dupClusters]] argument lifted to directed reachability),
+    * so even chain-diameter graphs converge in log rounds. The edge
     * list is cast/dedup'd ONCE and re-induced per peel by two node-id
     * semi-joins. Nothing holds reachable SETS — the closure lives in
     * the oracle, not the engine. Nodes with no surviving edge after
@@ -623,26 +625,66 @@ object GraphOps {
     var out: DataFrame = null
     var peel = 0
     var done = false
-    // min-label fixpoint along `ed` (one-hop per round, loud cap): the
-    // per-round changed count doubles as the convergence test and costs
-    // one count job over the labels relation only.
-    def minLabels(ed: DataFrame): DataFrame = {
-      var labels = remaining.select(col("v"), col("v").as("lbl"))
-        .localCheckpoint()
+    // min-label fixpoint along `ed`, O(log diameter) rounds: each round
+    // combines the one-hop edge relax (min over in-neighbors' labels)
+    // with POINTER JUMPING on the label graph — L(L(v)) reaches L(v)
+    // reaches v, so min(L(v), L(L(v))) is a sound shortcut and label
+    // paths halve per round (cc1's pointer-jumping argument, lifted to
+    // directed reachability). The fixpoint is unique (min id reaching
+    // v), so the shortcut changes round count, never the answer. The
+    // per-round changed probe is a limit(1) count over labels only.
+    // Checkpoint AND sever stats lineage: Spark's localCheckpoint
+    // carries the source plan's size estimate forward (originStats),
+    // and a loop that SELF-JOINS its own checkpoint squares that
+    // estimate every round — by round ~10 the optimizer's sizeInBytes
+    // BigInts have millions of digits and InjectRuntimeFilter's
+    // canBroadcastBySize spends minutes in Toom-Cook multiplication
+    // (observed live: the first jump-enabled run pinned a driver core
+    // for 20 minutes in BigInteger.multiply). Rebuilding the frame
+    // from the checkpointed RDD resets the estimate to the default —
+    // constant-size stats arithmetic no matter how many rounds run.
+    // Cost: one Row encode/decode per 16-byte label row, noise next
+    // to the exchange the round already pays.
+    def freshCk(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    // BOTH fixpoints advance in ONE tagged relation per round: the
+    // forward labels (dir 0, along edges) and backward labels (dir 1,
+    // against them) are independent, so tagging rows with a direction
+    // column and keying every join on (dir, node) runs the two
+    // propagations in the same jobs — half the driver synchronization
+    // barriers of sequential F-then-B loops, the thing that actually
+    // costs in an iterative operator (each round is cheap; the barrier
+    // between rounds is not). Rounds = max of the two convergences.
+    def minLabelsBoth(ed: DataFrame): DataFrame = {
+      val ed2 = freshCk(
+        ed.select(lit(0).as("dir"), col("src"), col("dst"))
+          .unionAll(ed.select(lit(1).as("dir"), col("dst").as("src"),
+            col("src").as("dst"))))
+      var labels = freshCk(remaining
+        .select(explode(array(lit(0), lit(1))).as("dir"), col("v"),
+          col("v").as("lbl")))
       var changed = 1L
       var r = 0
       while (changed > 0 && r < maxRounds) {
         r += 1
-        val pushed = ed
-          .join(labels.select(col("v").as("src"), col("lbl"))
-            .hint("shuffle_hash"), "src")
-          .groupBy(col("dst").as("v")).agg(min("lbl").as("nl"))
-        val next = labels.join(pushed, Seq("v"), "left")
-          .select(col("v"),
-            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = next.join(labels.select(col("v"),
-            col("lbl").as("old")), "v")
+        val pushed = ed2
+          .join(labels.select(col("dir"), col("v").as("src"), col("lbl"))
+            .hint("shuffle_hash"), Seq("dir", "src"))
+          .groupBy(col("dir"), col("dst").as("v")).agg(min("lbl").as("nl"))
+        val jumped = labels.join(
+          labels.select(col("dir"), col("v").as("lbl"),
+            col("lbl").as("jl")).hint("shuffle_hash"), Seq("dir", "lbl"))
+          .select(col("dir"), col("v"), col("jl"))
+        val next = freshCk(labels
+          .join(pushed, Seq("dir", "v"), "left")
+          .join(jumped, Seq("dir", "v"), "left")
+          .select(col("dir"), col("v"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl")),
+              coalesce(col("jl"), col("lbl"))).as("lbl")))
+        changed = next.join(labels.select(col("dir"), col("v"),
+            col("lbl").as("old")), Seq("dir", "v"))
           .filter(col("lbl") =!= col("old")).limit(1).count()
         labels = next
       }
@@ -653,10 +695,12 @@ object GraphOps {
     }
     while (peel < maxPeels && !done) {
       peel += 1
-      val minF = minLabels(live).withColumnRenamed("lbl", "f")
-      val minB = minLabels(live.select(col("dst").as("src"),
-        col("src").as("dst"))).withColumnRenamed("lbl", "b")
-      val both = minF.join(minB, "v").localCheckpoint()
+      val lbls = minLabelsBoth(live)
+      val both = lbls.filter(col("dir") === 0)
+        .select(col("v"), col("lbl").as("f"))
+        .join(lbls.filter(col("dir") === 1)
+          .select(col("v"), col("lbl").as("b")), "v")
+        .localCheckpoint()
       val assigned = both.filter(col("f") === col("b"))
         .select(col("v"), col("f").as("scc"))
       out = if (out == null) assigned.localCheckpoint()
