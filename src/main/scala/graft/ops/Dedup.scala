@@ -262,6 +262,21 @@ object Dedup {
     var labels = sym.groupBy(col("a").as("node"))
       .agg(least(col("a"), min(col("b"))).as("lbl"))
       .localCheckpoint()
+    // Checkpoints here also SEVER STATS LINEAGE (rebuild from the
+    // checkpointed RDD): localCheckpoint carries originStats forward,
+    // and this loop both multiplies (edge join) and SQUARES (the jump
+    // self-join) the size estimate every round — digits grow ~2^iter,
+    // so a deep-diameter graph that needs tens of rounds would spend
+    // its driver time in the optimizer's BigInteger arithmetic before
+    // any task runs (observed live in the SCC sibling of this loop:
+    // a core pinned 20 min in Toom-Cook multiplication inside
+    // canBroadcastBySize). Fresh LogicalRDD stats keep the arithmetic
+    // constant-size at any round count; the per-row Row round-trip is
+    // noise next to the exchange each round already pays.
+    def freshCk(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -270,21 +285,19 @@ object Dedup {
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
       // checkpointed so the jump's SELF-join reads it from cache — inlined,
       // the nbrMin join above would be planted (and computed) twice
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
+      val stepped = freshCk(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
       // pointer jumping: lbl := label(lbl) — label values are node ids,
       // so one extra self-join halves the remaining chain length each
       // round (O(log diameter) rounds instead of O(diameter))
-      val updated = stepped
+      val updated = freshCk(stepped
         .join(stepped.select(col("node").as("lbl"), col("lbl").as("ll")),
           Seq("lbl"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
           (least(col("lbl"), coalesce(col("ll"), col("lbl"))) < col("prev"))
-            .as("moved"))
-        .localCheckpoint()
+            .as("moved")))
       // convergence probe on the just-materialized partitions — cheap
       changed = updated.filter(col("moved")).count()
       labels = updated.drop("moved")
