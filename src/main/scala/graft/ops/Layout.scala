@@ -300,6 +300,8 @@ object Layout {
       .map(_.stripPrefix("snapshot-").stripSuffix(".txt"))
       .filter(_.forall(_.isDigit)).map(_.toInt)
 
+  // Manifest file lines are "name" or "name|lo|hi" when the commit
+  // recorded column stats (statsCol) — the data-skipping index.
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
     val in = fs.open(p)
@@ -308,7 +310,26 @@ object Layout {
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("graft-snap v1"),
       s"snapshot manifest $p: unrecognized header")
-    (lines(1).toLong, lines.drop(2).filterNot(_.startsWith("tag:")))
+    (lines(1).toLong, lines.drop(2).filterNot(_.startsWith("tag:"))
+      .map(_.split('|').head))
+  }
+
+  /** Manifest entries WITH their recorded per-file stats range (None
+    * when that file was committed without stats — always read). */
+  private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Seq[(String, Option[(Long, Long)])] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
+      .filterNot(_.startsWith("tag:"))
+      .map { line =>
+        line.split('|') match {
+          case Array(n, lo, hi) => (n, Some((lo.toLong, hi.toLong)))
+          case parts => (parts.head, None)
+        }
+      }
   }
 
   private def manifestTag(fs: org.apache.hadoop.fs.FileSystem,
@@ -338,8 +359,8 @@ object Layout {
     * removes. Row count comes from the staged parquet FOOTERS (driver
     * metadata, no second scan). */
   def commitSnapshot(df: DataFrame, path: String,
-      tag: String = null): Int =
-    snapshotWrite(df, path, tag, carryPrevious = false)
+      tag: String = null, statsCol: String = null): Int =
+    snapshotWrite(df, path, tag, carryPrevious = false, statsCol)
 
   /** APPEND `df` as the next snapshot: the new manifest references the
     * previous snapshot's files PLUS the newly staged ones — the proper
@@ -348,8 +369,8 @@ object Layout {
     * [[mergeSnapshot]] the keyed copy-on-write). Same crash contract:
     * the manifest rename is the commit. */
   def appendSnapshot(df: DataFrame, path: String,
-      tag: String = null): Int =
-    snapshotWrite(df, path, tag, carryPrevious = true)
+      tag: String = null, statsCol: String = null): Int =
+    snapshotWrite(df, path, tag, carryPrevious = true, statsCol)
 
   /** Shared commit body. `tag` (optional) makes the write IDEMPOTENT:
     * a tag already present on a committed manifest short-circuits to
@@ -357,7 +378,7 @@ object Layout {
     * streaming foreachBatch writer needs (tag = batchId), the manifest
     * analog of the K1/K2 ledgers. */
   private def snapshotWrite(df: DataFrame, path: String, tag: String,
-      carryPrevious: Boolean): Int = {
+      carryPrevious: Boolean, statsCol: String = null): Int = {
     val spark = df.sparkSession
     val (fs, root, conf) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
@@ -370,27 +391,65 @@ object Layout {
     val prev = fs.listStatus(snapsDir)
       .flatMap(st => manifestId(st.getPath.getName))
     val id = if (prev.isEmpty) 1 else prev.max + 1
-    val (prevRows, prevFiles) =
-      if (carryPrevious && prev.nonEmpty)
-        readManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
-          f"snapshot-${prev.max}%05d.txt"))
-      else (0L, Seq.empty[String])
+    val (prevRows, prevLines) =
+      if (carryPrevious && prev.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-${prev.max}%05d.txt")
+        // carry the RAW file lines so earlier commits' data-skipping
+        // stats survive an append
+        (readManifest(fs, p)._1, readManifestStats(fs, p).map {
+          case (n, Some((lo, hi))) => s"$n|$lo|$hi"
+          case (n, None) => n
+        })
+      } else (0L, Seq.empty[String])
     val stage = new org.apache.hadoop.fs.Path(root,
       s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
-    val rows = staged.map { st =>
+    def statLong(v: Any, what: String): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"snapshotWrite: statsCol must be integral, $what was " +
+          s"${if (other == null) "null" else other.getClass.getName}")
+    }
+    // one footer open per staged file: row count + (when statsCol is
+    // set) the min/max over its row groups — the data-skipping index
+    // a pruned read consults WITHOUT touching parquet footers
+    val metas = staged.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
-    val names = staged.map { st =>
+      try {
+        val rc = r.getRecordCount
+        val range = Option(statsCol).map { c =>
+          import scala.jdk.CollectionConverters._
+          val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == c).map { cc =>
+                val s = cc.getStatistics
+                require(s != null && s.hasNonNullValue,
+                  s"snapshotWrite: no parquet statistics for '$c'")
+                (statLong(s.genericGetMin, s"min($c)"),
+                  statLong(s.genericGetMax, s"max($c)"))
+              }
+          }
+          require(perBlock.nonEmpty,
+            s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
+          (perBlock.map(_._1).min, perBlock.map(_._2).max)
+        }
+        (st, rc, range)
+      } finally r.close()
+    }
+    val nameLines = metas.map { case (st, _, range) =>
       val nm = s"s$id-${st.getPath.getName}"
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
-      nm
+      range match {
+        case Some((lo, hi)) => s"$nm|$lo|$hi"
+        case None => nm
+      }
     }.sorted
+    val rows = metas.map(_._2).sum
     fs.delete(stage, true)
     val tmp = new org.apache.hadoop.fs.Path(snapsDir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -398,12 +457,48 @@ object Layout {
     try out.write(
       (Seq("graft-snap v1", (prevRows + rows).toString) ++
         Option(tag).map("tag:" + _).toSeq ++
-        (prevFiles ++ names))
+        (prevLines ++ nameLines))
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.rename(tmp, new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")) // the atomic commit
     id
+  }
+
+  /** Range read served by MANIFEST stats — scan planning from the
+    * data-skipping index ([[commitSnapshot]]'s statsCol): only files
+    * whose recorded [min, max] overlaps [lo, hi] are handed to the
+    * reader (files committed without stats are always read — skipping
+    * must never change results), and the exact row-level `between`
+    * filter is applied on top, so semantics equal readSnapshot +
+    * filter while I/O is proportional to the OVERLAPPING files. At
+    * 100 TB this is the difference between planning a scan from a
+    * |files|-bounded driver-side manifest and opening a million
+    * parquet footers. */
+  def readSnapshotPruned(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, lo: Long, hi: Long,
+      asOf: Int = -1): DataFrame = {
+    require(lo <= hi, s"readSnapshotPruned: lo $lo > hi $hi")
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val ids = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName))
+    require(ids.nonEmpty, s"readSnapshotPruned: no snapshots at $path")
+    val id = if (asOf < 0) ids.max else asOf
+    require(ids.contains(id),
+      s"readSnapshotPruned: snapshot $id not present at $path")
+    val entries = readManifestStats(fs,
+      new org.apache.hadoop.fs.Path(snapsDir, f"snapshot-$id%05d.txt"))
+    val keep = entries.filter {
+      case (_, Some((flo, fhi))) => fhi >= lo && flo <= hi
+      case (_, None) => true
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (keep.isEmpty)
+      readSnapshot(spark, path, id).filter(lit(false))
+    else spark.read.parquet(keep.map(e =>
+        new org.apache.hadoop.fs.Path(dataDir, e._1).toString): _*)
+      .filter(col(colName).between(lo, hi))
   }
 
   /** Read the table at `path` — the latest snapshot, or AS OF

@@ -3220,6 +3220,31 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Manifest-stats pruned read ([[graft.ops.Layout.readSnapshotPruned]]):
+    // scan planning from the snapshot table's own data-skipping index —
+    // commit records per-file [min, max] of the stats column from the
+    // parquet footers it already opens for row counts, and a range read
+    // consults the MANIFEST (driver-side, |files|-bounded) to hand the
+    // reader only overlapping files, exact row filter on top. The
+    // graded result must equal the plain filtered table — skipping can
+    // only change I/O, never answers; the file-count behavior itself is
+    // pinned in LayoutSpec where per-file ranges are constructed
+    // explicitly.
+    QueryDef.views("tt4_stats_pruned_read",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 249
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt4")
+        .toString
+      Layout.commitSnapshot(
+        docs.repartitionByRange(5, col("doc_id")), t,
+        statsCol = "doc_id")
+      Layout.readSnapshotPruned(spark, t, "doc_id", 100L, 249L)
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

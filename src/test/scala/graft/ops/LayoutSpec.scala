@@ -220,4 +220,31 @@ class LayoutSpec extends SparkSpec {
       Layout.readSnapshot(spark, t, asOf = 1))
     assert(e.getMessage.contains("vacuumed"))
   }
+
+  test("snapshot stats pruning: only overlapping files are read, " +
+      "answers never change, empty overlap is empty") {
+    val t = java.nio.file.Files.createTempDirectory("graft-prune-spec")
+      .toString
+    // three appends with KNOWN disjoint id ranges = three manifest
+    // entries with known [min, max]
+    def block(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 10).toDF("id")
+        .withColumn("v", col("id") * 2).coalesce(1)
+    Layout.commitSnapshot(block(0), t, statsCol = "id")
+    Layout.appendSnapshot(block(100), t, statsCol = "id")
+    Layout.appendSnapshot(block(200), t, statsCol = "id")
+    val pruned = Layout.readSnapshotPruned(spark, t, "id", 102L, 108L)
+    // exactly one of the three files overlaps [102, 108]
+    assert(pruned.select(input_file_name()).distinct().count() == 1)
+    val full = Layout.readSnapshot(spark, t)
+      .filter(col("id").between(102L, 108L))
+    assert(pruned.orderBy("id").collect().toSeq ==
+      full.orderBy("id").collect().toSeq)
+    // a range between blocks prunes everything and returns empty
+    assert(Layout.readSnapshotPruned(spark, t, "id", 50L, 60L)
+      .count() == 0)
+    // a range spanning two blocks reads exactly two files
+    assert(Layout.readSnapshotPruned(spark, t, "id", 5L, 105L)
+      .select(input_file_name()).distinct().count() == 2)
+  }
 }
