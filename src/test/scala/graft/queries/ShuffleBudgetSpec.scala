@@ -46,7 +46,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "cdc1_source_batch" -> 1_600_000L,
     "lm2_bigram_lm_capped" -> 1_600_000L,
     "rc1_recursive_closure" -> 350_000L,
-    "bk1_bucketed_join" -> 50_000L)
+    "bk1_bucketed_join" -> 50_000L,
+    // round-9 additions (addendum 35 rows): scc1 measured 1.31 MB,
+    // er1 0.07 MB at calibration
+    "scc1_strong_components" -> 4_000_000L,
+    "er1_golden_record" -> 250_000L)
 
   test("heavy queries stay inside their shuffle-write budgets") {
     val bytes = new AtomicLong(0)
