@@ -571,6 +571,43 @@ object Layout {
     commitSnapshot(survivors.unionByName(upserts), path)
   }
 
+  /** Incremental snapshot consumption — the rows introduced between
+    * two snapshot ids, computed as the FILE-SET difference of their
+    * manifests (driver-side metadata; no data diff): the batch
+    * primitive behind tail-the-table consumers (Delta's
+    * startingVersion / Iceberg's incremental scan). Exact for
+    * append-committed history ([[appendSnapshot]] — new files ARE the
+    * new rows); a full-replace commit ([[commitSnapshot]],
+    * [[mergeSnapshot]]) introduces all its files, so its whole image
+    * is emitted — the reprocess-on-rewrite convention incremental
+    * consumers expect. `fromId` = 0 reads everything up to `toId`. */
+  def readSnapshotChanges(spark: org.apache.spark.sql.SparkSession,
+      path: String, fromId: Int, toId: Int = -1): DataFrame = {
+    require(fromId >= 0, s"readSnapshotChanges: fromId must be >= 0")
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val ids = fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName))
+    require(ids.nonEmpty, s"readSnapshotChanges: no snapshots at $path")
+    val to = if (toId < 0) ids.max else toId
+    require(ids.contains(to),
+      s"readSnapshotChanges: snapshot $to not present at $path")
+    require(fromId == 0 || ids.contains(fromId),
+      s"readSnapshotChanges: snapshot $fromId not present at $path " +
+        "(vacuumed history cannot anchor an incremental read)")
+    require(fromId <= to,
+      s"readSnapshotChanges: fromId $fromId > toId $to")
+    def files(id: Int): Set[String] =
+      if (id == 0) Set.empty
+      else readManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
+        f"snapshot-$id%05d.txt"))._2.toSet
+    val fresh = (files(to) -- files(fromId)).toSeq.sorted
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fresh.isEmpty) readSnapshot(spark, path, to).filter(lit(false))
+    else spark.read.parquet(fresh.map(f =>
+      new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
+  }
+
   /** Retention: keep the newest `keepLast` snapshots, drop older
     * manifests, and delete every data file no kept snapshot references
     * (including orphans from crashed commits). Returns (manifests

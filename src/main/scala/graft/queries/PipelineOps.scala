@@ -3245,6 +3245,39 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Incremental snapshot consumption
+    // ([[graft.ops.Layout.readSnapshotChanges]]): the rows introduced
+    // between two snapshot ids as the manifests' FILE-SET difference —
+    // Delta-startingVersion / Iceberg-incremental-scan semantics, the
+    // batch primitive a tail-the-table consumer calls per poll. Three
+    // appends partition documents by doc_id % 3; reading changes since
+    // snapshot 1 must return EXACTLY the second and third appends'
+    // rows — predicted by the oracle from the raw table — and reading
+    // since the head must return nothing (graded via the n_since_head
+    // scalar). Scan cost is the fresh files only; history never
+    // re-reads.
+    QueryDef.views("tt5_incremental_read",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(0 AS BIGINT)) AS n_since_head
+        |FROM documents WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt5")
+        .toString
+      (0 to 2).foreach { k =>
+        Layout.appendSnapshot(docs.filter(col("doc_id") % 3 === k), t,
+          tag = s"part-$k")
+      }
+      val sinceHead = Layout.readSnapshotChanges(spark, t, fromId = 3)
+        .agg(count(lit(1)).as("n_since_head"))
+      Layout.readSnapshotChanges(spark, t, fromId = 1)
+        .crossJoin(broadcast(sinceHead)) // one-row scalar
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_since_head"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),
