@@ -285,7 +285,37 @@ object Layout {
   // driver-side reads/writes over a |files|-bounded list (the
   // compactSmallFiles argument), while data moves only through
   // distributed parquet writes. Format: plain text, line 1 "graft-snap
-  // v1", line 2 the row count, then one data-file name per line.
+  // v1", line 2 the row count, then optional "tag:"/"schema:" metadata
+  // lines, then one data-file name per line.
+  //
+  // CONCURRENCY (the Delta/Iceberg rule, reduced the same way): commits
+  // are OPTIMISTIC. A writer stages data files without coordination,
+  // then enters a commit critical section where it claims the next
+  // manifest id; losing the claim re-bases (an append re-reads the new
+  // head's file list) and retries, so append∥append commits BOTH with
+  // the union visible — while a keyed rewrite (mergeSnapshot) passes
+  // the snapshot id it read as `expectedBase` and ABORTS loudly when
+  // the head moved, because its survivors were computed from a stale
+  // file set (retrying would silently drop the interleaved commit).
+  // The claim itself is a CAS on the manifest name: manifests are
+  // written to a temp name and renamed to `snapshot-<id>.txt`, which
+  // HDFS rejects when the destination exists (rename-no-overwrite = a
+  // true cross-process CAS) — POSIX rename overwrites, so on local
+  // filesystems in-process writers are additionally serialized by a
+  // per-table JVM lock (the test topology: many streams, one JVM) and
+  // an exists() pre-check narrows the cross-process window. Rename
+  // keeps manifest VISIBILITY atomic on both: readers never observe a
+  // half-written manifest.
+
+  /** Per-table commit locks — the in-process half of the commit CAS
+    * (see the protocol note above). Keyed by the qualified table root;
+    * bounded by the number of distinct tables a JVM touches. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Object =
+    tableLocks.computeIfAbsent(fs.makeQualified(root).toString,
+      _ => new Object)
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
       path: String) = {
@@ -294,11 +324,18 @@ object Layout {
     (root.getFileSystem(conf), root, conf)
   }
 
+  // Strict parse: a stray file in snapshots/ ("snapshot-.txt", a name
+  // whose digit run overflows Int) must filter to None, not crash every
+  // read/commit/vacuum over the table.
   private def manifestId(name: String): Option[Int] =
     Option(name).filter(n => n.startsWith("snapshot-") &&
         n.endsWith(".txt"))
       .map(_.stripPrefix("snapshot-").stripSuffix(".txt"))
-      .filter(_.forall(_.isDigit)).map(_.toInt)
+      .filter(d => d.nonEmpty && d.length <= 9 && d.forall(_.isDigit))
+      .map(_.toInt)
+
+  private def isMetaLine(l: String): Boolean =
+    l.startsWith("tag:") || l.startsWith("schema:")
 
   // Manifest file lines are "name" or "name|lo|hi" when the commit
   // recorded column stats (statsCol) — the data-skipping index.
@@ -310,8 +347,23 @@ object Layout {
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("graft-snap v1"),
       s"snapshot manifest $p: unrecognized header")
-    (lines(1).toLong, lines.drop(2).filterNot(_.startsWith("tag:"))
+    (lines(1).toLong, lines.drop(2).filterNot(isMetaLine)
       .map(_.split('|').head))
+  }
+
+  /** The schema recorded at commit time (every snapshotWrite since the
+    * empty-commit fix records one) — what makes a ZERO-FILE snapshot
+    * readable and what the streaming source infers its schema from. */
+  private[graft] def manifestSchema(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    txt.split("\n").find(_.startsWith("schema:"))
+      .map(s => org.apache.spark.sql.types.DataType
+        .fromJson(s.stripPrefix("schema:"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Manifest entries WITH their recorded per-file stats range (None
@@ -323,7 +375,7 @@ object Layout {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
     txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
-      .filterNot(_.startsWith("tag:"))
+      .filterNot(isMetaLine)
       .map { line =>
         line.split('|') match {
           case Array(n, lo, hi) => (n, Some((lo.toLong, hi.toLong)))
