@@ -351,19 +351,31 @@ object Layout {
       .map(_.split('|').head))
   }
 
-  /** The schema recorded at commit time (every snapshotWrite since the
-    * empty-commit fix records one) — what makes a ZERO-FILE snapshot
-    * readable and what the streaming source infers its schema from. */
+  /** The schema recorded at commit time ([[snapshotWrite]] writes a
+    * `schema:` metadata line on every commit) — what makes a ZERO-FILE
+    * snapshot readable and what the streaming source infers its schema
+    * from. Only the metadata block (the `tag:`/`schema:` lines between
+    * the row count and the first data-file line) is consulted, so a
+    * hypothetical data file named `schema:…` can never be misparsed;
+    * a corrupt schema value fails loudly with the manifest path. */
   private[graft] def manifestSchema(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path)
       : Option[org.apache.spark.sql.types.StructType] = {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
-    txt.split("\n").find(_.startsWith("schema:"))
-      .map(s => org.apache.spark.sql.types.DataType
-        .fromJson(s.stripPrefix("schema:"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
+      .takeWhile(isMetaLine)
+      .find(_.startsWith("schema:"))
+      .map { s =>
+        try org.apache.spark.sql.types.DataType
+          .fromJson(s.stripPrefix("schema:"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"snapshot manifest $p: corrupt schema line", e)
+        }
+      }
   }
 
   /** Manifest entries WITH their recorded per-file stats range (None
@@ -428,9 +440,17 @@ object Layout {
     * a tag already present on a committed manifest short-circuits to
     * that snapshot's id without writing — the replayed-epoch guard a
     * streaming foreachBatch writer needs (tag = batchId), the manifest
-    * analog of the K1/K2 ledgers. */
+    * analog of the K1/K2 ledgers.
+    *
+    * `expectedBase` (-1 = unconditional) makes the commit CONDITIONAL:
+    * it aborts with [[java.util.ConcurrentModificationException]] when
+    * the table head at commit time is not exactly that snapshot id —
+    * the conflict-detection half of the optimistic protocol, used by
+    * [[mergeSnapshot]] whose survivors were computed from a specific
+    * base and would silently drop an interleaved commit if re-based. */
   private def snapshotWrite(df: DataFrame, path: String, tag: String,
-      carryPrevious: Boolean, statsCol: String = null): Int = {
+      carryPrevious: Boolean, statsCol: String = null,
+      expectedBase: Int = -1): Int = {
     val spark = df.sparkSession
     val (fs, root, conf) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
@@ -440,22 +460,24 @@ object Layout {
       case Some(existing) => return existing // replayed write, committed
       case None =>
     }
-    val prev = fs.listStatus(snapsDir)
-      .flatMap(st => manifestId(st.getPath.getName))
-    val id = if (prev.isEmpty) 1 else prev.max + 1
-    val (prevRows, prevLines) =
-      if (carryPrevious && prev.nonEmpty) {
-        val p = new org.apache.hadoop.fs.Path(snapsDir,
-          f"snapshot-${prev.max}%05d.txt")
-        // carry the RAW file lines so earlier commits' data-skipping
-        // stats survive an append
-        (readManifest(fs, p)._1, readManifestStats(fs, p).map {
-          case (n, Some((lo, hi))) => s"$n|$lo|$hi"
-          case (n, None) => n
-        })
-      } else (0L, Seq.empty[String])
-    val stage = new org.apache.hadoop.fs.Path(root,
-      s".stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (expectedBase >= 0) {
+      // cheap pre-flight: abort BEFORE the distributed staging write
+      // when the base is already stale (the authoritative check runs
+      // again inside the commit critical section)
+      val ids = fs.listStatus(snapsDir)
+        .flatMap(st => manifestId(st.getPath.getName))
+      val head = if (ids.isEmpty) 0 else ids.max
+      if (head != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot commit at $path: expected base $expectedBase " +
+            s"but head is $head — a concurrent commit interleaved; " +
+            "recompute from the new head and retry")
+    }
+    // Data-file names carry a commit-unique token, NOT the snapshot id:
+    // staging is uncoordinated, and a lost claim retries with a new id
+    // without touching (immutable, still-unreferenced) data files.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
@@ -494,7 +516,7 @@ object Layout {
       } finally r.close()
     }
     val nameLines = metas.map { case (st, _, range) =>
-      val nm = s"s$id-${st.getPath.getName}"
+      val nm = s"c$tok-${st.getPath.getName}"
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
       range match {
         case Some((lo, hi)) => s"$nm|$lo|$hi"
@@ -503,18 +525,70 @@ object Layout {
     }.sorted
     val rows = metas.map(_._2).sum
     fs.delete(stage, true)
-    val tmp = new org.apache.hadoop.fs.Path(snapsDir,
-      s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(
-      (Seq("graft-snap v1", (prevRows + rows).toString) ++
-        Option(tag).map("tag:" + _).toSeq ++
-        (prevLines ++ nameLines))
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(snapsDir,
-      f"snapshot-$id%05d.txt")) // the atomic commit
-    id
+    val schemaLine = "schema:" + df.schema.json
+
+    // Commit critical section — the optimistic claim. Each attempt
+    // re-reads the head (the RE-BASE: an append's carried file lines
+    // come from whatever head exists NOW, so append∥append commits
+    // both with the union visible), writes the manifest to a temp
+    // name, and claims `snapshot-<id>.txt` via exists()+rename — on
+    // HDFS rename-no-overwrite is a true cross-process CAS; POSIX
+    // rename overwrites, so in-process writers (the test topology:
+    // many streams, one JVM) are serialized by the per-table lock and
+    // exists() narrows the cross-process window. A failed claim
+    // deletes the temp manifest and retries with the next id; data
+    // files are never touched on retry (staged once, immutable,
+    // unreferenced until some manifest wins).
+    lockFor(fs, root).synchronized {
+      var attempt = 0
+      while (true) {
+        // a replayed tagged writer may have won while we staged: its
+        // committed snapshot is the answer; ours are orphans → vacuum
+        if (tag != null) tagged(fs, snapsDir, tag) match {
+          case Some(existing) => return existing
+          case None =>
+        }
+        val prev = fs.listStatus(snapsDir)
+          .flatMap(st => manifestId(st.getPath.getName))
+        val head = if (prev.isEmpty) 0 else prev.max
+        if (expectedBase >= 0 && head != expectedBase)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot commit at $path: expected base $expectedBase " +
+              s"but head is $head — a concurrent commit interleaved; " +
+              "recompute from the new head and retry")
+        val id = head + 1
+        val (prevRows, prevLines) =
+          if (carryPrevious && head > 0) {
+            val p = new org.apache.hadoop.fs.Path(snapsDir,
+              f"snapshot-$head%05d.txt")
+            // carry the RAW file lines so earlier commits'
+            // data-skipping stats survive an append
+            (readManifest(fs, p)._1, readManifestStats(fs, p).map {
+              case (n, Some((lo, hi))) => s"$n|$lo|$hi"
+              case (n, None) => n
+            })
+          } else (0L, Seq.empty[String])
+        val tmp = new org.apache.hadoop.fs.Path(snapsDir,
+          s".tmp-$tok-$attempt")
+        val out = fs.create(tmp, true)
+        try out.write(
+          (Seq("graft-snap v1", (prevRows + rows).toString) ++
+            Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
+            (prevLines ++ nameLines))
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        val dest = new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-$id%05d.txt")
+        val won = !fs.exists(dest) && fs.rename(tmp, dest)
+        if (won) return id
+        fs.delete(tmp, false) // lost the claim: re-base and retry
+        attempt += 1
+        if (attempt >= 50) throw new IllegalStateException(
+          s"snapshot commit at $path: could not claim an id after " +
+            s"$attempt attempts (head kept moving)")
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
   }
 
   /** Range read served by MANIFEST stats — scan planning from the
@@ -567,9 +641,18 @@ object Layout {
     require(ids.contains(id),
       s"readSnapshot: snapshot $id not present at $path " +
         s"(have ${ids.sorted.mkString(",")} — vacuumed or never committed)")
-    val (_, files) = readManifest(fs,
-      new org.apache.hadoop.fs.Path(snapsDir, f"snapshot-$id%05d.txt"))
-    require(files.nonEmpty, s"readSnapshot: snapshot $id is empty")
+    val manifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    val (_, files) = readManifest(fs, manifest)
+    if (files.isEmpty) {
+      // a zero-file commit (empty DataFrame) is still a snapshot: the
+      // manifest's recorded schema makes it readable as an empty table
+      val schema = manifestSchema(fs, manifest).getOrElse(
+        throw new IllegalArgumentException(
+          s"readSnapshot: snapshot $id is empty and records no schema"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     spark.read.parquet(files.map(f =>
       new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
@@ -605,11 +688,31 @@ object Layout {
     * the source's distinct keys (ids only) + a union with the source's
     * surviving rows, then the distributed rewrite. Partition-scoped
     * overwrites (the cheaper path when churn is partition-local) are
-    * the ov1 machinery; this is the general-key form. */
+    * the ov1 machinery; this is the general-key form.
+    *
+    * CONFLICTS: the merge is conditional on its base. `expectedBase`
+    * (-1 = the head at entry) names the snapshot the survivors are
+    * computed FROM; if the head has moved past it by commit time the
+    * merge throws [[java.util.ConcurrentModificationException]]
+    * instead of committing — re-basing would silently drop the
+    * interleaved commit's rows, since a merge's output is a full
+    * replacement image. Callers retry by re-invoking against the new
+    * head. (Appends, whose output is purely additive, re-base and
+    * retry automatically instead — see [[appendSnapshot]].) */
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
-      opCol: String): Int = {
-    val cur = readSnapshot(spark, path)
+      opCol: String, expectedBase: Int = -1): Int = {
+    val baseId =
+      if (expectedBase >= 0) expectedBase
+      else {
+        val (fs, root, _) = fsOf(spark, path)
+        val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+        val ids = fs.listStatus(snapsDir)
+          .flatMap(st => manifestId(st.getPath.getName))
+        require(ids.nonEmpty, s"mergeSnapshot: no snapshots at $path")
+        ids.max
+      }
+    val cur = readSnapshot(spark, path, baseId)
     require(source.columns.contains(opCol),
       s"mergeSnapshot: source lacks op column '$opCol'")
     require(source.columns.filter(_ != opCol).sorted
@@ -620,7 +723,8 @@ object Layout {
     val survivors = cur.join(keys, Seq(keyCol), "left_anti")
     val upserts = source.filter(col(opCol) =!= "d").drop(opCol)
       .select(cur.columns.map(col).toIndexedSeq: _*)
-    commitSnapshot(survivors.unionByName(upserts), path)
+    snapshotWrite(survivors.unionByName(upserts), path, tag = null,
+      carryPrevious = false, expectedBase = baseId)
   }
 
   /** Incremental snapshot consumption — the rows introduced between
@@ -658,6 +762,53 @@ object Layout {
     if (fresh.isEmpty) readSnapshot(spark, path, to).filter(lit(false))
     else spark.read.parquet(fresh.map(f =>
       new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
+  }
+
+  /** Current head snapshot id (0 = no commits yet) — the streaming
+    * source's offset probe: one driver-side directory listing. */
+  private[graft] def headId(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    if (!fs.exists(snapsDir)) 0
+    else {
+      val ids = fs.listStatus(snapsDir)
+        .flatMap(st => manifestId(st.getPath.getName))
+      if (ids.isEmpty) 0 else ids.max
+    }
+  }
+
+  /** Schema recorded on the snapshot's manifest (latest when `asOf` is
+    * -1) — what `format("graft-snapshot")` infers its schema from. */
+  private[graft] def snapshotSchema(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val id = if (asOf >= 0) asOf else headId(spark, path)
+    val p = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    if (id == 0 || !fs.exists(p)) None else manifestSchema(fs, p)
+  }
+
+  /** ABSOLUTE data-file paths introduced between two snapshot ids —
+    * [[readSnapshotChanges]]' planning core, exposed for the streaming
+    * source's `planInputPartitions` (one partition per file). Same
+    * contract: exact for appends, full image for rewrites, `fromId` 0
+    * reads everything; driver-side manifest metadata only. */
+  private[graft] def changedFilePaths(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fromId: Int, toId: Int): Seq[String] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    def files(id: Int): Set[String] =
+      if (id == 0) Set.empty
+      else readManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
+        f"snapshot-$id%05d.txt"))._2.toSet
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    (files(toId) -- files(fromId)).toSeq.sorted
+      .map(f => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(dataDir, f)).toString)
   }
 
   /** Retention: keep the newest `keepLast` snapshots, drop older

@@ -1640,48 +1640,25 @@ object TextOps {
     * id, sorted = by (len, id)), batch id = (rn−1) div B, per-batch
     * waste = n_b·max(len) − Σlen.
     *
-    * The global rank is computed WITHOUT a single-partition window:
-    * `repartitionByRange` on the order key (range partitioning is
-    * order-exact whatever boundaries sampling picks — every row in
-    * partition i sorts before every row in partition i+1), then a
-    * PER-PARTITION row_number plus each partition's start offset
-    * (a |partitions|-row cumsum, broadcast back). The narrow (id,len)
-    * relation is localCheckpoint'ed so the two consumers (offsets,
-    * ranks) see identical partition boundaries — at 100 TB that is a
-    * 16-byte-per-row materialization, the price of replaying the scan
-    * twice. Result is a one-row report. Returns (n_seqs, n_tokens,
+    * The global rank is computed WITHOUT a single-partition window via
+    * [[Rebalance.globalRowNumber]] (range partition + per-partition
+    * row_number + |partitions|-row offset cumsum; the narrow (id,len)
+    * relation is checkpointed there so the offsets and ranks see
+    * identical boundaries — at 100 TB a 16-byte-per-row
+    * materialization, the price of replaying the scan
+    * twice). Result is a one-row report. Returns (n_seqs, n_tokens,
     * batch_size, arrival_pad_tokens, sorted_pad_tokens, saving_pm). */
   def paddingStats(df: DataFrame, idCol: String, lenCol: String,
       batchSize: Int): DataFrame = {
     require(batchSize > 0, s"paddingStats: batchSize > 0, got $batchSize")
     val base = df.select(col(idCol).cast("bigint").as("id"),
       col(lenCol).cast("bigint").as("len"))
-    val nParts = math.max(1, df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt)
-    def strategy(orderCols: Seq[Column], name: String): DataFrame = {
-      val ranged = base.repartitionByRange(nParts, orderCols: _*)
-        .withColumn("__pid", spark_partition_id().cast("bigint"))
-        .localCheckpoint() // pin boundaries across the two consumers
-      // partition start offsets: ≤ nParts (pid, count) rows to the
-      // driver — bounded by the partition count, never by the data —
-      // folded back in as a literal lookup (no exchange of any kind)
-      val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val offsets = counts.map(_._1)
-        .zip(counts.scanLeft(0L)(_ + _._2).init)
-      val offExpr =
-        if (offsets.isEmpty) lit(0L)
-        else element_at(
-          map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*),
-          col("__pid"))
-      val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
-      ranged.withColumn("__lrn", row_number().over(wLocal).cast("bigint"))
-        .withColumn("rn", offExpr + col("__lrn"))
+    def strategy(orderCols: Seq[Column], name: String): DataFrame =
+      Rebalance.globalRowNumber(base, orderCols, "rn")
         .withColumn("batch", expr(s"(rn - 1) div $batchSize"))
         .groupBy("batch")
         .agg((count(lit(1)) * max("len") - sum("len")).as("pad"))
         .agg(sum("pad").cast("bigint").as(name))
-    }
     val arrival = strategy(Seq(col("id")), "arrival_pad_tokens")
     val sorted = strategy(Seq(col("len"), col("id")), "sorted_pad_tokens")
     val totals = base.agg(count(lit(1)).as("n_seqs"),

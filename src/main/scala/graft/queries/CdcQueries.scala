@@ -2564,17 +2564,20 @@ object CdcQueries {
         if (f.isDirectory)
           f.listFiles().sortBy(_.getName).map(fp).foldLeft(17L)(31 * _ + _)
         else 31L * f.length() + f.lastModified()
-      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st15v1-" +
+      val key = dir.replaceAll("[^A-Za-z0-9.]", "_") + "-st15v2-" +
         java.lang.Long.toHexString(fp(new java.io.File(s"$dir/documents.parquet")))
       val run = Paths.get(sys.props("java.io.tmpdir"),
         s"graft-st15-fixture-$key")
       if (!Files.exists(run.resolve("chunk-2.parquet"))) {
         Files.createDirectories(run)
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         val n = spark.table("documents").count()
-        val tert = spark.table("documents")
-          .select(col("doc_id"), col("lang"), col("n_chars"))
-          .withColumn("__rn", row_number().over(w))
+        // tertile assignment via the shared range-partition rank
+        // ([[graft.ops.Rebalance.globalRowNumber]]) — no unbounded
+        // global window, fixture code included (repo invariant)
+        val tert = graft.ops.Rebalance.globalRowNumber(
+            spark.table("documents")
+              .select(col("doc_id"), col("lang"), col("n_chars")),
+            Seq(col("doc_id")), "__rn")
           .withColumn("tertile", expr(s"((__rn - 1) * 3) div $n"))
           .drop("__rn")
         (0 until 3).foreach { k =>
@@ -2631,7 +2634,63 @@ object CdcQueries {
         |       CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 20000
         |                 AND lang <> '' THEN n_chars END) AS BIGINT)
         |         AS chars_kept
-        |FROM t GROUP BY 1 ORDER BY tertile""".stripMargin))
+        |FROM t GROUP BY 1 ORDER BY tertile""".stripMargin)),
+
+    // st20 — tail the SNAPSHOT TABLE as a stream (`format
+    // ("graft-snapshot")`, sources/GraftSnapshot.scala): offsets are
+    // snapshot ids, each micro-batch reads exactly the file-set diff
+    // between two manifests, one input partition per file — the
+    // lakehouse consume half of the tt-series' produce half, and the
+    // reference's whole topology (tail a changing table into a
+    // streaming job, StreamingJob.java:44-62) replayed over the
+    // engine's own table format with no broker in between. Graded end
+    // to end INCLUDING a restart mid-stream: run 1 consumes the first
+    // two appends as two micro-batches (admission control: one
+    // snapshot transition per trigger) and stops; the third append
+    // lands while the stream is DOWN; run 2 resumes from the
+    // checkpointed offset and consumes exactly the third append —
+    // nothing re-read, nothing lost. Chunk k (doc_id % 3 = k) is
+    // appended as snapshot k+1 and consumed as batch k, so the graded
+    // per-row batch id equals doc_id % 3 — predicted statically by the
+    // oracle from the raw table.
+    QueryDef("st20_snapshot_tail", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = Files.createTempDirectory("graft-st20").toString
+      val out = Files.createTempDirectory("graft-st20-out").toString
+      val ckpt = Files.createTempDirectory("graft-st20-ckpt").toString
+      def append(k: Int): Unit = {
+        graft.ops.Layout.appendSnapshot(
+          docs.filter(col("doc_id") % 3 === k), t, tag = s"chunk-$k")
+        ()
+      }
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-snapshot")
+          .option("maxSnapshotsPerTrigger", "1")
+          .load(t)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              batch.withColumn("batch_id", lit(batchId))
+                .write.mode("append").parquet(out)
+          }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      append(0); append(1)
+      run()       // snapshots 1, 2 consumed as micro-batches 0, 1
+      append(2)   // commits while the stream is down
+      run()       // restart: resumes at offset 2 → batch 2 = chunk 2
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("batch_id"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(doc_id % 3 AS BIGINT) AS batch_id
+        |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private def st13OracleSql: String =

@@ -278,7 +278,12 @@ object Inference {
       // hash materialized once, bucket decoded from the column (same
       // md5-amplification trap as poissonBootstrap's scaladoc notes);
       // rebalanced because the md5 + three filtered passes all inherit
-      // the scan's split count (one file at bench scale = one core)
+      // the scan's split count (one file at bench scale = one core).
+      // The projection is PINNED (localCheckpoint): fit, calibration
+      // rank, and test coverage are three separate consumers, and
+      // without pinning each re-runs the md5 over the full table —
+      // materialized it is 3 integers per row, the cheap side of that
+      // trade at any scale.
       val p = graft.ops.Rebalance.forAmplification(
         spark.table("lineitem")
           .withColumn("__h", expr(
@@ -288,6 +293,7 @@ object Inference {
             expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
             expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
             expr(TextOps.pmBucketSql("__h")).as("bucket")))
+        .localCheckpoint()
       val fit = Stats.linearFit(p.filter(col("bucket") < 600),
         Seq.empty, "x", "y")
         .select(col("n").as("n_train"), col("slope_ppm"),
@@ -299,15 +305,18 @@ object Inference {
             |    + intercept_ppm))""".stripMargin))
       val cal = withResid
         .filter(col("bucket") >= 600 && col("bucket") < 800)
-      import org.apache.spark.sql.expressions.Window
-      val ranked = cal
-        .withColumn("__rn",
-          row_number().over(Window.orderBy(col("__r"))))
-        .withColumn("__nc", count(lit(1)).over(Window.partitionBy()))
-      val q = ranked
-        .filter(expr("__rn = CAST(ceil(0.9 * (__nc + 1)) AS BIGINT)"))
-        .select(col("__nc").cast("long").as("n_cal"),
-          col("__r").as("q_resid"))
+      // The 90th-percentile calibration residual is ONE order
+      // statistic; ranking it with an unpartitioned window would
+      // funnel the whole calibration set through a single partition,
+      // so the exact global rank comes from the shared range-partition
+      // + per-partition-offset pattern
+      // ([[graft.ops.Rebalance.globalRowNumber]]).
+      val ranked = graft.ops.Rebalance.globalRowNumber(
+        cal.select(col("__r")), Seq(col("__r")), "__rn")
+      val nc = ranked.count() // bounded: re-reads the helper's checkpoint
+      val k = math.ceil(0.9 * (nc + 1)).toLong
+      val q = ranked.filter(col("__rn") === k)
+        .select(lit(nc).as("n_cal"), col("__r").as("q_resid"))
       val tst = withResid.filter(col("bucket") >= 800)
         .crossJoin(broadcast(q))
         .agg(max("n_cal").as("n_cal"),

@@ -3278,6 +3278,93 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Concurrent-writer commit ([[graft.ops.Layout.appendSnapshot]]'s
+    // optimistic claim): two appenders stage simultaneously and race
+    // the manifest CAS; the loser re-bases (re-reads the winner's file
+    // lines) and retries, so BOTH commits land and the head is the
+    // union — the Delta/Iceberg optimistic-concurrency rule. Graded on
+    // the full post-race table plus the history length: whatever the
+    // interleaving, the result must be exactly all documents with two
+    // linear snapshots, predicted by the oracle from the raw table.
+    // The stale-merge abort half (a rewrite must NOT re-base) is
+    // LayoutSpec territory — it grades a thrown exception.
+    QueryDef.views("tt6_concurrent_append",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(2 AS BIGINT)) AS n_snapshots
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt6")
+        .toString
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        import scala.jdk.CollectionConverters._
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        pool.invokeAll(Seq(0, 1).map { k =>
+          new java.util.concurrent.Callable[Int] {
+            def call(): Int = {
+              barrier.await()
+              Layout.appendSnapshot(
+                docs.filter(col("doc_id") % 2 === k), t)
+            }
+          }
+        }.asJava).asScala.foreach(_.get()) // surface either side's failure
+      } finally pool.shutdown()
+      val nSnaps = Layout.snapshots(spark, t)
+        .agg(count(lit(1)).as("n_snapshots"))
+      Layout.readSnapshot(spark, t)
+        .crossJoin(broadcast(nSnaps)) // one-row scalar
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_snapshots"))
+        .orderBy("doc_id")
+    },
+
+    // Vacuum/retention graded OBSERVABLY
+    // ([[graft.ops.Layout.vacuum]]): three commits, retain only the
+    // head — history must show exactly the trim (1 manifest row), the
+    // survivor must still hash-match the full corpus read through the
+    // kept manifest's file set, and time travel to a vacuumed id must
+    // throw. The thrown read and the dropped/deleted counts are graded
+    // as columns the oracle predicts: 2 manifests dropped, ≥2 data
+    // files deleted (booleanized — file counts below the head are
+    // layout-dependent), vacuumed read loud = 1.
+    QueryDef.views("tt7_vacuum_retention",
+      """WITH h AS (SELECT count(*) AS c FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS n_snapshots_left,
+        |  (SELECT CAST(2 AS BIGINT)) AS n_manifests_dropped,
+        |  (SELECT CAST(1 AS BIGINT)) AS orphans_deleted,
+        |  (SELECT CAST(1 AS BIGINT)) AS vacuumed_read_is_loud
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt7")
+        .toString
+      Layout.commitSnapshot(
+        docs.filter(col("doc_id") % 2 === 0), t)       // id 1
+      Layout.appendSnapshot(
+        docs.filter(col("doc_id") % 2 === 1), t)       // id 2
+      Layout.commitSnapshot(docs, t)                   // id 3 (rewrite)
+      val (droppedManifests, deletedFiles) = Layout.vacuum(spark, t, 1)
+      val loud =
+        try { Layout.readSnapshot(spark, t, asOf = 1); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      val nSnaps = Layout.snapshots(spark, t)
+        .agg(count(lit(1)).as("n_snapshots_left"))
+      Layout.readSnapshot(spark, t)
+        .crossJoin(broadcast(nSnaps)) // one-row scalar
+        .withColumn("n_manifests_dropped", lit(droppedManifests.toLong))
+        .withColumn("orphans_deleted",
+          lit(if (deletedFiles >= 2) 1L else 0L))
+        .withColumn("vacuumed_read_is_loud", lit(loud))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_snapshots_left"), col("n_manifests_dropped"),
+          col("orphans_deleted"), col("vacuumed_read_is_loud"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

@@ -32,6 +32,21 @@ class PreflightSpec extends SparkSpec {
     assert(errs.size == 1 && errs.head.contains("r_regionkey"), errs)
   }
 
+  test("docs/PLANS.md covers the query inventory exactly") {
+    // The plan-audit completeness gate: a query landing without a
+    // regenerated plan dump (sbt "Test/runMain graft.DumpPlans") fails
+    // here, so PLANS.md can never silently drift from the inventory.
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("docs/PLANS.md"))
+    val sections = txt.linesIterator
+      .filter(_.startsWith("## ")).map(_.stripPrefix("## ").trim).toSet
+    val queries = SparkEntry.queries.keySet
+    assert(queries -- sections == Set.empty[String],
+      s"queries missing a plan section: ${(queries -- sections).toSeq.sorted}")
+    assert(sections -- queries == Set.empty[String],
+      s"stale plan sections: ${(sections -- queries).toSeq.sorted}")
+  }
+
   private def copyTable(from: String, to: String, name: String): Unit = {
     val src = new java.io.File(s"$from/$name.parquet")
     val dst = java.nio.file.Paths.get(to, s"$name.parquet")

@@ -221,6 +221,96 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("optimistic commit: concurrent append∥append commits BOTH " +
+      "with the union visible") {
+    val t = java.nio.file.Files.createTempDirectory("graft-race-spec")
+      .toString
+    // seed snapshot so both appenders race to re-base on a real head
+    Layout.commitSnapshot(
+      spark.range(0, 10).toDF("id").coalesce(1), t)
+    // two writers stage concurrently, then race the commit claim; the
+    // loser must re-base (carry the winner's lines) and retry, so the
+    // final head references seed + BOTH appends
+    val ranges = Seq((100L, 110L), (200L, 210L))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ids = try {
+      import scala.jdk.CollectionConverters._
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      pool.invokeAll(ranges.map { case (lo, hi) =>
+        new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            barrier.await()
+            Layout.appendSnapshot(
+              spark.range(lo, hi).toDF("id").coalesce(1), t)
+          }
+        }
+      }.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+    // both claims succeeded with distinct ids 2 and 3
+    assert(ids.sorted == Seq(2, 3), ids)
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 10 + 10 + 10)
+    assert(head.agg(sum("id")).head().getLong(0) ==
+      (0L until 10L).sum + (100L until 110L).sum + (200L until 210L).sum)
+    // history is linear: 3 snapshots, monotone row counts 10/20/30
+    val hist = Layout.snapshots(spark, t).orderBy("snapshot_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L))
+    assert(hist.map(_._2) == Seq(10L, 20L, 30L))
+  }
+
+  test("optimistic commit: merge aborts loudly on a stale base " +
+      "instead of silently dropping the interleaved commit") {
+    val t = java.nio.file.Files.createTempDirectory("graft-stale-spec")
+      .toString
+    import spark.implicits._
+    Layout.commitSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), t)
+    // an append interleaves between the merge's read (base = 1) and
+    // its commit — modeled by passing the stale expectedBase
+    Layout.appendSnapshot(Seq((3L, "c")).toDF("id", "v").coalesce(1), t)
+    val changes = Seq((2L, "B", "u")).toDF("id", "v", "op")
+    val e = intercept[java.util.ConcurrentModificationException](
+      Layout.mergeSnapshot(spark, t, changes, "id", "op",
+        expectedBase = 1))
+    assert(e.getMessage.contains("expected base 1"))
+    assert(e.getMessage.contains("head is 2"))
+    // nothing committed: head unchanged, retry against the new head wins
+    assert(Layout.snapshots(spark, t).count() == 2)
+    val id = Layout.mergeSnapshot(spark, t, changes, "id", "op",
+      expectedBase = 2)
+    assert(id == 3)
+    assert(Layout.readSnapshot(spark, t).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("zero-file snapshot: manifest schema line makes an empty " +
+      "commit readable; stray snapshots/ files never break reads") {
+    val t = java.nio.file.Files.createTempDirectory("graft-empty-spec")
+      .toString
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(Layout.commitSnapshot(empty, t) == 1)
+    val back = Layout.readSnapshot(spark, t)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    // strict manifestId parse: stray files in snapshots/ (no digits,
+    // digit overflow, wrong affixes) are ignored, not fatal
+    val conf = spark.sessionState.newHadoopConf()
+    val snaps = new org.apache.hadoop.fs.Path(t, "snapshots")
+    val fs = snaps.getFileSystem(conf)
+    Seq("snapshot-.txt", "snapshot-99999999999.txt", "notes.txt",
+        "snapshot-7x.txt")
+      .foreach(n => fs.create(
+        new org.apache.hadoop.fs.Path(snaps, n), true).close())
+    assert(Layout.snapshots(spark, t).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Layout.commitSnapshot(
+      Seq((5L, "x")).toDF("id", "v").coalesce(1), t) == 2)
+    assert(Layout.readSnapshot(spark, t).count() == 1)
+  }
+
   test("snapshot stats pruning: only overlapping files are read, " +
       "answers never change, empty overlap is empty") {
     val t = java.nio.file.Files.createTempDirectory("graft-prune-spec")

@@ -598,6 +598,29 @@ class OpsApiSpec extends SparkSpec {
     assert(rows.count(_.getString(2) == "assistant") == 1)
   }
 
+  test("globalRowNumber: ranks equal a global sort's, windows stay " +
+      "partitioned, ties keep a deterministic value at every rank") {
+    import spark.implicits._
+    // values with duplicates and a skewed spread, shuffled arrival
+    val vals = Seq(9L, 1L, 5L, 5L, 7L, 2L, 2L, 2L, 8L, 0L, 5L, 100L)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val out = Rebalance.globalRowNumber(df, Seq(col("v"), col("id")), "rn")
+    val got = out.orderBy("rn").select("rn", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = vals.sorted.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+    assert(got == want, got)
+    // every rank 1..n exactly once
+    assert(got.map(_._1) == (1L to vals.size.toLong))
+    // no unpartitioned window anywhere in the plan
+    val wins = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window: $w"))
+  }
+
   test("paddingStats: exact waste, and every window is partitioned") {
     import spark.implicits._
     val df = Seq((1L, 10L), (2L, 1L), (3L, 5L), (4L, 2L), (5L, 8L),

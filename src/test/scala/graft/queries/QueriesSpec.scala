@@ -75,6 +75,20 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"))
   }
 
+  test("cf1 ranks its calibration set without an unpartitioned window") {
+    // VERDICT r10 #3: the order statistic must come from the
+    // range-partition + per-partition offset pattern, never a
+    // row_number over Window.orderBy (= Exchange SinglePartition of
+    // the whole calibration set)
+    val df = SparkEntry.queries("cf1_conformal_interval")(spark, sf)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the per-partition rank window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in cf1 plan: $w"))
+  }
+
   test("o1 compiles to TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("o1_sort_limit")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -223,6 +223,62 @@ class PgLiveReplicationSpec extends graft.SparkSpec with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("LIVE TWO-SOURCE UNION: two databases' slots union into one stream") {
+    // The reference's full topology (StreamingJob.java:44-79): TWO CDC
+    // sources built from separate databases, unioned into one streaming
+    // job. Logical slots are per-database, so a second database in the
+    // same cluster gives a genuinely independent WAL decode — two
+    // transports, two publications, two offset sequences — and the
+    // union must interleave both without crosstalk (each row tagged by
+    // its source, counts graded per source across live DML on both).
+    assume(pgAvailable, "PostgreSQL not available in this environment")
+    def psql2(sql: String): String =
+      Seq("psql", "-h", "127.0.0.1", "-p", port.toString, "-U", "postgres",
+        "-d", "livedb2", "-tA", "-c", sql).!!.trim
+    psql("CREATE DATABASE livedb2")
+    psql2("CREATE TABLE users (id int PRIMARY KEY, full_name text)")
+    psql2("ALTER TABLE users REPLICA IDENTITY FULL")
+    psql2("CREATE PUBLICATION livepub2 FOR TABLE users")
+    psql2("SELECT pg_create_logical_replication_slot('liveslot2', 'pgoutput')")
+    // clean slate on source 1 (earlier tests share its slot)
+    val t0 = transport()
+    try t0.ack(t0.headLsn()) finally t0.close()
+    psql("INSERT INTO users VALUES (30, 'h1'), (31, 'h2')")
+    psql2("INSERT INTO users VALUES (40, 'k1')")
+    val url1 = s"pgwal://127.0.0.1:$port/postgres?slot=liveslot&publication=livepub"
+    val url2 = s"pgwal://127.0.0.1:$port/livedb2?slot=liveslot2&publication=livepub2"
+    def src(url: String, tag: String) =
+      spark.readStream.format("graft-cdc")
+        .option("path", url).option("walFormat", "pgoutput").load()
+        .selectExpr(s"'$tag' AS src", "op", "after['id'] AS id")
+    val q = src(url1, "db1").unionByName(src(url2, "db2"))
+      .writeStream.format("memory").queryName("liveunion")
+      .option("checkpointLocation", tmpDir("liveunion-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // both sides keep flowing AFTER the stream is up
+      psql("DELETE FROM users WHERE id = 30")
+      psql2("INSERT INTO users VALUES (41, 'k2')")
+      q.processAllAvailable()
+      val got = spark.table("liveunion").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      assert(got.contains(("db1", "c", "30")), s"db1 create 30: $got")
+      assert(got.contains(("db1", "c", "31")), s"db1 create 31: $got")
+      assert(got.exists(t => t._1 == "db1" && t._2 == "d"),
+        s"db1 delete missing from union: $got")
+      assert(got.contains(("db2", "c", "40")) &&
+        got.contains(("db2", "c", "41")),
+        s"db2 changes missing from union: $got")
+      // no crosstalk: db2 never saw db1's keys and vice versa
+      assert(!got.exists(t => t._1 == "db2" && Set("30", "31")(t._3)))
+      assert(!got.exists(t => t._1 == "db1" && Set("40", "41")(t._3)))
+      // graded counts per source: 2 creates + 1 delete vs 2 creates
+      val counts = got.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(counts("db1") == 3 && counts("db2") == 2, counts)
+    } finally q.stop()
+  }
+
   test("parallel-range table read: dimension hydration over the wire client") {
     assume(pgAvailable, "PostgreSQL not available in this environment")
     psql("CREATE TABLE dims (dim_id int PRIMARY KEY, label text, note text)")
