@@ -335,7 +335,69 @@ object Layout {
       .map(_.toInt)
 
   private def isMetaLine(l: String): Boolean =
-    l.startsWith("tag:") || l.startsWith("schema:")
+    l.startsWith("tag:") || l.startsWith("schema:") ||
+      l.startsWith("statscol:")
+
+  // Render a (name, stats) manifest entry back to its file line —
+  // the inverse of [[readManifestStats]]' parse, used wherever a
+  // commit carries another manifest's lines forward verbatim.
+  private def statLine(e: (String, Option[(Long, Long)])): String =
+    e match {
+      case (n, Some((lo, hi))) => s"$n|$lo|$hi"
+      case (n, None) => n
+    }
+
+  /** Nullable-normalized schema for recorded-schema reads: file-source
+    * relations always report nullable columns (a parquet scan can't
+    * prove non-nullness across arbitrary files), so imposing the
+    * writer's possibly-non-null schema would claim more than the read
+    * path guarantees. Recurses through nested types. */
+  private def allNullable(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = allNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = allNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
+  private def nullableStruct(
+      s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    allNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Append-evolved schema (the Delta `mergeSchema` rule, reduced):
+    * fields shared by `prior` and `next` must keep their exact
+    * dataType — a type change silently corrupts every earlier file's
+    * read, so it requires a full-replace commit — while fields unique
+    * to EITHER side are carried/added as nullable (earlier files
+    * null-fill a new column; a batch missing an old column null-fills
+    * it for its own rows). Field order: prior's fields first, then
+    * next's additions, so readers see a stable column layout across
+    * the table's whole history. */
+  private[graft] def unionSchema(
+      prior: org.apache.spark.sql.types.StructType,
+      next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    prior.fields.foreach { pf =>
+      nextByName.get(pf.name).foreach { nf =>
+        require(nf.dataType == pf.dataType,
+          s"appendSnapshot: column '${pf.name}' changes type from " +
+            s"${pf.dataType.sql} to ${nf.dataType.sql} — type changes " +
+            "need a full-replace commit (commitSnapshot), not an append")
+      }
+    }
+    val priorNames = prior.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      (prior.fields ++ next.fields.filterNot(f => priorNames(f.name)))
+        .map(_.copy(nullable = true)))
+  }
 
   // Manifest file lines are "name" or "name|lo|hi" when the commit
   // recorded column stats (statsCol) — the data-skipping index.
@@ -376,6 +438,56 @@ object Layout {
             s"snapshot manifest $p: corrupt schema line", e)
         }
       }
+  }
+
+  /** WHICH column the manifest's per-file [min, max] ranges describe
+    * (`statscol:` metadata) — what makes the data-skipping index safe
+    * to consult: pruning by ranges recorded for a DIFFERENT column
+    * would silently drop rows. None on manifests committed without
+    * stats (or from before the column was recorded): their ranges are
+    * only usable by a caller who knows what they indexed. */
+  private[graft] def manifestStatsCol(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
+      .takeWhile(isMetaLine)
+      .find(_.startsWith("statscol:"))
+      .map(_.stripPrefix("statscol:"))
+  }
+
+  /** The stats column recorded on the snapshot's manifest (latest when
+    * `asOf` is -1) — the `graft-snapshot` source's pushdown handle. */
+  private[graft] def snapshotStatsCol(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Option[String] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val id = if (asOf >= 0) asOf else headId(spark, path)
+    val p = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    if (id == 0 || !fs.exists(p)) None else manifestStatsCol(fs, p)
+  }
+
+  /** ABSOLUTE data-file paths of snapshot `asOf` (-1 = head) WITH their
+    * recorded stats ranges — the `graft-snapshot` source's batch
+    * planning core: a pushed-down range keeps only overlapping files
+    * (None = no range recorded = always read). Driver-side manifest
+    * metadata only. */
+  private[graft] def snapshotFileStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Seq[(String, Option[(Long, Long)])] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val id = if (asOf >= 0) asOf else headId(spark, path)
+    if (id == 0) return Seq.empty
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    readManifestStats(fs, new org.apache.hadoop.fs.Path(snapsDir,
+        f"snapshot-$id%05d.txt"))
+      .map { case (n, r) => (fs.makeQualified(
+        new org.apache.hadoop.fs.Path(dataDir, n)).toString, r) }
   }
 
   /** Manifest entries WITH their recorded per-file stats range (None
@@ -448,35 +560,20 @@ object Layout {
     * the conflict-detection half of the optimistic protocol, used by
     * [[mergeSnapshot]] whose survivors were computed from a specific
     * base and would silently drop an interleaved commit if re-based. */
-  private def snapshotWrite(df: DataFrame, path: String, tag: String,
-      carryPrevious: Boolean, statsCol: String = null,
-      expectedBase: Int = -1): Int = {
-    val spark = df.sparkSession
-    val (fs, root, conf) = fsOf(spark, path)
-    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
-    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    fs.mkdirs(snapsDir); fs.mkdirs(dataDir)
-    if (tag != null) tagged(fs, snapsDir, tag) match {
-      case Some(existing) => return existing // replayed write, committed
-      case None =>
-    }
-    if (expectedBase >= 0) {
-      // cheap pre-flight: abort BEFORE the distributed staging write
-      // when the base is already stale (the authoritative check runs
-      // again inside the commit critical section)
-      val ids = fs.listStatus(snapsDir)
-        .flatMap(st => manifestId(st.getPath.getName))
-      val head = if (ids.isEmpty) 0 else ids.max
-      if (head != expectedBase)
-        throw new java.util.ConcurrentModificationException(
-          s"snapshot commit at $path: expected base $expectedBase " +
-            s"but head is $head — a concurrent commit interleaved; " +
-            "recompute from the new head and retry")
-    }
-    // Data-file names carry a commit-unique token, NOT the snapshot id:
-    // staging is uncoordinated, and a lost claim retries with a new id
-    // without touching (immutable, still-unreferenced) data files.
-    val tok = java.util.UUID.randomUUID().toString.take(8)
+  /** Stage `df` as immutable parquet files under `data/` with the
+    * commit-unique prefix `c<tok>-` and return (sorted manifest file
+    * lines incl. optional stats, total staged rows). One footer open
+    * per staged file gives the row count plus — when `statsCol` is
+    * set — the min/max over its row groups: the data-skipping index a
+    * pruned read consults WITHOUT touching parquet footers. Shared by
+    * [[snapshotWrite]] and [[optimizeSnapshot]] (whose commit rules
+    * differ, but whose data staging is identical). */
+  private def stageDataFiles(df: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      dataDir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      statsCol: String, tok: String): (Seq[String], Long) = {
     val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
@@ -487,9 +584,6 @@ object Layout {
         s"snapshotWrite: statsCol must be integral, $what was " +
           s"${if (other == null) "null" else other.getClass.getName}")
     }
-    // one footer open per staged file: row count + (when statsCol is
-    // set) the min/max over its row groups — the data-skipping index
-    // a pruned read consults WITHOUT touching parquet footers
     val metas = staged.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
@@ -518,15 +612,79 @@ object Layout {
     val nameLines = metas.map { case (st, _, range) =>
       val nm = s"c$tok-${st.getPath.getName}"
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
-      range match {
-        case Some((lo, hi)) => s"$nm|$lo|$hi"
-        case None => nm
-      }
+      statLine((nm, range))
     }.sorted
     val rows = metas.map(_._2).sum
     fs.delete(stage, true)
-    val schemaLine = "schema:" + df.schema.json
+    (nameLines, rows)
+  }
 
+  private def snapshotWrite(df: DataFrame, path: String, tag: String,
+      carryPrevious: Boolean, statsCol: String = null,
+      expectedBase: Int = -1): Int = {
+    val spark = df.sparkSession
+    val (fs, root, conf) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    fs.mkdirs(snapsDir); fs.mkdirs(dataDir)
+    if (tag != null) tagged(fs, snapsDir, tag) match {
+      case Some(existing) => return existing // replayed write, committed
+      case None =>
+    }
+    if (expectedBase >= 0) {
+      // cheap pre-flight: abort BEFORE the distributed staging write
+      // when the base is already stale (the authoritative check runs
+      // again inside the commit critical section)
+      val ids = fs.listStatus(snapsDir)
+        .flatMap(st => manifestId(st.getPath.getName))
+      val head = if (ids.isEmpty) 0 else ids.max
+      if (head != expectedBase)
+        throw new java.util.ConcurrentModificationException(
+          s"snapshot commit at $path: expected base $expectedBase " +
+            s"but head is $head — a concurrent commit interleaved; " +
+            "recompute from the new head and retry")
+    }
+    if (carryPrevious) {
+      // cheap pre-flight: an append that CHANGES a column's type, or
+      // records stats for a different column than the carried history,
+      // must abort BEFORE the distributed staging write (authoritative
+      // checks recompute against the actual carried head in the commit
+      // loop — a re-base may carry a newer, further-evolved head)
+      snapshotSchema(spark, path).foreach(unionSchema(_, df.schema))
+      for (prior <- snapshotStatsCol(spark, path);
+           mine <- Option(statsCol))
+        require(prior == mine,
+          s"appendSnapshot: manifest stats are indexed on '$prior' " +
+            s"but this append records '$mine' — one manifest carries " +
+            "one data-skipping index")
+    }
+    // Data-file names carry a commit-unique token, NOT the snapshot id:
+    // staging is uncoordinated, and a lost claim retries with a new id
+    // without touching (immutable, still-unreferenced) data files.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val (nameLines, rows) =
+      stageDataFiles(df, fs, root, dataDir, conf, statsCol, tok)
+    commitStagedLines(spark, path, nameLines, rows, df.schema, tag,
+      carryPrevious, statsCol, expectedBase, tok)
+  }
+
+  /** The optimistic commit critical section, shared by every writer of
+    * the table — [[snapshotWrite]] (whose staging is a Spark parquet
+    * write) and the DSv2 `graft-snapshot` sink (whose executors stage
+    * files directly and ship their manifest lines in commit messages).
+    * `nameLines`/`rows` describe ALREADY-STAGED files under `data/`;
+    * everything else follows snapshotWrite's contract (tag idempotence,
+    * append re-base, expectedBase abort, schema union, statscol
+    * stickiness). Returns the committed id. */
+  private[graft] def commitStagedLines(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      nameLines: Seq[String], rows: Long,
+      writeSchema: org.apache.spark.sql.types.StructType, tag: String,
+      carryPrevious: Boolean, statsCol: String,
+      expectedBase: Int, tok: String): Int = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    fs.mkdirs(snapsDir)
     // Commit critical section — the optimistic claim. Each attempt
     // re-reads the head (the RE-BASE: an append's carried file lines
     // come from whatever head exists NOW, so append∥append commits
@@ -557,23 +715,47 @@ object Layout {
               s"but head is $head — a concurrent commit interleaved; " +
               "recompute from the new head and retry")
         val id = head + 1
-        val (prevRows, prevLines) =
+        // An append's schema is the UNION of the carried head's and the
+        // batch's ([[unionSchema]] — type changes abort, additions are
+        // nullable); a replace resets it to the batch's. Computed per
+        // attempt: a re-base may carry a head whose schema evolved.
+        // The stats COLUMN is sticky the same way: an append without
+        // statsCol carries the head's recorded column (its files just
+        // have no ranges); recording ranges for a DIFFERENT column than
+        // the carried history's aborts — one manifest, one index.
+        val (prevRows, prevLines, schemaLine, statsColLine) =
           if (carryPrevious && head > 0) {
             val p = new org.apache.hadoop.fs.Path(snapsDir,
               f"snapshot-$head%05d.txt")
+            val merged = manifestSchema(fs, p) match {
+              case Some(prior) => unionSchema(prior, writeSchema)
+              case None => writeSchema
+            }
+            val effectiveStats =
+              (manifestStatsCol(fs, p), Option(statsCol)) match {
+                case (Some(prior), Some(mine)) =>
+                  require(prior == mine,
+                    s"appendSnapshot: manifest stats are indexed on " +
+                      s"'$prior' but this append records '$mine' — one " +
+                      "manifest carries one data-skipping index")
+                  Some(prior)
+                case (prior, mine) => mine.orElse(prior)
+              }
             // carry the RAW file lines so earlier commits'
             // data-skipping stats survive an append
-            (readManifest(fs, p)._1, readManifestStats(fs, p).map {
-              case (n, Some((lo, hi))) => s"$n|$lo|$hi"
-              case (n, None) => n
-            })
-          } else (0L, Seq.empty[String])
+            (readManifest(fs, p)._1,
+              readManifestStats(fs, p).map(statLine),
+              "schema:" + merged.json,
+              effectiveStats.map("statscol:" + _))
+          } else (0L, Seq.empty[String], "schema:" + writeSchema.json,
+            Option(statsCol).map("statscol:" + _))
         val tmp = new org.apache.hadoop.fs.Path(snapsDir,
           s".tmp-$tok-$attempt")
         val out = fs.create(tmp, true)
         try out.write(
           (Seq("graft-snap v1", (prevRows + rows).toString) ++
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
+            statsColLine.toSeq ++
             (prevLines ++ nameLines))
             .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
@@ -613,18 +795,34 @@ object Layout {
     val id = if (asOf < 0) ids.max else asOf
     require(ids.contains(id),
       s"readSnapshotPruned: snapshot $id not present at $path")
-    val entries = readManifestStats(fs,
-      new org.apache.hadoop.fs.Path(snapsDir, f"snapshot-$id%05d.txt"))
+    val manifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    val entries = readManifestStats(fs, manifest)
+    // The ranges are only consulted when the manifest says they index
+    // THIS column — pruning by ranges recorded for a different column
+    // would silently drop rows. A recorded mismatch degrades to
+    // read-everything (exact filter still applies); manifests from
+    // before the column was recorded keep the trust-the-caller
+    // behavior their writers relied on.
+    val rangesApply =
+      manifestStatsCol(fs, manifest).forall(_ == colName)
     val keep = entries.filter {
-      case (_, Some((flo, fhi))) => fhi >= lo && flo <= hi
-      case (_, None) => true
+      case (_, Some((flo, fhi))) if rangesApply => fhi >= lo && flo <= hi
+      case _ => true
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (keep.isEmpty)
       readSnapshot(spark, path, id).filter(lit(false))
-    else spark.read.parquet(keep.map(e =>
-        new org.apache.hadoop.fs.Path(dataDir, e._1).toString): _*)
-      .filter(col(colName).between(lo, hi))
+    else {
+      val paths = keep.map(e =>
+        new org.apache.hadoop.fs.Path(dataDir, e._1).toString)
+      val base = manifestSchema(fs, manifest) match {
+        // recorded-schema read: same evolution rule as [[readSnapshot]]
+        case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      base.filter(col(colName).between(lo, hi))
+    }
   }
 
   /** Read the table at `path` — the latest snapshot, or AS OF
@@ -654,8 +852,18 @@ object Layout {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    spark.read.parquet(files.map(f =>
-      new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
+    val paths = files.map(f =>
+      new org.apache.hadoop.fs.Path(dataDir, f).toString)
+    // Read against the MANIFEST-recorded schema: after an append-time
+    // schema evolution the file set is heterogeneous, and schema-less
+    // parquet reading would adopt an arbitrary file's layout — the
+    // recorded union schema null-fills columns a file predates.
+    // (asNullable matches what file-source inference reports, so a
+    // never-evolved table reads byte- and schema-identically.)
+    manifestSchema(fs, manifest) match {
+      case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** The table's history as a (snapshot_id, n_files, n_rows) relation —
@@ -760,8 +968,17 @@ object Layout {
     val fresh = (files(to) -- files(fromId)).toSeq.sorted
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fresh.isEmpty) readSnapshot(spark, path, to).filter(lit(false))
-    else spark.read.parquet(fresh.map(f =>
-      new org.apache.hadoop.fs.Path(dataDir, f).toString): _*)
+    else {
+      val paths = fresh.map(f =>
+        new org.apache.hadoop.fs.Path(dataDir, f).toString)
+      manifestSchema(fs, new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-$to%05d.txt")) match {
+        // the TO manifest's schema governs: a change window spanning an
+        // append-time evolution still reads one stable column layout
+        case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    }
   }
 
   /** Current head snapshot id (0 = no commits yet) — the streaming
@@ -809,6 +1026,132 @@ object Layout {
     (files(toId) -- files(fromId)).toSeq.sorted
       .map(f => fs.makeQualified(
         new org.apache.hadoop.fs.Path(dataDir, f)).toString)
+  }
+
+  /** OPTIMIZE (bin-pack): rewrite snapshot `baseId`'s data files into
+    * ~`targetRowsPerFile`-sized files and commit the content-identical
+    * result as a NEW snapshot — Delta's OPTIMIZE / Iceberg's
+    * rewrite_data_files, reduced to the small-files cure a streaming
+    * ingest needs (every micro-batch append lands a few tiny files;
+    * after N triggers the head plans N× too many tasks and every scan
+    * pays N× the footer/open cost). Time travel to the pre-optimize
+    * snapshots keeps working; `statsCol` re-records the data-skipping
+    * index on the compacted files (a repartition scrambles ranges, so
+    * stats must be recomputed, never carried).
+    *
+    * CONFLICTS (the rule that distinguishes this commit from both
+    * appends and merges): a rewrite's content must stay identical, so
+    *  - concurrent APPENDS are COMPATIBLE — their files are disjoint
+    *    from the rewrite's coverage, and the optimize RE-BASES by
+    *    carrying them forward into its manifest;
+    *  - any commit that REMOVED a base file (merge / full replace /
+    *    another optimize) ABORTS with
+    *    [[java.util.ConcurrentModificationException]] — those rows were
+    *    rewritten or deleted, and committing the compacted copy would
+    *    resurrect them.
+    * `baseId` (-1 = head at entry) names the snapshot being compacted —
+    * explicit so a caller coordinating with other writers can pin it.
+    * Returns the new snapshot id — or `baseId` unchanged (NO commit)
+    * when the table already meets the target, so maintenance loops are
+    * idempotent and never stack empty history. */
+  def optimizeSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetRowsPerFile: Long, statsCol: String = null,
+      baseId: Int = -1): Int = {
+    require(targetRowsPerFile > 0,
+      s"optimizeSnapshot: targetRowsPerFile must be > 0, got " +
+        s"$targetRowsPerFile")
+    val (fs, root, conf) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val base = if (baseId >= 0) baseId else headId(spark, path)
+    require(base > 0, s"optimizeSnapshot: no snapshots at $path")
+    val baseManifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$base%05d.txt")
+    require(fs.exists(baseManifest),
+      s"optimizeSnapshot: snapshot $base not present at $path")
+    val (baseRows, baseFiles) = readManifest(fs, baseManifest)
+    val nTarget = math.max(1L,
+      (baseRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    if (baseFiles.size <= nTarget) return base // already compact
+    // The distributed rewrite happens OUTSIDE the commit critical
+    // section (optimistic staging, same as snapshotWrite): reads
+    // exactly the base's files, repartitions to the bin-packed count.
+    // With a statsCol the rewrite RANGE-clusters on it — a round-robin
+    // bin-pack would scatter every key range across every output file
+    // and flatten the data-skipping index compaction exists to sharpen;
+    // range partitioning keeps per-file [min, max] disjoint, so pruned
+    // reads stay one-file-per-range after the optimize.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val baseDf = readSnapshot(spark, path, base)
+    val packed =
+      if (statsCol != null)
+        baseDf.repartitionByRange(nTarget, col(statsCol))
+          .sortWithinPartitions(statsCol)
+      else baseDf.repartition(nTarget)
+    val (newLines, stagedRows) = stageDataFiles(
+      packed, fs, root, dataDir, conf, statsCol, tok)
+    require(stagedRows == baseRows,
+      s"optimizeSnapshot: rewrite produced $stagedRows rows from a " +
+        s"$baseRows-row snapshot — refusing to commit a lossy rewrite")
+    val baseSet = baseFiles.toSet
+    lockFor(fs, root).synchronized {
+      var attempt = 0
+      while (true) {
+        val ids = fs.listStatus(snapsDir)
+          .flatMap(st => manifestId(st.getPath.getName))
+        val head = ids.max // base exists, so non-empty
+        val headManifest = new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-$head%05d.txt")
+        val (headRows, headFiles) = readManifest(fs, headManifest)
+        if (!baseSet.subsetOf(headFiles.toSet))
+          throw new java.util.ConcurrentModificationException(
+            s"optimizeSnapshot at $path: a commit since base $base " +
+              "removed files the rewrite covers (merge/replace " +
+              "interleaved) — its rows were rewritten or deleted and " +
+              "committing the compacted copy would resurrect them; " +
+              "re-run against the new head")
+        // Re-base over interleaved appends: carry every head line the
+        // base didn't reference (disjoint from the rewrite — safe).
+        // Row count and schema are the HEAD's: content is identical.
+        val carried = readManifestStats(fs, headManifest)
+          .filterNot(e => baseSet(e._1)).map(statLine)
+        val schemaLine = "schema:" + manifestSchema(fs, headManifest)
+          .getOrElse(snapshotSchema(spark, path, base).getOrElse(
+            throw new IllegalStateException(
+              s"optimizeSnapshot at $path: no recorded schema"))).json
+        // same stickiness rule as appends: carried ranges and newly
+        // recorded ranges must index the SAME column
+        val statsColLine =
+          (manifestStatsCol(fs, headManifest), Option(statsCol)) match {
+            case (Some(prior), Some(mine)) =>
+              require(prior == mine,
+                s"optimizeSnapshot: manifest stats are indexed on " +
+                  s"'$prior' but the rewrite records '$mine' — one " +
+                  "manifest carries one data-skipping index")
+              Some("statscol:" + prior)
+            case (prior, mine) => mine.orElse(prior).map("statscol:" + _)
+          }
+        val id = head + 1
+        val tmp = new org.apache.hadoop.fs.Path(snapsDir,
+          s".tmp-$tok-$attempt")
+        val out = fs.create(tmp, true)
+        try out.write(
+          (Seq("graft-snap v1", headRows.toString, schemaLine) ++
+            statsColLine.toSeq ++ (carried ++ newLines).sorted)
+            .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        val dest = new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-$id%05d.txt")
+        val won = !fs.exists(dest) && fs.rename(tmp, dest)
+        if (won) return id
+        fs.delete(tmp, false) // lost the claim: re-check and retry
+        attempt += 1
+        if (attempt >= 50) throw new IllegalStateException(
+          s"optimizeSnapshot at $path: could not claim an id after " +
+            s"$attempt attempts (head kept moving)")
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
   }
 
   /** Retention: keep the newest `keepLast` snapshots, drop older

@@ -2690,7 +2690,62 @@ object CdcQueries {
     }, Some(
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |       CAST(doc_id % 3 AS BIGINT) AS batch_id
-        |FROM documents ORDER BY doc_id""".stripMargin))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // st21 — the lakehouse PRODUCE half as a real DSv2 streaming SINK:
+    // `writeStream.format("graft-snapshot")` (sources/GraftSnapshot
+    // .scala) — executors stage parquet files directly under data/,
+    // each task's commit message carries its manifest line (row count
+    // + min/max of statsCol from values already in hand), and the
+    // driver assembles ONE manifest per epoch through the same
+    // optimistic commit as Layout's API, tagged (queryId, epochId) so
+    // epoch replay after a restart is idempotent. st19 proved the
+    // foreachBatch + appendSnapshot composition; this grades the
+    // declarative sink surface end to end: three doc_id%3 chunks
+    // consumed one per trigger → one snapshot per micro-batch (loudly
+    // pinned) → read back through the DSv2 SOURCE with a pushed-down
+    // range filter served by the stats the SINK recorded — the full
+    // produce/consume loop with no Layout call in the data path.
+    QueryDef("st21_snapshot_sink", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val in = Files.createTempDirectory("graft-st21-in").toString
+      (0 until 3).foreach { k =>
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.mode("overwrite").json(s"$in/chunk-$k")
+      }
+      val t = Files.createTempDirectory("graft-st21-table").toString
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT")
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$in/chunk-*")
+        .filter(col("doc_id").isNotNull)
+        .writeStream
+        .format("graft-snapshot")
+        .option("path", t)
+        .option("statsCol", "doc_id")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st21-ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val hist = graft.ops.Layout.snapshots(spark, t).count()
+      require(hist == 3L,
+        s"st21: expected one snapshot per micro-batch (3), got $hist")
+      // consume through the DSv2 source; the pushed-down half-range
+      // is served by the stats the sink recorded (plan shape pinned in
+      // GraftSnapshotSpec; content graded here, filters residual)
+      spark.read.format("graft-snapshot").load(t)
+        .filter(col("doc_id") <= maxId / 2)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }, Some(
+      """WITH b AS (SELECT max(doc_id) // 2 AS half FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents, b WHERE doc_id <= b.half
+        |ORDER BY doc_id""".stripMargin))
   )
 
   private def st13OracleSql: String =

@@ -3365,6 +3365,134 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // OPTIMIZE / bin-pack ([[graft.ops.Layout.optimizeSnapshot]]): the
+    // small-files cure for a streaming-ingested snapshot table — four
+    // appends land 8 tiny files; the optimize rewrites them into the
+    // bin-packed 2 and commits a CONTENT-IDENTICAL snapshot, history
+    // intact. Graded on the full post-optimize table (any lost or
+    // duplicated row breaks the hash) plus the file counts before and
+    // after (deterministic by construction: 4 × repartition(2) staged,
+    // ceil(n / (n/2)) = 2 target) and the history length — the oracle
+    // predicts every cell from the raw table. The conflict rules
+    // (re-base over concurrent appends, abort on interleaved merges)
+    // grade thrown exceptions and are LayoutSpec territory.
+    QueryDef.views("tt8_optimize_files",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(8 AS BIGINT)) AS files_before,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_after,
+        |  (SELECT CAST(5 AS BIGINT)) AS n_snapshots
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt8")
+        .toString
+      (0 to 3).foreach { k =>
+        Layout.appendSnapshot(
+          docs.filter(col("doc_id") % 4 === k).repartition(2), t)
+      }
+      val filesBefore = Layout.readSnapshot(spark, t)
+        .select(input_file_name()).distinct().count()
+      val rows = Layout.readSnapshot(spark, t).count()
+      Layout.optimizeSnapshot(spark, t,
+        targetRowsPerFile = (rows + 1) / 2, statsCol = "doc_id")
+      val filesAfter = Layout.readSnapshot(spark, t)
+        .select(input_file_name()).distinct().count()
+      val nSnaps = Layout.snapshots(spark, t)
+        .agg(count(lit(1)).as("n_snapshots"))
+      Layout.readSnapshot(spark, t)
+        .crossJoin(broadcast(nSnaps)) // one-row scalar
+        .withColumn("files_before", lit(filesBefore))
+        .withColumn("files_after", lit(filesAfter))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("files_before"), col("files_after"), col("n_snapshots"))
+        .orderBy("doc_id")
+    },
+
+    // Append-time schema evolution ([[graft.ops.Layout.unionSchema]] +
+    // the recorded-schema read): the even half commits (doc_id,
+    // n_chars), the odd half appends WITH a new `lang` column, and a
+    // third batch appends MISSING `n_chars` — the head must read as the
+    // union layout with files null-filling columns they predate (or
+    // omit), exactly what the oracle predicts per id class from the
+    // raw table. A type change aborting loudly is graded as a scalar
+    // the oracle pins to 1; pre-evolution time travel keeping the
+    // original two-column layout is LayoutSpec territory (schema
+    // shape, not row values).
+    QueryDef.views("tt9_schema_evolution",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+        |  (SELECT CAST(1 AS BIGINT)) AS type_change_is_loud
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, NULL, lang, 1
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt9")
+        .toString
+      Layout.appendSnapshot(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "n_chars"), t)
+      Layout.appendSnapshot(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "n_chars", "lang"), t)
+      Layout.appendSnapshot(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang")),
+        t)
+      val loud =
+        try {
+          Layout.appendSnapshot(docs
+            .select(col("doc_id"), col("lang").as("n_chars")), t)
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      Layout.readSnapshot(spark, t)
+        .withColumn("type_change_is_loud", lit(loud))
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          col("type_change_is_loud"))
+        .orderBy("doc_id")
+    },
+
+    // DSv2 filter pushdown on the snapshot source
+    // ([[graft.sources.GraftSnapshotScanBuilder]]): three contiguous
+    // doc_id chunks committed with stats on doc_id, then a range read
+    // through `format("graft-snapshot")` — the pushed bound must plan
+    // exactly ONE input partition from the manifest's [min, max] index
+    // (graded: partitions_planned is a column the oracle pins to 1, so
+    // a pushdown regression to read-everything breaks the hash), while
+    // the row content stays exact because every filter remains
+    // residual. The column-identity and no-stats degradation rules are
+    // LayoutSpec/GraftSnapshotSpec territory.
+    QueryDef.views("tt10_source_pruned_read",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_planned
+        |FROM documents, b WHERE doc_id < b.b1
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt10")
+        .toString
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Layout.appendSnapshot(docs.filter(col("doc_id") < b1)
+        .coalesce(1), t, statsCol = "doc_id")
+      Layout.appendSnapshot(docs.filter(col("doc_id") >= b1 &&
+        col("doc_id") < b2).coalesce(1), t, statsCol = "doc_id")
+      Layout.appendSnapshot(docs.filter(col("doc_id") >= b2)
+        .coalesce(1), t, statsCol = "doc_id")
+      val pruned = spark.read.format("graft-snapshot").load(t)
+        .filter(col("doc_id") < b1)
+      val planned = pruned.rdd.getNumPartitions.toLong
+      pruned
+        .withColumn("partitions_planned", lit(planned))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("partitions_planned"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

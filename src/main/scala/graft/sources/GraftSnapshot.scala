@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => rstreaming}
@@ -60,6 +60,11 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     p
   }
 
+  // Writes carry their own schema (the query's), so the provider must
+  // accept external metadata — otherwise the FIRST write to an empty
+  // table would fail trying to infer a schema no commit has recorded.
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Layout.snapshotSchema(SparkSession.active, path(options))
       .getOrElse(throw new IllegalArgumentException(
@@ -72,7 +77,7 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
 }
 
 final class GraftSnapshotTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty,
     "graft-snapshot requires a table root: .load(<path>)")
   SnapshotFileReaderFactory.validate(tableSchema)
@@ -80,29 +85,116 @@ final class GraftSnapshotTable(path: String, tableSchema: StructType)
   override def name(): String = s"graft-snapshot:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapshotWriteBuilder(path, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = tableSchema
-      override def toBatch: Batch = new Batch {
-        override def planInputPartitions(): Array[InputPartition] = {
-          val spark = SparkSession.active
-          val to = Option(options.get("asOfSnapshot")).map(_.toInt)
-            .getOrElse(Layout.headId(spark, path))
-          Layout.changedFilePaths(spark, path, 0, to)
-            .map(SnapshotFilePartition(_): InputPartition).toArray
-        }
-        override def createReaderFactory(): PartitionReaderFactory =
-          new SnapshotFileReaderFactory(tableSchema)
-      }
-      override def toMicroBatchStream(
-          checkpointLocation: String): rstreaming.MicroBatchStream =
-        new SnapshotMicroBatchStream(path, tableSchema,
-          Option(options.get("startingSnapshot")).map(_.toInt).getOrElse(0),
-          math.max(1, Option(options.get("maxSnapshotsPerTrigger"))
-            .map(_.toInt).getOrElse(1)))
+    new GraftSnapshotScanBuilder(path, tableSchema, options)
+}
+
+/** Scan planning with the two pushdowns a metadata-committed table can
+  * serve from the DRIVER:
+  *  - `SupportsPushDownFilters`: range/equality predicates on the
+  *    manifest's recorded stats column ([[Layout.snapshotStatsCol]])
+  *    narrow the BATCH file list to overlapping [min, max] entries —
+  *    file skipping planned from |files|-bounded manifest text, zero
+  *    footer opens. Every filter stays RESIDUAL (skipping is
+  *    file-granular, i.e. inexact), so Spark re-applies it row-level
+  *    and correctness never depends on the index.
+  *  - `SupportsPushDownRequiredColumns`: the pruned schema reaches the
+  *    per-file reader, which projects the parquet read to the required
+  *    columns (I/O ∝ columns read — the wide-table win).
+  * The streaming scan applies column pruning only: its batches are
+  * commit diffs, and admission control — not predicates — governs what
+  * a trigger reads. */
+final class GraftSnapshotScanBuilder(path: String,
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources
+
+  private val asOf: Int =
+    Option(options.get("asOfSnapshot")).map(_.toInt).getOrElse(-1)
+  private var required: StructType = tableSchema
+  private var accepted: Array[sources.Filter] = Array.empty
+  private var bounds: Seq[(Long, Long)] = Nil
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+  private def boundOf(c: String, f: sources.Filter)
+      : Option[(Long, Long)] = f match {
+    case sources.EqualTo(a, v) if a == c =>
+      asLong(v).map(x => (x, x))
+    case sources.GreaterThan(a, v) if a == c =>
+      // strict bound tightened exactly; the extreme literal (an
+      // always-false predicate) becomes an overlaps-nothing range
+      asLong(v).map(x =>
+        if (x == Long.MaxValue) (Long.MaxValue, Long.MinValue)
+        else (x + 1, Long.MaxValue))
+    case sources.GreaterThanOrEqual(a, v) if a == c =>
+      asLong(v).map(x => (x, Long.MaxValue))
+    case sources.LessThan(a, v) if a == c =>
+      asLong(v).map(x =>
+        if (x == Long.MinValue) (Long.MaxValue, Long.MinValue)
+        else (Long.MinValue, x - 1))
+    case sources.LessThanOrEqual(a, v) if a == c =>
+      asLong(v).map(x => (Long.MinValue, x))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[sources.Filter])
+      : Array[sources.Filter] = {
+    val statsCol =
+      Layout.snapshotStatsCol(SparkSession.active, path, asOf)
+    val parsed = statsCol.toSeq.flatMap { c =>
+      filters.toSeq.flatMap(f => boundOf(c, f).map(f -> _))
     }
+    accepted = parsed.map(_._1).toArray
+    bounds = parsed.map(_._2)
+    filters // ALL residual: file-granular skipping is inexact
+  }
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"graft-snapshot:$path bounds=${bounds.mkString(",")} " +
+        s"columns=${required.fieldNames.mkString(",")}"
+    override def toBatch: Batch = new Batch {
+      override def planInputPartitions(): Array[InputPartition] = {
+        val spark = SparkSession.active
+        Layout.snapshotFileStats(spark, path, asOf)
+          .filter { case (_, range) =>
+            range.forall { case (flo, fhi) =>
+              bounds.forall { case (lo, hi) => fhi >= lo && flo <= hi }
+            } // no recorded range = always read
+          }
+          .map(e => SnapshotFilePartition(e._1): InputPartition).toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SnapshotFileReaderFactory(required)
+    }
+    override def toMicroBatchStream(
+        checkpointLocation: String): rstreaming.MicroBatchStream =
+      new SnapshotMicroBatchStream(path, required,
+        Option(options.get("startingSnapshot")).map(_.toInt).getOrElse(0),
+        math.max(1, Option(options.get("maxSnapshotsPerTrigger"))
+          .map(_.toInt).getOrElse(1)))
+  }
 }
 
 /** The stream offset IS the snapshot id — the manifest sequence is the
@@ -169,18 +261,39 @@ object SnapshotFileReaderFactory {
 }
 
 /** One reader per committed data file (executor-side): parquet-hadoop's
-  * Group API decoded straight into InternalRow against the
-  * manifest-recorded schema. Field positions are resolved once from the
-  * first record's file schema, then reused for every row. */
+  * Group API decoded straight into InternalRow against the (possibly
+  * column-pruned) schema. The read is PROJECTED to the required columns
+  * by intersecting the file's own parquet schema with the wanted names
+  * (one footer open — also how files predating an evolved column stay
+  * readable: the projection simply omits what the file lacks and the
+  * decode null-fills it). A zero-column read (count(*) pushdown shape)
+  * projects to the file's narrowest-to-hand first column and emits
+  * empty rows, so row counts survive full pruning. Field positions are
+  * resolved once from the first record's (projected) schema, then
+  * reused for every row. */
 final class SnapshotFileReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
     val conf = new org.apache.hadoop.conf.Configuration()
+    val hPath = new org.apache.hadoop.fs.Path(file)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(hPath, conf))
+    val fileSchema =
+      try footer.getFileMetaData.getSchema finally footer.close()
+    val wanted = schema.fieldNames.toSet
+    val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
+    val projected = new org.apache.parquet.schema.MessageType(
+      fileSchema.getName,
+      (if (kept.nonEmpty) kept
+       else fileSchema.getFields.asScala.take(1)).asJava)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport
+      .PARQUET_READ_SCHEMA, projected.toString)
     val reader = org.apache.parquet.hadoop.ParquetReader
       .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        new org.apache.hadoop.fs.Path(file))
+        hPath)
       .withConf(conf).build()
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -190,12 +303,19 @@ final class SnapshotFileReaderFactory(schema: StructType)
         if (g == null) false
         else {
           if (idx == null)
-            idx = schema.fields.map(f => g.getType.getFieldIndex(f.name))
+            // -1 = the file PREDATES this column (append-time schema
+            // evolution): null-fill, matching Layout.readSnapshot's
+            // recorded-union-schema read
+            idx = schema.fields.map(f =>
+              if (g.getType.containsField(f.name))
+                g.getType.getFieldIndex(f.name)
+              else -1)
           val vals = new Array[Any](schema.length)
           var i = 0
           while (i < schema.length) {
             vals(i) =
-              if (g.getFieldRepetitionCount(idx(i)) == 0) null
+              if (idx(i) < 0 || g.getFieldRepetitionCount(idx(i)) == 0)
+                null
               else schema.fields(i).dataType match {
                 case LongType => g.getLong(idx(i), 0)
                 case IntegerType => g.getInteger(idx(i), 0)
@@ -217,4 +337,249 @@ final class SnapshotFileReaderFactory(schema: StructType)
       override def close(): Unit = reader.close()
     }
   }
+}
+
+// ----- Write path: the DSv2 snapshot SINK --------------------------------
+//
+// `df.write.format("graft-snapshot")` (append, or overwrite via
+// TRUNCATE) and `writeStream.format("graft-snapshot")` commit through
+// the SAME optimistic manifest protocol as Layout's API
+// ([[graft.ops.Layout.commitStagedLines]]): executors stage immutable
+// parquet files DIRECTLY under data/ (unreferenced until a manifest
+// wins — the crash contract: a dead task leaves an orphan for vacuum,
+// never a torn table), each task's commit message carries its manifest
+// file line (name, row count, optional min/max of `statsCol` — so the
+// data-skipping index is populated from values the writer already saw,
+// zero extra footer reads), and the DRIVER commit assembles one
+// manifest per job/epoch. Streaming commits tag the manifest with
+// (queryId, epochId), making epoch replay after a restart IDEMPOTENT —
+// the same ledger rule as the K1 topic sink, expressed as manifest
+// metadata. Options: `statsCol` records the per-file range index;
+// `tag` (batch) makes a batch write idempotent under the caller's key.
+final class SnapshotWriteBuilder(path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replaceAll = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    replaceAll = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new SnapshotWrite(path, info.schema(), info.queryId(),
+      info.options(), replaceAll)
+}
+
+final class SnapshotWrite(path: String, writeSchema: StructType,
+    queryId: String, options: CaseInsensitiveStringMap,
+    truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write._
+
+  SnapshotFileReaderFactory.validate(writeSchema)
+  private val statsCol = Option(options.get("statsCol"))
+  statsCol.foreach { c =>
+    require(writeSchema.fieldNames.contains(c),
+      s"graft-snapshot write: statsCol '$c' is not a written column")
+    val dt = writeSchema(c).dataType
+    require(dt == LongType || dt == IntegerType,
+      s"graft-snapshot write: statsCol '$c' must be integral, is " +
+        dt.sql)
+  }
+  private val batchTag = Option(options.get("tag"))
+
+  /** Qualified data/ dir, created up front so executors only write. */
+  private def prepareDataDir(): String = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    fs.mkdirs(dataDir)
+    fs.makeQualified(dataDir).toString
+  }
+
+  private def deleteStaged(
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    messages.collect { case m: SnapshotFileCommit => m }
+      .flatMap(_.line).map(_.split('|').head)
+      .foreach { n =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, "data"), n), false)
+      }
+  }
+
+  private def commitLines(messages: Array[WriterCommitMessage],
+      tag: String): Unit = {
+    val msgs = messages.collect { case m: SnapshotFileCommit => m }
+    Layout.commitStagedLines(SparkSession.active, path,
+      msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
+      writeSchema, tag, carryPrevious = !truncate,
+      statsCol.orNull, expectedBase = -1,
+      tok = java.util.UUID.randomUUID().toString.take(8))
+    ()
+  }
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val tok = java.util.UUID.randomUUID().toString.take(8)
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      SnapshotWriterFactory(prepareDataDir(), writeSchema, statsCol, tok)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      commitLines(messages, batchTag.orNull)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      deleteStaged(messages)
+  }
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      private val tok = java.util.UUID.randomUUID().toString.take(8)
+      override def createStreamingWriterFactory(
+          info: PhysicalWriteInfo): org.apache.spark.sql.connector
+          .write.streaming.StreamingDataWriterFactory =
+        SnapshotWriterFactory(prepareDataDir(), writeSchema, statsCol,
+          tok)
+      // epoch replay after a restart re-stages files but the tagged
+      // manifest short-circuits: exactly one commit per (query, epoch),
+      // replayed stages become vacuum-able orphans
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        commitLines(messages, s"sink-$queryId-e$epochId")
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        deleteStaged(messages)
+    }
+}
+
+final case class SnapshotFileCommit(line: Option[String], rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final case class SnapshotWriterFactory(dataDir: String,
+    schema: StructType, statsCol: Option[String], tok: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SnapshotDataWriter(dataDir, schema, statsCol,
+      s"$tok-p$partitionId-t$taskId")
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SnapshotDataWriter(dataDir, schema, statsCol,
+      s"$tok-e$epochId-p$partitionId-t$taskId")
+}
+
+object SnapshotParquet {
+  /** The parquet MessageType for a (validated, atomic-typed) write
+    * schema — all fields optional, strings UTF8-annotated, mirroring
+    * what the Group-API reader decodes. */
+  def messageType(schema: StructType)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case IntegerType =>
+          b.addField(Types.optional(INT32).named(f.name))
+        case DoubleType =>
+          b.addField(Types.optional(DOUBLE).named(f.name))
+        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+        case BooleanType =>
+          b.addField(Types.optional(BOOLEAN).named(f.name))
+        case StringType => b.addField(Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed validate()")
+      }
+    }
+    b.named("graft_snapshot")
+  }
+}
+
+/** One parquet file per non-empty task (executor-side), written with
+  * the Group API straight from InternalRow. The writer is LAZY — an
+  * empty partition stages nothing and commits an empty message — and
+  * tracks the min/max of `statsCol` over the rows it writes, so the
+  * manifest's data-skipping index costs nothing beyond values already
+  * in hand. A null in `statsCol` drops the file's range (rangeless =
+  * always read — skipping must never change answers). */
+final class SnapshotDataWriter(dataDir: String, schema: StructType,
+    statsCol: Option[String], suffix: String)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val name = s"c$suffix.parquet"
+  private val hPath = new org.apache.hadoop.fs.Path(
+    new org.apache.hadoop.fs.Path(dataDir), name)
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val msgType = SnapshotParquet.messageType(schema)
+  private val groups =
+    new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
+  private var rows = 0L
+  private val statsIdx = statsCol.map(schema.fieldIndex)
+  private var lo = Long.MaxValue
+  private var hi = Long.MinValue
+  private var statsNull = false
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null)
+      writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(hPath, conf))
+        .withType(msgType).withConf(conf).build()
+    val g = groups.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i, row.getUTF8String(i).toString)
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed validate()")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+    statsIdx.foreach { si =>
+      if (row.isNullAt(si)) statsNull = true
+      else {
+        val v = schema.fields(si).dataType match {
+          case LongType => row.getLong(si)
+          case _ => row.getInt(si).toLong
+        }
+        if (v < lo) lo = v
+        if (v > hi) hi = v
+      }
+    }
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer == null) SnapshotFileCommit(None, 0L)
+    else {
+      writer.close()
+      val line =
+        if (statsIdx.isDefined && !statsNull && rows > 0)
+          s"$name|$lo|$hi"
+        else name
+      SnapshotFileCommit(Some(line), rows)
+    }
+  }
+
+  override def abort(): Unit = if (writer != null) {
+    writer.close()
+    hPath.getFileSystem(conf).delete(hPath, false)
+  }
+
+  override def close(): Unit = ()
 }

@@ -337,4 +337,156 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readSnapshotPruned(spark, t, "id", 5L, 105L)
       .select(input_file_name()).distinct().count() == 2)
   }
+
+  test("optimize: bin-packs small files into a content-identical " +
+      "commit; history intact; idempotent at target; stats recorded") {
+    val t = java.nio.file.Files.createTempDirectory("graft-opt-spec")
+      .toString
+    // eight 10-row appends = a streaming-shaped small-files table
+    (0 until 8).foreach { k =>
+      Layout.appendSnapshot(
+        spark.range(k * 10L, k * 10L + 10).toDF("id")
+          .withColumn("v", col("id") * 2).coalesce(1), t)
+    }
+    val before = Layout.readSnapshot(spark, t)
+    assert(before.select(input_file_name()).distinct().count() == 8)
+    val optId = Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 40,
+      statsCol = "id")
+    assert(optId == 9)
+    val after = Layout.readSnapshot(spark, t)
+    // content identical, file count at the bin-packed target
+    assert(after.select(input_file_name()).distinct().count() == 2)
+    assert(after.orderBy("id").collect().toSeq ==
+      before.orderBy("id").collect().toSeq)
+    // pre-optimize history still time-travels
+    assert(Layout.readSnapshot(spark, t, asOf = 8).count() == 80)
+    assert(Layout.readSnapshot(spark, t, asOf = 3).count() == 30)
+    // recomputed stats serve pruned reads over the compacted files
+    assert(Layout.readSnapshotPruned(spark, t, "id", 5L, 8L)
+      .select(input_file_name()).distinct().count() == 1)
+    // already-compact table: NO empty commit, same id back
+    assert(Layout.optimizeSnapshot(spark, t, 40, statsCol = "id") == 9)
+    assert(Layout.snapshots(spark, t).count() == 9)
+  }
+
+  test("optimize conflict rule: re-bases over a concurrent append, " +
+      "aborts on a concurrent merge") {
+    val t = java.nio.file.Files.createTempDirectory("graft-optc-spec")
+      .toString
+    import spark.implicits._
+    (0 until 4).foreach { k =>
+      Layout.appendSnapshot(
+        spark.range(k * 10L, k * 10L + 10).toDF("id")
+          .withColumn("v", col("id")).coalesce(1), t)
+    }
+    // an append lands AFTER the optimize captured its base (pinned via
+    // the explicit baseId) — the optimize must carry it forward
+    Layout.appendSnapshot(
+      spark.range(100L, 110L).toDF("id")
+        .withColumn("v", col("id")).coalesce(1), t) // id 5
+    val optId = Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 50,
+      baseId = 4)
+    assert(optId == 6)
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 50) // 40 compacted + 10 carried
+    assert(head.agg(sum("id")).head().getLong(0) ==
+      (0L until 40L).sum + (100L until 110L).sum)
+    // the carried append stays its own file; the base compacts to one
+    assert(head.select(input_file_name()).distinct().count() == 2)
+    // a merge interleaving after the base is captured REMOVES base
+    // files (full-replace image) — the optimize must abort, not
+    // resurrect the merged-away rows
+    Layout.mergeSnapshot(spark, t,
+      Seq((0L, 0L, "d")).toDF("id", "v", "op"), "id", "op") // id 7
+    val e = intercept[java.util.ConcurrentModificationException](
+      Layout.optimizeSnapshot(spark, t, 50, baseId = 6))
+    assert(e.getMessage.contains("removed files"))
+    // nothing committed by the failed optimize; the merge's image holds
+    assert(Layout.snapshots(spark, t).count() == 7)
+    assert(Layout.readSnapshot(spark, t).count() == 49)
+  }
+
+  test("schema evolution: append with a new column widens the table; " +
+      "old files null-fill; type changes abort; pruned/changes reads " +
+      "agree") {
+    val t = java.nio.file.Files.createTempDirectory("graft-evo-spec")
+      .toString
+    import spark.implicits._
+    Layout.appendSnapshot(
+      spark.range(0, 10).toDF("id").withColumn("v", col("id") * 2)
+        .coalesce(1), t, statsCol = "id")
+    // widened append: extra column `lang`
+    Layout.appendSnapshot(
+      spark.range(100, 110).toDF("id").withColumn("v", col("id") * 2)
+        .withColumn("lang", lit("en")).coalesce(1), t, statsCol = "id")
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(head.count() == 20)
+    assert(head.filter(col("lang").isNull).count() == 10) // old files
+    assert(head.filter(col("lang") === "en").count() == 10)
+    // a batch MISSING an old column also null-fills (its own rows)
+    Layout.appendSnapshot(
+      spark.range(200, 210).toDF("id").withColumn("lang", lit("fr"))
+        .coalesce(1), t, statsCol = "id")
+    val h2 = Layout.readSnapshot(spark, t)
+    assert(h2.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(h2.filter(col("v").isNull).count() == 10)
+    // stats-pruned read sees the union schema too
+    val pruned = Layout.readSnapshotPruned(spark, t, "id", 0L, 5L)
+    assert(pruned.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(pruned.count() == 6)
+    // incremental read across the evolution uses the TO schema
+    val changes = Layout.readSnapshotChanges(spark, t, fromId = 1)
+    assert(changes.schema.fieldNames.toSeq == Seq("id", "v", "lang"))
+    assert(changes.count() == 20)
+    // a TYPE change must abort loudly, not corrupt earlier reads
+    val e = intercept[IllegalArgumentException](
+      Layout.appendSnapshot(
+        spark.range(300, 310).toDF("id")
+          .withColumn("v", lit("not-a-number")).coalesce(1), t))
+    assert(e.getMessage.contains("changes type"))
+    // pre-evolution time travel reads the ORIGINAL two-column layout
+    assert(Layout.readSnapshot(spark, t, asOf = 1)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("stats column identity: sticky across appends, conflicting " +
+      "index aborts, mismatched pruned read degrades to read-all") {
+    val t = java.nio.file.Files.createTempDirectory("graft-scol-spec")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0, 10).toDF("id").withColumn("v", col("id") * 3)
+        .coalesce(1), t, statsCol = "id")
+    // an append WITHOUT stats carries the recorded column (its own
+    // file is just rangeless — always read)
+    Layout.appendSnapshot(
+      spark.range(100, 110).toDF("id").withColumn("v", col("id") * 3)
+        .coalesce(1), t)
+    assert(Layout.snapshotStatsCol(spark, t).contains("id"))
+    // recording ranges for a DIFFERENT column than the carried history
+    // aborts loudly — one manifest, one data-skipping index
+    val e = intercept[IllegalArgumentException](
+      Layout.appendSnapshot(
+        spark.range(200, 210).toDF("id").withColumn("v", col("id") * 3)
+          .coalesce(1), t, statsCol = "v"))
+    assert(e.getMessage.contains("one manifest carries one"))
+    // pruning by the RECORDED column skips the out-of-range file;
+    // asking to prune on a different column reads everything instead
+    // of mis-skipping by ranges that describe the wrong values
+    val byId = Layout.readSnapshotPruned(spark, t, "id", 0L, 5L)
+    assert(byId.count() == 6)
+    assert(byId.select(input_file_name()).distinct().count() == 1)
+    // the load-bearing case: v ∈ [20, 27] lives at ids 7..9, whose
+    // file's RECORDED id-range [0, 9] does NOT overlap [20, 27] — a
+    // reader that misapplied the id index to a v query would skip the
+    // file and silently return zero rows
+    assert(Layout.readSnapshotPruned(spark, t, "v", 20L, 27L)
+      .count() == 3)
+    // optimize carries the identity and re-records ranges for it
+    val optId = Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 20,
+      statsCol = "id")
+    assert(Layout.snapshotStatsCol(spark, t, optId).contains("id"))
+    assert(Layout.readSnapshotPruned(spark, t, "id", 0L, 5L)
+      .count() == 6)
+  }
 }

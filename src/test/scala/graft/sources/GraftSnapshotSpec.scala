@@ -100,6 +100,183 @@ class GraftSnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("emb"))
   }
 
+  test("schema evolution: files predating a column null-fill through " +
+      "both the batch and streaming readers") {
+    val t = tmpDir("snap-src-evo")
+    Layout.appendSnapshot(
+      spark.range(0, 10).toDF("id").coalesce(1), t)
+    Layout.appendSnapshot(
+      spark.range(10, 20).toDF("id").withColumn("lang", lit("en"))
+        .coalesce(1), t)
+    // batch read: head schema is the union; old file null-fills
+    val got = spark.read.format("graft-snapshot").load(t)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "lang"))
+    assert(got.filter(col("lang").isNull).count() == 10)
+    assert(got.filter(col("lang") === "en").count() == 10)
+    // streaming read: the pre-evolution file decodes against the union
+    // schema with the missing field null-filled (idx = -1 path)
+    val out = tmpDir("snap-src-evo-out")
+    val q = spark.readStream.format("graft-snapshot").load(t)
+      .writeStream
+      .option("checkpointLocation", tmpDir("snap-src-evo-ckpt"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 20)
+    assert(back.filter(col("lang").isNull).count() == 10)
+  }
+
+  test("filter pushdown: manifest-stats file skipping plans only " +
+      "overlapping partitions; answers never change") {
+    val t = tmpDir("snap-src-push")
+    // three appends with disjoint known id ranges, stats on id
+    Seq(0L, 100L, 200L).foreach { lo =>
+      Layout.appendSnapshot(
+        spark.range(lo, lo + 10).toDF("id")
+          .withColumn("tag", lit(s"b$lo")).coalesce(1), t,
+        statsCol = "id")
+    }
+    val src = spark.read.format("graft-snapshot").load(t)
+    // range predicate: exactly ONE file overlaps [100, 105]
+    val mid = src.filter(col("id").between(100L, 105L))
+    assert(mid.rdd.getNumPartitions == 1)
+    assert(mid.count() == 6)
+    assert(mid.agg(sum("id")).head().getLong(0) == (100L to 105L).sum)
+    // equality predicate: one file, one row
+    val one = src.filter(col("id") === 205L)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(205L))
+    // a range between blocks prunes everything
+    assert(src.filter(col("id").between(50L, 60L))
+      .rdd.getNumPartitions == 0)
+    // predicates on a NON-indexed column never prune (and never lie)
+    val byTag = src.filter(col("tag") === "b100")
+    assert(byTag.rdd.getNumPartitions == 3)
+    assert(byTag.count() == 10)
+    // filters stay residual: row-level exactness on the kept file
+    assert(src.filter(col("id") > 101L && col("id") < 104L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(102L, 103L))
+  }
+
+  test("pushdown without a recorded stats column reads everything " +
+      "(trust nothing, skip nothing)") {
+    val t = tmpDir("snap-src-nopush")
+    Seq(0L, 100L).foreach { lo =>
+      Layout.appendSnapshot(
+        spark.range(lo, lo + 10).toDF("id").coalesce(1), t)
+    }
+    val got = spark.read.format("graft-snapshot").load(t)
+      .filter(col("id") < 5L)
+    assert(got.rdd.getNumPartitions == 2) // no stats col → no skipping
+    assert(got.count() == 5)
+  }
+
+  test("column pruning reaches the reader; zero-column (count) reads " +
+      "keep exact row counts") {
+    val t = tmpDir("snap-src-prune")
+    Layout.appendSnapshot(
+      spark.range(0, 100).toDF("id")
+        .withColumn("tag", lit("a")).withColumn("v", col("id") * 2.0)
+        .coalesce(1), t)
+    val src = spark.read.format("graft-snapshot").load(t)
+    // the scan's output schema is the pruned one
+    val pruned = src.select("tag")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.output.map(_.name) == Seq("tag"))
+    assert(pruned.distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("a"))
+    // full pruning: count() must survive a zero-column projection
+    assert(src.count() == 100)
+    // pruning composes with schema evolution (file lacks `lang`)
+    Layout.appendSnapshot(
+      spark.range(100, 110).toDF("id").withColumn("tag", lit("b"))
+        .withColumn("v", lit(0.0)).withColumn("lang", lit("en"))
+        .coalesce(1), t)
+    val evolved = spark.read.format("graft-snapshot").load(t)
+      .select("lang")
+    assert(evolved.filter(col("lang").isNull).count() == 100)
+    assert(evolved.filter(col("lang") === "en").count() == 10)
+  }
+
+  test("DSv2 batch write: append and truncate-overwrite commit " +
+      "through the manifest protocol; tag makes a write idempotent; " +
+      "stats recorded from written values") {
+    val t = tmpDir("snap-sink-batch")
+    // first write to an EMPTY table (schema from the query, no infer)
+    spark.range(0, 100).toDF("id").withColumn("tag", lit("a"))
+      .repartition(4)
+      .write.format("graft-snapshot").mode("append")
+      .option("statsCol", "id").save(t)
+    assert(Layout.snapshots(spark, t).count() == 1)
+    val head1 = Layout.readSnapshot(spark, t)
+    assert(head1.count() == 100)
+    assert(Layout.snapshotStatsCol(spark, t).contains("id"))
+    // append mode carries history
+    spark.range(100, 150).toDF("id").withColumn("tag", lit("b"))
+      .coalesce(1)
+      .write.format("graft-snapshot").mode("append")
+      .option("statsCol", "id").save(t)
+    assert(Layout.snapshots(spark, t).count() == 2)
+    assert(Layout.readSnapshot(spark, t).count() == 150)
+    // the written stats serve pruned reads through the read path
+    val pruned = spark.read.format("graft-snapshot").load(t)
+      .filter(col("id").between(100L, 120L))
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 21)
+    // overwrite = TRUNCATE: full replace, history intact
+    spark.range(0, 7).toDF("id").withColumn("tag", lit("c"))
+      .coalesce(1)
+      .write.format("graft-snapshot").mode("overwrite").save(t)
+    assert(Layout.readSnapshot(spark, t).count() == 7)
+    assert(Layout.readSnapshot(spark, t, asOf = 2).count() == 150)
+    // a tagged batch write replays idempotently
+    spark.range(0, 5).toDF("id").withColumn("tag", lit("d"))
+      .coalesce(1).write.format("graft-snapshot").mode("append")
+      .option("tag", "backfill-1").save(t)
+    val before = Layout.snapshots(spark, t).count()
+    spark.range(0, 5).toDF("id").withColumn("tag", lit("d"))
+      .coalesce(1).write.format("graft-snapshot").mode("append")
+      .option("tag", "backfill-1").save(t)
+    assert(Layout.snapshots(spark, t).count() == before)
+  }
+
+  test("DSv2 streaming write: one snapshot per epoch, tagged for " +
+      "replay idempotence, read back through the source") {
+    val t = tmpDir("snap-sink-stream")
+    val in = tmpDir("snap-sink-in")
+    // three one-file jsonl chunks consumed one per trigger
+    (0 until 3).foreach { k =>
+      spark.range(k * 10L, k * 10L + 10).toDF("id")
+        .withColumn("tag", lit(s"c$k")).coalesce(1)
+        .write.mode("overwrite").json(s"$in/chunk-$k")
+    }
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id BIGINT, tag STRING")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .json(s"$in/chunk-*")
+      .filter(col("id").isNotNull)
+      .writeStream
+      .format("graft-snapshot")
+      .option("path", t)
+      .option("statsCol", "id")
+      .option("checkpointLocation", tmpDir("snap-sink-ckpt"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    // one manifest per micro-batch, union visible at the head
+    assert(Layout.snapshots(spark, t).count() == 3)
+    val back = spark.read.format("graft-snapshot").load(t)
+    assert(back.count() == 30)
+    assert(back.agg(sum("id")).head().getLong(0) == (0L until 30L).sum)
+  }
+
   test("reading an uncommitted table names the problem") {
     val t = tmpDir("snap-src-none")
     val e = intercept[IllegalArgumentException](
