@@ -490,6 +490,21 @@ object Layout {
         new org.apache.hadoop.fs.Path(dataDir, n)).toString, r) }
   }
 
+  /** The manifest-recorded TOTAL row count of snapshot `asOf` (-1 =
+    * head) — what answers a pushed-down count(*) without touching a
+    * data file. None when the table has no commits. */
+  private[graft] def snapshotRowCount(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Option[Long] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val id = if (asOf >= 0) asOf else headId(spark, path)
+    val p = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    if (id == 0 || !fs.exists(p)) None
+    else Some(readManifest(fs, p)._1)
+  }
+
   /** Manifest entries WITH their recorded per-file stats range (None
     * when that file was committed without stats — always read). */
   private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,

@@ -3493,6 +3493,38 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // Aggregate pushdown on the snapshot source
+    // ([[graft.sources.GraftSnapshotScanBuilder.pushAggregation]]):
+    // count(*) answered by the manifest's recorded row count, min/max
+    // of the stats column by the extremes of the per-file range index —
+    // driver-side metadata, zero data files opened (proved in
+    // GraftSnapshotSpec by deleting the files; here the VALUES are
+    // graded against DuckDB computing the same aggregates from the raw
+    // table). The second aggregate (sum) is NOT pushable, so the same
+    // entry also grades the fallback scan path agreeing with the
+    // metadata path on one relation.
+    QueryDef.views("tt11_metadata_agg",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt11")
+        .toString
+      Layout.appendSnapshot(docs.filter(col("doc_id") % 2 === 0)
+        .repartition(2), t, statsCol = "doc_id")
+      Layout.appendSnapshot(docs.filter(col("doc_id") % 2 === 1)
+        .repartition(2), t, statsCol = "doc_id")
+      val src = spark.read.format("graft-snapshot").load(t)
+      val meta = src.agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      val scanned = src.agg(sum("n_chars").as("sum_chars"))
+      meta.crossJoin(broadcast(scanned))
+        .select(col("n_rows"), col("min_id"), col("max_id"),
+          col("sum_chars"))
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

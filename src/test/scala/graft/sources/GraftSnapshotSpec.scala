@@ -277,6 +277,64 @@ class GraftSnapshotSpec extends SparkSpec {
     assert(back.agg(sum("id")).head().getLong(0) == (0L until 30L).sum)
   }
 
+  test("aggregate pushdown: count(*)/min/max answered from manifest " +
+      "metadata — zero data files touched (proved by deleting them)") {
+    val t = tmpDir("snap-src-agg")
+    Seq(0L, 100L).foreach { lo =>
+      Layout.appendSnapshot(
+        spark.range(lo, lo + 50).toDF("id")
+          .withColumn("tag", lit(s"b$lo")).coalesce(1), t,
+        statsCol = "id")
+    }
+    val src = spark.read.format("graft-snapshot").load(t)
+    val agg = src.agg(count(lit(1)).as("n"), min("id").as("lo"),
+      max("id").as("hi")).head()
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) ==
+      (100L, 0L, 149L))
+    // min/max on a NON-indexed column must NOT push (falls back to a
+    // real scan, still correct)
+    assert(spark.read.format("graft-snapshot").load(t)
+      .agg(max("tag")).head().getString(0) == "b100")
+    // a filtered count never takes the metadata path (filters are
+    // residual, so Spark keeps the agg above the scan)
+    assert(src.filter(col("id") < 10L).count() == 10)
+    // the load-bearing proof: with every DATA file deleted, the
+    // metadata aggregates still answer; a data-touching plan would throw
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new org.apache.hadoop.fs.Path(t, "data")
+    val fs = dataDir.getFileSystem(conf)
+    fs.listStatus(dataDir).foreach(st => fs.delete(st.getPath, false))
+    val gone = spark.read.format("graft-snapshot").load(t)
+    val agg2 = gone.agg(count(lit(1)).as("n"), min("id").as("lo"),
+      max("id").as("hi")).head()
+    assert((agg2.getLong(0), agg2.getLong(1), agg2.getLong(2)) ==
+      (100L, 0L, 149L))
+    intercept[Exception](gone.collect()) // the scan path really is gone
+  }
+
+  test("aggregate pushdown refuses when a file lacks a range " +
+      "(rangeless append) and on an empty table's min/max") {
+    val t = tmpDir("snap-src-agg-no")
+    Layout.appendSnapshot(
+      spark.range(0, 10).toDF("id").coalesce(1), t, statsCol = "id")
+    Layout.appendSnapshot(
+      spark.range(100, 110).toDF("id").coalesce(1), t) // rangeless
+    val src = spark.read.format("graft-snapshot").load(t)
+    // count(*) still metadata (total row count needs no ranges);
+    // min/max must SCAN (one file has no recorded range)
+    assert(src.count() == 20)
+    assert(src.agg(min("id"), max("id")).head().toSeq ==
+      Seq(0L, 109L))
+    // empty table: count comes back 0 via metadata; min/max of an
+    // empty relation is NULL, which metadata can't represent → scan
+    val e = tmpDir("snap-src-agg-empty")
+    Layout.commitSnapshot(
+      spark.range(0, 0).toDF("id"), e)
+    val empty = spark.read.format("graft-snapshot").load(e)
+    assert(empty.count() == 0)
+    assert(empty.agg(min("id")).head().isNullAt(0))
+  }
+
   test("reading an uncommitted table names the problem") {
     val t = tmpDir("snap-src-none")
     val e = intercept[IllegalArgumentException](
