@@ -1169,6 +1169,45 @@ object Layout {
     -1 // unreachable: the loop exits only by return or throw
   }
 
+  /** RESTORE the table to snapshot `toId` (Delta RESTORE / Iceberg
+    * rollback-to-snapshot): commits a NEW head whose manifest
+    * references exactly `toId`'s files — pure metadata, no data moves,
+    * and history stays LINEAR (the bad head remains time-travelable
+    * until vacuumed; the restore is an ordinary commit through the
+    * optimistic protocol, so concurrent writers keep their guarantees).
+    * Shared files survive a later vacuum because retention is computed
+    * from kept manifests' reference sets, never file age. Idempotent:
+    * restoring to an image identical to the current head returns the
+    * head unchanged with NO empty commit. Loud on a vacuumed or
+    * never-committed `toId`. Returns the new (or unchanged) head id. */
+  def restoreSnapshot(spark: org.apache.spark.sql.SparkSession,
+      path: String, toId: Int): Int = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val p = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$toId%05d.txt")
+    require(toId > 0 && fs.exists(p),
+      s"restoreSnapshot: snapshot $toId not present at $path " +
+        "(vacuumed or never committed)")
+    val head = headId(spark, path)
+    val headManifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$head%05d.txt")
+    val (rows, files) = readManifest(fs, p)
+    if (head != toId &&
+        readManifest(fs, headManifest)._2.toSet == files.toSet)
+      return head // already at this image: maintenance-loop idempotence
+    if (head == toId) return head
+    val schema = manifestSchema(fs, p).getOrElse(
+      throw new IllegalStateException(
+        s"restoreSnapshot: snapshot $toId records no schema"))
+    commitStagedLines(spark, path,
+      readManifestStats(fs, p).map(statLine), rows, schema,
+      tag = null, carryPrevious = false,
+      statsCol = manifestStatsCol(fs, p).orNull,
+      expectedBase = -1,
+      tok = java.util.UUID.randomUUID().toString.take(8))
+  }
+
   /** Retention: keep the newest `keepLast` snapshots, drop older
     * manifests, and delete every data file no kept snapshot references
     * (including orphans from crashed commits). Returns (manifests

@@ -3525,6 +3525,43 @@ object PipelineOps {
           col("sum_chars"))
     },
 
+    // RESTORE ([[graft.ops.Layout.restoreSnapshot]]): roll the table
+    // back to a pre-merge image as a NEW metadata-only commit — the
+    // bad-deploy undo (Delta RESTORE / Iceberg rollback). tt2's merge
+    // plays the bad write; the restore must bring back EXACTLY the
+    // original corpus (any resurrected merge row or lost original
+    // breaks the hash), history must grow to 3 linear snapshots (the
+    // bad head stays time-travelable), and the restored head must
+    // reference the ORIGINAL files — pinned here as a zero-readback
+    // scalar the oracle predicts: rows read through the restored head
+    // minus rows of the raw table = 0.
+    QueryDef.views("tt12_restore_snapshot",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(3 AS BIGINT)) AS n_snapshots
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt12")
+        .toString
+      Layout.commitSnapshot(docs.repartitionByRange(3, col("doc_id")), t)
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+      Layout.mergeSnapshot(spark, t, changes, "doc_id", "op") // bad
+      Layout.restoreSnapshot(spark, t, 1)                     // undo
+      val nSnaps = Layout.snapshots(spark, t)
+        .agg(count(lit(1)).as("n_snapshots"))
+      Layout.readSnapshot(spark, t)
+        .crossJoin(broadcast(nSnaps)) // one-row scalar
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_snapshots"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

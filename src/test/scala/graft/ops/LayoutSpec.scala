@@ -450,6 +450,44 @@ class LayoutSpec extends SparkSpec {
       .schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("restore: rolls the head back to an earlier image by metadata " +
+      "only; idempotent; vacuum keeps shared files; loud on vacuumed") {
+    val t = java.nio.file.Files.createTempDirectory("graft-rest-spec")
+      .toString
+    import spark.implicits._
+    Layout.commitSnapshot(
+      spark.range(0, 20).toDF("id").withColumn("v", col("id") * 2)
+        .coalesce(1), t, statsCol = "id")               // id 1 (good)
+    Layout.mergeSnapshot(spark, t,                      // id 2 (bad)
+      Seq((0L, 0L, "d"), (1L, 999L, "u")).toDF("id", "v", "op"),
+      "id", "op")
+    assert(Layout.readSnapshot(spark, t).count() == 19)
+    // restore: new head 3 references EXACTLY snapshot 1's files
+    val restored = Layout.restoreSnapshot(spark, t, 1)
+    assert(restored == 3)
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 20)
+    assert(head.filter(col("v") === 999L).count() == 0)
+    // metadata-only: restored head and snapshot 1 read the same file
+    assert(Layout.readSnapshot(spark, t).select(input_file_name())
+      .distinct().count() == 1)
+    // the stats identity travels with the restore
+    assert(Layout.snapshotStatsCol(spark, t, restored).contains("id"))
+    // idempotent: restoring to an image equal to the head is a no-op
+    assert(Layout.restoreSnapshot(spark, t, 1) == 3)
+    assert(Layout.restoreSnapshot(spark, t, 3) == 3)
+    assert(Layout.snapshots(spark, t).count() == 3)
+    // the bad head stays time-travelable until vacuumed
+    assert(Layout.readSnapshot(spark, t, asOf = 2).count() == 19)
+    // vacuum to the restored head only: files shared with dropped
+    // snapshot 1 must survive (retention = kept manifests' references)
+    Layout.vacuum(spark, t, keepLast = 1)
+    assert(Layout.readSnapshot(spark, t).count() == 20)
+    val e = intercept[IllegalArgumentException](
+      Layout.restoreSnapshot(spark, t, 2))
+    assert(e.getMessage.contains("vacuumed or never committed"))
+  }
+
   test("stats column identity: sticky across appends, conflicting " +
       "index aborts, mismatched pruned read degrades to read-all") {
     val t = java.nio.file.Files.createTempDirectory("graft-scol-spec")
