@@ -247,6 +247,32 @@ class GraftSnapshotSpec extends SparkSpec {
     assert(Layout.snapshots(spark, t).count() == before)
   }
 
+  test("DSv2 batch writes race safely: concurrent append∥append " +
+      "through the sink commits BOTH with the union visible") {
+    val t = tmpDir("snap-sink-race")
+    Layout.commitSnapshot(
+      spark.range(0, 10).toDF("id").coalesce(1), t) // seed head
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.jdk.CollectionConverters._
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      pool.invokeAll(Seq(100L, 200L).map { lo =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            barrier.await()
+            spark.range(lo, lo + 10).toDF("id").coalesce(1)
+              .write.format("graft-snapshot").mode("append").save(t)
+          }
+        }
+      }.asJava).asScala.foreach(_.get()) // surface either side's failure
+    } finally pool.shutdown()
+    assert(Layout.snapshots(spark, t).count() == 3)
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 30)
+    assert(head.agg(sum("id")).head().getLong(0) ==
+      (0L until 10L).sum + (100L until 110L).sum + (200L until 210L).sum)
+  }
+
   test("DSv2 streaming write: one snapshot per epoch, tagged for " +
       "replay idempotence, read back through the source") {
     val t = tmpDir("snap-sink-stream")
