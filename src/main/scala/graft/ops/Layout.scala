@@ -399,18 +399,49 @@ object Layout {
         .map(_.copy(nullable = true)))
   }
 
-  // Manifest file lines are "name" or "name|lo|hi" when the commit
-  // recorded column stats (statsCol) — the data-skipping index.
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+  /** One fully parsed manifest — every piece of metadata a commit or
+    * read consults, from a SINGLE open+read. On an object store each
+    * open is a metadata roundtrip; before this record the commit loop
+    * paid four per attempt (rows, stat lines, schema, statscol). */
+  private[graft] final case class ManifestInfo(rows: Long,
+      statLines: Seq[String], files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsCol: Option[String], tag: Option[String])
+
+  private[graft] def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): ManifestInfo = {
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains("graft-snap v1"),
       s"snapshot manifest $p: unrecognized header")
-    (lines(1).toLong, lines.drop(2).filterNot(isMetaLine)
-      .map(_.split('|').head))
+    // metadata block = the tag:/schema:/statscol: lines between the
+    // row count and the first data-file line; a data file whose name
+    // starts with a meta prefix can never be misparsed
+    val meta = lines.drop(2).takeWhile(isMetaLine)
+    val body = lines.drop(2).dropWhile(isMetaLine)
+    val schema = meta.find(_.startsWith("schema:")).map { s =>
+      try org.apache.spark.sql.types.DataType
+        .fromJson(s.stripPrefix("schema:"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"snapshot manifest $p: corrupt schema line", e)
+      }
+    }
+    ManifestInfo(lines(1).toLong, body, body.map(_.split('|').head),
+      schema, meta.find(_.startsWith("statscol:"))
+        .map(_.stripPrefix("statscol:")),
+      meta.find(_.startsWith("tag:")).map(_.stripPrefix("tag:")))
+  }
+
+  // Manifest file lines are "name" or "name|lo|hi" when the commit
+  // recorded column stats (statsCol) — the data-skipping index.
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Long, Seq[String]) = {
+    val m = parseManifest(fs, p)
+    (m.rows, m.files)
   }
 
   /** The schema recorded at commit time ([[snapshotWrite]] writes a
@@ -422,23 +453,8 @@ object Layout {
     * a corrupt schema value fails loudly with the manifest path. */
   private[graft] def manifestSchema(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path)
-      : Option[org.apache.spark.sql.types.StructType] = {
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
-      .takeWhile(isMetaLine)
-      .find(_.startsWith("schema:"))
-      .map { s =>
-        try org.apache.spark.sql.types.DataType
-          .fromJson(s.stripPrefix("schema:"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"snapshot manifest $p: corrupt schema line", e)
-        }
-      }
-  }
+      : Option[org.apache.spark.sql.types.StructType] =
+    parseManifest(fs, p).schema
 
   /** WHICH column the manifest's per-file [min, max] ranges describe
     * (`statscol:` metadata) — what makes the data-skipping index safe
@@ -448,15 +464,8 @@ object Layout {
     * only usable by a caller who knows what they indexed. */
   private[graft] def manifestStatsCol(
       fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[String] = {
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
-      .takeWhile(isMetaLine)
-      .find(_.startsWith("statscol:"))
-      .map(_.stripPrefix("statscol:"))
-  }
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    parseManifest(fs, p).statsCol
 
   /** The stats column recorded on the snapshot's manifest (latest when
     * `asOf` is -1) — the `graft-snapshot` source's pushdown handle. */
@@ -490,56 +499,63 @@ object Layout {
         new org.apache.hadoop.fs.Path(dataDir, n)).toString, r) }
   }
 
-  /** The manifest-recorded TOTAL row count of snapshot `asOf` (-1 =
-    * head) — what answers a pushed-down count(*) without touching a
-    * data file. None when the table has no commits. */
-  private[graft] def snapshotRowCount(
+  /** The FULLY parsed manifest of snapshot `asOf` (-1 = head) — one
+    * open+read serving every planning question the `graft-snapshot`
+    * source asks (row count for pushed count(*), stat ranges for
+    * min/max and file skipping, the stats column identity). None when
+    * the table has no commits. */
+  private[graft] def snapshotInfo(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      asOf: Int = -1): Option[Long] = {
+      asOf: Int = -1): Option[ManifestInfo] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
     val p = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")
     if (id == 0 || !fs.exists(p)) None
-    else Some(readManifest(fs, p)._1)
+    else Some(parseManifest(fs, p))
   }
 
   /** Manifest entries WITH their recorded per-file stats range (None
     * when that file was committed without stats — always read). */
+  private def statsOf(line: String): (String, Option[(Long, Long)]) =
+    line.split('|') match {
+      case Array(n, lo, hi) => (n, Some((lo.toLong, hi.toLong)))
+      case parts => (parts.head, None)
+    }
+
   private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path)
-      : Seq[(String, Option[(Long, Long)])] = {
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString finally in.close()
-    txt.split("\n").toSeq.filter(_.nonEmpty).drop(2)
-      .filterNot(isMetaLine)
-      .map { line =>
-        line.split('|') match {
-          case Array(n, lo, hi) => (n, Some((lo.toLong, hi.toLong)))
-          case parts => (parts.head, None)
-        }
-      }
-  }
+      : Seq[(String, Option[(Long, Long)])] =
+    parseManifest(fs, p).statLines.map(statsOf)
 
-  private def manifestTag(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[String] = {
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .mkString finally in.close()
-    txt.split("\n").find(_.startsWith("tag:")).map(_.stripPrefix("tag:"))
-  }
+  // (qualified snapshots dir, tag) → committed id. Populated on every
+  // tagged claim win and scan hit, so a streaming sink's per-epoch
+  // idempotence check is O(1) in the common one-driver-JVM case
+  // instead of opening every manifest in history each trigger (O(n²)
+  // commit I/O over a query's lifetime). Misses fall back to the
+  // authoritative |manifests| scan — the cache only short-circuits to
+  // ids that really committed.
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
   /** If any committed manifest carries `tag`, return its id (the
     * idempotence lookup for replayed writers); manifests are bounded
-    * metadata, the scan is driver-side. */
+    * metadata, the scan is driver-side and cached per (table, tag). */
   private def tagged(fs: org.apache.hadoop.fs.FileSystem,
-      snapsDir: org.apache.hadoop.fs.Path, tag: String): Option[Int] =
-    fs.listStatus(snapsDir)
-      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
-      .find { case (_, st) => manifestTag(fs, st.getPath).contains(tag) }
-      .map(_._1)
+      snapsDir: org.apache.hadoop.fs.Path, tag: String): Option[Int] = {
+    val key = (fs.makeQualified(snapsDir).toString, tag)
+    Option(tagCache.get(key)).map(_.toInt).orElse {
+      val found = fs.listStatus(snapsDir)
+        .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
+        .find { case (_, st) =>
+          parseManifest(fs, st.getPath).tag.contains(tag)
+        }
+        .map(_._1)
+      found.foreach(id => tagCache.put(key, id))
+      found
+    }
+  }
 
   /** Commit `df` as the next snapshot of the table at `path`; returns
     * the new snapshot id (1-based). Write order is the crash-safe one:
@@ -593,8 +609,13 @@ object Layout {
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
+    // integral types ONLY: a floating stats value silently truncated
+    // to Long would record a WRONG range and mis-skip files later
     def statLong(v: Any, what: String): Long = v match {
-      case n: java.lang.Number => n.longValue()
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
       case other => throw new IllegalArgumentException(
         s"snapshotWrite: statsCol must be integral, $what was " +
           s"${if (other == null) "null" else other.getClass.getName}")
@@ -696,7 +717,10 @@ object Layout {
       nameLines: Seq[String], rows: Long,
       writeSchema: org.apache.spark.sql.types.StructType, tag: String,
       carryPrevious: Boolean, statsCol: String,
-      expectedBase: Int, tok: String): Int = {
+      expectedBase: Int, tok: String,
+      dropFiles: Set[String] = Set.empty, dropRows: Long = 0L): Int = {
+    require(dropFiles.isEmpty || carryPrevious,
+      "commitStagedLines: dropFiles is a carry-forward rewrite rule")
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     fs.mkdirs(snapsDir)
@@ -740,14 +764,25 @@ object Layout {
         // the carried history's aborts — one manifest, one index.
         val (prevRows, prevLines, schemaLine, statsColLine) =
           if (carryPrevious && head > 0) {
-            val p = new org.apache.hadoop.fs.Path(snapsDir,
-              f"snapshot-$head%05d.txt")
-            val merged = manifestSchema(fs, p) match {
+            val m = parseManifest(fs, new org.apache.hadoop.fs.Path(
+              snapsDir, f"snapshot-$head%05d.txt"))
+            // A rewrite (optimizeSnapshot) carries head MINUS the base
+            // files it replaced — and must abort if any of them is
+            // already gone, because its staged copy would resurrect
+            // rows a merge/replace removed in the meantime.
+            if (!dropFiles.subsetOf(m.files.toSet))
+              throw new java.util.ConcurrentModificationException(
+                s"snapshot commit at $path: a concurrent commit " +
+                  "removed files this rewrite covers (merge/replace " +
+                  "interleaved) — its rows were rewritten or deleted " +
+                  "and committing the staged copy would resurrect " +
+                  "them; re-run against the new head")
+            val merged = m.schema match {
               case Some(prior) => unionSchema(prior, writeSchema)
               case None => writeSchema
             }
             val effectiveStats =
-              (manifestStatsCol(fs, p), Option(statsCol)) match {
+              (m.statsCol, Option(statsCol)) match {
                 case (Some(prior), Some(mine)) =>
                   require(prior == mine,
                     s"appendSnapshot: manifest stats are indexed on " +
@@ -758,9 +793,10 @@ object Layout {
               }
             // carry the RAW file lines so earlier commits'
             // data-skipping stats survive an append
-            (readManifest(fs, p)._1,
-              readManifestStats(fs, p).map(statLine),
-              "schema:" + merged.json,
+            val kept =
+              if (dropFiles.isEmpty) m.statLines
+              else m.statLines.filterNot(l => dropFiles(l.split('|').head))
+            (m.rows - dropRows, kept, "schema:" + merged.json,
               effectiveStats.map("statscol:" + _))
           } else (0L, Seq.empty[String], "schema:" + writeSchema.json,
             Option(statsCol).map("statscol:" + _))
@@ -777,7 +813,11 @@ object Layout {
         val dest = new org.apache.hadoop.fs.Path(snapsDir,
           f"snapshot-$id%05d.txt")
         val won = !fs.exists(dest) && fs.rename(tmp, dest)
-        if (won) return id
+        if (won) {
+          if (tag != null) tagCache.put(
+            (fs.makeQualified(snapsDir).toString, tag), id)
+          return id
+        }
         fs.delete(tmp, false) // lost the claim: re-base and retry
         attempt += 1
         if (attempt >= 50) throw new IllegalStateException(
@@ -1084,10 +1124,20 @@ object Layout {
       f"snapshot-$base%05d.txt")
     require(fs.exists(baseManifest),
       s"optimizeSnapshot: snapshot $base not present at $path")
-    val (baseRows, baseFiles) = readManifest(fs, baseManifest)
+    val baseInfo = parseManifest(fs, baseManifest)
+    val (baseRows, baseFiles) = (baseInfo.rows, baseInfo.files)
     val nTarget = math.max(1L,
       (baseRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     if (baseFiles.size <= nTarget) return base // already compact
+    // cheap pre-flight (same rule as appendSnapshot's): recording
+    // ranges for a different column than the history's must abort
+    // BEFORE the distributed rewrite, not after it staged everything
+    for (prior <- snapshotStatsCol(spark, path);
+         mine <- Option(statsCol))
+      require(prior == mine,
+        s"optimizeSnapshot: manifest stats are indexed on '$prior' " +
+          s"but the rewrite records '$mine' — one manifest carries " +
+          "one data-skipping index")
     // The distributed rewrite happens OUTSIDE the commit critical
     // section (optimistic staging, same as snapshotWrite): reads
     // exactly the base's files, repartitions to the bin-packed count.
@@ -1108,73 +1158,28 @@ object Layout {
     require(stagedRows == baseRows,
       s"optimizeSnapshot: rewrite produced $stagedRows rows from a " +
         s"$baseRows-row snapshot — refusing to commit a lossy rewrite")
-    val baseSet = baseFiles.toSet
-    lockFor(fs, root).synchronized {
-      var attempt = 0
-      while (true) {
-        val ids = fs.listStatus(snapsDir)
-          .flatMap(st => manifestId(st.getPath.getName))
-        val head = ids.max // base exists, so non-empty
-        val headManifest = new org.apache.hadoop.fs.Path(snapsDir,
-          f"snapshot-$head%05d.txt")
-        val (headRows, headFiles) = readManifest(fs, headManifest)
-        if (!baseSet.subsetOf(headFiles.toSet))
-          throw new java.util.ConcurrentModificationException(
-            s"optimizeSnapshot at $path: a commit since base $base " +
-              "removed files the rewrite covers (merge/replace " +
-              "interleaved) — its rows were rewritten or deleted and " +
-              "committing the compacted copy would resurrect them; " +
-              "re-run against the new head")
-        // Re-base over interleaved appends: carry every head line the
-        // base didn't reference (disjoint from the rewrite — safe).
-        // Row count and schema are the HEAD's: content is identical.
-        val carried = readManifestStats(fs, headManifest)
-          .filterNot(e => baseSet(e._1)).map(statLine)
-        val schemaLine = "schema:" + manifestSchema(fs, headManifest)
-          .getOrElse(snapshotSchema(spark, path, base).getOrElse(
-            throw new IllegalStateException(
-              s"optimizeSnapshot at $path: no recorded schema"))).json
-        // same stickiness rule as appends: carried ranges and newly
-        // recorded ranges must index the SAME column
-        val statsColLine =
-          (manifestStatsCol(fs, headManifest), Option(statsCol)) match {
-            case (Some(prior), Some(mine)) =>
-              require(prior == mine,
-                s"optimizeSnapshot: manifest stats are indexed on " +
-                  s"'$prior' but the rewrite records '$mine' — one " +
-                  "manifest carries one data-skipping index")
-              Some("statscol:" + prior)
-            case (prior, mine) => mine.orElse(prior).map("statscol:" + _)
-          }
-        val id = head + 1
-        val tmp = new org.apache.hadoop.fs.Path(snapsDir,
-          s".tmp-$tok-$attempt")
-        val out = fs.create(tmp, true)
-        try out.write(
-          (Seq("graft-snap v1", headRows.toString, schemaLine) ++
-            statsColLine.toSeq ++ (carried ++ newLines).sorted)
-            .mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
-        val dest = new org.apache.hadoop.fs.Path(snapsDir,
-          f"snapshot-$id%05d.txt")
-        val won = !fs.exists(dest) && fs.rename(tmp, dest)
-        if (won) return id
-        fs.delete(tmp, false) // lost the claim: re-check and retry
-        attempt += 1
-        if (attempt >= 50) throw new IllegalStateException(
-          s"optimizeSnapshot at $path: could not claim an id after " +
-            s"$attempt attempts (head kept moving)")
-      }
-    }
-    -1 // unreachable: the loop exits only by return or throw
+    // The commit is the SHARED optimistic critical section with the
+    // rewrite conflict rule expressed as dropFiles: carry head minus
+    // the base's files (re-base over interleaved appends), abort when
+    // any base file is already gone, total = (headRows − baseRows) +
+    // stagedRows = headRows — content identical by construction.
+    commitStagedLines(spark, path, newLines, stagedRows,
+      baseInfo.schema.getOrElse(throw new IllegalStateException(
+        s"optimizeSnapshot at $path: no recorded schema")),
+      tag = null, carryPrevious = true, statsCol = statsCol,
+      expectedBase = -1, tok = tok,
+      dropFiles = baseFiles.toSet, dropRows = baseRows)
   }
 
   /** RESTORE the table to snapshot `toId` (Delta RESTORE / Iceberg
     * rollback-to-snapshot): commits a NEW head whose manifest
     * references exactly `toId`'s files — pure metadata, no data moves,
     * and history stays LINEAR (the bad head remains time-travelable
-    * until vacuumed; the restore is an ordinary commit through the
-    * optimistic protocol, so concurrent writers keep their guarantees).
+    * until vacuumed). The commit is CONDITIONAL on the head the
+    * restore decided against — an interleaved append aborts it with
+    * [[java.util.ConcurrentModificationException]] rather than being
+    * silently dropped from the replacement image (mergeSnapshot's
+    * rule: a full-image commit must never re-base).
     * Shared files survive a later vacuum because retention is computed
     * from kept manifests' reference sets, never file age. Idempotent:
     * restoring to an image identical to the current head returns the
@@ -1192,19 +1197,23 @@ object Layout {
     val head = headId(spark, path)
     val headManifest = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$head%05d.txt")
-    val (rows, files) = readManifest(fs, p)
+    val info = parseManifest(fs, p)
     if (head != toId &&
-        readManifest(fs, headManifest)._2.toSet == files.toSet)
+        parseManifest(fs, headManifest).files.toSet == info.files.toSet)
       return head // already at this image: maintenance-loop idempotence
     if (head == toId) return head
-    val schema = manifestSchema(fs, p).getOrElse(
+    val schema = info.schema.getOrElse(
       throw new IllegalStateException(
         s"restoreSnapshot: snapshot $toId records no schema"))
-    commitStagedLines(spark, path,
-      readManifestStats(fs, p).map(statLine), rows, schema,
+    // CONDITIONAL on the head the restore decision was made against:
+    // a concurrent append interleaving between the head read and the
+    // claim would be silently excluded by an unconditional replace, so
+    // the commit aborts with ConcurrentModificationException instead —
+    // the caller re-decides against the new head and retries.
+    commitStagedLines(spark, path, info.statLines, info.rows, schema,
       tag = null, carryPrevious = false,
-      statsCol = manifestStatsCol(fs, p).orNull,
-      expectedBase = -1,
+      statsCol = info.statsCol.orNull,
+      expectedBase = head,
       tok = java.util.UUID.randomUUID().toString.take(8))
   }
 

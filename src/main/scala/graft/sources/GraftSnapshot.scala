@@ -120,8 +120,16 @@ final class GraftSnapshotScanBuilder(path: String,
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources
 
+  // The scan is PINNED to one snapshot id at builder construction:
+  // pushdown decisions (which column the ranges index, the aggregate
+  // values) and execution-time file planning must all read the SAME
+  // immutable manifest — resolving the head again at planInputPartitions
+  // could see a concurrent commit whose ranges index a different
+  // column, silently mis-skipping files. Pinning also makes a batch
+  // read snapshot-consistent end to end.
   private val asOf: Int =
-    Option(options.get("asOfSnapshot")).map(_.toInt).getOrElse(-1)
+    Option(options.get("asOfSnapshot")).map(_.toInt)
+      .getOrElse(Layout.headId(SparkSession.active, path))
   private var required: StructType = tableSchema
   private var accepted: Array[sources.Filter] = Array.empty
   private var bounds: Seq[(Long, Long)] = Nil
@@ -192,12 +200,15 @@ final class GraftSnapshotScanBuilder(path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty) return None
     val spark = SparkSession.active
-    val rows = Layout.snapshotRowCount(spark, path, asOf)
-      .getOrElse(return None)
-    lazy val stats = Layout.snapshotFileStats(spark, path, asOf)
-    lazy val statsCol = Layout.snapshotStatsCol(spark, path, asOf)
-    lazy val rangesComplete =
-      stats.nonEmpty && stats.forall(_._2.isDefined)
+    val info = Layout.snapshotInfo(spark, path, asOf)
+      .getOrElse(return None) // one manifest read answers everything
+    val rows = info.rows
+    lazy val stats = info.statLines.map(l => l.split('|') match {
+      case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
+      case _ => None
+    })
+    lazy val statsCol = info.statsCol
+    lazy val rangesComplete = stats.nonEmpty && stats.forall(_.isDefined)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -210,12 +221,17 @@ final class GraftSnapshotScanBuilder(path: String,
       for {
         c <- colOf(e)
         rec <- statsCol if rec == c && rangesComplete && rows > 0
-      } yield {
-        val v = pick(stats.map(_._2.get))
-        tableSchema(c).dataType match {
-          case IntegerType => (c, IntegerType, v.toInt)
-          case dt => (c, dt, v)
+        // the index stores Longs: answer only for integral columns —
+        // a FLOAT/DOUBLE statscol would surface a truncated extreme
+        dt <- tableSchema(c).dataType match {
+          case LongType => Some(LongType)
+          case IntegerType => Some(IntegerType)
+          case _ => None
         }
+      } yield {
+        val v = pick(stats.map(_.get))
+        if (dt == IntegerType) (c, IntegerType, v.toInt)
+        else (c, LongType, v)
       }
     val planned = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(("count(*)", LongType: DataType, rows))
@@ -267,7 +283,8 @@ final class GraftSnapshotScanBuilder(path: String,
           .map(e => SnapshotFilePartition(e._1): InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
-        new SnapshotFileReaderFactory(required)
+        new SnapshotFileReaderFactory(required,
+          SnapshotHadoopConf.capture())
     }
     override def toMicroBatchStream(
         checkpointLocation: String): rstreaming.MicroBatchStream =
@@ -352,7 +369,7 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
       .map(SnapshotFilePartition(_): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotFileReaderFactory(schema)
+    new SnapshotFileReaderFactory(schema, SnapshotHadoopConf.capture())
   override def deserializeOffset(json: String): rstreaming.Offset =
     SnapshotOffset(json.toInt)
   override def commit(end: rstreaming.Offset): Unit = ()
@@ -383,12 +400,15 @@ object SnapshotFileReaderFactory {
   * empty rows, so row counts survive full pruning. Field positions are
   * resolved once from the first record's (projected) schema, then
   * reused for every row. */
-final class SnapshotFileReaderFactory(schema: StructType)
+final class SnapshotFileReaderFactory(schema: StructType,
+    hadoopConf: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf =
+      if (hadoopConf.isEmpty) new org.apache.hadoop.conf.Configuration()
+      else SnapshotHadoopConf.restore(hadoopConf)
     val hPath = new org.apache.hadoop.fs.Path(file)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
@@ -500,37 +520,54 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
   }
   private val batchTag = Option(options.get("tag"))
 
-  /** Qualified data/ dir, created up front so executors only write. */
-  private def prepareDataDir(): String = {
-    val spark = SparkSession.active
+  // Executors stage into a write-private `.stage-<tok>/` dir, NEVER
+  // into data/: files appear under data/ only inside the driver commit
+  // (rename per file, a metadata op), so a concurrent vacuum — which
+  // deletes any unreferenced file in data/ — can not eat an epoch's
+  // in-flight output. A crash leaves a hidden stage dir beside the
+  // table (same as Layout's own staging), cleaned like any orphan.
+  private def fsOf() = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    fs.mkdirs(dataDir)
-    fs.makeQualified(dataDir).toString
+    (root.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf()), root)
   }
 
-  private def deleteStaged(
+  private def prepareStageDir(tok: String): String = {
+    val (fs, root) = fsOf()
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
+    fs.mkdirs(stage)
+    fs.makeQualified(stage).toString
+  }
+
+  private def deleteStaged(tok: String,
       messages: Array[WriterCommitMessage]): Unit = {
-    val spark = SparkSession.active
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (fs, root) = fsOf()
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
     messages.collect { case m: SnapshotFileCommit => m }
       .flatMap(_.line).map(_.split('|').head)
-      .foreach { n =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(root, "data"), n), false)
-      }
+      .foreach(n => fs.delete(
+        new org.apache.hadoop.fs.Path(stage, n), false))
   }
 
-  private def commitLines(messages: Array[WriterCommitMessage],
-      tag: String): Unit = {
+  private def commitLines(tok: String,
+      messages: Array[WriterCommitMessage], tag: String): Unit = {
+    val (fs, root) = fsOf()
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    fs.mkdirs(dataDir)
     val msgs = messages.collect { case m: SnapshotFileCommit => m }
+    // publish: move each task's staged file under data/ (names carry
+    // the write token + epoch + partition — unique), THEN commit the
+    // manifest; a crash between the two leaves orphans, never a torn
+    // table (the snapshotWrite contract)
+    msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
+      fs.rename(new org.apache.hadoop.fs.Path(stage, n),
+        new org.apache.hadoop.fs.Path(dataDir, n))
+    }
     Layout.commitStagedLines(SparkSession.active, path,
       msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
       writeSchema, tag, carryPrevious = !truncate,
-      statsCol.orNull, expectedBase = -1,
-      tok = java.util.UUID.randomUUID().toString.take(8))
+      statsCol.orNull, expectedBase = -1, tok = tok)
     ()
   }
 
@@ -538,11 +575,19 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     private val tok = java.util.UUID.randomUUID().toString.take(8)
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
-      SnapshotWriterFactory(prepareDataDir(), writeSchema, statsCol, tok)
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
-      commitLines(messages, batchTag.orNull)
-    override def abort(messages: Array[WriterCommitMessage]): Unit =
-      deleteStaged(messages)
+      SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
+        statsCol, tok, SnapshotHadoopConf.capture())
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      commitLines(tok, messages, batchTag.orNull)
+      val (fs, root) = fsOf()
+      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+        true)
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val (fs, root) = fsOf()
+      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+        true)
+    }
   }
 
   override def toStreaming
@@ -552,37 +597,58 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector
           .write.streaming.StreamingDataWriterFactory =
-        SnapshotWriterFactory(prepareDataDir(), writeSchema, statsCol,
-          tok)
+        SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
+          statsCol, tok, SnapshotHadoopConf.capture())
       // epoch replay after a restart re-stages files but the tagged
       // manifest short-circuits: exactly one commit per (query, epoch),
-      // replayed stages become vacuum-able orphans
+      // replayed stages become vacuum-able orphans. The stage dir is
+      // shared across a query's sequential epochs (file names carry
+      // the epoch id), so per-epoch abort deletes only its own files.
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
-        commitLines(messages, s"sink-$queryId-e$epochId")
+        commitLines(tok, messages, s"sink-$queryId-e$epochId")
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
-        deleteStaged(messages)
+        deleteStaged(tok, messages)
     }
+}
+
+/** Hadoop configuration shipped executor-side as a plain Map — a bare
+  * `new Configuration()` on an executor would drop every spark.hadoop.*
+  * setting (credentials, endpoints, defaultFS) and only work on a
+  * local filesystem. */
+object SnapshotHadoopConf {
+  def capture(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    SparkSession.active.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+  def restore(m: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 final case class SnapshotFileCommit(line: Option[String], rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-final case class SnapshotWriterFactory(dataDir: String,
-    schema: StructType, statsCol: Option[String], tok: String)
+final case class SnapshotWriterFactory(stageDir: String,
+    schema: StructType, statsCol: Option[String], tok: String,
+    hadoopConf: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new SnapshotDataWriter(dataDir, schema, statsCol,
-      s"$tok-p$partitionId-t$taskId")
+    new SnapshotDataWriter(stageDir, schema, statsCol,
+      s"$tok-p$partitionId-t$taskId", hadoopConf)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new SnapshotDataWriter(dataDir, schema, statsCol,
-      s"$tok-e$epochId-p$partitionId-t$taskId")
+    new SnapshotDataWriter(stageDir, schema, statsCol,
+      s"$tok-e$epochId-p$partitionId-t$taskId", hadoopConf)
 }
 
 object SnapshotParquet {
@@ -621,13 +687,14 @@ object SnapshotParquet {
   * manifest's data-skipping index costs nothing beyond values already
   * in hand. A null in `statsCol` drops the file's range (rangeless =
   * always read — skipping must never change answers). */
-final class SnapshotDataWriter(dataDir: String, schema: StructType,
-    statsCol: Option[String], suffix: String)
+final class SnapshotDataWriter(stageDir: String, schema: StructType,
+    statsCol: Option[String], suffix: String,
+    hadoopConf: Map[String, String])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val name = s"c$suffix.parquet"
   private val hPath = new org.apache.hadoop.fs.Path(
-    new org.apache.hadoop.fs.Path(dataDir), name)
-  private val conf = new org.apache.hadoop.conf.Configuration()
+    new org.apache.hadoop.fs.Path(stageDir), name)
+  private val conf = SnapshotHadoopConf.restore(hadoopConf)
   private val msgType = SnapshotParquet.messageType(schema)
   private val groups =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
