@@ -2694,7 +2694,8 @@ object CdcQueries {
 
     // st21 — the lakehouse PRODUCE half as a real DSv2 streaming SINK:
     // `writeStream.format("graft-snapshot")` (sources/GraftSnapshot
-    // .scala) — executors stage parquet files directly under data/,
+    // .scala) — executors stage parquet files in a write-private
+    // stage dir the driver commit publishes under data/,
     // each task's commit message carries its manifest line (row count
     // + min/max of statsCol from values already in hand), and the
     // driver assembles ONE manifest per epoch through the same
