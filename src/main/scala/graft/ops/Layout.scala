@@ -317,6 +317,21 @@ object Layout {
     tableLocks.computeIfAbsent(fs.makeQualified(root).toString,
       _ => new Object)
 
+  /** Run `f` holding the table's commit lock — the same monitor
+    * [[commitStagedLines]] and [[vacuum]] take (reentrant, so a commit
+    * inside `f` nests fine). The DSv2 sink wraps its publish step
+    * (rename staged files into data/ + manifest commit) in this, so a
+    * same-JVM vacuum can never interleave between the renames and the
+    * manifest claim and eat just-published-but-not-yet-referenced
+    * files. Cross-process, that window is narrowed by vacuum's
+    * modification-time grace period instead. */
+  private[graft] def withTableLock[A](
+      spark: org.apache.spark.sql.SparkSession, path: String)(
+      f: => A): A = {
+    val (fs, root, _) = fsOf(spark, path)
+    lockFor(fs, root).synchronized(f)
+  }
+
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
       path: String) = {
     val conf = spark.sessionState.newHadoopConf()
@@ -541,11 +556,26 @@ object Layout {
 
   /** If any committed manifest carries `tag`, return its id (the
     * idempotence lookup for replayed writers); manifests are bounded
-    * metadata, the scan is driver-side and cached per (table, tag). */
+    * metadata, the scan is driver-side and cached per (table, tag).
+    * Cache hits are VERIFIED: the cached id's manifest must still
+    * exist AND still carry the tag (one bounded-text read) — a table
+    * deleted and recreated at the same qualified path in the same JVM
+    * must not replay a stale tag and short-circuit a real write to a
+    * snapshot that no longer exists (or to a recreated table's
+    * unrelated commit that happens to reuse the id). A failed check
+    * evicts the entry and falls back to the authoritative scan, so
+    * the cache only ever short-circuits to ids that really committed
+    * this tag. */
   private def tagged(fs: org.apache.hadoop.fs.FileSystem,
       snapsDir: org.apache.hadoop.fs.Path, tag: String): Option[Int] = {
     val key = (fs.makeQualified(snapsDir).toString, tag)
-    Option(tagCache.get(key)).map(_.toInt).orElse {
+    Option(tagCache.get(key)).map(_.toInt).filter { id =>
+      val p = new org.apache.hadoop.fs.Path(snapsDir,
+        f"snapshot-$id%05d.txt")
+      val live = fs.exists(p) && parseManifest(fs, p).tag.contains(tag)
+      if (!live) tagCache.remove(key)
+      live
+    }.orElse {
       val found = fs.listStatus(snapsDir)
         .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
         .find { case (_, st) =>
@@ -1219,29 +1249,75 @@ object Layout {
 
   /** Retention: keep the newest `keepLast` snapshots, drop older
     * manifests, and delete every data file no kept snapshot references
-    * (including orphans from crashed commits). Returns (manifests
-    * dropped, data files deleted). Kept snapshots remain byte-identical
-    * readable — files shared with dropped history survive because
-    * retention is computed from the KEPT manifests' reference set, not
-    * from file age. */
+    * (including orphans from crashed commits), plus crash-leftover
+    * `.stage-*` directories. Returns (manifests dropped, data files
+    * deleted — stage-dir contents not counted). Kept snapshots remain
+    * byte-identical readable — files shared with dropped history
+    * survive because retention is computed from the KEPT manifests'
+    * reference set, not from file age.
+    *
+    * CONCURRENCY: vacuum runs under the table's commit lock, so a
+    * same-JVM writer can never publish files between vacuum's manifest
+    * read and its data sweep (the maintenance-beside-streaming
+    * topology). Cross-process, two guards narrow the race Delta closes
+    * with retention windows: the referenced set is recomputed until
+    * the manifest listing is STABLE across the sweep planning (a
+    * manifest that lands mid-plan is honored), and `graceMs` spares
+    * any unreferenced file/stage dir modified within the last graceMs
+    * milliseconds — an in-flight cross-process commit's staged-then-
+    * renamed files are younger than any sane grace period. Default 0
+    * keeps single-writer maintenance (and the test topology) eager;
+    * production multi-writer deployments pass hours, Delta-style. */
   def vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
-      keepLast: Int): (Int, Int) = {
+      keepLast: Int, graceMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, s"vacuum: keepLast must be >= 1, got $keepLast")
+    require(graceMs >= 0L, s"vacuum: graceMs must be >= 0, got $graceMs")
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    val manifests = fs.listStatus(snapsDir)
-      .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
-      .sortBy(_._1)
-    val (drop, keep) =
-      manifests.splitAt(math.max(0, manifests.length - keepLast))
-    val referenced = keep.flatMap { case (_, st) =>
-      readManifest(fs, st.getPath)._2
-    }.toSet
-    val removedFiles = fs.listStatus(dataDir).filter { st =>
-      st.isFile && !referenced.contains(st.getPath.getName)
-    }.map { st => fs.delete(st.getPath, false); 1 }.sum
-    drop.foreach { case (_, st) => fs.delete(st.getPath, false) }
-    (drop.length, removedFiles)
+    lockFor(fs, root).synchronized {
+      def listManifests() = fs.listStatus(snapsDir)
+        .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
+        .sortBy(_._1)
+      // plan against a STABLE manifest listing: a cross-process commit
+      // landing between the reference-set computation and the sweep
+      // would otherwise have its files deleted out from under its
+      // just-committed manifest
+      var manifests = listManifests()
+      var referenced = Set.empty[String]
+      var stable = false
+      var rounds = 0
+      while (!stable) {
+        referenced = manifests.drop(
+          math.max(0, manifests.length - keepLast)).flatMap {
+          case (_, st) => readManifest(fs, st.getPath)._2
+        }.toSet
+        val again = listManifests()
+        stable = again.map(_._1).sameElements(manifests.map(_._1))
+        manifests = again
+        rounds += 1
+        if (rounds >= 50) throw new IllegalStateException(
+          s"vacuum at $path: manifest listing kept changing across " +
+            s"$rounds planning rounds — a writer is committing faster " +
+            "than vacuum can plan; re-run later")
+      }
+      val (drop, _) =
+        manifests.splitAt(math.max(0, manifests.length - keepLast))
+      val cutoff = System.currentTimeMillis() - graceMs
+      val removedFiles = fs.listStatus(dataDir).filter { st =>
+        st.isFile && !referenced.contains(st.getPath.getName) &&
+          st.getModificationTime <= cutoff
+      }.map { st => fs.delete(st.getPath, false); 1 }.sum
+      // crash-leftover stage dirs (a writer that died before abort, or
+      // a streaming query's stage dir after the query stopped) — never
+      // referenced by any manifest, swept by the same age guard
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+            st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, true)
+      }
+      drop.foreach { case (_, st) => fs.delete(st.getPath, false) }
+      (drop.length, removedFiles)
+    }
   }
 }

@@ -284,7 +284,7 @@ final class GraftSnapshotScanBuilder(path: String,
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new SnapshotFileReaderFactory(required,
-          SnapshotHadoopConf.capture())
+          SnapshotHadoopConf.broadcast())
     }
     override def toMicroBatchStream(
         checkpointLocation: String): rstreaming.MicroBatchStream =
@@ -369,7 +369,7 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
       .map(SnapshotFilePartition(_): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotFileReaderFactory(schema, SnapshotHadoopConf.capture())
+    new SnapshotFileReaderFactory(schema, SnapshotHadoopConf.broadcast())
   override def deserializeOffset(json: String): rstreaming.Offset =
     SnapshotOffset(json.toInt)
   override def commit(end: rstreaming.Offset): Unit = ()
@@ -401,14 +401,16 @@ object SnapshotFileReaderFactory {
   * resolved once from the first record's (projected) schema, then
   * reused for every row. */
 final class SnapshotFileReaderFactory(schema: StructType,
-    hadoopConf: Map[String, String] = Map.empty)
+    hadoopConf: org.apache.spark.broadcast
+      .Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
+    // per-reader COPY: PARQUET_READ_SCHEMA is set below, and the
+    // broadcast value is shared by every task on the executor
     val conf =
-      if (hadoopConf.isEmpty) new org.apache.hadoop.conf.Configuration()
-      else SnapshotHadoopConf.restore(hadoopConf)
+      new org.apache.hadoop.conf.Configuration(hadoopConf.value.value)
     val hPath = new org.apache.hadoop.fs.Path(file)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
@@ -522,10 +524,14 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
 
   // Executors stage into a write-private `.stage-<tok>/` dir, NEVER
   // into data/: files appear under data/ only inside the driver commit
-  // (rename per file, a metadata op), so a concurrent vacuum — which
-  // deletes any unreferenced file in data/ — can not eat an epoch's
-  // in-flight output. A crash leaves a hidden stage dir beside the
-  // table (same as Layout's own staging), cleaned like any orphan.
+  // (rename per file, a metadata op), and the publish step — renames
+  // plus manifest claim — runs under the table's commit lock, which a
+  // same-JVM vacuum also takes, so maintenance beside a streaming sink
+  // can never interleave between an epoch's renames and its manifest.
+  // Cross-process, vacuum's modification-time grace period narrows
+  // (not closes) that window — the Delta retention trade-off. A crash
+  // leaves a hidden stage dir beside the table (same as Layout's own
+  // staging); vacuum sweeps `.stage-*` dirs past the grace age.
   private def fsOf() = {
     val root = new org.apache.hadoop.fs.Path(path)
     (root.getFileSystem(
@@ -559,15 +565,19 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     // publish: move each task's staged file under data/ (names carry
     // the write token + epoch + partition — unique), THEN commit the
     // manifest; a crash between the two leaves orphans, never a torn
-    // table (the snapshotWrite contract)
-    msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
-      fs.rename(new org.apache.hadoop.fs.Path(stage, n),
-        new org.apache.hadoop.fs.Path(dataDir, n))
+    // table (the snapshotWrite contract). The whole step holds the
+    // table's commit lock so a same-JVM vacuum can't sweep the
+    // just-renamed, not-yet-referenced files.
+    Layout.withTableLock(SparkSession.active, path) {
+      msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
+        fs.rename(new org.apache.hadoop.fs.Path(stage, n),
+          new org.apache.hadoop.fs.Path(dataDir, n))
+      }
+      Layout.commitStagedLines(SparkSession.active, path,
+        msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
+        writeSchema, tag, carryPrevious = !truncate,
+        statsCol.orNull, expectedBase = -1, tok = tok)
     }
-    Layout.commitStagedLines(SparkSession.active, path,
-      msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
-      writeSchema, tag, carryPrevious = !truncate,
-      statsCol.orNull, expectedBase = -1, tok = tok)
     ()
   }
 
@@ -576,7 +586,7 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
       SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-        statsCol, tok, SnapshotHadoopConf.capture())
+        statsCol, tok, SnapshotHadoopConf.broadcast())
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       commitLines(tok, messages, batchTag.orNull)
       val (fs, root) = fsOf()
@@ -598,7 +608,7 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
           info: PhysicalWriteInfo): org.apache.spark.sql.connector
           .write.streaming.StreamingDataWriterFactory =
         SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-          statsCol, tok, SnapshotHadoopConf.capture())
+          statsCol, tok, SnapshotHadoopConf.broadcast())
       // epoch replay after a restart re-stages files but the tagged
       // manifest short-circuits: exactly one commit per (query, epoch),
       // replayed stages become vacuum-able orphans. The stage dir is
@@ -613,21 +623,37 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     }
 }
 
-/** Hadoop configuration shipped executor-side as a plain Map — a bare
+/** Hadoop configuration shipped executor-side — a bare
   * `new Configuration()` on an executor would drop every spark.hadoop.*
   * setting (credentials, endpoints, defaultFS) and only work on a
-  * local filesystem. */
-object SnapshotHadoopConf {
-  def capture(): Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    SparkSession.active.sessionState.newHadoopConf()
-      .iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  * local filesystem. Serialized via Hadoop's own Writable form and
+  * BROADCAST once per scan/write (Spark's SerializableConfiguration
+  * idiom): the resolved configuration is hundreds of entries, and
+  * embedding a copy in every task's serialized factory is measurable
+  * per-task overhead on wide scans — a broadcast ships it to each
+  * executor once. */
+final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
   }
-  def restore(m: Map[String, String])
-      : org.apache.hadoop.conf.Configuration = {
-    val c = new org.apache.hadoop.conf.Configuration(false)
-    m.foreach { case (k, v) => c.set(k, v) }
-    c
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+object SnapshotHadoopConf {
+  /** One broadcast of the session's resolved Hadoop conf — create per
+    * scan/write on the DRIVER, hand the handle to factories. */
+  def broadcast(): org.apache.spark.broadcast
+      .Broadcast[SerializableHadoopConf] = {
+    val spark = SparkSession.active
+    spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   }
 }
 
@@ -636,7 +662,8 @@ final case class SnapshotFileCommit(line: Option[String], rows: Long)
 
 final case class SnapshotWriterFactory(stageDir: String,
     schema: StructType, statsCol: Option[String], tok: String,
-    hadoopConf: Map[String, String])
+    hadoopConf: org.apache.spark.broadcast
+      .Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
@@ -689,12 +716,14 @@ object SnapshotParquet {
   * always read — skipping must never change answers). */
 final class SnapshotDataWriter(stageDir: String, schema: StructType,
     statsCol: Option[String], suffix: String,
-    hadoopConf: Map[String, String])
+    hadoopConf: org.apache.spark.broadcast
+      .Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val name = s"c$suffix.parquet"
   private val hPath = new org.apache.hadoop.fs.Path(
     new org.apache.hadoop.fs.Path(stageDir), name)
-  private val conf = SnapshotHadoopConf.restore(hadoopConf)
+  private val conf =
+    new org.apache.hadoop.conf.Configuration(hadoopConf.value.value)
   private val msgType = SnapshotParquet.messageType(schema)
   private val groups =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
