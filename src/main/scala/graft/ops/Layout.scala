@@ -972,39 +972,74 @@ object Layout {
     * path (Delta/Iceberg MERGE reduced to the changelog-apply core):
     * `source` carries whole replacement rows plus an op column; rows
     * with op 'd' delete their key, everything else upserts (replaces
-    * or inserts whole-row). Produces a NEW snapshot — copy-on-write at
-    * table granularity, so time travel to the pre-merge state keeps
-    * working and a crash mid-merge leaves the table at its previous
-    * snapshot (the [[commitSnapshot]] guarantee). Returns the new id.
+    * or inserts whole-row). Produces a NEW snapshot — FILE-PRUNED
+    * copy-on-write: when the manifest's data-skipping index covers the
+    * merge key (`statscol:` == `keyCol`), only the data files whose
+    * recorded [min, max] overlaps an actual delta key are rewritten;
+    * every other file is carried forward by reference (the OPTIMIZE
+    * commit shape — dropFiles + carryPrevious). A 1,000-row CDC delta
+    * into a 100 TB table rewrites the few files holding those keys,
+    * not the table. Files without a recorded range, and tables whose
+    * index covers a different column, are rewritten conservatively
+    * (pruning must never change answers). Time travel to the pre-merge
+    * state keeps working and a crash mid-merge leaves the table at its
+    * previous snapshot (the [[commitSnapshot]] guarantee). Returns the
+    * new id.
     *
-    * Scale shape: ONE left-anti join of the current snapshot against
-    * the source's distinct keys (ids only) + a union with the source's
-    * surviving rows, then the distributed rewrite. Partition-scoped
-    * overwrites (the cheaper path when churn is partition-local) are
-    * the ov1 machinery; this is the general-key form.
+    * Scale shape: candidate files come from ONE broadcast join of the
+    * delta's distinct keys against the |files|-bounded manifest range
+    * index (pre-narrowed by the delta's global [min, max]); survivors
+    * are the TOUCHED files' rows anti-joined against the delta keys;
+    * the rewrite stages |touched| range-clustered files, so write
+    * volume is O(touched + delta), never O(table). Per-file dropped
+    * row counts come from parquet footers of the touched files only.
     *
-    * CONFLICTS: the merge is conditional on its base. `expectedBase`
-    * (-1 = the head at entry) names the snapshot the survivors are
-    * computed FROM; if the head has moved past it by commit time the
-    * merge throws [[java.util.ConcurrentModificationException]]
-    * instead of committing — re-basing would silently drop the
-    * interleaved commit's rows, since a merge's output is a full
-    * replacement image. Callers retry by re-invoking against the new
-    * head. (Appends, whose output is purely additive, re-base and
-    * retry automatically instead — see [[appendSnapshot]].) */
+    * CONFLICTS (the Delta MERGE rules): the merge is conditional on
+    * its base — `expectedBase` (-1 = the head at entry) names the
+    * snapshot the survivors were computed FROM. If the head moves
+    * before commit:
+    *  - with an EXPLICIT expectedBase the merge always aborts with
+    *    [[java.util.ConcurrentModificationException]] — the caller
+    *    pinned the base to coordinate with other writers;
+    *  - in the default self-resolving mode, an interleaved commit that
+    *    only ADDED files whose recorded key ranges PROVABLY contain no
+    *    delta key is re-based over (carried forward untouched — the
+    *    disjoint-append case a streaming ingest hits constantly);
+    *    anything else — a removed touched file, a rangeless new file,
+    *    a possibly-overlapping append, no key index — aborts loudly,
+    *    because re-basing could drop or duplicate the interleaved
+    *    commit's rows. Callers retry by re-invoking. */
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
-      opCol: String, expectedBase: Int = -1): Int = {
+      opCol: String, expectedBase: Int = -1): Int =
+    mergeSnapshotStaged(spark, path, source, keyCol, opCol,
+      expectedBase, () => ())
+
+  /** [[mergeSnapshot]] with a test seam: `onStaged` runs after the
+    * rewrite is staged and before the commit loop — the window where a
+    * concurrent commit interleaves — so the re-base/abort conflict
+    * rules are exercised DETERMINISTICALLY in specs instead of by
+    * thread timing. Production callers use [[mergeSnapshot]]. */
+  private[graft] def mergeSnapshotStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, keyCol: String,
+      opCol: String, expectedBase: Int, onStaged: () => Unit): Int = {
+    val (fs, root, conf) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val baseId =
       if (expectedBase >= 0) expectedBase
       else {
-        val (fs, root, _) = fsOf(spark, path)
-        val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
         val ids = fs.listStatus(snapsDir)
           .flatMap(st => manifestId(st.getPath.getName))
         require(ids.nonEmpty, s"mergeSnapshot: no snapshots at $path")
         ids.max
       }
+    val baseManifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$baseId%05d.txt")
+    require(fs.exists(baseManifest),
+      s"mergeSnapshot: snapshot $baseId not present at $path")
+    val info = parseManifest(fs, baseManifest)
     val cur = readSnapshot(spark, path, baseId)
     require(source.columns.contains(opCol),
       s"mergeSnapshot: source lacks op column '$opCol'")
@@ -1013,11 +1048,117 @@ object Layout {
       s"mergeSnapshot: source columns ${source.columns.mkString(",")} " +
         s"(minus $opCol) must match the table's ${cur.columns.mkString(",")}")
     val keys = source.select(col(keyCol)).distinct()
-    val survivors = cur.join(keys, Seq(keyCol), "left_anti")
+    val keyIndexed = info.statsCol.contains(keyCol)
+
+    // Which of `entries` (manifest file lines) hold at least one actual
+    // delta key? Rangeless entries are always candidates; ranged ones
+    // are checked EXACTLY against the distinct keys via one broadcast
+    // join over the (pre-narrowed) |files|-bounded range index — a
+    // global [min, max] envelope alone would mark everything when the
+    // delta mixes low updates with high inserts (the CDC shape).
+    def overlapping(entries: Seq[(String, Option[(Long, Long)])])
+        : Seq[String] = {
+      val rangeless = entries.collect { case (n, None) => n }
+      val ranged = entries.collect { case (n, Some((lo, hi))) =>
+        (n, lo, hi) }
+      if (!keyIndexed) return entries.map(_._1)
+      if (ranged.isEmpty) return rangeless
+      val env = keys.agg(min(col(keyCol).cast("long")),
+        max(col(keyCol).cast("long"))).head()
+      if (env.isNullAt(0)) return rangeless // empty delta
+      val (kMin, kMax) = (env.getLong(0), env.getLong(1))
+      val candidates = ranged.filter { case (_, lo, hi) =>
+        hi >= kMin && lo <= kMax }
+      if (candidates.isEmpty) return rangeless
+      import spark.implicits._
+      val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
+      val hit = keys.join(broadcast(filesDf),
+          col(keyCol).cast("long") >= col("__gf_lo") &&
+            col(keyCol).cast("long") <= col("__gf_hi"))
+        .select(col("__gf_file")).distinct()
+        .as[String].collect().toSeq
+      rangeless ++ hit
+    }
+
+    val baseEntries = info.statLines.map(statsOf)
+    val touched = overlapping(baseEntries).sorted
+    val touchedSet = touched.toSet
+    // dropped row count from the touched files' parquet footers —
+    // O(touched) driver-side metadata reads, no data scan
+    val dropRows = touched.map { n =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataDir, n), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          cur.schema)
+      else {
+        val paths = touched.map(n =>
+          new org.apache.hadoop.fs.Path(dataDir, n).toString)
+        info.schema match {
+          case Some(s) =>
+            spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+          case None => spark.read.parquet(paths: _*)
+        }
+      }
+    val survivors = touchedDf.join(keys, Seq(keyCol), "left_anti")
     val upserts = source.filter(col(opCol) =!= "d").drop(opCol)
       .select(cur.columns.map(col).toIndexedSeq: _*)
-    snapshotWrite(survivors.unionByName(upserts), path, tag = null,
-      carryPrevious = false, expectedBase = baseId)
+    val rewrite = survivors.unionByName(upserts)
+    // stage ~|touched| files, range-clustered on the index column so
+    // the data-skipping index stays sharp after the merge
+    val nOut = math.max(1, touched.size)
+    val packed = info.statsCol match {
+      case Some(sc) if rewrite.columns.contains(sc) =>
+        rewrite.repartitionByRange(nOut, col(sc))
+          .sortWithinPartitions(sc)
+      case _ => rewrite.repartition(nOut)
+    }
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val (newLines, stagedRows) = stageDataFiles(
+      packed, fs, root, dataDir, conf, info.statsCol.orNull, tok)
+    onStaged()
+
+    // Commit, conditional on the base — with the bounded self-rebase
+    // loop over PROVABLY key-disjoint interleaved appends (see the
+    // conflict contract above). Staged files are immutable; a re-base
+    // only re-runs the metadata claim.
+    var base = baseId
+    var attempt = 0
+    while (true) {
+      try {
+        return commitStagedLines(spark, path, newLines, stagedRows,
+          rewrite.schema, tag = null, carryPrevious = true,
+          statsCol = info.statsCol.orNull, expectedBase = base,
+          tok = tok, dropFiles = touchedSet, dropRows = dropRows)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (expectedBase >= 0 || attempt >= 5) throw e
+          val head = headId(spark, path)
+          val headInfo = parseManifest(fs, new org.apache.hadoop.fs
+            .Path(snapsDir, f"snapshot-$head%05d.txt"))
+          val headFiles = headInfo.files.toSet
+          // a removed base/touched file = the interleaved commit was a
+          // merge/replace/optimize — its image must win; abort
+          if (!touchedSet.subsetOf(headFiles) ||
+              !info.files.toSet.subsetOf(headFiles)) throw e
+          val fresh = headInfo.statLines.map(statsOf)
+            .filterNot(l => info.files.contains(l._1))
+          // safe iff every interleaved file PROVABLY holds no delta
+          // key: the index still covers the key and no fresh file is
+          // rangeless or key-overlapping
+          if (!headInfo.statsCol.contains(keyCol) ||
+              fresh.exists(_._2.isEmpty) ||
+              overlapping(fresh).nonEmpty) throw e
+          base = head // disjoint appends only: carry them and retry
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
   }
 
   /** Incremental snapshot consumption — the rows introduced between

@@ -3562,6 +3562,68 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // FILE-PRUNED copy-on-write MERGE
+    // ([[graft.ops.Layout.mergeSnapshot]]'s scale path): three
+    // contiguous doc_id chunks committed as separate files indexed on
+    // doc_id; the delta touches only the FIRST chunk's key range
+    // (deletes ≡0, updates ≡1 below b1) plus inserts beyond every
+    // range — so the merge must rewrite EXACTLY one file and carry the
+    // other two forward by reference. Both counts are pinned in the
+    // hash (the tt10 partitions_planned pattern): a regression to the
+    // whole-table rewrite flips files_carried to 0 and breaks the
+    // hash, while the full post-merge table is simultaneously graded
+    // row-exact against the oracle's predicted relation.
+    QueryDef.views("tt13_pruned_merge",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried
+        |FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt13")
+        .toString
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Layout.appendSnapshot(docs.filter(col("doc_id") < b1)
+        .coalesce(1), t, statsCol = "doc_id")
+      Layout.appendSnapshot(docs.filter(col("doc_id") >= b1 &&
+        col("doc_id") < b2).coalesce(1), t, statsCol = "doc_id")
+      Layout.appendSnapshot(docs.filter(col("doc_id") >= b2)
+        .coalesce(1), t, statsCol = "doc_id")
+      val lo = docs.filter(col("doc_id") < b1)
+      val changes =
+        lo.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(lo.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(lo.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      val baseFiles = Layout.snapshotInfo(spark, t, 3).get.files.toSet
+      Layout.mergeSnapshot(spark, t, changes, "doc_id", "op")
+      val headFiles = Layout.snapshotInfo(spark, t).get.files.toSet
+      Layout.readSnapshot(spark, t)
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("files_rewritten"), col("files_carried"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

@@ -527,4 +527,203 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readSnapshotPruned(spark, t, "id", 0L, 5L)
       .count() == 6)
   }
+
+  private def headFiles(t: String): Set[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dataDir = new org.apache.hadoop.fs.Path(t, "data")
+    val fs = dataDir.getFileSystem(conf)
+    Layout.readSnapshot(spark, t).select(input_file_name()).distinct()
+      .collect().map(r => new org.apache.hadoop.fs.Path(
+        r.getString(0)).getName).toSet
+  }
+
+  test("file-pruned merge: a small delta rewrites ONLY the files " +
+      "whose key range it touches; the rest carry forward by name") {
+    val t = java.nio.file.Files.createTempDirectory("graft-pmerge")
+      .toString
+    // four disjoint-range files indexed on id: [0,9] [10,19] [20,29] [30,39]
+    (0 until 4).foreach { k =>
+      Layout.appendSnapshot(
+        spark.range(k * 10L, k * 10L + 10L).toDF("id")
+          .withColumn("v", col("id") * 3).coalesce(1), t,
+        statsCol = "id")
+    }
+    val before = headFiles(t)
+    assert(before.size == 4)
+    // delta touches ONLY [10,19]: delete 12, update 15, plus an insert
+    // beyond every range (key 100) — the CDC low-update/high-insert mix
+    val delta = Seq((12L, 0L, "d"), (15L, 999L, "u"), (100L, 7L, "c"))
+      .toDF("id", "v", "op")
+    Layout.mergeSnapshot(spark, t, delta, "id", "op")
+    val after = headFiles(t)
+    // the three untouched files survive with IDENTICAL names (carried
+    // by reference, zero bytes rewritten); [10,19]'s file is gone
+    assert((before & after).size == 3)
+    assert((before -- after).size == 1)
+    // content: 40 - 1 deleted + 1 inserted = 40 rows, update applied
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 40)
+    assert(head.filter(col("id") === 12L).count() == 0)
+    assert(head.filter(col("id") === 15L).head().getLong(1) == 999L)
+    assert(head.filter(col("id") === 100L).head().getLong(1) == 7L)
+    // the index stays live: a pruned read plans at most the [30,39]
+    // file plus the merged file (whose range spans to the 100 insert),
+    // never all four — and stays exact
+    val pr = Layout.readSnapshotPruned(spark, t, "id", 30L, 35L)
+    assert(pr.count() == 6)
+    assert(pr.select(input_file_name()).distinct().count() <= 2)
+    // history row counts stay exact through the dropRows bookkeeping
+    val hist = Layout.snapshots(spark, t).orderBy("snapshot_id")
+      .collect().map(_.getLong(2)).toSeq
+    assert(hist == Seq(10L, 20L, 30L, 40L, 40L))
+  }
+
+  test("file-pruned merge: a pure out-of-range insert rewrites ZERO " +
+      "files — append-shaped cost") {
+    val t = java.nio.file.Files.createTempDirectory("graft-pmerge0")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 20L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t, statsCol = "id")
+    val before = headFiles(t)
+    Layout.mergeSnapshot(spark, t,
+      Seq((500L, 1L, "c"), (501L, 2L, "c")).toDF("id", "v", "op"),
+      "id", "op")
+    val after = headFiles(t)
+    assert(before.subsetOf(after), "no existing file may be rewritten")
+    assert((after -- before).size == 1) // just the insert file
+    assert(Layout.readSnapshot(spark, t).count() == 22)
+  }
+
+  test("file-pruned merge: rangeless files and unindexed tables " +
+      "rewrite conservatively — pruning never changes answers") {
+    val t = java.nio.file.Files.createTempDirectory("graft-pmergeC")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t, statsCol = "id")
+    // a rangeless file (appended without stats) must be treated as
+    // touched even when its actual keys are disjoint from the delta
+    Layout.appendSnapshot(
+      spark.range(50L, 60L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t)
+    val before = headFiles(t)
+    assert(before.size == 2)
+    Layout.mergeSnapshot(spark, t,
+      Seq((3L, 99L, "u")).toDF("id", "v", "op"), "id", "op")
+    // BOTH files rewritten: the ranged one overlaps, the rangeless one
+    // is conservative — and every row survives with the update applied
+    assert((before & headFiles(t)).isEmpty)
+    val head = Layout.readSnapshot(spark, t).orderBy("id")
+    assert(head.count() == 20)
+    assert(head.filter(col("id") === 3L).head().getLong(1) == 99L)
+    assert(head.filter(col("id") === 55L).head().getLong(1) == 55L)
+  }
+
+  test("file-pruned merge ∥ interleaved append: a provably " +
+      "key-disjoint append is re-based over; an overlapping or " +
+      "rangeless one aborts — deterministically via the staged hook") {
+    def fresh(): String = {
+      val t = java.nio.file.Files.createTempDirectory("graft-pmergeR")
+        .toString
+      Layout.appendSnapshot(
+        spark.range(0L, 10L).toDF("id").withColumn("v", col("id"))
+          .coalesce(1), t, statsCol = "id")
+      t
+    }
+    val delta = Seq((3L, 77L, "u")).toDF("id", "v", "op")
+    // disjoint append interleaves between stage and commit: the merge
+    // re-bases, BOTH commits land, history is linear
+    val t1 = fresh()
+    val id = Layout.mergeSnapshotStaged(spark, t1, delta, "id", "op",
+      -1, () => { Layout.appendSnapshot(
+        spark.range(100L, 110L).toDF("id").withColumn("v", col("id"))
+          .coalesce(1), t1, statsCol = "id"); () })
+    assert(id == 3) // append took 2, the re-based merge claimed 3
+    val head = Layout.readSnapshot(spark, t1)
+    assert(head.count() == 20)
+    assert(head.filter(col("id") === 3L).head().getLong(1) == 77L)
+    assert(head.filter(col("id") >= 100L).count() == 10)
+    // an append whose range CONTAINS a delta key must abort the merge:
+    // re-basing would leave the appended row unmerged (silent dup)
+    val t2 = fresh()
+    intercept[java.util.ConcurrentModificationException](
+      Layout.mergeSnapshotStaged(spark, t2, delta, "id", "op",
+        -1, () => { Layout.appendSnapshot(
+          Seq((3L, 1000L)).toDF("id", "v").coalesce(1), t2,
+          statsCol = "id"); () }))
+    assert(Layout.readSnapshot(spark, t2).count() == 11) // append only
+    // a RANGELESS interleaved file can't be proved disjoint → abort
+    val t3 = fresh()
+    intercept[java.util.ConcurrentModificationException](
+      Layout.mergeSnapshotStaged(spark, t3, delta, "id", "op",
+        -1, () => { Layout.appendSnapshot(
+          spark.range(100L, 110L).toDF("id").withColumn("v", col("id"))
+            .coalesce(1), t3); () }))
+    // an interleaved OPTIMIZE removed the touched file → abort, never
+    // resurrect the pre-optimize copy
+    val t4 = fresh()
+    Layout.appendSnapshot(
+      spark.range(100L, 110L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t4, statsCol = "id") // 2 files so optimize packs
+    intercept[java.util.ConcurrentModificationException](
+      Layout.mergeSnapshotStaged(spark, t4, delta, "id", "op",
+        -1, () => { Layout.optimizeSnapshot(spark, t4,
+          targetRowsPerFile = 100, statsCol = "id"); () }))
+  }
+
+  test("file-pruned merge: stale base over a DISJOINT append " +
+      "self-rebases; over an OVERLAPPING commit aborts") {
+    val t = java.nio.file.Files.createTempDirectory("graft-pmergeS")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t, statsCol = "id")
+    // Interleave via the commit hook: run the merge on a thread that
+    // pauses after staging, land an append, then let the merge commit.
+    // Simpler deterministic equivalent: merge in default mode AFTER
+    // the append — the re-base logic is exercised by racing two real
+    // threads through the same table.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.jdk.CollectionConverters._
+    val outcomes = try {
+      pool.invokeAll(Seq(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = { barrier.await()
+            Layout.mergeSnapshot(spark, t,
+              Seq((3L, 77L, "u")).toDF("id", "v", "op"), "id", "op")
+            "merge"
+          }
+        },
+        new java.util.concurrent.Callable[String] {
+          def call(): String = { barrier.await()
+            Layout.appendSnapshot(
+              spark.range(200L, 210L).toDF("id")
+                .withColumn("v", col("id")).coalesce(1), t,
+              statsCol = "id")
+            "append"
+          }
+        }).asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+    assert(outcomes.toSet == Set("merge", "append"))
+    // whatever the interleaving, BOTH commits land: 10 + 10 rows,
+    // update applied — the disjoint append was never a casualty
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 20)
+    assert(head.filter(col("id") === 3L).head().getLong(1) == 77L)
+    assert(head.filter(col("id") >= 200L).count() == 10)
+    // and an interleaved commit that REMOVES a touched file aborts:
+    // optimize rewrites every file, so a merge pinned to the
+    // pre-optimize base must throw, not resurrect
+    val preOpt = Layout.snapshots(spark, t).agg(max("snapshot_id"))
+      .head().getLong(0).toInt
+    Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 100,
+      statsCol = "id")
+    val e = intercept[java.util.ConcurrentModificationException](
+      Layout.mergeSnapshot(spark, t,
+        Seq((3L, 1L, "u")).toDF("id", "v", "op"), "id", "op",
+        expectedBase = preOpt))
+    assert(Layout.readSnapshot(spark, t).count() == 20)
+  }
 }
