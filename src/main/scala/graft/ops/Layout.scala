@@ -656,7 +656,11 @@ object Layout {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val rc = r.getRecordCount
-        val range = Option(statsCol).map { c =>
+        // a ZERO-ROW staged file (an empty DataFrame commit — e.g. the
+        // catalog's CREATE TABLE schema commit) has no row groups and
+        // therefore no column statistics: record it rangeless (always
+        // read — harmless at 0 rows) instead of failing the commit
+        val range = Option(statsCol).filter(_ => rc > 0).map { c =>
           import scala.jdk.CollectionConverters._
           val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
             b.getColumns.asScala

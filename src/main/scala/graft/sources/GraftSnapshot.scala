@@ -76,7 +76,11 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
     new GraftSnapshotTable(properties.get("path"), schema)
 }
 
-final class GraftSnapshotTable(path: String, tableSchema: StructType)
+/** `asOf` (-1 = head) pins every scan of this Table instance to one
+  * snapshot id — the catalog's `VERSION AS OF` handle; a per-scan
+  * `asOfSnapshot` option still overrides. */
+class GraftSnapshotTable(val path: String, tableSchema: StructType,
+    val asOf: Int = -1)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty,
     "graft-snapshot requires a table root: .load(<path>)")
@@ -95,7 +99,7 @@ final class GraftSnapshotTable(path: String, tableSchema: StructType)
     new SnapshotWriteBuilder(path, info)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSnapshotScanBuilder(path, tableSchema, options)
+    new GraftSnapshotScanBuilder(path, tableSchema, options, asOf)
 }
 
 /** Scan planning with the two pushdowns a metadata-committed table can
@@ -114,7 +118,8 @@ final class GraftSnapshotTable(path: String, tableSchema: StructType)
   * commit diffs, and admission control — not predicates — governs what
   * a trigger reads. */
 final class GraftSnapshotScanBuilder(path: String,
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    tableAsOf: Int = -1)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -126,9 +131,11 @@ final class GraftSnapshotScanBuilder(path: String,
   // immutable manifest — resolving the head again at planInputPartitions
   // could see a concurrent commit whose ranges index a different
   // column, silently mis-skipping files. Pinning also makes a batch
-  // read snapshot-consistent end to end.
+  // read snapshot-consistent end to end. Precedence: per-scan option,
+  // then the Table's VERSION AS OF pin, then the current head.
   private val asOf: Int =
     Option(options.get("asOfSnapshot")).map(_.toInt)
+      .orElse(Option(tableAsOf).filter(_ >= 0))
       .getOrElse(Layout.headId(SparkSession.active, path))
   private var required: StructType = tableSchema
   private var accepted: Array[sources.Filter] = Array.empty

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+/** SQL catalog over the snapshot-table warehouse: the full DDL/DML
+  * round trip — CREATE NAMESPACE / CREATE TABLE (zero-file schema
+  * commit) / INSERT INTO (manifest append, stats recorded) / INSERT
+  * OVERWRITE (full replace) / VERSION AS OF / DROP / RENAME — plus
+  * interop: the SQL surface and the Layout API see the same table. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = tmpDir("graft-cat-wh")
+  private def initCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  }
+
+  test("DDL round trip: create, insert, time travel, overwrite, " +
+      "rename, drop — all through pure SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    spark.sql("""CREATE TABLE gcat.db.t (id BIGINT, v STRING)
+      USING `graft-snapshot` TBLPROPERTIES ('statsCol' = 'id')""")
+    // snapshot 1 = the zero-file schema commit: readable, empty
+    assert(spark.sql("SELECT * FROM gcat.db.t").count() == 0)
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql(
+      "INSERT INTO gcat.db.t SELECT id, concat('v', id) FROM range(10)")
+    spark.sql(
+      "INSERT INTO gcat.db.t SELECT id, concat('v', id) " +
+        "FROM range(10, 20)")
+    assert(spark.sql("SELECT count(*) AS c FROM gcat.db.t")
+      .head().getLong(0) == 20)
+    // VERSION AS OF: 1 empty, 2 first insert, 3 both
+    assert(spark.sql("SELECT * FROM gcat.db.t VERSION AS OF 1")
+      .count() == 0)
+    assert(spark.sql("SELECT sum(id) FROM gcat.db.t VERSION AS OF 2")
+      .head().getLong(0) == (0L until 10L).sum)
+    // the statsCol table property made SQL INSERTs record the index:
+    // a pruned filter must push its bound (file skipping live)
+    assert(Layout.snapshotStatsCol(spark, s"$wh/db/t").contains("id"))
+    // INSERT OVERWRITE = full-replace commit; history stays linear
+    spark.sql(
+      "INSERT OVERWRITE gcat.db.t SELECT id, 'x' FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t")
+      .head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t VERSION AS OF 3")
+      .head().getLong(0) == 20)
+    // interop: the Layout API reads the catalog's table directly
+    assert(Layout.readSnapshot(spark, s"$wh/db/t").count() == 5)
+    // rename and drop
+    spark.sql("ALTER TABLE gcat.db.t RENAME TO gcat.db.t2")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.t2")
+      .head().getLong(0) == 5)
+    spark.sql("DROP TABLE gcat.db.t2")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect()
+      .map(_.getString(1)).contains("t2"))
+  }
+
+  test("CREATE TABLE AS SELECT, duplicate-create aborts, and a " +
+      "Layout-API write is visible to SQL immediately") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db2")
+    spark.sql(
+      "CREATE TABLE gcat.db2.c USING `graft-snapshot` AS " +
+        "SELECT id, id * 2 AS d FROM range(7)")
+    assert(spark.sql("SELECT sum(d) FROM gcat.db2.c")
+      .head().getLong(0) == (0L until 7L).map(_ * 2).sum)
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.db2.c (id BIGINT) USING `graft-snapshot`"))
+    assert(e.getMessage.toLowerCase.contains("already exists"))
+    // a Layout append lands in the SAME table the SQL surface reads —
+    // one commit protocol, no metastore to go stale
+    Layout.appendSnapshot(
+      Seq((100L, 200L)).toDF("id", "d").coalesce(1), s"$wh/db2/c")
+    assert(spark.sql("SELECT count(*) FROM gcat.db2.c")
+      .head().getLong(0) == 8)
+  }
+}
