@@ -679,7 +679,11 @@ object Layout {
         (st, rc, range)
       } finally r.close()
     }
-    val nameLines = metas.map { case (st, _, range) =>
+    // ZERO-ROW staged files are dropped, not published: they would sit
+    // in every later manifest as rangeless always-read entries (a
+    // skewed job can stage many), and a zero-file commit is already
+    // readable via the manifest's schema line
+    val nameLines = metas.filter(_._2 > 0).map { case (st, _, range) =>
       val nm = s"c$tok-${st.getPath.getName}"
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
       statLine((nm, range))

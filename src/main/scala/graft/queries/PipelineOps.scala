@@ -3612,6 +3612,86 @@ object PipelineOps {
           |ORDER BY doc_id""".stripMargin)
     },
 
+    // SQL MERGE INTO ([[graft.sources.GraftRowLevelOperation]]):
+    // tt13's file-pruned copy-on-write through pure SQL — Spark's
+    // group-based row-level protocol rewrites the statement into a
+    // replace-data plan, runtime `_file` group filtering narrows the
+    // rewrite to files actually holding matched keys, and the commit
+    // drops exactly those files conditional on the scanned snapshot.
+    // Three one-file chunk inserts (REPARTITION(1) hints), a delta
+    // touching only the first chunk plus out-of-range inserts; graded
+    // on the full post-merge table WITH files_rewritten=1 /
+    // files_carried=2 pinned in the hash — if group filtering ever
+    // stops engaging, the counts flip to 3/0 and the hash breaks.
+    QueryDef.views("sql3_merge_into",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried
+        |FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val wh = java.nio.file.Files.createTempDirectory("graft-sql3")
+        .toString
+      spark.conf.set("spark.sql.catalog.gsql3",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsql3.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql3.db")
+      spark.sql("DROP TABLE IF EXISTS gsql3.db.docs")
+      spark.sql(
+        """CREATE TABLE gsql3.db.docs
+          |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-snapshot`
+          |TBLPROPERTIES ('statsCol' = 'doc_id')""".stripMargin)
+      val maxId = spark.table("documents").agg(max("doc_id"))
+        .head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Seq(s"doc_id < $b1", s"doc_id >= $b1 AND doc_id < $b2",
+          s"doc_id >= $b2").foreach { cond =>
+        spark.sql(
+          s"""INSERT INTO gsql3.db.docs
+             |SELECT /*+ REPARTITION(1) */
+             |  doc_id, lang, CAST(n_chars AS BIGINT)
+             |FROM documents WHERE $cond""".stripMargin)
+      }
+      spark.sql(
+        s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           |  CASE WHEN doc_id % 10 = 0 THEN 'd'
+           |       WHEN doc_id % 10 = 1 THEN 'u' END AS op
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 IN (0, 1)
+           |UNION ALL
+           |SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT), 'c'
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 = 2"""
+          .stripMargin).createOrReplaceTempView("sql3_src")
+      val tablePath = s"$wh/db/docs"
+      val baseFiles =
+        graft.ops.Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      spark.sql(
+        """MERGE INTO gsql3.db.docs t USING sql3_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, n_chars)
+          |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+      val headFiles =
+        graft.ops.Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      spark.sql("SELECT doc_id, lang, n_chars FROM gsql3.db.docs")
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .orderBy("doc_id")
+    },
+
     // FILE-PRUNED copy-on-write MERGE
     // ([[graft.ops.Layout.mergeSnapshot]]'s scale path): three
     // contiguous doc_id chunks committed as separate files indexed on

@@ -236,13 +236,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * silently stop being recorded when writes arrive via SQL). */
 class GraftCatalogTable(path: String, tableSchema: StructType,
     asOf: Int, statsCol: Option[String])
-    extends GraftSnapshotTable(path, tableSchema, asOf) {
+    extends GraftSnapshotTable(path, tableSchema, asOf)
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(path, GraftCatalogTable.withStats(
       info, statsCol))
+
+  /** SQL MERGE INTO / UPDATE / DELETE — the group-based copy-on-write
+    * protocol over the manifest commit (see [[GraftRowLevelOperation]]:
+    * runtime `_file` group filtering keeps the rewrite file-pruned). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, tableSchema, statsCol,
+      info.command())
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(FileMetadataColumn)
 }
 
 object GraftCatalogTable {

@@ -1,0 +1,205 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Layout
+
+/** SQL `MERGE INTO` / `UPDATE` / `DELETE` on the catalog's snapshot
+  * tables — Spark's GROUP-BASED row-level operation protocol (the
+  * copy-on-write path Iceberg pioneered), mapped onto the manifest
+  * commit:
+  *
+  *  1. the analyzer rewrites the statement into a ReplaceData plan
+  *     that reads the target through THIS operation's scan, joins the
+  *     source, and emits the full replacement rows of every AFFECTED
+  *     GROUP (here: data file);
+  *  2. Spark's runtime group filtering evaluates the ON condition
+  *     against a regular scan first and pushes `IN (_file, ...)` —
+  *     the matched files — into the operation scan, so only files
+  *     that actually contain matched rows are read and rewritten
+  *     (file-pruned MERGE through pure SQL, the same O(touched+delta)
+  *     shape as [[graft.ops.Layout.mergeSnapshot]]);
+  *  3. the replacement write stages new files and commits with
+  *     `dropFiles` = exactly the files the scan planned, conditional
+  *     on the snapshot the scan pinned — a concurrent commit aborts
+  *     with ConcurrentModificationException instead of losing rows.
+  *
+  * The `_file` metadata column (exposed via SupportsMetadataColumns on
+  * the catalog table and synthesized per-row by the file reader) is
+  * the group identity the whole protocol keys on. */
+final class GraftRowLevelOperation(path: String,
+    tableSchema: StructType, statsCol: Option[String],
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  // scan → write handshake, set when the (runtime-filtered) scan plans
+  // its partitions: the ABSOLUTE paths of the files being replaced and
+  // the snapshot id they came from
+  @volatile private[sources] var plannedFiles: Seq[String] = Nil
+  @volatile private[sources] var pinnedSnapshot: Int = -1
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-snapshot row-level $cmd on $path"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftRowLevelScanBuilder(this, path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceDataWrite(GraftRowLevelOperation.this, path,
+          info, statsCol)
+    }
+}
+
+/** The affected-groups scan: all files of the pinned snapshot, cut
+  * down by the runtime `_file IN (...)` group filter to the files
+  * holding matched rows. Column pruning applies (the replacement read
+  * carries the full row anyway); the final planned file set is
+  * reported back to the operation for the commit's dropFiles. */
+final class GraftRowLevelScanBuilder(op: GraftRowLevelOperation,
+    path: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    // pin the snapshot NOW (plan time): the write's expectedBase and
+    // the scanned file set must describe the same immutable manifest
+    val asOf = Layout.headId(SparkSession.active, path)
+    op.pinnedSnapshot = asOf
+    new GraftRowLevelScan(op, path, required, asOf)
+  }
+}
+
+final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
+    required: StructType, asOf: Int)
+    extends Scan with SupportsRuntimeFiltering {
+  @volatile private var kept: Option[Set[String]] = None
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-snapshot row-level scan $path@$asOf " +
+      s"groupFilter=${kept.map(_.size).getOrElse(-1)}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("_file", values) =>
+        kept = Some(values.map(String.valueOf).toSet)
+      case _ => // non-file runtime filters: keep everything (safe)
+    }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val all = Layout.snapshotFileStats(SparkSession.active, path,
+        asOf).map(_._1)
+      val planned = kept match {
+        case Some(k) => all.filter(k.contains)
+        case None => all
+      }
+      op.plannedFiles = planned
+      planned.map(SnapshotFilePartition(_): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SnapshotFileReaderFactory(required,
+        SnapshotHadoopConf.broadcast())
+  }
+}
+
+/** The replacement write: stages the full new content of the affected
+  * groups through the same executor-side writers as the DSv2 sink,
+  * then commits carry-forward with `dropFiles` = the scanned files —
+  * the OPTIMIZE commit shape, conditional on the scanned snapshot. */
+final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
+    path: String, info: LogicalWriteInfo, statsCol: Option[String])
+    extends Write {
+  SnapshotFileReaderFactory.validate(info.schema())
+
+  override def description(): String =
+    s"graft-snapshot replace-data $path"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val tok = java.util.UUID.randomUUID().toString.take(8)
+    private def fsRoot() = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      (root.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), root)
+    }
+
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DataWriterFactory = {
+      val (fs, root) = fsRoot()
+      val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
+      fs.mkdirs(stage)
+      SnapshotWriterFactory(fs.makeQualified(stage).toString,
+        info.schema(), statsCol, tok, SnapshotHadoopConf.broadcast())
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val spark = SparkSession.active
+      val (fs, root) = fsRoot()
+      val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
+      val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+      fs.mkdirs(dataDir)
+      val conf = spark.sessionState.newHadoopConf()
+      val msgs = messages.collect { case m: SnapshotFileCommit => m }
+      val dropped = op.plannedFiles.map(p =>
+        new org.apache.hadoop.fs.Path(p))
+      // replaced row count from the dropped files' footers — driver
+      // metadata over the touched files only
+      val dropRows = dropped.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      Layout.withTableLock(spark, path) {
+        msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
+          fs.rename(new org.apache.hadoop.fs.Path(stage, n),
+            new org.apache.hadoop.fs.Path(dataDir, n))
+        }
+        Layout.commitStagedLines(spark, path,
+          msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
+          info.schema(), tag = null, carryPrevious = true,
+          statsCol = statsCol.orNull,
+          expectedBase = op.pinnedSnapshot, tok = tok,
+          dropFiles = dropped.map(_.getName).toSet,
+          dropRows = dropRows)
+      }
+      fs.delete(stage, true)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val (fs, root) = fsRoot()
+      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+        true)
+    }
+  }
+}
+
+/** `_file` — the group-identity metadata column: the absolute path of
+  * the data file a row came from, synthesized by the per-file reader. */
+object FileMetadataColumn extends MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "absolute path of the snapshot data file holding this row"
+}

@@ -424,7 +424,10 @@ final class SnapshotFileReaderFactory(schema: StructType,
         .fromPath(hPath, conf))
     val fileSchema =
       try footer.getFileMetaData.getSchema finally footer.close()
-    val wanted = schema.fieldNames.toSet
+    // `_file` is the synthesized group-identity METADATA column (the
+    // row-level-operation protocol keys on it) — never read from
+    // parquet, filled with this partition's absolute path
+    val wanted = schema.fieldNames.toSet - "_file"
     val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
     val projected = new org.apache.parquet.schema.MessageType(
       fileSchema.getName,
@@ -446,16 +449,20 @@ final class SnapshotFileReaderFactory(schema: StructType,
           if (idx == null)
             // -1 = the file PREDATES this column (append-time schema
             // evolution): null-fill, matching Layout.readSnapshot's
-            // recorded-union-schema read
+            // recorded-union-schema read; -2 = the `_file` metadata
+            // column, synthesized from the partition's path
             idx = schema.fields.map(f =>
-              if (g.getType.containsField(f.name))
+              if (f.name == "_file") -2
+              else if (g.getType.containsField(f.name))
                 g.getType.getFieldIndex(f.name)
               else -1)
           val vals = new Array[Any](schema.length)
           var i = 0
           while (i < schema.length) {
             vals(i) =
-              if (idx(i) < 0 || g.getFieldRepetitionCount(idx(i)) == 0)
+              if (idx(i) == -2) UTF8String.fromString(file)
+              else if (idx(i) < 0 ||
+                  g.getFieldRepetitionCount(idx(i)) == 0)
                 null
               else schema.fields(i).dataType match {
                 case LongType => g.getLong(idx(i), 0)
