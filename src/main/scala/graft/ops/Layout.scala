@@ -351,15 +351,38 @@ object Layout {
 
   private def isMetaLine(l: String): Boolean =
     l.startsWith("tag:") || l.startsWith("schema:") ||
-      l.startsWith("statscol:")
+      l.startsWith("statscol:") || l.startsWith("statscols:")
 
-  // Render a (name, stats) manifest entry back to its file line —
-  // the inverse of [[readManifestStats]]' parse, used wherever a
-  // commit carries another manifest's lines forward verbatim.
-  private def statLine(e: (String, Option[(Long, Long)])): String =
-    e match {
-      case (n, Some((lo, hi))) => s"$n|$lo|$hi"
-      case (n, None) => n
+  // Render a (name, per-column stats) manifest entry back to its file
+  // line — the inverse of [[statsOf]]' parse. One pair of fields per
+  // indexed column, in `statscols:` order; a column with no recorded
+  // range on this file (e.g. all-null in a sink task) renders as two
+  // EMPTY fields, so positions stay aligned. A file with no ranges at
+  // all is just the bare name.
+  private def statLine(
+      e: (String, Seq[Option[(Long, Long)]])): String = e match {
+    case (n, rs) if rs.forall(_.isEmpty) => n
+    case (n, rs) => (n +: rs.flatMap {
+      case Some((lo, hi)) => Seq(lo.toString, hi.toString)
+      case None => Seq("", "")
+    }).mkString("|")
+  }
+
+  /** Comma-separated `statsCol` arguments → the ordered column list
+    * (every public statsCol parameter accepts "c1,c2" to index
+    * multiple columns; most tables index one). */
+  private def statsColsOf(statsCol: String): Seq[String] =
+    Option(statsCol).toSeq.flatMap(_.split(',')).map(_.trim)
+      .filter(_.nonEmpty)
+
+  /** The recorded-index meta line: the singular `statscol:` for the
+    * common one-column case (back-compatible with every existing
+    * manifest), the plural comma form beyond. */
+  private def statsColsLine(cols: Seq[String]): Option[String] =
+    cols match {
+      case Nil => None
+      case Seq(one) => Some("statscol:" + one)
+      case many => Some("statscols:" + many.mkString(","))
     }
 
   /** Nullable-normalized schema for recorded-schema reads: file-source
@@ -421,7 +444,11 @@ object Layout {
   private[graft] final case class ManifestInfo(rows: Long,
       statLines: Seq[String], files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      statsCol: Option[String], tag: Option[String])
+      statsCols: Seq[String], tag: Option[String]) {
+    /** The PRIMARY index column (first of `statsCols`) — what data is
+      * range-clustered on; single-column callers see just this. */
+    def statsCol: Option[String] = statsCols.headOption
+  }
 
   private[graft] def parseManifest(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): ManifestInfo = {
@@ -445,9 +472,16 @@ object Layout {
           s"snapshot manifest $p: corrupt schema line", e)
       }
     }
+    // `statscols:` (plural, comma-separated) is the general form;
+    // `statscol:` (singular) remains the written format for the
+    // common one-column index — both parse to the ordered list
+    val cols = meta.find(_.startsWith("statscols:"))
+      .map(_.stripPrefix("statscols:").split(',').toSeq)
+      .orElse(meta.find(_.startsWith("statscol:"))
+        .map(s => Seq(s.stripPrefix("statscol:"))))
+      .getOrElse(Nil)
     ManifestInfo(lines(1).toLong, body, body.map(_.split('|').head),
-      schema, meta.find(_.startsWith("statscol:"))
-        .map(_.stripPrefix("statscol:")),
+      schema, cols,
       meta.find(_.startsWith("tag:")).map(_.stripPrefix("tag:")))
   }
 
@@ -482,27 +516,36 @@ object Layout {
       p: org.apache.hadoop.fs.Path): Option[String] =
     parseManifest(fs, p).statsCol
 
-  /** The stats column recorded on the snapshot's manifest (latest when
-    * `asOf` is -1) — the `graft-snapshot` source's pushdown handle. */
+  /** The PRIMARY stats column recorded on the snapshot's manifest
+    * (latest when `asOf` is -1). */
   private[graft] def snapshotStatsCol(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      asOf: Int = -1): Option[String] = {
+      asOf: Int = -1): Option[String] =
+    snapshotStatsCols(spark, path, asOf).headOption
+
+  /** ALL indexed columns, in manifest line order — the
+    * `graft-snapshot` source's pushdown handle. */
+  private[graft] def snapshotStatsCols(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Seq[String] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
     val p = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")
-    if (id == 0 || !fs.exists(p)) None else manifestStatsCol(fs, p)
+    if (id == 0 || !fs.exists(p)) Nil
+    else parseManifest(fs, p).statsCols
   }
 
-  /** ABSOLUTE data-file paths of snapshot `asOf` (-1 = head) WITH their
-    * recorded stats ranges — the `graft-snapshot` source's batch
-    * planning core: a pushed-down range keeps only overlapping files
+  /** ABSOLUTE data-file paths of snapshot `asOf` (-1 = head) WITH
+    * their recorded per-column stats ranges (in `statscols:` order) —
+    * the `graft-snapshot` source's batch planning core: a pushed-down
+    * range on column i keeps only files whose i-th range overlaps
     * (None = no range recorded = always read). Driver-side manifest
     * metadata only. */
   private[graft] def snapshotFileStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      asOf: Int = -1): Seq[(String, Option[(Long, Long)])] = {
+      asOf: Int = -1): Seq[(String, Seq[Option[(Long, Long)]])] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
@@ -531,17 +574,24 @@ object Layout {
     else Some(parseManifest(fs, p))
   }
 
-  /** Manifest entries WITH their recorded per-file stats range (None
-    * when that file was committed without stats — always read). */
-  private def statsOf(line: String): (String, Option[(Long, Long)]) =
-    line.split('|') match {
-      case Array(n, lo, hi) => (n, Some((lo.toLong, hi.toLong)))
-      case parts => (parts.head, None)
-    }
+  /** Manifest file line → (name, per-column ranges in `statscols:`
+    * order). A bare name parses to all-None (file committed without
+    * stats — always read); an EMPTY field pair is that one column
+    * rangeless on this file. split limit -1 keeps trailing empties. */
+  private[graft] def statsOf(line: String)
+      : (String, Seq[Option[(Long, Long)]]) = {
+    val p = line.split("\\|", -1).toSeq // -1: keep trailing empties
+    val ranges = p.tail.grouped(2).map {
+      case Seq(lo, hi) if lo.nonEmpty && hi.nonEmpty =>
+        Some((lo.toLong, hi.toLong))
+      case _ => None
+    }.toSeq
+    (p.head, ranges)
+  }
 
   private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path)
-      : Seq[(String, Option[(Long, Long)])] =
+      : Seq[(String, Seq[Option[(Long, Long)]])] =
     parseManifest(fs, p).statLines.map(statsOf)
 
   // (qualified snapshots dir, tag) → committed id. Populated on every
@@ -658,35 +708,39 @@ object Layout {
         val rc = r.getRecordCount
         // a ZERO-ROW staged file (an empty DataFrame commit — e.g. the
         // catalog's CREATE TABLE schema commit) has no row groups and
-        // therefore no column statistics: record it rangeless (always
-        // read — harmless at 0 rows) instead of failing the commit
-        val range = Option(statsCol).filter(_ => rc > 0).map { c =>
-          import scala.jdk.CollectionConverters._
-          val perBlock = r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
-            b.getColumns.asScala
-              .find(_.getPath.toDotString == c).map { cc =>
-                val s = cc.getStatistics
-                require(s != null && s.hasNonNullValue,
-                  s"snapshotWrite: no parquet statistics for '$c'")
-                (statLong(s.genericGetMin, s"min($c)"),
-                  statLong(s.genericGetMax, s"max($c)"))
+        // therefore no column statistics: it is dropped below, so no
+        // ranges are computed. One footer pass serves ALL indexed
+        // columns (statsCol accepts "c1,c2,...").
+        val ranges: Seq[Option[(Long, Long)]] =
+          if (rc == 0) Nil
+          else statsColsOf(statsCol).map { c =>
+            import scala.jdk.CollectionConverters._
+            val perBlock = r.getFooter.getBlocks.asScala.toSeq
+              .flatMap { b =>
+                b.getColumns.asScala
+                  .find(_.getPath.toDotString == c).map { cc =>
+                    val s = cc.getStatistics
+                    require(s != null && s.hasNonNullValue,
+                      s"snapshotWrite: no parquet statistics for '$c'")
+                    (statLong(s.genericGetMin, s"min($c)"),
+                      statLong(s.genericGetMax, s"max($c)"))
+                  }
               }
+            require(perBlock.nonEmpty,
+              s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
+            Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
           }
-          require(perBlock.nonEmpty,
-            s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
-          (perBlock.map(_._1).min, perBlock.map(_._2).max)
-        }
-        (st, rc, range)
+        (st, rc, ranges)
       } finally r.close()
     }
     // ZERO-ROW staged files are dropped, not published: they would sit
     // in every later manifest as rangeless always-read entries (a
     // skewed job can stage many), and a zero-file commit is already
     // readable via the manifest's schema line
-    val nameLines = metas.filter(_._2 > 0).map { case (st, _, range) =>
+    val nameLines = metas.filter(_._2 > 0).map { case (st, _, ranges) =>
       val nm = s"c$tok-${st.getPath.getName}"
       fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
-      statLine((nm, range))
+      statLine((nm, ranges))
     }.sorted
     val rows = metas.map(_._2).sum
     fs.delete(stage, true)
@@ -725,12 +779,14 @@ object Layout {
       // checks recompute against the actual carried head in the commit
       // loop — a re-base may carry a newer, further-evolved head)
       snapshotSchema(spark, path).foreach(unionSchema(_, df.schema))
-      for (prior <- snapshotStatsCol(spark, path);
-           mine <- Option(statsCol))
+      val prior = snapshotStatsCols(spark, path)
+      val mine = statsColsOf(statsCol)
+      if (prior.nonEmpty && mine.nonEmpty)
         require(prior == mine,
-          s"appendSnapshot: manifest stats are indexed on '$prior' " +
-            s"but this append records '$mine' — one manifest carries " +
-            "one data-skipping index")
+          s"appendSnapshot: manifest stats are indexed on " +
+            s"'${prior.mkString(",")}' but this append records " +
+            s"'${mine.mkString(",")}' — one manifest carries one " +
+            "data-skipping index")
     }
     // Data-file names carry a commit-unique token, NOT the snapshot id:
     // staging is uncoordinated, and a lost claim retries with a new id
@@ -820,14 +876,17 @@ object Layout {
               case None => writeSchema
             }
             val effectiveStats =
-              (m.statsCol, Option(statsCol)) match {
-                case (Some(prior), Some(mine)) =>
+              (m.statsCols, statsColsOf(statsCol)) match {
+                case (prior, mine)
+                    if prior.nonEmpty && mine.nonEmpty =>
                   require(prior == mine,
                     s"appendSnapshot: manifest stats are indexed on " +
-                      s"'$prior' but this append records '$mine' — one " +
+                      s"'${prior.mkString(",")}' but this append " +
+                      s"records '${mine.mkString(",")}' — one " +
                       "manifest carries one data-skipping index")
-                  Some(prior)
-                case (prior, mine) => mine.orElse(prior)
+                  prior
+                case (prior, mine) =>
+                  if (mine.nonEmpty) mine else prior
               }
             // carry the RAW file lines so earlier commits'
             // data-skipping stats survive an append
@@ -835,9 +894,9 @@ object Layout {
               if (dropFiles.isEmpty) m.statLines
               else m.statLines.filterNot(l => dropFiles(l.split('|').head))
             (m.rows - dropRows, kept, "schema:" + merged.json,
-              effectiveStats.map("statscol:" + _))
+              statsColsLine(effectiveStats))
           } else (0L, Seq.empty[String], "schema:" + writeSchema.json,
-            Option(statsCol).map("statscol:" + _))
+            statsColsLine(statsColsOf(statsCol)))
         val tmp = new org.apache.hadoop.fs.Path(snapsDir,
           s".tmp-$tok-$attempt")
         val out = fs.create(tmp, true)
@@ -891,17 +950,19 @@ object Layout {
     val manifest = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")
     val entries = readManifestStats(fs, manifest)
-    // The ranges are only consulted when the manifest says they index
-    // THIS column — pruning by ranges recorded for a different column
-    // would silently drop rows. A recorded mismatch degrades to
-    // read-everything (exact filter still applies); manifests from
-    // before the column was recorded keep the trust-the-caller
-    // behavior their writers relied on.
-    val rangesApply =
-      manifestStatsCol(fs, manifest).forall(_ == colName)
-    val keep = entries.filter {
-      case (_, Some((flo, fhi))) if rangesApply => fhi >= lo && flo <= hi
-      case _ => true
+    // The ranges are only consulted when the manifest says it indexes
+    // THIS column (at whatever position) — pruning by ranges recorded
+    // for a different column would silently drop rows. A recorded
+    // mismatch degrades to read-everything (exact filter still
+    // applies); manifests from before the column identity was
+    // recorded keep the trust-the-caller behavior their writers
+    // relied on (position 0).
+    val statsCols = parseManifest(fs, manifest).statsCols
+    val pos = if (statsCols.isEmpty) 0 else statsCols.indexOf(colName)
+    val keep = entries.filter { case (_, ranges) =>
+      pos < 0 || ranges.lift(pos).flatten.forall {
+        case (flo, fhi) => fhi >= lo && flo <= hi
+      }
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (keep.isEmpty)
@@ -1056,7 +1117,10 @@ object Layout {
       s"mergeSnapshot: source columns ${source.columns.mkString(",")} " +
         s"(minus $opCol) must match the table's ${cur.columns.mkString(",")}")
     val keys = source.select(col(keyCol)).distinct()
-    val keyIndexed = info.statsCol.contains(keyCol)
+    // position of the merge key in the manifest's indexed columns
+    // (ranges are positional; -1 = key not indexed → full rewrite)
+    val ki = info.statsCols.indexOf(keyCol)
+    val keyIndexed = ki >= 0
 
     // Which of `entries` (manifest file lines) hold at least one actual
     // delta key? Rangeless entries are always candidates; ranged ones
@@ -1064,10 +1128,13 @@ object Layout {
     // join over the (pre-narrowed) |files|-bounded range index — a
     // global [min, max] envelope alone would mark everything when the
     // delta mixes low updates with high inserts (the CDC shape).
-    def overlapping(entries: Seq[(String, Option[(Long, Long)])])
+    def overlapping(
+        entries: Seq[(String, Seq[Option[(Long, Long)]])])
         : Seq[String] = {
-      val rangeless = entries.collect { case (n, None) => n }
-      val ranged = entries.collect { case (n, Some((lo, hi))) =>
+      val keyed = entries.map { case (n, rs) =>
+        (n, if (ki >= 0) rs.lift(ki).flatten else None) }
+      val rangeless = keyed.collect { case (n, None) => n }
+      val ranged = keyed.collect { case (n, Some((lo, hi))) =>
         (n, lo, hi) }
       if (!keyIndexed) return entries.map(_._1)
       if (ranged.isEmpty) return rangeless
@@ -1127,8 +1194,10 @@ object Layout {
       case _ => rewrite.repartition(nOut)
     }
     val tok = java.util.UUID.randomUUID().toString.take(8)
+    val statsColsStr =
+      if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
     val (newLines, stagedRows) = stageDataFiles(
-      packed, fs, root, dataDir, conf, info.statsCol.orNull, tok)
+      packed, fs, root, dataDir, conf, statsColsStr, tok)
     onStaged()
 
     // Commit, conditional on the base — with the bounded self-rebase
@@ -1141,7 +1210,7 @@ object Layout {
       try {
         return commitStagedLines(spark, path, newLines, stagedRows,
           rewrite.schema, tag = null, carryPrevious = true,
-          statsCol = info.statsCol.orNull, expectedBase = base,
+          statsCol = statsColsStr, expectedBase = base,
           tok = tok, dropFiles = touchedSet, dropRows = dropRows)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1158,10 +1227,11 @@ object Layout {
           val fresh = headInfo.statLines.map(statsOf)
             .filterNot(l => info.files.contains(l._1))
           // safe iff every interleaved file PROVABLY holds no delta
-          // key: the index still covers the key and no fresh file is
-          // rangeless or key-overlapping
-          if (!headInfo.statsCol.contains(keyCol) ||
-              fresh.exists(_._2.isEmpty) ||
+          // key: the index (and the key's position in it) is
+          // unchanged and no fresh file is rangeless or
+          // key-overlapping
+          if (headInfo.statsCols != info.statsCols ||
+              fresh.exists(_._2.lift(ki).flatten.isEmpty) ||
               overlapping(fresh).nonEmpty) throw e
           base = head // disjoint appends only: carry them and retry
       }
@@ -1309,14 +1379,18 @@ object Layout {
       (baseRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     if (baseFiles.size <= nTarget) return base // already compact
     // cheap pre-flight (same rule as appendSnapshot's): recording
-    // ranges for a different column than the history's must abort
+    // ranges for different columns than the history's must abort
     // BEFORE the distributed rewrite, not after it staged everything
-    for (prior <- snapshotStatsCol(spark, path);
-         mine <- Option(statsCol))
-      require(prior == mine,
-        s"optimizeSnapshot: manifest stats are indexed on '$prior' " +
-          s"but the rewrite records '$mine' — one manifest carries " +
-          "one data-skipping index")
+    locally {
+      val prior = snapshotStatsCols(spark, path)
+      val mine = statsColsOf(statsCol)
+      if (prior.nonEmpty && mine.nonEmpty)
+        require(prior == mine,
+          s"optimizeSnapshot: manifest stats are indexed on " +
+            s"'${prior.mkString(",")}' but the rewrite records " +
+            s"'${mine.mkString(",")}' — one manifest carries one " +
+            "data-skipping index")
+    }
     // The distributed rewrite happens OUTSIDE the commit critical
     // section (optimistic staging, same as snapshotWrite): reads
     // exactly the base's files, repartitions to the bin-packed count.
@@ -1327,11 +1401,14 @@ object Layout {
     // reads stay one-file-per-range after the optimize.
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val baseDf = readSnapshot(spark, path, base)
-    val packed =
-      if (statsCol != null)
-        baseDf.repartitionByRange(nTarget, col(statsCol))
-          .sortWithinPartitions(statsCol)
-      else baseDf.repartition(nTarget)
+    // cluster on the PRIMARY indexed column (further columns get
+    // ranges recorded but don't drive the physical sort)
+    val packed = statsColsOf(statsCol).headOption match {
+      case Some(sc) =>
+        baseDf.repartitionByRange(nTarget, col(sc))
+          .sortWithinPartitions(sc)
+      case None => baseDf.repartition(nTarget)
+    }
     val (newLines, stagedRows) = stageDataFiles(
       packed, fs, root, dataDir, conf, statsCol, tok)
     require(stagedRows == baseRows,
@@ -1391,7 +1468,8 @@ object Layout {
     // the caller re-decides against the new head and retries.
     commitStagedLines(spark, path, info.statLines, info.rows, schema,
       tag = null, carryPrevious = false,
-      statsCol = info.statsCol.orNull,
+      statsCol =
+        if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
       expectedBase = head,
       tok = java.util.UUID.randomUUID().toString.take(8))
   }

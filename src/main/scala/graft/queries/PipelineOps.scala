@@ -3754,6 +3754,54 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // MULTI-COLUMN data-skipping index (statsCol = "doc_id,n_chars"):
+    // per-file [min, max] is recorded POSITIONALLY for every indexed
+    // column, so pushdown prunes on whichever column a predicate
+    // names. Three chunks contiguous in n_chars (the SECOND indexed
+    // column); a source read filtered on n_chars must plan exactly ONE
+    // partition (pinned in the hash — a regression that only consults
+    // the first column flips it to 3), while min/max of BOTH columns
+    // are answered by the manifest's metadata aggregate and graded
+    // against DuckDB computing them from the raw table.
+    QueryDef.views("tt15_multicol_stats",
+      """WITH m AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+        |           FROM documents),
+        |     b AS (SELECT lo + (hi - lo) // 3 AS t1,
+        |                  lo + 2 * ((hi - lo) // 3) AS t2 FROM m)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_planned,
+        |  (SELECT CAST(min(doc_id) AS BIGINT) FROM documents) AS min_id,
+        |  (SELECT CAST(max(n_chars) AS BIGINT) FROM documents)
+        |    AS max_chars
+        |FROM documents, b WHERE n_chars < b.t1
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt15")
+        .toString
+      val mm = docs.agg(min("n_chars"), max("n_chars")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * ((hi - lo) / 3))
+      Layout.appendSnapshot(docs.filter(col("n_chars") < t1)
+        .coalesce(1), t, statsCol = "doc_id,n_chars")
+      Layout.appendSnapshot(docs.filter(col("n_chars") >= t1 &&
+        col("n_chars") < t2).coalesce(1), t,
+        statsCol = "doc_id,n_chars")
+      Layout.appendSnapshot(docs.filter(col("n_chars") >= t2)
+        .coalesce(1), t, statsCol = "doc_id,n_chars")
+      val pruned = spark.read.format("graft-snapshot").load(t)
+        .filter(col("n_chars") < t1)
+      val planned = pruned.rdd.getNumPartitions.toLong
+      val meta = spark.read.format("graft-snapshot").load(t)
+        .agg(min("doc_id").as("min_id"), max("n_chars").as("max_chars"))
+      pruned
+        .withColumn("partitions_planned", lit(planned))
+        .crossJoin(broadcast(meta)) // one-row manifest-served scalars
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("partitions_planned"), col("min_id"), col("max_chars"))
+        .orderBy("doc_id")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

@@ -126,9 +126,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // the table is immediately readable as empty, and the schema needs
     // no metastore — it lives where every other commit records it
     val statsCol = properties.get("statsCol")
-    if (statsCol != null)
-      require(schema.fieldNames.contains(statsCol),
-        s"GraftCatalog: statsCol '$statsCol' is not a table column")
+    Option(statsCol).toSeq.flatMap(_.split(',')).map(_.trim)
+      .filter(_.nonEmpty).foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"GraftCatalog: statsCol '$c' is not a table column")
+      }
     Layout.commitSnapshot(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),

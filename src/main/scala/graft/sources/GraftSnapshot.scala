@@ -139,7 +139,9 @@ final class GraftSnapshotScanBuilder(path: String,
       .getOrElse(Layout.headId(SparkSession.active, path))
   private var required: StructType = tableSchema
   private var accepted: Array[sources.Filter] = Array.empty
-  private var bounds: Seq[(Long, Long)] = Nil
+  // (position in the manifest's statscols list, lo, hi) per pushed
+  // bound — file skipping is per-column positional
+  private var bounds: Seq[(Int, Long, Long)] = Nil
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -171,12 +173,13 @@ final class GraftSnapshotScanBuilder(path: String,
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
-    val statsCol =
-      Layout.snapshotStatsCol(SparkSession.active, path, asOf)
-    val parsed = statsCol.toSeq.flatMap { c =>
-      filters.toSeq.flatMap(f => boundOf(c, f).map(f -> _))
+    val statsCols =
+      Layout.snapshotStatsCols(SparkSession.active, path, asOf)
+    val parsed = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      filters.toSeq.flatMap(f =>
+        boundOf(c, f).map { case (lo, hi) => (f, (i, lo, hi)) })
     }
-    accepted = parsed.map(_._1).toArray
+    accepted = parsed.map(_._1).distinct.toArray
     bounds = parsed.map(_._2)
     filters // ALL residual: file-granular skipping is inexact
   }
@@ -210,12 +213,7 @@ final class GraftSnapshotScanBuilder(path: String,
     val info = Layout.snapshotInfo(spark, path, asOf)
       .getOrElse(return None) // one manifest read answers everything
     val rows = info.rows
-    lazy val stats = info.statLines.map(l => l.split('|') match {
-      case Array(_, lo, hi) => Some((lo.toLong, hi.toLong))
-      case _ => None
-    })
-    lazy val statsCol = info.statsCol
-    lazy val rangesComplete = stats.nonEmpty && stats.forall(_.isDefined)
+    lazy val perFile = info.statLines.map(l => Layout.statsOf(l)._2)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -227,7 +225,11 @@ final class GraftSnapshotScanBuilder(path: String,
         : Option[(String, DataType, Any)] =
       for {
         c <- colOf(e)
-        rec <- statsCol if rec == c && rangesComplete && rows > 0
+        i <- Some(info.statsCols.indexOf(c)) if i >= 0 && rows > 0
+        // complete at THIS column's position: every file carries its
+        // range, else the manifest can't answer exactly
+        ranges <- Some(perFile.map(_.lift(i).flatten))
+          if ranges.nonEmpty && ranges.forall(_.isDefined)
         // the index stores Longs: answer only for integral columns —
         // a FLOAT/DOUBLE statscol would surface a truncated extreme
         dt <- tableSchema(c).dataType match {
@@ -236,7 +238,7 @@ final class GraftSnapshotScanBuilder(path: String,
           case _ => None
         }
       } yield {
-        val v = pick(stats.map(_.get))
+        val v = pick(ranges.map(_.get))
         if (dt == IntegerType) (c, IntegerType, v.toInt)
         else (c, LongType, v)
       }
@@ -282,10 +284,12 @@ final class GraftSnapshotScanBuilder(path: String,
       override def planInputPartitions(): Array[InputPartition] = {
         val spark = SparkSession.active
         Layout.snapshotFileStats(spark, path, asOf)
-          .filter { case (_, range) =>
-            range.forall { case (flo, fhi) =>
-              bounds.forall { case (lo, hi) => fhi >= lo && flo <= hi }
-            } // no recorded range = always read
+          .filter { case (_, ranges) =>
+            bounds.forall { case (i, lo, hi) =>
+              ranges.lift(i).flatten.forall { case (flo, fhi) =>
+                fhi >= lo && flo <= hi
+              } // no recorded range for this column = always read
+            }
           }
           .map(e => SnapshotFilePartition(e._1): InputPartition).toArray
       }
@@ -526,14 +530,17 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
 
   SnapshotFileReaderFactory.validate(writeSchema)
   private val statsCol = Option(options.get("statsCol"))
-  statsCol.foreach { c =>
-    require(writeSchema.fieldNames.contains(c),
-      s"graft-snapshot write: statsCol '$c' is not a written column")
-    val dt = writeSchema(c).dataType
-    require(dt == LongType || dt == IntegerType,
-      s"graft-snapshot write: statsCol '$c' must be integral, is " +
-        dt.sql)
-  }
+  // statsCol accepts a comma list ("c1,c2"): each indexed column must
+  // be a written integral column
+  statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    .foreach { c =>
+      require(writeSchema.fieldNames.contains(c),
+        s"graft-snapshot write: statsCol '$c' is not a written column")
+      val dt = writeSchema(c).dataType
+      require(dt == LongType || dt == IntegerType,
+        s"graft-snapshot write: statsCol '$c' must be integral, is " +
+          dt.sql)
+    }
   private val batchTag = Option(options.get("tag"))
 
   // Executors stage into a write-private `.stage-<tok>/` dir, NEVER
@@ -744,10 +751,12 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
   private var writer: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private var rows = 0L
-  private val statsIdx = statsCol.map(schema.fieldIndex)
-  private var lo = Long.MaxValue
-  private var hi = Long.MinValue
-  private var statsNull = false
+  // per indexed column (statsCol is a comma list), in order
+  private val statsIdx = statsCol.toSeq.flatMap(_.split(','))
+    .map(_.trim).filter(_.nonEmpty).map(schema.fieldIndex).toArray
+  private val lo = Array.fill(statsIdx.length)(Long.MaxValue)
+  private val hi = Array.fill(statsIdx.length)(Long.MinValue)
+  private val statsNull = Array.fill(statsIdx.length)(false)
 
   override def write(row: InternalRow): Unit = {
     if (writer == null)
@@ -772,16 +781,19 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     }
     writer.write(g)
     rows += 1
-    statsIdx.foreach { si =>
-      if (row.isNullAt(si)) statsNull = true
+    var k = 0
+    while (k < statsIdx.length) {
+      val si = statsIdx(k)
+      if (row.isNullAt(si)) statsNull(k) = true
       else {
         val v = schema.fields(si).dataType match {
           case LongType => row.getLong(si)
           case _ => row.getInt(si).toLong
         }
-        if (v < lo) lo = v
-        if (v > hi) hi = v
+        if (v < lo(k)) lo(k) = v
+        if (v > hi(k)) hi(k) = v
       }
+      k += 1
     }
   }
 
@@ -790,10 +802,15 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     if (writer == null) SnapshotFileCommit(None, 0L)
     else {
       writer.close()
+      // one field pair per indexed column; a column that saw a null
+      // renders as an EMPTY pair (rangeless on this file — always
+      // read), keeping positions aligned with the statscols order
       val line =
-        if (statsIdx.isDefined && !statsNull && rows > 0)
-          s"$name|$lo|$hi"
-        else name
+        if (statsIdx.isEmpty || rows == 0 || statsNull.forall(identity))
+          name
+        else (name +: statsIdx.indices.flatMap(k =>
+          if (statsNull(k)) Seq("", "")
+          else Seq(lo(k).toString, hi(k).toString))).mkString("|")
       SnapshotFileCommit(Some(line), rows)
     }
   }

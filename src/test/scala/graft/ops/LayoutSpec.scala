@@ -528,6 +528,58 @@ class LayoutSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("multi-column stats: statsCol=\"id,v\" records positional " +
+      "ranges; pruning and metadata aggregates work on EITHER column; " +
+      "a different column LIST (or order) aborts the append") {
+    val t = java.nio.file.Files.createTempDirectory("graft-mcol")
+      .toString
+    // two files, disjoint on BOTH columns: ids [0,9]/v [0,27] and
+    // ids [10,19]/v [30,57]
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").withColumn("v", col("id") * 3)
+        .coalesce(1), t, statsCol = "id,v")
+    Layout.appendSnapshot(
+      spark.range(10L, 20L).toDF("id").withColumn("v", col("id") * 3)
+        .coalesce(1), t, statsCol = "id,v")
+    assert(Layout.snapshotStatsCols(spark, t) == Seq("id", "v"))
+    // prune on the SECOND column: only the low file read
+    val byV = Layout.readSnapshotPruned(spark, t, "v", 0L, 20L)
+    assert(byV.count() == 7) // v in {0,3,...,18}
+    assert(byV.select(input_file_name()).distinct().count() == 1)
+    // prune on the first column still works
+    assert(Layout.readSnapshotPruned(spark, t, "id", 15L, 19L)
+      .select(input_file_name()).distinct().count() == 1)
+    // the DSv2 source pushes bounds on BOTH columns: a v-filter plans
+    // one partition
+    val srcV = spark.read.format("graft-snapshot").load(t)
+      .filter(col("v") >= 30L)
+    assert(srcV.rdd.getNumPartitions == 1)
+    assert(srcV.count() == 10)
+    // metadata aggregate on the second column answered from the index
+    val agg = spark.read.format("graft-snapshot").load(t)
+      .agg(min("v"), max("v"), max("id"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("manifest-aggregate"))
+    assert(agg.head().toSeq == Seq(0L, 57L, 19L))
+    // a different LIST (here: different order) is a different index —
+    // positions are meaning-bearing, so the append must abort
+    val e = intercept[IllegalArgumentException](
+      Layout.appendSnapshot(
+        spark.range(20L, 30L).toDF("id").withColumn("v", col("id") * 3)
+          .coalesce(1), t, statsCol = "v,id"))
+    assert(e.getMessage.contains("one manifest carries one"))
+    // the file-pruned merge keys on the SECOND column too (positional):
+    // only the low file (v range [0,27]) is touched
+    val preMerge = Layout.snapshotInfo(spark, t).get.files.toSet
+    Layout.mergeSnapshot(spark, t,
+      Seq((99L, 15L, "u")).toDF("id", "v", "op"), "v", "op")
+    val postMerge = Layout.snapshotInfo(spark, t).get.files.toSet
+    assert((preMerge & postMerge).size == 1) // high file carried by name
+    val head = Layout.readSnapshot(spark, t)
+    assert(head.count() == 20)
+    assert(head.filter(col("v") === 15L).head().getLong(0) == 99L)
+  }
+
   private def headFiles(t: String): Set[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dataDir = new org.apache.hadoop.fs.Path(t, "data")
