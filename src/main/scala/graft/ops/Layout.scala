@@ -351,7 +351,8 @@ object Layout {
 
   private def isMetaLine(l: String): Boolean =
     l.startsWith("tag:") || l.startsWith("schema:") ||
-      l.startsWith("statscol:") || l.startsWith("statscols:")
+      l.startsWith("statscol:") || l.startsWith("statscols:") ||
+      l.startsWith("changes:")
 
   // Render a (name, per-column stats) manifest entry back to its file
   // line — the inverse of [[statsOf]]' parse. One pair of fields per
@@ -444,7 +445,8 @@ object Layout {
   private[graft] final case class ManifestInfo(rows: Long,
       statLines: Seq[String], files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      statsCols: Seq[String], tag: Option[String]) {
+      statsCols: Seq[String], tag: Option[String],
+      changes: Seq[String] = Nil) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -482,7 +484,9 @@ object Layout {
       .getOrElse(Nil)
     ManifestInfo(lines(1).toLong, body, body.map(_.split('|').head),
       schema, cols,
-      meta.find(_.startsWith("tag:")).map(_.stripPrefix("tag:")))
+      meta.find(_.startsWith("tag:")).map(_.stripPrefix("tag:")),
+      meta.filter(_.startsWith("changes:"))
+        .map(_.stripPrefix("changes:")))
   }
 
   // Manifest file lines are "name" or "name|lo|hi" when the commit
@@ -812,7 +816,10 @@ object Layout {
       writeSchema: org.apache.spark.sql.types.StructType, tag: String,
       carryPrevious: Boolean, statsCol: String,
       expectedBase: Int, tok: String,
-      dropFiles: Set[String] = Set.empty, dropRows: Long = 0L): Int = {
+      dropFiles: Set[String] = Set.empty, dropRows: Long = 0L,
+      extraMeta: Seq[String] = Nil): Int = {
+    require(extraMeta.forall(isMetaLine),
+      "commitStagedLines: extraMeta must be recognized metadata lines")
     require(dropFiles.isEmpty || carryPrevious,
       "commitStagedLines: dropFiles is a carry-forward rewrite rule")
     val (fs, root, _) = fsOf(spark, path)
@@ -903,7 +910,7 @@ object Layout {
         try out.write(
           (Seq("graft-snap v1", (prevRows + rows).toString) ++
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
-            statsColLine.toSeq ++
+            statsColLine.toSeq ++ extraMeta ++
             (prevLines ++ nameLines))
             .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
@@ -1080,19 +1087,25 @@ object Layout {
     *    commit's rows. Callers retry by re-invoking. */
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
-      opCol: String, expectedBase: Int = -1): Int =
+      opCol: String, expectedBase: Int = -1,
+      changeFeed: Boolean = false): Int =
     mergeSnapshotStaged(spark, path, source, keyCol, opCol,
-      expectedBase, () => ())
+      expectedBase, () => (), changeFeed)
 
   /** [[mergeSnapshot]] with a test seam: `onStaged` runs after the
     * rewrite is staged and before the commit loop — the window where a
     * concurrent commit interleaves — so the re-base/abort conflict
     * rules are exercised DETERMINISTICALLY in specs instead of by
-    * thread timing. Production callers use [[mergeSnapshot]]. */
+    * thread timing. Production callers use [[mergeSnapshot]].
+    * `changeFeed` additionally records the merge's row-level changes
+    * ([[rowDiff]] of the touched files' old rows vs their rewrite —
+    * O(touched + delta), same as the merge itself) as change files the
+    * `readChangeFeed` streaming source serves. */
   private[graft] def mergeSnapshotStaged(
       spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
-      opCol: String, expectedBase: Int, onStaged: () => Unit): Int = {
+      opCol: String, expectedBase: Int, onStaged: () => Unit,
+      changeFeed: Boolean = false): Int = {
     val (fs, root, conf) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
@@ -1198,6 +1211,10 @@ object Layout {
       if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
     val (newLines, stagedRows) = stageDataFiles(
       packed, fs, root, dataDir, conf, statsColsStr, tok)
+    val changeLines =
+      if (changeFeed) stageChangeFiles(
+        rowDiff(touchedDf, rewrite, keyCol), fs, root, tok)
+      else Nil
     onStaged()
 
     // Commit, conditional on the base — with the bounded self-rebase
@@ -1211,7 +1228,8 @@ object Layout {
         return commitStagedLines(spark, path, newLines, stagedRows,
           rewrite.schema, tag = null, carryPrevious = true,
           statsCol = statsColsStr, expectedBase = base,
-          tok = tok, dropFiles = touchedSet, dropRows = dropRows)
+          tok = tok, dropFiles = touchedSet, dropRows = dropRows,
+          extraMeta = changeLines)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -1237,6 +1255,118 @@ object Layout {
       }
     }
     -1 // unreachable: the loop exits only by return or throw
+  }
+
+  /** Row-level diff of two relations with the SAME columns, keyed by
+    * `keyCol` — the change-feed generator: emits `_op` = 'removed'
+    * (key only in `oldDf`, old row), 'changed' (both, any column
+    * differs — new row), 'added' (key only in `newDf`, new row);
+    * identical rows emit nothing. ONE full-outer join on the key;
+    * content equality is an md5 over the canonical JSON of the row
+    * struct (column order fixed by sorting names), so wide payloads
+    * compare without N per-column predicates. */
+  private[graft] def rowDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = oldDf.columns.sorted.toSeq
+    require(newDf.columns.sorted.toSeq == cols,
+      s"rowDiff: column sets differ: ${oldDf.columns.mkString(",")} " +
+        s"vs ${newDf.columns.mkString(",")}")
+    def packed(df: DataFrame, side: String) = df.select(
+      col(keyCol).as(s"__${side}_key"),
+      struct(cols.map(col): _*).as(s"__${side}_row"),
+      md5(to_json(struct(cols.map(col): _*))).as(s"__${side}_dig"))
+    val o = packed(oldDf, "o")
+    val n = packed(newDf, "n")
+    val joined = o.join(n, col("__o_key") === col("__n_key"),
+      "full_outer")
+    val op = when(col("__o_dig").isNull, lit("added"))
+      .when(col("__n_dig").isNull, lit("removed"))
+      .when(col("__o_dig") =!= col("__n_dig"), lit("changed"))
+    val pick = when(op === "removed", col("__o_row"))
+      .otherwise(col("__n_row"))
+    joined.filter(op.isNotNull)
+      .select((cols.map(c => pick.getField(c).as(c)) :+
+        op.as("_op")): _*)
+  }
+
+  /** Stage a change-feed relation (table columns + `_op`) under the
+    * table's `changes/` dir and return the `changes:` meta lines that
+    * publish it on a manifest. Change files are side metadata: never
+    * part of the table image, read only by change-feed consumers, and
+    * vacuumed with the manifest that references them. */
+  private def stageChangeFiles(changes: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tok: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(root, "changes")
+    fs.mkdirs(dir)
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok-cdf")
+    changes.write.mode("overwrite").parquet(stage.toString)
+    val lines = fs.listStatus(stage).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      .filter(_.getLen > 0).map { st =>
+        val nm = s"c$tok-${st.getPath.getName}"
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, nm))
+        s"changes:$nm"
+      }.toSeq.sorted
+    fs.delete(stage, true)
+    lines
+  }
+
+  /** The RECORDED change feed of commit `id` (table columns + `_op`),
+    * or None when that commit recorded none — append commits need no
+    * recording (their changes ARE the new files, op 'added'); see
+    * the `graft-snapshot` source's `readChangeFeed` option for the
+    * streaming surface. */
+  private[graft] def changeFeedOf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      id: Int): Option[DataFrame] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val p = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "snapshots"),
+      f"snapshot-$id%05d.txt")
+    require(fs.exists(p), s"changeFeedOf: snapshot $id not at $path")
+    val info = parseManifest(fs, p)
+    if (info.changes.isEmpty) None
+    else {
+      val dir = new org.apache.hadoop.fs.Path(root, "changes")
+      Some(spark.read.parquet(info.changes.map(c =>
+        new org.apache.hadoop.fs.Path(dir, c).toString): _*))
+    }
+  }
+
+  /** CHANGE-FEED planning for the `readChangeFeed` streaming source:
+    * for every commit in `(fromId, toId]`, the files a consumer reads
+    * and the constant `_op` to synthesize (None = the file is a
+    * RECORDED change file under changes/ carrying its own `_op`
+    * column). Append commits need no recording — their changes ARE
+    * the new data files, op 'added'; a rewrite commit without
+    * recorded changes emits its whole new image as 'added' (the
+    * reprocess-on-rewrite convention of [[readSnapshotChanges]]).
+    * Driver-side manifest metadata only. */
+  private[graft] def changeFeedPlan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      fromId: Int, toId: Int): Seq[(String, Option[String])] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val changesDir = new org.apache.hadoop.fs.Path(root, "changes")
+    def infoOf(id: Int) = parseManifest(fs,
+      new org.apache.hadoop.fs.Path(snapsDir, f"snapshot-$id%05d.txt"))
+    (fromId + 1 to toId).flatMap { id =>
+      val info = infoOf(id)
+      if (info.changes.nonEmpty)
+        info.changes.map(c => (fs.makeQualified(
+          new org.apache.hadoop.fs.Path(changesDir, c)).toString,
+          None))
+      else {
+        val prev =
+          if (id == 1) Set.empty[String] else infoOf(id - 1).files.toSet
+        (info.files.toSet -- prev).toSeq.sorted.map(f =>
+          (fs.makeQualified(
+            new org.apache.hadoop.fs.Path(dataDir, f)).toString,
+            Some("added")))
+      }
+    }
   }
 
   /** Incremental snapshot consumption — the rows introduced between
@@ -1440,9 +1570,15 @@ object Layout {
     * from kept manifests' reference sets, never file age. Idempotent:
     * restoring to an image identical to the current head returns the
     * head unchanged with NO empty commit. Loud on a vacuumed or
-    * never-committed `toId`. Returns the new (or unchanged) head id. */
+    * never-committed `toId`. Returns the new (or unchanged) head id.
+    *
+    * `changeFeedKey` (optional): record the restore's row-level
+    * changes keyed by that column — the inverse of whatever the rolled-
+    * back commits did, computed as [[rowDiff]](head image, target
+    * image). This is the one restore path that READS data (both
+    * images); leave it null for the pure-metadata restore. */
   def restoreSnapshot(spark: org.apache.spark.sql.SparkSession,
-      path: String, toId: Int): Int = {
+      path: String, toId: Int, changeFeedKey: String = null): Int = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val p = new org.apache.hadoop.fs.Path(snapsDir,
@@ -1461,6 +1597,13 @@ object Layout {
     val schema = info.schema.getOrElse(
       throw new IllegalStateException(
         s"restoreSnapshot: snapshot $toId records no schema"))
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val changeLines =
+      if (changeFeedKey == null) Nil
+      else stageChangeFiles(
+        rowDiff(readSnapshot(spark, path, head),
+          readSnapshot(spark, path, toId), changeFeedKey),
+        fs, root, tok)
     // CONDITIONAL on the head the restore decision was made against:
     // a concurrent append interleaving between the head read and the
     // claim would be silently excluded by an unconditional replace, so
@@ -1471,7 +1614,7 @@ object Layout {
       statsCol =
         if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
       expectedBase = head,
-      tok = java.util.UUID.randomUUID().toString.take(8))
+      tok = tok, extraMeta = changeLines)
   }
 
   /** Retention: keep the newest `keepLast` snapshots, drop older
@@ -1512,12 +1655,17 @@ object Layout {
       // just-committed manifest
       var manifests = listManifests()
       var referenced = Set.empty[String]
+      var referencedChanges = Set.empty[String]
       var stable = false
       var rounds = 0
       while (!stable) {
-        referenced = manifests.drop(
-          math.max(0, manifests.length - keepLast)).flatMap {
-          case (_, st) => readManifest(fs, st.getPath)._2
+        val kept = manifests.drop(
+          math.max(0, manifests.length - keepLast))
+        referenced = kept.flatMap { case (_, st) =>
+          readManifest(fs, st.getPath)._2
+        }.toSet
+        referencedChanges = kept.flatMap { case (_, st) =>
+          parseManifest(fs, st.getPath).changes
         }.toSet
         val again = listManifests()
         stable = again.map(_._1).sameElements(manifests.map(_._1))
@@ -1535,6 +1683,14 @@ object Layout {
         st.isFile && !referenced.contains(st.getPath.getName) &&
           st.getModificationTime <= cutoff
       }.map { st => fs.delete(st.getPath, false); 1 }.sum
+      // change-feed files of dropped manifests (side metadata, never
+      // in `referenced`) — same kept-references-only retention rule
+      val changesDir = new org.apache.hadoop.fs.Path(root, "changes")
+      if (fs.exists(changesDir)) fs.listStatus(changesDir).foreach { st =>
+        if (st.isFile && !referencedChanges.contains(st.getPath.getName)
+            && st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, false)
+      }
       // crash-leftover stage dirs (a writer that died before abort, or
       // a streaming query's stage dir after the query stopped) — never
       // referenced by any manifest, swept by the same age guard

@@ -2746,7 +2746,85 @@ object CdcQueries {
       """WITH b AS (SELECT max(doc_id) // 2 AS half FROM documents)
         |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents, b WHERE doc_id <= b.half
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin)),
+
+    // st22 — STREAMING CHANGE FEED on the snapshot table
+    // (`option("readChangeFeed", true)`): instead of reprocessing a
+    // rewrite commit's whole image, each micro-batch emits TYPED
+    // row-level changes — `_op` ∈ added/changed/removed. Appends
+    // synthesize 'added' from their new files (no recording needed);
+    // merge and restore commits record their row diff at commit time
+    // (Layout.rowDiff — O(touched + delta) for the merge) as change
+    // files the manifest references, exactly Delta's CDF shape. One
+    // run consumes append → merge → restore as three micro-batches
+    // (admission control: one commit per trigger); the oracle
+    // predicts every (doc_id, op, batch_id, n_chars) row statically —
+    // including the restore batch being the INVERSE of the merge
+    // (deletes come back as 'added', updates revert as 'changed',
+    // inserts leave as 'removed'). tt3 graded the batch CDF surface;
+    // this grades the streaming one plus commit-time recording.
+    QueryDef("st22_change_feed_stream", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = Files.createTempDirectory("graft-st22").toString
+      val out = Files.createTempDirectory("graft-st22-out").toString
+      graft.ops.Layout.appendSnapshot(docs, t)          // snapshot 1
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      graft.ops.Layout.mergeSnapshot(spark, t, changes, "doc_id",
+        "op", changeFeed = true)                        // snapshot 2
+      graft.ops.Layout.restoreSnapshot(spark, t, 1,
+        changeFeedKey = "doc_id")                       // snapshot 3
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true")
+        .option("maxSnapshotsPerTrigger", "1")
+        .load(t)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st22-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("_op").as("op"),
+          col("batch_id"), col("n_chars"))
+        .orderBy("doc_id", "batch_id")
+    }, Some(
+      """SELECT doc_id, op, CAST(batch_id AS BIGINT) AS batch_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars FROM (
+        |  SELECT doc_id, 'added' AS op, 0 AS batch_id, n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'removed', 1, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed', 1, n_chars + 1000 FROM documents
+        |  WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added', 1, n_chars FROM documents
+        |  WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'added', 2, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed', 2, n_chars FROM documents
+        |  WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'removed', 2, n_chars
+        |  FROM documents WHERE doc_id % 10 = 2)
+        |ORDER BY doc_id, batch_id""".stripMargin))
   )
 
   private def st13OracleSql: String =

@@ -65,11 +65,16 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
   // table would fail trying to infer a schema no commit has recorded.
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Layout.snapshotSchema(SparkSession.active, path(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Layout.snapshotSchema(SparkSession.active, path(options))
       .getOrElse(throw new IllegalArgumentException(
         s"graft-snapshot: no committed snapshot at ${path(options)} to " +
           "infer a schema from (commit first, or pass .schema(...))"))
+    // change-feed reads carry the typed-op column on every row
+    if (options.getBoolean("readChangeFeed", false))
+      base.add(StructField("_op", StringType, nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -302,7 +307,8 @@ final class GraftSnapshotScanBuilder(path: String,
       new SnapshotMicroBatchStream(path, required,
         Option(options.get("startingSnapshot")).map(_.toInt).getOrElse(0),
         math.max(1, Option(options.get("maxSnapshotsPerTrigger"))
-          .map(_.toInt).getOrElse(1)))
+          .map(_.toInt).getOrElse(1)),
+        options.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -344,7 +350,8 @@ final case class SnapshotOffset(id: Int) extends rstreaming.Offset {
 }
 
 final class SnapshotMicroBatchStream(path: String, schema: StructType,
-    startingSnapshot: Int, maxPerTrigger: Int)
+    startingSnapshot: Int, maxPerTrigger: Int,
+    changeFeed: Boolean = false)
     extends rstreaming.MicroBatchStream
     with rstreaming.SupportsAdmissionControl {
 
@@ -376,6 +383,13 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
     val s = start.asInstanceOf[SnapshotOffset].id
     val e = end.asInstanceOf[SnapshotOffset].id
     if (e <= s) Array.empty
+    else if (changeFeed)
+      // per-commit plan: recorded change files (own _op column) for
+      // merge/restore commits, new data files with synthesized
+      // op='added' for appends
+      Layout.changeFeedPlan(spark, path, s, e).map { case (f, op) =>
+        SnapshotFilePartition(f, op.orNull): InputPartition
+      }.toArray
     else Layout.changedFilePaths(spark, path, s, e)
       .map(SnapshotFilePartition(_): InputPartition).toArray
   }
@@ -387,7 +401,12 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
   override def stop(): Unit = ()
 }
 
-final case class SnapshotFilePartition(file: String) extends InputPartition
+/** One data (or recorded-change) file to read. `op` (change-feed
+  * batches only): the constant `_op` to synthesize for every row —
+  * null when the file carries its own `_op` column or the scan is a
+  * plain table read. */
+final case class SnapshotFilePartition(file: String, op: String = null)
+    extends InputPartition
 
 object SnapshotFileReaderFactory {
   private[sources] val supported: Set[DataType] = Set(LongType,
@@ -418,6 +437,7 @@ final class SnapshotFileReaderFactory(schema: StructType,
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
+    val opConst = p.asInstanceOf[SnapshotFilePartition].op
     // per-reader COPY: PARQUET_READ_SCHEMA is set below, and the
     // broadcast value is shared by every task on the executor
     val conf =
@@ -454,9 +474,13 @@ final class SnapshotFileReaderFactory(schema: StructType,
             // -1 = the file PREDATES this column (append-time schema
             // evolution): null-fill, matching Layout.readSnapshot's
             // recorded-union-schema read; -2 = the `_file` metadata
-            // column, synthesized from the partition's path
+            // column, synthesized from the partition's path; -3 = a
+            // change-feed `_op` the file doesn't carry, synthesized
+            // from the partition's constant (an append batch)
             idx = schema.fields.map(f =>
               if (f.name == "_file") -2
+              else if (f.name == "_op" && opConst != null &&
+                  !g.getType.containsField(f.name)) -3
               else if (g.getType.containsField(f.name))
                 g.getType.getFieldIndex(f.name)
               else -1)
@@ -465,6 +489,7 @@ final class SnapshotFileReaderFactory(schema: StructType,
           while (i < schema.length) {
             vals(i) =
               if (idx(i) == -2) UTF8String.fromString(file)
+              else if (idx(i) == -3) UTF8String.fromString(opConst)
               else if (idx(i) < 0 ||
                   g.getFieldRepetitionCount(idx(i)) == 0)
                 null

@@ -580,6 +580,54 @@ class LayoutSpec extends SparkSpec {
     assert(head.filter(col("v") === 15L).head().getLong(0) == 99L)
   }
 
+  test("change feed recording: identical upserts emit nothing, the " +
+      "recorded diff is exact, and vacuum retires change files with " +
+      "their manifest") {
+    val t = java.nio.file.Files.createTempDirectory("graft-cdf")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t, statsCol = "id")
+    // delta: delete 1, update 2 (changed), "update" 3 to the SAME
+    // value (must emit NOTHING — a no-op upsert is not a change),
+    // insert 50
+    Layout.mergeSnapshot(spark, t,
+      Seq((1L, 1L, "d"), (2L, 222L, "u"), (3L, 3L, "u"),
+        (50L, 50L, "c")).toDF("id", "v", "op"),
+      "id", "op", changeFeed = true)
+    val feed = Layout.changeFeedOf(spark, t, 2).get
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+        r.getAs[String]("_op"))).toSeq
+    assert(feed == Seq((1L, 1L, "removed"), (2L, 222L, "changed"),
+      (50L, 50L, "added")))
+    // append commits record nothing (their changes ARE the new files)
+    Layout.appendSnapshot(
+      spark.range(100L, 105L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t)
+    assert(Layout.changeFeedOf(spark, t, 3).isEmpty)
+    // restore CDF = the inverse of the rolled-back commits
+    Layout.restoreSnapshot(spark, t, 1, changeFeedKey = "id")
+    val back = Layout.changeFeedOf(spark, t, 4).get
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_op"))).toSeq
+    assert(back == Seq((1L, "added"), (2L, "changed"),
+      (50L, "removed"), (100L, "removed"), (101L, "removed"),
+      (102L, "removed"), (103L, "removed"), (104L, "removed")))
+    // vacuum to the head only: the merge's change files are retired
+    // with its manifest; the kept head's change files survive
+    val conf = spark.sessionState.newHadoopConf()
+    val changesDir = new org.apache.hadoop.fs.Path(t, "changes")
+    val fs = changesDir.getFileSystem(conf)
+    val beforeSweep = fs.listStatus(changesDir).length
+    assert(beforeSweep >= 2) // merge's + restore's change files
+    Layout.vacuum(spark, t, keepLast = 1)
+    val keptChanges = fs.listStatus(changesDir)
+      .map(_.getPath.getName).toSet
+    assert(keptChanges.nonEmpty) // head (restore) keeps its feed
+    assert(Layout.changeFeedOf(spark, t, 4).get.count() == 8)
+  }
+
   private def headFiles(t: String): Set[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dataDir = new org.apache.hadoop.fs.Path(t, "data")
