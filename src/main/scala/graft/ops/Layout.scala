@@ -352,7 +352,7 @@ object Layout {
   private def isMetaLine(l: String): Boolean =
     l.startsWith("tag:") || l.startsWith("schema:") ||
       l.startsWith("statscol:") || l.startsWith("statscols:") ||
-      l.startsWith("changes:")
+      l.startsWith("changes:") || l.startsWith("partcols:")
 
   // Render a (name, per-column stats) manifest entry back to its file
   // line — the inverse of [[statsOf]]' parse. One pair of fields per
@@ -446,7 +446,7 @@ object Layout {
       statLines: Seq[String], files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       statsCols: Seq[String], tag: Option[String],
-      changes: Seq[String] = Nil) {
+      changes: Seq[String] = Nil, partCols: Seq[String] = Nil) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -486,7 +486,25 @@ object Layout {
       schema, cols,
       meta.find(_.startsWith("tag:")).map(_.stripPrefix("tag:")),
       meta.filter(_.startsWith("changes:"))
-        .map(_.stripPrefix("changes:")))
+        .map(_.stripPrefix("changes:")),
+      meta.find(_.startsWith("partcols:"))
+        .map(_.stripPrefix("partcols:").split(',').toSeq)
+        .getOrElse(Nil))
+  }
+
+  /** Hive-style partition columns recorded on the snapshot's manifest
+    * (latest when `asOf` is -1) — the sink's directory-layout rule and
+    * the source's directory-pruning handle. */
+  private[graft] def snapshotPartCols(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Seq[String] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val id = if (asOf >= 0) asOf else headId(spark, path)
+    val p = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$id%05d.txt")
+    if (id == 0 || !fs.exists(p)) Nil
+    else parseManifest(fs, p).partCols
   }
 
   // Manifest file lines are "name" or "name|lo|hi" when the commit
@@ -549,7 +567,8 @@ object Layout {
     * metadata only. */
   private[graft] def snapshotFileStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      asOf: Int = -1): Seq[(String, Seq[Option[(Long, Long)]])] = {
+      asOf: Int = -1)
+      : Seq[(String, String, Seq[Option[(Long, Long)]])] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
@@ -558,7 +577,7 @@ object Layout {
     readManifestStats(fs, new org.apache.hadoop.fs.Path(snapsDir,
         f"snapshot-$id%05d.txt"))
       .map { case (n, r) => (fs.makeQualified(
-        new org.apache.hadoop.fs.Path(dataDir, n)).toString, r) }
+        new org.apache.hadoop.fs.Path(dataDir, n)).toString, n, r) }
   }
 
   /** The FULLY parsed manifest of snapshot `asOf` (-1 = head) — one
@@ -817,7 +836,8 @@ object Layout {
       carryPrevious: Boolean, statsCol: String,
       expectedBase: Int, tok: String,
       dropFiles: Set[String] = Set.empty, dropRows: Long = 0L,
-      extraMeta: Seq[String] = Nil): Int = {
+      extraMeta: Seq[String] = Nil,
+      partCols: Seq[String] = Nil): Int = {
     require(extraMeta.forall(isMetaLine),
       "commitStagedLines: extraMeta must be recognized metadata lines")
     require(dropFiles.isEmpty || carryPrevious,
@@ -863,7 +883,8 @@ object Layout {
         // statsCol carries the head's recorded column (its files just
         // have no ranges); recording ranges for a DIFFERENT column than
         // the carried history's aborts — one manifest, one index.
-        val (prevRows, prevLines, schemaLine, statsColLine) =
+        val (prevRows, prevLines, schemaLine, statsColLine,
+            partColLine) =
           if (carryPrevious && head > 0) {
             val m = parseManifest(fs, new org.apache.hadoop.fs.Path(
               snapsDir, f"snapshot-$head%05d.txt"))
@@ -895,22 +916,40 @@ object Layout {
                 case (prior, mine) =>
                   if (mine.nonEmpty) mine else prior
               }
+            // partition layout is sticky the same way: a writer that
+            // declares a DIFFERENT directory layout than the carried
+            // history aborts (mixed layouts would defeat pruning)
+            val effectiveParts = (m.partCols, partCols) match {
+              case (prior, mine) if prior.nonEmpty && mine.nonEmpty =>
+                require(prior == mine,
+                  s"appendSnapshot: table is partitioned by " +
+                    s"'${prior.mkString(",")}' but this write " +
+                    s"declares '${mine.mkString(",")}' — one manifest " +
+                    "carries one partition layout")
+                prior
+              case (prior, mine) =>
+                if (mine.nonEmpty) mine else prior
+            }
             // carry the RAW file lines so earlier commits'
             // data-skipping stats survive an append
             val kept =
               if (dropFiles.isEmpty) m.statLines
               else m.statLines.filterNot(l => dropFiles(l.split('|').head))
             (m.rows - dropRows, kept, "schema:" + merged.json,
-              statsColsLine(effectiveStats))
+              statsColsLine(effectiveStats),
+              Option(effectiveParts).filter(_.nonEmpty)
+                .map("partcols:" + _.mkString(",")))
           } else (0L, Seq.empty[String], "schema:" + writeSchema.json,
-            statsColsLine(statsColsOf(statsCol)))
+            statsColsLine(statsColsOf(statsCol)),
+            Option(partCols).filter(_.nonEmpty)
+              .map("partcols:" + _.mkString(",")))
         val tmp = new org.apache.hadoop.fs.Path(snapsDir,
           s".tmp-$tok-$attempt")
         val out = fs.create(tmp, true)
         try out.write(
           (Seq("graft-snap v1", (prevRows + rows).toString) ++
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
-            statsColLine.toSeq ++ extraMeta ++
+            statsColLine.toSeq ++ partColLine.toSeq ++ extraMeta ++
             (prevLines ++ nameLines))
             .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()

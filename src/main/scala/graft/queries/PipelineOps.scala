@@ -3754,6 +3754,44 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // PARTITIONED snapshot writes ([[graft.sources.SnapshotWrite]]
+    // honoring `partitionBy`): the sink requires a clustered
+    // distribution on the partition columns, so each lang lands in
+    // exactly ONE task → one file per lang under its Hive-style
+    // `lang=<value>/` directory, with partition values recorded in
+    // the manifest file paths. An equality read prunes DIRECTORIES
+    // from the manifest before stats — partitions_planned pinned to 1
+    // in the hash — and files_total is pinned to the distinct-lang
+    // count (one file per value, the layout contract). Values stay in
+    // the files too, so the residual filter keeps answers exact.
+    QueryDef.views("tt14_partitioned_write",
+      """WITH m AS (SELECT min(lang) AS l FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_planned,
+        |  (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+        |   FROM documents) AS files_total
+        |FROM documents, m WHERE lang = m.l
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt14")
+        .toString
+      docs.write.format("graft-snapshot").partitionBy("lang")
+        .option("statsCol", "doc_id").mode("append").save(t)
+      val minLang = docs.agg(min("lang")).head().getString(0)
+      val pruned = spark.read.format("graft-snapshot").load(t)
+        .filter(col("lang") === minLang)
+      val planned = pruned.rdd.getNumPartitions.toLong
+      val filesTotal =
+        Layout.snapshotInfo(spark, t).get.files.size.toLong
+      pruned
+        .withColumn("partitions_planned", lit(planned))
+        .withColumn("files_total", lit(filesTotal))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("partitions_planned"), col("files_total"))
+        .orderBy("doc_id")
+    },
+
     // MULTI-COLUMN data-skipping index (statsCol = "doc_id,n_chars"):
     // per-file [min, max] is recorded POSITIONALLY for every indexed
     // column, so pushdown prunes on whichever column a predicate

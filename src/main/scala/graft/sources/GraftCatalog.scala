@@ -106,36 +106,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema = Layout.snapshotSchema(spark, path, asOf).getOrElse(
       throw new NoSuchTableException(
         (name() +: ident.namespace :+ ident.name).toSeq))
+    val sc = Layout.snapshotStatsCols(spark, path)
     new GraftCatalogTable(path, schema, asOf,
-      Layout.snapshotStatsCol(spark, path))
+      if (sc.isEmpty) None else Some(sc.mkString(",")),
+      Layout.snapshotPartCols(spark, path))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "GraftCatalog: PARTITIONED BY is not supported — use the " +
-        "statsCol table property for file-level data skipping")
+    // PARTITIONED BY (identity columns only) → the Hive-style
+    // directory layout every write follows and reads prune on
+    val partCols = GraftSnapshotTable.identityCols(partitions)
     SnapshotFileReaderFactory.validate(schema)
     val f = fs()
     val dir = tableDir(ident)
     if (isTable(f, dir))
       throw new TableAlreadyExistsException(
         (name() +: ident.namespace :+ ident.name).toSeq)
-    // snapshot 1 = a zero-file manifest carrying the declared schema:
-    // the table is immediately readable as empty, and the schema needs
-    // no metastore — it lives where every other commit records it
+    // snapshot 1 = a zero-file manifest carrying the declared schema
+    // (plus the index and partition layout): the table is immediately
+    // readable as empty, and none of it needs a metastore — it lives
+    // where every other commit records it
     val statsCol = properties.get("statsCol")
     Option(statsCol).toSeq.flatMap(_.split(',')).map(_.trim)
       .filter(_.nonEmpty).foreach { c =>
         require(schema.fieldNames.contains(c),
           s"GraftCatalog: statsCol '$c' is not a table column")
       }
-    Layout.commitSnapshot(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      dir.toString, statsCol = statsCol)
-    new GraftCatalogTable(dir.toString, schema, -1, Option(statsCol))
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"GraftCatalog: partition column '$c' is not a table column"))
+    Layout.commitStagedLines(spark, dir.toString, Nil, 0L, schema,
+      tag = null, carryPrevious = false, statsCol = statsCol,
+      expectedBase = -1,
+      tok = java.util.UUID.randomUUID().toString.take(8),
+      partCols = partCols)
+    new GraftCatalogTable(dir.toString, schema, -1, Option(statsCol),
+      partCols)
   }
 
   override def alterTable(ident: Identifier,
@@ -237,15 +244,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * `.option(...)` surface, and the data-skipping index must not
   * silently stop being recorded when writes arrive via SQL). */
 class GraftCatalogTable(path: String, tableSchema: StructType,
-    asOf: Int, statsCol: Option[String])
-    extends GraftSnapshotTable(path, tableSchema, asOf)
+    asOf: Int, statsCol: Option[String],
+    catalogPartCols: Seq[String] = Nil)
+    extends GraftSnapshotTable(path, tableSchema, asOf,
+      catalogPartCols)
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(path, GraftCatalogTable.withStats(
-      info, statsCol))
+      info, statsCol), catalogPartCols)
 
   /** SQL MERGE INTO / UPDATE / DELETE — the group-based copy-on-write
     * protocol over the manifest commit (see [[GraftRowLevelOperation]]:
@@ -254,7 +263,7 @@ class GraftCatalogTable(path: String, tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new GraftRowLevelOperation(path, tableSchema, statsCol,
-      info.command())
+      info.command(), catalogPartCols)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetadataColumn)

@@ -36,7 +36,8 @@ import graft.ops.Layout
   * the group identity the whole protocol keys on. */
 final class GraftRowLevelOperation(path: String,
     tableSchema: StructType, statsCol: Option[String],
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    partCols: Seq[String] = Nil) extends RowLevelOperation {
 
   // scan → write handshake, set when the (runtime-filtered) scan plans
   // its partitions: the ABSOLUTE paths of the files being replaced and
@@ -59,7 +60,7 @@ final class GraftRowLevelOperation(path: String,
     new WriteBuilder {
       override def build(): Write =
         new GraftReplaceDataWrite(GraftRowLevelOperation.this, path,
-          info, statsCol)
+          info, statsCol, partCols)
     }
 }
 
@@ -128,7 +129,8 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
   * then commits carry-forward with `dropFiles` = the scanned files —
   * the OPTIMIZE commit shape, conditional on the scanned snapshot. */
 final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
-    path: String, info: LogicalWriteInfo, statsCol: Option[String])
+    path: String, info: LogicalWriteInfo, statsCol: Option[String],
+    partCols: Seq[String])
     extends Write {
   SnapshotFileReaderFactory.validate(info.schema())
 
@@ -149,7 +151,8 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
       fs.mkdirs(stage)
       SnapshotWriterFactory(fs.makeQualified(stage).toString,
-        info.schema(), statsCol, tok, SnapshotHadoopConf.broadcast())
+        info.schema(), statsCol, partCols, tok,
+        SnapshotHadoopConf.broadcast())
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -160,28 +163,33 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       fs.mkdirs(dataDir)
       val conf = spark.sessionState.newHadoopConf()
       val msgs = messages.collect { case m: SnapshotFileCommit => m }
-      val dropped = op.plannedFiles.map(p =>
-        new org.apache.hadoop.fs.Path(p))
+      // dropFiles speaks MANIFEST-relative names (which include any
+      // `col=value/` partition subpath), so strip the qualified data
+      // dir from the scanned absolute paths
+      val dataDirQ = fs.makeQualified(dataDir).toString + "/"
+      val dropped = op.plannedFiles
+      val droppedRel = dropped.map(_.stripPrefix(dataDirQ))
       // replaced row count from the dropped files' footers — driver
       // metadata over the touched files only
       val dropRows = dropped.map { p =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(p, conf))
+            .fromPath(new org.apache.hadoop.fs.Path(p), conf))
         try r.getRecordCount finally r.close()
       }.sum
       Layout.withTableLock(spark, path) {
-        msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
-          fs.rename(new org.apache.hadoop.fs.Path(stage, n),
-            new org.apache.hadoop.fs.Path(dataDir, n))
+        msgs.flatMap(_.lines).map(_.split('|').head).foreach { n =>
+          val dest = new org.apache.hadoop.fs.Path(dataDir, n)
+          fs.mkdirs(dest.getParent)
+          fs.rename(new org.apache.hadoop.fs.Path(stage, n), dest)
         }
         Layout.commitStagedLines(spark, path,
-          msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
+          msgs.flatMap(_.lines).sorted.toSeq, msgs.map(_.rows).sum,
           info.schema(), tag = null, carryPrevious = true,
           statsCol = statsCol.orNull,
           expectedBase = op.pinnedSnapshot, tok = tok,
-          dropFiles = dropped.map(_.getName).toSet,
-          dropRows = dropRows)
+          dropFiles = droppedRel.toSet,
+          dropRows = dropRows, partCols = partCols)
       }
       fs.delete(stage, true)
     }

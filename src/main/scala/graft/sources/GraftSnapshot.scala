@@ -78,18 +78,27 @@ class GraftSnapshotProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftSnapshotTable(properties.get("path"), schema)
+    new GraftSnapshotTable(properties.get("path"), schema,
+      partCols = GraftSnapshotTable.identityCols(partitioning))
 }
 
 /** `asOf` (-1 = head) pins every scan of this Table instance to one
   * snapshot id — the catalog's `VERSION AS OF` handle; a per-scan
-  * `asOfSnapshot` option still overrides. */
+  * `asOfSnapshot` option still overrides. `partCols`: Hive-style
+  * identity partition columns (from `partitionBy` / `PARTITIONED BY`)
+  * — the directory layout writes follow and reads prune on. */
 class GraftSnapshotTable(val path: String, tableSchema: StructType,
-    val asOf: Int = -1)
+    val asOf: Int = -1, val partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty,
     "graft-snapshot requires a table root: .load(<path>)")
   SnapshotFileReaderFactory.validate(tableSchema)
+  partCols.foreach(c => require(tableSchema.fieldNames.contains(c),
+    s"graft-snapshot: partition column '$c' is not a table column"))
+
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions
+      .Expressions.identity).toArray
 
   override def name(): String = s"graft-snapshot:$path"
   override def schema(): StructType = tableSchema
@@ -101,10 +110,26 @@ class GraftSnapshotTable(val path: String, tableSchema: StructType,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SnapshotWriteBuilder(path, info)
+    new SnapshotWriteBuilder(path, info, partCols)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSnapshotScanBuilder(path, tableSchema, options, asOf)
+}
+
+object GraftSnapshotTable {
+  /** The identity-transform columns of a declared partitioning; any
+    * non-identity transform (bucket, days, ...) is rejected loudly —
+    * the manifest records plain Hive-style value directories only. */
+  private[sources] def identityCols(
+      partitioning: Array[Transform]): Seq[String] =
+    partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot: unsupported partition transform $other — " +
+          "only identity (plain column) partitioning is supported")
+    }
 }
 
 /** Scan planning with the two pushdowns a metadata-committed table can
@@ -176,6 +201,10 @@ final class GraftSnapshotScanBuilder(path: String,
     case _ => None
   }
 
+  // partition-directory pruning: col -> allowed (URL-encoded) values,
+  // from equality/IN predicates on the table's recorded partcols
+  private var partEq: Seq[(String, Set[String])] = Nil
+
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
     val statsCols =
@@ -184,7 +213,19 @@ final class GraftSnapshotScanBuilder(path: String,
       filters.toSeq.flatMap(f =>
         boundOf(c, f).map { case (lo, hi) => (f, (i, lo, hi)) })
     }
-    accepted = parsed.map(_._1).distinct.toArray
+    val partCols =
+      Layout.snapshotPartCols(SparkSession.active, path, asOf)
+    def enc(v: Any) =
+      java.net.URLEncoder.encode(String.valueOf(v), "UTF-8")
+    val pf = filters.toSeq.flatMap {
+      case f @ sources.EqualTo(c, v) if partCols.contains(c) =>
+        Some((f, (c, Set(enc(v)))))
+      case f @ sources.In(c, vs) if partCols.contains(c) =>
+        Some((f, (c, vs.map(enc).toSet)))
+      case _ => None
+    }
+    partEq = pf.map(_._2)
+    accepted = (parsed.map(_._1) ++ pf.map(_._1)).distinct.toArray
     bounds = parsed.map(_._2)
     filters // ALL residual: file-granular skipping is inexact
   }
@@ -288,8 +329,19 @@ final class GraftSnapshotScanBuilder(path: String,
     override def toBatch: Batch = new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         val spark = SparkSession.active
+        // a file with no `col=value` segment for a filtered column is
+        // kept (an unpartitioned writer's file — conservative)
+        def partKeep(rel: String): Boolean = {
+          lazy val segs = rel.split('/').dropRight(1).flatMap { s =>
+            val i = s.indexOf('=')
+            if (i > 0) Some(s.take(i) -> s.drop(i + 1)) else None
+          }.toMap
+          partEq.forall { case (c, allowed) =>
+            segs.get(c).forall(allowed.contains) }
+        }
         Layout.snapshotFileStats(spark, path, asOf)
-          .filter { case (_, ranges) =>
+          .filter { case (_, rel, ranges) =>
+            partKeep(rel) &&
             bounds.forall { case (i, lo, hi) =>
               ranges.lift(i).flatten.forall { case (flo, fhi) =>
                 fhi >= lo && flo <= hi
@@ -534,7 +586,8 @@ final class SnapshotFileReaderFactory(schema: StructType,
 // metadata. Options: `statsCol` records the per-file range index;
 // `tag` (batch) makes a batch write idempotent under the caller's key.
 final class SnapshotWriteBuilder(path: String,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    declaredPartCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var replaceAll = false
@@ -544,16 +597,54 @@ final class SnapshotWriteBuilder(path: String,
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
     new SnapshotWrite(path, info.schema(), info.queryId(),
-      info.options(), replaceAll)
+      info.options(), replaceAll, declaredPartCols)
 }
 
 final class SnapshotWrite(path: String, writeSchema: StructType,
     queryId: String, options: CaseInsensitiveStringMap,
-    truncate: Boolean)
-    extends org.apache.spark.sql.connector.write.Write {
+    truncate: Boolean, declaredPartCols: Seq[String] = Nil)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
 
   SnapshotFileReaderFactory.validate(writeSchema)
+
+  // Hive-style partition layout: declared (partitionBy / catalog
+  // PARTITIONED BY) wins; otherwise the table's recorded layout is
+  // sticky so plain appends keep following it. Partition values
+  // become path segments, so floats (lossy text) are rejected.
+  private val partCols: Seq[String] =
+    if (declaredPartCols.nonEmpty) declaredPartCols
+    else Layout.snapshotPartCols(SparkSession.active, path)
+  partCols.foreach { c =>
+    require(writeSchema.fieldNames.contains(c),
+      s"graft-snapshot write: partition column '$c' is not a " +
+        "written column")
+    writeSchema(c).dataType match {
+      case LongType | IntegerType | StringType | BooleanType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graft-snapshot write: partition column '$c' has " +
+          s"non-partitionable type ${dt.sql}")
+    }
+  }
+
+  // Cluster input tasks by the partition values so each partition
+  // value lands in ONE task → one file per (task, value) with tight
+  // per-value file counts; unpartitioned writes impose nothing.
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (partCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .clustered(partCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(c): org.apache.spark.sql.connector.expressions
+          .Expression).toArray)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
   private val statsCol = Option(options.get("statsCol"))
   // statsCol accepts a comma list ("c1,c2"): each indexed column must
   // be a written integral column
@@ -596,7 +687,7 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     val (fs, root) = fsOf()
     val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
     messages.collect { case m: SnapshotFileCommit => m }
-      .flatMap(_.line).map(_.split('|').head)
+      .flatMap(_.lines).map(_.split('|').head)
       .foreach(n => fs.delete(
         new org.apache.hadoop.fs.Path(stage, n), false))
   }
@@ -609,20 +700,23 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     fs.mkdirs(dataDir)
     val msgs = messages.collect { case m: SnapshotFileCommit => m }
     // publish: move each task's staged file under data/ (names carry
-    // the write token + epoch + partition — unique), THEN commit the
-    // manifest; a crash between the two leaves orphans, never a torn
-    // table (the snapshotWrite contract). The whole step holds the
-    // table's commit lock so a same-JVM vacuum can't sweep the
-    // just-renamed, not-yet-referenced files.
+    // the write token + epoch + partition — unique; partitioned
+    // writes carry their `col=value/` subpath, created on demand),
+    // THEN commit the manifest; a crash between the two leaves
+    // orphans, never a torn table (the snapshotWrite contract). The
+    // whole step holds the table's commit lock so a same-JVM vacuum
+    // can't sweep the just-renamed, not-yet-referenced files.
     Layout.withTableLock(SparkSession.active, path) {
-      msgs.flatMap(_.line).map(_.split('|').head).foreach { n =>
-        fs.rename(new org.apache.hadoop.fs.Path(stage, n),
-          new org.apache.hadoop.fs.Path(dataDir, n))
+      msgs.flatMap(_.lines).map(_.split('|').head).foreach { n =>
+        val dest = new org.apache.hadoop.fs.Path(dataDir, n)
+        fs.mkdirs(dest.getParent)
+        fs.rename(new org.apache.hadoop.fs.Path(stage, n), dest)
       }
       Layout.commitStagedLines(SparkSession.active, path,
-        msgs.flatMap(_.line).sorted.toSeq, msgs.map(_.rows).sum,
+        msgs.flatMap(_.lines).sorted.toSeq, msgs.map(_.rows).sum,
         writeSchema, tag, carryPrevious = !truncate,
-        statsCol.orNull, expectedBase = -1, tok = tok)
+        statsCol.orNull, expectedBase = -1, tok = tok,
+        partCols = partCols)
     }
     ()
   }
@@ -632,7 +726,7 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
       SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-        statsCol, tok, SnapshotHadoopConf.broadcast())
+        statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       commitLines(tok, messages, batchTag.orNull)
       val (fs, root) = fsOf()
@@ -654,7 +748,7 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
           info: PhysicalWriteInfo): org.apache.spark.sql.connector
           .write.streaming.StreamingDataWriterFactory =
         SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-          statsCol, tok, SnapshotHadoopConf.broadcast())
+          statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
       // epoch replay after a restart re-stages files but the tagged
       // manifest short-circuits: exactly one commit per (query, epoch),
       // replayed stages become vacuum-able orphans. The stage dir is
@@ -703,11 +797,12 @@ object SnapshotHadoopConf {
   }
 }
 
-final case class SnapshotFileCommit(line: Option[String], rows: Long)
+final case class SnapshotFileCommit(lines: Seq[String], rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final case class SnapshotWriterFactory(stageDir: String,
-    schema: StructType, statsCol: Option[String], tok: String,
+    schema: StructType, statsCol: Option[String],
+    partCols: Seq[String], tok: String,
     hadoopConf: org.apache.spark.broadcast
       .Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.DataWriterFactory
@@ -715,12 +810,12 @@ final case class SnapshotWriterFactory(stageDir: String,
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new SnapshotDataWriter(stageDir, schema, statsCol,
+    new SnapshotDataWriter(stageDir, schema, statsCol, partCols,
       s"$tok-p$partitionId-t$taskId", hadoopConf)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new SnapshotDataWriter(stageDir, schema, statsCol,
+    new SnapshotDataWriter(stageDir, schema, statsCol, partCols,
       s"$tok-e$epochId-p$partitionId-t$taskId", hadoopConf)
 }
 
@@ -761,34 +856,74 @@ object SnapshotParquet {
   * in hand. A null in `statsCol` drops the file's range (rangeless =
   * always read — skipping must never change answers). */
 final class SnapshotDataWriter(stageDir: String, schema: StructType,
-    statsCol: Option[String], suffix: String,
+    statsCol: Option[String], partCols: Seq[String], suffix: String,
     hadoopConf: org.apache.spark.broadcast
       .Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val name = s"c$suffix.parquet"
-  private val hPath = new org.apache.hadoop.fs.Path(
-    new org.apache.hadoop.fs.Path(stageDir), name)
   private val conf =
     new org.apache.hadoop.conf.Configuration(hadoopConf.value.value)
   private val msgType = SnapshotParquet.messageType(schema)
   private val groups =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
-  private var rows = 0L
   // per indexed column (statsCol is a comma list), in order
   private val statsIdx = statsCol.toSeq.flatMap(_.split(','))
     .map(_.trim).filter(_.nonEmpty).map(schema.fieldIndex).toArray
-  private val lo = Array.fill(statsIdx.length)(Long.MaxValue)
-  private val hi = Array.fill(statsIdx.length)(Long.MinValue)
-  private val statsNull = Array.fill(statsIdx.length)(false)
+  private val partIdx = partCols.map(schema.fieldIndex).toArray
 
-  override def write(row: InternalRow): Unit = {
-    if (writer == null)
-      writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+  /** One open parquet file (plus its running stats) — a task writes
+    * one per partition-value directory it encounters; an
+    * unpartitioned write has exactly one with an empty dir. The
+    * writer opens lazily, so an empty task stages nothing. */
+  private final class FileState(val relName: String) {
+    val hPath = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(stageDir), relName)
+    val writer: org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] =
+      org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
           .fromPath(hPath, conf))
         .withType(msgType).withConf(conf).build()
+    var rows = 0L
+    val lo = Array.fill(statsIdx.length)(Long.MaxValue)
+    val hi = Array.fill(statsIdx.length)(Long.MinValue)
+    val statsNull = Array.fill(statsIdx.length)(false)
+    // one field pair per indexed column; a column that saw a null
+    // renders as an EMPTY pair (rangeless on this file — always
+    // read), keeping positions aligned with the statscols order
+    def line: String =
+      if (statsIdx.isEmpty || rows == 0 || statsNull.forall(identity))
+        relName
+      else (relName +: statsIdx.indices.flatMap(k =>
+        if (statsNull(k)) Seq("", "")
+        else Seq(lo(k).toString, hi(k).toString))).mkString("|")
+  }
+  private val states =
+    scala.collection.mutable.LinkedHashMap[String, FileState]()
+  private var fileSeq = 0
+
+  /** Hive-style `col=value/` subpath for this row (empty when the
+    * table is unpartitioned); values are URL-encoded so any string
+    * is path-safe, nulls get a reserved marker. */
+  private def dirOf(row: InternalRow): String =
+    partIdx.zip(partCols).map { case (i, c) =>
+      val v =
+        if (row.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+        else schema.fields(i).dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case _ => row.getUTF8String(i).toString
+        }
+      c + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("/")
+
+  override def write(row: InternalRow): Unit = {
+    val dir = dirOf(row)
+    val st = states.getOrElseUpdate(dir, {
+      val nm = s"c$suffix-f$fileSeq.parquet"
+      fileSeq += 1
+      new FileState(if (dir.isEmpty) nm else s"$dir/$nm")
+    })
     val g = groups.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -804,19 +939,19 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
       }
       i += 1
     }
-    writer.write(g)
-    rows += 1
+    st.writer.write(g)
+    st.rows += 1
     var k = 0
     while (k < statsIdx.length) {
       val si = statsIdx(k)
-      if (row.isNullAt(si)) statsNull(k) = true
+      if (row.isNullAt(si)) st.statsNull(k) = true
       else {
         val v = schema.fields(si).dataType match {
           case LongType => row.getLong(si)
           case _ => row.getInt(si).toLong
         }
-        if (v < lo(k)) lo(k) = v
-        if (v > hi(k)) hi(k) = v
+        if (v < st.lo(k)) st.lo(k) = v
+        if (v > st.hi(k)) st.hi(k) = v
       }
       k += 1
     }
@@ -824,25 +959,15 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (writer == null) SnapshotFileCommit(None, 0L)
-    else {
-      writer.close()
-      // one field pair per indexed column; a column that saw a null
-      // renders as an EMPTY pair (rangeless on this file — always
-      // read), keeping positions aligned with the statscols order
-      val line =
-        if (statsIdx.isEmpty || rows == 0 || statsNull.forall(identity))
-          name
-        else (name +: statsIdx.indices.flatMap(k =>
-          if (statsNull(k)) Seq("", "")
-          else Seq(lo(k).toString, hi(k).toString))).mkString("|")
-      SnapshotFileCommit(Some(line), rows)
-    }
+    states.values.foreach(_.writer.close())
+    SnapshotFileCommit(
+      states.values.filter(_.rows > 0).map(_.line).toSeq,
+      states.values.map(_.rows).sum)
   }
 
-  override def abort(): Unit = if (writer != null) {
-    writer.close()
-    hPath.getFileSystem(conf).delete(hPath, false)
+  override def abort(): Unit = states.values.foreach { st =>
+    st.writer.close()
+    st.hPath.getFileSystem(conf).delete(st.hPath, false)
   }
 
   override def close(): Unit = ()

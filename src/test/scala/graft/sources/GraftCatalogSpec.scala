@@ -82,4 +82,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gcat.db2.c")
       .head().getLong(0) == 8)
   }
+
+  test("CREATE TABLE ... PARTITIONED BY: SQL inserts land value " +
+      "directories and equality queries prune to one partition") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db3")
+    spark.sql("""CREATE TABLE gcat.db3.p (id BIGINT, grp STRING)
+      USING `graft-snapshot` PARTITIONED BY (grp)
+      TBLPROPERTIES ('statsCol' = 'id')""")
+    spark.sql("INSERT INTO gcat.db3.p " +
+      "SELECT id, concat('g', id % 3) FROM range(30)")
+    val files = Layout.snapshotInfo(spark, s"$wh/db3/p").get.files
+    assert(files.size == 3 &&
+      files.forall(_.matches("grp=g[0-2]/.*")), files)
+    val pruned = spark.sql(
+      "SELECT id FROM gcat.db3.p WHERE grp = 'g2'")
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 10)
+    // MERGE on the partitioned table keeps the layout (replacement
+    // files land back under their value dirs)
+    Seq((2L, "g2")).toDF("id", "grp").createOrReplaceTempView("pdel")
+    spark.sql("""MERGE INTO gcat.db3.p t USING pdel s ON t.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM gcat.db3.p")
+      .head().getLong(0) == 29)
+    val after = Layout.snapshotInfo(spark, s"$wh/db3/p").get.files
+    assert(after.forall(_.startsWith("grp=")), after)
+    assert(spark.sql("SELECT id FROM gcat.db3.p WHERE grp = 'g0'")
+      .rdd.getNumPartitions == 1)
+  }
 }

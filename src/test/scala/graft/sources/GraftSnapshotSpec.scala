@@ -367,4 +367,52 @@ class GraftSnapshotSpec extends SparkSpec {
       spark.read.format("graft-snapshot").load(t).count())
     assert(e.getMessage.contains("no committed snapshot"))
   }
+
+  test("partitioned writes: partitionBy lands Hive-style value dirs, " +
+      "one file per (task, value); equality reads prune directories " +
+      "from the manifest; appends follow the layout stickily") {
+    val t = tmpDir("snap-part")
+    val df = spark.range(0, 30).toDF("id")
+      .withColumn("grp", concat(lit("g"), col("id") % 3))
+    df.write.format("graft-snapshot").partitionBy("grp")
+      .option("statsCol", "id").mode("append").save(t)
+    // clustered distribution: each grp value lands in ONE task → one
+    // file per value, under its own grp=<value>/ directory
+    val files = Layout.snapshotInfo(spark, t).get.files
+    assert(files.size == 3, files)
+    assert(files.forall(f => f.matches("grp=g[0-2]/.*\\.parquet")), files)
+    assert(Layout.snapshotPartCols(spark, t) == Seq("grp"))
+    // equality filter on the partition column plans ONE partition —
+    // pruned from the manifest path segments, no listing, no footers
+    val pruned = spark.read.format("graft-snapshot").load(t)
+      .filter(col("grp") === "g1")
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 10)
+    assert(pruned.agg(sum("id")).head().getLong(0) ==
+      (0L until 30L).filter(_ % 3 == 1).sum)
+    // a second write (no partitionBy declared) follows the recorded
+    // layout stickily
+    spark.range(100, 106).toDF("id")
+      .withColumn("grp", lit("g1"))
+      .write.format("graft-snapshot").option("statsCol", "id")
+      .mode("append").save(t)
+    val files2 = Layout.snapshotInfo(spark, t).get.files
+    assert(files2.size == 4)
+    assert(files2.count(_.startsWith("grp=g1/")) == 2)
+    val pruned2 = spark.read.format("graft-snapshot").load(t)
+      .filter(col("grp") === "g2")
+    assert(pruned2.rdd.getNumPartitions == 1)
+    assert(pruned2.count() == 10)
+    // stats + partition pruning COMPOSE: id-bound picks inside grp=g1
+    val both = spark.read.format("graft-snapshot").load(t)
+      .filter(col("grp") === "g1" && col("id") >= 100L)
+    assert(both.rdd.getNumPartitions == 1)
+    assert(both.count() == 6)
+    // a conflicting declared layout aborts (one manifest, one layout)
+    val e = intercept[Exception](
+      spark.range(0, 3).toDF("id").withColumn("grp", lit("x"))
+        .write.format("graft-snapshot").partitionBy("id")
+        .mode("append").save(t))
+    assert(e.getMessage.contains("one manifest carries one partition"))
+  }
 }
