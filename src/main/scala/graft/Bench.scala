@@ -41,7 +41,19 @@ import org.apache.spark.sql.SparkSession
   * time measures nothing).
   */
 object Bench {
+  /** Host load (1-min loadavg) — recorded at start and end of the run
+    * so a reviewer can tell contention from regression MECHANICALLY:
+    * round 11's +14% uniform drift on unchanged queries was host
+    * noise, but nothing in the artifact could prove it. "na" off
+    * Linux. */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head
+    catch { case _: Throwable => "na" }
+
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -185,7 +197,17 @@ object Bench {
     // pruning), so totals are not comparable across the change.
     val cachedJson = cachedQueries.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
     val failedJson = errors.keys.map(n => "\"" + short(n) + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","n_queries":${results.size},"queries_listed":${slowest.size},"detail":"bench_last.json","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson}"""
+    // Load telemetry: loadavg at entry and exit plus this main's wall
+    // time. With local[32] saturating the box a loadavg near the run's
+    // own parallelism is expected; a loadStart well above ~1 means the
+    // host was ALREADY busy and totals are not comparable round-over-
+    // round (tools/BENCH_METHOD.md).
+    val loadEnd = loadavg()
+    val wallSec = (System.nanoTime() - benchT0) / 1e9
+    val telemetry =
+      s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
+        s""""bench_wall_sec":${fmt(wallSec)}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","n_queries":${results.size},"queries_listed":${slowest.size},"detail":"bench_last.json","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson,$telemetry}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
     // Restricted dev runs (SPARK_GRAFT_ONLY) go to bench_restricted.json:
     // overwriting bench_last.json with a 5-query subset would silently
@@ -203,7 +225,7 @@ object Bench {
         val fullCached = cachedQueries.map(n => "\"" + n + "\"").mkString("[", ",", "]")
         // same "method" label as the stdout line — see
         // tools/BENCH_METHOD.md for the label/method history
-        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write","errors":$fullFailed,"cached":$fullCached}""")
+        w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir","method":"noop_write","errors":$fullFailed,"cached":$fullCached,$telemetry}""")
       } finally w.close()
     } catch { case _: Throwable => () }
     // Stop BEFORE printing: shutdown warnings must not land after the JSON

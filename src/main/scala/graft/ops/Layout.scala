@@ -1066,8 +1066,14 @@ object Layout {
     }
   }
 
-  /** The table's history as a (snapshot_id, n_files, n_rows) relation —
-    * |snapshots| rows of driver-read metadata. */
+  /** The table's history as a (snapshot_id, n_files, n_rows,
+    * n_manifest_lines) relation — |snapshots| rows of driver-read
+    * metadata. `n_manifest_lines` is the manifest's total text-line
+    * count (header + metadata + one line per file): the O(files)
+    * driver-side cost every commit attempt and read plan pays, made
+    * OBSERVABLE so manifest growth shows up in history before it
+    * shows up as latency (the Iceberg answer — manifest lists — is
+    * the next tier; ManifestScaleSpec pins the current ceiling). */
   def snapshots(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val (fs, root, _) = fsOf(spark, path)
@@ -1076,11 +1082,16 @@ object Layout {
       .flatMap(st => manifestId(st.getPath.getName).map(id => (id, st)))
       .sortBy(_._1)
       .map { case (id, st) =>
-        val (n, files) = readManifest(fs, st.getPath)
-        (id.toLong, files.size.toLong, n)
+        val m = parseManifest(fs, st.getPath)
+        val metaLines = 1 + // schema: (every commit records it)
+          m.tag.size + m.changes.size +
+          (if (m.statsCols.nonEmpty) 1 else 0) +
+          (if (m.partCols.nonEmpty) 1 else 0)
+        (id.toLong, m.files.size.toLong, m.rows,
+          (2 + metaLines + m.statLines.size).toLong)
       }.toSeq
     import spark.implicits._
-    rows.toDF("snapshot_id", "n_files", "n_rows")
+    rows.toDF("snapshot_id", "n_files", "n_rows", "n_manifest_lines")
   }
 
   /** MERGE INTO the snapshot table — the lakehouse upsert/delete write

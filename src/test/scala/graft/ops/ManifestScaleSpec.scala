@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Manifest scalability guard: a manifest is one flat text file
+  * listing every data file, and the commit critical section re-parses
+  * the HEAD once per attempt while readers parse it once per plan —
+  * an O(files) driver-side cost (≈120 bytes/line: name + two stat
+  * fields). This spec makes that ceiling a TEST: a synthetic
+  * 10⁴-file head (the shape of ~100 GB-per-file × 1 PB, or an
+  * uncompacted streaming table after 10⁴ triggers) must still parse,
+  * append, and plan within generous wall-clock bounds, and history
+  * must report the manifest-line count so growth is observable
+  * before it is slow. The next tier — Iceberg-style manifest lists +
+  * compaction — starts from these pinned numbers. */
+class ManifestScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a 10,000-file manifest parses, appends, and plans within " +
+      "pinned ceilings; history exposes the line count") {
+    val t = java.nio.file.Files.createTempDirectory("graft-mscale")
+      .toString
+    // one REAL commit (readable schema + a real file), then a
+    // hand-synthesized head whose 10^4 file lines are fictional —
+    // commits and planning only parse manifest TEXT, so the guard
+    // measures exactly the metadata path, not 10^4 parquet writes
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").coalesce(1), t, statsCol = "id")
+    val conf = spark.sessionState.newHadoopConf()
+    val snapsDir = new org.apache.hadoop.fs.Path(t, "snapshots")
+    val fs = snapsDir.getFileSystem(conf)
+    val m1 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00001.txt")
+    val real = {
+      val in = fs.open(m1)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val lines = real.split("\n").toSeq
+    val (header, fileLines) = lines.partition(l =>
+      !l.contains(".parquet"))
+    val synth = (header ++ fileLines ++
+      (0 until 10000).map(i => f"cfake-$i%05d.parquet|${i * 10}|${i * 10 + 9}"))
+      .updated(1, (10L + 10000L * 10L).toString) // row count line
+      .mkString("", "\n", "\n")
+    val m2 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00002.txt")
+    val out = fs.create(m2, true)
+    try out.write(synth.getBytes("UTF-8")) finally out.close()
+
+    // ceiling 1: one parse of the 10^4-line head — the unit cost the
+    // commit loop pays per attempt. Memory is O(lines): ~10^4 entries
+    // of ~120 B here (≈1.2 MB), linear in file count.
+    val t0 = System.nanoTime()
+    val info = Layout.snapshotInfo(spark, t).get
+    val parseMs = (System.nanoTime() - t0) / 1000000
+    assert(info.files.size == 10001)
+    assert(parseMs < 2000, s"head parse took ${parseMs}ms")
+
+    // ceiling 2: an APPEND carries all 10^4 lines forward — stage +
+    // parse + rewrite of the manifest text, still metadata-bounded
+    val t1 = System.nanoTime()
+    val id = Layout.appendSnapshot(
+      spark.range(100L, 110L).toDF("id").coalesce(1), t,
+      statsCol = "id")
+    val appendMs = (System.nanoTime() - t1) / 1000000
+    assert(id == 3)
+    assert(appendMs < 30000, s"append over 10^4-file head took " +
+      s"${appendMs}ms (includes one real staged file write)")
+
+    // ceiling 3: PLANNING a pruned read over 10^4 indexed entries is
+    // a driver-side filter of the parsed lines
+    val t2 = System.nanoTime()
+    val stats = Layout.snapshotFileStats(spark, t)
+    val planMs = (System.nanoTime() - t2) / 1000000
+    assert(stats.size == 10002)
+    assert(planMs < 2000, s"file-stats plan took ${planMs}ms")
+
+    // observability: history reports the line count so growth is a
+    // query away — 10^4-file manifests should page the operator
+    val hist = Layout.snapshots(spark, t).orderBy("snapshot_id")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val headLines = hist.last.getAs[Long]("n_manifest_lines")
+    assert(headLines > 10000 && headLines < 10010, headLines)
+  }
+}
