@@ -3603,12 +3603,12 @@ object PipelineOps {
           |SELECT doc_id, lang, CAST(n_chars AS BIGINT)
           |FROM documents WHERE doc_id % 2 = 1""".stripMargin)
       spark.sql(
-        """SELECT d.doc_id, d.lang, d.n_chars, v.even_chars, e.v1_rows
-          |FROM gsql2.db.docs d,
-          |  (SELECT CAST(sum(n_chars) AS BIGINT) AS even_chars
-          |   FROM gsql2.db.docs VERSION AS OF 2) v,
-          |  (SELECT count(*) AS v1_rows
-          |   FROM gsql2.db.docs VERSION AS OF 1) e
+        """SELECT d.doc_id, d.lang, d.n_chars,
+          |  (SELECT CAST(sum(n_chars) AS BIGINT)
+          |   FROM gsql2.db.docs VERSION AS OF 2) AS even_chars,
+          |  (SELECT count(*)
+          |   FROM gsql2.db.docs VERSION AS OF 1) AS v1_rows
+          |FROM gsql2.db.docs d
           |ORDER BY doc_id""".stripMargin)
     },
 
