@@ -1465,6 +1465,22 @@ object Layout {
     }
   }
 
+  /** The newest snapshot id whose manifest was committed at or before
+    * `tsMillis` (manifest file modification time = commit time) — the
+    * catalog's `TIMESTAMP AS OF` resolution. None when the table has
+    * no commit that old. */
+  private[graft] def snapshotIdAtTime(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      tsMillis: Long): Option[Int] = {
+    val (fs, root, _) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    if (!fs.exists(snapsDir)) return None
+    fs.listStatus(snapsDir)
+      .flatMap(st => manifestId(st.getPath.getName)
+        .filter(_ => st.getModificationTime <= tsMillis))
+      .sorted.lastOption
+  }
+
   /** Current head snapshot id (0 = no commits yet) — the streaming
     * source's offset probe: one driver-side directory listing. */
   private[graft] def headId(spark: org.apache.spark.sql.SparkSession,
@@ -1537,10 +1553,20 @@ object Layout {
     * explicit so a caller coordinating with other writers can pin it.
     * Returns the new snapshot id — or `baseId` unchanged (NO commit)
     * when the table already meets the target, so maintenance loops are
-    * idempotent and never stack empty history. */
+    * idempotent and never stack empty history.
+    *
+    * `zorderBy` (round 12): cluster the rewrite by the MORTON
+    * interleave of several columns instead of a single range sort —
+    * Delta's ZORDER BY. Each output file then covers a tight
+    * rectangle in EVERY listed dimension, so the per-file [min, max]
+    * index (recorded for all listed columns — statsCol defaults to
+    * them) prunes predicates on ANY of them, where a single-column
+    * sort can only prune its leading column. Values are shifted by
+    * their per-column minimum before interleaving (one extra agg over
+    * the base), so negative domains work; 16 bits per column. */
   def optimizeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, targetRowsPerFile: Long, statsCol: String = null,
-      baseId: Int = -1): Int = {
+      baseId: Int = -1, zorderBy: Seq[String] = Nil): Int = {
     require(targetRowsPerFile > 0,
       s"optimizeSnapshot: targetRowsPerFile must be > 0, got " +
         s"$targetRowsPerFile")
@@ -1557,13 +1583,21 @@ object Layout {
     val (baseRows, baseFiles) = (baseInfo.rows, baseInfo.files)
     val nTarget = math.max(1L,
       (baseRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    if (baseFiles.size <= nTarget) return base // already compact
+    // a Z-ORDER request is a re-LAYOUT, not just a bin-pack: it must
+    // run even when the file count is already at target
+    if (baseFiles.size <= nTarget && zorderBy.isEmpty)
+      return base // already compact
+    // a zorder rewrite records the index on its clustering columns
+    // unless the caller chose explicitly
+    val effStatsCol =
+      if (zorderBy.nonEmpty && statsCol == null) zorderBy.mkString(",")
+      else statsCol
     // cheap pre-flight (same rule as appendSnapshot's): recording
     // ranges for different columns than the history's must abort
     // BEFORE the distributed rewrite, not after it staged everything
     locally {
       val prior = snapshotStatsCols(spark, path)
-      val mine = statsColsOf(statsCol)
+      val mine = statsColsOf(effStatsCol)
       if (prior.nonEmpty && mine.nonEmpty)
         require(prior == mine,
           s"optimizeSnapshot: manifest stats are indexed on " +
@@ -1578,19 +1612,45 @@ object Layout {
     // bin-pack would scatter every key range across every output file
     // and flatten the data-skipping index compaction exists to sharpen;
     // range partitioning keeps per-file [min, max] disjoint, so pruned
-    // reads stay one-file-per-range after the optimize.
+    // reads stay one-file-per-range after the optimize. With zorderBy,
+    // clustering is on the MORTON interleave of the (min-shifted,
+    // scale-bucketed to 16 bits) columns — every output file covers a
+    // tight rectangle in every listed dimension.
     val tok = java.util.UUID.randomUUID().toString.take(8)
     val baseDf = readSnapshot(spark, path, base)
-    // cluster on the PRIMARY indexed column (further columns get
-    // ranges recorded but don't drive the physical sort)
-    val packed = statsColsOf(statsCol).headOption match {
-      case Some(sc) =>
-        baseDf.repartitionByRange(nTarget, col(sc))
-          .sortWithinPartitions(sc)
-      case None => baseDf.repartition(nTarget)
-    }
+    val packed =
+      if (zorderBy.nonEmpty) {
+        require(zorderBy.size >= 2 && zorderBy.size * 16 <= 62,
+          s"optimizeSnapshot: zorderBy takes 2 or 3 columns, got " +
+            s"${zorderBy.mkString(",")}")
+        zorderBy.foreach(c => require(baseDf.columns.contains(c),
+          s"optimizeSnapshot: zorderBy column '$c' not in the table"))
+        // per-column [min, max] in ONE agg: shift to zero and bucket
+        // into 16 bits so any integral domain interleaves losslessly
+        // up to 65536 buckets per dimension
+        val aggCols = zorderBy.flatMap(c => Seq(
+          min(col(c).cast("long")), max(col(c).cast("long"))))
+        val exts = baseDf.agg(aggCols.head, aggCols.tail: _*).head()
+        val shifted = zorderBy.zipWithIndex.map { case (c, i) =>
+          val mi = if (exts.isNullAt(2 * i)) 0L else exts.getLong(2 * i)
+          val ma =
+            if (exts.isNullAt(2 * i + 1)) 0L else exts.getLong(2 * i + 1)
+          val scale = math.max(1L, (ma - mi) / 65536L + 1L)
+          // `div` = integer division (plain `/` is DOUBLE in Spark SQL)
+          s"((CAST($c AS BIGINT) - ($mi)) div $scale)"
+        }
+        baseDf.withColumn("__gf_z", expr(zValueSql(shifted, 16)))
+          .repartitionByRange(nTarget, col("__gf_z"))
+          .sortWithinPartitions("__gf_z")
+          .drop("__gf_z")
+      } else statsColsOf(effStatsCol).headOption match {
+        case Some(sc) =>
+          baseDf.repartitionByRange(nTarget, col(sc))
+            .sortWithinPartitions(sc)
+        case None => baseDf.repartition(nTarget)
+      }
     val (newLines, stagedRows) = stageDataFiles(
-      packed, fs, root, dataDir, conf, statsCol, tok)
+      packed, fs, root, dataDir, conf, effStatsCol, tok)
     require(stagedRows == baseRows,
       s"optimizeSnapshot: rewrite produced $stagedRows rows from a " +
         s"$baseRows-row snapshot — refusing to commit a lossy rewrite")
@@ -1602,7 +1662,7 @@ object Layout {
     commitStagedLines(spark, path, newLines, stagedRows,
       baseInfo.schema.getOrElse(throw new IllegalStateException(
         s"optimizeSnapshot at $path: no recorded schema")),
-      tag = null, carryPrevious = true, statsCol = statsCol,
+      tag = null, carryPrevious = true, statsCol = effStatsCol,
       expectedBase = -1, tok = tok,
       dropFiles = baseFiles.toSet, dropRows = baseRows)
   }

@@ -18,6 +18,18 @@ import graft.ops.{Dedup, GraphOps, Layout, Privacy, Profile, PublicSuffix, Simil
   */
 object PipelineOps {
 
+  // Per-JVM warehouse dirs for the SQL-catalog entries: a catalog
+  // NAME is initialized once per session with its warehouse conf, so
+  // re-runs (bench warmup + two timed passes) must resolve the SAME
+  // directory the cached catalog instance points at — a fresh temp
+  // dir per run would leave path-based assertions (snapshotInfo on
+  // the table dir) staring at an empty directory. Entries stay
+  // idempotent via DROP TABLE IF EXISTS + CREATE.
+  private lazy val sql2Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql2-wh").toString
+  private lazy val sql3Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql3-wh").toString
+
   /** qc1's trained classifier: micro-unit coefficients over the corpus
     * vocabulary (positive = quality evidence). ONE definition feeds both
     * the Spark map literal and the oracle's VALUES list — parity by
@@ -3582,8 +3594,7 @@ object PipelineOps {
         |  (SELECT CAST(0 AS BIGINT)) AS v1_rows
         |FROM documents d
         |ORDER BY doc_id""".stripMargin) { spark =>
-      val wh = java.nio.file.Files.createTempDirectory("graft-sql2")
-        .toString
+      val wh = sql2Warehouse
       spark.conf.set("spark.sql.catalog.gsql2",
         "graft.sources.GraftCatalog")
       spark.conf.set("spark.sql.catalog.gsql2.warehouse", wh)
@@ -3639,8 +3650,7 @@ object PipelineOps {
         |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
         |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
         |ORDER BY doc_id""".stripMargin) { spark =>
-      val wh = java.nio.file.Files.createTempDirectory("graft-sql3")
-        .toString
+      val wh = sql3Warehouse
       spark.conf.set("spark.sql.catalog.gsql3",
         "graft.sources.GraftCatalog")
       spark.conf.set("spark.sql.catalog.gsql3.warehouse", wh)
@@ -3837,6 +3847,55 @@ object PipelineOps {
         .crossJoin(broadcast(meta)) // one-row manifest-served scalars
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("partitions_planned"), col("min_id"), col("max_chars"))
+        .orderBy("doc_id")
+    },
+
+    // Z-ORDER OPTIMIZE ([[graft.ops.Layout.optimizeSnapshot]] with
+    // `zorderBy` — Delta's ZORDER BY): rewrite the table clustered by
+    // the Morton interleave of (a, b) so every file covers a tight
+    // rectangle in BOTH dimensions and the multi-column index prunes
+    // predicates on EITHER. Graded against the decisive contrast: the
+    // same data range-sorted by `a` alone records wide-open b-ranges,
+    // so its b-filter reads every file. Three booleans pinned in the
+    // hash — z-clustering prunes on a AND on b; single-sort does NOT
+    // prune on b — plus the exact filtered relation.
+    QueryDef.views("tt16_zorder_optimize",
+      """WITH d AS (SELECT doc_id, doc_id % 32 AS a,
+        |                  (doc_id // 32) % 32 AS b FROM documents)
+        |SELECT doc_id, a, b,
+        |  (SELECT CAST(1 AS BIGINT)) AS z_a_prunes,
+        |  (SELECT CAST(1 AS BIGINT)) AS z_b_prunes,
+        |  (SELECT CAST(0 AS BIGINT)) AS sorted_b_prunes
+        |FROM d WHERE a < 8
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val d = spark.table("documents").select(col("doc_id"),
+        (col("doc_id") % 32).as("a"),
+        ((col("doc_id") / 32).cast("long") % 32).as("b"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt16")
+        .toString
+      val n = d.count()
+      Layout.appendSnapshot(d.repartition(8), t, statsCol = "a,b")
+      Layout.optimizeSnapshot(spark, t,
+        targetRowsPerFile = (n + 7) / 8, zorderBy = Seq("a", "b"))
+      val t2 = java.nio.file.Files.createTempDirectory("graft-tt16s")
+        .toString
+      Layout.appendSnapshot(
+        d.repartitionByRange(8, col("a")).sortWithinPartitions("a"),
+        t2, statsCol = "a,b")
+      def files(tbl: String, c: String): Long =
+        Layout.readSnapshotPruned(spark, tbl, c, 0L, 7L)
+          .select(input_file_name()).distinct().count()
+      val total = Layout.snapshotInfo(spark, t).get.files.size.toLong
+      Layout.readSnapshotPruned(spark, t, "a", 0L, 7L)
+        .withColumn("z_a_prunes",
+          lit(if (files(t, "a") < total) 1L else 0L))
+        .withColumn("z_b_prunes",
+          lit(if (files(t, "b") < total) 1L else 0L))
+        .withColumn("sorted_b_prunes",
+          lit(if (files(t2, "b") < 8L) 1L else 0L))
+        .select(col("doc_id"), col("a"), col("b"),
+          col("z_a_prunes"), col("z_b_prunes"),
+          col("sorted_b_prunes"))
         .orderBy("doc_id")
     },
 

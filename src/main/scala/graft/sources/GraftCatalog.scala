@@ -145,11 +145,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       partCols)
   }
 
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve to
+    * the newest snapshot whose manifest committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(fs(), dir)) throw new NoSuchTableException(
+      (name() +: ident.namespace :+ ident.name).toSeq)
+    val id = Layout.snapshotIdAtTime(spark, dir.toString,
+      timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog: no snapshot of $ident at or before " +
+          s"timestamp $timestamp"))
+    loadAt(ident, id)
+  }
+
+  /** ALTER TABLE ADD COLUMN(S) — a METADATA-ONLY commit: the new
+    * manifest carries every data file forward and records the union
+    * schema (added columns nullable; earlier files null-fill on
+    * read — the same rule append-time evolution uses). Anything other
+    * than a top-level ADD COLUMN is rejected: drops/renames/type
+    * changes would silently corrupt earlier files' reads without a
+    * full rewrite. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "GraftCatalog: ALTER TABLE is not supported — schema evolves " +
-        "at append time (write the new column; readers null-fill)")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(fs(), dir)) throw new NoSuchTableException(
+      (name() +: ident.namespace :+ ident.name).toSeq)
+    val path = dir.toString
+    val prior = Layout.snapshotSchema(spark, path).getOrElse(
+      throw new NoSuchTableException(
+        (name() +: ident.namespace :+ ident.name).toSeq))
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "GraftCatalog: nested ADD COLUMN is not supported")
+        val f = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        SnapshotFileReaderFactory.validate(StructType(Seq(f)))
+        require(!prior.fieldNames.contains(f.name),
+          s"GraftCatalog: column '${f.name}' already exists")
+        f
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: unsupported ALTER TABLE change $other — only " +
+          "ADD COLUMN (drops/renames/type changes need a rewrite)")
+    }
+    Layout.commitStagedLines(spark, path, Nil, 0L,
+      StructType(prior.fields ++ added), tag = null,
+      carryPrevious = true, statsCol = null, expectedBase = -1,
+      tok = java.util.UUID.randomUUID().toString.take(8))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val f = fs()

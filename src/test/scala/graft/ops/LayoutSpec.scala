@@ -628,6 +628,47 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.changeFeedOf(spark, t, 4).get.count() == 8)
   }
 
+  test("zorder optimize: after the rewrite BOTH clustered dimensions " +
+      "prune files; a single-column sort only prunes its leading one") {
+    val t = java.nio.file.Files.createTempDirectory("graft-zopt")
+      .toString
+    val df = spark.range(0L, 1024L).toDF("id")
+      .withColumn("a", col("id") % 32)
+      .withColumn("b", (col("id") / 32).cast("long") % 32)
+    Layout.appendSnapshot(df.repartition(8), t, statsCol = "a,b")
+    def filesFor(tbl: String, c: String): Long =
+      Layout.readSnapshotPruned(spark, tbl, c, 0L, 7L)
+        .select(input_file_name()).distinct().count()
+    // random layout: every file spans both domains — nothing prunes
+    assert(filesFor(t, "a") == 8)
+    assert(filesFor(t, "b") == 8)
+    Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 128,
+      zorderBy = Seq("a", "b"))
+    // content identical, 8 z-clustered files
+    assert(Layout.readSnapshot(spark, t).count() == 1024)
+    assert(Layout.snapshotInfo(spark, t).get.files.size == 8)
+    assert(Layout.snapshotStatsCols(spark, t) == Seq("a", "b"))
+    // a quarter-range on EITHER dimension now skips at least half:
+    // each file covers a tight z-rectangle, so its [min,max] is
+    // narrow in BOTH a and b
+    assert(filesFor(t, "a") <= 4, s"a-prune read ${filesFor(t, "a")}")
+    assert(filesFor(t, "b") <= 4, s"b-prune read ${filesFor(t, "b")}")
+    // answers never change
+    assert(Layout.readSnapshotPruned(spark, t, "a", 0L, 7L)
+      .count() == 256)
+    assert(Layout.readSnapshotPruned(spark, t, "b", 0L, 7L)
+      .count() == 256)
+    // contrast: a table range-sorted by `a` alone records wide-open b
+    // ranges — the b-filter reads everything
+    val t2 = java.nio.file.Files.createTempDirectory("graft-zopt2")
+      .toString
+    Layout.appendSnapshot(
+      df.repartitionByRange(8, col("a")).sortWithinPartitions("a"),
+      t2, statsCol = "a,b")
+    assert(filesFor(t2, "a") <= 3)
+    assert(filesFor(t2, "b") == 8)
+  }
+
   private def headFiles(t: String): Set[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dataDir = new org.apache.hadoop.fs.Path(t, "data")

@@ -83,6 +83,45 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) == 8)
   }
 
+  test("ALTER TABLE ADD COLUMN commits metadata-only; TIMESTAMP AS " +
+      "OF resolves by commit time; unsupported changes stay loud") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db4")
+    spark.sql(
+      "CREATE TABLE gcat.db4.a (id BIGINT) USING `graft-snapshot`")
+    spark.sql("INSERT INTO gcat.db4.a SELECT id FROM range(5)")
+    val preAlter = System.currentTimeMillis()
+    Thread.sleep(1100) // local-FS mtime can be second-granular
+    spark.sql("ALTER TABLE gcat.db4.a ADD COLUMN v BIGINT")
+    // metadata-only: snapshot 3 references snapshot 2's files verbatim
+    val hist = Layout.snapshots(spark, s"$wh/db4/a")
+      .orderBy("snapshot_id").collect()
+    assert(hist.length == 3)
+    assert(hist(1).getLong(1) == hist(2).getLong(1)) // n_files equal
+    spark.sql(
+      "INSERT INTO gcat.db4.a SELECT id, id * 2 FROM range(10, 12)")
+    val rows = spark.sql("SELECT id, v FROM gcat.db4.a ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows == ((0L until 5L).map(_ -> -1L) ++
+      Seq(10L -> 20L, 11L -> 22L)))
+    // TIMESTAMP AS OF a pre-alter instant: two-column world not yet
+    // visible — schema has only id, count is the first insert's
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(preAlter))
+    val asOf = spark.sql(
+      s"SELECT * FROM gcat.db4.a TIMESTAMP AS OF '$ts'")
+    assert(asOf.schema.fieldNames.toSeq == Seq("id"))
+    assert(asOf.count() == 5)
+    // anything but ADD COLUMN aborts loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db4.a DROP COLUMN v"))
+    assert(e.getMessage.contains("unsupported ALTER TABLE") ||
+      e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+  }
+
   test("CREATE TABLE ... PARTITIONED BY: SQL inserts land value " +
       "directories and equality queries prune to one partition") {
     initCatalog()
