@@ -254,7 +254,10 @@ final class GraftSnapshotScanBuilder(path: String,
         .Aggregation): Option[(StructType, Seq[Any])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty) return None
+    // a change-feed scan reads a COMMIT WINDOW, not the head image —
+    // the manifest's totals answer the wrong question there
+    if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty ||
+      options.getBoolean("readChangeFeed", false)) return None
     val spark = SparkSession.active
     val info = Layout.snapshotInfo(spark, path, asOf)
       .getOrElse(return None) // one manifest read answers everything
@@ -321,12 +324,37 @@ final class GraftSnapshotScanBuilder(path: String,
     case None => fileScan()
   }
 
+  private def changeFeed: Boolean =
+    options.getBoolean("readChangeFeed", false)
+
   private def fileScan(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def description(): String =
       s"graft-snapshot:$path bounds=${bounds.mkString(",")} " +
-        s"columns=${required.fieldNames.mkString(",")}"
-    override def toBatch: Batch = new Batch {
+        s"columns=${required.fieldNames.mkString(",")}" +
+        (if (changeFeed) " changeFeed" else "")
+    override def toBatch: Batch = if (changeFeed) new Batch {
+      // BATCH change-feed window: typed changes of every commit in
+      // (startingSnapshot, endingSnapshot|asOf] — the batch twin of
+      // the streaming readChangeFeed mode, same per-commit planning
+      // (recorded change files for merge/restore, synthesized 'added'
+      // for appends). Stats/partition pruning does not apply: the
+      // window is selected by SNAPSHOT ids, not predicates (which
+      // stay residual row-level as always).
+      override def planInputPartitions(): Array[InputPartition] = {
+        val spark = SparkSession.active
+        val from =
+          Option(options.get("startingSnapshot")).map(_.toInt)
+            .getOrElse(0)
+        Layout.changeFeedPlan(spark, path, from, asOf)
+          .map { case (f, op) =>
+            SnapshotFilePartition(f, op.orNull): InputPartition
+          }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SnapshotFileReaderFactory(required,
+          SnapshotHadoopConf.broadcast())
+    } else new Batch {
       override def planInputPartitions(): Array[InputPartition] = {
         val spark = SparkSession.active
         // a file with no `col=value` segment for a filtered column is

@@ -368,6 +368,71 @@ class GraftSnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed snapshot"))
   }
 
+  test("batch change-feed window: typed changes of the selected " +
+      "commit range, aggregates refuse the metadata shortcut") {
+    val t = tmpDir("snap-cdf-batch")
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t, statsCol = "id")                  // 1
+    Layout.mergeSnapshot(spark, t,
+      Seq((3L, 99L, "u"), (5L, 0L, "d"), (50L, 1L, "c"))
+        .toDF("id", "v", "op"), "id", "op",
+      changeFeed = true)                                   // 2
+    Layout.appendSnapshot(
+      spark.range(100L, 103L).toDF("id").withColumn("v", col("id"))
+        .coalesce(1), t)                                   // 3
+    // full window (0, head]: batch 1's adds + merge diff + batch 3's
+    val all = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(t)
+    assert(all.schema.fieldNames.contains("_op"))
+    val byOp = all.groupBy("_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOp == Map("added" -> 14L, "changed" -> 1L,
+      "removed" -> 1L), byOp)
+    // windowed: only the merge commit
+    val w = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshot", "1").option("asOfSnapshot", "2")
+      .load(t)
+    assert(w.count() == 3)
+    assert(w.filter(col("_op") === "changed").head().getLong(0) == 3L)
+    // count(*) over a change window must NOT be answered from the
+    // head manifest's metadata (it counts image rows, not changes)
+    val plan = all.groupBy().count().queryExecution.executedPlan
+      .toString
+    assert(!plan.contains("manifest-aggregate"), plan)
+  }
+
+  test("streaming sink into a PARTITIONED table follows the sticky " +
+      "layout: epoch files land under value dirs and prune") {
+    val t = tmpDir("snap-part-stream")
+    // batch write declares the layout; the stream follows it stickily
+    spark.range(0, 6).toDF("id")
+      .withColumn("grp", concat(lit("g"), col("id") % 2))
+      .write.format("graft-snapshot").partitionBy("grp")
+      .option("statsCol", "id").mode("append").save(t)
+    val in = tmpDir("snap-part-stream-in")
+    spark.range(100, 110).toDF("id")
+      .withColumn("grp", concat(lit("g"), col("id") % 2))
+      .coalesce(1).write.mode("overwrite").json(in)
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, grp STRING"))
+      .json(in)
+      .writeStream.format("graft-snapshot")
+      .option("path", t).option("statsCol", "id")
+      .option("checkpointLocation", tmpDir("snap-part-stream-ck"))
+      .start()
+    q.processAllAvailable(); q.stop()
+    val files = Layout.snapshotInfo(spark, t).get.files
+    assert(files.forall(_.matches("grp=g[01]/.*")), files)
+    val pruned = spark.read.format("graft-snapshot").load(t)
+      .filter(col("grp") === "g1")
+    assert(pruned.count() == 8)
+    assert(pruned.rdd.getNumPartitions <
+      spark.read.format("graft-snapshot").load(t).rdd.getNumPartitions)
+  }
+
   test("partitioned writes: partitionBy lands Hive-style value dirs, " +
       "one file per (task, value); equality reads prune directories " +
       "from the manifest; appends follow the layout stickily") {
