@@ -1135,6 +1135,65 @@ object Layout {
     *    a possibly-overlapping append, no key index — aborts loudly,
     *    because re-basing could drop or duplicate the interleaved
     *    commit's rows. Callers retry by re-invoking. */
+  /** Which manifest entries hold at least one actual key from
+    * `keys`? The merge's candidate-file matcher: rangeless entries
+    * are always candidates; ranged ones are checked EXACTLY against
+    * the distinct keys (a global [min, max] envelope alone would mark
+    * everything when the delta mixes low updates with high inserts —
+    * the CDC shape). Pre-narrowed by the delta envelope; then, for a
+    * small candidate set, ONE broadcast inequality join; past
+    * `nljThreshold` candidates, the BINNED point-in-range join
+    * ([[RangeJoin.pointInRange]]) — |keys| × |candidates| comparisons
+    * would go superlinear right when both sides are big (a 10⁶-key
+    * delta into a 10⁴-file table), while binning keeps the work
+    * proportional to keys + exploded bins. Bin width is planned
+    * DRIVER-SIDE from the candidate list already in hand (median
+    * range length, clamped so the widest range explodes into ≤4096
+    * bins). */
+  private[graft] def overlappingFiles(keys: DataFrame, keyCol: String,
+      entries: Seq[(String, Option[(Long, Long)])],
+      nljThreshold: Int = 256): Seq[String] = {
+    val rangeless = entries.collect { case (n, None) => n }
+    val ranged = entries.collect { case (n, Some((lo, hi))) =>
+      (n, lo, hi) }
+    if (ranged.isEmpty) return rangeless
+    val env = keys.agg(min(col(keyCol).cast("long")),
+      max(col(keyCol).cast("long"))).head()
+    if (env.isNullAt(0)) return rangeless // empty delta
+    val (kMin, kMax) = (env.getLong(0), env.getLong(1))
+    val candidates = ranged.filter { case (_, lo, hi) =>
+      hi >= kMin && lo <= kMax }
+    if (candidates.isEmpty) return rangeless
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val hit: Seq[String] =
+      if (candidates.size <= nljThreshold) {
+        val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
+        keys.join(broadcast(filesDf),
+            col(keyCol).cast("long") >= col("__gf_lo") &&
+              col(keyCol).cast("long") <= col("__gf_hi"))
+          .select(col("__gf_file")).distinct()
+          .as[String].collect().toSeq
+      } else {
+        // closed [lo, hi] → half-open [lo, hi+1) for pointInRange;
+        // bin width planned from the driver-resident candidate list
+        val lens = candidates.map { case (_, lo, hi) =>
+          math.min(hi, Long.MaxValue - 1) - lo + 1 }.sorted
+        val median = lens(lens.size / 2)
+        val binW = math.max(median,
+          (lens.last + 4095) / 4096) // widest range ≤ 4096 bins
+        val filesDf = candidates.map { case (n, lo, hi) =>
+          (n, lo, math.min(hi, Long.MaxValue - 1) + 1)
+        }.toDF("__gf_file", "__gf_lo", "__gf_hi1")
+        RangeJoin.pointInRange(
+          keys.select(col(keyCol).cast("long").as("__gf_k")),
+          "__gf_k", filesDf, "__gf_lo", "__gf_hi1", binW)
+          .select(col("__gf_file")).distinct()
+          .as[String].collect().toSeq
+      }
+    rangeless ++ hit
+  }
+
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
       opCol: String, expectedBase: Int = -1,
@@ -1186,36 +1245,14 @@ object Layout {
     val keyIndexed = ki >= 0
 
     // Which of `entries` (manifest file lines) hold at least one actual
-    // delta key? Rangeless entries are always candidates; ranged ones
-    // are checked EXACTLY against the distinct keys via one broadcast
-    // join over the (pre-narrowed) |files|-bounded range index — a
-    // global [min, max] envelope alone would mark everything when the
-    // delta mixes low updates with high inserts (the CDC shape).
+    // delta key? — [[overlappingFiles]] with the key's positional
+    // range extracted.
     def overlapping(
         entries: Seq[(String, Seq[Option[(Long, Long)]])])
         : Seq[String] = {
-      val keyed = entries.map { case (n, rs) =>
-        (n, if (ki >= 0) rs.lift(ki).flatten else None) }
-      val rangeless = keyed.collect { case (n, None) => n }
-      val ranged = keyed.collect { case (n, Some((lo, hi))) =>
-        (n, lo, hi) }
       if (!keyIndexed) return entries.map(_._1)
-      if (ranged.isEmpty) return rangeless
-      val env = keys.agg(min(col(keyCol).cast("long")),
-        max(col(keyCol).cast("long"))).head()
-      if (env.isNullAt(0)) return rangeless // empty delta
-      val (kMin, kMax) = (env.getLong(0), env.getLong(1))
-      val candidates = ranged.filter { case (_, lo, hi) =>
-        hi >= kMin && lo <= kMax }
-      if (candidates.isEmpty) return rangeless
-      import spark.implicits._
-      val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
-      val hit = keys.join(broadcast(filesDf),
-          col(keyCol).cast("long") >= col("__gf_lo") &&
-            col(keyCol).cast("long") <= col("__gf_hi"))
-        .select(col("__gf_file")).distinct()
-        .as[String].collect().toSeq
-      rangeless ++ hit
+      overlappingFiles(keys, keyCol, entries.map { case (n, rs) =>
+        (n, rs.lift(ki).flatten) })
     }
 
     val baseEntries = info.statLines.map(statsOf)

@@ -669,6 +669,33 @@ class LayoutSpec extends SparkSpec {
     assert(filesFor(t2, "b") == 8)
   }
 
+  test("overlappingFiles: the binned large-candidate path agrees " +
+      "exactly with the broadcast path, and both narrow to true hits") {
+    import graft.ops.{Layout => L}
+    // 1,000 disjoint 100-wide ranges + 50 rangeless entries; keys hit
+    // every 7th range plus out-of-envelope strays
+    val entries: Seq[(String, Option[(Long, Long)])] =
+      (0 until 1000).map(i =>
+        (f"f$i%04d", Some((i * 100L, i * 100L + 99L)))) ++
+      (0 until 50).map(i => (s"r$i", None))
+    val keys = spark.range(0, 1000, 7).toDF("k")
+      .select((col("k") * 100L + 50L).as("k"))
+      .union(Seq(-5L, 2000000L).toDF("k")) // outside every range
+    val viaNlj = L.overlappingFiles(keys, "k", entries,
+      nljThreshold = 10000).sorted
+    val viaBins = L.overlappingFiles(keys, "k", entries,
+      nljThreshold = 1).sorted
+    assert(viaNlj == viaBins)
+    // exactly the hit ranges + every rangeless entry
+    val expected = ((0 until 1000 by 7).map(i => f"f$i%04d") ++
+      (0 until 50).map(i => s"r$i")).sorted
+    assert(viaBins == expected)
+    // an empty delta keeps only the rangeless (conservative) entries
+    assert(L.overlappingFiles(
+      spark.range(0).toDF("k"), "k", entries).sorted ==
+      (0 until 50).map(i => s"r$i").sorted)
+  }
+
   private def headFiles(t: String): Set[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dataDir = new org.apache.hadoop.fs.Path(t, "data")
