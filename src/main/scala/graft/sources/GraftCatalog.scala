@@ -86,6 +86,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, -1)
 
+  /** `SELECT * FROM <catalog>.<db>.<table>.history` / `.files` — the
+    * Iceberg-style metadata tables, resolved when the identifier's
+    * NAMESPACE path lands on a table directory and the final name is
+    * a known metadata relation. Rows are |manifest|-bounded driver
+    * metadata computed fresh at scan time. */
+  private def metaTableOf(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val parentDir = nsDir(ident.namespace)
+    val f = fs()
+    if (!isTable(f, parentDir)) return None
+    val path = parentDir.toString
+    import org.apache.spark.sql.types._
+    ident.name match {
+      case "history" => Some(new GraftMetaTable(
+        s"graft-snapshot-meta:$path#history",
+        StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("n_files", LongType, nullable = false),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("n_manifest_lines", LongType, nullable = false))),
+        () => Layout.snapshots(spark, path).collect().toSeq.map(r =>
+          Seq[Any](r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))))
+      case "files" => Some(new GraftMetaTable(
+        s"graft-snapshot-meta:$path#files",
+        StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("min_primary", LongType, nullable = true),
+          StructField("max_primary", LongType, nullable = true))),
+        () => Layout.snapshotInfo(spark, path).toSeq
+          .flatMap(_.statLines).map(Layout.statsOf).map {
+            case (n, ranges) =>
+              val r = ranges.headOption.flatten
+              Seq[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                r.map(_._1).map(Long.box).orNull,
+                r.map(_._2).map(Long.box).orNull)
+          }))
+      case _ => None
+    }
+  }
+
   /** `VERSION AS OF <v>` — a Table pinned to snapshot id `v`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toInt catch {
@@ -100,8 +142,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def loadAt(ident: Identifier, asOf: Int): Table = {
     val f = fs()
     val dir = tableDir(ident)
-    if (!isTable(f, dir)) throw new NoSuchTableException(
-      (name() +: ident.namespace :+ ident.name).toSeq)
+    if (!isTable(f, dir)) {
+      metaTableOf(ident).foreach(t => return t)
+      throw new NoSuchTableException(
+        (name() +: ident.namespace :+ ident.name).toSeq)
+    }
     val path = dir.toString
     val schema = Layout.snapshotSchema(spark, path, asOf).getOrElse(
       throw new NoSuchTableException(
@@ -312,6 +357,21 @@ class GraftCatalogTable(path: String, tableSchema: StructType,
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetadataColumn)
+}
+
+/** A read-only metadata relation (history/files): rows computed
+  * driver-side at scan time from manifest metadata. */
+final class GraftMetaTable(tableName: String,
+    metaSchema: StructType, rows: () => Seq[Seq[Any]])
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new MetaRowsScan(metaSchema, rows(), tableName)
 }
 
 object GraftCatalogTable {

@@ -396,31 +396,41 @@ final class GraftSnapshotScanBuilder(path: String,
   * manifest metadata — its single partition carries the already-
   * computed values (Longs/Ints), so the "query" ships no work at all. */
 final class ManifestAggScan(aggSchema: StructType, values: Seq[Any])
-    extends Scan {
-  override def readSchema(): StructType = aggSchema
-  override def description(): String =
-    s"graft-snapshot manifest-aggregate ${aggSchema.fieldNames.mkString(",")}"
+    extends MetaRowsScan(aggSchema, Seq(values),
+      s"graft-snapshot manifest-aggregate " +
+        aggSchema.fieldNames.mkString(","))
+
+/** Driver-computed rows served as a scan — the metadata-table shape
+  * (history/files) and the pushed-aggregate's one-row case: all
+  * values are precomputed InternalRow-ready atoms (Long/Int/
+  * UTF8String/null), the single partition just replays them. */
+sealed class MetaRowsScan(rowSchema: StructType,
+    rows: Seq[Seq[Any]], desc: String) extends Scan {
+  override def readSchema(): StructType = rowSchema
+  override def description(): String = desc
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(ManifestAggPartition(values))
+      Array(MetaRowsPartition(rows))
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(
             p: InputPartition): PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
-            private var emitted = false
+            private val it =
+              p.asInstanceOf[MetaRowsPartition].rows.iterator
+            private var cur: InternalRow = _
             override def next(): Boolean =
-              if (emitted) false else { emitted = true; true }
-            override def get(): InternalRow =
-              new GenericInternalRow(
-                p.asInstanceOf[ManifestAggPartition].values.toArray)
+              if (!it.hasNext) false
+              else { cur = new GenericInternalRow(it.next().toArray)
+                true }
+            override def get(): InternalRow = cur
             override def close(): Unit = ()
           }
       }
   }
 }
 
-final case class ManifestAggPartition(values: Seq[Any])
+final case class MetaRowsPartition(rows: Seq[Seq[Any]])
     extends InputPartition
 
 /** The stream offset IS the snapshot id — the manifest sequence is the

@@ -122,6 +122,32 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 
+  test("metadata tables: <table>.history and <table>.files answer " +
+      "from manifest metadata through pure SQL") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db5")
+    spark.sql("""CREATE TABLE gcat.db5.m (id BIGINT)
+      USING `graft-snapshot` TBLPROPERTIES ('statsCol' = 'id')""")
+    spark.sql("INSERT INTO gcat.db5.m SELECT /*+ REPARTITION(1) */ id FROM range(10)")
+    spark.sql(
+      "INSERT INTO gcat.db5.m SELECT /*+ REPARTITION(1) */ id FROM range(100, 105)")
+    val hist = spark.sql(
+      "SELECT snapshot_id, n_files, n_rows FROM gcat.db5.m.history " +
+        "ORDER BY snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(hist == Seq((1L, 0L, 0L), (2L, 1L, 10L), (3L, 2L, 15L)))
+    val files = spark.sql(
+      "SELECT file, min_primary, max_primary FROM gcat.db5.m.files " +
+        "ORDER BY min_primary").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(files == Seq((0L, 9L), (100L, 104L)))
+    // a bogus metadata name still fails loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.db5.m.nope").collect())
+    assert(e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+  }
+
   test("CREATE TABLE ... PARTITIONED BY: SQL inserts land value " +
       "directories and equality queries prune to one partition") {
     initCatalog()
