@@ -46,7 +46,8 @@ import graft.ops.Layout
   * `TBLPROPERTIES ('statsCol' = 'id')`) records the per-file min/max
   * data-skipping index on every INSERT, which is also what makes SQL
   * MERGE file-pruned. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: org.apache.hadoop.fs.Path = _
 
@@ -268,6 +269,130 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     f.mkdirs(nsDir(toIdent.namespace))
     require(f.rename(tableDir(from), tableDir(toIdent)),
       s"GraftCatalog: rename $from -> $toIdent failed")
+  }
+
+  // ----- maintenance procedures (CALL graft.system.*) ---------------
+  //
+  // The SQL spelling of the table-maintenance loop — OPTIMIZE (bin-
+  // pack or ZORDER), VACUUM retention, RESTORE — so a DDL-first user
+  // never needs the Scala API:
+  //   CALL graft.system.optimize('db.t', 4000000, 'a,b')
+  //   CALL graft.system.vacuum('db.t', 7)
+  //   CALL graft.system.restore('db.t', 3)
+  // Each returns a one-row result (ids/counts) through the driver-rows
+  // scan. Table argument = '<namespace>.<table>' within THIS catalog.
+
+  private def tableArg(s: String): String = {
+    val parts = s.split('.')
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"GraftCatalog: bad table argument '$s' — use 'db.table'")
+    val dir = tableDir(Identifier.of(parts.init, parts.last))
+    require(isTable(fs(), dir),
+      s"GraftCatalog: no snapshot table at '$s'")
+    dir.toString
+  }
+
+  private def proc(procName: String,
+      params: Seq[org.apache.spark.sql.connector.catalog.procedures
+        .ProcedureParameter],
+      outCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      body: org.apache.spark.sql.catalyst.InternalRow => Seq[Any])
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    new org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure {
+      override def name(): String = procName
+      override def bind(inputType: org.apache.spark.sql.types
+          .StructType): org.apache.spark.sql.connector.catalog
+          .procedures.BoundProcedure =
+        new org.apache.spark.sql.connector.catalog.procedures
+            .BoundProcedure {
+          override def name(): String = procName
+          override def parameters(): Array[
+            org.apache.spark.sql.connector.catalog.procedures
+              .ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: org.apache.spark.sql.catalyst
+              .InternalRow): java.util.Iterator[
+              org.apache.spark.sql.connector.read.Scan] = {
+            // Spark requires procedure output as a LOCAL scan
+            val out = body(input)
+            val scan: org.apache.spark.sql.connector.read.Scan =
+              new org.apache.spark.sql.connector.read.LocalScan {
+                override def readSchema()
+                    : org.apache.spark.sql.types.StructType =
+                  org.apache.spark.sql.types.StructType(outCols.map {
+                    case (n, dt) => org.apache.spark.sql.types
+                      .StructField(n, dt, nullable = false) })
+                override def rows(): Array[
+                  org.apache.spark.sql.catalyst.InternalRow] =
+                  Array(new org.apache.spark.sql.catalyst.expressions
+                    .GenericInternalRow(out.toArray))
+                override def description(): String =
+                  s"graft.system.$procName"
+              }
+            java.util.Collections.singletonList(scan).iterator()
+          }
+        }
+    }
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array("system")))
+      Array("optimize", "vacuum", "restore")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    import org.apache.spark.sql.connector.catalog.procedures
+      .ProcedureParameter
+    import org.apache.spark.sql.types.{LongType, StringType, IntegerType}
+    require(ident.namespace.sameElements(Array("system")),
+      s"GraftCatalog: unknown procedure namespace " +
+        s"${ident.namespace.mkString(".")} — procedures live under " +
+        "`system`")
+    ident.name match {
+      case "optimize" => proc("optimize",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("target_rows_per_file", LongType)
+            .build(),
+          ProcedureParameter.in("zorder_by", StringType)
+            .defaultValue("''").build()),
+        Seq("snapshot_id" -> LongType),
+        { in =>
+          val path = tableArg(in.getUTF8String(0).toString)
+          val z = in.getUTF8String(2).toString.split(',')
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(Layout.optimizeSnapshot(spark, path, in.getLong(1),
+            zorderBy = z).toLong)
+        })
+      case "vacuum" => proc("vacuum",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).build(),
+          ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue("0").build()),
+        Seq("manifests_dropped" -> LongType,
+          "data_files_deleted" -> LongType),
+        { in =>
+          val path = tableArg(in.getUTF8String(0).toString)
+          val (m, f) = Layout.vacuum(spark, path, in.getInt(1),
+            in.getLong(2))
+          Seq(m.toLong, f.toLong)
+        })
+      case "restore" => proc("restore",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("to_snapshot", IntegerType).build()),
+        Seq("snapshot_id" -> LongType),
+        { in =>
+          val path = tableArg(in.getUTF8String(0).toString)
+          Seq(Layout.restoreSnapshot(spark, path,
+            in.getInt(1)).toLong)
+        })
+      case other => throw new IllegalArgumentException(
+        s"GraftCatalog: unknown procedure system.$other " +
+          "(have: optimize, vacuum, restore)")
+    }
   }
 
   // ----- namespaces -------------------------------------------------

@@ -148,6 +148,47 @@ class GraftCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
   }
 
+  test("CALL graft.system.{optimize,vacuum,restore}: the maintenance " +
+      "loop through pure SQL, results returned as rows") {
+    initCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db6")
+    spark.sql("""CREATE TABLE gcat.db6.p (id BIGINT)
+      USING `graft-snapshot` TBLPROPERTIES ('statsCol' = 'id')""")
+    (0 until 3).foreach { k =>
+      spark.sql("INSERT INTO gcat.db6.p SELECT /*+ REPARTITION(2) */" +
+        s" id FROM range(${k * 10}, ${k * 10 + 10})")
+    }
+    // optimize: 6 files bin-pack into 1; the new id comes back as a row
+    val opt = spark.sql(
+      "CALL gcat.system.optimize('db6.p', 100)").head()
+    assert(opt.getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db6.p.files")
+      .head().getLong(0) == 1L)
+    // restore to the pre-optimize image: same ROWS but a different
+    // FILE SET (6 small files vs the packed 1), so it is a real
+    // rollback commit, not the idempotent no-op
+    assert(spark.sql("CALL gcat.system.restore('db6.p', 4)")
+      .head().getLong(0) == 6L)
+    // restore to snapshot 2 (first insert only)
+    assert(spark.sql("CALL gcat.system.restore('db6.p', 2)")
+      .head().getLong(0) == 7L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db6.p")
+      .head().getLong(0) == 10L)
+    // vacuum to the head: dropped manifests + deleted files reported
+    val vac = spark.sql(
+      "CALL gcat.system.vacuum('db6.p', 1)").head()
+    assert(vac.getLong(0) == 6L) // manifests 1-6 dropped
+    assert(vac.getLong(1) >= 5L) // optimize + later inserts' files
+    assert(spark.sql("SELECT count(*) FROM gcat.db6.p")
+      .head().getLong(0) == 10L)
+    // unknown procedure stays loud
+    val e = intercept[Exception](
+      spark.sql("CALL gcat.system.nope('db6.p')"))
+    assert(e.getMessage.contains("unknown procedure") ||
+      e.getMessage.toLowerCase.contains("failed to load routine"),
+      e.getMessage)
+  }
+
   test("CREATE TABLE ... PARTITIONED BY: SQL inserts land value " +
       "directories and equality queries prune to one partition") {
     initCatalog()
