@@ -29,6 +29,8 @@ object PipelineOps {
     java.nio.file.Files.createTempDirectory("graft-sql2-wh").toString
   private lazy val sql3Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-sql3-wh").toString
+  private lazy val sql4Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql4-wh").toString
 
   /** qc1's trained classifier: micro-unit coefficients over the corpus
     * vocabulary (positive = quality evidence). ONE definition feeds both
@@ -3699,6 +3701,61 @@ object PipelineOps {
           lit((baseFiles -- headFiles).size.toLong))
         .withColumn("files_carried",
           lit((baseFiles & headFiles).size.toLong))
+        .orderBy("doc_id")
+    },
+
+    // SQL MAINTENANCE surface ([[graft.sources.GraftCatalog]]'s
+    // ProcedureCatalog + metadata tables): tt8's optimize fixture
+    // driven ENTIRELY through SQL — four INSERTs land 8 small files
+    // (observed via the `.files` metadata table), `CALL
+    // graft.system.optimize` bin-packs them to 2 (the returned
+    // snapshot id and the post-state both graded), and `.history`
+    // pins the 6-commit linear history. The oracle predicts every
+    // cell from the raw table; a procedure that stops running, a
+    // metadata table that drifts from the manifests, or an optimize
+    // that loses a row all break the hash.
+    QueryDef.views("sql4_procedures",
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |  (SELECT CAST(8 AS BIGINT)) AS files_before,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_after,
+        |  (SELECT CAST(6 AS BIGINT)) AS n_snapshots,
+        |  (SELECT CAST(6 AS BIGINT)) AS optimize_returned
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val wh = sql4Warehouse
+      spark.conf.set("spark.sql.catalog.gsql4",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsql4.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql4.db")
+      spark.sql("DROP TABLE IF EXISTS gsql4.db.docs")
+      spark.sql(
+        """CREATE TABLE gsql4.db.docs
+          |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-snapshot`
+          |TBLPROPERTIES ('statsCol' = 'doc_id')""".stripMargin)
+      (0 until 4).foreach { k =>
+        spark.sql(
+          s"""INSERT INTO gsql4.db.docs
+             |SELECT /*+ REPARTITION(2) */
+             |  doc_id, lang, CAST(n_chars AS BIGINT)
+             |FROM documents WHERE doc_id % 4 = $k""".stripMargin)
+      }
+      val filesBefore = spark.sql(
+        "SELECT count(*) FROM gsql4.db.docs.files").head().getLong(0)
+      val n = spark.sql("SELECT count(*) FROM gsql4.db.docs")
+        .head().getLong(0)
+      val optId = spark.sql(
+        s"CALL gsql4.system.optimize('db.docs', ${(n + 1) / 2})")
+        .head().getLong(0)
+      val filesAfter = spark.sql(
+        "SELECT count(*) FROM gsql4.db.docs.files").head().getLong(0)
+      val nSnaps = spark.sql(
+        "SELECT count(*) FROM gsql4.db.docs.history").head().getLong(0)
+      spark.sql("SELECT doc_id, lang, n_chars FROM gsql4.db.docs")
+        .withColumn("files_before", lit(filesBefore))
+        .withColumn("files_after", lit(filesAfter))
+        .withColumn("n_snapshots", lit(nSnaps))
+        .withColumn("optimize_returned", lit(optId))
         .orderBy("doc_id")
     },
 
