@@ -332,6 +332,40 @@ object Layout {
     lockFor(fs, root).synchronized(f)
   }
 
+  // ----- Live write tokens ------------------------------------------
+  // Every writer stages under a commit-unique token (`.stage-<tok>/`
+  // dirs, `c<tok>-…` data files). A token is REGISTERED while its
+  // write is in flight (staging → publish renames → manifest claim)
+  // and released after commit/abort, so a same-JVM [[vacuum]] — even
+  // with graceMs = 0 — never sweeps a fully-staged file or a just-
+  // renamed, not-yet-referenced data file out from under an in-flight
+  // write. Cross-process writes are covered by graceMs instead (the
+  // Delta retention trade-off). Bounded: |in-flight writes| entries.
+  private val liveToks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def registerTok(tok: String): Unit = liveToks.add(tok)
+  private[graft] def releaseTok(tok: String): Unit =
+    liveToks.remove(tok)
+  /** Is this `.stage-<tok>[-…]` dir or `c<tok>-…` data-file basename
+    * owned by a write still in flight in this JVM? */
+  private def tokLive(name: String): Boolean = {
+    val tok =
+      if (name.startsWith(".stage-")) name.stripPrefix(".stage-").take(8)
+      else if (name.startsWith("c")) name.drop(1).take(8)
+      else return false
+    liveToks.contains(tok)
+  }
+
+  /** Publish-time rename that must not fail silently: a false return
+    * (destination exists, source missing, permission) would let the
+    * commit reference a file that never arrived — a torn table. */
+  private[graft] def renameOrAbort(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst),
+      s"snapshot publish: rename $src -> $dst failed — aborting the " +
+        "commit (committing would reference a file that never arrived)")
+
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
       path: String) = {
     val conf = spark.sessionState.newHadoopConf()
@@ -352,7 +386,8 @@ object Layout {
   private def isMetaLine(l: String): Boolean =
     l.startsWith("tag:") || l.startsWith("schema:") ||
       l.startsWith("statscol:") || l.startsWith("statscols:") ||
-      l.startsWith("changes:") || l.startsWith("partcols:")
+      l.startsWith("changes:") || l.startsWith("partcols:") ||
+      l.startsWith("rewrite:")
 
   // Render a (name, per-column stats) manifest entry back to its file
   // line — the inverse of [[statsOf]]' parse. One pair of fields per
@@ -446,7 +481,8 @@ object Layout {
       statLines: Seq[String], files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       statsCols: Seq[String], tag: Option[String],
-      changes: Seq[String] = Nil, partCols: Seq[String] = Nil) {
+      changes: Seq[String] = Nil, partCols: Seq[String] = Nil,
+      rewrite: Option[String] = None) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -489,7 +525,8 @@ object Layout {
         .map(_.stripPrefix("changes:")),
       meta.find(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      meta.find(_.startsWith("rewrite:")).map(_.stripPrefix("rewrite:")))
   }
 
   /** Hive-style partition columns recorded on the snapshot's manifest
@@ -762,7 +799,8 @@ object Layout {
     // readable via the manifest's schema line
     val nameLines = metas.filter(_._2 > 0).map { case (st, _, ranges) =>
       val nm = s"c$tok-${st.getPath.getName}"
-      fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dataDir, nm))
+      renameOrAbort(fs, st.getPath,
+        new org.apache.hadoop.fs.Path(dataDir, nm))
       statLine((nm, ranges))
     }.sorted
     val rows = metas.map(_._2).sum
@@ -815,10 +853,13 @@ object Layout {
     // staging is uncoordinated, and a lost claim retries with a new id
     // without touching (immutable, still-unreferenced) data files.
     val tok = java.util.UUID.randomUUID().toString.take(8)
-    val (nameLines, rows) =
-      stageDataFiles(df, fs, root, dataDir, conf, statsCol, tok)
-    commitStagedLines(spark, path, nameLines, rows, df.schema, tag,
-      carryPrevious, statsCol, expectedBase, tok)
+    registerTok(tok) // vacuum spares this write's files until released
+    try {
+      val (nameLines, rows) =
+        stageDataFiles(df, fs, root, dataDir, conf, statsCol, tok)
+      commitStagedLines(spark, path, nameLines, rows, df.schema, tag,
+        carryPrevious, statsCol, expectedBase, tok)
+    } finally releaseTok(tok)
   }
 
   /** The optimistic commit critical section, shared by every writer of
@@ -1294,6 +1335,8 @@ object Layout {
       case _ => rewrite.repartition(nOut)
     }
     val tok = java.util.UUID.randomUUID().toString.take(8)
+    registerTok(tok)
+    try {
     val statsColsStr =
       if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
     val (newLines, stagedRows) = stageDataFiles(
@@ -1342,6 +1385,7 @@ object Layout {
       }
     }
     -1 // unreachable: the loop exits only by return or throw
+    } finally releaseTok(tok)
   }
 
   /** Row-level diff of two relations with the SAME columns, keyed by
@@ -1392,7 +1436,8 @@ object Layout {
         st.getPath.getName.endsWith(".parquet"))
       .filter(_.getLen > 0).map { st =>
         val nm = s"c$tok-${st.getPath.getName}"
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(dir, nm))
+        renameOrAbort(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(dir, nm))
         s"changes:$nm"
       }.toSeq.sorted
     fs.delete(stage, true)
@@ -1425,10 +1470,19 @@ object Layout {
     * for every commit in `(fromId, toId]`, the files a consumer reads
     * and the constant `_op` to synthesize (None = the file is a
     * RECORDED change file under changes/ carrying its own `_op`
-    * column). Append commits need no recording — their changes ARE
-    * the new data files, op 'added'; a rewrite commit without
-    * recorded changes emits its whole new image as 'added' (the
-    * reprocess-on-rewrite convention of [[readSnapshotChanges]]).
+    * column). Rules, per commit:
+    *  - recorded change files (merge / restore-with-key) carry their
+    *    own exact `_op` column — read as-is;
+    *  - `rewrite:optimize` (bin-pack / ZORDER) changes ZERO rows —
+    *    emits NOTHING (Delta CDF semantics: compaction is invisible
+    *    to change consumers);
+    *  - everything else emits the FILE-SET diff vs the previous
+    *    commit: files the commit introduced as 'added', files it
+    *    removed as 'removed' — exact for appends (new files ARE the
+    *    new rows) and for full replaces (old image retracted, new
+    *    image added), file-granular for unrecorded restores. A
+    *    replaced-in-place row thus appears as removed+added; commits
+    *    wanting row-level 'changed' granularity record change files.
     * Driver-side manifest metadata only. */
   private[graft] def changeFeedPlan(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1445,13 +1499,15 @@ object Layout {
         info.changes.map(c => (fs.makeQualified(
           new org.apache.hadoop.fs.Path(changesDir, c)).toString,
           None))
+      else if (info.rewrite.contains("optimize")) Nil
       else {
         val prev =
           if (id == 1) Set.empty[String] else infoOf(id - 1).files.toSet
-        (info.files.toSet -- prev).toSeq.sorted.map(f =>
-          (fs.makeQualified(
-            new org.apache.hadoop.fs.Path(dataDir, f)).toString,
-            Some("added")))
+        val cur = info.files.toSet
+        def q(f: String) = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(dataDir, f)).toString
+        (cur -- prev).toSeq.sorted.map(f => (q(f), Some("added"))) ++
+          (prev -- cur).toSeq.sorted.map(f => (q(f), Some("removed")))
       }
     }
   }
@@ -1654,6 +1710,8 @@ object Layout {
     // scale-bucketed to 16 bits) columns — every output file covers a
     // tight rectangle in every listed dimension.
     val tok = java.util.UUID.randomUUID().toString.take(8)
+    registerTok(tok)
+    try {
     val baseDf = readSnapshot(spark, path, base)
     val packed =
       if (zorderBy.nonEmpty) {
@@ -1696,12 +1754,17 @@ object Layout {
     // the base's files (re-base over interleaved appends), abort when
     // any base file is already gone, total = (headRows − baseRows) +
     // stagedRows = headRows — content identical by construction.
+    // `rewrite:optimize` marks the commit as CONTENT-IDENTICAL, so the
+    // change feed emits nothing for it (compaction changes zero rows —
+    // Delta CDF semantics) instead of replaying the whole image
     commitStagedLines(spark, path, newLines, stagedRows,
       baseInfo.schema.getOrElse(throw new IllegalStateException(
         s"optimizeSnapshot at $path: no recorded schema")),
       tag = null, carryPrevious = true, statsCol = effStatsCol,
       expectedBase = -1, tok = tok,
-      dropFiles = baseFiles.toSet, dropRows = baseRows)
+      dropFiles = baseFiles.toSet, dropRows = baseRows,
+      extraMeta = Seq("rewrite:optimize"))
+    } finally releaseTok(tok)
   }
 
   /** RESTORE the table to snapshot `toId` (Delta RESTORE / Iceberg
@@ -1745,6 +1808,8 @@ object Layout {
       throw new IllegalStateException(
         s"restoreSnapshot: snapshot $toId records no schema"))
     val tok = java.util.UUID.randomUUID().toString.take(8)
+    registerTok(tok)
+    try {
     val changeLines =
       if (changeFeedKey == null) Nil
       else stageChangeFiles(
@@ -1756,12 +1821,19 @@ object Layout {
     // claim would be silently excluded by an unconditional replace, so
     // the commit aborts with ConcurrentModificationException instead —
     // the caller re-decides against the new head and retries.
+    // partCols: the restored manifest keeps the target's recorded
+    // partition layout (dropping it would silently stop directory
+    // pruning and the sticky-layout contract from then on); the
+    // `rewrite:restore` marker tells change-feed planning this commit
+    // is a rewrite, not an append.
     commitStagedLines(spark, path, info.statLines, info.rows, schema,
       tag = null, carryPrevious = false,
       statsCol =
         if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
       expectedBase = head,
-      tok = tok, extraMeta = changeLines)
+      tok = tok, extraMeta = changeLines :+ "rewrite:restore",
+      partCols = info.partCols)
+    } finally releaseTok(tok)
   }
 
   /** Retention: keep the newest `keepLast` snapshots, drop older
@@ -1826,23 +1898,44 @@ object Layout {
       val (drop, _) =
         manifests.splitAt(math.max(0, manifests.length - keepLast))
       val cutoff = System.currentTimeMillis() - graceMs
-      val removedFiles = fs.listStatus(dataDir).filter { st =>
-        st.isFile && !referenced.contains(st.getPath.getName) &&
-          st.getModificationTime <= cutoff
-      }.map { st => fs.delete(st.getPath, false); 1 }.sum
+      // manifests reference files by their dataDir-RELATIVE path
+      // (partitioned writes publish under `col=value/` subdirectories),
+      // so the sweep lists data/ RECURSIVELY and compares relative
+      // paths — a non-recursive basename sweep would never visit a
+      // partitioned table's files. Files of a live in-flight write
+      // token are spared regardless of age (see [[registerTok]]).
+      val dataDirQ = fs.makeQualified(dataDir).toString + "/"
+      var removedFiles = 0
+      if (fs.exists(dataDir)) {
+        val it = fs.listFiles(dataDir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val rel = fs.makeQualified(st.getPath).toString
+            .stripPrefix(dataDirQ)
+          if (!referenced.contains(rel) &&
+              !tokLive(st.getPath.getName) &&
+              st.getModificationTime <= cutoff) {
+            fs.delete(st.getPath, false)
+            removedFiles += 1
+          }
+        }
+      }
       // change-feed files of dropped manifests (side metadata, never
       // in `referenced`) — same kept-references-only retention rule
       val changesDir = new org.apache.hadoop.fs.Path(root, "changes")
       if (fs.exists(changesDir)) fs.listStatus(changesDir).foreach { st =>
         if (st.isFile && !referencedChanges.contains(st.getPath.getName)
+            && !tokLive(st.getPath.getName)
             && st.getModificationTime <= cutoff)
           fs.delete(st.getPath, false)
       }
       // crash-leftover stage dirs (a writer that died before abort, or
       // a streaming query's stage dir after the query stopped) — never
-      // referenced by any manifest, swept by the same age guard
+      // referenced by any manifest, swept by the same age guard; a
+      // live write's stage dir is spared regardless of age
       fs.listStatus(root).foreach { st =>
         if (st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+            !tokLive(st.getPath.getName) &&
             st.getModificationTime <= cutoff)
           fs.delete(st.getPath, true)
       }

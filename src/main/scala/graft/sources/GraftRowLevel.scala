@@ -150,6 +150,8 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       val (fs, root) = fsRoot()
       val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
       fs.mkdirs(stage)
+      // spared from vacuum for the write's whole flight
+      Layout.registerTok(tok)
       SnapshotWriterFactory(fs.makeQualified(stage).toString,
         info.schema(), statsCol, partCols, tok,
         SnapshotHadoopConf.broadcast())
@@ -177,28 +179,33 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
             .fromPath(new org.apache.hadoop.fs.Path(p), conf))
         try r.getRecordCount finally r.close()
       }.sum
-      Layout.withTableLock(spark, path) {
-        msgs.flatMap(_.lines).map(_.split('|').head).foreach { n =>
-          val dest = new org.apache.hadoop.fs.Path(dataDir, n)
-          fs.mkdirs(dest.getParent)
-          fs.rename(new org.apache.hadoop.fs.Path(stage, n), dest)
+      try {
+        Layout.withTableLock(spark, path) {
+          msgs.flatMap(_.lines).map(_.split('|').head).foreach { n =>
+            val dest = new org.apache.hadoop.fs.Path(dataDir, n)
+            fs.mkdirs(dest.getParent)
+            // a failed rename must abort before the manifest claim
+            Layout.renameOrAbort(fs,
+              new org.apache.hadoop.fs.Path(stage, n), dest)
+          }
+          Layout.commitStagedLines(spark, path,
+            msgs.flatMap(_.lines).sorted.toSeq, msgs.map(_.rows).sum,
+            info.schema(), tag = null, carryPrevious = true,
+            statsCol = statsCol.orNull,
+            expectedBase = op.pinnedSnapshot, tok = tok,
+            dropFiles = droppedRel.toSet,
+            dropRows = dropRows, partCols = partCols)
         }
-        Layout.commitStagedLines(spark, path,
-          msgs.flatMap(_.lines).sorted.toSeq, msgs.map(_.rows).sum,
-          info.schema(), tag = null, carryPrevious = true,
-          statsCol = statsCol.orNull,
-          expectedBase = op.pinnedSnapshot, tok = tok,
-          dropFiles = droppedRel.toSet,
-          dropRows = dropRows, partCols = partCols)
-      }
-      fs.delete(stage, true)
+        fs.delete(stage, true)
+      } finally Layout.releaseTok(tok)
     }
 
-    override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      val (fs, root) = fsRoot()
-      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
-        true)
-    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      try {
+        val (fs, root) = fsRoot()
+        fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+          true)
+      } finally Layout.releaseTok(tok)
   }
 }
 

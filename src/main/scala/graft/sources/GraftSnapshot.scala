@@ -337,16 +337,22 @@ final class GraftSnapshotScanBuilder(path: String,
       // BATCH change-feed window: typed changes of every commit in
       // (startingSnapshot, endingSnapshot|asOf] — the batch twin of
       // the streaming readChangeFeed mode, same per-commit planning
-      // (recorded change files for merge/restore, synthesized 'added'
-      // for appends). Stats/partition pruning does not apply: the
-      // window is selected by SNAPSHOT ids, not predicates (which
-      // stay residual row-level as always).
+      // (recorded change files for merge/restore, synthesized
+      // added/removed for unrecorded commits). Stats/partition pruning
+      // does not apply: the window is selected by SNAPSHOT ids, not
+      // predicates (which stay residual row-level as always).
       override def planInputPartitions(): Array[InputPartition] = {
         val spark = SparkSession.active
         val from =
           Option(options.get("startingSnapshot")).map(_.toInt)
             .getOrElse(0)
-        Layout.changeFeedPlan(spark, path, from, asOf)
+        val to =
+          Option(options.get("endingSnapshot")).map(_.toInt)
+            .getOrElse(asOf)
+        require(to <= asOf,
+          s"graft-snapshot: endingSnapshot $to is beyond the pinned " +
+            s"snapshot $asOf")
+        Layout.changeFeedPlan(spark, path, from, to)
           .map { case (f, op) =>
             SnapshotFilePartition(f, op.orNull): InputPartition
           }.toArray
@@ -748,7 +754,10 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       msgs.flatMap(_.lines).map(_.split('|').head).foreach { n =>
         val dest = new org.apache.hadoop.fs.Path(dataDir, n)
         fs.mkdirs(dest.getParent)
-        fs.rename(new org.apache.hadoop.fs.Path(stage, n), dest)
+        // a failed publish rename must abort BEFORE the manifest
+        // claim — committing would reference a file that never arrived
+        Layout.renameOrAbort(fs,
+          new org.apache.hadoop.fs.Path(stage, n), dest)
       }
       Layout.commitStagedLines(SparkSession.active, path,
         msgs.flatMap(_.lines).sorted.toSeq, msgs.map(_.rows).sum,
@@ -762,20 +771,26 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
   override def toBatch: BatchWrite = new BatchWrite {
     private val tok = java.util.UUID.randomUUID().toString.take(8)
     override def createBatchWriterFactory(
-        info: PhysicalWriteInfo): DataWriterFactory =
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      // registered for the write's whole flight so a same-JVM vacuum
+      // (even graceMs = 0) never sweeps its staged/just-renamed files
+      Layout.registerTok(tok)
       SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
         statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
-    override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      commitLines(tok, messages, batchTag.orNull)
-      val (fs, root) = fsOf()
-      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
-        true)
     }
-    override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      val (fs, root) = fsOf()
-      fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
-        true)
-    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      try {
+        commitLines(tok, messages, batchTag.orNull)
+        val (fs, root) = fsOf()
+        fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+          true)
+      } finally Layout.releaseTok(tok)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      try {
+        val (fs, root) = fsOf()
+        fs.delete(new org.apache.hadoop.fs.Path(root, s".stage-$tok"),
+          true)
+      } finally Layout.releaseTok(tok)
   }
 
   override def toStreaming
@@ -784,9 +799,13 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       private val tok = java.util.UUID.randomUUID().toString.take(8)
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector
-          .write.streaming.StreamingDataWriterFactory =
+          .write.streaming.StreamingDataWriterFactory = {
+        // held for the query's lifetime (epochs share the stage dir);
+        // one 8-char token per live query is bounded state
+        Layout.registerTok(tok)
         SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
           statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
+      }
       // epoch replay after a restart re-stages files but the tagged
       // manifest short-circuits: exactly one commit per (query, epoch),
       // replayed stages become vacuum-able orphans. The stage dir is
