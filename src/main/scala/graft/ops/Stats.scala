@@ -91,7 +91,7 @@ object Stats {
     val withMargins = cells
       .withColumn("__ra", sum(col("__o")).over(Window.partitionBy(col("__a"))))
       .withColumn("__cb", sum(col("__o")).over(Window.partitionBy(col("__b"))))
-      .withColumn("__n", sum(col("__o")).over(Window.partitionBy()))
+      .withColumn("__n", sum(col("__o")).over(Window.partitionBy(lit(1))))
     val contrib = withMargins.select(
       col("__n"), col("__a"), col("__b"),
       expr("""(1000000 * (__n*__o - __ra*__cb) * (__n*__o - __ra*__cb))
@@ -761,7 +761,7 @@ object Stats {
       .withColumn("__digit",
         substring(col(valueCol).cast("string"), 1, 1).cast("int"))
       .groupBy(col("__digit")).agg(count(lit(1)).as("__obs"))
-      .withColumn("__n", sum(col("__obs")).over(Window.partitionBy()))
+      .withColumn("__n", sum(col("__obs")).over(Window.partitionBy(lit(1))))
       .withColumn("__p", expr(s"CASE $expected END"))
       .select(
         col("__digit").cast("long").as("digit"),
@@ -1203,8 +1203,9 @@ object Stats {
     val perX = df.groupBy(col(xCol).as("__x"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("__nx"),
         sum(dec(col(yCol))).as("__sx"))
-    val all = Window.partitionBy()
-    val cum = Window.orderBy(col("__x"))
+    // |distinct x| rows post-aggregate — constant-partition windows
+    val all = Window.partitionBy(lit(1))
+    val cum = Window.partitionBy(lit(1)).orderBy(col("__x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perX
       .withColumn("__n", sum(col("__nx")).over(all))
@@ -1257,7 +1258,7 @@ object Stats {
       .agg(count(lit(1)).as("__c"))
     val byA = Window.partitionBy(col("__a"))
     val byB = Window.partitionBy(col("__b"))
-    val all = Window.partitionBy()
+    val all = Window.partitionBy(lit(1))
     cells
       .withColumn("__ra", sum(col("__c")).over(byA))
       .withColumn("__cb", sum(col("__c")).over(byB))

