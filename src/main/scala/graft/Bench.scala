@@ -207,7 +207,29 @@ object Bench {
     val telemetry =
       s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
         s""""bench_wall_sec":${fmt(wallSec)}"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","n_queries":${results.size},"queries_listed":${slowest.size},"detail":"bench_last.json","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson,$telemetry}"""
+    // A/B ratio vs the previous round's commit (tools/bench_ab.sh):
+    // the only cross-round-comparable number — absolute totals drift
+    // with the host week-over-week (tools/BENCH_METHOD.md). Embedded
+    // compactly (commits + totals + ratio) when the artifact exists;
+    // full per-query maps stay in tools/AB_latest.json.
+    val abJson = (if (only.isDefined) None else
+      try {
+        val txt = scala.io.Source.fromFile("tools/AB_latest.json")
+          .mkString
+        def field(k: String): Option[String] = {
+          val m = ("\"" + k + "\"\\s*:\\s*(\"[^\"]*\"|[0-9.]+)").r
+            .findFirstMatchIn(txt)
+          m.map(_.group(1))
+        }
+        for {
+          p <- field("prev_commit"); h <- field("head_commit")
+          tp <- field("total_prev"); th <- field("total_head")
+          r <- field("ratio")
+        } yield s""""ab":{"prev_commit":$p,"head_commit":$h,""" +
+          s""""total_prev":$tp,"total_head":$th,"ratio":$r,""" +
+          s""""detail":"tools/AB_latest.json"},"""
+      } catch { case _: Throwable => None }).getOrElse("")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfTag","method":"noop_write","keys":"short","n_queries":${results.size},"queries_listed":${slowest.size},"detail":"bench_last.json","errors":${errors.size},"failed":$failedJson,"cached":$cachedJson,$abJson$telemetry}"""
     // Full-precision copy survives in the repo even if stdout is clipped.
     // Restricted dev runs (SPARK_GRAFT_ONLY) go to bench_restricted.json:
     // overwriting bench_last.json with a 5-query subset would silently

@@ -389,17 +389,177 @@ object Layout {
       l.startsWith("changes:") || l.startsWith("partcols:") ||
       l.startsWith("rewrite:")
 
+  // ----- Typed per-file column stats (the data-skipping index) --------
+  //
+  // A manifest file line is "name" or "name|f1|f2|..." with one FIELD
+  // PAIR per indexed column (statscols order). Integral columns store
+  // exact [min, max] as decimal digits (the original format — every
+  // pre-round-13 manifest parses unchanged). STRING columns (round 13:
+  // UUIDs, URLs, event dates-as-text — the most common real merge
+  // keys) store Iceberg-style TRUNCATED bounds: lo = the true min cut
+  // to 16 code points (a prefix sorts <= its extension), hi = the true
+  // max cut to 16 code points with the LAST CODE POINT INCREMENTED
+  // (sorts >= anything it prefixes) — or UNBOUNDED when the increment
+  // overflows every position. Encoded as "s" + base64url(UTF-8 bytes)
+  // so '|' and newlines in values can never corrupt the line; "*" is
+  // the unbounded-above marker. ALL string comparisons — here, in the
+  // scan pushdown, and row-level in Spark — are CODE POINT order
+  // (Spark compares strings as UTF8String = UTF-8 byte order = code
+  // point order), never java.lang.String UTF-16 order, which diverges
+  // on supplementary characters.
+
+  /** One column's recorded [min, max] on one data file (or a pushed
+    * query interval — same shape, exact bounds). */
+  private[graft] sealed trait ColRange
+  private[graft] final case class LongRange(lo: Long, hi: Long)
+      extends ColRange
+  /** `hi` None = unbounded above (max-truncation overflowed). */
+  private[graft] final case class StrRange(lo: String,
+      hi: Option[String]) extends ColRange
+
+  private[graft] object ColRange {
+    /** Code-point order — MUST match Spark's string comparison
+      * (UTF8String byte order); java.lang.String.compareTo (UTF-16
+      * unit order) disagrees beyond the BMP. */
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return java.lang.Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      java.lang.Integer.compare(a.length - i, b.length - j)
+    }
+
+    private val TruncCp = 16 // stored-bound length, in code points
+
+    /** Lower bound: the first `TruncCp` code points — a prefix sorts
+      * <= every string it prefixes, so the bound stays conservative. */
+    def truncMin(s: String): String = {
+      val end = s.offsetByCodePoints(0,
+        math.min(TruncCp, s.codePointCount(0, s.length)))
+      s.substring(0, end)
+    }
+
+    /** Upper bound: the value itself when short enough (exact), else
+      * the truncated prefix with its last code point incremented
+      * (carrying left; the surrogate gap D800–DFFF is skipped since
+      * lone surrogates are not valid scalar values) — >= every string
+      * with that prefix. None when every position overflows 0x10FFFF
+      * (a run of max code points): unbounded above, always read. */
+    def truncMax(s: String): Option[String] = {
+      if (s.codePointCount(0, s.length) <= TruncCp) return Some(s)
+      val cps = truncMin(s).codePoints().toArray
+      var i = cps.length - 1
+      while (i >= 0) {
+        val next =
+          if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+        if (next <= 0x10FFFF) {
+          val kept = cps.take(i) :+ next
+          return Some(new String(kept, 0, kept.length))
+        }
+        i -= 1
+      }
+      None
+    }
+
+    /** Ordinal for BINNED string range joins: the first 7 UTF-8 bytes
+      * packed big-endian (zero-padded) into a non-negative long —
+      * monotone (non-strict) in code-point order, so ordinal intervals
+      * are a SUPERSET-safe relaxation of string intervals (ties only
+      * ever add candidate files, never drop one). */
+    def strOrd(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      var v = 0L; var i = 0
+      while (i < 7) {
+        v = (v << 8) | (if (i < b.length) b(i) & 0xFFL else 0L)
+        i += 1
+      }
+      v
+    }
+
+    /** The Spark-side twin of [[strOrd]] — a codegen'd expression
+      * (rpad the UTF-8 bytes to 7, hex, base-16 to decimal): the two
+      * MUST agree or binned candidate matching drops files. */
+    def strOrdSql(c: String): String =
+      s"CAST(conv(hex(rpad(encode($c, 'UTF-8'), 7, X'00')), 16, 10) " +
+        "AS BIGINT)"
+
+    /** Longest common prefix of the candidate bounds, cut back to a
+      * code-point boundary — stripped before the 7-byte ordinal so
+      * keys sharing a long constant prefix (URL scheme+host,
+      * "doc-000…") don't tie every candidate into one bin. Safe
+      * because every bound starts with the LCP, so any key inside any
+      * candidate range must too (a string in [P+a, P+b] lies in
+      * [P, next(P)) and therefore has prefix P); keys without the
+      * prefix match nothing and are excluded. */
+    def commonPrefix(ss: Seq[String]): String = {
+      if (ss.isEmpty) return ""
+      var p = ss.head
+      ss.tail.foreach { s =>
+        var i = 0
+        val n = math.min(p.length, s.length)
+        while (i < n && p.charAt(i) == s.charAt(i)) i += 1
+        p = p.substring(0, i)
+      }
+      // never split a surrogate pair
+      if (p.nonEmpty && Character.isHighSurrogate(p.last))
+        p.substring(0, p.length - 1)
+      else p
+    }
+
+    /** Conservative overlap of a recorded file range with a pushed
+      * query interval of the same shape; a kind mismatch (column type
+      * changed identity — should not happen) degrades to READ. */
+    def overlaps(file: ColRange, query: ColRange): Boolean =
+      (file, query) match {
+        case (LongRange(flo, fhi), LongRange(qlo, qhi)) =>
+          fhi >= qlo && flo <= qhi
+        case (StrRange(flo, fhi), StrRange(qlo, qhi)) =>
+          fhi.forall(h => cpCompare(h, qlo) >= 0) &&
+            qhi.forall(h => cpCompare(flo, h) <= 0)
+        case _ => true
+      }
+
+    private val b64e = java.util.Base64.getUrlEncoder.withoutPadding()
+    private val b64d = java.util.Base64.getUrlDecoder
+
+    /** The two manifest fields of a recorded range. */
+    def fields(r: ColRange): Seq[String] = r match {
+      case LongRange(lo, hi) => Seq(lo.toString, hi.toString)
+      case StrRange(lo, hi) => Seq(
+        "s" + b64e.encodeToString(lo.getBytes("UTF-8")),
+        hi.fold("*")(h =>
+          "s" + b64e.encodeToString(h.getBytes("UTF-8"))))
+    }
+
+    /** The recorded string range of observed [min, max] — truncation
+      * applied here so every writer shares one rule. */
+    def ofStrings(min: String, max: String): StrRange =
+      StrRange(truncMin(min), truncMax(max))
+
+    /** Inverse of [[fields]]; empty/unknown fields → None. */
+    def parse(lo: String, hi: String): Option[ColRange] =
+      if (lo.isEmpty || hi.isEmpty) None
+      else if (lo.charAt(0) == 's' || hi == "*")
+        Some(StrRange(
+          new String(b64d.decode(lo.substring(1)), "UTF-8"),
+          if (hi == "*") None
+          else Some(new String(b64d.decode(hi.substring(1)), "UTF-8"))))
+      else Some(LongRange(lo.toLong, hi.toLong))
+  }
+
   // Render a (name, per-column stats) manifest entry back to its file
   // line — the inverse of [[statsOf]]' parse. One pair of fields per
   // indexed column, in `statscols:` order; a column with no recorded
   // range on this file (e.g. all-null in a sink task) renders as two
   // EMPTY fields, so positions stay aligned. A file with no ranges at
   // all is just the bare name.
-  private def statLine(
-      e: (String, Seq[Option[(Long, Long)]])): String = e match {
+  private[graft] def statLine(
+      e: (String, Seq[Option[ColRange]])): String = e match {
     case (n, rs) if rs.forall(_.isEmpty) => n
     case (n, rs) => (n +: rs.flatMap {
-      case Some((lo, hi)) => Seq(lo.toString, hi.toString)
+      case Some(r) => ColRange.fields(r)
       case None => Seq("", "")
     }).mkString("|")
   }
@@ -605,7 +765,7 @@ object Layout {
   private[graft] def snapshotFileStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
       asOf: Int = -1)
-      : Seq[(String, String, Seq[Option[(Long, Long)]])] = {
+      : Seq[(String, String, Seq[Option[ColRange]])] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
@@ -639,11 +799,10 @@ object Layout {
     * stats — always read); an EMPTY field pair is that one column
     * rangeless on this file. split limit -1 keeps trailing empties. */
   private[graft] def statsOf(line: String)
-      : (String, Seq[Option[(Long, Long)]]) = {
+      : (String, Seq[Option[ColRange]]) = {
     val p = line.split("\\|", -1).toSeq // -1: keep trailing empties
     val ranges = p.tail.grouped(2).map {
-      case Seq(lo, hi) if lo.nonEmpty && hi.nonEmpty =>
-        Some((lo.toLong, hi.toLong))
+      case Seq(lo, hi) => ColRange.parse(lo, hi)
       case _ => None
     }.toSeq
     (p.head, ranges)
@@ -651,7 +810,7 @@ object Layout {
 
   private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path)
-      : Seq[(String, Seq[Option[(Long, Long)]])] =
+      : Seq[(String, Seq[Option[ColRange]])] =
     parseManifest(fs, p).statLines.map(statsOf)
 
   // (qualified snapshots dir, tag) → committed id. Populated on every
@@ -749,17 +908,27 @@ object Layout {
     df.write.mode("overwrite").parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
-    // integral types ONLY: a floating stats value silently truncated
-    // to Long would record a WRONG range and mis-skip files later
+    // integral and STRING types only: a floating stats value silently
+    // truncated to Long would record a WRONG range and mis-skip files
+    // later. Integral covers dates/timestamps too (parquet stores them
+    // as INT32 days / INT64 micros). Strings record Iceberg-style
+    // truncated bounds (see [[ColRange]]).
     def statLong(v: Any, what: String): Long = v match {
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
       case s: java.lang.Short => s.longValue()
       case b: java.lang.Byte => b.longValue()
       case other => throw new IllegalArgumentException(
-        s"snapshotWrite: statsCol must be integral, $what was " +
-          s"${if (other == null) "null" else other.getClass.getName}")
+        s"snapshotWrite: statsCol must be integral or string, $what " +
+          s"was ${if (other == null) "null" else other.getClass.getName}")
     }
+    def statRange(mn: Any, mx: Any, c: String): (Any, Any) =
+      (mn, mx) match {
+        case (a: org.apache.parquet.io.api.Binary,
+            b: org.apache.parquet.io.api.Binary) =>
+          (a.toStringUsingUTF8, b.toStringUsingUTF8)
+        case _ => (statLong(mn, s"min($c)"), statLong(mx, s"max($c)"))
+      }
     val metas = staged.map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromStatus(st, conf)
@@ -771,7 +940,7 @@ object Layout {
         // therefore no column statistics: it is dropped below, so no
         // ranges are computed. One footer pass serves ALL indexed
         // columns (statsCol accepts "c1,c2,...").
-        val ranges: Seq[Option[(Long, Long)]] =
+        val ranges: Seq[Option[ColRange]] =
           if (rc == 0) Nil
           else statsColsOf(statsCol).map { c =>
             import scala.jdk.CollectionConverters._
@@ -782,13 +951,25 @@ object Layout {
                     val s = cc.getStatistics
                     require(s != null && s.hasNonNullValue,
                       s"snapshotWrite: no parquet statistics for '$c'")
-                    (statLong(s.genericGetMin, s"min($c)"),
-                      statLong(s.genericGetMax, s"max($c)"))
+                    statRange(s.genericGetMin, s.genericGetMax, c)
                   }
               }
             require(perBlock.nonEmpty,
               s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
-            Some((perBlock.map(_._1).min, perBlock.map(_._2).max))
+            perBlock.head match {
+              case (_: String, _) =>
+                val mins = perBlock.map(_._1.asInstanceOf[String])
+                val maxs = perBlock.map(_._2.asInstanceOf[String])
+                Some(ColRange.ofStrings(
+                  mins.reduce((a, b) =>
+                    if (ColRange.cpCompare(a, b) <= 0) a else b),
+                  maxs.reduce((a, b) =>
+                    if (ColRange.cpCompare(a, b) >= 0) a else b)))
+              case _ =>
+                val ls = perBlock.map(p => (p._1.asInstanceOf[Long],
+                  p._2.asInstanceOf[Long]))
+                Some(LongRange(ls.map(_._1).min, ls.map(_._2).max))
+            }
           }
         (st, rc, ranges)
       } finally r.close()
@@ -1026,6 +1207,28 @@ object Layout {
       path: String, colName: String, lo: Long, hi: Long,
       asOf: Int = -1): DataFrame = {
     require(lo <= hi, s"readSnapshotPruned: lo $lo > hi $hi")
+    readSnapshotPrunedBy(spark, path, colName, LongRange(lo, hi), asOf)
+  }
+
+  /** [[readSnapshotPruned]] for STRING-indexed columns (code-point
+    * interval, both bounds inclusive): file skipping consults the
+    * truncated string bounds conservatively — a file whose stored
+    * prefix range touches [lo, hi] is read, and the exact row-level
+    * `between` (Spark's UTF-8-byte string order = the stored bounds'
+    * order) applies on top. */
+  def readSnapshotPrunedStr(spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, lo: String, hi: String,
+      asOf: Int = -1): DataFrame = {
+    require(ColRange.cpCompare(lo, hi) <= 0,
+      s"readSnapshotPrunedStr: lo '$lo' > hi '$hi'")
+    readSnapshotPrunedBy(spark, path, colName, StrRange(lo, Some(hi)),
+      asOf)
+  }
+
+  private def readSnapshotPrunedBy(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, colName: String, q: ColRange, asOf: Int)
+      : DataFrame = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val ids = fs.listStatus(snapsDir)
@@ -1047,11 +1250,17 @@ object Layout {
     val statsCols = parseManifest(fs, manifest).statsCols
     val pos = if (statsCols.isEmpty) 0 else statsCols.indexOf(colName)
     val keep = entries.filter { case (_, ranges) =>
-      pos < 0 || ranges.lift(pos).flatten.forall {
-        case (flo, fhi) => fhi >= lo && flo <= hi
-      }
+      pos < 0 || ranges.lift(pos).flatten.forall(r =>
+        ColRange.overlaps(r, q))
     }
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val exact = q match {
+      case LongRange(lo, hi) => col(colName).between(lo, hi)
+      case StrRange(lo, hi) =>
+        col(colName).between(lo, hi.getOrElse(
+          throw new IllegalArgumentException(
+            "readSnapshotPruned: unbounded query range")))
+    }
     if (keep.isEmpty)
       readSnapshot(spark, path, id).filter(lit(false))
     else {
@@ -1062,7 +1271,7 @@ object Layout {
         case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       }
-      base.filter(col(colName).between(lo, hi))
+      base.filter(exact)
     }
   }
 
@@ -1192,47 +1401,127 @@ object Layout {
     * range length, clamped so the widest range explodes into ≤4096
     * bins). */
   private[graft] def overlappingFiles(keys: DataFrame, keyCol: String,
-      entries: Seq[(String, Option[(Long, Long)])],
+      entries: Seq[(String, Option[ColRange])],
       nljThreshold: Int = 256): Seq[String] = {
     val rangeless = entries.collect { case (n, None) => n }
-    val ranged = entries.collect { case (n, Some((lo, hi))) =>
-      (n, lo, hi) }
-    if (ranged.isEmpty) return rangeless
+    val longRanged = entries.collect {
+      case (n, Some(LongRange(lo, hi))) => (n, lo, hi) }
+    val strRanged = entries.collect {
+      case (n, Some(StrRange(lo, hi))) => (n, lo, hi) }
+    rangeless ++
+      overlappingLong(keys, keyCol, longRanged, nljThreshold) ++
+      overlappingStr(keys, keyCol, strRanged, nljThreshold)
+  }
+
+  private def overlappingLong(keys: DataFrame, keyCol: String,
+      ranged: Seq[(String, Long, Long)], nljThreshold: Int)
+      : Seq[String] = {
+    if (ranged.isEmpty) return Nil
     val env = keys.agg(min(col(keyCol).cast("long")),
       max(col(keyCol).cast("long"))).head()
-    if (env.isNullAt(0)) return rangeless // empty delta
+    if (env.isNullAt(0)) return Nil // empty delta
     val (kMin, kMax) = (env.getLong(0), env.getLong(1))
     val candidates = ranged.filter { case (_, lo, hi) =>
       hi >= kMin && lo <= kMax }
-    if (candidates.isEmpty) return rangeless
+    if (candidates.isEmpty) return Nil
     val spark = keys.sparkSession
     import spark.implicits._
-    val hit: Seq[String] =
-      if (candidates.size <= nljThreshold) {
-        val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
-        keys.join(broadcast(filesDf),
-            col(keyCol).cast("long") >= col("__gf_lo") &&
-              col(keyCol).cast("long") <= col("__gf_hi"))
-          .select(col("__gf_file")).distinct()
-          .as[String].collect().toSeq
-      } else {
-        // closed [lo, hi] → half-open [lo, hi+1) for pointInRange;
-        // bin width planned from the driver-resident candidate list
-        val lens = candidates.map { case (_, lo, hi) =>
-          math.min(hi, Long.MaxValue - 1) - lo + 1 }.sorted
-        val median = lens(lens.size / 2)
-        val binW = math.max(median,
-          (lens.last + 4095) / 4096) // widest range ≤ 4096 bins
-        val filesDf = candidates.map { case (n, lo, hi) =>
-          (n, lo, math.min(hi, Long.MaxValue - 1) + 1)
-        }.toDF("__gf_file", "__gf_lo", "__gf_hi1")
-        RangeJoin.pointInRange(
-          keys.select(col(keyCol).cast("long").as("__gf_k")),
-          "__gf_k", filesDf, "__gf_lo", "__gf_hi1", binW)
-          .select(col("__gf_file")).distinct()
-          .as[String].collect().toSeq
-      }
-    rangeless ++ hit
+    if (candidates.size <= nljThreshold) {
+      val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
+      keys.join(broadcast(filesDf),
+          col(keyCol).cast("long") >= col("__gf_lo") &&
+            col(keyCol).cast("long") <= col("__gf_hi"))
+        .select(col("__gf_file")).distinct()
+        .as[String].collect().toSeq
+    } else {
+      // closed [lo, hi] → half-open [lo, hi+1) for pointInRange;
+      // bin width planned from the driver-resident candidate list
+      val lens = candidates.map { case (_, lo, hi) =>
+        math.min(hi, Long.MaxValue - 1) - lo + 1 }.sorted
+      val median = lens(lens.size / 2)
+      val binW = math.max(median,
+        (lens.last + 4095) / 4096) // widest range ≤ 4096 bins
+      val filesDf = candidates.map { case (n, lo, hi) =>
+        (n, lo, math.min(hi, Long.MaxValue - 1) + 1)
+      }.toDF("__gf_file", "__gf_lo", "__gf_hi1")
+      RangeJoin.pointInRange(
+        keys.select(col(keyCol).cast("long").as("__gf_k")),
+        "__gf_k", filesDf, "__gf_lo", "__gf_hi1", binW)
+        .select(col("__gf_file")).distinct()
+        .as[String].collect().toSeq
+    }
+  }
+
+  /** The STRING twin of [[overlappingLong]]: exact broadcast
+    * inequality join for a small candidate set (Spark compares
+    * strings in UTF-8 byte = code point order, matching the stored
+    * bounds); past the threshold, the BINNED join runs on the 7-byte
+    * prefix ORDINAL ([[ColRange.strOrd]] — a monotone relaxation, so
+    * the result is a SUPERSET: never misses a file, may add ordinal-
+    * tied false positives whose rewrite is wasted work, not wrong
+    * answers). `hi` None (truncation overflow) = unbounded above. */
+  private def overlappingStr(keys: DataFrame, keyCol: String,
+      ranged: Seq[(String, String, Option[String])], nljThreshold: Int)
+      : Seq[String] = {
+    if (ranged.isEmpty) return Nil
+    import ColRange.{cpCompare, strOrd}
+    val env = keys.agg(min(col(keyCol).cast("string")),
+      max(col(keyCol).cast("string"))).head()
+    if (env.isNullAt(0)) return Nil // empty delta
+    val (kMin, kMax) = (env.getString(0), env.getString(1))
+    val candidates = ranged.filter { case (_, lo, hi) =>
+      hi.forall(h => cpCompare(h, kMin) >= 0) &&
+        cpCompare(lo, kMax) <= 0 }
+    if (candidates.isEmpty) return Nil
+    val spark = keys.sparkSession
+    import spark.implicits._
+    if (candidates.size <= nljThreshold) {
+      val filesDf = candidates
+        .map { case (n, lo, hi) => (n, lo, hi.orNull) }
+        .toDF("__gf_file", "__gf_lo", "__gf_hi")
+      keys.join(broadcast(filesDf),
+          col(keyCol).cast("string") >= col("__gf_lo") &&
+            (col("__gf_hi").isNull ||
+              col(keyCol).cast("string") <= col("__gf_hi")))
+        .select(col("__gf_file")).distinct()
+        .as[String].collect().toSeq
+    } else {
+      // Binned ordinal space. An unbounded-above candidate (max-
+      // truncation overflow — a run of max code points, vanishingly
+      // rare) can hold keys OUTSIDE the common-prefix region, so it
+      // is conservatively always-touched rather than binned.
+      val (unbounded, bounded) =
+        candidates.partition(_._3.isEmpty)
+      val always = unbounded.map(_._1)
+      if (bounded.isEmpty) return always
+      // strip the bounds' longest common prefix before the 7-byte
+      // ordinal — keys sharing a long constant prefix would otherwise
+      // tie every candidate into one bin (see [[ColRange.commonPrefix]])
+      val lcp = ColRange.commonPrefix(
+        bounded.flatMap { case (_, lo, hi) => lo +: hi.toSeq })
+      val lcpCp = lcp.codePointCount(0, lcp.length)
+      def sfx(s: String) = s.substring(lcp.length)
+      // closed [ord(lo), ord(hi)] → half-open [ord(lo), ord(hi)+1)
+      val ords = bounded.map { case (n, lo, hi) =>
+        (n, strOrd(sfx(lo)), strOrd(sfx(hi.get)) + 1) }
+      val lens = ords.map { case (_, lo, hi1) => hi1 - lo }.sorted
+      val median = math.max(1L, lens(lens.size / 2))
+      val binW = math.max(median, (lens.last + 4095) / 4096)
+      val filesDf = ords.toDF("__gf_file", "__gf_lo", "__gf_hi1")
+      // keys without the prefix match no bounded candidate → ordinal
+      // -1 (below every range); substring/ordinals are codegen'd
+      val keyOrd = keys
+        .select(col(keyCol).cast("string").as("__gf_s"))
+        .withColumn("__gf_sfx",
+          expr(s"substring(__gf_s, ${lcpCp + 1})"))
+        .select(when(col("__gf_s").startsWith(lit(lcp)),
+            expr(ColRange.strOrdSql("__gf_sfx")))
+          .otherwise(lit(-1L)).as("__gf_k"))
+      always ++ RangeJoin.pointInRange(
+        keyOrd, "__gf_k", filesDf, "__gf_lo", "__gf_hi1", binW)
+        .select(col("__gf_file")).distinct()
+        .as[String].collect().toSeq
+    }
   }
 
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
@@ -1289,7 +1578,7 @@ object Layout {
     // delta key? — [[overlappingFiles]] with the key's positional
     // range extracted.
     def overlapping(
-        entries: Seq[(String, Seq[Option[(Long, Long)]])])
+        entries: Seq[(String, Seq[Option[ColRange]])])
         : Seq[String] = {
       if (!keyIndexed) return entries.map(_._1)
       overlappingFiles(keys, keyCol, entries.map { case (n, rs) =>

@@ -3957,6 +3957,98 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // STRING data-skipping stats ([[graft.ops.Layout.ColRange]] —
+    // round 13): the manifest records Iceberg-style TRUNCATED min/max
+    // for string index columns (lo = 16-codepoint prefix, hi = prefix
+    // with last code point incremented), so the most common real
+    // merge keys — UUIDs, URLs, zero-padded ids — get the same
+    // file-pruned merge and file-skipping scans the integral index
+    // gives. Same fixture discipline as tt13, keyed on a STRING:
+    // three contiguous key chunks as separate files; the delta
+    // touches only the first chunk's range (plus inserts beyond every
+    // range), so the merge must rewrite EXACTLY one file and carry
+    // two — both counts pinned in the hash — while a string-range
+    // scan inside the second chunk must plan exactly ONE partition
+    // (also pinned). The full post-merge relation is simultaneously
+    // graded row-exact against the oracle.
+    QueryDef.views("tt17_string_stats",
+      """WITH k AS (SELECT doc_id,
+        |            'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+        |            lang, CAST(n_chars AS BIGINT) AS n_chars
+        |          FROM documents),
+        |     b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT key, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_planned
+        |FROM (
+        |  SELECT key, lang, n_chars FROM k, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT key, lang, n_chars + 1000 FROM k, b
+        |  WHERE doc_id < b.b1 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT 'doc-' || lpad(CAST(doc_id + 90000000 AS VARCHAR), 8, '0'),
+        |         lang, n_chars
+        |  FROM k, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
+        |ORDER BY key""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        concat(lit("doc-"),
+          lpad(col("doc_id").cast("string"), 8, "0")).as("key"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt17")
+        .toString
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      def chunk(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).select("key", "lang", "n_chars").coalesce(1)
+      Layout.appendSnapshot(chunk(col("doc_id") < b1), t,
+        statsCol = "key")
+      Layout.appendSnapshot(
+        chunk(col("doc_id") >= b1 && col("doc_id") < b2), t,
+        statsCol = "key")
+      Layout.appendSnapshot(chunk(col("doc_id") >= b2), t,
+        statsCol = "key")
+      val lo = docs.filter(col("doc_id") < b1)
+      val changes =
+        lo.filter(col("doc_id") % 10 === 0)
+          .select(col("key"), col("lang"), col("n_chars"))
+          .withColumn("op", lit("d"))
+        .unionByName(lo.filter(col("doc_id") % 10 === 1)
+          .select(col("key"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .withColumn("op", lit("u")))
+        .unionByName(lo.filter(col("doc_id") % 10 === 2)
+          .select(concat(lit("doc-"),
+              lpad((col("doc_id") + 90000000L).cast("string"), 8, "0"))
+              .as("key"),
+            col("lang"), col("n_chars"))
+          .withColumn("op", lit("c")))
+      val baseFiles = Layout.snapshotInfo(spark, t, 3).get.files.toSet
+      Layout.mergeSnapshot(spark, t, changes, "key", "op")
+      val headFiles = Layout.snapshotInfo(spark, t).get.files.toSet
+      // string-range scan pinned to the second chunk's interior, AS OF
+      // the pre-merge snapshot (whose three files have disjoint key
+      // ranges — the merged rewrite legitimately spans chunk 1 plus
+      // the out-of-range inserts): the DSv2 pushdown must plan exactly
+      // the one covering file
+      val (k1, k2) = (f"doc-$b1%08d", f"doc-${b1 + (b2 - b1) / 2}%08d")
+      val planned = spark.read.format("graft-snapshot")
+        .option("asOfSnapshot", "3").load(t)
+        .filter(col("key") >= k1 && col("key") <= k2)
+        .rdd.getNumPartitions.toLong
+      Layout.readSnapshot(spark, t)
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .withColumn("partitions_planned", lit(planned))
+        .select(col("key"), col("lang"), col("n_chars"),
+          col("files_rewritten"), col("files_carried"),
+          col("partitions_planned"))
+        .orderBy("key")
+    },
+
     QueryDef.views("sn1_snapshot_diff",
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |           FROM documents WHERE doc_id % 10 <> 0),

@@ -119,7 +119,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         () => Layout.snapshotInfo(spark, path).toSeq
           .flatMap(_.statLines).map(Layout.statsOf).map {
             case (n, ranges) =>
-              val r = ranges.headOption.flatten
+              // integral primary-index bounds only; a string-indexed
+              // table shows NULL here (its truncated bounds have no
+              // Long rendering — the manifest line is authoritative)
+              val r = ranges.headOption.flatten.collect {
+                case Layout.LongRange(lo, hi) => (lo, hi) }
               Seq[Any](
                 org.apache.spark.unsafe.types.UTF8String.fromString(n),
                 r.map(_._1).map(Long.box).orNull,

@@ -169,9 +169,10 @@ final class GraftSnapshotScanBuilder(path: String,
       .getOrElse(Layout.headId(SparkSession.active, path))
   private var required: StructType = tableSchema
   private var accepted: Array[sources.Filter] = Array.empty
-  // (position in the manifest's statscols list, lo, hi) per pushed
-  // bound — file skipping is per-column positional
-  private var bounds: Seq[(Int, Long, Long)] = Nil
+  // (position in the manifest's statscols list, query interval) per
+  // pushed bound — file skipping is per-column positional, typed
+  // (integral exact / string code-point order, Layout.ColRange)
+  private var bounds: Seq[(Int, Layout.ColRange)] = Nil
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -180,24 +181,45 @@ final class GraftSnapshotScanBuilder(path: String,
     case b: Byte => Some(b.toLong)
     case _ => None
   }
+  private def asStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      Some(u.toString)
+    case _ => None
+  }
   private def boundOf(c: String, f: sources.Filter)
-      : Option[(Long, Long)] = f match {
+      : Option[Layout.ColRange] = f match {
     case sources.EqualTo(a, v) if a == c =>
-      asLong(v).map(x => (x, x))
+      asLong(v).map(x => Layout.LongRange(x, x): Layout.ColRange)
+        .orElse(asStr(v).map(s =>
+          Layout.StrRange(s, Some(s)): Layout.ColRange))
     case sources.GreaterThan(a, v) if a == c =>
-      // strict bound tightened exactly; the extreme literal (an
-      // always-false predicate) becomes an overlaps-nothing range
+      // strict integral bound tightened exactly (the extreme literal —
+      // an always-false predicate — becomes an overlaps-nothing
+      // range); strict STRING bounds are relaxed to inclusive
+      // (file-granular skipping is inexact anyway, the residual
+      // row-level filter stays strict)
       asLong(v).map(x =>
-        if (x == Long.MaxValue) (Long.MaxValue, Long.MinValue)
-        else (x + 1, Long.MaxValue))
+        (if (x == Long.MaxValue) Layout.LongRange(Long.MaxValue, Long.MinValue)
+         else Layout.LongRange(x + 1, Long.MaxValue)): Layout.ColRange)
+        .orElse(asStr(v).map(s =>
+          Layout.StrRange(s, None): Layout.ColRange))
     case sources.GreaterThanOrEqual(a, v) if a == c =>
-      asLong(v).map(x => (x, Long.MaxValue))
+      asLong(v).map(x =>
+        Layout.LongRange(x, Long.MaxValue): Layout.ColRange)
+        .orElse(asStr(v).map(s =>
+          Layout.StrRange(s, None): Layout.ColRange))
     case sources.LessThan(a, v) if a == c =>
       asLong(v).map(x =>
-        if (x == Long.MinValue) (Long.MaxValue, Long.MinValue)
-        else (Long.MinValue, x - 1))
+        (if (x == Long.MinValue) Layout.LongRange(Long.MaxValue, Long.MinValue)
+         else Layout.LongRange(Long.MinValue, x - 1)): Layout.ColRange)
+        .orElse(asStr(v).map(s =>
+          Layout.StrRange("", Some(s)): Layout.ColRange))
     case sources.LessThanOrEqual(a, v) if a == c =>
-      asLong(v).map(x => (Long.MinValue, x))
+      asLong(v).map(x =>
+        Layout.LongRange(Long.MinValue, x): Layout.ColRange)
+        .orElse(asStr(v).map(s =>
+          Layout.StrRange("", Some(s)): Layout.ColRange))
     case _ => None
   }
 
@@ -211,7 +233,7 @@ final class GraftSnapshotScanBuilder(path: String,
       Layout.snapshotStatsCols(SparkSession.active, path, asOf)
     val parsed = statsCols.zipWithIndex.flatMap { case (c, i) =>
       filters.toSeq.flatMap(f =>
-        boundOf(c, f).map { case (lo, hi) => (f, (i, lo, hi)) })
+        boundOf(c, f).map(q => (f, (i, q))))
     }
     val partCols =
       Layout.snapshotPartCols(SparkSession.active, path, asOf)
@@ -275,9 +297,12 @@ final class GraftSnapshotScanBuilder(path: String,
       for {
         c <- colOf(e)
         i <- Some(info.statsCols.indexOf(c)) if i >= 0 && rows > 0
-        // complete at THIS column's position: every file carries its
-        // range, else the manifest can't answer exactly
-        ranges <- Some(perFile.map(_.lift(i).flatten))
+        // complete INTEGRAL ranges at THIS column's position: every
+        // file carries an exact Long range, else the manifest can't
+        // answer exactly (string bounds are TRUNCATED — never an
+        // exact extreme — and a missing range means an unindexed file)
+        ranges <- Some(perFile.map(_.lift(i).flatten.collect {
+          case Layout.LongRange(lo, hi) => (lo, hi) }))
           if ranges.nonEmpty && ranges.forall(_.isDefined)
         // the index stores Longs: answer only for integral columns —
         // a FLOAT/DOUBLE statscol would surface a truncated extreme
@@ -376,10 +401,10 @@ final class GraftSnapshotScanBuilder(path: String,
         Layout.snapshotFileStats(spark, path, asOf)
           .filter { case (_, rel, ranges) =>
             partKeep(rel) &&
-            bounds.forall { case (i, lo, hi) =>
-              ranges.lift(i).flatten.forall { case (flo, fhi) =>
-                fhi >= lo && flo <= hi
-              } // no recorded range for this column = always read
+            bounds.forall { case (i, q) =>
+              ranges.lift(i).flatten.forall(r =>
+                Layout.ColRange.overlaps(r, q))
+              // no recorded range for this column = always read
             }
           }
           .map(e => SnapshotFilePartition(e._1): InputPartition).toArray
@@ -691,15 +716,16 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     Array.empty
   private val statsCol = Option(options.get("statsCol"))
   // statsCol accepts a comma list ("c1,c2"): each indexed column must
-  // be a written integral column
+  // be a written integral or string column (strings record truncated
+  // code-point-ordered bounds — Layout.ColRange)
   statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     .foreach { c =>
       require(writeSchema.fieldNames.contains(c),
         s"graft-snapshot write: statsCol '$c' is not a written column")
       val dt = writeSchema(c).dataType
-      require(dt == LongType || dt == IntegerType,
-        s"graft-snapshot write: statsCol '$c' must be integral, is " +
-          dt.sql)
+      require(dt == LongType || dt == IntegerType || dt == StringType,
+        s"graft-snapshot write: statsCol '$c' must be integral or " +
+          s"string, is ${dt.sql}")
     }
   private val batchTag = Option(options.get("tag"))
 
@@ -943,16 +969,29 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     var rows = 0L
     val lo = Array.fill(statsIdx.length)(Long.MaxValue)
     val hi = Array.fill(statsIdx.length)(Long.MinValue)
+    // string columns: min/max tracked as UTF8String (byte comparison
+    // = the code-point order the stored bounds use); values are
+    // CLONED on update because Spark reuses row buffers
+    val sLo = new Array[UTF8String](statsIdx.length)
+    val sHi = new Array[UTF8String](statsIdx.length)
     val statsNull = Array.fill(statsIdx.length)(false)
     // one field pair per indexed column; a column that saw a null
     // renders as an EMPTY pair (rangeless on this file — always
     // read), keeping positions aligned with the statscols order
     def line: String =
-      if (statsIdx.isEmpty || rows == 0 || statsNull.forall(identity))
-        relName
-      else (relName +: statsIdx.indices.flatMap(k =>
-        if (statsNull(k)) Seq("", "")
-        else Seq(lo(k).toString, hi(k).toString))).mkString("|")
+      if (statsIdx.isEmpty || rows == 0) relName
+      else graft.ops.Layout.statLine((relName,
+        statsIdx.indices.map { k =>
+          if (statsNull(k)) None
+          else if (sLo(k) != null)
+            Some(graft.ops.Layout.ColRange.ofStrings(
+              sLo(k).toString, sHi(k).toString)
+              : graft.ops.Layout.ColRange)
+          else if (lo(k) <= hi(k))
+            Some(graft.ops.Layout.LongRange(lo(k), hi(k))
+              : graft.ops.Layout.ColRange)
+          else None
+        }))
   }
   private val states =
     scala.collection.mutable.LinkedHashMap[String, FileState]()
@@ -1002,13 +1041,20 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     while (k < statsIdx.length) {
       val si = statsIdx(k)
       if (row.isNullAt(si)) st.statsNull(k) = true
-      else {
-        val v = schema.fields(si).dataType match {
-          case LongType => row.getLong(si)
-          case _ => row.getInt(si).toLong
-        }
-        if (v < st.lo(k)) st.lo(k) = v
-        if (v > st.hi(k)) st.hi(k) = v
+      else schema.fields(si).dataType match {
+        case StringType =>
+          val u = row.getUTF8String(si)
+          if (st.sLo(k) == null || u.compareTo(st.sLo(k)) < 0)
+            st.sLo(k) = u.clone()
+          if (st.sHi(k) == null || u.compareTo(st.sHi(k)) > 0)
+            st.sHi(k) = u.clone()
+        case dt =>
+          val v = dt match {
+            case LongType => row.getLong(si)
+            case _ => row.getInt(si).toLong
+          }
+          if (v < st.lo(k)) st.lo(k) = v
+          if (v > st.hi(k)) st.hi(k) = v
       }
       k += 1
     }

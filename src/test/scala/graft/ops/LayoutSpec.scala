@@ -674,9 +674,10 @@ class LayoutSpec extends SparkSpec {
     import graft.ops.{Layout => L}
     // 1,000 disjoint 100-wide ranges + 50 rangeless entries; keys hit
     // every 7th range plus out-of-envelope strays
-    val entries: Seq[(String, Option[(Long, Long)])] =
+    val entries: Seq[(String, Option[L.ColRange])] =
       (0 until 1000).map(i =>
-        (f"f$i%04d", Some((i * 100L, i * 100L + 99L)))) ++
+        (f"f$i%04d",
+          Some(L.LongRange(i * 100L, i * 100L + 99L): L.ColRange))) ++
       (0 until 50).map(i => (s"r$i", None))
     val keys = spark.range(0, 1000, 7).toDF("k")
       .select((col("k") * 100L + 50L).as("k"))
