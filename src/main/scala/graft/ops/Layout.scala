@@ -351,6 +351,7 @@ object Layout {
   private def tokLive(name: String): Boolean = {
     val tok =
       if (name.startsWith(".stage-")) name.stripPrefix(".stage-").take(8)
+      else if (name.startsWith("seg-")) name.stripPrefix("seg-").take(8)
       else if (name.startsWith("c")) name.drop(1).take(8)
       else return false
     liveToks.contains(tok)
@@ -387,7 +388,72 @@ object Layout {
     l.startsWith("tag:") || l.startsWith("schema:") ||
       l.startsWith("statscol:") || l.startsWith("statscols:") ||
       l.startsWith("changes:") || l.startsWith("partcols:") ||
-      l.startsWith("rewrite:")
+      l.startsWith("rewrite:") || l.startsWith("dv:") ||
+      l.startsWith("segment:")
+
+  // ----- Manifest SEGMENTS (v2) ---------------------------------------
+  //
+  // A v1 manifest inlines every data-file line, so each commit attempt
+  // rewrites O(files) text and each plan parses it — fine to ~10⁴
+  // files (ManifestScaleSpec tier 1), a 120 MB head rewrite per commit
+  // at 10⁶. v2 (the Iceberg manifest-list shape, reduced): the head
+  // stays a tiny file whose `segment:<name>` meta lines reference
+  // IMMUTABLE segment files under snapshots/ holding the data-file
+  // lines. An append carries the previous segments BY REFERENCE and
+  // writes one new segment with just its delta — commit cost O(delta).
+  // A rewrite (merge/optimize dropFiles) carries untouched segments
+  // and spills only the segments holding dropped files into the new
+  // one. Segments are immutable → cached per qualified path, so the
+  // resolved view costs one read EVER per segment per JVM. Writers
+  // stay v1 below [[SegmentThreshold]] lines (small tables keep a
+  // single human-readable file; every existing manifest parses
+  // unchanged) and switch to v2 when the head would exceed it or
+  // already references segments.
+  private val SegmentThreshold = 1024
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def segLines(fs: org.apache.hadoop.fs.FileSystem,
+      snapsDir: org.apache.hadoop.fs.Path, name: String): Seq[String] = {
+    val key = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(snapsDir, name)).toString
+    val got = segCache.get(key)
+    if (got != null) return got
+    val in = fs.open(new org.apache.hadoop.fs.Path(snapsDir, name))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
+    if (segCache.size > 4096) segCache.clear() // bounded, immutable
+    segCache.put(key, lines)
+    lines
+  }
+
+  // ----- Deletion vectors (merge-on-read) -----------------------------
+  //
+  // A sparse merge (few masked rows in a big file) writes a per-commit
+  // DELETE SIDECAR instead of rewriting the file: a parquet under dv/
+  // holding the masked KEYS (single column, named after the merge
+  // key), referenced from the manifest by one meta line per affected
+  // data file — `dv:<dataFile>|<dvFile>|<nMaskedInThatFile>`. Readers
+  // apply a file's sidecars as an anti-join before rows surface; a
+  // masked key absent from a file is a no-op, so one sidecar (the
+  // delta's present keys) can serve every file of its merge. Multiple
+  // merges chain lines on the same file (readers apply the union);
+  // OPTIMIZE materializes them away (its rewrite reads the DV-applied
+  // image and drops the files, taking their lines with them). This is
+  // Delta's deletion vectors / Iceberg v2 deletes, reduced to the
+  // keyed form the merge already speaks.
+
+  /** One parsed `dv:` line. `masked` = rows of `dataFile` the sidecar
+    * actually masks (its keys ∩ the file) — the accounting delta. */
+  private[graft] final case class DvEntry(dataFile: String,
+      dvFile: String, masked: Long) {
+    def line: String = s"dv:$dataFile|$dvFile|$masked"
+  }
+  private[graft] def parseDv(payload: String): DvEntry = {
+    val p = payload.split('|')
+    require(p.length == 3, s"corrupt dv line: dv:$payload")
+    DvEntry(p(0), p(1), p(2).toLong)
+  }
 
   // ----- Typed per-file column stats (the data-skipping index) --------
   //
@@ -642,7 +708,9 @@ object Layout {
       schema: Option[org.apache.spark.sql.types.StructType],
       statsCols: Seq[String], tag: Option[String],
       changes: Seq[String] = Nil, partCols: Seq[String] = Nil,
-      rewrite: Option[String] = None) {
+      rewrite: Option[String] = None,
+      dv: Seq[DvEntry] = Nil,
+      segRefs: Seq[String] = Nil, inlineLines: Seq[String] = Nil) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -654,13 +722,21 @@ object Layout {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
       .mkString finally in.close()
     val lines = txt.split("\n").toSeq.filter(_.nonEmpty)
-    require(lines.headOption.contains("graft-snap v1"),
+    require(lines.headOption.exists(h =>
+        h == "graft-snap v1" || h == "graft-snap v2"),
       s"snapshot manifest $p: unrecognized header")
     // metadata block = the tag:/schema:/statscol: lines between the
     // row count and the first data-file line; a data file whose name
     // starts with a meta prefix can never be misparsed
     val meta = lines.drop(2).takeWhile(isMetaLine)
-    val body = lines.drop(2).dropWhile(isMetaLine)
+    val inline = lines.drop(2).dropWhile(isMetaLine)
+    // v2: `segment:` refs resolve (cached — segments are immutable) to
+    // their file lines, in reference order, ahead of any inline tail
+    val segRefs = meta.filter(_.startsWith("segment:"))
+      .map(_.stripPrefix("segment:"))
+    val body =
+      if (segRefs.isEmpty) inline
+      else segRefs.flatMap(segLines(fs, p.getParent, _)) ++ inline
     val schema = meta.find(_.startsWith("schema:")).map { s =>
       try org.apache.spark.sql.types.DataType
         .fromJson(s.stripPrefix("schema:"))
@@ -686,7 +762,10 @@ object Layout {
       meta.find(_.startsWith("partcols:"))
         .map(_.stripPrefix("partcols:").split(',').toSeq)
         .getOrElse(Nil),
-      meta.find(_.startsWith("rewrite:")).map(_.stripPrefix("rewrite:")))
+      meta.find(_.startsWith("rewrite:")).map(_.stripPrefix("rewrite:")),
+      meta.filter(_.startsWith("dv:"))
+        .map(l => parseDv(l.stripPrefix("dv:"))),
+      segRefs, inline)
   }
 
   /** Hive-style partition columns recorded on the snapshot's manifest
@@ -775,6 +854,25 @@ object Layout {
         f"snapshot-$id%05d.txt"))
       .map { case (n, r) => (fs.makeQualified(
         new org.apache.hadoop.fs.Path(dataDir, n)).toString, n, r) }
+  }
+
+  /** Manifest-relative data file → ABSOLUTE deletion-sidecar paths of
+    * snapshot `asOf` (-1 = head) — what the `graft-snapshot` source
+    * hands each file's reader so masked rows never surface. Empty for
+    * tables without sidecars (the common case — one map lookup per
+    * planned file). */
+  private[graft] def snapshotDvPaths(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Map[String, Seq[String]] = {
+    val (fs, root, _) = fsOf(spark, path)
+    snapshotInfo(spark, path, asOf) match {
+      case Some(info) if info.dv.nonEmpty =>
+        val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+        info.dv.groupBy(_.dataFile).view.mapValues(
+          _.map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(
+            dvDir, e.dvFile)).toString).distinct.sorted).toMap
+      case _ => Map.empty
+    }
   }
 
   /** The FULLY parsed manifest of snapshot `asOf` (-1 = head) — one
@@ -1059,7 +1157,10 @@ object Layout {
       expectedBase: Int, tok: String,
       dropFiles: Set[String] = Set.empty, dropRows: Long = 0L,
       extraMeta: Seq[String] = Nil,
-      partCols: Seq[String] = Nil): Int = {
+      partCols: Seq[String] = Nil,
+      dvAdd: Seq[DvEntry] = Nil,
+      dvGuard: Option[(Set[String], Seq[String])] = None,
+      segRefsOverride: Seq[String] = Nil): Int = {
     require(extraMeta.forall(isMetaLine),
       "commitStagedLines: extraMeta must be recognized metadata lines")
     require(dropFiles.isEmpty || carryPrevious,
@@ -1105,8 +1206,8 @@ object Layout {
         // statsCol carries the head's recorded column (its files just
         // have no ranges); recording ranges for a DIFFERENT column than
         // the carried history's aborts — one manifest, one index.
-        val (prevRows, prevLines, schemaLine, statsColLine,
-            partColLine) =
+        val (prevRows, carriedSegs, prevLines, schemaLine, statsColLine,
+            partColLine, dvCarried) =
           if (carryPrevious && head > 0) {
             val m = parseManifest(fs, new org.apache.hadoop.fs.Path(
               snapsDir, f"snapshot-$head%05d.txt"))
@@ -1121,6 +1222,19 @@ object Layout {
                   "interleaved) — its rows were rewritten or deleted " +
                   "and committing the staged copy would resurrect " +
                   "them; re-run against the new head")
+            // DV conflict rule: a rewrite/merge staged from files whose
+            // deletion sidecars CHANGED since staging would resurrect
+            // the newly-masked rows — abort, the caller re-reads.
+            dvGuard.foreach { case (guarded, expected) =>
+              val got = m.dv.filter(e => guarded(e.dataFile))
+                .map(_.line).sorted
+              if (got != expected.sorted)
+                throw new java.util.ConcurrentModificationException(
+                  s"snapshot commit at $path: a concurrent commit " +
+                    "changed deletion sidecars on files this write " +
+                    "staged from — committing would resurrect masked " +
+                    "rows; re-run against the new head")
+            }
             val merged = m.schema match {
               case Some(prior) => unionSchema(prior, writeSchema)
               case None => writeSchema
@@ -1153,26 +1267,71 @@ object Layout {
                 if (mine.nonEmpty) mine else prior
             }
             // carry the RAW file lines so earlier commits'
-            // data-skipping stats survive an append
-            val kept =
-              if (dropFiles.isEmpty) m.statLines
-              else m.statLines.filterNot(l => dropFiles(l.split('|').head))
-            (m.rows - dropRows, kept, "schema:" + merged.json,
+            // data-skipping stats survive an append — SEGMENTS by
+            // reference (O(delta) commit cost); a segment holding a
+            // dropped file SPILLS its survivors into this commit's new
+            // segment/body. dv lines carry the same way, dropping
+            // those of replaced files (a rewrite materializes their
+            // masks) and adding this commit's new sidecar references.
+            val (keepSegs, spilled) =
+              if (dropFiles.isEmpty) (m.segRefs, m.inlineLines)
+              else {
+                val (keep, spill) = m.segRefs.partition(s =>
+                  !segLines(fs, snapsDir, s)
+                    .exists(l => dropFiles(l.split('|').head)))
+                (keep,
+                  (spill.flatMap(segLines(fs, snapsDir, _)) ++
+                    m.inlineLines)
+                    .filterNot(l => dropFiles(l.split('|').head)))
+              }
+            val dvKept =
+              m.dv.filterNot(e => dropFiles(e.dataFile)) ++ dvAdd
+            (m.rows - dropRows, keepSegs, spilled,
+              "schema:" + merged.json,
               statsColsLine(effectiveStats),
               Option(effectiveParts).filter(_.nonEmpty)
-                .map("partcols:" + _.mkString(",")))
-          } else (0L, Seq.empty[String], "schema:" + writeSchema.json,
+                .map("partcols:" + _.mkString(",")),
+              dvKept)
+          } else (0L, segRefsOverride, Seq.empty[String],
+            "schema:" + writeSchema.json,
             statsColsLine(statsColsOf(statsCol)),
             Option(partCols).filter(_.nonEmpty)
-              .map("partcols:" + _.mkString(",")))
+              .map("partcols:" + _.mkString(",")),
+            dvAdd)
+        // v2 when the head already references segments or the line
+        // tail would exceed the threshold: the tail lands in ONE new
+        // immutable segment (attempt-unique name; a lost claim's
+        // orphan is vacuum-swept) and the head stays O(segments)
+        val tailLines = prevLines ++ nameLines
+        val (segMeta, bodyLines) =
+          if (carriedSegs.isEmpty && tailLines.size <= SegmentThreshold)
+            (Seq.empty[String], tailLines)
+          else {
+            val segName =
+              if (tailLines.isEmpty) None
+              else {
+                val nm = s"seg-$tok-$attempt.txt"
+                val sp = new org.apache.hadoop.fs.Path(snapsDir, nm)
+                val so = fs.create(sp, true)
+                try so.write(tailLines.mkString("", "\n", "\n")
+                  .getBytes("UTF-8"))
+                finally so.close()
+                Some(nm)
+              }
+            ((carriedSegs ++ segName).map("segment:" + _),
+              Seq.empty[String])
+          }
+        val header =
+          if (segMeta.nonEmpty) "graft-snap v2" else "graft-snap v1"
         val tmp = new org.apache.hadoop.fs.Path(snapsDir,
           s".tmp-$tok-$attempt")
         val out = fs.create(tmp, true)
         try out.write(
-          (Seq("graft-snap v1", (prevRows + rows).toString) ++
+          (Seq(header, (prevRows + rows).toString) ++
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
-            statsColLine.toSeq ++ partColLine.toSeq ++ extraMeta ++
-            (prevLines ++ nameLines))
+            statsColLine.toSeq ++ partColLine.toSeq ++
+            dvCarried.map(_.line) ++ segMeta ++ extraMeta ++
+            bodyLines)
             .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
         val dest = new org.apache.hadoop.fs.Path(snapsDir,
@@ -1239,7 +1398,8 @@ object Layout {
       s"readSnapshotPruned: snapshot $id not present at $path")
     val manifest = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")
-    val entries = readManifestStats(fs, manifest)
+    val info = parseManifest(fs, manifest)
+    val entries = info.statLines.map(statsOf)
     // The ranges are only consulted when the manifest says it indexes
     // THIS column (at whatever position) — pruning by ranges recorded
     // for a different column would silently drop rows. A recorded
@@ -1247,13 +1407,12 @@ object Layout {
     // applies); manifests from before the column identity was
     // recorded keep the trust-the-caller behavior their writers
     // relied on (position 0).
-    val statsCols = parseManifest(fs, manifest).statsCols
+    val statsCols = info.statsCols
     val pos = if (statsCols.isEmpty) 0 else statsCols.indexOf(colName)
     val keep = entries.filter { case (_, ranges) =>
       pos < 0 || ranges.lift(pos).flatten.forall(r =>
         ColRange.overlaps(r, q))
     }
-    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val exact = q match {
       case LongRange(lo, hi) => col(colName).between(lo, hi)
       case StrRange(lo, hi) =>
@@ -1263,16 +1422,10 @@ object Layout {
     }
     if (keep.isEmpty)
       readSnapshot(spark, path, id).filter(lit(false))
-    else {
-      val paths = keep.map(e =>
-        new org.apache.hadoop.fs.Path(dataDir, e._1).toString)
-      val base = manifestSchema(fs, manifest) match {
-        // recorded-schema read: same evolution rule as [[readSnapshot]]
-        case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
-      base.filter(exact)
-    }
+    else
+      // DV-aware: a kept file's deletion sidecars apply before rows
+      // surface, same as the unpruned read
+      readFilesWithDv(spark, root, info, keep.map(_._1)).filter(exact)
   }
 
   /** Read the table at `path` — the latest snapshot, or AS OF
@@ -1291,29 +1444,64 @@ object Layout {
         s"(have ${ids.sorted.mkString(",")} — vacuumed or never committed)")
     val manifest = new org.apache.hadoop.fs.Path(snapsDir,
       f"snapshot-$id%05d.txt")
-    val (_, files) = readManifest(fs, manifest)
-    if (files.isEmpty) {
+    val info = parseManifest(fs, manifest)
+    if (info.files.isEmpty) {
       // a zero-file commit (empty DataFrame) is still a snapshot: the
       // manifest's recorded schema makes it readable as an empty table
-      val schema = manifestSchema(fs, manifest).getOrElse(
+      val schema = info.schema.getOrElse(
         throw new IllegalArgumentException(
           s"readSnapshot: snapshot $id is empty and records no schema"))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+    readFilesWithDv(spark, root, info, info.files)
+  }
+
+  /** Read the given manifest-relative data files of `info`, applying
+    * any `dv:` sidecars recorded on them: files are GROUPED by their
+    * sidecar set (|distinct sets| is bounded by merges-since-optimize,
+    * small by maintenance), each group anti-joins its sidecars' keys
+    * once, and the groups union. A table with no sidecars is the
+    * single plain multi-file read it always was. Reads against the
+    * MANIFEST-recorded schema: after an append-time schema evolution
+    * the file set is heterogeneous, and schema-less parquet reading
+    * would adopt an arbitrary file's layout — the recorded union
+    * schema null-fills columns a file predates (asNullable matches
+    * file-source inference, so a never-evolved table reads byte- and
+    * schema-identically). `withFileName` adds `__gf_f` =
+    * input_file_name() (the merge's per-file accounting handle). */
+  private[graft] def readFilesWithDv(
+      spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path, info: ManifestInfo,
+      files: Seq[String], withFileName: Boolean = false): DataFrame = {
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    val paths = files.map(f =>
-      new org.apache.hadoop.fs.Path(dataDir, f).toString)
-    // Read against the MANIFEST-recorded schema: after an append-time
-    // schema evolution the file set is heterogeneous, and schema-less
-    // parquet reading would adopt an arbitrary file's layout — the
-    // recorded union schema null-fills columns a file predates.
-    // (asNullable matches what file-source inference reports, so a
-    // never-evolved table reads byte- and schema-identically.)
-    manifestSchema(fs, manifest) match {
-      case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    def read(fs: Seq[String]) = {
+      val paths = fs.map(f =>
+        new org.apache.hadoop.fs.Path(dataDir, f).toString)
+      val base = info.schema match {
+        case Some(s) =>
+          spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+      if (withFileName) base.withColumn("__gf_f", input_file_name())
+      else base
     }
+    val dvByFile = info.dv.groupBy(_.dataFile)
+      .view.mapValues(_.map(_.dvFile).distinct.sorted).toMap
+    val groups = files.groupBy(f => dvByFile.getOrElse(f, Nil))
+    groups.toSeq.sortBy(_._1.mkString(",")).map { case (dvs, fs) =>
+      val base = read(fs)
+      if (dvs.isEmpty) base
+      else {
+        val dvDf = spark.read.parquet(dvs.map(d =>
+          new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+        // the sidecar's single column is NAMED after the merge key
+        val kc = dvDf.columns.head
+        base.join(dvDf.select(kc).distinct(), Seq(kc), "left_anti")
+          .select(base.columns.map(col).toIndexedSeq: _*)
+      }
+    }.reduce(_.unionByName(_))
   }
 
   /** The table's history as a (snapshot_id, n_files, n_rows,
@@ -1334,7 +1522,7 @@ object Layout {
       .map { case (id, st) =>
         val m = parseManifest(fs, st.getPath)
         val metaLines = 1 + // schema: (every commit records it)
-          m.tag.size + m.changes.size +
+          m.tag.size + m.changes.size + m.segRefs.size + m.dv.size +
           (if (m.statsCols.nonEmpty) 1 else 0) +
           (if (m.partCols.nonEmpty) 1 else 0)
         (id.toLong, m.files.size.toLong, m.rows,
@@ -1527,9 +1715,10 @@ object Layout {
   def mergeSnapshot(spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
       opCol: String, expectedBase: Int = -1,
-      changeFeed: Boolean = false): Int =
+      changeFeed: Boolean = false,
+      dvThreshold: Double = 0.0): Int =
     mergeSnapshotStaged(spark, path, source, keyCol, opCol,
-      expectedBase, () => (), changeFeed)
+      expectedBase, () => (), changeFeed, dvThreshold)
 
   /** [[mergeSnapshot]] with a test seam: `onStaged` runs after the
     * rewrite is staged and before the commit loop — the window where a
@@ -1537,14 +1726,25 @@ object Layout {
     * rules are exercised DETERMINISTICALLY in specs instead of by
     * thread timing. Production callers use [[mergeSnapshot]].
     * `changeFeed` additionally records the merge's row-level changes
-    * ([[rowDiff]] of the touched files' old rows vs their rewrite —
-    * O(touched + delta), same as the merge itself) as change files the
-    * `readChangeFeed` streaming source serves. */
+    * ([[rowDiff]] of the touched files' old logical rows vs their new
+    * logical image — O(touched + delta), same as the merge itself) as
+    * change files the `readChangeFeed` streaming source serves.
+    *
+    * `dvThreshold` (0 = off) enables MERGE-ON-READ: a touched file
+    * whose masked-row fraction (delta keys present ÷ logical rows) is
+    * at or under the threshold gets a DELETE SIDECAR instead of a
+    * rewrite — a 1-row update to a 1 GB file writes the 1-row upsert
+    * plus a 1-key sidecar, not the GB. Upserts land as NEW appended
+    * files either way; files over the threshold rewrite copy-on-write
+    * as before; candidate files the exact key match proves untouched
+    * are carried as-is. OPTIMIZE materializes sidecars away. */
   private[graft] def mergeSnapshotStaged(
       spark: org.apache.spark.sql.SparkSession,
       path: String, source: DataFrame, keyCol: String,
       opCol: String, expectedBase: Int, onStaged: () => Unit,
-      changeFeed: Boolean = false): Int = {
+      changeFeed: Boolean = false, dvThreshold: Double = 0.0): Int = {
+    require(dvThreshold >= 0.0 && dvThreshold <= 1.0,
+      s"mergeSnapshot: dvThreshold must be in [0, 1], got $dvThreshold")
     val (fs, root, conf) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
@@ -1588,35 +1788,75 @@ object Layout {
     val baseEntries = info.statLines.map(statsOf)
     val touched = overlapping(baseEntries).sorted
     val touchedSet = touched.toSet
-    // dropped row count from the touched files' parquet footers —
-    // O(touched) driver-side metadata reads, no data scan
-    val dropRows = touched.map { n =>
+    // physical row counts from the touched files' parquet footers —
+    // O(touched) driver-side metadata reads, no data scan. LOGICAL
+    // rows subtract already-masked sidecar rows.
+    val physRows: Map[String, Long] = touched.map { n =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(dataDir, n), conf))
-      try r.getRecordCount finally r.close()
-    }.sum
-    val touchedDf =
+      n -> (try r.getRecordCount finally r.close())
+    }.toMap
+    val priorMasked: Map[String, Long] = info.dv.groupBy(_.dataFile)
+      .view.mapValues(_.map(_.masked).sum).toMap
+    def logicalRows(n: String): Long =
+      physRows(n) - priorMasked.getOrElse(n, 0L)
+    // the touched files' LOGICAL image (existing sidecars applied),
+    // with per-row file identity for the merge-on-read accounting
+    val touchedDfF =
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          cur.schema)
-      else {
-        val paths = touched.map(n =>
-          new org.apache.hadoop.fs.Path(dataDir, n).toString)
-        info.schema match {
-          case Some(s) =>
-            spark.read.schema(nullableStruct(s)).parquet(paths: _*)
-          case None => spark.read.parquet(paths: _*)
-        }
-      }
-    val survivors = touchedDf.join(keys, Seq(keyCol), "left_anti")
+          cur.schema).withColumn("__gf_f", lit(""))
+      else readFilesWithDv(spark, root, info, touched,
+        withFileName = true)
+    val touchedDf = touchedDfF.drop("__gf_f")
     val upserts = source.filter(col(opCol) =!= "d").drop(opCol)
       .select(cur.columns.map(col).toIndexedSeq: _*)
-    val rewrite = survivors.unionByName(upserts)
-    // stage ~|touched| files, range-clustered on the index column so
+    // the new LOGICAL image of the touched files — what the table
+    // answers after the merge, however it is physically realized
+    val logicalNew = touchedDf.join(keys, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+
+    // Merge-on-read planning: which touched files take a sidecar
+    // instead of a rewrite? Decided from ONE semi-join of the touched
+    // logical rows against the delta keys, counted per file
+    // (|touched|-bounded driver result). File identity is the
+    // BASENAME — commit-token names are globally unique, and
+    // input_file_name's URI form varies by filesystem while the
+    // basename doesn't.
+    def basename(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+    val relByBase = touched.map(n => basename(n) -> n).toMap
+    val fileBase = expr("substring_index(__gf_f, '/', -1)")
+    val maskedPerFile: Map[String, Long] =
+      if (dvThreshold == 0.0 || touched.isEmpty) Map.empty
+      else touchedDfF.join(keys, Seq(keyCol), "left_semi")
+        .groupBy(fileBase.as("__gf_b")).count().collect()
+        .map(r => relByBase(r.getString(0)) -> r.getLong(1)).toMap
+    val dvFiles: Seq[String] =
+      if (dvThreshold == 0.0) Nil
+      else touched.filter { n =>
+        val m = maskedPerFile.getOrElse(n, 0L)
+        m > 0 && m.toDouble <= dvThreshold * math.max(1L, logicalRows(n))
+      }
+    val dvSet = dvFiles.toSet
+    // untouched-in-fact candidates (binned superset) carry as-is in
+    // DV mode; in pure CoW mode every touched file rewrites (the
+    // exact key match already proved a hit on each)
+    val cowFiles: Seq[String] =
+      if (dvThreshold == 0.0) touched
+      else touched.filter(n => !dvSet(n) &&
+        maskedPerFile.getOrElse(n, 0L) > 0)
+    val cowSet = cowFiles.toSet
+    // the physical rewrite: survivors of the CoW files + all upserts
+    val rewrite = touchedDfF
+      .filter(udfFreeIsIn(fileBase, cowFiles.map(basename).toSet))
+      .drop("__gf_f")
+      .join(keys, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+    // stage ~|rewritten| files, range-clustered on the index column so
     // the data-skipping index stays sharp after the merge
-    val nOut = math.max(1, touched.size)
+    val nOut = math.max(1, cowFiles.size)
     val packed = info.statsCol match {
       case Some(sc) if rewrite.columns.contains(sc) =>
         rewrite.repartitionByRange(nOut, col(sc))
@@ -1630,16 +1870,35 @@ object Layout {
       if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
     val (newLines, stagedRows) = stageDataFiles(
       packed, fs, root, dataDir, conf, statsColsStr, tok)
+    // ONE sidecar per merge — the delta keys present in the DV files
+    // (masking a key absent from a file is a no-op, so the shared
+    // sidecar is per-file correct); referenced by one dv: line per
+    // file with that file's own masked count for accounting
+    val dvEntries: Seq[DvEntry] =
+      if (dvSet.isEmpty) Nil
+      else {
+        val dvKeys = touchedDfF.join(keys, Seq(keyCol), "left_semi")
+          .filter(udfFreeIsIn(fileBase, dvFiles.map(basename).toSet))
+          .select(col(keyCol)).distinct()
+        val dvName = stageDvFile(dvKeys, fs, root, tok)
+        dvFiles.map(n => DvEntry(n, dvName, maskedPerFile(n)))
+      }
+    // rows leaving the image: CoW files' logical rows + newly masked
+    val dropRows = cowFiles.map(logicalRows).sum +
+      dvFiles.map(maskedPerFile).sum
     val changeLines =
       if (changeFeed) stageChangeFiles(
-        rowDiff(touchedDf, rewrite, keyCol), fs, root, tok)
+        rowDiff(touchedDf, logicalNew, keyCol), fs, root, tok)
       else Nil
     onStaged()
 
     // Commit, conditional on the base — with the bounded self-rebase
     // loop over PROVABLY key-disjoint interleaved appends (see the
     // conflict contract above). Staged files are immutable; a re-base
-    // only re-runs the metadata claim.
+    // only re-runs the metadata claim. The dv guard pins the touched
+    // files' sidecar set to what this merge staged FROM.
+    val dvExpected = info.dv.filter(e => touchedSet(e.dataFile))
+      .map(_.line)
     var base = baseId
     var attempt = 0
     while (true) {
@@ -1647,8 +1906,9 @@ object Layout {
         return commitStagedLines(spark, path, newLines, stagedRows,
           rewrite.schema, tag = null, carryPrevious = true,
           statsCol = statsColsStr, expectedBase = base,
-          tok = tok, dropFiles = touchedSet, dropRows = dropRows,
-          extraMeta = changeLines)
+          tok = tok, dropFiles = cowSet, dropRows = dropRows,
+          extraMeta = changeLines, dvAdd = dvEntries,
+          dvGuard = Some((touchedSet, dvExpected)))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -1661,6 +1921,10 @@ object Layout {
           // merge/replace/optimize — its image must win; abort
           if (!touchedSet.subsetOf(headFiles) ||
               !info.files.toSet.subsetOf(headFiles)) throw e
+          // an interleaved commit that changed sidecars on our
+          // touched files would have its masks resurrected — abort
+          if (headInfo.dv.filter(e => touchedSet(e.dataFile))
+              .map(_.line).sorted != dvExpected.sorted) throw e
           val fresh = headInfo.statLines.map(statsOf)
             .filterNot(l => info.files.contains(l._1))
           // safe iff every interleaved file PROVABLY holds no delta
@@ -1675,6 +1939,32 @@ object Layout {
     }
     -1 // unreachable: the loop exits only by return or throw
     } finally releaseTok(tok)
+  }
+
+  /** Membership test as a broadcast-friendly column predicate. For the
+    * bounded file-identity sets here (|touched| paths) a literal isin
+    * is codegen'd; kept as a helper so the call sites read as intent. */
+  private def udfFreeIsIn(c: org.apache.spark.sql.Column,
+      values: Set[String]): org.apache.spark.sql.Column =
+    if (values.isEmpty) lit(false) else c.isin(values.toSeq: _*)
+
+  /** Stage the merge's delete sidecar under dv/ and return its
+    * manifest-relative name. One small parquet (the masked keys),
+    * staged then renamed — same crash contract as data files. */
+  private def stageDvFile(dvKeys: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tok: String): String = {
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    fs.mkdirs(dvDir)
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok-dv")
+    dvKeys.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = fs.listStatus(stage).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet")).head
+    val nm = s"c$tok-dv.parquet"
+    renameOrAbort(fs, part.getPath,
+      new org.apache.hadoop.fs.Path(dvDir, nm))
+    fs.delete(stage, true)
+    nm
   }
 
   /** Row-level diff of two relations with the SAME columns, keyed by
@@ -1832,19 +2122,14 @@ object Layout {
       else readManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
         f"snapshot-$id%05d.txt"))._2.toSet
     val fresh = (files(to) -- files(fromId)).toSeq.sorted
-    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     if (fresh.isEmpty) readSnapshot(spark, path, to).filter(lit(false))
-    else {
-      val paths = fresh.map(f =>
-        new org.apache.hadoop.fs.Path(dataDir, f).toString)
-      manifestSchema(fs, new org.apache.hadoop.fs.Path(snapsDir,
-          f"snapshot-$to%05d.txt")) match {
-        // the TO manifest's schema governs: a change window spanning an
-        // append-time evolution still reads one stable column layout
-        case Some(s) => spark.read.schema(nullableStruct(s)).parquet(paths: _*)
-        case None => spark.read.parquet(paths: _*)
-      }
-    }
+    else
+      // the TO manifest governs: a change window spanning an
+      // append-time evolution still reads one stable column layout,
+      // and rows the TO snapshot's sidecars mask are already gone
+      readFilesWithDv(spark, root,
+        parseManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
+          f"snapshot-$to%05d.txt")), fresh)
   }
 
   /** The newest snapshot id whose manifest was committed at or before
@@ -1966,8 +2251,11 @@ object Layout {
     val nTarget = math.max(1L,
       (baseRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     // a Z-ORDER request is a re-LAYOUT, not just a bin-pack: it must
-    // run even when the file count is already at target
-    if (baseFiles.size <= nTarget && zorderBy.isEmpty)
+    // run even when the file count is already at target; a table with
+    // deletion sidecars always rewrites — materializing the masks is
+    // the maintenance this call exists for
+    if (baseFiles.size <= nTarget && zorderBy.isEmpty &&
+        baseInfo.dv.isEmpty)
       return base // already compact
     // a zorder rewrite records the index on its clustering columns
     // unless the caller chose explicitly
@@ -2052,7 +2340,14 @@ object Layout {
       tag = null, carryPrevious = true, statsCol = effStatsCol,
       expectedBase = -1, tok = tok,
       dropFiles = baseFiles.toSet, dropRows = baseRows,
-      extraMeta = Seq("rewrite:optimize"))
+      extraMeta = Seq("rewrite:optimize"),
+      // sidecars of the dropped files are MATERIALIZED by this rewrite
+      // (the staged copy read the DV-applied image); the guard aborts
+      // if a concurrent merge added masks after staging — committing
+      // would resurrect them
+      dvGuard = Some((baseFiles.toSet,
+        baseInfo.dv.filter(e => baseFiles.contains(e.dataFile))
+          .map(_.line))))
     } finally releaseTok(tok)
   }
 
@@ -2115,13 +2410,18 @@ object Layout {
     // pruning and the sticky-layout contract from then on); the
     // `rewrite:restore` marker tells change-feed planning this commit
     // is a rewrite, not an append.
-    commitStagedLines(spark, path, info.statLines, info.rows, schema,
+    // the target's inline lines + segment REFS (segments are
+    // immutable, so the restore is pure metadata even on a v2 table)
+    // and its sidecar references ARE its image
+    commitStagedLines(spark, path, info.inlineLines, info.rows, schema,
       tag = null, carryPrevious = false,
       statsCol =
         if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
       expectedBase = head,
       tok = tok, extraMeta = changeLines :+ "rewrite:restore",
-      partCols = info.partCols)
+      partCols = info.partCols,
+      dvAdd = info.dv,
+      segRefsOverride = info.segRefs)
     } finally releaseTok(tok)
   }
 
@@ -2164,17 +2464,19 @@ object Layout {
       var manifests = listManifests()
       var referenced = Set.empty[String]
       var referencedChanges = Set.empty[String]
+      var referencedDv = Set.empty[String]
+      var referencedSegs = Set.empty[String]
       var stable = false
       var rounds = 0
       while (!stable) {
         val kept = manifests.drop(
           math.max(0, manifests.length - keepLast))
-        referenced = kept.flatMap { case (_, st) =>
-          readManifest(fs, st.getPath)._2
-        }.toSet
-        referencedChanges = kept.flatMap { case (_, st) =>
-          parseManifest(fs, st.getPath).changes
-        }.toSet
+        val keptInfos = kept.map { case (_, st) =>
+          parseManifest(fs, st.getPath) }
+        referenced = keptInfos.flatMap(_.files).toSet
+        referencedChanges = keptInfos.flatMap(_.changes).toSet
+        referencedDv = keptInfos.flatMap(_.dv.map(_.dvFile)).toSet
+        referencedSegs = keptInfos.flatMap(_.segRefs).toSet
         val again = listManifests()
         stable = again.map(_._1).sameElements(manifests.map(_._1))
         manifests = again
@@ -2218,6 +2520,15 @@ object Layout {
             && st.getModificationTime <= cutoff)
           fs.delete(st.getPath, false)
       }
+      // deletion sidecars: kept while any kept manifest references
+      // them, swept with their history like change files
+      val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+      if (fs.exists(dvDir)) fs.listStatus(dvDir).foreach { st =>
+        if (st.isFile && !referencedDv.contains(st.getPath.getName)
+            && !tokLive(st.getPath.getName)
+            && st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, false)
+      }
       // crash-leftover stage dirs (a writer that died before abort, or
       // a streaming query's stage dir after the query stopped) — never
       // referenced by any manifest, swept by the same age guard; a
@@ -2229,6 +2540,19 @@ object Layout {
           fs.delete(st.getPath, true)
       }
       drop.foreach { case (_, st) => fs.delete(st.getPath, false) }
+      // manifest SEGMENTS: immutable side files under snapshots/ —
+      // swept once no kept manifest references them (orphans of lost
+      // commit attempts age out the same way; evicted from the
+      // immutable-segment cache so a name reuse can never resurrect)
+      fs.listStatus(snapsDir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("seg-") &&
+            !referencedSegs.contains(n) && !tokLive(n) &&
+            st.getModificationTime <= cutoff) {
+          segCache.remove(fs.makeQualified(st.getPath).toString)
+          fs.delete(st.getPath, false)
+        }
+      }
       (drop.length, removedFiles)
     }
   }

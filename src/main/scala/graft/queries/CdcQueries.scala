@@ -2824,6 +2824,89 @@ object CdcQueries {
         |  UNION ALL
         |  SELECT doc_id + 1000000, 'removed', 2, n_chars
         |  FROM documents WHERE doc_id % 10 = 2)
+        |ORDER BY doc_id, batch_id""".stripMargin)),
+
+    // st23 — the CHANGE FEED addressed BY CATALOG NAME (round 13):
+    // `spark.readStream.table("gst23.db.docs.changes")` resolves
+    // through GraftCatalog to the change-feed relation, with the
+    // startingSnapshot WINDOW and admission control as plain reader
+    // options — st22's semantics with zero path addressing (Delta's
+    // readChangeFeed-through-the-catalog shape). The window starts at
+    // the insert commit (snapshot 2), so the initial image is
+    // SKIPPED: batch 0 is exactly the merge's recorded row diff and
+    // batch 1 the restore's inverse — both oracle-predicted.
+    QueryDef("st23_change_feed_by_name", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val wh = Files.createTempDirectory("graft-st23-wh").toString
+      val out = Files.createTempDirectory("graft-st23-out").toString
+      spark.conf.set("spark.sql.catalog.gst23",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gst23.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gst23.db")
+      spark.sql("DROP TABLE IF EXISTS gst23.db.docs")
+      spark.sql(
+        """CREATE TABLE gst23.db.docs
+          |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-snapshot`""".stripMargin)      // snapshot 1
+      spark.sql(
+        """INSERT INTO gst23.db.docs
+          |SELECT doc_id, lang, CAST(n_chars AS BIGINT)
+          |FROM documents""".stripMargin)              // snapshot 2
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      val t = s"$wh/db/docs"
+      graft.ops.Layout.mergeSnapshot(spark, t, changes, "doc_id",
+        "op", changeFeed = true)                       // snapshot 3
+      graft.ops.Layout.restoreSnapshot(spark, t, 2,
+        changeFeedKey = "doc_id")                      // snapshot 4
+      val q = spark.readStream
+        .option("readChangeFeed", "true") // redundant (forced) — doc
+        .option("startingSnapshot", "2")
+        .option("maxSnapshotsPerTrigger", "1")
+        .table("gst23.db.docs.changes")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st23-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("_op").as("op"),
+          col("batch_id"), col("n_chars"))
+        .orderBy("doc_id", "batch_id")
+    }, Some(
+      """SELECT doc_id, op, CAST(batch_id AS BIGINT) AS batch_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars FROM (
+        |  SELECT doc_id, 'removed' AS op, 0 AS batch_id, n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed', 0, n_chars + 1000 FROM documents
+        |  WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'added', 0, n_chars FROM documents
+        |  WHERE doc_id % 10 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'added', 1, n_chars FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'changed', 1, n_chars FROM documents
+        |  WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'removed', 1, n_chars
+        |  FROM documents WHERE doc_id % 10 = 2)
         |ORDER BY doc_id, batch_id""".stripMargin))
   )
 

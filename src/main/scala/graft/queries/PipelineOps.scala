@@ -31,6 +31,8 @@ object PipelineOps {
     java.nio.file.Files.createTempDirectory("graft-sql3-wh").toString
   private lazy val sql4Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-sql4-wh").toString
+  private lazy val sql6Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql6-wh").toString
 
   /** qc1's trained classifier: micro-unit coefficients over the corpus
     * vocabulary (positive = quality evidence). ONE definition feeds both
@@ -3707,8 +3709,9 @@ object PipelineOps {
 
     // SQL MAINTENANCE surface ([[graft.sources.GraftCatalog]]'s
     // ProcedureCatalog + metadata tables): tt8's optimize fixture
-    // driven ENTIRELY through SQL — four INSERTs land 8 small files
-    // (observed via the `.files` metadata table), `CALL
+    // driven ENTIRELY through SQL — four unhinted INSERTs land 4
+    // small files (one each: the sink's required ordering + AQE
+    // geometry, observed via the `.files` metadata table), `CALL
     // graft.system.optimize` bin-packs them to 2 (the returned
     // snapshot id and the post-state both graded), and `.history`
     // pins the 6-commit linear history. The oracle predicts every
@@ -3717,7 +3720,7 @@ object PipelineOps {
     // that loses a row all break the hash.
     QueryDef.views("sql4_procedures",
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
-        |  (SELECT CAST(8 AS BIGINT)) AS files_before,
+        |  (SELECT CAST(4 AS BIGINT)) AS files_before,
         |  (SELECT CAST(2 AS BIGINT)) AS files_after,
         |  (SELECT CAST(6 AS BIGINT)) AS n_snapshots,
         |  (SELECT CAST(6 AS BIGINT)) AS optimize_returned
@@ -3737,8 +3740,7 @@ object PipelineOps {
       (0 until 4).foreach { k =>
         spark.sql(
           s"""INSERT INTO gsql4.db.docs
-             |SELECT /*+ REPARTITION(2) */
-             |  doc_id, lang, CAST(n_chars AS BIGINT)
+             |SELECT doc_id, lang, CAST(n_chars AS BIGINT)
              |FROM documents WHERE doc_id % 4 = $k""".stripMargin)
       }
       val filesBefore = spark.sql(
@@ -3757,6 +3759,86 @@ object PipelineOps {
         .withColumn("files_after", lit(filesAfter))
         .withColumn("n_snapshots", lit(nSnaps))
         .withColumn("optimize_returned", lit(optId))
+        .orderBy("doc_id")
+    },
+
+    // UNHINTED INSERT GEOMETRY ([[graft.sources.SnapshotWrite]]
+    // implementing RequiresDistributionAndOrdering with the stats
+    // columns — round 13): sql3's whole fixture with every
+    // /*+ REPARTITION */ hint REMOVED. The table itself now requests
+    // a global order on its indexed column (range partition + sort,
+    // AQE coalescing the small shuffle to one file per INSERT), so
+    // pure-SQL inserts produce the same pruned geometry the hinted
+    // ones did — files_rewritten=1 / files_carried=2 pinned
+    // identically: if the sink stops requesting its geometry, the
+    // chunk inserts stop being range-disjoint single files and the
+    // counts flip.
+    QueryDef.views("sql6_unhinted_insert",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried
+        |FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val wh = sql6Warehouse
+      spark.conf.set("spark.sql.catalog.gsql6",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsql6.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql6.db")
+      spark.sql("DROP TABLE IF EXISTS gsql6.db.docs")
+      spark.sql(
+        """CREATE TABLE gsql6.db.docs
+          |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |USING `graft-snapshot`
+          |TBLPROPERTIES ('statsCol' = 'doc_id')""".stripMargin)
+      val maxId = spark.table("documents").agg(max("doc_id"))
+        .head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Seq(s"doc_id < $b1", s"doc_id >= $b1 AND doc_id < $b2",
+          s"doc_id >= $b2").foreach { cond =>
+        // NO hints: the sink's required distribution/ordering is the
+        // only thing shaping the files
+        spark.sql(
+          s"""INSERT INTO gsql6.db.docs
+             |SELECT doc_id, lang, CAST(n_chars AS BIGINT)
+             |FROM documents WHERE $cond""".stripMargin)
+      }
+      spark.sql(
+        s"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           |  CASE WHEN doc_id % 10 = 0 THEN 'd'
+           |       WHEN doc_id % 10 = 1 THEN 'u' END AS op
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 IN (0, 1)
+           |UNION ALL
+           |SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT), 'c'
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 = 2"""
+          .stripMargin).createOrReplaceTempView("sql6_src")
+      val tablePath = s"$wh/db/docs"
+      val baseFiles =
+        graft.ops.Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      spark.sql(
+        """MERGE INTO gsql6.db.docs t USING sql6_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, n_chars)
+          |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+      val headFiles =
+        graft.ops.Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      spark.sql("SELECT doc_id, lang, n_chars FROM gsql6.db.docs")
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
         .orderBy("doc_id")
     },
 
@@ -4047,6 +4129,69 @@ object PipelineOps {
           col("files_rewritten"), col("files_carried"),
           col("partitions_planned"))
         .orderBy("key")
+    },
+
+    // MERGE-ON-READ deletion vectors ([[graft.ops.Layout.mergeSnapshot]]
+    // `dvThreshold` — Delta deletion vectors / Iceberg v2 deletes,
+    // keyed): a SPARSE delta (2% of keys) into a one-file table writes
+    // a delete SIDECAR plus the small upsert file instead of rewriting
+    // the gigabyte — files_rewritten=0 and dv_files=1 are pinned in
+    // the hash (a regression to copy-on-write flips them), the graded
+    // relation is read through the DSv2 source AT the sidecarred
+    // snapshot (so the reader-side mask application is in the hash),
+    // and a subsequent OPTIMIZE must materialize the sidecar away
+    // (dv_after_optimize=0, also pinned) with the image unchanged.
+    QueryDef.views("tt18_deletion_vectors",
+      """SELECT doc_id, lang, n_chars,
+        |  (SELECT CAST(0 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(1 AS BIGINT)) AS dv_files,
+        |  (SELECT CAST(0 AS BIGINT)) AS dv_after_optimize
+        |FROM (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 100 NOT IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(n_chars + 1000 AS BIGINT)
+        |  FROM documents WHERE doc_id % 100 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 100 = 2)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt18")
+        .toString
+      Layout.appendSnapshot(docs.coalesce(1), t, statsCol = "doc_id")
+      val changes =
+        docs.filter(col("doc_id") % 100 === 0)
+          .withColumn("op", lit("d"))
+        .unionByName(docs.filter(col("doc_id") % 100 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+        .unionByName(docs.filter(col("doc_id") % 100 === 2)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("c")))
+      val baseFiles = Layout.snapshotInfo(spark, t, 1).get.files.toSet
+      val mergedId = Layout.mergeSnapshot(spark, t, changes, "doc_id",
+        "op", dvThreshold = 0.1) // ~2% masked, well under
+      val info = Layout.snapshotInfo(spark, t, mergedId).get
+      val rewritten = (baseFiles -- info.files.toSet).size.toLong
+      val dvFiles = info.dv.map(_.dvFile).distinct.size.toLong
+      val n = info.rows
+      Layout.optimizeSnapshot(spark, t, targetRowsPerFile = n,
+        statsCol = "doc_id")
+      val dvAfter = Layout.snapshotInfo(spark, t).get
+        .dv.map(_.dvFile).distinct.size.toLong
+      // graded through the DSv2 reader AT the sidecarred snapshot:
+      // the mask is applied row-level by SnapshotFileReaderFactory
+      spark.read.format("graft-snapshot")
+        .option("asOfSnapshot", mergedId.toString).load(t)
+        .withColumn("files_rewritten", lit(rewritten))
+        .withColumn("dv_files", lit(dvFiles))
+        .withColumn("dv_after_optimize", lit(dvAfter))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("files_rewritten"), col("dv_files"),
+          col("dv_after_optimize"))
+        .orderBy("doc_id")
     },
 
     QueryDef.views("sn1_snapshot_diff",

@@ -129,6 +129,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 r.map(_._1).map(Long.box).orNull,
                 r.map(_._2).map(Long.box).orNull)
           }))
+      // `<table>.changes` — the CHANGE FEED as a named relation:
+      // batch (`spark.read.table`) and STREAMING
+      // (`spark.readStream.table`) reads both resolve here, with
+      // `startingSnapshot`/`endingSnapshot`/`maxSnapshotsPerTrigger`
+      // passed as reader options — Delta's readChangeFeed through the
+      // catalog, no path addressing needed
+      case "changes" =>
+        Layout.snapshotSchema(spark, path).map { base =>
+          new GraftChangeFeedTable(path, base.add(
+            StructField("_op", StringType, nullable = false)))
+        }
       case _ => None
     }
   }
@@ -486,6 +497,28 @@ class GraftCatalogTable(path: String, tableSchema: StructType,
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(FileMetadataColumn)
+}
+
+/** The `<table>.changes` relation: the snapshot table's CHANGE FEED
+  * addressed by catalog name — every scan (batch or micro-batch) runs
+  * through [[GraftSnapshotScanBuilder]] with `readChangeFeed` forced
+  * on, so window options (`startingSnapshot`, `endingSnapshot`,
+  * `maxSnapshotsPerTrigger`) arrive as plain reader options. */
+final class GraftChangeFeedTable(path: String, feedSchema: StructType)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  override def name(): String = s"graft-snapshot-changes:$path"
+  override def schema(): StructType = feedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.put("readChangeFeed", "true")
+    new GraftSnapshotScanBuilder(path, feedSchema,
+      new CaseInsensitiveStringMap(merged))
+  }
 }
 
 /** A read-only metadata relation (history/files): rows computed

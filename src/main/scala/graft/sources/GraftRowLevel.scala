@@ -109,14 +109,22 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val all = Layout.snapshotFileStats(SparkSession.active, path,
-        asOf).map(_._1)
+      val spark = SparkSession.active
+      // deletion sidecars apply here too: the replacement rows are
+      // computed from the LOGICAL image, or the rewrite would
+      // resurrect masked rows
+      val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
+      val all = Layout.snapshotFileStats(spark, path, asOf)
+        .map(e => (e._1, e._2))
       val planned = kept match {
-        case Some(k) => all.filter(k.contains)
+        case Some(k) => all.filter(e => k.contains(e._1))
         case None => all
       }
-      op.plannedFiles = planned
-      planned.map(SnapshotFilePartition(_): InputPartition).toArray
+      op.plannedFiles = planned.map(_._1)
+      planned.map { case (abs, rel) =>
+        SnapshotFilePartition(abs,
+          dvFiles = dvByRel.getOrElse(rel, Nil)): InputPartition
+      }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new SnapshotFileReaderFactory(required,
@@ -171,13 +179,19 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       val dataDirQ = fs.makeQualified(dataDir).toString + "/"
       val dropped = op.plannedFiles
       val droppedRel = dropped.map(_.stripPrefix(dataDirQ))
-      // replaced row count from the dropped files' footers — driver
-      // metadata over the touched files only
-      val dropRows = dropped.map { p =>
+      // replaced LOGICAL row count: footers of the touched files only,
+      // minus rows their deletion sidecars already masked (the scan
+      // replaced the logical image, not the physical rows)
+      val baseDv = Layout.snapshotInfo(spark, path,
+        op.pinnedSnapshot).map(_.dv).getOrElse(Nil)
+      val maskedByRel = baseDv.groupBy(_.dataFile)
+        .view.mapValues(_.map(_.masked).sum).toMap
+      val dropRows = dropped.zip(droppedRel).map { case (p, rel) =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(p), conf))
-        try r.getRecordCount finally r.close()
+        val phys = try r.getRecordCount finally r.close()
+        phys - maskedByRel.getOrElse(rel, 0L)
       }.sum
       try {
         Layout.withTableLock(spark, path) {
@@ -194,7 +208,14 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
             statsCol = statsCol.orNull,
             expectedBase = op.pinnedSnapshot, tok = tok,
             dropFiles = droppedRel.toSet,
-            dropRows = dropRows, partCols = partCols)
+            dropRows = dropRows, partCols = partCols,
+            // a sidecar added to a scanned file after the scan pinned
+            // its snapshot would be resurrected by this rewrite —
+            // guard aborts (expectedBase already pins the id; the dv
+            // guard makes the contract explicit)
+            dvGuard = Some((droppedRel.toSet,
+              baseDv.filter(e => droppedRel.contains(e.dataFile))
+                .map(_.line))))
         }
         fs.delete(stage, true)
       } finally Layout.releaseTok(tok)

@@ -283,6 +283,15 @@ final class GraftSnapshotScanBuilder(path: String,
     val spark = SparkSession.active
     val info = Layout.snapshotInfo(spark, path, asOf)
       .getOrElse(return None) // one manifest read answers everything
+    // deletion sidecars: count(*) stays exact (the manifest's total is
+    // LOGICAL — commits subtract masked rows), but per-file ranges
+    // describe PHYSICAL rows a mask may have removed, so min/max
+    // cannot be answered from the index while sidecars exist
+    if (info.dv.nonEmpty && agg.aggregateExpressions.exists {
+      case _: org.apache.spark.sql.connector.expressions.aggregate
+        .CountStar => false
+      case _ => true
+    }) return None
     val rows = info.rows
     lazy val perFile = info.statLines.map(l => Layout.statsOf(l)._2)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -398,6 +407,7 @@ final class GraftSnapshotScanBuilder(path: String,
           partEq.forall { case (c, allowed) =>
             segs.get(c).forall(allowed.contains) }
         }
+        val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
         Layout.snapshotFileStats(spark, path, asOf)
           .filter { case (_, rel, ranges) =>
             partKeep(rel) &&
@@ -407,7 +417,9 @@ final class GraftSnapshotScanBuilder(path: String,
               // no recorded range for this column = always read
             }
           }
-          .map(e => SnapshotFilePartition(e._1): InputPartition).toArray
+          .map(e => SnapshotFilePartition(e._1,
+            dvFiles = dvByRel.getOrElse(e._2, Nil))
+            : InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new SnapshotFileReaderFactory(required,
@@ -525,8 +537,11 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
 /** One data (or recorded-change) file to read. `op` (change-feed
   * batches only): the constant `_op` to synthesize for every row —
   * null when the file carries its own `_op` column or the scan is a
-  * plain table read. */
-final case class SnapshotFilePartition(file: String, op: String = null)
+  * plain table read. `dvFiles`: ABSOLUTE paths of the file's deletion
+  * sidecars (merge-on-read) — the reader drops rows whose key appears
+  * in any of them. */
+final case class SnapshotFilePartition(file: String, op: String = null,
+    dvFiles: Seq[String] = Nil)
     extends InputPartition
 
 object SnapshotFileReaderFactory {
@@ -555,14 +570,54 @@ final class SnapshotFileReaderFactory(schema: StructType,
     hadoopConf: org.apache.spark.broadcast
       .Broadcast[SerializableHadoopConf])
     extends PartitionReaderFactory {
+
+  /** Load the union of the sidecars' masked keys (single column;
+    * integrals boxed as Long, strings as String) — bounded by the
+    * masked-row count, loaded once per reader task. Returns the key
+    * column's NAME (recorded as the sidecar's field name) + the set. */
+  private def loadDvKeys(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration)
+      : (String, java.util.HashSet[Any]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val set = new java.util.HashSet[Any]()
+    var keyName: String = null
+    paths.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          if (keyName == null) keyName = g.getType.getFieldName(0)
+          if (g.getFieldRepetitionCount(0) > 0) {
+            g.getType.getType(0).asPrimitiveType()
+              .getPrimitiveTypeName match {
+              case INT64 => set.add(g.getLong(0, 0))
+              case INT32 => set.add(g.getInteger(0, 0).toLong)
+              case _ => set.add(new String(
+                g.getBinary(0, 0).getBytes, "UTF-8"))
+            }
+          }
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    (keyName, set)
+  }
+
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
     val opConst = p.asInstanceOf[SnapshotFilePartition].op
+    val dvPaths = p.asInstanceOf[SnapshotFilePartition].dvFiles
     // per-reader COPY: PARQUET_READ_SCHEMA is set below, and the
     // broadcast value is shared by every task on the executor
     val conf =
       new org.apache.hadoop.conf.Configuration(hadoopConf.value.value)
+    val (dvKeyName, dvKeys) =
+      if (dvPaths.isEmpty) (null: String, null: java.util.HashSet[Any])
+      else loadDvKeys(dvPaths, conf)
     val hPath = new org.apache.hadoop.fs.Path(file)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
@@ -571,8 +626,11 @@ final class SnapshotFileReaderFactory(schema: StructType,
       try footer.getFileMetaData.getSchema finally footer.close()
     // `_file` is the synthesized group-identity METADATA column (the
     // row-level-operation protocol keys on it) — never read from
-    // parquet, filled with this partition's absolute path
-    val wanted = schema.fieldNames.toSet - "_file"
+    // parquet, filled with this partition's absolute path. The mask
+    // key column is FORCED into the projection (column pruning may
+    // have dropped it) so sidecar filtering can evaluate.
+    val wanted = schema.fieldNames.toSet - "_file" ++
+      Option(dvKeyName).toSet
     val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
     val projected = new org.apache.parquet.schema.MessageType(
       fileSchema.getName,
@@ -587,8 +645,30 @@ final class SnapshotFileReaderFactory(schema: StructType,
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       private var idx: Array[Int] = _
+      private var dvIdx = -2 // -2 = unresolved, -1 = file lacks the key
+
+      /** Is this row masked by a deletion sidecar? */
+      private def masked(g: org.apache.parquet.example.data.Group)
+          : Boolean = {
+        if (dvKeys == null) return false
+        if (dvIdx == -2)
+          dvIdx = if (g.getType.containsField(dvKeyName))
+            g.getType.getFieldIndex(dvKeyName) else -1
+        if (dvIdx < 0 || g.getFieldRepetitionCount(dvIdx) == 0)
+          return false // a null/absent key is never masked
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val v: Any = g.getType.getType(dvIdx).asPrimitiveType()
+          .getPrimitiveTypeName match {
+          case INT64 => g.getLong(dvIdx, 0)
+          case INT32 => g.getInteger(dvIdx, 0).toLong
+          case _ => new String(g.getBinary(dvIdx, 0).getBytes, "UTF-8")
+        }
+        dvKeys.contains(v)
+      }
+
       override def next(): Boolean = {
-        val g = reader.read()
+        var g = reader.read()
+        while (g != null && masked(g)) g = reader.read()
         if (g == null) false
         else {
           if (idx == null)
@@ -698,23 +778,47 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
     }
   }
 
-  // Cluster input tasks by the partition values so each partition
-  // value lands in ONE task → one file per (task, value) with tight
-  // per-value file counts; unpartitioned writes impose nothing.
+  private val statsCol = Option(options.get("statsCol"))
+  private def statsColList: Seq[String] =
+    statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  // The table requests its own write GEOMETRY (round 13 — no more
+  // /*+ REPARTITION */ hints in SQL INSERTs):
+  //  - partitioned: cluster by the partition values so each value
+  //    lands in ONE task → one file per (task, value);
+  //  - stats-indexed (unpartitioned): a GLOBAL ORDER on the indexed
+  //    columns → Spark range-partitions + sorts, so files carry
+  //    DISJOINT [min, max] ranges and the data-skipping index prunes
+  //    pure-SQL inserts exactly like the Layout API's range writes.
+  // Not strictly required: AQE may coalesce the shuffle, so a small
+  // INSERT lands as one file instead of |shuffle.partitions| shards.
+  // Within-task ordering covers both (partition value, then stats).
   override def requiredDistribution()
-      : org.apache.spark.sql.connector.distributions.Distribution =
-    if (partCols.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions
-        .unspecified()
-    else org.apache.spark.sql.connector.distributions.Distributions
-      .clustered(partCols.map(c =>
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    if (partCols.nonEmpty)
+      Distributions.clustered(partCols.map(c =>
         org.apache.spark.sql.connector.expressions.Expressions
           .column(c): org.apache.spark.sql.connector.expressions
           .Expression).toArray)
+    else if (statsColList.nonEmpty)
+      Distributions.ordered(sortOrders(statsColList))
+    else Distributions.unspecified()
+  }
+  override def distributionStrictlyRequired(): Boolean = false
+  private def sortOrders(cols: Seq[String])
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    cols.map { c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING)
+        : org.apache.spark.sql.connector.expressions.SortOrder
+    }.toArray
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
-  private val statsCol = Option(options.get("statsCol"))
+    sortOrders((partCols ++ statsColList).distinct)
   // statsCol accepts a comma list ("c1,c2"): each indexed column must
   // be a written integral or string column (strings record truncated
   // code-point-ordered bounds — Layout.ColRange)

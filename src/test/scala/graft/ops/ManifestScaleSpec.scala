@@ -85,4 +85,78 @@ class ManifestScaleSpec extends SparkSpec {
     val headLines = hist.last.getAs[Long]("n_manifest_lines")
     assert(headLines > 10000 && headLines < 10010, headLines)
   }
+
+  test("tier 2 (round 13): a 100,000-file v2 head commits O(delta) — " +
+      "appends carry segments by reference, the head file stays flat " +
+      "in |files|, and reads resolve through the segment cache") {
+    val t = java.nio.file.Files.createTempDirectory("graft-mscale2")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").coalesce(1), t, statsCol = "id")
+    val conf = spark.sessionState.newHadoopConf()
+    val snapsDir = new org.apache.hadoop.fs.Path(t, "snapshots")
+    val fs = snapsDir.getFileSystem(conf)
+    val m1 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00001.txt")
+    val real = {
+      val in = fs.open(m1)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val lines = real.split("\n").toSeq
+    val schemaLine = lines.find(_.startsWith("schema:")).get
+    val statsLine = lines.find(_.startsWith("statscol:")).get
+    val realFileLine = lines.filter(_.contains(".parquet"))
+    // one synthetic segment holding 10^5 fictional file lines + a v2
+    // head referencing it (plus the real file inline, so reads work)
+    val seg = new org.apache.hadoop.fs.Path(snapsDir, "seg-fake0.txt")
+    val so = fs.create(seg, true)
+    try so.write((0 until 100000)
+      .map(i => f"cfake-$i%06d.parquet|${i * 10}|${i * 10 + 9}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally so.close()
+    val head2 = (Seq("graft-snap v2",
+      (10L + 100000L * 10L).toString, schemaLine, statsLine,
+      "segment:seg-fake0.txt") ++ realFileLine)
+      .mkString("", "\n", "\n")
+    val m2 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00002.txt")
+    val o2 = fs.create(m2, true)
+    try o2.write(head2.getBytes("UTF-8")) finally o2.close()
+
+    // parse resolves the segment (one read, then cached)
+    val t0 = System.nanoTime()
+    val info = Layout.snapshotInfo(spark, t).get
+    val parseMs = (System.nanoTime() - t0) / 1000000
+    assert(info.files.size == 100001)
+    assert(parseMs < 4000, s"v2 head+segment parse took ${parseMs}ms")
+
+    // APPEND over the 10^5-file head: carries the segment BY
+    // REFERENCE and writes only its own delta — the commit is
+    // O(delta), pinned well under tier 1's 10^4 inline ceiling even
+    // at 10x the files
+    val t1 = System.nanoTime()
+    val id = Layout.appendSnapshot(
+      spark.range(100L, 110L).toDF("id").coalesce(1), t,
+      statsCol = "id")
+    val appendMs = (System.nanoTime() - t1) / 1000000
+    assert(id == 3)
+    assert(appendMs < 15000,
+      s"v2 append over 10^5-file head took ${appendMs}ms")
+    // the head FILE is flat in |files|: refs + meta, no inline body
+    val headLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      snapsDir, "snapshot-00003.txt")).getLen
+    assert(headLen < 64 * 1024,
+      s"v2 head is ${headLen}B — not flat in |files|")
+    val info3 = Layout.snapshotInfo(spark, t).get
+    assert(info3.files.size == 100002)
+    assert(info3.segRefs.size == 2) // carried fake + this append's
+
+    // planning from the cached segments is still a driver-side filter
+    val t2 = System.nanoTime()
+    val stats = Layout.snapshotFileStats(spark, t)
+    val planMs = (System.nanoTime() - t2) / 1000000
+    assert(stats.size == 100002)
+    assert(planMs < 4000, s"file-stats plan took ${planMs}ms")
+  }
 }

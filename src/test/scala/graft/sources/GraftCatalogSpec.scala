@@ -155,17 +155,19 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("""CREATE TABLE gcat.db6.p (id BIGINT)
       USING `graft-snapshot` TBLPROPERTIES ('statsCol' = 'id')""")
     (0 until 3).foreach { k =>
-      spark.sql("INSERT INTO gcat.db6.p SELECT /*+ REPARTITION(2) */" +
-        s" id FROM range(${k * 10}, ${k * 10 + 10})")
+      // no hints (round 13): the sink's required ordering + AQE lands
+      // each small INSERT as one range-clustered file
+      spark.sql("INSERT INTO gcat.db6.p" +
+        s" SELECT id FROM range(${k * 10}, ${k * 10 + 10})")
     }
-    // optimize: 6 files bin-pack into 1; the new id comes back as a row
+    // optimize: 3 files bin-pack into 1; the new id comes back as a row
     val opt = spark.sql(
       "CALL gcat.system.optimize('db6.p', 100)").head()
     assert(opt.getLong(0) == 5L)
     assert(spark.sql("SELECT count(*) FROM gcat.db6.p.files")
       .head().getLong(0) == 1L)
     // restore to the pre-optimize image: same ROWS but a different
-    // FILE SET (6 small files vs the packed 1), so it is a real
+    // FILE SET (3 small files vs the packed 1), so it is a real
     // rollback commit, not the idempotent no-op
     assert(spark.sql("CALL gcat.system.restore('db6.p', 4)")
       .head().getLong(0) == 6L)
@@ -178,7 +180,9 @@ class GraftCatalogSpec extends SparkSpec {
     val vac = spark.sql(
       "CALL gcat.system.vacuum('db6.p', 1)").head()
     assert(vac.getLong(0) == 6L) // manifests 1-6 dropped
-    assert(vac.getLong(1) >= 5L) // optimize + later inserts' files
+    // 4 distinct files ever (3 inserts + 1 optimize); the restored
+    // head keeps insert 1's file -> exactly 3 reclaimed
+    assert(vac.getLong(1) == 3L, vac.toString)
     assert(spark.sql("SELECT count(*) FROM gcat.db6.p")
       .head().getLong(0) == 10L)
     // unknown procedure stays loud

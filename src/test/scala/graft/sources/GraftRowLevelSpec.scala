@@ -31,7 +31,10 @@ class GraftRowLevelSpec extends SparkSpec {
     spark.sql("INSERT INTO grl.db.m SELECT id, id FROM range(10)")
     spark.sql("INSERT INTO grl.db.m SELECT id, id FROM range(100, 110)")
     val before = files("m")
-    assert(before.size >= 4) // several files per insert (4 shuffle parts)
+    // round 13: the sink's RequiresDistributionAndOrdering (ordered on
+    // the stats column, AQE-coalesced) lands each small INSERT as ONE
+    // range-clustered file — the geometry is now table-governed
+    assert(before.size == 2, s"expected one file per insert: $before")
     Seq((3L, 333L, "u"), (5L, 0L, "d"), (500L, 1L, "c"))
       .toDF("id", "v", "op").createOrReplaceTempView("rl_src")
     spark.sql("""MERGE INTO grl.db.m t USING rl_src s ON t.id = s.id
@@ -39,10 +42,10 @@ class GraftRowLevelSpec extends SparkSpec {
       WHEN MATCHED THEN UPDATE SET v = s.v
       WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
     val after = files("m")
-    // matched ids 3 and 5 live in at most two of the first insert's
-    // files; every OTHER file must survive by name — in particular the
-    // whole second insert (ids 100-109, no matches)
-    assert((before & after).size >= before.size - 2,
+    // matched ids 3 and 5 live in the first insert's single file;
+    // the second insert's file (ids 100-109, no matches) must survive
+    // by name
+    assert((before & after).size == before.size - 1,
       s"rewrote too many files: before=$before after=$after")
     val got = spark.sql("SELECT id, v FROM grl.db.m ORDER BY id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
