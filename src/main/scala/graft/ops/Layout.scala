@@ -389,7 +389,48 @@ object Layout {
       l.startsWith("statscol:") || l.startsWith("statscols:") ||
       l.startsWith("changes:") || l.startsWith("partcols:") ||
       l.startsWith("rewrite:") || l.startsWith("dv:") ||
-      l.startsWith("segment:")
+      l.startsWith("segment:") || l.startsWith("colmap:") ||
+      l.startsWith("droppedphys:")
+
+  // ----- Column mapping (id-style schema evolution) -------------------
+  //
+  // Data files store PHYSICAL column names; the manifest's schema line
+  // speaks LOGICAL names; `colmap:<logical>=<physical>` lines (one per
+  // non-identity column, names URL-encoded) connect them — Delta's
+  // column mapping reduced to names. RENAME is then a metadata-only
+  // commit (logical changes, physical stays, every old file reads
+  // unchanged), DROP removes the logical field and retires its
+  // physical name (`droppedphys:` lines — a later ADD of the same
+  // logical name gets a FRESH physical name so orphaned values in old
+  // files can never leak into the new column), and WIDEN (int→long,
+  // float→double) records the wider logical type while readers upcast
+  // the files' narrower physical values.
+
+  private[graft] def physName(colMap: Map[String, String],
+      c: String): String = colMap.getOrElse(c, c)
+  private def encCol(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decCol(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+  private def colMapLines(m: Map[String, String],
+      dropped: Seq[String]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"colmap:${encCol(l)}=${encCol(p)}" } ++
+      dropped.sorted.map(d => s"droppedphys:${encCol(d)}")
+
+  /** The df with columns renamed logical→physical for staging. */
+  private def toPhysical(df: DataFrame,
+      colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(physName(colMap, c))).toIndexedSeq: _*)
+
+  /** Comma-list statsCol translated logical→physical (what the parquet
+    * footers/stat trackers see). */
+  private def statsToPhysical(statsCol: String,
+      colMap: Map[String, String]): String =
+    if (statsCol == null || colMap.isEmpty) statsCol
+    else statsColsOf(statsCol).map(physName(colMap, _)).mkString(",")
 
   // ----- Manifest SEGMENTS (v2) ---------------------------------------
   //
@@ -710,7 +751,9 @@ object Layout {
       changes: Seq[String] = Nil, partCols: Seq[String] = Nil,
       rewrite: Option[String] = None,
       dv: Seq[DvEntry] = Nil,
-      segRefs: Seq[String] = Nil, inlineLines: Seq[String] = Nil) {
+      segRefs: Seq[String] = Nil, inlineLines: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty,
+      droppedPhys: Seq[String] = Nil) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -765,7 +808,13 @@ object Layout {
       meta.find(_.startsWith("rewrite:")).map(_.stripPrefix("rewrite:")),
       meta.filter(_.startsWith("dv:"))
         .map(l => parseDv(l.stripPrefix("dv:"))),
-      segRefs, inline)
+      segRefs, inline,
+      meta.filter(_.startsWith("colmap:")).map { l =>
+        val kv = l.stripPrefix("colmap:").split('=')
+        decCol(kv(0)) -> decCol(kv(1))
+      }.toMap,
+      meta.filter(_.startsWith("droppedphys:"))
+        .map(l => decCol(l.stripPrefix("droppedphys:"))))
   }
 
   /** Hive-style partition columns recorded on the snapshot's manifest
@@ -1134,8 +1183,14 @@ object Layout {
     val tok = java.util.UUID.randomUUID().toString.take(8)
     registerTok(tok) // vacuum spares this write's files until released
     try {
-      val (nameLines, rows) =
-        stageDataFiles(df, fs, root, dataDir, conf, statsCol, tok)
+      // data files store PHYSICAL column names (stable across
+      // renames); the manifest schema stays logical
+      val colMap =
+        if (carryPrevious)
+          snapshotInfo(spark, path).map(_.colMap).getOrElse(Map.empty)
+        else Map.empty[String, String]
+      val (nameLines, rows) = stageDataFiles(toPhysical(df, colMap),
+        fs, root, dataDir, conf, statsToPhysical(statsCol, colMap), tok)
       commitStagedLines(spark, path, nameLines, rows, df.schema, tag,
         carryPrevious, statsCol, expectedBase, tok)
     } finally releaseTok(tok)
@@ -1160,7 +1215,10 @@ object Layout {
       partCols: Seq[String] = Nil,
       dvAdd: Seq[DvEntry] = Nil,
       dvGuard: Option[(Set[String], Seq[String])] = None,
-      segRefsOverride: Seq[String] = Nil): Int = {
+      segRefsOverride: Seq[String] = Nil,
+      colMapOverride: Option[(Map[String, String], Seq[String])] = None,
+      replaceSchema: Boolean = false,
+      statsColsOverride: Option[Seq[String]] = None): Int = {
     require(extraMeta.forall(isMetaLine),
       "commitStagedLines: extraMeta must be recognized metadata lines")
     require(dropFiles.isEmpty || carryPrevious,
@@ -1207,7 +1265,7 @@ object Layout {
         // have no ranges); recording ranges for a DIFFERENT column than
         // the carried history's aborts — one manifest, one index.
         val (prevRows, carriedSegs, prevLines, schemaLine, statsColLine,
-            partColLine, dvCarried) =
+            partColLine, dvCarried, colMapOut) =
           if (carryPrevious && head > 0) {
             val m = parseManifest(fs, new org.apache.hadoop.fs.Path(
               snapsDir, f"snapshot-$head%05d.txt"))
@@ -1235,11 +1293,16 @@ object Layout {
                     "staged from — committing would resurrect masked " +
                     "rows; re-run against the new head")
             }
-            val merged = m.schema match {
-              case Some(prior) => unionSchema(prior, writeSchema)
-              case None => writeSchema
-            }
-            val effectiveStats =
+            // replaceSchema (ALTER TABLE): the caller's schema is the
+            // new truth — rename/drop/widen are legal there, where a
+            // plain append's union would reject them
+            val merged =
+              if (replaceSchema) writeSchema
+              else m.schema match {
+                case Some(prior) => unionSchema(prior, writeSchema)
+                case None => writeSchema
+              }
+            val effectiveStats = statsColsOverride.getOrElse(
               (m.statsCols, statsColsOf(statsCol)) match {
                 case (prior, mine)
                     if prior.nonEmpty && mine.nonEmpty =>
@@ -1251,7 +1314,7 @@ object Layout {
                   prior
                 case (prior, mine) =>
                   if (mine.nonEmpty) mine else prior
-              }
+              })
             // partition layout is sticky the same way: a writer that
             // declares a DIFFERENT directory layout than the carried
             // history aborts (mixed layouts would defeat pruning)
@@ -1291,13 +1354,16 @@ object Layout {
               statsColsLine(effectiveStats),
               Option(effectiveParts).filter(_.nonEmpty)
                 .map("partcols:" + _.mkString(",")),
-              dvKept)
+              dvKept,
+              colMapOverride.getOrElse((m.colMap, m.droppedPhys)))
           } else (0L, segRefsOverride, Seq.empty[String],
             "schema:" + writeSchema.json,
             statsColsLine(statsColsOf(statsCol)),
             Option(partCols).filter(_.nonEmpty)
               .map("partcols:" + _.mkString(",")),
-            dvAdd)
+            dvAdd,
+            colMapOverride.getOrElse(
+              (Map.empty[String, String], Seq.empty[String])))
         // v2 when the head already references segments or the line
         // tail would exceed the threshold: the tail lands in ONE new
         // immutable segment (attempt-unique name; a lost claim's
@@ -1330,6 +1396,7 @@ object Layout {
           (Seq(header, (prevRows + rows).toString) ++
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
             statsColLine.toSeq ++ partColLine.toSeq ++
+            colMapLines(colMapOut._1, colMapOut._2) ++
             dvCarried.map(_.line) ++ segMeta ++ extraMeta ++
             bodyLines)
             .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -1476,17 +1543,27 @@ object Layout {
       files: Seq[String], withFileName: Boolean = false): DataFrame = {
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    // files store PHYSICAL names: read with the physical rendering of
+    // the recorded logical schema, then alias columns back — a rename
+    // is thereby invisible to every reader
+    val logical = info.schema
+    val physOfLogical: Option[org.apache.spark.sql.types.StructType] =
+      logical.map(s => org.apache.spark.sql.types.StructType(
+        s.fields.map(f => f.copy(name = physName(info.colMap, f.name)))))
     def read(fs: Seq[String]) = {
       val paths = fs.map(f =>
         new org.apache.hadoop.fs.Path(dataDir, f).toString)
-      val base = info.schema match {
+      val base = physOfLogical match {
         case Some(s) =>
-          spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+          val raw = spark.read.schema(nullableStruct(s)).parquet(paths: _*)
+          if (info.colMap.isEmpty) raw
+          else raw.toDF(logical.get.fieldNames.toIndexedSeq: _*)
         case None => spark.read.parquet(paths: _*)
       }
       if (withFileName) base.withColumn("__gf_f", input_file_name())
       else base
     }
+    val physToLogical = info.colMap.map(_.swap)
     val dvByFile = info.dv.groupBy(_.dataFile)
       .view.mapValues(_.map(_.dvFile).distinct.sorted).toMap
     val groups = files.groupBy(f => dvByFile.getOrElse(f, Nil))
@@ -1496,9 +1573,12 @@ object Layout {
       else {
         val dvDf = spark.read.parquet(dvs.map(d =>
           new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
-        // the sidecar's single column is NAMED after the merge key
-        val kc = dvDf.columns.head
-        base.join(dvDf.select(kc).distinct(), Seq(kc), "left_anti")
+        // the sidecar's single column carries the merge key's
+        // PHYSICAL name — translate to the current logical for the join
+        val kcPhys = dvDf.columns.head
+        val kc = physToLogical.getOrElse(kcPhys, kcPhys)
+        base.join(dvDf.withColumnRenamed(kcPhys, kc).select(kc)
+            .distinct(), Seq(kc), "left_anti")
           .select(base.columns.map(col).toIndexedSeq: _*)
       }
     }.reduce(_.unionByName(_))
@@ -1869,17 +1949,21 @@ object Layout {
     val statsColsStr =
       if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
     val (newLines, stagedRows) = stageDataFiles(
-      packed, fs, root, dataDir, conf, statsColsStr, tok)
+      toPhysical(packed, info.colMap), fs, root, dataDir, conf,
+      statsToPhysical(statsColsStr, info.colMap), tok)
     // ONE sidecar per merge — the delta keys present in the DV files
     // (masking a key absent from a file is a no-op, so the shared
     // sidecar is per-file correct); referenced by one dv: line per
-    // file with that file's own masked count for accounting
+    // file with that file's own masked count for accounting. The
+    // sidecar column carries the key's PHYSICAL name (stable across
+    // renames, matching what the files store).
     val dvEntries: Seq[DvEntry] =
       if (dvSet.isEmpty) Nil
       else {
         val dvKeys = touchedDfF.join(keys, Seq(keyCol), "left_semi")
           .filter(udfFreeIsIn(fileBase, dvFiles.map(basename).toSet))
-          .select(col(keyCol)).distinct()
+          .select(col(keyCol).as(physName(info.colMap, keyCol)))
+          .distinct()
         val dvName = stageDvFile(dvKeys, fs, root, tok)
         dvFiles.map(n => DvEntry(n, dvName, maskedPerFile(n)))
       }
@@ -2322,7 +2406,8 @@ object Layout {
         case None => baseDf.repartition(nTarget)
       }
     val (newLines, stagedRows) = stageDataFiles(
-      packed, fs, root, dataDir, conf, effStatsCol, tok)
+      toPhysical(packed, baseInfo.colMap), fs, root, dataDir, conf,
+      statsToPhysical(effStatsCol, baseInfo.colMap), tok)
     require(stagedRows == baseRows,
       s"optimizeSnapshot: rewrite produced $stagedRows rows from a " +
         s"$baseRows-row snapshot — refusing to commit a lossy rewrite")

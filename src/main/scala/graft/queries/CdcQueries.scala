@@ -2837,7 +2837,10 @@ object CdcQueries {
     // batch 1 the restore's inverse — both oracle-predicted.
     QueryDef("st23_change_feed_by_name", (spark, dir) => {
       graft.Tables.registerAll(spark, dir)
-      val wh = Files.createTempDirectory("graft-st23-wh").toString
+      // ONE warehouse per JVM: Spark initializes a catalog once per
+      // session, so a per-invocation temp dir would leave later runs
+      // pointing at a stale location (the sqlN-warehouse rule)
+      val wh = st23Warehouse
       val out = Files.createTempDirectory("graft-st23-out").toString
       spark.conf.set("spark.sql.catalog.gst23",
         "graft.sources.GraftCatalog")
@@ -2909,6 +2912,9 @@ object CdcQueries {
         |  FROM documents WHERE doc_id % 10 = 2)
         |ORDER BY doc_id, batch_id""".stripMargin))
   )
+
+  private lazy val st23Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-st23-wh").toString
 
   private def st13OracleSql: String =
       """WITH f AS (SELECT event_id AS id, user_id % 50 AS u,

@@ -31,6 +31,8 @@ object PipelineOps {
     java.nio.file.Files.createTempDirectory("graft-sql3-wh").toString
   private lazy val sql4Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-sql4-wh").toString
+  private lazy val sql5Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql5-wh").toString
   private lazy val sql6Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-sql6-wh").toString
 
@@ -3759,6 +3761,67 @@ object PipelineOps {
         .withColumn("files_after", lit(filesAfter))
         .withColumn("n_snapshots", lit(nSnaps))
         .withColumn("optimize_returned", lit(optId))
+        .orderBy("doc_id")
+    },
+
+    // SCHEMA EVOLUTION via column mapping ([[graft.sources
+    // .GraftCatalog.alterTable]] — round 13): RENAME / DROP / WIDEN
+    // are METADATA-ONLY commits — data files keep their physical
+    // column names and narrow types, `colmap:` manifest lines connect
+    // logical to physical, readers alias and upcast. Through pure
+    // SQL: rename lang→language, drop a junk column, widen n_chars
+    // INT→BIGINT, then a post-evolution INSERT interleaves with the
+    // pre-evolution files. `alters_metadata_only` pins n_files
+    // IDENTICAL across all three ALTERs (a regression to
+    // rewrite-on-alter flips it), and the full two-generation
+    // relation is graded row-exact — old files must read under the
+    // new name and the wide type, the dropped column's values must
+    // never resurface.
+    QueryDef.views("sql5_schema_evolution",
+      """SELECT doc_id, language, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS alters_metadata_only
+        |FROM (
+        |  SELECT doc_id, lang AS language,
+        |         CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |         CAST(n_chars + 7 AS BIGINT)
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val wh = sql5Warehouse
+      spark.conf.set("spark.sql.catalog.gsql5",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsql5.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql5.db")
+      spark.sql("DROP TABLE IF EXISTS gsql5.db.docs")
+      spark.sql(
+        """CREATE TABLE gsql5.db.docs
+          |  (doc_id BIGINT, lang STRING, n_chars INT, junk INT)
+          |USING `graft-snapshot`
+          |TBLPROPERTIES ('statsCol' = 'doc_id')""".stripMargin)
+      spark.sql(
+        """INSERT INTO gsql5.db.docs
+          |SELECT doc_id, lang, CAST(n_chars AS INT), CAST(0 AS INT)
+          |FROM documents""".stripMargin)
+      val tablePath = s"$wh/db/docs"
+      def nFiles: Long =
+        Layout.snapshotInfo(spark, tablePath).get.files.size.toLong
+      val filesBefore = nFiles
+      spark.sql("ALTER TABLE gsql5.db.docs RENAME COLUMN lang TO language")
+      spark.sql("ALTER TABLE gsql5.db.docs DROP COLUMN junk")
+      spark.sql(
+        "ALTER TABLE gsql5.db.docs ALTER COLUMN n_chars TYPE BIGINT")
+      val metadataOnly = if (nFiles == filesBefore) 1L else 0L
+      // a post-evolution generation through the sink (writes the
+      // physical names + wide type) interleaves with the old files
+      spark.sql(
+        """INSERT INTO gsql5.db.docs
+          |SELECT doc_id + 1000000, lang, CAST(n_chars + 7 AS BIGINT)
+          |FROM documents""".stripMargin)
+      spark.sql(
+        "SELECT doc_id, language, n_chars FROM gsql5.db.docs")
+        .withColumn("alters_metadata_only", lit(metadataOnly))
         .orderBy("doc_id")
     },
 

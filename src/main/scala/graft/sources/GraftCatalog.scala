@@ -220,40 +220,114 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadAt(ident, id)
   }
 
-  /** ALTER TABLE ADD COLUMN(S) — a METADATA-ONLY commit: the new
-    * manifest carries every data file forward and records the union
-    * schema (added columns nullable; earlier files null-fill on
-    * read — the same rule append-time evolution uses). Anything other
-    * than a top-level ADD COLUMN is rejected: drops/renames/type
-    * changes would silently corrupt earlier files' reads without a
-    * full rewrite. */
+  /** ALTER TABLE — ALL metadata-only commits (round 13: column
+    * mapping makes the full evolution surface free of rewrites):
+    *  - ADD COLUMN: union schema, added columns nullable, earlier
+    *    files null-fill; a recycled name (re-ADD after DROP) gets a
+    *    FRESH physical name so orphaned values in old files can never
+    *    leak into the new column;
+    *  - RENAME COLUMN: the logical name changes, the files' physical
+    *    name stays, a `colmap:` manifest line connects them — every
+    *    old file reads unchanged. Partition columns refuse (their
+    *    values are directory path segments);
+    *  - DROP COLUMN: the logical field disappears; the physical
+    *    column stays in old files, projected away; its name is
+    *    retired. Indexed/partition columns refuse;
+    *  - ALTER COLUMN TYPE: WIDENING only (INT→BIGINT, FLOAT→DOUBLE);
+    *    readers upcast the files' narrower physical values at decode. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(fs(), dir)) throw new NoSuchTableException(
       (name() +: ident.namespace :+ ident.name).toSeq)
     val path = dir.toString
-    val prior = Layout.snapshotSchema(spark, path).getOrElse(
+    val info = Layout.snapshotInfo(spark, path).getOrElse(
       throw new NoSuchTableException(
         (name() +: ident.namespace :+ ident.name).toSeq))
-    val added = changes.map {
+    val prior = info.schema.getOrElse(
+      throw new NoSuchTableException(
+        (name() +: ident.namespace :+ ident.name).toSeq))
+    var schema = prior
+    var colMap = info.colMap
+    var dropped = info.droppedPhys
+    var statsCols = info.statsCols
+    def physOf(c: String) = colMap.getOrElse(c, c)
+    def usedPhys: Set[String] =
+      schema.fieldNames.map(physOf).toSet ++ dropped
+    changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "GraftCatalog: nested ADD COLUMN is not supported")
+        val nm = add.fieldNames.head
         val f = org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType, nullable = true)
+          nm, add.dataType, nullable = true)
         SnapshotFileReaderFactory.validate(StructType(Seq(f)))
-        require(!prior.fieldNames.contains(f.name),
-          s"GraftCatalog: column '${f.name}' already exists")
-        f
+        require(!schema.fieldNames.contains(nm),
+          s"GraftCatalog: column '$nm' already exists")
+        // a recycled name maps to a fresh physical so old files'
+        // orphaned values never leak in
+        if (usedPhys.contains(nm))
+          colMap += nm -> s"${nm}__r${Layout.headId(spark, path) + 1}"
+        schema = StructType(schema.fields :+ f)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "GraftCatalog: nested RENAME COLUMN is not supported")
+        val from = rn.fieldNames.head
+        val to = rn.newName
+        require(schema.fieldNames.contains(from),
+          s"GraftCatalog: no column '$from' to rename")
+        require(!schema.fieldNames.contains(to),
+          s"GraftCatalog: column '$to' already exists")
+        require(!Layout.snapshotPartCols(spark, path).contains(from),
+          s"GraftCatalog: cannot rename partition column '$from' — " +
+            "its values are directory path segments")
+        val phys = physOf(from)
+        colMap = colMap - from
+        if (to != phys) colMap += to -> phys
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        statsCols = statsCols.map(c => if (c == from) to else c)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "GraftCatalog: nested DROP COLUMN is not supported")
+        val nm = del.fieldNames.head
+        require(schema.fieldNames.contains(nm),
+          s"GraftCatalog: no column '$nm' to drop")
+        require(!statsCols.contains(nm),
+          s"GraftCatalog: cannot drop indexed column '$nm' — the " +
+            "data-skipping index records it")
+        require(!Layout.snapshotPartCols(spark, path).contains(nm),
+          s"GraftCatalog: cannot drop partition column '$nm'")
+        dropped = dropped :+ physOf(nm)
+        colMap = colMap - nm
+        schema = StructType(schema.fields.filterNot(_.name == nm))
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          "GraftCatalog: nested ALTER COLUMN is not supported")
+        val nm = ut.fieldNames.head
+        val cur = schema(nm).dataType
+        val ok = (cur, ut.newDataType) match {
+          case (org.apache.spark.sql.types.IntegerType,
+            org.apache.spark.sql.types.LongType) => true
+          case (org.apache.spark.sql.types.FloatType,
+            org.apache.spark.sql.types.DoubleType) => true
+          case (a, b) => a == b
+        }
+        require(ok, s"GraftCatalog: only WIDENING type changes are " +
+          s"metadata-only (INT->BIGINT, FLOAT->DOUBLE); " +
+          s"'${cur.sql}' -> '${ut.newDataType.sql}' needs a rewrite")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == nm) f.copy(dataType = ut.newDataType) else f))
       case other => throw new UnsupportedOperationException(
-        s"GraftCatalog: unsupported ALTER TABLE change $other — only " +
-          "ADD COLUMN (drops/renames/type changes need a rewrite)")
+        s"GraftCatalog: unsupported ALTER TABLE change $other")
     }
-    Layout.commitStagedLines(spark, path, Nil, 0L,
-      StructType(prior.fields ++ added), tag = null,
+    Layout.commitStagedLines(spark, path, Nil, 0L, schema, tag = null,
       carryPrevious = true, statsCol = null, expectedBase = -1,
-      tok = java.util.UUID.randomUUID().toString.take(8))
+      tok = java.util.UUID.randomUUID().toString.take(8),
+      colMapOverride = Some((colMap, dropped)),
+      replaceSchema = true,
+      statsColsOverride = Some(statsCols),
+      dvAdd = Nil)
     loadTable(ident)
   }
 

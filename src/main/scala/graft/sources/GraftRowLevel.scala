@@ -114,6 +114,8 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
       // computed from the LOGICAL image, or the rewrite would
       // resurrect masked rows
       val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
+      val physOf = Layout.snapshotInfo(spark, path, asOf)
+        .map(_.colMap).getOrElse(Map.empty)
       val all = Layout.snapshotFileStats(spark, path, asOf)
         .map(e => (e._1, e._2))
       val planned = kept match {
@@ -123,7 +125,8 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
       op.plannedFiles = planned.map(_._1)
       planned.map { case (abs, rel) =>
         SnapshotFilePartition(abs,
-          dvFiles = dvByRel.getOrElse(rel, Nil)): InputPartition
+          dvFiles = dvByRel.getOrElse(rel, Nil),
+          physOf = physOf): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -162,7 +165,9 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       Layout.registerTok(tok)
       SnapshotWriterFactory(fs.makeQualified(stage).toString,
         info.schema(), statsCol, partCols, tok,
-        SnapshotHadoopConf.broadcast())
+        SnapshotHadoopConf.broadcast(),
+        Layout.snapshotInfo(SparkSession.active, path)
+          .map(_.colMap).getOrElse(Map.empty))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -386,9 +386,15 @@ final class GraftSnapshotScanBuilder(path: String,
         require(to <= asOf,
           s"graft-snapshot: endingSnapshot $to is beyond the pinned " +
             s"snapshot $asOf")
+        val physOf = Layout.snapshotInfo(spark, path, asOf)
+          .map(_.colMap).getOrElse(Map.empty)
         Layout.changeFeedPlan(spark, path, from, to)
           .map { case (f, op) =>
-            SnapshotFilePartition(f, op.orNull): InputPartition
+            // recorded change files (op None) carry their own written
+            // names; synthesized data-file reads use the mapping
+            SnapshotFilePartition(f, op.orNull,
+              physOf = if (op.isEmpty) Map.empty else physOf)
+              : InputPartition
           }.toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -408,6 +414,8 @@ final class GraftSnapshotScanBuilder(path: String,
             segs.get(c).forall(allowed.contains) }
         }
         val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
+        val physOf = Layout.snapshotInfo(spark, path, asOf)
+          .map(_.colMap).getOrElse(Map.empty)
         Layout.snapshotFileStats(spark, path, asOf)
           .filter { case (_, rel, ranges) =>
             partKeep(rel) &&
@@ -418,7 +426,7 @@ final class GraftSnapshotScanBuilder(path: String,
             }
           }
           .map(e => SnapshotFilePartition(e._1,
-            dvFiles = dvByRel.getOrElse(e._2, Nil))
+            dvFiles = dvByRel.getOrElse(e._2, Nil), physOf = physOf)
             : InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -516,15 +524,22 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
     val s = start.asInstanceOf[SnapshotOffset].id
     val e = end.asInstanceOf[SnapshotOffset].id
     if (e <= s) Array.empty
-    else if (changeFeed)
-      // per-commit plan: recorded change files (own _op column) for
-      // merge/restore commits, new data files with synthesized
-      // op='added' for appends
-      Layout.changeFeedPlan(spark, path, s, e).map { case (f, op) =>
-        SnapshotFilePartition(f, op.orNull): InputPartition
-      }.toArray
-    else Layout.changedFilePaths(spark, path, s, e)
-      .map(SnapshotFilePartition(_): InputPartition).toArray
+    else {
+      val physOf = Layout.snapshotInfo(spark, path, e)
+        .map(_.colMap).getOrElse(Map.empty)
+      if (changeFeed)
+        // per-commit plan: recorded change files (own _op column) for
+        // merge/restore commits, new data files with synthesized
+        // op='added' for appends
+        Layout.changeFeedPlan(spark, path, s, e).map { case (f, op) =>
+          SnapshotFilePartition(f, op.orNull,
+            physOf = if (op.isEmpty) Map.empty else physOf)
+            : InputPartition
+        }.toArray
+      else Layout.changedFilePaths(spark, path, s, e)
+        .map(SnapshotFilePartition(_, physOf = physOf): InputPartition)
+        .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotFileReaderFactory(schema, SnapshotHadoopConf.broadcast())
@@ -541,7 +556,8 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
   * sidecars (merge-on-read) — the reader drops rows whose key appears
   * in any of them. */
 final case class SnapshotFilePartition(file: String, op: String = null,
-    dvFiles: Seq[String] = Nil)
+    dvFiles: Seq[String] = Nil,
+    physOf: Map[String, String] = Map.empty)
     extends InputPartition
 
 object SnapshotFileReaderFactory {
@@ -611,6 +627,10 @@ final class SnapshotFileReaderFactory(schema: StructType,
     val file = p.asInstanceOf[SnapshotFilePartition].file
     val opConst = p.asInstanceOf[SnapshotFilePartition].op
     val dvPaths = p.asInstanceOf[SnapshotFilePartition].dvFiles
+    // column mapping: files store PHYSICAL names; `schema` speaks the
+    // current LOGICAL names — all file-side lookups go through physOf
+    val physOf = p.asInstanceOf[SnapshotFilePartition].physOf
+    def phys(c: String): String = physOf.getOrElse(c, c)
     // per-reader COPY: PARQUET_READ_SCHEMA is set below, and the
     // broadcast value is shared by every task on the executor
     val conf =
@@ -627,9 +647,10 @@ final class SnapshotFileReaderFactory(schema: StructType,
     // `_file` is the synthesized group-identity METADATA column (the
     // row-level-operation protocol keys on it) — never read from
     // parquet, filled with this partition's absolute path. The mask
-    // key column is FORCED into the projection (column pruning may
-    // have dropped it) so sidecar filtering can evaluate.
-    val wanted = schema.fieldNames.toSet - "_file" ++
+    // key column (already physical — sidecars store physical names)
+    // is FORCED into the projection (column pruning may have dropped
+    // it) so sidecar filtering can evaluate.
+    val wanted = (schema.fieldNames.toSet - "_file").map(phys) ++
       Option(dvKeyName).toSet
     val kept = fileSchema.getFields.asScala.filter(f => wanted(f.getName))
     val projected = new org.apache.parquet.schema.MessageType(
@@ -666,28 +687,40 @@ final class SnapshotFileReaderFactory(schema: StructType,
         dvKeys.contains(v)
       }
 
+      private var prim: Array[
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
       override def next(): Boolean = {
         var g = reader.read()
         while (g != null && masked(g)) g = reader.read()
         if (g == null) false
         else {
-          if (idx == null)
+          if (idx == null) {
             // -1 = the file PREDATES this column (append-time schema
             // evolution): null-fill, matching Layout.readSnapshot's
             // recorded-union-schema read; -2 = the `_file` metadata
             // column, synthesized from the partition's path; -3 = a
             // change-feed `_op` the file doesn't carry, synthesized
-            // from the partition's constant (an append batch)
+            // from the partition's constant (an append batch).
+            // Lookups use the PHYSICAL name (column mapping).
             idx = schema.fields.map(f =>
               if (f.name == "_file") -2
               else if (f.name == "_op" && opConst != null &&
-                  !g.getType.containsField(f.name)) -3
-              else if (g.getType.containsField(f.name))
-                g.getType.getFieldIndex(f.name)
+                  !g.getType.containsField(phys(f.name))) -3
+              else if (g.getType.containsField(phys(f.name)))
+                g.getType.getFieldIndex(phys(f.name))
               else -1)
+            // the file's own primitive per field — TYPE WIDENING
+            // (int32 file read as BIGINT, float as DOUBLE) upcasts at
+            // decode, so ALTER COLUMN TYPE is metadata-only
+            prim = idx.map(i =>
+              if (i < 0) null
+              else g.getType.getType(i).asPrimitiveType()
+                .getPrimitiveTypeName)
+          }
           val vals = new Array[Any](schema.length)
           var i = 0
           while (i < schema.length) {
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
             vals(i) =
               if (idx(i) == -2) UTF8String.fromString(file)
               else if (idx(i) == -3) UTF8String.fromString(opConst)
@@ -695,8 +728,12 @@ final class SnapshotFileReaderFactory(schema: StructType,
                   g.getFieldRepetitionCount(idx(i)) == 0)
                 null
               else schema.fields(i).dataType match {
+                case LongType if prim(i) == INT32 =>
+                  g.getInteger(idx(i), 0).toLong
                 case LongType => g.getLong(idx(i), 0)
                 case IntegerType => g.getInteger(idx(i), 0)
+                case DoubleType if prim(i) == FLOAT =>
+                  g.getFloat(idx(i), 0).toDouble
                 case DoubleType => g.getDouble(idx(i), 0)
                 case FloatType => g.getFloat(idx(i), 0)
                 case BooleanType => g.getBoolean(idx(i), 0)
@@ -832,6 +869,11 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
           s"string, is ${dt.sql}")
     }
   private val batchTag = Option(options.get("tag"))
+  // column mapping: new files write the PHYSICAL names the table's
+  // manifest records (stable across renames)
+  private val tablePhys: Map[String, String] =
+    Layout.snapshotInfo(SparkSession.active, path)
+      .map(_.colMap).getOrElse(Map.empty)
 
   // Executors stage into a write-private `.stage-<tok>/` dir, NEVER
   // into data/: files appear under data/ only inside the driver commit
@@ -906,7 +948,8 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       // (even graceMs = 0) never sweeps its staged/just-renamed files
       Layout.registerTok(tok)
       SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-        statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
+        statsCol, partCols, tok, SnapshotHadoopConf.broadcast(),
+        tablePhys)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       try {
@@ -934,7 +977,8 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
         // one 8-char token per live query is bounded state
         Layout.registerTok(tok)
         SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
-          statsCol, partCols, tok, SnapshotHadoopConf.broadcast())
+          statsCol, partCols, tok, SnapshotHadoopConf.broadcast(),
+          tablePhys)
       }
       // epoch replay after a restart re-stages files but the tagged
       // manifest short-circuits: exactly one commit per (query, epoch),
@@ -991,42 +1035,47 @@ final case class SnapshotWriterFactory(stageDir: String,
     schema: StructType, statsCol: Option[String],
     partCols: Seq[String], tok: String,
     hadoopConf: org.apache.spark.broadcast
-      .Broadcast[SerializableHadoopConf])
+      .Broadcast[SerializableHadoopConf],
+    physOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory
     with org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapshotDataWriter(stageDir, schema, statsCol, partCols,
-      s"$tok-p$partitionId-t$taskId", hadoopConf)
+      s"$tok-p$partitionId-t$taskId", hadoopConf, physOf)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapshotDataWriter(stageDir, schema, statsCol, partCols,
-      s"$tok-e$epochId-p$partitionId-t$taskId", hadoopConf)
+      s"$tok-e$epochId-p$partitionId-t$taskId", hadoopConf, physOf)
 }
 
 object SnapshotParquet {
   /** The parquet MessageType for a (validated, atomic-typed) write
     * schema — all fields optional, strings UTF8-annotated, mirroring
-    * what the Group-API reader decodes. */
-  def messageType(schema: StructType)
+    * what the Group-API reader decodes. `physOf` renames fields to
+    * their PHYSICAL column names (column mapping): writes are
+    * index-based, so only the declared names change. */
+  def messageType(schema: StructType,
+      physOf: Map[String, String] = Map.empty)
       : org.apache.parquet.schema.MessageType = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
+      val nm = physOf.getOrElse(f.name, f.name)
       f.dataType match {
-        case LongType => b.addField(Types.optional(INT64).named(f.name))
+        case LongType => b.addField(Types.optional(INT64).named(nm))
         case IntegerType =>
-          b.addField(Types.optional(INT32).named(f.name))
+          b.addField(Types.optional(INT32).named(nm))
         case DoubleType =>
-          b.addField(Types.optional(DOUBLE).named(f.name))
-        case FloatType => b.addField(Types.optional(FLOAT).named(f.name))
+          b.addField(Types.optional(DOUBLE).named(nm))
+        case FloatType => b.addField(Types.optional(FLOAT).named(nm))
         case BooleanType =>
-          b.addField(Types.optional(BOOLEAN).named(f.name))
+          b.addField(Types.optional(BOOLEAN).named(nm))
         case StringType => b.addField(Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name))
+          .as(LogicalTypeAnnotation.stringType()).named(nm))
         case other => throw new IllegalStateException(
           s"unreachable: $other passed validate()")
       }
@@ -1045,11 +1094,12 @@ object SnapshotParquet {
 final class SnapshotDataWriter(stageDir: String, schema: StructType,
     statsCol: Option[String], partCols: Seq[String], suffix: String,
     hadoopConf: org.apache.spark.broadcast
-      .Broadcast[SerializableHadoopConf])
+      .Broadcast[SerializableHadoopConf],
+    physOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val conf =
     new org.apache.hadoop.conf.Configuration(hadoopConf.value.value)
-  private val msgType = SnapshotParquet.messageType(schema)
+  private val msgType = SnapshotParquet.messageType(schema, physOf)
   private val groups =
     new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
   // per indexed column (statsCol is a comma list), in order
