@@ -1008,12 +1008,15 @@ object CdcQueries {
       // Size shuffle partitions to the STATE, not the session default: a
       // stream-stream join commits four state stores per partition per
       // side per trigger, so 32 partitions × 5 triggers is pure commit
-      // overhead on this fixture's state (16.4s → ~4s measured). At
-      // production volume the same knob goes the other way — state
-      // partitioning is a per-query decision, which is why it's set
-      // here and restored after, not globally.
+      // overhead on this fixture's state (16.4s → ~4s measured round 8;
+      // round 13 profiling: 8 → 4 partitions is another ~25% — the cost
+      // is state-store COMMITS per trigger, not state volume, and
+      // larger batches measured WORSE because outer-join state grows
+      // before eviction). At production volume the same knob goes the
+      // other way — state partitioning is a per-query decision, which
+      // is why it's set here and restored after, not globally.
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = joined.writeStream
           .outputMode("append")
