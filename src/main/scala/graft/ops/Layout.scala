@@ -2510,6 +2510,36 @@ object Layout {
     } finally releaseTok(tok)
   }
 
+  /** Compact the head's manifest SEGMENTS into one (v2 maintenance):
+    * every commit adds a segment, so a long-lived append-heavy table
+    * accretes a segment per commit and head parsing pays one open per
+    * segment (cached, but cold starts and other JVMs pay it). This
+    * rewrites the METADATA only — same data files, same rows, same
+    * image — as a new commit whose resolved lines land in a single
+    * fresh segment (or inline v1 when small). Content-identical, so
+    * the change feed emits nothing (the file-set diff is empty).
+    * Conditional on the head; idempotent at ≤1 segment. Returns the
+    * (possibly unchanged) head id. */
+  def compactManifestSegments(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val head = headId(spark, path)
+    require(head > 0, s"compactManifestSegments: no snapshots at $path")
+    val info = snapshotInfo(spark, path, head).get
+    if (info.segRefs.size <= 1) return head // already compact
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    registerTok(tok)
+    try commitStagedLines(spark, path, info.statLines, info.rows,
+      info.schema.getOrElse(throw new IllegalStateException(
+        s"compactManifestSegments at $path: no recorded schema")),
+      tag = null, carryPrevious = false,
+      statsCol =
+        if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
+      expectedBase = head, tok = tok,
+      partCols = info.partCols, dvAdd = info.dv,
+      colMapOverride = Some((info.colMap, info.droppedPhys)))
+    finally releaseTok(tok)
+  }
+
   /** Retention: keep the newest `keepLast` snapshots, drop older
     * manifests, and delete every data file no kept snapshot references
     * (including orphans from crashed commits), plus crash-leftover

@@ -2829,6 +2829,56 @@ object CdcQueries {
         |  FROM documents WHERE doc_id % 10 = 2)
         |ORDER BY doc_id, batch_id""".stripMargin)),
 
+    // st24 — PLAIN snapshot tailing BY CATALOG NAME (round 13): the
+    // st20 topology (inserts consumed as one micro-batch per commit)
+    // with zero path addressing — `spark.readStream.table("g.db.t")`
+    // resolves through GraftCatalog to the same MicroBatchStream the
+    // path-based source serves, with startingSnapshot/admission
+    // options as reader options. The window starts after the CREATE
+    // commit, so batch k is exactly insert k — per-row batch ids are
+    // oracle-predicted.
+    QueryDef("st24_snapshot_tail_by_name", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val wh = st24Warehouse
+      val out = Files.createTempDirectory("graft-st24-out").toString
+      spark.conf.set("spark.sql.catalog.gst24",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gst24.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gst24.db")
+      spark.sql("DROP TABLE IF EXISTS gst24.db.docs")
+      spark.sql(
+        """CREATE TABLE gst24.db.docs
+          |  (doc_id BIGINT, n_chars BIGINT)
+          |USING `graft-snapshot`""".stripMargin)      // snapshot 1
+      (0 until 3).foreach { k =>
+        spark.sql(
+          s"""INSERT INTO gst24.db.docs
+             |SELECT doc_id, CAST(n_chars AS BIGINT)
+             |FROM documents WHERE doc_id % 3 = $k""".stripMargin)
+      }                                                // snapshots 2-4
+      val q = spark.readStream
+        .option("startingSnapshot", "1")
+        .option("maxSnapshotsPerTrigger", "1")
+        .table("gst24.db.docs")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-st24-ckpt").toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("n_chars"), col("batch_id"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(doc_id % 3 AS BIGINT) AS batch_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // st23 — the CHANGE FEED addressed BY CATALOG NAME (round 13):
     // `spark.readStream.table("gst23.db.docs.changes")` resolves
     // through GraftCatalog to the change-feed relation, with the
@@ -2918,6 +2968,8 @@ object CdcQueries {
 
   private lazy val st23Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-st23-wh").toString
+  private lazy val st24Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-st24-wh").toString
 
   private def st13OracleSql: String =
       """WITH f AS (SELECT event_id AS id, user_id % 50 AS u,

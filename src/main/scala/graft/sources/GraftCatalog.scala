@@ -427,7 +427,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array("system")))
-      Array("optimize", "vacuum", "restore")
+      Array("optimize", "vacuum", "restore", "compact_manifests")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -478,9 +478,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Seq(Layout.restoreSnapshot(spark, path,
             in.getInt(1)).toLong)
         })
+      case "compact_manifests" => proc("compact_manifests",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        Seq("snapshot_id" -> LongType,
+          "segments_after" -> LongType),
+        { in =>
+          val path = tableArg(in.getUTF8String(0).toString)
+          val id = Layout.compactManifestSegments(spark, path)
+          Seq(id.toLong,
+            Layout.snapshotInfo(spark, path).get.segRefs.size.toLong)
+        })
       case other => throw new IllegalArgumentException(
         s"GraftCatalog: unknown procedure system.$other " +
-          "(have: optimize, vacuum, restore)")
+          "(have: optimize, vacuum, restore, compact_manifests)")
     }
   }
 

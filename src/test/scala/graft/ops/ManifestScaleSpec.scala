@@ -158,5 +158,20 @@ class ManifestScaleSpec extends SparkSpec {
     val planMs = (System.nanoTime() - t2) / 1000000
     assert(stats.size == 100002)
     assert(planMs < 4000, s"file-stats plan took ${planMs}ms")
+
+    // SEGMENT COMPACTION: segments accrete one per commit; the
+    // metadata-only maintenance folds them into one with the image
+    // (files, rows, index identity) untouched, and is idempotent
+    val cid = Layout.compactManifestSegments(spark, t)
+    assert(cid == 4)
+    val after = Layout.snapshotInfo(spark, t).get
+    assert(after.segRefs.size == 1, after.segRefs)
+    assert(after.files.size == 100002 && after.rows == info3.rows)
+    assert(after.statsCols == Seq("id"))
+    assert(Layout.compactManifestSegments(spark, t) == 4,
+      "compaction is not idempotent")
+    // the change feed sees NOTHING from a metadata-only commit (the
+    // file-set diff is empty)
+    assert(Layout.changeFeedPlan(spark, t, 3, 4).isEmpty)
   }
 }
