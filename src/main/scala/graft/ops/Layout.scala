@@ -1480,8 +1480,22 @@ object Layout {
       pos < 0 || ranges.lift(pos).flatten.forall(r =>
         ColRange.overlaps(r, q))
     }
-    val exact = q match {
-      case LongRange(lo, hi) => col(colName).between(lo, hi)
+    // the exact residual filter compares in the COLUMN's own domain:
+    // integral bounds are epoch days for DATE and epoch micros for
+    // TIMESTAMP (their parquet physical renderings — what the index
+    // stores), plain values otherwise
+    def exact(df: DataFrame) = q match {
+      case LongRange(lo, hi) =>
+        df.schema(colName).dataType match {
+          case org.apache.spark.sql.types.DateType =>
+            col(colName).between(
+              date_from_unix_date(lit(lo.toInt)),
+              date_from_unix_date(lit(hi.toInt)))
+          case org.apache.spark.sql.types.TimestampType =>
+            col(colName).between(
+              timestamp_micros(lit(lo)), timestamp_micros(lit(hi)))
+          case _ => col(colName).between(lo, hi)
+        }
       case StrRange(lo, hi) =>
         col(colName).between(lo, hi.getOrElse(
           throw new IllegalArgumentException(
@@ -1489,10 +1503,12 @@ object Layout {
     }
     if (keep.isEmpty)
       readSnapshot(spark, path, id).filter(lit(false))
-    else
+    else {
       // DV-aware: a kept file's deletion sidecars apply before rows
       // surface, same as the unpruned read
-      readFilesWithDv(spark, root, info, keep.map(_._1)).filter(exact)
+      val base = readFilesWithDv(spark, root, info, keep.map(_._1))
+      base.filter(exact(base))
+    }
   }
 
   /** Read the table at `path` — the latest snapshot, or AS OF
@@ -1681,12 +1697,25 @@ object Layout {
       overlappingStr(keys, keyCol, strRanged, nljThreshold)
   }
 
+  /** The key column in its INTEGRAL index domain: epoch days for
+    * DATE, epoch micros for TIMESTAMP (the parquet physical renderings
+    * the manifest ranges store), plain long cast otherwise. */
+  private def keyAsLong(keys: DataFrame,
+      keyCol: String): org.apache.spark.sql.Column =
+    keys.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(keyCol)).cast("long")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(keyCol))
+      case _ => col(keyCol).cast("long")
+    }
+
   private def overlappingLong(keys: DataFrame, keyCol: String,
       ranged: Seq[(String, Long, Long)], nljThreshold: Int)
       : Seq[String] = {
     if (ranged.isEmpty) return Nil
-    val env = keys.agg(min(col(keyCol).cast("long")),
-      max(col(keyCol).cast("long"))).head()
+    val k = keyAsLong(keys, keyCol)
+    val env = keys.agg(min(k), max(k)).head()
     if (env.isNullAt(0)) return Nil // empty delta
     val (kMin, kMax) = (env.getLong(0), env.getLong(1))
     val candidates = ranged.filter { case (_, lo, hi) =>
@@ -1697,8 +1726,7 @@ object Layout {
     if (candidates.size <= nljThreshold) {
       val filesDf = candidates.toDF("__gf_file", "__gf_lo", "__gf_hi")
       keys.join(broadcast(filesDf),
-          col(keyCol).cast("long") >= col("__gf_lo") &&
-            col(keyCol).cast("long") <= col("__gf_hi"))
+          k >= col("__gf_lo") && k <= col("__gf_hi"))
         .select(col("__gf_file")).distinct()
         .as[String].collect().toSeq
     } else {
@@ -1713,7 +1741,7 @@ object Layout {
         (n, lo, math.min(hi, Long.MaxValue - 1) + 1)
       }.toDF("__gf_file", "__gf_lo", "__gf_hi1")
       RangeJoin.pointInRange(
-        keys.select(col(keyCol).cast("long").as("__gf_k")),
+        keys.select(k.as("__gf_k")),
         "__gf_k", filesDf, "__gf_lo", "__gf_hi1", binW)
         .select(col("__gf_file")).distinct()
         .as[String].collect().toSeq
