@@ -1091,31 +1091,51 @@ object Layout {
           if (rc == 0) Nil
           else statsColsOf(statsCol).map { c =>
             import scala.jdk.CollectionConverters._
-            val perBlock = r.getFooter.getBlocks.asScala.toSeq
-              .flatMap { b =>
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            val perBlock: Seq[Option[(Any, Any)]] =
+              r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
                 b.getColumns.asScala
                   .find(_.getPath.toDotString == c).map { cc =>
                     val s = cc.getStatistics
-                    require(s != null && s.hasNonNullValue,
-                      s"snapshotWrite: no parquet statistics for '$c'")
-                    statRange(s.genericGetMin, s.genericGetMax, c)
+                    if (s == null || !s.hasNonNullValue) {
+                      // parquet-mr silently OMITS binary chunk stats
+                      // when min+max exceed its max-stats size (~4KB
+                      // — long URLs/text keys) and records valueless
+                      // stats for all-null chunks: degrade to a
+                      // RANGELESS file (always read — skipping never
+                      // changes answers) instead of aborting the
+                      // whole append. Integral stats objects are
+                      // always written; a missing one is a corrupt
+                      // write and stays loud.
+                      val tn = cc.getPrimitiveType.getPrimitiveTypeName
+                      require(s != null ||
+                          (tn != INT32 && tn != INT64),
+                        s"snapshotWrite: no parquet statistics for " +
+                          s"integral column '$c' in ${st.getPath}")
+                      None
+                    } else
+                      Some(statRange(s.genericGetMin,
+                        s.genericGetMax, c))
                   }
               }
             require(perBlock.nonEmpty,
               s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
-            perBlock.head match {
-              case (_: String, _) =>
-                val mins = perBlock.map(_._1.asInstanceOf[String])
-                val maxs = perBlock.map(_._2.asInstanceOf[String])
-                Some(ColRange.ofStrings(
-                  mins.reduce((a, b) =>
-                    if (ColRange.cpCompare(a, b) <= 0) a else b),
-                  maxs.reduce((a, b) =>
-                    if (ColRange.cpCompare(a, b) >= 0) a else b)))
-              case _ =>
-                val ls = perBlock.map(p => (p._1.asInstanceOf[Long],
-                  p._2.asInstanceOf[Long]))
-                Some(LongRange(ls.map(_._1).min, ls.map(_._2).max))
+            if (perBlock.exists(_.isEmpty)) None
+            else perBlock.flatten match { case blocks =>
+              blocks.head match {
+                case (_: String, _) =>
+                  val mins = blocks.map(_._1.asInstanceOf[String])
+                  val maxs = blocks.map(_._2.asInstanceOf[String])
+                  Some(ColRange.ofStrings(
+                    mins.reduce((a, b) =>
+                      if (ColRange.cpCompare(a, b) <= 0) a else b),
+                    maxs.reduce((a, b) =>
+                      if (ColRange.cpCompare(a, b) >= 0) a else b)))
+                case _ =>
+                  val ls = blocks.map(p => (p._1.asInstanceOf[Long],
+                    p._2.asInstanceOf[Long]))
+                  Some(LongRange(ls.map(_._1).min, ls.map(_._2).max))
+              }
             }
           }
         (st, rc, ranges)
@@ -2060,6 +2080,27 @@ object Layout {
       values: Set[String]): org.apache.spark.sql.Column =
     if (values.isEmpty) lit(false) else c.isin(values.toSeq: _*)
 
+  /** The PHYSICAL key column names the snapshot's live deletion
+    * sidecars mask on — one footer open per DISTINCT sidecar file
+    * (bounded by merges-since-optimize, driver-side metadata).
+    * DDL consults this before dropping a column: reader-side masking
+    * joins on the sidecar's key, so dropping that column would make
+    * the table unreadable until OPTIMIZE materializes the masks. */
+  private[graft] def dvKeyPhysCols(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      info: ManifestInfo): Set[String] = {
+    if (info.dv.isEmpty) return Set.empty
+    val (_, root, conf) = fsOf(spark, path)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    info.dv.map(_.dvFile).distinct.map { d =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dvDir, d), conf))
+      try r.getFooter.getFileMetaData.getSchema.getFieldName(0)
+      finally r.close()
+    }.toSet
+  }
+
   /** Stage the merge's delete sidecar under dv/ and return its
     * manifest-relative name. One small parquet (the masked keys),
     * staged then renamed — same crash contract as data files. */
@@ -2287,14 +2328,17 @@ object Layout {
     if (id == 0 || !fs.exists(p)) None else manifestSchema(fs, p)
   }
 
-  /** ABSOLUTE data-file paths introduced between two snapshot ids —
-    * [[readSnapshotChanges]]' planning core, exposed for the streaming
-    * source's `planInputPartitions` (one partition per file). Same
-    * contract: exact for appends, full image for rewrites, `fromId` 0
-    * reads everything; driver-side manifest metadata only. */
+  /** (ABSOLUTE, manifest-relative) data-file paths introduced between
+    * two snapshot ids — [[readSnapshotChanges]]' planning core,
+    * exposed for the streaming source's `planInputPartitions` (one
+    * partition per file; the relative name keys the TO snapshot's
+    * deletion-sidecar lookup so streamed rows match the batch twin's
+    * DV-applied image). Same contract: exact for appends, full image
+    * for rewrites, `fromId` 0 reads everything; driver-side manifest
+    * metadata only. */
   private[graft] def changedFilePaths(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      fromId: Int, toId: Int): Seq[String] = {
+      fromId: Int, toId: Int): Seq[(String, String)] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     def files(id: Int): Set[String] =
@@ -2303,8 +2347,8 @@ object Layout {
         f"snapshot-$id%05d.txt"))._2.toSet
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     (files(toId) -- files(fromId)).toSeq.sorted
-      .map(f => fs.makeQualified(
-        new org.apache.hadoop.fs.Path(dataDir, f)).toString)
+      .map(f => (fs.makeQualified(
+        new org.apache.hadoop.fs.Path(dataDir, f)).toString, f))
   }
 
   /** OPTIMIZE (bin-pack): rewrite snapshot `baseId`'s data files into
@@ -2526,6 +2570,13 @@ object Layout {
     // the target's inline lines + segment REFS (segments are
     // immutable, so the restore is pure metadata even on a v2 table)
     // and its sidecar references ARE its image
+    // colMapOverride: the restored manifest must keep the target's
+    // column-mapping state (colmap:/droppedphys: lines) — dropping it
+    // would make readers resolve renamed columns by LOGICAL name
+    // against files storing physical names (those columns read NULL on
+    // every pre-existing file), and losing droppedphys: would let a
+    // later ADD COLUMN reuse a retired physical name, resurrecting
+    // orphaned values from old files.
     commitStagedLines(spark, path, info.inlineLines, info.rows, schema,
       tag = null, carryPrevious = false,
       statsCol =
@@ -2534,7 +2585,8 @@ object Layout {
       tok = tok, extraMeta = changeLines :+ "rewrite:restore",
       partCols = info.partCols,
       dvAdd = info.dv,
-      segRefsOverride = info.segRefs)
+      segRefsOverride = info.segRefs,
+      colMapOverride = Some((info.colMap, info.droppedPhys)))
     } finally releaseTok(tok)
   }
 

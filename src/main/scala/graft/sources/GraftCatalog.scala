@@ -298,6 +298,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "data-skipping index records it")
         require(!Layout.snapshotPartCols(spark, path).contains(nm),
           s"GraftCatalog: cannot drop partition column '$nm'")
+        // live deletion sidecars key on a physical column: dropping it
+        // would break reader-side masking (readFilesWithDv joins on
+        // the sidecar's key) and leave the table unreadable through
+        // the Layout API — materialize the masks first
+        require(!Layout.dvKeyPhysCols(spark, path, info)
+            .contains(physOf(nm)),
+          s"GraftCatalog: cannot drop column '$nm' — live deletion " +
+            "sidecars mask rows by it; run " +
+            "CALL <catalog>.system.optimize(...) (or " +
+            "Layout.optimizeSnapshot) to materialize them first")
         dropped = dropped :+ physOf(nm)
         colMap = colMap - nm
         schema = StructType(schema.fields.filterNot(_.name == nm))

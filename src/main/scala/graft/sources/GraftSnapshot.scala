@@ -536,9 +536,19 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
             physOf = if (op.isEmpty) Map.empty else physOf)
             : InputPartition
         }.toArray
-      else Layout.changedFilePaths(spark, path, s, e)
-        .map(SnapshotFilePartition(_, physOf = physOf): InputPartition)
-        .toArray
+      else {
+        // the END snapshot's deletion sidecars apply to the streamed
+        // files (matching the batch twin readSnapshotChanges): a fresh
+        // file that gained a delete sidecar inside the same window
+        // must not stream rows the equivalent batch read masks
+        val dvByRel = Layout.snapshotDvPaths(spark, path, e)
+        Layout.changedFilePaths(spark, path, s, e)
+          .map { case (abs, rel) =>
+            SnapshotFilePartition(abs,
+              dvFiles = dvByRel.getOrElse(rel, Nil),
+              physOf = physOf): InputPartition
+          }.toArray
+      }
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -973,9 +983,12 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       override def createStreamingWriterFactory(
           info: PhysicalWriteInfo): org.apache.spark.sql.connector
           .write.streaming.StreamingDataWriterFactory = {
-        // held for the query's lifetime (epochs share the stage dir);
-        // one 8-char token per live query is bounded state
-        Layout.registerTok(tok)
+        // held for the query's lifetime (epochs share the stage dir)
+        // and RELEASED when the query terminates (a query-scoped
+        // StreamingQueryListener) — without the release a stopped
+        // query's token would pin its replayed-epoch stage orphans
+        // against vacuum for the JVM's lifetime
+        StreamingTokRegistry.register(queryId, tok)
         SnapshotWriterFactory(prepareStageDir(tok), writeSchema,
           statsCol, partCols, tok, SnapshotHadoopConf.broadcast(),
           tablePhys)
@@ -992,6 +1005,60 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
           messages: Array[WriterCommitMessage]): Unit =
         deleteStaged(tok, messages)
     }
+}
+
+/** Write tokens held by LIVE streaming queries, released on query
+  * termination: a token spares the query's stage dir and just-staged
+  * files from vacuum ([[graft.ops.Layout.registerTok]]); the streaming
+  * sink has no per-query close hook, so a session-wide
+  * [[org.apache.spark.sql.streaming.StreamingQueryListener]] (added
+  * once per session, on the first streaming write) releases every
+  * token registered under the terminated query's id — after which the
+  * query's replayed-epoch stage orphans become vacuum-able, honoring
+  * the maintenance-loop contract. Keyed by the
+  * [[org.apache.spark.sql.connector.write.LogicalWriteInfo]] queryId;
+  * the listener clears both the event's id and runId forms so either
+  * identity convention releases.
+  *
+  * The listener attaches to the shared SPARKCONTEXT bus (termination
+  * events are `SparkListenerEvent`s posted there), NOT to a
+  * session-level `streams.addListener`: the write is planned on the
+  * stream-execution thread whose active session is the runner's
+  * CLONE, and a clone's StreamingQueryListenerBus filters out events
+  * of queries it didn't start — a session-level listener registered
+  * from here would never fire. */
+private[sources] object StreamingTokRegistry {
+  private val toks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[String]]()
+  private val listening = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, java.lang.Boolean]())
+
+  def register(queryId: String, tok: String): Unit = {
+    Layout.registerTok(tok)
+    toks.computeIfAbsent(queryId,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(tok)
+    val sc = SparkSession.active.sparkContext
+    if (listening.add(sc))
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            event: org.apache.spark.scheduler.SparkListenerEvent)
+            : Unit = event match {
+          case e: org.apache.spark.sql.streaming
+              .StreamingQueryListener.QueryTerminatedEvent =>
+            Seq(e.id.toString, e.runId.toString).foreach { k =>
+              Option(toks.remove(k))
+                .foreach(_.forEach(t => Layout.releaseTok(t)))
+            }
+          case _ => ()
+        }
+      })
+  }
+
+  /** Is any token still held under this query id? (test seam) */
+  private[graft] def live(queryId: String): Boolean =
+    toks.containsKey(queryId)
 }
 
 /** Hadoop configuration shipped executor-side — a bare

@@ -165,4 +165,35 @@ class LayoutStringStatsSpec extends SparkSpec {
     assert(Layout.readSnapshot(spark, t)
       .filter(col("key") === p + "0049").head().getLong(1) == 9000L)
   }
+
+  test("huge string keys (footer stats omitted by parquet-mr) append " +
+      "as RANGELESS files instead of aborting; reads stay exact") {
+    val t = tmpDir("graft-strhuge")
+    // parquet-mr drops binary chunk statistics when min+max exceed its
+    // max-stats size (~4KB) — 5KB values guarantee the omission
+    val huge = (0 until 4).map(i =>
+      (("k" + i.toString) * 2500, i.toLong)).toDF("key", "v")
+    Layout.appendSnapshot(huge.coalesce(1), t, statsCol = "key")
+    val (_, ranges) = Layout.statsOf(
+      Layout.snapshotInfo(spark, t).get.statLines.head)
+    assert(ranges.forall(_.isEmpty), // bare name = all-None
+      s"expected a rangeless entry for omitted footer stats: $ranges")
+    // rangeless = always read: exact reads and merges still work
+    assert(Layout.readSnapshot(spark, t).count() == 4)
+    assert(Layout.readSnapshotPrunedStr(spark, t, "key",
+      "k0" * 2500, "k0" * 2500).count() == 1)
+    // an ALL-NULL indexed column degrades the same way (valueless
+    // stats), for strings and integrals alike
+    val t2 = tmpDir("graft-nullstats")
+    import org.apache.spark.sql.types._
+    val rows = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(null, 1L),
+          org.apache.spark.sql.Row(null, 2L))),
+      StructType(Seq(StructField("key", LongType, nullable = true),
+        StructField("v", LongType, nullable = false))))
+    Layout.appendSnapshot(rows.coalesce(1), t2, statsCol = "key")
+    assert(Layout.readSnapshot(spark, t2).count() == 2)
+  }
 }

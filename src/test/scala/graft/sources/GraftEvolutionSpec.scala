@@ -122,6 +122,64 @@ class GraftEvolutionSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType)
   }
 
+  test("RESTORE keeps the column-mapping state: a rename survives a " +
+      "rollback (renamed columns stay readable, retired physical " +
+      "names stay retired)") {
+    init()
+    spark.sql("""CREATE TABLE gevo.db.rs (id BIGINT, v BIGINT)
+      USING `graft-snapshot`""")
+    spark.sql("INSERT INTO gevo.db.rs SELECT id, id * 3 FROM range(10)")
+    spark.sql("ALTER TABLE gevo.db.rs RENAME COLUMN v TO val")
+    val t = s"$wh/db/rs"
+    // an unwanted commit to roll back, PAST the rename
+    spark.sql("INSERT INTO gevo.db.rs SELECT id, 0 FROM range(50, 60)")
+    val target = Layout.headId(spark, t) - 1
+    Layout.restoreSnapshot(spark, t, target)
+    val info = Layout.snapshotInfo(spark, t).get
+    // the restored manifest must carry the colmap: lines — without
+    // them 'val' resolves by logical name against files storing the
+    // physical 'v' and reads NULL on every pre-existing file
+    assert(info.colMap == Map("val" -> "v"),
+      s"restore dropped the column mapping: ${info.colMap}")
+    assert(spark.sql("SELECT sum(val) FROM gevo.db.rs")
+      .head().getLong(0) == (0 until 10).map(_ * 3L).sum)
+    // droppedphys: survives a restore too — a post-restore re-ADD of
+    // a dropped name must still get a fresh physical column
+    spark.sql("ALTER TABLE gevo.db.rs DROP COLUMN val")
+    spark.sql("INSERT INTO gevo.db.rs SELECT id FROM range(90, 92)")
+    Layout.restoreSnapshot(spark, t, Layout.headId(spark, t) - 1)
+    assert(Layout.snapshotInfo(spark, t).get.droppedPhys == Seq("v"))
+    spark.sql("ALTER TABLE gevo.db.rs ADD COLUMN val BIGINT")
+    assert(spark.sql(
+      "SELECT count(*) FROM gevo.db.rs WHERE val IS NOT NULL")
+      .head().getLong(0) == 0L,
+      "restore lost droppedphys: — dropped values resurfaced")
+  }
+
+  test("DROP COLUMN refuses while live deletion sidecars key on it " +
+      "(OPTIMIZE materializes them, then the drop succeeds)") {
+    init()
+    spark.sql("""CREATE TABLE gevo.db.dk (id BIGINT, v BIGINT)
+      USING `graft-snapshot` TBLPROPERTIES ('statsCol' = 'v')""")
+    spark.sql("INSERT INTO gevo.db.dk SELECT id, id FROM range(100)")
+    val t = s"$wh/db/dk"
+    // merge keyed on id (NOT the indexed column) with a DV threshold:
+    // the sidecar masks by 'id'
+    val delta = Seq((7L, 0L, "d")).toDF("id", "v", "op")
+    Layout.mergeSnapshot(spark, t, delta, "id", "op", dvThreshold = 0.5)
+    assert(Layout.snapshotInfo(spark, t).get.dv.nonEmpty)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gevo.db.dk DROP COLUMN id"))
+    assert(e.getMessage.contains("deletion sidecars"), e.getMessage)
+    // the table stayed readable through both paths
+    assert(spark.table("gevo.db.dk").count() == 99)
+    Layout.optimizeSnapshot(spark, t, targetRowsPerFile = 1000L)
+    assert(Layout.snapshotInfo(spark, t).get.dv.isEmpty)
+    spark.sql("ALTER TABLE gevo.db.dk DROP COLUMN id")
+    assert(spark.table("gevo.db.dk").columns.toSeq == Seq("v"))
+    assert(Layout.readSnapshot(spark, t).count() == 99)
+  }
+
   test("evolution composes with merge-on-read: a DV merge on a " +
       "renamed key masks through the physical sidecar name") {
     init()

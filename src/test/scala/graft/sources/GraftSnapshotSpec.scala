@@ -480,4 +480,60 @@ class GraftSnapshotSpec extends SparkSpec {
         .mode("append").save(t))
     assert(e.getMessage.contains("one manifest carries one partition"))
   }
+
+  test("plain streaming tail applies the end snapshot's deletion " +
+      "sidecars (batch/stream parity inside one window)") {
+    val t = tmpDir("snap-src-dv-tail")
+    val ckpt = tmpDir("snap-src-dv-ckpt")
+    import spark.implicits._
+    Layout.appendSnapshot(
+      spark.range(0, 100).toDF("id").withColumn("v", col("id")),
+      t, statsCol = "id")
+    // inside the SAME un-consumed window: a DV merge masks two rows of
+    // the snapshot-1 file — the stream starts at 0, so its first
+    // batches cover snapshots (0, 2]; rows 7 and 13 must not surface
+    Layout.mergeSnapshot(spark, t,
+      Seq((7L, 0L, "d"), (13L, 0L, "d")).toDF("id", "v", "op"),
+      "id", "op", dvThreshold = 0.5)
+    assert(Layout.snapshotInfo(spark, t).get.dv.nonEmpty,
+      "fixture: expected a sidecar, not a rewrite")
+    // the window must SPAN both commits — per-transition windows see
+    // each commit's own image (snapshot 1 legitimately had the rows)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxSnapshotsPerTrigger", "2").load(t)
+      .writeStream.format("memory").queryName("dv_tail")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dv_tail")
+    assert(got.count() == 98, "stream surfaced DV-masked rows")
+    assert(got.filter(col("id").isin(7L, 13L)).isEmpty,
+      "masked keys streamed")
+    // parity with the batch twin over the same window
+    assert(Layout.readSnapshotChanges(spark, t, 0).count() == 98)
+  }
+
+  test("streaming sink write token is released when the query " +
+      "terminates (stopped queries don't pin vacuum forever)") {
+    val src = tmpDir("snap-tok-src")
+    val t = tmpDir("snap-tok-dst")
+    val ckpt = tmpDir("snap-tok-ckpt")
+    Layout.appendSnapshot(spark.range(0, 10).toDF("id"), src)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", t)
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // LogicalWriteInfo's queryId may be either identity convention —
+    // the registry's listener clears both
+    val ids = Seq(q.id.toString, q.runId.toString)
+    def anyLive = ids.exists(StreamingTokRegistry.live)
+    assert(anyLive, "expected a live token while the query runs")
+    q.stop(); q.awaitTermination()
+    // the termination event is delivered async on the listener bus
+    val deadline = System.currentTimeMillis() + 30000
+    while (anyLive && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(!anyLive, "stopped query's write token never released")
+    assert(Layout.readSnapshot(spark, t).count() == 10)
+  }
 }
