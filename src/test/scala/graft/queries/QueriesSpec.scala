@@ -51,6 +51,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // Entries whose plans legitimately carry an UNPARTITIONED window —
+  // each a cardinality-BOUNDED post-aggregate (vocab ranks, calibration
+  // grids, bucket CDFs: thousands of rows after the heavy aggregation,
+  // never corpus-sized), documented at the owning call sites in
+  // ops/TextOps, ops/Stats, ops/Weighted and queries/PipelineOps. Kept
+  // EXACT: a new entry appearing here means a window over undetermined
+  // cardinality slipped in — fix the plan or justify the site, never
+  // widen the list casually. (Spark 4's EliminateWindowPartitions
+  // folds constant partition specs away, so a source-level
+  // `partitionBy(lit(1))` does NOT keep a window out of this sweep —
+  // the executed plan is the only truth, which is why this gate exists
+  // instead of a source convention.)
+  private val allowedUnpartitionedWindows = Set(
+    "au1_classifier_auc", // cumulative ranks over |score buckets| rows
+    "bd1_benford_digits", // 9 leading-digit rows
+    "chi1_chisq_independence", // |a|×|b| category cells
+    "cs1_zipf", // vocab rank curve over |distinct words|
+    "dt1_decision_stump", // cumulative split scan over |distinct x|
+    "hp1_vocab_growth", // checkpoint curve over |checkpoints|
+    "mi1_mutual_information", // |a|×|b| category cells
+    "na1_nelson_aalen", // cumulative hazard over |distinct times|
+    "ny1_neyman_allocation", // |strata| rows
+    "z2_compact") // file-metadata rows (~n_files)
+
+  test("unpartitioned WindowExec appears ONLY at the whitelisted " +
+      "bounded post-aggregate sites (the 100 TB scale gate)") {
+    val offenders = scala.collection.mutable.SortedMap[String, Int]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val wins = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window
+            .WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty) offenders(name) = wins.size
+    }
+    assert(offenders.keySet == allowedUnpartitionedWindows,
+      s"unpartitioned-window set drifted.\n" +
+        s"  unexpected: ${(offenders.keySet -- allowedUnpartitionedWindows).mkString(", ")}\n" +
+        s"  vanished (prune the whitelist): ${(allowedUnpartitionedWindows -- offenders.keySet).mkString(", ")}")
+  }
+
   test("j1/j3 broadcast their dimension tables") {
     val p1 = SparkEntry.queries("j1_join_agg")(spark, sf)
       .queryExecution.executedPlan.toString
