@@ -523,6 +523,23 @@ object Layout {
   /** `hi` None = unbounded above (max-truncation overflowed). */
   private[graft] final case class StrRange(lo: String,
       hi: Option[String]) extends ColRange
+  /** DECIMAL bounds as SCALED INTEGRALS (round 14): the unscaled
+    * values at the recorded `scale` — exact for precision ≤ 18 (the
+    * INT32/INT64 parquet renderings) and for any wider decimal whose
+    * unscaled extremes happen to fit a Long; anything else records no
+    * range (always read). The scale rides IN the stats field so a
+    * reader never has to guess it from the current schema — overlap
+    * checks against a different scale rescale exactly. */
+  private[graft] final case class DecRange(lo: Long, hi: Long,
+      scale: Int) extends ColRange
+
+  /** One column's full recorded stats on one data file: the value
+    * range plus (round 14) the NULL COUNT. `nulls` is written only
+    * when trustworthy — see [[statLine]] for the writer invariant
+    * that makes `range == None && nulls > 0` PROOF of an all-null
+    * column (the merge-candidate and IS NOT NULL skip rule). */
+  private[graft] final case class ColStat(range: Option[ColRange],
+      nulls: Option[Long])
 
   private[graft] object ColRange {
     /** Code-point order — MUST match Spark's string comparison
@@ -625,6 +642,14 @@ object Layout {
         case (StrRange(flo, fhi), StrRange(qlo, qhi)) =>
           fhi.forall(h => cpCompare(h, qlo) >= 0) &&
             qhi.forall(h => cpCompare(flo, h) <= 0)
+        case (DecRange(flo, fhi, fs), DecRange(qlo, qhi, qs))
+            if fs == qs => fhi >= qlo && flo <= qhi
+        case (DecRange(flo, fhi, fs), DecRange(qlo, qhi, qs)) =>
+          // cross-scale (schema drifted or a mixed-writer table):
+          // compare EXACTLY as decimals — BigDecimal never overflows
+          def d(u: Long, s: Int) = java.math.BigDecimal.valueOf(u, s)
+          d(fhi, fs).compareTo(d(qlo, qs)) >= 0 &&
+            d(flo, fs).compareTo(d(qhi, qs)) <= 0
         case _ => true
       }
 
@@ -638,6 +663,7 @@ object Layout {
         "s" + b64e.encodeToString(lo.getBytes("UTF-8")),
         hi.fold("*")(h =>
           "s" + b64e.encodeToString(h.getBytes("UTF-8"))))
+      case DecRange(lo, hi, s) => Seq(s"d$s:$lo", s"d$s:$hi")
     }
 
     /** The recorded string range of observed [min, max] — truncation
@@ -653,23 +679,48 @@ object Layout {
           new String(b64d.decode(lo.substring(1)), "UTF-8"),
           if (hi == "*") None
           else Some(new String(b64d.decode(hi.substring(1)), "UTF-8"))))
-      else Some(LongRange(lo.toLong, hi.toLong))
+      else if (lo.charAt(0) == 'd') {
+        val (sl, vl) = lo.substring(1).span(_ != ':')
+        val (sh, vh) = hi.substring(1).span(_ != ':')
+        require(sl == sh, s"decimal range scale mismatch: $lo vs $hi")
+        Some(DecRange(vl.tail.toLong, vh.tail.toLong, sl.toInt))
+      } else Some(LongRange(lo.toLong, hi.toLong))
   }
 
   // Render a (name, per-column stats) manifest entry back to its file
   // line — the inverse of [[statsOf]]' parse. One pair of fields per
   // indexed column, in `statscols:` order; a column with no recorded
-  // range on this file (e.g. all-null in a sink task) renders as two
-  // EMPTY fields, so positions stay aligned. A file with no ranges at
-  // all is just the bare name.
+  // range on this file renders as two EMPTY fields, so positions stay
+  // aligned. A file with no stats at all is just the bare name.
+  //
+  // Round 14 appends an OPTIONAL third field per column — the NULL
+  // COUNT, rendered `n<count>` (unambiguous: range fields start with
+  // a digit, '-', 's', 'd' or '*', never 'n'). Old two-field lines
+  // parse unchanged (null count unknown). WRITER INVARIANT: the null
+  // count is written only when the range is present OR the column is
+  // provably ALL NULL on the file — never when the range is merely
+  // missing (footer stats omitted for oversized values). That makes
+  // `range == None && nulls > 0` proof of an all-null column, which
+  // IS NOT NULL scans and merge candidate matching may skip; a
+  // stats-omitted file stays fully conservative (no nulls field =
+  // unknown = never skipped).
   private[graft] def statLine(
-      e: (String, Seq[Option[ColRange]])): String = e match {
-    case (n, rs) if rs.forall(_.isEmpty) => n
-    case (n, rs) => (n +: rs.flatMap {
-      case Some(r) => ColRange.fields(r)
-      case None => Seq("", "")
+      e: (String, Seq[Option[ColRange]])): String =
+    statLineFull(e._1, e._2.map(ColStat(_, None)))
+
+  private[graft] def statLineFull(n: String,
+      stats: Seq[ColStat]): String =
+    if (stats.forall(s => s.range.isEmpty && s.nulls.isEmpty)) n
+    else (n +: stats.flatMap { s =>
+      val rf = s.range match {
+        case Some(r) => ColRange.fields(r)
+        case None => Seq("", "")
+      }
+      // the all-null invariant is enforced where row counts are in
+      // hand ([[stageDataFiles]], the sink's writer) — rendering is
+      // faithful to what those writers decided
+      rf ++ s.nulls.map(k => s"n$k").toSeq
     }).mkString("|")
-  }
 
   /** Comma-separated `statsCol` arguments → the ordered column list
     * (every public statsCol parameter accepts "c1,c2" to index
@@ -893,14 +944,15 @@ object Layout {
   private[graft] def snapshotFileStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
       asOf: Int = -1)
-      : Seq[(String, String, Seq[Option[ColRange]])] = {
+      : Seq[(String, String, Seq[ColStat])] = {
     val (fs, root, _) = fsOf(spark, path)
     val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
     val id = if (asOf >= 0) asOf else headId(spark, path)
     if (id == 0) return Seq.empty
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
-    readManifestStats(fs, new org.apache.hadoop.fs.Path(snapsDir,
+    parseManifest(fs, new org.apache.hadoop.fs.Path(snapsDir,
         f"snapshot-$id%05d.txt"))
+      .statLines.map(statsOfFull)
       .map { case (n, r) => (fs.makeQualified(
         new org.apache.hadoop.fs.Path(dataDir, n)).toString, n, r) }
   }
@@ -947,12 +999,35 @@ object Layout {
     * rangeless on this file. split limit -1 keeps trailing empties. */
   private[graft] def statsOf(line: String)
       : (String, Seq[Option[ColRange]]) = {
-    val p = line.split("\\|", -1).toSeq // -1: keep trailing empties
-    val ranges = p.tail.grouped(2).map {
-      case Seq(lo, hi) => ColRange.parse(lo, hi)
-      case _ => None
-    }.toSeq
-    (p.head, ranges)
+    val (n, stats) = statsOfFull(line)
+    (n, stats.map(_.range))
+  }
+
+  /** [[statsOf]] with the per-column NULL COUNTS (round 14 lines):
+    * each column contributes two range fields plus an OPTIONAL
+    * `n<count>` field — the lookahead is unambiguous because no range
+    * field ever starts with 'n'. Two-field (pre-round-14) columns
+    * parse with the count unknown. */
+  private[graft] def statsOfFull(line: String)
+      : (String, Seq[ColStat]) = {
+    val p = line.split("\\|", -1) // -1: keep trailing empties
+    val out = Seq.newBuilder[ColStat]
+    var i = 1
+    while (i < p.length) {
+      if (i + 1 == p.length) { // dangling half-pair: rangeless
+        out += ColStat(None, None); i += 1
+      } else {
+        val range = ColRange.parse(p(i), p(i + 1))
+        i += 2
+        val nulls =
+          if (i < p.length && p(i).length > 1 && p(i).charAt(0) == 'n'
+              && p(i).substring(1).forall(_.isDigit)) {
+            val v = p(i).substring(1).toLong; i += 1; Some(v)
+          } else None
+        out += ColStat(range, nulls)
+      }
+    }
+    (p.head, out.result())
   }
 
   private def readManifestStats(fs: org.apache.hadoop.fs.FileSystem,
@@ -1052,7 +1127,20 @@ object Layout {
       conf: org.apache.hadoop.conf.Configuration,
       statsCol: String, tok: String): (Seq[String], Long) = {
     val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok")
-    df.write.mode("overwrite").parquet(stage.toString)
+    // TIMESTAMP columns must stage as TIMESTAMP_MICROS: Spark's
+    // legacy INT96 default writes NO column statistics (the index
+    // would refuse) and the graft-snapshot DSv2 reader has no sane
+    // INT96 decode path. Parquet exposes no per-write option, so the
+    // session conf is pinned around the staging write and restored.
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val hasTs = df.schema.exists(f =>
+      f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+    val spark0 = df.sparkSession
+    val prevTs = if (hasTs) Some(spark0.conf.get(tsConf)) else None
+    if (hasTs) spark0.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(stage.toString)
+    finally prevTs.foreach(spark0.conf.set(tsConf, _))
     val staged = fs.listStatus(stage).filter(st => st.isFile &&
       st.getPath.getName.endsWith(".parquet"))
     // integral and STRING types only: a floating stats value silently
@@ -1087,69 +1175,136 @@ object Layout {
         // therefore no column statistics: it is dropped below, so no
         // ranges are computed. One footer pass serves ALL indexed
         // columns (statsCol accepts "c1,c2,...").
-        val ranges: Seq[Option[ColRange]] =
+        val stats: Seq[ColStat] =
           if (rc == 0) Nil
           else statsColsOf(statsCol).map { c =>
             import scala.jdk.CollectionConverters._
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            val perBlock: Seq[Option[(Any, Any)]] =
+            // per block: (min/max when present, null count when set,
+            // decimal scale when the column is logically DECIMAL)
+            val perBlock: Seq[(Option[(Any, Any)], Option[Long],
+                Option[Int])] =
               r.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
                 b.getColumns.asScala
                   .find(_.getPath.toDotString == c).map { cc =>
                     val s = cc.getStatistics
-                    if (s == null || !s.hasNonNullValue) {
-                      // parquet-mr silently OMITS binary chunk stats
-                      // when min+max exceed its max-stats size (~4KB
-                      // — long URLs/text keys) and records valueless
-                      // stats for all-null chunks: degrade to a
-                      // RANGELESS file (always read — skipping never
-                      // changes answers) instead of aborting the
-                      // whole append. Integral stats objects are
-                      // always written; a missing one is a corrupt
-                      // write and stays loud.
-                      val tn = cc.getPrimitiveType.getPrimitiveTypeName
-                      require(s != null ||
-                          (tn != INT32 && tn != INT64),
-                        s"snapshotWrite: no parquet statistics for " +
-                          s"integral column '$c' in ${st.getPath}")
-                      None
-                    } else
-                      Some(statRange(s.genericGetMin,
-                        s.genericGetMax, c))
+                    val pt = cc.getPrimitiveType
+                    val tn = pt.getPrimitiveTypeName
+                    // legacy INT96 timestamps carry NO usable stats —
+                    // indexing one can never work, so stay LOUD (the
+                    // writer must emit TIMESTAMP_MICROS)
+                    require(tn != INT96,
+                      s"snapshotWrite: statsCol '$c' is a legacy " +
+                        "INT96 timestamp with no parquet statistics " +
+                        "— write with spark.sql.parquet." +
+                        "outputTimestampType=TIMESTAMP_MICROS")
+                    val decScale = pt.getLogicalTypeAnnotation match {
+                      case d: org.apache.parquet.schema
+                          .LogicalTypeAnnotation
+                          .DecimalLogicalTypeAnnotation =>
+                        Some(d.getScale)
+                      case _ => None
+                    }
+                    val nulls =
+                      if (s != null && s.isNumNullsSet)
+                        Some(s.getNumNulls)
+                      else None
+                    val range: Option[(Any, Any)] =
+                      if (s == null || !s.hasNonNullValue) {
+                        // parquet-mr silently OMITS binary chunk
+                        // stats when min+max exceed its max-stats
+                        // size (~4KB — long URLs/text keys) and
+                        // records valueless stats for all-null
+                        // chunks: degrade to RANGELESS (always read)
+                        // instead of aborting the append. Integral
+                        // stats objects are always written; a missing
+                        // one is a corrupt write and stays loud.
+                        require(s != null ||
+                            (tn != INT32 && tn != INT64),
+                          s"snapshotWrite: no parquet statistics " +
+                            s"for integral column '$c' in " +
+                            s"${st.getPath}")
+                        None
+                      } else
+                        Some((s.genericGetMin, s.genericGetMax))
+                    (range, nulls, decScale)
                   }
               }
             require(perBlock.nonEmpty,
               s"snapshotWrite: statsCol '$c' not found in ${st.getPath}")
-            if (perBlock.exists(_.isEmpty)) None
-            else perBlock.flatten match { case blocks =>
-              blocks.head match {
-                case (_: String, _) =>
-                  val mins = blocks.map(_._1.asInstanceOf[String])
-                  val maxs = blocks.map(_._2.asInstanceOf[String])
-                  Some(ColRange.ofStrings(
-                    mins.reduce((a, b) =>
-                      if (ColRange.cpCompare(a, b) <= 0) a else b),
-                    maxs.reduce((a, b) =>
-                      if (ColRange.cpCompare(a, b) >= 0) a else b)))
-                case _ =>
-                  val ls = blocks.map(p => (p._1.asInstanceOf[Long],
-                    p._2.asInstanceOf[Long]))
-                  Some(LongRange(ls.map(_._1).min, ls.map(_._2).max))
-              }
+            val nulls: Option[Long] =
+              if (perBlock.forall(_._2.isDefined))
+                Some(perBlock.map(_._2.get).sum)
+              else None
+            val decScale = perBlock.head._3
+            // the unscaled decimal value of a footer min/max — INT32/
+            // INT64 renderings directly, FIXED_LEN_BYTE_ARRAY via
+            // big-endian two's-complement (wide decimals whose actual
+            // extremes fit a Long still index; others go rangeless)
+            def unscaled(v: Any): Option[Long] = v match {
+              case i: java.lang.Integer => Some(i.longValue())
+              case l: java.lang.Long => Some(l.longValue())
+              case b: org.apache.parquet.io.api.Binary =>
+                val bi = new java.math.BigInteger(b.getBytes)
+                if (bi.bitLength() <= 62) Some(bi.longValue()) else None
+              case _ => None
             }
+            val range: Option[ColRange] =
+              if (perBlock.exists(_._1.isEmpty)) None
+              else {
+                val blocks = perBlock.map(_._1.get)
+                decScale match {
+                  case Some(sc) =>
+                    val los = blocks.map(p => unscaled(p._1))
+                    val his = blocks.map(p => unscaled(p._2))
+                    if (los.forall(_.isDefined) &&
+                        his.forall(_.isDefined))
+                      Some(DecRange(los.flatten.min, his.flatten.max,
+                        sc))
+                    else None
+                  case None =>
+                    val typed = blocks.map { case (mn, mx) =>
+                      statRange(mn, mx, c) }
+                    typed.head match {
+                      case (_: String, _) =>
+                        val mins = typed.map(_._1.asInstanceOf[String])
+                        val maxs = typed.map(_._2.asInstanceOf[String])
+                        Some(ColRange.ofStrings(
+                          mins.reduce((a, b) =>
+                            if (ColRange.cpCompare(a, b) <= 0) a
+                            else b),
+                          maxs.reduce((a, b) =>
+                            if (ColRange.cpCompare(a, b) >= 0) a
+                            else b)))
+                      case _ =>
+                        val ls = typed.map(p =>
+                          (p._1.asInstanceOf[Long],
+                            p._2.asInstanceOf[Long]))
+                        Some(LongRange(ls.map(_._1).min,
+                          ls.map(_._2).max))
+                    }
+                }
+              }
+            // the ALL-NULL invariant ([[statLine]]): with no range, a
+            // null count is recorded only when it is 0 (no claim) or
+            // equals the file's row count (PROOF of all-null) — a
+            // stats-omitted file with some nulls stays fully unknown
+            ColStat(range,
+              if (range.isDefined) nulls
+              else nulls.filter(k => k == 0L || k == rc))
           }
-        (st, rc, ranges)
+        (st, rc, stats)
       } finally r.close()
     }
     // ZERO-ROW staged files are dropped, not published: they would sit
     // in every later manifest as rangeless always-read entries (a
     // skewed job can stage many), and a zero-file commit is already
     // readable via the manifest's schema line
-    val nameLines = metas.filter(_._2 > 0).map { case (st, _, ranges) =>
+    val nameLines = metas.filter(_._2 > 0).map { case (st, _, stats) =>
       val nm = s"c$tok-${st.getPath.getName}"
       renameOrAbort(fs, st.getPath,
         new org.apache.hadoop.fs.Path(dataDir, nm))
-      statLine((nm, ranges))
+      statLineFull(nm, stats)
     }.sorted
     val rows = metas.map(_._2).sum
     fs.delete(stage, true)
@@ -1705,14 +1860,33 @@ object Layout {
     * range length, clamped so the widest range explodes into ≤4096
     * bins). */
   private[graft] def overlappingFiles(keys: DataFrame, keyCol: String,
-      entries: Seq[(String, Option[ColRange])],
+      entries: Seq[(String, ColStat)],
       nljThreshold: Int = 256): Seq[String] = {
-    val rangeless = entries.collect { case (n, None) => n }
+    // rangeless = always a candidate, EXCEPT a provably ALL-NULL key
+    // column (range None + nulls > 0, the statLine writer invariant):
+    // no non-null delta key can live there, and null delta keys never
+    // join (SQL null semantics) — so every merge can skip it instead
+    // of rewriting it forever
+    val rangeless = entries.collect {
+      case (n, ColStat(None, nulls)) if !nulls.exists(_ > 0) => n }
+    // DECIMAL ranges ride the integral lane at the KEY column's scale
+    // (unscaled longs compare exactly); a file recorded at a DIFFERENT
+    // scale (mixed-writer drift) degrades to always-candidate
+    val keyScale = keys.schema(keyCol).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => Some(d.scale)
+      case _ => None
+    }
     val longRanged = entries.collect {
-      case (n, Some(LongRange(lo, hi))) => (n, lo, hi) }
+      case (n, ColStat(Some(LongRange(lo, hi)), _)) => (n, lo, hi)
+      case (n, ColStat(Some(DecRange(lo, hi, s)), _))
+          if keyScale.contains(s) => (n, lo, hi)
+    }
+    val decOdd = entries.collect {
+      case (n, ColStat(Some(DecRange(_, _, s)), _))
+          if !keyScale.contains(s) => n }
     val strRanged = entries.collect {
-      case (n, Some(StrRange(lo, hi))) => (n, lo, hi) }
-    rangeless ++
+      case (n, ColStat(Some(StrRange(lo, hi)), _)) => (n, lo, hi) }
+    rangeless ++ decOdd ++
       overlappingLong(keys, keyCol, longRanged, nljThreshold) ++
       overlappingStr(keys, keyCol, strRanged, nljThreshold)
   }
@@ -1727,6 +1901,11 @@ object Layout {
         unix_date(col(keyCol)).cast("long")
       case org.apache.spark.sql.types.TimestampType =>
         unix_micros(col(keyCol))
+      case d: org.apache.spark.sql.types.DecimalType =>
+        // the UNSCALED integral (what DecRange stores): an exact
+        // decimal multiply by 10^scale, then an exact integral cast
+        (col(keyCol) * lit(java.math.BigDecimal.TEN.pow(d.scale)))
+          .cast("long")
       case _ => col(keyCol).cast("long")
     }
 
@@ -1906,14 +2085,14 @@ object Layout {
     // delta key? — [[overlappingFiles]] with the key's positional
     // range extracted.
     def overlapping(
-        entries: Seq[(String, Seq[Option[ColRange]])])
+        entries: Seq[(String, Seq[ColStat])])
         : Seq[String] = {
       if (!keyIndexed) return entries.map(_._1)
       overlappingFiles(keys, keyCol, entries.map { case (n, rs) =>
-        (n, rs.lift(ki).flatten) })
+        (n, rs.lift(ki).getOrElse(ColStat(None, None))) })
     }
 
-    val baseEntries = info.statLines.map(statsOf)
+    val baseEntries = info.statLines.map(statsOfFull)
     val touched = overlapping(baseEntries).sorted
     val touchedSet = touched.toSet
     // physical row counts from the touched files' parquet footers —
@@ -2057,14 +2236,16 @@ object Layout {
           // touched files would have its masks resurrected — abort
           if (headInfo.dv.filter(e => touchedSet(e.dataFile))
               .map(_.line).sorted != dvExpected.sorted) throw e
-          val fresh = headInfo.statLines.map(statsOf)
+          val fresh = headInfo.statLines.map(statsOfFull)
             .filterNot(l => info.files.contains(l._1))
           // safe iff every interleaved file PROVABLY holds no delta
           // key: the index (and the key's position in it) is
           // unchanged and no fresh file is rangeless or
-          // key-overlapping
+          // key-overlapping (a provably all-null fresh file — range
+          // None, nulls > 0 — is disjoint by construction)
           if (headInfo.statsCols != info.statsCols ||
-              fresh.exists(_._2.lift(ki).flatten.isEmpty) ||
+              fresh.exists(e2 => e2._2.lift(ki).forall(s =>
+                s.range.isEmpty && !s.nulls.exists(_ > 0))) ||
               overlapping(fresh).nonEmpty) throw e
           base = head // disjoint appends only: carry them and retry
       }

@@ -35,6 +35,8 @@ object PipelineOps {
     java.nio.file.Files.createTempDirectory("graft-sql5-wh").toString
   private lazy val sql6Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-sql6-wh").toString
+  private lazy val sql7Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-sql7-wh").toString
 
   /** qc1's trained classifier: micro-unit coefficients over the corpus
     * vocabulary (positive = quality evidence). ONE definition feeds both
@@ -3905,6 +3907,123 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // TYPED COLUMNS through the SQL catalog (round 14 — the first
+    // thing any analytics user creates): a table with DATE, TIMESTAMP
+    // and DECIMAL(12,2) columns, created by DDL, filled by three
+    // unhinted INSERTs (the sink's RequiresDistributionAndOrdering
+    // geometry), updated by MERGE (whose Layout staging pins
+    // TIMESTAMP_MICROS so no INT96 file can ever enter the table),
+    // and range-scanned with pruning pinned on BOTH a decimal and a
+    // date bound (partitions_price=1 / partitions_date=1, AS OF the
+    // pre-merge snapshot whose chunks are range-disjoint). Dates ride
+    // the integral index as epoch days, decimals as unscaled cents
+    // (Layout.DecRange); timestamps surface as whole-second strings
+    // per the oracle-parity rules.
+    QueryDef.views("sql7_typed_columns",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1 FROM documents),
+        |     k AS (SELECT doc_id AS id FROM documents)
+        |SELECT id, DATE '2020-01-01' + CAST(id AS INT) AS d,
+        |  strftime(TIMESTAMP '2021-06-01 00:00:00'
+        |    + to_minutes(CAST(id % 100000 AS BIGINT)),
+        |    '%Y-%m-%d %H:%M:%S') AS ts,
+        |  id * 25 + delta_cents AS price_cents,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_price,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_date
+        |FROM (
+        |  SELECT id, CAST(0 AS BIGINT) AS delta_cents FROM k, b
+        |  WHERE NOT (id < b.b1 AND id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT id, CAST(1 AS BIGINT) FROM k, b
+        |  WHERE id < b.b1 AND id % 10 = 1
+        |  UNION ALL
+        |  SELECT id + 1000000, CAST(-25000000 AS BIGINT) FROM k, b
+        |  WHERE id < b.b1 AND id % 10 = 2)
+        |ORDER BY id""".stripMargin) { spark =>
+      val wh = sql7Warehouse
+      spark.conf.set("spark.sql.catalog.gsql7",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsql7.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gsql7.db")
+      spark.sql("DROP TABLE IF EXISTS gsql7.db.t")
+      spark.sql(
+        """CREATE TABLE gsql7.db.t
+          |  (id BIGINT, d DATE, ts TIMESTAMP, price DECIMAL(12,2))
+          |USING `graft-snapshot`
+          |TBLPROPERTIES ('statsCol' = 'id,price,d')""".stripMargin)
+      val maxId = spark.table("documents").agg(max("doc_id"))
+        .head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      Seq(s"doc_id < $b1", s"doc_id >= $b1 AND doc_id < $b2",
+          s"doc_id >= $b2").foreach { cond =>
+        spark.sql(
+          s"""INSERT INTO gsql7.db.t
+             |SELECT doc_id, DATE'2020-01-01' + CAST(doc_id AS INT),
+             |  TIMESTAMP'2021-06-01 00:00:00'
+             |    + make_interval(0,0,0,0,0, CAST(doc_id AS INT), 0),
+             |  CAST(doc_id * 0.25 AS DECIMAL(12,2))
+             |FROM documents WHERE $cond""".stripMargin)
+      }
+      val tablePath = s"$wh/db/t"
+      val baseFiles =
+        Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      val preMergeId = Layout.headId(spark, tablePath)
+      // typed pruning AS OF the pre-merge image: a decimal interval
+      // inside chunk 2 and a date interval inside chunk 1, one file
+      // planned each
+      def cents(v: Long) =
+        new java.math.BigDecimal(v).movePointLeft(2)
+      val preSnap = spark.read.format("graft-snapshot")
+        .option("asOfSnapshot", preMergeId.toString).load(tablePath)
+      val pPrice = preSnap
+        .filter(col("price") >= cents(b1 * 25 + 25) &&
+          col("price") <= cents((b1 + (b2 - b1) / 2) * 25))
+        .rdd.getNumPartitions.toLong
+      val pDate = preSnap
+        .filter(col("d") < java.sql.Date.valueOf(
+          java.time.LocalDate.of(2020, 1, 1).plusDays(b1)))
+        .rdd.getNumPartitions.toLong
+      // MERGE: delete ≡0, +0.01 price ≡1 (stays inside chunk 1's
+      // price envelope), insert far-out ids — exactly chunk 1 rewrites
+      spark.sql(
+        s"""SELECT doc_id AS id,
+           |  DATE'2020-01-01' + CAST(doc_id + 1000000 AS INT) AS d,
+           |  TIMESTAMP'2021-06-01 00:00:00' + make_interval(0,0,0,0,0,
+           |    CAST((doc_id + 1000000) % 100000 AS INT), 0) AS ts,
+           |  CAST(0 AS DECIMAL(12,2)) AS price,
+           |  CASE WHEN doc_id % 10 = 0 THEN 'd' ELSE 'u' END AS op
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 IN (0, 1)
+           |UNION ALL
+           |SELECT doc_id + 1000000,
+           |  DATE'2020-01-01' + CAST(doc_id + 1000000 AS INT),
+           |  TIMESTAMP'2021-06-01 00:00:00' + make_interval(0,0,0,0,0,
+           |    CAST((doc_id + 1000000) % 100000 AS INT), 0),
+           |  CAST(doc_id * 0.25 AS DECIMAL(12,2)), 'c'
+           |FROM documents WHERE doc_id < $b1 AND doc_id % 10 = 2"""
+          .stripMargin).createOrReplaceTempView("sql7_src")
+      spark.sql(
+        """MERGE INTO gsql7.db.t t USING sql7_src s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN
+          |  UPDATE SET price = t.price + CAST(0.01 AS DECIMAL(12,2))
+          |WHEN NOT MATCHED THEN INSERT (id, d, ts, price)
+          |  VALUES (s.id, s.d, s.ts, s.price)""".stripMargin)
+      val headFiles =
+        Layout.snapshotInfo(spark, tablePath).get.files.toSet
+      spark.sql(
+        """SELECT id, d, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts,
+          |  CAST(price * 100 AS BIGINT) AS price_cents
+          |FROM gsql7.db.t""".stripMargin)
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .withColumn("partitions_price", lit(pPrice))
+        .withColumn("partitions_date", lit(pDate))
+        .orderBy("id")
+    },
+
     // FILE-PRUNED copy-on-write MERGE
     // ([[graft.ops.Layout.mergeSnapshot]]'s scale path): three
     // contiguous doc_id chunks committed as separate files indexed on
@@ -4254,6 +4373,177 @@ object PipelineOps {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("files_rewritten"), col("dv_files"),
           col("dv_after_optimize"))
+        .orderBy("doc_id")
+    },
+
+    // DECIMAL data-skipping stats ([[graft.ops.Layout.DecRange]] —
+    // round 14): a DECIMAL(12,2) price column indexes as SCALED
+    // INTEGRALS (unscaled cents, scale recorded in the stats field),
+    // so the TPC-H-shaped price-range scan prunes files and a
+    // price-KEYED merge rewrites only the touched chunk. Three
+    // price-disjoint chunks; the delta hits chunk 1's range only —
+    // files_rewritten=1 / files_carried=2 pinned (a regression to
+    // rangeless decimals flips carried to 0), and a price interval
+    // inside chunk 2 pins partitions_planned=1 through the DSv2
+    // pushdown (Layout.DecRange overlap + boundOf's conservative
+    // literal rounding).
+    QueryDef.views("tt19_decimal_stats",
+      """WITH k AS (SELECT doc_id, doc_id * 25 AS cents, lang,
+        |            CAST(n_chars AS BIGINT) AS n_chars
+        |          FROM documents),
+        |     b AS (SELECT max(doc_id) // 3 AS b1 FROM documents)
+        |SELECT cents AS price_cents, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_planned
+        |FROM (
+        |  SELECT cents, lang, n_chars FROM k, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 IN (0, 1))
+        |  UNION ALL
+        |  SELECT cents, lang, n_chars + 1000 FROM k, b
+        |  WHERE doc_id < b.b1 AND doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT (doc_id + 1000000) * 25, lang, n_chars
+        |  FROM k, b WHERE doc_id < b.b1 AND doc_id % 10 = 2)
+        |ORDER BY price_cents""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        expr("CAST(doc_id * 0.25 AS DECIMAL(12,2))").as("price"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt19")
+        .toString
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val (b1, b2) = (maxId / 3, 2 * maxId / 3)
+      def chunk(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).select("price", "lang", "n_chars").coalesce(1)
+      Layout.appendSnapshot(chunk(col("doc_id") < b1), t,
+        statsCol = "price")
+      Layout.appendSnapshot(
+        chunk(col("doc_id") >= b1 && col("doc_id") < b2), t,
+        statsCol = "price")
+      Layout.appendSnapshot(chunk(col("doc_id") >= b2), t,
+        statsCol = "price")
+      val lo = docs.filter(col("doc_id") < b1)
+      val changes =
+        lo.filter(col("doc_id") % 10 === 0)
+          .select(col("price"), col("lang"), col("n_chars"))
+          .withColumn("op", lit("d"))
+        .unionByName(lo.filter(col("doc_id") % 10 === 1)
+          .select(col("price"), col("lang"),
+            (col("n_chars") + 1000L).as("n_chars"))
+          .withColumn("op", lit("u")))
+        .unionByName(lo.filter(col("doc_id") % 10 === 2)
+          .select(expr(
+            "CAST((doc_id + 1000000) * 0.25 AS DECIMAL(12,2))")
+            .as("price"), col("lang"), col("n_chars"))
+          .withColumn("op", lit("c")))
+      val baseFiles = Layout.snapshotInfo(spark, t, 3).get.files.toSet
+      Layout.mergeSnapshot(spark, t, changes, "price", "op")
+      val headFiles = Layout.snapshotInfo(spark, t).get.files.toSet
+      // decimal interval inside chunk 2, AS OF the pre-merge snapshot
+      // (disjoint per-file price ranges): exactly one file planned
+      def cents(v: Long) =
+        new java.math.BigDecimal(v).movePointLeft(2)
+      val planned = spark.read.format("graft-snapshot")
+        .option("asOfSnapshot", "3").load(t)
+        .filter(col("price") >= cents(b1 * 25 + 25) &&
+          col("price") <= cents((b1 + (b2 - b1) / 2) * 25))
+        .rdd.getNumPartitions.toLong
+      Layout.readSnapshot(spark, t)
+        .withColumn("price_cents",
+          (col("price") * 100).cast("bigint"))
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .withColumn("partitions_planned", lit(planned))
+        .select(col("price_cents"), col("lang"), col("n_chars"),
+          col("files_rewritten"), col("files_carried"),
+          col("partitions_planned"))
+        .orderBy("price_cents")
+    },
+
+    // Per-file NULL COUNTS ([[graft.ops.Layout.statsOfFull]] — round
+    // 14): the third stats field makes three things provable from the
+    // manifest alone, each pinned in the hash:
+    //  - an IS NULL scan plans ONLY files that may hold nulls
+    //    (partitions_isnull=1 — chunks 1-2 are proven null-free);
+    //  - an IS NOT NULL scan skips the proven ALL-null chunk
+    //    (partitions_notnull=2);
+    //  - count(col) is answered from manifest metadata (count_k rides
+    //    every row, graded against the oracle's own count);
+    // and a merge keyed on the nullable column SKIPS the all-null
+    // chunk instead of rewriting it on every delta —
+    // files_carried=2 pinned (pre-round-14 rangeless semantics
+    // rewrote it, flipping carried to 1).
+    QueryDef.views("tt20_null_stats",
+      """WITH b AS (SELECT max(doc_id) // 3 AS b1,
+        |            2 * (max(doc_id) // 3) AS b2 FROM documents),
+        |     k AS (SELECT doc_id,
+        |            CASE WHEN doc_id >= b.b2 THEN NULL
+        |                 ELSE doc_id END AS k,
+        |            lang, CAST(n_chars AS BIGINT) AS n_chars
+        |          FROM documents, b)
+        |SELECT doc_id, k, lang, n_chars,
+        |  (SELECT CAST(1 AS BIGINT)) AS partitions_isnull,
+        |  (SELECT CAST(2 AS BIGINT)) AS partitions_notnull,
+        |  (SELECT CAST(count(k) AS BIGINT) FROM k) AS count_k,
+        |  (SELECT CAST(1 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS files_carried
+        |FROM (
+        |  SELECT doc_id, k, lang, n_chars FROM k, b
+        |  WHERE NOT (doc_id < b.b1 AND doc_id % 10 = 0)
+        |    AND NOT (doc_id < b.b1 AND doc_id % 10 = 1)
+        |  UNION ALL
+        |  SELECT doc_id, k, lang, n_chars + 1000 FROM k, b
+        |  WHERE doc_id < b.b1 AND doc_id % 10 = 1)
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val b = spark.table("documents").agg(max("doc_id")).head()
+        .getLong(0)
+      val (b1, b2) = (b / 3, 2 * (b / 3))
+      val docs = spark.table("documents").select(col("doc_id"),
+        when(col("doc_id") >= b2, lit(null).cast("long"))
+          .otherwise(col("doc_id")).as("k"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt20")
+        .toString
+      def chunk(cond: org.apache.spark.sql.Column) =
+        docs.filter(cond).coalesce(1)
+      Layout.appendSnapshot(chunk(col("doc_id") < b1), t,
+        statsCol = "k")
+      Layout.appendSnapshot(
+        chunk(col("doc_id") >= b1 && col("doc_id") < b2), t,
+        statsCol = "k")
+      // chunk 3 is ALL NULL in k (the indexed column)
+      Layout.appendSnapshot(chunk(col("doc_id") >= b2), t,
+        statsCol = "k")
+      val base = spark.read.format("graft-snapshot").load(t)
+      val pIsNull = base.filter(col("k").isNull)
+        .rdd.getNumPartitions.toLong
+      val pNotNull = base.filter(col("k").isNotNull)
+        .rdd.getNumPartitions.toLong
+      // count(k) — served by the manifest's null counts (rows − Σn)
+      val countK = base.agg(count(col("k"))).head().getLong(0)
+      val lo = docs.filter(col("doc_id") < b1)
+      val changes =
+        lo.filter(col("doc_id") % 10 === 0).withColumn("op", lit("d"))
+        .unionByName(lo.filter(col("doc_id") % 10 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("op", lit("u")))
+      val baseFiles = Layout.snapshotInfo(spark, t, 3).get.files.toSet
+      Layout.mergeSnapshot(spark, t, changes, "k", "op")
+      val headFiles = Layout.snapshotInfo(spark, t).get.files.toSet
+      Layout.readSnapshot(spark, t)
+        .withColumn("partitions_isnull", lit(pIsNull))
+        .withColumn("partitions_notnull", lit(pNotNull))
+        .withColumn("count_k", lit(countK))
+        .withColumn("files_rewritten",
+          lit((baseFiles -- headFiles).size.toLong))
+        .withColumn("files_carried",
+          lit((baseFiles & headFiles).size.toLong))
+        .select(col("doc_id"), col("k"), col("lang"), col("n_chars"),
+          col("partitions_isnull"), col("partitions_notnull"),
+          col("count_k"), col("files_rewritten"),
+          col("files_carried"))
         .orderBy("doc_id")
     },
 

@@ -171,16 +171,62 @@ final class GraftSnapshotScanBuilder(path: String,
   private var accepted: Array[sources.Filter] = Array.empty
   // (position in the manifest's statscols list, query interval) per
   // pushed bound — file skipping is per-column positional, typed
-  // (integral exact / string code-point order, Layout.ColRange)
+  // (integral exact / string code-point order / decimal unscaled,
+  // Layout.ColRange)
   private var bounds: Seq[(Int, Layout.ColRange)] = Nil
+  // (position, wantNull) per pushed IS [NOT] NULL — served by the
+  // per-file null counts (round 14)
+  private var nullBounds: Seq[(Int, Boolean)] = Nil
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int => Some(i.toLong)
     case s: Short => Some(s.toLong)
     case b: Byte => Some(b.toLong)
+    // temporal literals in their INDEX domain (epoch days / micros —
+    // the parquet physical renderings the manifest ranges store)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(Math.addExact(Math.multiplyExact(t.getTime, 1000L),
+        (t.getNanos % 1000000L) / 1000L))
+    case t: java.time.Instant =>
+      Some(Math.addExact(
+        Math.multiplyExact(t.getEpochSecond, 1000000L),
+        t.getNano / 1000L))
     case _ => None
   }
+
+  /** A DECIMAL literal as an UNSCALED long at the column's declared
+    * scale, rounded CONSERVATIVELY for the bound's direction (a
+    * literal with more fractional digits than the column can only
+    * WIDEN the interval, never narrow it); None = not a decimal
+    * column / doesn't fit — no pushdown. */
+  private def asUnscaled(c: String, v: Any,
+      mode: java.math.RoundingMode): Option[Long] = {
+    val scale = tableSchema.fields.find(_.name == c)
+      .map(_.dataType).collect {
+        case d: DecimalType => d.scale }.getOrElse(return None)
+    val bd = v match {
+      case b: java.math.BigDecimal => b
+      case b: scala.math.BigDecimal => b.underlying()
+      case b: org.apache.spark.sql.types.Decimal => b.toJavaBigDecimal
+      case _ => return None
+    }
+    try Some(bd.setScale(scale, mode).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
+  }
+  private def decLo(c: String, v: Any, strict: Boolean): Option[Long] =
+    if (strict)
+      asUnscaled(c, v, java.math.RoundingMode.FLOOR).map(_ + 1L)
+    else asUnscaled(c, v, java.math.RoundingMode.CEILING)
+  private def decHi(c: String, v: Any, strict: Boolean): Option[Long] =
+    if (strict)
+      asUnscaled(c, v, java.math.RoundingMode.CEILING).map(_ - 1L)
+    else asUnscaled(c, v, java.math.RoundingMode.FLOOR)
+  private def decScaleOf(c: String): Int =
+    tableSchema.fields.find(_.name == c).map(_.dataType).collect {
+      case d: DecimalType => d.scale }.getOrElse(0)
   private def asStr(v: Any): Option[String] = v match {
     case s: String => Some(s)
     case u: org.apache.spark.unsafe.types.UTF8String =>
@@ -193,6 +239,10 @@ final class GraftSnapshotScanBuilder(path: String,
       asLong(v).map(x => Layout.LongRange(x, x): Layout.ColRange)
         .orElse(asStr(v).map(s =>
           Layout.StrRange(s, Some(s)): Layout.ColRange))
+        .orElse(for {
+          lo <- asUnscaled(c, v, java.math.RoundingMode.FLOOR)
+          hi <- asUnscaled(c, v, java.math.RoundingMode.CEILING)
+        } yield Layout.DecRange(lo, hi, decScaleOf(c)): Layout.ColRange)
     case sources.GreaterThan(a, v) if a == c =>
       // strict integral bound tightened exactly (the extreme literal —
       // an always-false predicate — becomes an overlaps-nothing
@@ -204,22 +254,34 @@ final class GraftSnapshotScanBuilder(path: String,
          else Layout.LongRange(x + 1, Long.MaxValue)): Layout.ColRange)
         .orElse(asStr(v).map(s =>
           Layout.StrRange(s, None): Layout.ColRange))
+        .orElse(decLo(c, v, strict = true).map(x =>
+          Layout.DecRange(x, Long.MaxValue, decScaleOf(c))
+            : Layout.ColRange))
     case sources.GreaterThanOrEqual(a, v) if a == c =>
       asLong(v).map(x =>
         Layout.LongRange(x, Long.MaxValue): Layout.ColRange)
         .orElse(asStr(v).map(s =>
           Layout.StrRange(s, None): Layout.ColRange))
+        .orElse(decLo(c, v, strict = false).map(x =>
+          Layout.DecRange(x, Long.MaxValue, decScaleOf(c))
+            : Layout.ColRange))
     case sources.LessThan(a, v) if a == c =>
       asLong(v).map(x =>
         (if (x == Long.MinValue) Layout.LongRange(Long.MaxValue, Long.MinValue)
          else Layout.LongRange(Long.MinValue, x - 1)): Layout.ColRange)
         .orElse(asStr(v).map(s =>
           Layout.StrRange("", Some(s)): Layout.ColRange))
+        .orElse(decHi(c, v, strict = true).map(x =>
+          Layout.DecRange(Long.MinValue, x, decScaleOf(c))
+            : Layout.ColRange))
     case sources.LessThanOrEqual(a, v) if a == c =>
       asLong(v).map(x =>
         Layout.LongRange(Long.MinValue, x): Layout.ColRange)
         .orElse(asStr(v).map(s =>
           Layout.StrRange("", Some(s)): Layout.ColRange))
+        .orElse(decHi(c, v, strict = false).map(x =>
+          Layout.DecRange(Long.MinValue, x, decScaleOf(c))
+            : Layout.ColRange))
     case _ => None
   }
 
@@ -235,6 +297,15 @@ final class GraftSnapshotScanBuilder(path: String,
       filters.toSeq.flatMap(f =>
         boundOf(c, f).map(q => (f, (i, q))))
     }
+    // IS [NOT] NULL on an indexed column: served by the per-file
+    // null counts (files without a recorded count are always read)
+    val nullParsed = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      filters.toSeq.collect {
+        case f @ sources.IsNull(a) if a == c => (f, (i, true))
+        case f @ sources.IsNotNull(a) if a == c => (f, (i, false))
+      }
+    }
+    nullBounds = nullParsed.map(_._2)
     val partCols =
       Layout.snapshotPartCols(SparkSession.active, path, asOf)
     def enc(v: Any) =
@@ -247,7 +318,8 @@ final class GraftSnapshotScanBuilder(path: String,
       case _ => None
     }
     partEq = pf.map(_._2)
-    accepted = (parsed.map(_._1) ++ pf.map(_._1)).distinct.toArray
+    accepted = (parsed.map(_._1) ++ nullParsed.map(_._1) ++
+      pf.map(_._1)).distinct.toArray
     bounds = parsed.map(_._2)
     filters // ALL residual: file-granular skipping is inexact
   }
@@ -279,6 +351,7 @@ final class GraftSnapshotScanBuilder(path: String,
     // a change-feed scan reads a COMMIT WINDOW, not the head image —
     // the manifest's totals answer the wrong question there
     if (agg.groupByExpressions.nonEmpty || bounds.nonEmpty ||
+      nullBounds.nonEmpty ||
       options.getBoolean("readChangeFeed", false)) return None
     val spark = SparkSession.active
     val info = Layout.snapshotInfo(spark, path, asOf)
@@ -293,7 +366,7 @@ final class GraftSnapshotScanBuilder(path: String,
       case _ => true
     }) return None
     val rows = info.rows
-    lazy val perFile = info.statLines.map(l => Layout.statsOf(l)._2)
+    lazy val perFile = info.statLines.map(l => Layout.statsOfFull(l)._2)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case n: NamedReference if n.fieldNames.length == 1 =>
@@ -306,31 +379,55 @@ final class GraftSnapshotScanBuilder(path: String,
       for {
         c <- colOf(e)
         i <- Some(info.statsCols.indexOf(c)) if i >= 0 && rows > 0
-        // complete INTEGRAL ranges at THIS column's position: every
-        // file carries an exact Long range, else the manifest can't
-        // answer exactly (string bounds are TRUNCATED — never an
-        // exact extreme — and a missing range means an unindexed file)
-        ranges <- Some(perFile.map(_.lift(i).flatten.collect {
-          case Layout.LongRange(lo, hi) => (lo, hi) }))
-          if ranges.nonEmpty && ranges.forall(_.isDefined)
-        // the index stores Longs: answer only for integral columns —
+        // complete INTEGRAL-domain ranges at THIS column's position:
+        // every file carries an exact range (Long, or DecRange at the
+        // column's own scale), else the manifest can't answer exactly
+        // (string bounds are TRUNCATED — never an exact extreme — and
+        // a missing range means an unindexed or all-null file)
+        dt = tableSchema(c).dataType
+        ranges <- Some(perFile.map(_.lift(i).flatMap(_.range).collect {
+          case Layout.LongRange(lo, hi) => (lo, hi)
+          case Layout.DecRange(lo, hi, s)
+              if dt.isInstanceOf[DecimalType] &&
+                dt.asInstanceOf[DecimalType].scale == s => (lo, hi)
+        })) if ranges.nonEmpty && ranges.forall(_.isDefined)
+        // answer only for types whose index domain maps back exactly —
         // a FLOAT/DOUBLE statscol would surface a truncated extreme
-        dt <- tableSchema(c).dataType match {
-          case LongType => Some(LongType)
-          case IntegerType => Some(IntegerType)
+        out <- dt match {
+          case LongType | IntegerType | DateType | TimestampType |
+            TimestampNTZType => Some(dt)
+          case d: DecimalType if d.precision <= 18 => Some(d)
           case _ => None
         }
       } yield {
         val v = pick(ranges.map(_.get))
-        if (dt == IntegerType) (c, IntegerType, v.toInt)
-        else (c, LongType, v)
+        out match {
+          case IntegerType | DateType => (c, out, v.toInt)
+          case d: DecimalType => (c, out,
+            org.apache.spark.sql.types.Decimal
+              .createUnsafe(v, d.precision, d.scale))
+          case _ => (c, out, v) // LongType / TIMESTAMP micros
+        }
       }
+    // count(col) = rows − Σ per-file null counts: exact when EVERY
+    // file records a count for the column (round-14 manifests; any
+    // pre-null-count line refuses the shortcut)
+    def countCol(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, DataType, Any)] =
+      for {
+        c <- colOf(e)
+        i <- Some(info.statsCols.indexOf(c)) if i >= 0
+        nulls <- Some(perFile.map(_.lift(i).flatMap(_.nulls)))
+          if nulls.forall(_.isDefined)
+      } yield (s"count($c)", LongType, rows - nulls.flatten.sum)
     val planned = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(("count(*)", LongType: DataType, rows))
       case m: Min => extreme(m.column, _.map(_._1).min)
         .map { case (c, dt, v) => (s"min($c)", dt, v) }
       case m: Max => extreme(m.column, _.map(_._2).max)
         .map { case (c, dt, v) => (s"max($c)", dt, v) }
+      case cnt: Count if !cnt.isDistinct => countCol(cnt.column)
       case _ => None
     }
     if (planned.exists(_.isEmpty)) None
@@ -417,12 +514,23 @@ final class GraftSnapshotScanBuilder(path: String,
         val physOf = Layout.snapshotInfo(spark, path, asOf)
           .map(_.colMap).getOrElse(Map.empty)
         Layout.snapshotFileStats(spark, path, asOf)
-          .filter { case (_, rel, ranges) =>
+          .filter { case (_, rel, stats) =>
             partKeep(rel) &&
             bounds.forall { case (i, q) =>
-              ranges.lift(i).flatten.forall(r =>
+              stats.lift(i).flatMap(_.range).forall(r =>
                 Layout.ColRange.overlaps(r, q))
               // no recorded range for this column = always read
+            } &&
+            nullBounds.forall { case (i, wantNull) =>
+              val s = stats.lift(i)
+              if (wantNull)
+                // IS NULL: skip files PROVEN null-free
+                !s.exists(_.nulls.contains(0L))
+              else
+                // IS NOT NULL: skip files PROVEN all-null (range
+                // None + nulls > 0, the statLine writer invariant)
+                !s.exists(st => st.range.isEmpty &&
+                  st.nulls.exists(_ > 0L))
             }
           }
           .map(e => SnapshotFilePartition(e._1,
@@ -571,13 +679,24 @@ final case class SnapshotFilePartition(file: String, op: String = null,
     extends InputPartition
 
 object SnapshotFileReaderFactory {
-  private[sources] val supported: Set[DataType] = Set(LongType,
-    IntegerType, DoubleType, FloatType, BooleanType, StringType)
+  /** Is `dt` a column type the snapshot reader/writer pair carries?
+    * Atomic types only; DECIMAL up to precision 18 (the INT64
+    * unscaled rendering — also what the data-skipping index stores,
+    * Layout.DecRange); DATE as INT32 epoch days; TIMESTAMP (both
+    * LTZ and NTZ) as INT64 TIMESTAMP_MICROS. */
+  private[sources] def supports(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType |
+      BooleanType | StringType | DateType | TimestampType |
+      TimestampNTZType => true
+    case d: DecimalType => d.precision <= 18
+    case _ => false
+  }
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
-    require(supported.contains(f.dataType),
+    require(supports(f.dataType),
       s"graft-snapshot: unsupported column type ${f.dataType.sql} for " +
-        s"'${f.name}' (supported: BIGINT, INT, DOUBLE, FLOAT, BOOLEAN, " +
-        "STRING)")
+        s"'${f.name}' (supported: BIGINT, INT, DOUBLE, FLOAT, " +
+        "BOOLEAN, STRING, DATE, TIMESTAMP, TIMESTAMP_NTZ, " +
+        "DECIMAL(<=18, s))")
   }
 }
 
@@ -697,8 +816,8 @@ final class SnapshotFileReaderFactory(schema: StructType,
         dvKeys.contains(v)
       }
 
-      private var prim: Array[
-        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] = _
+      private var prim:
+        Array[org.apache.parquet.schema.PrimitiveType] = _
       override def next(): Boolean = {
         var g = reader.read()
         while (g != null && masked(g)) g = reader.read()
@@ -719,18 +838,21 @@ final class SnapshotFileReaderFactory(schema: StructType,
               else if (g.getType.containsField(phys(f.name)))
                 g.getType.getFieldIndex(phys(f.name))
               else -1)
-            // the file's own primitive per field — TYPE WIDENING
+            // the file's own primitive TYPE per field — TYPE WIDENING
             // (int32 file read as BIGINT, float as DOUBLE) upcasts at
-            // decode, so ALTER COLUMN TYPE is metadata-only
+            // decode, so ALTER COLUMN TYPE is metadata-only; the
+            // logical annotation disambiguates timestamp units and
+            // decimal physicals
             prim = idx.map(i =>
               if (i < 0) null
-              else g.getType.getType(i).asPrimitiveType()
-                .getPrimitiveTypeName)
+              else g.getType.getType(i).asPrimitiveType())
           }
           val vals = new Array[Any](schema.length)
           var i = 0
           while (i < schema.length) {
             import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            def tn = prim(i).getPrimitiveTypeName
             vals(i) =
               if (idx(i) == -2) UTF8String.fromString(file)
               else if (idx(i) == -3) UTF8String.fromString(opConst)
@@ -738,17 +860,54 @@ final class SnapshotFileReaderFactory(schema: StructType,
                   g.getFieldRepetitionCount(idx(i)) == 0)
                 null
               else schema.fields(i).dataType match {
-                case LongType if prim(i) == INT32 =>
+                case LongType if tn == INT32 =>
                   g.getInteger(idx(i), 0).toLong
                 case LongType => g.getLong(idx(i), 0)
                 case IntegerType => g.getInteger(idx(i), 0)
-                case DoubleType if prim(i) == FLOAT =>
+                case DoubleType if tn == FLOAT =>
                   g.getFloat(idx(i), 0).toDouble
                 case DoubleType => g.getDouble(idx(i), 0)
                 case FloatType => g.getFloat(idx(i), 0)
                 case BooleanType => g.getBoolean(idx(i), 0)
                 case StringType =>
                   UTF8String.fromBytes(g.getBinary(idx(i), 0).getBytes)
+                case DateType => g.getInteger(idx(i), 0) // epoch days
+                case TimestampType | TimestampNTZType =>
+                  // INT64 in the annotation's unit, normalized to the
+                  // MICROS InternalRow domain; legacy INT96 has no
+                  // stats and no sane decode path — refuse by name
+                  require(tn == INT64,
+                    s"graft-snapshot: '${schema.fields(i).name}' is " +
+                      s"a legacy $tn timestamp in $file — rewrite " +
+                      "with spark.sql.parquet.outputTimestampType=" +
+                      "TIMESTAMP_MICROS")
+                  val unit = prim(i).getLogicalTypeAnnotation match {
+                    case t: LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation => t.getUnit
+                    case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+                  }
+                  val v = g.getLong(idx(i), 0)
+                  unit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                      Math.multiplyExact(v, 1000L)
+                    case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                      Math.floorDiv(v, 1000L)
+                    case _ => v
+                  }
+                case d: DecimalType => tn match {
+                  case INT32 => org.apache.spark.sql.types.Decimal
+                    .createUnsafe(g.getInteger(idx(i), 0).toLong,
+                      d.precision, d.scale)
+                  case INT64 => org.apache.spark.sql.types.Decimal
+                    .createUnsafe(g.getLong(idx(i), 0),
+                      d.precision, d.scale)
+                  case _ => // FLBA/BINARY: big-endian two's complement
+                    val bi = new java.math.BigInteger(
+                      g.getBinary(idx(i), 0).getBytes)
+                    org.apache.spark.sql.types.Decimal(
+                      new java.math.BigDecimal(bi, d.scale),
+                      d.precision, d.scale)
+                }
                 case other => throw new IllegalStateException(
                   s"unreachable: $other passed validate()")
               }
@@ -867,16 +1026,24 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     sortOrders((partCols ++ statsColList).distinct)
   // statsCol accepts a comma list ("c1,c2"): each indexed column must
-  // be a written integral or string column (strings record truncated
-  // code-point-ordered bounds — Layout.ColRange)
+  // be a written integral, temporal, decimal or string column
+  // (strings record truncated code-point-ordered bounds; temporals
+  // ride the integral lane as epoch days/micros; decimals as scaled
+  // unscaled longs — Layout.ColRange)
   statsCol.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     .foreach { c =>
       require(writeSchema.fieldNames.contains(c),
         s"graft-snapshot write: statsCol '$c' is not a written column")
-      val dt = writeSchema(c).dataType
-      require(dt == LongType || dt == IntegerType || dt == StringType,
-        s"graft-snapshot write: statsCol '$c' must be integral or " +
-          s"string, is ${dt.sql}")
+      val ok = writeSchema(c).dataType match {
+        case LongType | IntegerType | StringType | DateType |
+          TimestampType | TimestampNTZType => true
+        case d: DecimalType => d.precision <= 18
+        case _ => false
+      }
+      require(ok,
+        s"graft-snapshot write: statsCol '$c' must be integral, " +
+          s"date/timestamp, decimal(<=18) or string, is " +
+          s"${writeSchema(c).dataType.sql}")
     }
   private val batchTag = Option(options.get("tag"))
   // column mapping: new files write the PHYSICAL names the table's
@@ -1143,6 +1310,18 @@ object SnapshotParquet {
           b.addField(Types.optional(BOOLEAN).named(nm))
         case StringType => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(nm))
+        case DateType => b.addField(Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(nm))
+        case TimestampType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(nm))
+        case TimestampNTZType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(nm))
+        case d: DecimalType => // validate() caps precision at 18
+          b.addField(Types.optional(INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale,
+              d.precision)).named(nm))
         case other => throw new IllegalStateException(
           s"unreachable: $other passed validate()")
       }
@@ -1195,24 +1374,30 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     // CLONED on update because Spark reuses row buffers
     val sLo = new Array[UTF8String](statsIdx.length)
     val sHi = new Array[UTF8String](statsIdx.length)
-    val statsNull = Array.fill(statsIdx.length)(false)
-    // one field pair per indexed column; a column that saw a null
-    // renders as an EMPTY pair (rangeless on this file — always
-    // read), keeping positions aligned with the statscols order
+    val nullCnt = Array.fill(statsIdx.length)(0L)
+    // one field pair (+ null count) per indexed column, positions
+    // aligned with the statscols order: the range covers NON-NULL
+    // values (integrals/temporals/decimal-unscaled in the Long lane,
+    // strings truncated); a column whose every value was null renders
+    // as an empty pair + the count — the all-null proof the reader
+    // invariant relies on (Layout.statLine)
     def line: String =
       if (statsIdx.isEmpty || rows == 0) relName
-      else graft.ops.Layout.statLine((relName,
+      else graft.ops.Layout.statLineFull(relName,
         statsIdx.indices.map { k =>
-          if (statsNull(k)) None
-          else if (sLo(k) != null)
-            Some(graft.ops.Layout.ColRange.ofStrings(
-              sLo(k).toString, sHi(k).toString)
-              : graft.ops.Layout.ColRange)
-          else if (lo(k) <= hi(k))
-            Some(graft.ops.Layout.LongRange(lo(k), hi(k))
-              : graft.ops.Layout.ColRange)
-          else None
-        }))
+          val range: Option[graft.ops.Layout.ColRange] =
+            if (sLo(k) != null)
+              Some(graft.ops.Layout.ColRange.ofStrings(
+                sLo(k).toString, sHi(k).toString))
+            else if (lo(k) <= hi(k))
+              Some(schema.fields(statsIdx(k)).dataType match {
+                case d: DecimalType =>
+                  graft.ops.Layout.DecRange(lo(k), hi(k), d.scale)
+                case _ => graft.ops.Layout.LongRange(lo(k), hi(k))
+              })
+            else None
+          graft.ops.Layout.ColStat(range, Some(nullCnt(k)))
+        })
   }
   private val states =
     scala.collection.mutable.LinkedHashMap[String, FileState]()
@@ -1251,6 +1436,12 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
         case FloatType => g.add(i, row.getFloat(i))
         case BooleanType => g.add(i, row.getBoolean(i))
         case StringType => g.add(i, row.getUTF8String(i).toString)
+        case DateType => g.add(i, row.getInt(i)) // epoch days
+        case TimestampType | TimestampNTZType =>
+          g.add(i, row.getLong(i)) // epoch micros
+        case d: DecimalType => // INT64 unscaled (precision <= 18)
+          g.add(i,
+            row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
         case other => throw new IllegalStateException(
           s"unreachable: $other passed validate()")
       }
@@ -1261,7 +1452,7 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
     var k = 0
     while (k < statsIdx.length) {
       val si = statsIdx(k)
-      if (row.isNullAt(si)) st.statsNull(k) = true
+      if (row.isNullAt(si)) st.nullCnt(k) += 1L
       else schema.fields(si).dataType match {
         case StringType =>
           val u = row.getUTF8String(si)
@@ -1270,9 +1461,14 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
           if (st.sHi(k) == null || u.compareTo(st.sHi(k)) > 0)
             st.sHi(k) = u.clone()
         case dt =>
+          // the Long index lane: plain integrals, DATE days,
+          // TIMESTAMP micros, DECIMAL unscaled
           val v = dt match {
-            case LongType => row.getLong(si)
-            case _ => row.getInt(si).toLong
+            case LongType | TimestampType | TimestampNTZType =>
+              row.getLong(si)
+            case d: DecimalType =>
+              row.getDecimal(si, d.precision, d.scale).toUnscaledLong
+            case _ => row.getInt(si).toLong // INT, DATE
           }
           if (v < st.lo(k)) st.lo(k) = v
           if (v > st.hi(k)) st.hi(k) = v

@@ -674,11 +674,12 @@ class LayoutSpec extends SparkSpec {
     import graft.ops.{Layout => L}
     // 1,000 disjoint 100-wide ranges + 50 rangeless entries; keys hit
     // every 7th range plus out-of-envelope strays
-    val entries: Seq[(String, Option[L.ColRange])] =
+    val entries: Seq[(String, L.ColStat)] =
       (0 until 1000).map(i =>
-        (f"f$i%04d",
-          Some(L.LongRange(i * 100L, i * 100L + 99L): L.ColRange))) ++
-      (0 until 50).map(i => (s"r$i", None))
+        (f"f$i%04d", L.ColStat(
+          Some(L.LongRange(i * 100L, i * 100L + 99L): L.ColRange),
+          None))) ++
+      (0 until 50).map(i => (s"r$i", L.ColStat(None, None)))
     val keys = spark.range(0, 1000, 7).toDF("k")
       .select((col("k") * 100L + 50L).as("k"))
       .union(Seq(-5L, 2000000L).toDF("k")) // outside every range

@@ -98,10 +98,11 @@ class LayoutStringStatsSpec extends SparkSpec {
       val baseFiles = Layout.snapshotInfo(spark, t).get.files.toSet
       // exercise the requested candidate path via the package seam
       val entries = Layout.snapshotInfo(spark, t).get.statLines
-        .map(Layout.statsOf)
+        .map(Layout.statsOfFull)
       val touched = Layout.overlappingFiles(
         delta.select("key").distinct(), "key",
-        entries.map { case (n, rs) => (n, rs.headOption.flatten) },
+        entries.map { case (n, rs) => (n,
+          rs.headOption.getOrElse(Layout.ColStat(None, None))) },
         nljThreshold = nlj)
       assert(touched.size == 1,
         s"nlj=$nlj: expected 1 touched file, got $touched")
