@@ -1757,22 +1757,69 @@ object Layout {
     val physToLogical = info.colMap.map(_.swap)
     val dvByFile = info.dv.groupBy(_.dataFile)
       .view.mapValues(_.map(_.dvFile).distinct.sorted).toMap
-    val groups = files.groupBy(f => dvByFile.getOrElse(f, Nil))
-    groups.toSeq.sortBy(_._1.mkString(",")).map { case (dvs, fs) =>
-      val base = read(fs)
-      if (dvs.isEmpty) base
-      else {
-        val dvDf = spark.read.parquet(dvs.map(d =>
-          new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
-        // the sidecar's single column carries the merge key's
-        // PHYSICAL name — translate to the current logical for the join
-        val kcPhys = dvDf.columns.head
-        val kc = physToLogical.getOrElse(kcPhys, kcPhys)
-        base.join(dvDf.withColumnRenamed(kcPhys, kc).select(kc)
-            .distinct(), Seq(kc), "left_anti")
-          .select(base.columns.map(col).toIndexedSeq: _*)
-      }
-    }.reduce(_.unionByName(_))
+    val withDv = files.filter(dvByFile.contains)
+    if (withDv.isEmpty) return read(files)
+    def basename(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+    val dvNames = withDv.flatMap(dvByFile).distinct.sorted
+    val dvDf = spark.read.parquet(dvNames.map(d =>
+      new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+    if (dvDf.columns.length == 1) {
+      // ONE scan + ONE anti-join regardless of how many distinct
+      // sidecar sets exist (a wide sparse delete before OPTIMIZE runs
+      // used to build one union branch per set — O(groups) driver
+      // plan bloat): rows join the mask on (key, OWNING FILE), where
+      // the (sidecar, data file) attachment — bounded driver metadata
+      // — is broadcast. File identity is the BASENAME (commit-token
+      // names are globally unique; input_file_name's URI form varies
+      // by filesystem while the basename doesn't). A null key never
+      // matches the equi-join, matching the DSv2 reader's
+      // null-is-never-masked rule.
+      val kcPhys = dvDf.columns.head
+      val kc = physToLogical.getOrElse(kcPhys, kcPhys)
+      import spark.implicits._
+      val attach = withDv.flatMap(f =>
+        dvByFile(f).map(d => (basename(d), basename(f))))
+        .toDF("__gf_dvb", "__gf_fb")
+      val mask = dvDf
+        .withColumn("__gf_dvb",
+          expr("substring_index(input_file_name(), '/', -1)"))
+        .withColumnRenamed(kcPhys, kc)
+        .join(broadcast(attach), "__gf_dvb")
+        .select(col(kc), col("__gf_fb"))
+      val base0 =
+        if (withFileName) read(files)
+        else read(files).withColumn("__gf_f", input_file_name())
+      val joined = base0
+        .withColumn("__gf_fb",
+          expr("substring_index(__gf_f, '/', -1)"))
+        .join(mask, Seq(kc, "__gf_fb"), "left_anti")
+      // restore the caller-visible column order (the using-columns
+      // join fronts the join keys)
+      val wanted =
+        if (withFileName) base0.columns.toSeq
+        else base0.columns.toSeq.filter(_ != "__gf_f")
+      joined.select(wanted.map(col): _*)
+    } else {
+      // mixed sidecar KEY COLUMNS (different merge keys over the
+      // table's history — rare): fall back to one branch per distinct
+      // sidecar set, each anti-joined on its own key
+      val groups = files.groupBy(f => dvByFile.getOrElse(f, Nil))
+      groups.toSeq.sortBy(_._1.mkString(",")).map { case (dvs, fs) =>
+        val base = read(fs)
+        if (dvs.isEmpty) base
+        else {
+          val gDf = spark.read.parquet(dvs.map(d =>
+            new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+          // the sidecar's single column carries the merge key's
+          // PHYSICAL name — translate to the current logical
+          val kcPhys = gDf.columns.head
+          val kc = physToLogical.getOrElse(kcPhys, kcPhys)
+          base.join(gDf.withColumnRenamed(kcPhys, kc).select(kc)
+              .distinct(), Seq(kc), "left_anti")
+            .select(base.columns.map(col).toIndexedSeq: _*)
+        }
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** The table's history as a (snapshot_id, n_files, n_rows,

@@ -207,6 +207,46 @@ class LayoutDvSpec extends SparkSpec {
       if (i == 42L) (i, "u42") else (i, v) })
   }
 
+  test("wide sparse deletes: sidecars on 50+ files across many " +
+      "distinct sets read as ONE scan + ONE anti-join (no per-group " +
+      "union branches), image exact") {
+    val t = tmpDir("graft-dv-wide")
+    // 64 single-range files, indexed on id
+    val rows = (0 until 640).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Layout.appendSnapshot(rows.repartitionByRange(64, col("id"))
+      .sortWithinPartitions("id"), t, statsCol = "id")
+    assert(Layout.snapshotInfo(spark, t).get.files.size == 64)
+    // 8 sparse merges, each masking one id inside each of 8 DIFFERENT
+    // files — every merge writes its own sidecar, so the table ends
+    // with 64 DV'd files across 8 distinct sidecar sets
+    (0 until 8).foreach { m =>
+      val ids = (0 until 8).map(f => ((m * 8 + f) * 10 + m).toLong)
+      Layout.mergeSnapshot(spark, t,
+        ids.map(i => (i, "x", "d")).toDF("id", "v", "op"),
+        "id", "op", dvThreshold = 0.5)
+    }
+    val info = Layout.snapshotInfo(spark, t).get
+    assert(info.dv.map(_.dataFile).distinct.size >= 50,
+      s"fixture: expected 50+ DV'd files, got " +
+        s"${info.dv.map(_.dataFile).distinct.size}")
+    assert(info.dv.map(_.dvFile).distinct.size == 8)
+    val img = Layout.readSnapshot(spark, t)
+    // plan width: one base scan + one sidecar scan (+ the broadcast
+    // attachment) — NOT one branch per sidecar set
+    val plan = img.queryExecution.executedPlan.toString
+    val scans = plan.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"per-group union branches came back:\n$plan")
+    // image: exactly the 64 masked ids are gone
+    val masked = (0 until 8).flatMap(m =>
+      (0 until 8).map(f => ((m * 8 + f) * 10 + m).toLong)).toSet
+    assert(img.count() == 640 - 64)
+    assert(img.filter(col("id").isin(masked.toSeq: _*)).isEmpty)
+    assert(info.rows == 640 - 64)
+    // and the pruned read path composes with the one-join mask
+    val pruned = Layout.readSnapshotPruned(spark, t, "id", 0L, 9L)
+    assert(pruned.count() == 9) // id 0 masked by merge 0
+  }
+
   test("change feed of a DV merge records the exact row-level diff") {
     val t = tmpDir("graft-dv-cdf")
     Layout.appendSnapshot(base100().coalesce(1), t, statsCol = "id")
