@@ -389,6 +389,7 @@ object Layout {
       l.startsWith("statscol:") || l.startsWith("statscols:") ||
       l.startsWith("changes:") || l.startsWith("partcols:") ||
       l.startsWith("rewrite:") || l.startsWith("dv:") ||
+      l.startsWith("dvp:") ||
       l.startsWith("segment:") || l.startsWith("colmap:") ||
       l.startsWith("droppedphys:")
 
@@ -489,6 +490,10 @@ object Layout {
   private[graft] final case class DvEntry(dataFile: String,
       dvFile: String, masked: Long) {
     def line: String = s"dv:$dataFile|$dvFile|$masked"
+    /** The POSITIONAL rendering (round 14): same payload under the
+      * `dvp:` prefix — the sidecar stores (file basename, physical
+      * row ordinal) pairs instead of keys. */
+    def lineP: String = s"dvp:$dataFile|$dvFile|$masked"
   }
   private[graft] def parseDv(payload: String): DvEntry = {
     val p = payload.split('|')
@@ -804,7 +809,8 @@ object Layout {
       dv: Seq[DvEntry] = Nil,
       segRefs: Seq[String] = Nil, inlineLines: Seq[String] = Nil,
       colMap: Map[String, String] = Map.empty,
-      droppedPhys: Seq[String] = Nil) {
+      droppedPhys: Seq[String] = Nil,
+      dvp: Seq[DvEntry] = Nil) {
     /** The PRIMARY index column (first of `statsCols`) — what data is
       * range-clustered on; single-column callers see just this. */
     def statsCol: Option[String] = statsCols.headOption
@@ -865,7 +871,9 @@ object Layout {
         decCol(kv(0)) -> decCol(kv(1))
       }.toMap,
       meta.filter(_.startsWith("droppedphys:"))
-        .map(l => decCol(l.stripPrefix("droppedphys:"))))
+        .map(l => decCol(l.stripPrefix("droppedphys:"))),
+      meta.filter(_.startsWith("dvp:"))
+        .map(l => parseDv(l.stripPrefix("dvp:"))))
   }
 
   /** Hive-style partition columns recorded on the snapshot's manifest
@@ -970,6 +978,24 @@ object Layout {
       case Some(info) if info.dv.nonEmpty =>
         val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
         info.dv.groupBy(_.dataFile).view.mapValues(
+          _.map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(
+            dvDir, e.dvFile)).toString).distinct.sorted).toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Manifest-relative data file → ABSOLUTE positional-sidecar paths
+    * of snapshot `asOf` (-1 = head) — the `dvp:` twin of
+    * [[snapshotDvPaths]]: sidecars of (file basename, physical row
+    * ordinal) pairs the reader drops by position. */
+  private[graft] def snapshotDvpPaths(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      asOf: Int = -1): Map[String, Seq[String]] = {
+    val (fs, root, _) = fsOf(spark, path)
+    snapshotInfo(spark, path, asOf) match {
+      case Some(info) if info.dvp.nonEmpty =>
+        val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+        info.dvp.groupBy(_.dataFile).view.mapValues(
           _.map(e => fs.makeQualified(new org.apache.hadoop.fs.Path(
             dvDir, e.dvFile)).toString).distinct.sorted).toMap
       case _ => Map.empty
@@ -1389,6 +1415,7 @@ object Layout {
       extraMeta: Seq[String] = Nil,
       partCols: Seq[String] = Nil,
       dvAdd: Seq[DvEntry] = Nil,
+      dvpAdd: Seq[DvEntry] = Nil,
       dvGuard: Option[(Set[String], Seq[String])] = None,
       segRefsOverride: Seq[String] = Nil,
       colMapOverride: Option[(Map[String, String], Seq[String])] = None,
@@ -1440,7 +1467,7 @@ object Layout {
         // have no ranges); recording ranges for a DIFFERENT column than
         // the carried history's aborts — one manifest, one index.
         val (prevRows, carriedSegs, prevLines, schemaLine, statsColLine,
-            partColLine, dvCarried, colMapOut) =
+            partColLine, dvCarried, dvpCarried, colMapOut) =
           if (carryPrevious && head > 0) {
             val m = parseManifest(fs, new org.apache.hadoop.fs.Path(
               snapsDir, f"snapshot-$head%05d.txt"))
@@ -1456,11 +1483,14 @@ object Layout {
                   "and committing the staged copy would resurrect " +
                   "them; re-run against the new head")
             // DV conflict rule: a rewrite/merge staged from files whose
-            // deletion sidecars CHANGED since staging would resurrect
-            // the newly-masked rows — abort, the caller re-reads.
+            // deletion sidecars (keyed OR positional) CHANGED since
+            // staging would resurrect the newly-masked rows — abort,
+            // the caller re-reads.
             dvGuard.foreach { case (guarded, expected) =>
-              val got = m.dv.filter(e => guarded(e.dataFile))
-                .map(_.line).sorted
+              val got = (m.dv.filter(e => guarded(e.dataFile))
+                .map(_.line) ++
+                m.dvp.filter(e => guarded(e.dataFile))
+                  .map(_.lineP)).sorted
               if (got != expected.sorted)
                 throw new java.util.ConcurrentModificationException(
                   s"snapshot commit at $path: a concurrent commit " +
@@ -1524,19 +1554,21 @@ object Layout {
               }
             val dvKept =
               m.dv.filterNot(e => dropFiles(e.dataFile)) ++ dvAdd
+            val dvpKept =
+              m.dvp.filterNot(e => dropFiles(e.dataFile)) ++ dvpAdd
             (m.rows - dropRows, keepSegs, spilled,
               "schema:" + merged.json,
               statsColsLine(effectiveStats),
               Option(effectiveParts).filter(_.nonEmpty)
                 .map("partcols:" + _.mkString(",")),
-              dvKept,
+              dvKept, dvpKept,
               colMapOverride.getOrElse((m.colMap, m.droppedPhys)))
           } else (0L, segRefsOverride, Seq.empty[String],
             "schema:" + writeSchema.json,
             statsColsLine(statsColsOf(statsCol)),
             Option(partCols).filter(_.nonEmpty)
               .map("partcols:" + _.mkString(",")),
-            dvAdd,
+            dvAdd, dvpAdd,
             colMapOverride.getOrElse(
               (Map.empty[String, String], Seq.empty[String])))
         // v2 when the head already references segments or the line
@@ -1548,18 +1580,42 @@ object Layout {
           if (carriedSegs.isEmpty && tailLines.size <= SegmentThreshold)
             (Seq.empty[String], tailLines)
           else {
+            // AUTOMATIC geometric segment merging (round 14): without
+            // it every commit appends one segment forever and a
+            // long-lived streaming table needs manual
+            // `CALL compact_manifests`. LSM rule: while the newest
+            // carried segment is no larger than ~2× the pending
+            // lines, FOLD it into this commit's new segment (segments
+            // are immutable — folding only writes the merged one; the
+            // old ones age out with their manifests via vacuum).
+            // Segment count stays O(log files), each line is
+            // rewritten O(log files) times over the table's life, and
+            // a single commit's metadata cost stays amortized
+            // O(delta) with the same worst-case full fold a manual
+            // compaction would pay.
+            var keepSegs2 = carriedSegs
+            var pending = tailLines
+            while (keepSegs2.nonEmpty && {
+              val lastLines = segLines(fs, snapsDir, keepSegs2.last)
+              lastLines.size <= 2 * math.max(pending.size,
+                SegmentThreshold / 4)
+            }) {
+              pending = segLines(fs, snapsDir, keepSegs2.last) ++
+                pending
+              keepSegs2 = keepSegs2.init
+            }
             val segName =
-              if (tailLines.isEmpty) None
+              if (pending.isEmpty) None
               else {
                 val nm = s"seg-$tok-$attempt.txt"
                 val sp = new org.apache.hadoop.fs.Path(snapsDir, nm)
                 val so = fs.create(sp, true)
-                try so.write(tailLines.mkString("", "\n", "\n")
+                try so.write(pending.mkString("", "\n", "\n")
                   .getBytes("UTF-8"))
                 finally so.close()
                 Some(nm)
               }
-            ((carriedSegs ++ segName).map("segment:" + _),
+            ((keepSegs2 ++ segName).map("segment:" + _),
               Seq.empty[String])
           }
         val header =
@@ -1572,7 +1628,8 @@ object Layout {
             Option(tag).map("tag:" + _).toSeq ++ Seq(schemaLine) ++
             statsColLine.toSeq ++ partColLine.toSeq ++
             colMapLines(colMapOut._1, colMapOut._2) ++
-            dvCarried.map(_.line) ++ segMeta ++ extraMeta ++
+            dvCarried.map(_.line) ++ dvpCarried.map(_.lineP) ++
+            segMeta ++ extraMeta ++
             bodyLines)
             .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally out.close()
@@ -1751,14 +1808,43 @@ object Layout {
           else raw.toDF(logical.get.fieldNames.toIndexedSeq: _*)
         case None => spark.read.parquet(paths: _*)
       }
-      if (withFileName) base.withColumn("__gf_f", input_file_name())
-      else base
+      // file identity is captured AT THE SCAN: once a mask anti-join
+      // enters the plan, input_file_name() has two sources and fails
+      // to resolve — downstream code uses this column instead
+      base.withColumn("__gf_f", input_file_name())
     }
     val physToLogical = info.colMap.map(_.swap)
+    // POSITIONAL sidecars (round 14, predicate DELETE merge-on-read):
+    // rows are masked by (file basename, physical row ordinal) pairs —
+    // applied up front on the raw multi-file read via the parquet
+    // `_metadata` columns, one anti-join regardless of sidecar count,
+    // composing with the keyed masks below
+    val dvpByFile = info.dvp.groupBy(_.dataFile)
+      .view.mapValues(_.map(_.dvFile).distinct.sorted).toMap
+    def posMask(raw: DataFrame, fs: Seq[String]): DataFrame = {
+      val withPos = fs.filter(dvpByFile.contains)
+      if (withPos.isEmpty) raw
+      else {
+        val posNames = withPos.flatMap(dvpByFile).distinct.sorted
+        val posDf = spark.read.parquet(posNames.map(d =>
+          new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+        raw
+          .withColumn("__gf_pfb",
+            expr("substring_index(_metadata.file_path, '/', -1)"))
+          .withColumn("__gf_ppos", col("_metadata.row_index"))
+          .join(posDf.select(col("__gf_fb").as("__gf_pfb"),
+              col("__gf_pos").as("__gf_ppos")),
+            Seq("__gf_pfb", "__gf_ppos"), "left_anti")
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+    def readM(fs: Seq[String]): DataFrame = posMask(read(fs), fs)
     val dvByFile = info.dv.groupBy(_.dataFile)
       .view.mapValues(_.map(_.dvFile).distinct.sorted).toMap
+    def publish(df: DataFrame): DataFrame =
+      if (withFileName) df else df.drop("__gf_f")
     val withDv = files.filter(dvByFile.contains)
-    if (withDv.isEmpty) return read(files)
+    if (withDv.isEmpty) return publish(readM(files))
     def basename(n: String): String = n.substring(n.lastIndexOf('/') + 1)
     val dvNames = withDv.flatMap(dvByFile).distinct.sorted
     val dvDf = spark.read.parquet(dvNames.map(d =>
@@ -1786,9 +1872,7 @@ object Layout {
         .withColumnRenamed(kcPhys, kc)
         .join(broadcast(attach), "__gf_dvb")
         .select(col(kc), col("__gf_fb"))
-      val base0 =
-        if (withFileName) read(files)
-        else read(files).withColumn("__gf_f", input_file_name())
+      val base0 = readM(files)
       val joined = base0
         .withColumn("__gf_fb",
           expr("substring_index(__gf_f, '/', -1)"))
@@ -1805,7 +1889,7 @@ object Layout {
       // sidecar set, each anti-joined on its own key
       val groups = files.groupBy(f => dvByFile.getOrElse(f, Nil))
       groups.toSeq.sortBy(_._1.mkString(",")).map { case (dvs, fs) =>
-        val base = read(fs)
+        val base = publish(readM(fs))
         if (dvs.isEmpty) base
         else {
           val gDf = spark.read.parquet(dvs.map(d =>
@@ -1841,6 +1925,7 @@ object Layout {
         val m = parseManifest(fs, st.getPath)
         val metaLines = 1 + // schema: (every commit records it)
           m.tag.size + m.changes.size + m.segRefs.size + m.dv.size +
+          m.dvp.size +
           (if (m.statsCols.nonEmpty) 1 else 0) +
           (if (m.partCols.nonEmpty) 1 else 0)
         (id.toLong, m.files.size.toLong, m.rows,
@@ -2153,8 +2238,11 @@ object Layout {
     }.toMap
     val priorMasked: Map[String, Long] = info.dv.groupBy(_.dataFile)
       .view.mapValues(_.map(_.masked).sum).toMap
+    val priorPosMasked: Map[String, Long] = info.dvp
+      .groupBy(_.dataFile).view.mapValues(_.map(_.masked).sum).toMap
     def logicalRows(n: String): Long =
-      physRows(n) - priorMasked.getOrElse(n, 0L)
+      physRows(n) - priorMasked.getOrElse(n, 0L) -
+        priorPosMasked.getOrElse(n, 0L)
     // the touched files' LOGICAL image (existing sidecars applied),
     // with per-row file identity for the merge-on-read accounting
     val touchedDfF =
@@ -2256,7 +2344,8 @@ object Layout {
     // only re-runs the metadata claim. The dv guard pins the touched
     // files' sidecar set to what this merge staged FROM.
     val dvExpected = info.dv.filter(e => touchedSet(e.dataFile))
-      .map(_.line)
+      .map(_.line) ++
+      info.dvp.filter(e => touchedSet(e.dataFile)).map(_.lineP)
     var base = baseId
     var attempt = 0
     while (true) {
@@ -2281,8 +2370,10 @@ object Layout {
               !info.files.toSet.subsetOf(headFiles)) throw e
           // an interleaved commit that changed sidecars on our
           // touched files would have its masks resurrected — abort
-          if (headInfo.dv.filter(e => touchedSet(e.dataFile))
-              .map(_.line).sorted != dvExpected.sorted) throw e
+          if ((headInfo.dv.filter(e => touchedSet(e.dataFile))
+              .map(_.line) ++
+              headInfo.dvp.filter(e => touchedSet(e.dataFile))
+                .map(_.lineP)).sorted != dvExpected.sorted) throw e
           val fresh = headInfo.statLines.map(statsOfFull)
             .filterNot(l => info.files.contains(l._1))
           // safe iff every interleaved file PROVABLY holds no delta
@@ -2299,6 +2390,227 @@ object Layout {
     }
     -1 // unreachable: the loop exits only by return or throw
     } finally releaseTok(tok)
+  }
+
+  /** DELETE rows matching a PREDICATE — merge-on-read via POSITIONAL
+    * deletion vectors (round 14; Iceberg positional deletes / Delta
+    * deletion vectors, by row ordinal): where [[mergeSnapshot]]'s
+    * keyed sidecars need the delete expressed as keys of the indexed
+    * column, this takes ANY row predicate. A touched file whose
+    * matched fraction is at or under `dvThreshold` gets its matched
+    * rows' (file basename, physical row ordinal) pairs appended to a
+    * shared positional sidecar (`dvp:` manifest lines) — a 10-row
+    * delete against a 1 GB file writes a 10-row sidecar, not the GB;
+    * files over the threshold (and files whose every logical row
+    * matched) rewrite copy-on-write; untouched files carry by
+    * reference. OPTIMIZE materializes positional sidecars away
+    * exactly like keyed ones, with the same both-direction conflict
+    * guards.
+    *
+    * Scale shape: the SCAN is O(table) — a predicate must be
+    * evaluated everywhere (the inherent cost Delta/Iceberg pay too) —
+    * but the WRITE is O(matched + rewritten), never O(table), which
+    * is the entire point at 100 TB. Ordinals come from the parquet
+    * `_metadata.row_index` column (physical position, stable under
+    * projection), which is also how both readers re-apply the mask.
+    * `predicate` is a SQL boolean over the table's LOGICAL columns
+    * and must be DETERMINISTIC (it is evaluated more than once);
+    * NULL evaluates as not-matched, SQL DELETE semantics.
+    * `changeFeed` records the matched rows as 'removed' change files.
+    * The commit is CONDITIONAL on the base snapshot — a concurrent
+    * commit aborts with ConcurrentModificationException and the
+    * caller re-invokes (deletes recompute cheaply). Returns the new
+    * (or unchanged, when nothing matched) snapshot id. */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+      path: String, predicate: String, dvThreshold: Double = 0.05,
+      expectedBase: Int = -1, changeFeed: Boolean = false): Int =
+    deleteWhereStaged(spark, path, predicate, dvThreshold,
+      expectedBase, changeFeed, () => ())
+
+  /** [[deleteWhere]] with the merge-style test seam: `onStaged` runs
+    * after staging, before the conditional commit — where a
+    * concurrent commit interleaves — so the conflict rules are
+    * exercised deterministically in specs. */
+  private[graft] def deleteWhereStaged(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, predicate: String, dvThreshold: Double,
+      expectedBase: Int, changeFeed: Boolean,
+      onStaged: () => Unit): Int = {
+    require(dvThreshold >= 0.0 && dvThreshold <= 1.0,
+      s"deleteWhere: dvThreshold must be in [0, 1], got $dvThreshold")
+    val (fs, root, conf) = fsOf(spark, path)
+    val snapsDir = new org.apache.hadoop.fs.Path(root, "snapshots")
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    val baseId =
+      if (expectedBase >= 0) expectedBase
+      else {
+        val ids = fs.listStatus(snapsDir)
+          .flatMap(st => manifestId(st.getPath.getName))
+        require(ids.nonEmpty, s"deleteWhere: no snapshots at $path")
+        ids.max
+      }
+    val baseManifest = new org.apache.hadoop.fs.Path(snapsDir,
+      f"snapshot-$baseId%05d.txt")
+    require(fs.exists(baseManifest),
+      s"deleteWhere: snapshot $baseId not present at $path")
+    val info = parseManifest(fs, baseManifest)
+    if (info.files.isEmpty) return baseId
+    val logical = info.schema.getOrElse(throw new IllegalStateException(
+      s"deleteWhere at $path: no recorded schema"))
+    val physSchema = org.apache.spark.sql.types.StructType(
+      logical.fields.map(f =>
+        f.copy(name = physName(info.colMap, f.name))))
+    def abs(n: String) =
+      new org.apache.hadoop.fs.Path(dataDir, n).toString
+    def basename(n: String): String = n.substring(n.lastIndexOf('/') + 1)
+    val relByBase = info.files.map(n => basename(n) -> n).toMap
+    // the LOGICAL image with per-row (owning file basename, physical
+    // ordinal) identity: raw physical read aliased to logical names,
+    // existing positional then keyed masks applied
+    val raw0 = spark.read.schema(nullableStruct(physSchema))
+      .parquet(info.files.map(abs): _*)
+    val raw1 =
+      if (info.colMap.isEmpty) raw0
+      else raw0.toDF(logical.fieldNames.toIndexedSeq: _*)
+    val withId = raw1
+      .withColumn("__gf_fb",
+        expr("substring_index(_metadata.file_path, '/', -1)"))
+      .withColumn("__gf_pos", col("_metadata.row_index"))
+    val posApplied =
+      if (info.dvp.isEmpty) withId
+      else {
+        val posDf = spark.read.parquet(
+          info.dvp.map(_.dvFile).distinct.sorted.map(d =>
+            new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+        withId.join(posDf.select(col("__gf_fb"), col("__gf_pos")),
+          Seq("__gf_fb", "__gf_pos"), "left_anti")
+      }
+    val img =
+      if (info.dv.isEmpty) posApplied
+      else {
+        val dvDf = spark.read.parquet(
+          info.dv.map(_.dvFile).distinct.sorted.map(d =>
+            new org.apache.hadoop.fs.Path(dvDir, d).toString): _*)
+        require(dvDf.columns.length == 1,
+          s"deleteWhere at $path: keyed deletion sidecars carry " +
+            "mixed key columns — run optimizeSnapshot to materialize " +
+            "them first")
+        val kcPhys = dvDf.columns.head
+        val kc = info.colMap.map(_.swap).getOrElse(kcPhys, kcPhys)
+        import spark.implicits._
+        val attach = info.dv
+          .map(e => (basename(e.dvFile), basename(e.dataFile)))
+          .distinct.toDF("__gf_dvb", "__gf_kfb")
+        val mask = dvDf
+          .withColumn("__gf_dvb",
+            expr("substring_index(input_file_name(), '/', -1)"))
+          .withColumnRenamed(kcPhys, kc)
+          .join(broadcast(attach), "__gf_dvb")
+          .select(col(kc), col("__gf_kfb").as("__gf_fb"))
+        posApplied.join(mask, Seq(kc, "__gf_fb"), "left_anti")
+      }
+    val cond = coalesce(expr(predicate), lit(false))
+    val matched = img.filter(cond)
+    val matchedPerFile: Map[String, Long] =
+      matched.groupBy("__gf_fb").count().collect()
+        .map(r => relByBase(r.getString(0)) -> r.getLong(1)).toMap
+    if (matchedPerFile.isEmpty) return baseId // no-op, no empty commit
+    val touched = matchedPerFile.keys.toSeq.sorted
+    val touchedSet = touched.toSet
+    val physRows: Map[String, Long] = touched.map { n =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataDir, n), conf))
+      n -> (try r.getRecordCount finally r.close())
+    }.toMap
+    val priorKey: Map[String, Long] = info.dv.groupBy(_.dataFile)
+      .view.mapValues(_.map(_.masked).sum).toMap
+    val priorPos: Map[String, Long] = info.dvp.groupBy(_.dataFile)
+      .view.mapValues(_.map(_.masked).sum).toMap
+    def logicalRows(n: String): Long =
+      physRows(n) - priorKey.getOrElse(n, 0L) -
+        priorPos.getOrElse(n, 0L)
+    // sidecar files: sparse enough AND not fully emptied (a file whose
+    // every logical row matched just drops — no replacement staged)
+    val dvpFiles = touched.filter { n =>
+      val m = matchedPerFile(n)
+      m < logicalRows(n) &&
+        m.toDouble <= dvThreshold * math.max(1L, logicalRows(n))
+    }
+    val dvpSet = dvpFiles.toSet
+    val cowFiles = touched.filterNot(dvpSet)
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    registerTok(tok)
+    try {
+      val statsColsStr =
+        if (info.statsCols.isEmpty) null else info.statsCols.mkString(",")
+      val survivors = img
+        .filter(udfFreeIsIn(col("__gf_fb"),
+          cowFiles.map(basename).toSet))
+        .filter(not(cond))
+        .drop("__gf_fb", "__gf_pos")
+      val nOut = math.max(1, cowFiles.size)
+      val packed = info.statsCol match {
+        case Some(sc) if survivors.columns.contains(sc) =>
+          survivors.repartitionByRange(nOut, col(sc))
+            .sortWithinPartitions(sc)
+        case _ => survivors.repartition(nOut)
+      }
+      val (newLines, stagedRows) =
+        if (cowFiles.isEmpty) (Nil, 0L)
+        else stageDataFiles(toPhysical(packed, info.colMap), fs, root,
+          dataDir, conf, statsToPhysical(statsColsStr, info.colMap),
+          tok)
+      val dvpEntries: Seq[DvEntry] =
+        if (dvpFiles.isEmpty) Nil
+        else {
+          val posKeys = matched
+            .filter(udfFreeIsIn(col("__gf_fb"),
+              dvpFiles.map(basename).toSet))
+            .select(col("__gf_fb"), col("__gf_pos"))
+          val nm = stageDvpFile(posKeys, fs, root, tok)
+          dvpFiles.map(n => DvEntry(n, nm, matchedPerFile(n)))
+        }
+      val dropRows = cowFiles.map(logicalRows).sum +
+        dvpFiles.map(matchedPerFile).sum
+      val changeLines =
+        if (changeFeed) stageChangeFiles(
+          matched.drop("__gf_fb", "__gf_pos")
+            .withColumn("_op", lit("removed")),
+          fs, root, tok)
+        else Nil
+      val dvExpected =
+        info.dv.filter(e => touchedSet(e.dataFile)).map(_.line) ++
+        info.dvp.filter(e => touchedSet(e.dataFile)).map(_.lineP)
+      onStaged()
+      commitStagedLines(spark, path, newLines, stagedRows, logical,
+        tag = null, carryPrevious = true, statsCol = statsColsStr,
+        expectedBase = baseId, tok = tok,
+        dropFiles = cowFiles.toSet, dropRows = dropRows,
+        extraMeta = changeLines, dvpAdd = dvpEntries,
+        dvGuard = Some((touchedSet, dvExpected)))
+    } finally releaseTok(tok)
+  }
+
+  /** Stage a POSITIONAL delete sidecar — (`__gf_fb` file basename,
+    * `__gf_pos` physical row ordinal) pairs — under dv/ and return
+    * its manifest-relative name. Same crash contract as data files. */
+  private def stageDvpFile(positions: DataFrame,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tok: String): String = {
+    val dvDir = new org.apache.hadoop.fs.Path(root, "dv")
+    fs.mkdirs(dvDir)
+    val stage = new org.apache.hadoop.fs.Path(root, s".stage-$tok-dvp")
+    positions.coalesce(1).write.mode("overwrite")
+      .parquet(stage.toString)
+    val part = fs.listStatus(stage).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".parquet")).head
+    val nm = s"c$tok-dvp.parquet"
+    renameOrAbort(fs, part.getPath,
+      new org.apache.hadoop.fs.Path(dvDir, nm))
+    fs.delete(stage, true)
+    nm
   }
 
   /** Membership test as a broadcast-friendly column predicate. For the
@@ -2639,7 +2951,7 @@ object Layout {
     // deletion sidecars always rewrites — materializing the masks is
     // the maintenance this call exists for
     if (baseFiles.size <= nTarget && zorderBy.isEmpty &&
-        baseInfo.dv.isEmpty)
+        baseInfo.dv.isEmpty && baseInfo.dvp.isEmpty)
       return base // already compact
     // a zorder rewrite records the index on its clustering columns
     // unless the caller chose explicitly
@@ -2732,7 +3044,9 @@ object Layout {
       // would resurrect them
       dvGuard = Some((baseFiles.toSet,
         baseInfo.dv.filter(e => baseFiles.contains(e.dataFile))
-          .map(_.line))))
+          .map(_.line) ++
+        baseInfo.dvp.filter(e => baseFiles.contains(e.dataFile))
+          .map(_.lineP))))
     } finally releaseTok(tok)
   }
 
@@ -2813,6 +3127,7 @@ object Layout {
       tok = tok, extraMeta = changeLines :+ "rewrite:restore",
       partCols = info.partCols,
       dvAdd = info.dv,
+      dvpAdd = info.dvp,
       segRefsOverride = info.segRefs,
       colMapOverride = Some((info.colMap, info.droppedPhys)))
     } finally releaseTok(tok)
@@ -2843,7 +3158,7 @@ object Layout {
       statsCol =
         if (info.statsCols.isEmpty) null else info.statsCols.mkString(","),
       expectedBase = head, tok = tok,
-      partCols = info.partCols, dvAdd = info.dv,
+      partCols = info.partCols, dvAdd = info.dv, dvpAdd = info.dvp,
       colMapOverride = Some((info.colMap, info.droppedPhys)))
     finally releaseTok(tok)
   }
@@ -2898,7 +3213,8 @@ object Layout {
           parseManifest(fs, st.getPath) }
         referenced = keptInfos.flatMap(_.files).toSet
         referencedChanges = keptInfos.flatMap(_.changes).toSet
-        referencedDv = keptInfos.flatMap(_.dv.map(_.dvFile)).toSet
+        referencedDv = keptInfos.flatMap(i =>
+          i.dv.map(_.dvFile) ++ i.dvp.map(_.dvFile)).toSet
         referencedSegs = keptInfos.flatMap(_.segRefs).toSet
         val again = listManifests()
         stable = again.map(_._1).sameElements(manifests.map(_._1))

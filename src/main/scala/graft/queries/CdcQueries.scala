@@ -2879,6 +2879,88 @@ object CdcQueries {
         |FROM documents
         |ORDER BY doc_id""".stripMargin)),
 
+    // st25 — MID-STREAM RENAME made LOUD (round 14): a running
+    // stream's output schema is fixed at start, so a RENAME of a
+    // column it emits cannot surface in-flight — resolving the old
+    // logical name against files storing physical names would
+    // silently null-fill from the rename on. The stream now FAILS
+    // with a restart instruction at the first batch whose end
+    // snapshot lacks the column ([[graft.sources
+    // .SnapshotMicroBatchStream]] planInputPartitions); a restarted
+    // query resumes from the SAME checkpoint under the new name.
+    // Choreography: phase-1 stream consumes chunk 0 under the old
+    // name, the rename + chunk-1 insert land, the stream dies loudly
+    // (failed_loudly=1 pinned — flips to 0 if the failure regresses
+    // to silent null-fill), and the phase-2 restart drains the rest
+    // under the new name. Batch attribution is oracle-predicted:
+    // doc_id%2=0 → phase 1, doc_id%2=1 → phase 2.
+    QueryDef("st25_rename_mid_stream", (spark, dir) => {
+      graft.Tables.registerAll(spark, dir)
+      val wh = st25Warehouse
+      val out = Files.createTempDirectory("graft-st25-out").toString
+      val ckpt = Files.createTempDirectory("graft-st25-ckpt").toString
+      spark.conf.set("spark.sql.catalog.gst25",
+        "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gst25.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gst25.db")
+      spark.sql("DROP TABLE IF EXISTS gst25.db.docs")
+      spark.sql(
+        """CREATE TABLE gst25.db.docs
+          |  (doc_id BIGINT, n_chars BIGINT)
+          |USING `graft-snapshot`""".stripMargin)      // snapshot 1
+      spark.sql(
+        """INSERT INTO gst25.db.docs
+          |SELECT doc_id, CAST(n_chars AS BIGINT)
+          |FROM documents WHERE doc_id % 2 = 0""".stripMargin) // 2
+      def start(phase: Long) = spark.readStream
+        .option("startingSnapshot", "1")
+        .option("maxSnapshotsPerTrigger", "1")
+        .table("gst25.db.docs")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.toDF("doc_id", "chars") // normalize either name
+              .withColumn("phase", lit(phase))
+              .write.mode("append").parquet(out)
+        }
+        .start()
+      val q1 = start(1L)
+      q1.processAllAvailable() // chunk 0 consumed under the old name
+      spark.sql(
+        "ALTER TABLE gst25.db.docs RENAME COLUMN n_chars TO chars")
+      spark.sql(
+        """INSERT INTO gst25.db.docs
+          |SELECT doc_id, CAST(n_chars AS BIGINT) AS chars
+          |FROM documents WHERE doc_id % 2 = 1""".stripMargin) // 4
+      // the running stream must die LOUDLY naming the column, never
+      // silently null-fill
+      val failedLoudly =
+        try { q1.processAllAvailable(); 0L }
+        catch {
+          case e: Throwable =>
+            def msgs(t: Throwable): Seq[String] =
+              if (t == null) Nil
+              else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+            if (msgs(e).exists(_.contains("renamed or dropped " +
+              "mid-stream"))) 1L else throw e
+        }
+        finally { try q1.stop() catch { case _: Throwable => () } }
+      // restart: same checkpoint, new logical schema — drains the
+      // remaining commits under the new name
+      val q2 = start(2L)
+      q2.processAllAvailable(); q2.stop()
+      spark.read.parquet(out)
+        .select(col("doc_id"), col("chars"), col("phase"),
+          lit(failedLoudly).as("failed_loudly"))
+        .orderBy("doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS chars,
+        |       CAST(1 + doc_id % 2 AS BIGINT) AS phase,
+        |       CAST(1 AS BIGINT) AS failed_loudly
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+
     // st23 — the CHANGE FEED addressed BY CATALOG NAME (round 13):
     // `spark.readStream.table("gst23.db.docs.changes")` resolves
     // through GraftCatalog to the change-feed relation, with the
@@ -2970,6 +3052,8 @@ object CdcQueries {
     java.nio.file.Files.createTempDirectory("graft-st23-wh").toString
   private lazy val st24Warehouse: String =
     java.nio.file.Files.createTempDirectory("graft-st24-wh").toString
+  private lazy val st25Warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft-st25-wh").toString
 
   private def st13OracleSql: String =
       """WITH f AS (SELECT event_id AS id, user_id % 50 AS u,

@@ -4376,6 +4376,59 @@ object PipelineOps {
         .orderBy("doc_id")
     },
 
+    // POSITIONAL deletion vectors ([[graft.ops.Layout.deleteWhere]] —
+    // round 14; Iceberg positional deletes): a predicate DELETE whose
+    // condition the stats key CANNOT express (lang/n_chars are not
+    // indexed) masks matched rows by (file, physical row ordinal)
+    // instead of rewriting every matched file — files_rewritten=0 and
+    // dvp_files=2 pinned in the hash (the pre-round-14 behavior was a
+    // full rewrite per delete, flipping both), the graded relation is
+    // read through the DSv2 source AT the sidecarred snapshot (the
+    // reader-side ordinal mask is in the hash), and OPTIMIZE must
+    // materialize the positional sidecars away (dv_after_optimize=0)
+    // with the image unchanged. Two chained deletes prove masks
+    // compose; thresholds and conflicts are spec'd in
+    // LayoutPositionalDvSpec.
+    QueryDef.views("tt21_positional_deletes",
+      """SELECT doc_id, lang, n_chars,
+        |  (SELECT CAST(0 AS BIGINT)) AS files_rewritten,
+        |  (SELECT CAST(2 AS BIGINT)) AS dvp_files,
+        |  (SELECT CAST(0 AS BIGINT)) AS dv_after_optimize
+        |FROM (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |      FROM documents
+        |      WHERE NOT (doc_id % 50 = 0)
+        |        AND NOT (lang = 'de' AND n_chars % 10 = 3))
+        |ORDER BY doc_id""".stripMargin) { spark =>
+      val docs = spark.table("documents").select(col("doc_id"),
+        col("lang"), col("n_chars").cast("bigint").as("n_chars"))
+      val t = java.nio.file.Files.createTempDirectory("graft-tt21")
+        .toString
+      Layout.appendSnapshot(docs.coalesce(1), t, statsCol = "doc_id")
+      val baseFiles = Layout.snapshotInfo(spark, t, 1).get.files.toSet
+      Layout.deleteWhere(spark, t, "doc_id % 50 = 0",
+        dvThreshold = 0.1)
+      val sidecarId = Layout.deleteWhere(spark, t,
+        "lang = 'de' AND n_chars % 10 = 3", dvThreshold = 0.1)
+      val info = Layout.snapshotInfo(spark, t, sidecarId).get
+      val rewritten = (baseFiles -- info.files.toSet).size.toLong
+      val dvpFiles = info.dvp.map(_.dvFile).distinct.size.toLong
+      Layout.optimizeSnapshot(spark, t, targetRowsPerFile = info.rows,
+        statsCol = "doc_id")
+      val dvAfter = Layout.snapshotInfo(spark, t).get
+        .dvp.map(_.dvFile).distinct.size.toLong
+      // graded through the DSv2 reader AT the sidecarred snapshot:
+      // the physical-ordinal mask application is in the hash
+      spark.read.format("graft-snapshot")
+        .option("asOfSnapshot", sidecarId.toString).load(t)
+        .withColumn("files_rewritten", lit(rewritten))
+        .withColumn("dvp_files", lit(dvpFiles))
+        .withColumn("dv_after_optimize", lit(dvAfter))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("files_rewritten"), col("dvp_files"),
+          col("dv_after_optimize"))
+        .orderBy("doc_id")
+    },
+
     // DECIMAL data-skipping stats ([[graft.ops.Layout.DecRange]] —
     // round 14): a DECIMAL(12,2) price column indexes as SCALED
     // INTEGRALS (unscaled cents, scale recorded in the stats field),

@@ -437,7 +437,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(ns: Array[String]): Array[Identifier] =
     if (ns.sameElements(Array("system")))
-      Array("optimize", "vacuum", "restore", "compact_manifests")
+      Array("optimize", "vacuum", "restore", "compact_manifests",
+          "delete_where")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -498,9 +499,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Seq(id.toLong,
             Layout.snapshotInfo(spark, path).get.segRefs.size.toLong)
         })
+      case "delete_where" => proc("delete_where",
+        Seq(ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("predicate", StringType).build(),
+          ProcedureParameter.in("dv_threshold",
+            org.apache.spark.sql.types.DoubleType)
+            .defaultValue("0.05").build()),
+        Seq("snapshot_id" -> LongType,
+          "files_rewritten" -> LongType,
+          "dv_files" -> LongType),
+        { in =>
+          // predicate DELETE as merge-on-read POSITIONAL deletion
+          // vectors (Layout.deleteWhere) — the write-cheap spelling;
+          // plain SQL DELETE remains the group-based copy-on-write
+          // protocol (GraftRowLevelOperation), which Spark drives
+          // per-file and cannot express a sidecar under
+          val path = tableArg(in.getUTF8String(0).toString)
+          val before = Layout.snapshotInfo(spark, path).get
+          val id = Layout.deleteWhere(spark, path,
+            in.getUTF8String(1).toString, in.getDouble(2))
+          val after = Layout.snapshotInfo(spark, path).get
+          Seq(id.toLong,
+            (before.files.toSet -- after.files.toSet).size.toLong,
+            (after.dvp.map(_.dvFile).toSet --
+              before.dvp.map(_.dvFile).toSet).size.toLong)
+        })
       case other => throw new IllegalArgumentException(
         s"GraftCatalog: unknown procedure system.$other " +
-          "(have: optimize, vacuum, restore, compact_manifests)")
+          "(have: optimize, vacuum, restore, compact_manifests, " +
+          "delete_where)")
     }
   }
 

@@ -114,6 +114,7 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
       // computed from the LOGICAL image, or the rewrite would
       // resurrect masked rows
       val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
+      val dvpByRel = Layout.snapshotDvpPaths(spark, path, asOf)
       val physOf = Layout.snapshotInfo(spark, path, asOf)
         .map(_.colMap).getOrElse(Map.empty)
       val all = Layout.snapshotFileStats(spark, path, asOf)
@@ -126,7 +127,8 @@ final class GraftRowLevelScan(op: GraftRowLevelOperation, path: String,
       planned.map { case (abs, rel) =>
         SnapshotFilePartition(abs,
           dvFiles = dvByRel.getOrElse(rel, Nil),
-          physOf = physOf): InputPartition
+          physOf = physOf,
+          dvpFiles = dvpByRel.getOrElse(rel, Nil)): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -187,9 +189,11 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
       // replaced LOGICAL row count: footers of the touched files only,
       // minus rows their deletion sidecars already masked (the scan
       // replaced the logical image, not the physical rows)
-      val baseDv = Layout.snapshotInfo(spark, path,
-        op.pinnedSnapshot).map(_.dv).getOrElse(Nil)
-      val maskedByRel = baseDv.groupBy(_.dataFile)
+      val baseInfo = Layout.snapshotInfo(spark, path,
+        op.pinnedSnapshot)
+      val baseDv = baseInfo.map(_.dv).getOrElse(Nil)
+      val baseDvp = baseInfo.map(_.dvp).getOrElse(Nil)
+      val maskedByRel = (baseDv ++ baseDvp).groupBy(_.dataFile)
         .view.mapValues(_.map(_.masked).sum).toMap
       val dropRows = dropped.zip(droppedRel).map { case (p, rel) =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -220,7 +224,9 @@ final class GraftReplaceDataWrite(op: GraftRowLevelOperation,
             // guard makes the contract explicit)
             dvGuard = Some((droppedRel.toSet,
               baseDv.filter(e => droppedRel.contains(e.dataFile))
-                .map(_.line))))
+                .map(_.line) ++
+              baseDvp.filter(e => droppedRel.contains(e.dataFile))
+                .map(_.lineP))))
         }
         fs.delete(stage, true)
       } finally Layout.releaseTok(tok)

@@ -356,11 +356,13 @@ final class GraftSnapshotScanBuilder(path: String,
     val spark = SparkSession.active
     val info = Layout.snapshotInfo(spark, path, asOf)
       .getOrElse(return None) // one manifest read answers everything
-    // deletion sidecars: count(*) stays exact (the manifest's total is
-    // LOGICAL — commits subtract masked rows), but per-file ranges
-    // describe PHYSICAL rows a mask may have removed, so min/max
-    // cannot be answered from the index while sidecars exist
-    if (info.dv.nonEmpty && agg.aggregateExpressions.exists {
+    // deletion sidecars (keyed or positional): count(*) stays exact
+    // (the manifest's total is LOGICAL — commits subtract masked
+    // rows), but per-file ranges and null counts describe PHYSICAL
+    // rows a mask may have removed, so min/max/count(col) cannot be
+    // answered from the index while sidecars exist
+    if ((info.dv.nonEmpty || info.dvp.nonEmpty) &&
+      agg.aggregateExpressions.exists {
       case _: org.apache.spark.sql.connector.expressions.aggregate
         .CountStar => false
       case _ => true
@@ -511,6 +513,7 @@ final class GraftSnapshotScanBuilder(path: String,
             segs.get(c).forall(allowed.contains) }
         }
         val dvByRel = Layout.snapshotDvPaths(spark, path, asOf)
+        val dvpByRel = Layout.snapshotDvpPaths(spark, path, asOf)
         val physOf = Layout.snapshotInfo(spark, path, asOf)
           .map(_.colMap).getOrElse(Map.empty)
         Layout.snapshotFileStats(spark, path, asOf)
@@ -534,7 +537,8 @@ final class GraftSnapshotScanBuilder(path: String,
             }
           }
           .map(e => SnapshotFilePartition(e._1,
-            dvFiles = dvByRel.getOrElse(e._2, Nil), physOf = physOf)
+            dvFiles = dvByRel.getOrElse(e._2, Nil), physOf = physOf,
+            dvpFiles = dvpByRel.getOrElse(e._2, Nil))
             : InputPartition).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
@@ -633,6 +637,25 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
     val e = end.asInstanceOf[SnapshotOffset].id
     if (e <= s) Array.empty
     else {
+      // MID-STREAM schema evolution (round 14): a stream's output
+      // schema is fixed at start, so a RENAME/DROP of a column it
+      // emits cannot be surfaced in-flight — resolving the old
+      // logical name against files storing physical names would
+      // silently null-fill from here on. Fail LOUDLY with a restart
+      // instruction instead (ADD COLUMN stays transparent: the
+      // stream simply doesn't emit the new column until restarted).
+      val logicalNow = Layout.snapshotSchema(spark, path, e)
+        .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
+      val missing = schema.fieldNames
+        .filterNot(n => n == "_op" || n == "_file")
+        .filterNot(logicalNow.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"graft-snapshot stream at $path: column(s) " +
+          s"${missing.mkString(", ")} no longer exist in the table's " +
+          s"logical schema at snapshot $e — renamed or dropped " +
+          "mid-stream. Restart the query to resume from its " +
+          "checkpoint under the new schema; emitted batches up to " +
+          "this point used the old names.")
       val physOf = Layout.snapshotInfo(spark, path, e)
         .map(_.colMap).getOrElse(Map.empty)
       if (changeFeed)
@@ -650,11 +673,13 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
         // file that gained a delete sidecar inside the same window
         // must not stream rows the equivalent batch read masks
         val dvByRel = Layout.snapshotDvPaths(spark, path, e)
+        val dvpByRel = Layout.snapshotDvpPaths(spark, path, e)
         Layout.changedFilePaths(spark, path, s, e)
           .map { case (abs, rel) =>
             SnapshotFilePartition(abs,
               dvFiles = dvByRel.getOrElse(rel, Nil),
-              physOf = physOf): InputPartition
+              physOf = physOf,
+              dvpFiles = dvpByRel.getOrElse(rel, Nil)): InputPartition
           }.toArray
       }
     }
@@ -675,7 +700,8 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
   * in any of them. */
 final case class SnapshotFilePartition(file: String, op: String = null,
     dvFiles: Seq[String] = Nil,
-    physOf: Map[String, String] = Map.empty)
+    physOf: Map[String, String] = Map.empty,
+    dvpFiles: Seq[String] = Nil)
     extends InputPartition
 
 object SnapshotFileReaderFactory {
@@ -751,11 +777,42 @@ final class SnapshotFileReaderFactory(schema: StructType,
     (keyName, set)
   }
 
+  /** Load THIS file's masked physical row ordinals from positional
+    * sidecars — rows are (`__gf_fb` basename, `__gf_pos` ordinal)
+    * pairs, filtered to the partition's own file. Bounded by the
+    * masked-row count, loaded once per reader task. */
+  private def loadDvPositions(paths: Seq[String], fileBase: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : java.util.HashSet[Long] = {
+    val set = new java.util.HashSet[Long]()
+    paths.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(p))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val fbIdx = g.getType.getFieldIndex("__gf_fb")
+          val posIdx = g.getType.getFieldIndex("__gf_pos")
+          if (g.getFieldRepetitionCount(fbIdx) > 0 &&
+              g.getFieldRepetitionCount(posIdx) > 0 &&
+              new String(g.getBinary(fbIdx, 0).getBytes,
+                "UTF-8") == fileBase)
+            set.add(g.getLong(posIdx, 0))
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set
+  }
+
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[SnapshotFilePartition].file
     val opConst = p.asInstanceOf[SnapshotFilePartition].op
     val dvPaths = p.asInstanceOf[SnapshotFilePartition].dvFiles
+    val dvpPaths = p.asInstanceOf[SnapshotFilePartition].dvpFiles
     // column mapping: files store PHYSICAL names; `schema` speaks the
     // current LOGICAL names — all file-side lookups go through physOf
     val physOf = p.asInstanceOf[SnapshotFilePartition].physOf
@@ -767,6 +824,10 @@ final class SnapshotFileReaderFactory(schema: StructType,
     val (dvKeyName, dvKeys) =
       if (dvPaths.isEmpty) (null: String, null: java.util.HashSet[Any])
       else loadDvKeys(dvPaths, conf)
+    val dvPositions =
+      if (dvpPaths.isEmpty) null
+      else loadDvPositions(dvpPaths,
+        file.substring(file.lastIndexOf('/') + 1), conf)
     val hPath = new org.apache.hadoop.fs.Path(file)
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile
@@ -818,9 +879,18 @@ final class SnapshotFileReaderFactory(schema: StructType,
 
       private var prim:
         Array[org.apache.parquet.schema.PrimitiveType] = _
+      // PHYSICAL row ordinal of the record about to be read — counts
+      // every record (including keyed-mask drops), matching the
+      // `_metadata.row_index` domain the positional sidecars store
+      private var ordinal = -1L
+      private def posMasked: Boolean =
+        dvPositions != null && dvPositions.contains(ordinal)
       override def next(): Boolean = {
         var g = reader.read()
-        while (g != null && masked(g)) g = reader.read()
+        ordinal += 1
+        while (g != null && (posMasked || masked(g))) {
+          g = reader.read(); ordinal += 1
+        }
         if (g == null) false
         else {
           if (idx == null) {

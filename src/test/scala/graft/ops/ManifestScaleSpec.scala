@@ -174,4 +174,48 @@ class ManifestScaleSpec extends SparkSpec {
     // file-set diff is empty)
     assert(Layout.changeFeedPlan(spark, t, 3, 4).isEmpty)
   }
+
+  test("tier 2 (round 14): AUTOMATIC geometric segment merging — " +
+      "1000 commits stay at O(log) segments with amortized O(delta) " +
+      "metadata cost, no manual compact_manifests ever needed") {
+    val t = java.nio.file.Files.createTempDirectory("graft-mscale3")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").coalesce(1), t, statsCol = "id")
+    val schema = Layout.snapshotInfo(spark, t).get.schema.get
+    // 1000 metadata commits through the real critical section (fake
+    // file lines — this tier asserts METADATA shape, not reads)
+    val t0 = System.nanoTime()
+    (0 until 1000).foreach { i =>
+      Layout.commitStagedLines(spark, t,
+        Seq(f"cfake-$i%06d.parquet|${i * 10}|${i * 10 + 9}|n0"),
+        10L, schema, tag = null, carryPrevious = true,
+        statsCol = "id", expectedBase = -1,
+        tok = f"t$i%06d")
+    }
+    val totalMs = (System.nanoTime() - t0) / 1000000
+    val info = Layout.snapshotInfo(spark, t).get
+    assert(info.files.size == 1001)
+    assert(info.rows == 10L * 1001)
+    // the LSM invariant: segment count stays logarithmic — without
+    // the auto-merge this would be ~1000 segments (one per commit
+    // past the inline threshold)
+    assert(info.segRefs.size <= 12,
+      s"segment merging regressed: ${info.segRefs.size} segments " +
+        s"after 1000 commits (${info.segRefs})")
+    // amortized commit cost: 1000 metadata commits, each re-parsing
+    // the head and folding geometrically, stay well under wall-clock
+    // that a per-commit O(files) rewrite could never meet
+    assert(totalMs < 60000,
+      s"1000 auto-merged commits took ${totalMs}ms")
+    // stats survive the folds: the data-skipping index still plans
+    // from every line
+    val stats = Layout.snapshotFileStats(spark, t)
+    assert(stats.size == 1001)
+    assert(stats.count(_._3.headOption.exists(_.range.nonEmpty))
+      >= 1000)
+    // and the manual fold remains available + idempotent on top
+    Layout.compactManifestSegments(spark, t)
+    assert(Layout.snapshotInfo(spark, t).get.segRefs.size <= 1)
+  }
 }

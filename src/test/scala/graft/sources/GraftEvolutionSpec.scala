@@ -180,6 +180,68 @@ class GraftEvolutionSpec extends SparkSpec {
     assert(Layout.readSnapshot(spark, t).count() == 99)
   }
 
+  test("a RENAME (or DROP) of a streamed column fails the running " +
+      "query LOUDLY with a restart instruction; ADD COLUMN stays " +
+      "transparent; the restarted stream resumes under the new name") {
+    init()
+    spark.sql("""CREATE TABLE gevo.db.s (id BIGINT, v BIGINT)
+      USING `graft-snapshot`""")
+    spark.sql("INSERT INTO gevo.db.s SELECT id, id FROM range(10)")
+    val ckpt = tmpDir("gevo-stream-ckpt")
+    val out = tmpDir("gevo-stream-out")
+    // foreachBatch: the memory sink cannot recover from a checkpoint
+    def start() = spark.readStream
+      .option("startingSnapshot", "1")
+      .option("maxSnapshotsPerTrigger", "1")
+      .table("gevo.db.s")
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.toDF("id", "v").write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // ADD COLUMN mid-stream: transparent (the stream just doesn't
+    // emit the new column)
+    spark.sql("ALTER TABLE gevo.db.s ADD COLUMN extra BIGINT")
+    spark.sql(
+      "INSERT INTO gevo.db.s SELECT id, id, 0 FROM range(10, 20)")
+    q1.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 20)
+    // RENAME mid-stream: the next batch fails by column name
+    spark.sql("ALTER TABLE gevo.db.s RENAME COLUMN v TO val")
+    spark.sql(
+      "INSERT INTO gevo.db.s SELECT id, id, 0 FROM range(20, 30)")
+    val e = intercept[Throwable] { q1.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("renamed or dropped mid-stream")),
+      s"wrong failure: ${msgs(e).mkString(" | ")}")
+    try q1.stop() catch { case _: Throwable => () }
+    // restart resumes from the checkpoint under the NEW schema (the
+    // stream's df resolves fresh from the catalog: columns id, val,
+    // extra)
+    val q2 = spark.readStream
+      .option("startingSnapshot", "1")
+      .option("maxSnapshotsPerTrigger", "1")
+      .table("gevo.db.s")
+      .writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          assert(b.columns.contains("val"),
+            s"restart kept old names: ${b.columns.mkString(",")}")
+          b.select(col("id"), col("val").as("v"))
+            .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 30)
+    assert(got.agg(sum("v")).head().getLong(0) == (0L until 30L).sum)
+  }
+
   test("evolution composes with merge-on-read: a DV merge on a " +
       "renamed key masks through the physical sidecar name") {
     init()

@@ -31,7 +31,9 @@ HEAD_SHA=$(git rev-parse HEAD)
 # The pinned set: the round-12 judge's adjudication set — the slowest
 # stateful/iterative queries plus a spread of batch shapes. Substrings
 # are chosen to match exactly one query each (underscore-anchored).
-ONLY="scc1,iv2,st7_,st13,st2_,ds1,dr1_,dc3,dt1"
+# ec1x added round 14 (the round-13 full run showed +12% there outside
+# this set — the blocked-similarity tier is now covered).
+ONLY="scc1,iv2,st7_,st13,st2_,ds1,dr1_,dc3,dt1,ec1x"
 
 echo "[ab] prev=$PREV head=$HEAD_SHA sf=$SF" >&2
 
