@@ -642,22 +642,28 @@ final class SnapshotMicroBatchStream(path: String, schema: StructType,
       // emits cannot be surfaced in-flight — resolving the old
       // logical name against files storing physical names would
       // silently null-fill from here on. Fail LOUDLY with a restart
-      // instruction instead (ADD COLUMN stays transparent: the
-      // stream simply doesn't emit the new column until restarted).
-      val logicalNow = Layout.snapshotSchema(spark, path, e)
+      // instruction instead. Checked against the HEAD schema, not
+      // the window's end snapshot: replaying history legitimately
+      // crosses snapshots that PREDATE later-added columns (those
+      // null-fill — the append-evolution contract) and snapshots
+      // that predate a rename (the head's column mapping resolves
+      // current names to their stable physical names for files of
+      // every vintage). ADD COLUMN stays transparent: the stream
+      // simply doesn't emit the new column until restarted.
+      val headInfo = Layout.snapshotInfo(spark, path)
+      val logicalNow = headInfo.flatMap(_.schema)
         .map(_.fieldNames.toSet).getOrElse(Set.empty[String])
       val missing = schema.fieldNames
         .filterNot(n => n == "_op" || n == "_file")
         .filterNot(logicalNow.contains)
       if (missing.nonEmpty) throw new IllegalStateException(
         s"graft-snapshot stream at $path: column(s) " +
-          s"${missing.mkString(", ")} no longer exist in the table's " +
-          s"logical schema at snapshot $e — renamed or dropped " +
-          "mid-stream. Restart the query to resume from its " +
-          "checkpoint under the new schema; emitted batches up to " +
-          "this point used the old names.")
-      val physOf = Layout.snapshotInfo(spark, path, e)
-        .map(_.colMap).getOrElse(Map.empty)
+          s"${missing.mkString(", ")} no longer exist in the " +
+          "table's logical schema — renamed or dropped mid-stream. " +
+          "Restart the query to resume from its checkpoint under " +
+          "the new schema; emitted batches up to this point used " +
+          "the old names.")
+      val physOf = headInfo.map(_.colMap).getOrElse(Map.empty)
       if (changeFeed)
         // per-commit plan: recorded change files (own _op column) for
         // merge/restore commits, new data files with synthesized
