@@ -1053,7 +1053,11 @@ final class SnapshotWrite(path: String, writeSchema: StructType,
       s"graft-snapshot write: partition column '$c' is not a " +
         "written column")
     writeSchema(c).dataType match {
-      case LongType | IntegerType | StringType | BooleanType => ()
+      // DATE partitions (round 14): values render as ISO strings
+      // ('d=2020-01-01/') — the standard daily layout; floats stay
+      // rejected (lossy text)
+      case LongType | IntegerType | StringType | BooleanType |
+        DateType => ()
       case dt => throw new IllegalArgumentException(
         s"graft-snapshot write: partition column '$c' has " +
           s"non-partitionable type ${dt.sql}")
@@ -1490,6 +1494,9 @@ final class SnapshotDataWriter(stageDir: String, schema: StructType,
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
           case BooleanType => row.getBoolean(i).toString
+          case DateType => // ISO 'yyyy-MM-dd' — matches the string
+            // form of date literals in partition-equality pruning
+            java.time.LocalDate.ofEpochDay(row.getInt(i)).toString
           case _ => row.getUTF8String(i).toString
         }
       c + "=" + java.net.URLEncoder.encode(v, "UTF-8")

@@ -175,6 +175,76 @@ class ManifestScaleSpec extends SparkSpec {
     assert(Layout.changeFeedPlan(spark, t, 3, 4).isEmpty)
   }
 
+  test("tier 3 (round 14): a 1,000,000-file head — 100 TB at 100 MB " +
+      "per file — still parses, appends O(delta), and plans within " +
+      "pinned ceilings") {
+    val t = java.nio.file.Files.createTempDirectory("graft-mscale4")
+      .toString
+    Layout.appendSnapshot(
+      spark.range(0L, 10L).toDF("id").coalesce(1), t, statsCol = "id")
+    val conf = spark.sessionState.newHadoopConf()
+    val snapsDir = new org.apache.hadoop.fs.Path(t, "snapshots")
+    val fs = snapsDir.getFileSystem(conf)
+    val m1 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00001.txt")
+    val real = {
+      val in = fs.open(m1)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val lines = real.split("\n").toSeq
+    val schemaLine = lines.find(_.startsWith("schema:")).get
+    val statsLine = lines.find(_.startsWith("statscol:")).get
+    val realFileLine = lines.filter(_.contains(".parquet"))
+    // 10 segments of 10^5 fictional lines each (the shape the
+    // geometric merge converges to: a few large sealed segments)
+    val segRefs = (0 until 10).map { sgi =>
+      val nm = s"seg-fake3-$sgi.txt"
+      val so = fs.create(
+        new org.apache.hadoop.fs.Path(snapsDir, nm), true)
+      try so.write((0 until 100000)
+        .map { i =>
+          val id = sgi * 100000 + i
+          f"cfake-$id%07d.parquet|${id * 10}|${id * 10 + 9}|n0"
+        }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally so.close()
+      nm
+    }
+    val head2 = (Seq("graft-snap v2",
+      (10L + 1000000L * 10L).toString, schemaLine, statsLine) ++
+      segRefs.map("segment:" + _) ++ realFileLine)
+      .mkString("", "\n", "\n")
+    val m2 = new org.apache.hadoop.fs.Path(snapsDir,
+      "snapshot-00002.txt")
+    val o2 = fs.create(m2, true)
+    try o2.write(head2.getBytes("UTF-8")) finally o2.close()
+
+    val t0 = System.nanoTime()
+    val info = Layout.snapshotInfo(spark, t).get
+    val parseMs = (System.nanoTime() - t0) / 1000000
+    assert(info.files.size == 1000001)
+    assert(parseMs < 30000, s"10^6-line parse took ${parseMs}ms")
+    // the append stays O(delta): big sealed segments are far larger
+    // than 2x the pending tail, so the geometric fold leaves them
+    // alone and the commit writes only its own lines
+    val t1 = System.nanoTime()
+    val id = Layout.appendSnapshot(
+      spark.range(100L, 110L).toDF("id").coalesce(1), t,
+      statsCol = "id")
+    val appendMs = (System.nanoTime() - t1) / 1000000
+    assert(id == 3)
+    assert(appendMs < 60000,
+      s"append over 10^6-file head took ${appendMs}ms")
+    assert(Layout.snapshotInfo(spark, t).get.segRefs.size == 11)
+    // planning: a driver-side filter over the parsed lines
+    val t2 = System.nanoTime()
+    val stats = Layout.snapshotFileStats(spark, t)
+    val planMs = (System.nanoTime() - t2) / 1000000
+    assert(stats.size == 1000002)
+    assert(planMs < 30000, s"10^6-entry plan took ${planMs}ms")
+  }
+
   test("tier 2 (round 14): AUTOMATIC geometric segment merging — " +
       "1000 commits stay at O(log) segments with amortized O(delta) " +
       "metadata cost, no manual compact_manifests ever needed") {

@@ -76,6 +76,34 @@ class GraftTypedColumnsSpec extends SparkSpec {
     assert(agg.getLong(3) == 200L)
   }
 
+  test("DATE partition columns: ISO value directories, equality " +
+      "pruning, sticky layout (the standard daily-partition shape)") {
+    val t = tmpDir("typed-datepart")
+    mk(0, 4).withColumn("d", lit(java.sql.Date.valueOf("2020-01-01")))
+      .unionByName(mk(4, 8)
+        .withColumn("d", lit(java.sql.Date.valueOf("2020-01-02"))))
+      .write.format("graft-snapshot").partitionBy("d")
+      .option("statsCol", "id").mode("append").save(t)
+    val files = Layout.snapshotInfo(spark, t).get.files
+    assert(files.forall(f => f.startsWith("d=2020-01-01/") ||
+      f.startsWith("d=2020-01-02/")), files)
+    val back = spark.read.format("graft-snapshot").load(t)
+    assert(back.count() == 8)
+    // directory pruning on the date value
+    val pruned = back.filter(
+      col("d") === java.sql.Date.valueOf("2020-01-02"))
+    assert(pruned.rdd.getNumPartitions == 1,
+      "date partition directory not pruned")
+    assert(pruned.count() == 4)
+    assert(pruned.agg(min("id")).head().getLong(0) == 4L)
+    // appends follow the recorded layout stickily
+    mk(8, 10).withColumn("d", lit(java.sql.Date.valueOf("2020-01-03")))
+      .write.format("graft-snapshot").option("statsCol", "id")
+      .mode("append").save(t)
+    assert(Layout.snapshotInfo(spark, t).get.files
+      .count(_.startsWith("d=2020-01-03/")) == 1)
+  }
+
   test("TIMESTAMP_NTZ round-trips (micros, no zone adjustment)") {
     val t = tmpDir("typed-ntz")
     val rows = (0 until 10).map(i =>

@@ -48,16 +48,27 @@ run_bench() { # $1 = repo dir, $2 = output json name
   cp "$1/bench_restricted.json" "$2"
 }
 
-# back-to-back, prev FIRST then head, identical JVM opts (sbt defaults)
-run_bench "$WT" /tmp/graft-ab-prev.json
-run_bench "$PWD" /tmp/graft-ab-head.json
+# INTERLEAVED passes, per-query MIN of two (round 14): single-pass
+# A/B readings on this host swing +-20% run-to-run (identical-code
+# prev totals measured 35-50s across three round-14 runs), and the
+# swing is correlated within a pass, not per query — prev/head/prev/
+# head interleaving plus min-merge cancels both the drift and the
+# run-order bias a single back-to-back pair bakes in.
+run_bench "$WT" /tmp/graft-ab-prev1.json
+run_bench "$PWD" /tmp/graft-ab-head1.json
+run_bench "$WT" /tmp/graft-ab-prev2.json
+run_bench "$PWD" /tmp/graft-ab-head2.json
 
 python3 - "$PREV" "$HEAD_SHA" "$SF" <<'EOF'
 import json, sys
 prev_sha, head_sha, sf = sys.argv[1:4]
-prev = json.load(open('/tmp/graft-ab-prev.json'))
-head = json.load(open('/tmp/graft-ab-head.json'))
-pq, hq = prev['queries'], head['queries']
+def minmerge(a, b):
+    qa, qb = a['queries'], b['queries']
+    return {q: min(qa[q], qb[q]) for q in set(qa) & set(qb)}
+pq = minmerge(json.load(open('/tmp/graft-ab-prev1.json')),
+              json.load(open('/tmp/graft-ab-prev2.json')))
+hq = minmerge(json.load(open('/tmp/graft-ab-head1.json')),
+              json.load(open('/tmp/graft-ab-head2.json')))
 common = sorted(set(pq) & set(hq))
 tp = sum(pq[q] for q in common)
 th = sum(hq[q] for q in common)
