@@ -129,6 +129,57 @@ object Bench {
       println(s"""{"metric":"shuffle_write_mb","queries":$qs,"sf":"$sfTag"}""")
       return
     }
+    // SPARK_GRAFT_JOBS=1 → choreography profiling instead of timing: one
+    // cold run per query, counting Spark jobs / stages / tasks via a
+    // listener (deterministic per plan). An iterative or streaming query
+    // whose measured seconds are dominated by driver job-launch barriers
+    // shows up here as a three-digit job count on kilobyte data — the
+    // optimization guide's §1 "decide whether the time is scheduler
+    // delay" question, answered mechanically for all 360 entries.
+    if (sys.env.get("SPARK_GRAFT_JOBS").contains("1")) {
+      val jobs = new java.util.concurrent.atomic.AtomicLong(0)
+      val stages = new java.util.concurrent.atomic.AtomicLong(0)
+      val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks)
+          }
+        })
+      def consumeOnce(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val rows = picked.map { case (name, fn) =>
+        val j0 = jobs.get(); val s0 = { Thread.sleep(100); stages.get() }
+        val t0 = tasks.get()
+        val wall0 = System.nanoTime()
+        val err =
+          try { consumeOnce(fn(spark, sfDir)); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        Thread.sleep(100) // let straggler stage-completed events land
+        val sec = (System.nanoTime() - wall0) / 1e9
+        name -> (err match {
+          case Some(e) => "\"" + e + "\""
+          case None =>
+            s"""{"jobs":${jobs.get() - j0},"stages":${stages.get() - s0},""" +
+              s""""tasks":${tasks.get() - t0},"sec":${fmt(sec)}}"""
+        })
+      }
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      spark.stop()
+      val out = s"""{"metric":"job_counts","queries":$qs,"sf":"$sfTag"}"""
+      try {
+        val w = new java.io.PrintWriter("bench_jobs.json")
+        try w.println(out) finally w.close()
+      } catch { case _: Throwable => () }
+      println(out)
+      return
+    }
     // Consume through a noop write, not count(): under count(1) Catalyst
     // prunes every column, so projection-only queries would be timed as
     // bare parquet scans. The noop sink pulls fully materialized rows —
