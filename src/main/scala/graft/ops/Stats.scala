@@ -905,28 +905,51 @@ object Stats {
     * whose fold sizes are only binomially close. Rows are ranked by a
     * 48-bit md5 uniform (id tiebreak) and fold = rank mod k. The exact
     * global rank comes from the one formulation that scales: a
-    * distributed range-partitioned sort + per-partition offsets
-    * (zipWithIndex) — no single-partition window ever sees the data.
-    * Returns (idCols..., fold). */
+    * distributed range-partitioned sort, then rank = per-partition
+    * offset + position within the partition — no single-partition
+    * window ever sees the data. The sorted relation is checkpointed
+    * once; positions come from `monotonically_increasing_id` on the
+    * pinned partitions (pid in the high 31 bits, in-partition ordinal
+    * in the low 33), and the per-partition row counts collected to the
+    * driver are bounded metadata (one long per partition). This stays
+    * entirely in codegen — the previous formulation round-tripped every
+    * row through `RDD.zipWithIndex` + `Row.fromSeq`, a per-row
+    * deserialize/copy/reserialize that also hid the query behind an
+    * opaque `Scan ExistingRDD` (guide §4: no Scala closures on the hot
+    * path). Returns (idCols..., fold). */
   def kFoldAssign(df: DataFrame, idCols: Seq[String], k: Int)
       : DataFrame = {
     require(k >= 2, "kFoldAssign: k >= 2")
-    val spark = df.sparkSession
     val idStr = idCols.map(c => s"CAST($c AS STRING)")
       .mkString("concat_ws('-', ", ", ", ")")
+    // Hash once, pinned: orderBy's range-partitioner SAMPLING pass would
+    // otherwise evaluate the md5 projection a second time over every row
+    // (the sampler runs the child plan in full).
     val hashed = df.select(idCols.map(col): _*)
       .withColumn("__u", expr(
-        s"${TextOps.hex48Sql(s"md5($idStr)")}"))
+        s"${TextOps.hex48FastSql(s"md5($idStr)")}"))
+      .localCheckpoint()
+    // Total-order sort, pinned: localCheckpoint materializes the range
+    // partitions so the two consumers below (count pass, rank pass) see
+    // the SAME partitioning — and monotonically_increasing_id, evaluated
+    // on the pinned partitions, encodes (pid, ordinal) of the global
+    // sort order.
     val ordered = hashed
       .orderBy((col("__u") +: idCols.map(col)): _*)
-    val schema = org.apache.spark.sql.types.StructType(
-      ordered.schema.fields :+
-        org.apache.spark.sql.types.StructField("__rank",
-          org.apache.spark.sql.types.LongType))
-    val withRank = spark.createDataFrame(
-      ordered.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }, schema)
+      .localCheckpoint()
+    val counts = ordered
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = math.max(ordered.rdd.getNumPartitions, 1)
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offArr = offsets.take(nParts).mkString("array(", "L, ", "L)")
+    val withRank = ordered
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__rank",
+        element_at(expr(offArr),
+          (shiftright(col("__mono"), 33) + 1).cast("int")) +
+          (col("__mono") bitwiseAND lit((1L << 33) - 1)))
     withRank.select(idCols.map(col) :+
       expr(s"__rank % $k").cast("long").as("fold"): _*)
   }
@@ -1030,7 +1053,7 @@ object Stats {
         col(xCol).cast("bigint").as("__x") :+
         col(yCol).cast("bigint").as("__y")): _*)
       .withColumn("__h", expr(s"md5($idStr)"))
-      .withColumn("__u", expr(s"${TextOps.hex48Sql("__h")}"))
+      .withColumn("__u", expr(s"${TextOps.hex48FastSql("__h")}"))
       .withColumn("__packed", expr("__x * 4294967296L + __y"))
     val heads = base.groupBy()
       .agg(call_function("topk_pairs", col("__packed"),

@@ -114,6 +114,17 @@ object TextOps {
       s"${digit(i)} * ${math.pow(16, 12 - i).toLong}").mkString(" + ") + ")"
   }
 
+  /** Value-identical Spark-side form of [[hex48Sql]]: one `conv` call
+    * instead of 12 substring/instr/multiply terms. `conv(h, 16, 10)` on
+    * 12 lowercase hex digits is exactly the digit-sum (48 bits, no
+    * 64-bit wrap), so any oracle built from [[hex48Sql]] still matches
+    * bit-for-bit — DuckDB has no `conv`, which is the only reason the
+    * portable digit-decode form exists. Inlining `$hexExpr` 12 times
+    * also defeated codegen subexpression elimination when the argument
+    * was itself an md5 call; this evaluates it once. */
+  def hex48FastSql(hexExpr: String): String =
+    s"CAST(conv(substring($hexExpr, 1, 12), 16, 10) AS BIGINT)"
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES): each row's priority is ln(u)/w with u a 48-bit
     * content-hash uniform in (0, 1] — no RNG state, reproducible across
@@ -132,7 +143,7 @@ object TextOps {
     // runs after select() renames idCol to doc_id, so referencing the
     // caller's name here would fail analysis for any idCol other than
     // "doc_id" (and an idCol named "weight" would hash the cast weight)
-    val u = s"(${hex48Sql("md5(CAST(doc_id AS STRING))")} + 1) / 281474976710657.0"
+    val u = s"(${hex48FastSql("md5(CAST(doc_id AS STRING))")} + 1) / 281474976710657.0"
     // weight filter BEFORE the priority projection: ANSI arithmetic
     // rejects the w = 0 division eagerly, and non-positive weights are
     // outside the A-ES domain anyway

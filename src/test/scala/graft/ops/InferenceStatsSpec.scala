@@ -245,6 +245,26 @@ class InferenceStatsSpec extends SparkSpec {
       .sortBy(_._1).toSeq)
   }
 
+  test("kFoldAssign: offset-rank matches the single-partition window rank") {
+    // The r14 formulation derives the exact global rank from pinned
+    // range partitions + monotonically_increasing_id offsets; pin it
+    // against the obviously-correct (unscalable) global-window form on
+    // a deliberately multi-partition input.
+    val df = spark.range(1, 501).repartition(7)
+      .selectExpr("id AS a", "id * 31 % 97 AS b")
+    val got = Stats.kFoldAssign(df, Seq("a", "b"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("fold"))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val idStr = "concat_ws('-', CAST(a AS STRING), CAST(b AS STRING))"
+    val ref = df
+      .withColumn("__u", expr(TextOps.hex48Sql(s"md5($idStr)")))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("__u"), col("a"), col("b"))) - 1)
+      .selectExpr("a", "CAST(rk % 4 AS BIGINT) AS fold")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+  }
+
   test("kendallTau: perfect concordance, reversal, and ties") {
     // y strictly increasing in x → tau = +1
     val up = (1L to 10L).map(i => (i, i * 3)).toDF("x", "y")
