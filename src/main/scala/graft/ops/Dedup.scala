@@ -277,30 +277,49 @@ object Dedup {
       val ck = df.localCheckpoint()
       ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    var changed = 1L
+    // Each round folds the edge relax AND the pointer jump into ONE
+    // min-aggregate by treating the jump as an extra edge set: the
+    // label graph lbl(v) → v contributes lbl(lbl(v)) to v exactly like
+    // an in-neighbor contributes its label. Soundness: labels are
+    // monotone non-increasing and lbl(u) ≤ u, so with u = lbl(v),
+    // lbl(lbl(v)) ≤ lbl(v) — the aggregate can only keep or lower a
+    // label, and every v owns a jump edge, so the aggregate is total
+    // (no left-join back onto labels needed). This halves the round's
+    // exchange count versus the former relax-join → left-join →
+    // self-join chain (one checkpoint per round instead of two, and no
+    // join-shaped convergence probe — see below). Under AQE each
+    // exchange materializes as its own driver-scheduled job, and on an
+    // iterative operator those per-round barriers ARE the cost (guide
+    // §1.1: scheduler delay, measured via SPARK_GRAFT_JOBS).
+    //
+    // Convergence probe without a join or a moved flag: labels only
+    // ever decrease, so Σ lbl (exact, DECIMAL(38,0) — no overflow below
+    // 10^19 rows) is strictly decreasing until fixpoint; "sum unchanged"
+    // ⟺ "no label changed". One cheap scan-aggregate per round over the
+    // partitions the checkpoint just materialized.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("lbl").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d // empty edge set
+    }
+    var prevSum = lblSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = sym
-        .join(labels.select(col("node").as("b"), col("lbl").as("nl")), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      // checkpointed so the jump's SELF-join reads it from cache — inlined,
-      // the nbrMin join above would be planted (and computed) twice
-      val stepped = freshCk(labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl")))
-      // pointer jumping: lbl := label(lbl) — label values are node ids,
-      // so one extra self-join halves the remaining chain length each
-      // round (O(log diameter) rounds instead of O(diameter))
-      val updated = freshCk(stepped
-        .join(stepped.select(col("node").as("lbl"), col("lbl").as("ll")),
-          Seq("lbl"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"),
-          (least(col("lbl"), coalesce(col("ll"), col("lbl"))) < col("prev"))
-            .as("moved")))
-      // convergence probe on the just-materialized partitions — cheap
-      changed = updated.filter(col("moved")).count()
-      labels = updated.drop("moved")
+    while (changed && iter < maxIters) {
+      val relax = sym
+        .join(labels.select(col("node").as("b"), col("lbl")).hint("shuffle_hash"),
+          Seq("b"))
+        .select(col("a").as("node"), col("lbl"))
+      val jump = labels.select(col("lbl").as("jsrc"), col("node"))
+        .join(labels.select(col("node").as("jsrc"), col("lbl"))
+          .hint("shuffle_hash"), Seq("jsrc"))
+        .select(col("node"), col("lbl"))
+      val next = freshCk(relax.unionAll(jump)
+        .groupBy("node").agg(min("lbl").as("lbl")))
+      val s = lblSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
