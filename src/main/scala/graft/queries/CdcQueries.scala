@@ -289,9 +289,13 @@ object CdcQueries {
     * stateful operator commits one (join: four) state store(s) per
     * partition per trigger, so fixture-scale state wants few partitions
     * — at 32, commit choreography dominated every streaming entry's
-    * measured time — while production volume turns the knob the other
-    * way. Queries run sequentially in Verify/Bench, so the set/restore
-    * cannot leak across entries. */
+    * measured time; round 14 re-measured 8 vs 4 back-to-back twice over
+    * the ten heaviest entries (min-merged sums 27.0 s vs 25.2 s, seven
+    * of ten entries faster, none meaningfully slower) and settled on 4,
+    * matching iv2/iv3's round-13 profile. Production volume turns the
+    * knob the other way — state volume per partition, not commit count,
+    * dominates there. Queries run sequentially in Verify/Bench, so the
+    * set/restore cannot leak across entries. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(
       body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -734,7 +738,7 @@ object CdcQueries {
       val writer = new Sinks.UpsertWriter("live_keys", "key",
         Seq("key", "alive", "event_type"), runId = ns)
       val factory = Sinks.MemoryDb.factory(ns)
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = Changelog.compact(events).writeStream
           .outputMode("update")
           .option("checkpointLocation",
@@ -813,7 +817,7 @@ object CdcQueries {
       val deltas = Changelog.compactValue(events,
         e => e.image.getOrElse("event_type", ""),
         e => e.lsn % 997L)
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = deltas.writeStream
           .outputMode("update")
           .option("checkpointLocation",
@@ -916,7 +920,7 @@ object CdcQueries {
           }
           .start()
       }
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q1 = run(inject = true)
         try q1.processAllAvailable() catch { case _: Throwable => () }
         try q1.stop() catch { case _: Throwable => () }
@@ -1506,7 +1510,7 @@ object CdcQueries {
         Seq("vk", "id", "valid_from_lsn", "valid_to_lsn", "event_type"),
         runId = ns)
       val factory = Sinks.MemoryDb.factory(ns)
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = Changelog.scd2Stream(events).writeStream
           .outputMode("update")
           .option("checkpointLocation",
@@ -1607,7 +1611,13 @@ object CdcQueries {
       }
       val ckpt = Files.createTempDirectory("graft-iv3-ckpt").toString
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // 4, not 8: same per-query state sizing as iv2 (round-13 profile —
+      // a stream-stream join commits four state stores per partition per
+      // side per trigger, and on fixture-scale state the commit
+      // choreography dominates; iv3 additionally reloads every state
+      // partition from the checkpoint on its restart leg). Production
+      // volume turns the knob the other way; per-query set/restore.
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       // foreachBatch (checkpoint-recoverable, unlike the memory sink)
       // appends each batch's joined rows to a driver-side buffer — the
       // grading seam; a real deployment's sink would be the K2 writer.
@@ -1687,7 +1697,7 @@ object CdcQueries {
       val kept = graft.ops.Dedup.streamingDedupWithinWatermark(
         docs, "ts", "6 hours", Seq("digest"))
       val qn = "st4_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = kept.writeStream.outputMode("append")
           .format("memory").queryName(qn)
           .option("checkpointLocation",
@@ -1734,7 +1744,7 @@ object CdcQueries {
       implicit val s: SparkSession = spark
       val votes = graft.ops.Dedup.streamingSimhashVotes(docs, "doc_id", "text")
       val kept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = votes.toDF().writeStream.outputMode("append")
           .option("checkpointLocation",
             Files.createTempDirectory("graft-st5-ckpt").toString)
@@ -1802,7 +1812,7 @@ object CdcQueries {
         .select(explode(expr(
           "filter(split(text, ' '), x -> length(x) > 0)")).as("word"))
       val qn = "st6_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = words.agg(expr("mg_topk(word, 16)").as("sk"))
           .writeStream.outputMode("complete")
           .format("memory").queryName(qn)
@@ -1877,7 +1887,7 @@ object CdcQueries {
         .groupBy(window(col("ts"), "10 minutes"))
         .agg(count(lit(1)).as("n_first_seen"))
       val qn = "st9_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = counts.writeStream.outputMode("append")
           .format("memory").queryName(qn)
           .option("checkpointLocation",
@@ -2009,7 +2019,7 @@ object CdcQueries {
         .parquet(run.toString)
         .select(length(col("text")).cast("double").as("v"))
       val qn = "st8_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = vals
           .agg(expr("kll_quantiles(v, 512, array(0.1D, 0.5D, 0.9D))")
             .as("kll"))
@@ -2074,7 +2084,7 @@ object CdcQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(run.toString)
       val qn = "st10_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = stream.groupBy("event_type")
           .agg(expr("kmv_sketch(user_id, 256)").as("sk"))
           .writeStream.outputMode("complete")
@@ -2137,7 +2147,7 @@ object CdcQueries {
         .schema("event_id BIGINT, event_type STRING, value DECIMAL(18,2)")
         .option("maxFilesPerTrigger", "1")
         .parquet(run.toString)
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = stream.groupBy("event_type")
           .agg(count(lit(1)).as("__cnt"), sum(col("value")).as("__sum_0"))
           .writeStream.outputMode("complete")
@@ -2203,7 +2213,7 @@ object CdcQueries {
         .agg(min("event_id").cast("bigint").as("first_event_id"),
           count(lit(1)).as("n_events"))
       val qn = "st7_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = sessions.writeStream.outputMode("append")
           .format("memory").queryName(qn)
           .option("checkpointLocation",
@@ -2268,7 +2278,7 @@ object CdcQueries {
         spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try withStatePartitions(spark, 8) {
+      try withStatePartitions(spark, 4) {
         val q = graft.ops.TimeSeries
           .streamingAnomalies(pts, lookback = 20, minPoints = 10, sigmas = 3)
           .writeStream
@@ -2404,7 +2414,7 @@ object CdcQueries {
         joinKeyOf = e => if (e.table == "dims") e.image.getOrElse("id", "")
           else e.image.getOrElse("user_ref", ""),
         cohortField = "cohort", valueField = "amount")
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = deltas.writeStream
           .outputMode("update")
           .option("checkpointLocation",
@@ -2490,7 +2500,7 @@ object CdcQueries {
         .schema("event_id BIGINT, ts TIMESTAMP_NTZ, event_type STRING, tertile BIGINT")
         .option("maxFilesPerTrigger", "1")
         .parquet(run.toString)
-      withStatePartitions(spark, 8) {
+      withStatePartitions(spark, 4) {
         val q = stream.writeStream
           .outputMode("append")
           .option("checkpointLocation",
