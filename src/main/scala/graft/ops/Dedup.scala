@@ -349,21 +349,32 @@ object Dedup {
     // longs instead of strings (distinct-token hashing keeps inter/uni
     // exact — the token sets are what is intersected, and xxhash64 is
     // injective for any realistic vocabulary).
+    // Tokenized once, pinned: this relation feeds the inverted index,
+    // the document-frequency aggregate, BOTH payload sides of the
+    // verify join, and the empty-doc tier — six plan plants without the
+    // checkpoint (Spark does not dedupe common subtrees), i.e. six
+    // split/hash/sort tokenization passes over the corpus per run.
+    // O(corpus tokens) storage for a 6× scan/compute saving is the same
+    // trade the candidate relation in [[Density.dbscan2D]] makes.
     val t = df.select(col(idCol).as("doc_id"), col(strataCol).as("lang"),
         expr(s"array_sort(array_distinct(transform(filter(split($textCol, ' '), " +
           "x -> length(x) > 0), x -> xxhash64(x))))").as("w"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
+      .localCheckpoint()
     val tokens = t.select(col("doc_id"), col("lang"), col("bucket"),
       col("nw"), explode(col("w")).as("word"))
     val freq = tokens.groupBy("word").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("word"))
+    // Pinned: the candidate SELF-join below would otherwise plant (and
+    // run) the df-join + per-doc rarity window twice, once per side.
     val prefixes = tokens.join(freq, "word")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <=
         col("nw") - ceil(col("nw") * threshold / lit(10.0)) + 1)
       .select("doc_id", "lang", "bucket", "word")
+      .localCheckpoint()
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
           col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
@@ -419,12 +430,17 @@ object Dedup {
       strataCol: String, textCol: String, threshold: Int = 9): DataFrame = {
     require(threshold >= 1 && threshold <= 10,
       s"crossDedup: threshold in tenths must be in [1, 10], got $threshold")
+    // Pinned like [[jaccardPairs]]' t: each side feeds the digest tier,
+    // the df aggregate, the inverted index, a payload join side, and
+    // the empty-doc tier — five tokenization plants per side without
+    // the checkpoint.
     def prep(df: DataFrame) = df.select(col(idCol).as("doc_id"),
         col(strataCol).as("lang"), md5(col(textCol)).as("digest"),
         expr(s"array_sort(array_distinct(transform(filter(split($textCol, ' '), " +
           "x -> length(x) > 0), x -> xxhash64(x))))").as("w"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .withColumn("bucket", floor(col("nw") / 8).cast("bigint"))
+      .localCheckpoint()
     val inc = prep(incoming)
     val ref = prep(reference)
     val exact = inc.select("doc_id", "digest")
