@@ -377,11 +377,17 @@ object Similarity {
       clusters: Int = 16, iters: Int = 2): IvfIndex = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
+    // Pinned once: the seed collect, each Lloyd iteration's assign +
+    // recenter, and the final assignment would otherwise each re-run
+    // the normalize projection over the corpus (plan subtrees are not
+    // deduped), and ivfSearch plants `assigned` twice more. O(corpus)
+    // storage for ~5 fewer corpus passes — the jaccardPairs trade.
     val vecs = corpus
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
       .select("vec_id", "v", "nrm")
+      .localCheckpoint()
 
     def assign(cents: Seq[(Int, Seq[Double])]) =
       vecs.withColumn("cluster", clusterAssignment(cents))
@@ -403,7 +409,11 @@ object Similarity {
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Seq[Double])].collect().toSeq
     val cents = (1 to iters).foldLeft(seed)((c, _) => recenter(assign(c)))
-    IvfIndex(cents, assign(cents).select("vec_id", "cluster", "v", "nrm"))
+    // Final assignment pinned: ivfSearch reads it for the query slice
+    // AND the probed-cell scan — two plants of the k×dims argmin
+    // projection without this.
+    IvfIndex(cents, assign(cents).select("vec_id", "cluster", "v", "nrm")
+      .localCheckpoint())
   }
 
   /** Extends a built IVF index with NEW vectors WITHOUT retraining: the
@@ -516,8 +526,8 @@ object Similarity {
       val cluster =
         if (sorted.size <= literalMaxK) {
           val structs = sorted.map { case (cid, cv) =>
-            s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
-              s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
+            s"named_struct('d', vec_l2sq(v, array(${cv.map(_ + "L").mkString(",")})), " +
+              s"'c', $cid)"
           }
           expr(s"array_min(array(${structs.mkString(",")})).c")
         } else {
@@ -526,10 +536,7 @@ object Similarity {
           }.toArray)
           array_min(transform(table, c =>
             struct(
-              aggregate(
-                zip_with(col("v"), c.getField("_2"),
-                  (x, y) => (x - y) * (x - y)),
-                lit(0L), (a, x) => a + x).as("d"),
+              call_function("vec_l2sq", col("v"), c.getField("_2")).as("d"),
               c.getField("_1").as("c")))).getField("c")
         }
       vecs.withColumn("cluster", cluster)
@@ -555,8 +562,8 @@ object Similarity {
     val vecs = kmVecs(corpus, idCol, vecCol)
     val cents = kmTrain(vecs, k, iters, literalMaxK).sortBy(_._1)
     val structs = cents.map { case (cid, cv) =>
-      s"named_struct('d', aggregate(zip_with(v, array(${cv.map(_ + "L").mkString(",")}), " +
-        s"(x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'c', $cid)"
+      s"named_struct('d', vec_l2sq(v, array(${cv.map(_ + "L").mkString(",")})), " +
+        s"'c', $cid)"
     }
     vecs
       .withColumn("__ds", expr(s"array_sort(array(${structs.mkString(",")}))"))
@@ -726,6 +733,9 @@ object Similarity {
     // Unit vectors: ADC reconstructs dot(u_q, u_b) = cosine. All-zero
     // vectors stay zero (their cosine to anything is undefined; they
     // encode to cell 0 of every subspace and rerank last).
+    // Pinned once, like ivfIndex's vecs: the seed collect, each
+    // training iteration's encode + recenter, and the final encode all
+    // replant this normalize projection otherwise.
     val vecs = corpus
       .select(col(idCol).as("vec_id"),
         expr(s"transform($vecCol, x -> cast(x as double))").as("v"))
@@ -733,6 +743,7 @@ object Similarity {
       .withColumn("u", expr(
         "CASE WHEN nrm = 0.0D THEN v ELSE transform(v, x -> x / nrm) END"))
       .select("vec_id", "u")
+      .localCheckpoint()
     val seedRows = vecs.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("u")).as[(Long, Seq[Double])].collect()
     require(seedRows.length == k, s"pqIndex: corpus has fewer than k=$k vectors")
@@ -766,7 +777,10 @@ object Similarity {
     }
 
     val cb = (1 to iters).foldLeft(seed)((c, _) => recenter(encode(c), c))
-    PqIndex(m, k, cb.toIndexedSeq, encode(cb).select("vec_id", "u", "codes"))
+    // Encoded corpus pinned: pqSearch plants it three times (query
+    // slice, ADC scan side, rerank payload side).
+    PqIndex(m, k, cb.toIndexedSeq,
+      encode(cb).select("vec_id", "u", "codes").localCheckpoint())
   }
 
   /** PQ (ADC) top-k search: per query, a lookup table of
@@ -847,10 +861,13 @@ object Similarity {
       iters: Int = 2): IvfPqIndex = {
     val coarse = ivfIndex(corpus, idCol, vecCol, clusters, iters)
     val pq = pqIndex(corpus, idCol, vecCol, m, codes, iters)
+    // Pinned: ivfPqSearch plants `assigned` three times (query slice,
+    // probed-cell ADC scan, rerank payload) — without this each plant
+    // re-runs the cluster⋈codes join.
     IvfPqIndex(coarse.centroids, pq.m, pq.k, pq.codebook,
       coarse.assigned.select("vec_id", "cluster")
         .join(pq.encoded, Seq("vec_id"))
-        .select("vec_id", "cluster", "u", "codes"))
+        .select("vec_id", "cluster", "u", "codes").localCheckpoint())
   }
 
   /** Persists an IVFADC index in the at-scale layout: `assigned`
@@ -1020,9 +1037,7 @@ object Similarity {
     // split count — rebalance the corpus side first
     val scored = Rebalance.forAmplification(q).crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("__d", expr(
-        "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), " +
-          "0L, (acc, x) -> acc + x)"))
+      .withColumn("__d", expr("vec_l2sq(v, qv)"))
       .groupBy("qid", "true_label")
       .agg(call_function("topk_pairs", col("vec_id"),
         -col("__d").cast("double"), lit(k)).as("top"))
@@ -1078,8 +1093,7 @@ object Similarity {
           s"CAST(floor(CAST(x AS DOUBLE) * $s) AS BIGINT))").as("v"))
       .localCheckpoint() // re-scanned once per round
     def distTo(center: Seq[Long]) = expr(
-      s"aggregate(zip_with(v, array(${center.mkString(",")}), " +
-        "(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      s"vec_l2sq(v, array(${center.map(_ + "L").mkString(",")}))")
     // loud preconditions instead of corruption: an empty corpus would
     // NoSuchElementException on head(), and a row whose vector length
     // differs from the seed's would zip_with against the fixed-length

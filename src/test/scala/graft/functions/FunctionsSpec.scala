@@ -19,6 +19,21 @@ class FunctionsSpec extends SparkSpec {
     assert(got == (4.0 + 10.0 + 18.0))
   }
 
+  test("vec_l2sq matches the aggregate/zip_with integer fold") {
+    val df = registered.createDataset(Seq(
+      (Array(3L, -7L, 1000000L), Array(1L, 2L, -1000000L)),
+      (Array(0L, 0L, 0L), Array(0L, 0L, 0L)))).toDF("a", "b")
+    val got = df.select(expr("vec_l2sq(a, b)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, v) -> acc + v)")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(got.head.getLong(0) == 4L + 81L + 4000000000000L)
+    // null-safe like the other kernels
+    val n = registered.sql(
+      "SELECT vec_l2sq(cast(null as array<bigint>), array(1L))").head()
+    assert(n.isNullAt(0))
+  }
+
   test("deflate_size: deterministic, repetition-sensitive, null-safe") {
     val rep = "spark query " * 50              // 600 chars, 2 distinct words
     val mixed = Seq.tabulate(100)(i => s"w${i * 7919 % 997}").mkString(" ")

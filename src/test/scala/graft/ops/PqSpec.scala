@@ -135,9 +135,16 @@ class PqSpec extends SparkSpec {
     val idx = Similarity.pqIndex(df, "vec_id", "embedding", m = 2, k = 4)
     // the embedded codebook rides as a codegen reference object; its
     // absence from the generated source means a silent interpreted
-    // fallback (the failure mode the native kernels exist to avoid)
+    // fallback (the failure mode the native kernels exist to avoid).
+    // idx.encoded itself is a pinned LogicalRDD since r14 (the encode
+    // ran codegen'd inside the checkpoint job), so inspect the same
+    // encode projection the index build runs:
+    val encPlan = df
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS u")
+      .withColumn("codes", call_function("pq_encode", col("u"),
+        typedlit(idx.codebook.toArray), lit(idx.m), lit(idx.k)))
     val encCg = org.apache.spark.sql.execution.debug.codegenString(
-      idx.encoded.queryExecution.executedPlan)
+      encPlan.queryExecution.executedPlan)
     assert(encCg.contains("codebook"), "pq_encode not codegen'd")
     val scored = idx.encoded.selectExpr(
       "gather_sum(codes, array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D)) AS s")
