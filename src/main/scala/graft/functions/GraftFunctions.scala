@@ -10,6 +10,7 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
     "vec_l2sq" -> ((es: Seq[Expression]) => VecL2Sq(es(0), es(1))),
+    "cdc_cuts" -> ((es: Seq[Expression]) => ContentCuts(es(0), es(1))),
     "mask_intersect" -> ((es: Seq[Expression]) => MaskIntersect(es(0), es(1))),
     "simhash64" -> ((es: Seq[Expression]) => SimHash64(es(0))),
     "minhash_sig" -> ((es: Seq[Expression]) => MinHashSig(es(0), litInt(es(1)))),

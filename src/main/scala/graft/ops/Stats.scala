@@ -302,25 +302,41 @@ object Stats {
     * partial-aggregated moment rollup — no join, |groups| output rows. */
   def spearman(df: DataFrame, keys: Seq[String], xCol: String,
       yCol: String): DataFrame = {
-    def rank2(c: String, out: String)(d: DataFrame): DataFrame = {
-      val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
-      // mannWhitneyU's trick: tie blocks as RANGE peers of the same
-      // sort — one exchange per axis instead of two.
-      val tie = Window.partitionBy(keys.map(col): _*).orderBy(col(c))
-        .rangeBetween(Window.currentRow, Window.currentRow)
-      d.withColumn("__rn", row_number().over(byKey))
-        .withColumn(out, (min(col("__rn")).over(tie) +
-          max(col("__rn")).over(tie)).cast("decimal(38,0)"))
-        .drop("__rn")
+    // Ranks from VALUE COUNTS, not row sorts: the 2×-midrank of a tie
+    // block equals min+max of its row_numbers = 2·(#rows below) +
+    // (#rows equal) + 1 — a pure function of the per-value counts. So
+    // aggregate first (one hash exchange on (keys, x, y)), rank the
+    // DISTINCT values with a running sum over the per-group value list,
+    // and join the two rank tables back onto the (keys, x, y) counts.
+    // The former formulation ranked every ROW via two windows
+    // partitioned by `keys` — two full sorts of the input confined to
+    // |keys| partitions (srk1: 600k rows in 3 partitions, twice).
+    // Moments then weight by the count. Identical exact integers.
+    val kc = keys.map(col)
+    val cnts = df
+      .groupBy((kc :+ col(xCol).as("__x") :+ col(yCol).as("__y")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // feeds both rank tables + the final join
+    def rankOf(vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(kc: _*).orderBy(col(vc))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts.groupBy((kc :+ col(vc)): _*).agg(sum(col("__c")).as("__cv"))
+        .withColumn("__cum", sum(col("__cv")).over(w))
+        .select((kc :+ col(vc) :+
+          (lit(2) * (col("__cum") - col("__cv")) + col("__cv") + 1)
+            .cast("decimal(38,0)").as(out)): _*)
     }
-    val ranked = rank2(yCol, "__ry")(rank2(xCol, "__rx")(df))
+    val ranked = cnts
+      .join(rankOf("__x", "__rx"), keys :+ "__x")
+      .join(rankOf("__y", "__ry"), keys :+ "__y")
     ranked.groupBy(keys.map(col): _*)
       .agg(
-        count(lit(1)).cast("decimal(38,0)").as("__n"),
-        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
-        sum(col("__rx") * col("__ry")).as("__sxy"),
-        sum(col("__rx") * col("__rx")).as("__sxx"),
-        sum(col("__ry") * col("__ry")).as("__syy"))
+        sum(col("__c")).cast("decimal(38,0)").as("__n"),
+        sum(col("__c") * col("__rx")).as("__sx"),
+        sum(col("__c") * col("__ry")).as("__sy"),
+        sum(col("__c") * col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__c") * col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__c") * col("__ry") * col("__ry")).as("__syy"))
       .withColumn("__num", expr("__n*__sxy - __sx*__sy"))
       .withColumn("__den", expr("__n*__sxx - __sx*__sx"))
       .withColumn("__deny", expr("__n*__syy - __sy*__sy"))

@@ -68,7 +68,7 @@ object TextOps {
       trainPm: Int = 900, valPm: Int = 50): DataFrame = {
     require(trainPm + valPm < 1000, "train + val must leave room for test")
     df.select(col(idCol).as("doc_id"),
-        expr(pmBucketSql(s"md5($textCol)")).as("pm_bucket"))
+        expr(pmBucketFastSql(s"md5($textCol)")).as("pm_bucket"))
       .withColumn("split",
         when(col("pm_bucket") < trainPm, "train")
           .when(col("pm_bucket") < trainPm + valPm, "val")
@@ -86,12 +86,17 @@ object TextOps {
       trainPm: Int = 900, valPm: Int = 50): DataFrame = {
     require(trainPm + valPm < 1000, "train + val must leave room for test")
     df.select(col(idCol).as("doc_id"), col(groupCol).as("group_key"),
-        expr(pmBucketSql(s"md5(CAST($groupCol AS STRING))")).as("pm_bucket"))
+        expr(pmBucketFastSql(s"md5(CAST($groupCol AS STRING))")).as("pm_bucket"))
       .withColumn("split",
         when(col("pm_bucket") < trainPm, "train")
           .when(col("pm_bucket") < trainPm + valPm, "val")
           .otherwise("test"))
   }
+
+  /** Value-identical Spark-side form of [[pmBucketSql]] — one `conv`
+    * instead of five substring/instr terms (see [[hex48FastSql]]). */
+  def pmBucketFastSql(hexExpr: String): String =
+    s"CAST(conv(substring($hexExpr, 1, 5), 16, 10) % 1000 AS BIGINT)"
 
   /** Dialect-portable per-mille bucket of a lowercase-hex expression. */
   def pmBucketSql(hexExpr: String): String = {
@@ -897,7 +902,7 @@ object TextOps {
     val threshold = weightsPm.foldLeft(lit(defaultPm)) {
       case (acc, (s, w)) => when(col(strataCol) === s, w).otherwise(acc)
     }
-    df.filter(expr(pmBucketSql(s"md5($textCol)")) < threshold)
+    df.filter(expr(pmBucketFastSql(s"md5($textCol)")) < threshold)
   }
 
   /** Epoch planner — the mixture UP-sampling step of pretraining-data
@@ -943,7 +948,7 @@ object TextOps {
     base.join(broadcast(plan), Seq("stratum"))
       .select(col("doc_id"), col("stratum"), col("n_tokens"),
         (col("full_epochs") +
-          when(expr(pmBucketSql("md5(CAST(doc_id AS STRING))")) < col("frac_pm"),
+          when(expr(pmBucketFastSql("md5(CAST(doc_id AS STRING))")) < col("frac_pm"),
             1L).otherwise(0L)).as("repeats"))
   }
 
@@ -1945,20 +1950,13 @@ object TextOps {
     // projected array column get re-INLINED by CollapseProject into
     // every lambda element — the naive form benched 100× slower on the
     // exact same data).
-    val cutsExpr = expr(
-      s"""array_distinct(concat(
-         |  aggregate(
-         |    transform(split($textCol, ''), ch -> ascii(ch)),
-         |    named_struct('pos', 0, 'a', 0, 'b', 0, 'c', 0,
-         |                 'acc', cast(array() as array<int>)),
-         |    (st, x) -> named_struct(
-         |      'pos', st.pos + 1, 'a', st.b, 'b', st.c, 'c', x,
-         |      'acc', if(st.pos + 1 >= 4 and
-         |                (st.a * 29791 + st.b * 961 + st.c * 31 + x)
-         |                  % $modulus = 0,
-         |              concat(st.acc, array(st.pos + 1)), st.acc)),
-         |    st -> st.acc),
-         |  array(cast(length($textCol) as int))))""".stripMargin)
+    // One codegen'd code-point walk per row ([[graft.functions
+    // .ContentCuts]]) — the SQL-fold formulation of the same recurrence
+    // (aggregate over transform(split(text,''), ascii)) evaluated an
+    // interpreted lambda with a struct allocation PER CHARACTER; the
+    // kernel is value-identical (cuts where the trailing 4-gram hash ≡ 0
+    // mod modulus, final length appended, last-position dedupe).
+    val cutsExpr = expr(s"cdc_cuts($textCol, $modulus)")
     // Materialization barrier: downstream the cuts column must be an
     // ATTRIBUTE (array data), not an expression CollapseProject can
     // duplicate into the per-chunk lambda below.

@@ -292,7 +292,7 @@ object Inference {
           .select(
             expr("CAST(floor(l_quantity) AS BIGINT)").as("x"),
             expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("y"),
-            expr(TextOps.pmBucketSql("__h")).as("bucket")))
+            expr(TextOps.pmBucketFastSql("__h")).as("bucket")))
         .localCheckpoint()
       val fit = Stats.linearFit(p.filter(col("bucket") < 600),
         Seq.empty, "x", "y")

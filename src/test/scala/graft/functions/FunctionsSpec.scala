@@ -34,6 +34,30 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("cdc_cuts matches the SQL rolling-hash fold") {
+    val texts = Seq("abcdef", "zzabcdef", "abcd",
+      "the quick brown fox jumps over the lazy dog " * 8)
+    val df = registered.createDataset(texts).toDF("t")
+    for (mod <- Seq(1, 4, 16)) {
+      val got = df.selectExpr(s"cdc_cuts(t, $mod)",
+        s"""array_distinct(concat(
+           |  aggregate(
+           |    transform(split(t, ''), ch -> ascii(ch)),
+           |    named_struct('pos', 0, 'a', 0, 'b', 0, 'c', 0,
+           |                 'acc', cast(array() as array<int>)),
+           |    (st, x) -> named_struct(
+           |      'pos', st.pos + 1, 'a', st.b, 'b', st.c, 'c', x,
+           |      'acc', if(st.pos + 1 >= 4 and
+           |                (st.a * 29791 + st.b * 961 + st.c * 31 + x)
+           |                  % $mod = 0,
+           |              concat(st.acc, array(st.pos + 1)), st.acc)),
+           |    st -> st.acc),
+           |  array(cast(length(t) as int))))""".stripMargin).collect()
+      got.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"mod=$mod: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}"))
+    }
+  }
+
   test("deflate_size: deterministic, repetition-sensitive, null-safe") {
     val rep = "spark query " * 50              // 600 chars, 2 distinct words
     val mixed = Seq.tabulate(100)(i => s"w${i * 7919 % 997}").mkString(" ")
