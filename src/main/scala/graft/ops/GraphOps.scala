@@ -375,10 +375,21 @@ object GraphOps {
       .join(surv.select(col("v").as("a")).hint("shuffle_hash"), "a")
       .join(surv.select(col("v").as("b")).hint("shuffle_hash"), "b")
       .groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
-    for (_ <- 1 to rounds)
+    // Early exit on a no-op round: a round that removes no node leaves
+    // induced degrees (hence every later round) unchanged, so stopping
+    // emits the identical fixpoint while skipping the remaining passes
+    // — the count probe is one cheap scan job on partitions the
+    // checkpoint just materialized.
+    var nAlive = alive.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
       alive = inducedDegrees(alive).filter(col("deg") >= k)
         .select("v").localCheckpoint() // ids only: truncate the round's
                                        // lineage, carry 8 bytes a node
+      val n = alive.count()
+      done = n == nAlive
+      nAlive = n
+    }
     // survivors reported with their degree INSIDE the final core — one
     // more induced-degree pass so the emitted number is the subgraph
     // invariant (≥ k at fixpoint), not a stale pre-peel count
@@ -559,9 +570,17 @@ object GraphOps {
         greatest(col(srcCol), col(dstCol)).cast("bigint").as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
-    for (_ <- 1 to rounds)
+    // Same early exit as [[kCore]]: a round that drops no edge is a
+    // fixpoint — later rounds recompute identical supports.
+    var nSurv = surv.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
       surv = edgeSupport(surv).filter(col("support") >= k - 2)
         .select("a", "b").localCheckpoint()
+      val n = surv.count()
+      done = n == nSurv
+      nSurv = n
+    }
     // As with [[kCore]]: an emitted support < k−2 means the peel had
     // not converged in `rounds` rounds and the result is a superset of
     // the k-truss; the opt-in check turns that into a loud failure.

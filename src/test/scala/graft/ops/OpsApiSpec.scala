@@ -209,9 +209,18 @@ class OpsApiSpec extends SparkSpec {
     // the native centroid_assign expression must reach whole-stage
     // codegen: its generated loop references the embedded primitive
     // arrays (addReferenceObj emits a "/* cids */" marker) — absent if
-    // the expression fell back to interpreted eval
+    // the expression fell back to interpreted eval. idx.assigned itself
+    // is a pinned LogicalRDD since r14 (the assignment ran codegen'd
+    // inside the checkpoint job), so inspect the same assignment
+    // projection the index build runs:
+    val assignPlan = emb
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x as double)) AS v")
+      .withColumn("nrm", expr("sqrt(vec_dot(v, v))"))
+      .withColumn("cluster",
+        graft.ops.Similarity.clusterAssignment(idx.centroids))
     val cg = org.apache.spark.sql.execution.debug.codegenString(
-      idx.assigned.queryExecution.executedPlan)
+      assignPlan.queryExecution.executedPlan)
     assert(cg.contains("cids"), "centroid_assign not codegen'd")
     idx.assigned.persist()
     try {
