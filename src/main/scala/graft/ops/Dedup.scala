@@ -169,21 +169,27 @@ object Dedup {
       .select("doc_id", "sig")
     val bandCols = (1 to rows)
       .map(r => s"element_at(sig, b*$rows+$r)").mkString(", ")
+    // Pinned: the banding self-join below plants this relation twice —
+    // unpinned, the minhash_shingle signature pass (the expensive
+    // projection here) runs once per side.
     val bandsDf = sigs.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> struct(b as band, xxhash64($bandCols) as bucket))"))
       .as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint()
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+    // Pinned like jaccardPairs' t: both verify sides fetch from it.
     val payload = base
       .withColumn("w", expr(
         s"array_sort(array_distinct(transform(word_ngrams(toks, $shingleN), " +
           "x -> xxhash64(x))))"))
       .withColumn("nw", size(col("w")).cast("bigint"))
       .select("doc_id", "w", "nw")
+      .localCheckpoint()
     // Verification fetches payloads by id through SHUFFLE equi-joins: at
     // corpus scale the payload relation IS the corpus (every doc's shingle
     // set), so broadcasting it would OOM the driver at broadcast build.
@@ -206,11 +212,14 @@ object Dedup {
     * confirms a duplicate. */
   def simhashKept(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // Pinned: the banding self-join + the final anti-join plant this
+    // three times; the signature projection runs once.
     val docs = df.select(col(idCol).as("doc_id"),
         expr(s"array_distinct(filter(split($textCol, ' '), x -> length(x) > 0))").as("w"))
       .withColumn("hs", expr("transform(w, t -> xxhash64(t))"))
       .withColumn("simhash", expr("simhash64(hs)"))
       .select("doc_id", "simhash")
+      .localCheckpoint()
     val bandsDf = docs.select(col("doc_id"), col("simhash"), explode(expr(
         "transform(sequence(0, 3), k -> struct(k as band, shiftright(simhash, k*16) & 65535 as bucket))"))
       .as("bb"))

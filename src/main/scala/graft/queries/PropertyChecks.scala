@@ -197,11 +197,15 @@ object PropertyChecks {
         |SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth_pairs,
         |       CAST(0 AS BIGINT) AS n_missed_pairs""".stripMargin) { spark =>
       val docs = spark.table("documents")
+      // kept ids pinned: consumed by BOTH endpoint semi-joins below —
+      // unpinned, the full minhash pipeline would run twice.
       val kept = Dedup.minhashKept(docs, "doc_id", "text")
-        .select(col("doc_id"))
+        .select(col("doc_id")).localCheckpoint()
       // Truth pairs, Spark side: same shingling/blocking as the oracle,
       // shingles as sorted xxhash64 sets (codegen sorted-merge count —
-      // the exact kernel minhashKept's verification uses).
+      // the exact kernel minhashKept's verification uses). The shingle
+      // relation is pinned (the self-join plants it twice), and so is
+      // the truth pair set (counted once, semi-joined once).
       val g = docs.select(col("doc_id"), col("lang"), expr(
           "array_sort(array_distinct(transform(word_ngrams(" +
             "filter(split(text, ' '), x -> length(x) > 0), 2), " +
@@ -209,6 +213,7 @@ object PropertyChecks {
         .withColumn("ns", size(col("s")).cast("bigint"))
         .filter(col("ns") > 0)
         .withColumn("bucket", expr("ns div 8"))
+        .localCheckpoint()
       val truth = g.as("a").join(g.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.bucket") === col("b.bucket") &&
@@ -217,6 +222,7 @@ object PropertyChecks {
         .filter(col("inter") * 10 >=
           (col("a.ns") + col("b.ns") - col("inter")) * 9)
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .localCheckpoint()
       // missed = both endpoints survived dedup
       val missed = truth
         .join(kept.as("ka"), col("da") === col("ka.doc_id"), "left_semi")
